@@ -1,0 +1,285 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Core OLAP operator surface (SURVEY.md §2a).
+  *
+  * Cross-engine determinism rules (SURVEY.md §5): money/fractional sums go
+  * through an exact DECIMAL cast (order-independent in Spark AND DuckDB),
+  * then back to DOUBLE for a stable output schema; averages are computed as
+  * exact-decimal-sum / exact-count in double space (deterministic); every
+  * result has a total ORDER BY with a unique tie-break.
+  */
+object Olap {
+
+  /** Exact 2-decimal cast: makes FP sums order-independent. */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact sum of a 2-decimal quantity, surfaced as double. */
+  private def moneySum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  /** Deterministic 4-decimal average: exact decimal sum / count. */
+  private def avg4(c: Column, cnt: Column): Column =
+    round(sum(dec2(c)).cast(DoubleType) / cnt, 4)
+
+  // --------------------------------------------------------------------------
+  // q01 — TPC-H Q1 shape: scan → filter → groupBy multi-aggregate.
+  // Scale: partial aggregation (map-side combine) over 2-key groups; the
+  // shuffle moves only |groups| rows per partition.
+  val q01 = Q(
+    "q01_pricing_summary",
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(26,6))) AS DOUBLE) AS sum_charge,
+             ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+             ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """)
+  ) { t =>
+    val cnt = count(lit(1))
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast(DoubleType).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(22, 4)))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .cast(DecimalType(26, 6))).cast(DoubleType).as("sum_charge"),
+        round(sum(col("l_quantity")) / cnt, 4).as("avg_qty"),
+        avg4(col("l_extendedprice"), cnt).as("avg_price"),
+        avg4(col("l_discount"), cnt).as("avg_disc"),
+        cnt.as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // q02 — global top-N with deterministic tie-break. Spark plans this as
+  // TakeOrderedAndProject: per-partition top-N then a single small merge —
+  // no full sort of the fact table at scale.
+  val q02 = Q(
+    "q02_topn",
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20
+    """)
+  ) { t =>
+    t.orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  // q03 — TPC-H Q3 shape: selective dim filter, fact-fact shuffle join, agg,
+  // top-N. customer is small → broadcast; orders⋈lineitem shuffles on the
+  // join key (AQE coalesces post-shuffle partitions at runtime).
+  val q03 = Q(
+    "q03_join_agg",
+    Some("""
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS order_date,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10
+    """)
+  ) { t =>
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .hint("broadcast")
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(22, 4)))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // q04 — star join: region→nation→customer→orders→lineitem. All dims
+  // broadcast; the single shuffle is orders⋈lineitem.
+  val q04 = Q(
+    "q04_star_join",
+    Some("""
+      SELECT r.r_name, n.n_name,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY r.r_name, n.n_name
+      ORDER BY r.r_name, n.n_name
+    """)
+  ) { t =>
+    broadcast(t.region)
+      .join(broadcast(t.nation), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(t.customer), col("c_nationkey") === col("n_nationkey"))
+      .join(t.orders, col("o_custkey") === col("c_custkey"))
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(22, 4)))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  // q05 — LEFT SEMI join (EXISTS). Spark keeps it a semi-join — no
+  // duplication of the left side, build side is the filtered orders.
+  val q05 = Q(
+    "q05_semi_join",
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 490000)
+      ORDER BY c_custkey
+    """)
+  ) { t =>
+    t.customer
+      .join(t.orders.filter(col("o_totalprice") > 490000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // q06 — LEFT ANTI join (NOT EXISTS): customers with no large order.
+  val q06 = Q(
+    "q06_anti_join",
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 490000)
+      ORDER BY c_custkey
+    """)
+  ) { t =>
+    t.customer
+      .join(t.orders.filter(col("o_totalprice") > 490000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // q07 — LEFT OUTER join + null-tolerant aggregates.
+  val q07 = Q(
+    "q07_outer_join",
+    Some("""
+      SELECT c.c_custkey,
+             COUNT(o.o_orderkey) AS n_orders,
+             CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+      ORDER BY c.c_custkey
+    """)
+  ) { t =>
+    t.customer
+      .join(t.orders, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec2(col("o_totalprice"))), lit(0)).cast(DoubleType).as("total_spent")
+      )
+      .orderBy(col("c_custkey"))
+  }
+
+  // q08 — ranking window functions, deterministic intra-partition order.
+  // Partitioned by a high-cardinality key → parallel at scale.
+  val q08 = Q(
+    "q08_window_rank",
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+             DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS drk
+      FROM orders
+      ORDER BY o_custkey, rn
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast(LongType).as("rn"),
+        rank().over(w).cast(LongType).as("rk"),
+        dense_rank().over(w).cast(LongType).as("drk"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // q09 — running total + sliding 3-row moving average per customer.
+  val q09 = Q(
+    "q09_window_running",
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+      FROM orders
+      ORDER BY o_custkey, o_orderkey
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wAll  = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w3    = order.rowsBetween(-2, Window.currentRow)
+    t.orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec2(col("o_totalprice"))).over(wAll).cast(DoubleType).as("running_total"),
+        round(sum(dec2(col("o_totalprice"))).over(w3).cast(DoubleType) /
+          count(lit(1)).over(w3), 4).as("moving_avg3")
+      )
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // q10 — lag/lead: per-customer inter-order gap in days and next price.
+  val q10 = Q(
+    "q10_lag_lead",
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(DATE_DIFF('day',
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS BIGINT) AS days_since_prev,
+             LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      FROM orders
+      ORDER BY o_custkey, o_orderkey
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t.orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast(LongType)
+          .as("days_since_prev"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price")
+      )
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10)
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/compare.py [sf_dir] [verify_out_dir]
+
+Reads each <out>/<name>/ parquet result (written by graft.Verify), runs the
+matching oracle SQL from <out>/oracle_sql.json in DuckDB against the same
+parquet tables, and compares values EXACTLY (sorted columns + sorted rows).
+Exact equality here implies any driver-side hash compare passes.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    failures = []
+    for name in sorted(os.listdir(out)):
+        path = os.path.join(out, name)
+        if not os.path.isdir(path):
+            continue
+        files = glob.glob(f"{path}/*.parquet")
+        if not files:
+            print(f"  {name}: NO OUTPUT PARQUET"); n_fail += 1; failures.append(name); continue
+        spark_df = con.execute(f"SELECT * FROM read_parquet('{path}/*.parquet')").fetchdf()
+        if name not in oracle:
+            print(f"  {name}: rows-only ({len(spark_df)} rows)" +
+                  (" EMPTY!" if len(spark_df) == 0 else ""))
+            if len(spark_df) == 0: n_fail += 1; failures.append(name)
+            else: n_pass += 1
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"  {name}: ORACLE SQL ERROR: {e}"); n_fail += 1; failures.append(name); continue
+        a, b = norm(spark_df), norm(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"  {name}: COLUMN MISMATCH spark={list(a.columns)} duck={list(b.columns)}")
+            n_fail += 1; failures.append(name); continue
+        if len(a) != len(b):
+            print(f"  {name}: ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}")
+            n_fail += 1; failures.append(name); continue
+        # dtype report (informational — driver may compare schemas)
+        dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+              if str(a[c].dtype) != str(b[c].dtype)]
+        try:
+            ok = True
+            for c in a.columns:
+                av, bv = a[c], b[c]
+                if av.dtype.kind == 'f' or bv.dtype.kind == 'f':
+                    eq = (av.isna() & bv.isna()) | (av == bv)
+                else:
+                    eq = (av.isna() & bv.isna()) | (av.astype(object) == bv.astype(object))
+                if not eq.all():
+                    bad = (~eq).idxmax()
+                    print(f"  {name}: VALUE MISMATCH col={c} row={bad} "
+                          f"spark={av[bad]!r} duck={bv[bad]!r}")
+                    ok = False
+                    break
+        except Exception as e:
+            print(f"  {name}: COMPARE ERROR: {e}"); ok = False
+        if ok:
+            extra = f" [dtype diffs: {dt}]" if dt else ""
+            print(f"  {name}: OK ({len(a)} rows){extra}")
+            n_pass += 1
+        else:
+            n_fail += 1; failures.append(name)
+    print(f"\n{n_pass} pass, {n_fail} fail" + (f": {failures}" if failures else ""))
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
