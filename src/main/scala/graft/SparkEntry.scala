@@ -7,7 +7,10 @@ object SparkEntry {
 
   /** Every registered operator (SURVEY.md §2). */
   def registry: Seq[Q] =
-    graft.operators.Olap.all
+    graft.operators.Olap.all ++
+      graft.operators.Grouping.all ++
+      graft.operators.Sets.all ++
+      graft.operators.AggExt.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

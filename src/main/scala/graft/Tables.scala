@@ -10,6 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    * nanos-epoch LONG (spark.sql.legacy.parquet.nanosAsLong). Convert to a
+    * proper microsecond timestamp (floor-truncated, matching DuckDB's
+    * TIMESTAMP_NS→TIMESTAMP cast) so downstream operators see a timestamp.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
+
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")
@@ -17,7 +27,6 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Grouping-family operators: distinct aggregates, conditional aggregates
+  * (ClickHouse *If combinators), bucketing, HAVING, ROLLUP/CUBE/GROUPING SETS.
+  *
+  * Scale notes: multi-distinct uses Spark's Expand-based rewrite (one shuffle,
+  * no per-key set materialization on the driver); rollup/cube expand rows
+  * map-side then aggregate partially — both are linear, single-shuffle plans.
+  */
+object Grouping {
+
+  // q11 — multiple COUNT(DISTINCT) per group.
+  val q11 = Q(
+    "q11_distinct_agg",
+    Some("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_suppkey) AS n_supps,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  ) { t =>
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy(col("l_returnflag"))
+  }
+
+  // q12 — ClickHouse countIf/sumIf/avgIf combinators as conditional aggs.
+  val q12 = Q(
+    "q12_conditional_agg",
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+             CAST(SUM(CASE WHEN o_totalprice > 250000 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """)
+  ) { t =>
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        sum(when(col("o_totalprice") > 250000, col("o_totalprice").cast(DecimalType(18, 2)))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType).as("big_total"),
+        count(lit(1)).as("n")
+      )
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // q13 — multi-branch CASE bucketing + aggregate over buckets.
+  val q13 = Q(
+    "q13_case_bucket",
+    Some("""
+      SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                  WHEN c_acctbal < 3000 THEN 'low'
+                  WHEN c_acctbal < 7000 THEN 'mid'
+                  ELSE 'high' END AS bal_bucket,
+             COUNT(*) AS n_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM customer
+      GROUP BY 1
+      ORDER BY bal_bucket
+    """)
+  ) { t =>
+    t.customer
+      .groupBy(
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 3000, "low")
+          .when(col("c_acctbal") < 7000, "mid")
+          .otherwise("high").as("bal_bucket"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType).as("total_bal")
+      )
+      .orderBy(col("bal_bucket"))
+  }
+
+  // q14 — HAVING (post-aggregation filter).
+  val q14 = Q(
+    "q14_having",
+    Some("""
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY o_custkey
+      HAVING COUNT(*) >= 15
+      ORDER BY o_custkey
+    """)
+  ) { t =>
+    t.orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total")
+      )
+      .filter(col("n_orders") >= 15)
+      .orderBy(col("o_custkey"))
+  }
+
+  // q15 — ROLLUP with explicit NULLS FIRST ordering for cross-engine parity.
+  val q15 = Q(
+    "q15_rollup",
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """)
+  ) { t =>
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast(DoubleType).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  // q16 — CUBE.
+  val q16 = Q(
+    "q16_cube",
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
+  ) { t =>
+    t.orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  // q17 — GROUPING SETS + grouping() level marker.
+  val q17 = Q(
+    "q17_grouping_sets",
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """)
+  ) { t =>
+    t.lineitem
+      .createOrReplaceTempView("graft_q17_lineitem")
+    t.spark.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+             COUNT(*) AS n
+      FROM graft_q17_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """)
+  }
+
+  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17)
+}

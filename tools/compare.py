@@ -29,6 +29,12 @@ def main():
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     failures = []
+    names_file = f"{out}/query_names.json"
+    if os.path.exists(names_file):
+        for name in json.load(open(names_file)):
+            if not os.path.isdir(os.path.join(out, name)):
+                print(f"  {name}: MISSING OUTPUT (query threw — see verify stderr)")
+                n_fail += 1; failures.append(name)
     for name in sorted(os.listdir(out)):
         path = os.path.join(out, name)
         if not os.path.isdir(path):
