@@ -10,7 +10,11 @@ object SparkEntry {
     graft.operators.Olap.all ++
       graft.operators.Grouping.all ++
       graft.operators.Sets.all ++
-      graft.operators.AggExt.all
+      graft.operators.AggExt.all ++
+      graft.operators.Temporal.all ++
+      graft.operators.Strings.all ++
+      graft.operators.Shapes.all ++
+      graft.sbom.Sbom.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,409 @@
+package graft.sbom
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The reference's SBOM-pipeline semantics (ClickBOM) re-expressed as
+  * relational operators over a deterministic synthetic component corpus
+  * derived from the `part` table. Each operator cites the reference
+  * behavior it reproduces; every derivation is mirrored in the DuckDB
+  * oracle SQL so the gate checks exact semantics, not just shape.
+  *
+  * At 100 TB the corpus is a parquet fact table of components: all
+  * operators below are single-shuffle groupBy/join/window plans with
+  * broadcast-sized mapping dims.
+  */
+object Sbom {
+
+  /** Deterministic component corpus (shared Spark/SQL definition).
+    * name/version/purl/license-fields/source-filename modeled from part.
+    */
+  private def components(t: Tables): DataFrame =
+    t.part.select(
+      col("p_partkey").as("comp_id"),
+      col("p_name").as("name"),
+      col("p_brand").as("version"),
+      concat(lit("pkg:graft/"), regexp_replace(col("p_name"), " ", "-"),
+        lit("@"), col("p_brand")).as("purl"),
+      when(col("p_partkey") % 7 === 0, lit(null).cast("string"))
+        .when(col("p_partkey") % 7 === 1, "MIT")
+        .when(col("p_partkey") % 7 === 2, "Apache-2.0")
+        .when(col("p_partkey") % 7 === 3, "unknown")
+        .when(col("p_partkey") % 7 === 4, "GPL-3.0")
+        .when(col("p_partkey") % 7 === 5, "BSD-3-Clause")
+        .otherwise("MIT").as("lic_id"),
+      when(col("p_partkey") % 3 === 0, "Apache License 2.0")
+        .otherwise(lit(null).cast("string")).as("lic_name"),
+      concat(lit("src"), (col("p_partkey") % 4).cast("string"), lit(".json")).as("filename"),
+      col("p_size"), col("p_type"))
+
+  /** Identical corpus as a SQL CTE for the oracles. */
+  private val componentsSql: String = """
+    components AS (
+      SELECT p_partkey AS comp_id,
+             p_name AS name,
+             p_brand AS version,
+             'pkg:graft/' || REPLACE(p_name, ' ', '-') || '@' || p_brand AS purl,
+             CASE WHEN p_partkey % 7 = 0 THEN NULL
+                  WHEN p_partkey % 7 = 1 THEN 'MIT'
+                  WHEN p_partkey % 7 = 2 THEN 'Apache-2.0'
+                  WHEN p_partkey % 7 = 3 THEN 'unknown'
+                  WHEN p_partkey % 7 = 4 THEN 'GPL-3.0'
+                  WHEN p_partkey % 7 = 5 THEN 'BSD-3-Clause'
+                  ELSE 'MIT' END AS lic_id,
+             CASE WHEN p_partkey % 3 = 0 THEN 'Apache License 2.0' ELSE NULL END AS lic_name,
+             'src' || CAST(p_partkey % 4 AS VARCHAR) || '.json' AS filename,
+             p_size, p_type
+      FROM part)"""
+
+  // sbom_flatten — CycloneDX component flattening with the license coalesce
+  // chain (entrypoint.sh:328-361): licenses[0].license.id → .name → fallback
+  // "unknown", exercised through REAL JSON build + extract on both engines.
+  val flatten = Q(
+    "sbom_flatten",
+    Some(s"""
+      WITH $componentsSql,
+      docs AS (
+        SELECT comp_id, name,
+               '{"name":"' || name || '","licenses":' ||
+               (CASE WHEN lic_id IS NULL AND lic_name IS NULL THEN '[]'
+                     WHEN lic_id IS NOT NULL THEN '[{"license":{"id":"' || lic_id || '"}}]'
+                     ELSE '[{"license":{"name":"' || lic_name || '"}}]' END) ||
+               '}' AS comp_json
+        FROM components)
+      SELECT comp_id, name,
+             COALESCE(JSON_EXTRACT_STRING(comp_json, '$$.licenses[0].license.id'),
+                      JSON_EXTRACT_STRING(comp_json, '$$.licenses[0].license.name'),
+                      'unknown') AS license
+      FROM docs
+      ORDER BY comp_id
+    """)
+  ) { t =>
+    val docs = components(t).select(
+      col("comp_id"), col("name"),
+      concat(
+        lit("{\"name\":\""), col("name"), lit("\",\"licenses\":"),
+        when(col("lic_id").isNull && col("lic_name").isNull, "[]")
+          .when(col("lic_id").isNotNull,
+            concat(lit("[{\"license\":{\"id\":\""), col("lic_id"), lit("\"}}]")))
+          .otherwise(concat(lit("[{\"license\":{\"name\":\""), col("lic_name"), lit("\"}}]"))),
+        lit("}")).as("comp_json"))
+    docs.select(
+      col("comp_id"), col("name"),
+      coalesce(
+        get_json_object(col("comp_json"), "$.licenses[0].license.id"),
+        get_json_object(col("comp_json"), "$.licenses[0].license.name"),
+        lit("unknown")).as("license"))
+      .orderBy(col("comp_id"))
+  }
+
+  // sbom_merge_dedup — multi-document merge + dedup by
+  // name@version#purl^source (sbom-merging.sh:358): two overlapping
+  // document slices, union, keep first per composite key.
+  val mergeDedup = Q(
+    "sbom_merge_dedup",
+    Some(s"""
+      WITH $componentsSql,
+      doc1 AS (SELECT name, version, purl, 'sbom-alpha' AS source, comp_id
+               FROM components WHERE p_size <= 30),
+      doc2 AS (SELECT name, version, purl, 'sbom-beta' AS source, comp_id
+               FROM components WHERE p_size >= 15),
+      merged AS (SELECT * FROM doc1 UNION ALL SELECT * FROM doc2),
+      dedup AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY name, version, purl, source
+                                     ORDER BY comp_id) AS rn
+        FROM merged)
+      SELECT name, version, source, COUNT(*) AS n_components
+      FROM dedup WHERE rn = 1
+      GROUP BY name, version, source
+      ORDER BY name, version, source
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val c = components(t)
+    val doc1 = c.filter(col("p_size") <= 30)
+      .select(col("name"), col("version"), col("purl"), lit("sbom-alpha").as("source"), col("comp_id"))
+    val doc2 = c.filter(col("p_size") >= 15)
+      .select(col("name"), col("version"), col("purl"), lit("sbom-beta").as("source"), col("comp_id"))
+    val w = Window.partitionBy(col("name"), col("version"), col("purl"), col("source"))
+      .orderBy(col("comp_id"))
+    doc1.unionAll(doc2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("name"), col("version"), col("source"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy(col("name"), col("version"), col("source"))
+  }
+
+  // sbom_license_map — unknown-license mapping (entrypoint.sh:245-269):
+  // when license ∈ {unknown, '', NULL}, look the component name up in the
+  // mapping dim (license-mappings.json analog); broadcast join.
+  val licenseMap = Q(
+    "sbom_license_map",
+    Some(s"""
+      WITH $componentsSql,
+      mapping(name, mapped_license) AS (VALUES
+        ('small ring', 'MIT'), ('red widget', 'Apache-2.0'),
+        ('blue bolt', 'BSD-3-Clause'), ('green gear', 'GPL-3.0'),
+        ('silver screw', 'ISC')),
+      flat AS (
+        SELECT comp_id, name, COALESCE(lic_id, 'unknown') AS license
+        FROM components)
+      SELECT f.comp_id, f.name,
+             CASE WHEN f.license IN ('unknown', '') THEN COALESCE(m.mapped_license, 'unknown')
+                  ELSE f.license END AS license
+      FROM flat f LEFT JOIN mapping m ON f.name = m.name
+      ORDER BY f.comp_id
+    """)
+  ) { t =>
+    import t.spark.implicits._
+    val mapping = Seq(
+      ("small ring", "MIT"), ("red widget", "Apache-2.0"),
+      ("blue bolt", "BSD-3-Clause"), ("green gear", "GPL-3.0"),
+      ("silver screw", "ISC")).toDF("m_name", "mapped_license")
+    components(t)
+      .select(col("comp_id"), col("name"), coalesce(col("lic_id"), lit("unknown")).as("license"))
+      .join(broadcast(mapping), col("name") === col("m_name"), "left")
+      .select(col("comp_id"), col("name"),
+        when(col("license").isin("unknown", ""), coalesce(col("mapped_license"), lit("unknown")))
+          .otherwise(col("license")).as("license"))
+      .orderBy(col("comp_id"))
+  }
+
+  // sbom_source_extract — the 6-strategy source-reference coalesce chain
+  // (entrypoint.sh:38-104): spdx doc name → component name → bom-ref →
+  // top-level name → tool hint → filename fallback.
+  val sourceExtract = Q(
+    "sbom_source_extract",
+    Some(s"""
+      WITH $componentsSql,
+      metas AS (
+        SELECT comp_id,
+               CASE WHEN comp_id % 5 = 0 THEN 'spdx:' || name END AS spdx_doc_name,
+               CASE WHEN comp_id % 5 = 1 THEN 'comp:' || name END AS meta_component_name,
+               CASE WHEN comp_id % 5 = 2 THEN 'ref:' || purl END AS bom_ref,
+               CASE WHEN comp_id % 5 = 3 THEN 'top:' || name END AS top_name,
+               filename
+        FROM components)
+      SELECT comp_id,
+             COALESCE(spdx_doc_name, meta_component_name, bom_ref, top_name,
+                      REPLACE(filename, '.json', '')) AS source_ref
+      FROM metas
+      ORDER BY comp_id
+    """)
+  ) { t =>
+    components(t)
+      .select(
+        col("comp_id"),
+        when(col("comp_id") % 5 === 0, concat(lit("spdx:"), col("name"))).as("spdx_doc_name"),
+        when(col("comp_id") % 5 === 1, concat(lit("comp:"), col("name"))).as("meta_component_name"),
+        when(col("comp_id") % 5 === 2, concat(lit("ref:"), col("purl"))).as("bom_ref"),
+        when(col("comp_id") % 5 === 3, concat(lit("top:"), col("name"))).as("top_name"),
+        col("filename"))
+      .select(col("comp_id"),
+        coalesce(col("spdx_doc_name"), col("meta_component_name"), col("bom_ref"),
+          col("top_name"), regexp_replace(col("filename"), "\\.json", "")).as("source_ref"))
+      .orderBy(col("comp_id"))
+  }
+
+  /** Glob → LIKE pattern translation (bash fnmatch subset: * and ?).
+    * The reference filters merge inputs by filename glob (sbom-merging.sh:7).
+    */
+  def globToLike(glob: String): String =
+    glob.flatMap {
+      case '*' => "%"
+      case '?' => "_"
+      case '%' => "\\%"
+      case '_' => "\\_"
+      case c   => c.toString
+    }
+
+  // sbom_filter_patterns — include/exclude filename filtering with
+  // exclude-wins precedence (sbom-merging.sh:32-77), include = {src1*.json,
+  // src2*.json}, exclude = {*2.json}.
+  val filterPatterns = Q(
+    "sbom_filter_patterns",
+    Some(s"""
+      WITH $componentsSql
+      SELECT filename, COUNT(*) AS n
+      FROM components
+      WHERE (filename LIKE 'src1%.json' OR filename LIKE 'src2%.json')
+        AND NOT (filename LIKE '%2.json')
+      GROUP BY filename
+      ORDER BY filename
+    """)
+  ) { t =>
+    val include = Seq("src1*.json", "src2*.json").map(globToLike)
+    val exclude = Seq("*2.json").map(globToLike)
+    val inc = include.map(col("filename").like(_)).reduce(_ || _)
+    val exc = exclude.map(col("filename").like(_)).reduce(_ || _)
+    components(t)
+      .filter(inc && !exc)
+      .groupBy(col("filename"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("filename"))
+  }
+
+  // sbom_table_name — ClickHouse table-name derivation (entrypoint.sh:469):
+  // lowercase, non-alphanumeric → '_'. Derived from owner/repo-style strings.
+  val tableName = Q(
+    "sbom_table_name",
+    Some("""
+      SELECT DISTINCT
+             LOWER(REGEXP_REPLACE(r_name || '/' || n_name, '[^a-zA-Z0-9]', '_', 'g')) AS table_name
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+      ORDER BY table_name
+    """)
+  ) { t =>
+    t.region.join(t.nation, col("n_regionkey") === col("r_regionkey"))
+      .select(lower(regexp_replace(concat(col("r_name"), lit("/"), col("n_name")),
+        "[^a-zA-Z0-9]", "_")).as("table_name"))
+      .distinct()
+      .orderBy(col("table_name"))
+  }
+
+  // sbom_format_detect — format detection priority chain
+  // (sbom-processing.sh:58-91): CycloneDX markers → SPDX markers → SWID →
+  // default spdxjson. Marker presence modeled deterministically.
+  val formatDetect = Q(
+    "sbom_format_detect",
+    Some(s"""
+      WITH $componentsSql,
+      marked AS (
+        SELECT comp_id,
+               comp_id % 4 = 0 AS has_bom_format,
+               comp_id % 4 = 1 AS has_metadata_component,
+               comp_id % 4 = 2 AS has_spdx_version,
+               comp_id % 8 = 3 AS has_swid_tag
+        FROM components)
+      SELECT CASE WHEN has_bom_format OR has_metadata_component THEN 'cyclonedx'
+                  WHEN has_spdx_version THEN 'spdxjson'
+                  WHEN has_swid_tag THEN 'swid'
+                  ELSE 'spdxjson' END AS format,
+             COUNT(*) AS n
+      FROM marked
+      GROUP BY 1
+      ORDER BY format
+    """)
+  ) { t =>
+    components(t)
+      .select(col("comp_id"),
+        (col("comp_id") % 4 === 0).as("has_bom_format"),
+        (col("comp_id") % 4 === 1).as("has_metadata_component"),
+        (col("comp_id") % 4 === 2).as("has_spdx_version"),
+        (col("comp_id") % 8 === 3).as("has_swid_tag"))
+      .select(
+        when(col("has_bom_format") || col("has_metadata_component"), "cyclonedx")
+          .when(col("has_spdx_version"), "spdxjson")
+          .when(col("has_swid_tag"), "swid")
+          .otherwise("spdxjson").as("format"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("format"))
+  }
+
+  // sbom_ref_category — SPDX referenceCategory normalization
+  // (sbom-processing.sh:15-35): PACKAGE-MANAGER → PACKAGE_MANAGER, keep
+  // {SECURITY, PERSISTENT_ID, OTHER, PACKAGE_MANAGER}, anything else → OTHER.
+  val refCategory = Q(
+    "sbom_ref_category",
+    Some(s"""
+      WITH $componentsSql,
+      cats AS (
+        SELECT comp_id,
+               CASE comp_id % 6 WHEN 0 THEN 'PACKAGE-MANAGER'
+                                WHEN 1 THEN 'SECURITY'
+                                WHEN 2 THEN 'PERSISTENT_ID'
+                                WHEN 3 THEN 'OTHER'
+                                WHEN 4 THEN 'PACKAGE_MANAGER'
+                                ELSE 'bogus-category' END AS ref_category
+        FROM components)
+      SELECT CASE WHEN ref_category = 'PACKAGE-MANAGER' THEN 'PACKAGE_MANAGER'
+                  WHEN ref_category IN ('SECURITY', 'PERSISTENT_ID', 'OTHER', 'PACKAGE_MANAGER')
+                    THEN ref_category
+                  ELSE 'OTHER' END AS ref_category,
+             COUNT(*) AS n
+      FROM cats
+      GROUP BY 1
+      ORDER BY ref_category
+    """)
+  ) { t =>
+    components(t)
+      .select((col("comp_id") % 6).as("m"))
+      .select(
+        when(col("m") === 0, "PACKAGE-MANAGER").when(col("m") === 1, "SECURITY")
+          .when(col("m") === 2, "PERSISTENT_ID").when(col("m") === 3, "OTHER")
+          .when(col("m") === 4, "PACKAGE_MANAGER").otherwise("bogus-category")
+          .as("raw"))
+      .select(
+        when(col("raw") === "PACKAGE-MANAGER", "PACKAGE_MANAGER")
+          .when(col("raw").isin("SECURITY", "PERSISTENT_ID", "OTHER", "PACKAGE_MANAGER"), col("raw"))
+          .otherwise("OTHER").as("ref_category"))
+      .groupBy(col("ref_category"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("ref_category"))
+  }
+
+  // sbom_component_stats — the downstream ClickHouse analytics use-case:
+  // components per (license, source-file) with distinct-name counts — the
+  // table the reference's whole pipeline feeds (entrypoint.sh:220-229).
+  val componentStats = Q(
+    "sbom_component_stats",
+    Some(s"""
+      WITH $componentsSql
+      SELECT COALESCE(lic_id, 'unknown') AS license, filename AS source,
+             COUNT(*) AS n_components,
+             COUNT(DISTINCT name) AS n_names
+      FROM components
+      GROUP BY 1, 2
+      ORDER BY license, source
+    """)
+  ) { t =>
+    components(t)
+      .groupBy(coalesce(col("lic_id"), lit("unknown")).as("license"),
+        col("filename").as("source"))
+      .agg(count(lit(1)).as("n_components"), countDistinct(col("name")).as("n_names"))
+      .orderBy(col("license"), col("source"))
+  }
+
+  // sbom_validate — sanitize-layer predicates (lib/sanitize.sh) as vectorized
+  // filters: repo-format, uuid-format, db-name validity over derived strings.
+  val validate = Q(
+    "sbom_validate",
+    Some(s"""
+      WITH $componentsSql,
+      inputs AS (
+        SELECT comp_id,
+               CASE WHEN comp_id % 3 = 0 THEN 'owner/' || REPLACE(name, ' ', '-')
+                    WHEN comp_id % 3 = 1 THEN 'bad repo!' || name
+                    ELSE 'org-' || CAST(comp_id AS VARCHAR) || '/repo_' || version END AS repo,
+               CASE WHEN comp_id % 2 = 0
+                    THEN '12345678-1234-1234-1234-1234567890ab'
+                    ELSE 'not-a-uuid-' || CAST(comp_id AS VARCHAR) END AS uuid
+        FROM components)
+      SELECT
+        COUNT(CASE WHEN REGEXP_MATCHES(repo, '^[a-zA-Z0-9._-]+/[a-zA-Z0-9._-]+$$') THEN 1 END) AS n_valid_repo,
+        COUNT(CASE WHEN REGEXP_MATCHES(uuid, '^[0-9a-fA-F]{8}-([0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}$$') THEN 1 END) AS n_valid_uuid,
+        COUNT(*) AS n_total
+      FROM inputs
+    """)
+  ) { t =>
+    components(t)
+      .select(col("comp_id"),
+        when(col("comp_id") % 3 === 0, concat(lit("owner/"), regexp_replace(col("name"), " ", "-")))
+          .when(col("comp_id") % 3 === 1, concat(lit("bad repo!"), col("name")))
+          .otherwise(concat(lit("org-"), col("comp_id").cast("string"), lit("/repo_"), col("version")))
+          .as("repo"),
+        when(col("comp_id") % 2 === 0, "12345678-1234-1234-1234-1234567890ab")
+          .otherwise(concat(lit("not-a-uuid-"), col("comp_id").cast("string"))).as("uuid"))
+      .agg(
+        count(when(col("repo").rlike("^[a-zA-Z0-9._-]+/[a-zA-Z0-9._-]+$"), 1)).as("n_valid_repo"),
+        count(when(col("uuid").rlike("^[0-9a-fA-F]{8}-([0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}$"), 1)).as("n_valid_uuid"),
+        count(lit(1)).as("n_total"))
+  }
+
+  val all: Seq[Q] = Seq(flatten, mergeDedup, licenseMap, sourceExtract,
+    filterPatterns, tableName, formatDetect, refCategory, componentStats, validate)
+}
