@@ -14,7 +14,11 @@ object SparkEntry {
       graft.operators.Temporal.all ++
       graft.operators.Strings.all ++
       graft.operators.Shapes.all ++
-      graft.sbom.Sbom.all
+      graft.sbom.Sbom.all ++
+      graft.text.TextOps.all ++
+      graft.dedup.Dedup.all ++
+      graft.ann.Ann.all ++
+      graft.multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

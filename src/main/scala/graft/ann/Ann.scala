@@ -1,0 +1,112 @@
+package graft.ann
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Similarity search over the embeddings table (SURVEY.md §2c):
+  * brute-force cosine top-k (the exactness baseline) and a random-
+  * hyperplane LSH-bucketed variant (the scale path).
+  *
+  * Scale design: queries are a tiny broadcast side; the corpus is never
+  * shuffled. Brute-force is broadcast-join + per-partition top-k
+  * (TakeOrderedAndProject after a window prune); LSH prunes candidates to
+  * same-bucket rows before scoring.
+  */
+object Ann {
+
+  /** Double-space dot product of two float vectors (zip_with + aggregate —
+    * codegen'd, no UDF).
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  // embed_norms — vector statistics per label: exact dims, rounded norms.
+  // Oracle-checked: the same double-space fold is expressible in DuckDB
+  // list lambdas with identical sequential semantics.
+  val norms = Q(
+    "embed_norms",
+    Some("""
+      SELECT label,
+             COUNT(*) AS n,
+             CAST(MIN(LEN(embedding)) AS BIGINT) AS dim,
+             ROUND(MIN(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) AS min_norm,
+             ROUND(MAX(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) AS max_norm
+      FROM embeddings
+      GROUP BY label
+      ORDER BY label
+    """)
+  ) { t =>
+    t.embeddings
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(size(col("embedding"))).cast(LongType).as("dim"),
+        round(min(norm(col("embedding"))), 3).as("min_norm"),
+        round(max(norm(col("embedding"))), 3).as("max_norm"))
+      .orderBy(col("label"))
+  }
+
+  // ann_bruteforce — exact cosine top-10 for 5 query vectors. The query set
+  // is broadcast; ranking is a window over (query, corpus) scored pairs.
+  val bruteForce = Q("ann_bruteforce", None) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = t.embeddings
+      .join(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane sign for (plane, dim):
+    * ±1 from the parity of a seeded xxhash. */
+  private def planeSign(plane: Int, d: Column): Column =
+    when(xxhash64(lit(plane), d).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
+
+  // ann_lsh — random-hyperplane LSH: 8 planes → 8-bit bucket; candidates =
+  // same-bucket pairs with the query set; exact cosine re-ranking inside
+  // the bucket. Recall is traded for pruning; AnnSpec measures it against
+  // the brute-force result.
+  val lsh = Q("ann_lsh", None) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val nPlanes = 8
+    def bucket(vec: Column): Column =
+      (0 until nPlanes).map { p =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast(DoubleType) * planeSign(p, i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+
+    val corpus = t.embeddings.select(col("vec_id"), col("embedding"),
+      bucket(col("embedding")).as("bucket"))
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(queries), col("bucket") === col("qbucket"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(norms, bruteForce, lsh)
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured Streaming operators (SURVEY.md §2d): windowed aggregation
+  * with watermark, in-stream dedup, stateful gap sessionization.
+  *
+  * These mirror the batch operators (q22/q34/dedup_exact) in streaming
+  * form: same semantics, incremental execution. State is keyed by
+  * user/event id — partitioned across executors, no global state.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  final case class SessionAcc(start_ms: Long, end_ms: Long, n: Long)
+
+  final case class SessionOut(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
+    n_events: Long)
+
+  /** Tumbling-window event counts + exact value sums, watermarked. */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+    win: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
+
+  /** Exactly-once-per-key dedup within the watermark horizon. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Gap-based sessionization with event-time timeout: a session closes
+    * when no event arrives within `gapSec` of its last event (watermark-
+    * driven), emitting (user, start, end, count).
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800,
+    watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSec * 1000
+
+    def update(userId: Long, it: Iterator[Event],
+      state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(s =>
+          SessionOut(userId, new Timestamp(s.start_ms), new Timestamp(s.end_ms), s.n)).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = it.toSeq.sortBy(_.ts.getTime)
+        var acc = state.getOption
+        val closed = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          val ms = e.ts.getTime
+          acc match {
+            case Some(s) if ms - s.end_ms <= gapMs =>
+              acc = Some(s.copy(end_ms = math.max(s.end_ms, ms), n = s.n + 1))
+            case Some(s) =>
+              closed += SessionOut(userId, new Timestamp(s.start_ms), new Timestamp(s.end_ms), s.n)
+              acc = Some(SessionAcc(ms, ms, 1))
+            case None =>
+              acc = Some(SessionAcc(ms, ms, 1))
+          }
+        }
+        acc.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end_ms + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2c):
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All are per-row narrow transforms (no shuffle except the final summary
+  * aggregations) built from codegen'd higher-order array functions — at
+  * 100 TB they stream through the scan with zero data movement.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Whitespace word array. */
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  // text_tokens — token counting two ways: whitespace tokens and a BPE-ish
+  // regex tokenization (letter runs / digit runs / single punctuation).
+  val tokens = Q(
+    "text_tokens",
+    Some("""
+      SELECT lang,
+             CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) AS BIGINT) AS n_ws_tokens,
+             CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe_tokens,
+             COUNT(*) AS n_docs
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang
+    """)
+  ) { t =>
+    t.documents
+      .groupBy(col("lang"))
+      .agg(
+        sum(size(words(col("text")))).cast(LongType).as("n_ws_tokens"),
+        sum(size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))).cast(LongType).as("n_bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  // text_quality — per-document quality features (length, punctuation
+  // ratio, stopword ratio, mean word length) + a quality bucket; integer
+  // counts ratioed in double space with fixed rounding for engine parity.
+  val quality = Q(
+    "text_quality",
+    Some("""
+      WITH feats AS (
+        SELECT doc_id, lang,
+               LENGTH(text) AS n_chars,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_words,
+               LEN(REGEXP_EXTRACT_ALL(text, '[.,!?;:]')) AS n_punct,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                   w -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], w))) AS n_stop
+        FROM documents)
+      SELECT doc_id, lang,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(n_words AS BIGINT) AS n_words,
+             ROUND(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+             ROUND(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+             ROUND(CAST(n_chars AS DOUBLE) / n_words, 4) AS mean_word_len,
+             CASE WHEN n_words >= 40 AND CAST(n_stop AS DOUBLE) / n_words >= 0.1 THEN 'high'
+                  WHEN n_words >= 15 THEN 'mid'
+                  ELSE 'low' END AS quality
+      FROM feats
+      ORDER BY doc_id
+    """)
+  ) { t =>
+    val ws = words(col("text"))
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*)))
+    t.documents
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(ws).cast(LongType).as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).as("n_punct"),
+        nStop.as("n_stop"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_words"),
+        round(col("n_punct").cast(DoubleType) / col("n_chars"), 4).as("punct_ratio"),
+        round(col("n_stop").cast(DoubleType) / col("n_words"), 4).as("stop_ratio"),
+        round(col("n_chars").cast(DoubleType) / col("n_words"), 4).as("mean_word_len"),
+        when(col("n_words") >= 40 && col("n_stop").cast(DoubleType) / col("n_words") >= 0.1, "high")
+          .when(col("n_words") >= 15, "mid")
+          .otherwise("low").as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  // text_langid — marker-token language scoring: per-language marker lists,
+  // score = marker hits in the document, prediction = argmax score with a
+  // deterministic preference order. Rows-only (heuristic, not SQL-oracled);
+  // TextSpec checks accuracy against the labeled `lang` column.
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "und", "die", "ist", "das"),
+    "fr" -> Seq("le", "et", "la", "est", "les"),
+    "es" -> Seq("el", "y", "la", "es", "los"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  val langid = Q("text_langid", None) { t =>
+    val ws = words(col("text"))
+    val scored = markers.foldLeft(t.documents.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (lg, ms)) =>
+        df.withColumn(s"score_$lg", size(filter(ws, w => w.isin(ms: _*))).cast(LongType))
+    }
+    // argmax over (score, fixed preference) via greatest-of-structs
+    val best = greatest(markers.map { case (lg, _) =>
+      struct(col(s"score_$lg").as("s"), lit(lg).as("lg"))
+    }: _*)
+    scored
+      .withColumn("predicted", best.getField("lg"))
+      .withColumn("max_score", best.getField("s"))
+      .select(col("doc_id"), col("lang"), col("predicted"), col("max_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  // text_fingerprint — rolling polynomial fingerprint over word CRCs: a
+  // deterministic content fingerprint for shift-stable near-dup detection.
+  // Rows-only; TextSpec pins expected values on a fixed sample.
+  val fingerprint = Q("text_fingerprint", None) { t =>
+    val ws = words(lower(col("text")))
+    // Modular polynomial hash (mod 1e9+7) — ANSI-safe, no int64 overflow.
+    val M = 1000000007L
+    val fp = aggregate(
+      transform(ws, w => crc32(w.cast("binary"))),
+      lit(5381L),
+      (acc, h) => (acc * lit(31L) + pmod(h, lit(M))) % lit(M))
+    t.documents
+      .select(col("doc_id"), fp.as("fingerprint"),
+        size(ws).cast(LongType).as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint)
+}

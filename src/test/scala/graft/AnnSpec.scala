@@ -1,0 +1,47 @@
+package graft
+
+import graft.ann.Ann
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+
+  test("brute-force: each query's top hit is itself at cosine ~1") {
+    val rows = Ann.bruteForce.build(sf0001)
+      .filter(col("rnk") === 1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") === r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-4)
+    }
+  }
+
+  test("brute-force returns k=10 ranked results per query, descending") {
+    val df = Ann.bruteForce.build(sf0001)
+    val byQuery = df.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === 5)
+    byQuery.values.foreach { rs =>
+      assert(rs.length === 10)
+      val cosines = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH: every query finds itself; results are a subset of brute-force scoring") {
+    val lsh = Ann.lsh.build(sf0001).collect()
+    val selfHits = lsh.filter(r => r.getAs[Long]("query_id") == r.getAs[Long]("vec_id"))
+    assert(selfHits.length === 5, "each query shares its own bucket")
+    selfHits.foreach(r => assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-4))
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = graft.operators.AggExt.q37.build(sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = sf0001.events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$k: approx $ap vs exact $ex")
+    }
+  }
+}

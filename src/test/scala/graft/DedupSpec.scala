@@ -1,0 +1,47 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Near-dup detection specs: the corpus plants perturbed twins
+  * (doc_id + 1_000_000 = original minus last 3 words); each algorithm
+  * must recover a high fraction of the planted pairs without drowning
+  * in false positives.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def plantedRecall(pairs: Seq[(Long, Long)], nDocs: Long): Double = {
+    val planted = pairs.count { case (a, b) => b == a + 1000000L }
+    planted.toDouble / nDocs
+  }
+
+  private lazy val nDocs = sf0001.documents.count()
+
+  test("minhash LSH recovers planted twins") {
+    val pairs = Dedup.minhashLsh.build(sf0001)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val recall = plantedRecall(pairs, nDocs)
+    assert(recall >= 0.8, s"minhash recall $recall of $nDocs planted twins")
+  }
+
+  test("simhash recovers planted twins within hamming 8") {
+    val pairs = Dedup.simhashDedup.build(sf0001)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val recall = plantedRecall(pairs, nDocs)
+    assert(recall >= 0.8, s"simhash recall $recall")
+  }
+
+  test("ngram jaccard finds planted twins with jaccard >= 0.6 and sane scores") {
+    val df = Dedup.ngramJaccard.build(sf0001)
+    val rows = df.collect()
+    val recall = plantedRecall(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq, nDocs)
+    assert(recall >= 0.9, s"jaccard recall $recall")
+    assert(rows.forall(r => r.getDouble(2) >= 0.6 && r.getDouble(2) <= 1.0))
+  }
+
+  test("exact dedup counts are consistent") {
+    val rows = Dedup.exact.build(sf0001).collect()
+    val full = rows.find(_.getString(0) == "full_md5").get
+    assert(full.getLong(1) === full.getLong(2) + full.getLong(3))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  test("windowed counts aggregate per 5-minute window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(1), 11, "click", 2.0),
+      Event(3, ts(6), 10, "view", 3.0))
+    val q = Streams.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getAs[Timestamp]("win_start").toString, r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("total"))).toSet
+      assert(rows === Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 00:05:00.0", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stream dedup drops repeated event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, ts(0), 10, "click", 1.0), Event(1, ts(0), 10, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(1), 10, "click", 1.0), Event(2, ts(1), 11, "view", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionize(mem.toDS(), gapSec = 300, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 10: two events 1 min apart (one session), then a 20-min gap event
+      mem.addData(Event(1, ts(0), 10, "click", 1.0), Event(2, ts(1), 10, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(21), 10, "click", 1.0))
+      q.processAllAvailable()
+      // push watermark far past the first session's timeout
+      mem.addData(Event(4, ts(59), 99, "click", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out").collect()
+        .filter(_.getAs[Long]("user_id") == 10L)
+        .map(r => (r.getAs[Timestamp]("start_ts").toString, r.getAs[Long]("n_events")))
+      assert(sessions.contains(("2024-01-01 00:00:00.0", 2L)),
+        s"expected first session of user 10 closed, got ${sessions.mkString(", ")}")
+    } finally q.stop()
+  }
+}
