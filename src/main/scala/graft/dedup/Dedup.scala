@@ -130,10 +130,14 @@ object Dedup {
   // dedup_minhash_lsh — MinHash signatures (k=16) banded into 4 bands of 4;
   // docs sharing any band bucket are candidates; verified by signature
   // agreement (estimated Jaccard ≥ 0.5). Bucket-join, never cartesian.
+  // Signatures come from the native codegen'd expression (graft_minhash);
+  // the composable-HOF formulation (minhashSig below) is kept as the
+  // portable fallback and for cross-checking in specs.
   val minhashLsh = Q("dedup_minhash_lsh", None) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
     val k = 16; val bands = 4; val rows = k / bands
     val sig = withTwins(t)
-      .select(col("doc_id"), minhashSig(shingles(col("text"), 3), k).as("sig"))
+      .select(col("doc_id"), call_function("graft_minhash", col("text")).as("sig"))
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(array_join(slice(col("sig"), b * rows + 1, lit(rows)), ",")))))
@@ -191,7 +195,9 @@ object Dedup {
   // then exact Hamming ≤ 8 verification via bit_count(xor). The join key is
   // (band, value) — candidate volume scales with real collisions, never n².
   val simhashDedup = Q("dedup_simhash", None) { t =>
-    val sigs = withTwins(t).select(col("doc_id"), simhash(col("text")).as("sig"))
+    graft.functions.GraftFunctions.register(t.spark)
+    val sigs = withTwins(t)
+      .select(col("doc_id"), call_function("graft_simhash64", col("text")).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(7)),
         b => call_function("shiftright", col("sig"), b * 8).bitwiseAND(lit(0xffL)))))
@@ -208,9 +214,12 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** Diagnostic accessor for tooling/specs. */
-  def debugSimhashSigs(t: Tables): DataFrame =
+  /** HOF-composed signatures, exposed for spec cross-checks against the
+    * native expressions. */
+  def hofSimhashSigs(t: Tables): DataFrame =
     withTwins(t).select(col("doc_id"), simhash(col("text")).as("sig"))
+  def hofMinhashSigs(t: Tables): DataFrame =
+    withTwins(t).select(col("doc_id"), minhashSig(shingles(col("text"), 3), 16).as("sig"))
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup)
 }

@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the near-dup signature hot path.
+  *
+  * The composable higher-order-function formulations (see Dedup.scala
+  * history) evaluate interpreted — per-row costs of building shingle
+  * strings and folding 64-bit counters dominate at scale. These
+  * expressions compute the same signatures in one tight loop over the
+  * document bytes (zero token copies — XXH64 over byte ranges) and stay
+  * inside whole-stage codegen via a static call.
+  */
+object SignatureKernels {
+
+  private final val Space = ' '.toByte
+
+  /** Offsets of whitespace-delimited tokens in `s`: flat [start0, end0,
+    * start1, end1, ...]. Works on raw UTF-8 bytes; multi-byte chars never
+    * collide with ASCII space.
+    */
+  private def tokenOffsets(bytes: Array[Byte]): Array[Int] = {
+    val out = new java.util.ArrayList[Int](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        out.add(start); out.add(i)
+      }
+    }
+    val arr = new Array[Int](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    arr
+  }
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == Space || b == '\t'.toByte || b == '\n'.toByte || b == '\r'.toByte
+
+  private def hashRange(bytes: Array[Byte], from: Int, until: Int, seed: Long): Long =
+    XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+      until - from, seed)
+
+  /** 64-bit SimHash: majority vote over per-token xxhash64 bits. */
+  def simhash64(s: UTF8String): Long = {
+    val bytes = s.toLowerCase.getBytes
+    val toks = tokenOffsets(bytes)
+    val nToks = toks.length / 2
+    if (nToks == 0) return 0L
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < nToks) {
+      val h = hashRange(bytes, toks(2 * t), toks(2 * t + 1), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * counts(b) >= nToks) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** k MinHash values over `w`-token shingles (shingle identity = the raw
+    * byte span from token i through token i+w-1).
+    */
+  def minhashSig(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val toks = tokenOffsets(bytes)
+    val nToks = toks.length / 2
+    val mins = Array.fill(k)(Long.MaxValue)
+    val nShingles = math.max(nToks - w + 1, if (nToks > 0) 1 else 0)
+    var i = 0
+    while (i < nShingles) {
+      val from = toks(2 * i)
+      val until = toks(2 * math.min(i + w - 1, nToks - 1) + 1)
+      var j = 0
+      while (j < k) {
+        val h = hashRange(bytes, from, until, j.toLong)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** graft_simhash64(text) → BIGINT */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** graft_minhash(text) → ARRAY<BIGINT> (k=16, 3-token shingles) */
+case class MinHashSigExpr(child: Expression, k: Int = 16, w: Int = 3)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.minhashSig(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureKernels.minhashSig($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Registration — both styles:
+  *   - GraftExtensions for spark.sql.extensions=graft.functions.GraftExtensions
+  *   - GraftFunctions.register(spark) for imperative installs on a live
+  *     session (idempotent; used by the Q builders).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftFunctions.simhashDesc)
+    ext.injectFunction(GraftFunctions.minhashDesc)
+  }
+}
+
+object GraftFunctions {
+  val simhashDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head))
+
+  val minhashDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinHashSigExpr(args.head))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    Seq(simhashDesc, minhashDesc).foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
+}
