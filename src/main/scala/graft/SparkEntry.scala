@@ -14,6 +14,7 @@ object SparkEntry {
       graft.operators.Temporal.all ++
       graft.operators.Strings.all ++
       graft.operators.Shapes.all ++
+      graft.operators.WindowExt.all ++
       graft.sbom.Sbom.all ++
       graft.text.TextOps.all ++
       graft.dedup.Dedup.all ++

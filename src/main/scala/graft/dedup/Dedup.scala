@@ -84,7 +84,11 @@ object Dedup {
     // table, and both sides of the co-occurrence join — without persist the
     // (interpreted, expensive) shingling would re-run for every consumer.
     // At cluster scale this is the same move: build the index, then join it.
-    val inv0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // Shingles are collapsed to 8-byte xxhash64 keys before the shuffle —
+    // identical join semantics (collisions negligible) at a fraction of the
+    // shuffle width of raw shingle strings.
+    val inv0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle_str"))
+      .select(col("doc_id"), xxhash64(col("shingle_str")).as("shingle"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = inv0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
