@@ -1,0 +1,177 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SBOM document sources + component-table sink: the reference pipeline
+  * (download → detect → flatten → license-map → sorted analytics table,
+  * entrypoint.sh) as a Spark job over real JSON files.
+  *
+  * The network download stage (lib/{github,mend,wiz}.sh) is out of scope
+  * in a zero-egress environment — any fetcher that lands JSON files on
+  * storage plugs in front of these readers unchanged. At 100 TB the JSON
+  * scan is schema-projected (no full-document parse of unused fields) and
+  * every downstream step is a narrow map or broadcast join.
+  */
+object SbomSources {
+
+  private val licenseEntry = StructType(Seq(
+    StructField("license", StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType)))),
+    StructField("id", StringType), StructField("name", StringType),
+    StructField("expression", StringType)))
+
+  private val property = StructType(Seq(
+    StructField("name", StringType), StructField("value", StringType)))
+
+  /** CycloneDX subset schema (spec fields the reference touches). */
+  val cycloneDxSchema: StructType = StructType(Seq(
+    StructField("bomFormat", StringType),
+    StructField("specVersion", StringType),
+    StructField("serialNumber", StringType),
+    StructField("version", LongType),
+    StructField("metadata", StructType(Seq(
+      StructField("timestamp", StringType),
+      StructField("component", StructType(Seq(
+        StructField("type", StringType), StructField("name", StringType),
+        StructField("version", StringType), StructField("bom-ref", StringType)))),
+      StructField("properties", ArrayType(property)),
+      StructField("tools", ArrayType(StructType(Seq(
+        StructField("vendor", StringType), StructField("name", StringType),
+        StructField("version", StringType)))))))),
+    StructField("components", ArrayType(StructType(Seq(
+      StructField("type", StringType), StructField("name", StringType),
+      StructField("version", StringType), StructField("purl", StringType),
+      StructField("bom-ref", StringType),
+      StructField("licenses", ArrayType(licenseEntry)),
+      StructField("properties", ArrayType(property)),
+      StructField("source", StringType)))))))
+
+  /** SPDX subset schema. */
+  val spdxSchema: StructType = StructType(Seq(
+    StructField("spdxVersion", StringType),
+    StructField("SPDXID", StringType),
+    StructField("name", StringType),
+    StructField("packages", ArrayType(StructType(Seq(
+      StructField("name", StringType), StructField("SPDXID", StringType),
+      StructField("versionInfo", StringType),
+      StructField("licenseConcluded", StringType),
+      StructField("licenseDeclared", StringType)))))))
+
+  /** Read CycloneDX JSON documents (one object per file, as the reference
+    * stores them in S3) with the projected schema.
+    */
+  def readCycloneDx(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(cycloneDxSchema).option("multiLine", true).json(path)
+      .withColumn("_file", input_file_name())
+
+  def readSpdx(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(spdxSchema).option("multiLine", true).json(path)
+      .withColumn("_file", input_file_name())
+
+  /** Source-reference extraction — the 6-strategy coalesce chain of
+    * entrypoint.sh:38-104 over real document metadata.
+    */
+  private def sourceRef: org.apache.spark.sql.Column =
+    coalesce(
+      filter(col("metadata.properties"), p => p.getField("name") === "spdx:document:name")
+        .getItem(0).getField("value"),
+      col("metadata.component.name"),
+      col("metadata.component.`bom-ref`"),
+      regexp_extract(col("_file"), "([^/]+)\\.json$", 1))
+
+  /** Flatten CycloneDX documents to the component table, reproducing the
+    * license fallback chain of entrypoint.sh:328-367:
+    * licenses[0].{license.id → license.name → id → name → expression} →
+    * properties[spdx:license-concluded] → [spdx:license-declared] →
+    * 'unknown'; component-level source wins over the document source.
+    */
+  def flattenCycloneDx(docs: DataFrame): DataFrame = {
+    val c = col("component")
+    val lic0 = c.getField("licenses").getItem(0)
+    def prop(name: String) =
+      filter(c.getField("properties"), p => p.getField("name") === name)
+        .getItem(0).getField("value")
+    docs
+      .select(sourceRef.as("doc_source"), explode(col("components")).as("component"))
+      .select(
+        coalesce(c.getField("name"), lit("unknown")).as("name"),
+        coalesce(c.getField("version"), lit("unknown")).as("version"),
+        coalesce(
+          lic0.getField("license").getField("id"),
+          lic0.getField("license").getField("name"),
+          lic0.getField("id"),
+          lic0.getField("name"),
+          lic0.getField("expression"),
+          prop("spdx:license-concluded"),
+          prop("spdx:license-declared"),
+          lit("unknown")).as("license"),
+        coalesce(c.getField("source"), col("doc_source"), lit("unknown")).as("source"),
+        c.getField("purl").as("purl"))
+  }
+
+  /** Flatten SPDX documents (entrypoint.sh:369-384): licenseConcluded →
+    * licenseDeclared → 'unknown'; document-level source only.
+    */
+  def flattenSpdx(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        coalesce(col("name"), regexp_extract(col("_file"), "([^/]+)\\.json$", 1)).as("doc_source"),
+        explode(col("packages")).as("p"))
+      .filter(col("p.name").isNotNull)
+      .select(
+        col("p.name").as("name"),
+        coalesce(col("p.versionInfo"), lit("unknown")).as("version"),
+        coalesce(col("p.licenseConcluded"), col("p.licenseDeclared"), lit("unknown")).as("license"),
+        col("doc_source").as("source"),
+        lit(null).cast(StringType).as("purl"))
+
+  /** Detect document format from real field presence —
+    * sbom-processing.sh:58-91 priority order.
+    */
+  def detectFormat(spark: SparkSession, path: String): DataFrame = {
+    val cdx = readCycloneDx(spark, path)
+      .select(col("_file"),
+        (col("bomFormat") === "CycloneDX" || col("metadata.component").isNotNull).as("is_cdx"))
+    val spdx = readSpdx(spark, path)
+      .select(col("_file").as("_file2"),
+        (col("spdxVersion").isNotNull || col("SPDXID").isNotNull).as("is_spdx"))
+    cdx.join(spdx, col("_file") === col("_file2"))
+      .select(col("_file").as("file"),
+        when(col("is_cdx"), "cyclonedx")
+          .when(col("is_spdx"), "spdxjson")
+          .otherwise("spdxjson").as("format"))
+  }
+
+  /** Merge component sets from many documents with the reference's dedup
+    * key name@version#purl^source (sbom-merging.sh:358).
+    */
+  def mergeComponents(flattened: DataFrame*): DataFrame =
+    flattened.reduce(_ unionAll _)
+      .dropDuplicates("name", "version", "purl", "source")
+
+  /** Apply the unknown-license mapping dim (entrypoint.sh:245-269). */
+  def mapUnknownLicenses(components: DataFrame, mapping: DataFrame): DataFrame =
+    components
+      .join(broadcast(mapping.select(col("name").as("m_name"), col("mapped_license"))),
+        col("name") === col("m_name"), "left")
+      .select(col("name"), col("version"),
+        when(col("license").isin("unknown", "", "null") || col("license").isNull,
+          coalesce(col("mapped_license"), lit("unknown")))
+          .otherwise(col("license")).as("license"),
+        col("source"), col("purl"))
+
+  /** Sink: the ClickHouse MergeTree analog — parquet partitioned by the
+    * low-cardinality source, sorted within partitions by the table's
+    * ORDER BY (name, version, license) (entrypoint.sh:220-229), so scans
+    * prune by source and range-skip on name.
+    */
+  def writeComponentTable(components: DataFrame, path: String): Unit =
+    components
+      .repartition(col("source"))
+      .sortWithinPartitions(col("name"), col("version"), col("license"))
+      .write.mode("overwrite")
+      .partitionBy("source")
+      .parquet(path)
+}

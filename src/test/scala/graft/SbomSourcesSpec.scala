@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.SbomSources
+import org.apache.spark.sql.functions._
+
+/** End-to-end reference-pipeline spec over REAL JSON documents: write
+  * CycloneDX + SPDX files, detect, flatten (license fallback chain),
+  * merge-dedup, map unknown licenses, write the sorted component table,
+  * read it back.
+  */
+class SbomSourcesSpec extends SparkSpec {
+
+  private val cdxDoc =
+    """{
+      |  "bomFormat": "CycloneDX",
+      |  "specVersion": "1.6",
+      |  "version": 1,
+      |  "metadata": {
+      |    "component": {"type": "application", "name": "service-a", "version": "2.0"}
+      |  },
+      |  "components": [
+      |    {"type": "library", "name": "libfoo", "version": "1.2.3",
+      |     "purl": "pkg:generic/libfoo@1.2.3",
+      |     "licenses": [{"license": {"id": "MIT"}}]},
+      |    {"type": "library", "name": "libbar", "version": "0.9",
+      |     "purl": "pkg:generic/libbar@0.9",
+      |     "licenses": [{"expression": "Apache-2.0 OR MIT"}]},
+      |    {"type": "library", "name": "libbaz", "version": "3.1",
+      |     "purl": "pkg:generic/libbaz@3.1",
+      |     "properties": [{"name": "spdx:license-concluded", "value": "BSD-3-Clause"}]},
+      |    {"type": "library", "name": "mystery", "version": "0.0.1",
+      |     "purl": "pkg:generic/mystery@0.0.1"}
+      |  ]
+      |}""".stripMargin
+
+  private val cdxDoc2 =
+    """{
+      |  "bomFormat": "CycloneDX",
+      |  "specVersion": "1.6",
+      |  "version": 1,
+      |  "metadata": {
+      |    "component": {"type": "application", "name": "service-b", "version": "1.0"}
+      |  },
+      |  "components": [
+      |    {"type": "library", "name": "libfoo", "version": "1.2.3",
+      |     "purl": "pkg:generic/libfoo@1.2.3",
+      |     "licenses": [{"license": {"id": "MIT"}}]}
+      |  ]
+      |}""".stripMargin
+
+  private val spdxDoc =
+    """{
+      |  "spdxVersion": "SPDX-2.3",
+      |  "SPDXID": "SPDXRef-DOCUMENT",
+      |  "name": "repo-sbom",
+      |  "packages": [
+      |    {"name": "pkg-one", "SPDXID": "SPDXRef-1", "versionInfo": "4.5",
+      |     "licenseConcluded": "GPL-3.0"},
+      |    {"name": "pkg-two", "SPDXID": "SPDXRef-2", "versionInfo": "1.1",
+      |     "licenseDeclared": "ISC"}
+      |  ]
+      |}""".stripMargin
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft_sbom").toString
+    Files.writeString(Paths.get(d, "service-a.json"), cdxDoc)
+    Files.writeString(Paths.get(d, "service-b.json"), cdxDoc2)
+    Files.writeString(Paths.get(d, "repo.json"), spdxDoc)
+    d
+  }
+
+  test("format detection over real JSON files") {
+    val formats = SbomSources.detectFormat(spark, dir).collect()
+      .map(r => (r.getString(0).split("/").last, r.getString(1))).toMap
+    assert(formats("service-a.json") === "cyclonedx")
+    assert(formats("service-b.json") === "cyclonedx")
+    assert(formats("repo.json") === "spdxjson")
+  }
+
+  test("cyclonedx flatten applies the license fallback chain") {
+    val flat = SbomSources.flattenCycloneDx(
+      SbomSources.readCycloneDx(spark, s"$dir/service-a.json"))
+      .collect().map(r => r.getAs[String]("name") ->
+        (r.getAs[String]("license"), r.getAs[String]("source"))).toMap
+    assert(flat("libfoo") === (("MIT", "service-a")))
+    assert(flat("libbar") === (("Apache-2.0 OR MIT", "service-a")))
+    assert(flat("libbaz") === (("BSD-3-Clause", "service-a")))
+    assert(flat("mystery") === (("unknown", "service-a")))
+  }
+
+  test("spdx flatten uses concluded then declared") {
+    val flat = SbomSources.flattenSpdx(SbomSources.readSpdx(spark, s"$dir/repo.json"))
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[String]("license")).toMap
+    assert(flat === Map("pkg-one" -> "GPL-3.0", "pkg-two" -> "ISC"))
+  }
+
+  test("merge dedups by name@version#purl^source; mapping fills unknown; sink round-trips sorted") {
+    import spark.implicits._
+    val a = SbomSources.flattenCycloneDx(SbomSources.readCycloneDx(spark, s"$dir/service-a.json"))
+    val b = SbomSources.flattenCycloneDx(SbomSources.readCycloneDx(spark, s"$dir/service-b.json"))
+    val merged = SbomSources.mergeComponents(a, b)
+    // libfoo appears in both docs with different sources → both kept
+    assert(merged.filter(col("name") === "libfoo").count() === 2)
+    assert(merged.count() === 5)
+    // double merge of the same doc dedups to the same count
+    assert(SbomSources.mergeComponents(a, a).count() === 4)
+
+    val mapping = Seq(("mystery", "MIT")).toDF("name", "mapped_license")
+    val mapped = SbomSources.mapUnknownLicenses(merged, mapping)
+    assert(mapped.filter(col("name") === "mystery").head().getAs[String]("license") === "MIT")
+    assert(mapped.filter(col("name") === "libbaz").head().getAs[String]("license") === "BSD-3-Clause")
+
+    val out = Files.createTempDirectory("graft_comp_table").toString
+    SbomSources.writeComponentTable(mapped, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 5)
+    assert(back.columns.toSet === Set("name", "version", "license", "purl", "source"))
+    assert(back.filter(col("source") === "service-b").count() === 1)
+  }
+}
