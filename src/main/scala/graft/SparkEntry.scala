@@ -15,6 +15,7 @@ object SparkEntry {
       graft.operators.Strings.all ++
       graft.operators.Shapes.all ++
       graft.operators.WindowExt.all ++
+      graft.operators.Scale.all ++
       graft.sbom.Sbom.all ++
       graft.text.TextOps.all ++
       graft.dedup.Dedup.all ++

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Scale-mechanics operators: skew-salted joins, heavy hitters (ClickHouse
+  * topK), and a bucketed co-located join utility.
+  */
+object Scale {
+
+  /** Salted inner equi-join for skewed keys: replicate each right-side row
+    * `salt` times, scatter left rows uniformly across the salt space, join
+    * on (key, salt). Semantically identical to `left.join(right, key)`
+    * when `right` has unique keys; turns one hot-key partition into `salt`
+    * even partitions. (AQE skew-join handles most cases at runtime; this
+    * is the explicit variant for planners that must not rely on it.)
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val saltedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
+  }
+
+  // q43 — heavy hitters (ClickHouse topK/topKWeighted, exact form): the
+  // most frequent part keys in lineitem with deterministic tie-break.
+  // Two-level aggregation: partial counts map-side, then a global top-N
+  // via TakeOrderedAndProject — the exact-at-any-scale shape.
+  val q43 = Q(
+    "q43_topk_values",
+    Some("""
+      SELECT l_partkey, COUNT(*) AS freq,
+             CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+      FROM lineitem
+      GROUP BY l_partkey
+      ORDER BY freq DESC, l_partkey
+      LIMIT 25
+    """)
+  ) { t =>
+    t.lineitem
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("freq"), sum(col("l_quantity")).cast(DoubleType).as("total_qty"))
+      .orderBy(col("freq").desc, col("l_partkey"))
+      .limit(25)
+  }
+
+  // q44 — salted-join equivalence surface: revenue per order priority via
+  // the salted join of orders against lineitem aggregates. The oracle is
+  // the plain join — proving the salt transform is semantics-preserving.
+  val q44 = Q(
+    "q44_salted_join",
+    Some("""
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(l_rev AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      JOIN (SELECT l_orderkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS l_rev
+            FROM lineitem GROUP BY l_orderkey) l
+        ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """)
+  ) { t =>
+    val perOrder = t.lineitem
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(22, 4))).as("l_rev"))
+    saltedJoin(perOrder, t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+      "o_orderkey", salt = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("l_rev").cast(DecimalType(22, 4))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val all: Seq[Q] = Seq(q43, q44)
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+class ScaleSpec extends SparkSpec {
+
+  test("salted join is semantics-identical to the plain join") {
+    val t = sf0001
+    val plain = t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = Scale.saltedJoin(
+        t.orders.withColumnRenamed("o_custkey", "c_custkey"),
+        t.customer, "c_custkey", salt = 16)
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val t = sf0001
+    spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+    spark.sql("DROP TABLE IF EXISTS graft_customer_b")
+    t.orders.write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("graft_orders_b")
+    t.customer.write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("graft_customer_b")
+    val joined = spark.table("graft_orders_b")
+      .join(spark.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    // disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan
+      val exchanges = plan.collectWithSubqueries { case e: ShuffleExchangeLike => e }
+      // the only allowed exchange is the post-aggregation one (on the group
+      // key), never on the join keys: bucketing co-locates the join.
+      assert(exchanges.size <= 1, s"expected bucketed join without join-side shuffles:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
