@@ -91,7 +91,7 @@ object WindowExt {
              COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_s
                             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS n_trailing_5min
       FROM (SELECT user_id, event_id,
-                   CAST(EPOCH(CAST(ts AS TIMESTAMP)) AS BIGINT) AS epoch_s
+                   CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s
             FROM events)
       ORDER BY user_id, event_id
     """)
