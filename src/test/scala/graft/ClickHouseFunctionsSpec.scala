@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{ClickHouseFunctions => CH}
+import org.apache.spark.sql.functions._
+
+class ClickHouseFunctionsSpec extends SparkSpec {
+
+  private lazy val orders = sf0001.orders
+
+  test("countIf/sumIf match CASE-based equivalents") {
+    val r = orders.agg(
+      CH.countIf(col("o_orderstatus") === "F").as("a"),
+      count(when(col("o_orderstatus") === "F", 1)).as("b"),
+      CH.sumIf(col("o_totalprice"), col("o_totalprice") > 400000).as("c"),
+      sum(when(col("o_totalprice") > 400000, col("o_totalprice"))).as("d")).head()
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getDouble(2) === r.getDouble(3))
+  }
+
+  test("argMax/argMin deterministic and correct") {
+    val r = orders.groupBy(col("o_custkey"))
+      .agg(CH.argMax(col("o_orderkey"), col("o_totalprice")).as("best"),
+        max(col("o_totalprice")).as("maxp"))
+    val joined = r.join(orders, r("best") === orders("o_orderkey"))
+    assert(joined.filter(col("o_totalprice") =!= col("maxp")).count() === 0)
+  }
+
+  test("quantileExact matrix and uniq bounds") {
+    val r = orders.agg(
+      CH.medianExact(col("o_totalprice")).as("med"),
+      CH.quantileExact(col("o_totalprice"), 0.9).as("p90"),
+      CH.uniq(col("o_custkey")).as("u"),
+      CH.uniqExact(col("o_custkey")).as("ue")).head()
+    assert(r.getDouble(0) <= r.getDouble(1))
+    val u = r.getLong(2); val ue = r.getLong(3)
+    assert(math.abs(u - ue).toDouble / ue <= 0.05)
+  }
+
+  test("sumMap aggregates per-key") {
+    val m = orders.agg(CH.sumMap(col("o_orderstatus"), lit(1L)).as("m"))
+      .head().getAs[Map[String, Long]]("m")
+    assert(m.keySet === Set("F", "O", "P"))
+    assert(m.values.sum === orders.count())
+  }
+
+  test("toStartOfInterval aligns to the grid") {
+    val r = sf0001.events
+      .select(CH.toStartOfInterval(col("ts"), 900).as("b"))
+      .select((unix_timestamp(col("b")) % 900).as("rem"))
+      .agg(max(col("rem"))).head().getLong(0)
+    assert(r === 0L)
+  }
+
+  test("array functions compose") {
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0, 2.0, 3.0))).toDF("id", "xs")
+    val r = df.select(
+      CH.arraySum(col("xs")).as("s"),
+      CH.arrayCount(col("xs"), _ > 1.5).as("c"),
+      CH.arrayExists(col("xs"), _ === 2.0).as("e"),
+      CH.arrayStringConcat(CH.arrayMap(col("xs"), x => x.cast("int").cast("string")), ",").as("j")
+    ).head()
+    assert(r.getDouble(0) === 6.0)
+    assert(r.getInt(1) === 2)
+    assert(r.getBoolean(2))
+    assert(r.getString(3) === "1,2,3")
+  }
+}
