@@ -135,6 +135,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.simhashDesc)
     ext.injectFunction(GraftFunctions.minhashDesc)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxQuantileRewrite)
   }
 }
 

@@ -78,5 +78,32 @@ object Scale {
       .orderBy(col("o_orderpriority"))
   }
 
-  val all: Seq[Q] = Seq(q43, q44)
+  // q45 — per-group top-k via the typed bounded-buffer Aggregator
+  // (graft.functions.TopKAggregator): partial-aggregable, shuffles ≤ k
+  // pairs per group per map task instead of window-sorting every group.
+  // Oracle is the window formulation — results must be identical.
+  val q45 = Q(
+    "q45_topk_agg",
+    Some("""
+      SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rnk
+      FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rnk
+    """)
+  ) { t =>
+    val topk = udaf(graft.functions.TopKAggregator(3))
+    t.orders
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col").getField("_2").as("o_orderkey"),
+        (col("pos") + 1).cast(LongType).as("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(q43, q44, q45)
 }

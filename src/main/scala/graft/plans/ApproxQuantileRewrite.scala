@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Percentile}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+/** Sketch-mode switch (ClickHouse quantile vs quantileExact): when
+  * `spark.graft.approxQuantiles=true`, exact sort-based Percentile
+  * aggregates are rewritten to the t-digest-style ApproximatePercentile —
+  * a whole-plan semantic knob implemented as a Catalyst optimizer rule.
+  *
+  * Exact percentile holds all values per group; at 100 TB the sketch is
+  * the only viable shape, and this rule lets the same query text serve
+  * both modes.
+  */
+object ApproxQuantileRewrite extends Rule[LogicalPlan] {
+
+  val FLAG = "spark.graft.approxQuantiles"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!SQLConf.get.getConfString(FLAG, "false").toBoolean) plan
+    else plan.transformAllExpressions {
+      case p: Percentile if p.frequencyExpression.foldable &&
+          String.valueOf(p.frequencyExpression.eval()) == "1" =>
+        new ApproximatePercentile(p.child, p.percentageExpression,
+          Literal(ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY))
+    }
+
+  /** Imperative install on a live session (extensions config only applies
+    * at session construction). Idempotent.
+    */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+}
