@@ -108,5 +108,58 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(norms, bruteForce, lsh)
+  /** Squared L2 distance in double space. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  // ann_ivf — IVF (inverted-file) ANN: deterministic coarse quantizer
+  // (first-C init + one Lloyd iteration, all DataFrame ops), corpus
+  // assigned to nearest centroid, queries probe their nprobe nearest
+  // cells, exact cosine re-rank inside the probed cells. The corpus is
+  // scanned/scored only within probed cells — the 100 TB shape where
+  // brute force is off the table. AnnSpec measures recall vs brute force.
+  val ivf = Q("ann_ivf", None) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val C = 16; val nprobe = 4; val dim = 64
+    val emb = t.embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+
+    // init: first C vectors; one Lloyd step to settle
+    val init = emb.filter(col("vec_id") < C)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned0 = emb.join(broadcast(init))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("cv")), dist2(col("v"), col("cv"))).getField("cid").as("cid"),
+        first(col("v")).as("v"))
+    val centroids = assigned0.groupBy(col("cid"))
+      .agg(array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("cv"))
+
+    // corpus cell assignment against settled centroids
+    val corpus = emb.join(broadcast(centroids))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), dist2(col("v"), col("cv"))).as("cell"),
+        first(col("v")).as("v"))
+
+    // queries probe their nprobe nearest cells
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cid"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cid"),
+        dist2(col("qv"), col("cv")).as("cdist"))
+      .withColumn("prank", row_number().over(wq))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+
+    // exact cosine inside probed cells only
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(probes), "cell")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf)
 }

@@ -33,6 +33,17 @@ class AnnSpec extends SparkSpec {
     selfHits.foreach(r => assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-4))
   }
 
+  test("IVF: self-match found; recall@10 vs brute force is useful") {
+    val bf = Ann.bruteForce.build(sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Ann.ivf.build(sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val selfHits = ivf.count { case (q, v) => q == v }
+    assert(selfHits === 5, "every query's own cell is always probed")
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"IVF recall@10 $recall vs brute force")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = graft.operators.AggExt.q37.build(sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
