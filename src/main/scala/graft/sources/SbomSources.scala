@@ -60,11 +60,28 @@ object SbomSources {
       StructField("licenseDeclared", StringType)))))))
 
   /** Read CycloneDX JSON documents (one object per file, as the reference
-    * stores them in S3) with the projected schema.
+    * stores them in S3) with the projected schema. Documents wrapped in a
+    * `.sbom` envelope (GitHub dependency-graph API shape) are unwrapped
+    * first — sbom-processing.sh:38-55.
     */
-  def readCycloneDx(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(cycloneDxSchema).option("multiLine", true).json(path)
+  def readCycloneDx(spark: SparkSession, path: String): DataFrame = {
+    val wrapped = StructType(Seq(StructField("sbom", cycloneDxSchema)))
+    val w = spark.read.schema(wrapped).option("multiLine", true).json(path)
       .withColumn("_file", input_file_name())
+    val direct = spark.read.schema(cycloneDxSchema).option("multiLine", true).json(path)
+      .withColumn("_file", input_file_name())
+    // per-file wrapper detection: take the nested doc when the envelope
+    // parsed, else the document itself
+    direct.as("d").join(w.as("w"), col("d._file") === col("w._file"))
+      .select(
+        when(col("w.sbom").isNotNull, col("w.sbom.bomFormat")).otherwise(col("d.bomFormat")).as("bomFormat"),
+        when(col("w.sbom").isNotNull, col("w.sbom.specVersion")).otherwise(col("d.specVersion")).as("specVersion"),
+        when(col("w.sbom").isNotNull, col("w.sbom.serialNumber")).otherwise(col("d.serialNumber")).as("serialNumber"),
+        when(col("w.sbom").isNotNull, col("w.sbom.version")).otherwise(col("d.version")).as("version"),
+        when(col("w.sbom").isNotNull, col("w.sbom.metadata")).otherwise(col("d.metadata")).as("metadata"),
+        when(col("w.sbom").isNotNull, col("w.sbom.components")).otherwise(col("d.components")).as("components"),
+        col("d._file").as("_file"))
+  }
 
   def readSpdx(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(spdxSchema).option("multiLine", true).json(path)

@@ -39,6 +39,27 @@ object Streams {
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Stream-stream interval join: purchases attributed to the same user's
+    * clicks within `horizon`. Both sides watermarked so join state is
+    * bounded and evicted as event time advances — the attribution-join
+    * shape that at 100 TB must never buffer unbounded state.
+    */
+  def clickAttribution(events: DataFrame, watermark: String = "10 minutes",
+    horizon: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    clicks.join(purchases,
+      expr(s"""user_id = p_user AND purchase_ts >= click_ts
+               AND purchase_ts <= click_ts + interval $horizon"""))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Gap-based sessionization with event-time timeout: a session closes
     * when no event arrives within `gapSec` of its last event (watermark-
     * driven), emitting (user, start, end, count).

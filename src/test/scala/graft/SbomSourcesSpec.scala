@@ -71,6 +71,18 @@ class SbomSourcesSpec extends SparkSpec {
     d
   }
 
+  test("wrapped SBOM (.sbom envelope) is unwrapped transparently") {
+    val d = Files.createTempDirectory("graft_wrap").toString
+    Files.writeString(Paths.get(d, "wrapped.json"), s"""{"sbom": $cdxDoc}""")
+    Files.writeString(Paths.get(d, "plain.json"), cdxDoc2)
+    val docs = SbomSources.readCycloneDx(spark, d)
+    assert(docs.count() === 2)
+    val flat = SbomSources.flattenCycloneDx(docs)
+    assert(flat.count() === 5)
+    assert(flat.filter(col("source") === "service-a").count() === 4)
+    assert(flat.filter(col("source") === "service-b").count() === 1)
+  }
+
   test("format detection over real JSON files") {
     val formats = SbomSources.detectFormat(spark, dir).collect()
       .map(r => (r.getString(0).split("/").last, r.getString(1))).toMap

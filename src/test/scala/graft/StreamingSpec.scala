@@ -51,6 +51,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.clickAttribution(mem.toDF())
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 10, "click", 0.0),
+        Event(2, ts(3), 10, "purchase", 99.0),   // within 10 min of click 1
+        Event(3, ts(2), 11, "purchase", 50.0),   // different user, no click
+        Event(4, ts(30), 10, "purchase", 10.0))  // outside the horizon
+      q.processAllAvailable()
+      mem.addData(Event(5, ts(59), 99, "click", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("attribution").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id")))
+      assert(rows.toSet === Set((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
