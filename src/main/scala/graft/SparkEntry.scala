@@ -16,6 +16,7 @@ object SparkEntry {
       graft.operators.Shapes.all ++
       graft.operators.WindowExt.all ++
       graft.operators.Scale.all ++
+      graft.operators.Behavior.all ++
       graft.sbom.Sbom.all ++
       graft.text.TextOps.all ++
       graft.dedup.Dedup.all ++

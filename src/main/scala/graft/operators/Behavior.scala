@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Behavioral analytics — the ClickHouse windowFunnel/retention family.
+  *
+  * Timestamp comparisons in the oracles always go through
+  * CAST(ts AS TIMESTAMP) (micro truncation) so DuckDB's nanosecond reads
+  * compare identically to Spark's microsecond timestamps.
+  */
+object Behavior {
+
+  // q46 — IN / NOT IN subqueries (null-free subquery side).
+  val q46 = Q(
+    "q46_in_subquery",
+    Some("""
+      SELECT o_orderkey, o_custkey
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+      ORDER BY o_orderkey
+    """)
+  ) { t =>
+    val rich = t.customer.filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+    val bigLines = t.lineitem.filter(col("l_quantity") >= 49).select(col("l_orderkey"))
+    t.orders
+      .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // q47 — event funnel (ClickHouse windowFunnel analog, min-time strict
+  // ordering): click → view → purchase, each step strictly after the
+  // previous AND within 1 hour of it (the windowFunnel sliding
+  // constraint); level distribution across users. Three bounded
+  // aggregations (each a groupBy over the filtered event stream) — no
+  // per-user state.
+  val q47 = Q(
+    "q47_funnel",
+    Some("""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'click' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+             FROM e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'view' AND e.ts > s1.t1
+               AND e.ts <= s1.t1 + INTERVAL 1 HOUR GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+             FROM e JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               AND e.ts <= s2.t2 + INTERVAL 1 HOUR GROUP BY e.user_id),
+      levels AS (
+        SELECT u.user_id,
+               CASE WHEN s3.user_id IS NOT NULL THEN 3
+                    WHEN s2.user_id IS NOT NULL THEN 2
+                    WHEN s1.user_id IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_level
+        FROM (SELECT DISTINCT user_id FROM e) u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id)
+      SELECT funnel_level, COUNT(*) AS n_users
+      FROM levels
+      GROUP BY funnel_level
+      ORDER BY funnel_level
+    """)
+  ) { t =>
+    val e = t.events.select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.join(s1, "user_id")
+      .filter(col("event_type") === "view" && col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val users = e.select(col("user_id")).distinct()
+    users
+      .join(s1.select(col("user_id"), lit(1).as("l1")), Seq("user_id"), "left")
+      .join(s2.select(col("user_id"), lit(1).as("l2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), lit(1).as("l3")), Seq("user_id"), "left")
+      .select(
+        when(col("l3").isNotNull, 3).when(col("l2").isNotNull, 2)
+          .when(col("l1").isNotNull, 1).otherwise(0).as("funnel_level"))
+      .groupBy(col("funnel_level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_level"))
+  }
+
+  // q48 — day-over-day retention (ClickHouse retention analog): of the
+  // users active on day d, how many were also active on d+1. Distinct
+  // (user, day) pairs then a lead window per user — single shuffle.
+  val q48 = Q(
+    "q48_retention",
+    Some("""
+      WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        FROM events),
+      flagged AS (
+        SELECT user_id, day,
+               LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        FROM activity)
+      SELECT day,
+             COUNT(*) AS active_users,
+             COUNT(CASE WHEN next_day = day + 1 THEN 1 END) AS retained_next_day
+      FROM flagged
+      GROUP BY day
+      ORDER BY day
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    t.events
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("active_users"),
+        count(when(col("next_day") === date_add(col("day"), 1), 1))
+          .as("retained_next_day"))
+      .orderBy(col("day"))
+  }
+
+  val all: Seq[Q] = Seq(q46, q47, q48)
+}
