@@ -17,6 +17,7 @@ object SparkEntry {
       graft.operators.WindowExt.all ++
       graft.operators.Scale.all ++
       graft.operators.Behavior.all ++
+      graft.operators.Asof.all ++
       graft.sbom.Sbom.all ++
       graft.text.TextOps.all ++
       graft.dedup.Dedup.all ++
