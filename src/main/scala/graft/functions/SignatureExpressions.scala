@@ -136,6 +136,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.simhashDesc)
     ext.injectFunction(GraftFunctions.minhashDesc)
     ext.injectOptimizerRule(_ => graft.plans.ApproxQuantileRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 

@@ -80,5 +80,64 @@ object Asof {
       .orderBy(col("user_id"), col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(q49)
+  /** Bucketed interval join: equi-join on (key, coarse time bucket) with
+    * the exact range predicate applied after. Each left row probes the
+    * buckets its window can overlap, so join work scales with real
+    * overlaps instead of |left|×|right| per key — the viable shape for
+    * range joins over 100 TB of events. `windowSec` must be ≤ bucketSec
+    * so a window spans at most 2 buckets.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
+    rightKey: String, leftTs: String, rightTs: String, windowSec: Long,
+    bucketSec: Long): DataFrame = {
+    require(windowSec <= bucketSec, "window must fit within one bucket span")
+    val l = left
+      .withColumn("_lb", floor(unix_timestamp(col(leftTs)) / bucketSec))
+      .withColumn("_probe", explode(array(col("_lb"), col("_lb") + 1)))
+    val r = right
+      .withColumn("_rb", floor(unix_timestamp(col(rightTs)) / bucketSec))
+    // strict lower bound at full timestamp precision; upper bound on
+    // whole-second floors (oracle-reproducible on both engines)
+    l.join(r, col(leftKey) === col(rightKey) && col("_probe") === col("_rb"))
+      .filter(col(rightTs) > col(leftTs) &&
+        unix_timestamp(col(rightTs)) <= unix_timestamp(col(leftTs)) + windowSec)
+      .drop("_lb", "_probe", "_rb")
+  }
+
+  // q50 — interval join via bucketing: views following a click of the same
+  // user within 30 minutes. Oracle is the naive range join — bucketing
+  // must be invisible in the result.
+  val q50 = Q(
+    "q50_interval_join",
+    Some("""
+      WITH clicks AS (
+        SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS c_ts
+        FROM events WHERE event_type = 'click'),
+      views AS (
+        SELECT user_id AS v_user, event_id AS view_id, CAST(ts AS TIMESTAMP) AS v_ts
+        FROM events WHERE event_type = 'view')
+      SELECT c.user_id, c.click_id, v.view_id,
+             CAST(DATE_DIFF('second', c.c_ts, v.v_ts) AS BIGINT) AS gap_sec
+      FROM clicks c
+      JOIN views v ON c.user_id = v.v_user
+        AND v.v_ts > c.c_ts
+        AND CAST(FLOOR(EPOCH(v.v_ts)) AS BIGINT) <= CAST(FLOOR(EPOCH(c.c_ts)) AS BIGINT) + 1800
+      ORDER BY c.user_id, c.click_id, v.view_id
+    """)
+  ) { t =>
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val views = t.events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    intervalJoin(clicks, views,
+      leftKey = "user_id", rightKey = "v_user", leftTs = "c_ts", rightTs = "v_ts",
+      windowSec = 1800, bucketSec = 1800)
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (unix_timestamp(col("v_ts")) - unix_timestamp(col("c_ts")))
+          .cast(LongType).as("gap_sec"))
+      .orderBy(col("user_id"), col("click_id"), col("view_id"))
+  }
+
+  val all: Seq[Q] = Seq(q49, q50)
 }

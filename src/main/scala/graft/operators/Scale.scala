@@ -105,5 +105,29 @@ object Scale {
       .orderBy(col("o_custkey"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(q43, q44, q45)
+  // q51 — per-group top-k through the full custom-plan ladder: logical
+  // TopKPerGroupNode → TopKPerGroupStrategy → two-phase TopKPerGroupExec
+  // (partial k-heaps map-side, ≤ k rows/group/partition over the shuffle,
+  // final k-heaps after clustering). Oracle: the window formulation.
+  val q51 = Q(
+    "q51_topk_plan",
+    Some("""
+      SELECT p_brand, p_partkey, p_retailprice
+      FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part)
+      WHERE rn <= 3
+      ORDER BY p_brand, p_retailprice DESC, p_partkey
+    """)
+  ) { t =>
+    graft.plans.TopKPerGroup.topK(
+        t.part.select(col("p_brand"), col("p_partkey"), col("p_retailprice")),
+        groupCols = Seq("p_brand"), orderCol = "p_retailprice",
+        tieBreak = "p_partkey", k = 3)
+      .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+  }
+
+  val all: Seq[Q] = Seq(q43, q44, q45, q51)
 }
