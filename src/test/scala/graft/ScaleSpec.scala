@@ -23,6 +23,20 @@ class ScaleSpec extends SparkSpec {
     val t = sf0001
     spark.sql("DROP TABLE IF EXISTS graft_orders_b")
     spark.sql("DROP TABLE IF EXISTS graft_customer_b")
+    // a previous JVM's in-memory catalog leaves orphan warehouse dirs that
+    // DROP TABLE (fresh catalog) doesn't know about — remove them physically
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("graft_orders_b", "graft_customer_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+    }
     t.orders.write.mode("overwrite")
       .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("graft_orders_b")
     t.customer.write.mode("overwrite")
