@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the table scans (file-index + codegen + nanos conversion) so
+    // per-query timings reflect operator cost, not first-touch overhead.
+    val t = Tables(spark, sfDir)
+    Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
+      t.lineitem, t.events, t.documents, t.embeddings).foreach(_.count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -78,17 +78,17 @@ object Dedup {
     // in document frequency). Jaccard is computed over the rare-shingle
     // sets on both numerator and denominator — consistent approximation,
     // and the skew cap is what keeps this plan viable at 100 TB.
+    graft.functions.GraftFunctions.register(t.spark)
     val maxDf = 50
-    val sh = withTwins(t).select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    // Shingles come from the native codegen'd expression (graft_shingles):
+    // one pass over the document bytes, emitting 8-byte span hashes — no
+    // shingle strings are ever built, and the join key is fixed-width.
     // Materialize the inverted index once: it feeds the DF-prune, the size
-    // table, and both sides of the co-occurrence join — without persist the
-    // (interpreted, expensive) shingling would re-run for every consumer.
-    // At cluster scale this is the same move: build the index, then join it.
-    // Shingles are collapsed to 8-byte xxhash64 keys before the shuffle —
-    // identical join semantics (collisions negligible) at a fraction of the
-    // shuffle width of raw shingle strings.
-    val inv0 = sh.select(col("doc_id"), explode(col("sh")).as("shingle_str"))
-      .select(col("doc_id"), xxhash64(col("shingle_str")).as("shingle"))
+    // table, and both sides of the co-occurrence join. At cluster scale
+    // this is the same move: build the index, then join it.
+    val inv0 = withTwins(t)
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"))).as("shingle"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = inv0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))

@@ -76,6 +76,26 @@ object SignatureKernels {
     sig
   }
 
+  /** xxhash64 of every `w`-token shingle (hash of the raw byte span from
+    * token i through token i+w-1) — the inverted-index key stream for
+    * n-gram similarity joins, with zero shingle-string construction.
+    */
+  def shingleHashes(s: UTF8String, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val toks = tokenOffsets(bytes)
+    val nToks = toks.length / 2
+    val nShingles = math.max(nToks - w + 1, if (nToks > 0) 1 else 0)
+    val out = new Array[Long](nShingles)
+    var i = 0
+    while (i < nShingles) {
+      val from = toks(2 * i)
+      val until = toks(2 * math.min(i + w - 1, nToks - 1) + 1)
+      out(i) = hashRange(bytes, from, until, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k MinHash values over `w`-token shingles (shingle identity = the raw
     * byte span from token i through token i+w-1).
     */
@@ -113,6 +133,18 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_shingles(text) → ARRAY<BIGINT> (3-token shingle span hashes) */
+case class ShingleHashesExpr(child: Expression, w: Int = 3) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.shingleHashes(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureKernels.shingleHashes($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
 /** graft_minhash(text) → ARRAY<BIGINT> (k=16, 3-token shingles) */
 case class MinHashSigExpr(child: Expression, k: Int = 16, w: Int = 3)
   extends UnaryExpression {
@@ -135,6 +167,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.simhashDesc)
     ext.injectFunction(GraftFunctions.minhashDesc)
+    ext.injectFunction(GraftFunctions.shinglesDesc)
     ext.injectOptimizerRule(_ => graft.plans.ApproxQuantileRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
@@ -151,9 +184,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
       (args: Seq[Expression]) => MinHashSigExpr(args.head))
 
+  val shinglesDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingles"),
+      (args: Seq[Expression]) => ShingleHashesExpr(args.head))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(simhashDesc, minhashDesc).foreach { case (id, info, builder) =>
+    Seq(simhashDesc, minhashDesc, shinglesDesc).foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }
