@@ -133,5 +133,45 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint)
+  // pipe_clean_corpus — the composed training-data cleaning pipeline in
+  // one declarative plan: quality gate (length + stopword-ratio) → exact
+  // dedup on normalized content (keep lowest doc_id) → per-language yield
+  // stats. Each stage is a narrow transform or single-shuffle aggregate;
+  // Catalyst fuses the gates into the scan's filter.
+  val cleanCorpus = Q(
+    "pipe_clean_corpus",
+    Some("""
+      WITH feats AS (
+        SELECT doc_id, lang, text,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_words,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                   w -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], w))) AS n_stop
+        FROM documents),
+      gated AS (
+        SELECT doc_id, lang, text FROM feats
+        WHERE n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words >= 0.05),
+      deduped AS (
+        SELECT lang, MD5(LOWER(text)) AS k, MIN(doc_id) AS kept_doc
+        FROM gated GROUP BY lang, MD5(LOWER(text)))
+      SELECT lang, COUNT(*) AS n_kept
+      FROM deduped
+      GROUP BY lang
+      ORDER BY lang
+    """)
+  ) { t =>
+    val ws = words(col("text"))
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*)))
+    t.documents
+      .withColumn("n_words", size(ws))
+      .withColumn("n_stop", nStop)
+      .filter(col("n_words") >= 20 &&
+        col("n_stop").cast(DoubleType) / col("n_words") >= 0.05)
+      .groupBy(col("lang"), md5(lower(col("text")).cast("binary")).as("k"))
+      .agg(min(col("doc_id")).as("kept_doc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus)
 }
