@@ -24,7 +24,7 @@ object ClickHouseDialect {
     "maxIf" -> (args => Max(CaseWhen(Seq((args(1), args.head))))),
     // distinct-count family
     "uniq" -> (args => HyperLogLogPlusPlus(one(args))),
-    "uniqExact" -> (args => Count(args)),
+    "uniqExact" -> (args => Count(args).toAggregateExpression(isDistinct = true)),
     // quantiles
     "quantileExact" -> (args => new Percentile(args(1), args.head)),
     "medianExact" -> (args => new Percentile(one(args), Literal(0.5d))),
