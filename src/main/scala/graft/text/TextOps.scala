@@ -173,5 +173,33 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus)
+  // text_top_bigrams — corpus bigram frequency (n-gram language statistics):
+  // explode word bigrams, count, global top-20 with deterministic ties.
+  val topBigrams = Q(
+    "text_top_bigrams",
+    Some("""
+      SELECT bigram, COUNT(*) AS n
+      FROM (
+        SELECT words[i] || ' ' || words[i + 1] AS bigram
+        FROM (SELECT STRING_SPLIT_REGEX(TRIM(text), '\s+') AS words
+              FROM documents
+              WHERE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) >= 2),
+             UNNEST(RANGE(1, LEN(words))) AS t(i))
+      GROUP BY bigram
+      ORDER BY n DESC, bigram
+      LIMIT 20
+    """)
+  ) { t =>
+    val ws = words(col("text"))
+    t.documents
+      .filter(size(ws) >= 2)
+      .select(explode(transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus, topBigrams)
 }

@@ -83,6 +83,19 @@ class SbomSourcesSpec extends SparkSpec {
     assert(flat.filter(col("source") === "service-b").count() === 1)
   }
 
+  test("corrupt JSON files are skipped, not fatal (reference: 'Skipping - not valid JSON')") {
+    val d = Files.createTempDirectory("graft_corrupt").toString
+    Files.writeString(Paths.get(d, "good.json"), cdxDoc)
+    Files.writeString(Paths.get(d, "corrupt.json"), "{not json at all!!")
+    val flat = SbomSources.flattenCycloneDx(SbomSources.readCycloneDx(spark, d))
+    // only the valid document's components flow through
+    assert(flat.count() === 4)
+    val fmts = SbomSources.detectFormat(spark, d).collect()
+      .map(r => (r.getString(0).split("/").last, r.getString(1))).toMap
+    assert(fmts("good.json") === "cyclonedx")
+    assert(fmts("corrupt.json") === "spdxjson") // the reference's default fallback
+  }
+
   test("format detection over real JSON files") {
     val formats = SbomSources.detectFormat(spark, dir).collect()
       .map(r => (r.getString(0).split("/").last, r.getString(1))).toMap

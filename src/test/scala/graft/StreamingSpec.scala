@@ -51,6 +51,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("materialized aggregate table refreshes across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    val mem = MemoryStream[Event]
+    val q = Streams.materializedAgg(mem.toDF(), s"$dir/table", s"$dir/ckpt")
+    try {
+      mem.addData(Event(1, ts(0), 10, "click", 2.0), Event(2, ts(1), 11, "click", 3.0))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(s"$dir/table").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(s1 === Set(("click", 2L, 5.0)))
+      mem.addData(Event(3, ts(2), 10, "view", 7.0))
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(s"$dir/table").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(s2 === Set(("click", 2L, 5.0), ("view", 1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
