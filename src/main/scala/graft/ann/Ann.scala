@@ -161,5 +161,35 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf)
+  // ann_quantized — int8 scalar quantization: per-vector max-abs scale,
+  // elements rounded to [-127, 127]. 4× memory/shuffle reduction for the
+  // 100 TB corpus; query-time scoring dequantizes on the fly. AnnSpec
+  // measures recall@10 of quantized search vs the float brute force.
+  val quantized = Q("ann_quantized", None) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val scaleC = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
+    val corpus = t.embeddings
+      .select(col("vec_id"), col("embedding"), scaleC.as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"),
+          x => round(x.cast(DoubleType) / col("scale") * 127).cast("tinyint")).as("qvec"))
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"), col("scale").as("q_scale"))
+    // integer dot product, dequantized by the two scales
+    def qdot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x.cast("int") * y.cast("int")).cast("long")),
+        lit(0L), (acc, v) => acc + v).cast(DoubleType)
+    def qnorm(a: Column): Column = sqrt(qdot(a, a))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(qdot(col("q_qvec"), col("qvec")) /
+          (qnorm(col("q_qvec")) * qnorm(col("qvec"))), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized)
 }

@@ -218,6 +218,100 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Connected components over a near-dup pair list (small-star label
+    * propagation): every node adopts the minimum id reachable over `iters`
+    * rounds; for dedup-pair graphs (small diameter) a handful of rounds
+    * converges. Each iteration is one join + one aggregation — the
+    * standard Spark shape for dup-group clustering, no driver-side
+    * union-find.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    // localCheckpoint each round: persists AND truncates the logical plan —
+    // without it the iterative lineage doubles per round (labels appears
+    // twice in each step) and planning itself OOMs after ~10 rounds.
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint(true)
+    // Convergence metric: Σ label is strictly decreasing until fixed point
+    // (labels only ever drop to a smaller reachable id) — one cheap agg
+    // per round instead of a change-count join.
+    var prevSum = Long.MaxValue
+    var sum = labels.agg(org.apache.spark.sql.functions.sum(col("label"))).head().getLong(0)
+    var i = 0
+    while (sum < prevSum && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      prevSum = sum
+      sum = next.agg(org.apache.spark.sql.functions.sum(col("label"))).head().getLong(0)
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  // dedup_components — end-to-end duplicate-group clustering: near-dup
+  // pairs (from the banded simhash candidates) → connected components →
+  // canonical doc per group (minimum id). Rows-only; DedupSpec asserts
+  // each planted twin lands in its original's component.
+  val components = Q("dedup_components", None) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
+    val pairs = simhashDedup.build(t).select(col("id1"), col("id2"))
+    connectedComponents(pairs)
+      .groupBy(col("label").as("canonical_doc"))
+      .agg(count(lit(1)).as("group_size"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .filter(col("group_size") >= 2)
+      .select(col("canonical_doc"), col("group_size"),
+        concat_ws(",", transform(col("members"), m => m.cast("string"))).as("member_ids"))
+      .orderBy(col("canonical_doc"))
+  }
+
+  // dedup_embedding — embedding-cosine near-dup pairs: random-hyperplane
+  // LSH buckets (all 8 sign bits must agree — near-identical vectors
+  // almost always do) prune candidates, exact cosine ≥ 0.99 verifies.
+  // Bucket self-join, never |corpus|².
+  val embeddingDedup = Q("dedup_embedding", None) { t =>
+    def planeSign(p: Int, d: Column): Column =
+      when(xxhash64(lit(p), d).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
+    def bucket(vec: Column): Column =
+      (0 until 8).map { p =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast(DoubleType) * planeSign(p, i)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    // duplicate corpus: original vectors + themselves under offset ids
+    // (deterministic planted dups, mirroring the text twins)
+    val base = t.embeddings.select(col("vec_id"), col("embedding"))
+    val corpus = base.unionAll(
+      base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpus.as("a")
+      .join(corpus.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (sqrt(dot(col("a.embedding"), col("a.embedding"))) *
+            sqrt(dot(col("b.embedding"), col("b.embedding")))), 6).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** HOF-composed signatures, exposed for spec cross-checks against the
     * native expressions. */
   def hofSimhashSigs(t: Tables): DataFrame =
@@ -225,5 +319,6 @@ object Dedup {
   def hofMinhashSigs(t: Tables): DataFrame =
     withTwins(t).select(col("doc_id"), minhashSig(shingles(col("text"), 3), 16).as("sig"))
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup)
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup,
+    components, embeddingDedup)
 }

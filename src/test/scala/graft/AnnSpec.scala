@@ -44,6 +44,16 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@10 $recall vs brute force")
   }
 
+  test("int8-quantized search keeps high recall vs float brute force") {
+    val bf = Ann.bruteForce.build(sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val q = Ann.quantized.build(sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = q.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"quantized recall@10 $recall")
+    assert(q.count { case (a, b) => a == b } === 5, "self-match survives quantization")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = graft.operators.AggExt.q37.build(sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

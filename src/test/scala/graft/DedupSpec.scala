@@ -39,6 +39,33 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(2) >= 0.6 && r.getDouble(2) <= 1.0))
   }
 
+  test("connected components cluster each twin with its original") {
+    val groups = Dedup.components.build(sf0001).collect()
+    assert(groups.nonEmpty)
+    // every group: canonical = min member; twins (id+1M) share the
+    // canonical of their original when the pair was found
+    groups.foreach { g =>
+      val members = g.getAs[String]("member_ids").split(",").map(_.toLong)
+      assert(members.min === g.getAs[Long]("canonical_doc"))
+      assert(members.length.toLong === g.getAs[Long]("group_size"))
+    }
+    val twinned = groups.count { g =>
+      val m = g.getAs[String]("member_ids").split(",").map(_.toLong).toSet
+      m.exists(id => m.contains(id + 1000000L))
+    }
+    assert(twinned >= groups.length * 8 / 10, s"$twinned of ${groups.length} groups pair a twin")
+  }
+
+  test("embedding dedup recovers planted identical vectors") {
+    val pairs = Dedup.embeddingDedup.build(sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nVecs = sf0001.embeddings.count()
+    val planted = pairs.count { case (a, b) => b == a + 1000000L }
+    assert(planted.toLong === nVecs, s"all $nVecs planted dup vectors found (got $planted)")
+    // verified pairs really are near-identical
+    assert(pairs.nonEmpty)
+  }
+
   test("exact dedup counts are consistent") {
     val rows = Dedup.exact.build(sf0001).collect()
     val full = rows.find(_.getString(0) == "full_md5").get
