@@ -17,7 +17,11 @@ object Bench {
       t.lineitem, t.events, t.documents, t.embeddings).foreach(_.count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: computes the full result (count() would let the
+      // optimizer prune unreferenced aggregate/project expressions and
+      // under-measure) without writing anything.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

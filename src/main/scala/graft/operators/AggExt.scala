@@ -57,15 +57,20 @@ object AggExt {
       ORDER BY l_returnflag
     """)
   ) { t =>
+    // one percentile aggregate for all three points — a single sort of
+    // each group's values instead of three
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.9)), 2).as("p90"),
-        round(percentile(col("l_extendedprice"), lit(0.99)), 2).as("p99"),
+        percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9), lit(0.99))).as("ps"),
         min(col("l_extendedprice")).as("lo"),
         max(col("l_extendedprice")).as("hi")
       )
+      .select(col("l_returnflag"),
+        round(col("ps").getItem(0), 2).as("p50"),
+        round(col("ps").getItem(1), 2).as("p90"),
+        round(col("ps").getItem(2), 2).as("p99"),
+        col("lo"), col("hi"))
       .orderBy(col("l_returnflag"))
   }
 
