@@ -96,6 +96,26 @@ object SignatureKernels {
     new GenericArrayData(out)
   }
 
+  /** Word bigram strings in one pass: each bigram is the raw byte span
+    * from token i through token i+1 (preserves the original inter-token
+    * whitespace; identical to `w1 || ' ' || w2` for single-space text).
+    */
+  def bigrams(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val toks = tokenOffsets(bytes)
+    val nToks = toks.length / 2
+    val n = math.max(nToks - 1, 0)
+    val out = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val from = toks(2 * i)
+      val until = toks(2 * (i + 1) + 1)
+      out(i) = UTF8String.fromBytes(bytes, from, until - from)
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[AnyRef]])
+  }
+
   /** k MinHash values over `w`-token shingles (shingle identity = the raw
     * byte span from token i through token i+w-1).
     */
@@ -145,6 +165,18 @@ case class ShingleHashesExpr(child: Expression, w: Int = 3) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** graft_bigrams(text) → ARRAY<STRING> */
+case class BigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.bigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureKernels.bigrams($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigramsExpr =
+    copy(child = newChild)
+}
+
 /** graft_minhash(text) → ARRAY<BIGINT> (k=16, 3-token shingles) */
 case class MinHashSigExpr(child: Expression, k: Int = 16, w: Int = 3)
   extends UnaryExpression {
@@ -189,9 +221,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingles"),
       (args: Seq[Expression]) => ShingleHashesExpr(args.head))
 
+  val bigramsDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_bigrams"),
+      new ExpressionInfo(classOf[BigramsExpr].getName, "graft_bigrams"),
+      (args: Seq[Expression]) => BigramsExpr(args.head))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(simhashDesc, minhashDesc, shinglesDesc).foreach { case (id, info, builder) =>
+    Seq(simhashDesc, minhashDesc, shinglesDesc, bigramsDesc).foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }

@@ -190,11 +190,11 @@ object TextOps {
       LIMIT 20
     """)
   ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
     val ws = words(col("text"))
     t.documents
       .filter(size(ws) >= 2)
-      .select(explode(transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))).as("bigram"))
+      .select(explode(call_function("graft_bigrams", col("text"))).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
