@@ -248,6 +248,9 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("nbr_label"))
+      // plain neighbor-min step; pointer jumping (label-of-label) was
+      // measured slower here — dup-pair graphs are dense, so min labels
+      // flood components in few rounds and the extra join never pays off
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint(true)
