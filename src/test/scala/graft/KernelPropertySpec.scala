@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.{SignatureKernels, TopKAggregator}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks of the pure kernels (no Spark session needed):
+  * whitespace invariance, shingle-count arithmetic, bounded-heap top-k
+  * equivalence with full sorting.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  /** Deterministic sampling harness over ScalaCheck generators (the
+    * scalatest-scalacheck bridge isn't on the classpath).
+    */
+  private def forSamples[A](g: Gen[A], n: Int = 100)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      g.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val words = Gen.listOfN(30, word).map(_.take(30))
+
+  test("simhash64 is invariant to whitespace layout") {
+    forSamples(Gen.zip(words, Gen.chooseNum(1, 3))) { case (ws, pad) =>
+      if (ws.nonEmpty) {
+        val canonical = SignatureKernels.simhash64(UTF8String.fromString(ws.mkString(" ")))
+        val noisy = SignatureKernels.simhash64(UTF8String.fromString(
+          " " * pad + ws.mkString(" " * pad) + "\t\n"))
+        assert(canonical === noisy)
+      }
+    }
+  }
+
+  test("shingle hashes count = max(nTokens - w + 1, 1) for non-empty docs") {
+    forSamples(words) { ws =>
+      if (ws.nonEmpty) {
+        val n = SignatureKernels.shingleHashes(
+          UTF8String.fromString(ws.mkString(" ")), 3).numElements()
+        assert(n === math.max(ws.length - 2, 1))
+      }
+    }
+  }
+
+  test("bigram count = nTokens - 1; bigrams reproduce adjacent pairs") {
+    forSamples(words) { ws =>
+      if (ws.length >= 2) {
+        val arr = SignatureKernels.bigrams(UTF8String.fromString(ws.mkString(" ")))
+        assert(arr.numElements() === ws.length - 1)
+        val got = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        assert(got === ws.sliding(2).map(_.mkString(" ")).toSeq)
+      }
+    }
+  }
+
+  test("minhash estimates: identical docs agree on every component") {
+    forSamples(words) { ws =>
+      if (ws.nonEmpty) {
+        val a = SignatureKernels.minhashSig(UTF8String.fromString(ws.mkString(" ")), 16, 3)
+        val b = SignatureKernels.minhashSig(UTF8String.fromString("  " + ws.mkString("  ")), 16, 3)
+        // whitespace-noise changes shingle spans (raw-span identity), so only
+        // exact-layout docs must agree — use identical layout here
+        val c = SignatureKernels.minhashSig(UTF8String.fromString(ws.mkString(" ")), 16, 3)
+        assert(a.toLongArray.toSeq === c.toLongArray.toSeq)
+        assert(a.numElements() === 16 && b.numElements() === 16)
+      }
+    }
+  }
+
+  test("TopKAggregator == sort-then-take for arbitrary inputs and k") {
+    forSamples(Gen.zip(
+      Gen.listOf(Gen.zip(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0L, 1000L))),
+      Gen.chooseNum(1, 8))) { case (xs, k) =>
+      val agg = TopKAggregator(k)
+      // random partition split + merge order
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      val expected = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(agg.finish(merged) === expected)
+    }
+  }
+}
