@@ -99,9 +99,10 @@ object TextOps {
     "es" -> Seq("el", "y", "la", "es", "los"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
 
-  val langid = Q("text_langid", None) { t =>
+  /** Language-ID scoring over any (doc_id, lang, text) frame. */
+  def langidOn(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    val scored = markers.foldLeft(t.documents.select(col("doc_id"), col("lang"), col("text"))) {
+    val scored = markers.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
       case (df, (lg, ms)) =>
         df.withColumn(s"score_$lg", size(filter(ws, w => w.isin(ms: _*))).cast(LongType))
     }
@@ -115,6 +116,8 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("predicted"), col("max_score"))
       .orderBy(col("doc_id"))
   }
+
+  val langid = Q("text_langid", None) { t => langidOn(t.documents) }
 
   // text_fingerprint — rolling polynomial fingerprint over word CRCs: a
   // deterministic content fingerprint for shift-stable near-dup detection.

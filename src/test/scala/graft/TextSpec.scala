@@ -43,6 +43,38 @@ class TextSpec extends SparkSpec {
     assert(Sbom.globToLike("50%_x") === "50\\%\\_x")
   }
 
+  test("langid argmax picks the language whose markers dominate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // synthetic docs with unambiguous marker content
+    val docs = Seq(
+      (1L, "xx", "the cat and the dog is on the mat"),          // en markers
+      (2L, "xx", "der hund und die katze ist das haus der"),    // de markers
+      (3L, "xx", "le chat et la maison est les le et la"),      // fr markers
+      (4L, "xx", "el perro y la casa es los el y la"))          // es markers
+      .toDF("doc_id", "lang", "text")
+    val scored = TextOps.langidOn(docs)
+    val out = scored.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted")).toMap
+    assert(out(1L) === "en"); assert(out(2L) === "de")
+    assert(out(3L) === "fr"); assert(out(4L) === "es")
+  }
+
+  test("multimodal decode-stub features are deterministic and consistent") {
+    val rows = graft.multimodal.Multimodal.pipeline.build(sf0001).collect()
+    assert(rows.map(_.getAs[String]("kind")).toSet === Set("image", "audio", "video"))
+    val total = rows.map(_.getAs[Long]("n_items")).sum
+    assert(total === sf0001.documents.count())
+    // payload bytes == total characters (utf-8 of ascii word soup)
+    val totalBytes = rows.map(_.getAs[Long]("total_bytes")).sum
+    val totalChars = sf0001.documents
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))).head().getLong(0)
+    assert(totalBytes === totalChars)
+    // run twice — identical (pure stub)
+    val again = graft.multimodal.Multimodal.pipeline.build(sf0001).collect()
+    assert(rows.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
+  }
+
   test("quality features bounded") {
     val rows = TextOps.quality.build(sf0001).collect()
     assert(rows.nonEmpty)
