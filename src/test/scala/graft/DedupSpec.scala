@@ -66,6 +66,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("minhash estimates track exact jaccard on shared pairs") {
+    val est = Dedup.minhashLsh.build(sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    val exact = Dedup.ngramJaccard.build(sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val shared = est.keySet.intersect(exact.keySet)
+    assert(shared.size >= 50, s"enough overlapping pairs to compare (${shared.size})")
+    val mae = shared.toSeq.map(k => math.abs(est(k) - exact(k))).sum / shared.size
+    assert(mae <= 0.25, s"mean |est - exact| = $mae over ${shared.size} pairs")
+  }
+
   test("exact dedup counts are consistent") {
     val rows = Dedup.exact.build(sf0001).collect()
     val full = rows.find(_.getString(0) == "full_md5").get
