@@ -47,9 +47,9 @@ object AggExt {
     "q21_quantiles",
     Some("""
       SELECT l_returnflag,
-             ROUND(MEDIAN(l_extendedprice), 2) AS p50,
-             ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 2) AS p90,
-             ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 2) AS p99,
+             ROUND(MEDIAN(l_extendedprice) + 0.000001, 2) AS p50,
+             ROUND(QUANTILE_CONT(l_extendedprice, 0.9) + 0.000001, 2) AS p90,
+             ROUND(QUANTILE_CONT(l_extendedprice, 0.99) + 0.000001, 2) AS p99,
              MIN(l_extendedprice) AS lo,
              MAX(l_extendedprice) AS hi
       FROM lineitem
@@ -57,8 +57,11 @@ object AggExt {
       ORDER BY l_returnflag
     """)
   ) { t =>
-    // one percentile aggregate for all three points — a single sort of
-    // each group's values instead of three
+    // One percentile aggregate for all three points — a single sort of
+    // each group's values instead of three. The +1e-6 epsilon before
+    // rounding moves interpolated midpoints of 2-decimal prices off the
+    // exact ROUND half-boundary (x.xx5), where a 1-ulp difference between
+    // the engines' interpolation arithmetic would otherwise flip the cent.
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
@@ -67,9 +70,9 @@ object AggExt {
         max(col("l_extendedprice")).as("hi")
       )
       .select(col("l_returnflag"),
-        round(col("ps").getItem(0), 2).as("p50"),
-        round(col("ps").getItem(1), 2).as("p90"),
-        round(col("ps").getItem(2), 2).as("p99"),
+        round(col("ps").getItem(0) + 0.000001, 2).as("p50"),
+        round(col("ps").getItem(1) + 0.000001, 2).as("p90"),
+        round(col("ps").getItem(2) + 0.000001, 2).as("p99"),
         col("lo"), col("hi"))
       .orderBy(col("l_returnflag"))
   }
