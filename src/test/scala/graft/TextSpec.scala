@@ -75,6 +75,17 @@ class TextSpec extends SparkSpec {
     assert(rows.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
   }
 
+  test("multimodal resize + frame-sample stages produce bounded deterministic output") {
+    val rows = graft.multimodal.Multimodal.transformPipeline.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("w") === 32 && r.getAs[Int]("h") === 24)
+      assert(r.getAs[Long]("n_frames_sampled") === r.getAs[Long]("n_frame_ids"))
+    }
+    val again = graft.multimodal.Multimodal.transformPipeline.build(sf0001).collect()
+    assert(rows.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
+  }
+
   test("quality features bounded") {
     val rows = TextOps.quality.build(sf0001).collect()
     assert(rows.nonEmpty)
