@@ -72,7 +72,42 @@ object Dedup {
   // candidate join: explode shingles → self-join on shingle (id<id2) →
   // co-occurrence counts → Jaccard ≥ 0.6. The join key is the shingle, so
   // work is proportional to shared-shingle pairs, not |docs|².
-  val ngramJaccard = Q("dedup_ngram_jaccard", None) { t =>
+  val ngramJaccard = Q(
+    "dedup_ngram_jaccard",
+    // Full DuckDB oracle: the same algorithm over string shingles — the
+    // Spark side joins on span hashes (collision-free in practice), the
+    // oracle on the shingle text; identical pair sets and jaccard values.
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS ws FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               STRING_SPLIT_REGEX(TRIM(array_to_string(
+                 list_slice(STRING_SPLIT_REGEX(TRIM(text), '\s+'), 1,
+                   GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) - 3, 1)), ' ')), '\s+')
+        FROM documents),
+      inv0 AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(ws, i, i + 2), ' ') AS shingle
+        FROM corpus, UNNEST(RANGE(1, GREATEST(LEN(ws) - 2, 1) + 1)) AS t(i)),
+      rare AS (
+        SELECT shingle FROM inv0 GROUP BY shingle HAVING COUNT(*) <= 50),
+      inv AS (SELECT inv0.* FROM inv0 JOIN rare USING (shingle)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+      co AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS co
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 3)
+      SELECT id1, id2,
+             ROUND(CAST(co AS DOUBLE) / (s1.n + s2.n - co), 4) AS jaccard
+      FROM co
+      JOIN sizes s1 ON co.id1 = s1.doc_id
+      JOIN sizes s2 ON co.id2 = s2.doc_id
+      WHERE ROUND(CAST(co AS DOUBLE) / (s1.n + s2.n - co), 4) >= 0.6
+      ORDER BY id1, id2
+    """)
+  ) { t =>
     // Stop-shingle removal: shingles occurring in > maxDf docs carry almost
     // no similarity signal but dominate the inverted-index join (quadratic
     // in document frequency). Jaccard is computed over the rare-shingle
