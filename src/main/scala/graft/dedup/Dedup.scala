@@ -263,9 +263,19 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // undirected edge list, both directions
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val edges0 = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
+      .persist(MEMORY_AND_DISK)
+    // Size the iteration's parallelism to the graph, not the session
+    // default: each round is a join+agg over the edge list, and tiny
+    // graphs on many partitions pay per-round scheduling that dwarfs the
+    // work (~500k edges per partition is comfortable).
+    val edgeCount = edges0.count()
+    val spark = pairs.sparkSession
+    val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (edgeCount / 500000L).toInt + 1))
+    val edges = edges0.repartition(nParts, col("dst"))
       .persist(MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("id")).distinct()
     // localCheckpoint each round: persists AND truncates the logical plan —

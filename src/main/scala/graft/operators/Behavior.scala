@@ -128,5 +128,41 @@ object Behavior {
       .orderBy(col("day"))
   }
 
-  val all: Seq[Q] = Seq(q46, q47, q48)
+  // q52 — sequence matching (ClickHouse sequenceMatch): serialize each
+  // user's event-type initials in time order, regex-match patterns over
+  // the sequence string. One groupBy with an ordered string aggregation;
+  // the regex runs per user, not per event.
+  val q52 = Q(
+    "q52_sequence_match",
+    Some("""
+      WITH seqs AS (
+        SELECT user_id,
+               STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+        FROM events
+        GROUP BY user_id)
+      SELECT
+        COUNT(CASE WHEN REGEXP_MATCHES(seq, 'c.*v.*p') THEN 1 END) AS n_click_view_purchase,
+        COUNT(CASE WHEN REGEXP_MATCHES(seq, 's.*p') THEN 1 END) AS n_signup_then_purchase,
+        COUNT(CASE WHEN REGEXP_MATCHES(seq, 'e') THEN 1 END) AS n_any_error,
+        COUNT(*) AS n_users
+      FROM seqs
+    """)
+  ) { t =>
+    val seq = array_join(
+      transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")))),
+        x => x.getField("c")), "")
+    t.events
+      .groupBy(col("user_id"))
+      .agg(seq.as("seq"))
+      .agg(
+        count(when(col("seq").rlike("c.*v.*p"), 1)).as("n_click_view_purchase"),
+        count(when(col("seq").rlike("s.*p"), 1)).as("n_signup_then_purchase"),
+        count(when(col("seq").rlike("e"), 1)).as("n_any_error"),
+        count(lit(1)).as("n_users"))
+  }
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q52)
 }
