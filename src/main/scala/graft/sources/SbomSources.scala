@@ -59,29 +59,36 @@ object SbomSources {
       StructField("licenseConcluded", StringType),
       StructField("licenseDeclared", StringType)))))))
 
-  /** Read CycloneDX JSON documents (one object per file, as the reference
-    * stores them in S3) with the projected schema. Documents wrapped in a
-    * `.sbom` envelope (GitHub dependency-graph API shape) are unwrapped
-    * first — sbom-processing.sh:38-55.
+  /** CycloneDX schema extended with the optional `.sbom` envelope (GitHub
+    * dependency-graph API shape) so one read handles both layouts.
     */
-  def readCycloneDx(spark: SparkSession, path: String): DataFrame = {
-    val wrapped = StructType(Seq(StructField("sbom", cycloneDxSchema)))
-    val w = spark.read.schema(wrapped).option("multiLine", true).json(path)
-      .withColumn("_file", input_file_name())
-    val direct = spark.read.schema(cycloneDxSchema).option("multiLine", true).json(path)
-      .withColumn("_file", input_file_name())
-    // per-file wrapper detection: take the nested doc when the envelope
-    // parsed, else the document itself
-    direct.as("d").join(w.as("w"), col("d._file") === col("w._file"))
-      .select(
-        when(col("w.sbom").isNotNull, col("w.sbom.bomFormat")).otherwise(col("d.bomFormat")).as("bomFormat"),
-        when(col("w.sbom").isNotNull, col("w.sbom.specVersion")).otherwise(col("d.specVersion")).as("specVersion"),
-        when(col("w.sbom").isNotNull, col("w.sbom.serialNumber")).otherwise(col("d.serialNumber")).as("serialNumber"),
-        when(col("w.sbom").isNotNull, col("w.sbom.version")).otherwise(col("d.version")).as("version"),
-        when(col("w.sbom").isNotNull, col("w.sbom.metadata")).otherwise(col("d.metadata")).as("metadata"),
-        when(col("w.sbom").isNotNull, col("w.sbom.components")).otherwise(col("d.components")).as("components"),
-        col("d._file").as("_file"))
-  }
+  private val cycloneDxWithEnvelope: StructType =
+    StructType(cycloneDxSchema.fields :+ StructField("sbom", cycloneDxSchema))
+
+  /** Per-row envelope unwrap — sbom-processing.sh:38-55. */
+  private def unwrapped(df: DataFrame): DataFrame =
+    df.select(
+      (cycloneDxSchema.fieldNames.map { f =>
+        when(col("sbom").isNotNull, col(s"sbom.$f")).otherwise(col(f)).as(f)
+      } :+ col("_file")): _*)
+
+  /** Read CycloneDX JSON documents (one object per file, as the reference
+    * stores them in S3) with the projected schema; `.sbom`-wrapped docs
+    * unwrap transparently in the same single pass.
+    */
+  def readCycloneDx(spark: SparkSession, path: String): DataFrame =
+    unwrapped(spark.read.schema(cycloneDxWithEnvelope)
+      .option("multiLine", true).json(path)
+      .withColumn("_file", input_file_name()))
+
+  /** Streaming ingestion of the same documents: new JSON files landing in
+    * `path` flow incrementally through the identical flatten pipeline —
+    * the continuous version of the reference's batch action.
+    */
+  def streamCycloneDx(spark: SparkSession, path: String): DataFrame =
+    unwrapped(spark.readStream.schema(cycloneDxWithEnvelope)
+      .option("multiLine", true).option("maxFilesPerTrigger", 16).json(path)
+      .withColumn("_file", input_file_name()))
 
   def readSpdx(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(spdxSchema).option("multiLine", true).json(path)

@@ -96,6 +96,24 @@ class SbomSourcesSpec extends SparkSpec {
     assert(fmts("corrupt.json") === "spdxjson") // the reference's default fallback
   }
 
+  test("streaming ingestion: new SBOM files flow through the flatten pipeline incrementally") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    Files.writeString(Paths.get(in, "service-a.json"), cdxDoc)
+    val q = SbomSources.flattenCycloneDx(SbomSources.streamCycloneDx(spark, in))
+      .writeStream.format("memory").queryName("sbom_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sbom_stream").count() === 4)
+      Files.writeString(Paths.get(in, "service-b.json"), cdxDoc2)
+      q.processAllAvailable()
+      val rows = spark.table("sbom_stream").collect()
+      assert(rows.length === 5)
+      assert(rows.map(_.getAs[String]("source")).toSet === Set("service-a", "service-b"))
+    } finally q.stop()
+  }
+
   test("format detection over real JSON files") {
     val formats = SbomSources.detectFormat(spark, dir).collect()
       .map(r => (r.getString(0).split("/").last, r.getString(1))).toMap
