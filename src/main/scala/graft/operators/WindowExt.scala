@@ -107,5 +107,56 @@ object WindowExt {
       .orderBy(col("user_id"), col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(q39, q40, q41, q42)
+  // q53 — relative-rank windows: percent_rank / cume_dist per group.
+  val q53 = Q(
+    "q53_window_pct",
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+             ROUND(CUME_DIST() OVER w, 6) AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_custkey, o_orderkey
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // q54 — null semantics: NULLIF / COALESCE / null-safe equality over a
+  // column with injected nulls (null-safe eq = Spark <=>, DuckDB
+  // IS NOT DISTINCT FROM).
+  val q54 = Q(
+    "q54_null_safe",
+    Some("""
+      WITH c AS (
+        SELECT c_custkey,
+               NULLIF(c_mktsegment, 'MACHINERY') AS seg,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS bal
+        FROM customer)
+      SELECT
+        COUNT(CASE WHEN seg IS NULL THEN 1 END) AS n_nulled_seg,
+        COUNT(CASE WHEN bal IS NOT DISTINCT FROM NULL THEN 1 END) AS n_null_bal,
+        CAST(SUM(CAST(COALESCE(bal, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        COUNT(CASE WHEN seg IS NOT DISTINCT FROM 'BUILDING' THEN 1 END) AS n_building
+      FROM c
+    """)
+  ) { t =>
+    t.customer
+      .select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("MACHINERY")).as("seg"),
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_acctbal")).as("bal"))
+      .agg(
+        count(when(col("seg").isNull, 1)).as("n_nulled_seg"),
+        count(when(col("bal") <=> lit(null), 1)).as("n_null_bal"),
+        sum(coalesce(col("bal"), lit(0)).cast(DecimalType(18, 2))).cast(DoubleType).as("total_bal"),
+        count(when(col("seg") <=> "BUILDING", 1)).as("n_building"))
+  }
+
+  val all: Seq[Q] = Seq(q39, q40, q41, q42, q53, q54)
 }
