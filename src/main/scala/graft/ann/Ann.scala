@@ -58,7 +58,32 @@ object Ann {
 
   // ann_bruteforce — exact cosine top-10 for 5 query vectors. The query set
   // is broadcast; ranking is a window over (query, corpus) scored pairs.
-  val bruteForce = Q("ann_bruteforce", None) { t =>
+  // Oracle: identical double-space zip fold in DuckDB list lambdas
+  // (LIST_COSINE_SIMILARITY is float32 — not used), ranked on the same
+  // rounded score with the same vec_id tie-break.
+  val bruteForce = Q(
+    "ann_bruteforce",
+    Some("""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, vec_id,
+          ROUND(
+            LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qvec, embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+            (SQRT(LIST_SUM(LIST_TRANSFORM(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+            6) AS cos
+        FROM e, q),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 10
+      ORDER BY query_id, rnk
+    """)
+  ) { t =>
     import org.apache.spark.sql.expressions.Window
     val queries = t.embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

@@ -117,7 +117,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  val langid = Q("text_langid", None) { t => langidOn(t.documents) }
+  // Oracle replicates the argmax exactly: Spark's greatest-of-structs
+  // breaks score ties toward the lexicographically LARGEST language code,
+  // so the SQL CASE tests languages in descending code order with >=.
+  val langid = Q(
+    "text_langid",
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                   w -> LIST_CONTAINS(['the','and','of','is','a'], w))) AS s_en,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                   w -> LIST_CONTAINS(['der','und','die','ist','das'], w))) AS s_de,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                   w -> LIST_CONTAINS(['le','et','la','est','les'], w))) AS s_fr,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                   w -> LIST_CONTAINS(['el','y','la','es','los'], w))) AS s_es,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                   w -> LIST_CONTAINS(['de5','shi4','le5','zai4','he2'], w))) AS s_zh
+        FROM documents)
+      SELECT doc_id, lang,
+             CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+                  WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                  WHEN s_en >= s_de THEN 'en'
+                  ELSE 'de' END AS predicted,
+             CAST(GREATEST(s_en, s_de, s_fr, s_es, s_zh) AS BIGINT) AS max_score
+      FROM scored
+      ORDER BY doc_id
+    """)
+  ) { t => langidOn(t.documents) }
 
   // text_fingerprint — rolling polynomial fingerprint over word CRCs: a
   // deterministic content fingerprint for shift-stable near-dup detection.
