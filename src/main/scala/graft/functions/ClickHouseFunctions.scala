@@ -90,7 +90,14 @@ object ClickHouseFunctions {
 
   // ---- date/time (toStartOf*) --------------------------------------------
   def toStartOfMonth(c: Column): Column = date_trunc("month", c)
-  def toStartOfWeek(c: Column): Column = date_trunc("week", c)
+  /** ClickHouse toStartOfWeek defaults to mode 0 = SUNDAY-start weeks
+    * (Spark's date_trunc('week', …) is Monday/ISO — that is ClickHouse
+    * mode 1, exposed here as the mode=1 branch). Returns a date, matching
+    * ClickHouse.
+    */
+  def toStartOfWeek(c: Column, mode: Int = 0): Column =
+    if (mode == 1) to_date(date_trunc("week", c))
+    else date_sub(to_date(c), dayofweek(c) - 1)
   def toStartOfDay(c: Column): Column = date_trunc("day", c)
   def toStartOfHour(c: Column): Column = date_trunc("hour", c)
   def toStartOfMinute(c: Column): Column = date_trunc("minute", c)

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -25,7 +25,14 @@ object ApproxQuantileRewrite extends Rule[LogicalPlan] {
     else plan.transformAllExpressions {
       case p: Percentile if p.frequencyExpression.foldable &&
           String.valueOf(p.frequencyExpression.eval()) == "1" =>
-        new ApproximatePercentile(p.child, p.percentageExpression,
+        // Percentile always yields DoubleType, but ApproximatePercentile
+        // yields its child's type — cast non-double children so the rewrite
+        // never changes the plan's result schema (post-analysis type drift
+        // would be an invalid plan).
+        val child =
+          if (p.child.dataType == org.apache.spark.sql.types.DoubleType) p.child
+          else Cast(p.child, org.apache.spark.sql.types.DoubleType)
+        new ApproximatePercentile(child, p.percentageExpression,
           Literal(ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY))
     }
 

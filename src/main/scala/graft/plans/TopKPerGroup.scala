@@ -40,14 +40,22 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     val orderE = order
     val kk = k
     val childOutput = child.output
+    // Memory bound: the partial (map-side) pass holds O(groups-in-flight × k)
+    // rows; on a high-cardinality group column that map is unbounded, so the
+    // partial pass flushes its heaps downstream whenever the group count hits
+    // this threshold (duplicate partial outputs per group are re-merged by
+    // the final pass — same contract as hash-aggregate partial fallback).
+    // The final pass never flushes early: all rows of a group are co-located
+    // there and must produce exactly one top-k per group.
+    val flushThreshold = if (partial) TopKPerGroupExec.MaxInFlightGroups else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       val rowOrd = RowOrdering.create(orderE, childOutput)
       // PQ max = the WORST row under `order` (order = best-first), so the
       // head to evict on overflow is always the current worst.
       val pqOrd: Ordering[InternalRow] = (a, b) => rowOrd.compare(a, b)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      var heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         val heap = heaps.get(key) match {
           case Some(h) => h
@@ -61,12 +69,36 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
           heap.dequeue(); heap.enqueue(row.copy())
         }
       }
-      heaps.iterator.flatMap { case (_, heap) => heap.dequeueAll.reverseIterator }
+      def drain(): Iterator[InternalRow] = {
+        val full = heaps
+        heaps = mutable.LinkedHashMap.empty
+        full.iterator.flatMap { case (_, heap) => heap.dequeueAll.reverseIterator }
+      }
+      new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!cur.hasNext && (iter.hasNext || heaps.nonEmpty)) {
+            if (!iter.hasNext || heaps.size >= flushThreshold) cur = drain()
+            else while (iter.hasNext && heaps.size < flushThreshold) insert(iter.next())
+          }
+          cur.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          cur.next()
+        }
+      }
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Max distinct groups held in the partial pass before flushing heaps
+    * downstream (≈ 64k groups × k rows in flight per task). */
+  val MaxInFlightGroups: Int = 1 << 16
 }
 
 /** Plans the logical node as partial → (shuffle via required dist) → final. */

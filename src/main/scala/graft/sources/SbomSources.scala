@@ -171,9 +171,19 @@ object SbomSources {
   /** Merge component sets from many documents with the reference's dedup
     * key name@version#purl^source (sbom-merging.sh:358).
     */
-  def mergeComponents(flattened: DataFrame*): DataFrame =
+  def mergeComponents(flattened: DataFrame*): DataFrame = {
+    // Deterministic survivor per dedup key (dropDuplicates keeps an
+    // arbitrary run-dependent row under distributed execution; the
+    // reference's jq unique_by is stable for a given input order): keep
+    // the row with the lexicographically smallest remaining attributes.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("name"), col("version"), col("purl"), col("source"))
+      .orderBy(col("license").asc_nulls_first)
     flattened.reduce(_ unionAll _)
-      .dropDuplicates("name", "version", "purl", "source")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   /** Apply the unknown-license mapping dim (entrypoint.sh:245-269). */
   def mapUnknownLicenses(components: DataFrame, mapping: DataFrame): DataFrame =

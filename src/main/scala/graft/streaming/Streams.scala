@@ -56,7 +56,17 @@ object Streams {
       .outputMode(OutputMode.Complete)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("overwrite").parquet(path)
+        // Snapshot swap: write the batch to a temp dir, then replace `path`
+        // with a rename — a mid-batch failure leaves the previous
+        // materialization intact, and readers never see a half-written dir.
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val dest = new org.apache.hadoop.fs.Path(path)
+        val tmp = new org.apache.hadoop.fs.Path(path + s"._tmp_$batchId")
+        val fs = dest.getFileSystem(conf)
+        batch.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dest, true)
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(s"materializedAgg: rename $tmp -> $dest failed")
         ()
       }
       .start()

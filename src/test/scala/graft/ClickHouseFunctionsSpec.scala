@@ -43,6 +43,20 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(m.values.sum === orders.count())
   }
 
+  test("toStartOfWeek is Sunday-start (ClickHouse mode 0); mode 1 is Monday") {
+    import spark.implicits._
+    // 2024-01-03 is a Wednesday: mode 0 → Sun 2023-12-31, mode 1 → Mon 2024-01-01
+    val df = Seq("2024-01-03", "2023-12-31", "2024-01-01").toDF("d")
+      .select(to_date(col("d")).as("d"))
+    val r = df.select(
+      CH.toStartOfWeek(col("d")).cast("string").as("sun"),
+      CH.toStartOfWeek(col("d"), mode = 1).cast("string").as("mon"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(r(0) === ("2023-12-31", "2024-01-01"))
+    assert(r(1) === ("2023-12-31", "2023-12-25")) // Sunday maps to itself in mode 0
+    assert(r(2) === ("2023-12-31", "2024-01-01"))
+  }
+
   test("toStartOfInterval aligns to the grid") {
     val r = sf0001.events
       .select(CH.toStartOfInterval(col("ts"), 900).as("b"))
