@@ -98,29 +98,65 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Deterministic pseudo-random hyperplane sign for (plane, dim):
-    * ±1 from the parity of a seeded xxhash. */
-  private def planeSign(plane: Int, d: Column): Column =
-    when(xxhash64(lit(plane), d).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
+  /** Literal ±1 hyperplane table (8 planes × 64 dims) from the portable
+    * family — a model constant mirrored into the oracle SQL. */
+  private val lshSigns = graft.functions.PortableHash.planeSigns(8, 64)
+
+  private def planeProj(p: Int, vec: Column): Column =
+    aggregate(
+      zip_with(vec, typedlit(lshSigns(p).toSeq), (x, s) => x.cast(DoubleType) * s),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def lshBucket(vec: Column): Column =
+    (0 until 8).map { p =>
+      when(planeProj(p, vec) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  private def lshBucketSql(vecExpr: String): String =
+    (0 until 8).map { p =>
+      val signs = graft.functions.PortableHash.signsSql(lshSigns(p))
+      s"CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP($vecExpr, $signs), " +
+        s"pr -> CAST(pr[1] AS DOUBLE) * pr[2])) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Double-space cosine of two list expressions in oracle SQL (identical
+    * fold shape to the Spark zip_with/aggregate formulation). */
+  private def cosSql(a: String, b: String): String =
+    s"""ROUND(
+          LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b),
+            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) /
+          (SQRT(LIST_SUM(LIST_TRANSFORM($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           SQRT(LIST_SUM(LIST_TRANSFORM($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+          6)"""
 
   // ann_lsh — random-hyperplane LSH: 8 planes → 8-bit bucket; candidates =
   // same-bucket pairs with the query set; exact cosine re-ranking inside
   // the bucket. Recall is traded for pruning; AnnSpec measures it against
-  // the brute-force result.
-  val lsh = Q("ann_lsh", None) { t =>
+  // the brute-force result, and the oracle reproduces the bucketed search
+  // exactly (literal sign table).
+  val lsh = Q(
+    "ann_lsh",
+    Some(s"""
+      WITH bucketed AS (
+        SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+            FROM bucketed WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, vec_id, ${cosSql("qvec", "embedding")} AS cos
+        FROM bucketed JOIN q ON bucket = qbucket),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 10
+      ORDER BY query_id, rnk
+    """)
+  ) { t =>
     import org.apache.spark.sql.expressions.Window
-    val nPlanes = 8
-    def bucket(vec: Column): Column =
-      (0 until nPlanes).map { p =>
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast(DoubleType) * planeSign(p, i)),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-
     val corpus = t.embeddings.select(col("vec_id"), col("embedding"),
-      bucket(col("embedding")).as("bucket"))
+      lshBucket(col("embedding")).as("bucket"))
     val queries = corpus.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("bucket").as("qbucket"))
@@ -137,74 +173,177 @@ object Ann {
   private def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
-  // ann_ivf — IVF (inverted-file) ANN: deterministic coarse quantizer
-  // (first-C init + one Lloyd iteration, all DataFrame ops), corpus
-  // assigned to nearest centroid, queries probe their nprobe nearest
-  // cells, exact cosine re-rank inside the probed cells. The corpus is
-  // scanned/scored only within probed cells — the 100 TB shape where
-  // brute force is off the table. AnnSpec measures recall vs brute force.
-  val ivf = Q("ann_ivf", None) { t =>
-    import org.apache.spark.sql.expressions.Window
-    val C = 16; val nprobe = 4; val dim = 64
-    val emb = t.embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+  private def dist2Sql(a: String, b: String): String =
+    s"LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b), pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])))"
 
-    // init: first C vectors; one Lloyd step to settle
-    val init = emb.filter(col("vec_id") < C)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+  /** IVF search with deterministic, oracle-reproducible training.
+    *
+    * Scale/portability design:
+    *   - training runs on integer-grid quantized vectors (floor(x·1024)):
+    *     centroid components become exact integer sums / counts, so they
+    *     are FP-order-independent — reproducible on any cluster AND in the
+    *     DuckDB oracle;
+    *   - the Lloyd update is dim-independent: posexplode → (cell, dim)
+    *     aggregate → rebuild, never a per-dimension expression tree;
+    *   - C and nprobe are parameters; init = first C vectors (deterministic);
+    *   - assignment ties break on centroid id (min(struct(dist, cid)));
+    *   - final re-rank uses exact cosine on the original float vectors,
+    *     only inside probed cells — the corpus is never shuffled.
+    */
+  def ivfQuery(t: Tables, c: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1024).cast(DoubleType)).as("qv"))
+
+    // init: first C vectors; one Lloyd step with exact-integer averages
+    val init = emb.filter(col("vec_id") < c)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
     val assigned0 = emb.join(broadcast(init))
+      .select(col("vec_id"), col("qv"), col("cid"),
+        dist2(col("qv"), col("cv")).as("dist"))
       .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cid"), col("cv")), dist2(col("v"), col("cv"))).getField("cid").as("cid"),
-        first(col("v")).as("v"))
-    val centroids = assigned0.groupBy(col("cid"))
-      .agg(array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("cv"))
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"),
+        first(col("qv")).as("qv"))
+    val centroids = assigned0
+      .select(col("cid"), posexplode(col("qv")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("col").cast(LongType)).cast(DoubleType) / count(lit(1))).as("cv_i"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
+        e => e.getField("cv_i")).as("cv"))
 
     // corpus cell assignment against settled centroids
     val corpus = emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        dist2(col("qv"), col("cv")).as("dist"))
       .groupBy(col("vec_id"))
-      .agg(min_by(col("cid"), dist2(col("v"), col("cv"))).as("cell"),
-        first(col("v")).as("v"))
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cell"),
+        first(col("embedding")).as("embedding"))
 
     // queries probe their nprobe nearest cells
     val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("qv").as("qqv"))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cid"))
     val probes = queries.join(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("cid"),
-        dist2(col("qv"), col("cv")).as("cdist"))
+      .select(col("query_id"), col("qvec"), col("cid"),
+        dist2(col("qqv"), col("cv")).as("cdist"))
       .withColumn("prank", row_number().over(wq))
       .filter(col("prank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+      .select(col("query_id"), col("qvec"), col("cid").as("cell"))
 
     // exact cosine inside probed cells only
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(probes), "cell")
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 10)
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ann_ivf — IVF (inverted-file) ANN: deterministic coarse quantizer,
+  // corpus assigned to nearest centroid, queries probe their nprobe
+  // nearest cells, exact cosine re-rank inside the probed cells only —
+  // the 100 TB shape where brute force is off the table. AnnSpec measures
+  // recall vs brute force; the oracle replays training + search in SQL.
+  val ivf = Q(
+    "ann_ivf",
+    Some {
+      val c = 16; val nprobe = 4
+      s"""
+      WITH qemb AS (
+        SELECT vec_id, embedding,
+               LIST_TRANSFORM(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 1024)) AS qv
+        FROM embeddings),
+      init AS (SELECT vec_id AS cid, qv AS cv FROM qemb WHERE vec_id < $c),
+      a0 AS (
+        SELECT vec_id, qv, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM (SELECT e.vec_id, e.qv, i.cid, ${dist2Sql("e.qv", "i.cv")} AS dist
+              FROM qemb e, init i)),
+      assigned0 AS (SELECT vec_id, cid, qv FROM a0 WHERE rn = 1),
+      centd AS (
+        SELECT cid, i - 1 AS pos, SUM(qv[i]) / COUNT(*) AS cv_i
+        FROM assigned0, UNNEST(RANGE(1, LEN(qv) + 1)) AS t(i)
+        GROUP BY cid, i),
+      cents AS (SELECT cid, LIST(cv_i ORDER BY pos) AS cv FROM centd GROUP BY cid),
+      ac AS (
+        SELECT vec_id, embedding, cid AS cell
+        FROM (SELECT vec_id, embedding, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM (SELECT e.vec_id, e.embedding, c.cid, ${dist2Sql("e.qv", "c.cv")} AS dist
+                    FROM qemb e, cents c))
+        WHERE rn = 1),
+      probes AS (
+        SELECT query_id, qvec, cell
+        FROM (SELECT query_id, qvec, cell,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cdist, cell) AS pr
+              FROM (SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid AS cell,
+                           ${dist2Sql("q.qv", "c.cv")} AS cdist
+                    FROM qemb q, cents c WHERE q.vec_id < 5))
+        WHERE pr <= $nprobe),
+      scored AS (
+        SELECT p.query_id, a.vec_id, ${cosSql("p.qvec", "a.embedding")} AS cos
+        FROM ac a JOIN probes p ON a.cell = p.cell),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 10
+      ORDER BY query_id, rnk
+      """
+    }
+  ) { t => ivfQuery(t, c = 16, nprobe = 4) }
+
   // ann_quantized — int8 scalar quantization: per-vector max-abs scale,
-  // elements rounded to [-127, 127]. 4× memory/shuffle reduction for the
-  // 100 TB corpus; query-time scoring dequantizes on the fly. AnnSpec
-  // measures recall@10 of quantized search vs the float brute force.
-  val quantized = Q("ann_quantized", None) { t =>
+  // elements quantized to [-127, 127] via the tie-free floor(x·127/s + ½)
+  // (ROUND half-rule differs between engines; floor is portable). 4×
+  // memory/shuffle reduction for the 100 TB corpus; query-time scoring
+  // dequantizes on the fly. AnnSpec measures recall@10 vs the float brute
+  // force; the oracle replays quantization + integer scoring in SQL.
+  val quantized = Q(
+    "ann_quantized",
+    Some(s"""
+      WITH qz AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) / list_max(list_transform(embedding,
+                        y -> abs(CAST(y AS DOUBLE)))) * 127 + 0.5) AS BIGINT)) AS qvec
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, qvec AS qq FROM qz WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, vec_id, ROUND(qd / (SQRT(qna) * SQRT(qnb)), 6) AS cos
+        FROM (SELECT query_id, vec_id,
+                     CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qq, qvec),
+                       pr -> pr[1] * pr[2])) AS DOUBLE) AS qd,
+                     CAST(LIST_SUM(LIST_TRANSFORM(qq, x -> x * x)) AS DOUBLE) AS qna,
+                     CAST(LIST_SUM(LIST_TRANSFORM(qvec, x -> x * x)) AS DOUBLE) AS qnb
+              FROM qz, q)),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 10
+      ORDER BY query_id, rnk
+    """)
+  ) { t =>
     import org.apache.spark.sql.expressions.Window
     val scaleC = aggregate(col("embedding"), lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
     val corpus = t.embeddings
       .select(col("vec_id"), col("embedding"), scaleC.as("scale"))
-      .select(col("vec_id"), col("scale"),
+      .select(col("vec_id"),
         transform(col("embedding"),
-          x => round(x.cast(DoubleType) / col("scale") * 127).cast("tinyint")).as("qvec"))
+          x => floor(x.cast(DoubleType) / col("scale") * 127 + 0.5)).as("qvec"))
     val queries = corpus.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"), col("scale").as("q_scale"))
-    // integer dot product, dequantized by the two scales
+      .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"))
+    // integer dot product (dequantization scales cancel in the cosine)
     def qdot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x.cast("int") * y.cast("int")).cast("long")),
-        lit(0L), (acc, v) => acc + v).cast(DoubleType)
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+        .cast(DoubleType)
     def qnorm(a: Column): Column = sqrt(qdot(a, a))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(queries))

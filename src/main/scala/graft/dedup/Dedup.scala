@@ -1,6 +1,7 @@
 package graft.dedup
 
 import graft.{Q, Tables}
+import graft.functions.PortableHash
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -57,15 +58,50 @@ object Dedup {
       .orderBy(col("method"))
   }
 
-  /** Word w-shingles as strings (multiset — no array_distinct: it is
-    * O(n²) in the interpreted higher-order path, min-hash is multiset-
-    * invariant, and Jaccard dedups relationally via codegen'd DISTINCT).
+  // ---- shared oracle fragments (PortableHash contract) --------------------
+
+  /** documents ∪ twins as a CTE — the SQL mirror of withTwins. */
+  private val corpusSql =
+    """corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               array_to_string(list_slice(STRING_SPLIT_REGEX(TRIM(text), '\s+'), 1,
+                 GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) - 3, 1)), ' ')
+        FROM documents)"""
+
+  private val P = PortableHash.P
+
+  /** CTE chain computing the portable 64-bit simhash per corpus doc and
+    * the banded candidate pairs with exact hamming — shared by the
+    * dedup_simhash and dedup_components oracles.
     */
-  private def shingles(c: Column, w: Int): Column = {
-    val ws = words(c)
-    transform(
-      sequence(lit(0), greatest(size(ws) - w, lit(0))),
-      i => array_join(slice(ws, i + 1, lit(w)), " "))
+  private def simhashPairsSql: String = {
+    val al = PortableHash.coefASql(64)
+    val bl = PortableHash.coefBSql(64)
+    s"""words AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws FROM corpus),
+      whs AS (
+        SELECT doc_id, LEN(ws) AS n,
+               list_transform(ws, w -> ${PortableHash.wordHashSql("w")}) AS hs
+        FROM words),
+      bits AS (
+        SELECT doc_id, b,
+               CASE WHEN 2 * LIST_SUM(LIST_TRANSFORM(hs,
+                      h -> ((list_extract($al, b + 1) * h + list_extract($bl, b + 1)) % $P >> 15) & 1)) >= n
+                    THEN CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                              ELSE (1::BIGINT << b) END
+                    ELSE 0 END AS bitval
+        FROM whs, UNNEST(RANGE(0, 64)) AS t(b)),
+      sigs AS (SELECT doc_id, SUM(bitval)::BIGINT AS sig FROM bits GROUP BY doc_id),
+      sbanded AS (
+        SELECT doc_id, sig, b, (sig >> (b * 8)) & 255 AS bval
+        FROM sigs, UNNEST(RANGE(0, 8)) AS t(b)),
+      spairs AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sbanded a JOIN sbanded b
+          ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id)"""
   }
 
   // dedup_ngram_jaccard — 3-word-shingle Jaccard via inverted-index
@@ -149,37 +185,58 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** k MinHash values for a shingle array: min over universal-hash family
-    * h_i(x) = xxhash64(shingle, seed=i).
-    *
-    * Single-pass formulation: one fold over the shingles, producing all k
-    * minima via an elementwise zip — the shingle array is referenced ONCE.
-    * Higher-order functions run interpreted (no codegen CSE), so a
-    * k-transforms-over-shingles shape would re-evaluate the shingle
-    * construction k times; this shape is O(|shingles|·k) with no recompute.
-    */
-  private def minhashSig(sh: Column, k: Int): Column =
-    aggregate(
-      sh,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(acc,
-        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(s, i)),
-        (a, b) => least(a, b)))
-
   // dedup_minhash_lsh — MinHash signatures (k=16) banded into 4 bands of 4;
   // docs sharing any band bucket are candidates; verified by signature
   // agreement (estimated Jaccard ≥ 0.5). Bucket-join, never cartesian.
   // Signatures come from the native codegen'd expression (graft_minhash);
-  // the composable-HOF formulation (minhashSig below) is kept as the
-  // portable fallback and for cross-checking in specs.
-  val minhashLsh = Q("dedup_minhash_lsh", None) { t =>
+  // the PortableHash arithmetic is replicated exactly by the DuckDB oracle.
+  val minhashLsh = Q(
+    "dedup_minhash_lsh",
+    Some {
+      val al = PortableHash.coefASql(16)
+      val bl = PortableHash.coefBSql(16)
+      val shingleStr = "array_to_string(list_slice(ws, i, i + 2), ' ')"
+      s"""
+      WITH $corpusSql,
+      words AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS ws FROM corpus),
+      sh AS (
+        SELECT doc_id, ${PortableHash.wordHashSql(shingleStr)} AS h
+        FROM words, UNNEST(RANGE(1, GREATEST(LEN(ws) - 2, 1) + 1)) AS t(i)),
+      sigv AS (
+        SELECT doc_id, j,
+               MIN((list_extract($al, j + 1) * h + list_extract($bl, j + 1)) % $P) AS v
+        FROM sh, UNNEST(RANGE(0, 16)) AS t2(j)
+        GROUP BY doc_id, j),
+      sigs AS (SELECT doc_id, LIST(v ORDER BY j) AS sig FROM sigv GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, sig, b,
+               list_reduce(list_prepend((b + 1)::BIGINT, list_slice(sig, b * 4 + 1, b * 4 + 4)),
+                 (a, x) -> (a * 31 + x) % $P) AS bucket
+        FROM sigs, UNNEST(RANGE(0, 4)) AS t(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sig AS sig1, b.sig AS sig2
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      SELECT id1, id2,
+             ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sig1, sig2),
+               p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / 16.0, 4) AS est_jaccard
+      FROM cand
+      WHERE ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sig1, sig2),
+              p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / 16.0, 4) >= 0.5
+      ORDER BY id1, id2
+      """
+    }
+  ) { t =>
     graft.functions.GraftFunctions.register(t.spark)
     val k = 16; val bands = 4; val rows = k / bands
     val sig = withTwins(t)
       .select(col("doc_id"), call_function("graft_minhash", col("text")).as("sig"))
+    // Band bucket = portable fold of the band's signature rows, seeded by
+    // the band index — same arithmetic as the oracle's list_reduce.
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(array_join(slice(col("sig"), b * rows + 1, lit(rows)), ",")))))
+        b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)),
+          (b + 1).cast(LongType), (acc, v) => (acc * 31 + v) % P))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = banded.as("a")
@@ -197,43 +254,22 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** 64-bit SimHash over word xxhashes: bit b set iff the majority of word
-    * hashes have bit b set.
-    *
-    * Single-pass formulation: one fold over the word hashes accumulating a
-    * 64-slot set-bit counter (elementwise zip), then one fold to assemble
-    * the signature. The word/hash arrays are each referenced once — a
-    * 64-filters-over-hashes shape would re-split the text 64 times in the
-    * interpreted higher-order path.
-    */
-  private def simhash(c: Column): Column = {
-    val hs = transform(words(lower(c)), w => xxhash64(w))
-    val bitPos = sequence(lit(0), lit(63))
-    val counts = aggregate(
-      hs,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        transform(bitPos, b => call_function("shiftright", h, b).bitwiseAND(lit(1L))),
-        (a, b) => a + b))
-    // majority vote per bit: counts referenced via a struct fold with the
-    // word count carried alongside (single evaluation of both subtrees)
-    aggregate(
-      zip_with(counts, bitPos, (cnt, b) => struct(cnt.as("cnt"), b.as("b"))),
-      struct(lit(0L).as("sig"), size(hs).cast("long").as("n")),
-      (acc, e) => struct(
-        acc.getField("sig").bitwiseOR(
-          when(e.getField("cnt") * 2 >= acc.getField("n"),
-            call_function("shiftleft", lit(1L), e.getField("b"))).otherwise(lit(0L))).as("sig"),
-        acc.getField("n").as("n")),
-      acc => acc.getField("sig"))
-  }
-
   // dedup_simhash — SimHash near-dup with multi-table banding: the 64-bit
   // signature splits into 8 disjoint 8-bit bands; docs sharing ANY band
   // value are candidates (pigeonhole: hamming ≤ 7 guarantees a clean band),
   // then exact Hamming ≤ 8 verification via bit_count(xor). The join key is
   // (band, value) — candidate volume scales with real collisions, never n².
-  val simhashDedup = Q("dedup_simhash", None) { t =>
+  // The oracle recomputes the portable simhash + banding in DuckDB SQL.
+  val simhashDedup = Q(
+    "dedup_simhash",
+    Some(s"""
+      WITH $corpusSql,
+      $simhashPairsSql
+      SELECT id1, id2, hamming FROM spairs
+      WHERE hamming <= 8
+      ORDER BY id1, id2
+    """)
+  ) { t =>
     graft.functions.GraftFunctions.register(t.spark)
     val sigs = withTwins(t)
       .select(col("doc_id"), call_function("graft_simhash64", col("text")).as("sig"))
@@ -309,9 +345,34 @@ object Dedup {
 
   // dedup_components — end-to-end duplicate-group clustering: near-dup
   // pairs (from the banded simhash candidates) → connected components →
-  // canonical doc per group (minimum id). Rows-only; DedupSpec asserts
-  // each planted twin lands in its original's component.
-  val components = Q("dedup_components", None) { t =>
+  // canonical doc per group (minimum id). The oracle recomputes the same
+  // pairs in SQL and closes them with a recursive transitive closure
+  // (exact for the small per-component graphs dup clustering produces);
+  // DedupSpec additionally asserts each planted twin lands in its
+  // original's component.
+  val components = Q(
+    "dedup_components",
+    Some(s"""
+      WITH RECURSIVE $corpusSql,
+      $simhashPairsSql,
+      pairs AS (SELECT id1, id2 FROM spairs WHERE hamming <= 8),
+      edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs),
+      reach AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      labels AS (SELECT a AS id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
+      SELECT label AS canonical_doc, COUNT(*) AS group_size,
+             array_to_string(LIST(id::VARCHAR ORDER BY id), ',') AS member_ids
+      FROM labels
+      GROUP BY label
+      HAVING COUNT(*) >= 2
+      ORDER BY canonical_doc
+    """)
+  ) { t =>
     graft.functions.GraftFunctions.register(t.spark)
     val pairs = simhashDedup.build(t).select(col("id1"), col("id2"))
     connectedComponents(pairs)
@@ -324,21 +385,60 @@ object Dedup {
       .orderBy(col("canonical_doc"))
   }
 
+  /** Literal ±1 hyperplane table shared by dedup_embedding (and mirrored
+    * into its oracle SQL): 8 planes × 64 dims from the portable family.
+    */
+  private val embSigns = PortableHash.planeSigns(8, 64)
+
+  private def planeProj(p: Int, vec: Column): Column =
+    aggregate(
+      zip_with(vec, typedlit(embSigns(p).toSeq), (x, s) => x.cast(DoubleType) * s),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def embBucket(vec: Column): Column =
+    (0 until 8).map { p =>
+      when(planeProj(p, vec) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  private def embProjSql(p: Int, vecExpr: String): String =
+    s"LIST_SUM(LIST_TRANSFORM(LIST_ZIP($vecExpr, ${PortableHash.signsSql(embSigns(p))}), " +
+      "pr -> CAST(pr[1] AS DOUBLE) * pr[2]))"
+
+  private def embBucketSql(vecExpr: String): String =
+    (0 until 8).map { p =>
+      s"CASE WHEN ${embProjSql(p, vecExpr)} > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private val cosSql =
+    """ROUND(
+         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+           pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) /
+         (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+          SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6)"""
+
   // dedup_embedding — embedding-cosine near-dup pairs: random-hyperplane
   // LSH buckets (all 8 sign bits must agree — near-identical vectors
   // almost always do) prune candidates, exact cosine ≥ 0.99 verifies.
-  // Bucket self-join, never |corpus|².
-  val embeddingDedup = Q("dedup_embedding", None) { t =>
-    def planeSign(p: Int, d: Column): Column =
-      when(xxhash64(lit(p), d).bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
-    def bucket(vec: Column): Column =
-      (0 until 8).map { p =>
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast(DoubleType) * planeSign(p, i)),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
+  // Bucket self-join, never |corpus|². The hyperplane signs are literal
+  // model constants, so the oracle reproduces buckets exactly.
+  val embeddingDedup = Q(
+    "dedup_embedding",
+    Some(s"""
+      WITH ecorpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings),
+      bucketed AS (
+        SELECT vec_id, embedding, ${embBucketSql("embedding")} AS bucket
+        FROM ecorpus)
+      SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cos
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE $cosSql >= 0.99
+      ORDER BY id1, id2
+    """)
+  ) { t =>
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
         lit(0.0), (acc, v) => acc + v)
@@ -347,7 +447,7 @@ object Dedup {
     val base = t.embeddings.select(col("vec_id"), col("embedding"))
     val corpus = base.unionAll(
       base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
+      .select(col("vec_id"), col("embedding"), embBucket(col("embedding")).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     corpus.as("a")
       .join(corpus.as("b"), col("a.bucket") === col("b.bucket") &&
@@ -359,13 +459,6 @@ object Dedup {
       .filter(col("cos") >= 0.99)
       .orderBy(col("id1"), col("id2"))
   }
-
-  /** HOF-composed signatures, exposed for spec cross-checks against the
-    * native expressions. */
-  def hofSimhashSigs(t: Tables): DataFrame =
-    withTwins(t).select(col("doc_id"), simhash(col("text")).as("sig"))
-  def hofMinhashSigs(t: Tables): DataFrame =
-    withTwins(t).select(col("doc_id"), minhashSig(shingles(col("text"), 3), 16).as("sig"))
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup,
     components, embeddingDedup)

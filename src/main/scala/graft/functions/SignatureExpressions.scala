@@ -50,7 +50,38 @@ object SignatureKernels {
     XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
       until - from, seed)
 
-  /** 64-bit SimHash: majority vote over per-token xxhash64 bits. */
+  /** Portable polynomial fold (PortableHash contract): h = (31h + byte) mod P. */
+  private def polyRange(bytes: Array[Byte], from: Int, until: Int, init: Long): Long = {
+    var h = init
+    var i = from
+    while (i < until) { h = (h * 31 + (bytes(i) & 0xff)) % PortableHash.P; i += 1 }
+    h
+  }
+
+  @inline private def wordHash(bytes: Array[Byte], from: Int, until: Int): Long =
+    polyRange(bytes, from, until, 7L)
+
+  /** Canonical shingle hash: tokens i..i+w-1 folded with a single space
+    * byte between them — identical to hashing `array_to_string(slice(ws,
+    * i, i+w-1), ' ')`, which is what the DuckDB oracle computes.
+    */
+  private def shingleHash(bytes: Array[Byte], toks: Array[Int], i: Int, w: Int): Long = {
+    val nToks = toks.length / 2
+    val last = math.min(i + w - 1, nToks - 1)
+    var h = 7L
+    var t = i
+    while (t <= last) {
+      if (t > i) h = (h * 31 + 32) % PortableHash.P
+      h = polyRange(bytes, toks(2 * t), toks(2 * t + 1), h)
+      t += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash: majority vote over per-token portable-hash bits
+    * (bit j of a word = parity of the j-seeded universal hash of its
+    * portable word hash) — reproducible in the DuckDB oracle.
+    */
   def simhash64(s: UTF8String): Long = {
     val bytes = s.toLowerCase.getBytes
     val toks = tokenOffsets(bytes)
@@ -59,10 +90,13 @@ object SignatureKernels {
     val counts = new Array[Int](64)
     var t = 0
     while (t < nToks) {
-      val h = hashRange(bytes, toks(2 * t), toks(2 * t + 1), 42L)
+      val h = wordHash(bytes, toks(2 * t), toks(2 * t + 1))
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        // bit 15 of the seeded hash: the low bit of a multiply-accumulate
+        // mod an odd prime has algebraic parity structure (inflates false
+        // near-dups ~10×); a middle bit is well mixed.
+        if (((PortableHash.seeded(h, b) >> 15) & 1L) == 1L) counts(b) += 1
         b += 1
       }
       t += 1
@@ -74,6 +108,24 @@ object SignatureKernels {
       b += 1
     }
     sig
+  }
+
+  /** Portable rolling document fingerprint: per-token portable word hash
+    * over the lowercased text, folded as fp = (31·fp + wh) mod FpM from
+    * seed 5381 — order-sensitive, shift-stable, oracle-reproducible.
+    */
+  def fingerprint(s: UTF8String): Long = {
+    val bytes = s.toLowerCase.getBytes
+    val toks = tokenOffsets(bytes)
+    val nToks = toks.length / 2
+    var fp = 5381L
+    var t = 0
+    while (t < nToks) {
+      val wh = wordHash(bytes, toks(2 * t), toks(2 * t + 1))
+      fp = (fp * 31 + wh) % PortableHash.FpM
+      t += 1
+    }
+    fp
   }
 
   /** xxhash64 of every `w`-token shingle (hash of the raw byte span from
@@ -116,8 +168,9 @@ object SignatureKernels {
     new GenericArrayData(out.asInstanceOf[Array[AnyRef]])
   }
 
-  /** k MinHash values over `w`-token shingles (shingle identity = the raw
-    * byte span from token i through token i+w-1).
+  /** k MinHash values over `w`-token shingles: min over the k-seeded
+    * portable universal hashes of each canonical shingle hash —
+    * reproducible in the DuckDB oracle.
     */
   def minhashSig(s: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = s.getBytes
@@ -127,12 +180,11 @@ object SignatureKernels {
     val nShingles = math.max(nToks - w + 1, if (nToks > 0) 1 else 0)
     var i = 0
     while (i < nShingles) {
-      val from = toks(2 * i)
-      val until = toks(2 * math.min(i + w - 1, nToks - 1) + 1)
+      val sh = shingleHash(bytes, toks, i, w)
       var j = 0
       while (j < k) {
-        val h = hashRange(bytes, from, until, j.toLong)
-        if (h < mins(j)) mins(j) = h
+        val v = PortableHash.seeded(sh, j)
+        if (v < mins(j)) mins(j) = v
         j += 1
       }
       i += 1
@@ -162,6 +214,18 @@ case class ShingleHashesExpr(child: Expression, w: Int = 3) extends UnaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SignatureKernels.shingleHashes($c, $w)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** graft_fingerprint(text) → BIGINT (portable rolling word-hash fold) */
+case class FingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.fingerprint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureKernels.fingerprint($c)")
+  override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
     copy(child = newChild)
 }
 
@@ -200,6 +264,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.simhashDesc)
     ext.injectFunction(GraftFunctions.minhashDesc)
     ext.injectFunction(GraftFunctions.shinglesDesc)
+    ext.injectFunction(GraftFunctions.fingerprintDesc)
     ext.injectOptimizerRule(_ => graft.plans.ApproxQuantileRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
@@ -226,9 +291,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[BigramsExpr].getName, "graft_bigrams"),
       (args: Seq[Expression]) => BigramsExpr(args.head))
 
+  val fingerprintDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[FingerprintExpr].getName, "graft_fingerprint"),
+      (args: Seq[Expression]) => FingerprintExpr(args.head))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(simhashDesc, minhashDesc, shinglesDesc, bigramsDesc).foreach { case (id, info, builder) =>
+    Seq(simhashDesc, minhashDesc, shinglesDesc, bigramsDesc,
+      fingerprintDesc).foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }

@@ -148,20 +148,32 @@ object TextOps {
     """)
   ) { t => langidOn(t.documents) }
 
-  // text_fingerprint — rolling polynomial fingerprint over word CRCs: a
-  // deterministic content fingerprint for shift-stable near-dup detection.
-  // Rows-only; TextSpec pins expected values on a fixed sample.
-  val fingerprint = Q("text_fingerprint", None) { t =>
-    val ws = words(lower(col("text")))
-    // Modular polynomial hash (mod 1e9+7) — ANSI-safe, no int64 overflow.
-    val M = 1000000007L
-    val fp = aggregate(
-      transform(ws, w => crc32(w.cast("binary"))),
-      lit(5381L),
-      (acc, h) => (acc * lit(31L) + pmod(h, lit(M))) % lit(M))
+  // text_fingerprint — rolling polynomial fingerprint over portable word
+  // hashes (graft.functions.PortableHash contract): a deterministic
+  // content fingerprint for shift-stable near-dup detection, computed by
+  // the codegen'd graft_fingerprint expression in one pass and replicated
+  // exactly by the DuckDB oracle's list folds.
+  val fingerprint = Q(
+    "text_fingerprint",
+    Some {
+      val wh = graft.functions.PortableHash.wordHashSql("w")
+      val m = graft.functions.PortableHash.FpM
+      s"""
+      SELECT doc_id,
+             list_reduce(list_prepend(5381::BIGINT,
+               list_transform(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'), w -> $wh)),
+               (acc, x) -> (acc * 31 + x) % $m) AS fingerprint,
+             CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n_words
+      FROM documents
+      ORDER BY doc_id
+      """
+    }
+  ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
     t.documents
-      .select(col("doc_id"), fp.as("fingerprint"),
-        size(ws).cast(LongType).as("n_words"))
+      .select(col("doc_id"),
+        call_function("graft_fingerprint", col("text")).as("fingerprint"),
+        size(words(col("text"))).cast(LongType).as("n_words"))
       .orderBy(col("doc_id"))
   }
 
