@@ -174,21 +174,29 @@ object Sbom {
 
   // sbom_source_extract — the 6-strategy source-reference coalesce chain
   // (entrypoint.sh:38-104): spdx doc name → component name → bom-ref →
-  // top-level name → tool hint → filename fallback.
+  // top-level name → tools-name hint (first name surviving the generator
+  // denylist, entrypoint.sh:85-92) → filename fallback. Synthetic docs
+  // cycle through which strategy is populated; the tools case carries a
+  // denylisted generator first so the grep -v behavior is exercised.
   val sourceExtract = Q(
     "sbom_source_extract",
     Some(s"""
       WITH $componentsSql,
       metas AS (
         SELECT comp_id,
-               CASE WHEN comp_id % 5 = 0 THEN 'spdx:' || name END AS spdx_doc_name,
-               CASE WHEN comp_id % 5 = 1 THEN 'comp:' || name END AS meta_component_name,
-               CASE WHEN comp_id % 5 = 2 THEN 'ref:' || purl END AS bom_ref,
-               CASE WHEN comp_id % 5 = 3 THEN 'top:' || name END AS top_name,
+               CASE WHEN comp_id % 6 = 0 THEN 'spdx:' || name END AS spdx_doc_name,
+               CASE WHEN comp_id % 6 = 1 THEN 'comp:' || name END AS meta_component_name,
+               CASE WHEN comp_id % 6 = 2 THEN 'ref:' || purl END AS bom_ref,
+               CASE WHEN comp_id % 6 = 3 THEN 'top:' || name END AS top_name,
+               CASE WHEN comp_id % 6 = 4
+                    THEN ['CycloneDX-core', 'protobom-v2', 'wiz-cli:' || name, 'GitHub.com-Dependency-Graph']
+                    ELSE [] END AS tool_names,
                filename
         FROM components)
       SELECT comp_id,
              COALESCE(spdx_doc_name, meta_component_name, bom_ref, top_name,
+                      list_filter(tool_names,
+                        tn -> NOT regexp_matches(tn, 'GitHub.com-Dependency|protobom|CycloneDX|cyclonedx-merge'))[1],
                       REPLACE(filename, '.json', '')) AS source_ref
       FROM metas
       ORDER BY comp_id
@@ -197,14 +205,21 @@ object Sbom {
     components(t)
       .select(
         col("comp_id"),
-        when(col("comp_id") % 5 === 0, concat(lit("spdx:"), col("name"))).as("spdx_doc_name"),
-        when(col("comp_id") % 5 === 1, concat(lit("comp:"), col("name"))).as("meta_component_name"),
-        when(col("comp_id") % 5 === 2, concat(lit("ref:"), col("purl"))).as("bom_ref"),
-        when(col("comp_id") % 5 === 3, concat(lit("top:"), col("name"))).as("top_name"),
+        when(col("comp_id") % 6 === 0, concat(lit("spdx:"), col("name"))).as("spdx_doc_name"),
+        when(col("comp_id") % 6 === 1, concat(lit("comp:"), col("name"))).as("meta_component_name"),
+        when(col("comp_id") % 6 === 2, concat(lit("ref:"), col("purl"))).as("bom_ref"),
+        when(col("comp_id") % 6 === 3, concat(lit("top:"), col("name"))).as("top_name"),
+        when(col("comp_id") % 6 === 4,
+          array(lit("CycloneDX-core"), lit("protobom-v2"),
+            concat(lit("wiz-cli:"), col("name")), lit("GitHub.com-Dependency-Graph")))
+          .otherwise(array().cast("array<string>")).as("tool_names"),
         col("filename"))
       .select(col("comp_id"),
         coalesce(col("spdx_doc_name"), col("meta_component_name"), col("bom_ref"),
-          col("top_name"), regexp_replace(col("filename"), "\\.json", "")).as("source_ref"))
+          col("top_name"),
+          get(filter(col("tool_names"),
+            tn => !tn.rlike(graft.sources.SbomSources.toolNameDenylist)), lit(0)),
+          regexp_replace(col("filename"), "\\.json", "")).as("source_ref"))
       .orderBy(col("comp_id"))
   }
 

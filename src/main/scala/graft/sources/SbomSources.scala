@@ -25,11 +25,15 @@ object SbomSources {
   private val property = StructType(Seq(
     StructField("name", StringType), StructField("value", StringType)))
 
-  /** CycloneDX subset schema (spec fields the reference touches). */
+  /** CycloneDX subset schema (spec fields the reference touches; the
+    * top-level `name` is non-spec but read for source-ref strategy 4 —
+    * entrypoint.sh:75-82).
+    */
   val cycloneDxSchema: StructType = StructType(Seq(
     StructField("bomFormat", StringType),
     StructField("specVersion", StringType),
     StructField("serialNumber", StringType),
+    StructField("name", StringType),
     StructField("version", LongType),
     StructField("metadata", StructType(Seq(
       StructField("timestamp", StringType),
@@ -94,15 +98,28 @@ object SbomSources {
     spark.read.schema(spdxSchema).option("multiLine", true).json(path)
       .withColumn("_file", input_file_name())
 
-  /** Source-reference extraction — the 6-strategy coalesce chain of
-    * entrypoint.sh:38-104 over real document metadata.
+  /** Generator tools whose names are NOT source hints (entrypoint.sh:85 —
+    * the `grep -v` denylist applied to metadata.tools[].name).
+    */
+  val toolNameDenylist = "GitHub.com-Dependency|protobom|CycloneDX|cyclonedx-merge"
+
+  /** Source-reference extraction — the full 6-strategy coalesce chain of
+    * entrypoint.sh:38-104 over real document metadata:
+    * 1 properties[spdx:document:name] (GitHub) → 2 metadata.component.name
+    * (Wiz/Mend) → 3 metadata.component.bom-ref (Mend) → 4 top-level .name
+    * → 5 first metadata.tools[].name surviving the generator denylist →
+    * 6 filename fallback.
     */
   private def sourceRef: org.apache.spark.sql.Column =
     coalesce(
-      filter(col("metadata.properties"), p => p.getField("name") === "spdx:document:name")
-        .getItem(0).getField("value"),
+      get(filter(col("metadata.properties"), p => p.getField("name") === "spdx:document:name"),
+        lit(0)).getField("value"),
       col("metadata.component.name"),
       col("metadata.component.`bom-ref`"),
+      col("name"),
+      get(filter(col("metadata.tools"), tool =>
+        tool.getField("name").isNotNull &&
+          !tool.getField("name").rlike(toolNameDenylist)), lit(0)).getField("name"),
       regexp_extract(col("_file"), "([^/]+)\\.json$", 1))
 
   /** Flatten CycloneDX documents to the component table, reproducing the
@@ -113,10 +130,10 @@ object SbomSources {
     */
   def flattenCycloneDx(docs: DataFrame): DataFrame = {
     val c = col("component")
-    val lic0 = c.getField("licenses").getItem(0)
+    val lic0 = get(c.getField("licenses"), lit(0))
     def prop(name: String) =
-      filter(c.getField("properties"), p => p.getField("name") === name)
-        .getItem(0).getField("value")
+      get(filter(c.getField("properties"), p => p.getField("name") === name),
+        lit(0)).getField("value")
     docs
       .select(sourceRef.as("doc_source"), explode(col("components")).as("component"))
       .select(
@@ -151,8 +168,16 @@ object SbomSources {
         col("doc_source").as("source"),
         lit(null).cast(StringType).as("purl"))
 
+  /** SWID probe schema: presence of the SoftwareIdentity object is the
+    * reference's "basic check" (sbom-processing.sh:83-87).
+    */
+  private val swidProbeSchema = StructType(Seq(
+    StructField("SoftwareIdentity", StructType(Seq(
+      StructField("name", StringType), StructField("tagId", StringType))))))
+
   /** Detect document format from real field presence —
-    * sbom-processing.sh:58-91 priority order.
+    * sbom-processing.sh:58-91 priority order: cyclonedx → spdxjson →
+    * swid → spdxjson default.
     */
   def detectFormat(spark: SparkSession, path: String): DataFrame = {
     val cdx = readCycloneDx(spark, path)
@@ -161,10 +186,16 @@ object SbomSources {
     val spdx = readSpdx(spark, path)
       .select(col("_file").as("_file2"),
         (col("spdxVersion").isNotNull || col("SPDXID").isNotNull).as("is_spdx"))
+    val swid = spark.read.schema(swidProbeSchema)
+      .option("multiLine", true).json(path)
+      .withColumn("_file3", input_file_name())
+      .select(col("_file3"), col("SoftwareIdentity").isNotNull.as("is_swid"))
     cdx.join(spdx, col("_file") === col("_file2"))
+      .join(swid, col("_file") === col("_file3"))
       .select(col("_file").as("file"),
         when(col("is_cdx"), "cyclonedx")
           .when(col("is_spdx"), "spdxjson")
+          .when(col("is_swid"), "swid")
           .otherwise("spdxjson").as("format"))
   }
 

@@ -122,6 +122,43 @@ class SbomSourcesSpec extends SparkSpec {
     assert(formats("repo.json") === "spdxjson")
   }
 
+  test("SWID documents (SoftwareIdentity) are detected as swid") {
+    val d = Files.createTempDirectory("graft_swid").toString
+    Files.writeString(Paths.get(d, "tag.json"),
+      """{"SoftwareIdentity": {"name": "acme-app", "tagId": "abc-123"}}""")
+    Files.writeString(Paths.get(d, "repo.json"), spdxDoc)
+    val formats = SbomSources.detectFormat(spark, d).collect()
+      .map(r => (r.getString(0).split("/").last, r.getString(1))).toMap
+    assert(formats("tag.json") === "swid")
+    assert(formats("repo.json") === "spdxjson")
+  }
+
+  test("source-ref strategies 4 and 5: top-level name, then tools-name hint with denylist") {
+    val d = Files.createTempDirectory("graft_srcref").toString
+    // strategy 4: no metadata names at all, but a top-level .name
+    Files.writeString(Paths.get(d, "toplevel.json"),
+      """{"bomFormat": "CycloneDX", "name": "named-at-top",
+        | "components": [{"type": "library", "name": "libx", "version": "1"}]}""".stripMargin)
+    // strategy 5: only tools names, the first two denylisted generators
+    Files.writeString(Paths.get(d, "toolsonly.json"),
+      """{"bomFormat": "CycloneDX",
+        | "metadata": {"tools": [
+        |   {"vendor": "gh", "name": "GitHub.com-Dependency-Graph"},
+        |   {"vendor": "cdx", "name": "CycloneDX-cli"},
+        |   {"vendor": "wiz", "name": "wiz-scanner"}]},
+        | "components": [{"type": "library", "name": "liby", "version": "2"}]}""".stripMargin)
+    // strategy 6: nothing usable → filename fallback
+    Files.writeString(Paths.get(d, "barefile.json"),
+      """{"bomFormat": "CycloneDX",
+        | "metadata": {"tools": [{"vendor": "cdx", "name": "cyclonedx-merge"}]},
+        | "components": [{"type": "library", "name": "libz", "version": "3"}]}""".stripMargin)
+    val flat = SbomSources.flattenCycloneDx(SbomSources.readCycloneDx(spark, d))
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[String]("source")).toMap
+    assert(flat("libx") === "named-at-top")
+    assert(flat("liby") === "wiz-scanner")
+    assert(flat("libz") === "barefile")
+  }
+
   test("cyclonedx flatten applies the license fallback chain") {
     val flat = SbomSources.flattenCycloneDx(
       SbomSources.readCycloneDx(spark, s"$dir/service-a.json"))
