@@ -261,22 +261,63 @@ object Sbom {
       .orderBy(col("filename"))
   }
 
-  // sbom_table_name — ClickHouse table-name derivation (entrypoint.sh:469):
-  // lowercase, non-alphanumeric → '_'. Derived from owner/repo-style strings.
+  // sbom_table_name — ClickHouse table-name derivation for every source
+  // mode (entrypoint.sh:545-560 + merge path 469): github = sanitized
+  // REPOSITORY; mend = 'mend_' + sanitized scope uuid; wiz = 'wiz_' +
+  // sanitized report id; merge = sanitized s3 key. Sanitize = non-alnum
+  // → '_', lowercase. NOTE (bug-compatible): the merge path's intended
+  // '.json'→'_merged' rewrite runs AFTER the non-alnum pass has already
+  // turned the dot into '_', so it never matches and keys end '_json' —
+  // reproduced faithfully.
   val tableName = Q(
     "sbom_table_name",
     Some("""
-      SELECT DISTINCT
-             LOWER(REGEXP_REPLACE(r_name || '/' || n_name, '[^a-zA-Z0-9]', '_', 'g')) AS table_name
-      FROM region JOIN nation ON n_regionkey = r_regionkey
-      ORDER BY table_name
+      WITH names AS (
+        SELECT n_name, n_nationkey, r_name
+        FROM region JOIN nation ON n_regionkey = r_regionkey),
+      derived AS (
+        SELECT 'github' AS mode,
+               LOWER(REGEXP_REPLACE(r_name || '/' || n_name, '[^a-zA-Z0-9]', '_', 'g')) AS table_name
+        FROM names
+        UNION ALL
+        SELECT 'mend',
+               'mend_' || LOWER(REGEXP_REPLACE(n_name || '-' || CAST(n_nationkey AS VARCHAR),
+                 '[^a-zA-Z0-9]', '_', 'g'))
+        FROM names
+        UNION ALL
+        SELECT 'wiz',
+               'wiz_' || LOWER(REGEXP_REPLACE('report-' || CAST(n_nationkey AS VARCHAR) || '.id',
+                 '[^a-zA-Z0-9]', '_', 'g'))
+        FROM names
+        UNION ALL
+        SELECT 'merge',
+               LOWER(REGEXP_REPLACE(
+                 REGEXP_REPLACE('sboms/' || n_name || '.json', '[^a-zA-Z0-9]', '_', 'g'),
+                 '\.json', '_merged', 'g'))
+        FROM names)
+      SELECT DISTINCT mode, table_name
+      FROM derived
+      ORDER BY mode, table_name
     """)
   ) { t =>
-    t.region.join(t.nation, col("n_regionkey") === col("r_regionkey"))
-      .select(lower(regexp_replace(concat(col("r_name"), lit("/"), col("n_name")),
-        "[^a-zA-Z0-9]", "_")).as("table_name"))
+    val names = t.region.join(t.nation, col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("n_nationkey"), col("r_name"))
+    def sanitized(c: Column): Column = lower(regexp_replace(c, "[^a-zA-Z0-9]", "_"))
+    val github = names.select(lit("github").as("mode"),
+      sanitized(concat(col("r_name"), lit("/"), col("n_name"))).as("table_name"))
+    val mend = names.select(lit("mend").as("mode"),
+      concat(lit("mend_"),
+        sanitized(concat(col("n_name"), lit("-"), col("n_nationkey").cast("string")))).as("table_name"))
+    val wiz = names.select(lit("wiz").as("mode"),
+      concat(lit("wiz_"),
+        sanitized(concat(lit("report-"), col("n_nationkey").cast("string"), lit(".id")))).as("table_name"))
+    val merged = names.select(lit("merge").as("mode"),
+      regexp_replace(
+        sanitized(concat(lit("sboms/"), col("n_name"), lit(".json"))),
+        "\\.json", "_merged").as("table_name"))
+    github.unionAll(mend).unionAll(wiz).unionAll(merged)
       .distinct()
-      .orderBy(col("table_name"))
+      .orderBy(col("mode"), col("table_name"))
   }
 
   // sbom_format_detect — format detection priority chain
@@ -321,7 +362,9 @@ object Sbom {
 
   // sbom_ref_category — SPDX referenceCategory normalization
   // (sbom-processing.sh:15-35): PACKAGE-MANAGER → PACKAGE_MANAGER, keep
-  // {SECURITY, PERSISTENT_ID, OTHER, PACKAGE_MANAGER}, anything else → OTHER.
+  // {SECURITY, PERSISTENT_ID, OTHER}, anything else → OTHER. The jq chain
+  // omits the already-correct 'PACKAGE_MANAGER' spelling, so the
+  // reference rewrites it to OTHER — reproduced bug-compatibly.
   val refCategory = Q(
     "sbom_ref_category",
     Some(s"""
@@ -336,7 +379,7 @@ object Sbom {
                                 ELSE 'bogus-category' END AS ref_category
         FROM components)
       SELECT CASE WHEN ref_category = 'PACKAGE-MANAGER' THEN 'PACKAGE_MANAGER'
-                  WHEN ref_category IN ('SECURITY', 'PERSISTENT_ID', 'OTHER', 'PACKAGE_MANAGER')
+                  WHEN ref_category IN ('SECURITY', 'PERSISTENT_ID', 'OTHER')
                     THEN ref_category
                   ELSE 'OTHER' END AS ref_category,
              COUNT(*) AS n
@@ -354,11 +397,142 @@ object Sbom {
           .as("raw"))
       .select(
         when(col("raw") === "PACKAGE-MANAGER", "PACKAGE_MANAGER")
-          .when(col("raw").isin("SECURITY", "PERSISTENT_ID", "OTHER", "PACKAGE_MANAGER"), col("raw"))
+          .when(col("raw").isin("SECURITY", "PERSISTENT_ID", "OTHER"), col("raw"))
           .otherwise("OTHER").as("ref_category"))
       .groupBy(col("ref_category"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("ref_category"))
+  }
+
+  // sbom_convert — doc-level SPDX→CycloneDX conversion (sbom-processing.sh:
+  // 94-152) including the fix_spdx_compatibility referenceCategory walk
+  // (sbom-processing.sh:7-35): each synthetic SPDX package (licenseConcluded
+  // → licenseDeclared → NOASSERTION, an externalRef with a possibly-invalid
+  // category) is emitted as a CycloneDX v1.6 component JSON document, then
+  // parsed back — the round-trip proves the emission is well-formed and the
+  // category walk applied. Both engines build and re-parse identical JSON.
+  val convert = Q(
+    "sbom_convert",
+    Some(s"""
+      WITH $componentsSql,
+      spdx AS (
+        SELECT comp_id, name, version,
+               COALESCE(lic_id, lic_name, 'NOASSERTION') AS license,
+               CASE comp_id % 6 WHEN 0 THEN 'PACKAGE-MANAGER'
+                                WHEN 1 THEN 'SECURITY'
+                                WHEN 2 THEN 'PERSISTENT_ID'
+                                WHEN 3 THEN 'OTHER'
+                                WHEN 4 THEN 'PACKAGE_MANAGER'
+                                ELSE 'bogus-category' END AS raw_category
+        FROM components),
+      fixed AS (
+        SELECT comp_id, name, version, license,
+               CASE WHEN raw_category = 'PACKAGE-MANAGER' THEN 'PACKAGE_MANAGER'
+                    WHEN raw_category IN ('SECURITY', 'PERSISTENT_ID', 'OTHER')
+                      THEN raw_category
+                    ELSE 'OTHER' END AS ref_category
+        FROM spdx),
+      emitted AS (
+        SELECT comp_id,
+               '{"bomFormat":"CycloneDX","specVersion":"1.6","components":[{"type":"library","name":"'
+                 || name || '","version":"' || version
+                 || '","licenses":[{"license":{"id":"' || license
+                 || '"}}],"properties":[{"name":"spdx:referenceCategory","value":"'
+                 || ref_category || '"}]}]}' AS cdx_json
+        FROM fixed)
+      SELECT comp_id,
+             JSON_EXTRACT_STRING(cdx_json, '$$.components[0].name') AS name,
+             JSON_EXTRACT_STRING(cdx_json, '$$.components[0].version') AS version,
+             JSON_EXTRACT_STRING(cdx_json, '$$.components[0].licenses[0].license.id') AS license,
+             JSON_EXTRACT_STRING(cdx_json, '$$.components[0].properties[0].value') AS ref_category
+      FROM emitted
+      ORDER BY comp_id
+    """)
+  ) { t =>
+    val spdx = components(t).select(
+      col("comp_id"), col("name"), col("version"),
+      coalesce(col("lic_id"), col("lic_name"), lit("NOASSERTION")).as("license"),
+      when(col("comp_id") % 6 === 0, "PACKAGE-MANAGER")
+        .when(col("comp_id") % 6 === 1, "SECURITY")
+        .when(col("comp_id") % 6 === 2, "PERSISTENT_ID")
+        .when(col("comp_id") % 6 === 3, "OTHER")
+        .when(col("comp_id") % 6 === 4, "PACKAGE_MANAGER")
+        .otherwise("bogus-category").as("raw_category"))
+    val fixed = spdx.withColumn("ref_category",
+      when(col("raw_category") === "PACKAGE-MANAGER", "PACKAGE_MANAGER")
+        .when(col("raw_category").isin("SECURITY", "PERSISTENT_ID", "OTHER"),
+          col("raw_category"))
+        .otherwise("OTHER"))
+    val emitted = fixed.select(col("comp_id"), concat(
+      lit("{\"bomFormat\":\"CycloneDX\",\"specVersion\":\"1.6\",\"components\":[{\"type\":\"library\",\"name\":\""),
+      col("name"), lit("\",\"version\":\""), col("version"),
+      lit("\",\"licenses\":[{\"license\":{\"id\":\""), col("license"),
+      lit("\"}}],\"properties\":[{\"name\":\"spdx:referenceCategory\",\"value\":\""),
+      col("ref_category"), lit("\"}]}]}")).as("cdx_json"))
+    emitted.select(
+      col("comp_id"),
+      get_json_object(col("cdx_json"), "$.components[0].name").as("name"),
+      get_json_object(col("cdx_json"), "$.components[0].version").as("version"),
+      get_json_object(col("cdx_json"), "$.components[0].licenses[0].license.id").as("license"),
+      get_json_object(col("cdx_json"), "$.components[0].properties[0].value").as("ref_category"))
+      .orderBy(col("comp_id"))
+  }
+
+  // sbom_validate_modes — mode-conditional required-variable validation
+  // (lib/validation.sh:7-71): REPOSITORY required only outside
+  // merge/mend/wiz modes; the ClickHouse URL implies the DATABASE+USERNAME
+  // triplet; mend needs its credential quad plus at least one of
+  // project/product scope; wiz needs its endpoint/client/report set.
+  val validateModes = Q(
+    "sbom_validate_modes",
+    Some(s"""
+      WITH $componentsSql,
+      cfg AS (
+        SELECT comp_id,
+               CASE comp_id % 4 WHEN 0 THEN 'github' WHEN 1 THEN 'merge'
+                                WHEN 2 THEN 'mend' ELSE 'wiz' END AS mode,
+               comp_id % 5 <> 0 AS has_repository,
+               comp_id % 3 = 0  AS has_ch_url,
+               comp_id % 6 <> 2 AS has_ch_db_and_user,
+               comp_id % 7 <> 0 AS has_mend_creds,
+               comp_id % 2 = 0  AS has_project_uuid,
+               comp_id % 9 = 0  AS has_product_uuid,
+               comp_id % 8 <> 1 AS has_wiz_vars
+        FROM components),
+      checked AS (
+        SELECT mode,
+               (mode IN ('merge', 'mend', 'wiz') OR has_repository)
+               AND (NOT has_ch_url OR has_ch_db_and_user)
+               AND (mode <> 'mend' OR (has_mend_creds AND (has_project_uuid OR has_product_uuid)))
+               AND (mode <> 'wiz' OR has_wiz_vars) AS ok
+        FROM cfg)
+      SELECT mode,
+             COUNT(CASE WHEN ok THEN 1 END) AS n_valid,
+             COUNT(*) AS n_total
+      FROM checked
+      GROUP BY mode
+      ORDER BY mode
+    """)
+  ) { t =>
+    val cfg = components(t).select(
+      when(col("comp_id") % 4 === 0, "github").when(col("comp_id") % 4 === 1, "merge")
+        .when(col("comp_id") % 4 === 2, "mend").otherwise("wiz").as("mode"),
+      (col("comp_id") % 5 =!= 0).as("has_repository"),
+      (col("comp_id") % 3 === 0).as("has_ch_url"),
+      (col("comp_id") % 6 =!= 2).as("has_ch_db_and_user"),
+      (col("comp_id") % 7 =!= 0).as("has_mend_creds"),
+      (col("comp_id") % 2 === 0).as("has_project_uuid"),
+      (col("comp_id") % 9 === 0).as("has_product_uuid"),
+      (col("comp_id") % 8 =!= 1).as("has_wiz_vars"))
+    cfg.select(col("mode"),
+      ((col("mode").isin("merge", "mend", "wiz") || col("has_repository")) &&
+        (!col("has_ch_url") || col("has_ch_db_and_user")) &&
+        (col("mode") =!= "mend" ||
+          (col("has_mend_creds") && (col("has_project_uuid") || col("has_product_uuid")))) &&
+        (col("mode") =!= "wiz" || col("has_wiz_vars"))).as("ok"))
+      .groupBy(col("mode"))
+      .agg(count(when(col("ok"), 1)).as("n_valid"), count(lit(1)).as("n_total"))
+      .orderBy(col("mode"))
   }
 
   // sbom_component_stats — the downstream ClickHouse analytics use-case:
@@ -420,5 +594,6 @@ object Sbom {
   }
 
   val all: Seq[Q] = Seq(flatten, mergeDedup, licenseMap, sourceExtract,
-    filterPatterns, tableName, formatDetect, refCategory, componentStats, validate)
+    filterPatterns, tableName, formatDetect, refCategory, componentStats,
+    validate, convert, validateModes)
 }

@@ -61,7 +61,11 @@ object SbomSources {
       StructField("name", StringType), StructField("SPDXID", StringType),
       StructField("versionInfo", StringType),
       StructField("licenseConcluded", StringType),
-      StructField("licenseDeclared", StringType)))))))
+      StructField("licenseDeclared", StringType),
+      StructField("externalRefs", ArrayType(StructType(Seq(
+        StructField("referenceCategory", StringType),
+        StructField("referenceType", StringType),
+        StructField("referenceLocator", StringType)))))))))))
 
   /** CycloneDX schema extended with the optional `.sbom` envelope (GitHub
     * dependency-graph API shape) so one read handles both layouts.
@@ -198,6 +202,58 @@ object SbomSources {
           .when(col("is_swid"), "swid")
           .otherwise("spdxjson").as("format"))
   }
+
+  /** fix_spdx_compatibility (sbom-processing.sh:7-35) as a document walk:
+    * every packages[].externalRefs[].referenceCategory is normalized to a
+    * value CycloneDX conversion accepts — PACKAGE-MANAGER →
+    * PACKAGE_MANAGER; SECURITY / PERSISTENT_ID / OTHER kept; anything
+    * else → OTHER. Bug-compatible quirk: the jq if/elif chain does not
+    * list the already-correct "PACKAGE_MANAGER" spelling, so the
+    * reference rewrites it to OTHER — reproduced faithfully.
+    */
+  def fixSpdxCompatibility(docs: DataFrame): DataFrame =
+    docs.withColumn("packages", transform(col("packages"), p =>
+      struct(
+        p.getField("name").as("name"),
+        p.getField("SPDXID").as("SPDXID"),
+        p.getField("versionInfo").as("versionInfo"),
+        p.getField("licenseConcluded").as("licenseConcluded"),
+        p.getField("licenseDeclared").as("licenseDeclared"),
+        transform(p.getField("externalRefs"), r =>
+          struct(
+            when(r.getField("referenceCategory") === "PACKAGE-MANAGER", "PACKAGE_MANAGER")
+              .when(r.getField("referenceCategory")
+                .isin("SECURITY", "PERSISTENT_ID", "OTHER"), r.getField("referenceCategory"))
+              .otherwise("OTHER").as("referenceCategory"),
+            r.getField("referenceType").as("referenceType"),
+            r.getField("referenceLocator").as("referenceLocator"))).as("externalRefs"))))
+
+  /** convert_sbom, SPDX→CycloneDX direction (sbom-processing.sh:94-152):
+    * emits a CycloneDX v1.6 document as JSON per SPDX document — the
+    * cyclonedx-cli convert analog as one narrow projection. Package
+    * licenses follow concluded → declared → NOASSERTION; the document
+    * name becomes metadata.component.name. Run fixSpdxCompatibility
+    * first, as the reference does before converting.
+    */
+  def convertSpdxToCycloneDx(docs: DataFrame): DataFrame =
+    docs.select(
+      col("_file"),
+      to_json(struct(
+        lit("CycloneDX").as("bomFormat"),
+        lit("1.6").as("specVersion"),
+        lit(1L).as("version"),
+        struct(
+          struct(lit("application").as("type"),
+            coalesce(col("name"), regexp_extract(col("_file"), "([^/]+)\\.json$", 1))
+              .as("name")).as("component")).as("metadata"),
+        transform(col("packages"), p => struct(
+          lit("library").as("type"),
+          p.getField("name").as("name"),
+          coalesce(p.getField("versionInfo"), lit("unknown")).as("version"),
+          array(struct(struct(
+            coalesce(p.getField("licenseConcluded"), p.getField("licenseDeclared"),
+              lit("NOASSERTION")).as("id")).as("license"))).as("licenses")))
+          .as("components"))).as("cdx_json"))
 
   /** Merge component sets from many documents with the reference's dedup
     * key name@version#purl^source (sbom-merging.sh:358).

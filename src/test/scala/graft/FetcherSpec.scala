@@ -1,0 +1,87 @@
+package graft
+
+import graft.sources.Fetcher
+import graft.sources.Fetcher._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The async-source state machine (request → poll → download) covering
+  * the reference's github/mend/wiz control flows with stub transports.
+  */
+class FetcherSpec extends AnyFunSuite {
+
+  private class Stub(
+    requestResults: Iterator[Either[String, String]],
+    pollResults: Iterator[PollStatus],
+    downloadResult: Either[String, String] = Right("{\"bomFormat\":\"CycloneDX\"}"))
+    extends Transport {
+    var requests = 0
+    var polls = 0
+    override def request(): Either[String, String] = { requests += 1; requestResults.next() }
+    override def poll(token: String): PollStatus = { polls += 1; pollResults.next() }
+    override def download(token: String): Either[String, String] = downloadResult
+  }
+
+  private val noSleep: Long => Unit = _ => ()
+  private def sleeps: (collection.mutable.ArrayBuffer[Long], Long => Unit) = {
+    val buf = collection.mutable.ArrayBuffer.empty[Long]
+    (buf, buf += _)
+  }
+
+  test("happy path: one request, report ready on first poll") {
+    val t = new Stub(Iterator(Right("tok-1")), Iterator(Ready))
+    val r = Fetcher.fetch(t, sleep = noSleep)
+    assert(r === Fetched("{\"bomFormat\":\"CycloneDX\"}", requestAttempts = 1, polls = 1))
+  }
+
+  test("transient request failures retry with backoff, then succeed (github.sh retry loop)") {
+    val (slept, sleeper) = sleeps
+    val t = new Stub(
+      Iterator(Left("503"), Left("502"), Right("tok-2")),
+      Iterator(Ready))
+    val r = Fetcher.fetch(t, Policy(maxRequestAttempts = 3, backoffMs = Seq(10L, 20L)), sleeper)
+    assert(r === Fetched("{\"bomFormat\":\"CycloneDX\"}", requestAttempts = 3, polls = 1))
+    assert(slept.toSeq === Seq(10L, 20L)) // backoff escalates per attempt
+  }
+
+  test("request gives up after the attempt budget") {
+    val t = new Stub(Iterator.continually(Left("401 unauthorized")), Iterator.empty)
+    val r = Fetcher.fetch(t, Policy(maxRequestAttempts = 3), noSleep)
+    assert(r === GaveUp("request", "401 unauthorized (after 3 attempts)"))
+    assert(t.requests === 3 && t.polls === 0)
+  }
+
+  test("poll-until-ready: IN_PROGRESS cycles then COMPLETED (wiz.sh report rerun loop)") {
+    val t = new Stub(Iterator(Right("rerun-7")),
+      Iterator(InProgress, InProgress, InProgress, Ready))
+    val r = Fetcher.fetch(t, Policy(maxPolls = 10), noSleep)
+    assert(r === Fetched("{\"bomFormat\":\"CycloneDX\"}", requestAttempts = 1, polls = 4))
+  }
+
+  test("poll budget exhausted → give up, never downloads") {
+    val t = new Stub(Iterator(Right("tok")), Iterator.continually(InProgress))
+    val r = Fetcher.fetch(t, Policy(maxPolls = 5), noSleep)
+    assert(r === GaveUp("poll", "not ready after 5 polls"))
+    assert(t.polls === 5)
+  }
+
+  test("report FAILED status aborts immediately") {
+    val t = new Stub(Iterator(Right("tok")), Iterator(InProgress, Aborted("report FAILED")))
+    val r = Fetcher.fetch(t, Policy(maxPolls = 10), noSleep)
+    assert(r === GaveUp("poll", "report FAILED"))
+  }
+
+  test("download failure after a ready report is reported as the download stage") {
+    val t = new Stub(Iterator(Right("tok")), Iterator(Ready), Left("404 expired url"))
+    val r = Fetcher.fetch(t, sleep = noSleep)
+    assert(r === GaveUp("download", "404 expired url"))
+  }
+
+  test("direct transports (github.sh) skip real polling") {
+    class Direct extends DirectTransport {
+      override def request(): Either[String, String] = Right("direct")
+      override def download(token: String): Either[String, String] = Right("doc")
+    }
+    assert(Fetcher.fetch(new Direct, sleep = noSleep) ===
+      Fetched("doc", requestAttempts = 1, polls = 1))
+  }
+}

@@ -176,6 +176,42 @@ class SbomSourcesSpec extends SparkSpec {
     assert(flat === Map("pkg-one" -> "GPL-3.0", "pkg-two" -> "ISC"))
   }
 
+  test("SPDX→CycloneDX conversion: compatibility walk + emitted doc re-reads as CycloneDX") {
+    val d = Files.createTempDirectory("graft_convert").toString
+    Files.writeString(Paths.get(d, "repo.json"),
+      """{
+        |  "spdxVersion": "SPDX-2.3",
+        |  "SPDXID": "SPDXRef-DOCUMENT",
+        |  "name": "repo-sbom",
+        |  "packages": [
+        |    {"name": "pkg-one", "SPDXID": "SPDXRef-1", "versionInfo": "4.5",
+        |     "licenseConcluded": "GPL-3.0",
+        |     "externalRefs": [
+        |       {"referenceCategory": "PACKAGE-MANAGER", "referenceType": "purl",
+        |        "referenceLocator": "pkg:generic/pkg-one@4.5"},
+        |       {"referenceCategory": "wat", "referenceType": "cpe", "referenceLocator": "x"}]},
+        |    {"name": "pkg-two", "SPDXID": "SPDXRef-2", "licenseDeclared": "ISC"}
+        |  ]
+        |}""".stripMargin)
+    val fixed = SbomSources.fixSpdxCompatibility(SbomSources.readSpdx(spark, d))
+    val cats = fixed.select(explode(col("packages")).as("p"))
+      .select(explode(col("p.externalRefs")).as("r"))
+      .select(col("r.referenceCategory")).collect().map(_.getString(0)).toSeq.sorted
+    assert(cats === Seq("OTHER", "PACKAGE_MANAGER"))
+
+    // convert and re-read the emitted JSON through the CycloneDX reader path
+    val converted = SbomSources.convertSpdxToCycloneDx(fixed)
+    val outDir = Files.createTempDirectory("graft_converted").toString
+    converted.collect().zipWithIndex.foreach { case (r, i) =>
+      Files.writeString(Paths.get(outDir, s"conv$i.json"), r.getAs[String]("cdx_json"))
+    }
+    val flat = SbomSources.flattenCycloneDx(SbomSources.readCycloneDx(spark, outDir))
+      .collect().map(r => r.getAs[String]("name") ->
+        (r.getAs[String]("version"), r.getAs[String]("license"), r.getAs[String]("source"))).toMap
+    assert(flat("pkg-one") === (("4.5", "GPL-3.0", "repo-sbom")))
+    assert(flat("pkg-two") === (("unknown", "ISC", "repo-sbom")))
+  }
+
   test("merge dedups by name@version#purl^source; mapping fills unknown; sink round-trips sorted") {
     import spark.implicits._
     val a = SbomSources.flattenCycloneDx(SbomSources.readCycloneDx(spark, s"$dir/service-a.json"))
