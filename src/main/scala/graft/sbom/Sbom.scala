@@ -469,12 +469,21 @@ object Sbom {
       lit("\",\"licenses\":[{\"license\":{\"id\":\""), col("license"),
       lit("\"}}],\"properties\":[{\"name\":\"spdx:referenceCategory\",\"value\":\""),
       col("ref_category"), lit("\"}]}]}")).as("cdx_json"))
-    emitted.select(
-      col("comp_id"),
-      get_json_object(col("cdx_json"), "$.components[0].name").as("name"),
-      get_json_object(col("cdx_json"), "$.components[0].version").as("version"),
-      get_json_object(col("cdx_json"), "$.components[0].licenses[0].license.id").as("license"),
-      get_json_object(col("cdx_json"), "$.components[0].properties[0].value").as("ref_category"))
+    // single-parse re-read (get_json_object would re-parse the document
+    // once per extracted field)
+    val cdxParsed = from_json(col("cdx_json"), org.apache.spark.sql.types.DataType.fromDDL(
+      "STRUCT<components: ARRAY<STRUCT<name: STRING, version: STRING, " +
+        "licenses: ARRAY<STRUCT<license: STRUCT<id: STRING>>>, " +
+        "properties: ARRAY<STRUCT<name: STRING, value: STRING>>>>>"))
+    emitted
+      .withColumn("doc", cdxParsed)
+      .withColumn("comp", col("doc.components").getItem(0))
+      .select(
+        col("comp_id"),
+        col("comp.name").as("name"),
+        col("comp.version").as("version"),
+        col("comp.licenses").getItem(0).getField("license").getField("id").as("license"),
+        col("comp.properties").getItem(0).getField("value").as("ref_category"))
       .orderBy(col("comp_id"))
   }
 
