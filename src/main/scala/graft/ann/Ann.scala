@@ -355,5 +355,35 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized)
+  // ann_range_search — range query variant: ALL corpus vectors within
+  // cosine ≥ 0.2 of each query (not top-k). Same broadcast shape as
+  // brute force — query set broadcast, corpus never shuffled — with the
+  // threshold filter replacing the rank window entirely (no global sort,
+  // no window exchange: the 100 TB-friendlier form when the caller wants
+  // "everything similar enough" rather than a fixed k).
+  val rangeSearch = Q(
+    "ann_range_search",
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, vec_id, ${cosSql("qvec", "embedding")} AS cos
+        FROM embeddings, q)
+      SELECT query_id, vec_id, cos
+      FROM scored
+      WHERE cos >= 0.2
+      ORDER BY query_id, vec_id
+    """)
+  ) { t =>
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    t.embeddings
+      .join(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+      .filter(col("cos") >= 0.2)
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
+  val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch)
 }

@@ -488,6 +488,44 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  // dedup_chunks — paragraph/chunk-level dedup: tumbling 10-word chunks
+  // across the twins corpus, reporting chunks that appear in more than
+  // one document (the substring-duplication profile a corpus cleaner
+  // removes before training). One explode + one aggregation shuffle;
+  // chunk identity is the exact text, so this is also the exact-dedup
+  // complement to the probabilistic near-dup family above.
+  val chunkDedup = Q(
+    "dedup_chunks",
+    Some(s"""
+      WITH $corpusSql,
+      words AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS ws FROM corpus),
+      chunks AS (
+        SELECT doc_id, array_to_string(list_slice(ws, (i - 1) * 10 + 1, i * 10), ' ') AS chunk
+        FROM words, UNNEST(RANGE(1, CAST(CEIL(LEN(ws) / 10.0) AS BIGINT) + 1)) AS t(i)),
+      dup AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+        FROM chunks
+        GROUP BY chunk
+        HAVING COUNT(DISTINCT doc_id) >= 2)
+      SELECT chunk, n_docs, n_occurrences
+      FROM dup
+      ORDER BY n_docs DESC, chunk
+      LIMIT 20
+    """)
+  ) { t =>
+    val ws = words(col("text"))
+    val nChunks = ceil(size(ws).cast(DoubleType) / 10.0).cast("int")
+    val chunks = transform(sequence(lit(1), nChunks),
+      i => array_join(slice(ws, (i - 1) * 10 + 1, lit(10)), " "))
+    withTwins(t)
+      .select(col("doc_id"), explode(chunks).as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("chunk"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup,
-    components, embeddingDedup)
+    components, embeddingDedup, chunkDedup)
 }

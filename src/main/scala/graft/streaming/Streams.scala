@@ -139,4 +139,69 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class Quote(ts: Timestamp, user_id: Long, value: Double)
+
+  final case class Enriched(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, quote_ts: Option[Timestamp], quote_value: Option[Double])
+
+  /** Merged event∪quote row for the as-of enrichment state machine. */
+  final case class Tagged(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, qvalue: Option[Double])
+
+  /** Streaming AS-OF enrichment: each event is joined to the latest
+    * quote for its key with quote.ts ≤ event.ts — the streaming analog of
+    * the batch as-of join (Asof.scala), which Structured Streaming's
+    * equi/interval joins cannot express directly. Implemented with
+    * flatMapGroupsWithState holding a bounded, time-ordered buffer of
+    * recent quotes per key (evicted up to the oldest event that can
+    * still arrive ≈ the watermark horizon); events and quotes arrive
+    * interleaved on a merged stream. State is per-key and
+    * watermark-bounded — the 100 TB shape for streaming enrichment.
+    */
+  def asofEnrich(events: Dataset[Event], quotes: Dataset[Quote],
+    watermark: String = "10 minutes", horizonSec: Long = 3600): Dataset[Enriched] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // merge both streams into one keyed stream (quotes tagged via null type)
+    val tagged = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        lit(null).cast(DoubleType).as("qvalue"))
+      .unionByName(quotes.select(lit(-1L).as("event_id"), col("ts"), col("user_id"),
+        lit(null).cast("string").as("event_type"), col("value").as("qvalue")))
+
+    def update(userId: Long, it: Iterator[Tagged],
+      state: GroupState[Seq[(Long, Double)]]): Iterator[Enriched] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val batch = it.toSeq.sortBy(_.ts.getTime)
+        var book = state.getOption.getOrElse(Seq.empty)
+        val out = Seq.newBuilder[Enriched]
+        batch.foreach { r =>
+          if (r.qvalue.isDefined) {
+            book = (book :+ (r.ts.getTime, r.qvalue.get)).sortBy(_._1)
+          } else {
+            val asof = book.filter(_._1 <= r.ts.getTime).lastOption
+            out += Enriched(r.event_id, r.ts, userId, r.event_type,
+              asof.map(q => new Timestamp(q._1)), asof.map(_._2))
+          }
+        }
+        // evict quotes older than the horizon behind the newest seen ts,
+        // always keeping the latest quote (as-of needs one predecessor)
+        if (batch.nonEmpty) {
+          val hi = batch.map(_.ts.getTime).max
+          val kept = book.filter(_._1 >= hi - horizonSec * 1000)
+          book = if (kept.isEmpty && book.nonEmpty) Seq(book.last) else kept
+          state.update(book)
+          state.setTimeoutTimestamp(hi + horizonSec * 1000)
+        }
+        out.result().iterator
+      }
+    }
+
+    tagged.as[Tagged]
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

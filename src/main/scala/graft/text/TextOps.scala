@@ -245,5 +245,91 @@ object TextOps {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus, topBigrams)
+  // text_pii_scrub — PII redaction for training corpora: emails, phone
+  // numbers, IPv4 addresses and SSN-shaped tokens are replaced with typed
+  // placeholders. The corpus is synthetic word-soup, so deterministic
+  // PII-ish strings are appended per doc (cycling the four kinds) and the
+  // operator must find and scrub exactly those. Patterns use the
+  // RE2 ∩ Java-regex dialect so Spark and DuckDB agree byte-for-byte.
+  private val piiPatterns: Seq[(String, String, String)] = Seq(
+    // (kind, pattern, replacement) — applied in order
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\d{3}-\\d{2}-\\d{4}", "<SSN>"),
+    ("phone", "\\d{3}[.]\\d{3}[.]\\d{4}", "<PHONE>"),
+    ("ipv4", "\\d{1,3}[.]\\d{1,3}[.]\\d{1,3}[.]\\d{1,3}", "<IP>"))
+
+  val piiScrub = Q(
+    "text_pii_scrub",
+    Some {
+      val inject = """
+        CASE doc_id % 4
+          WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+          WHEN 1 THEN text || ' ssn 123-45-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end'
+          WHEN 2 THEN text || ' call 555.867.' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' soon'
+          ELSE text || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up'
+        END"""
+      val scrubbed = piiPatterns.foldLeft("raw") { case (acc, (_, pat, rep)) =>
+        s"REGEXP_REPLACE($acc, '$pat', '$rep', 'g')"
+      }
+      s"""
+      WITH injected AS (SELECT doc_id, $inject AS raw FROM documents),
+      scrubbed AS (
+        SELECT doc_id, raw, $scrubbed AS clean FROM injected)
+      SELECT doc_id, clean,
+             CAST(LENGTH(raw) - LENGTH(clean) AS BIGINT) AS bytes_redacted,
+             CAST(LEN(REGEXP_EXTRACT_ALL(clean, '<(EMAIL|SSN|PHONE|IP)>')) AS BIGINT) AS n_redactions
+      FROM scrubbed
+      ORDER BY doc_id
+      """
+    }
+  ) { t =>
+    val inject =
+      when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" ssn 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" end")))
+        .when(col("doc_id") % 4 === 2,
+          concat(col("text"), lit(" call 555.867."),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" soon")))
+        .otherwise(
+          concat(col("text"), lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 up")))
+    val clean = piiPatterns.foldLeft(col("raw")) { case (acc, (_, pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+    t.documents
+      .select(col("doc_id"), inject.as("raw"))
+      .select(col("doc_id"), col("raw"), clean.as("clean"))
+      .select(col("doc_id"), col("clean"),
+        (length(col("raw")) - length(col("clean"))).cast(LongType).as("bytes_redacted"),
+        size(regexp_extract_all(col("clean"), lit("<(EMAIL|SSN|PHONE|IP)>"), lit(0)))
+          .cast(LongType).as("n_redactions"))
+      .orderBy(col("doc_id"))
+  }
+
+  // text_token_hist — per-language document-length histogram (tumbling
+  // 10-word buckets): the corpus-shape profile a data pipeline reads
+  // before choosing packing/truncation lengths. Narrow + one aggregation.
+  val tokenHist = Q(
+    "text_token_hist",
+    Some("""
+      SELECT lang,
+             CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) // 10 * 10 AS BIGINT) AS bucket,
+             COUNT(*) AS n_docs,
+             CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) AS BIGINT) AS n_words
+      FROM documents
+      GROUP BY lang, bucket
+      ORDER BY lang, bucket
+    """)
+  ) { t =>
+    val n = size(words(col("text"))).cast(LongType)
+    t.documents
+      .groupBy(col("lang"), (n - (n % 10)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words(col("text")))).cast(LongType).as("n_words"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
+    topBigrams, piiScrub, tokenHist)
 }

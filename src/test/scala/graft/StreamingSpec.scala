@@ -93,6 +93,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment joins each event to the latest earlier quote") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[Event]
+    val qs = MemoryStream[Streams.Quote]
+    val q = Streams.asofEnrich(ev.toDS(), qs.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // quotes at t=0 (10.0) and t=5 (20.0) for user 10; none for user 11
+      qs.addData(Streams.Quote(ts(0), 10, 10.0), Streams.Quote(ts(5), 10, 20.0))
+      ev.addData(
+        Event(1, ts(2), 10, "click", 0.0),  // between quotes -> 10.0
+        Event(2, ts(7), 10, "view", 0.0),   // after second -> 20.0
+        Event(3, ts(3), 11, "click", 0.0))  // no quote -> None
+      q.processAllAvailable()
+      val rows = spark.table("asof_out").collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          Option(r.getAs[java.lang.Double]("quote_value")).map(_.toDouble))).toMap
+      assert(rows === Map(1L -> Some(10.0), 2L -> Some(20.0), 3L -> None))
+
+      // a later quote never rewrites history: event at t=8 sees 20.0 even
+      // after a t=9 quote lands first in arrival order
+      qs.addData(Streams.Quote(ts(9), 10, 30.0))
+      q.processAllAvailable()
+      ev.addData(Event(4, ts(8), 10, "click", 0.0))
+      q.processAllAvailable()
+      val v4 = spark.table("asof_out").collect()
+        .find(_.getAs[Long]("event_id") == 4L).get.getAs[java.lang.Double]("quote_value")
+      assert(v4.toDouble === 20.0)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
