@@ -334,6 +334,23 @@ object Dedup {
       (edgeCount / 500000L).toInt + 1))
     val edges = edges0.repartition(nParts, col("dst"))
       .persist(MEMORY_AND_DISK)
+    // Iterative micro-queries: AQE re-materializes and re-plans every
+    // shuffle stage (a blocking round-trip per stage), and the session's
+    // shuffle partitioning fans tiny data across idle tasks — both
+    // overwhelm the actual join work here. Pin both for the loop only.
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    try {
+      connectedComponentsLoop(edges, maxIters)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
+  }
+
+  private def connectedComponentsLoop(edges: DataFrame, maxIters: Int): DataFrame = {
     val nodes = edges.select(col("src").as("id")).distinct()
     // localCheckpoint each round: persists AND truncates the logical plan —
     // without it the iterative lineage doubles per round (labels appears
@@ -349,23 +366,35 @@ object Dedup {
     // per-round cost is the blocking action + eager checkpoint, not the
     // join itself, so halving the number of materializations ~halves wall
     // time (dup-pair graphs converge in a handful of flooding steps).
+    // All loop joins are hinted SHUFFLE_HASH: the sides are tiny, so the
+    // default broadcast strategy would rebuild + ship a broadcast per
+    // join per round — each a blocking driver job that dominates the
+    // loop's wall time. Hash-shuffling a few MB is effectively free and
+    // reuses the edge partitioning.
     def step(ls: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(ls.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_label"), "dst")
+        .join(ls.withColumnRenamed("id", "dst").withColumnRenamed("label", "dst_label")
+          .hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("nbr_label"))
-      // plain neighbor-min step; pointer jumping (label-of-label) was
-      // measured slower here — dup-pair graphs are dense, so min labels
-      // flood components in few rounds and the extra join never pays off
-      ls.join(neighborMin, Seq("id"), "left")
+      ls.join(neighborMin.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
     }
+    // Pointer jumping (label ← label-of-label): halves path lengths per
+    // application, so propagate+jump blocks converge in O(log diameter)
+    // blocks instead of O(diameter) — the blocking per-block round-trip
+    // is the dominant cost, not the joins.
+    def jump(ls: DataFrame): DataFrame = {
+      val l2 = ls.select(col("id").as("jid"), col("label").as("jlabel"))
+      ls.join(l2.hint("shuffle_hash"), col("label") === col("jid"), "left")
+        .select(col("id"), coalesce(col("jlabel"), col("label")).as("label"))
+    }
     while (sum < prevSum && i < maxIters) {
-      val next = step(step(step(labels))).localCheckpoint(true)
+      val next = jump(step(jump(step(labels)))).localCheckpoint(true)
       prevSum = sum
       sum = next.agg(org.apache.spark.sql.functions.sum(col("label"))).head().getLong(0)
       labels = next
-      i += 3
+      i += 2
     }
     labels
   }
