@@ -43,7 +43,60 @@ object ClickHouseDialect {
     // scalar misc
     "modulo" -> (args => Remainder(args.head, args(1))),
     "intDiv" -> (args => IntegralDivide(args.head, args(1))),
-    "arrayJoin" -> (args => Explode(one(args))))
+    "arrayJoin" -> (args => Explode(one(args))),
+    // statistics (ClickHouse camelCase → Spark natives)
+    "stddevPop" -> (args => StddevPop(one(args))),
+    "stddevSamp" -> (args => StddevSamp(one(args))),
+    "varPop" -> (args => VariancePop(one(args))),
+    "varSamp" -> (args => VarianceSamp(one(args))),
+    "covarPop" -> (args => CovPopulation(args.head, args(1))),
+    "covarSamp" -> (args => CovSample(args.head, args(1))),
+    // conditionals — multiIf (CH chained ternary) takes
+    // cond1, then1, cond2, then2, ..., else; CH `if` is Spark's builtin
+    "multiIf" -> { args =>
+      val branches = args.dropRight(1).grouped(2).map { p => (p.head, p(1)) }.toSeq
+      CaseWhen(branches, Some(args.last))
+    },
+    // date/time scalars
+    "toStartOfQuarter" -> (args => TruncTimestamp(Literal("quarter"), one(args))),
+    "toStartOfYear" -> (args => TruncTimestamp(Literal("year"), one(args))),
+    "toYYYYMMDD" -> (args => DateFormatClass(one(args), Literal("yyyyMMdd"))),
+    "toYear" -> (args => Year(one(args))),
+    "toMonth" -> (args => Month(one(args))),
+    "toDayOfMonth" -> (args => DayOfMonth(one(args))),
+    "toDayOfWeek" -> (args => Add(
+      WeekDay(Cast(one(args), org.apache.spark.sql.types.DateType)), Literal(1))),
+    "toHour" -> (args => Hour(one(args))),
+    "toMinute" -> (args => Minute(one(args))),
+    "toSecond" -> (args => Second(one(args))),
+    "toUnixTimestamp" -> (args => UnixTimestamp(one(args), Literal("yyyy-MM-dd HH:mm:ss"))),
+    "addDays" -> (args => DateAdd(args.head, args(1))),
+    "subtractDays" -> (args => DateSub(args.head, args(1))),
+    // strings (CH names; all ASCII-safe Spark natives are UTF8-correct)
+    "lengthUTF8" -> (args => Length(one(args))),
+    "lowerUTF8" -> (args => Lower(one(args))),
+    "upperUTF8" -> (args => Upper(one(args))),
+    "substringUTF8" -> (args => Substring(args.head, args(1), args(2))),
+    "positionCaseInsensitive" ->
+      (args => new StringLocate(Lower(args(1)), Lower(args.head))),
+    "replaceAll" -> (args => StringReplace(args.head, args(1), args(2))),
+    "replaceRegexpAll" -> (args => RegExpReplace(args.head, args(1), args(2))),
+    "match" -> (args => RLike(args.head, args(1))),
+    "startsWith" -> (args => StartsWith(args.head, args(1))),
+    "endsWith" -> (args => EndsWith(args.head, args(1))),
+    "trimBoth" -> (args => StringTrim(one(args))),
+    "splitByString" -> (args => StringSplit(args(1), Literal(
+      java.util.regex.Pattern.quote(String.valueOf(args.head.eval()))), Literal(-1))),
+    // arrays
+    "arrayElement" -> (args => ElementAt(args.head, args(1))),
+    "indexOf" -> (args => ArrayPosition(args.head, args(1))),
+    "arrayConcat" -> (args => Concat(args)),
+    "arraySlice" -> (args => Slice(args.head, args(1), args(2))),
+    "arraySort" -> (args => new SortArray(one(args))),
+    "arrayReverse" -> (args => Reverse(one(args))),
+    "arrayDistinct" -> (args => ArrayDistinct(one(args))),
+    "empty" -> (args => EqualTo(Size(one(args)), Literal(0))),
+    "notEmpty" -> (args => GreaterThan(Size(one(args)), Literal(0))))
 
   /** Register (or refresh) the dialect names on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -255,6 +255,36 @@ object SbomSources {
               lit("NOASSERTION")).as("id")).as("license"))).as("licenses")))
           .as("components"))).as("cdx_json"))
 
+  /** convert_sbom, CycloneDX→SPDX direction (sbom-processing.sh:138-145):
+    * emits an SPDX 2.3 document as JSON per CycloneDX document. Package
+    * licenses follow the component license chain (id → name →
+    * expression) → NOASSERTION; SPDXIDs are sanitized component names.
+    */
+  def convertCycloneDxToSpdx(docs: DataFrame): DataFrame =
+    docs.select(
+      col("_file"),
+      to_json(struct(
+        lit("SPDX-2.3").as("spdxVersion"),
+        lit("SPDXRef-DOCUMENT").as("SPDXID"),
+        coalesce(col("metadata.component.name"), col("name"),
+          regexp_extract(col("_file"), "([^/]+)\\.json$", 1)).as("name"),
+        transform(col("components"), c => {
+          val lic0 = get(c.getField("licenses"), lit(0))
+          struct(
+            coalesce(c.getField("name"), lit("unknown")).as("name"),
+            concat(lit("SPDXRef-"),
+              regexp_replace(coalesce(c.getField("name"), lit("unknown")),
+                "[^A-Za-z0-9.-]", "-")).as("SPDXID"),
+            coalesce(c.getField("version"), lit("unknown")).as("versionInfo"),
+            coalesce(
+              lic0.getField("license").getField("id"),
+              lic0.getField("license").getField("name"),
+              lic0.getField("id"),
+              lic0.getField("name"),
+              lic0.getField("expression"),
+              lit("NOASSERTION")).as("licenseConcluded"))
+        }).as("packages"))).as("spdx_json"))
+
   /** Merge component sets from many documents with the reference's dedup
     * key name@version#purl^source (sbom-merging.sh:358).
     */

@@ -52,4 +52,53 @@ class ClickHouseDialectSpec extends SparkSpec {
     val n = spark.sql("SELECT arrayJoin(array(1, 2, 3)) AS x").count()
     assert(n === 3)
   }
+
+  test("statistics, conditional, and date scalar names from SQL text") {
+    val r = spark.sql("""
+      SELECT ROUND(stddevPop(o_totalprice), 4) AS sp,
+             ROUND(varSamp(o_totalprice), 4) AS vs,
+             multiIf(MIN(o_totalprice) > 1e9, 'huge', MIN(o_totalprice) > 0, 'pos', 'neg') AS m,
+             toYear(MIN(o_orderdate)) AS y,
+             toDayOfWeek(DATE'2024-01-03') AS dow_wed,
+             toDayOfWeek(DATE'2024-01-07') AS dow_sun,
+             toYYYYMMDD(DATE'2024-01-03') AS ymd
+      FROM orders_v
+    """).head()
+    val exp = sf0001.orders.agg(
+      round(stddev_pop(col("o_totalprice")), 4),
+      round(var_samp(col("o_totalprice")), 4)).head()
+    assert(r.getDouble(0) === exp.getDouble(0))
+    assert(r.getDouble(1) === exp.getDouble(1))
+    assert(r.getString(2) === "pos")
+    assert(r.getInt(3) >= 1992)
+    // ClickHouse ISO numbering: Monday=1 … Sunday=7
+    assert(r.getInt(4) === 3 && r.getInt(5) === 7)
+    assert(r.getString(6) === "20240103")
+  }
+
+  test("string and array scalar names from SQL text") {
+    val r = spark.sql("""
+      SELECT replaceAll('a-b-c', '-', '+') AS rep,
+             replaceRegexpAll('a1b22c', '[0-9]+', '#') AS rrep,
+             match('graft-engine', 'gr.ft') AS m,
+             startsWith('spark', 'sp') AS sw,
+             positionCaseInsensitive('Hello World', 'world') AS pos,
+             splitByString('--', 'a--b--c') AS parts,
+             arrayElement(array(10, 20, 30), 2) AS el,
+             indexOf(array('x', 'y'), 'y') AS idx,
+             arraySlice(array(1, 2, 3, 4), 2, 2) AS sl,
+             arrayDistinct(array(1, 1, 2)) AS dist,
+             empty(array()) AS e, notEmpty(array(1)) AS ne
+    """).head()
+    assert(r.getString(0) === "a+b+c")
+    assert(r.getString(1) === "a#b#c")
+    assert(r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getInt(4) === 7)
+    assert(r.getSeq[String](5) === Seq("a", "b", "c"))
+    assert(r.getInt(6) === 20)
+    assert(r.getLong(7) === 2L)
+    assert(r.getSeq[Int](8) === Seq(2, 3))
+    assert(r.getSeq[Int](9) === Seq(1, 2))
+    assert(r.getBoolean(10) && r.getBoolean(11))
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Accuracy envelope of the sketch-mode quantiles (ApproxQuantileRewrite
+  * flips exact Percentile to ApproximatePercentile at 100 TB): the
+  * approximation must track the exact answer across columns, quantile
+  * points, and accuracy settings.
+  */
+class QuantileAccuracySpec extends SparkSpec {
+
+  private def relErr(approx: Double, exact: Double): Double =
+    if (exact == 0.0) math.abs(approx) else math.abs(approx - exact) / math.abs(exact)
+
+  test("default-accuracy sketch tracks exact within 5% across columns and quantile points") {
+    val cases = Seq(
+      ("o_totalprice", sf0001.orders),
+      ("l_extendedprice", sf0001.lineitem),
+      ("l_quantity", sf0001.lineitem))
+    for ((c, df) <- cases; p <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val row = df.agg(
+        percentile(col(c), lit(p)).as("exact"),
+        percentile_approx(col(c), lit(p), lit(10000)).cast("double").as("approx")).head()
+      val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+      assert(relErr(approx, exact) < 0.05, s"$c p=$p approx=$approx exact=$exact")
+    }
+  }
+
+  test("coarse sketches degrade gracefully and refine monotonically in accuracy") {
+    val exact = sf0001.lineitem.agg(percentile(col("l_extendedprice"), lit(0.5)))
+      .head().getDouble(0)
+    val errs = Seq(50, 1000, 10000).map { acc =>
+      val a = sf0001.lineitem
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc)).cast("double"))
+        .head().getDouble(0)
+      acc -> relErr(a, exact)
+    }.toMap
+    assert(errs(50) < 0.25, s"accuracy=50 err=${errs(50)}")
+    assert(errs(1000) < 0.05, s"accuracy=1000 err=${errs(1000)}")
+    assert(errs(10000) < 0.01, s"accuracy=10000 err=${errs(10000)}")
+  }
+
+  test("grouped sketch quantiles stay within bound per group") {
+    val joined = sf0001.orders
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("exact"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).cast("double").as("approx"))
+    val groups = sf0001.orders.groupBy(col("o_orderstatus"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.9)).as("exact"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).cast("double").as("approx"))
+      .collect()
+    assert(groups.nonEmpty)
+    groups.foreach { r =>
+      assert(relErr(r.getDouble(2), r.getDouble(1)) < 0.05, r.toString)
+    }
+    joined.head() // whole-table variant also executes
+  }
+}

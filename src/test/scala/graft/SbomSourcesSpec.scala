@@ -212,6 +212,21 @@ class SbomSourcesSpec extends SparkSpec {
     assert(flat("pkg-two") === (("unknown", "ISC", "repo-sbom")))
   }
 
+  test("CycloneDX→SPDX conversion round-trips through the SPDX reader") {
+    val converted = SbomSources.convertCycloneDxToSpdx(
+      SbomSources.readCycloneDx(spark, s"$dir/service-a.json"))
+    val outDir = Files.createTempDirectory("graft_cdx2spdx").toString
+    converted.collect().zipWithIndex.foreach { case (r, i) =>
+      Files.writeString(Paths.get(outDir, s"conv$i.json"), r.getAs[String]("spdx_json"))
+    }
+    val flat = SbomSources.flattenSpdx(SbomSources.readSpdx(spark, outDir))
+      .collect().map(r => r.getAs[String]("name") ->
+        (r.getAs[String]("license"), r.getAs[String]("source"))).toMap
+    assert(flat("libfoo") === (("MIT", "service-a")))
+    assert(flat("libbar") === (("Apache-2.0 OR MIT", "service-a")))
+    assert(flat("mystery") === (("NOASSERTION", "service-a")))
+  }
+
   test("merge dedups by name@version#purl^source; mapping fills unknown; sink round-trips sorted") {
     import spark.implicits._
     val a = SbomSources.flattenCycloneDx(SbomSources.readCycloneDx(spark, s"$dir/service-a.json"))
