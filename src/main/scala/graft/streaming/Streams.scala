@@ -140,6 +140,46 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Continuously-maintained top-k per window (ClickHouse topK over a
+    * materialized view analog): the watermarked windowed aggregate runs
+    * incrementally; each micro-batch ranks within windows and atomically
+    * swaps the k best rows per window into `path` (same snapshot-swap
+    * discipline as materializedAgg). Rank-over-window is not available
+    * in streaming append mode, so the rank runs on the (small,
+    * windows × types sized) batch output — state stays bounded by the
+    * watermark either way.
+    */
+  def windowedTopK(events: DataFrame, path: String, checkpoint: String,
+    k: Int = 3, win: String = "5 minutes",
+    watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val ranked = batch
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("win_start"))
+              .orderBy(col("n").desc, col("event_type"))))
+          .filter(col("rnk") <= k)
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val dest = new org.apache.hadoop.fs.Path(path)
+        val tmp = new org.apache.hadoop.fs.Path(path + s"._tmp_$batchId")
+        val fs = dest.getFileSystem(conf)
+        ranked.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dest, true)
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(s"windowedTopK: rename $tmp -> $dest failed")
+        ()
+      }
+      .start()
+  }
+
   final case class Quote(ts: Timestamp, user_id: Long, value: Double)
 
   final case class Enriched(event_id: Long, ts: Timestamp, user_id: Long,

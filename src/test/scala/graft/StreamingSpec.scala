@@ -126,6 +126,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed top-k materialization keeps the k best types per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk").toString
+    val mem = MemoryStream[Event]
+    val q = Streams.windowedTopK(mem.toDF(), s"$dir/out", s"$dir/ckpt", k = 2)
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 0), Event(2, ts(1), 2, "click", 0),
+        Event(3, ts(1), 3, "click", 0), Event(4, ts(2), 4, "view", 0),
+        Event(5, ts(2), 5, "view", 0), Event(6, ts(3), 6, "buy", 0),
+        Event(7, ts(6), 7, "buy", 0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/out").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("win_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Int]("rnk")))
+      val w0 = rows.filter(_._1.startsWith("2024-01-01 00:00")).sortBy(_._4)
+      assert(w0.map(r => (r._2, r._3)).toSeq === Seq(("click", 3L), ("view", 2L)))
+      assert(rows.count(_._1.startsWith("2024-01-01 00:05")) === 1) // only "buy"
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions on gap timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
