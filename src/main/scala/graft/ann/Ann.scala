@@ -98,36 +98,13 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Literal ±1 hyperplane table (8 planes × 64 dims) from the portable
-    * family — a model constant mirrored into the oracle SQL. */
-  private val lshSigns = graft.functions.PortableHash.planeSigns(8, 64)
-
-  private def planeProj(p: Int, vec: Column): Column =
-    aggregate(
-      zip_with(vec, typedlit(lshSigns(p).toSeq), (x, s) => x.cast(DoubleType) * s),
-      lit(0.0), (acc, v) => acc + v)
-
-  private def lshBucket(vec: Column): Column =
-    (0 until 8).map { p =>
-      when(planeProj(p, vec) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
+  // Hyperplane LSH machinery shared with dedup_embedding — one sign
+  // table, one bucket builder, one SQL mirror (functions.VectorLsh).
+  private def lshBucket(vec: Column): Column = graft.functions.VectorLsh.bucket(vec)
   private def lshBucketSql(vecExpr: String): String =
-    (0 until 8).map { p =>
-      val signs = graft.functions.PortableHash.signsSql(lshSigns(p))
-      s"CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP($vecExpr, $signs), " +
-        s"pr -> CAST(pr[1] AS DOUBLE) * pr[2])) > 0 THEN ${1L << p} ELSE 0 END"
-    }.mkString("(", " + ", ")")
-
-  /** Double-space cosine of two list expressions in oracle SQL (identical
-    * fold shape to the Spark zip_with/aggregate formulation). */
+    graft.functions.VectorLsh.bucketSql(vecExpr)
   private def cosSql(a: String, b: String): String =
-    s"""ROUND(
-          LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b),
-            pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) /
-          (SQRT(LIST_SUM(LIST_TRANSFORM($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-           SQRT(LIST_SUM(LIST_TRANSFORM($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-          6)"""
+    graft.functions.VectorLsh.cosSql(a, b)
 
   // ann_lsh — random-hyperplane LSH: 8 planes → 8-bit bucket; candidates =
   // same-bucket pairs with the query set; exact cosine re-ranking inside

@@ -80,7 +80,11 @@ object Dedup {
     val al = PortableHash.coefASql(64)
     val bl = PortableHash.coefBSql(64)
     s"""words AS (
-        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS ws FROM corpus),
+        -- list_filter: SQL split of empty text yields [''] where the
+        -- byte-tokenizing kernels see zero tokens — drop empty tokens so
+        -- degenerate documents agree across engines
+        SELECT doc_id, list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                 w -> w <> '') AS ws FROM corpus),
       whs AS (
         SELECT doc_id, LEN(ws) AS n,
                list_transform(ws, w -> ${PortableHash.wordHashSql("w")}) AS hs
@@ -203,7 +207,8 @@ object Dedup {
       val shingleStr = "array_to_string(list_slice(ws, i, i + 2), ' ')"
       s"""
       WITH $corpusSql,
-      words AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS ws FROM corpus),
+      words AS (SELECT doc_id, list_filter(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                   w -> w <> '') AS ws FROM corpus),
       sh AS (
         SELECT doc_id, ${PortableHash.wordHashSql(shingleStr)} AS h
         FROM words, UNNEST(RANGE(1, GREATEST(LEN(ws) - 2, 1) + 1)) AS t(i)),
@@ -286,11 +291,24 @@ object Dedup {
     * of candidates at sf0.1), and filtering map-side keeps that volume
     * out of the dedup shuffle and the cache.
     */
+  // Weak-keyed by the session object itself: entries (and their pinned
+  // persisted frames) become collectable with the session, and a dead
+  // session can never alias a live one's cache slot.
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
-  def simhashPairs(t: Tables): DataFrame =
-    pairsCache.getOrElseUpdate((System.identityHashCode(t.spark), t.dir), {
+  def simhashPairs(t: Tables): DataFrame = {
+    val perSession = pairsCache.synchronized {
+      val existing = pairsCache.get(t.spark)
+      if (existing != null) existing
+      else {
+        val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        pairsCache.put(t.spark, m)
+        m
+      }
+    }
+    perSession.getOrElseUpdate(t.dir, {
       graft.functions.GraftFunctions.register(t.spark)
       val sigs = withTwins(t)
         .select(col("doc_id"), call_function("graft_simhash64", col("text")).as("sig"))
@@ -309,6 +327,7 @@ object Dedup {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   /** Connected components over a near-dup pair list (small-star label
     * propagation): every node adopts the minimum id reachable over `iters`
@@ -442,37 +461,12 @@ object Dedup {
       .orderBy(col("canonical_doc"))
   }
 
-  /** Literal ±1 hyperplane table shared by dedup_embedding (and mirrored
-    * into its oracle SQL): 8 planes × 64 dims from the portable family.
-    */
-  private val embSigns = PortableHash.planeSigns(8, 64)
-
-  private def planeProj(p: Int, vec: Column): Column =
-    aggregate(
-      zip_with(vec, typedlit(embSigns(p).toSeq), (x, s) => x.cast(DoubleType) * s),
-      lit(0.0), (acc, v) => acc + v)
-
-  private def embBucket(vec: Column): Column =
-    (0 until 8).map { p =>
-      when(planeProj(p, vec) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
-  private def embProjSql(p: Int, vecExpr: String): String =
-    s"LIST_SUM(LIST_TRANSFORM(LIST_ZIP($vecExpr, ${PortableHash.signsSql(embSigns(p))}), " +
-      "pr -> CAST(pr[1] AS DOUBLE) * pr[2]))"
-
+  // Hyperplane LSH machinery shared with ann_lsh — one sign table, one
+  // bucket builder, one SQL mirror (functions.VectorLsh).
+  private def embBucket(vec: Column): Column = graft.functions.VectorLsh.bucket(vec)
   private def embBucketSql(vecExpr: String): String =
-    (0 until 8).map { p =>
-      s"CASE WHEN ${embProjSql(p, vecExpr)} > 0 THEN ${1L << p} ELSE 0 END"
-    }.mkString("(", " + ", ")")
-
-  private val cosSql =
-    """ROUND(
-         LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
-           pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) /
-         (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-          SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-         6)"""
+    graft.functions.VectorLsh.bucketSql(vecExpr)
+  private val cosSql = graft.functions.VectorLsh.cosSql("a.embedding", "b.embedding")
 
   // dedup_embedding — embedding-cosine near-dup pairs: random-hyperplane
   // LSH buckets (all 8 sign bits must agree — near-identical vectors
@@ -527,7 +521,8 @@ object Dedup {
     "dedup_chunks",
     Some(s"""
       WITH $corpusSql,
-      words AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS ws FROM corpus),
+      words AS (SELECT doc_id, list_filter(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                   w -> w <> '') AS ws FROM corpus),
       chunks AS (
         SELECT doc_id, array_to_string(list_slice(ws, (i - 1) * 10 + 1, i * 10), ' ') AS chunk
         FROM words, UNNEST(RANGE(1, CAST(CEIL(LEN(ws) / 10.0) AS BIGINT) + 1)) AS t(i)),
@@ -542,7 +537,9 @@ object Dedup {
       LIMIT 20
     """)
   ) { t =>
-    val ws = words(col("text"))
+    // empty-token filter mirrors the oracle's list_filter (degenerate
+    // whitespace-only docs yield [''] from split on both engines)
+    val ws = filter(words(col("text")), w => w =!= "")
     val nChunks = ceil(size(ws).cast(DoubleType) / 10.0).cast("int")
     val chunks = transform(sequence(lit(1), nChunks),
       i => array_join(slice(ws, (i - 1) * 10 + 1, lit(10)), " "))

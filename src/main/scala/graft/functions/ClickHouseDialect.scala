@@ -54,6 +54,9 @@ object ClickHouseDialect {
     // conditionals — multiIf (CH chained ternary) takes
     // cond1, then1, cond2, then2, ..., else; CH `if` is Spark's builtin
     "multiIf" -> { args =>
+      if (args.length < 3 || args.length % 2 == 0)
+        throw new IllegalArgumentException(
+          s"multiIf expects cond1, then1, [cond2, then2, ...], else — got ${args.length} arguments")
       val branches = args.dropRight(1).grouped(2).map { p => (p.head, p(1)) }.toSeq
       CaseWhen(branches, Some(args.last))
     },
@@ -85,8 +88,13 @@ object ClickHouseDialect {
     "startsWith" -> (args => StartsWith(args.head, args(1))),
     "endsWith" -> (args => EndsWith(args.head, args(1))),
     "trimBoth" -> (args => StringTrim(one(args))),
-    "splitByString" -> (args => StringSplit(args(1), Literal(
-      java.util.regex.Pattern.quote(String.valueOf(args.head.eval()))), Literal(-1))),
+    "splitByString" -> { args =>
+      if (!args.head.foldable)
+        throw new IllegalArgumentException(
+          "splitByString requires a literal separator as its first argument")
+      StringSplit(args(1), Literal(
+        java.util.regex.Pattern.quote(String.valueOf(args.head.eval()))), Literal(-1))
+    },
     // arrays
     "arrayElement" -> (args => ElementAt(args.head, args(1))),
     "indexOf" -> (args => ArrayPosition(args.head, args(1))),

@@ -44,7 +44,8 @@ object SignatureKernels {
   }
 
   @inline private def isWs(b: Byte): Boolean =
-    b == Space || b == '\t'.toByte || b == '\n'.toByte || b == '\r'.toByte
+    b == Space || b == '\t'.toByte || b == '\n'.toByte || b == '\r'.toByte ||
+      b == 0x0b.toByte || b == 0x0c.toByte // \s also matches VT and FF
 
   private def hashRange(bytes: Array[Byte], from: Int, until: Int, seed: Long): Long =
     XXH64.hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,

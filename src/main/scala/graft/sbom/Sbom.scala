@@ -196,7 +196,7 @@ object Sbom {
       SELECT comp_id,
              COALESCE(spdx_doc_name, meta_component_name, bom_ref, top_name,
                       list_filter(tool_names,
-                        tn -> NOT regexp_matches(tn, 'GitHub.com-Dependency|protobom|CycloneDX|cyclonedx-merge'))[1],
+                        tn -> NOT regexp_matches(tn, '${graft.sources.SbomSources.toolNameDenylist}'))[1],
                       REPLACE(filename, '.json', '')) AS source_ref
       FROM metas
       ORDER BY comp_id

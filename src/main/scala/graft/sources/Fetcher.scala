@@ -44,7 +44,11 @@ object Fetcher {
   final case class Policy(
     maxRequestAttempts: Int = 3,
     maxPolls: Int = 10,
-    backoffMs: Seq[Long] = Seq(1000L, 2000L, 4000L))
+    backoffMs: Seq[Long] = Seq(1000L, 2000L, 4000L)) {
+    require(backoffMs.nonEmpty, "Policy.backoffMs must not be empty")
+    require(maxRequestAttempts >= 1 && maxPolls >= 1,
+      "Policy budgets must be at least 1")
+  }
 
   sealed trait Result
   final case class Fetched(document: String, requestAttempts: Int, polls: Int) extends Result

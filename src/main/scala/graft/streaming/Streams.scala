@@ -56,20 +56,33 @@ object Streams {
       .outputMode(OutputMode.Complete)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // Snapshot swap: write the batch to a temp dir, then replace `path`
-        // with a rename — a mid-batch failure leaves the previous
-        // materialization intact, and readers never see a half-written dir.
-        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-        val dest = new org.apache.hadoop.fs.Path(path)
-        val tmp = new org.apache.hadoop.fs.Path(path + s"._tmp_$batchId")
-        val fs = dest.getFileSystem(conf)
-        batch.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(dest, true)
-        if (!fs.rename(tmp, dest))
-          throw new java.io.IOException(s"materializedAgg: rename $tmp -> $dest failed")
-        ()
+        swapInto(batch, path, batchId)
       }
       .start()
+  }
+
+  /** Snapshot swap: write the batch to a temp dir, retire the current
+    * snapshot aside, rename the new one into place, then delete the old.
+    * A failure before the final rename leaves the previous snapshot
+    * recoverable under `._old` (never silently lost); readers see either
+    * the old or the new snapshot except during the instant between the
+    * two renames.
+    */
+  private def swapInto(batch: Dataset[org.apache.spark.sql.Row], path: String,
+    batchId: Long): Unit = {
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + s"._tmp_$batchId")
+    val old = new org.apache.hadoop.fs.Path(path + "._old")
+    val fs = dest.getFileSystem(conf)
+    batch.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(dest) && !fs.rename(dest, old))
+      throw new java.io.IOException(s"snapshot swap: retire $dest -> $old failed")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"snapshot swap: rename $tmp -> $dest failed")
+    fs.delete(old, true)
+    ()
   }
 
   /** Stream-stream interval join: purchases attributed to the same user's
@@ -141,13 +154,14 @@ object Streams {
   }
 
   /** Continuously-maintained top-k per window (ClickHouse topK over a
-    * materialized view analog): the watermarked windowed aggregate runs
-    * incrementally; each micro-batch ranks within windows and atomically
+    * materialized view analog): each micro-batch ranks within windows and
     * swaps the k best rows per window into `path` (same snapshot-swap
-    * discipline as materializedAgg). Rank-over-window is not available
-    * in streaming append mode, so the rank runs on the (small,
-    * windows × types sized) batch output — state stays bounded by the
-    * watermark either way.
+    * discipline as materializedAgg). Runs in Complete mode, so aggregate
+    * state covers EVERY window seen — |windows × types| grows with
+    * stream lifetime, which is fine for bounded-retention jobs but NOT
+    * watermark-evicted; a long-running deployment should periodically
+    * restart from a fresh checkpoint after compacting `path`, or switch
+    * to Update mode with MERGE-style maintenance of the snapshot.
     */
   def windowedTopK(events: DataFrame, path: String, checkpoint: String,
     k: Int = 3, win: String = "5 minutes",
@@ -167,15 +181,7 @@ object Streams {
             Window.partitionBy(col("win_start"))
               .orderBy(col("n").desc, col("event_type"))))
           .filter(col("rnk") <= k)
-        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-        val dest = new org.apache.hadoop.fs.Path(path)
-        val tmp = new org.apache.hadoop.fs.Path(path + s"._tmp_$batchId")
-        val fs = dest.getFileSystem(conf)
-        ranked.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(dest, true)
-        if (!fs.rename(tmp, dest))
-          throw new java.io.IOException(s"windowedTopK: rename $tmp -> $dest failed")
-        ()
+        swapInto(ranked, path, batchId)
       }
       .start()
   }
@@ -227,11 +233,14 @@ object Streams {
           }
         }
         // evict quotes older than the horizon behind the newest seen ts,
-        // always keeping the latest quote (as-of needs one predecessor)
+        // but ALWAYS retain the latest quote at-or-before the cutoff: any
+        // event still admissible under the watermark may need it as its
+        // as-of predecessor (dropping it would mis-enrich to None).
         if (batch.nonEmpty) {
           val hi = batch.map(_.ts.getTime).max
-          val kept = book.filter(_._1 >= hi - horizonSec * 1000)
-          book = if (kept.isEmpty && book.nonEmpty) Seq(book.last) else kept
+          val cutoff = hi - horizonSec * 1000
+          val (older, recent) = book.partition(_._1 < cutoff)
+          book = older.lastOption.toSeq ++ recent
           state.update(book)
           state.setTimeoutTimestamp(hi + horizonSec * 1000)
         }

@@ -161,7 +161,8 @@ object TextOps {
       s"""
       SELECT doc_id,
              list_reduce(list_prepend(5381::BIGINT,
-               list_transform(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'), w -> $wh)),
+               list_transform(list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                 w -> w <> ''), w -> $wh)),
                (acc, x) -> (acc * 31 + x) % $m) AS fingerprint,
              CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n_words
       FROM documents

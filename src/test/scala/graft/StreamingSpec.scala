@@ -126,6 +126,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of eviction keeps the predecessor quote across the horizon boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[Event]
+    val qs = MemoryStream[Streams.Quote]
+    // 5-minute horizon: the t=0 quote falls outside it once the t=10 quote
+    // lands, but it is still the as-of predecessor for events before t=10
+    val q = Streams.asofEnrich(ev.toDS(), qs.toDS(), horizonSec = 300)
+      .writeStream.format("memory").queryName("asof_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      qs.addData(Streams.Quote(ts(0), 10, 10.0), Streams.Quote(ts(10), 10, 30.0))
+      q.processAllAvailable()
+      ev.addData(Event(1, ts(8), 10, "click", 0.0)) // before t=10 -> needs t=0 quote
+      q.processAllAvailable()
+      val v = spark.table("asof_evict").collect()
+        .find(_.getAs[Long]("event_id") == 1L).get.getAs[java.lang.Double]("quote_value")
+      assert(v != null && v.toDouble === 10.0)
+    } finally q.stop()
+  }
+
   test("windowed top-k materialization keeps the k best types per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
