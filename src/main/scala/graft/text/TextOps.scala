@@ -331,6 +331,41 @@ object TextOps {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  // text_stopword_profile — per-language stopword frequency profile: how
+  // often each stopword appears per 1000 tokens by language. The
+  // language-signature table a corpus pipeline derives before tuning
+  // quality gates; explode + one aggregation.
+  val stopwordProfile = Q(
+    "text_stopword_profile",
+    Some("""
+      WITH words AS (
+        SELECT lang, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS w
+        FROM documents),
+      totals AS (SELECT lang, COUNT(*) AS n_tokens FROM words GROUP BY lang),
+      hits AS (
+        SELECT lang, w AS stopword, COUNT(*) AS n
+        FROM words
+        WHERE LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], w)
+        GROUP BY lang, w)
+      SELECT h.lang, h.stopword, h.n,
+             ROUND(CAST(h.n AS DOUBLE) * 1000 / t.n_tokens, 4) AS per_1000
+      FROM hits h JOIN totals t ON h.lang = t.lang
+      ORDER BY h.lang, h.stopword
+    """)
+  ) { t =>
+    val exploded = t.documents
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+    val totals = exploded.groupBy(col("lang")).agg(count(lit(1)).as("n_tokens"))
+    exploded
+      .filter(col("w").isin(stopwords: _*))
+      .groupBy(col("lang"), col("w").as("stopword"))
+      .agg(count(lit(1)).as("n"))
+      .join(totals, "lang")
+      .select(col("lang"), col("stopword"), col("n"),
+        round(col("n").cast(DoubleType) * 1000 / col("n_tokens"), 4).as("per_1000"))
+      .orderBy(col("lang"), col("stopword"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
-    topBigrams, piiScrub, tokenHist)
+    topBigrams, piiScrub, tokenHist, stopwordProfile)
 }
