@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness keeps only the last ~2KB of sbt's output and
+// parses the final JSON line printed by graft.Bench — suppress sbt's
+// "[success] Total time" trailer so that line stays last.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Pass forked run output through verbatim — the harness JSON line must
+// not carry sbt's "[info] " logger prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE compact JSON line. The harness that consumes this output
+  * keeps only the last ~2000 bytes of the log, so the line is emitted
+  * last (build.sbt suppresses sbt's "[success]" trailer) and budgeted to
+  * fit that window: per-query seconds are rounded to 3 decimals and the
+  * fastest queries are rolled up into an `_other` entry when the full
+  * map would overflow. Full-precision timings for local analysis go to
+  * /tmp/graft_bench_full.json.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,13 +19,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the table scans (file-index + codegen + nanos conversion) so
     // per-query timings reflect operator cost, not first-touch overhead.
     val t = Tables(spark, sfDir)
     Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
       t.lineitem, t.events, t.documents, t.embeddings).foreach(_.count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: computes the full result (count() would let the
       // optimizer prune unreferenced aggregate/project expressions and
@@ -24,10 +34,32 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    // Full-precision dump for local profiling (not part of the contract).
+    try {
+      val full = results.sortBy(-_._2)
+        .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
+        full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // Budgeted queries map: slowest first; anything past the byte budget
+    // is aggregated so the one-line JSON always fits the log tail.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val budget = 1600
+    val sorted = results.sortBy(-_._2)
+    val sb = new StringBuilder
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    sorted.foreach { case (k, v) =>
+      val entry = (if (sb.isEmpty) "" else ",") + "\"" + k + "\":" + r3(v)
+      if (sb.length + entry.length <= budget) sb.append(entry)
+      else dropped += (k -> v)
+    }
+    if (dropped.nonEmpty)
+      sb.append(",\"_other_" + dropped.size + "q\":" + r3(dropped.map(_._2).sum))
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{$sb},"sf":"$sfDir"}"""
     spark.stop()
+    println(line)
   }
 }

@@ -291,23 +291,29 @@ object Dedup {
     * of candidates at sf0.1), and filtering map-side keeps that volume
     * out of the dedup shuffle and the cache.
     */
-  // Weak-keyed by the session object itself: entries (and their pinned
-  // persisted frames) become collectable with the session, and a dead
-  // session can never alias a live one's cache slot.
+  // Keyed by the session object; a weak map would never collect entries
+  // anyway (the cached DataFrames strongly reference their session), so
+  // eviction is explicit: a listener drops the slot when the session's
+  // context ends, releasing the pair graphs in long-lived multi-session
+  // JVMs. A dead session can't alias a live one's slot — removal happens
+  // before any new context can be handed the same identity.
   private val pairsCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
+  private def cacheFor(
+      spark: org.apache.spark.sql.SparkSession): scala.collection.concurrent.TrieMap[String, DataFrame] =
+    pairsCache.computeIfAbsent(spark, { s =>
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          pairsCache.remove(s)
+      })
+      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    })
+
   def simhashPairs(t: Tables): DataFrame = {
-    val perSession = pairsCache.synchronized {
-      val existing = pairsCache.get(t.spark)
-      if (existing != null) existing
-      else {
-        val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        pairsCache.put(t.spark, m)
-        m
-      }
-    }
+    val perSession = cacheFor(t.spark)
     perSession.getOrElseUpdate(t.dir, {
       graft.functions.GraftFunctions.register(t.spark)
       val sigs = withTwins(t)
@@ -327,6 +333,18 @@ object Dedup {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
+
+  /** Connected-component labels (id → min reachable id) over the memoized
+    * simhash pair graph, themselves memoized per (session, sf dir):
+    * dedup_components groups them into duplicate clusters and dedup_apply
+    * turns them into a keep/drop corpus cut — the iterative CC loop runs
+    * once per dataset, not once per operator.
+    */
+  def simhashLabels(t: Tables): DataFrame = {
+    graft.functions.GraftFunctions.register(t.spark)
+    cacheFor(t.spark).getOrElseUpdate(t.dir + "#labels",
+      connectedComponents(simhashPairs(t).select(col("id1"), col("id2"))))
   }
 
   /** Connected components over a near-dup pair list (small-star label
@@ -448,10 +466,7 @@ object Dedup {
       ORDER BY canonical_doc
     """)
   ) { t =>
-    graft.functions.GraftFunctions.register(t.spark)
-    // reuse the memoized pair graph — no signature/bucket recompute
-    val pairs = simhashPairs(t).select(col("id1"), col("id2"))
-    connectedComponents(pairs)
+    simhashLabels(t)
       .groupBy(col("label").as("canonical_doc"))
       .agg(count(lit(1)).as("group_size"),
         sort_array(collect_list(col("id"))).as("members"))
@@ -552,6 +567,111 @@ object Dedup {
       .limit(20)
   }
 
+  // dedup_apply — the end of the dedup pipeline: apply the simhash
+  // near-dup components as an actual corpus cut (keep the minimum doc id
+  // per duplicate cluster, keep all singletons) and report the per-source
+  // yield. Reuses the memoized pair graph AND the memoized component
+  // labels — zero recompute beyond one broadcast join and one aggregation.
+  val applyDedup = Q(
+    "dedup_apply",
+    Some(s"""
+      WITH RECURSIVE $corpusSql,
+      $simhashPairsSql,
+      pairs AS (SELECT id1, id2 FROM spairs WHERE hamming <= 8),
+      edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs),
+      reach AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      labels AS (SELECT a AS id, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
+      SELECT d.source,
+             COUNT(*) AS n_docs,
+             COUNT(CASE WHEN l.label IS NULL OR l.label = c.doc_id THEN 1 END) AS n_kept,
+             COUNT(*) - COUNT(CASE WHEN l.label IS NULL OR l.label = c.doc_id THEN 1 END) AS n_dropped
+      FROM corpus c
+      JOIN documents d ON d.doc_id = c.doc_id % 1000000
+      LEFT JOIN labels l ON l.id = c.doc_id
+      GROUP BY d.source
+      ORDER BY d.source
+    """)
+  ) { t =>
+    val corpus = withTwins(t).select(col("doc_id"))
+    val labels = simhashLabels(t).withColumnRenamed("id", "doc_id")
+    val src = t.documents.select(col("doc_id").as("odoc"), col("source"))
+    val kept = col("label").isNull || col("label") === col("doc_id")
+    corpus
+      .join(labels, Seq("doc_id"), "left")
+      .join(broadcast(src), col("doc_id") % 1000000L === col("odoc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), count(when(kept, 1)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"))
+      .orderBy(col("source"))
+  }
+
+  // dedup_url — URL canonicalization dedup: the crawl-side complement of
+  // content dedup. The corpus has no URL column, so a deterministic URL is
+  // derived per document (mixed-case scheme/host, explicit default port,
+  // tracking query params, optional trailing slash — the classic
+  // non-canonical variants); normalization lowercases, strips the default
+  // port, drops utm-only query strings, and trims the trailing slash. A
+  // narrow per-row transform + one aggregation — at crawl scale this runs
+  // in the scan with no extra shuffle.
+  val urlDedup = Q(
+    "dedup_url",
+    Some("""
+      WITH urls AS (
+        SELECT doc_id,
+               'HTTPS://CDN-' || (doc_id % 7) || '.Example.COM:443/' || source ||
+               '/doc/' || (doc_id % 40) ||
+               CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN '?utm_source=feed&utm_id=' || (doc_id % 5) ELSE '' END AS url
+        FROM documents),
+      norm AS (
+        SELECT url,
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(
+                   REGEXP_REPLACE(LOWER(url), '\?utm_[a-z_]+=[^#]*$', ''),
+                   ':443/', '/'),
+                 '/$', '') AS nurl
+        FROM urls)
+      SELECT REGEXP_EXTRACT(nurl, '^https://([^/:]+)', 1) AS host,
+             COUNT(DISTINCT url) AS n_raw,
+             COUNT(DISTINCT nurl) AS n_canonical,
+             COUNT(DISTINCT url) - COUNT(DISTINCT nurl) AS n_aliased
+      FROM norm
+      GROUP BY host
+      ORDER BY host
+    """)
+  ) { t =>
+    val url = concat(
+      lit("HTTPS://CDN-"), (col("doc_id") % 7).cast("string"),
+      lit(".Example.COM:443/"), col("source"),
+      lit("/doc/"), (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 3 === 0, "/").otherwise(""),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?utm_source=feed&utm_id="), (col("doc_id") % 5).cast("string")))
+        .otherwise(""))
+    val nurl = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(col("url")), "\\?utm_[a-z_]+=[^#]*$", ""),
+        ":443/", "/"),
+      "/$", "")
+    t.documents
+      .select(col("doc_id"), url.as("url"))
+      .select(col("url"), nurl.as("nurl"))
+      .groupBy(regexp_extract(col("nurl"), "^https://([^/:]+)", 1).as("host"))
+      .agg(countDistinct(col("url")).as("n_raw"),
+        countDistinct(col("nurl")).as("n_canonical"))
+      .select(col("host"), col("n_raw"), col("n_canonical"),
+        (col("n_raw") - col("n_canonical")).as("n_aliased"))
+      .orderBy(col("host"))
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup,
-    components, embeddingDedup, chunkDedup)
+    components, embeddingDedup, chunkDedup, applyDedup, urlDedup)
 }

@@ -178,7 +178,12 @@ object SignatureKernels {
     val toks = tokenOffsets(bytes)
     val nToks = toks.length / 2
     val mins = Array.fill(k)(Long.MaxValue)
-    val nShingles = math.max(nToks - w + 1, if (nToks > 0) 1 else 0)
+    // Floor at 1 even for a token-less document: the oracle's RANGE(1,
+    // GREATEST(len-w+1,1)+1) always emits at least one (possibly empty)
+    // shingle, whose hash is the bare seed fold (7) — shingleHash returns
+    // exactly that when the token list is empty, so signatures agree on
+    // degenerate inputs instead of sitting at Long.MaxValue.
+    val nShingles = math.max(nToks - w + 1, 1)
     var i = 0
     while (i < nShingles) {
       val sh = shingleHash(bytes, toks, i, w)

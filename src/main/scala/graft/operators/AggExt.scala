@@ -139,5 +139,78 @@ object AggExt {
       .orderBy(col("l_returnflag"))
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q36, q37, q38)
+  // q55 — exact bitmap distinct (ClickHouse groupBitmap): the typed
+  // BitmapDistinct Aggregator ships one dense bitset per map task instead
+  // of the id multiset — exact (unlike q37's HLL) and partial-aggregable.
+  // The oracle is plain COUNT(DISTINCT): the aggregator must reproduce it
+  // bit-for-bit.
+  val q55 = Q(
+    "q55_bitmap_distinct",
+    Some("""
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS bitmap_users,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    val bitmap = udaf(graft.functions.BitmapDistinct())
+    t.events
+      .groupBy(col("event_type"))
+      .agg(bitmap(col("user_id")).as("bitmap_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  // q56 — sumMap (ClickHouse sumMap/maxMap family): per event_type, sum
+  // `value` and count occurrences for every distinct props key, emitting
+  // the per-key map as sorted parallel CSV strings (map columns don't
+  // hash portably across engines; the serialized form does). Two partial
+  // aggregations — key-level then group-level — both map-side combining.
+  val q56 = Q(
+    "q56_summap",
+    Some("""
+      WITH kv0 AS (
+        SELECT event_type,
+               TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k,
+               value
+        FROM events),
+      kv AS (SELECT * FROM kv0 WHERE k IS NOT NULL),
+      per_key AS (
+        SELECT event_type, k,
+               CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS s,
+               COUNT(*) AS c
+        FROM kv
+        GROUP BY event_type, k)
+      SELECT event_type,
+             array_to_string(LIST(k::VARCHAR ORDER BY k), ',') AS map_keys,
+             array_to_string(LIST(s::VARCHAR ORDER BY k), ',') AS map_sums,
+             array_to_string(LIST(c::VARCHAR ORDER BY k), ',') AS map_counts
+      FROM per_key
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    val perKey = t.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+        col("value"))
+      // null keys sort NULLS FIRST in sort_array but NULLS LAST in the
+      // oracle's ORDER BY — exclude them so serialization order agrees
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"), col("k"))
+      .agg(sum(col("value").cast(DecimalType(38, 2))).cast(DecimalType(38, 2)).as("s"),
+        count(lit(1)).as("c"))
+    perKey
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("k"), col("s"), col("c")))).as("m"))
+      .select(col("event_type"),
+        concat_ws(",", transform(col("m"), e => e.getField("k").cast("string"))).as("map_keys"),
+        concat_ws(",", transform(col("m"), e => e.getField("s").cast("string"))).as("map_sums"),
+        concat_ws(",", transform(col("m"), e => e.getField("c").cast("string"))).as("map_counts"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56)
 }

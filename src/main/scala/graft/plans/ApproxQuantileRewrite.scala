@@ -23,12 +23,15 @@ object ApproxQuantileRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!SQLConf.get.getConfString(FLAG, "false").toBoolean) plan
     else plan.transformAllExpressions {
-      case p: Percentile if p.frequencyExpression.foldable &&
+      case p: Percentile if p.dataType == org.apache.spark.sql.types.DoubleType &&
+          p.frequencyExpression.foldable &&
           String.valueOf(p.frequencyExpression.eval()) == "1" =>
-        // Percentile always yields DoubleType, but ApproximatePercentile
-        // yields its child's type — cast non-double children so the rewrite
-        // never changes the plan's result schema (post-analysis type drift
-        // would be an invalid plan).
+        // Percentile yields DoubleType for numeric children (interval
+        // children yield the interval type — those are left exact: casting
+        // an interval to double is not a valid cast), but
+        // ApproximatePercentile yields its child's type — cast non-double
+        // children so the rewrite never changes the plan's result schema
+        // (post-analysis type drift would be an invalid plan).
         val child =
           if (p.child.dataType == org.apache.spark.sql.types.DoubleType) p.child
           else Cast(p.child, org.apache.spark.sql.types.DoubleType)

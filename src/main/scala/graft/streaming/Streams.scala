@@ -220,7 +220,11 @@ object Streams {
       state: GroupState[Seq[(Long, Double)]]): Iterator[Enriched] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
-        val batch = it.toSeq.sortBy(_.ts.getTime)
+        // Secondary key orders quotes BEFORE events at equal ts: as-of is
+        // quote.ts <= event.ts, so a same-timestamp quote must be applied
+        // to the book before the event reads it — without the tie-break
+        // the outcome would depend on iterator arrival order.
+        val batch = it.toSeq.sortBy(r => (r.ts.getTime, if (r.qvalue.isDefined) 0 else 1))
         var book = state.getOption.getOrElse(Seq.empty)
         val out = Seq.newBuilder[Enriched]
         batch.foreach { r =>

@@ -366,6 +366,72 @@ object TextOps {
       .orderBy(col("lang"), col("stopword"))
   }
 
+  // text_repetition — Gopher-style repetition signals per document:
+  // duplicate-word mass, most-frequent-word count, duplicate word
+  // bigrams, and a repetition score in basis points. High-repetition
+  // documents (boilerplate, keyword stuffing, template spam) are the
+  // classic pre-training quality cut. One explode + two aggregations;
+  // ratios stay in exact integer space (FLOOR of an IEEE-identical
+  // division — no ROUND half-rule exposure).
+  val repetition = Q(
+    "text_repetition",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                 w -> w <> '') AS ws
+        FROM documents),
+      flat AS (SELECT doc_id, UNNEST(ws) AS w FROM toks),
+      wc AS (SELECT doc_id, w, COUNT(*) AS c FROM flat GROUP BY doc_id, w),
+      top AS (
+        SELECT doc_id, MAX(c) AS top_word_n, SUM(c) AS n_words,
+               COUNT(*) AS n_distinct
+        FROM wc GROUP BY doc_id),
+      big AS (
+        SELECT doc_id, LEN(bs) - LEN(LIST_DISTINCT(bs)) AS n_dup_bigrams
+        FROM (SELECT doc_id,
+                LIST_TRANSFORM(RANGE(1, GREATEST(LEN(ws) - 1, 0) + 1),
+                  i -> ws[i] || ' ' || ws[i + 1]) AS bs
+              FROM toks))
+      SELECT t.doc_id,
+             CAST(t.n_words AS BIGINT) AS n_words,
+             CAST(t.n_distinct AS BIGINT) AS n_distinct,
+             CAST(t.top_word_n AS BIGINT) AS top_word_n,
+             CAST(b.n_dup_bigrams AS BIGINT) AS n_dup_bigrams,
+             CAST(FLOOR(10000.0 * (t.n_words - t.n_distinct) / t.n_words) AS BIGINT) AS rep_bp
+      FROM top t JOIN big b USING (doc_id)
+      ORDER BY t.doc_id
+    """)
+  ) { t =>
+    val toks = t.documents.select(col("doc_id"),
+      filter(split(trim(lower(col("text"))), "\\s+"), w => w =!= "").as("ws"))
+    val wc = toks.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val top = wc.groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_word_n"), sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"))
+    // Bigrams per row via aligned slices (no sequence(): its descending
+    // mode on size<2 would emit phantom indexes).
+    val bs = zip_with(
+      slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+      slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+      (x, y) => concat(x, lit(" "), y))
+    val big = toks.select(col("doc_id"), bs.as("bs"))
+      .select(col("doc_id"),
+        (size(col("bs")) - size(array_distinct(col("bs"))))
+          .cast(LongType).as("n_dup_bigrams"))
+    top.join(big, "doc_id")
+      .select(col("doc_id"),
+        col("n_words").cast(LongType).as("n_words"),
+        col("n_distinct").cast(LongType).as("n_distinct"),
+        col("top_word_n").cast(LongType).as("top_word_n"),
+        col("n_dup_bigrams"),
+        floor(lit(10000.0) * (col("n_words") - col("n_distinct")) / col("n_words"))
+          .cast(LongType).as("rep_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
-    topBigrams, piiScrub, tokenHist, stopwordProfile)
+    topBigrams, piiScrub, tokenHist, stopwordProfile, repetition)
 }

@@ -82,4 +82,29 @@ class DedupSpec extends SparkSpec {
     val full = rows.find(_.getString(0) == "full_md5").get
     assert(full.getLong(1) === full.getLong(2) + full.getLong(3))
   }
+
+  test("dedup_apply keeps one doc per duplicate group and all singletons") {
+    val rows = Dedup.applyDedup.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        s"n_docs = n_kept + n_dropped for ${r.getString(0)}")
+    }
+    val totalDocs = rows.map(_.getLong(1)).sum
+    assert(totalDocs === 2 * nDocs, "corpus = documents + twins")
+    // cross-check against components: dropped = Σ (group_size - 1)
+    val dropExpected = Dedup.components.build(sf0001).collect()
+      .map(r => r.getLong(1) - 1).sum
+    assert(rows.map(_.getLong(3)).sum === dropExpected)
+  }
+
+  test("dedup_url collapses non-canonical URL variants") {
+    val rows = Dedup.urlDedup.build(sf0001).collect()
+    assert(rows.length === 7) // 7 derived hosts
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "canonical <= raw")
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2))
+    }
+    assert(rows.map(_.getLong(3)).sum > 0, "some variants must alias")
+  }
 }

@@ -55,4 +55,36 @@ class ScaleSpec extends SparkSpec {
       assert(exchanges.size <= 1, s"expected bucketed join without join-side shuffles:\n$plan")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("BitmapDistinct aggregator: exact, merge-order-free, range-capped") {
+    val agg = graft.functions.BitmapDistinct(maxId = 1000)
+    // reduce + merge across simulated partitions == distinct count
+    val ids = Seq(1L, 5L, 64L, 64L, 65L, 127L, 128L, 999L, 5L, 0L)
+    val parts = ids.grouped(3).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val merged = parts.reduce(agg.merge)
+    assert(agg.finish(merged) === ids.distinct.size)
+    // out-of-range and negative ids are ignored, not mis-counted
+    val b = Seq(-1L, 2000L, 7L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(b) === 1)
+  }
+
+  test("q55 bitmap distinct equals exact count distinct per group") {
+    val rows = graft.operators.AggExt.q55.build(sf0001).collect()
+    val exact = sf0001.events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) === exact(r.getString(0))))
+  }
+
+  test("q56 sumMap serializes aligned per-key maps") {
+    val rows = graft.operators.AggExt.q56.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val keys = r.getString(1).split(",")
+      assert(keys.length === r.getString(2).split(",").length)
+      assert(keys.length === r.getString(3).split(",").length)
+      assert(keys.map(_.toLong).toSeq === keys.map(_.toLong).sorted.toSeq)
+    }
+  }
 }

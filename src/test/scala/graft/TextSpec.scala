@@ -96,4 +96,18 @@ class TextSpec extends SparkSpec {
       assert(Set("high", "mid", "low").contains(r.getAs[String]("quality")))
     }
   }
+
+  test("repetition signals: internally consistent per document") {
+    val rows = TextOps.repetition.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getLong(1); val nDistinct = r.getLong(2)
+      val topN = r.getLong(3); val repBp = r.getLong(5)
+      assert(nDistinct >= 1 && nDistinct <= nWords)
+      // the modal word count is at least the mean count
+      assert(topN * nDistinct >= nWords)
+      assert(repBp === math.floor(10000.0 * (nWords - nDistinct) / nWords).toLong)
+      assert(repBp >= 0 && repBp <= 10000)
+    }
+  }
 }
