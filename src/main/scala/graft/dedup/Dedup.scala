@@ -567,6 +567,96 @@ object Dedup {
       .limit(20)
   }
 
+  // dedup_simhash_idf — document-frequency-weighted SimHash: rare tokens
+  // (df < 10% of corpus) vote with weight 4, common tokens with weight 1,
+  // so ubiquitous filler words can't saturate the majority vote — the
+  // failure mode where long docs sharing only boilerplate collapse into
+  // one mega-component. Integer weights keep the signature exactly
+  // reproducible in the oracle. The per-doc bit aggregation uses packed
+  // 16-bit lanes (graft_bitlanes: 64 bit-counters in 16 longs), so it's
+  // 16 plain long sums with map-side combine — no 64×-row bit explode, no
+  // per-dim expression blowup. Two shuffles total (token df + per-doc
+  // sums) before the usual banded bucket join.
+  val simhashIdf = Q(
+    "dedup_simhash_idf",
+    Some {
+      val al = PortableHash.coefASql(64)
+      val bl = PortableHash.coefBSql(64)
+      s"""
+      WITH $corpusSql,
+      toks AS (
+        SELECT doc_id, UNNEST(list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                 w -> w <> '')) AS tok
+        FROM corpus),
+      tokc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok),
+      dft AS (SELECT tok, COUNT(*) AS df FROM tokc GROUP BY tok),
+      nn AS (SELECT COUNT(*) AS n FROM corpus),
+      wt AS (
+        SELECT doc_id,
+               (CASE WHEN df * 10 < (SELECT n FROM nn) THEN 4 ELSE 1 END) * cnt AS wgt,
+               ${PortableHash.wordHashSql("tok")} AS h
+        FROM tokc JOIN dft USING (tok)),
+      bits AS (
+        SELECT doc_id, b,
+               CASE WHEN 2 * SUM(wgt * (((list_extract($al, b + 1) * h + list_extract($bl, b + 1)) % $P >> 15) & 1)) >= SUM(wgt)
+                    THEN CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                              ELSE (1::BIGINT << b) END
+                    ELSE 0 END AS bitval
+        FROM wt, UNNEST(RANGE(0, 64)) AS t(b)
+        GROUP BY doc_id, b),
+      sigs AS (SELECT doc_id, SUM(bitval)::BIGINT AS sig FROM bits GROUP BY doc_id),
+      sbanded AS (
+        SELECT doc_id, sig, b, (sig >> (b * 8)) & 255 AS bval
+        FROM sigs, UNNEST(RANGE(0, 8)) AS t(b)),
+      wpairs AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sbanded a JOIN sbanded b
+          ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id)
+      SELECT id1, id2, hamming FROM wpairs
+      WHERE hamming <= 8
+      ORDER BY id1, id2
+      """
+    }
+  ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
+    val n = 2L * t.documents.count()
+    val tokc = withTwins(t)
+      .select(col("doc_id"),
+        explode(filter(split(trim(lower(col("text"))), "\\s+"), w => w =!= "")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dft = tokc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wt = tokc.join(dft, "tok")
+      .select(col("doc_id"),
+        (when(col("df") * 10 < n, 4L).otherwise(1L) * col("cnt")).as("wgt"),
+        call_function("graft_bitlanes", col("tok")).as("lanes"))
+    val laneSums = (0 until 16).map(i =>
+      sum(element_at(col("lanes"), i + 1) * col("wgt")).as(s"c$i"))
+    val agg = wt.groupBy(col("doc_id"))
+      .agg(sum(col("wgt")).as("tw"), laneSums: _*)
+    val sig = (0 until 64).map { b =>
+      val cnt = shiftright(col(s"c${b >> 2}"), (b & 3) * 16).bitwiseAND(lit(0xffffL))
+      when(cnt * 2 >= col("tw"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val sigs = agg.select(col("doc_id"), sig.as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(7)),
+        bb => call_function("shiftright", col("sig"), bb * 8).bitwiseAND(lit(0xffL)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= 8)
+      .distinct()
+      .orderBy(col("id1"), col("id2"))
+  }
+
   // dedup_apply — the end of the dedup pipeline: apply the simhash
   // near-dup components as an actual corpus cut (keep the minimum doc id
   // per duplicate cluster, keep all singletons) and report the per-source
@@ -673,5 +763,5 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup,
-    components, embeddingDedup, chunkDedup, applyDedup, urlDedup)
+    simhashIdf, components, embeddingDedup, chunkDedup, applyDedup, urlDedup)
 }

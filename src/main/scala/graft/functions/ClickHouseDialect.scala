@@ -104,7 +104,37 @@ object ClickHouseDialect {
     "arrayReverse" -> (args => Reverse(one(args))),
     "arrayDistinct" -> (args => ArrayDistinct(one(args))),
     "empty" -> (args => EqualTo(Size(one(args)), Literal(0))),
-    "notEmpty" -> (args => GreaterThan(Size(one(args)), Literal(0))))
+    "notEmpty" -> (args => GreaterThan(Size(one(args)), Literal(0))),
+    // value pickers. ClickHouse `any`/`ifNull`/`nullIf`/`position` are NOT
+    // mapped: Spark resolves those names to builtins first (register()
+    // never shadows), and the builtin `any` (boolean) and `position`
+    // (swapped args) have DIFFERENT semantics — a silent-wrong-answer
+    // trap. ClickHouse users get `anyLast`, `any_value`, `ifnull`,
+    // `nullif`, and `locate` instead, all semantics-identical.
+    "anyLast" -> (args => Last(one(args), ignoreNulls = true)),
+    // cast family
+    "toDate" -> (args => Cast(one(args), org.apache.spark.sql.types.DateType)),
+    "toInt64" -> (args => Cast(one(args), org.apache.spark.sql.types.LongType)),
+    "toFloat64" -> (args => Cast(one(args), org.apache.spark.sql.types.DoubleType)),
+    "toString" -> (args => Cast(one(args), org.apache.spark.sql.types.StringType)),
+    // bit/temporal scalars
+    "bitCount" -> (args => BitwiseCount(one(args))),
+    "toDayOfYear" -> (args => DayOfYear(one(args))),
+    "toQuarter" -> (args => Quarter(one(args))),
+    // array membership
+    "has" -> (args => ArrayContains(args.head, args(1))),
+    "hasAny" -> (args => ArraysOverlap(args.head, args(1))),
+    "hasAll" -> (args => EqualTo(Size(ArrayExcept(args(1), args.head)), Literal(0))),
+    "arrayMax" -> (args => ArrayMax(one(args))),
+    "arrayMin" -> (args => ArrayMin(one(args))),
+    // string scalars
+    "leftPad" -> (args => StringLPad(args.head, args(1), args(2))),
+    "rightPad" -> (args => StringRPad(args.head, args(1), args(2))),
+    // arithmetic names
+    "plus" -> (args => Add(args.head, args(1))),
+    "minus" -> (args => Subtract(args.head, args(1))),
+    "multiply" -> (args => Multiply(args.head, args(1))),
+    "divide" -> (args => Divide(args.head, args(1))))
 
   /** Register (or refresh) the dialect names on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -197,6 +197,27 @@ object SignatureKernels {
     }
     new GenericArrayData(mins)
   }
+
+  /** Packed per-word simhash bit lanes for WEIGHTED signature builds:
+    * bit b of the word's seeded-hash family (same bit-15 rule as
+    * simhash64) lands in 16-bit lane (b&3) of long (b>>2) — 16 longs
+    * cover 64 bits. A caller multiplies the whole array by an integer
+    * weight ≤ 2^15/maxDocTokens (no cross-lane carry: each lane holds 0
+    * or 1 here) and SUMs arrays per document with 16 plain long-sum
+    * aggregates — map-side combining, no 64×-row bit explode.
+    */
+  def bitLanes(s: UTF8String): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val h = polyRange(bytes, 0, bytes.length, 7L)
+    val out = new Array[Long](16)
+    var b = 0
+    while (b < 64) {
+      if (((PortableHash.seeded(h, b) >> 15) & 1L) == 1L)
+        out(b >> 2) |= 1L << ((b & 3) * 16)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** graft_simhash64(text) → BIGINT */
@@ -260,6 +281,18 @@ case class MinHashSigExpr(child: Expression, k: Int = 16, w: Int = 3)
     copy(child = newChild)
 }
 
+/** graft_bitlanes(word) → ARRAY<BIGINT>(16) packed simhash bit lanes */
+case class BitLanesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.bitLanes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureKernels.bitLanes($c)")
+  override protected def withNewChildInternal(newChild: Expression): BitLanesExpr =
+    copy(child = newChild)
+}
+
 /** Registration — both styles:
   *   - GraftExtensions for spark.sql.extensions=graft.functions.GraftExtensions
   *   - GraftFunctions.register(spark) for imperative installs on a live
@@ -271,6 +304,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minhashDesc)
     ext.injectFunction(GraftFunctions.shinglesDesc)
     ext.injectFunction(GraftFunctions.fingerprintDesc)
+    ext.injectFunction(GraftFunctions.bigramsDesc)
+    ext.injectFunction(GraftFunctions.bitLanesDesc)
     ext.injectOptimizerRule(_ => graft.plans.ApproxQuantileRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
@@ -302,10 +337,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[FingerprintExpr].getName, "graft_fingerprint"),
       (args: Seq[Expression]) => FingerprintExpr(args.head))
 
+  val bitLanesDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_bitlanes"),
+      new ExpressionInfo(classOf[BitLanesExpr].getName, "graft_bitlanes"),
+      (args: Seq[Expression]) => BitLanesExpr(args.head))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(simhashDesc, minhashDesc, shinglesDesc, bigramsDesc,
-      fingerprintDesc).foreach { case (id, info, builder) =>
+      fingerprintDesc, bitLanesDesc).foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }

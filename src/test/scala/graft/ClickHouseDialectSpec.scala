@@ -101,4 +101,51 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(r.getSeq[Int](9) === Seq(1, 2))
     assert(r.getBoolean(10) && r.getBoolean(11))
   }
+
+  test("null combinators, casts, membership, padding, arithmetic names") {
+    // ifNull/nullIf resolve to Spark's same-semantics builtins — the
+    // dialect deliberately does not shadow builtin names.
+    val r = spark.sql("""
+      SELECT ifNull(NULL, 7) AS ifn,
+             nullIf(3, 3) AS nif,
+             toDate('2024-05-06') AS d,
+             toInt64('42') AS i,
+             toFloat64('2.5') AS f,
+             toString(99) AS s,
+             bitCount(7) AS bc,
+             toDayOfYear(DATE'2024-02-01') AS doy,
+             toQuarter(DATE'2024-05-06') AS q,
+             has(array(1, 2), 2) AS h,
+             hasAny(array(1, 2), array(2, 9)) AS ha,
+             hasAll(array(1, 2, 3), array(1, 3)) AS hall,
+             arrayMax(array(4, 9, 1)) AS amax,
+             arrayMin(array(4, 9, 1)) AS amin,
+             locate('ll', 'Hello') AS pos,
+             leftPad('7', 3, '0') AS lp,
+             rightPad('7', 3, 'x') AS rp,
+             plus(2, 3) AS pl, minus(5, 2) AS mi,
+             multiply(4, 3) AS mu, divide(9, 2) AS dv
+    """).head()
+    assert(r.getInt(0) === 7)
+    assert(r.isNullAt(1))
+    assert(r.getDate(2).toString === "2024-05-06")
+    assert(r.getLong(3) === 42L)
+    assert(r.getDouble(4) === 2.5)
+    assert(r.getString(5) === "99")
+    assert(r.getInt(6) === 3)
+    assert(r.getInt(7) === 32)
+    assert(r.getInt(8) === 2)
+    assert(r.getBoolean(9) && r.getBoolean(10) && r.getBoolean(11))
+    assert(r.getInt(12) === 9 && r.getInt(13) === 1)
+    assert(r.getInt(14) === 3)
+    assert(r.getString(15) === "007" && r.getString(16) === "7xx")
+    assert(r.getInt(17) === 5 && r.getInt(18) === 3 && r.getInt(19) === 12)
+    assert(r.getDouble(20) === 4.5)
+  }
+
+  test("anyLast picks a value from SQL text") {
+    val r = spark.sql(
+      "SELECT anyLast(x) AS al FROM VALUES (1), (2), (3) AS t(x)").head()
+    assert(Set(1, 2, 3).contains(r.getInt(0)))
+  }
 }

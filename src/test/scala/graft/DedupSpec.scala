@@ -83,6 +83,13 @@ class DedupSpec extends SparkSpec {
     assert(full.getLong(1) === full.getLong(2) + full.getLong(3))
   }
 
+  test("idf-weighted simhash recovers planted twins") {
+    val pairs = Dedup.simhashIdf.build(sf0001)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val recall = plantedRecall(pairs, nDocs)
+    assert(recall >= 0.8, s"weighted simhash recall $recall")
+  }
+
   test("dedup_apply keeps one doc per duplicate group and all singletons") {
     val rows = Dedup.applyDedup.build(sf0001).collect()
     assert(rows.nonEmpty)
