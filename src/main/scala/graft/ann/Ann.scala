@@ -362,5 +362,158 @@ object Ann {
       .orderBy(col("query_id"), col("vec_id"))
   }
 
-  val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch)
+  // ann_pq — product quantization (the memory-side complement of IVF's
+  // cell pruning): the vector splits into M=8 subspaces of 8 dims; each
+  // subspace is coded to 4 bits by deterministic hyperplane signs (16
+  // codes/subspace), and the codebook entry is the integer-grid centroid
+  // of its members — a corpus vector compresses to 4 BYTES. Query scoring
+  // is ADC (asymmetric distance computation): a per-query lookup table of
+  // query·centroid parts per (subspace, code), summed in FIXED subspace
+  // order (FP addition order is part of the contract — a SUM() over rows
+  // would be nondeterministic in the last ulp), then exact cosine re-rank
+  // of the top-50 ADC candidates. At 100 TB the corpus side is 4 bytes of
+  // code per vector; raw vectors are touched only for the ≤50 re-rank
+  // rows per query. Integer grids + sign tables make training,
+  // coding, and the LUT bit-for-bit reproducible in the oracle.
+  val pq = Q(
+    "ann_pq",
+    Some {
+      val M = 8; val sub = 8; val cand = 50
+      val signs16 = graft.functions.PortableHash.planeSigns(4 * M, sub)
+      def projSql(m: Int, p: Int, vecExpr: String): String =
+        s"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(list_slice($vecExpr, ${m * sub + 1}, ${(m + 1) * sub}), " +
+          s"${graft.functions.PortableHash.signsSql(signs16(4 * m + p))}), " +
+          "pr -> CAST(pr[1] AS DOUBLE) * pr[2]))"
+      def codeSql(m: Int, vecExpr: String): String =
+        (0 until 4).map { p =>
+          s"CASE WHEN ${projSql(m, p, vecExpr)} > 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString("(", " + ", ")")
+      def gridSql(m: Int, vecExpr: String): String =
+        s"LIST_TRANSFORM(list_slice($vecExpr, ${m * sub + 1}, ${(m + 1) * sub}), " +
+          "x -> FLOOR(CAST(x AS DOUBLE) * 1024))"
+      val codesUnion = (0 until M).map { m =>
+        s"""SELECT vec_id, $m AS m, ${codeSql(m, "embedding")} AS code,
+               ${gridSql(m, "embedding")} AS gv FROM embeddings"""
+      }.mkString("\nUNION ALL\n")
+      val qgridsUnion = (0 until M).map { m =>
+        s"""SELECT vec_id AS query_id, $m AS m, ${gridSql(m, "embedding")} AS gv
+            FROM embeddings WHERE vec_id < 5"""
+      }.mkString("\nUNION ALL\n")
+      s"""
+      WITH pqcodes AS (
+        $codesUnion),
+      cbd AS (
+        SELECT m, code, i AS pos, CAST(SUM(gv[i]) AS BIGINT) AS s, COUNT(*) AS cnt
+        FROM pqcodes, UNNEST(RANGE(1, ${sub + 1})) AS t(i)
+        GROUP BY m, code, i),
+      cbv AS (
+        SELECT m, code, LIST(s ORDER BY pos) AS sv, MIN(cnt) AS cnt
+        FROM cbd GROUP BY m, code),
+      qgrids AS (
+        $qgridsUnion),
+      lut AS (
+        SELECT qg.query_id, c.m, c.code,
+               CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qg.gv, c.sv),
+                 pr -> pr[1] * pr[2])) AS DOUBLE) / c.cnt AS part
+        FROM cbv c JOIN qgrids qg ON qg.m = c.m),
+      approx AS (
+        SELECT l.query_id, p.vec_id,
+               SUM(CASE WHEN p.m = 0 THEN part END) AS p0,
+               SUM(CASE WHEN p.m = 1 THEN part END) AS p1,
+               SUM(CASE WHEN p.m = 2 THEN part END) AS p2,
+               SUM(CASE WHEN p.m = 3 THEN part END) AS p3,
+               SUM(CASE WHEN p.m = 4 THEN part END) AS p4,
+               SUM(CASE WHEN p.m = 5 THEN part END) AS p5,
+               SUM(CASE WHEN p.m = 6 THEN part END) AS p6,
+               SUM(CASE WHEN p.m = 7 THEN part END) AS p7
+        FROM pqcodes p JOIN lut l ON l.m = p.m AND l.code = p.code
+        GROUP BY l.query_id, p.vec_id),
+      cands AS (
+        SELECT query_id, vec_id
+        FROM (SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ((((((p0 + p1) + p2) + p3) + p4) + p5) + p6) + p7 DESC, vec_id) AS ar
+              FROM approx)
+        WHERE ar <= $cand),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT c.query_id, c.vec_id, ${cosSql("q.qvec", "e.embedding")} AS cos
+        FROM cands c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN q ON q.query_id = c.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 10
+      ORDER BY query_id, rnk
+      """
+    }
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val M = 8; val sub = 8; val cand = 50
+    val signs16 = graft.functions.PortableHash.planeSigns(4 * M, sub)
+    def subv(v: Column, m: Int): Column = slice(v, m * sub + 1, sub)
+    def projM(v: Column, m: Int, p: Int): Column =
+      aggregate(zip_with(subv(v, m), typedlit(signs16(4 * m + p).toSeq),
+        (x, s) => x.cast(DoubleType) * s), lit(0.0), (acc, x) => acc + x)
+    def codeM(v: Column, m: Int): Column =
+      (0 until 4).map { p =>
+        when(projM(v, m, p) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    def gridM(v: Column, m: Int): Column =
+      transform(subv(v, m), x => floor(x.cast(DoubleType) * 1024))
+    def longDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+    val pqcodes = t.embeddings.select(col("vec_id"),
+      explode(array((0 until M).map(m => struct(
+        lit(m).as("m"), codeM(col("embedding"), m).as("code"),
+        gridM(col("embedding"), m).as("gv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.code").as("code"),
+        col("e.gv").as("gv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbv = pqcodes
+      .select(col("m"), col("code"), posexplode(col("gv")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("m"), col("code"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"),
+        min(col("cnt")).as("cnt"))
+      .select(col("m"), col("code"),
+        transform(col("ps"), e => e.getField("s")).as("sv"), col("cnt"))
+    val qgrids = t.embeddings.filter(col("vec_id") < 5).select(col("vec_id"),
+      explode(array((0 until M).map(m => struct(
+        lit(m).as("m"), gridM(col("embedding"), m).as("gv"))): _*)).as("e"))
+      .select(col("vec_id").as("query_id"), col("e.m").as("m"), col("e.gv").as("qgv"))
+    val lut = cbv.join(qgrids, "m")
+      .select(col("query_id"), col("m"), col("code"),
+        (longDot(col("qgv"), col("sv")).cast(DoubleType) / col("cnt")).as("part"))
+    val partCols = (0 until M).map(m =>
+      sum(when(col("m") === m, col("part"))).as(s"p$m"))
+    val approx = pqcodes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(partCols.head, partCols.tail: _*)
+      // fixed left-to-right addition order — FP sum order is part of the
+      // cross-engine contract (matches the oracle's ((((p0+p1)+p2)+...)
+      .select(col("query_id"), col("vec_id"),
+        (1 until M).foldLeft(col("p0"))((acc, m) => acc + col(s"p$m")).as("approx"))
+    val aw = Window.partitionBy(col("query_id")).orderBy(col("approx").desc, col("vec_id"))
+    val cands = approx.withColumn("ar", row_number().over(aw)).filter(col("ar") <= cand)
+      .select(col("query_id"), col("vec_id"))
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cands
+      .join(t.embeddings, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq)
 }

@@ -54,6 +54,15 @@ class AnnSpec extends SparkSpec {
     assert(q.count { case (a, b) => a == b } === 5, "self-match survives quantization")
   }
 
+  test("PQ: ADC candidates + exact re-rank keep useful recall vs brute force") {
+    val bf = Ann.bruteForce.build(sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val pq = Ann.pq.build(sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = pq.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"PQ recall@10 $recall vs brute force")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = graft.operators.AggExt.q37.build(sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
