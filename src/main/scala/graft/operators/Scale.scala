@@ -47,6 +47,33 @@ object Scale {
       .limit(25)
   }
 
+  // q57 — weighted heavy hitters (ClickHouse topKWeighted, exact form):
+  // parts ranked by total shipped quantity rather than row frequency.
+  // Weight sums go through DECIMAL (order-independent) before the DOUBLE
+  // cast; the ranking weight is the exact decimal so ties cut
+  // deterministically. Same two-level shape as q43: partial map-side
+  // aggregation, then TakeOrderedAndProject for the global top-N.
+  val q57 = Q(
+    "q57_topk_weighted",
+    Some("""
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS weight,
+             COUNT(*) AS freq
+      FROM lineitem
+      GROUP BY l_partkey
+      ORDER BY SUM(CAST(l_quantity AS DECIMAL(22,2))) DESC, l_partkey
+      LIMIT 25
+    """)
+  ) { t =>
+    t.lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(22, 2))).as("w_dec"),
+        count(lit(1)).as("freq"))
+      .orderBy(col("w_dec").desc, col("l_partkey"))
+      .limit(25)
+      .select(col("l_partkey"), col("w_dec").cast(DoubleType).as("weight"), col("freq"))
+  }
+
   // q44 — salted-join equivalence surface: revenue per order priority via
   // the salted join of orders against lineitem aggregates. The oracle is
   // the plain join — proving the salt transform is semantics-preserving.
@@ -129,5 +156,5 @@ object Scale {
       .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
   }
 
-  val all: Seq[Q] = Seq(q43, q44, q45, q51)
+  val all: Seq[Q] = Seq(q43, q44, q45, q51, q57)
 }

@@ -602,7 +602,80 @@ object Sbom {
         count(lit(1)).as("n_total"))
   }
 
+  // sbom_purl_parse — package-URL decomposition. The reference's merge
+  // dedup key embeds the raw purl (`name@version#purl^source`,
+  // sbom-merging.sh:358) but never parses it; any analytics over an SBOM
+  // lake needs the purl grammar broken out
+  // (pkg:type/namespace?/name@version?qualifiers#subpath) to group by
+  // ecosystem or join across registries. Synthetic purls exercise every
+  // optional part; parsing is anchored regex strip/extract steps that
+  // evaluate identically in Spark and the oracle. Narrow per-row
+  // transform — runs in the scan at any scale.
+  val purlParse = Q(
+    "sbom_purl_parse",
+    Some(s"""
+      WITH $componentsSql,
+      purls AS (
+        SELECT comp_id,
+               'pkg:' ||
+               (CASE comp_id % 4 WHEN 0 THEN 'npm' WHEN 1 THEN 'maven'
+                                 WHEN 2 THEN 'pypi' ELSE 'golang' END) || '/' ||
+               (CASE WHEN comp_id % 3 <> 0 THEN 'ns' || (comp_id % 5) || '/' ELSE '' END) ||
+               REPLACE(name, ' ', '-') || '@v' || (comp_id % 9) || '.' || (comp_id % 5) ||
+               (CASE WHEN comp_id % 2 = 0 THEN '?arch=x86_64&os=linux' ELSE '' END) ||
+               (CASE WHEN comp_id % 5 = 0 THEN '#lib/src' ELSE '' END) AS purl
+        FROM components),
+      parsed AS (
+        SELECT comp_id, purl,
+               REGEXP_EXTRACT(purl, '^pkg:([^/]+)/', 1) AS ptype,
+               REGEXP_REPLACE(REGEXP_REPLACE(purl, '^pkg:[^/]+/', ''), '[?#].*$$', '') AS core
+        FROM purls),
+      split_ver AS (
+        SELECT comp_id, purl, ptype,
+               REGEXP_EXTRACT(core, '@([^@]*)$$', 1) AS version,
+               REGEXP_REPLACE(core, '@[^@]*$$', '') AS path
+        FROM parsed)
+      SELECT comp_id, ptype,
+             REGEXP_REPLACE(path, '/?[^/]+$$', '') AS namespace,
+             REGEXP_EXTRACT(path, '([^/]+)$$', 1) AS name,
+             version,
+             REGEXP_EXTRACT(purl, '\\?([^#]*)', 1) AS qualifiers,
+             REGEXP_EXTRACT(purl, '#(.*)$$', 1) AS subpath
+      FROM split_ver
+      ORDER BY comp_id
+    """)
+  ) { t =>
+    val purl = concat(
+      lit("pkg:"),
+      when(col("comp_id") % 4 === 0, "npm").when(col("comp_id") % 4 === 1, "maven")
+        .when(col("comp_id") % 4 === 2, "pypi").otherwise("golang"),
+      lit("/"),
+      when(col("comp_id") % 3 =!= 0,
+        concat(lit("ns"), (col("comp_id") % 5).cast("string"), lit("/"))).otherwise(""),
+      regexp_replace(col("name"), " ", "-"), lit("@v"),
+      (col("comp_id") % 9).cast("string"), lit("."), (col("comp_id") % 5).cast("string"),
+      when(col("comp_id") % 2 === 0, "?arch=x86_64&os=linux").otherwise(""),
+      when(col("comp_id") % 5 === 0, "#lib/src").otherwise(""))
+    val core = regexp_replace(
+      regexp_replace(col("purl"), "^pkg:[^/]+/", ""), "[?#].*$", "")
+    components(t)
+      .select(col("comp_id"), purl.as("purl"))
+      .select(col("comp_id"), col("purl"),
+        regexp_extract(col("purl"), "^pkg:([^/]+)/", 1).as("ptype"),
+        core.as("core"))
+      .select(col("comp_id"), col("purl"), col("ptype"),
+        regexp_extract(col("core"), "@([^@]*)$", 1).as("version"),
+        regexp_replace(col("core"), "@[^@]*$", "").as("path"))
+      .select(col("comp_id"), col("ptype"),
+        regexp_replace(col("path"), "/?[^/]+$", "").as("namespace"),
+        regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+        col("version"),
+        regexp_extract(col("purl"), "\\?([^#]*)", 1).as("qualifiers"),
+        regexp_extract(col("purl"), "#(.*)$", 1).as("subpath"))
+      .orderBy(col("comp_id"))
+  }
+
   val all: Seq[Q] = Seq(flatten, mergeDedup, licenseMap, sourceExtract,
     filterPatterns, tableName, formatDetect, refCategory, componentStats,
-    validate, convert, validateModes)
+    validate, convert, validateModes, purlParse)
 }

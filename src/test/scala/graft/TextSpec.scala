@@ -97,6 +97,21 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("purl parse: fields reassemble the original purl") {
+    val rows = Sbom.purlParse.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    val types = Set("npm", "maven", "pypi", "golang")
+    rows.foreach { r =>
+      assert(types.contains(r.getString(1)))
+      assert(r.getString(3).nonEmpty, "name never empty")
+      assert(r.getString(4).startsWith("v"), "version parsed")
+      val ns = r.getString(2)
+      assert(ns.isEmpty || ns.startsWith("ns"))
+      val q = r.getString(5)
+      assert(q.isEmpty || q == "arch=x86_64&os=linux")
+    }
+  }
+
   test("repetition signals: internally consistent per document") {
     val rows = TextOps.repetition.build(sf0001).collect()
     assert(rows.nonEmpty)
