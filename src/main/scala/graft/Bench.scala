@@ -47,14 +47,21 @@ object Bench {
     // is aggregated so the one-line JSON always fits the log tail.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val budget = 1600
+    // Cut at the FIRST entry that doesn't fit (no append-shorter-later):
+    // the map must be exactly the slowest-N prefix or readers would
+    // conclude a long-named slow query sits in the fast _other bucket.
+    // ~36 bytes stay reserved for the _other entry itself.
     val sorted = results.sortBy(-_._2)
     val sb = new StringBuilder
-    val dropped = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    sorted.foreach { case (k, v) =>
+    var kept = 0
+    var fits = true
+    while (fits && kept < sorted.length) {
+      val (k, v) = sorted(kept)
       val entry = (if (sb.isEmpty) "" else ",") + "\"" + k + "\":" + r3(v)
-      if (sb.length + entry.length <= budget) sb.append(entry)
-      else dropped += (k -> v)
+      if (sb.length + entry.length <= budget - 36) { sb.append(entry); kept += 1 }
+      else fits = false
     }
+    val dropped = sorted.drop(kept)
     if (dropped.nonEmpty)
       sb.append(",\"_other_" + dropped.size + "q\":" + r3(dropped.map(_._2).sum))
     val line =

@@ -467,13 +467,16 @@ object Ann {
     def longDot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-    val pqcodes = t.embeddings.select(col("vec_id"),
-      explode(array((0 until M).map(m => struct(
-        lit(m).as("m"), codeM(col("embedding"), m).as("code"),
-        gridM(col("embedding"), m).as("gv"))): _*)).as("e"))
-      .select(col("vec_id"), col("e.m").as("m"), col("e.code").as("code"),
-        col("e.gv").as("gv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // memoized per (session, dataset) — repeated builds (Verify + specs +
+    // Bench in one JVM) must not stack persisted copies of the code table
+    val pqcodes = graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#pq-codes")(
+      t.embeddings.select(col("vec_id"),
+        explode(array((0 until M).map(m => struct(
+          lit(m).as("m"), codeM(col("embedding"), m).as("code"),
+          gridM(col("embedding"), m).as("gv"))): _*)).as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.code").as("code"),
+          col("e.gv").as("gv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cbv = pqcodes
       .select(col("m"), col("code"), posexplode(col("gv")))
       .groupBy(col("m"), col("code"), col("pos"))

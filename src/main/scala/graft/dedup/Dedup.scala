@@ -163,15 +163,16 @@ object Dedup {
     // bounded O(df²) ≤ 2500 per-shingle expansion — one aggregation
     // shuffle replaces the classic index self-join (which shuffles the
     // index twice more and re-derives df separately).
-    val lists = withTwins(t)
-      .select(col("doc_id"),
-        explode(call_function("graft_shingles", col("text"))).as("shingle"))
-      .distinct()
-      .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= maxDf)
-      .select(col("ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lists = graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#jaccard-index")(
+      withTwins(t)
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles", col("text"))).as("shingle"))
+        .distinct()
+        .groupBy(col("shingle"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) <= maxDf)
+        .select(col("ids"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = lists.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = lists
@@ -243,12 +244,14 @@ object Dedup {
       .select(col("doc_id"), call_function("graft_minhash", col("text")).as("sig"))
     // Band bucket = portable fold of the band's signature rows, seeded by
     // the band index — same arithmetic as the oracle's list_reduce.
-    val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)),
-          (b + 1).cast(LongType), (acc, v) => (acc * 31 + v) % P))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Memoized: repeated builds must not stack persisted copies.
+    val banded = graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#minhash-banded")(
+      sig.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)),
+            (b + 1).cast(LongType), (acc, v) => (acc * 31 + v) % P))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -291,30 +294,8 @@ object Dedup {
     * of candidates at sf0.1), and filtering map-side keeps that volume
     * out of the dedup shuffle and the cache.
     */
-  // Keyed by the session object; a weak map would never collect entries
-  // anyway (the cached DataFrames strongly reference their session), so
-  // eviction is explicit: a listener drops the slot when the session's
-  // context ends, releasing the pair graphs in long-lived multi-session
-  // JVMs. A dead session can't alias a live one's slot — removal happens
-  // before any new context can be handed the same identity.
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
-
-  private def cacheFor(
-      spark: org.apache.spark.sql.SparkSession): scala.collection.concurrent.TrieMap[String, DataFrame] =
-    pairsCache.computeIfAbsent(spark, { s =>
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          pairsCache.remove(s)
-      })
-      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-    })
-
   def simhashPairs(t: Tables): DataFrame = {
-    val perSession = cacheFor(t.spark)
-    perSession.getOrElseUpdate(t.dir, {
+    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#simhash-pairs")({
       graft.functions.GraftFunctions.register(t.spark)
       val sigs = withTwins(t)
         .select(col("doc_id"), call_function("graft_simhash64", col("text")).as("sig"))
@@ -343,7 +324,7 @@ object Dedup {
     */
   def simhashLabels(t: Tables): DataFrame = {
     graft.functions.GraftFunctions.register(t.spark)
-    cacheFor(t.spark).getOrElseUpdate(t.dir + "#labels",
+    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#simhash-labels")(
       connectedComponents(simhashPairs(t).select(col("id1"), col("id2"))))
   }
 
@@ -511,10 +492,11 @@ object Dedup {
     // duplicate corpus: original vectors + themselves under offset ids
     // (deterministic planted dups, mirroring the text twins)
     val base = t.embeddings.select(col("vec_id"), col("embedding"))
-    val corpus = base.unionAll(
-      base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      .select(col("vec_id"), col("embedding"), embBucket(col("embedding")).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#emb-bucketed")(
+      base.unionAll(
+        base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .select(col("vec_id"), col("embedding"), embBucket(col("embedding")).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     corpus.as("a")
       .join(corpus.as("b"), col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -620,32 +602,39 @@ object Dedup {
     }
   ) { t =>
     graft.functions.GraftFunctions.register(t.spark)
-    val n = 2L * t.documents.count()
-    val tokc = withTwins(t)
-      .select(col("doc_id"),
-        explode(filter(split(trim(lower(col("text"))), "\\s+"), w => w =!= "")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dft = tokc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val wt = tokc.join(dft, "tok")
-      .select(col("doc_id"),
-        (when(col("df") * 10 < n, 4L).otherwise(1L) * col("cnt")).as("wgt"),
-        call_function("graft_bitlanes", col("tok")).as("lanes"))
-    val laneSums = (0 until 16).map(i =>
-      sum(element_at(col("lanes"), i + 1) * col("wgt")).as(s"c$i"))
-    val agg = wt.groupBy(col("doc_id"))
-      .agg(sum(col("wgt")).as("tw"), laneSums: _*)
-    val sig = (0 until 64).map { b =>
-      val cnt = shiftright(col(s"c${b >> 2}"), (b & 3) * 16).bitwiseAND(lit(0xffffL))
-      when(cnt * 2 >= col("tw"), lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    val sigs = agg.select(col("doc_id"), sig.as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(7)),
-        bb => call_function("shiftright", col("sig"), bb * 8).bitwiseAND(lit(0xffL)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#idf-banded") {
+      // corpus size from the SAME frame definition the oracle counts —
+      // never a hand-derived 2×documents that could drift from withTwins
+      val n = withTwins(t).count()
+      val tokc = withTwins(t)
+        .select(col("doc_id"),
+          explode(filter(split(trim(lower(col("text"))), "\\s+"), w => w =!= "")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val dft = tokc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val wt = tokc.join(dft, "tok")
+        .select(col("doc_id"),
+          (when(col("df") * 10 < n, 4L).otherwise(1L) * col("cnt")).as("wgt"),
+          call_function("graft_bitlanes", col("tok")).as("lanes"))
+      // 32 lane-sum aggregates (2 bit-counters per long, 32-bit lanes):
+      // a lane overflows only past 2^32 total weighted tokens per doc —
+      // unreachable for any real document, unlike 16-bit lanes which a
+      // >16k-rare-token doc would silently wrap.
+      val laneSums = (0 until 32).map(i =>
+        sum(element_at(col("lanes"), i + 1) * col("wgt")).as(s"c$i"))
+      val agg = wt.groupBy(col("doc_id"))
+        .agg(sum(col("wgt")).as("tw"), laneSums: _*)
+      val sig = (0 until 64).map { b =>
+        val cnt = shiftright(col(s"c${b >> 1}"), (b & 1) * 32).bitwiseAND(lit(0xffffffffL))
+        when(cnt * 2 >= col("tw"), lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      val sigs = agg.select(col("doc_id"), sig.as("sig"))
+      sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          bb => call_function("shiftright", col("sig"), bb * 8).bitwiseAND(lit(0xffL)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&

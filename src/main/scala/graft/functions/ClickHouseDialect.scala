@@ -127,9 +127,11 @@ object ClickHouseDialect {
     "hasAll" -> (args => EqualTo(Size(ArrayExcept(args(1), args.head)), Literal(0))),
     "arrayMax" -> (args => ArrayMax(one(args))),
     "arrayMin" -> (args => ArrayMin(one(args))),
-    // string scalars
-    "leftPad" -> (args => StringLPad(args.head, args(1), args(2))),
-    "rightPad" -> (args => StringRPad(args.head, args(1), args(2))),
+    // string scalars (pad string optional in ClickHouse — default space)
+    "leftPad" -> (args =>
+      StringLPad(args.head, args(1), if (args.length > 2) args(2) else Literal(" "))),
+    "rightPad" -> (args =>
+      StringRPad(args.head, args(1), if (args.length > 2) args(2) else Literal(" "))),
     // arithmetic names
     "plus" -> (args => Add(args.head, args(1))),
     "minus" -> (args => Subtract(args.head, args(1))),

@@ -200,20 +200,22 @@ object SignatureKernels {
 
   /** Packed per-word simhash bit lanes for WEIGHTED signature builds:
     * bit b of the word's seeded-hash family (same bit-15 rule as
-    * simhash64) lands in 16-bit lane (b&3) of long (b>>2) — 16 longs
+    * simhash64) lands in 32-bit lane (b&1) of long (b>>1) — 32 longs
     * cover 64 bits. A caller multiplies the whole array by an integer
-    * weight ≤ 2^15/maxDocTokens (no cross-lane carry: each lane holds 0
-    * or 1 here) and SUMs arrays per document with 16 plain long-sum
-    * aggregates — map-side combining, no 64×-row bit explode.
+    * weight (no cross-lane carry while weight < 2^32: each lane holds 0
+    * or 1 here) and SUMs arrays per document with 32 plain long-sum
+    * aggregates — map-side combining, no 64×-row bit explode. Per-doc
+    * lane sums stay exact up to 2^32 total weighted tokens, far past
+    * any real document (16-bit lanes would wrap at 64k).
     */
   def bitLanes(s: UTF8String): ArrayData = {
     val bytes = s.toLowerCase.getBytes
     val h = polyRange(bytes, 0, bytes.length, 7L)
-    val out = new Array[Long](16)
+    val out = new Array[Long](32)
     var b = 0
     while (b < 64) {
       if (((PortableHash.seeded(h, b) >> 15) & 1L) == 1L)
-        out(b >> 2) |= 1L << ((b & 3) * 16)
+        out(b >> 1) |= 1L << ((b & 1) * 32)
       b += 1
     }
     new GenericArrayData(out)

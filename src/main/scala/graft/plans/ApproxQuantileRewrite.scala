@@ -20,17 +20,24 @@ object ApproxQuantileRewrite extends Rule[LogicalPlan] {
 
   val FLAG = "spark.graft.approxQuantiles"
 
+  private def isIntervalType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt.isInstanceOf[org.apache.spark.sql.types.YearMonthIntervalType] ||
+      dt.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] ||
+      dt == org.apache.spark.sql.types.CalendarIntervalType
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!SQLConf.get.getConfString(FLAG, "false").toBoolean) plan
     else plan.transformAllExpressions {
-      case p: Percentile if p.dataType == org.apache.spark.sql.types.DoubleType &&
-          p.frequencyExpression.foldable &&
-          String.valueOf(p.frequencyExpression.eval()) == "1" =>
-        // Percentile yields DoubleType for numeric children (interval
-        // children yield the interval type — those are left exact: casting
-        // an interval to double is not a valid cast), but
-        // ApproximatePercentile yields its child's type — cast non-double
-        // children so the rewrite never changes the plan's result schema
+      case p: Percentile
+          if !isIntervalType(p.child.dataType) &&
+            p.frequencyExpression.foldable &&
+            String.valueOf(p.frequencyExpression.eval()) == "1" =>
+        // Interval-typed children are left exact (Percentile yields the
+        // interval type there, and Cast(interval, double) is invalid);
+        // numeric children — scalar OR array-percentage form, where
+        // Percentile yields Double/Array(Double) — are rewritten.
+        // ApproximatePercentile yields its child's type, so cast
+        // non-double children to keep the plan's result schema unchanged
         // (post-analysis type drift would be an invalid plan).
         val child =
           if (p.child.dataType == org.apache.spark.sql.types.DoubleType) p.child

@@ -69,6 +69,11 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("q55 bitmap distinct equals exact count distinct per group") {
+    // guard the aggregator's id-range cap against the data domain: ids
+    // beyond maxId would be silently dropped, so the gate must know the
+    // moment the generator starts emitting large ids
+    val maxId = sf0001.events.agg(max(col("user_id"))).head().getLong(0)
+    assert(maxId < (1L << 26), s"user_id domain $maxId exceeds BitmapDistinct cap")
     val rows = graft.operators.AggExt.q55.build(sf0001).collect()
     val exact = sf0001.events.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("d")).collect()
