@@ -257,4 +257,70 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  final case class NearDupHit(id1: Long, id2: Long, est_jaccard: Double)
+
+  /** Streaming near-duplicate detection — the batch dedup_minhash_lsh as
+    * a stateful stream. Each arriving document's k=16 MinHash signature
+    * (the same codegen'd kernel arithmetic as the batch op) splits into
+    * 4 band buckets; the stream is keyed by (band, bucket) and
+    * flatMapGroupsWithState holds a bounded FIFO of recent signatures
+    * per bucket. A new document emits a hit the moment its signature
+    * agrees with a held one on ≥ `threshold` of components — the
+    * pipeline shape for "drop near-dups at ingest before they reach the
+    * corpus". State is per-bucket and bounded (maxPerBucket × 4 bands ×
+    * live buckets), partitioned across executors like any keyed state;
+    * a doc pair sharing several bands can emit once per shared band —
+    * callers dedup on (id1, id2) in the sink (chaining a second stateful
+    * operator behind flatMapGroupsWithState is restricted in streaming).
+    */
+  def nearDupStream(docs: Dataset[Doc], threshold: Double = 0.5,
+    maxPerBucket: Int = 256): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = 16; val bands = 4; val rows = k / bands
+    val P = graft.functions.PortableHash.P
+
+    // (band, bucket) keyed stream of signatures — same banding fold as
+    // the batch operator (seed band+1, acc*31+v mod P).
+    val banded = docs.flatMap { d =>
+      val sig = graft.functions.SignatureKernels
+        .minhashSig(org.apache.spark.unsafe.types.UTF8String.fromString(d.text), k, 3)
+        .toLongArray()
+      (0 until bands).map { b =>
+        var acc = (b + 1).toLong
+        var i = 0
+        while (i < rows) { acc = (acc * 31 + sig(b * rows + i)) % P; i += 1 }
+        (b.toLong, acc, d.doc_id, d.ts, sig)
+      }
+    }.toDF("band", "bucket", "doc_id", "ts", "sig")
+
+    def update(key: (Long, Long), it: Iterator[(Long, Long, Long, Timestamp, Array[Long])],
+      state: GroupState[Seq[(Long, Array[Long])]]): Iterator[NearDupHit] = {
+      var held = state.getOption.getOrElse(Seq.empty)
+      val out = Seq.newBuilder[NearDupHit]
+      // deterministic intra-batch order: by doc id
+      it.toSeq.sortBy(_._3).foreach { case (_, _, id, _, sig) =>
+        held.foreach { case (hid, hsig) =>
+          if (hid != id) {
+            var same = 0
+            var j = 0
+            while (j < k) { if (sig(j) == hsig(j)) same += 1; j += 1 }
+            val est = same.toDouble / k
+            if (est >= threshold)
+              out += NearDupHit(math.min(hid, id), math.max(hid, id),
+                math.round(est * 10000).toDouble / 10000)
+          }
+        }
+        held = (held :+ (id, sig)).takeRight(maxPerBucket)
+      }
+      state.update(held)
+      out.result().iterator
+    }
+
+    banded.as[(Long, Long, Long, Timestamp, Array[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

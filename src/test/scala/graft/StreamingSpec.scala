@@ -192,4 +192,31 @@ class StreamingSpec extends SparkSpec {
         s"expected first session of user 10 closed, got ${sessions.mkString(", ")}")
     } finally q.stop()
   }
+
+  test("streaming near-dup flags a twin arriving in a later batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Doc]
+    val q = Streams.nearDupStream(mem.toDS())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: three distinct documents (held in per-bucket state)
+      mem.addData(
+        Streams.Doc(1, ts(0), "alpha beta gamma delta epsilon zeta eta theta"),
+        Streams.Doc(2, ts(0), "one two three four five six seven eight nine"),
+        Streams.Doc(3, ts(0), "red orange yellow green blue indigo violet"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() === 0, "distinct docs produce no hits")
+      // batch 2: a near-twin of doc 1 (last word dropped) and a fresh doc
+      mem.addData(
+        Streams.Doc(11, ts(1), "alpha beta gamma delta epsilon zeta eta"),
+        Streams.Doc(4, ts(1), "completely different text with no overlap at all"))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_out").collect()
+        .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+      assert(hits === Set((1L, 11L)),
+        s"expected exactly the planted twin pair, got ${hits.mkString(", ")}")
+    } finally q.stop()
+  }
 }
