@@ -691,6 +691,45 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  // dedup_incremental — the production ingest flow: a NEW batch of
+  // documents (the twins, ids ≥ 1M) near-dup-checked against the EXISTING
+  // corpus (the originals) — not against itself. Each new doc reports its
+  // closest existing match; the batch-vs-corpus restriction is a filter
+  // on the shared memoized pair graph, so daily increments never rescan
+  // or re-pair the historical corpus. At 100 TB this is the shape that
+  // makes dedup tractable: |new| × bucket-collisions work per day, not
+  // |corpus|².
+  val incremental = Q(
+    "dedup_incremental",
+    Some(s"""
+      WITH $corpusSql,
+      $simhashPairsSql,
+      crossp AS (
+        SELECT id1 AS old_id, id2 AS new_id, hamming
+        FROM spairs
+        WHERE hamming <= 8 AND id1 < 1000000 AND id2 >= 1000000),
+      best AS (
+        SELECT new_id, old_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY hamming, old_id) AS rn
+        FROM crossp)
+      SELECT new_id, old_id AS matched_old, hamming AS best_hamming
+      FROM best WHERE rn = 1
+      ORDER BY new_id
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val cross = simhashPairs(t)
+      .filter(col("id1") < 1000000L && col("id2") >= 1000000L)
+      .select(col("id1").as("old_id"), col("id2").as("new_id"), col("hamming"))
+    val w = Window.partitionBy(col("new_id")).orderBy(col("hamming"), col("old_id"))
+    cross
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("new_id"), col("old_id").as("matched_old"),
+        col("hamming").as("best_hamming"))
+      .orderBy(col("new_id"))
+  }
+
   // dedup_url — URL canonicalization dedup: the crawl-side complement of
   // content dedup. The corpus has no URL column, so a deterministic URL is
   // derived per document (mixed-case scheme/host, explicit default port,
@@ -752,5 +791,6 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup,
-    simhashIdf, components, embeddingDedup, chunkDedup, applyDedup, urlDedup)
+    simhashIdf, components, embeddingDedup, chunkDedup, applyDedup, urlDedup,
+    incremental)
 }

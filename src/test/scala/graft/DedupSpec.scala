@@ -90,6 +90,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"weighted simhash recall $recall")
   }
 
+  test("incremental dedup matches most new-batch twins to their originals") {
+    val rows = Dedup.incremental.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    // every new id is ≥ 1M, every match is an existing-corpus id
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1000000L && r.getLong(1) < 1000000L)
+      assert(r.getLong(2) <= 8)
+    }
+    // most twins should match their own original (exact self-similarity)
+    val selfMatched = rows.count(r => r.getLong(1) == r.getLong(0) - 1000000L)
+    assert(selfMatched >= (nDocs * 0.8).toInt,
+      s"$selfMatched of $nDocs twins matched their original")
+  }
+
   test("dedup_apply keeps one doc per duplicate group and all singletons") {
     val rows = Dedup.applyDedup.build(sf0001).collect()
     assert(rows.nonEmpty)
