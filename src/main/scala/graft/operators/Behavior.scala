@@ -164,5 +164,48 @@ object Behavior {
         count(lit(1)).as("n_users"))
   }
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q52)
+  // q58 — STRICT-ORDER funnel (ClickHouse windowFunnel strict_order
+  // mode): unlike q47, where any events may sit between the steps, a
+  // step only counts if it follows the previous step IMMEDIATELY in the
+  // user's event sequence — any intervening event of another type breaks
+  // the chain. Implemented over the per-user ordered event-code string
+  // (one character per event, ordered by micro-truncated ts with
+  // event_id tie-break): strict level k = the code string contains the
+  // k-step prefix as an ADJACENT substring. One aggregation shuffle.
+  val q58 = Q(
+    "q58_funnel_strict",
+    Some("""
+      WITH seqs AS (
+        SELECT user_id,
+               STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS s
+        FROM events
+        GROUP BY user_id)
+      SELECT CASE WHEN s LIKE '%cvp%' THEN 3
+                  WHEN s LIKE '%cv%' THEN 2
+                  WHEN s LIKE '%c%' THEN 1
+                  ELSE 0 END AS strict_level,
+             COUNT(*) AS n_users
+      FROM seqs
+      GROUP BY 1
+      ORDER BY strict_level
+    """)
+  ) { t =>
+    val seqs = t.events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("code")))).as("evs"))
+      .select(concat_ws("", transform(col("evs"), e => e.getField("code"))).as("s"))
+    seqs
+      .select(
+        when(col("s").contains("cvp"), 3)
+          .when(col("s").contains("cv"), 2)
+          .when(col("s").contains("c"), 1)
+          .otherwise(0).as("strict_level"))
+      .groupBy(col("strict_level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("strict_level"))
+  }
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q52, q58)
 }

@@ -432,6 +432,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // text_vocab — per-source vocabulary statistics: vocabulary size,
+  // hapax legomena (tokens seen once — the Zipf tail), total tokens, and
+  // a type-token ratio in basis points. The corpus-health profile read
+  // before deciding dedup/quality thresholds: a shrinking vocabulary or
+  // collapsing hapax share flags template spam. One explode + two
+  // aggregations; ratios via FLOOR of IEEE-identical division.
+  val vocab = Q(
+    "text_vocab",
+    Some("""
+      WITH toks AS (
+        SELECT source,
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                 w -> w <> '')) AS w
+        FROM documents),
+      wc AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w)
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_vocab,
+             COUNT(CASE WHEN c = 1 THEN 1 END) AS n_hapax,
+             CAST(FLOOR(10000.0 * COUNT(*) / SUM(c)) AS BIGINT) AS ttr_bp
+      FROM wc
+      GROUP BY source
+      ORDER BY source
+    """)
+  ) { t =>
+    val wc = t.documents
+      .select(col("source"),
+        explode(filter(split(trim(lower(col("text"))), "\\s+"), w => w =!= "")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    wc.groupBy(col("source"))
+      .agg(
+        sum(col("c")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        count(when(col("c") === 1, 1)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"), col("n_hapax"),
+        floor(lit(10000.0) * col("n_vocab") / col("n_tokens")).cast(LongType).as("ttr_bp"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
-    topBigrams, piiScrub, tokenHist, stopwordProfile, repetition)
+    topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab)
 }

@@ -97,6 +97,24 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("vocab stats: hapax <= vocab <= tokens per source") {
+    val rows = TextOps.vocab.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, voc, hap, ttr) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(hap <= voc && voc <= tok)
+      assert(ttr === math.floor(10000.0 * voc / tok).toLong)
+    }
+  }
+
+  test("strict funnel levels partition all users") {
+    val rows = graft.operators.Behavior.q58.build(sf0001).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val users = sf0001.events.select(col("user_id")).distinct().count()
+    assert(total === users, "every user lands in exactly one strict level")
+    rows.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) <= 3))
+  }
+
   test("purl parse: fields reassemble the original purl") {
     val rows = Sbom.purlParse.build(sf0001).collect()
     assert(rows.nonEmpty)
