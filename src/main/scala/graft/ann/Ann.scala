@@ -167,7 +167,11 @@ object Ann {
     *   - final re-rank uses exact cosine on the original float vectors,
     *     only inside probed cells — the corpus is never shuffled.
     */
-  def ivfQuery(t: Tables, c: Int, nprobe: Int): DataFrame = {
+  /** IVF index structures: the corpus cell-assignment table
+    * (vec_id, embedding, cell) and each query's probed cells
+    * (query_id, qvec, cell) — shared by ann_ivf and ann_hybrid.
+    */
+  def ivfIndex(t: Tables, c: Int, nprobe: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val emb = t.embeddings.select(col("vec_id"), col("embedding"),
       transform(col("embedding"),
@@ -208,7 +212,12 @@ object Ann {
       .withColumn("prank", row_number().over(wq))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cid").as("cell"))
+    (corpus, probes)
+  }
 
+  def ivfQuery(t: Tables, c: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (corpus, probes) = ivfIndex(t, c, nprobe)
     // exact cosine inside probed cells only
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(probes), "cell")
@@ -224,12 +233,12 @@ object Ann {
   // nearest cells, exact cosine re-rank inside the probed cells only —
   // the 100 TB shape where brute force is off the table. AnnSpec measures
   // recall vs brute force; the oracle replays training + search in SQL.
-  val ivf = Q(
-    "ann_ivf",
-    Some {
-      val c = 16; val nprobe = 4
-      s"""
-      WITH qemb AS (
+  /** The IVF training + assignment + probe CTE chain (qemb → init → one
+    * Lloyd step → cents → ac corpus-cell table → probes), shared by the
+    * ann_ivf and ann_hybrid oracles so the two never drift.
+    */
+  private def ivfCtesSql(c: Int, nprobe: Int): String =
+    s"""qemb AS (
         SELECT vec_id, embedding,
                LIST_TRANSFORM(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 1024)) AS qv
         FROM embeddings),
@@ -259,7 +268,13 @@ object Ann {
               FROM (SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid AS cell,
                            ${dist2Sql("q.qv", "c.cv")} AS cdist
                     FROM qemb q, cents c WHERE q.vec_id < 5))
-        WHERE pr <= $nprobe),
+        WHERE pr <= $nprobe)"""
+
+  val ivf = Q(
+    "ann_ivf",
+    Some {
+      s"""
+      WITH ${ivfCtesSql(16, 4)},
       scored AS (
         SELECT p.query_id, a.vec_id, ${cosSql("p.qvec", "a.embedding")} AS cos
         FROM ac a JOIN probes p ON a.cell = p.cell),
@@ -362,49 +377,40 @@ object Ann {
       .orderBy(col("query_id"), col("vec_id"))
   }
 
-  // ann_pq — product quantization (the memory-side complement of IVF's
-  // cell pruning): the vector splits into M=8 subspaces of 8 dims; each
-  // subspace is coded to 4 bits by deterministic hyperplane signs (16
-  // codes/subspace), and the codebook entry is the integer-grid centroid
-  // of its members — a corpus vector compresses to 4 BYTES. Query scoring
-  // is ADC (asymmetric distance computation): a per-query lookup table of
-  // query·centroid parts per (subspace, code), summed in FIXED subspace
-  // order (FP addition order is part of the contract — a SUM() over rows
-  // would be nondeterministic in the last ulp), then exact cosine re-rank
-  // of the top-50 ADC candidates. At 100 TB the corpus side is 4 bytes of
-  // code per vector; raw vectors are touched only for the ≤50 re-rank
-  // rows per query. Integer grids + sign tables make training,
-  // coding, and the LUT bit-for-bit reproducible in the oracle.
-  val pq = Q(
-    "ann_pq",
-    Some {
-      val M = 8; val sub = 8; val cand = 50
-      val signs16 = graft.functions.PortableHash.planeSigns(4 * M, sub)
-      def projSql(m: Int, p: Int, vecExpr: String): String =
-        s"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(list_slice($vecExpr, ${m * sub + 1}, ${(m + 1) * sub}), " +
-          s"${graft.functions.PortableHash.signsSql(signs16(4 * m + p))}), " +
-          "pr -> CAST(pr[1] AS DOUBLE) * pr[2]))"
-      def codeSql(m: Int, vecExpr: String): String =
-        (0 until 4).map { p =>
-          s"CASE WHEN ${projSql(m, p, vecExpr)} > 0 THEN ${1L << p} ELSE 0 END"
-        }.mkString("(", " + ", ")")
-      def gridSql(m: Int, vecExpr: String): String =
-        s"LIST_TRANSFORM(list_slice($vecExpr, ${m * sub + 1}, ${(m + 1) * sub}), " +
-          "x -> FLOOR(CAST(x AS DOUBLE) * 1024))"
-      val codesUnion = (0 until M).map { m =>
-        s"""SELECT vec_id, $m AS m, ${codeSql(m, "embedding")} AS code,
-               ${gridSql(m, "embedding")} AS gv FROM embeddings"""
-      }.mkString("\nUNION ALL\n")
-      val qgridsUnion = (0 until M).map { m =>
-        s"""SELECT vec_id AS query_id, $m AS m, ${gridSql(m, "embedding")} AS gv
-            FROM embeddings WHERE vec_id < 5"""
-      }.mkString("\nUNION ALL\n")
-      s"""
-      WITH pqcodes AS (
+  // ---- Product quantization machinery (shared by ann_pq and ann_hybrid) --
+
+  private val PqM = 8; private val PqSub = 8; private val PqCand = 50
+  private lazy val pqSigns = graft.functions.PortableHash.planeSigns(4 * PqM, PqSub)
+
+  private def pqProjSql(m: Int, p: Int, vecExpr: String): String =
+    s"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(list_slice($vecExpr, ${m * PqSub + 1}, ${(m + 1) * PqSub}), " +
+      s"${graft.functions.PortableHash.signsSql(pqSigns(4 * m + p))}), " +
+      "pr -> CAST(pr[1] AS DOUBLE) * pr[2]))"
+  private def pqCodeSql(m: Int, vecExpr: String): String =
+    (0 until 4).map { p =>
+      s"CASE WHEN ${pqProjSql(m, p, vecExpr)} > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+  private def pqGridSql(m: Int, vecExpr: String): String =
+    s"LIST_TRANSFORM(list_slice($vecExpr, ${m * PqSub + 1}, ${(m + 1) * PqSub}), " +
+      "x -> FLOOR(CAST(x AS DOUBLE) * 1024))"
+
+  /** The PQ coding + codebook + query-LUT CTE chain (pqcodes → cbd →
+    * cbv → qgrids → lut), shared by the ann_pq and ann_hybrid oracles.
+    */
+  private def pqCtesSql: String = {
+    val codesUnion = (0 until PqM).map { m =>
+      s"""SELECT vec_id, $m AS m, ${pqCodeSql(m, "embedding")} AS code,
+             ${pqGridSql(m, "embedding")} AS gv FROM embeddings"""
+    }.mkString("\nUNION ALL\n")
+    val qgridsUnion = (0 until PqM).map { m =>
+      s"""SELECT vec_id AS query_id, $m AS m, ${pqGridSql(m, "embedding")} AS gv
+          FROM embeddings WHERE vec_id < 5"""
+    }.mkString("\nUNION ALL\n")
+    s"""pqcodes AS (
         $codesUnion),
       cbd AS (
         SELECT m, code, i AS pos, CAST(SUM(gv[i]) AS BIGINT) AS s, COUNT(*) AS cnt
-        FROM pqcodes, UNNEST(RANGE(1, ${sub + 1})) AS t(i)
+        FROM pqcodes, UNNEST(RANGE(1, ${PqSub + 1})) AS t(i)
         GROUP BY m, code, i),
       cbv AS (
         SELECT m, code, LIST(s ORDER BY pos) AS sv, MIN(cnt) AS cnt
@@ -415,26 +421,31 @@ object Ann {
         SELECT qg.query_id, c.m, c.code,
                CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(qg.gv, c.sv),
                  pr -> pr[1] * pr[2])) AS DOUBLE) / c.cnt AS part
-        FROM cbv c JOIN qgrids qg ON qg.m = c.m),
-      approx AS (
+        FROM cbv c JOIN qgrids qg ON qg.m = c.m)"""
+  }
+
+  /** The ADC pivot + fixed-order sum + top-candidate + exact-re-rank SQL
+    * tail. `extraJoin` optionally restricts scoring to a candidate set
+    * (the hybrid's probed-cell membership).
+    */
+  private def pqSearchTailSql(extraJoin: String): String = {
+    val pivots = (0 until PqM).map(m =>
+      s"               SUM(CASE WHEN p.m = $m THEN part END) AS p$m").mkString(",\n")
+    val sumExpr = (1 until PqM).foldLeft("p0")((acc, m) => s"($acc + p$m)")
+    s"""approx AS (
         SELECT l.query_id, p.vec_id,
-               SUM(CASE WHEN p.m = 0 THEN part END) AS p0,
-               SUM(CASE WHEN p.m = 1 THEN part END) AS p1,
-               SUM(CASE WHEN p.m = 2 THEN part END) AS p2,
-               SUM(CASE WHEN p.m = 3 THEN part END) AS p3,
-               SUM(CASE WHEN p.m = 4 THEN part END) AS p4,
-               SUM(CASE WHEN p.m = 5 THEN part END) AS p5,
-               SUM(CASE WHEN p.m = 6 THEN part END) AS p6,
-               SUM(CASE WHEN p.m = 7 THEN part END) AS p7
-        FROM pqcodes p JOIN lut l ON l.m = p.m AND l.code = p.code
+$pivots
+        FROM pqcodes p
+        JOIN lut l ON l.m = p.m AND l.code = p.code
+        $extraJoin
         GROUP BY l.query_id, p.vec_id),
       cands AS (
         SELECT query_id, vec_id
         FROM (SELECT query_id, vec_id,
                      ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY ((((((p0 + p1) + p2) + p3) + p4) + p5) + p6) + p7 DESC, vec_id) AS ar
+                       ORDER BY $sumExpr DESC, vec_id) AS ar
               FROM approx)
-        WHERE ar <= $cand),
+        WHERE ar <= $PqCand),
       q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
       scored AS (
         SELECT c.query_id, c.vec_id, ${cosSql("q.qvec", "e.embedding")} AS cos
@@ -447,37 +458,39 @@ object Ann {
         FROM scored)
       SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
       FROM ranked WHERE rnk <= 10
-      ORDER BY query_id, rnk
-      """
-    }
-  ) { t =>
-    import org.apache.spark.sql.expressions.Window
-    val M = 8; val sub = 8; val cand = 50
-    val signs16 = graft.functions.PortableHash.planeSigns(4 * M, sub)
-    def subv(v: Column, m: Int): Column = slice(v, m * sub + 1, sub)
-    def projM(v: Column, m: Int, p: Int): Column =
-      aggregate(zip_with(subv(v, m), typedlit(signs16(4 * m + p).toSeq),
-        (x, s) => x.cast(DoubleType) * s), lit(0.0), (acc, x) => acc + x)
-    def codeM(v: Column, m: Int): Column =
-      (0 until 4).map { p =>
-        when(projM(v, m, p) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-    def gridM(v: Column, m: Int): Column =
-      transform(subv(v, m), x => floor(x.cast(DoubleType) * 1024))
-    def longDot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      ORDER BY query_id, rnk"""
+  }
 
-    // memoized per (session, dataset) — repeated builds (Verify + specs +
-    // Bench in one JVM) must not stack persisted copies of the code table
-    val pqcodes = graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#pq-codes")(
+  private def pqSubv(v: Column, m: Int): Column = slice(v, m * PqSub + 1, PqSub)
+  private def pqProj(v: Column, m: Int, p: Int): Column =
+    aggregate(zip_with(pqSubv(v, m), typedlit(pqSigns(4 * m + p).toSeq),
+      (x, s) => x.cast(DoubleType) * s), lit(0.0), (acc, x) => acc + x)
+  private def pqCode(v: Column, m: Int): Column =
+    (0 until 4).map { p =>
+      when(pqProj(v, m, p) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  private def pqGrid(v: Column, m: Int): Column =
+    transform(pqSubv(v, m), x => floor(x.cast(DoubleType) * 1024))
+  private def pqLongDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Corpus PQ code table (vec_id, m, code, gv) — memoized per
+    * (session, dataset): repeated builds (Verify + specs + Bench in one
+    * JVM) must not stack persisted copies.
+    */
+  private def pqCodes(t: Tables): DataFrame =
+    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#pq-codes")(
       t.embeddings.select(col("vec_id"),
-        explode(array((0 until M).map(m => struct(
-          lit(m).as("m"), codeM(col("embedding"), m).as("code"),
-          gridM(col("embedding"), m).as("gv"))): _*)).as("e"))
+        explode(array((0 until PqM).map(m => struct(
+          lit(m).as("m"), pqCode(col("embedding"), m).as("code"),
+          pqGrid(col("embedding"), m).as("gv"))): _*)).as("e"))
         .select(col("vec_id"), col("e.m").as("m"), col("e.code").as("code"),
           col("e.gv").as("gv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cbv = pqcodes
+
+  /** Per-query ADC lookup table (query_id, m, code, part). */
+  private def pqLut(t: Tables): DataFrame = {
+    val cbv = pqCodes(t)
       .select(col("m"), col("code"), posexplode(col("gv")))
       .groupBy(col("m"), col("code"), col("pos"))
       .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
@@ -487,23 +500,35 @@ object Ann {
       .select(col("m"), col("code"),
         transform(col("ps"), e => e.getField("s")).as("sv"), col("cnt"))
     val qgrids = t.embeddings.filter(col("vec_id") < 5).select(col("vec_id"),
-      explode(array((0 until M).map(m => struct(
-        lit(m).as("m"), gridM(col("embedding"), m).as("gv"))): _*)).as("e"))
+      explode(array((0 until PqM).map(m => struct(
+        lit(m).as("m"), pqGrid(col("embedding"), m).as("gv"))): _*)).as("e"))
       .select(col("vec_id").as("query_id"), col("e.m").as("m"), col("e.gv").as("qgv"))
-    val lut = cbv.join(qgrids, "m")
+    cbv.join(qgrids, "m")
       .select(col("query_id"), col("m"), col("code"),
-        (longDot(col("qgv"), col("sv")).cast(DoubleType) / col("cnt")).as("part"))
-    val partCols = (0 until M).map(m =>
+        (pqLongDot(col("qgv"), col("sv")).cast(DoubleType) / col("cnt")).as("part"))
+  }
+
+  /** ADC candidate selection + exact cosine re-rank. `restrict` limits
+    * scoring to a (query_id, vec_id) candidate set (probed cells for the
+    * hybrid); parts are added in FIXED subspace order — FP addition
+    * order decides the candidate cut and must match the oracle.
+    */
+  private def pqSearch(t: Tables, restrict: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scoredParts = pqCodes(t).join(broadcast(pqLut(t)), Seq("m", "code"))
+    val restricted = restrict match {
+      case Some(c) => scoredParts.join(c, Seq("query_id", "vec_id"), "left_semi")
+      case None => scoredParts
+    }
+    val partCols = (0 until PqM).map(m =>
       sum(when(col("m") === m, col("part"))).as(s"p$m"))
-    val approx = pqcodes.join(broadcast(lut), Seq("m", "code"))
+    val approx = restricted
       .groupBy(col("query_id"), col("vec_id"))
       .agg(partCols.head, partCols.tail: _*)
-      // fixed left-to-right addition order — FP sum order is part of the
-      // cross-engine contract (matches the oracle's ((((p0+p1)+p2)+...)
       .select(col("query_id"), col("vec_id"),
-        (1 until M).foldLeft(col("p0"))((acc, m) => acc + col(s"p$m")).as("approx"))
+        (1 until PqM).foldLeft(col("p0"))((acc, m) => acc + col(s"p$m")).as("approx"))
     val aw = Window.partitionBy(col("query_id")).orderBy(col("approx").desc, col("vec_id"))
-    val cands = approx.withColumn("ar", row_number().over(aw)).filter(col("ar") <= cand)
+    val cands = approx.withColumn("ar", row_number().over(aw)).filter(col("ar") <= PqCand)
       .select(col("query_id"), col("vec_id"))
     val queries = t.embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -518,5 +543,48 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq)
+  // ann_pq — product quantization (the memory-side complement of IVF's
+  // cell pruning): the vector splits into M=8 subspaces of 8 dims; each
+  // subspace is coded to 4 bits by deterministic hyperplane signs (16
+  // codes/subspace), and the codebook entry is the integer-grid centroid
+  // of its members — a corpus vector compresses to 4 BYTES. Query scoring
+  // is ADC (asymmetric distance computation): a per-query lookup table of
+  // query·centroid parts per (subspace, code), summed in FIXED subspace
+  // order, then exact cosine re-rank of the top-50 ADC candidates. At
+  // 100 TB the corpus side is 4 bytes of code per vector; raw vectors are
+  // touched only for the ≤50 re-rank rows per query.
+  val pq = Q(
+    "ann_pq",
+    Some(s"""
+      WITH $pqCtesSql,
+      ${pqSearchTailSql("")}
+    """)
+  ) { t => pqSearch(t, None) }
+
+  // ann_hybrid — IVF × PQ composed index (the canonical billion-scale
+  // ANN shape): the IVF coarse quantizer prunes the corpus to each
+  // query's nprobe cells, and PQ/ADC scores ONLY the surviving cell
+  // members from 4-byte codes before the exact re-rank. Search cost =
+  // |probed cells| × ADC lookups, memory = 4B codes + one centroid table;
+  // neither the float corpus nor unprobed cells are touched. Both index
+  // structures are the memoized/shared ones (ivfIndex, pqCodes), and the
+  // oracle composes the exact same IVF and PQ CTE chains.
+  val hybrid = Q(
+    "ann_hybrid",
+    Some(s"""
+      WITH ${ivfCtesSql(16, 4)},
+      $pqCtesSql,
+      ${pqSearchTailSql("""JOIN ac a ON a.vec_id = p.vec_id
+        JOIN probes pr ON pr.cell = a.cell AND pr.query_id = l.query_id""")}
+    """)
+  ) { t =>
+    val (cells, probes) = ivfIndex(t, 16, 4)
+    val candSet = cells.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes.select(col("query_id"), col("cell"))), "cell")
+      .select(col("query_id"), col("vec_id"))
+    pqSearch(t, Some(candSet))
+  }
+
+  val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
+    hybrid)
 }

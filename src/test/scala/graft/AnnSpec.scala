@@ -63,6 +63,24 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"PQ recall@10 $recall vs brute force")
   }
 
+  test("hybrid IVF+PQ results are drawn from probed cells and keep recall") {
+    val bf = Ann.bruteForce.build(sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val hy = Ann.hybrid.build(sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = hy.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"hybrid recall@10 $recall vs brute force")
+    // every hybrid hit must live in a cell the query probed
+    val (cells, probes) = Ann.ivfIndex(sf0001, 16, 4)
+    val cellOf = cells.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = probes.select("query_id", "cell").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    hy.foreach { case (q, v) =>
+      assert(probed(q).contains(cellOf(v)), s"hit $v outside query $q's probed cells")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = graft.operators.AggExt.q37.build(sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
