@@ -169,9 +169,19 @@ object Ann {
     */
   /** IVF index structures: the corpus cell-assignment table
     * (vec_id, embedding, cell) and each query's probed cells
-    * (query_id, qvec, cell) — shared by ann_ivf and ann_hybrid.
+    * (query_id, qvec, cell) — shared by ann_ivf and ann_hybrid, and
+    * memoized per (session, dataset, params) so the quantizer trains
+    * once however many operators search it.
     */
-  def ivfIndex(t: Tables, c: Int, nprobe: Int): (DataFrame, DataFrame) = {
+  def ivfIndex(t: Tables, c: Int, nprobe: Int): (DataFrame, DataFrame) = (
+    graft.PersistCache.getOrElseUpdate(t.spark, s"${t.dir}#ivf-cells-$c")(
+      ivfIndexBuild(t, c, nprobe)._1
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+    graft.PersistCache.getOrElseUpdate(t.spark, s"${t.dir}#ivf-probes-$c-$nprobe")(
+      ivfIndexBuild(t, c, nprobe)._2
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+
+  private def ivfIndexBuild(t: Tables, c: Int, nprobe: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val emb = t.embeddings.select(col("vec_id"), col("embedding"),
       transform(col("embedding"),
