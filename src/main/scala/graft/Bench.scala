@@ -9,8 +9,54 @@ import org.apache.spark.sql.SparkSession
   * fastest queries are rolled up into an `_other` entry when the full
   * map would overflow. Full-precision timings for local analysis go to
   * /tmp/graft_bench_full.json.
+  *
+  * Shared index structures (simhash pair graph + CC labels; IVF cells/
+  * probes; PQ codes) are built in an explicit warm-up phase and reported
+  * as `_build_*` entries — otherwise the whole build cost lands on
+  * whichever sharing query happens to run first, masking both build and
+  * search regressions.
+  *
+  * A query that throws is reported as `"name":"err"` (and counted in
+  * `errors`) instead of a near-zero timing — a broken operator must
+  * never bench as fast.
   */
 object Bench {
+
+  /** One timed entry: name, wall seconds, whether it threw. */
+  final case class Timing(name: String, sec: Double, err: Boolean)
+
+  private def r3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Build the one-line JSON contract from raw timings (pure; spec'd by
+    * BenchSpec). Errors sort first so they are never rolled into the
+    * `_other` bucket; remaining entries are slowest-first and cut at the
+    * FIRST entry that doesn't fit (the map must be exactly the
+    * errors+slowest-N prefix or readers would conclude a long-named slow
+    * query sits in the fast _other bucket). ~36 bytes stay reserved for
+    * the _other entry itself.
+    */
+  def buildLine(results: Seq[Timing], sfDir: String, budget: Int = 1600): String = {
+    val total = results.map(_.sec).sum
+    val errors = results.count(_.err)
+    val sorted = results.sortBy(t => (!t.err, -t.sec))
+    def render(t: Timing): String =
+      "\"" + t.name + "\":" + (if (t.err) "\"err\"" else r3(t.sec))
+    val sb = new StringBuilder
+    var kept = 0
+    var fits = true
+    while (fits && kept < sorted.length) {
+      val entry = (if (sb.isEmpty) "" else ",") + render(sorted(kept))
+      if (sb.length + entry.length <= budget - 36) { sb.append(entry); kept += 1 }
+      else fits = false
+    }
+    val dropped = sorted.drop(kept)
+    if (dropped.nonEmpty)
+      sb.append(",\"_other_" + dropped.size + "q\":" + r3(dropped.map(_.sec).sum))
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,""" +
+      s""""queries":{$sb},"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,47 +71,31 @@ object Bench {
     val t = Tables(spark, sfDir)
     Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
       t.lineitem, t.events, t.documents, t.embeddings).foreach(_.count())
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    def timed(name: String)(run: => Unit): Timing = {
       val t0 = System.nanoTime()
+      val err = try { run; false } catch { case _: Throwable => true }
+      Timing(name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    val builds = Seq(
+      timed("_build_dedup_graph")(graft.dedup.Dedup.warmPairGraph(t)),
+      timed("_build_ann_index")(graft.ann.Ann.warmIndexes(t)))
+    val queries = SparkEntry.queries.toSeq.map { case (name, fn) =>
       // noop sink: computes the full result (count() would let the
       // optimizer prune unreferenced aggregate/project expressions and
       // under-measure) without writing anything.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     }
-    val total = results.map(_._2).sum
+    val results = builds ++ queries
     // Full-precision dump for local profiling (not part of the contract).
     try {
-      val full = results.sortBy(-_._2)
-        .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      val full = results.sortBy(-_.sec)
+        .map(t => s""""${t.name}":${if (t.err) "\"err\"" else t.sec.toString}""")
+        .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // Budgeted queries map: slowest first; anything past the byte budget
-    // is aggregated so the one-line JSON always fits the log tail.
-    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val budget = 1600
-    // Cut at the FIRST entry that doesn't fit (no append-shorter-later):
-    // the map must be exactly the slowest-N prefix or readers would
-    // conclude a long-named slow query sits in the fast _other bucket.
-    // ~36 bytes stay reserved for the _other entry itself.
-    val sorted = results.sortBy(-_._2)
-    val sb = new StringBuilder
-    var kept = 0
-    var fits = true
-    while (fits && kept < sorted.length) {
-      val (k, v) = sorted(kept)
-      val entry = (if (sb.isEmpty) "" else ",") + "\"" + k + "\":" + r3(v)
-      if (sb.length + entry.length <= budget - 36) { sb.append(entry); kept += 1 }
-      else fits = false
-    }
-    val dropped = sorted.drop(kept)
-    if (dropped.nonEmpty)
-      sb.append(",\"_other_" + dropped.size + "q\":" + r3(dropped.map(_._2).sum))
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{$sb},"sf":"$sfDir"}"""
+    val line = buildLine(results, sfDir)
     spark.stop()
     println(line)
   }

@@ -173,13 +173,16 @@ object Ann {
     * memoized per (session, dataset, params) so the quantizer trains
     * once however many operators search it.
     */
-  def ivfIndex(t: Tables, c: Int, nprobe: Int): (DataFrame, DataFrame) = (
-    graft.PersistCache.getOrElseUpdate(t.spark, s"${t.dir}#ivf-cells-$c")(
-      ivfIndexBuild(t, c, nprobe)._1
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
-    graft.PersistCache.getOrElseUpdate(t.spark, s"${t.dir}#ivf-probes-$c-$nprobe")(
-      ivfIndexBuild(t, c, nprobe)._2
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  def ivfIndex(t: Tables, c: Int, nprobe: Int): (DataFrame, DataFrame) = {
+    // lazy: built at most once even when both slots miss; untouched when
+    // both hit (the earlier per-slot builds ran the training sub-plan
+    // twice — once per tuple element).
+    lazy val built = ivfIndexBuild(t, c, nprobe)
+    (graft.PersistCache.getOrElseUpdate(t.spark, s"${t.dir}#ivf-cells-$c")(
+      built._1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+      graft.PersistCache.getOrElseUpdate(t.spark, s"${t.dir}#ivf-probes-$c-$nprobe")(
+        built._2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  }
 
   private def ivfIndexBuild(t: Tables, c: Int, nprobe: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
@@ -196,13 +199,18 @@ object Ann {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"),
         first(col("qv")).as("qv"))
-    val centroids = assigned0
-      .select(col("cid"), posexplode(col("qv")))
-      .groupBy(col("cid"), col("pos"))
-      .agg((sum(col("col").cast(LongType)).cast(DoubleType) / count(lit(1))).as("cv_i"))
-      .groupBy(col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
-        e => e.getField("cv_i")).as("cv"))
+    // Persisted + registered: cells and probes are separate output frames
+    // that both embed this training sub-plan — without the persist the
+    // quantizer would train once per frame materialization.
+    val centroids = graft.PersistCache.getOrElseUpdate(t.spark, s"${t.dir}#ivf-cents-$c")(
+      assigned0
+        .select(col("cid"), posexplode(col("qv")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col").cast(LongType)).cast(DoubleType) / count(lit(1))).as("cv_i"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
+          e => e.getField("cv_i")).as("cv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // corpus cell assignment against settled centroids
     val corpus = emb.join(broadcast(centroids))
@@ -593,6 +601,18 @@ $pivots
       .join(broadcast(probes.select(col("query_id"), col("cell"))), "cell")
       .select(col("query_id"), col("vec_id"))
     pqSearch(t, Some(candSet))
+  }
+
+  /** Materialize the memoized shared index structures (Bench warm-up
+    * hook): IVF cells/probes and the PQ code table are shared by
+    * ann_ivf/ann_pq/ann_hybrid, so without an explicit build phase the
+    * whole training cost lands on whichever sharing query happens to run
+    * first and regressions in build vs search are indistinguishable.
+    */
+  def warmIndexes(t: Tables): Unit = {
+    val (cells, probes) = ivfIndex(t, 16, 4)
+    cells.count(); probes.count()
+    pqCodes(t).count()
   }
 
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,

@@ -13,19 +13,46 @@ import org.apache.spark.sql.types.DoubleType
 object VectorLsh {
 
   val NPlanes = 8
+  val MaxPlanes = 20
   val Dim = 64
 
-  /** Literal ±1 hyperplane table — a model constant mirrored into SQL. */
-  val signs: Array[Array[Double]] = PortableHash.planeSigns(NPlanes, Dim)
+  /** Literal ±1 hyperplane table — a model constant mirrored into SQL.
+    * Sized to MaxPlanes; the first NPlanes rows are the legacy 8-plane
+    * table (planeSigns is per-(plane, dim) deterministic).
+    */
+  val signs: Array[Array[Double]] = PortableHash.planeSigns(MaxPlanes, Dim)
+
+  /** Corpus-size-derived plane count: enough planes that the EXPECTED
+    * bucket holds ≤ ~1000 vectors (2^np ≥ corpus/1000), clamped to
+    * [NPlanes, MaxPlanes]. A bucket self-join is O(per-bucket²), so the
+    * key space must grow with the corpus — 8 fixed planes (256 buckets)
+    * is ~10¹³ candidate pairs per bucket at 10⁹ vectors, while 20 planes
+    * (1M buckets) keeps per-bucket work flat. Integer-exact bit-length
+    * arithmetic so the DuckDB mirror (planesForSql) can never drift on an
+    * FP log boundary: np = bitlength(ceil(n/1000) - 1).
+    */
+  def planesFor(corpusSize: Long): Int = {
+    val m = (corpusSize + 999) / 1000
+    val bits = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(MaxPlanes, math.max(NPlanes, bits))
+  }
+
+  /** SQL mirror of planesFor over a COUNT(*) expression. */
+  def planesForSql(countExpr: String): String =
+    s"LEAST($MaxPlanes, GREATEST($NPlanes, CASE WHEN (($countExpr) + 999) // 1000 <= 1 " +
+      s"THEN 0 ELSE LENGTH(BIN((($countExpr) + 999) // 1000 - 1)) END))"
 
   def proj(p: Int, vec: Column): Column =
     aggregate(
       zip_with(vec, typedlit(signs(p).toSeq), (x, s) => x.cast(DoubleType) * s),
       lit(0.0), (acc, v) => acc + v)
 
-  /** 8-bit bucket: sign bit per hyperplane. */
-  def bucket(vec: Column): Column =
-    (0 until NPlanes).map { p =>
+  /** Bucket: sign bit per hyperplane, nPlanes of them (default: the
+    * fixed 8-plane key ann_lsh uses — its bucket map is broadcast-side
+    * only, so its key space need not scale with the corpus).
+    */
+  def bucket(vec: Column, nPlanes: Int = NPlanes): Column =
+    (0 until nPlanes).map { p =>
       when(proj(p, vec) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
@@ -36,6 +63,15 @@ object VectorLsh {
   def bucketSql(vecExpr: String): String =
     (0 until NPlanes).map { p =>
       s"CASE WHEN ${projSql(p, vecExpr)} > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** Dynamic-width SQL bucket: all MaxPlanes projections, masked to the
+    * first `npExpr` planes (a scalar subquery over the corpus count) —
+    * the mirror of bucket(vec, planesFor(n)).
+    */
+  def bucketSqlDynamic(vecExpr: String, npExpr: String): String =
+    (0 until MaxPlanes).map { p =>
+      s"CASE WHEN $p < ($npExpr) AND ${projSql(p, vecExpr)} > 0 THEN ${1L << p} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
   /** Double-space cosine of two list expressions, rounded to 6 — the SQL

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import Bench.Timing
+
+/** The bench JSON contract: error markers, budget cut, _other rollup. */
+class BenchSpec extends AnyFunSuite {
+
+  test("a query that throws shows as \"err\", never as a fast timing") {
+    val line = Bench.buildLine(
+      Seq(Timing("q_ok", 1.5, err = false), Timing("q_broken", 0.001, err = true)),
+      "/sf")
+    assert(line.contains("\"q_broken\":\"err\""))
+    assert(line.contains("\"q_ok\":1.500"))
+    assert(line.contains("\"errors\":1"))
+  }
+
+  test("errors sort ahead of slow queries and never land in _other") {
+    val many = (1 to 200).map(i => Timing(f"q$i%03d", 200 - i * 0.5, err = false))
+    val line = Bench.buildLine(many :+ Timing("q_broken", 0.0, err = true), "/sf",
+      budget = 400)
+    assert(line.indexOf("\"q_broken\":\"err\"") >= 0)
+    assert(line.indexOf("\"q_broken\"") < line.indexOf("\"q001\""))
+    assert(line.contains("_other_"))
+  }
+
+  test("budgeted map is the slowest-N prefix with an exact _other rollup") {
+    val ts = Seq(Timing("slow", 10.0, err = false), Timing("mid", 5.0, err = false),
+      Timing("fast1", 1.0, err = false), Timing("fast2", 0.5, err = false))
+    // budget chosen so only the two slowest fit
+    val line = Bench.buildLine(ts, "/sf", budget = 36 + 26)
+    assert(line.contains("\"slow\":10.000"))
+    assert(line.contains("\"mid\":5.000"))
+    assert(!line.contains("fast1"))
+    assert(line.contains("\"_other_2q\":1.500"))
+    assert(line.contains("\"value\":16.500"))
+  }
+
+  test("line stays within the log-tail budget even with many queries") {
+    val many = (1 to 300).map(i =>
+      Timing(s"very_long_query_name_number_$i", i * 0.01, err = false))
+    val line = Bench.buildLine(many, "/root/testdata/sf0.1")
+    assert(line.length <= 1600 + 120) // queries map budgeted; envelope is small
+    assert(line.endsWith("\"sf\":\"/root/testdata/sf0.1\"}"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorLsh
+import graft.dedup.Dedup
+
+/** The corpus-size-derived LSH key-space parameters: bucket self-joins
+  * are O(per-bucket²), so key spaces must grow with the corpus. These
+  * formulas are mirrored into the DuckDB oracles (planesForSql / the
+  * simhash sbp CTE) — integer-exact arithmetic, no FP log boundaries.
+  */
+class ScalingParamsSpec extends AnyFunSuite {
+
+  test("planesFor targets ~1000 vectors per bucket, clamped [8, 20]") {
+    assert(VectorLsh.planesFor(0) == 8)
+    assert(VectorLsh.planesFor(1000) == 8)
+    assert(VectorLsh.planesFor(2000) == 8) // gate scale: matches legacy 8-plane key
+    assert(VectorLsh.planesFor(256000) == 8) // 2^8 buckets × 1000 exactly
+    assert(VectorLsh.planesFor(256001) == 9)
+    assert(VectorLsh.planesFor(1000000) == 10)
+    assert(VectorLsh.planesFor(100000000L) == 17)
+    assert(VectorLsh.planesFor(1000000000L) == 20)
+    assert(VectorLsh.planesFor(Long.MaxValue / 4) == 20) // cap
+  }
+
+  test("planesFor never exceeds the materialized sign table") {
+    assert(VectorLsh.signs.length == VectorLsh.MaxPlanes)
+    Seq(0L, 999L, 123456L, 1L << 40).foreach { n =>
+      assert(VectorLsh.planesFor(n) <= VectorLsh.MaxPlanes)
+    }
+  }
+
+  test("simhashBands widens blocks past 2^23 docs") {
+    assert(Dedup.simhashBands(1000) == 8) // 8×8-bit: pigeonhole hamming ≤ 7
+    assert(Dedup.simhashBands(8388607L) == 8)
+    assert(Dedup.simhashBands(8388608L) == 4) // 4×16-bit: 256× key space
+    assert(Dedup.simhashBands(1000000000L) == 4)
+  }
+}

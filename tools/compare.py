@@ -8,9 +8,15 @@ matching oracle SQL from <out>/oracle_sql.json in DuckDB against the same
 parquet tables, and compares values EXACTLY (sorted columns + sorted rows).
 Exact equality here implies any driver-side hash compare passes.
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 import pandas as pd
+
+# Per-oracle DuckDB budget: the driver's gate runs under a global time
+# budget, and round 3's correctness artifact silently zeroed when
+# oracle-side cost exploded (~27 min). Any single oracle slower than this
+# at sf0.01 is flagged as a gate risk even if it matches.
+ORACLE_BUDGET_SEC = 30.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -29,6 +35,7 @@ def main():
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     failures = []
+    over_budget = []
     names_file = f"{out}/query_names.json"
     if os.path.exists(names_file):
         for name in json.load(open(names_file)):
@@ -50,9 +57,14 @@ def main():
             else: n_pass += 1
             continue
         try:
+            t0 = time.time()
             duck_df = con.execute(oracle[name]).fetchdf()
+            oracle_sec = time.time() - t0
         except Exception as e:
             print(f"  {name}: ORACLE SQL ERROR: {e}"); n_fail += 1; failures.append(name); continue
+        if oracle_sec > ORACLE_BUDGET_SEC:
+            print(f"  {name}: ORACLE OVER BUDGET ({oracle_sec:.1f}s > {ORACLE_BUDGET_SEC:.0f}s) — gate risk")
+            over_budget.append(name)
         a, b = norm(spark_df), norm(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"  {name}: COLUMN MISMATCH spark={list(a.columns)} duck={list(b.columns)}")
@@ -86,7 +98,9 @@ def main():
         else:
             n_fail += 1; failures.append(name)
     print(f"\n{n_pass} pass, {n_fail} fail" + (f": {failures}" if failures else ""))
-    sys.exit(1 if n_fail else 0)
+    if over_budget:
+        print(f"oracles over {ORACLE_BUDGET_SEC:.0f}s budget: {over_budget}")
+    sys.exit(1 if n_fail or over_budget else 0)
 
 if __name__ == "__main__":
     main()
