@@ -1,5 +1,7 @@
 package graft
 
+import java.lang.ref.{SoftReference, WeakReference}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.SparkContext
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
@@ -11,18 +13,41 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
   * builds (Verify + specs + Bench in one JVM, interactive iteration)
   * would otherwise accumulate MEMORY_AND_DISK entries with no owner.
   *
-  * Eviction: one listener per SparkContext clears every session slot
-  * attached to that context when the application ends. Sessions
-  * discarded mid-flight on a still-running shared context (newSession()
-  * pools) are NOT collected automatically — Spark has no session-end
-  * callback — so long-lived multi-session services should call
-  * `invalidate(session)` when retiring a session.
+  * Lifecycle — nothing here pins a retired session:
+  *   - slots are keyed by the session's UUID string and hold the session
+  *     only via WeakReference, so the registry never keeps a session (or
+  *     its SessionState) reachable;
+  *   - cached frames are held via SoftReference: while the session is in
+  *     use they survive (soft refs are cleared only under memory
+  *     pressure), and once a session is abandoned its frames — reachable
+  *     only through this registry — become collectable, at which point
+  *     Spark's ContextCleaner unpersists the orphaned RDD blocks via its
+  *     own reference tracking;
+  *   - dead slots (session collected) are swept on every access;
+  *   - one listener per SparkContext still clears every slot attached to
+  *     that context at application end, and `invalidate(session)`
+  *     unpersists eagerly for services that retire sessions explicitly.
   */
 object PersistCache {
 
+  private final class Slot(session: SparkSession) {
+    val sessionRef = new WeakReference[SparkSession](session)
+    val contextRef = new WeakReference[SparkContext](session.sparkContext)
+    val frames =
+      scala.collection.concurrent.TrieMap.empty[String, SoftReference[DataFrame]]
+  }
+
   private val slots =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Slot]()
+  // identity → stable id, weakly keyed: the id string never references
+  // the session, so this table cannot keep one alive
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  private val idGen = new java.util.concurrent.atomic.AtomicLong()
+  private def idOf(spark: SparkSession): String = sessionIds.synchronized {
+    var id = sessionIds.get(spark)
+    if (id == null) { id = "s" + idGen.incrementAndGet(); sessionIds.put(spark, id) }
+    id
+  }
   private val hookedContexts =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkContext, java.lang.Boolean]())
@@ -31,30 +56,52 @@ object PersistCache {
     if (hookedContexts.add(sc))
       sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
-          val it = slots.keySet().iterator()
-          while (it.hasNext) if (it.next().sparkContext eq sc) it.remove()
+          val it = slots.entrySet().iterator()
+          while (it.hasNext) if (it.next().getValue.contextRef.get eq sc) it.remove()
           hookedContexts.remove(sc)
         }
       })
 
+  private def sweepDead(): Unit = {
+    val it = slots.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue.sessionRef.get == null) it.remove()
+  }
+
   /** Memoized build: returns the cached frame for (session, key) or runs
-    * `build` (which should persist its result) and caches it.
+    * `build` (which should persist its result) and caches it. Best-effort
+    * under GC: a frame collected under memory pressure is rebuilt (and
+    * its stale persisted blocks are reclaimed by the ContextCleaner).
     */
   def getOrElseUpdate(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val perSession = slots.computeIfAbsent(spark, { s =>
-      hookContext(s.sparkContext)
-      scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    sweepDead()
+    val slot = slots.computeIfAbsent(idOf(spark), { _ =>
+      hookContext(spark.sparkContext)
+      new Slot(spark)
     })
-    perSession.getOrElseUpdate(key, build)
+    slot.frames.get(key).flatMap(r => Option(r.get)) match {
+      case Some(df) => df
+      case None =>
+        // serialize builds per slot: two concurrent misses must not both
+        // run an expensive (and persisting) build
+        slot.synchronized {
+          slot.frames.get(key).flatMap(r => Option(r.get)).getOrElse {
+            val df = build
+            slot.frames.put(key, new SoftReference(df))
+            df
+          }
+        }
+    }
   }
 
   /** Drop (and unpersist) everything cached for a session — for services
     * that retire sessions while the underlying context keeps running.
     */
   def invalidate(spark: SparkSession): Unit = {
-    val m = slots.remove(spark)
-    if (m != null) m.values.foreach { df =>
-      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    val slot = slots.remove(idOf(spark))
+    if (slot != null) slot.frames.values.foreach { ref =>
+      val df = ref.get
+      if (df != null)
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
   }
 }

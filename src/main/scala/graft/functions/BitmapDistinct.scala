@@ -5,45 +5,45 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed bitmap-distinct aggregator (ClickHouse groupBitmap): exact
-  * distinct count of non-negative integer ids via a dense bitset that
-  * merges word-wise OR. Partial-aggregable, so each map task ships one
-  * bitmap (id-range/8 bytes) instead of its id multiset — for bounded id
-  * domains (users, parts, shards) this is the cheapest exact-distinct
-  * shape at scale, and unlike HLL it is exact, unionable, and
-  * intersectable.
+  * distinct count of non-negative integer ids via a sparse bitmap —
+  * a map of 64-bit words keyed by word index (a roaring-bitmap-style
+  * two-level scheme with the page level folded into the hash map).
+  * Partial-aggregable, so each map task ships one bitmap (distinct-ids/8
+  * bytes + key overhead) instead of its id multiset, and per-group
+  * memory is bounded by the DISTINCT count alone — independent of id
+  * magnitude (the earlier dense Array[Long] buffer allocated id/64 words,
+  * so one id near the cap cost ~8 MB per group per partial buffer).
+  * Unlike HLL it is exact, unionable, and intersectable.
   *
-  * Ids outside [0, maxId] are ignored (counted by no bit) rather than
-  * growing the buffer unboundedly — the cap bounds executor memory the
-  * same way ClickHouse's groupBitmap bounds its roaring containers.
+  * Negative ids throw (matching ClickHouse groupBitmap's unsigned-int
+  * domain) — silently dropping them would undercount versus
+  * COUNT(DISTINCT) with no signal.
   */
-case class BitmapDistinct(maxId: Long = 1L << 26)
-  extends Aggregator[Long, Array[Long], Long] {
+case class BitmapDistinct()
+  extends Aggregator[Long, Map[Long, Long], Long] {
 
-  override def zero: Array[Long] = Array.emptyLongArray
+  override def zero: Map[Long, Long] = Map.empty
 
-  override def reduce(buf: Array[Long], id: Long): Array[Long] =
-    if (id < 0 || id > maxId) buf
-    else {
-      val w = (id >> 6).toInt
-      val out = if (w < buf.length) buf else java.util.Arrays.copyOf(buf, w + 1)
-      out(w) |= 1L << (id & 63)
-      out
+  override def reduce(buf: Map[Long, Long], id: Long): Map[Long, Long] = {
+    if (id < 0)
+      throw new IllegalArgumentException(
+        s"BitmapDistinct: id $id is negative — the bitmap domain is [0, 2^63)")
+    val w = id >> 6
+    val bit = 1L << (id & 63)
+    buf.updated(w, buf.getOrElse(w, 0L) | bit)
+  }
+
+  override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
+    val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+    small.foldLeft(big) { case (acc, (w, bits)) =>
+      acc.updated(w, acc.getOrElse(w, 0L) | bits)
     }
-
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
-    var i = 0
-    while (i < small.length) { big(i) |= small(i); i += 1 }
-    big
   }
 
-  override def finish(buf: Array[Long]): Long = {
-    var s = 0L
-    var i = 0
-    while (i < buf.length) { s += java.lang.Long.bitCount(buf(i)); i += 1 }
-    s
-  }
+  override def finish(buf: Map[Long, Long]): Long =
+    buf.valuesIterator.map(java.lang.Long.bitCount(_).toLong).sum
 
-  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def bufferEncoder: Encoder[Map[Long, Long]] =
+    ExpressionEncoder[Map[Long, Long]]()
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

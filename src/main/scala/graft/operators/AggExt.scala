@@ -140,7 +140,7 @@ object AggExt {
   }
 
   // q55 — exact bitmap distinct (ClickHouse groupBitmap): the typed
-  // BitmapDistinct Aggregator ships one dense bitset per map task instead
+  // BitmapDistinct Aggregator ships one sparse bitmap per map task instead
   // of the id multiset — exact (unlike q37's HLL) and partial-aggregable.
   // The oracle is plain COUNT(DISTINCT): the aggregator must reproduce it
   // bit-for-bit.

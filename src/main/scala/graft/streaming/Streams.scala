@@ -269,14 +269,19 @@ object Streams {
     * per bucket. A new document emits a hit the moment its signature
     * agrees with a held one on ≥ `threshold` of components — the
     * pipeline shape for "drop near-dups at ingest before they reach the
-    * corpus". State is per-bucket and bounded (maxPerBucket × 4 bands ×
-    * live buckets), partitioned across executors like any keyed state;
-    * a doc pair sharing several bands can emit once per shared band —
-    * callers dedup on (id1, id2) in the sink (chaining a second stateful
-    * operator behind flatMapGroupsWithState is restricted in streaming).
+    * corpus". State is per-bucket and bounded two ways: maxPerBucket
+    * caps each FIFO, and an event-time timeout (`idleTtlSec` behind the
+    * newest signature seen) expires buckets no new document has hashed
+    * into — without it the live key space (bucket values range over the
+    * whole modulus P) would grow without bound over a long-running
+    * stream. A doc pair sharing several bands can emit once per shared
+    * band — callers dedup on (id1, id2) in the sink (chaining a second
+    * stateful operator behind flatMapGroupsWithState is restricted in
+    * streaming).
     */
   def nearDupStream(docs: Dataset[Doc], threshold: Double = 0.5,
-    maxPerBucket: Int = 256): Dataset[NearDupHit] = {
+    maxPerBucket: Int = 256, watermark: String = "10 minutes",
+    idleTtlSec: Long = 3600): Dataset[NearDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = 16; val bands = 4; val rows = k / bands
@@ -298,29 +303,37 @@ object Streams {
 
     def update(key: (Long, Long), it: Iterator[(Long, Long, Long, Timestamp, Array[Long])],
       state: GroupState[Seq[(Long, Array[Long])]]): Iterator[NearDupHit] = {
-      var held = state.getOption.getOrElse(Seq.empty)
-      val out = Seq.newBuilder[NearDupHit]
-      // deterministic intra-batch order: by doc id
-      it.toSeq.sortBy(_._3).foreach { case (_, _, id, _, sig) =>
-        held.foreach { case (hid, hsig) =>
-          if (hid != id) {
-            var same = 0
-            var j = 0
-            while (j < k) { if (sig(j) == hsig(j)) same += 1; j += 1 }
-            val est = same.toDouble / k
-            if (est >= threshold)
-              out += NearDupHit(math.min(hid, id), math.max(hid, id),
-                math.round(est * 10000).toDouble / 10000)
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var held = state.getOption.getOrElse(Seq.empty)
+        val out = Seq.newBuilder[NearDupHit]
+        val batch = it.toSeq
+        // deterministic intra-batch order: by doc id
+        batch.sortBy(_._3).foreach { case (_, _, id, _, sig) =>
+          held.foreach { case (hid, hsig) =>
+            if (hid != id) {
+              var same = 0
+              var j = 0
+              while (j < k) { if (sig(j) == hsig(j)) same += 1; j += 1 }
+              val est = same.toDouble / k
+              if (est >= threshold)
+                out += NearDupHit(math.min(hid, id), math.max(hid, id),
+                  math.round(est * 10000).toDouble / 10000)
+            }
           }
+          held = (held :+ (id, sig)).takeRight(maxPerBucket)
         }
-        held = (held :+ (id, sig)).takeRight(maxPerBucket)
+        state.update(held)
+        // expire this bucket once no new doc has hashed into it for
+        // idleTtlSec of event time — bounds the LIVE key space
+        state.setTimeoutTimestamp(batch.map(_._4.getTime).max + idleTtlSec * 1000)
+        out.result().iterator
       }
-      state.update(held)
-      out.result().iterator
     }
 
-    banded.as[(Long, Long, Long, Timestamp, Array[Long])]
+    banded.withWatermark("ts", watermark)
+      .as[(Long, Long, Long, Timestamp, Array[Long])]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 }

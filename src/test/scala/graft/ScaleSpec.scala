@@ -56,24 +56,22 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
-  test("BitmapDistinct aggregator: exact, merge-order-free, range-capped") {
-    val agg = graft.functions.BitmapDistinct(maxId = 1000)
+  test("BitmapDistinct aggregator: exact, merge-order-free, sparse, loud") {
+    val agg = graft.functions.BitmapDistinct()
     // reduce + merge across simulated partitions == distinct count
     val ids = Seq(1L, 5L, 64L, 64L, 65L, 127L, 128L, 999L, 5L, 0L)
     val parts = ids.grouped(3).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
     val merged = parts.reduce(agg.merge)
     assert(agg.finish(merged) === ids.distinct.size)
-    // out-of-range and negative ids are ignored, not mis-counted
-    val b = Seq(-1L, 2000L, 7L).foldLeft(agg.zero)(agg.reduce)
-    assert(agg.finish(b) === 1)
+    // sparse buffer: memory tracks distinct count, not id magnitude —
+    // one id near 2^62 costs one map entry, not 2^56 dense words
+    val huge = agg.reduce(agg.zero, (1L << 62) + 42L)
+    assert(huge.size === 1 && agg.finish(huge) === 1)
+    // negative ids fail loudly instead of silently undercounting
+    intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
   }
 
   test("q55 bitmap distinct equals exact count distinct per group") {
-    // guard the aggregator's id-range cap against the data domain: ids
-    // beyond maxId would be silently dropped, so the gate must know the
-    // moment the generator starts emitting large ids
-    val maxId = sf0001.events.agg(max(col("user_id"))).head().getLong(0)
-    assert(maxId < (1L << 26), s"user_id domain $maxId exceeds BitmapDistinct cap")
     val rows = graft.operators.AggExt.q55.build(sf0001).collect()
     val exact = sf0001.events.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("d")).collect()
