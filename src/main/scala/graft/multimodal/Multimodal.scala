@@ -2,124 +2,129 @@ package graft.multimodal
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.LongType
 
-/** Multimodal-column plumbing (SURVEY.md §2c): media as opaque binary
-  * columns + typed metadata, decoded/feature-extracted per partition.
+/** Multimodal-column pipeline (SURVEY.md §2c): media as opaque binary
+  * columns decoded per partition through REAL image codecs —
+  * [[Codecs.PpmCodec]] (binary P6), [[Codecs.BmpCodec]] (24-bit BI_RGB
+  * with row padding / BGR order / bottom-up layout), and
+  * [[Codecs.PpmStream]] (concatenated frames, the image2pipe video
+  * convention). Payload pixels come from a deterministic generator the
+  * DuckDB oracles replay in SQL, so the encode→decode round trip is
+  * verified pixel-exactly: a missed padding byte, an unswapped BGR
+  * triple or a flipped row order fails the gate (the position-weighted
+  * checksum catches order-preserving mistakes that plain sums miss).
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic FAKE (integer byte statistics standing in
-  * for pixel decoding). Everything around it — binary schema, typed
-  * Dataset, per-partition batched processing, downstream relational
-  * aggregation — is the real plumbing a codec UDF would plug into, and
-  * because the fake kernels are exact integer arithmetic over the
-  * payload bytes, BOTH operators are verified end-to-end by DuckDB
-  * oracles that recompute the same features from the source documents.
+  * The mapPartitions stages are the only non-Catalyst hops — exactly
+  * where a production codec (JPEG/H.264) plugs in behind the same
+  * Raster boundary. At 100 TB: payloads are a binary column scanned
+  * partition-parallel; decode is embarrassingly parallel per batch;
+  * everything downstream is relational aggregation.
   */
 object Multimodal {
+  import Codecs._
 
-  /** A media row: opaque payload + metadata, as a training pipeline would
-    * model image/audio blobs alongside parquet metadata columns.
-    */
-  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
-    width: Int, height: Int)
+  /** A media row as a lake stores it: id + container kind + opaque bytes. */
+  final case class MediaBlob(media_id: Long, kind: String, payload: Array[Byte])
 
-  /** Extracted features per media item (exact integers so the pipeline is
-    * oracle-checkable: mean_centi = floor(100·Σbytes / n_bytes)).
-    */
-  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-    mean_centi: Long, n_frames: Long)
+  /** Per-item decoded statistics (exact integers → oracle-checkable). */
+  final case class DecodedStats(media_id: Long, kind: String, n_frames: Long,
+    width: Int, height: Int, sum_r: Long, sum_g: Long, sum_b: Long, wsum: Long)
 
-  /** FAKE DECODE — stands in for an image/audio codec. Deterministic
-    * integer byte statistics + synthetic frame count from metadata. A
-    * real deployment swaps only this function (same batched signature).
-    */
-  private def decodeStub(row: MediaRow): MediaFeatures = {
-    val bytes = row.payload
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-    val meanCenti = if (bytes.isEmpty) 0L else (100L * sum) / bytes.length
-    MediaFeatures(row.media_id, row.kind, bytes.length.toLong,
-      meanCenti, (row.width.toLong * row.height) / 64)
-  }
+  /** Post-resize/sample statistics for the transform pipeline. */
+  final case class TransformStats(media_id: Long, kind: String,
+    n_frames_sampled: Long, sum_r: Long, sum_g: Long, sum_b: Long, wsum: Long)
 
-  /** FAKE RESIZE — stands in for an image resize kernel: scales the
-    * metadata dimensions and truncates the payload proportionally
-    * (deterministic). Real deployments swap the body, keep the signature.
-    */
-  def resizeStub(row: MediaRow, targetW: Int, targetH: Int): MediaRow = {
-    val ratio = (targetW.toLong * targetH).toDouble /
-      math.max(row.width.toLong * row.height, 1)
-    val n = math.max(1, math.min(row.payload.length,
-      math.ceil(row.payload.length * ratio).toInt))
-    row.copy(payload = row.payload.take(n), width = targetW, height = targetH)
-  }
+  private def dims(id: Long): (Int, Int) =
+    ((id % 24 + 8).toInt, (id % 16 + 8).toInt)
+  private def frameCount(id: Long): Int =
+    if (id % 3 == 2) (id % 5 + 2).toInt else 1
 
-  /** FAKE FRAME SAMPLE — stands in for video frame extraction: emits one
-    * MediaRow per sampled "frame" (every `stride`-th synthetic frame),
-    * payload sliced deterministically per frame index.
-    */
-  def frameSampleStub(row: MediaRow, stride: Int): Iterator[MediaRow] = {
-    val nFrames = ((row.width.toLong * row.height) / 64).toInt
-    (0 until nFrames by stride).iterator.map { f =>
-      val from = math.min(f * 8, math.max(row.payload.length - 1, 0))
-      val until = math.min(from + 8, row.payload.length)
-      row.copy(media_id = row.media_id * 100000L + f,
-        payload = row.payload.slice(from, until))
+  /** Encode the deterministic rasters into a real container per kind. */
+  def encodeBlob(id: Long): MediaBlob = {
+    val (w, h) = dims(id)
+    id % 3 match {
+      case 0 => MediaBlob(id, "image_ppm", PpmCodec.encode(generate(id, w, h)))
+      case 1 => MediaBlob(id, "image_bmp", BmpCodec.encode(generate(id, w, h)))
+      case _ => MediaBlob(id, "video",
+        PpmStream.encode((0 until frameCount(id)).map(f => generate(id, w, h, f))))
     }
   }
 
-  /** The media table builder shared by both ops (payload = utf-8 bytes as
-    * stand-in blob; dims derived from n_chars) and its SQL mirror.
+  /** Channel sums + position-weighted checksum over decoded frames, in
+    * flat top-down RGB order across frames (j = frame*w*h*3 + offset) —
+    * the exact quantity the oracle computes from the generator.
+    */
+  def statsOf(id: Long, kind: String, frames: Seq[Raster]): DecodedStats = {
+    var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+    var j = 0L
+    frames.foreach { fr =>
+      var i = 0
+      while (i < fr.rgb.length) {
+        val v = fr.rgb(i) & 0xff
+        (i % 3: @annotation.switch) match {
+          case 0 => sr += v
+          case 1 => sg += v
+          case 2 => sb += v
+        }
+        ws += j * v
+        i += 1; j += 1
+      }
+    }
+    val head = frames.head
+    DecodedStats(id, kind, frames.size.toLong, head.width, head.height, sr, sg, sb, ws)
+  }
+
+  /** The media table: doc ids → encoded binary payloads (the pipeline's
+    * ingest boundary; a real lake reads these bytes from parquet/blob
+    * storage instead of encoding them).
     */
   private def mediaOf(t: Tables) = {
     val spark = t.spark
     import spark.implicits._
-    t.documents.select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "image").when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
-      (col("n_chars") % 64 + 1).cast("int").as("width"),
-      (col("n_chars") % 48 + 1).cast("int").as("height"))
-      .as[MediaRow]
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(encodeBlob))
   }
 
+  /** Shared SQL mirror of the media-generation parameters. */
   private val mediaSql =
     """media AS (
-        SELECT doc_id AS media_id,
-               CASE WHEN doc_id % 3 = 0 THEN 'image'
-                    WHEN doc_id % 3 = 1 THEN 'audio'
-                    ELSE 'video' END AS kind,
-               text,
-               LENGTH(text) AS n_bytes,
-               LIST_SUM(LIST_TRANSFORM(string_split(text, ''), c -> ascii(c)::BIGINT)) AS byte_sum,
-               n_chars % 64 + 1 AS width,
-               n_chars % 48 + 1 AS height
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image_ppm'
+                    WHEN 1 THEN 'image_bmp' ELSE 'video' END AS kind,
+               doc_id % 24 + 8 AS w,
+               doc_id % 16 + 8 AS h,
+               CASE WHEN doc_id % 3 = 2 THEN doc_id % 5 + 2 ELSE 1 END AS nf
         FROM documents)"""
 
-  // mm_pipeline — end-to-end: build binary media rows from documents
-  // (payload = utf-8 bytes as stand-in blob), decode per-partition through
-  // the typed stub, aggregate features relationally. The mapPartitions
-  // stage is the only non-Catalyst hop, exactly where a codec must live.
-  // The oracle recomputes the integer features from the source text (the
-  // corpus is ASCII, so code points == payload bytes).
+  // mm_pipeline — ingest → decode → aggregate: binary payloads built by
+  // the real encoders, sniffed (BMP magic vs PPM) and decoded per
+  // partition, per-channel pixel sums + position checksum aggregated
+  // relationally. The oracle recomputes every pixel from the generator
+  // formula — the whole container round trip must be byte-perfect.
   val pipeline = Q(
     "mm_pipeline",
     Some(s"""
       WITH $mediaSql,
-      decoded AS (
-        SELECT kind, n_bytes,
-               CASE WHEN n_bytes = 0 THEN 0 ELSE (100 * byte_sum) // n_bytes END AS mean_centi,
-               (width * height) // 64 AS n_frames
-        FROM media)
+      px AS (
+        SELECT kind, doc_id, nf, j, (doc_id * 7 + j * 13) % 251 AS v
+        FROM media, UNNEST(RANGE(0, nf * w * h * 3)) AS t(j)),
+      per_doc AS (
+        SELECT kind, doc_id, nf,
+               SUM(CASE WHEN j % 3 = 0 THEN v ELSE 0 END) AS sr,
+               SUM(CASE WHEN j % 3 = 1 THEN v ELSE 0 END) AS sg,
+               SUM(CASE WHEN j % 3 = 2 THEN v ELSE 0 END) AS sb,
+               SUM(j * v) AS ws
+        FROM px
+        GROUP BY kind, doc_id, nf)
       SELECT kind,
-             COUNT(*) AS n_items,
-             SUM(n_bytes)::BIGINT AS total_bytes,
-             ROUND(SUM(mean_centi)::DOUBLE / (COUNT(*) * 100), 4) AS avg_mean_byte,
-             SUM(n_frames)::BIGINT AS total_frames
-      FROM decoded
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(nf) AS BIGINT) AS total_frames,
+             CAST(SUM(sr) AS BIGINT) AS sum_r,
+             CAST(SUM(sg) AS BIGINT) AS sum_g,
+             CAST(SUM(sb) AS BIGINT) AS sum_b,
+             CAST(SUM(ws) AS BIGINT) AS total_wsum
+      FROM per_doc
       GROUP BY kind
       ORDER BY kind
     """)
@@ -127,46 +132,85 @@ object Multimodal {
     val spark = t.spark
     import spark.implicits._
     mediaOf(t)
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map(b => statsOf(b.media_id, b.kind, decodeAny(b.payload))))
       .toDF()
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum(col("n_bytes")).as("total_bytes"),
-        round(sum(col("mean_centi")).cast(DoubleType) / (count(lit(1)) * 100), 4)
-          .as("avg_mean_byte"),
-        sum(col("n_frames")).as("total_frames"))
+        sum(col("n_frames")).as("total_frames"),
+        sum(col("sum_r")).as("sum_r"),
+        sum(col("sum_g")).as("sum_g"),
+        sum(col("sum_b")).as("sum_b"),
+        sum(col("wsum")).as("total_wsum"))
       .orderBy(col("kind"))
   }
 
-  // mm_transform — resize + frame-sample plumbing over the same binary
-  // rows: per-partition typed stages chained ahead of feature extraction,
-  // the shape a real codec pipeline (decode → resize → sample → embed)
-  // runs in. The oracle replays the resize ratio truncation and the
-  // per-frame byte slicing in SQL.
+  /** Decode → sample every 2nd frame → nearest-neighbor resize to 16×12
+    * → stats, the shape of a real frame-extraction + thumbnail stage.
+    */
+  def transformOne(b: MediaBlob): TransformStats = {
+    val sampled = decodeAny(b.payload).zipWithIndex
+      .collect { case (fr, f) if f % 2 == 0 => fr }
+    val resized = sampled.map(resizeNearest(_, 16, 12))
+    var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+    var k = 0
+    resized.foreach { fr =>
+      var o = 0
+      while (o < fr.rgb.length) {
+        val v = fr.rgb(o) & 0xff
+        (o % 3: @annotation.switch) match {
+          case 0 => sr += v
+          case 1 => sg += v
+          case 2 => sb += v
+        }
+        ws += (k.toLong * 576 + o) * v
+        o += 1
+      }
+      k += 1
+    }
+    TransformStats(b.media_id, b.kind, resized.size.toLong, sr, sg, sb, ws)
+  }
+
+  // mm_transform — the thumbnail/frame-extract pipeline over the same
+  // payloads: every 2nd frame, nearest-neighbor resized to 16×12. The
+  // oracle replays the resize's floor index mapping per output pixel, so
+  // the kernel's index arithmetic (not just its totals) is verified.
   val transformPipeline = Q(
     "mm_transform",
     Some(s"""
       WITH $mediaSql,
-      resized AS (
-        SELECT media_id, kind,
-               GREATEST(1, LEAST(n_bytes,
-                 CAST(CEIL(n_bytes * (768.0 / GREATEST(width * height, 1))) AS BIGINT))) AS rlen
-        FROM media),
       frames AS (
-        SELECT media_id, kind, rlen, f,
-               LEAST(f * 8, GREATEST(rlen - 1, 0)) AS ffrom
-        FROM resized, UNNEST([0, 4, 8]) AS t(f)),
-      sliced AS (
-        SELECT media_id * 100000 + f AS frame_id, kind,
-               LEAST(ffrom + 8, rlen) - ffrom AS flen
-        FROM frames)
+        SELECT kind, doc_id, w, h, f, f // 2 AS k
+        FROM media, UNNEST(RANGE(0, nf)) AS t(f)
+        WHERE f % 2 = 0),
+      outpx AS (
+        SELECT kind, doc_id, w, h, f, k, o,
+               (o // 3) % 16 AS ox, (o // 3) // 16 AS oy, o % 3 AS c
+        FROM frames, UNNEST(RANGE(0, 576)) AS t2(o)),
+      vals AS (
+        SELECT kind, doc_id, k, o, c,
+               (doc_id * 7 +
+                (f * w * h * 3 + ((oy * h // 12) * w + (ox * w // 16)) * 3 + c) * 13)
+                 % 251 AS v
+        FROM outpx),
+      per_doc AS (
+        SELECT kind, doc_id,
+               COUNT(DISTINCT k) AS nk,
+               SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS sr,
+               SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS sg,
+               SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS sb,
+               SUM((k * 576 + o) * v) AS ws
+        FROM vals
+        GROUP BY kind, doc_id)
       SELECT kind,
-             COUNT(*) AS n_frames_sampled,
-             COUNT(DISTINCT frame_id) AS n_frame_ids,
-             32::BIGINT AS w, 24::BIGINT AS h,
-             SUM(flen)::BIGINT AS sampled_bytes
-      FROM sliced
+             CAST(SUM(nk) AS BIGINT) AS n_frames_sampled,
+             CAST(16 AS BIGINT) AS out_w,
+             CAST(12 AS BIGINT) AS out_h,
+             CAST(SUM(sr) AS BIGINT) AS sum_r,
+             CAST(SUM(sg) AS BIGINT) AS sum_g,
+             CAST(SUM(sb) AS BIGINT) AS sum_b,
+             CAST(SUM(ws) AS BIGINT) AS out_wsum
+      FROM per_doc
       GROUP BY kind
       ORDER BY kind
     """)
@@ -174,15 +218,17 @@ object Multimodal {
     val spark = t.spark
     import spark.implicits._
     mediaOf(t)
-      .mapPartitions(_.map(resizeStub(_, 32, 24)))
-      .mapPartitions(_.flatMap(frameSampleStub(_, stride = 4)))
+      .mapPartitions(_.map(transformOne))
       .toDF()
       .groupBy(col("kind"))
       .agg(
-        count(lit(1)).as("n_frames_sampled"),
-        countDistinct(col("media_id")).as("n_frame_ids"),
-        min(col("width")).cast("long").as("w"), min(col("height")).cast("long").as("h"),
-        sum(length(col("payload"))).as("sampled_bytes"))
+        sum(col("n_frames_sampled")).as("n_frames_sampled"),
+        lit(16L).cast(LongType).as("out_w"),
+        lit(12L).cast(LongType).as("out_h"),
+        sum(col("sum_r")).as("sum_r"),
+        sum(col("sum_g")).as("sum_g"),
+        sum(col("sum_b")).as("sum_b"),
+        sum(col("wsum")).as("out_wsum"))
       .orderBy(col("kind"))
   }
 

@@ -675,7 +675,197 @@ object Sbom {
       .orderBy(col("comp_id"))
   }
 
+  // sbom_migrate — check_and_migrate_table (entrypoint.sh:130-163): a
+  // legacy component table written before source tracking lacks the
+  // source column; migration adds it with DEFAULT 'unknown', after which
+  // both generations query identically through one schema. Modeled as
+  // two table generations derived from part; the Spark side runs the
+  // actual read-side upgrade (SbomSources.upgradeLegacySchema — the same
+  // projection the physical rewrite uses, spec'd with real parquet in
+  // SbomSourcesSpec).
+  val migrate = Q(
+    "sbom_migrate",
+    Some(s"""
+      WITH $componentsSql,
+      legacy_gen AS (
+        SELECT name, version, COALESCE(lic_id, 'unknown') AS license
+        FROM components WHERE comp_id % 5 < 2),
+      current_gen AS (
+        SELECT name, version, COALESCE(lic_id, 'unknown') AS license,
+               'repo-' || CAST(comp_id % 3 AS VARCHAR) AS source
+        FROM components WHERE comp_id % 5 >= 2),
+      migrated AS (
+        SELECT name, version, license, 'unknown' AS source FROM legacy_gen
+        UNION ALL
+        SELECT name, version, license, source FROM current_gen)
+      SELECT source, COUNT(*) AS n_components,
+             COUNT(DISTINCT license) AS n_licenses
+      FROM migrated
+      GROUP BY source
+      ORDER BY source
+    """)
+  ) { t =>
+    val c = components(t)
+    val legacyGen = c.filter(col("comp_id") % 5 < 2)
+      .select(col("name"), col("version"),
+        coalesce(col("lic_id"), lit("unknown")).as("license"))
+    val currentGen = c.filter(col("comp_id") % 5 >= 2)
+      .select(col("name"), col("version"),
+        coalesce(col("lic_id"), lit("unknown")).as("license"),
+        concat(lit("repo-"), (col("comp_id") % 3).cast("string")).as("source"))
+    graft.sources.SbomSources.upgradeLegacySchema(legacyGen)
+      .unionByName(currentGen)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_components"),
+        countDistinct(col("license")).as("n_licenses"))
+      .orderBy(col("source"))
+  }
+
+  // sbom_insert_escape — insert_sbom_data's TSV serialization
+  // (entrypoint.sh:334-417, jq @tsv semantics): embedded backslashes,
+  // tabs, newlines and carriage returns in name/version/license must
+  // escape — backslash FIRST, or escaping a tab would double-escape —
+  // else the ClickHouse TSV insert shifts columns and splits rows.
+  // Dirty characters injected deterministically; the exact escaped line
+  // plus its field count are compared, so a wrong escape order or a
+  // missed character class fails the gate.
+  val insertEscape = Q(
+    "sbom_insert_escape",
+    Some(s"""
+      WITH $componentsSql,
+      dirty AS (
+        SELECT comp_id,
+               name || CASE comp_id % 4
+                 WHEN 0 THEN CHR(9) || 'x'
+                 WHEN 1 THEN CHR(10) || 'y'
+                 WHEN 2 THEN CHR(92) || 'z'
+                 ELSE '' END AS name,
+               version,
+               COALESCE(lic_id, 'unknown') ||
+                 CASE WHEN comp_id % 5 = 0 THEN CHR(13) || 'q' ELSE '' END AS license,
+               'src-' || CAST(comp_id % 4 AS VARCHAR) AS source
+        FROM components),
+      esc AS (
+        SELECT comp_id,
+               REPLACE(REPLACE(REPLACE(REPLACE(name,
+                 CHR(92), CHR(92) || CHR(92)), CHR(9), CHR(92) || 't'),
+                 CHR(10), CHR(92) || 'n'), CHR(13), CHR(92) || 'r') AS e_name,
+               REPLACE(REPLACE(REPLACE(REPLACE(version,
+                 CHR(92), CHR(92) || CHR(92)), CHR(9), CHR(92) || 't'),
+                 CHR(10), CHR(92) || 'n'), CHR(13), CHR(92) || 'r') AS e_version,
+               REPLACE(REPLACE(REPLACE(REPLACE(license,
+                 CHR(92), CHR(92) || CHR(92)), CHR(9), CHR(92) || 't'),
+                 CHR(10), CHR(92) || 'n'), CHR(13), CHR(92) || 'r') AS e_license,
+               source
+        FROM dirty),
+      lines AS (
+        SELECT comp_id,
+               e_name || CHR(9) || e_version || CHR(9) || e_license || CHR(9) || source AS tsv
+        FROM esc)
+      SELECT comp_id, tsv,
+             CAST(LEN(STRING_SPLIT(tsv, CHR(9))) AS BIGINT) AS n_fields
+      FROM lines
+      ORDER BY comp_id
+    """)
+  ) { t =>
+    import graft.sources.SbomSources.escapeTsv
+    val dirty = components(t).select(
+      col("comp_id"),
+      concat(col("name"),
+        when(col("comp_id") % 4 === 0, "\tx")
+          .when(col("comp_id") % 4 === 1, "\ny")
+          .when(col("comp_id") % 4 === 2, "\\z")
+          .otherwise("")).as("name"),
+      col("version"),
+      concat(coalesce(col("lic_id"), lit("unknown")),
+        when(col("comp_id") % 5 === 0, "\rq").otherwise("")).as("license"),
+      concat(lit("src-"), (col("comp_id") % 4).cast("string")).as("source"))
+    dirty
+      .select(col("comp_id"),
+        concat_ws("\t", escapeTsv(col("name")), escapeTsv(col("version")),
+          escapeTsv(col("license")), escapeTsv(col("source"))).as("tsv"))
+      .select(col("comp_id"), col("tsv"),
+        size(split(col("tsv"), "\t", -1)).cast(LongType).as("n_fields"))
+      .orderBy(col("comp_id"))
+  }
+
+  // sbom_local_merge — merge_local_cyclonedx_sboms (sbom-merging.sh:
+  // 404-533): the local-files merge variant. Source tags derive from
+  // each file's basename (the reader chain's last-resort strategy), the
+  // dedup key includes that source (name@version#purl^source — the same
+  // component from two files survives twice), and the output is a
+  // reassembled CycloneDX envelope stamped ClickBOM/cyclonedx-merge with
+  // a wiz-merged-sbom root component. The Spark side genuinely builds
+  // the envelope JSON and parses it back; the oracle computes the same
+  // extracted facts directly.
+  val localMerge = Q(
+    "sbom_local_merge",
+    Some(s"""
+      WITH $componentsSql,
+      files AS (
+        SELECT name, version, purl, REPLACE(filename, '.json', '') AS source,
+               comp_id
+        FROM components
+        UNION ALL
+        SELECT name, version, purl, 'extra-scan' AS source, comp_id
+        FROM components WHERE comp_id % 3 = 0),
+      dedup AS (
+        SELECT name, version, purl, source,
+               ROW_NUMBER() OVER (PARTITION BY name, version, purl, source
+                                  ORDER BY comp_id) AS rn
+        FROM files)
+      SELECT 'CycloneDX' AS bom_format, '1.6' AS spec_version,
+             'ClickBOM' AS tool_vendor, 'cyclonedx-merge' AS tool_name,
+             'wiz-merged-sbom' AS root_component,
+             CAST(COUNT(*) AS BIGINT) AS n_components,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM dedup WHERE rn = 1
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val c = components(t)
+    val files = c.select(col("name"), col("version"), col("purl"),
+      regexp_replace(col("filename"), "\\.json", "").as("source"), col("comp_id"))
+      .unionAll(c.filter(col("comp_id") % 3 === 0)
+        .select(col("name"), col("version"), col("purl"),
+          lit("extra-scan").as("source"), col("comp_id")))
+    val w = Window.partitionBy(col("name"), col("version"), col("purl"), col("source"))
+      .orderBy(col("comp_id"))
+    val deduped = files.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // assemble the real envelope, then parse it back — the extraction
+    // fails if the assembled document is malformed
+    val envelope = deduped
+      .select(struct(col("name"), col("version"), col("purl"), col("source")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("components"))
+      .select(to_json(struct(
+        lit("CycloneDX").as("bomFormat"),
+        lit("1.6").as("specVersion"),
+        struct(
+          array(struct(lit("ClickBOM").as("vendor"),
+            lit("cyclonedx-merge").as("name"), lit("1.0.10").as("version"))).as("tools"),
+          struct(lit("application").as("type"),
+            lit("wiz-merged-sbom").as("name")).as("component")).as("metadata"),
+        col("components"))).as("doc"))
+    val schema = org.apache.spark.sql.types.DataType.fromDDL(
+      "STRUCT<bomFormat: STRING, specVersion: STRING, " +
+        "metadata: STRUCT<tools: ARRAY<STRUCT<vendor: STRING, name: STRING, version: STRING>>, " +
+        "component: STRUCT<type: STRING, name: STRING>>, " +
+        "components: ARRAY<STRUCT<name: STRING, version: STRING, purl: STRING, source: STRING>>>")
+    envelope
+      .withColumn("parsed", from_json(col("doc"), schema))
+      .select(
+        col("parsed.bomFormat").as("bom_format"),
+        col("parsed.specVersion").as("spec_version"),
+        col("parsed.metadata.tools").getItem(0).getField("vendor").as("tool_vendor"),
+        col("parsed.metadata.tools").getItem(0).getField("name").as("tool_name"),
+        col("parsed.metadata.component.name").as("root_component"),
+        size(col("parsed.components")).cast(LongType).as("n_components"),
+        size(array_distinct(transform(col("parsed.components"),
+          c => c.getField("source")))).cast(LongType).as("n_sources"))
+  }
+
   val all: Seq[Q] = Seq(flatten, mergeDedup, licenseMap, sourceExtract,
     filterPatterns, tableName, formatDetect, refCategory, componentStats,
-    validate, convert, validateModes, purlParse)
+    validate, convert, validateModes, purlParse, migrate, insertEscape,
+    localMerge)
 }

@@ -44,38 +44,79 @@ object Fetcher {
   final case class Policy(
     maxRequestAttempts: Int = 3,
     maxPolls: Int = 10,
+    maxDownloadAttempts: Int = 3,
     backoffMs: Seq[Long] = Seq(1000L, 2000L, 4000L)) {
     require(backoffMs.nonEmpty, "Policy.backoffMs must not be empty")
-    require(maxRequestAttempts >= 1 && maxPolls >= 1,
+    require(maxRequestAttempts >= 1 && maxPolls >= 1 && maxDownloadAttempts >= 1,
       "Policy budgets must be at least 1")
   }
 
+  /** The reference's retryable-error rule (github.sh:77): only GitHub's
+    * SBOM-generation timeouts re-enter the retry loop — "Request timed
+    * out", "Failed to generate SBOM", or any message containing
+    * "timeout". Every other API error (bad credentials, missing repo,
+    * dependency graph disabled) aborts immediately rather than burning
+    * the attempt budget on a response that cannot change.
+    */
+  val githubRetryable: String => Boolean = err =>
+    err.contains("Request timed out") ||
+      err.contains("Failed to generate SBOM") ||
+      err.contains("timeout")
+
+  /** The reference's downloaded-document validation (github.sh:56-69):
+    * a payload that is not JSON at all is treated as a transient bad
+    * response and retried, never parsed downstream.
+    */
+  val jsonProbe: String => Either[String, Unit] = doc => {
+    val t = doc.trim
+    if (t.nonEmpty && (t.startsWith("{") || t.startsWith("[")) &&
+      (t.endsWith("}") || t.endsWith("]"))) Right(())
+    else Left("downloaded document is not valid JSON")
+  }
+
   sealed trait Result
-  final case class Fetched(document: String, requestAttempts: Int, polls: Int) extends Result
+  final case class Fetched(document: String, requestAttempts: Int, polls: Int,
+    downloads: Int = 1) extends Result
   final case class GaveUp(stage: String, detail: String) extends Result
 
-  /** Run the request → poll → download state machine under `policy`. */
+  /** Run the request → poll → download state machine under `policy`.
+    *
+    * `retryable` classifies transport errors: a fatal error (false) gives
+    * up immediately at whatever stage it hit — the reference exits on
+    * non-timeout API errors instead of sleeping through doomed retries.
+    * `validate` probes a downloaded document; a validation failure counts
+    * as a retryable download failure (github.sh retries invalid-JSON
+    * downloads with the same backoff as network failures).
+    */
   def fetch(transport: Transport, policy: Policy = Policy(),
-    sleep: Long => Unit = Thread.sleep): Result = {
+    sleep: Long => Unit = Thread.sleep,
+    retryable: String => Boolean = _ => true,
+    validate: String => Either[String, Unit] = _ => Right(())): Result = {
     def backoff(i: Int): Long =
       policy.backoffMs(math.min(i, policy.backoffMs.size - 1))
 
-    // 1. request with bounded retry + exponential-ish backoff
+    // 1. request with bounded retry + exponential-ish backoff;
+    //    non-retryable errors abort without consuming the budget
     var attempt = 0
     var token: Option[String] = None
     var lastErr = ""
-    while (token.isEmpty && attempt < policy.maxRequestAttempts) {
+    var fatal: Option[String] = None
+    while (token.isEmpty && fatal.isEmpty && attempt < policy.maxRequestAttempts) {
       transport.request() match {
         case Right(tk) => token = Some(tk)
+        case Left(err) if !retryable(err) =>
+          fatal = Some(err)
+          attempt += 1
         case Left(err) =>
           lastErr = err
           attempt += 1
           if (attempt < policy.maxRequestAttempts) sleep(backoff(attempt - 1))
       }
     }
-    token match {
-      case None => GaveUp("request", s"$lastErr (after $attempt attempts)")
-      case Some(tk) =>
+    (fatal, token) match {
+      case (Some(err), _) => GaveUp("request", s"fatal: $err")
+      case (_, None) => GaveUp("request", s"$lastErr (after $attempt attempts)")
+      case (_, Some(tk)) =>
         // 2. poll until ready / aborted / poll budget exhausted
         var polls = 1
         var status = transport.poll(tk)
@@ -86,11 +127,32 @@ object Fetcher {
         }
         status match {
           case Ready =>
-            // 3. download
-            transport.download(tk) match {
-              case Right(doc) => Fetched(doc, attempt + 1, polls)
-              case Left(err)  => GaveUp("download", err)
+            // 3. download + validate with bounded retry; fatal errors
+            //    abort immediately
+            var downloads = 0
+            var result: Option[Result] = None
+            while (result.isEmpty && downloads < policy.maxDownloadAttempts) {
+              downloads += 1
+              transport.download(tk) match {
+                case Right(doc) =>
+                  validate(doc) match {
+                    case Right(()) =>
+                      result = Some(Fetched(doc, attempt + 1, polls, downloads))
+                    case Left(verr) =>
+                      if (downloads >= policy.maxDownloadAttempts)
+                        result = Some(GaveUp("download",
+                          s"$verr (after $downloads attempts)"))
+                      else sleep(backoff(downloads - 1))
+                  }
+                case Left(err) if !retryable(err) =>
+                  result = Some(GaveUp("download", s"fatal: $err"))
+                case Left(err) =>
+                  if (downloads >= policy.maxDownloadAttempts)
+                    result = Some(GaveUp("download", s"$err (after $downloads attempts)"))
+                  else sleep(backoff(downloads - 1))
+              }
             }
+            result.get
           case InProgress  => GaveUp("poll", s"not ready after $polls polls")
           case Aborted(r)  => GaveUp("poll", r)
         }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -302,6 +302,17 @@ object SbomSources {
       .drop("__rn")
   }
 
+  /** Load the reference's license-mappings.json — a single JSON object
+    * mapping package name → SPDX id (947 entries in the shipped file).
+    * One wholetext read + from_json(Map) + explode: a narrow pass whose
+    * result is broadcast-sized by construction (a hand-maintained file),
+    * which is exactly what mapUnknownLicenses broadcasts.
+    */
+  def readLicenseMappings(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", true).text(path)
+      .select(explode(from_json(col("value"), MapType(StringType, StringType)))
+        .as(Seq("name", "mapped_license")))
+
   /** Apply the unknown-license mapping dim (entrypoint.sh:245-269). */
   def mapUnknownLicenses(components: DataFrame, mapping: DataFrame): DataFrame =
     components
@@ -318,11 +329,123 @@ object SbomSources {
     * ORDER BY (name, version, license) (entrypoint.sh:220-229), so scans
     * prune by source and range-skip on name.
     */
-  def writeComponentTable(components: DataFrame, path: String): Unit =
+  def writeComponentTable(components: DataFrame, path: String,
+    mode: String = "overwrite"): Unit =
     components
       .repartition(col("source"))
       .sortWithinPartitions(col("name"), col("version"), col("license"))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .partitionBy("source")
       .parquet(path)
+
+  /** Legacy-schema upgrade — check_and_migrate_table (entrypoint.sh:
+    * 130-163): a component table written before source tracking lacks the
+    * `source` column; the reference ALTERs it in with DEFAULT 'unknown'.
+    * This is the read-side shim: both generations query identically
+    * afterward, and at 100 TB it costs a projection, not a rewrite.
+    */
+  def upgradeLegacySchema(table: DataFrame): DataFrame =
+    if (table.columns.contains("source")) table
+    else table.withColumn("source", lit("unknown"))
+
+  /** Read a component table of either generation (pre- or post-source). */
+  def readComponentTable(spark: SparkSession, path: String): DataFrame =
+    upgradeLegacySchema(spark.read.parquet(path))
+
+  /** Physical migration — the ALTER TABLE … ADD COLUMN analog: rewrite a
+    * legacy table into the current partitioned/sorted layout so future
+    * reads need no shim. Rewrites via a sibling temp dir + atomic rename
+    * (parquet has no in-place ALTER). Returns true iff a migration ran.
+    * A 100 TB deployment would prefer upgradeLegacySchema-on-read and
+    * migrate partition-by-partition; the full rewrite is the small-table
+    * path the reference takes (its ALTER rewrites nothing, but ClickHouse
+    * materializes the default lazily — the observable semantics match).
+    */
+  def migrateComponentTable(spark: SparkSession, path: String): Boolean = {
+    val existing = spark.read.parquet(path)
+    if (existing.columns.contains("source")) false
+    else {
+      val hadoopPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(path + "__migrating")
+      writeComponentTable(upgradeLegacySchema(existing), tmp.toString)
+      val trash = new org.apache.hadoop.fs.Path(path + "__pre_migration")
+      fs.rename(hadoopPath, trash)
+      fs.rename(tmp, hadoopPath)
+      fs.delete(trash, true)
+      true
+    }
+  }
+
+  /** Idempotent sink setup + insert — setup_clickhouse_table
+    * (entrypoint.sh:164-243): table exists → migrate legacy schema, then
+    * truncate (overwrite) or append per the TRUNCATE_TABLE flag; table
+    * missing → create. Returns the decision taken, for observability
+    * parity with the reference's log lines.
+    */
+  def setupAndInsert(spark: SparkSession, components: DataFrame, path: String,
+    truncate: Boolean): String = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hadoopPath)) {
+      writeComponentTable(components, path)
+      "created"
+    } else {
+      val migrated = migrateComponentTable(spark, path)
+      val action =
+        if (truncate) { writeComponentTable(components, path); "truncated" }
+        else { writeComponentTable(components, path, mode = "append"); "appended" }
+      if (migrated) s"migrated+$action" else action
+    }
+  }
+
+  /** jq @tsv escaping (insert_sbom_data, entrypoint.sh:334-417): the
+    * reference serializes name/version/license/source as TSV for the
+    * ClickHouse insert; embedded backslashes, tabs and newlines must
+    * escape (backslash first) or they shift columns / split rows.
+    * Literal string replace, not regex — stays in codegen.
+    */
+  def escapeTsv(c: Column): Column =
+    replace(replace(replace(replace(c,
+      lit("\\"), lit("\\\\")),
+      lit("\t"), lit("\\t")),
+      lit("\n"), lit("\\n")),
+      lit("\r"), lit("\\r"))
+
+  /** Serialize components to the reference's 4-column TSV insert lines. */
+  def toTsvLines(components: DataFrame): DataFrame =
+    components.select(concat_ws("\t",
+      escapeTsv(col("name")), escapeTsv(col("version")),
+      escapeTsv(col("license")), escapeTsv(col("source"))).as("tsv"))
+
+  /** Local-merge mode — merge_local_cyclonedx_sboms (sbom-merging.sh:
+    * 404-533): the local-files variant of merge. Same name@version#purl^
+    * source dedup key as the S3 merge, but each file's source tag comes
+    * from its own metadata with the filename as last resort (the readers'
+    * strategy-6 fallback), and the output is a reassembled CycloneDX
+    * envelope (ClickBOM cyclonedx-merge tool stamp, wiz-merged-sbom root
+    * component) rather than a bare component list. The envelope is a
+    * single document by definition, so the final assembly aggregates to
+    * one row — bounded by the merged document size, not the corpus.
+    */
+  def mergeLocalCycloneDx(spark: SparkSession, path: String): DataFrame = {
+    val comps = mergeComponents(flattenCycloneDx(readCycloneDx(spark, path)))
+    comps
+      .select(struct(col("name"), col("version"), col("purl"), col("source")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("components"))
+      .select(to_json(struct(
+        lit("CycloneDX").as("bomFormat"),
+        lit("1.6").as("specVersion"),
+        lit(1L).as("version"),
+        struct(
+          array(struct(
+            lit("ClickBOM").as("vendor"),
+            lit("cyclonedx-merge").as("name"),
+            lit("1.0.10").as("version"))).as("tools"),
+          struct(
+            lit("application").as("type"),
+            lit("wiz-merged-sbom").as("name"),
+            lit("1.0.0").as("version")).as("component")).as("metadata"),
+        col("components"))).as("merged_json"))
+  }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import graft.multimodal.Codecs
+import graft.multimodal.Codecs._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Pixel-exact round-trip properties for the real multimodal codecs:
+  * binary P6 PPM, 24-bit BI_RGB BMP (row padding, BGR, bottom-up), and
+  * the concatenated-PPM frame stream.
+  */
+class CodecSpec extends AnyFunSuite {
+
+  /** Deterministic sampling harness over ScalaCheck generators (the
+    * scalatest-scalacheck bridge isn't on the classpath).
+    */
+  private def forAll[A](g: Gen[A], n: Int = 60)(f: A => Unit): Unit = {
+    var seed = Seed(7L)
+    var i = 0
+    while (i < n) {
+      g.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val dimGen: Gen[(Int, Int, Long)] = for {
+    w <- Gen.choose(1, 40)
+    h <- Gen.choose(1, 30)
+    id <- Gen.choose(0L, 1000000L)
+  } yield (w, h, id)
+
+  test("PPM round-trips pixel-exactly for arbitrary dims") {
+    forAll(dimGen) { case (w, h, id) =>
+      val img = Codecs.generate(id, w, h)
+      val back = PpmCodec.decode(PpmCodec.encode(img))
+      assert(back.width === w && back.height === h)
+      assert(back.rgb.toSeq === img.rgb.toSeq)
+    }
+  }
+
+  test("PPM decoder handles comments and arbitrary header whitespace") {
+    val img = Codecs.generate(42L, 3, 2)
+    val header = "P6 # a comment\n# another comment line\n  3\t2 # dims\n255\n"
+    val bytes = header.getBytes("US-ASCII") ++ img.rgb
+    val back = PpmCodec.decode(bytes)
+    assert(back.rgb.toSeq === img.rgb.toSeq)
+  }
+
+  test("PPM decoder rejects bad magic, truncation, and wrong maxval") {
+    val img = Codecs.generate(7L, 2, 2)
+    val good = PpmCodec.encode(img)
+    assertThrows[IllegalArgumentException](PpmCodec.decode("P5\n2 2\n255\n".getBytes ++ img.rgb))
+    assertThrows[IllegalArgumentException](PpmCodec.decode(good.dropRight(1)))
+    assertThrows[IllegalArgumentException](PpmCodec.decode("P6\n2 2\n65535\n".getBytes ++ img.rgb))
+  }
+
+  test("BMP round-trips pixel-exactly, including padded row widths") {
+    // w=1..4 covers every padding residue (3,2,1,0 pad bytes per row)
+    for (w <- 1 to 9; h <- Seq(1, 3, 5)) {
+      val img = Codecs.generate(99L, w, h)
+      val bytes = BmpCodec.encode(img)
+      // encoded size embeds the 4-byte-aligned row stride
+      val stride = ((w * 3 + 3) / 4) * 4
+      assert(bytes.length === 54 + stride * h)
+      val back = BmpCodec.decode(bytes)
+      assert(back.width === w && back.height === h)
+      assert(back.rgb.toSeq === img.rgb.toSeq)
+    }
+  }
+
+  test("BMP round-trips for arbitrary dims (property)") {
+    forAll(dimGen) { case (w, h, id) =>
+      val img = Codecs.generate(id, w, h)
+      assert(BmpCodec.decode(BmpCodec.encode(img)).rgb.toSeq === img.rgb.toSeq)
+    }
+  }
+
+  test("BMP decoder honors top-down (negative height) layout") {
+    val img = Codecs.generate(5L, 4, 3)
+    val bytes = BmpCodec.encode(img)
+    // flip to top-down: negate height and reorder rows accordingly
+    val h = img.height
+    val stride = ((img.width * 3 + 3) / 4) * 4
+    val flipped = bytes.clone()
+    val negH = -h
+    flipped(22) = negH.toByte; flipped(23) = (negH >> 8).toByte
+    flipped(24) = (negH >> 16).toByte; flipped(25) = (negH >> 24).toByte
+    for (y <- 0 until h)
+      System.arraycopy(bytes, 54 + (h - 1 - y) * stride, flipped, 54 + y * stride, stride)
+    assert(BmpCodec.decode(flipped).rgb.toSeq === img.rgb.toSeq)
+  }
+
+  test("BMP decoder rejects unsupported bit depths and compression") {
+    val bytes = BmpCodec.encode(Codecs.generate(1L, 2, 2))
+    val bad8 = bytes.clone(); bad8(28) = 8
+    assertThrows[IllegalArgumentException](BmpCodec.decode(bad8))
+    val rle = bytes.clone(); rle(30) = 1 // BI_RLE8
+    assertThrows[IllegalArgumentException](BmpCodec.decode(rle))
+  }
+
+  test("PPM stream round-trips multi-frame sequences in order") {
+    val frames = (0 until 4).map(f => Codecs.generate(11L, 5, 4, f))
+    val decoded = PpmStream.decode(PpmStream.encode(frames))
+    assert(decoded.size === 4)
+    decoded.zip(frames).foreach { case (d, o) => assert(d.rgb.toSeq === o.rgb.toSeq) }
+  }
+
+  test("decodeAny dispatches on container magic") {
+    val img = Codecs.generate(3L, 6, 6)
+    assert(Codecs.decodeAny(BmpCodec.encode(img)).head.rgb.toSeq === img.rgb.toSeq)
+    assert(Codecs.decodeAny(PpmCodec.encode(img)).head.rgb.toSeq === img.rgb.toSeq)
+    assert(Codecs.decodeAny(PpmStream.encode(Seq(img, img))).size === 2)
+  }
+
+  test("nearest-neighbor resize: identity at same dims, correct floor mapping") {
+    val img = Codecs.generate(8L, 10, 6)
+    assert(Codecs.resizeNearest(img, 10, 6).rgb.toSeq === img.rgb.toSeq)
+    val out = Codecs.resizeNearest(img, 4, 3)
+    for (oy <- 0 until 3; ox <- 0 until 4; c <- 0 until 3) {
+      val sx = ox * 10 / 4
+      val sy = oy * 6 / 3
+      assert(out.rgb((oy * 4 + ox) * 3 + c) === img.rgb((sy * 10 + sx) * 3 + c))
+    }
+  }
+}

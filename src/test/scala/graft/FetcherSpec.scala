@@ -70,10 +70,70 @@ class FetcherSpec extends AnyFunSuite {
     assert(r === GaveUp("poll", "report FAILED"))
   }
 
-  test("download failure after a ready report is reported as the download stage") {
+  test("download failure after a ready report retries, then reports the download stage") {
     val t = new Stub(Iterator(Right("tok")), Iterator(Ready), Left("404 expired url"))
-    val r = Fetcher.fetch(t, sleep = noSleep)
-    assert(r === GaveUp("download", "404 expired url"))
+    val r = Fetcher.fetch(t, Policy(maxDownloadAttempts = 3), sleep = noSleep)
+    assert(r === GaveUp("download", "404 expired url (after 3 attempts)"))
+  }
+
+  test("non-retryable request error aborts immediately (github.sh non-timeout API error)") {
+    val t = new Stub(Iterator.continually(Left("Bad credentials")), Iterator.empty)
+    val r = Fetcher.fetch(t, Policy(maxRequestAttempts = 3), noSleep,
+      retryable = Fetcher.githubRetryable)
+    assert(r === GaveUp("request", "fatal: Bad credentials"))
+    assert(t.requests === 1) // no budget burned on a response that cannot change
+  }
+
+  test("githubRetryable classifies the reference's three retryable patterns (github.sh:77)") {
+    assert(Fetcher.githubRetryable("Request timed out processing dependency snapshot"))
+    assert(Fetcher.githubRetryable("Failed to generate SBOM for this repository"))
+    assert(Fetcher.githubRetryable("upstream timeout while rendering"))
+    assert(!Fetcher.githubRetryable("Bad credentials"))
+    assert(!Fetcher.githubRetryable("Not Found"))
+    assert(!Fetcher.githubRetryable("Dependency graph is disabled for this repository"))
+  }
+
+  test("timeout errors retry through the full budget, fatal ones do not") {
+    val t = new Stub(
+      Iterator(Left("Request timed out"), Left("Request timed out"), Right("tok")),
+      Iterator(Ready))
+    val r = Fetcher.fetch(t, Policy(maxRequestAttempts = 3), noSleep,
+      retryable = Fetcher.githubRetryable)
+    assert(r === Fetched("{\"bomFormat\":\"CycloneDX\"}", requestAttempts = 3, polls = 1))
+  }
+
+  test("invalid-JSON download retries with backoff then succeeds (github.sh:56-69)") {
+    val docs = Iterator(Left("<html>502</html>"): Either[String, String],
+      Right("<html>Bad Gateway</html>"), Right("{\"spdxVersion\":\"SPDX-2.3\"}"))
+    val t = new Stub(Iterator(Right("tok")), Iterator(Ready)) {
+      override def download(token: String): Either[String, String] = docs.next()
+    }
+    val (slept, sleeper) = sleeps
+    val r = Fetcher.fetch(t, Policy(maxDownloadAttempts = 3, backoffMs = Seq(5L, 7L)),
+      sleeper, validate = Fetcher.jsonProbe)
+    assert(r === Fetched("{\"spdxVersion\":\"SPDX-2.3\"}", 1, 1, downloads = 3))
+    assert(slept.toSeq === Seq(5L, 7L))
+  }
+
+  test("persistently invalid download gives up after the download budget") {
+    val t = new Stub(Iterator(Right("tok")), Iterator(Ready), Right("not json at all"))
+    val r = Fetcher.fetch(t, Policy(maxDownloadAttempts = 2), noSleep,
+      validate = Fetcher.jsonProbe)
+    assert(r === GaveUp("download",
+      "downloaded document is not valid JSON (after 2 attempts)"))
+  }
+
+  test("non-retryable download error aborts without retries") {
+    var downloads = 0
+    val t = new Stub(Iterator(Right("tok")), Iterator(Ready)) {
+      override def download(token: String): Either[String, String] = {
+        downloads += 1; Left("Not Found")
+      }
+    }
+    val r = Fetcher.fetch(t, Policy(maxDownloadAttempts = 3), noSleep,
+      retryable = Fetcher.githubRetryable)
+    assert(r === GaveUp("download", "fatal: Not Found"))
+    assert(downloads === 1)
   }
 
   test("direct transports (github.sh) skip real polling") {

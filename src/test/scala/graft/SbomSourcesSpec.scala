@@ -250,4 +250,143 @@ class SbomSourcesSpec extends SparkSpec {
     assert(back.columns.toSet === Set("name", "version", "license", "purl", "source"))
     assert(back.filter(col("source") === "service-b").count() === 1)
   }
+
+  test("real license-mappings.json loads and applies through the unknown-license join") {
+    import spark.implicits._
+    val mappingsFile = "/root/reference/license-mappings.json"
+    assume(Files.exists(Paths.get(mappingsFile)), "reference mappings file not present")
+    val mapping = SbomSources.readLicenseMappings(spark, mappingsFile)
+    val rows = mapping.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the shipped file is a flat name → SPDX-id object with ~950 entries
+    assert(rows.size > 900)
+    assert(rows.values.forall(_.nonEmpty))
+    // spot-check entries of each license family present in the file
+    assert(rows.get("astro").contains("MIT"))
+    assert(rows.get("boto3").contains("Apache-2.0"))
+    assert(rows.get("certifi").contains("MPL-2.0"))
+
+    val comps = Seq(
+      ("astro", "4.0", "unknown", "repo-a", null: String),
+      ("boto3", "1.34", null: String, "repo-a", null: String),
+      ("certifi", "2024.2", "", "repo-a", null: String),
+      ("astro", "4.0", "GPL-3.0", "repo-b", null: String), // known license untouched
+      ("never-mapped", "0.1", "unknown", "repo-a", null: String))
+      .toDF("name", "version", "license", "source", "purl")
+    val mapped = SbomSources.mapUnknownLicenses(comps, mapping)
+      .collect().map(r => (r.getAs[String]("name"), r.getAs[String]("source")) ->
+        r.getAs[String]("license")).toMap
+    assert(mapped(("astro", "repo-a")) === "MIT")
+    assert(mapped(("boto3", "repo-a")) === "Apache-2.0")
+    assert(mapped(("certifi", "repo-a")) === "MPL-2.0")
+    assert(mapped(("astro", "repo-b")) === "GPL-3.0")
+    assert(mapped(("never-mapped", "repo-a")) === "unknown")
+  }
+
+  test("legacy table without source migrates with default 'unknown'; both generations query identically") {
+    import spark.implicits._
+    // a table written before source tracking existed (entrypoint.sh:130-163)
+    val legacyDir = Files.createTempDirectory("graft_legacy").toString + "/components"
+    Seq(("libfoo", "1.2.3", "MIT"), ("libbar", "0.9", "Apache-2.0"))
+      .toDF("name", "version", "license")
+      .write.parquet(legacyDir)
+
+    // read-side shim: legacy generation gains source='unknown' on read
+    val shimmed = SbomSources.readComponentTable(spark, legacyDir)
+    assert(shimmed.columns.contains("source"))
+    assert(shimmed.select("source").distinct().collect().map(_.getString(0)).toSeq === Seq("unknown"))
+    // materialize before the migration rewrites the files underneath
+    val shimmedRows = shimmed.orderBy("name").select("name", "version", "license").collect().toSeq
+
+    // physical migration rewrites once, is a no-op after
+    assert(SbomSources.migrateComponentTable(spark, legacyDir) === true)
+    assert(SbomSources.migrateComponentTable(spark, legacyDir) === false)
+    val migrated = spark.read.parquet(legacyDir)
+    assert(migrated.columns.toSet === Set("name", "version", "license", "source"))
+
+    // both generations produce identical query results
+    val bySource = migrated.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource === Map("unknown" -> 2L))
+    assert(migrated.orderBy("name").select("name", "version", "license").collect().toSeq ===
+      shimmedRows)
+  }
+
+  test("setupAndInsert: create → append → truncate → migrate+append decision tree (entrypoint.sh:164-243)") {
+    import spark.implicits._
+    def comps(src: String, names: String*) =
+      names.map(n => (n, "1.0", "MIT", src, null: String))
+        .toDF("name", "version", "license", "source", "purl")
+    val path = Files.createTempDirectory("graft_setup").toString + "/table"
+
+    assert(SbomSources.setupAndInsert(spark, comps("a", "one", "two"), path, truncate = false) === "created")
+    assert(spark.read.parquet(path).count() === 2)
+
+    assert(SbomSources.setupAndInsert(spark, comps("b", "three"), path, truncate = false) === "appended")
+    assert(spark.read.parquet(path).count() === 3)
+
+    assert(SbomSources.setupAndInsert(spark, comps("c", "four"), path, truncate = true) === "truncated")
+    val afterTruncate = spark.read.parquet(path)
+    assert(afterTruncate.count() === 1)
+    assert(afterTruncate.select("source").head().getString(0) === "c")
+
+    // legacy table in the way → migrated, then appended
+    val legacy = Files.createTempDirectory("graft_setup_legacy").toString + "/table"
+    Seq(("old", "0.1", "ISC")).toDF("name", "version", "license").write.parquet(legacy)
+    assert(SbomSources.setupAndInsert(spark, comps("d", "five"), legacy, truncate = false) === "migrated+appended")
+    val both = spark.read.parquet(legacy)
+    assert(both.count() === 2)
+    assert(both.select("source").distinct().collect().map(_.getString(0)).toSet === Set("unknown", "d"))
+  }
+
+  test("TSV insert lines escape backslash/tab/newline and stay 4-field parseable") {
+    import spark.implicits._
+    val comps = Seq(
+      ("lib\twith\ttabs", "1.0", "MIT", "src-a", null: String),
+      ("multi\nline", "2.0\r\n", "Apa\\che", "src-b", null: String),
+      ("plain", "3.0", "BSD-3-Clause", "src-c", null: String))
+      .toDF("name", "version", "license", "source", "purl")
+    val lines = SbomSources.toTsvLines(comps).collect().map(_.getString(0))
+    // every line still splits into exactly the 4 insert columns
+    assert(lines.forall(_.split("\t", -1).length === 4))
+    // no raw newlines survive inside a line (they would split rows)
+    assert(lines.forall(l => !l.contains("\n") && !l.contains("\r")))
+    // unescape (reverse order: sentinel-free because escape did backslash first)
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case 't' => sb += '\t'; case 'n' => sb += '\n'
+            case 'r' => sb += '\r'; case '\\' => sb += '\\'
+            case other => sb += '\\' += other
+          }
+          i += 2
+        } else { sb += s(i); i += 1 }
+      }
+      sb.toString
+    }
+    val decoded = lines.map(_.split("\t", -1).map(unescape))
+    val expected = comps.collect().map(r => Array(r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(decoded.map(_.toSeq).toSet === expected.map(_.toSeq).toSet)
+  }
+
+  test("local merge assembles a deduped CycloneDX envelope with the ClickBOM tool stamp") {
+    val merged = SbomSources.mergeLocalCycloneDx(spark, dir).head().getAs[String]("merged_json")
+    val parsed = spark.read.json(spark.createDataset(Seq(merged))(org.apache.spark.sql.Encoders.STRING))
+    val row = parsed.select(
+      col("bomFormat"), col("specVersion"),
+      col("metadata.tools").getItem(0).getField("vendor"),
+      col("metadata.tools").getItem(0).getField("name"),
+      col("metadata.component.name"),
+      size(col("components"))).head()
+    assert(row.getString(0) === "CycloneDX")
+    assert(row.getString(1) === "1.6")
+    assert(row.getString(2) === "ClickBOM")
+    assert(row.getString(3) === "cyclonedx-merge")
+    assert(row.getString(4) === "wiz-merged-sbom")
+    // service-a(4) + service-b(1, libfoo dup under a different source kept — unique_by
+    // includes source, sbom-merging.sh:491) = 5 unique components
+    assert(row.getInt(5) === 5)
+  }
 }

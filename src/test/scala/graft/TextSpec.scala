@@ -59,18 +59,18 @@ class TextSpec extends SparkSpec {
     assert(out(3L) === "fr"); assert(out(4L) === "es")
   }
 
-  test("multimodal decode-stub features are deterministic and consistent") {
+  test("multimodal decode pipeline covers all real containers and is deterministic") {
     val rows = graft.multimodal.Multimodal.pipeline.build(sf0001).collect()
-    assert(rows.map(_.getAs[String]("kind")).toSet === Set("image", "audio", "video"))
+    assert(rows.map(_.getAs[String]("kind")).toSet === Set("image_ppm", "image_bmp", "video"))
     val total = rows.map(_.getAs[Long]("n_items")).sum
     assert(total === sf0001.documents.count())
-    // payload bytes == total characters (utf-8 of ascii word soup)
-    val totalBytes = rows.map(_.getAs[Long]("total_bytes")).sum
-    val totalChars = sf0001.documents
-      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.length(
-        org.apache.spark.sql.functions.col("text")))).head().getLong(0)
-    assert(totalBytes === totalChars)
-    // run twice — identical (pure stub)
+    // videos carry ≥2 frames each, single images exactly one
+    val byKind = rows.map(r => r.getAs[String]("kind") ->
+      (r.getAs[Long]("n_items"), r.getAs[Long]("total_frames"))).toMap
+    assert(byKind("image_ppm")._1 === byKind("image_ppm")._2)
+    assert(byKind("image_bmp")._1 === byKind("image_bmp")._2)
+    assert(byKind("video")._2 >= byKind("video")._1 * 2)
+    // run twice — identical (pure codec round trip)
     val again = graft.multimodal.Multimodal.pipeline.build(sf0001).collect()
     assert(rows.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
   }
@@ -79,8 +79,12 @@ class TextSpec extends SparkSpec {
     val rows = graft.multimodal.Multimodal.transformPipeline.build(sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Int]("w") === 32 && r.getAs[Int]("h") === 24)
-      assert(r.getAs[Long]("n_frames_sampled") === r.getAs[Long]("n_frame_ids"))
+      assert(r.getAs[Long]("out_w") === 16L && r.getAs[Long]("out_h") === 12L)
+      // 16×12 thumbnails bound every channel sum by frames × 192 px × 255
+      val cap = r.getAs[Long]("n_frames_sampled") * 192L * 255L
+      assert(r.getAs[Long]("sum_r") <= cap)
+      assert(r.getAs[Long]("sum_g") <= cap)
+      assert(r.getAs[Long]("sum_b") <= cap)
     }
     val again = graft.multimodal.Multimodal.transformPipeline.build(sf0001).collect()
     assert(rows.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
