@@ -861,6 +861,62 @@ object Dedup {
       .orderBy(col("host"))
   }
 
+  // dedup_bloom — Bloom-filter-pruned incremental exact dedup, the
+  // re-crawl ingest shape at 100 TB: the corpus is aggregated ONCE into
+  // a broadcast-sized Bloom sketch (distributed aggregation, one sketch
+  // to the driver — the only corpus pass), the new batch filters against
+  // the sketch per-partition with zero shuffle, and only the surviving
+  // candidates (true dups + the fpp tail) pay the exact-confirm join.
+  // The corpus is never a join side for the non-duplicate bulk of the
+  // batch. False positives cannot leak: the confirm join is exact, so
+  // the result equals the plain join the oracle computes. The new batch
+  // = a re-ingested corpus slice (guaranteed dups, new ids) plus a
+  // mutated slice (guaranteed fresh — exercises the pruning path).
+  val bloomDedup = Q(
+    "dedup_bloom",
+    Some("""
+      WITH newbatch AS (
+        SELECT doc_id + 5000000 AS new_id, text
+        FROM documents WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id + 6000000, text || ' fresh-' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 7 = 5)
+      SELECT n.new_id,
+             MIN(c.doc_id) AS dup_of,
+             CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM newbatch n
+      JOIN documents c ON n.text = c.text
+      GROUP BY n.new_id
+      ORDER BY n.new_id
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val corpus = t.documents.select(col("doc_id"), col("text"))
+    val newbatch = t.documents.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 5000000L).as("new_id"), col("text"))
+      .unionAll(t.documents.filter(col("doc_id") % 7 === 5)
+        .select((col("doc_id") + 6000000L).as("new_id"),
+          concat(col("text"), lit(" fresh-"), col("doc_id").cast("string")).as("text")))
+    // one corpus pass builds the sketch (partial sketches merge
+    // tree-wise; the merged filter is broadcast-sized: ~1.2 MB per 1M
+    // docs at 1% fpp, so even 10B docs is a ~12 GB filter sharded by
+    // hash prefix — here one shard suffices)
+    val corpusHashes = corpus.select(xxhash64(col("text")).as("h"))
+    val bf = corpusHashes.stat.bloomFilter("h", math.max(corpus.count(), 1L), 0.01)
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val candidates = newbatch
+      .select(col("new_id"), col("text"), xxhash64(col("text")).as("h"))
+      .as[(Long, String, Long)]
+      .filter(r => bfBc.value.mightContainLong(r._3))
+      .toDF("new_id", "text", "h")
+    candidates
+      .join(corpus, Seq("text"))
+      .groupBy(col("new_id"))
+      .agg(min(col("doc_id")).as("dup_of"), count(lit(1)).as("n_matches"))
+      .orderBy(col("new_id"))
+  }
+
   /** Materialize the memoized shared pair graph + component labels
     * (Bench warm-up hook): shared by dedup_simhash, dedup_components,
     * dedup_apply and dedup_incremental — built here so per-query bench
@@ -872,5 +928,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup,
     simhashIdf, components, embeddingDedup, chunkDedup, applyDedup, urlDedup,
-    incremental)
+    incremental, bloomDedup)
 }

@@ -472,6 +472,71 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // text_lm_score — corpus-trained bigram language-model quality score
+  // (the CCNet-style perplexity-proxy filter): train add-one-smoothed
+  // bigram/context counts over the whole corpus in two aggregations,
+  // score every document by its mean conditional bigram likelihood.
+  // Kept integer-exact for the oracle: each bigram scores
+  // (c12+1)·10^6 div (c1+V) parts-per-million, and the document score is
+  // the integer mean — no floating-point log, so both engines agree
+  // bit-for-bit. Template spam scores high, character soup scores low.
+  // At 100 TB: bigram extraction is narrow; the two count tables are
+  // vocabulary-sized aggregations with map-side partials; the score-time
+  // joins shuffle on token keys (AQE broadcasts them when the vocabulary
+  // is small); the final agg shuffles on doc_id. No corpus² anywhere.
+  val lmScore = Q(
+    "text_lm_score",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+') AS l
+        FROM documents),
+      bigrams AS (
+        SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        FROM toks, UNNEST(RANGE(1, LEN(l))) AS r(i)),
+      c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1),
+      v AS (SELECT COUNT(DISTINCT w) AS v
+            FROM (SELECT UNNEST(l) AS w FROM toks)),
+      scored AS (
+        SELECT b.doc_id, (c12.c12 + 1) * 1000000 // (c1.c1 + v.v) AS score_ppm
+        FROM bigrams b
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN v)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS lm_ppm
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """)
+  ) { t =>
+    val toks = t.documents.select(col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("l"))
+    val bigrams = toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("l"), lit(1), size(col("l")) - 1),
+        slice(col("l"), lit(2), size(col("l")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = toks.select(explode(col("l")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        expr("(c12 + 1) * 1000000 div (c1 + v)").as("score_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("score_ppm")).as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_ppm div n_bigrams").as("lm_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
-    topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab)
+    topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
+    lmScore)
 }
