@@ -603,6 +603,91 @@ $pivots
     pqSearch(t, Some(candSet))
   }
 
+  // ann_recall — the evaluation harness a real ANN deployment ships with:
+  // recall@10 of the approximate indexes (LSH buckets, IVF probed cells)
+  // against exact brute-force ground truth, per query. A recall
+  // regression after retuning bucket width / C / nprobe shows up here as
+  // a hard number, not an anecdote. Composed entirely from the shared
+  // machinery (same queries, same tie-breaks), so the measured indexes
+  // are exactly the ones ann_lsh/ann_ivf serve; integer basis points —
+  // no float compare. At 100 TB ground truth comes from a sampled query
+  // panel (here: the same 5-query panel all ann_* ops use).
+  val recallEval = Q(
+    "ann_recall",
+    Some(s"""
+      WITH ${ivfCtesSql(16, 4)},
+      bt_q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 5),
+      bt_scored AS (
+        SELECT q.query_id, e.vec_id, ${cosSql("q.qvec", "e.embedding")} AS cos
+        FROM embeddings e, bt_q q),
+      bt_top AS (
+        SELECT query_id, vec_id
+        FROM (SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rnk
+              FROM bt_scored)
+        WHERE rnk <= 10),
+      lsh_b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+                FROM embeddings),
+      lsh_q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+                FROM lsh_b WHERE vec_id < 5),
+      lsh_scored AS (
+        SELECT q.query_id, b.vec_id, ${cosSql("q.qvec", "b.embedding")} AS cos
+        FROM lsh_b b JOIN lsh_q q ON b.bucket = q.qbucket),
+      lsh_top AS (
+        SELECT query_id, vec_id
+        FROM (SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rnk
+              FROM lsh_scored)
+        WHERE rnk <= 10),
+      ivf_scored AS (
+        SELECT p.query_id, a.vec_id, ${cosSql("p.qvec", "a.embedding")} AS cos
+        FROM ac a JOIN probes p ON a.cell = p.cell),
+      ivf_top AS (
+        SELECT query_id, vec_id
+        FROM (SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rnk
+              FROM ivf_scored)
+        WHERE rnk <= 10),
+      methods AS (
+        SELECT 'lsh' AS method, query_id, vec_id FROM lsh_top
+        UNION ALL
+        SELECT 'ivf', query_id, vec_id FROM ivf_top),
+      eval AS (
+        SELECT m.method, m.query_id,
+               COUNT(*) AS n_retrieved,
+               COUNT(t.vec_id) AS n_hits
+        FROM methods m
+        LEFT JOIN bt_top t
+          ON m.query_id = t.query_id AND m.vec_id = t.vec_id
+        GROUP BY m.method, m.query_id)
+      SELECT method, query_id,
+             CAST(n_retrieved AS BIGINT) AS n_retrieved,
+             CAST(n_hits AS BIGINT) AS n_hits,
+             CAST(n_hits * 1000 AS BIGINT) AS recall_bp
+      FROM eval
+      ORDER BY method, query_id
+    """)
+  ) { t =>
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("vec_id"))
+    val truth = ids(bruteForce.build(t))
+      .select(col("query_id").as("t_qid"), col("vec_id").as("hit_id"))
+    val methods = ids(lsh.build(t)).withColumn("method", lit("lsh"))
+      .unionAll(ids(ivfQuery(t, c = 16, nprobe = 4)).withColumn("method", lit("ivf")))
+    methods
+      .join(truth,
+        col("query_id") === col("t_qid") && col("vec_id") === col("hit_id"), "left")
+      .groupBy(col("method"), col("query_id"))
+      .agg(count(lit(1)).as("n_retrieved"), count(col("hit_id")).as("n_hits"))
+      .select(col("method"), col("query_id"), col("n_retrieved"), col("n_hits"),
+        (col("n_hits") * 1000).as("recall_bp"))
+      .orderBy(col("method"), col("query_id"))
+  }
+
   /** Materialize the memoized shared index structures (Bench warm-up
     * hook): IVF cells/probes and the PQ code table are shared by
     * ann_ivf/ann_pq/ann_hybrid, so without an explicit build phase the
@@ -616,5 +701,5 @@ $pivots
   }
 
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
-    hybrid)
+    hybrid, recallEval)
 }
