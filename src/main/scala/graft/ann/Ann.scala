@@ -700,6 +700,49 @@ $pivots
     pqCodes(t).count()
   }
 
+  // embed_dim_stats — per-dimension first/second moments across the
+  // corpus (the whitening/normalization diagnostic an embedding pipeline
+  // reads before centering or PCA): elements quantized to the same 1024
+  // integer grid IVF trains on, so sums are exact integers and both
+  // engines agree bit-for-bit regardless of aggregation order (a raw
+  // double sum over millions of floats is order-dependent). mean/var in
+  // integer milli-units of the grid. One posexplode + one agg keyed by
+  // dimension — 64 output rows, map-side combined. The n²-scaled
+  // variance numerator is long-exact to ~10^4 vectors per dim at this
+  // grid; past that the accumulators widen to DECIMAL(38) (same plan
+  // shape) or the merge flips to per-partition Welford in doubles.
+  val dimStats = Q(
+    "embed_dim_stats",
+    Some("""
+      WITH px AS (
+        SELECT i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS xq
+        FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS t(i)),
+      moments AS (
+        SELECT dim, COUNT(*) AS n, SUM(xq) AS s1, SUM(xq * xq) AS s2
+        FROM px
+        GROUP BY dim)
+      SELECT dim,
+             CAST(n AS BIGINT) AS n,
+             CAST(s1 * 1000 // n AS BIGINT) AS mean_milli,
+             CAST((n * s2 - s1 * s1) * 1000 // (n * n) AS BIGINT) AS var_milli
+      FROM moments
+      ORDER BY dim
+    """)
+  ) { t =>
+    t.embeddings
+      .select(posexplode(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1024).cast(LongType))))
+      .groupBy(col("pos").cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("col")).as("s1"),
+        sum(col("col") * col("col")).as("s2"))
+      .select(col("dim"), col("n"),
+        expr("s1 * 1000 div n").as("mean_milli"),
+        expr("(n * s2 - s1 * s1) * 1000 div (n * n)").as("var_milli"))
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
-    hybrid, recallEval)
+    hybrid, recallEval, dimStats)
 }

@@ -536,7 +536,64 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // pipe_mix_sample — deterministic stratified downsampling to a target
+  // per-source mix (the data-mixing step that turns a raw crawl into a
+  // training recipe): each source gets a target fraction, and the docs
+  // kept are the n_target smallest by a portable integer hash — a
+  // reproducible sample, not a Math.random one, so reruns and the oracle
+  // select the IDENTICAL set (checked via the selected-id sum, not just
+  // counts). One window shuffle on source; at 100 TB the rank-based cut
+  // becomes a per-source hash-threshold filter (no window) once
+  // per-source counts are known — same selected set.
+  val mixSample = Q(
+    "pipe_mix_sample",
+    Some("""
+      WITH hashed AS (
+        SELECT source, doc_id,
+               (doc_id * 2654435761) % 2147483648 AS h
+        FROM documents),
+      ranked AS (
+        SELECT source, doc_id, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n_docs
+        FROM hashed),
+      targeted AS (
+        SELECT source, doc_id, rn, n_docs,
+               n_docs * (CASE WHEN LENGTH(source) % 2 = 0 THEN 40 ELSE 10 END) // 100
+                 AS n_target
+        FROM ranked)
+      SELECT source,
+             CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+             CAST(MIN(n_target) AS BIGINT) AS n_target,
+             CAST(COUNT(CASE WHEN rn <= n_target THEN 1 END) AS BIGINT) AS n_selected,
+             CAST(COALESCE(SUM(CASE WHEN rn <= n_target THEN doc_id END), 0) AS BIGINT)
+               AS sum_selected_ids
+      FROM targeted
+      GROUP BY source
+      ORDER BY source
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+    val wo = w.orderBy(col("h"), col("doc_id"))
+    t.documents
+      .select(col("source"), col("doc_id"),
+        ((col("doc_id") * 2654435761L) % 2147483648L).as("h"))
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .withColumn("n_target",
+        expr("n_docs * (CASE WHEN LENGTH(source) % 2 = 0 THEN 40 ELSE 10 END) div 100"))
+      .groupBy(col("source"))
+      .agg(
+        min(col("n_docs")).cast(LongType).as("n_docs"),
+        min(col("n_target")).cast(LongType).as("n_target"),
+        count(when(col("rn") <= col("n_target"), 1)).as("n_selected"),
+        coalesce(sum(when(col("rn") <= col("n_target"), col("doc_id"))), lit(0L))
+          .cast(LongType).as("sum_selected_ids"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
-    lmScore)
+    lmScore, mixSample)
 }
