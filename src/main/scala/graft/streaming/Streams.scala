@@ -336,4 +336,35 @@ object Streams {
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Streaming corpus cleaning — the batch pipe_clean_corpus +
+    * text_pii_scrub stages composed at ingest time: quality gate (word
+    * count + stopword ratio, pure narrow filters Catalyst fuses into the
+    * scan), PII scrub (the SAME regexp chain the batch operator runs —
+    * graft.text.TextOps.piiPatterns, so batch backfills and the live
+    * stream can never disagree on what was redacted), then streaming
+    * exact dedup on the normalized content hash.
+    * dropDuplicatesWithinWatermark keys state by content hash and evicts
+    * it at the watermark horizon — state is |unique docs per horizon|,
+    * not |corpus|, so the stream runs forever. Near-dups are the
+    * companion nearDupStream; this stage is the exact-dup + hygiene cut.
+    */
+  def cleanCorpusStream(docs: Dataset[Doc], watermark: String = "10 minutes",
+    minWords: Int = 20, minStopRatio: Double = 0.05): DataFrame = {
+    val ws = split(trim(col("text")), "\\s+")
+    val nStop = size(filter(ws, w => w.isin(graft.text.TextOps.stopwords: _*)))
+    val scrubbed = graft.text.TextOps.piiPatterns.foldLeft(col("text")) {
+      case (acc, (_, pat, rep)) => regexp_replace(acc, pat, rep)
+    }
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .withColumn("n_words", size(ws))
+      .withColumn("n_stop", nStop)
+      .filter(col("n_words") >= minWords &&
+        col("n_stop").cast(DoubleType) / col("n_words") >= minStopRatio)
+      .withColumn("clean", scrubbed)
+      .withColumn("content_key", md5(lower(col("clean")).cast("binary")))
+      .dropDuplicatesWithinWatermark("content_key")
+      .select(col("doc_id"), col("ts"), col("clean"), col("n_words"))
+  }
 }

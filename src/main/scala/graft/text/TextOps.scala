@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object TextOps {
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** Whitespace word array. */
   private def words(c: Column): Column = split(trim(c), "\\s+")
@@ -252,7 +252,7 @@ object TextOps {
   // PII-ish strings are appended per doc (cycling the four kinds) and the
   // operator must find and scrub exactly those. Patterns use the
   // RE2 ∩ Java-regex dialect so Spark and DuckDB agree byte-for-byte.
-  private val piiPatterns: Seq[(String, String, String)] = Seq(
+  private[graft] val piiPatterns: Seq[(String, String, String)] = Seq(
     // (kind, pattern, replacement) — applied in order
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", "\\d{3}-\\d{2}-\\d{4}", "<SSN>"),

@@ -285,4 +285,33 @@ class StreamingSpec extends SparkSpec {
         "expired bucket state must not produce hits")
     } finally q.stop()
   }
+
+  test("streaming corpus clean: quality gate + PII scrub + exact dedup across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the cat sat on the mat and looked to the window for a long while today"
+    val mem = MemoryStream[Streams.Doc]
+    val q = Streams.cleanCorpusStream(mem.toDS(), minWords = 10)
+      .writeStream.format("memory").queryName("clean_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Streams.Doc(1, ts(0), good + " contact alice@example.com today"),
+        Streams.Doc(2, ts(0), "too short"), // fails the word-count gate
+        Streams.Doc(3, ts(1), "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor")) // no stopwords
+      q.processAllAvailable()
+      val rows1 = spark.table("clean_stream").collect()
+      assert(rows1.map(_.getAs[Long]("doc_id")).toSet === Set(1L))
+      val clean = rows1.head.getAs[String]("clean")
+      assert(!clean.contains("alice@example.com") && clean.contains("<EMAIL>"))
+
+      // the same content arriving again (different id, later batch) dedups
+      mem.addData(
+        Streams.Doc(4, ts(2), good + " contact alice@example.com today"),
+        Streams.Doc(5, ts(2), good + " but this one is genuinely different text"))
+      q.processAllAvailable()
+      assert(spark.table("clean_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet === Set(1L, 5L))
+    } finally q.stop()
+  }
 }
