@@ -33,8 +33,11 @@ object Bench {
     * `_other` bucket; remaining entries are slowest-first and cut at the
     * FIRST entry that doesn't fit (the map must be exactly the
     * errors+slowest-N prefix or readers would conclude a long-named slow
-    * query sits in the fast _other bucket). ~36 bytes stay reserved for
-    * the _other entry itself.
+    * query sits in the fast _other bucket). ~60 bytes stay reserved for
+    * the rollup entries. If even the error entries overflow the budget
+    * (mass breakage), the dropped errored queries surface as an explicit
+    * `"_other_err_N"` marker — never as seconds in the numeric rollup,
+    * which would make broken operators read as fast.
     */
   def buildLine(results: Seq[Timing], sfDir: String, budget: Int = 1600): String = {
     val total = results.map(_.sec).sum
@@ -47,12 +50,15 @@ object Bench {
     var fits = true
     while (fits && kept < sorted.length) {
       val entry = (if (sb.isEmpty) "" else ",") + render(sorted(kept))
-      if (sb.length + entry.length <= budget - 36) { sb.append(entry); kept += 1 }
+      if (sb.length + entry.length <= budget - 60) { sb.append(entry); kept += 1 }
       else fits = false
     }
     val dropped = sorted.drop(kept)
-    if (dropped.nonEmpty)
-      sb.append(",\"_other_" + dropped.size + "q\":" + r3(dropped.map(_.sec).sum))
+    val (droppedErr, droppedOk) = dropped.partition(_.err)
+    if (droppedErr.nonEmpty)
+      sb.append(",\"_other_err_" + droppedErr.size + "\":\"err\"")
+    if (droppedOk.nonEmpty)
+      sb.append(",\"_other_" + droppedOk.size + "q\":" + r3(droppedOk.map(_.sec).sum))
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,""" +
       s""""queries":{$sb},"sf":"$sfDir"}"""
   }

@@ -1,7 +1,5 @@
 package graft
 
-import java.lang.ref.{SoftReference, WeakReference}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.SparkContext
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
@@ -13,35 +11,34 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
   * builds (Verify + specs + Bench in one JVM, interactive iteration)
   * would otherwise accumulate MEMORY_AND_DISK entries with no owner.
   *
-  * Lifecycle — nothing here pins a retired session:
-  *   - slots are keyed by the session's UUID string and hold the session
-  *     only via WeakReference, so the registry never keeps a session (or
-  *     its SessionState) reachable;
-  *   - cached frames are held via SoftReference: while the session is in
-  *     use they survive (soft refs are cleared only under memory
-  *     pressure), and once a session is abandoned its frames — reachable
-  *     only through this registry — become collectable, at which point
-  *     Spark's ContextCleaner unpersists the orphaned RDD blocks via its
-  *     own reference tracking;
-  *   - dead slots (session collected) are swept on every access;
-  *   - one listener per SparkContext still clears every slot attached to
-  *     that context at application end, and `invalidate(session)`
-  *     unpersists eagerly for services that retire sessions explicitly.
+  * Lifecycle — honest about what GC can and cannot do: a persisted
+  * Dataset is registered in the context-lifetime CacheManager
+  * (SharedState holds the plan and its cached RDD STRONGLY until
+  * unpersist), so reference-based reclamation of cached blocks is
+  * impossible no matter how weakly this registry holds its frames — a
+  * soft/weak frame slot would only break invalidate() (nothing left to
+  * call unpersist on) while the blocks lived on. The registry therefore
+  * holds frames strongly and provides the two releases that actually
+  * work:
+  *   - `invalidate(session)` unpersists and drops everything cached for
+  *     a session — services that retire sessions on a long-running
+  *     shared context MUST call it (it is the only mechanism that frees
+  *     the blocks, whatever this registry does);
+  *   - one listener per SparkContext clears every slot attached to that
+  *     context at application end.
   */
 object PersistCache {
 
-  private final class Slot(session: SparkSession) {
-    val sessionRef = new WeakReference[SparkSession](session)
-    val contextRef = new WeakReference[SparkContext](session.sparkContext)
-    val frames =
-      scala.collection.concurrent.TrieMap.empty[String, SoftReference[DataFrame]]
+  private final class Slot(val session: SparkSession) {
+    val context: SparkContext = session.sparkContext
+    val frames = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   }
 
   private val slots =
     new java.util.concurrent.ConcurrentHashMap[String, Slot]()
-  // identity → stable id, weakly keyed: the id string never references
-  // the session, so this table cannot keep one alive
-  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  // identity → stable id (identityHashCode collisions would conflate
+  // sessions; an issued id is unique for the JVM's lifetime)
+  private val sessionIds = new java.util.IdentityHashMap[SparkSession, String]()
   private val idGen = new java.util.concurrent.atomic.AtomicLong()
   private def idOf(spark: SparkSession): String = sessionIds.synchronized {
     var id = sessionIds.get(spark)
@@ -57,51 +54,50 @@ object PersistCache {
       sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
           val it = slots.entrySet().iterator()
-          while (it.hasNext) if (it.next().getValue.contextRef.get eq sc) it.remove()
+          while (it.hasNext) {
+            val slot = it.next().getValue
+            if (slot.context eq sc) {
+              it.remove()
+              sessionIds.synchronized { sessionIds.remove(slot.session) }
+            }
+          }
           hookedContexts.remove(sc)
         }
       })
 
-  private def sweepDead(): Unit = {
-    val it = slots.entrySet().iterator()
-    while (it.hasNext) if (it.next().getValue.sessionRef.get == null) it.remove()
-  }
-
   /** Memoized build: returns the cached frame for (session, key) or runs
-    * `build` (which should persist its result) and caches it. Best-effort
-    * under GC: a frame collected under memory pressure is rebuilt (and
-    * its stale persisted blocks are reclaimed by the ContextCleaner).
+    * `build` (which should persist its result) and caches it.
     */
   def getOrElseUpdate(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    sweepDead()
     val slot = slots.computeIfAbsent(idOf(spark), { _ =>
       hookContext(spark.sparkContext)
       new Slot(spark)
     })
-    slot.frames.get(key).flatMap(r => Option(r.get)) match {
+    slot.frames.get(key) match {
       case Some(df) => df
       case None =>
         // serialize builds per slot: two concurrent misses must not both
         // run an expensive (and persisting) build
         slot.synchronized {
-          slot.frames.get(key).flatMap(r => Option(r.get)).getOrElse {
+          slot.frames.getOrElse(key, {
             val df = build
-            slot.frames.put(key, new SoftReference(df))
+            slot.frames.put(key, df)
             df
-          }
+          })
         }
     }
   }
 
   /** Drop (and unpersist) everything cached for a session — for services
     * that retire sessions while the underlying context keeps running.
+    * This is the ONLY release that frees the persisted blocks before
+    * application end (see the class comment).
     */
   def invalidate(spark: SparkSession): Unit = {
     val slot = slots.remove(idOf(spark))
-    if (slot != null) slot.frames.values.foreach { ref =>
-      val df = ref.get
-      if (df != null)
-        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    sessionIds.synchronized { sessionIds.remove(spark) }
+    if (slot != null) slot.frames.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
   }
 }

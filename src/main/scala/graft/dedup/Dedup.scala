@@ -141,15 +141,19 @@ object Dedup {
   /** Non-recursive connected-components oracle: the same neighbor-min +
     * pointer-jump label propagation the Spark loop runs, unrolled as
     * `rounds` fixed step+jump CTE pairs over a `pairs(id1, id2)` CTE.
-    * Identical semantics to the Spark path by construction (both converge
-    * to the min reachable id; pointer jumping makes converged-diameter
-    * grow exponentially per round, so 10 rounds cover any realistic
-    * dup-cluster graph — sf0.01's worst component needs ~5). Replaces a
+    * `rounds` MUST equal the Spark loop's round cap
+    * (connectedComponents maxIters = 20): then the two are identical in
+    * every case — a converged graph sits at the fixed point on both
+    * sides (extra rounds are no-ops), and a pathological graph that has
+    * not converged by the cap lands in the same intermediate state after
+    * the same number of identical rounds. (Pointer jumping grows the
+    * converged diameter exponentially per round, so 20 rounds cover
+    * diameter ~2^20; sf0.01's worst component needs ~5.) Replaces a
     * WITH RECURSIVE transitive closure that was quadratic in component
     * size (~10 min of DuckDB at sf0.01 on a 623-node cluster; this form
-    * is ~20 joins over the edge list, <0.5 s).
+    * is ~40 joins over the edge list, <1 s).
     */
-  private def ccLabelsSql(rounds: Int = 10): String = {
+  private def ccLabelsSql(rounds: Int = 20): String = {
     // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
     // reference, so each round's two references to the previous round
     // would re-expand the whole upstream chain — exponential plan growth

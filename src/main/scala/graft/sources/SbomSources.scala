@@ -368,10 +368,24 @@ object SbomSources {
       val hadoopPath = new org.apache.hadoop.fs.Path(path)
       val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = new org.apache.hadoop.fs.Path(path + "__migrating")
-      writeComponentTable(upgradeLegacySchema(existing), tmp.toString)
       val trash = new org.apache.hadoop.fs.Path(path + "__pre_migration")
-      fs.rename(hadoopPath, trash)
-      fs.rename(tmp, hadoopPath)
+      // leftovers from a crashed/concurrent run would make the renames
+      // below misbehave (HDFS rename-into-existing-dir NESTS the source);
+      // refuse loudly rather than corrupt the table
+      if (fs.exists(tmp) || fs.exists(trash))
+        throw new IllegalStateException(
+          s"migration leftovers present ($tmp / $trash) — a previous migration " +
+            "crashed mid-swap or another is in flight; resolve manually")
+      writeComponentTable(upgradeLegacySchema(existing), tmp.toString)
+      // FileSystem.rename reports failure by RETURNING FALSE, not
+      // throwing — an unchecked failed first rename followed by the
+      // second would nest the migrated copy inside the live table
+      if (!fs.rename(hadoopPath, trash))
+        throw new java.io.IOException(s"migration: rename $hadoopPath -> $trash failed")
+      if (!fs.rename(tmp, hadoopPath)) {
+        fs.rename(trash, hadoopPath) // best-effort rollback to the legacy table
+        throw new java.io.IOException(s"migration: rename $tmp -> $hadoopPath failed")
+      }
       fs.delete(trash, true)
       true
     }
@@ -390,12 +404,15 @@ object SbomSources {
     if (!fs.exists(hadoopPath)) {
       writeComponentTable(components, path)
       "created"
+    } else if (truncate) {
+      // truncate discards the existing rows, so migrating them first
+      // would be a full rewrite of data about to be deleted
+      writeComponentTable(components, path)
+      "truncated"
     } else {
       val migrated = migrateComponentTable(spark, path)
-      val action =
-        if (truncate) { writeComponentTable(components, path); "truncated" }
-        else { writeComponentTable(components, path, mode = "append"); "appended" }
-      if (migrated) s"migrated+$action" else action
+      writeComponentTable(components, path, mode = "append")
+      if (migrated) "migrated+appended" else "appended"
     }
   }
 

@@ -28,12 +28,25 @@ class BenchSpec extends AnyFunSuite {
     val ts = Seq(Timing("slow", 10.0, err = false), Timing("mid", 5.0, err = false),
       Timing("fast1", 1.0, err = false), Timing("fast2", 0.5, err = false))
     // budget chosen so only the two slowest fit
-    val line = Bench.buildLine(ts, "/sf", budget = 36 + 26)
+    val line = Bench.buildLine(ts, "/sf", budget = 60 + 26)
     assert(line.contains("\"slow\":10.000"))
     assert(line.contains("\"mid\":5.000"))
     assert(!line.contains("fast1"))
     assert(line.contains("\"_other_2q\":1.500"))
     assert(line.contains("\"value\":16.500"))
+  }
+
+  test("mass breakage: errors overflowing the budget surface as an err marker, not seconds") {
+    // so many errored queries that the budget cannot list them all
+    val broken = (1 to 100).map(i => Timing(f"broken_query_number_$i%03d", 0.001, err = true))
+    val ok = Seq(Timing("survivor", 2.0, err = false))
+    val line = Bench.buildLine(broken ++ ok, "/sf", budget = 300)
+    assert(line.contains("\"errors\":100"))
+    // dropped errored queries appear as an explicit err marker...
+    assert("\"_other_err_\\d+\":\"err\"".r.findFirstIn(line).isDefined)
+    // ...and the numeric rollup holds exactly the dropped OK seconds —
+    // the 100 near-zero errored timings never read as a fast bucket
+    assert(line.contains("\"_other_1q\":2.000"))
   }
 
   test("line stays within the log-tail budget even with many queries") {
