@@ -88,6 +88,33 @@ object ClickHouseFunctions {
   def arrayStringConcat(c: Column, sep: String): Column = array_join(c, sep)
   def has(c: Column, v: Any): Column = array_contains(c, v)
 
+  /** ClickHouse arrayDifference: [0, a1−a0, a2−a1, …]. Index-aware
+    * transform against the 0-based predecessor — one pass, codegen'd.
+    */
+  def arrayDifference(c: Column): Column =
+    transform(c, (x, i) => when(i === 0, lit(0).cast("double"))
+      .otherwise(x.cast(DoubleType) - get(c, i - 1).cast(DoubleType)))
+
+  /** ClickHouse arrayCumSum: running prefix sums. Built with `aggregate`
+    * appending per element — O(n²) element copies per row, fine for the
+    * row-local bounded arrays ClickHouse uses this on (the set-returning
+    * form at scale is a window over exploded rows, q09's shape).
+    */
+  def arrayCumSum(c: Column): Column =
+    aggregate(c,
+      struct(lit(0.0).as("run"), array().cast("array<double>").as("out")),
+      (acc, x) => {
+        val run = acc.getField("run") + x.cast(DoubleType)
+        struct(run.as("run"), concat(acc.getField("out"), array(run)).as("out"))
+      },
+      acc => acc.getField("out"))
+
+  /** ClickHouse arrayCompact: drop consecutive duplicates (keep first of
+    * each run). Null-safe predecessor compare via <=>.
+    */
+  def arrayCompact(c: Column): Column =
+    filter(c, (x, i) => i === 0 || !(x <=> get(c, i - 1)))
+
   // ---- date/time (toStartOf*) --------------------------------------------
   def toStartOfMonth(c: Column): Column = date_trunc("month", c)
   /** ClickHouse toStartOfWeek defaults to mode 0 = SUNDAY-start weeks

@@ -79,4 +79,25 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(r.getBoolean(2))
     assert(r.getString(3) === "1,2,3")
   }
+
+  test("arrayDifference/arrayCumSum/arrayCompact match ClickHouse semantics") {
+    import spark.implicits._
+    val df = Seq((1, Seq(3.0, 3.0, 5.0, 2.0, 2.0, 2.0, 7.0))).toDF("id", "xs")
+    val r = df.select(
+      CH.arrayDifference(col("xs")).as("d"),
+      CH.arrayCumSum(col("xs")).as("cs"),
+      CH.arrayCompact(col("xs")).as("cp")).head()
+    assert(r.getSeq[Double](0) === Seq(0.0, 0.0, 2.0, -3.0, 0.0, 0.0, 5.0))
+    assert(r.getSeq[Double](1) === Seq(3.0, 6.0, 11.0, 13.0, 15.0, 17.0, 24.0))
+    assert(r.getSeq[Double](2) === Seq(3.0, 5.0, 2.0, 7.0))
+    // empty and single-element edges
+    val e = Seq((1, Seq.empty[Double], Seq(4.0))).toDF("id", "e", "one")
+      .select(CH.arrayDifference(col("e")).as("de"), CH.arrayCumSum(col("e")).as("ce"),
+        CH.arrayCompact(col("e")).as("pe"), CH.arrayDifference(col("one")).as("d1"),
+        CH.arrayCumSum(col("one")).as("c1"), CH.arrayCompact(col("one")).as("p1")).head()
+    assert(e.getSeq[Double](0).isEmpty && e.getSeq[Double](1).isEmpty && e.getSeq[Double](2).isEmpty)
+    assert(e.getSeq[Double](3) === Seq(0.0))
+    assert(e.getSeq[Double](4) === Seq(4.0))
+    assert(e.getSeq[Double](5) === Seq(4.0))
+  }
 }
