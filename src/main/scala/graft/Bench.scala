@@ -84,6 +84,7 @@ object Bench {
     }
     val builds = Seq(
       timed("_build_dedup_graph")(graft.dedup.Dedup.warmPairGraph(t)),
+      timed("_build_dedup_buckets")(graft.dedup.Dedup.warmBucketIndexes(t)),
       timed("_build_ann_index")(graft.ann.Ann.warmIndexes(t)))
     val queries = SparkEntry.queries.toSeq.map { case (name, fn) =>
       // noop sink: computes the full result (count() would let the

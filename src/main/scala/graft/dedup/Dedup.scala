@@ -178,10 +178,39 @@ object Dedup {
     s"$head,\n      $body,\n      labels AS (SELECT id, label FROM j$rounds)"
   }
 
+  /** Memoized rare-shingle inverted index (shingle → sorted doc list).
+    * Stop-shingle removal: shingles occurring in > maxDf docs carry almost
+    * no similarity signal but dominate candidate generation (quadratic in
+    * document frequency); the df cap is a length filter on the grouped
+    * list, and it is what keeps the plan viable at 100 TB. Shingles come
+    * from the native codegen'd expression (graft_shingles): one pass over
+    * the document bytes emitting 8-byte span hashes — no shingle strings
+    * are ever built. Grouped ONCE (one aggregation shuffle replaces the
+    * classic index self-join, which shuffles the index twice more and
+    * re-derives df separately). Warmed by warmBucketIndexes.
+    */
+  private[graft] def jaccardIndex(t: Tables, maxDf: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(t.spark)
+    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#jaccard-index")(
+      withTwins(t)
+        .select(col("doc_id"),
+          explode(call_function("graft_shingles", col("text"))).as("shingle"))
+        .distinct()
+        .groupBy(col("shingle"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) <= maxDf)
+        .select(col("ids"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   // dedup_ngram_jaccard — 3-word-shingle Jaccard via inverted-index
   // candidate join: explode shingles → self-join on shingle (id<id2) →
   // co-occurrence counts → Jaccard ≥ 0.6. The join key is the shingle, so
-  // work is proportional to shared-shingle pairs, not |docs|².
+  // work is proportional to shared-shingle pairs, not |docs|². Candidate
+  // pairs are emitted from each rare-shingle list with a bounded
+  // O(df²) ≤ 2500 per-shingle expansion; Jaccard is computed over the
+  // rare-shingle sets on both numerator and denominator — a consistent
+  // approximation.
   val ngramJaccard = Q(
     "dedup_ngram_jaccard",
     // Full DuckDB oracle: the same algorithm over string shingles — the
@@ -218,31 +247,7 @@ object Dedup {
       ORDER BY id1, id2
     """)
   ) { t =>
-    // Stop-shingle removal: shingles occurring in > maxDf docs carry almost
-    // no similarity signal but dominate candidate generation (quadratic in
-    // document frequency). Jaccard is computed over the rare-shingle sets
-    // on both numerator and denominator — consistent approximation, and
-    // the skew cap is what keeps this plan viable at 100 TB.
-    graft.functions.GraftFunctions.register(t.spark)
-    val maxDf = 50
-    // Shingles come from the native codegen'd expression (graft_shingles):
-    // one pass over the document bytes, emitting 8-byte span hashes — no
-    // shingle strings are ever built. The inverted index is grouped ONCE
-    // to (shingle → sorted doc list); the df cap is just a length filter
-    // on that list, and candidate pairs are emitted from each list with a
-    // bounded O(df²) ≤ 2500 per-shingle expansion — one aggregation
-    // shuffle replaces the classic index self-join (which shuffles the
-    // index twice more and re-derives df separately).
-    val lists = graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#jaccard-index")(
-      withTwins(t)
-        .select(col("doc_id"),
-          explode(call_function("graft_shingles", col("text"))).as("shingle"))
-        .distinct()
-        .groupBy(col("shingle"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) <= maxDf)
-        .select(col("ids"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val lists = jaccardIndex(t)
     val sizes = lists.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val co = lists
@@ -263,6 +268,27 @@ object Dedup {
           (col("s1.n") + col("s2.n") - col("co")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Memoized banded MinHash signature table (k=16, 4 bands of 4): band
+    * bucket = portable fold of the band's signature rows, seeded by the
+    * band index — same arithmetic as the oracle's list_reduce. Signatures
+    * come from the native codegen'd graft_minhash expression. Memoized so
+    * repeated builds don't stack persisted copies; warmed by
+    * warmBucketIndexes.
+    */
+  private[graft] def minhashBanded(t: Tables): DataFrame = {
+    graft.functions.GraftFunctions.register(t.spark)
+    val k = 16; val bands = 4; val rows = k / bands
+    val sig = withTwins(t)
+      .select(col("doc_id"), call_function("graft_minhash", col("text")).as("sig"))
+    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#minhash-banded")(
+      sig.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)),
+            (b + 1).cast(LongType), (acc, v) => (acc * 31 + v) % P))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   // dedup_minhash_lsh — MinHash signatures (k=16) banded into 4 bands of 4;
@@ -308,20 +334,8 @@ object Dedup {
       """
     }
   ) { t =>
-    graft.functions.GraftFunctions.register(t.spark)
-    val k = 16; val bands = 4; val rows = k / bands
-    val sig = withTwins(t)
-      .select(col("doc_id"), call_function("graft_minhash", col("text")).as("sig"))
-    // Band bucket = portable fold of the band's signature rows, seeded by
-    // the band index — same arithmetic as the oracle's list_reduce.
-    // Memoized: repeated builds must not stack persisted copies.
-    val banded = graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#minhash-banded")(
-      sig.select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => aggregate(slice(col("sig"), b * rows + 1, lit(rows)),
-            (b + 1).cast(LongType), (acc, v) => (acc * 31 + v) % P))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val k = 16
+    val banded = minhashBanded(t)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -528,6 +542,24 @@ object Dedup {
   // bucket builder, one SQL mirror (functions.VectorLsh).
   private val cosSql = graft.functions.VectorLsh.cosSql("a.embedding", "b.embedding")
 
+  /** Memoized LSH-bucketed duplicate embedding corpus: original vectors
+    * + themselves under offset ids (deterministic planted dups,
+    * mirroring the text twins), bucketed with a corpus-size-derived
+    * plane count (one cheap count inside the memoized build — the same
+    * formula the oracle evaluates in SQL). Warmed by warmBucketIndexes.
+    */
+  private[graft] def embBucketed(t: Tables): DataFrame = {
+    val base = t.embeddings.select(col("vec_id"), col("embedding"))
+    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#emb-bucketed")({
+      val np = graft.functions.VectorLsh.planesFor(2L * t.embeddings.count())
+      base.unionAll(
+        base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.VectorLsh.bucket(col("embedding"), np).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
   // dedup_embedding — embedding-cosine near-dup pairs: random-hyperplane
   // LSH buckets (all sign bits must agree — near-identical vectors
   // almost always do) prune candidates, exact cosine ≥ 0.99 verifies.
@@ -560,19 +592,7 @@ object Dedup {
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
         lit(0.0), (acc, v) => acc + v)
-    // duplicate corpus: original vectors + themselves under offset ids
-    // (deterministic planted dups, mirroring the text twins)
-    val base = t.embeddings.select(col("vec_id"), col("embedding"))
-    val corpus = graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#emb-bucketed")({
-      // corpus-size-derived plane count (one cheap count, inside the
-      // memoized build) — the same formula the oracle evaluates in SQL
-      val np = graft.functions.VectorLsh.planesFor(2L * t.embeddings.count())
-      base.unionAll(
-        base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-        .select(col("vec_id"), col("embedding"),
-          graft.functions.VectorLsh.bucket(col("embedding"), np).as("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    val corpus = embBucketed(t)
     corpus.as("a")
       .join(corpus.as("b"), col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -623,6 +643,51 @@ object Dedup {
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("chunk"))
       .limit(20)
+  }
+
+  /** Memoized DF-weighted banded simhash signature table (rare tokens
+    * weighted 4×), used by dedup_simhash_idf. The corpus size comes from
+    * the SAME frame definition the oracle counts — never a hand-derived
+    * 2×documents that could drift from withTwins. The 32 lane-sum
+    * aggregates pack 2 bit-counters per long (32-bit lanes): a lane
+    * overflows only past 2^32 total weighted tokens per doc —
+    * unreachable for any real document, unlike 16-bit lanes which a
+    * >16k-rare-token doc would silently wrap. Warmed by
+    * warmBucketIndexes.
+    */
+  private[graft] def idfBanded(t: Tables): DataFrame = {
+    graft.functions.GraftFunctions.register(t.spark)
+    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#idf-banded") {
+      val n = withTwins(t).count()
+      val tokc = withTwins(t)
+        .select(col("doc_id"),
+          explode(filter(split(trim(lower(col("text"))), "\\s+"), w => w =!= "")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val dft = tokc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val wt = tokc.join(dft, "tok")
+        .select(col("doc_id"),
+          (when(col("df") * 10 < n, 4L).otherwise(1L) * col("cnt")).as("wgt"),
+          call_function("graft_bitlanes", col("tok")).as("lanes"))
+      val laneSums = (0 until 32).map(i =>
+        sum(element_at(col("lanes"), i + 1) * col("wgt")).as(s"c$i"))
+      val agg = wt.groupBy(col("doc_id"))
+        .agg(sum(col("wgt")).as("tw"), laneSums: _*)
+      val sig = (0 until 64).map { b =>
+        val cnt = shiftright(col(s"c${b >> 1}"), (b & 1) * 32).bitwiseAND(lit(0xffffffffL))
+        when(cnt * 2 >= col("tw"), lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      val sigs = agg.select(col("doc_id"), sig.as("sig"))
+      // same corpus-size-derived band split as simhashPairs
+      val nb = simhashBands(n)
+      val w = 64 / nb
+      sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(nb - 1)),
+          bb => call_function("shiftright", col("sig"), bb * w)
+            .bitwiseAND(lit((1L << w) - 1)))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
   }
 
   // dedup_simhash_idf — document-frequency-weighted SimHash: rare tokens
@@ -679,45 +744,7 @@ object Dedup {
       """
     }
   ) { t =>
-    graft.functions.GraftFunctions.register(t.spark)
-    val banded = graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#idf-banded") {
-      // corpus size from the SAME frame definition the oracle counts —
-      // never a hand-derived 2×documents that could drift from withTwins
-      val n = withTwins(t).count()
-      val tokc = withTwins(t)
-        .select(col("doc_id"),
-          explode(filter(split(trim(lower(col("text"))), "\\s+"), w => w =!= "")).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("cnt"))
-      val dft = tokc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val wt = tokc.join(dft, "tok")
-        .select(col("doc_id"),
-          (when(col("df") * 10 < n, 4L).otherwise(1L) * col("cnt")).as("wgt"),
-          call_function("graft_bitlanes", col("tok")).as("lanes"))
-      // 32 lane-sum aggregates (2 bit-counters per long, 32-bit lanes):
-      // a lane overflows only past 2^32 total weighted tokens per doc —
-      // unreachable for any real document, unlike 16-bit lanes which a
-      // >16k-rare-token doc would silently wrap.
-      val laneSums = (0 until 32).map(i =>
-        sum(element_at(col("lanes"), i + 1) * col("wgt")).as(s"c$i"))
-      val agg = wt.groupBy(col("doc_id"))
-        .agg(sum(col("wgt")).as("tw"), laneSums: _*)
-      val sig = (0 until 64).map { b =>
-        val cnt = shiftright(col(s"c${b >> 1}"), (b & 1) * 32).bitwiseAND(lit(0xffffffffL))
-        when(cnt * 2 >= col("tw"), lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-      val sigs = agg.select(col("doc_id"), sig.as("sig"))
-      // same corpus-size-derived band split as simhashPairs (n already
-      // counted above for the df threshold)
-      val nb = simhashBands(n)
-      val w = 64 / nb
-      sigs.select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(nb - 1)),
-          bb => call_function("shiftright", col("sig"), bb * w)
-            .bitwiseAND(lit((1L << w) - 1)))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val banded = idfBanded(t)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
@@ -928,6 +955,22 @@ object Dedup {
     */
   def warmPairGraph(t: Tables): Unit = {
     simhashLabels(t).count(); ()
+  }
+
+  /** Materialize the remaining memoized per-family index structures
+    * (Bench warm-up hook): the rare-shingle inverted index, the banded
+    * MinHash table, the LSH-bucketed embedding corpus, and the
+    * DF-weighted banded simhash table — each is built once per dataset,
+    * and without an explicit build phase its cost lands on whichever
+    * query runs first (observed as 3–8 s run-to-run swings on
+    * dedup_ngram_jaccard as registry order shifted).
+    */
+  def warmBucketIndexes(t: Tables): Unit = {
+    jaccardIndex(t).count()
+    minhashBanded(t).count()
+    embBucketed(t).count()
+    idfBanded(t).count()
+    ()
   }
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup,
