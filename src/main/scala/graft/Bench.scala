@@ -55,10 +55,11 @@ object Bench {
     }
     val dropped = sorted.drop(kept)
     val (droppedErr, droppedOk) = dropped.partition(_.err)
+    def sep: String = if (sb.isEmpty) "" else ","
     if (droppedErr.nonEmpty)
-      sb.append(",\"_other_err_" + droppedErr.size + "\":\"err\"")
+      sb.append(sep + "\"_other_err_" + droppedErr.size + "\":\"err\"")
     if (droppedOk.nonEmpty)
-      sb.append(",\"_other_" + droppedOk.size + "q\":" + r3(droppedOk.map(_.sec).sum))
+      sb.append(sep + "\"_other_" + droppedOk.size + "q\":" + r3(droppedOk.map(_.sec).sum))
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,""" +
       s""""queries":{$sb},"sf":"$sfDir"}"""
   }

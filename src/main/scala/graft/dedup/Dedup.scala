@@ -191,7 +191,9 @@ object Dedup {
     */
   private[graft] def jaccardIndex(t: Tables, maxDf: Int = 50): DataFrame = {
     graft.functions.GraftFunctions.register(t.spark)
-    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#jaccard-index")(
+    // maxDf is part of the memo key — a non-default cap must never
+    // silently return the cached default-cap index
+    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + s"#jaccard-index-$maxDf")(
       withTwins(t)
         .select(col("doc_id"),
           explode(call_function("graft_shingles", col("text"))).as("shingle"))

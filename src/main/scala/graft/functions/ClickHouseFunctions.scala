@@ -88,12 +88,23 @@ object ClickHouseFunctions {
   def arrayStringConcat(c: Column, sep: String): Column = array_join(c, sep)
   def has(c: Column, v: Any): Column = array_contains(c, v)
 
+  /** Binds `c` to a lambda variable so the input expression evaluates
+    * ONCE per row: predecessor lookups inside then hit the materialized
+    * array value (O(1) each) instead of re-embedding — and re-evaluating
+    * — the whole input expression per element, which is O(n²) per row
+    * and outright wrong for non-deterministic args (each lookup would
+    * see a different array).
+    */
+  private def bindArray(c: Column)(f: Column => Column): Column =
+    get(transform(array(c), arr => f(arr)), lit(0))
+
   /** ClickHouse arrayDifference: [0, a1−a0, a2−a1, …]. Index-aware
     * transform against the 0-based predecessor — one pass, codegen'd.
     */
   def arrayDifference(c: Column): Column =
-    transform(c, (x, i) => when(i === 0, lit(0).cast("double"))
-      .otherwise(x.cast(DoubleType) - get(c, i - 1).cast(DoubleType)))
+    bindArray(c)(arr => transform(arr, (x, i) =>
+      when(i === 0, lit(0).cast("double"))
+        .otherwise(x.cast(DoubleType) - get(arr, i - 1).cast(DoubleType))))
 
   /** ClickHouse arrayCumSum: running prefix sums. Built with `aggregate`
     * appending per element — O(n²) element copies per row, fine for the
@@ -113,7 +124,7 @@ object ClickHouseFunctions {
     * each run). Null-safe predecessor compare via <=>.
     */
   def arrayCompact(c: Column): Column =
-    filter(c, (x, i) => i === 0 || !(x <=> get(c, i - 1)))
+    bindArray(c)(arr => filter(arr, (x, i) => i === 0 || !(x <=> get(arr, i - 1))))
 
   // ---- date/time (toStartOf*) --------------------------------------------
   def toStartOfMonth(c: Column): Column = date_trunc("month", c)

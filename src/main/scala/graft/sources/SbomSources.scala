@@ -406,7 +406,12 @@ object SbomSources {
       "created"
     } else if (truncate) {
       // truncate discards the existing rows, so migrating them first
-      // would be a full rewrite of data about to be deleted
+      // would be a full rewrite of data about to be deleted. Delete
+      // explicitly rather than relying on overwrite: under
+      // partitionOverwriteMode=dynamic an overwrite only replaces the
+      // partitions it writes, so a legacy table's unpartitioned
+      // root-level files would survive and read back mixed in.
+      fs.delete(hadoopPath, true)
       writeComponentTable(components, path)
       "truncated"
     } else {

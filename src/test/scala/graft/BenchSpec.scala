@@ -49,6 +49,15 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains("\"_other_1q\":2.000"))
   }
 
+  test("valid JSON even when no entry fits the budget") {
+    val line = Bench.buildLine(
+      Seq(Timing("a_query_name_longer_than_the_tiny_content_budget", 0.1, err = true),
+        Timing("another_equally_long_query_name_that_cannot_fit", 1.0, err = false)),
+      "/sf", budget = 80)
+    // no leading comma inside the map, both rollups present
+    assert(line.contains("\"queries\":{\"_other_err_1\":\"err\",\"_other_1q\":1.000}"))
+  }
+
   test("line stays within the log-tail budget even with many queries") {
     val many = (1 to 300).map(i =>
       Timing(s"very_long_query_name_number_$i", i * 0.01, err = false))
