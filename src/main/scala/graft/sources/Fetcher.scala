@@ -33,6 +33,9 @@ object Fetcher {
     def poll(token: String): PollStatus
     /** Download the completed document. */
     def download(token: String): Either[String, String]
+    /** Refresh credentials mid-poll (mend.sh:193's JWT re-login); no-op
+      * for sources whose tokens outlive any report generation. */
+    def refresh(): Unit = ()
   }
 
   /** Sources whose documents are immediately ready (github.sh): polling
@@ -45,10 +48,16 @@ object Fetcher {
     maxRequestAttempts: Int = 3,
     maxPolls: Int = 10,
     maxDownloadAttempts: Int = 3,
-    backoffMs: Seq[Long] = Seq(1000L, 2000L, 4000L)) {
+    backoffMs: Seq[Long] = Seq(1000L, 2000L, 4000L),
+    /** Refresh credentials every N polls during a long wait — mend.sh:193
+      * re-logs-in for a fresh JWT every 25 min of report polling so the
+      * eventual download doesn't fail on an expired token. None = never.
+      */
+    refreshEveryPolls: Option[Int] = None) {
     require(backoffMs.nonEmpty, "Policy.backoffMs must not be empty")
     require(maxRequestAttempts >= 1 && maxPolls >= 1 && maxDownloadAttempts >= 1,
       "Policy budgets must be at least 1")
+    require(refreshEveryPolls.forall(_ >= 1), "refreshEveryPolls must be at least 1")
   }
 
   /** The reference's retryable-error rule (github.sh:77): only GitHub's
@@ -117,11 +126,13 @@ object Fetcher {
       case (Some(err), _) => GaveUp("request", s"fatal: $err")
       case (_, None) => GaveUp("request", s"$lastErr (after $attempt attempts)")
       case (_, Some(tk)) =>
-        // 2. poll until ready / aborted / poll budget exhausted
+        // 2. poll until ready / aborted / poll budget exhausted,
+        //    refreshing credentials on the configured cadence
         var polls = 1
         var status = transport.poll(tk)
         while (status == InProgress && polls < policy.maxPolls) {
           sleep(backoff(0))
+          policy.refreshEveryPolls.foreach(n => if (polls % n == 0) transport.refresh())
           status = transport.poll(tk)
           polls += 1
         }

@@ -136,6 +136,18 @@ class FetcherSpec extends AnyFunSuite {
     assert(downloads === 1)
   }
 
+  test("credentials refresh on the poll cadence during a long wait (mend.sh JWT re-login)") {
+    var refreshes = 0
+    val t = new Stub(Iterator(Right("export-uuid")),
+      Iterator.fill(9)(InProgress) ++ Iterator(Ready)) {
+      override def refresh(): Unit = refreshes += 1
+    }
+    val r = Fetcher.fetch(t, Policy(maxPolls = 20, refreshEveryPolls = Some(3)), noSleep)
+    assert(r.isInstanceOf[Fetched])
+    // polls 3, 6, 9 trigger a refresh before the next status check
+    assert(refreshes === 3)
+  }
+
   test("direct transports (github.sh) skip real polling") {
     class Direct extends DirectTransport {
       override def request(): Either[String, String] = Right("direct")

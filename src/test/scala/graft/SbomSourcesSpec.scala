@@ -371,6 +371,18 @@ class SbomSourcesSpec extends SparkSpec {
     assert(decoded.map(_.toSeq).toSet === expected.map(_.toSeq).toSet)
   }
 
+  test("gzip-compressed SBOM documents ingest transparently (wiz.sh gzip handling)") {
+    val d = Files.createTempDirectory("graft_gz").toString
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(Paths.get(d, "service-a.json.gz")))
+    gz.write(cdxDoc.getBytes("UTF-8")); gz.close()
+    Files.writeString(Paths.get(d, "service-b.json"), cdxDoc2) // mixed plain + gz
+    val flat = SbomSources.flattenCycloneDx(SbomSources.readCycloneDx(spark, d))
+    assert(flat.count() === 5)
+    val bySource = flat.collect().groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySource === Map("service-a" -> 4, "service-b" -> 1))
+  }
+
   test("local merge assembles a deduped CycloneDX envelope with the ClickBOM tool stamp") {
     val merged = SbomSources.mergeLocalCycloneDx(spark, dir).head().getAs[String]("merged_json")
     val parsed = spark.read.json(spark.createDataset(Seq(merged))(org.apache.spark.sql.Encoders.STRING))
