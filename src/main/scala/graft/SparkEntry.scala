@@ -18,6 +18,7 @@ object SparkEntry {
       graft.operators.Scale.all ++
       graft.operators.Behavior.all ++
       graft.operators.Asof.all ++
+      graft.operators.MergeTree.all ++
       graft.sbom.Sbom.all ++
       graft.text.TextOps.all ++
       graft.dedup.Dedup.all ++

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** ClickHouse MergeTree-family table semantics as relational plans: what
+  * a ReplacingMergeTree / CollapsingMergeTree table returns under
+  * `SELECT ... FINAL`, computed over the events stream. ClickHouse folds
+  * these rules into background merges; Spark expresses the same
+  * end-state declaratively — one window or aggregation per table, which
+  * is also the 100 TB shape (state per sort key, never a full-table
+  * collapse on the driver).
+  *
+  * events.ts carries nanosecond precision and Spark truncates to micros,
+  * so version comparisons use a (ts, event_id) tuple and outputs carry
+  * event_id checksums, never raw timestamps.
+  */
+object MergeTree {
+
+  // q59_replacing — ReplacingMergeTree(ver) FINAL: one surviving row per
+  // sort key (user_id, event_type), the one with the highest version
+  // (latest ts, event_id tie-break). The upsert-table semantic: a stream
+  // of state updates reads as current state. One window shuffle on the
+  // sort key; survivors aggregate per event_type to keep output bounded.
+  val replacing = Q(
+    "q59_replacing",
+    Some("""
+      WITH ranked AS (
+        SELECT event_type, user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      final AS (SELECT * FROM ranked WHERE rn = 1)
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+             CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
+      FROM final
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("event_id")).cast(LongType).as("id_checksum"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  // q60_collapsing — CollapsingMergeTree(sign) FINAL: +1 rows insert
+  // state, -1 rows cancel it; a key survives iff its sign sum is
+  // positive, and the surviving state is the latest +1 row. Signs derive
+  // deterministically from event_id (every third event cancels), so both
+  // engines build the identical signed stream. One aggregation on the
+  // sort key (sign sum + argmax in the same pass — no second scan), then
+  // a bounded per-type rollup.
+  val collapsing = Q(
+    "q60_collapsing",
+    Some("""
+      WITH signed AS (
+        SELECT user_id, event_type, event_id, value,
+               CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS sign,
+               ts
+        FROM events),
+      sign_sums AS (
+        SELECT user_id, event_type, SUM(sign) AS sign_sum
+        FROM signed
+        GROUP BY user_id, event_type),
+      last_plus AS (
+        SELECT user_id, event_type, event_id AS last_plus_id, value AS last_plus_value
+        FROM (SELECT user_id, event_type, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM signed WHERE sign = 1)
+        WHERE rn = 1),
+      final AS (
+        SELECT s.user_id, s.event_type, p.last_plus_id, p.last_plus_value
+        FROM sign_sums s
+        JOIN last_plus p ON s.user_id = p.user_id AND s.event_type = p.event_type
+        WHERE s.sign_sum > 0)
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(last_plus_id) AS BIGINT) AS id_checksum,
+             CAST(SUM(CAST(last_plus_value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
+      FROM final
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    val signed = t.events.select(
+      col("user_id"), col("event_type"), col("event_id"), col("value"), col("ts"),
+      when(col("event_id") % 3 === 0, -1).otherwise(1).as("sign"))
+    signed
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        sum(col("sign")).as("sign_sum"),
+        max_by(when(col("sign") === 1, col("event_id")),
+          when(col("sign") === 1, struct(col("ts"), col("event_id")))).as("last_plus_id"),
+        max_by(when(col("sign") === 1, col("value")),
+          when(col("sign") === 1, struct(col("ts"), col("event_id")))).as("last_plus_value"))
+      .filter(col("sign_sum") > 0 && col("last_plus_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("last_plus_id")).cast(LongType).as("id_checksum"),
+        sum(col("last_plus_value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(replacing, collapsing)
+}
