@@ -115,5 +115,62 @@ object MergeTree {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(replacing, collapsing)
+  // q61_agg_state — AggregatingMergeTree / -State+-Merge combinators: a
+  // materialized view stores REAGGREGATABLE partial states per fine key
+  // (day × type), and readers -Merge them up to any coarser grouping
+  // without touching raw rows. The states here are (count, sum, min,
+  // max) structs — count/sum merge by +, min/max by min/max — exactly
+  // the algebraic-state discipline that makes pre-aggregation correct.
+  // At 100 TB this is THE pattern: the daily state table is |days ×
+  // types| rows; every rollup reads it, never the events table. Sums
+  // run in DECIMAL so the two-level and one-level paths agree exactly.
+  val aggState = Q(
+    "q61_agg_state",
+    Some("""
+      WITH states AS (
+        SELECT DATE_TRUNC('day', ts) AS day, event_type,
+               COUNT(*) AS cnt_state,
+               SUM(CAST(value AS DECIMAL(18, 2))) AS sum_state,
+               MIN(CAST(value AS DECIMAL(18, 2))) AS min_state,
+               MAX(CAST(value AS DECIMAL(18, 2))) AS max_state
+        FROM events
+        GROUP BY 1, 2),
+      merged AS (
+        SELECT event_type,
+               SUM(cnt_state) AS n,
+               SUM(sum_state) AS total,
+               MIN(min_state) AS vmin,
+               MAX(max_state) AS vmax,
+               COUNT(*) AS n_states
+        FROM states
+        GROUP BY event_type)
+      SELECT event_type,
+             CAST(n AS BIGINT) AS n,
+             CAST(total AS DOUBLE) AS total,
+             CAST(vmin AS DOUBLE) AS vmin,
+             CAST(vmax AS DOUBLE) AS vmax,
+             CAST(n_states AS BIGINT) AS n_states
+      FROM merged
+      ORDER BY event_type
+    """)
+  ) { t =>
+    val states = t.events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt_state"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_state"),
+        min(col("value").cast(DecimalType(18, 2))).as("min_state"),
+        max(col("value").cast(DecimalType(18, 2))).as("max_state"))
+    states
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("cnt_state")).cast(LongType).as("n"),
+        sum(col("sum_state")).cast(DoubleType).as("total"),
+        min(col("min_state")).cast(DoubleType).as("vmin"),
+        max(col("max_state")).cast(DoubleType).as("vmax"),
+        count(lit(1)).as("n_states"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(replacing, collapsing, aggState)
 }
