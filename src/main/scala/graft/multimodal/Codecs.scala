@@ -189,6 +189,101 @@ object Codecs {
     }
   }
 
+  /** A decoded audio clip: interleaved 16-bit PCM samples. */
+  final case class Pcm(channels: Int, sampleRate: Int, samples: Array[Short])
+
+  /** 16-bit PCM WAV (RIFF/WAVE): the real container grammar — chunked
+    * layout with a fmt chunk, unknown chunks skipped (LIST/INFO tags are
+    * common in the wild), little-endian sample words. Decode mistakes
+    * (missed chunk skip, wrong byte order, odd-size padding) break the
+    * sample-exact oracle sums.
+    */
+  object WavCodec {
+
+    private def putInt(b: Array[Byte], at: Int, v: Int): Unit = {
+      b(at) = v.toByte; b(at + 1) = (v >> 8).toByte
+      b(at + 2) = (v >> 16).toByte; b(at + 3) = (v >> 24).toByte
+    }
+    private def putShort(b: Array[Byte], at: Int, v: Int): Unit = {
+      b(at) = v.toByte; b(at + 1) = (v >> 8).toByte
+    }
+    private def getInt(b: Array[Byte], at: Int): Int =
+      (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
+        ((b(at + 2) & 0xff) << 16) | ((b(at + 3) & 0xff) << 24)
+    private def getShort(b: Array[Byte], at: Int): Int =
+      (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+
+    def encode(clip: Pcm): Array[Byte] = {
+      val dataSize = clip.samples.length * 2
+      val out = new Array[Byte](44 + dataSize)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      putInt(out, 4, 36 + dataSize)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      putInt(out, 16, 16)                      // PCM fmt chunk size
+      putShort(out, 20, 1)                     // audioFormat = PCM
+      putShort(out, 22, clip.channels)
+      putInt(out, 24, clip.sampleRate)
+      putInt(out, 28, clip.sampleRate * clip.channels * 2) // byteRate
+      putShort(out, 32, clip.channels * 2)     // blockAlign
+      putShort(out, 34, 16)                    // bitsPerSample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      putInt(out, 40, dataSize)
+      var i = 0
+      while (i < clip.samples.length) {
+        putShort(out, 44 + i * 2, clip.samples(i)); i += 1
+      }
+      out
+    }
+
+    def decode(bytes: Array[Byte]): Pcm = {
+      def fail(msg: String) = throw new IllegalArgumentException(s"WAV: $msg")
+      def tag(at: Int): String = new String(bytes, at, 4, "US-ASCII")
+      if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") fail("bad magic")
+      var at = 12
+      var channels = 0; var sampleRate = 0; var haveFmt = false
+      var samples: Array[Short] = null
+      // walk the chunk list: fmt and data matter, everything else skips
+      while (at + 8 <= bytes.length && samples == null) {
+        val id = tag(at)
+        val size = getInt(bytes, at + 4)
+        val body = at + 8
+        id match {
+          case "fmt " =>
+            if (getShort(bytes, body) != 1) fail("non-PCM format")
+            if (getShort(bytes, body + 14) != 16) fail("unsupported bit depth")
+            channels = getShort(bytes, body + 2)
+            sampleRate = getInt(bytes, body + 4)
+            haveFmt = true
+          case "data" =>
+            if (!haveFmt) fail("data chunk before fmt")
+            if (body + size > bytes.length) fail("truncated data chunk")
+            val n = size / 2
+            val s = new Array[Short](n)
+            var i = 0
+            while (i < n) { s(i) = getShort(bytes, body + i * 2).toShort; i += 1 }
+            samples = s
+          case _ => () // LIST/INFO/fact/… — skip
+        }
+        at = body + size + (size & 1) // chunks are word-aligned
+      }
+      if (samples == null) fail("no data chunk")
+      Pcm(channels, sampleRate, samples)
+    }
+  }
+
+  /** Deterministic 16-bit sample generator shared with the SQL oracle:
+    * sample j of clip `id` in [-2000, 2000].
+    */
+  def pcmSample(id: Long, j: Long): Int = ((id * 7 + j * 13) % 4001).toInt - 2000
+
+  def generatePcm(id: Long, channels: Int, n: Int): Pcm = {
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) { s(i) = pcmSample(id, i).toShort; i += 1 }
+    Pcm(channels, 8000, s)
+  }
+
   /** Sniff the container from magic bytes — the decode dispatch a real
     * media lake needs (payloads arrive as opaque binaries).
     */

@@ -232,5 +232,80 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
-  val all: Seq[Q] = Seq(pipeline, transformPipeline)
+  /** Per-clip decoded audio statistics (exact integers). */
+  final case class AudioStats(media_id: Long, n_channels: Int, sample_rate: Int,
+    n_samples: Long, amp_sum: Long, amp_sum_ch0: Long, energy: Long)
+
+  // mm_audio — the audio lane of the multimodal pipeline: 16-bit PCM WAV
+  // payloads (real RIFF chunk grammar — fmt parse, unknown-chunk skip,
+  // little-endian words) built from a deterministic sample generator,
+  // decoded per partition, amplitude/energy statistics aggregated per
+  // channel layout. The oracle recomputes every sample from the
+  // generator, so a byte-order or chunk-walk mistake fails the gate.
+  // amp_sum_ch0 sums only channel 0 of the interleaved stream — it
+  // catches interleaving/stride errors that whole-stream sums mask.
+  val audio = Q(
+    "mm_audio",
+    Some("""
+      WITH clips AS (
+        SELECT doc_id,
+               CAST(doc_id % 2 + 1 AS INT) AS n_channels,
+               doc_id % 500 + 100 AS n_samples
+        FROM documents),
+      px AS (
+        SELECT doc_id, n_channels, n_samples, j,
+               (doc_id * 7 + j * 13) % 4001 - 2000 AS v
+        FROM clips, UNNEST(RANGE(0, n_samples)) AS t(j)),
+      per_clip AS (
+        SELECT doc_id, n_channels, n_samples,
+               SUM(v) AS amp_sum,
+               SUM(CASE WHEN j % n_channels = 0 THEN v ELSE 0 END) AS amp_sum_ch0,
+               SUM(v * v) AS energy
+        FROM px
+        GROUP BY doc_id, n_channels, n_samples)
+      SELECT n_channels,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(COUNT(*) AS BIGINT) AS n_clips,
+             CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+             CAST(SUM(amp_sum) AS BIGINT) AS amp_sum,
+             CAST(SUM(amp_sum_ch0) AS BIGINT) AS amp_sum_ch0,
+             CAST(SUM(energy) AS BIGINT) AS energy
+      FROM per_clip
+      GROUP BY n_channels
+      ORDER BY n_channels
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val channels = (id % 2 + 1).toInt
+        val n = (id % 500 + 100).toInt
+        val bytes = WavCodec.encode(generatePcm(id, channels, n))
+        val clip = WavCodec.decode(bytes)
+        var amp = 0L; var amp0 = 0L; var energy = 0L
+        var j = 0
+        while (j < clip.samples.length) {
+          val v = clip.samples(j).toLong
+          amp += v
+          if (j % clip.channels == 0) amp0 += v
+          energy += v * v
+          j += 1
+        }
+        AudioStats(id, clip.channels, clip.sampleRate,
+          clip.samples.length.toLong, amp, amp0, energy)
+      })
+      .toDF()
+      .groupBy(col("n_channels"))
+      .agg(
+        min(col("sample_rate")).cast(LongType).as("sample_rate"),
+        count(lit(1)).as("n_clips"),
+        sum(col("n_samples")).as("total_samples"),
+        sum(col("amp_sum")).as("amp_sum"),
+        sum(col("amp_sum_ch0")).as("amp_sum_ch0"),
+        sum(col("energy")).as("energy"))
+      .orderBy(col("n_channels"))
+  }
+
+  val all: Seq[Q] = Seq(pipeline, transformPipeline, audio)
 }

@@ -114,6 +114,41 @@ class CodecSpec extends AnyFunSuite {
     assert(Codecs.decodeAny(PpmStream.encode(Seq(img, img))).size === 2)
   }
 
+  test("WAV round-trips samples exactly for mono and stereo") {
+    for (ch <- Seq(1, 2); n <- Seq(1, 7, 250)) {
+      val clip = Codecs.generatePcm(37L, ch, n)
+      val back = WavCodec.decode(WavCodec.encode(clip))
+      assert(back.channels === ch && back.sampleRate === 8000)
+      assert(back.samples.toSeq === clip.samples.toSeq)
+    }
+  }
+
+  test("WAV decoder skips unknown chunks (LIST/INFO) and honors word alignment") {
+    val clip = Codecs.generatePcm(5L, 2, 40)
+    val plain = WavCodec.encode(clip)
+    // splice an odd-sized LIST chunk between fmt and data: 12-byte header
+    // region stays, then fmt (24 bytes at offset 12), then LIST, then the rest
+    val listBody = "INFOx".getBytes("US-ASCII") // odd size → 1 pad byte
+    val chunk = new java.io.ByteArrayOutputStream()
+    chunk.write(plain, 0, 36) // through end of fmt chunk
+    chunk.write("LIST".getBytes("US-ASCII"))
+    chunk.write(Array[Byte]((listBody.length & 0xff).toByte, 0, 0, 0))
+    chunk.write(listBody)
+    chunk.write(0) // alignment pad
+    chunk.write(plain, 36, plain.length - 36) // data chunk onward
+    val back = WavCodec.decode(chunk.toByteArray)
+    assert(back.samples.toSeq === clip.samples.toSeq)
+  }
+
+  test("WAV decoder rejects non-PCM, bad depth, and missing data") {
+    val bytes = WavCodec.encode(Codecs.generatePcm(1L, 1, 4))
+    val nonPcm = bytes.clone(); nonPcm(20) = 3 // IEEE float format tag
+    assertThrows[IllegalArgumentException](WavCodec.decode(nonPcm))
+    val depth8 = bytes.clone(); depth8(34) = 8
+    assertThrows[IllegalArgumentException](WavCodec.decode(depth8))
+    assertThrows[IllegalArgumentException](WavCodec.decode(bytes.take(36)))
+  }
+
   test("nearest-neighbor resize: identity at same dims, correct floor mapping") {
     val img = Codecs.generate(8L, 10, 6)
     assert(Codecs.resizeNearest(img, 10, 6).rgb.toSeq === img.rgb.toSeq)
