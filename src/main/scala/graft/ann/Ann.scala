@@ -184,12 +184,19 @@ object Ann {
         built._2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
   }
 
-  private def ivfIndexBuild(t: Tables, c: Int, nprobe: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val emb = t.embeddings.select(col("vec_id"), col("embedding"),
+  private def ivfEmb(t: Tables): DataFrame =
+    t.embeddings.select(col("vec_id"), col("embedding"),
       transform(col("embedding"),
         x => floor(x.cast(DoubleType) * 1024).cast(DoubleType)).as("qv"))
 
+  /** Trained coarse-quantizer centroids (cid, cv) — memoized; also read
+    * directly by the residual-coding index (ann_ivfpq_residual).
+    * Persisted + registered: cells and probes are separate output frames
+    * that both embed this training sub-plan — without the persist the
+    * quantizer would train once per frame materialization.
+    */
+  private def ivfCentroids(t: Tables, c: Int): DataFrame = {
+    val emb = ivfEmb(t)
     // init: first C vectors; one Lloyd step with exact-integer averages
     val init = emb.filter(col("vec_id") < c)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
@@ -199,10 +206,7 @@ object Ann {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"),
         first(col("qv")).as("qv"))
-    // Persisted + registered: cells and probes are separate output frames
-    // that both embed this training sub-plan — without the persist the
-    // quantizer would train once per frame materialization.
-    val centroids = graft.PersistCache.getOrElseUpdate(t.spark, s"${t.dir}#ivf-cents-$c")(
+    graft.PersistCache.getOrElseUpdate(t.spark, s"${t.dir}#ivf-cents-$c")(
       assigned0
         .select(col("cid"), posexplode(col("qv")))
         .groupBy(col("cid"), col("pos"))
@@ -211,6 +215,12 @@ object Ann {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
           e => e.getField("cv_i")).as("cv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private def ivfIndexBuild(t: Tables, c: Int, nprobe: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = ivfEmb(t)
+    val centroids = ivfCentroids(t, c)
 
     // corpus cell assignment against settled centroids
     val corpus = emb.join(broadcast(centroids))
@@ -603,6 +613,189 @@ $pivots
     pqSearch(t, Some(candSet))
   }
 
+  /** Residual-coded corpus table (vec_id, cell, m, code, rgvm) — the
+    * FAISS-IVFPQ design: PQ codes computed on the RESIDUAL r = v − c(v)
+    * (each vector minus its cell centroid) instead of the raw vector, so
+    * the 4-bit codes spend their precision on the within-cell detail the
+    * coarse quantizer already removed. Exactness: centroids truncate to
+    * an integer grid (floor — identical in both engines), residuals are
+    * integer differences of integer grids, so codes and codebooks are
+    * exact integer arithmetic end to end. Memoized per dataset.
+    */
+  private def residCodes(t: Tables, c: Int): DataFrame =
+    graft.PersistCache.getOrElseUpdate(t.spark, s"${t.dir}#rpq-codes-$c") {
+      val (cells, _) = ivfIndex(t, c, 4)
+      val cvq = ivfCentroids(t, c).select(col("cid"),
+        transform(col("cv"), x => floor(x).cast(LongType)).as("cvq"))
+      val withR = cells.join(broadcast(cvq), col("cell") === col("cid"))
+        .select(col("vec_id"), col("cell"),
+          zip_with(
+            transform(col("embedding"), x => floor(x.cast(DoubleType) * 1024).cast(LongType)),
+            col("cvq"), (a, b) => a - b).as("rgv"))
+      def rsub(m: Int) = slice(col("rgv"), m * PqSub + 1, PqSub)
+      // signs are ±1.0 doubles (shared with the raw-vector PQ); residual
+      // grids are exact integers, so the double projection is exact and
+      // the sign decision deterministic on both engines
+      def rproj(m: Int, p: Int) =
+        aggregate(zip_with(rsub(m), typedlit(pqSigns(4 * m + p).toSeq),
+          (x, s) => x.cast(DoubleType) * s), lit(0.0), (acc, x) => acc + x)
+      def rcode(m: Int) = (0 until 4).map { p =>
+        when(rproj(m, p) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+      withR.select(col("vec_id"), col("cell"),
+        explode(array((0 until PqM).map(m => struct(
+          lit(m).as("m"), rcode(m).as("code"), rsub(m).as("rgvm"))): _*)).as("e"))
+        .select(col("vec_id"), col("cell"), col("e.m").as("m"),
+          col("e.code").as("code"), col("e.rgvm").as("rgvm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  // ann_ivfpq_residual — IVF + residual-coded PQ (the full FAISS IVFPQ
+  // shape): scoring decomposes dot(q,v) = dot(q,c) + dot(q, v−c); the
+  // first term is an exact integer dot with the probed cell's centroid
+  // grid, the second is ADC against a residual codebook. Compared to
+  // ann_hybrid (raw-vector codebooks), the same 4 bytes/vector code the
+  // within-cell detail instead of re-coding what the coarse quantizer
+  // already knows. Everything up to the two final double divisions/sums
+  // is exact integer arithmetic, summed in fixed subspace order, so the
+  // oracle composes bit-for-bit.
+  val ivfpqResidual = Q(
+    "ann_ivfpq_residual",
+    Some {
+      val signsFor = (m: Int, p: Int) =>
+        graft.functions.PortableHash.signsSql(pqSigns(4 * m + p))
+      val rcodesUnion = (0 until PqM).map { m =>
+        val sliceExpr = s"list_slice(rgv, ${m * PqSub + 1}, ${(m + 1) * PqSub})"
+        val code = (0 until 4).map { p =>
+          s"CASE WHEN LIST_SUM(LIST_TRANSFORM(LIST_ZIP($sliceExpr, ${signsFor(m, p)}), " +
+            s"pr -> pr[1] * pr[2])) > 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString("(", " + ", ")")
+        s"""SELECT vec_id, cell, $m AS m, $code AS code, $sliceExpr AS rgvm FROM rvec"""
+      }.mkString("\nUNION ALL\n")
+      val pivots = (0 until PqM).map(m =>
+        s"               SUM(CASE WHEN r.m = $m THEN l.part END) AS p$m").mkString(",\n")
+      val sumExpr = (0 until PqM).foldLeft("cellterm")((acc, m) => s"($acc + p$m)")
+      s"""
+      WITH ${ivfCtesSql(16, 4)},
+      cvq AS (
+        SELECT cid, LIST_TRANSFORM(cv, x -> CAST(FLOOR(x) AS BIGINT)) AS cvq
+        FROM cents),
+      qvl AS (
+        SELECT vec_id, LIST_TRANSFORM(qv, x -> CAST(x AS BIGINT)) AS qvi
+        FROM qemb),
+      rvec AS (
+        SELECT a.vec_id, a.cell,
+               LIST_TRANSFORM(LIST_ZIP(e.qvi, v.cvq), pr -> pr[1] - pr[2]) AS rgv
+        FROM ac a
+        JOIN qvl e ON e.vec_id = a.vec_id
+        JOIN cvq v ON v.cid = a.cell),
+      rcodes AS (
+        $rcodesUnion),
+      rcbd AS (
+        SELECT m, code, i AS pos, CAST(SUM(rgvm[i]) AS BIGINT) AS s, COUNT(*) AS cnt
+        FROM rcodes, UNNEST(RANGE(1, ${PqSub + 1})) AS t(i)
+        GROUP BY m, code, i),
+      rcbv AS (
+        SELECT m, code, LIST(s ORDER BY pos) AS sv, MIN(cnt) AS cnt
+        FROM rcbd GROUP BY m, code),
+      qg AS (SELECT vec_id AS query_id, qvi FROM qvl WHERE vec_id < 5),
+      rlut AS (
+        SELECT q.query_id, c.m, c.code,
+               CAST(LIST_SUM(LIST_TRANSFORM(
+                 LIST_ZIP(list_slice(q.qvi, c.m * $PqSub + 1, (c.m + 1) * $PqSub), c.sv),
+                 pr -> pr[1] * pr[2])) AS DOUBLE) / c.cnt AS part
+        FROM rcbv c, qg q),
+      cellterms AS (
+        SELECT p.query_id, p.cell,
+               CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qvi, v.cvq),
+                 pr -> pr[1] * pr[2])) AS DOUBLE) AS cellterm
+        FROM (SELECT DISTINCT query_id, cell FROM probes) p
+        JOIN qg q ON q.query_id = p.query_id
+        JOIN cvq v ON v.cid = p.cell),
+      approx AS (
+        SELECT ct.query_id, r.vec_id, ct.cellterm,
+$pivots
+        FROM rcodes r
+        JOIN cellterms ct ON ct.cell = r.cell
+        JOIN rlut l ON l.query_id = ct.query_id AND l.m = r.m AND l.code = r.code
+        GROUP BY ct.query_id, r.vec_id, ct.cellterm),
+      cands AS (
+        SELECT query_id, vec_id
+        FROM (SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY $sumExpr DESC, vec_id) AS ar
+              FROM approx)
+        WHERE ar <= $PqCand),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT c.query_id, c.vec_id, ${cosSql("q.qvec", "e.embedding")} AS cos
+        FROM cands c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN q ON q.query_id = c.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 10
+      ORDER BY query_id, rnk
+      """
+    }
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val c = 16
+    val codes = residCodes(t, c)
+    val cvq = ivfCentroids(t, c).select(col("cid"),
+      transform(col("cv"), x => floor(x).cast(LongType)).as("cvq"))
+    val rcbv = codes
+      .select(col("m"), col("code"), posexplode(col("rgvm")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("m"), col("code"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"),
+        min(col("cnt")).as("cnt"))
+      .select(col("m"), col("code"),
+        transform(col("ps"), e => e.getField("s")).as("sv"), col("cnt"))
+    val qg = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1024).cast(LongType)).as("qvi"))
+    val rlut = rcbv.crossJoin(broadcast(qg))
+      .select(col("query_id"), col("m"), col("code"),
+        (pqLongDot(slice(col("qvi"), col("m") * PqSub + 1, lit(PqSub)), col("sv"))
+          .cast(DoubleType) / col("cnt")).as("part"))
+    val (_, probes) = ivfIndex(t, c, 4)
+    val cellterms = probes.select(col("query_id"), col("cell")).distinct()
+      .join(broadcast(qg), "query_id")
+      .join(broadcast(cvq), col("cell") === col("cid"))
+      .select(col("query_id"), col("cell"),
+        pqLongDot(col("qvi"), col("cvq")).cast(DoubleType).as("cellterm"))
+    val partCols = (0 until PqM).map(m =>
+      sum(when(col("m") === m, col("part"))).as(s"p$m"))
+    val approx = codes
+      .join(broadcast(cellterms), Seq("cell"))
+      .join(broadcast(rlut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"), col("cellterm"))
+      .agg(partCols.head, partCols.tail: _*)
+      .select(col("query_id"), col("vec_id"),
+        (1 until PqM).foldLeft(col("cellterm") + col("p0"))((acc, m) => acc + col(s"p$m"))
+          .as("approx"))
+    val aw = Window.partitionBy(col("query_id")).orderBy(col("approx").desc, col("vec_id"))
+    val cands = approx.withColumn("ar", row_number().over(aw)).filter(col("ar") <= PqCand)
+      .select(col("query_id"), col("vec_id"))
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cands
+      .join(t.embeddings, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ann_recall — the evaluation harness a real ANN deployment ships with:
   // recall@10 of the approximate indexes (LSH buckets, IVF probed cells)
   // against exact brute-force ground truth, per query. A recall
@@ -698,6 +891,7 @@ $pivots
     val (cells, probes) = ivfIndex(t, 16, 4)
     cells.count(); probes.count()
     pqCodes(t).count()
+    residCodes(t, 16).count()
   }
 
   // embed_dim_stats — per-dimension first/second moments across the
@@ -744,5 +938,5 @@ $pivots
   }
 
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
-    hybrid, recallEval, dimStats)
+    hybrid, ivfpqResidual, recallEval, dimStats)
 }
