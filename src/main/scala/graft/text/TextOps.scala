@@ -593,7 +593,69 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // text_decontaminate — benchmark/test-set decontamination: flag every
+  // training document that shares a 5-word shingle with the held-out
+  // evaluation set (the GPT-3/Pile overlap rule). The benchmark side is
+  // tiny by construction, so its distinct shingle set BROADCASTS and the
+  // corpus pays one narrow explode + a broadcast semi-join — never a
+  // corpus shuffle, which is what makes the check free at 100 TB (the
+  // expensive direction, corpus×corpus, is the dedup family's job).
+  // Benchmark membership is derived deterministically (doc_id % 97).
+  val decontaminate = Q(
+    "text_decontaminate",
+    Some("""
+      WITH ws AS (
+        SELECT doc_id, source, doc_id % 97 = 0 AS is_bench,
+               STRING_SPLIT_REGEX(TRIM(text), '\s+') AS w
+        FROM documents),
+      shingled AS (
+        SELECT doc_id, source, is_bench,
+               array_to_string(list_slice(w, i, i + 4), ' ') AS sh
+        FROM ws, UNNEST(RANGE(1, GREATEST(LEN(w) - 4, 0) + 1)) AS t(i)),
+      bench_sh AS (SELECT DISTINCT sh FROM shingled WHERE is_bench),
+      contaminated AS (
+        SELECT DISTINCT s.doc_id, s.source
+        FROM shingled s JOIN bench_sh b ON s.sh = b.sh
+        WHERE NOT s.is_bench),
+      corpus AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0)
+      SELECT c.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(k.doc_id) AS BIGINT) AS n_contaminated,
+             CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS contaminated_id_sum
+      FROM corpus c
+      LEFT JOIN contaminated k ON k.doc_id = c.doc_id
+      GROUP BY c.source
+      ORDER BY c.source
+    """)
+  ) { t =>
+    val ws = t.documents.select(col("doc_id"), col("source"),
+      (col("doc_id") % 97 === 0).as("is_bench"),
+      split(trim(col("text")), "\\s+").as("w"))
+    // docs under 5 words emit no shingles (Spark's sequence(1, 0) is the
+    // DESCENDING [1, 0], not empty — the size gate avoids it entirely)
+    val shingled = ws.filter(size(col("w")) >= 5)
+      .select(col("doc_id"), col("source"), col("is_bench"),
+        explode(transform(
+          sequence(lit(1), size(col("w")) - 4),
+          i => concat_ws(" ", slice(col("w"), i, lit(5))))).as("sh"))
+    val benchSh = shingled.filter(col("is_bench")).select(col("sh")).distinct()
+    val contaminated = shingled.filter(!col("is_bench"))
+      .join(broadcast(benchSh), "sh")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1))
+    t.documents.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("source"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("hit")).as("n_contaminated"),
+        coalesce(sum(when(col("hit").isNotNull, col("doc_id"))), lit(0L))
+          .cast(LongType).as("contaminated_id_sum"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
-    lmScore, mixSample)
+    lmScore, mixSample, decontaminate)
 }
