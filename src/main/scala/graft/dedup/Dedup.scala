@@ -950,6 +950,125 @@ object Dedup {
       .orderBy(col("new_id"))
   }
 
+  // pipe_train_corpus — the capstone: a production corpus-cleaning
+  // recipe as ONE declarative plan over the raw documents —
+  //   1. quality gate (word count + stopword ratio; fuses into the scan)
+  //   2. exact dedup on normalized content (keep the minimum doc id)
+  //   3. near-dup cut via the MEMOIZED simhash component labels (a doc
+  //      drops when a smaller-id near-duplicate exists — the labels are
+  //      the same ones dedup_components/dedup_apply serve, computed once)
+  //   4. deterministic stratified mix sampling to per-source targets
+  //      (portable integer hash ranking — reproducible across engines)
+  // with a per-source yield report at the end of each stage, so the cut
+  // composition is auditable. Everything is gates + one window + one
+  // broadcast-sized label join; the expensive structure (the pair graph)
+  // is shared, not rebuilt.
+  val trainCorpus = Q(
+    "pipe_train_corpus",
+    Some(s"""
+      WITH $corpusSql,
+      $simhashPairsSql,
+      pairs AS MATERIALIZED (SELECT id1, id2 FROM spairs WHERE hamming <= 8),
+      ${ccLabelsSql()},
+      gated AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d
+        WHERE LEN(STRING_SPLIT_REGEX(TRIM(d.text), '\\s+')) >= 20
+          AND CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(d.text), '\\s+'),
+                w -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], w)))
+              AS DOUBLE) /
+              LEN(STRING_SPLIT_REGEX(TRIM(d.text), '\\s+')) >= 0.05),
+      exact_kept AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM gated
+        GROUP BY MD5(LOWER(text))),
+      exact_surv AS (
+        SELECT g.doc_id, g.source
+        FROM gated g JOIN exact_kept k ON k.doc_id = g.doc_id),
+      near_surv AS (
+        SELECT e.doc_id, e.source
+        FROM exact_surv e LEFT JOIN labels l ON l.id = e.doc_id
+        WHERE l.label IS NULL OR l.label = e.doc_id),
+      ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n_near
+        FROM near_surv),
+      sampled AS (
+        SELECT doc_id, source, n_near
+        FROM ranked
+        WHERE rn <= n_near * (CASE WHEN LENGTH(source) % 2 = 0 THEN 40 ELSE 10 END) // 100),
+      per_source AS (
+        SELECT d.source,
+               COUNT(*) AS n_raw,
+               COUNT(g.doc_id) AS n_gated,
+               COUNT(e.doc_id) AS n_exact,
+               COUNT(n.doc_id) AS n_near,
+               COUNT(s.doc_id) AS n_final,
+               COALESCE(SUM(s.doc_id), 0) AS final_id_sum
+        FROM documents d
+        LEFT JOIN gated g ON g.doc_id = d.doc_id
+        LEFT JOIN exact_surv e ON e.doc_id = d.doc_id
+        LEFT JOIN near_surv n ON n.doc_id = d.doc_id
+        LEFT JOIN sampled s ON s.doc_id = d.doc_id
+        GROUP BY d.source)
+      SELECT source, CAST(n_raw AS BIGINT) AS n_raw,
+             CAST(n_gated AS BIGINT) AS n_gated,
+             CAST(n_exact AS BIGINT) AS n_exact,
+             CAST(n_near AS BIGINT) AS n_near,
+             CAST(n_final AS BIGINT) AS n_final,
+             CAST(final_id_sum AS BIGINT) AS final_id_sum
+      FROM per_source
+      ORDER BY source
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(trim(col("text")), "\\s+")
+    val nStop = size(filter(ws, w =>
+      w.isin(graft.text.TextOps.stopwords: _*)))
+    val gated = t.documents
+      .filter(size(ws) >= 20 &&
+        nStop.cast(DoubleType) / size(ws) >= 0.05)
+      .select(col("doc_id"), col("source"), col("text"))
+    val exactKept = gated
+      .groupBy(md5(lower(col("text")).cast("binary")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exactSurv = gated.join(exactKept, "doc_id")
+      .select(col("doc_id"), col("source"))
+    val labels = simhashLabels(t).withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("label", "cc_label")
+    val nearSurv = exactSurv.join(labels, Seq("doc_id"), "left")
+      .filter(col("cc_label").isNull || col("cc_label") === col("doc_id"))
+      .select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+    val wo = w.orderBy(((col("doc_id") * 2654435761L) % 2147483648L), col("doc_id"))
+    val sampled = nearSurv
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("n_near", count(lit(1)).over(w))
+      .filter(col("rn") <=
+        expr("n_near * (CASE WHEN LENGTH(source) % 2 = 0 THEN 40 ELSE 10 END) div 100"))
+      .select(col("doc_id"))
+    def flag(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.select(col("doc_id")).withColumn(name, lit(1))
+    t.documents.select(col("doc_id"), col("source"))
+      .join(flag(gated, "g"), Seq("doc_id"), "left")
+      .join(flag(exactSurv, "e"), Seq("doc_id"), "left")
+      .join(flag(nearSurv, "n"), Seq("doc_id"), "left")
+      .join(flag(sampled, "s"), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        count(col("g")).as("n_gated"),
+        count(col("e")).as("n_exact"),
+        count(col("n")).as("n_near"),
+        count(col("s")).as("n_final"),
+        coalesce(sum(when(col("s").isNotNull, col("doc_id"))), lit(0L))
+          .cast(LongType).as("final_id_sum"))
+      .orderBy(col("source"))
+  }
+
   /** Materialize the memoized shared pair graph + component labels
     * (Bench warm-up hook): shared by dedup_simhash, dedup_components,
     * dedup_apply and dedup_incremental — built here so per-query bench
@@ -977,5 +1096,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup,
     simhashIdf, components, embeddingDedup, chunkDedup, applyDedup, urlDedup,
-    incremental, bloomDedup)
+    incremental, bloomDedup, trainCorpus)
 }
