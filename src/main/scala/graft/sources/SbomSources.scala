@@ -338,6 +338,14 @@ object SbomSources {
       .partitionBy("source")
       .parquet(path)
 
+  /** Stamp the insert-time audit column — the reference table's
+    * `inserted_at DateTime DEFAULT now()` (entrypoint.sh:226): every
+    * batch written through the sink carries when it landed, so appended
+    * generations are distinguishable and replayable.
+    */
+  def withInsertedAt(components: DataFrame): DataFrame =
+    components.withColumn("inserted_at", current_timestamp())
+
   /** Legacy-schema upgrade — check_and_migrate_table (entrypoint.sh:
     * 130-163): a component table written before source tracking lacks the
     * `source` column; the reference ALTERs it in with DEFAULT 'unknown'.

@@ -338,6 +338,58 @@ class SbomSourcesSpec extends SparkSpec {
     assert(both.select("source").distinct().collect().map(_.getString(0)).toSet === Set("unknown", "d"))
   }
 
+  test("inserted_at audit column stamps each appended batch (DDL DEFAULT now() analog)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_ins_at").toString + "/table"
+    val batch1 = SbomSources.withInsertedAt(
+      Seq(("one", "1.0", "MIT", "a", null: String))
+        .toDF("name", "version", "license", "source", "purl"))
+    SbomSources.writeComponentTable(batch1, path)
+    Thread.sleep(5)
+    val batch2 = SbomSources.withInsertedAt(
+      Seq(("two", "2.0", "ISC", "b", null: String))
+        .toDF("name", "version", "license", "source", "purl"))
+    SbomSources.writeComponentTable(batch2, path, mode = "append")
+    val back = spark.read.parquet(path)
+    assert(back.columns.contains("inserted_at"))
+    assert(back.count() === 2)
+    assert(back.select("inserted_at").na.drop().count() === 2)
+  }
+
+  test("TSV escaping round-trips arbitrary dirty strings (property)") {
+    import spark.implicits._
+    // adversarial inputs: pre-escaped-looking sequences, runs of
+    // backslashes, mixed control characters — escape-order bugs
+    // (backslash not first) corrupt exactly these
+    val nasties = Seq(
+      "\\t", "\\\\t", "\\", "\\\\", "a\\\tb", "\t\t", "\r\n\r\n",
+      "\\n\n", "end\\", "\\r\r", "a\tb\\nc\nd\\", "")
+    val df = nasties.zipWithIndex
+      .map { case (s, i) => (s"n$i$s", s"v$s", s"l$s", s"s$i", null: String) }
+      .toDF("name", "version", "license", "source", "purl")
+    val lines = SbomSources.toTsvLines(df).collect().map(_.getString(0))
+    assert(lines.forall(_.split("\t", -1).length === 4))
+    assert(lines.forall(l => !l.contains("\n") && !l.contains("\r")))
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case 't' => sb += '\t'; case 'n' => sb += '\n'
+            case 'r' => sb += '\r'; case '\\' => sb += '\\'
+            case other => sb += '\\' += other
+          }
+          i += 2
+        } else { sb += s(i); i += 1 }
+      }
+      sb.toString
+    }
+    val decoded = lines.map(_.split("\t", -1).take(3).map(unescape).toSeq).toSet
+    val expected = df.collect().map(r => Seq(r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(decoded === expected)
+  }
+
   test("TSV insert lines escape backslash/tab/newline and stay 4-field parseable") {
     import spark.implicits._
     val comps = Seq(
