@@ -951,18 +951,23 @@ object Dedup {
   }
 
   // pipe_train_corpus — the capstone: a production corpus-cleaning
-  // recipe as ONE declarative plan over the raw documents —
+  // recipe as ONE composed job over the raw documents —
   //   1. quality gate (word count + stopword ratio; fuses into the scan)
   //   2. exact dedup on normalized content (keep the minimum doc id)
-  //   3. near-dup cut via the MEMOIZED simhash component labels (a doc
-  //      drops when a smaller-id near-duplicate exists — the labels are
-  //      the same ones dedup_components/dedup_apply serve, computed once)
+  //   3. near-dup cut via the MEMOIZED simhash component labels: each
+  //      duplicate cluster keeps its minimum SURVIVING doc — the keeper
+  //      is chosen among the docs that passed stages 1–2, so a cluster
+  //      whose global-min member was quality-gated away still
+  //      contributes its best remaining member (dropping the whole
+  //      cluster would silently lose content)
   //   4. deterministic stratified mix sampling to per-source targets
   //      (portable integer hash ranking — reproducible across engines)
   // with a per-source yield report at the end of each stage, so the cut
-  // composition is auditable. Everything is gates + one window + one
-  // broadcast-sized label join; the expensive structure (the pair graph)
-  // is shared, not rebuilt.
+  // composition is auditable. The expensive structure (the pair graph)
+  // is shared, not rebuilt, and each stage's survivor set is
+  // localCheckpoint-materialized once — the multi-flag report joins read
+  // the materialized sets instead of re-running the gate regexes and the
+  // dedup aggregation once per flag branch.
   val trainCorpus = Q(
     "pipe_train_corpus",
     Some(s"""
@@ -985,10 +990,15 @@ object Dedup {
       exact_surv AS (
         SELECT g.doc_id, g.source
         FROM gated g JOIN exact_kept k ON k.doc_id = g.doc_id),
+      labeled AS (
+        SELECT e.doc_id, e.source, COALESCE(l.label, e.doc_id) AS grp
+        FROM exact_surv e LEFT JOIN labels l ON l.id = e.doc_id),
       near_surv AS (
-        SELECT e.doc_id, e.source
-        FROM exact_surv e LEFT JOIN labels l ON l.id = e.doc_id
-        WHERE l.label IS NULL OR l.label = e.doc_id),
+        SELECT doc_id, source
+        FROM (SELECT doc_id, source,
+                     MIN(doc_id) OVER (PARTITION BY grp) AS keeper
+              FROM labeled)
+        WHERE doc_id = keeper),
       ranked AS (
         SELECT doc_id, source,
                ROW_NUMBER() OVER (PARTITION BY source
@@ -1027,21 +1037,34 @@ object Dedup {
     val ws = split(trim(col("text")), "\\s+")
     val nStop = size(filter(ws, w =>
       w.isin(graft.text.TextOps.stopwords: _*)))
+    // one gate scan, materialized (eager localCheckpoint): every later
+    // stage and flag branch reads this, never the regex gate again
     val gated = t.documents
       .filter(size(ws) >= 20 &&
         nStop.cast(DoubleType) / size(ws) >= 0.05)
-      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"),
+        md5(lower(col("text")).cast("binary")).as("k"))
+      .localCheckpoint(true)
     val exactKept = gated
-      .groupBy(md5(lower(col("text")).cast("binary")).as("k"))
+      .groupBy(col("k"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val exactSurv = gated.join(exactKept, "doc_id")
       .select(col("doc_id"), col("source"))
+      .localCheckpoint(true)
     val labels = simhashLabels(t).withColumnRenamed("id", "doc_id")
       .withColumnRenamed("label", "cc_label")
+    // keeper per duplicate cluster = min doc id AMONG SURVIVORS of the
+    // earlier stages (a cluster never vanishes just because its global
+    // minimum was gated away)
+    val wg = Window.partitionBy(col("grp"))
     val nearSurv = exactSurv.join(labels, Seq("doc_id"), "left")
-      .filter(col("cc_label").isNull || col("cc_label") === col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cc_label"), col("doc_id")).as("grp"))
+      .withColumn("keeper", min(col("doc_id")).over(wg))
+      .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("source"))
+      .localCheckpoint(true)
     val w = Window.partitionBy(col("source"))
     val wo = w.orderBy(((col("doc_id") * 2654435761L) % 2147483648L), col("doc_id"))
     val sampled = nearSurv

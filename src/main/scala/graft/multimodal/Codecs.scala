@@ -248,11 +248,18 @@ object Codecs {
         val id = tag(at)
         val size = getInt(bytes, at + 4)
         val body = at + 8
+        // a negative size (corrupt 32-bit field) would loop forever or
+        // feed a negative array length below; an oversized one walks off
+        // the buffer — both are malformed input, not crashes
+        if (size < 0 || body + size > bytes.length)
+          fail(s"chunk '$id' size $size exceeds payload")
         id match {
           case "fmt " =>
+            if (size < 16) fail(s"fmt chunk too small ($size)")
             if (getShort(bytes, body) != 1) fail("non-PCM format")
             if (getShort(bytes, body + 14) != 16) fail("unsupported bit depth")
             channels = getShort(bytes, body + 2)
+            if (channels < 1) fail(s"invalid channel count $channels")
             sampleRate = getInt(bytes, body + 4)
             haveFmt = true
           case "data" =>

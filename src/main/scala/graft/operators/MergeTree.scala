@@ -29,7 +29,7 @@ object MergeTree {
       WITH ranked AS (
         SELECT event_type, user_id, event_id, value,
                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                  ORDER BY ts DESC, event_id DESC) AS rn
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         FROM events),
       final AS (SELECT * FROM ranked WHERE rn = 1)
       SELECT event_type,
@@ -78,7 +78,7 @@ object MergeTree {
         SELECT user_id, event_type, event_id AS last_plus_id, value AS last_plus_value
         FROM (SELECT user_id, event_type, event_id, value,
                      ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                        ORDER BY ts DESC, event_id DESC) AS rn
+                                        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
               FROM signed WHERE sign = 1)
         WHERE rn = 1),
       final AS (
