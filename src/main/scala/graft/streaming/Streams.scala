@@ -337,6 +337,61 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class KeyState(event_id: Long, ts_ms: Long, value: Double)
+  final case class StateChange(user_id: Long, event_type: String,
+    event_id: Long, value: Double)
+
+  /** Streaming ReplacingMergeTree — the q59 FINAL semantic maintained
+    * continuously: state per (user_id, event_type) holds the current
+    * winner (max (ts, event_id) version), and each micro-batch emits
+    * only the keys whose state CHANGED — an upsert feed for a serving
+    * store. Late or stale updates (older version than held) emit
+    * nothing, so replays are idempotent. State size = |live keys|,
+    * exactly the rows of the ClickHouse table it mirrors; `idleTtlSec`
+    * optionally expires keys idle past the TTL for key spaces that
+    * churn (session-scoped entities), at the cost of re-emitting a key
+    * that reappears later.
+    */
+  def replacingStream(events: Dataset[Event], watermark: String = "10 minutes",
+    idleTtlSec: Option[Long] = None): Dataset[StateChange] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def update(key: (Long, String), it: Iterator[Event],
+      state: GroupState[KeyState]): Iterator[StateChange] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val held = state.getOption
+        import scala.math.Ordering.Implicits._
+        val batchBest = it.reduceOption { (a, b) =>
+          if ((a.ts.getTime, a.event_id) >= ((b.ts.getTime, b.event_id))) a else b
+        }
+        val next = (held, batchBest) match {
+          case (Some(h), Some(b)) =>
+            if ((b.ts.getTime, b.event_id) > ((h.ts_ms, h.event_id)))
+              Some(KeyState(b.event_id, b.ts.getTime, b.value))
+            else None
+          case (None, Some(b)) => Some(KeyState(b.event_id, b.ts.getTime, b.value))
+          case _ => None
+        }
+        next match {
+          case Some(s) =>
+            state.update(s)
+            idleTtlSec.foreach(ttl => state.setTimeoutTimestamp(s.ts_ms + ttl * 1000))
+            Iterator.single(StateChange(key._1, key._2, s.event_id, s.value))
+          case None =>
+            // stale batch: keep state (and its timeout) untouched
+            Iterator.empty
+        }
+      }
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (idleTtlSec.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming corpus cleaning — the batch pipe_clean_corpus +
     * text_pii_scrub stages composed at ingest time: quality gate (word
     * count + stopword ratio, pure narrow filters Catalyst fuses into the

@@ -286,6 +286,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming replacing view emits only changed keys; stale updates are silent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.replacingStream(mem.toDS())
+      .writeStream.format("memory").queryName("repl_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(10, ts(1), 1, "cart", 5.0),
+        Event(11, ts(2), 1, "cart", 7.0), // same batch: later version wins
+        Event(20, ts(1), 2, "view", 1.0))
+      q.processAllAvailable()
+      val r1 = spark.table("repl_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Long]("event_id"))).toSet
+      assert(r1 === Set((1L, "cart", 11L), (2L, "view", 20L)))
+
+      // stale update (older ts) → no emission; fresh update → one change
+      mem.addData(
+        Event(9, ts(0), 1, "cart", 3.0),   // stale — loses to held (ts(2), 11)
+        Event(21, ts(5), 2, "view", 2.0))  // newer — replaces
+      q.processAllAvailable()
+      val r2 = spark.table("repl_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Long]("event_id"))).toSet
+      assert(r2 === r1 + ((2L, "view", 21L)))
+    } finally q.stop()
+  }
+
   test("streaming corpus clean: quality gate + PII scrub + exact dedup across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
