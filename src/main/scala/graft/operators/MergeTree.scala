@@ -172,5 +172,46 @@ object MergeTree {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(replacing, collapsing, aggState)
+  // q62_summing — SummingMergeTree FINAL: rows sharing a sort key merge
+  // by SUMMING the numeric measures (value) and keeping the count — the
+  // pre-aggregated counter-table read (ClickHouse's cheapest
+  // materialized-rollup engine). Distinct from q61's -State pattern:
+  // summing collapses to ONE row per sort key with plain sums, no
+  // reaggregatable min/max states. One aggregation on the sort key,
+  // then a bounded per-type rollup proving the collapsed table still
+  // answers the original queries.
+  val summing = Q(
+    "q62_summing",
+    Some("""
+      WITH collapsed AS (
+        SELECT user_id, event_type,
+               SUM(CAST(value AS DECIMAL(18, 2))) AS value_sum,
+               COUNT(*) AS n_merged
+        FROM events
+        GROUP BY user_id, event_type)
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_merged) AS BIGINT) AS n_source_rows,
+             CAST(SUM(value_sum) AS DOUBLE) AS total_value,
+             CAST(MAX(n_merged) AS BIGINT) AS max_merged
+      FROM collapsed
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    t.events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        sum(col("value").cast(DecimalType(18, 2))).as("value_sum"),
+        count(lit(1)).as("n_merged"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_merged")).cast(LongType).as("n_source_rows"),
+        sum(col("value_sum")).cast(DoubleType).as("total_value"),
+        max(col("n_merged")).cast(LongType).as("max_merged"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(replacing, collapsing, aggState, summing)
 }
