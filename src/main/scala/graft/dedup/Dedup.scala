@@ -950,6 +950,75 @@ object Dedup {
       .orderBy(col("new_id"))
   }
 
+  // dedup_substring — exact-substring duplication detection (the
+  // suffix-array criterion of "Deduplicating Training Data Makes
+  // Language Models Better", distributed): two documents share an exact
+  // substring of ≥ L tokens IFF they share at least one sliding L-token
+  // window, so exploding every window and counting cross-document
+  // occurrences detects exactly the pairs a suffix array would — with
+  // one linear explode + one aggregation instead of a global sorted
+  // index. (The suffix array additionally returns the EXTENT of each
+  // repeat; detection is what the keep/drop decision needs.) Window
+  // volume is tokens×1, the df filter drops the unique tail map-side,
+  // and the twins corpus guarantees planted hits. L = 10 tokens.
+  val substringDedup = Q(
+    "dedup_substring",
+    Some(s"""
+      WITH $corpusSql,
+      toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS w
+        FROM corpus),
+      wins AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 9), ' ') AS win
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(w) - 9, 0) + 1)) AS t(i)),
+      rep AS (
+        SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2),
+      per_doc AS (
+        SELECT w.doc_id,
+               COUNT(*) AS n_windows,
+               COUNT(r.win) AS n_rep
+        FROM wins w LEFT JOIN rep r ON r.win = w.win
+        GROUP BY w.doc_id)
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(CASE WHEN p.n_rep > 0 THEN 1 END) AS BIGINT) AS n_docs_with_rep,
+             CAST(COALESCE(SUM(p.n_windows), 0) AS BIGINT) AS n_windows,
+             CAST(COALESCE(SUM(p.n_rep), 0) AS BIGINT) AS n_rep_windows
+      FROM corpus c
+      JOIN documents d ON d.doc_id = c.doc_id % 1000000
+      LEFT JOIN per_doc p ON p.doc_id = c.doc_id
+      GROUP BY d.source
+      ORDER BY d.source
+    """)
+  ) { t =>
+    val toks = withTwins(t).select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("w"))
+    val wins = toks.filter(size(col("w")) >= 10)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("w")) - 9),
+          i => concat_ws(" ", slice(col("w"), i, lit(10))))).as("win"))
+      .distinct()
+    val rep = wins.groupBy(col("win"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("win"))
+    val perDoc = wins.join(rep.withColumn("hit", lit(1)), Seq("win"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), count(col("hit")).as("n_rep"))
+    withTwins(t).select(col("doc_id"))
+      .join(t.documents.select((col("doc_id")).as("orig_id"), col("source")),
+        col("doc_id") % 1000000 === col("orig_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("n_rep") > 0, 1)).as("n_docs_with_rep"),
+        coalesce(sum(col("n_windows")), lit(0L)).cast(LongType).as("n_windows"),
+        coalesce(sum(col("n_rep")), lit(0L)).cast(LongType).as("n_rep_windows"))
+      .orderBy(col("source"))
+  }
+
   // pipe_train_corpus — the capstone: a production corpus-cleaning
   // recipe as ONE composed job over the raw documents —
   //   1. quality gate (word count + stopword ratio; fuses into the scan)
@@ -1119,5 +1188,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup,
     simhashIdf, components, embeddingDedup, chunkDedup, applyDedup, urlDedup,
-    incremental, bloomDedup, trainCorpus)
+    incremental, bloomDedup, trainCorpus, substringDedup)
 }
