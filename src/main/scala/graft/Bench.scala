@@ -2,7 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registry query at SPARK_GRAFT_SF_DIR and
-  * prints ONE compact JSON line. The harness that consumes this output
+  * prints ONE compact JSON line. Queries run in deterministic sorted
+  * order, each SPARK_GRAFT_BENCH_REPS (default 3) times, and the line
+  * reports per-query MEDIANS plus a `max_spread` field — single-run
+  * timings proved untrustworthy (round 4: two untouched queries swung
+  * 10-15x from GC/JIT noise). The harness that consumes this output
   * keeps only the last ~2000 bytes of the log, so the line is emitted
   * last (build.sbt suppresses sbt's "[success]" trailer) and budgeted to
   * fit that window: per-query seconds are rounded to 3 decimals and the
@@ -28,6 +32,16 @@ object Bench {
   private def r3(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** Upper median (index n/2 of the sorted runs) — for the usual 3 reps
+    * this is the true median; robust against one slow JIT/GC outlier,
+    * which is exactly what single-run timings are not (round 4 showed
+    * untouched queries swinging 10-15x run to run).
+    */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   /** Build the one-line JSON contract from raw timings (pure; spec'd by
     * BenchSpec). Errors sort first so they are never rolled into the
     * `_other` bucket; remaining entries are slowest-first and cut at the
@@ -39,7 +53,8 @@ object Bench {
     * `"_other_err_N"` marker — never as seconds in the numeric rollup,
     * which would make broken operators read as fast.
     */
-  def buildLine(results: Seq[Timing], sfDir: String, budget: Int = 1600): String = {
+  def buildLine(results: Seq[Timing], sfDir: String, budget: Int = 1600,
+                reps: Int = 1, maxSpread: Double = 0.0): String = {
     val total = results.map(_.sec).sum
     val errors = results.count(_.err)
     val sorted = results.sortBy(t => (!t.err, -t.sec))
@@ -60,8 +75,12 @@ object Bench {
       sb.append(sep + "\"_other_err_" + droppedErr.size + "\":\"err\"")
     if (droppedOk.nonEmpty)
       sb.append(sep + "\"_other_" + droppedOk.size + "q\":" + r3(droppedOk.map(_.sec).sum))
+    // reps/max_spread appear only for multi-run benches so the single-run
+    // contract (and its log-tail size bound) is unchanged.
+    val repsField =
+      if (reps > 1) s""""reps":$reps,"max_spread":${r3(maxSpread)},""" else ""
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,""" +
-      s""""queries":{$sb},"sf":"$sfDir"}"""
+      repsField + s""""queries":{$sb},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -87,23 +106,52 @@ object Bench {
       timed("_build_dedup_graph")(graft.dedup.Dedup.warmPairGraph(t)),
       timed("_build_dedup_buckets")(graft.dedup.Dedup.warmBucketIndexes(t)),
       timed("_build_ann_index")(graft.ann.Ann.warmIndexes(t)))
-    val queries = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      // noop sink: computes the full result (count() would let the
-      // optimizer prune unreferenced aggregate/project expressions and
-      // under-measure) without writing anything.
-      timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // Settling pause: let the build phase's GC debt and JIT compilation
+    // drain before any query is timed — round 4 showed the first queries
+    // after the builds absorbing 10x phantom costs on untouched code.
+    System.gc()
+    Thread.sleep(3000)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Deterministic sorted order + median of `reps` runs per query: a
+    // per-query number must be attributable to the query's plan, not to
+    // where it landed relative to a GC pause or a contended neighbor.
+    val queryRuns: Seq[(String, Seq[Timing])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // noop sink: computes the full result (count() would let the
+        // optimizer prune unreferenced aggregate/project expressions and
+        // under-measure) without writing anything.
+        val rs = Seq.fill(reps)(
+          timed(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save()))
+        name -> rs
+      }
+    val queries = queryRuns.map { case (name, rs) =>
+      Timing(name, median(rs.map(_.sec)), rs.exists(_.err))
+    }
+    val maxSpread = {
+      val spreads = queryRuns.collect {
+        case (_, rs) if !rs.exists(_.err) && rs.length > 1 =>
+          val s = rs.map(_.sec)
+          (s.max - s.min) / math.max(median(s), 1e-9)
+      }
+      if (spreads.isEmpty) 0.0 else spreads.max
     }
     val results = builds ++ queries
-    // Full-precision dump for local profiling (not part of the contract).
+    // Full-precision dump for local profiling (not part of the contract):
+    // every individual run, so spread is inspectable per query.
     try {
-      val full = results.sortBy(-_.sec)
-        .map(t => s""""${t.name}":${if (t.err) "\"err\"" else t.sec.toString}""")
+      val allRuns = builds.map(b => b.name -> Seq(b)) ++ queryRuns
+      val full = allRuns
+        .sortBy { case (_, rs) => -median(rs.map(_.sec)) }
+        .map { case (n, rs) =>
+          val runs = rs.map(r => if (r.err) "\"err\"" else r.sec.toString)
+          s""""$n":[${runs.mkString(",")}]"""
+        }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    val line = buildLine(results, sfDir)
+    val line = buildLine(results, sfDir, reps = reps, maxSpread = maxSpread)
     spark.stop()
     println(line)
   }

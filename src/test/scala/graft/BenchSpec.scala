@@ -58,6 +58,22 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains("\"queries\":{\"_other_err_1\":\"err\",\"_other_1q\":1.000}"))
   }
 
+  test("median is the middle of 3 runs, robust to one outlier") {
+    assert(Bench.median(Seq(1.0, 15.0, 1.2)) === 1.2)
+    assert(Bench.median(Seq(0.5)) === 0.5)
+    // even count: upper median, still never the outlier max... unless n=2
+    assert(Bench.median(Seq(1.0, 2.0, 3.0, 99.0)) === 3.0)
+  }
+
+  test("multi-run benches carry reps and max_spread; single-run contract unchanged") {
+    val ts = Seq(Timing("q", 1.0, err = false))
+    val single = Bench.buildLine(ts, "/sf")
+    assert(!single.contains("reps"))
+    val multi = Bench.buildLine(ts, "/sf", reps = 3, maxSpread = 0.4567)
+    assert(multi.contains("\"reps\":3"))
+    assert(multi.contains("\"max_spread\":0.457"))
+  }
+
   test("line stays within the log-tail budget even with many queries") {
     val many = (1 to 300).map(i =>
       Timing(s"very_long_query_name_number_$i", i * 0.01, err = false))
