@@ -957,27 +957,37 @@ object Dedup {
   // window, so exploding every window and counting cross-document
   // occurrences detects exactly the pairs a suffix array would — with
   // one linear explode + one aggregation instead of a global sorted
-  // index. (The suffix array additionally returns the EXTENT of each
-  // repeat; detection is what the keep/drop decision needs.) Window
-  // volume is tokens×1, the df filter drops the unique tail map-side,
-  // and the twins corpus guarantees planted hits. L = 10 tokens.
+  // index. Windows shuffle as 8-byte dual-fold hashes (graft_winhash,
+  // rolled in one pass over the document bytes), never as the ~70-byte
+  // concatenated window strings — at 100 TB that is the difference
+  // between shuffling ~10× the corpus' token bytes and ~1×. The df
+  // filter drops the unique tail map-side, and the twins corpus
+  // guarantees planted hits. L = 10 tokens.
+  /** DuckDB mirror of the per-position window-hash stream. */
+  private def winsSql(distinct: Boolean): String = {
+    val winStr = "array_to_string(list_slice(w, i, i + 9), ' ')"
+    val d = if (distinct) "DISTINCT " else ""
+    s"""toks AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS w
+        FROM corpus),
+      wins AS (
+        SELECT ${d}doc_id, i AS pos, ${PortableHash.wideHashSql(winStr)} AS wh
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(w) - 9, 0) + 1)) AS t(i))"""
+  }
+
   val substringDedup = Q(
     "dedup_substring",
     Some(s"""
       WITH $corpusSql,
-      toks AS (
-        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS w
-        FROM corpus),
-      wins AS (
-        SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 9), ' ') AS win
-        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(w) - 9, 0) + 1)) AS t(i)),
+      ${winsSql(distinct = false)},
+      dwins AS (SELECT DISTINCT doc_id, wh FROM wins),
       rep AS (
-        SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2),
+        SELECT wh FROM dwins GROUP BY wh HAVING COUNT(*) >= 2),
       per_doc AS (
         SELECT w.doc_id,
                COUNT(*) AS n_windows,
-               COUNT(r.win) AS n_rep
-        FROM wins w LEFT JOIN rep r ON r.win = w.win
+               COUNT(r.wh) AS n_rep
+        FROM dwins w LEFT JOIN rep r ON r.wh = w.wh
         GROUP BY w.doc_id)
       SELECT d.source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -991,19 +1001,16 @@ object Dedup {
       ORDER BY d.source
     """)
   ) { t =>
-    val toks = withTwins(t).select(col("doc_id"),
-      split(trim(col("text")), "\\s+").as("w"))
-    val wins = toks.filter(size(col("w")) >= 10)
+    graft.functions.GraftFunctions.register(t.spark)
+    val wins = withTwins(t)
       .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(col("w")) - 9),
-          i => concat_ws(" ", slice(col("w"), i, lit(10))))).as("win"))
+        explode(call_function("graft_winhash", col("text"))).as("wh"))
       .distinct()
-    val rep = wins.groupBy(col("win"))
+    val rep = wins.groupBy(col("wh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-      .select(col("win"))
-    val perDoc = wins.join(rep.withColumn("hit", lit(1)), Seq("win"), "left")
+      .select(col("wh"))
+    val perDoc = wins.join(rep.withColumn("hit", lit(1)), Seq("wh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"), count(col("hit")).as("n_rep"))
     withTwins(t).select(col("doc_id"))
@@ -1017,6 +1024,71 @@ object Dedup {
         coalesce(sum(col("n_windows")), lit(0L)).cast(LongType).as("n_windows"),
         coalesce(sum(col("n_rep")), lit(0L)).cast(LongType).as("n_rep_windows"))
       .orderBy(col("source"))
+  }
+
+  // dedup_substring_extents — the EXTENT half of the suffix-array
+  // criterion: the reference recipe *clips* the duplicated span, so a
+  // keep/clip decision needs each document's longest repeated run, not
+  // just a flag. Window position i is repeated when its 10-token window
+  // occurs ≥ 2 times corpus-wide (with multiplicity — within-document
+  // repeats clip too); adjacent repeated positions merge into runs
+  // (windows i and i+1 repeated ⇒ the shared substring extends to i+10),
+  // classic gaps-and-islands: pos − row_number() is constant per run.
+  // Run [s, e] covers tokens s .. e+9, so run_len = e − s + 10. One
+  // window function partitioned by doc (no skew: partitions are
+  // per-document), all-integer output.
+  val substringExtents = Q(
+    "dedup_substring_extents",
+    Some(s"""
+      WITH $corpusSql,
+      ${winsSql(distinct = false)},
+      rep AS (
+        SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2),
+      rp AS (
+        SELECT w.doc_id, w.pos FROM wins w JOIN rep r ON r.wh = w.wh),
+      runs AS (
+        SELECT doc_id, MIN(pos) AS run_start,
+               MAX(pos) - MIN(pos) + 10 AS run_len
+        FROM (
+          SELECT doc_id, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM rp)
+        GROUP BY doc_id, grp),
+      best AS (
+        SELECT doc_id, run_start, run_len,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY run_len DESC, run_start) AS rn
+        FROM runs)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(run_start AS BIGINT) AS run_start,
+             CAST(run_len AS BIGINT) AS run_len
+      FROM best WHERE rn = 1
+      ORDER BY doc_id
+    """)
+  ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
+    import org.apache.spark.sql.expressions.Window
+    val wins = withTwins(t)
+      .select(col("doc_id"),
+        posexplode(call_function("graft_winhash", col("text"))).as(Seq("pos0", "wh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("wh"))
+    val rep = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("wh"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = wins.join(rep, Seq("wh"))
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("run_start"),
+        (max(col("pos")) - min(col("pos")) + lit(10L)).as("run_len"))
+    val bestFirst = Window.partitionBy(col("doc_id"))
+      .orderBy(col("run_len").desc, col("run_start"))
+    runs.withColumn("rn", row_number().over(bestFirst))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("run_start").cast(LongType).as("run_start"),
+        col("run_len").cast(LongType).as("run_len"))
+      .orderBy(col("doc_id"))
   }
 
   // pipe_train_corpus — the capstone: a production corpus-cleaning
@@ -1188,5 +1260,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup,
     simhashIdf, components, embeddingDedup, chunkDedup, applyDedup, urlDedup,
-    incremental, bloomDedup, trainCorpus, substringDedup)
+    incremental, bloomDedup, trainCorpus, substringDedup, substringExtents)
 }

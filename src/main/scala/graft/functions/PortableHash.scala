@@ -60,6 +60,20 @@ object PortableHash {
       s"list_transform(string_split($w, ''), c -> ascii(c)::BIGINT)), " +
       s"(a, x) -> (a * 31 + x) % $P)"
 
+  /** Portable ~61-bit hash of a VARCHAR expression: the 31/P fold paired
+    * with an independent 131-mod-FpM fold, combined as h1·FpM + h2. A
+    * single 31-bit fold collides at ~10⁶ distinct keys (birthday bound) —
+    * too narrow for corpus-wide window/shingle keys — while the pair is
+    * safe to ~10⁹ and every intermediate stays below 2^62, exact in both
+    * Spark longs and DuckDB's overflow-checked BIGINT.
+    */
+  def wideHashSql(w: String): String = {
+    val h2 = s"list_reduce(list_prepend(7::BIGINT, " +
+      s"list_transform(string_split($w, ''), c -> ascii(c)::BIGINT)), " +
+      s"(a, x) -> (a * 131 + x) % $FpM)"
+    s"(${wordHashSql(w)} * $FpM + $h2)"
+  }
+
   /** SQL literal for one plane's ±1 sign vector. */
   def signsSql(signs: Array[Double]): String =
     signs.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]::DOUBLE[]")

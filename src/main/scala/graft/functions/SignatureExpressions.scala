@@ -149,6 +149,48 @@ object SignatureKernels {
     new GenericArrayData(out)
   }
 
+  /** Dual-fold ~61-bit hash of every FULL `w`-token window (positions
+    * 0..nToks-w): the canonical space-joined shingle fold (31 mod P)
+    * paired with an independent 131-mod-FpM fold over the same bytes,
+    * combined as h1·FpM + h2 — the kernel mirror of
+    * PortableHash.wideHashSql applied to `array_to_string(slice(toks, i,
+    * w), ' ')`. Rolls both folds in ONE pass over the document bytes (no
+    * window-string construction), so the shuffle key for substring-dedup
+    * is 8 bytes instead of a ~70-byte concatenated string.
+    */
+  def windowHashes(s: UTF8String, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val toks = tokenOffsets(bytes)
+    val nToks = toks.length / 2
+    val n = math.max(nToks - w + 1, 0)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h1 = 7L
+      var h2 = 7L
+      var t = i
+      val last = i + w - 1
+      while (t <= last) {
+        if (t > i) {
+          h1 = (h1 * 31 + 32) % PortableHash.P
+          h2 = (h2 * 131 + 32) % PortableHash.FpM
+        }
+        var b = toks(2 * t)
+        val until = toks(2 * t + 1)
+        while (b < until) {
+          val x = bytes(b) & 0xff
+          h1 = (h1 * 31 + x) % PortableHash.P
+          h2 = (h2 * 131 + x) % PortableHash.FpM
+          b += 1
+        }
+        t += 1
+      }
+      out(i) = h1 * PortableHash.FpM + h2
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Word bigram strings in one pass: each bigram is the raw byte span
     * from token i through token i+1 (preserves the original inter-token
     * whitespace; identical to `w1 || ' ' || w2` for single-space text).
@@ -258,6 +300,20 @@ case class FingerprintExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_winhash(text) → ARRAY<BIGINT> (10-token window dual-fold hashes,
+  * one per full window position — the substring-dedup key stream).
+  */
+case class WindowHashesExpr(child: Expression, w: Int = 10) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.windowHashes(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureKernels.windowHashes($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WindowHashesExpr =
+    copy(child = newChild)
+}
+
 /** graft_bigrams(text) → ARRAY<STRING> */
 case class BigramsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -308,6 +364,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.fingerprintDesc)
     ext.injectFunction(GraftFunctions.bigramsDesc)
     ext.injectFunction(GraftFunctions.bitLanesDesc)
+    ext.injectFunction(GraftFunctions.winHashDesc)
     ext.injectOptimizerRule(_ => graft.plans.ApproxQuantileRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
@@ -344,10 +401,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[BitLanesExpr].getName, "graft_bitlanes"),
       (args: Seq[Expression]) => BitLanesExpr(args.head))
 
+  val winHashDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_winhash"),
+      new ExpressionInfo(classOf[WindowHashesExpr].getName, "graft_winhash"),
+      (args: Seq[Expression]) => WindowHashesExpr(args.head))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(simhashDesc, minhashDesc, shinglesDesc, bigramsDesc,
-      fingerprintDesc, bitLanesDesc).foreach { case (id, info, builder) =>
+      fingerprintDesc, bitLanesDesc, winHashDesc).foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }

@@ -128,4 +128,25 @@ class DedupSpec extends SparkSpec {
     }
     assert(rows.map(_.getLong(3)).sum > 0, "some variants must alias")
   }
+
+  // Planted-extent corpus: 12-token docs, so the synthetic twins (last 3
+  // words dropped → 9 tokens) have NO full 10-token window and the
+  // expected runs come only from the planted repeats.
+  //   doc 1 / doc 2 share the 10-token run s1..s10 (doc1 pos 3, doc2 pos 1)
+  //   doc 3 is globally unique → no row
+  //   doc 4 is 12 identical tokens → within-doc repeat covering all 12
+  test("substring extents report the planted longest repeated runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u1 u2 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"),
+      (2L, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 v1 v2"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (4L, "x x x x x x x x x x x x")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_extents").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.substringExtents.build(Tables(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 3L, 10L), (2L, 1L, 10L), (4L, 1L, 12L)))
+  }
 }

@@ -75,6 +75,21 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rolling window hashes == direct hash of each space-joined window") {
+    forSamples(words) { ws =>
+      val rolled = SignatureKernels.windowHashes(
+        UTF8String.fromString(ws.mkString("  ")), 10)
+      assert(rolled.numElements() === math.max(ws.length - 9, 0))
+      ws.sliding(10).zipWithIndex.foreach { case (win, i) =>
+        if (win.length == 10) {
+          val direct = SignatureKernels.windowHashes(
+            UTF8String.fromString(win.mkString(" ")), 10)
+          assert(rolled.getLong(i) === direct.getLong(0))
+        }
+      }
+    }
+  }
+
   test("TopKAggregator == sort-then-take for arbitrary inputs and k") {
     forSamples(Gen.zip(
       Gen.listOf(Gen.zip(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0L, 1000L))),
