@@ -102,10 +102,11 @@ object Bench {
       val err = try { run; false } catch { case _: Throwable => true }
       Timing(name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val builds = Seq(
-      timed("_build_dedup_graph")(graft.dedup.Dedup.warmPairGraph(t)),
-      timed("_build_dedup_buckets")(graft.dedup.Dedup.warmBucketIndexes(t)),
-      timed("_build_ann_index")(graft.ann.Ann.warmIndexes(t)))
+    // Itemized per-index build timings (dependency order — each memoized
+    // structure is counted once, under its own name).
+    val builds =
+      (graft.dedup.Dedup.buildSteps(t) ++ graft.ann.Ann.buildSteps(t))
+        .map { case (name, run) => timed(s"_build_$name")(run()) }
     // Settling pause: let the build phase's GC debt and JIT compilation
     // drain before any query is timed — round 4 showed the first queries
     // after the builds absorbing 10x phantom costs on untouched code.

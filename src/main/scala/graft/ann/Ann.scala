@@ -881,18 +881,18 @@ $pivots
       .orderBy(col("method"), col("query_id"))
   }
 
-  /** Materialize the memoized shared index structures (Bench warm-up
-    * hook): IVF cells/probes and the PQ code table are shared by
-    * ann_ivf/ann_pq/ann_hybrid, so without an explicit build phase the
-    * whole training cost lands on whichever sharing query happens to run
-    * first and regressions in build vs search are indistinguishable.
+  /** Itemized Bench warm-up steps, one per memoized index structure:
+    * IVF cells/probes and the PQ/residual code tables are shared by
+    * ann_ivf/ann_pq/ann_hybrid/ann_ivfpq_residual, so without an
+    * explicit build phase the whole training cost lands on whichever
+    * sharing query happens to run first, and without itemization build
+    * growth is unattributable to a family.
     */
-  def warmIndexes(t: Tables): Unit = {
-    val (cells, probes) = ivfIndex(t, 16, 4)
-    cells.count(); probes.count()
-    pqCodes(t).count()
-    residCodes(t, 16).count()
-  }
+  def buildSteps(t: Tables): Seq[(String, () => Unit)] = Seq(
+    "ivf" -> (() => { val (cells, probes) = ivfIndex(t, 16, 4)
+      cells.count(); probes.count(); () }),
+    "pq" -> (() => { pqCodes(t).count(); () }),
+    "ivfpq_resid" -> (() => { residCodes(t, 16).count(); () }))
 
   // embed_dim_stats — per-dimension first/second moments across the
   // corpus (the whitening/normalization diagnostic an embedding pipeline

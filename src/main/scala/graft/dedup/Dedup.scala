@@ -187,7 +187,7 @@ object Dedup {
     * the document bytes emitting 8-byte span hashes — no shingle strings
     * are ever built. Grouped ONCE (one aggregation shuffle replaces the
     * classic index self-join, which shuffles the index twice more and
-    * re-derives df separately). Warmed by warmBucketIndexes.
+    * re-derives df separately). Warmed by buildSteps.
     */
   private[graft] def jaccardIndex(t: Tables, maxDf: Int = 50): DataFrame = {
     graft.functions.GraftFunctions.register(t.spark)
@@ -277,7 +277,7 @@ object Dedup {
     * band index — same arithmetic as the oracle's list_reduce. Signatures
     * come from the native codegen'd graft_minhash expression. Memoized so
     * repeated builds don't stack persisted copies; warmed by
-    * warmBucketIndexes.
+    * buildSteps.
     */
   private[graft] def minhashBanded(t: Tables): DataFrame = {
     graft.functions.GraftFunctions.register(t.spark)
@@ -548,7 +548,7 @@ object Dedup {
     * + themselves under offset ids (deterministic planted dups,
     * mirroring the text twins), bucketed with a corpus-size-derived
     * plane count (one cheap count inside the memoized build — the same
-    * formula the oracle evaluates in SQL). Warmed by warmBucketIndexes.
+    * formula the oracle evaluates in SQL). Warmed by buildSteps.
     */
   private[graft] def embBucketed(t: Tables): DataFrame = {
     val base = t.embeddings.select(col("vec_id"), col("embedding"))
@@ -655,7 +655,7 @@ object Dedup {
     * overflows only past 2^32 total weighted tokens per doc —
     * unreachable for any real document, unlike 16-bit lanes which a
     * >16k-rare-token doc would silently wrap. Warmed by
-    * warmBucketIndexes.
+    * buildSteps.
     */
   private[graft] def idfBanded(t: Tables): DataFrame = {
     graft.functions.GraftFunctions.register(t.spark)
@@ -1233,30 +1233,21 @@ object Dedup {
       .orderBy(col("source"))
   }
 
-  /** Materialize the memoized shared pair graph + component labels
-    * (Bench warm-up hook): shared by dedup_simhash, dedup_components,
-    * dedup_apply and dedup_incremental — built here so per-query bench
-    * timings measure search, not whichever query touches it first.
+  /** Itemized Bench warm-up steps, one per memoized index structure, in
+    * dependency order (cc_labels reuses the already-persisted sim_pairs,
+    * so its timing is the CC loop alone). Without an explicit build
+    * phase each index's cost lands on whichever sharing query runs
+    * first; without itemization the phase is one opaque number — round
+    * 4's `_build_dedup_graph` doubled to 36.6 s with no way to tell the
+    * pair graph from the CC loop from the round's new idf family.
     */
-  def warmPairGraph(t: Tables): Unit = {
-    simhashLabels(t).count(); ()
-  }
-
-  /** Materialize the remaining memoized per-family index structures
-    * (Bench warm-up hook): the rare-shingle inverted index, the banded
-    * MinHash table, the LSH-bucketed embedding corpus, and the
-    * DF-weighted banded simhash table — each is built once per dataset,
-    * and without an explicit build phase its cost lands on whichever
-    * query runs first (observed as 3–8 s run-to-run swings on
-    * dedup_ngram_jaccard as registry order shifted).
-    */
-  def warmBucketIndexes(t: Tables): Unit = {
-    jaccardIndex(t).count()
-    minhashBanded(t).count()
-    embBucketed(t).count()
-    idfBanded(t).count()
-    ()
-  }
+  def buildSteps(t: Tables): Seq[(String, () => Unit)] = Seq(
+    "sim_pairs" -> (() => { simhashPairs(t).count(); () }),
+    "cc_labels" -> (() => { simhashLabels(t).count(); () }),
+    "jaccard" -> (() => { jaccardIndex(t).count(); () }),
+    "minhash" -> (() => { minhashBanded(t).count(); () }),
+    "emb_lsh" -> (() => { embBucketed(t).count(); () }),
+    "idf_bands" -> (() => { idfBanded(t).count(); () }))
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup,
     simhashIdf, components, embeddingDedup, chunkDedup, applyDedup, urlDedup,
