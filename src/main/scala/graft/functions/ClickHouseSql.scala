@@ -1,0 +1,312 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** ClickHouse SQL-*text* surface beyond function names: `SELECT … FROM t
+  * FINAL` and `PREWHERE` rewritten to plans Spark already optimizes, so
+  * a migrating user's queries run verbatim (reference semantics:
+  * ClickHouse SELECT grammar — FINAL collapses MergeTree-engine state at
+  * read time; PREWHERE is a storage-level filter hint).
+  *
+  * FINAL needs the same metadata ClickHouse gets from `CREATE TABLE …
+  * ENGINE = ReplacingMergeTree(ver) ORDER BY key`: which columns form
+  * the sort key and how rows merge. Callers declare it once per table
+  * via [[ClickHouseSql.registerEngine]]; `FROM t FINAL` then expands to
+  * the engine's read-time collapse:
+  *
+  *   - Replacing: latest row per sort key (version-tuple DESC) — one
+  *     window over the key, the q59 plan shape.
+  *   - Collapsing: keys with SUM(sign) > 0 survive, carrying the latest
+  *     sign=+1 row's values (max_by over the version tuple) — one
+  *     aggregation, the q60 plan shape.
+  *   - Summing: measures summed per sort key, other columns any_value —
+  *     one aggregation, the q62 plan shape.
+  *
+  * `FROM t FINAL` on a table with NO registered engine is left
+  * untouched (ANSI reading: `final` is a table alias), so the rewrite
+  * never hijacks standard SQL. PREWHERE folds into WHERE (AND-combined
+  * when both appear) — Catalyst's filter pushdown then does what
+  * ClickHouse's PREWHERE stage does physically.
+  *
+  * Both rewrites are pure text→text (string/identifier/comment-aware
+  * token scan, no regex over literals), exposed three ways: [[rewrite]]
+  * for tests/tools, [[sql]] for any session, and [[ClickHouseSqlParser]]
+  * injected by GraftExtensions so plain `spark.sql` accepts the dialect.
+  */
+object ClickHouseSql {
+
+  /** MergeTree read-time merge semantics for one table. */
+  sealed trait Engine { def sortKey: Seq[String] }
+
+  /** ReplacingMergeTree(ver…): latest version tuple per sort key wins. */
+  final case class Replacing(sortKey: Seq[String], version: Seq[String])
+    extends Engine
+
+  /** CollapsingMergeTree(sign): +1 inserts state, -1 cancels; a key
+    * survives iff its sign sum is positive, carrying the latest +1 row
+    * (version-tuple order).
+    */
+  final case class Collapsing(sortKey: Seq[String], sign: String,
+    version: Seq[String]) extends Engine
+
+  /** SummingMergeTree(measures…): measures sum per sort key; remaining
+    * columns keep an arbitrary row's value (ClickHouse picks one).
+    */
+  final case class Summing(sortKey: Seq[String], measures: Seq[String])
+    extends Engine
+
+  private val engines =
+    new java.util.concurrent.ConcurrentHashMap[String, Engine]
+
+  /** Declare a table's MergeTree engine (the CREATE TABLE … ENGINE
+    * clause equivalent). Key is the table's unqualified name,
+    * case-insensitive.
+    */
+  def registerEngine(table: String, engine: Engine): Unit =
+    engines.put(norm(table), engine)
+
+  def engineOf(table: String): Option[Engine] =
+    Option(engines.get(norm(table)))
+
+  private def norm(table: String): String = {
+    val bare = table.stripPrefix("`").stripSuffix("`")
+    bare.substring(bare.lastIndexOf('.') + 1).toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Run ClickHouse-dialect SQL text on any session (no extension
+    * needed): rewrite, then hand Spark's parser standard SQL.
+    */
+  def sql(spark: SparkSession, sqlText: String): DataFrame =
+    spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq))
+
+  // ---------------------------------------------------------------- scan
+
+  /** One lexical token: word / backquoted identifier / punctuation, with
+    * its source span and paren depth (both parens carry the OUTER depth,
+    * so clause-boundary checks are a plain depth compare).
+    */
+  private final case class Tok(text: String, start: Int, end: Int, depth: Int) {
+    def lower: String = text.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  private def lex(sqlText: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    val n = sqlText.length
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      val c = sqlText.charAt(i)
+      if (c == '\'' || c == '"') {
+        // string literal / quoted identifier: opaque (handles '' and "")
+        var j = i + 1
+        var open = true
+        while (j < n && open) {
+          if (sqlText.charAt(j) == c) {
+            if (j + 1 < n && sqlText.charAt(j + 1) == c) j += 2
+            else open = false
+          } else j += 1
+        }
+        i = j + 1
+      } else if (c == '`') {
+        var j = i + 1
+        while (j < n && sqlText.charAt(j) != '`') j += 1
+        val end = math.min(j + 1, n)
+        out += Tok(sqlText.substring(i, end), i, end, depth)
+        i = end
+      } else if (c == '-' && i + 1 < n && sqlText.charAt(i + 1) == '-') {
+        while (i < n && sqlText.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sqlText.charAt(i + 1) == '*') {
+        val close = sqlText.indexOf("*/", i + 2)
+        i = if (close < 0) n else close + 2
+      } else if (c == '(') {
+        out += Tok("(", i, i + 1, depth); depth += 1; i += 1
+      } else if (c == ')') {
+        depth -= 1; out += Tok(")", i, i + 1, depth); i += 1
+      } else if (Character.isLetter(c) || c == '_') {
+        var j = i + 1
+        while (j < n && (Character.isLetterOrDigit(sqlText.charAt(j)) ||
+          sqlText.charAt(j) == '_' || sqlText.charAt(j) == '.')) j += 1
+        out += Tok(sqlText.substring(i, j), i, j, depth)
+        i = j
+      } else {
+        if (!Character.isWhitespace(c)) out += Tok(c.toString, i, i + 1, depth)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Keywords that cannot be a table alias and clause starters that end
+    * a predicate.
+    */
+  private val nonAlias = Set("final", "on", "using", "where", "prewhere",
+    "group", "having", "order", "limit", "window", "union", "intersect",
+    "except", "settings", "join", "inner", "left", "right", "full",
+    "cross", "semi", "anti", "lateral", "as", "sample", "qualify",
+    "distribute", "cluster", "sort")
+
+  private val clauseStart = Set("where", "group", "having", "order",
+    "limit", "window", "union", "intersect", "except", "settings",
+    "qualify", "distribute", "cluster", "sort")
+
+  private def isIdent(t: Tok): Boolean = {
+    val c = t.text.charAt(0)
+    (Character.isLetter(c) || c == '_' || c == '`') && !nonAlias(t.lower)
+  }
+
+  // ------------------------------------------------------------- rewrite
+
+  /** Rewrite ClickHouse surface syntax to Spark SQL. `columnsOf` supplies
+    * a table's column list (only consulted for FINAL tables with a
+    * registered engine). Standard SQL passes through byte-identical.
+    */
+  def rewrite(sqlText: String, columnsOf: String => Seq[String]): String = {
+    val l = sqlText.toLowerCase(java.util.Locale.ROOT)
+    if (!l.contains("final") && !l.contains("prewhere")) sqlText
+    else rewritePrewhere(rewriteFinal(sqlText, columnsOf))
+  }
+
+  /** Expand every `FROM|JOIN <table> [AS] [alias] FINAL` whose table has
+    * a registered engine. One pass per occurrence (offsets shift).
+    */
+  private def rewriteFinal(sqlText: String,
+    columnsOf: String => Seq[String]): String = {
+    val ts = lex(sqlText)
+    var found: Option[(Tok, Tok, String)] = None // (tableTok, finalTok, alias)
+    var i = 0
+    while (found.isEmpty && i < ts.length - 2) {
+      val t = ts(i)
+      if ((t.lower == "from" || t.lower == "join") && isIdent(ts(i + 1)) &&
+        ts(i + 1).depth == t.depth) {
+        val tbl = ts(i + 1)
+        // from t FINAL | from t a FINAL | from t AS a FINAL
+        val rest = ts.drop(i + 2).takeWhile(_.depth >= t.depth)
+        rest.headOption match {
+          case Some(f) if f.lower == "final" && f.depth == t.depth =>
+            found = Some((tbl, f, norm(tbl.text)))
+          case Some(a) if isIdent(a) && a.depth == t.depth &&
+            rest.lift(1).exists(x => x.lower == "final" && x.depth == t.depth) =>
+            found = Some((tbl, rest(1), a.text))
+          case Some(as) if as.lower == "as" && as.depth == t.depth &&
+            rest.lift(1).exists(isIdent) &&
+            rest.lift(2).exists(x => x.lower == "final" && x.depth == t.depth) =>
+            found = Some((tbl, rest(2), rest(1).text))
+          case _ =>
+        }
+        // only rewrite when the engine is known — otherwise `final` keeps
+        // its ANSI reading (a table alias) and the text is untouched
+        if (found.isDefined && engineOf(found.get._1.text).isEmpty) found = None
+      }
+      i += 1
+    }
+    found match {
+      case None => sqlText
+      case Some((tbl, fin, alias)) =>
+        val e = engineOf(tbl.text).get
+        val sub = finalSubquery(tbl.text, columnsOf(tbl.text), e)
+        val replaced = sqlText.substring(0, tbl.start) +
+          sub + " AS " + alias + sqlText.substring(fin.end)
+        rewriteFinal(replaced, columnsOf) // next occurrence, fresh offsets
+    }
+  }
+
+  /** The engine's read-time collapse as a subquery, preserving the
+    * table's column order (so `SELECT *` keeps its schema).
+    */
+  private def finalSubquery(table: String, cols: Seq[String],
+    e: Engine): String = {
+    def q(c: String) = "`" + c.stripPrefix("`").stripSuffix("`") + "`"
+    def isKey(c: String) = e.sortKey.exists(_.equalsIgnoreCase(c))
+    val keys = e.sortKey.map(q).mkString(", ")
+    e match {
+      case Replacing(_, version) =>
+        val sel = cols.map(q).mkString(", ")
+        val ord = version.map(v => q(v) + " DESC").mkString(", ")
+        s"(SELECT $sel FROM (SELECT $sel, ROW_NUMBER() OVER " +
+          s"(PARTITION BY $keys ORDER BY $ord) AS __ch_rn FROM $table) " +
+          s"__ch_v WHERE __ch_rn = 1)"
+      case Collapsing(_, sign, version) =>
+        val ver = "struct(" + version.map(q).mkString(", ") + ")"
+        val plus = s"${q(sign)} = 1"
+        val sel = cols.map { c =>
+          if (isKey(c)) q(c)
+          else s"max_by(CASE WHEN $plus THEN ${q(c)} END, " +
+            s"CASE WHEN $plus THEN $ver END) AS ${q(c)}"
+        }.mkString(", ")
+        s"(SELECT $sel FROM $table GROUP BY $keys " +
+          s"HAVING SUM(${q(sign)}) > 0)"
+      case Summing(_, measures) =>
+        val sel = cols.map { c =>
+          if (isKey(c)) q(c)
+          else if (measures.exists(_.equalsIgnoreCase(c)))
+            s"SUM(${q(c)}) AS ${q(c)}"
+          else s"any_value(${q(c)}) AS ${q(c)}"
+        }.mkString(", ")
+        s"(SELECT $sel FROM $table GROUP BY $keys)"
+    }
+  }
+
+  /** Fold `PREWHERE p [WHERE w]` into `WHERE (p) AND (w)` / `WHERE p`.
+    * PREWHERE in ClickHouse is WHERE plus a storage-stage hint; after
+    * Catalyst's pushdown the two are the same plan.
+    */
+  private def rewritePrewhere(sqlText: String): String = {
+    val ts = lex(sqlText)
+    val pw = ts.zipWithIndex.find(_._1.lower == "prewhere")
+    pw match {
+      case None => sqlText
+      case Some((p, pi)) =>
+        // end of the PREWHERE predicate: next same-depth clause keyword,
+        // anything shallower, or end of text
+        val after = ts.drop(pi + 1)
+        val bound = after.find(t =>
+          t.depth < p.depth || (t.depth == p.depth && clauseStart(t.lower)))
+        val replaced = bound match {
+          case Some(b) if b.lower == "where" && b.depth == p.depth =>
+            // PREWHERE p WHERE … → WHERE (p) AND …
+            val pred = sqlText.substring(p.end, b.start).trim
+            sqlText.substring(0, p.start) +
+              s"WHERE ($pred) AND" + sqlText.substring(b.end)
+          case _ =>
+            sqlText.substring(0, p.start) + "WHERE" + sqlText.substring(p.end)
+        }
+        rewritePrewhere(replaced)
+    }
+  }
+}
+
+/** ParserInterface wrapper: rewrites ClickHouse dialect text, then
+  * delegates to Spark's parser — injected via GraftExtensions so plain
+  * `spark.sql("SELECT … FROM t FINAL PREWHERE …")` works on a graft
+  * session. Identifier/type parsing delegates untouched.
+  */
+class ClickHouseSqlParser(session: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
+
+  private def rw(sqlText: String): String =
+    ClickHouseSql.rewrite(sqlText, t => session.table(t).columns.toSeq)
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(rw(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(rw(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -367,6 +367,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.winHashDesc)
     ext.injectOptimizerRule(_ => graft.plans.ApproxQuantileRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    ext.injectParser((session, delegate) =>
+      new ClickHouseSqlParser(session, delegate))
   }
 }
 

@@ -148,4 +148,139 @@ class ClickHouseDialectSpec extends SparkSpec {
       "SELECT anyLast(x) AS al FROM VALUES (1), (2), (3) AS t(x)").head()
     assert(Set(1, 2, 3).contains(r.getInt(0)))
   }
+
+  // ------------------------------------------------ SQL-text FINAL/PREWHERE
+
+  import graft.functions.ClickHouseSql
+  import graft.functions.ClickHouseSql.{Collapsing, Replacing, Summing}
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("FROM events FINAL (ReplacingMergeTree) matches the q59 operator") {
+    sf0001.events.createOrReplaceTempView("events_ch")
+    ClickHouseSql.registerEngine("events_ch",
+      Replacing(Seq("user_id", "event_type"), Seq("ts", "event_id")))
+    val got = ClickHouseSql.sql(spark, """
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+             CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
+      FROM events_ch FINAL
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+    assert(rows(got) === rows(graft.operators.MergeTree.replacing.build(sf0001)))
+  }
+
+  test("FROM signed FINAL (CollapsingMergeTree) matches the q60 operator") {
+    sf0001.events.selectExpr("user_id", "event_type", "event_id", "value",
+      "ts", "CASE WHEN event_id % 3 = 0 THEN -1 ELSE 1 END AS sign")
+      .createOrReplaceTempView("signed_ch")
+    ClickHouseSql.registerEngine("signed_ch",
+      Collapsing(Seq("user_id", "event_type"), "sign", Seq("ts", "event_id")))
+    val got = ClickHouseSql.sql(spark, """
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+             CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
+      FROM signed_ch FINAL
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+    assert(rows(got) === rows(graft.operators.MergeTree.collapsing.build(sf0001)))
+  }
+
+  test("FROM counters FINAL (SummingMergeTree) matches the q62 operator") {
+    sf0001.events.selectExpr("user_id", "event_type",
+      "CAST(value AS DECIMAL(18, 2)) AS value_sum", "1L AS n_merged")
+      .createOrReplaceTempView("counters_ch")
+    ClickHouseSql.registerEngine("counters_ch",
+      Summing(Seq("user_id", "event_type"), Seq("value_sum", "n_merged")))
+    val got = ClickHouseSql.sql(spark, """
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_merged) AS BIGINT) AS n_source_rows,
+             CAST(SUM(value_sum) AS DOUBLE) AS total_value,
+             CAST(MAX(n_merged) AS BIGINT) AS max_merged
+      FROM counters_ch FINAL
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+    assert(rows(got) === rows(graft.operators.MergeTree.summing.build(sf0001)))
+  }
+
+  test("PREWHERE folds into WHERE (alone and AND-combined)") {
+    sf0001.lineitem.createOrReplaceTempView("lineitem_ch")
+    val alone = ClickHouseSql.sql(spark,
+      "SELECT COUNT(*) AS n FROM lineitem_ch PREWHERE l_quantity < 10")
+    val ansiAlone = spark.sql(
+      "SELECT COUNT(*) AS n FROM lineitem_ch WHERE l_quantity < 10")
+    assert(alone.head().getLong(0) === ansiAlone.head().getLong(0))
+    val combined = ClickHouseSql.sql(spark, """
+      SELECT COUNT(*) AS n FROM lineitem_ch
+      PREWHERE l_quantity < 10 WHERE l_discount > 0.01""")
+    val ansi = spark.sql("""
+      SELECT COUNT(*) AS n FROM lineitem_ch
+      WHERE l_quantity < 10 AND l_discount > 0.01""")
+    assert(combined.head().getLong(0) === ansi.head().getLong(0))
+    assert(combined.head().getLong(0) < alone.head().getLong(0))
+  }
+
+  test("FINAL on an engine-less table keeps its ANSI alias reading") {
+    sf0001.orders.createOrReplaceTempView("plain_orders")
+    val r = ClickHouseSql.sql(spark,
+      "SELECT COUNT(*) AS n FROM plain_orders final WHERE final.o_orderkey > 0")
+    assert(r.head().getLong(0) ===
+      sf0001.orders.filter(col("o_orderkey") > 0).count())
+  }
+
+  test("rewrite is text-identical for standard SQL and literal-safe") {
+    def cols(t: String): Seq[String] = Seq("a", "b")
+    val plain = "SELECT 'FINAL PREWHERE', a FROM t WHERE b > 0 -- final"
+    assert(ClickHouseSql.rewrite(plain, cols) === plain)
+    val noTrigger = "SELECT sum(a) AS total FROM t GROUP BY b"
+    assert(ClickHouseSql.rewrite(noTrigger, cols) === noTrigger)
+  }
+
+  test("plain spark.sql accepts FINAL+PREWHERE via the injected parser") {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+    try {
+      // new session over the same context, with GraftExtensions applied
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      Tables(s2, "/root/testdata/sf0.001").events
+        .createOrReplaceTempView("events_e2e")
+      ClickHouseSql.registerEngine("events_e2e",
+        Replacing(Seq("user_id", "event_type"), Seq("ts", "event_id")))
+      val got = s2.sql("""
+        SELECT COUNT(*) AS n FROM events_e2e FINAL PREWHERE user_id % 2 = 0
+      """).head().getLong(0)
+      val exp = sf0001.events.filter(col("user_id") % 2 === 0)
+        .select(col("user_id"), col("event_type")).distinct().count()
+      assert(got === exp)
+    } finally {
+      SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("FINAL inside a subquery and with an alias rewrites correctly") {
+    sf0001.events.createOrReplaceTempView("events_ch2")
+    ClickHouseSql.registerEngine("events_ch2",
+      Replacing(Seq("user_id", "event_type"), Seq("ts", "event_id")))
+    val got = ClickHouseSql.sql(spark, """
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM (
+        SELECT COUNT(*) AS n FROM events_ch2 AS e FINAL GROUP BY e.event_type)
+    """).head().getLong(0)
+    val exp = sf0001.events
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(got === exp)
+  }
 }
