@@ -53,11 +53,20 @@ object Fetcher {
       * re-logs-in for a fresh JWT every 25 min of report polling so the
       * eventual download doesn't fail on an expired token. None = never.
       */
-    refreshEveryPolls: Option[Int] = None) {
+    refreshEveryPolls: Option[Int] = None,
+    /** How many quota windows to wait out across the whole fetch before
+      * giving up. Rate-limit waits do NOT consume the bounded retry
+      * budgets — a 403/429 response cannot change until the window
+      * resets, so burning attempt budget on it is pure loss — but they
+      * must themselves be bounded or a permanently-throttled token spins
+      * forever.
+      */
+    maxRateLimitWaits: Int = 3) {
     require(backoffMs.nonEmpty, "Policy.backoffMs must not be empty")
     require(maxRequestAttempts >= 1 && maxPolls >= 1 && maxDownloadAttempts >= 1,
       "Policy budgets must be at least 1")
     require(refreshEveryPolls.forall(_ >= 1), "refreshEveryPolls must be at least 1")
+    require(maxRateLimitWaits >= 0, "maxRateLimitWaits must be non-negative")
   }
 
   /** The reference's retryable-error rule (github.sh:77): only GitHub's
@@ -72,15 +81,47 @@ object Fetcher {
       err.contains("Failed to generate SBOM") ||
       err.contains("timeout")
 
-  /** The reference's downloaded-document validation (github.sh:56-69):
-    * a payload that is not JSON at all is treated as a transient bad
-    * response and retried, never parsed downstream.
+  /** The reference's downloaded-document validation (github.sh:56-69,
+    * a full `jq .` parse): the payload must PARSE as JSON — a bracket
+    * sniff would wave through structurally broken documents like
+    * `{"a": ]`. Jackson is already on the Spark classpath; SBOM
+    * documents are additionally required to be an object or array
+    * (a bare scalar is valid JSON but never a valid SBOM).
     */
+  private lazy val strictMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    // jq . rejects trailing garbage after the document; so do we
+    m.enable(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_TRAILING_TOKENS)
+    m
+  }
+
   val jsonProbe: String => Either[String, Unit] = doc => {
-    val t = doc.trim
-    if (t.nonEmpty && (t.startsWith("{") || t.startsWith("[")) &&
-      (t.endsWith("}") || t.endsWith("]"))) Right(())
-    else Left("downloaded document is not valid JSON")
+    try {
+      val root = strictMapper.readTree(doc)
+      if (root != null && (root.isObject || root.isArray)) Right(())
+      else Left("downloaded document is not a JSON object or array")
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException =>
+        Left("downloaded document is not valid JSON")
+    }
+  }
+
+  /** 403/429 quota classifier (the gap github.sh leaves open: curl
+    * --retry models transport failures, not rate-limit windows). An
+    * error that names HTTP 429, or GitHub's "rate limit exceeded" 403
+    * body, is a QUOTA wait, not a doomed retry: returns how long to
+    * wait before re-trying — the `retry-after: N` /
+    * `x-ratelimit-reset-in: N` seconds when the message carries one,
+    * else a 60 s default window.
+    */
+  val githubRateLimited: String => Option[Long] = err => {
+    val l = err.toLowerCase(java.util.Locale.ROOT)
+    if (l.contains("429") || l.contains("rate limit exceeded")) {
+      val secs = "(?:retry-after|x-ratelimit-reset-in)[:= ]+(\\d+)".r
+        .findFirstMatchIn(l).map(_.group(1).toLong)
+      Some(secs.getOrElse(60L) * 1000L)
+    } else None
   }
 
   sealed trait Result
@@ -96,13 +137,25 @@ object Fetcher {
     * `validate` probes a downloaded document; a validation failure counts
     * as a retryable download failure (github.sh retries invalid-JSON
     * downloads with the same backoff as network failures).
+    * `rateLimited` classifies quota errors (e.g. [[githubRateLimited]]):
+    * a match waits the returned millis and retries WITHOUT consuming the
+    * stage's attempt budget, up to `policy.maxRateLimitWaits` windows
+    * across the whole fetch.
     */
   def fetch(transport: Transport, policy: Policy = Policy(),
     sleep: Long => Unit = Thread.sleep,
     retryable: String => Boolean = _ => true,
-    validate: String => Either[String, Unit] = _ => Right(())): Result = {
+    validate: String => Either[String, Unit] = _ => Right(()),
+    rateLimited: String => Option[Long] = _ => None): Result = {
     def backoff(i: Int): Long =
       policy.backoffMs(math.min(i, policy.backoffMs.size - 1))
+
+    var rlWaits = 0
+    /** Wait out a quota window if `err` is one (and budget remains). */
+    def quotaWait(err: String): Option[Boolean] = rateLimited(err).map { ms =>
+      if (rlWaits < policy.maxRateLimitWaits) { rlWaits += 1; sleep(ms); true }
+      else false
+    }
 
     // 1. request with bounded retry + exponential-ish backoff;
     //    non-retryable errors abort without consuming the budget
@@ -113,13 +166,18 @@ object Fetcher {
     while (token.isEmpty && fatal.isEmpty && attempt < policy.maxRequestAttempts) {
       transport.request() match {
         case Right(tk) => token = Some(tk)
-        case Left(err) if !retryable(err) =>
-          fatal = Some(err)
-          attempt += 1
-        case Left(err) =>
-          lastErr = err
-          attempt += 1
-          if (attempt < policy.maxRequestAttempts) sleep(backoff(attempt - 1))
+        case Left(err) => quotaWait(err) match {
+          case Some(true)  => // window waited out; budget untouched
+          case Some(false) => fatal = Some(
+            s"rate limited after $rlWaits waited windows: $err")
+          case None =>
+            if (!retryable(err)) { fatal = Some(err); attempt += 1 }
+            else {
+              lastErr = err
+              attempt += 1
+              if (attempt < policy.maxRequestAttempts) sleep(backoff(attempt - 1))
+            }
+        }
       }
     }
     (fatal, token) match {
@@ -155,12 +213,18 @@ object Fetcher {
                           s"$verr (after $downloads attempts)"))
                       else sleep(backoff(downloads - 1))
                   }
-                case Left(err) if !retryable(err) =>
-                  result = Some(GaveUp("download", s"fatal: $err"))
-                case Left(err) =>
-                  if (downloads >= policy.maxDownloadAttempts)
-                    result = Some(GaveUp("download", s"$err (after $downloads attempts)"))
-                  else sleep(backoff(downloads - 1))
+                case Left(err) => quotaWait(err) match {
+                  case Some(true) =>
+                    downloads -= 1 // quota window waited; budget untouched
+                  case Some(false) => result = Some(GaveUp("download",
+                    s"fatal: rate limited after $rlWaits waited windows: $err"))
+                  case None =>
+                    if (!retryable(err))
+                      result = Some(GaveUp("download", s"fatal: $err"))
+                    else if (downloads >= policy.maxDownloadAttempts)
+                      result = Some(GaveUp("download", s"$err (after $downloads attempts)"))
+                    else sleep(backoff(downloads - 1))
+                }
               }
             }
             result.get

@@ -156,4 +156,62 @@ class FetcherSpec extends AnyFunSuite {
     assert(Fetcher.fetch(new Direct, sleep = noSleep) ===
       Fetched("doc", requestAttempts = 1, polls = 1))
   }
+
+  test("jsonProbe is a real parse: broken structure fails, scalars fail, docs pass") {
+    assert(Fetcher.jsonProbe("""{"a": ]""").isLeft) // bracket sniff would pass this
+    assert(Fetcher.jsonProbe("""{"a": [1, 2}""").isLeft)
+    assert(Fetcher.jsonProbe("""{"a": 1} trailing""").isLeft)
+    assert(Fetcher.jsonProbe("42").isLeft) // valid JSON, never a valid SBOM
+    assert(Fetcher.jsonProbe("").isLeft)
+    assert(Fetcher.jsonProbe("""{"bomFormat": "CycloneDX", "components": []}""").isRight)
+    assert(Fetcher.jsonProbe("""[{"name": "a"}]""").isRight)
+    assert(Fetcher.jsonProbe("  {\"spdxVersion\": \"SPDX-2.3\"}\n").isRight)
+  }
+
+  test("githubRateLimited classifies quota errors and reads the reset window") {
+    assert(Fetcher.githubRateLimited("HTTP 429 Too Many Requests, retry-after: 7")
+      === Some(7000L))
+    assert(Fetcher.githubRateLimited("403: API rate limit exceeded for installation")
+      === Some(60000L)) // no window in the message → default 60 s
+    assert(Fetcher.githubRateLimited(
+      "API rate limit exceeded, x-ratelimit-reset-in: 120") === Some(120000L))
+    assert(Fetcher.githubRateLimited("Bad credentials") === None)
+    assert(Fetcher.githubRateLimited("Request timed out") === None)
+  }
+
+  test("rate-limited request waits out the window without consuming the retry budget") {
+    val (slept, sleeper) = sleeps
+    val t = new Stub(
+      Iterator(Left("429, retry-after: 2"), Left("429, retry-after: 3"), Right("tok")),
+      Iterator(Ready))
+    // budget of ONE attempt: any consumption by the two 429s would fail
+    val r = Fetcher.fetch(t, Policy(maxRequestAttempts = 1), sleeper,
+      retryable = Fetcher.githubRetryable, rateLimited = Fetcher.githubRateLimited)
+    assert(r === Fetched("{\"bomFormat\":\"CycloneDX\"}", requestAttempts = 1, polls = 1))
+    assert(slept.toSeq === Seq(2000L, 3000L)) // quota waits, not backoff
+  }
+
+  test("permanently throttled request gives up after maxRateLimitWaits windows") {
+    val t = new Stub(Iterator.continually(Left("429, retry-after: 1")), Iterator.empty)
+    val r = Fetcher.fetch(t, Policy(maxRequestAttempts = 3, maxRateLimitWaits = 2),
+      noSleep, rateLimited = Fetcher.githubRateLimited)
+    assert(r === GaveUp("request",
+      "fatal: rate limited after 2 waited windows: 429, retry-after: 1"))
+    assert(t.requests === 3) // 2 waited windows + the final classifying call
+  }
+
+  test("rate-limited download waits, then bounded retries still apply to real errors") {
+    val docs = Iterator(Left("429, retry-after: 1"): Either[String, String],
+      Left("Request timed out"), Right("{\"ok\": true}"))
+    val t = new Stub(Iterator(Right("tok")), Iterator(Ready)) {
+      override def download(token: String): Either[String, String] = docs.next()
+    }
+    val (slept, sleeper) = sleeps
+    val r = Fetcher.fetch(t, Policy(maxDownloadAttempts = 2, backoffMs = Seq(5L)),
+      sleeper, retryable = Fetcher.githubRetryable,
+      rateLimited = Fetcher.githubRateLimited)
+    // quota wait didn't consume the 2-attempt budget; the timeout did
+    assert(r === Fetched("{\"ok\": true}", 1, 1, downloads = 2))
+    assert(slept.toSeq === Seq(1000L, 5L))
+  }
 }
