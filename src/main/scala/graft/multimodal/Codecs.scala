@@ -284,10 +284,16 @@ object Codecs {
     */
   def pcmSample(id: Long, j: Long): Int = ((id * 7 + j * 13) % 4001).toInt - 2000
 
+  /** `n` rounds DOWN to a whole number of frames (multiple of channels):
+    * a data chunk that is not frame-aligned (blockAlign) is spec-invalid
+    * WAV that real decoders may reject, even though a naive round trip
+    * would agree with itself.
+    */
   def generatePcm(id: Long, channels: Int, n: Int): Pcm = {
-    val s = new Array[Short](n)
+    val aligned = n - n % channels
+    val s = new Array[Short](aligned)
     var i = 0
-    while (i < n) { s(i) = pcmSample(id, i).toShort; i += 1 }
+    while (i < aligned) { s(i) = pcmSample(id, i).toShort; i += 1 }
     Pcm(channels, 8000, s)
   }
 

@@ -248,10 +248,14 @@ object Multimodal {
     "mm_audio",
     Some("""
       WITH clips AS (
-        SELECT doc_id,
-               CAST(doc_id % 2 + 1 AS INT) AS n_channels,
-               doc_id % 500 + 100 AS n_samples
-        FROM documents),
+        -- sample count rounds down to a whole number of frames
+        -- (blockAlign), mirroring generatePcm's alignment
+        SELECT doc_id, n_channels, n_raw - n_raw % n_channels AS n_samples
+        FROM (
+          SELECT doc_id,
+                 CAST(doc_id % 2 + 1 AS INT) AS n_channels,
+                 doc_id % 500 + 100 AS n_raw
+          FROM documents)),
       px AS (
         SELECT doc_id, n_channels, n_samples, j,
                (doc_id * 7 + j * 13) % 4001 - 2000 AS v

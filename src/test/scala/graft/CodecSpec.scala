@@ -123,6 +123,18 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("generated WAVs are frame-aligned: data chunk is a multiple of blockAlign") {
+    for (ch <- Seq(1, 2); n <- Seq(1, 7, 101, 250)) {
+      val clip = Codecs.generatePcm(11L, ch, n)
+      assert(clip.samples.length % ch === 0, s"ch=$ch n=$n")
+      assert(clip.samples.length === n - n % ch)
+      val bytes = WavCodec.encode(clip)
+      // data bytes = samples * 2; blockAlign = channels * 2
+      assert((clip.samples.length * 2) % (ch * 2) === 0)
+      assert(WavCodec.decode(bytes).samples.length === clip.samples.length)
+    }
+  }
+
   test("WAV decoder skips unknown chunks (LIST/INFO) and honors word alignment") {
     val clip = Codecs.generatePcm(5L, 2, 40)
     val plain = WavCodec.encode(clip)
