@@ -61,6 +61,40 @@ object Streams {
       .start()
   }
 
+  /** State-store-backed materialized view — the production shape the
+    * Complete-mode [[materializedAgg]] approximates with snapshot swaps.
+    * The running aggregate lives in Spark's CHECKPOINTED state store
+    * (Update output mode), so each micro-batch emits only the keys that
+    * changed, and the foreachBatch hook upserts exactly those keys into
+    * a parquet table partitioned by key (dynamic partition overwrite —
+    * untouched partitions are never rewritten). Restart recovery is the
+    * state store's own: stop and restart on the same checkpoint and the
+    * per-key (n, total) continues where it left off, with committed
+    * batches never replayed — no double counting. A replay of the one
+    * uncommitted batch rewrites the same partitions with the same
+    * values (idempotent upsert). At 100 TB this touches |changed keys|
+    * partitions per batch where Complete mode rewrites the whole view.
+    */
+  def materializedAggStateful(events: DataFrame, path: String,
+    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val conf = batch.sparkSession.conf
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = conf.getOption(key)
+        conf.set(key, "dynamic")
+        try batch.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        finally prev.fold(conf.unset(key))(conf.set(key, _))
+      }
+      .start()
+  }
+
   /** Snapshot swap: write the batch to a temp dir, retire the current
     * snapshot aside, rename the new one into place, then delete the old.
     * A failure before the final rename leaves the previous snapshot

@@ -71,6 +71,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state-store materialized view survives restart with no double counting") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_ss").toString
+    val mem = MemoryStream[Event]
+    def start() =
+      Streams.materializedAggStateful(mem.toDF(), s"$dir/table", s"$dir/ckpt")
+    def view(): Map[String, (Long, Double)] =
+      spark.read.parquet(s"$dir/table").collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    // phase 1: two batches accumulate state, then stop
+    val q1 = start()
+    try {
+      mem.addData(Event(1, ts(0), 10, "click", 2.0), Event(2, ts(1), 11, "click", 3.0))
+      q1.processAllAvailable()
+      mem.addData(Event(3, ts(2), 10, "view", 7.0))
+      q1.processAllAvailable()
+      assert(view() === Map("click" -> (2L, 5.0), "view" -> (1L, 7.0)))
+    } finally q1.stop()
+    // phase 2: restart on the same checkpoint; the running (n, total)
+    // must CONTINUE from restored state — 3 clicks total, not 1 — and
+    // the untouched view partition must not double-count either
+    val q2 = start()
+    try {
+      mem.addData(Event(4, ts(3), 12, "click", 1.0))
+      q2.processAllAvailable()
+      assert(view() === Map("click" -> (3L, 6.0), "view" -> (1L, 7.0)))
+    } finally q2.stop()
+  }
+
   test("stream-stream interval join attributes purchases to clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
