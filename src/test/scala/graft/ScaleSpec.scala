@@ -71,6 +71,23 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
   }
 
+  test("bitmap shuffle form is compact (~10 B/word) and round-trips exactly") {
+    val agg = graft.functions.BitmapDistinct()
+    val rnd = new scala.util.Random(7)
+    val ids = Array.fill(10000)(math.abs(rnd.nextLong()) % 1000000000L)
+    val buf = ids.foldLeft(agg.zero)(agg.reduce)
+    val ser = new org.apache.spark.serializer.KryoSerializer(
+      new org.apache.spark.SparkConf()).newInstance()
+    val bytes = ser.serialize(buf)
+    // sorted delta-varint word + 8 B bits per entry; a boxed-HashMap
+    // encoding of the same buffer is 40+ B per entry
+    assert(bytes.limit() <= buf.size * 16 + 64,
+      s"${bytes.limit()} bytes for ${buf.size} occupied words")
+    val back = ser.deserialize[graft.functions.LongBitmap](bytes)
+    assert(back.cardinality === ids.distinct.length)
+    assert(agg.finish(agg.merge(back, buf)) === ids.distinct.length)
+  }
+
   test("q55 bitmap distinct equals exact count distinct per group") {
     val rows = graft.operators.AggExt.q55.build(sf0001).collect()
     val exact = sf0001.events.groupBy(col("event_type"))
