@@ -797,14 +797,18 @@ $pivots
   }
 
   // ann_recall — the evaluation harness a real ANN deployment ships with:
-  // recall@10 of the approximate indexes (LSH buckets, IVF probed cells)
-  // against exact brute-force ground truth, per query. A recall
-  // regression after retuning bucket width / C / nprobe shows up here as
-  // a hard number, not an anecdote. Composed entirely from the shared
-  // machinery (same queries, same tie-breaks), so the measured indexes
-  // are exactly the ones ann_lsh/ann_ivf serve; integer basis points —
-  // no float compare. At 100 TB ground truth comes from a sampled query
-  // panel (here: the same 5-query panel all ann_* ops use).
+  // recall@10 of ALL FOUR approximate index families (LSH buckets, IVF
+  // probed cells, PQ/ADC codes, residual-coded IVFPQ) against exact
+  // brute-force ground truth, per query. A recall regression after
+  // retuning bucket width / C / nprobe — or a compression-quality
+  // regression in the PQ codebooks — shows up here as a hard number,
+  // not an anecdote. Composed entirely from the shared machinery (same
+  // queries, same tie-breaks), so the measured indexes are exactly the
+  // ones ann_lsh/ann_ivf/ann_pq/ann_ivfpq_residual serve (the pq/resid
+  // oracle SQL embeds those operators' own oracle text as subqueries);
+  // integer basis points — no float compare. At 100 TB ground truth
+  // comes from a sampled query panel (here: the same 5-query panel all
+  // ann_* ops use).
   val recallEval = Q(
     "ann_recall",
     Some(s"""
@@ -845,10 +849,18 @@ $pivots
                                         ORDER BY cos DESC, vec_id) AS rnk
               FROM ivf_scored)
         WHERE rnk <= 10),
+      pq_top AS (
+        SELECT query_id, vec_id FROM (${pq.oracle.get})),
+      resid_top AS (
+        SELECT query_id, vec_id FROM (${ivfpqResidual.oracle.get})),
       methods AS (
         SELECT 'lsh' AS method, query_id, vec_id FROM lsh_top
         UNION ALL
-        SELECT 'ivf', query_id, vec_id FROM ivf_top),
+        SELECT 'ivf', query_id, vec_id FROM ivf_top
+        UNION ALL
+        SELECT 'pq', query_id, vec_id FROM pq_top
+        UNION ALL
+        SELECT 'ivfpq', query_id, vec_id FROM resid_top),
       eval AS (
         SELECT m.method, m.query_id,
                COUNT(*) AS n_retrieved,
@@ -871,6 +883,8 @@ $pivots
       .select(col("query_id").as("t_qid"), col("vec_id").as("hit_id"))
     val methods = ids(lsh.build(t)).withColumn("method", lit("lsh"))
       .unionAll(ids(ivfQuery(t, c = 16, nprobe = 4)).withColumn("method", lit("ivf")))
+      .unionAll(ids(pq.build(t)).withColumn("method", lit("pq")))
+      .unionAll(ids(ivfpqResidual.build(t)).withColumn("method", lit("ivfpq")))
     methods
       .join(truth,
         col("query_id") === col("t_qid") && col("vec_id") === col("hit_id"), "left")

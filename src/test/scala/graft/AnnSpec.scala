@@ -92,4 +92,19 @@ class AnnSpec extends SparkSpec {
       assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$k: approx $ap vs exact $ex")
     }
   }
+
+  test("ann_recall gates all four index families against brute-force truth") {
+    val rows = Ann.recallEval.build(sf0001).collect()
+    val byMethod = rows.groupBy(_.getString(0))
+    assert(byMethod.keySet === Set("lsh", "ivf", "pq", "ivfpq"))
+    byMethod.foreach { case (m, rs) =>
+      assert(rs.length === 5, s"$m: one row per panel query")
+    }
+    // the compression families must keep useful recall@10 on the panel —
+    // a codebook regression shows up here as a hard number
+    def avgHits(m: String): Double = byMethod(m).map(_.getLong(3)).sum / 5.0
+    assert(avgHits("ivf") >= 4.0, s"ivf ${avgHits("ivf")}")
+    assert(avgHits("pq") >= 4.0, s"pq ${avgHits("pq")}")
+    assert(avgHits("ivfpq") >= 4.0, s"ivfpq ${avgHits("ivfpq")}")
+  }
 }
