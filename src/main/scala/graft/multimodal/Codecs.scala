@@ -10,6 +10,9 @@ package graft.multimodal
   *     bottom-up or top-down row direction)
   *   - [[PpmStream]]: concatenated P6 frames (the ffmpeg image2pipe
   *     convention) standing in for video
+  *   - [[Y4mCodec]]: YUV4MPEG2 — a real video container (stream header
+  *     with tagged parameters, per-frame FRAME markers, planar
+  *     colorspace geometry for Cmono, the C420 family, and C444)
   *
   * The pipelines' DuckDB oracles recompute pixel statistics from the
   * deterministic generator formula, so any decode mistake — missed row
@@ -186,6 +189,108 @@ object Codecs {
         at = next
       }
       frames.result()
+    }
+  }
+
+  /** Deterministic luma-plane generator shared with the SQL oracle:
+    * byte p of frame `frame` for clip `id` (frames index the flat
+    * generator sequence contiguously, like [[generate]]).
+    */
+  def generateLuma(id: Long, width: Int, height: Int, frame: Int): Array[Byte] = {
+    val n = width * height
+    val offset = frame.toLong * n
+    val y = new Array[Byte](n)
+    var i = 0
+    while (i < n) { y(i) = pixel(id, offset + i).toByte; i += 1 }
+    y
+  }
+
+  /** A decoded Y4M clip: per-frame luma planes (row-major), plus the
+    * stream header's geometry and frame rate.
+    */
+  final case class Y4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+    frames: Vector[Array[Byte]])
+
+  /** YUV4MPEG2 — a REAL video container (what ffmpeg/mjpegtools pipe):
+    * ASCII stream header `YUV4MPEG2 W.. H.. F..:..` with tagged
+    * parameters in any order (unknown tags skipped, like WAV's unknown
+    * chunks), then one `FRAME[ params]\n` marker per frame followed by
+    * raw planar data. Colorspace handling is real: Cmono is one Y
+    * plane; C420* carries two quarter-size chroma planes and C444 two
+    * full-size ones — the walker computes and skips the correct chroma
+    * geometry (a wrong plane size desynchronizes every later FRAME
+    * marker, which the marker check catches loudly). Decode returns the
+    * luma plane — the channel frame-sampling statistics read.
+    */
+  object Y4mCodec {
+
+    /** Encode mono frames (the honest lossless lane: no color transform
+      * to round-trip; Cmono is spec-valid Y4M).
+      */
+    def encode(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+      val header =
+        s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 Cmono\n"
+          .getBytes("US-ASCII")
+      val marker = "FRAME\n".getBytes("US-ASCII")
+      val out = new java.io.ByteArrayOutputStream(
+        header.length + frames.map(_.length + marker.length).sum)
+      out.write(header)
+      frames.foreach { f =>
+        require(f.length == width * height,
+          s"luma plane ${f.length} != ${width}x$height")
+        out.write(marker); out.write(f)
+      }
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Y4m = {
+      def fail(msg: String) = throw new IllegalArgumentException(s"Y4M: $msg")
+      var i = 0
+      def line(): String = {
+        val s = i
+        while (i < bytes.length && bytes(i) != '\n') i += 1
+        if (i >= bytes.length) fail("unterminated header line")
+        i += 1
+        new String(bytes, s, i - 1 - s, "US-ASCII")
+      }
+      val header = line()
+      val tokens = header.split(" ").filter(_.nonEmpty)
+      if (tokens.isEmpty || tokens(0) != "YUV4MPEG2") fail("bad magic")
+      var w = -1; var h = -1; var fn = 30; var fd = 1; var cs = "C420"
+      tokens.drop(1).foreach { tok =>
+        tok.charAt(0) match {
+          case 'W' => w = tok.substring(1).toInt
+          case 'H' => h = tok.substring(1).toInt
+          case 'F' =>
+            val parts = tok.substring(1).split(":")
+            fn = parts(0).toInt; fd = parts(1).toInt
+          case 'C' => cs = tok
+          case _ => // I (interlace), A (aspect), X (metadata): skipped
+        }
+      }
+      if (w <= 0 || h <= 0) fail(s"missing or bad geometry W$w H$h")
+      val chroma = cs match {
+        case "Cmono" => 0
+        case c if c.startsWith("C420") =>
+          if (w % 2 != 0 || h % 2 != 0) fail(s"$cs needs even geometry")
+          2 * ((w / 2) * (h / 2))
+        case "C444" => 2 * (w * h)
+        case other => fail(s"unsupported colorspace $other")
+      }
+      val frameSize = w * h + chroma
+      val frames = Vector.newBuilder[Array[Byte]]
+      while (i < bytes.length) {
+        val mark = line()
+        if (mark != "FRAME" && !mark.startsWith("FRAME "))
+          fail(s"expected FRAME marker, got '${mark.take(16)}'")
+        if (i + frameSize > bytes.length) fail("truncated frame")
+        val y = new Array[Byte](w * h)
+        System.arraycopy(bytes, i, y, 0, w * h)
+        frames += y
+        i += frameSize // luma + (correctly sized) chroma planes
+      }
+      Y4m(w, h, fn, fd, frames.result())
     }
   }
 

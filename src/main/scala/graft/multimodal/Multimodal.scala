@@ -311,5 +311,92 @@ object Multimodal {
       .orderBy(col("n_channels"))
   }
 
-  val all: Seq[Q] = Seq(pipeline, transformPipeline, audio)
+  /** Per-clip decoded video statistics (exact integers). */
+  final case class VideoStats(media_id: Long, w: Long, n_frames_total: Long,
+    n_frames_sampled: Long, luma_sum: Long, luma_wsum: Long)
+
+  // mm_video — a REAL video container lane (Y4M/YUV4MPEG2), beside the
+  // concatenated-PPM stream: ASCII stream header parse (tagged params,
+  // unknown tags skipped), per-frame FRAME-marker walk, planar raster
+  // decode, then the frame-sampling transform every production video
+  // pipeline starts with (every 2nd frame). Statistics are exact luma
+  // sums plus a position-weighted checksum keyed by SAMPLED frame index
+  // k — a wrong frame size, a missed marker or an off-by-one in the
+  // frame walk desynchronizes the stream and fails the oracle, which
+  // replays every sampled byte from the generator.
+  val video = Q(
+    "mm_video",
+    Some("""
+      WITH clips AS (
+        SELECT doc_id, 8 + (doc_id % 3) * 4 AS w, 8 AS h, doc_id % 4 + 2 AS nf
+        FROM documents),
+      sampled AS (
+        SELECT doc_id, w, h, nf, f, f // 2 AS k
+        FROM clips, UNNEST(RANGE(0, nf)) AS t(f)
+        WHERE f % 2 = 0),
+      px AS (
+        SELECT doc_id, w, k,
+               (w * h * k) + p AS wt,
+               (doc_id * 7 + (f * w * h + p) * 13) % 251 AS v
+        FROM sampled, UNNEST(RANGE(0, w * h)) AS t2(p)),
+      per_clip AS (
+        SELECT doc_id, w,
+               COUNT(DISTINCT k) AS nk,
+               SUM(v) AS ls,
+               SUM(wt * v) AS ws
+        FROM px
+        GROUP BY doc_id, w)
+      SELECT CAST(c.w AS BIGINT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_clips,
+             CAST(SUM(c.nf) AS BIGINT) AS n_frames_total,
+             CAST(SUM(p.nk) AS BIGINT) AS n_frames_sampled,
+             CAST(SUM(p.ls) AS BIGINT) AS luma_sum,
+             CAST(SUM(p.ws) AS BIGINT) AS luma_wsum
+      FROM clips c JOIN per_clip p ON c.doc_id = p.doc_id
+      GROUP BY c.w
+      ORDER BY w
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + (id % 3) * 4).toInt
+        val h = 8
+        val nf = (id % 4 + 2).toInt
+        val bytes = Y4mCodec.encode(w, h, 30, 1,
+          (0 until nf).map(f => generateLuma(id, w, h, f)))
+        val clip = Y4mCodec.decode(bytes)
+        require(clip.width == w && clip.height == h,
+          s"Y4M geometry mismatch: ${clip.width}x${clip.height}")
+        var ls = 0L; var ws = 0L; var k = 0L
+        var f = 0
+        while (f < clip.frames.length) {
+          if (f % 2 == 0) {
+            val fr = clip.frames(f)
+            var p = 0
+            while (p < fr.length) {
+              val v = fr(p) & 0xff
+              ls += v
+              ws += (k * w * h + p) * v
+              p += 1
+            }
+            k += 1
+          }
+          f += 1
+        }
+        VideoStats(id, w.toLong, clip.frames.length.toLong, k, ls, ws)
+      })
+      .toDF()
+      .groupBy(col("w"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(col("n_frames_total")).as("n_frames_total"),
+        sum(col("n_frames_sampled")).as("n_frames_sampled"),
+        sum(col("luma_sum")).as("luma_sum"),
+        sum(col("luma_wsum")).as("luma_wsum"))
+      .orderBy(col("w"))
+  }
+
+  val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video)
 }

@@ -114,6 +114,51 @@ class CodecSpec extends AnyFunSuite {
     assert(Codecs.decodeAny(PpmStream.encode(Seq(img, img))).size === 2)
   }
 
+  test("Y4M round-trips mono frames exactly and keeps header geometry") {
+    for (nf <- Seq(1, 3, 5)) {
+      val frames = (0 until nf).map(f => Codecs.generateLuma(9L, 12, 8, f))
+      val clip = Codecs.Y4mCodec.decode(Codecs.Y4mCodec.encode(12, 8, 30, 1, frames))
+      assert(clip.width === 12 && clip.height === 8)
+      assert(clip.fpsNum === 30 && clip.fpsDen === 1)
+      assert(clip.frames.size === nf)
+      clip.frames.zip(frames).foreach { case (d, o) => assert(d.toSeq === o.toSeq) }
+    }
+  }
+
+  test("Y4M header tags parse in any order; unknown tags and FRAME params skip") {
+    val y = Array.tabulate(6)(i => (i * 7).toByte)
+    val bytes = ("YUV4MPEG2 F24:1 Xcolorrange=FULL H2 Cmono W3 A1:1\n" +
+      "FRAME Xtimecode=00\n").getBytes("US-ASCII") ++ y
+    val clip = Codecs.Y4mCodec.decode(bytes)
+    assert(clip.width === 3 && clip.height === 2)
+    assert(clip.fpsNum === 24)
+    assert(clip.frames.size === 1 && clip.frames.head.toSeq === y.toSeq)
+  }
+
+  test("Y4M C420 walks quarter-size chroma planes and returns luma") {
+    // 4x2 C420: 8 luma + 2+2 chroma per frame, two frames
+    val f1y = Array.tabulate(8)(i => i.toByte)
+    val f2y = Array.tabulate(8)(i => (100 + i).toByte)
+    val chroma = Array.fill(4)(0x80.toByte)
+    val bytes = "YUV4MPEG2 W4 H2 F25:1 C420jpeg\n".getBytes("US-ASCII") ++
+      "FRAME\n".getBytes("US-ASCII") ++ f1y ++ chroma ++
+      "FRAME\n".getBytes("US-ASCII") ++ f2y ++ chroma
+    val clip = Codecs.Y4mCodec.decode(bytes)
+    assert(clip.frames.size === 2)
+    assert(clip.frames(0).toSeq === f1y.toSeq)
+    assert(clip.frames(1).toSeq === f2y.toSeq) // chroma skip stayed in sync
+  }
+
+  test("Y4M rejects bad magic, truncated frames, and odd C420 geometry") {
+    assertThrows[IllegalArgumentException](
+      Codecs.Y4mCodec.decode("RIFF1234".getBytes("US-ASCII")))
+    val ok = Codecs.Y4mCodec.encode(4, 4, 30, 1, Seq(new Array[Byte](16)))
+    assertThrows[IllegalArgumentException](
+      Codecs.Y4mCodec.decode(ok.dropRight(1))) // truncated raster
+    assertThrows[IllegalArgumentException](Codecs.Y4mCodec.decode(
+      "YUV4MPEG2 W3 H2 F25:1 C420\nFRAME\n".getBytes("US-ASCII"))) // odd W
+  }
+
   test("WAV round-trips samples exactly for mono and stereo") {
     for (ch <- Seq(1, 2); n <- Seq(1, 7, 250)) {
       val clip = Codecs.generatePcm(37L, ch, n)
