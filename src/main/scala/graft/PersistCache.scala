@@ -25,13 +25,20 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
   *     shared context MUST call it (it is the only mechanism that frees
   *     the blocks, whatever this registry does);
   *   - one listener per SparkContext clears every slot attached to that
-  *     context at application end.
+  *     context at application end;
+  *   - a SESSION-COUNT BOUND (`spark.graft.persistcache.maxSessions`,
+  *     default 8): when a new session's slot would exceed it, the
+  *     least-recently-used slot is invalidated — so a service that
+  *     churns short-lived sessions without calling invalidate() leaks at
+  *     most maxSessions slots' worth of cache (and session objects)
+  *     rather than one per session forever.
   */
 object PersistCache {
 
   private final class Slot(val session: SparkSession) {
     val context: SparkContext = session.sparkContext
     val frames = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    @volatile var lastUsed: Long = System.nanoTime()
   }
 
   private val slots =
@@ -69,10 +76,13 @@ object PersistCache {
     * `build` (which should persist its result) and caches it.
     */
   def getOrElseUpdate(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val slot = slots.computeIfAbsent(idOf(spark), { _ =>
+    val id = idOf(spark)
+    val slot = slots.computeIfAbsent(id, { _ =>
       hookContext(spark.sparkContext)
       new Slot(spark)
     })
+    slot.lastUsed = System.nanoTime()
+    evictOverflow(spark, keep = id)
     slot.frames.get(key) match {
       case Some(df) => df
       case None =>
@@ -96,8 +106,37 @@ object PersistCache {
   def invalidate(spark: SparkSession): Unit = {
     val slot = slots.remove(idOf(spark))
     sessionIds.synchronized { sessionIds.remove(spark) }
-    if (slot != null) slot.frames.values.foreach { df =>
+    if (slot != null) release(slot)
+  }
+
+  private def release(slot: Slot): Unit = {
+    sessionIds.synchronized { sessionIds.remove(slot.session) }
+    slot.frames.values.foreach { df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+  }
+
+  /** Bound the slot count for shared-context services that churn
+    * sessions without calling invalidate(): beyond
+    * `spark.graft.persistcache.maxSessions` (default 8), the
+    * least-recently-used slots (never the caller's) are invalidated.
+    */
+  private def evictOverflow(spark: SparkSession, keep: String): Unit = {
+    val max = try spark.conf.get("spark.graft.persistcache.maxSessions", "8").toInt
+    catch { case _: NumberFormatException => 8 }
+    if (slots.size() > max) slots.synchronized {
+      while (slots.size() > max) {
+        var oldestId: String = null
+        var oldest: Slot = null
+        slots.forEach { (id, s) =>
+          if (id != keep && (oldest == null || s.lastUsed < oldest.lastUsed)) {
+            oldestId = id; oldest = s
+          }
+        }
+        if (oldestId == null) return
+        slots.remove(oldestId)
+        release(oldest)
+      }
     }
   }
 }

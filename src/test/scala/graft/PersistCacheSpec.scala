@@ -44,4 +44,29 @@ class PersistCacheSpec extends SparkSpec {
     get()
     assert(builds.get() === 2)
   }
+
+  test("slot count is bounded: LRU session slots evict past maxSessions") {
+    val Seq(s1, s2, s3) = Seq.fill(3)(spark.newSession())
+    Seq(s1, s2, s3).foreach(
+      _.conf.set("spark.graft.persistcache.maxSessions", "2"))
+    val builds = new AtomicInteger(0)
+    // distinct row count per build: identical plans would share ONE
+    // CacheManager entry across sessions and a later persist would
+    // re-cache what the eviction released
+    def get(s: org.apache.spark.sql.SparkSession) =
+      PersistCache.getOrElseUpdate(s, "spec#lru") {
+        s.range(10 + builds.incrementAndGet()).toDF().persist()
+      }
+    try {
+      val f1 = get(s1)
+      Thread.sleep(2); get(s2)
+      Thread.sleep(2); get(s3) // third slot under a bound of 2 → s1 evicts
+      // s1's frame was unpersisted by the eviction…
+      assert(f1.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+      // …and a re-get rebuilds it (slot gone)
+      val before = builds.get()
+      get(s1)
+      assert(builds.get() === before + 1)
+    } finally Seq(s1, s2, s3).foreach(PersistCache.invalidate)
+  }
 }
