@@ -133,6 +133,12 @@ object ClickHouseSql {
           sqlText.charAt(j) == '_' || sqlText.charAt(j) == '.')) j += 1
         out += Tok(sqlText.substring(i, j), i, j, depth)
         i = j
+      } else if (Character.isDigit(c)) {
+        var j = i + 1
+        while (j < n && (Character.isDigit(sqlText.charAt(j)) ||
+          sqlText.charAt(j) == '.')) j += 1
+        out += Tok(sqlText.substring(i, j), i, j, depth)
+        i = j
       } else {
         if (!Character.isWhitespace(c)) out += Tok(c.toString, i, i + 1, depth)
         i += 1
@@ -148,7 +154,8 @@ object ClickHouseSql {
     "group", "having", "order", "limit", "window", "union", "intersect",
     "except", "settings", "join", "inner", "left", "right", "full",
     "cross", "semi", "anti", "lateral", "as", "sample", "qualify",
-    "distribute", "cluster", "sort")
+    "distribute", "cluster", "sort", "from", "select", "by", "array",
+    "tablesample", "values", "with")
 
   private val clauseStart = Set("where", "group", "having", "order",
     "limit", "window", "union", "intersect", "except", "settings",
@@ -167,8 +174,13 @@ object ClickHouseSql {
     */
   def rewrite(sqlText: String, columnsOf: String => Seq[String]): String = {
     val l = sqlText.toLowerCase(java.util.Locale.ROOT)
-    if (!l.contains("final") && !l.contains("prewhere")) sqlText
-    else rewritePrewhere(rewriteFinal(sqlText, columnsOf))
+    var out = sqlText
+    if (l.contains("final")) out = rewriteFinal(out, columnsOf)
+    if (l.contains("array")) out = rewriteArrayJoin(out)
+    if (l.contains("sample")) out = rewriteSample(out)
+    if (l.contains("limit")) out = rewriteLimitBy(out)
+    if (l.contains("prewhere")) out = rewritePrewhere(out)
+    out
   }
 
   /** Expand every `FROM|JOIN <table> [AS] [alias] FINAL` whose table has
@@ -248,6 +260,186 @@ object ClickHouseSql {
           else s"any_value(${q(c)}) AS ${q(c)}"
         }.mkString(", ")
         s"(SELECT $sel FROM $table GROUP BY $keys)"
+    }
+  }
+
+  /** `[LEFT] ARRAY JOIN` as a clause (ClickHouse's explode):
+    *
+    *   - `ARRAY JOIN <expr> AS x` → `LATERAL VIEW [OUTER] explode(<expr>)
+    *     AS x` (a new column beside the source row, CH's aliased form);
+    *   - `ARRAY JOIN <col>` (bare column, no alias) → the relation
+    *     becomes `(SELECT * EXCEPT (col), explode[_outer](col) AS col
+    *     FROM <table>) AS <alias>` — ClickHouse REPLACES the array
+    *     column with its elements, and a LATERAL VIEW alias of the same
+    *     name would be ambiguous, so the rewrite replaces it too.
+    *
+    * Multiple comma-separated arrays (CH iterates them in lockstep) are
+    * not supported — the rewrite fails loudly rather than producing a
+    * cross product.
+    */
+  private def rewriteArrayJoin(sqlText: String): String = {
+    val ts = lex(sqlText)
+    val hit = ts.zipWithIndex.find { case (t, i) =>
+      t.lower == "array" && ts.lift(i + 1).exists(n =>
+        n.lower == "join" && n.depth == t.depth)
+    }
+    hit match {
+      case None => sqlText
+      case Some((aj, i)) =>
+        val d = aj.depth
+        val left = i > 0 && ts(i - 1).lower == "left" && ts(i - 1).depth == d
+        val start = if (left) ts(i - 1) else aj
+        // the array expression: tokens after JOIN until the next
+        // same-depth clause/join keyword or shallower depth
+        val stops = clauseStart ++ Set("join", "inner", "left", "right",
+          "full", "cross", "prewhere", "array", "on", "using")
+        val exprToks = ts.drop(i + 2).takeWhile(t =>
+          t.depth > d || (t.depth == d && !stops(t.lower)))
+        if (exprToks.isEmpty)
+          throw new IllegalArgumentException("ARRAY JOIN: missing array expression")
+        if (exprToks.exists(t => t.depth == d && t.text == ","))
+          throw new IllegalArgumentException(
+            "ARRAY JOIN over multiple arrays (lockstep iteration) is not supported")
+        val exprEnd = exprToks.last.end
+        val explodeFn = if (left) "explode_outer" else "explode"
+        val lateral = if (left) "LATERAL VIEW OUTER" else "LATERAL VIEW"
+        val asIdx = exprToks.lastIndexWhere(t => t.depth == d && t.lower == "as")
+        val replaced =
+          if (asIdx >= 0 && asIdx == exprToks.length - 2 && isIdent(exprToks.last)) {
+            // aliased form → LATERAL VIEW
+            val expr = sqlText.substring(exprToks.head.start, exprToks(asIdx).start).trim
+            val alias = exprToks.last.text
+            sqlText.substring(0, start.start) +
+              s"$lateral $explodeFn($expr) AS $alias" +
+              sqlText.substring(exprEnd)
+          } else if (exprToks.length == 1 && isIdent(exprToks.head)) {
+            // bare column → column-replacing subquery over the table ref
+            val colName = exprToks.head.text
+            // preceding relation: FROM|JOIN <table> [AS] [alias]
+            val before = ts.take(if (left) i - 1 else i)
+            val relEnd = before.length - 1
+            var relStart = relEnd
+            while (relStart > 0 && !Set("from", "join").contains(before(relStart - 1).lower))
+              relStart -= 1
+            if (relStart == 0 || !isIdent(before(relStart)))
+              throw new IllegalArgumentException(
+                "ARRAY JOIN on a bare column needs a named table to rewrite; " +
+                  "alias the array expression (ARRAY JOIN expr AS x) instead")
+            val table = before(relStart).text
+            val alias = before(relEnd).text match {
+              case a if !a.equalsIgnoreCase(table) && !a.equalsIgnoreCase("as") => a
+              case _ => norm(table)
+            }
+            sqlText.substring(0, before(relStart).start) +
+              s"(SELECT * EXCEPT ($colName), $explodeFn($colName) AS $colName " +
+              s"FROM $table) AS $alias" + sqlText.substring(exprEnd)
+          } else
+            throw new IllegalArgumentException(
+              "ARRAY JOIN on an expression needs an alias: ARRAY JOIN <expr> AS x")
+        rewriteArrayJoin(replaced)
+    }
+  }
+
+  /** `SAMPLE k` (fraction ≤ 1) / `SAMPLE n` (row count) after a table
+    * reference → `TABLESAMPLE (… PERCENT|ROWS) REPEATABLE (7)`.
+    * ClickHouse samples deterministically by the table's SAMPLE BY key;
+    * REPEATABLE gives run-to-run determinism (though not CH's exact
+    * row selection — no sampling key exists here). Spark's grammar puts
+    * TABLESAMPLE before the alias, so `t a SAMPLE k` swaps to
+    * `t TABLESAMPLE (…) a`.
+    */
+  private def rewriteSample(sqlText: String): String = {
+    val ts = lex(sqlText)
+    val hit = ts.zipWithIndex.find { case (t, i) =>
+      t.lower == "sample" && i > 0 && isIdent(ts(i - 1)) &&
+        ts(i - 1).depth == t.depth &&
+        ts.lift(i + 1).exists(n => n.depth == t.depth &&
+          Character.isDigit(n.text.charAt(0)))
+    }
+    hit match {
+      case None => sqlText
+      case Some((sm, i)) =>
+        val num = ts(i + 1)
+        val v = num.text.toDouble
+        val clause =
+          if (v <= 1.0) s"TABLESAMPLE (${v * 100} PERCENT) REPEATABLE (7)"
+          else s"TABLESAMPLE (${num.text} ROWS)"
+        // is the token before SAMPLE an alias (ident not preceded by
+        // FROM/JOIN)? then the sample clause must move before it
+        val prevIsAlias = i >= 2 && isIdent(ts(i - 2)) &&
+          !Set("from", "join").contains(ts(i - 2).lower) &&
+          (ts.lift(i - 3).exists(p => Set("from", "join").contains(p.lower)) ||
+            (i >= 3 && ts(i - 3).lower == "as"))
+        val replaced =
+          if (prevIsAlias)
+            sqlText.substring(0, ts(i - 1).start) + clause + " " +
+              ts(i - 1).text + sqlText.substring(num.end)
+          else
+            sqlText.substring(0, sm.start) + clause + sqlText.substring(num.end)
+        rewriteSample(replaced)
+    }
+  }
+
+  /** `LIMIT n BY c1, c2` (ClickHouse per-group row cap): wrap the query
+    * block with a ROW_NUMBER partitioned by the BY columns, ordered by
+    * the block's ORDER BY (arbitrary within group without one, exactly
+    * like ClickHouse), filter to n, and drop the helper column with
+    * `SELECT * EXCEPT`. A trailing plain `LIMIT m` stays on the outer
+    * query.
+    */
+  private def rewriteLimitBy(sqlText: String): String = {
+    val ts = lex(sqlText)
+    val hit = ts.zipWithIndex.find { case (t, i) =>
+      t.lower == "limit" &&
+        ts.lift(i + 1).exists(n => n.depth == t.depth &&
+          Character.isDigit(n.text.charAt(0))) &&
+        ts.lift(i + 2).exists(b => b.depth == t.depth && b.lower == "by")
+    }
+    hit match {
+      case None => sqlText
+      case Some((lim, i)) =>
+        val d = lim.depth
+        val n = ts(i + 1).text
+        // the BY column list: until next shallower token or same-depth
+        // LIMIT/clause keyword
+        val byToks = ts.drop(i + 3).takeWhile(t =>
+          t.depth > d || (t.depth == d && !clauseStart(t.lower) && t.lower != "limit"))
+        if (byToks.isEmpty)
+          throw new IllegalArgumentException("LIMIT n BY: missing column list")
+        val byEnd = byToks.last.end
+        val byCols = sqlText.substring(ts(i + 3).start, byEnd).trim
+        // enclosing block: nearest SELECT at this depth before LIMIT
+        val selIdx = ts.lastIndexWhere(t =>
+          t.depth == d && t.lower == "select", i)
+        if (selIdx < 0)
+          throw new IllegalArgumentException("LIMIT n BY: no enclosing SELECT")
+        val sel = ts(selIdx)
+        // the block's ORDER BY (between SELECT and LIMIT, same depth)
+        val ordIdx = ts.lastIndexWhere(t =>
+          t.depth == d && t.lower == "order", i)
+        val (bodyEnd, orderText) =
+          if (ordIdx > selIdx)
+            (ts(ordIdx).start,
+              " " + sqlText.substring(ts(ordIdx).start, lim.start).trim)
+          else (lim.start, "")
+        val windowOrder =
+          if (ordIdx > selIdx)
+            sqlText.substring(ts(ordIdx).start, lim.start).trim
+              .replaceAll("(?i)^order\\s+by", "ORDER BY")
+          else s"ORDER BY $byCols"
+        val body = sqlText.substring(sel.start, bodyEnd).trim
+        // append the rank column to the block's select list (before FROM)
+        val fromIdx = ts.indexWhere(t => t.depth == d && t.lower == "from", selIdx)
+        if (fromIdx < 0 || fromIdx > i)
+          throw new IllegalArgumentException("LIMIT n BY: no FROM in the block")
+        val fromOff = ts(fromIdx).start - sel.start
+        val bodyWithRank = body.substring(0, fromOff) +
+          s", ROW_NUMBER() OVER (PARTITION BY $byCols $windowOrder) AS __ch_lb " +
+          body.substring(fromOff)
+        val replaced = sqlText.substring(0, sel.start) +
+          s"SELECT * EXCEPT (__ch_lb) FROM ($bodyWithRank) __ch_lbq " +
+          s"WHERE __ch_lb <= $n" + orderText + sqlText.substring(byEnd)
+        rewriteLimitBy(replaced)
     }
   }
 

@@ -271,6 +271,69 @@ class ClickHouseDialectSpec extends SparkSpec {
     }
   }
 
+  test("ARRAY JOIN explodes: aliased expression and bare-column replacement") {
+    spark.sql("SELECT 1 AS id, array(10, 20) AS xs UNION ALL SELECT 2, array(30)")
+      .createOrReplaceTempView("aj_t")
+    // aliased form: new column beside the row
+    val aliased = ClickHouseSql.sql(spark,
+      "SELECT id, x FROM aj_t ARRAY JOIN xs AS x ORDER BY id, x")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(aliased === Seq((1, 10), (1, 20), (2, 30)))
+    // bare column: ClickHouse REPLACES xs with its elements
+    val bare = ClickHouseSql.sql(spark,
+      "SELECT id, xs FROM aj_t ARRAY JOIN xs ORDER BY id, xs")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(bare === Seq((1, 10), (1, 20), (2, 30)))
+    // LEFT ARRAY JOIN keeps empty-array rows with NULL
+    spark.sql("SELECT 1 AS id, array(10) AS xs UNION ALL SELECT 2, array()")
+      .createOrReplaceTempView("aj_e")
+    val left = ClickHouseSql.sql(spark,
+      "SELECT id, x FROM aj_e LEFT ARRAY JOIN xs AS x ORDER BY id")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+    assert(left === Seq((1, 10), (2, -1)))
+    // lockstep multi-array iteration is unsupported — loud, not wrong
+    assertThrows[IllegalArgumentException](ClickHouseSql.rewrite(
+      "SELECT 1 FROM t ARRAY JOIN a, b", _ => Seq("a", "b")))
+  }
+
+  test("LIMIT n BY keeps the first n rows per group") {
+    sf0001.orders.createOrReplaceTempView("lb_orders")
+    val got = ClickHouseSql.sql(spark, """
+      SELECT o_custkey, o_orderkey, o_totalprice FROM lb_orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2 BY o_custkey""")
+    // equivalent window formulation
+    val exp = spark.sql("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM lb_orders) WHERE rn <= 2
+      ORDER BY o_totalprice DESC, o_orderkey""")
+    assert(got.columns.toSeq === Seq("o_custkey", "o_orderkey", "o_totalprice"))
+    assert(got.collect().map(_.toSeq).toSeq === exp.collect().map(_.toSeq).toSeq)
+    // trailing plain LIMIT applies after the per-group cap
+    val capped = ClickHouseSql.sql(spark, """
+      SELECT o_custkey, o_orderkey FROM lb_orders
+      ORDER BY o_orderkey LIMIT 1 BY o_custkey LIMIT 5""")
+    assert(capped.count() === 5)
+  }
+
+  test("SAMPLE rewrites to deterministic TABLESAMPLE") {
+    sf0001.lineitem.createOrReplaceTempView("smp_li")
+    val total = sf0001.lineitem.count()
+    val frac = ClickHouseSql.sql(spark,
+      "SELECT COUNT(*) AS n FROM smp_li SAMPLE 0.2").head().getLong(0)
+    assert(frac > 0 && frac < total, s"$frac of $total")
+    // deterministic: same seed, same count
+    val again = ClickHouseSql.sql(spark,
+      "SELECT COUNT(*) AS n FROM smp_li SAMPLE 0.2").head().getLong(0)
+    assert(frac === again)
+    val rows = ClickHouseSql.sql(spark,
+      "SELECT COUNT(*) AS n FROM smp_li SAMPLE 100").head().getLong(0)
+    assert(rows === 100)
+  }
+
   test("FINAL inside a subquery and with an alias rewrites correctly") {
     sf0001.events.createOrReplaceTempView("events_ch2")
     ClickHouseSql.registerEngine("events_ch2",
