@@ -155,7 +155,7 @@ object ClickHouseSql {
     "except", "settings", "join", "inner", "left", "right", "full",
     "cross", "semi", "anti", "lateral", "as", "sample", "qualify",
     "distribute", "cluster", "sort", "from", "select", "by", "array",
-    "tablesample", "values", "with")
+    "tablesample", "values", "with", "global", "format")
 
   private val clauseStart = Set("where", "group", "having", "order",
     "limit", "window", "union", "intersect", "except", "settings",
@@ -180,7 +180,83 @@ object ClickHouseSql {
     if (l.contains("sample")) out = rewriteSample(out)
     if (l.contains("limit")) out = rewriteLimitBy(out)
     if (l.contains("prewhere")) out = rewritePrewhere(out)
+    if (l.contains("global")) out = stripGlobalJoin(out)
+    if (l.contains("settings")) out = stripSettings(out)
+    if (l.contains("format")) out = stripFormat(out)
     out
+  }
+
+  /** Drop `GLOBAL` before a join keyword. ClickHouse's GLOBAL is a
+    * distribution directive (ship the right side to every node — i.e. a
+    * broadcast); Spark picks broadcast vs shuffle from statistics/AQE,
+    * so the correct translation is to erase the keyword and let the
+    * planner decide.
+    */
+  private def stripGlobalJoin(sqlText: String): String = {
+    val joinish = Set("join", "inner", "left", "right", "full", "cross",
+      "semi", "anti")
+    val ts = lex(sqlText)
+    ts.zipWithIndex.find { case (t, i) =>
+      t.lower == "global" &&
+        ts.lift(i + 1).exists(n => n.depth == t.depth && joinish(n.lower))
+    } match {
+      case None => sqlText
+      case Some((g, i)) =>
+        stripGlobalJoin(
+          sqlText.substring(0, g.start) + sqlText.substring(ts(i + 1).start))
+    }
+  }
+
+  /** Drop a `SETTINGS k = v [, k = v …]` clause (per-query engine knobs:
+    * max_threads, join_algorithm, …). They tune ClickHouse's executor;
+    * Spark's equivalents are session confs, so the clause is erased
+    * rather than translated. Runs until the next same-depth `FORMAT`,
+    * a shallower token, or end of text.
+    */
+  private def stripSettings(sqlText: String): String = {
+    val ts = lex(sqlText)
+    ts.zipWithIndex.find { case (t, i) =>
+      t.lower == "settings" &&
+        // a real settings list follows: ident = …
+        ts.lift(i + 1).exists(n => n.depth == t.depth && isIdent(n)) &&
+        ts.lift(i + 2).exists(n => n.depth == t.depth && n.text == "=")
+    } match {
+      case None => sqlText
+      case Some((s, i)) =>
+        // literals lex to no token, so the clause ends at the next KEPT
+        // token's start (FORMAT / `;` / shallower), or end of text
+        val end = ts.drop(i + 1).find(t =>
+          t.depth < s.depth || (t.depth == s.depth &&
+            (t.lower == "format" || t.text == ";")))
+          .map(_.start).getOrElse(sqlText.length)
+        stripSettings(
+          sqlText.substring(0, s.start) + sqlText.substring(end))
+    }
+  }
+
+  /** Drop a trailing `FORMAT <name>` (ClickHouse output serialization:
+    * JSONEachRow, TabSeparated, Pretty, …). Result shape in Spark is the
+    * DataFrame; serialization belongs to the writer, so the clause is
+    * erased. Only matches at top level with the format name as the last
+    * token (optionally before `;`) — `format` as an identifier anywhere
+    * else passes through.
+    */
+  private def stripFormat(sqlText: String): String = {
+    val ts0 = lex(sqlText)
+    val ts = if (ts0.nonEmpty && ts0.last.text == ";") ts0.dropRight(1) else ts0
+    if (ts.length > 2 && ts.last.depth == 0 && isIdent(ts.last) &&
+      ts(ts.length - 2).lower == "format" && ts(ts.length - 2).depth == 0 &&
+      // not a relation named `format` (`FROM format j`, `JOIN format j`,
+      // `, format j`) — anything else trailing `FORMAT <name>` is the
+      // ClickHouse output clause (string literals lex to no token, so a
+      // whitelist of expression-enders would miss `= 'x' FORMAT JSON`)
+      {
+        val p = ts(ts.length - 3)
+        !Set("from", "join", "as").contains(p.lower) && p.text != ","
+      })
+      sqlText.substring(0, ts(ts.length - 2).start) +
+        sqlText.substring(ts.last.end)
+    else sqlText
   }
 
   /** Expand every `FROM|JOIN <table> [AS] [alias] FINAL` whose table has

@@ -346,4 +346,39 @@ class ClickHouseDialectSpec extends SparkSpec {
       .select(col("user_id"), col("event_type")).distinct().count()
     assert(got === exp)
   }
+
+  test("SETTINGS and FORMAT clauses are erased; GLOBAL join runs") {
+    def cols(t: String): Seq[String] = Seq("a", "b")
+    // trailing engine knobs + output format, both together and alone
+    assert(ClickHouseSql.rewrite(
+      "SELECT a FROM t SETTINGS max_threads = 4, join_algorithm = 'hash'",
+      cols).trim === "SELECT a FROM t")
+    assert(ClickHouseSql.rewrite(
+      "SELECT a FROM t FORMAT JSONEachRow", cols).trim === "SELECT a FROM t")
+    assert(ClickHouseSql.rewrite(
+      "SELECT a FROM t WHERE b = 'x' SETTINGS max_threads = 1 FORMAT Pretty;",
+      cols).replaceAll("\\s+", " ").trim === "SELECT a FROM t WHERE b = 'x' ;")
+    // a table literally named `format` keeps its ANSI reading
+    val tableNamedFormat = "SELECT a FROM format f"
+    assert(ClickHouseSql.rewrite(tableNamedFormat, cols) === tableNamedFormat)
+    // GLOBAL is a CH distribution hint — erased, Spark plans the join
+    sf0001.orders.createOrReplaceTempView("glb_o")
+    sf0001.customer.createOrReplaceTempView("glb_c")
+    val got = ClickHouseSql.sql(spark, """
+      SELECT COUNT(*) AS n FROM glb_o o
+      GLOBAL INNER JOIN glb_c c ON o.o_custkey = c.c_custkey
+      SETTINGS max_threads = 8""").head().getLong(0)
+    val exp = sf0001.orders.join(sf0001.customer,
+      col("o_custkey") === col("c_custkey")).count()
+    assert(got === exp)
+    // the full migration shape: every clause in one query
+    val e2e = ClickHouseSql.sql(spark, """
+      SELECT o_orderstatus, COUNT(*) AS n FROM glb_o
+      GLOBAL LEFT JOIN glb_c ON o_custkey = c_custkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+      LIMIT 1 BY o_orderstatus
+      SETTINGS join_algorithm = 'partial_merge' FORMAT TabSeparated""")
+    assert(e2e.count() === sf0001.orders
+      .select(col("o_orderstatus")).distinct().count())
+  }
 }
