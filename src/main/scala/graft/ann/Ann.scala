@@ -951,6 +951,106 @@ $pivots
       .orderBy(col("dim"))
   }
 
+  // embed_kmeans — the coarse quantizer exposed as a clustering operator:
+  // per-cluster population, inertia (sum of squared distances to the
+  // centroid), and radius — the diagnostics a pipeline reads to judge
+  // cluster balance before semantic dedup or IVF search trusts the
+  // partitioning. Training is the shared deterministic integer-grid
+  // Lloyd step (ivfCentroids, memoized — free when any IVF op already
+  // ran); per-row distances floor to integers before the row-order-
+  // independent BIGINT sum, so both engines agree exactly. Centroids
+  // broadcast; the corpus aggregates map-side to C rows — no shuffle of
+  // vectors at any scale.
+  val kmeansStats = Q(
+    "embed_kmeans",
+    Some(s"""
+      WITH ${ivfCtesSql(16, 4)},
+      ad AS (
+        SELECT vec_id, cid AS cell, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM (SELECT e.vec_id, c.cid, ${dist2Sql("e.qv", "c.cv")} AS dist
+              FROM qemb e, cents c))
+      SELECT cell, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(dist) AS BIGINT)) AS BIGINT) AS inertia_fp,
+             MAX(CAST(FLOOR(dist) AS BIGINT)) AS radius_fp
+      FROM ad WHERE rn = 1
+      GROUP BY cell
+      ORDER BY cell
+    """)
+  ) { t =>
+    val emb = ivfEmb(t)
+    val centroids = ivfCentroids(t, 16)
+    emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("cid"), dist2(col("qv"), col("cv")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("m.cid").as("cell"),
+        floor(col("m.dist")).cast(LongType).as("dq"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dq")).as("inertia_fp"),
+        max(col("dq")).as("radius_fp"))
+      .orderBy(col("cell"))
+  }
+
+  // dedup_semantic — SemDeDup-style semantic deduplication ("SemDeDup:
+  // Data-efficient learning at web-scale through semantic deduplication",
+  // Abbas et al. 2023): cluster the corpus with the trained coarse
+  // quantizer, then inside each cluster drop any vector whose cosine to
+  // an earlier-id cluster member exceeds the threshold. The cluster
+  // bounds the quadratic — pairwise work is per-cell, never corpus-wide,
+  // which is the published 100 TB recipe (vs dedup_embedding's
+  // hyperplane-LSH buckets: same product, different candidate generator).
+  // The corpus is twinned (vec_id + 1e6, exact copies) so planted
+  // duplicates exist: twins quantize identically, land in the same cell,
+  // and the original (smaller id) survives.
+  val semanticDedup = Q(
+    "dedup_semantic",
+    Some(s"""
+      WITH ${ivfCtesSql(16, 4)},
+      twins AS (
+        SELECT vec_id, embedding, qv FROM qemb
+        UNION ALL
+        SELECT vec_id + 1000000, embedding, qv FROM qemb),
+      tac AS (
+        SELECT vec_id, embedding, cid AS cell
+        FROM (SELECT vec_id, embedding, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM (SELECT e.vec_id, e.embedding, c.cid,
+                           ${dist2Sql("e.qv", "c.cv")} AS dist
+                    FROM twins e, cents c))
+        WHERE rn = 1),
+      dup AS (
+        SELECT DISTINCT a.vec_id
+        FROM tac a JOIN tac b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.99)
+      SELECT t.vec_id, t.cell,
+             CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM tac t LEFT JOIN dup d ON t.vec_id = d.vec_id
+      ORDER BY t.vec_id
+    """)
+  ) { t =>
+    val emb = ivfEmb(t)
+    val twins = emb.unionAll(emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("qv")))
+    val centroids = ivfCentroids(t, 16)
+    val assigned = twins.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        dist2(col("qv"), col("cv")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cell"),
+        first(col("embedding")).as("embedding"))
+    val dup = assigned.as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") &&
+        col("b.vec_id") < col("a.vec_id"))
+      .filter(round(cosine(col("a.embedding"), col("b.embedding")), 6) >= 0.99)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    assigned.join(dup.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
-    hybrid, ivfpqResidual, recallEval, dimStats)
+    hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup)
 }

@@ -655,7 +655,71 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // pipe_attrition — the attrition funnel of the cleaning pipeline: how
+  // many documents survive each successive gate (total → length →
+  // stopword-ratio → exact dedup). This is the observability report every
+  // corpus build publishes next to the cleaned data — without it a gate
+  // that silently drops 90% goes unnoticed. One scan, one aggregation
+  // row (conditional sums + a conditional distinct over the dedup key),
+  // exploded to a 4-row funnel — no per-stage rescans, so the cost at
+  // 100 TB is the cost of reading the corpus once. Gates mirror
+  // pipe_clean_corpus exactly, so the funnel explains that operator's
+  // output counts.
+  val attrition = Q(
+    "pipe_attrition",
+    Some("""
+      WITH feats AS (
+        SELECT doc_id, lang, text,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_words,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                   w -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], w))) AS n_stop
+        FROM documents),
+      funnel AS (
+        SELECT COUNT(*) AS total,
+               SUM(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END) AS after_len,
+               SUM(CASE WHEN n_words >= 20
+                         AND CAST(n_stop AS DOUBLE) / n_words >= 0.05
+                   THEN 1 ELSE 0 END) AS after_stop,
+               COUNT(DISTINCT CASE WHEN n_words >= 20
+                         AND CAST(n_stop AS DOUBLE) / n_words >= 0.05
+                   THEN lang || '|' || MD5(LOWER(text)) END) AS after_dedup
+        FROM feats)
+      SELECT CAST(ord AS BIGINT) AS ord, stage, n_docs FROM (
+        SELECT 0 AS ord, 'total' AS stage, CAST(total AS BIGINT) AS n_docs FROM funnel
+        UNION ALL SELECT 1, 'min_words', CAST(after_len AS BIGINT) FROM funnel
+        UNION ALL SELECT 2, 'stopword_ratio', CAST(after_stop AS BIGINT) FROM funnel
+        UNION ALL SELECT 3, 'exact_dedup', CAST(after_dedup AS BIGINT) FROM funnel)
+      ORDER BY ord
+    """)
+  ) { t =>
+    val ws = words(col("text"))
+    val feats = t.documents.select(col("lang"), col("text"),
+      size(ws).as("n_words"),
+      size(filter(ws, w => w.isin(stopwords: _*))).as("n_stop"))
+    val lenGate = col("n_words") >= 20
+    val stopGate = lenGate &&
+      col("n_stop").cast(DoubleType) / col("n_words") >= 0.05
+    feats.agg(
+      count(lit(1)).as("total"),
+      sum(when(lenGate, 1L).otherwise(0L)).as("after_len"),
+      sum(when(stopGate, 1L).otherwise(0L)).as("after_stop"),
+      countDistinct(when(stopGate, concat(col("lang"), lit("|"),
+        md5(lower(col("text")).cast("binary"))))).as("after_dedup"))
+      .select(explode(array(
+        struct(lit(0L).as("ord"), lit("total").as("stage"),
+          col("total").as("n_docs")),
+        struct(lit(1L).as("ord"), lit("min_words").as("stage"),
+          col("after_len").as("n_docs")),
+        struct(lit(2L).as("ord"), lit("stopword_ratio").as("stage"),
+          col("after_stop").as("n_docs")),
+        struct(lit(3L).as("ord"), lit("exact_dedup").as("stage"),
+          col("after_dedup").as("n_docs")))).as("f"))
+      .select(col("f.ord").as("ord"), col("f.stage").as("stage"),
+        col("f.n_docs").as("n_docs"))
+      .orderBy(col("ord"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
-    lmScore, mixSample, decontaminate)
+    lmScore, mixSample, decontaminate, attrition)
 }

@@ -107,4 +107,34 @@ class AnnSpec extends SparkSpec {
     assert(avgHits("pq") >= 4.0, s"pq ${avgHits("pq")}")
     assert(avgHits("ivfpq") >= 4.0, s"ivfpq ${avgHits("ivfpq")}")
   }
+
+  test("embed_kmeans: cells partition the corpus; radius bounds the mean") {
+    val rows = Ann.kmeansStats.build(sf0001).collect()
+    assert(rows.length === 16)
+    val corpus = sf0001.embeddings.count()
+    assert(rows.map(_.getAs[Long]("n")).sum === corpus)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val inertia = r.getAs[Long]("inertia_fp")
+      val radius = r.getAs[Long]("radius_fp")
+      assert(n >= 1 && inertia >= 0)
+      // max member distance can't be under the mean member distance
+      assert(radius * n >= inertia - n, s"cell ${r.getAs[Long]("cell")}")
+    }
+  }
+
+  test("dedup_semantic: planted twins dropped, originals kept, same cell") {
+    val rows = Ann.semanticDedup.build(sf0001).collect()
+    val corpus = sf0001.embeddings.count()
+    assert(rows.length === 2 * corpus)
+    val byId = rows.map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Long]("cell"), r.getAs[Long]("keep"))).toMap
+    (0L until corpus).foreach { id =>
+      val (cell, keep) = byId(id)
+      val (tcell, tkeep) = byId(id + 1000000L)
+      assert(keep === 1L, s"original $id must survive")
+      assert(tkeep === 0L, s"twin of $id must be dropped")
+      assert(cell === tcell, s"twin of $id must share its cluster")
+    }
+  }
 }

@@ -147,4 +147,16 @@ class TextSpec extends SparkSpec {
       assert(repBp >= 0 && repBp <= 10000)
     }
   }
+
+  test("pipe_attrition: monotone funnel that starts at the corpus size") {
+    val rows = TextOps.attrition.build(sf0001).collect()
+      .sortBy(_.getAs[Long]("ord"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      Seq("total", "min_words", "stopword_ratio", "exact_dedup"))
+    val counts = rows.map(_.getAs[Long]("n_docs")).toSeq
+    assert(counts.head === sf0001.documents.count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"each gate can only shrink the corpus: $counts")
+    assert(counts.last > 0, "the pipeline must not drop everything")
+  }
 }
