@@ -719,7 +719,62 @@ object TextOps {
       .orderBy(col("ord"))
   }
 
+  // pipe_pack_sequences — LM-pretraining sequence packing (the GPT-2/
+  // LLaMA recipe): per source, documents are concatenated in doc_id
+  // order and the token stream is chunked into fixed 2048-token
+  // sequences. Reports, per source, the packed-corpus shape a trainer
+  // needs: sequence count, documents that straddle a chunk boundary
+  // (their loss masks span two sequences), and tail padding. Offsets
+  // are a prefix sum — one window per source, so the packing
+  // parallelizes across sources and no token data moves; at 100 TB the
+  // same plan holds with range-partitioned windows inside a source.
+  // Integer token counts end-to-end — both engines agree exactly.
+  val packSequences = Q(
+    "pipe_pack_sequences",
+    Some("""
+      WITH toks AS (
+        SELECT source, doc_id,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tok
+        FROM documents),
+      offs AS (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+        FROM toks)
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(CEIL(CAST(SUM(n_tok) AS DOUBLE) / 2048) AS BIGINT) AS n_seqs,
+             CAST(SUM(CASE WHEN (cum_end - 1) // 2048 > (cum_end - n_tok) // 2048
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+             CAST(CAST(CEIL(CAST(SUM(n_tok) AS DOUBLE) / 2048) AS BIGINT) * 2048
+                  - SUM(n_tok) AS BIGINT) AS tail_padding
+      FROM offs
+      GROUP BY source
+      ORDER BY source
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seqLen = 2048L
+    t.documents
+      .select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("total_tokens"),
+        ceil(sum(col("n_tok")).cast(DoubleType) / seqLen).cast(LongType).as("n_seqs"),
+        sum(when((col("cum_end") - 1).divide(seqLen).cast(LongType) >
+          (col("cum_end") - col("n_tok")).divide(seqLen).cast(LongType), 1L)
+          .otherwise(0L)).cast(LongType).as("n_boundary_docs"))
+      .withColumn("tail_padding", (col("n_seqs") * seqLen - col("total_tokens")))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
-    lmScore, mixSample, decontaminate, attrition)
+    lmScore, mixSample, decontaminate, attrition, packSequences)
 }

@@ -159,4 +159,21 @@ class TextSpec extends SparkSpec {
       s"each gate can only shrink the corpus: $counts")
     assert(counts.last > 0, "the pipeline must not drop everything")
   }
+
+  test("pipe_pack_sequences: chunk math is internally consistent per source") {
+    val rows = TextOps.packSequences.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("total_tokens")
+      val nSeqs = r.getAs[Long]("n_seqs")
+      val pad = r.getAs[Long]("tail_padding")
+      val boundary = r.getAs[Long]("n_boundary_docs")
+      assert(nSeqs === (total + 2047) / 2048)
+      assert(pad === nSeqs * 2048 - total)
+      assert(boundary <= r.getAs[Long]("n_docs"))
+      // every interior chunk boundary is crossed by or lands between
+      // docs; crossings can't exceed the boundary count
+      assert(boundary <= nSeqs)
+    }
+  }
 }
