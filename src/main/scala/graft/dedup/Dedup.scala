@@ -293,19 +293,17 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
-  // dedup_minhash_lsh — MinHash signatures (k=16) banded into 4 bands of 4;
-  // docs sharing any band bucket are candidates; verified by signature
-  // agreement (estimated Jaccard ≥ 0.5). Bucket-join, never cartesian.
-  // Signatures come from the native codegen'd expression (graft_minhash);
-  // the PortableHash arithmetic is replicated exactly by the DuckDB oracle.
-  val minhashLsh = Q(
-    "dedup_minhash_lsh",
-    Some {
-      val al = PortableHash.coefASql(16)
-      val bl = PortableHash.coefBSql(16)
-      val shingleStr = "array_to_string(list_slice(ws, i, i + 2), ' ')"
-      s"""
-      WITH $corpusSql,
+  /** The MinHash signature → banding → candidate-pair CTE chain (corpus →
+    * words → shingle hashes → 16 permutations → 4 band buckets → distinct
+    * same-bucket pairs with both signatures), shared by the
+    * dedup_minhash_lsh and dedup_minhash_recall oracles so the candidate
+    * definition can never drift between detection and its evaluation.
+    */
+  private def minhashCandSql: String = {
+    val al = PortableHash.coefASql(16)
+    val bl = PortableHash.coefBSql(16)
+    val shingleStr = "array_to_string(list_slice(ws, i, i + 2), ' ')"
+    s"""$corpusSql,
       words AS (SELECT doc_id, list_filter(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
                    w -> w <> '') AS ws FROM corpus),
       sh AS (
@@ -325,7 +323,34 @@ object Dedup {
       cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sig AS sig1, b.sig AS sig2
         FROM banded a JOIN banded b
-          ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+          ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+  }
+
+  /** MinHash candidate pairs with both signatures (id1, id2, sig1, sig2) —
+    * the Spark twin of [[minhashCandSql]], shared by detection and recall
+    * evaluation.
+    */
+  private def minhashCands(t: Tables): DataFrame = {
+    val banded = minhashBanded(t)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+  }
+
+  // dedup_minhash_lsh — MinHash signatures (k=16) banded into 4 bands of 4;
+  // docs sharing any band bucket are candidates; verified by signature
+  // agreement (estimated Jaccard ≥ 0.5). Bucket-join, never cartesian.
+  // Signatures come from the native codegen'd expression (graft_minhash);
+  // the PortableHash arithmetic is replicated exactly by the DuckDB oracle.
+  val minhashLsh = Q(
+    "dedup_minhash_lsh",
+    Some {
+      s"""
+      WITH $minhashCandSql
       SELECT id1, id2,
              ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sig1, sig2),
                p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / 16.0, 4) AS est_jaccard
@@ -337,19 +362,81 @@ object Dedup {
     }
   ) { t =>
     val k = 16
-    val banded = minhashBanded(t)
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
-      .distinct()
-    cands
+    minhashCands(t)
       .select(col("id1"), col("id2"),
         round(size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
           m => m)).cast(DoubleType) / k, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // dedup_minhash_recall — estimation-quality gate for the MinHash family
+  // (the dedup twin of ann_recall): for every LSH-detected pair
+  // (signature-estimated Jaccard ≥ 0.5), compute the EXACT shingle-set
+  // Jaccard over the same shingle hashes and report estimate, truth, and
+  // error in integer basis points. A sketch that drifts (bad permutation
+  // constants, band bug) shows up here as a hard err_bp number before it
+  // silently over- or under-deletes a corpus. Exact co-occurrence is
+  // computed only for the candidate pairs — pairs × shingles, never
+  // corpus²— so the evaluation scales with what the detector emits.
+  val minhashRecall = Q(
+    "dedup_minhash_recall",
+    Some {
+      val shingleStr = "array_to_string(list_slice(ws, i, i + 2), ' ')"
+      s"""
+      WITH $minhashCandSql,
+      est AS (
+        SELECT id1, id2,
+               CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sig1, sig2),
+                 p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) * 625 AS BIGINT) AS est_bp
+        FROM cand),
+      det AS (SELECT id1, id2, est_bp FROM est WHERE est_bp >= 5000),
+      inv AS (
+        SELECT DISTINCT doc_id, ${PortableHash.wordHashSql(shingleStr)} AS h
+        FROM words, UNNEST(RANGE(1, GREATEST(LEN(ws) - 2, 1) + 1)) AS t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+      co AS (
+        SELECT d.id1, d.id2, COUNT(*) AS co
+        FROM det d
+        JOIN inv a ON a.doc_id = d.id1
+        JOIN inv b ON b.doc_id = d.id2 AND b.h = a.h
+        GROUP BY d.id1, d.id2)
+      SELECT d.id1, d.id2, d.est_bp,
+             CAST(COALESCE(co.co, 0) * 10000 //
+               (s1.n + s2.n - COALESCE(co.co, 0)) AS BIGINT) AS exact_bp,
+             CAST(ABS(d.est_bp - COALESCE(co.co, 0) * 10000 //
+               (s1.n + s2.n - COALESCE(co.co, 0))) AS BIGINT) AS err_bp
+      FROM det d
+      LEFT JOIN co ON co.id1 = d.id1 AND co.id2 = d.id2
+      JOIN sizes s1 ON s1.doc_id = d.id1
+      JOIN sizes s2 ON s2.doc_id = d.id2
+      ORDER BY d.id1, d.id2
+      """
+    }
+  ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
+    val det = minhashCands(t)
+      .select(col("id1"), col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          m => m)) * 625L).as("est_bp"))
+      .filter(col("est_bp") >= 5000L)
+    val inv = withTwins(t)
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"))).as("h"))
+      .distinct()
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = det.select(col("id1"), col("id2"))
+      .join(inv.select(col("doc_id").as("id1"), col("h")), "id1")
+      .join(inv.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("co"))
+    det
+      .join(co, Seq("id1", "id2"), "left")
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"), col("est_bp"),
+        expr("coalesce(co, 0) * 10000 div (n1 + n2 - coalesce(co, 0))").as("exact_bp"),
+        abs(col("est_bp") -
+          expr("coalesce(co, 0) * 10000 div (n1 + n2 - coalesce(co, 0))")).as("err_bp"))
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -1249,7 +1336,8 @@ object Dedup {
     "emb_lsh" -> (() => { embBucketed(t).count(); () }),
     "idf_bands" -> (() => { idfBanded(t).count(); () }))
 
-  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, simhashDedup,
-    simhashIdf, components, embeddingDedup, chunkDedup, applyDedup, urlDedup,
-    incremental, bloomDedup, trainCorpus, substringDedup, substringExtents)
+  val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
+    simhashDedup, simhashIdf, components, embeddingDedup, chunkDedup,
+    applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
+    substringDedup, substringExtents)
 }

@@ -149,4 +149,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out === Seq((1L, 3L, 10L), (2L, 1L, 10L), (4L, 1L, 12L)))
   }
+
+  test("minhash recall: planted twins estimated and verified as near-dups") {
+    val rows = Dedup.minhashRecall.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    val twinRows = rows.filter(r =>
+      r.getAs[Long]("id2") === r.getAs[Long]("id1") + 1000000L)
+    assert(twinRows.nonEmpty, "planted twin pairs must be detected")
+    twinRows.foreach { r =>
+      // a twin is the same doc minus 3 trailing words — true jaccard is
+      // high (shortest docs lose the most, ~2/3), and a healthy sketch
+      // estimates it within its k=16 noise
+      assert(r.getAs[Long]("exact_bp") >= 5000,
+        s"twin pair ${r.getAs[Long]("id1")}: exact ${r.getAs[Long]("exact_bp")}")
+      assert(r.getAs[Long]("err_bp") ===
+        math.abs(r.getAs[Long]("est_bp") - r.getAs[Long]("exact_bp")))
+    }
+    // corpus-level: the sketch must track truth — mean |error| within
+    // ~4 signature positions (4/16 = 2500 bp) over the detected set
+    val meanErr = rows.map(_.getAs[Long]("err_bp")).sum.toDouble / rows.length
+    assert(meanErr <= 2500, s"mean err $meanErr bp")
+  }
 }
