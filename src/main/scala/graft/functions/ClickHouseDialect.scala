@@ -136,7 +136,128 @@ object ClickHouseDialect {
     "plus" -> (args => Add(args.head, args(1))),
     "minus" -> (args => Subtract(args.head, args(1))),
     "multiply" -> (args => Multiply(args.head, args(1))),
-    "divide" -> (args => Divide(args.head, args(1))))
+    "divide" -> (args => Divide(args.head, args(1))),
+    // temporal names, second batch (migration long tail)
+    // CH default mode 0 = Sunday-start (date - (dayofweek-1)); Spark's
+    // trunc('week') is Monday-start and would silently shift six days a week
+    "toStartOfWeek" -> (args => DateSub(
+      Cast(one(args), org.apache.spark.sql.types.DateType),
+      Subtract(DayOfWeek(one(args)), Literal(1)))),
+    "toMonday" -> (args =>
+      Cast(TruncTimestamp(Literal("week"), one(args)),
+        org.apache.spark.sql.types.DateType)),
+    "toISOWeek" -> (args => WeekOfYear(one(args))),
+    "toDate32" -> (args => Cast(one(args), org.apache.spark.sql.types.DateType)),
+    "toDateTime" -> (args =>
+      Cast(one(args), org.apache.spark.sql.types.TimestampType)),
+    "addMonths" -> (args => new AddMonths(args.head, args(1))),
+    "subtractMonths" -> (args =>
+      new AddMonths(args.head, UnaryMinus(args(1)))),
+    "addHours" -> (args => TimestampAddInterval(args.head,
+      MultiplyDTInterval(Literal(java.time.Duration.ofHours(1)), args(1)))),
+    // CH `dateDiff('day', s, e)` is NOT mapped: Spark's parser grammar owns
+    // the name (TIMESTAMPDIFF alias) before the registry is consulted, and
+    // its unquoted form dateDiff(day, s, e) already has CH semantics.
+    "yesterday" -> (_ => DateSub(CurrentDate(None), Literal(1))),
+    // string names, second batch
+    "concatWithSeparator" -> (args => new ConcatWs(args)),
+    "arrayStringConcat" -> { args =>
+      val sep = if (args.length > 1) args(1) else Literal("")
+      ArrayJoin(args.head, sep, None)
+    },
+    "splitByChar" -> { args =>
+      if (!args.head.foldable)
+        throw new IllegalArgumentException(
+          "splitByChar requires a literal separator as its first argument")
+      StringSplit(args(1), Literal(
+        java.util.regex.Pattern.quote(String.valueOf(args.head.eval()))), Literal(-1))
+    },
+    // CH `extract(s, re)` is NOT mapped: Spark resolves `extract` to its
+    // EXTRACT(field FROM ts) builtin first (register() never shadows) —
+    // migrating users get regexp_extract. extractAll has no collision;
+    // CH takes the first subgroup when the pattern has one, else the
+    // whole match — mirrored by picking the group index from the pattern.
+    "extractAll" -> { args =>
+      if (!args(1).foldable)
+        throw new IllegalArgumentException(
+          "extractAll requires a literal pattern as its second argument")
+      val groups = java.util.regex.Pattern
+        .compile(String.valueOf(args(1).eval()))
+        .matcher("").groupCount()
+      RegExpExtractAll(args.head, args(1),
+        Literal(if (groups > 0) 1 else 0))
+    },
+    "tryBase64Decode" -> (args => new TryToBinary(one(args), Literal("base64"))),
+    "base64Encode" -> (args => Base64(one(args))),
+    "reverseUTF8" -> (args => Reverse(one(args))),
+    "repeat" -> (args => StringRepeat(args.head, args(1))),
+    // array names, second batch
+    // arrayCount must RESOLVE TO a higher-order function (Spark rejects a
+    // lambda argument whose function resolves to a wrapper like
+    // Size(ArrayFilter(…))), so the count is folded as an aggregate whose
+    // merge lambda reuses the caller's lambda variable by position
+    "arrayCount" -> { args =>
+      val pred = validateLambda(args.head)
+      val acc = UnresolvedNamedLambdaVariable(Seq("graft_acc"))
+      ArrayAggregate(args(1), Literal(0),
+        LambdaFunction(Add(acc, If(pred.function, Literal(1), Literal(0))),
+          acc +: pred.arguments),
+        LambdaFunction.identity)
+    },
+    "arrayExists" -> (args => ArrayExists(args(1), validateLambda(args.head))),
+    "arrayAll" -> (args => ArrayForAll(args(1), validateLambda(args.head))),
+    "arrayFilter" -> (args => ArrayFilter(args(1), validateLambda(args.head))),
+    "arrayMap" -> (args => ArrayTransform(args(1), validateLambda(args.head))),
+    "arraySum" -> (args => ArrayAggregate(
+      one(args), Literal(0L),
+      LambdaFunction(Add(UnresolvedNamedLambdaVariable(Seq("acc")),
+        UnresolvedNamedLambdaVariable(Seq("x"))),
+        Seq(UnresolvedNamedLambdaVariable(Seq("acc")),
+          UnresolvedNamedLambdaVariable(Seq("x")))),
+      LambdaFunction.identity)),
+    "arrayAvg" -> (args => Divide(
+      Cast(ArrayAggregate(
+        one(args), Literal(0L),
+        LambdaFunction(Add(UnresolvedNamedLambdaVariable(Seq("acc")),
+          UnresolvedNamedLambdaVariable(Seq("x"))),
+          Seq(UnresolvedNamedLambdaVariable(Seq("acc")),
+            UnresolvedNamedLambdaVariable(Seq("x")))),
+        LambdaFunction.identity), org.apache.spark.sql.types.DoubleType),
+      Cast(Size(one(args)), org.apache.spark.sql.types.DoubleType))),
+    // arrayCompact removes CONSECUTIVE duplicates (ClickHouse semantics —
+    // NOT distinct): keep element i iff i = 0 or it differs from i-1
+    "arrayCompact" -> { args =>
+      val arr = one(args)
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      ArrayFilter(arr, LambdaFunction(
+        Or(EqualTo(i, Literal(0)),
+          Not(EqualNullSafe(x, ElementAt(arr, i)))), // arr is 1-based: arr[i] is the predecessor of 0-based position i
+        Seq(x, i)))
+    },
+    "arrayFlatten" -> (args => Flatten(one(args))),
+    "arrayPushBack" -> (args => Concat(Seq(args.head,
+      CreateArray(Seq(args(1)))))),
+    "arrayPopBack" -> (args => Slice(args.head, Literal(1),
+      greatestZero(Subtract(Size(args.head), Literal(1))))),
+    "countEqual" -> (args => Size(ArrayFilter(args.head,
+      LambdaFunction(EqualTo(UnresolvedNamedLambdaVariable(Seq("x")), args(1)),
+        Seq(UnresolvedNamedLambdaVariable(Seq("x"))))))))
+
+  /** `greatest(0, e)` — keeps empty-array edge cases (arrayPopBack([]))
+    * total instead of erroring inside Slice.
+    */
+  private def greatestZero(e: Expression): Expression =
+    Greatest(Seq(Literal(0), e))
+
+  /** CH higher-order functions put the lambda FIRST (arrayMap(x -> …, a));
+    * Spark's resolver delivers it as a LambdaFunction expression already.
+    */
+  private def validateLambda(e: Expression): LambdaFunction = e match {
+    case l: LambdaFunction => l
+    case other => throw new IllegalArgumentException(
+      s"expected a lambda (x -> …) as the first argument, got $other")
+  }
 
   /** Register (or refresh) the dialect names on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -143,6 +143,59 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(r.getDouble(20) === 4.5)
   }
 
+  test("second-batch temporal, string, and array names from SQL text") {
+    // 2024-01-03 is a Wednesday: CH mode-0 week starts Sunday 2023-12-31
+    val r = spark.sql("""
+      SELECT CAST(toStartOfWeek(DATE'2024-01-03') AS STRING) AS sow,
+             CAST(toMonday(DATE'2024-01-03') AS STRING) AS mon,
+             toISOWeek(DATE'2024-01-03') AS isow,
+             dateDiff(day, DATE'2024-01-01', DATE'2024-01-31') AS dd,
+             concatWithSeparator('-', 'a', 'b', 'c') AS cws,
+             arrayStringConcat(array('x', 'y'), ',') AS asc_,
+             splitByChar('|', 'a|b|c') AS sbc,
+             extractAll('a1b22c', '[0-9]+') AS exa,
+             base64Encode('hi') AS b64,
+             repeat('ab', 3) AS rpt
+    """).head()
+    assert(r.getAs[String]("sow") === "2023-12-31")
+    assert(r.getAs[String]("mon") === "2024-01-01")
+    assert(r.getAs[Int]("isow") === 1)
+    assert(r.getAs[Int]("dd") === 30)
+    assert(r.getAs[String]("cws") === "a-b-c")
+    assert(r.getAs[String]("asc_") === "x,y")
+    assert(r.getSeq[String](r.fieldIndex("sbc")) === Seq("a", "b", "c"))
+    assert(r.getSeq[String](r.fieldIndex("exa")) === Seq("1", "22"))
+    assert(r.getAs[String]("b64") === "aGk=")
+    assert(r.getAs[String]("rpt") === "ababab")
+    val a = spark.sql("""
+      SELECT arrayCount(x -> x > 1, array(1, 2, 3)) AS ac,
+             arrayExists(x -> x = 2, array(1, 2)) AS ae,
+             arrayAll(x -> x > 0, array(1, 2)) AS aa,
+             arrayFilter(x -> x % 2 = 0, array(1, 2, 3, 4)) AS af,
+             arrayMap(x -> x * 10, array(1, 2)) AS am,
+             arraySum(array(1, 2, 3)) AS asum,
+             arrayAvg(array(2, 4)) AS aavg,
+             arrayCompact(array(1, 1, 2, 2, 1)) AS acomp,
+             arrayFlatten(array(array(1), array(2, 3))) AS afl,
+             arrayPushBack(array(1), 2) AS apb,
+             arrayPopBack(array(1, 2, 3)) AS apo,
+             countEqual(array(1, 2, 1), 1) AS ce
+    """).head()
+    assert(a.getAs[Int]("ac") === 2)
+    assert(a.getAs[Boolean]("ae") === true)
+    assert(a.getAs[Boolean]("aa") === true)
+    assert(a.getSeq[Int](a.fieldIndex("af")) === Seq(2, 4))
+    assert(a.getSeq[Int](a.fieldIndex("am")) === Seq(10, 20))
+    assert(a.getAs[Long]("asum") === 6L)
+    assert(a.getAs[Double]("aavg") === 3.0)
+    // CH arrayCompact: CONSECUTIVE dedup — the trailing 1 survives
+    assert(a.getSeq[Int](a.fieldIndex("acomp")) === Seq(1, 2, 1))
+    assert(a.getSeq[Int](a.fieldIndex("afl")) === Seq(1, 2, 3))
+    assert(a.getSeq[Int](a.fieldIndex("apb")) === Seq(1, 2))
+    assert(a.getSeq[Int](a.fieldIndex("apo")) === Seq(1, 2))
+    assert(a.getAs[Int]("ce") === 2)
+  }
+
   test("anyLast picks a value from SQL text") {
     val r = spark.sql(
       "SELECT anyLast(x) AS al FROM VALUES (1), (2), (3) AS t(x)").head()
