@@ -402,6 +402,274 @@ object Codecs {
     Pcm(channels, 8000, s)
   }
 
+  /** A decoded AVI clip: RGB frames plus the stream header geometry. */
+  final case class Avi(width: Int, height: Int, fps: Int,
+    frames: Vector[Raster])
+
+  /** AVI (RIFF 'AVI ') with uncompressed 24-bit DIB video — the second
+    * REAL video container beside Y4M, exercising the binary-chunked
+    * grammar family: nested LIST chunks (hdrl → avih + strl[strh/strf],
+    * movi → per-frame '00db'), unknown-chunk skip with word alignment
+    * (a JUNK pad chunk is always emitted so the skip path runs on every
+    * file), and the idx1 frame INDEX — the piece Y4M lacks. Frames are
+    * the BMP raster convention (bottom-up rows, BGR, 4-byte row pad)
+    * without the BITMAPFILEHEADER. [[frameAt]] seeks one frame through
+    * idx1 without touching the rest of movi — the random-access read
+    * a frame sampler wants from an indexed container.
+    */
+  object AviCodec {
+
+    private def rowSize(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+    private def putInt(b: Array[Byte], at: Int, v: Int): Unit = {
+      b(at) = v.toByte; b(at + 1) = (v >> 8).toByte
+      b(at + 2) = (v >> 16).toByte; b(at + 3) = (v >> 24).toByte
+    }
+    private def putShort(b: Array[Byte], at: Int, v: Int): Unit = {
+      b(at) = v.toByte; b(at + 1) = (v >> 8).toByte
+    }
+    private def getInt(b: Array[Byte], at: Int): Int =
+      (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
+        ((b(at + 2) & 0xff) << 16) | ((b(at + 3) & 0xff) << 24)
+
+    private def fourcc(b: Array[Byte], at: Int): String =
+      new String(b, at, 4, "US-ASCII")
+    private def putFourcc(b: Array[Byte], at: Int, s: String): Unit = {
+      val cs = s.getBytes("US-ASCII"); System.arraycopy(cs, 0, b, at, 4)
+    }
+
+    /** DIB frame payload: bottom-up, BGR, rows padded to 4 bytes (the
+      * BMP pixel-array convention, headerless inside '00db').
+      */
+    private def dibEncode(img: Raster): Array[Byte] = {
+      val rs = rowSize(img.width)
+      val out = new Array[Byte](rs * img.height)
+      var y = 0
+      while (y < img.height) {
+        val rowAt = (img.height - 1 - y) * rs
+        var x = 0
+        while (x < img.width) {
+          val p = (y * img.width + x) * 3
+          out(rowAt + x * 3) = img.rgb(p + 2)
+          out(rowAt + x * 3 + 1) = img.rgb(p + 1)
+          out(rowAt + x * 3 + 2) = img.rgb(p)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private def dibDecode(bytes: Array[Byte], at: Int, w: Int, h: Int): Raster = {
+      val rs = rowSize(w)
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val rowAt = at + (h - 1 - y) * rs
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          rgb(p) = bytes(rowAt + x * 3 + 2)
+          rgb(p + 1) = bytes(rowAt + x * 3 + 1)
+          rgb(p + 2) = bytes(rowAt + x * 3)
+          x += 1
+        }
+        y += 1
+      }
+      Raster(w, h, rgb)
+    }
+
+    def encode(fps: Int, frames: Seq[Raster]): Array[Byte] = {
+      require(frames.nonEmpty, "AVI needs at least one frame")
+      val w = frames.head.width; val h = frames.head.height
+      require(frames.forall(f => f.width == w && f.height == h),
+        "all frames must share geometry")
+      val frameBytes = rowSize(w) * h
+      val nf = frames.length
+      // sizes: LIST hdrl = 4('hdrl') + avih(8+56) + LIST strl(8 + 4 +
+      // strh(8+56) + strf(8+40))
+      val strlSize = 4 + 64 + 48
+      val hdrlSize = 4 + 64 + 8 + strlSize
+      val juknSize = 8 + 12                    // a 12-byte JUNK pad
+      val moviSize = 4 + nf * (8 + frameBytes)
+      val idxSize = 8 + nf * 16
+      val riffSize = 4 + (8 + hdrlSize) + juknSize + (8 + moviSize) + idxSize
+      val out = new Array[Byte](8 + riffSize)
+      var at = 0
+      putFourcc(out, 0, "RIFF"); putInt(out, 4, riffSize)
+      putFourcc(out, 8, "AVI "); at = 12
+      // LIST hdrl
+      putFourcc(out, at, "LIST"); putInt(out, at + 4, hdrlSize)
+      putFourcc(out, at + 8, "hdrl"); at += 12
+      // avih
+      putFourcc(out, at, "avih"); putInt(out, at + 4, 56); at += 8
+      putInt(out, at, 1000000 / fps)           // dwMicroSecPerFrame
+      putInt(out, at + 4, frameBytes * fps)    // dwMaxBytesPerSec
+      putInt(out, at + 16, nf)                 // dwTotalFrames
+      putInt(out, at + 24, 1)                  // dwStreams
+      putInt(out, at + 32, w); putInt(out, at + 36, h)
+      at += 56
+      // LIST strl
+      putFourcc(out, at, "LIST"); putInt(out, at + 4, strlSize)
+      putFourcc(out, at + 8, "strl"); at += 12
+      putFourcc(out, at, "strh"); putInt(out, at + 4, 56); at += 8
+      putFourcc(out, at, "vids"); putFourcc(out, at + 4, "DIB ")
+      putInt(out, at + 20, 1)                  // dwScale
+      putInt(out, at + 24, fps)                // dwRate
+      putInt(out, at + 32, nf)                 // dwLength
+      at += 56
+      putFourcc(out, at, "strf"); putInt(out, at + 4, 40); at += 8
+      putInt(out, at, 40)                      // biSize
+      putInt(out, at + 4, w); putInt(out, at + 8, h)
+      putShort(out, at + 12, 1)                // biPlanes
+      putShort(out, at + 14, 24)               // biBitCount
+      putInt(out, at + 16, 0)                  // BI_RGB
+      putInt(out, at + 20, frameBytes)         // biSizeImage
+      at += 40
+      // JUNK pad (alignment chunk real muxers emit; exercises skip)
+      putFourcc(out, at, "JUNK"); putInt(out, at + 4, 12); at += 20
+      // LIST movi
+      putFourcc(out, at, "LIST"); putInt(out, at + 4, moviSize)
+      putFourcc(out, at + 8, "movi")
+      val moviFcc = at + 8                     // idx1 offsets are relative here
+      at += 12
+      val offsets = new Array[Int](nf)
+      frames.zipWithIndex.foreach { case (f, i) =>
+        offsets(i) = at - moviFcc
+        putFourcc(out, at, "00db"); putInt(out, at + 4, frameBytes)
+        System.arraycopy(dibEncode(f), 0, out, at + 8, frameBytes)
+        at += 8 + frameBytes
+      }
+      // idx1
+      putFourcc(out, at, "idx1"); putInt(out, at + 4, nf * 16); at += 8
+      offsets.foreach { off =>
+        putFourcc(out, at, "00db")
+        putInt(out, at + 4, 0x10)              // AVIIF_KEYFRAME
+        putInt(out, at + 8, off)
+        putInt(out, at + 12, frameBytes)
+        at += 16
+      }
+      require(at == out.length, s"encoder desync: $at != ${out.length}")
+      out
+    }
+
+    /** Parsed top-level structure: geometry/rate from hdrl, the movi
+      * fourcc position, frame-chunk offsets found by the movi walk, and
+      * the idx1 entries (movi-relative offsets). decode() cross-checks
+      * walk vs index — a desynchronized index is a corrupt file.
+      */
+    private final case class Layout(w: Int, h: Int, fps: Int, nf: Int,
+      moviFcc: Int, walked: Vector[Int], idx: Vector[Int])
+
+    private def layout(bytes: Array[Byte], walkMovi: Boolean = true): Layout = {
+      def fail(msg: String) = throw new IllegalArgumentException(s"AVI: $msg")
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") fail("bad magic")
+      var w = -1; var h = -1; var fps = -1; var nf = -1
+      var moviFcc = -1
+      val walked = Vector.newBuilder[Int]
+      val idx = Vector.newBuilder[Int]
+      var haveIdx = false
+      var at = 12
+      val end = math.min(8L + getInt(bytes, 4), bytes.length.toLong).toInt
+      while (at + 8 <= end) {
+        val ck = fourcc(bytes, at)
+        val size = getInt(bytes, at + 4)
+        val body = at + 8
+        ck match {
+          case "LIST" =>
+            fourcc(bytes, body) match {
+              case "hdrl" =>
+                // walk the header list: avih then nested LIST strl
+                var ha = body + 4
+                val hend = body + size
+                while (ha + 8 <= hend) {
+                  val hck = fourcc(bytes, ha)
+                  val hsz = getInt(bytes, ha + 4)
+                  if (hck == "avih") {
+                    fps = 1000000 / math.max(getInt(bytes, ha + 8), 1)
+                    nf = getInt(bytes, ha + 8 + 16)
+                  } else if (hck == "LIST" &&
+                    fourcc(bytes, ha + 8) == "strl") {
+                    var sa = ha + 12
+                    val send = ha + 8 + hsz
+                    while (sa + 8 <= send) {
+                      val sck = fourcc(bytes, sa)
+                      val ssz = getInt(bytes, sa + 4)
+                      if (sck == "strh" &&
+                        fourcc(bytes, sa + 8) != "vids")
+                        fail(s"unsupported stream ${fourcc(bytes, sa + 8)}")
+                      if (sck == "strf") {
+                        w = getInt(bytes, sa + 8 + 4)
+                        h = getInt(bytes, sa + 8 + 8)
+                        val bpp = (bytes(sa + 8 + 14) & 0xff) |
+                          ((bytes(sa + 8 + 15) & 0xff) << 8)
+                        if (bpp != 24) fail(s"unsupported bpp $bpp")
+                        if (getInt(bytes, sa + 8 + 16) != 0)
+                          fail("compressed AVI unsupported")
+                      }
+                      sa += 8 + ssz + (ssz & 1)
+                    }
+                  }
+                  ha += 8 + hsz + (hsz & 1)
+                }
+              case "movi" =>
+                moviFcc = body
+                if (walkMovi) {
+                  var ma = body + 4
+                  val mend = body + size
+                  while (ma + 8 <= mend) {
+                    val mck = fourcc(bytes, ma)
+                    val msz = getInt(bytes, ma + 4)
+                    if (mck == "00db" || mck == "00dc") walked += ma - moviFcc
+                    ma += 8 + msz + (msz & 1)
+                  }
+                }
+              case _ => // INFO and friends: skipped
+            }
+          case "idx1" =>
+            haveIdx = true
+            var ia = body
+            val iend = body + size
+            while (ia + 16 <= iend) {
+              if (fourcc(bytes, ia) == "00db" || fourcc(bytes, ia) == "00dc")
+                idx += getInt(bytes, ia + 8)
+              ia += 16
+            }
+          case _ => // JUNK and unknown chunks: skipped with word alignment
+        }
+        at = body + size + (size & 1)
+      }
+      if (w <= 0 || h <= 0) fail("missing strf geometry")
+      if (moviFcc < 0) fail("no movi list")
+      val wk = walked.result(); val ix = idx.result()
+      if (walkMovi) {
+        if (nf >= 0 && wk.length != nf)
+          fail(s"avih says $nf frames, movi walk found ${wk.length}")
+        if (haveIdx && ix != wk)
+          fail(s"idx1 disagrees with the movi walk (${ix.length} vs ${wk.length} entries)")
+      }
+      Layout(w, h, fps, if (walkMovi) wk.length else ix.length, moviFcc, wk, ix)
+    }
+
+    def decode(bytes: Array[Byte]): Avi = {
+      val l = layout(bytes)
+      Avi(l.w, l.h, l.fps,
+        l.walked.map(off => dibDecode(bytes, l.moviFcc + off + 8, l.w, l.h)))
+    }
+
+    /** Random access: decode ONLY frame `k`, located through idx1 — the
+      * movi payload is never scanned (layout skips its inner walk), so
+      * seeking frame 900 of a 1000-frame file reads header + index +
+      * one frame, which is the point of an indexed container.
+      */
+    def frameAt(bytes: Array[Byte], k: Int): Raster = {
+      val l = layout(bytes, walkMovi = false)
+      require(k >= 0 && k < l.idx.length, s"frame $k of ${l.idx.length}")
+      dibDecode(bytes, l.moviFcc + l.idx(k) + 8, l.w, l.h)
+    }
+  }
+
   /** Sniff the container from magic bytes — the decode dispatch a real
     * media lake needs (payloads arrive as opaque binaries).
     */

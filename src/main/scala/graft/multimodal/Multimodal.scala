@@ -398,5 +398,95 @@ object Multimodal {
       .orderBy(col("w"))
   }
 
-  val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video)
+  final case class AviStats(media_id: Long, w: Long, n_frames_total: Long,
+    n_frames_sampled: Long, rgb_sum: Long, rgb_wsum: Long)
+
+  // mm_avi — the second REAL video container (RIFF AVI with uncompressed
+  // 24-bit DIB frames): nested LIST grammar (hdrl → avih/strl, movi),
+  // JUNK-chunk skip, and — the capability Y4M lacks — the idx1 frame
+  // index. Sampling is INDEX-DIRECTED: each sampled frame is fetched by
+  // AviCodec.frameAt through idx1 without scanning movi, the access
+  // pattern a production frame sampler uses on indexed containers
+  // (decode cost scales with frames *kept*, not stored). Statistics are
+  // exact RGB sums plus a position-weighted checksum keyed by sampled
+  // index k; the oracle replays every sampled byte from the generator,
+  // so a row-pad, BGR, bottom-up, or index off-by-one fails the gate.
+  val avi = Q(
+    "mm_avi",
+    Some("""
+      WITH clips AS (
+        SELECT doc_id, 4 + (doc_id % 4) * 3 AS w, 6 AS h, doc_id % 3 + 2 AS nf
+        FROM documents),
+      sampled AS (
+        SELECT doc_id, w, h, nf, f, f // 2 AS k
+        FROM clips, UNNEST(RANGE(0, nf)) AS t(f)
+        WHERE f % 2 = 0),
+      px AS (
+        SELECT doc_id, w, k,
+               (w * h * 3 * k) + p AS wt,
+               (doc_id * 7 + (f * w * h * 3 + p) * 13) % 251 AS v
+        FROM sampled, UNNEST(RANGE(0, w * h * 3)) AS t2(p)),
+      per_clip AS (
+        SELECT doc_id, w,
+               COUNT(DISTINCT k) AS nk,
+               SUM(v) AS rs,
+               SUM(wt * v) AS ws
+        FROM px
+        GROUP BY doc_id, w)
+      SELECT CAST(c.w AS BIGINT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_clips,
+             CAST(SUM(c.nf) AS BIGINT) AS n_frames_total,
+             CAST(SUM(p.nk) AS BIGINT) AS n_frames_sampled,
+             CAST(SUM(p.rs) AS BIGINT) AS rgb_sum,
+             CAST(SUM(p.ws) AS BIGINT) AS rgb_wsum
+      FROM clips c JOIN per_clip p ON c.doc_id = p.doc_id
+      GROUP BY c.w
+      ORDER BY w
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + (id % 4) * 3).toInt
+        val h = 6
+        val nf = (id % 3 + 2).toInt
+        val bytes = AviCodec.encode(25,
+          (0 until nf).map(f => generate(id, w, h, f)))
+        // total frame count from the container walk (validates avih/idx1)
+        val clip = AviCodec.decode(bytes)
+        require(clip.width == w && clip.height == h,
+          s"AVI geometry mismatch: ${clip.width}x${clip.height}")
+        var rs = 0L; var ws = 0L; var k = 0L
+        var f = 0
+        while (f < clip.frames.length) {
+          if (f % 2 == 0) {
+            // fetch through the index, not the walked vector — the
+            // random-access path is the one under test
+            val fr = AviCodec.frameAt(bytes, f)
+            var p = 0
+            while (p < fr.rgb.length) {
+              val v = fr.rgb(p) & 0xff
+              rs += v
+              ws += (k * w * h * 3 + p) * v
+              p += 1
+            }
+            k += 1
+          }
+          f += 1
+        }
+        AviStats(id, w.toLong, clip.frames.length.toLong, k, rs, ws)
+      })
+      .toDF()
+      .groupBy(col("w"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(col("n_frames_total")).as("n_frames_total"),
+        sum(col("n_frames_sampled")).as("n_frames_sampled"),
+        sum(col("rgb_sum")).as("rgb_sum"),
+        sum(col("rgb_wsum")).as("rgb_wsum"))
+      .orderBy(col("w"))
+  }
+
+  val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi)
 }

@@ -206,6 +206,52 @@ class CodecSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](WavCodec.decode(bytes.take(36)))
   }
 
+  test("AVI round-trips frames pixel-exactly, geometry from strf") {
+    import Codecs.AviCodec
+    val frames = (0 until 4).map(f => Codecs.generate(9L, 7, 5, f))
+    val bytes = AviCodec.encode(25, frames)
+    val back = AviCodec.decode(bytes)
+    assert(back.width === 7 && back.height === 5 && back.fps === 25)
+    assert(back.frames.length === 4)
+    back.frames.zip(frames).foreach { case (a, b) =>
+      assert(a.rgb.toSeq === b.rgb.toSeq)
+    }
+  }
+
+  test("AVI frameAt seeks through idx1 without a movi walk") {
+    import Codecs.AviCodec
+    val frames = (0 until 5).map(f => Codecs.generate(3L, 6, 4, f))
+    val bytes = AviCodec.encode(30, frames)
+    // each frame individually addressable, in any order
+    Seq(4, 0, 2).foreach { k =>
+      assert(AviCodec.frameAt(bytes, k).rgb.toSeq === frames(k).rgb.toSeq)
+    }
+    assertThrows[IllegalArgumentException](AviCodec.frameAt(bytes, 5))
+  }
+
+  test("AVI decoder rejects desynchronized idx1 and frame-count lies") {
+    import Codecs.AviCodec
+    val bytes = AviCodec.encode(25, (0 until 3).map(f => Codecs.generate(2L, 4, 4, f)))
+    // corrupt the LAST idx1 entry's offset field (idx1 sits at the tail:
+    // 16 bytes per entry, offset lives at entry + 8)
+    val badIdx = bytes.clone()
+    badIdx(badIdx.length - 8) = (badIdx(badIdx.length - 8) + 4).toByte
+    assertThrows[IllegalArgumentException](AviCodec.decode(badIdx))
+    // lie in avih dwTotalFrames (offset: RIFF 12 + LIST hdr 12 + avih 8 + 16)
+    val badCount = bytes.clone()
+    badCount(12 + 12 + 8 + 16) = 9
+    assertThrows[IllegalArgumentException](AviCodec.decode(badCount))
+    // bpp != 24 in strf is refused loudly
+    val bad16 = bytes.clone()
+    val strfAt = {
+      // locate 'strf' by scan (test-side only)
+      val s = new String(bad16, "ISO-8859-1").indexOf("strf")
+      require(s > 0); s
+    }
+    bad16(strfAt + 8 + 14) = 16
+    assertThrows[IllegalArgumentException](AviCodec.decode(bad16))
+  }
+
   test("nearest-neighbor resize: identity at same dims, correct floor mapping") {
     val img = Codecs.generate(8L, 10, 6)
     assert(Codecs.resizeNearest(img, 10, 6).rgb.toSeq === img.rgb.toSeq)
