@@ -21,6 +21,7 @@ object SparkEntry {
       graft.operators.MergeTree.all ++
       graft.sbom.Sbom.all ++
       graft.text.TextOps.all ++
+      graft.text.CurationOps.all ++
       graft.dedup.Dedup.all ++
       graft.ann.Ann.all ++
       graft.multimodal.Multimodal.all

@@ -1,0 +1,203 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Corpus-curation reports (SURVEY.md §2c): the governance surface a
+  * training-data pipeline publishes next to the cleaned corpus —
+  * train/eval split integrity, cross-source contamination, and
+  * content-novelty attribution.
+  *
+  * All three are hash-keyed aggregations: shingles travel as the 8-byte
+  * span hashes of the codegen'd `graft_shingles` expression (never as
+  * strings), and every join is either keyed on those hashes or a
+  * broadcast of a per-source summary ≤ |sources| rows — so each plan is
+  * one narrow scan plus hash-partitioned shuffles that scale linearly
+  * with corpus bytes at 100 TB. The DuckDB oracles run the same algebra
+  * over shingle *strings* (the established mirror convention of
+  * dedup_ngram_jaccard: identical equality classes, collision odds
+  * ~2^-64 per pair).
+  */
+object CurationOps {
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** DuckDB fragment: per-document distinct 3-token shingles, mirroring
+    * graft_shingles' window layout (full windows for ≥3 tokens; one
+    * whole-document shingle for shorter non-empty docs).
+    */
+  private val shinglesSql: String =
+    """toks AS (
+        SELECT doc_id, source, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS w
+        FROM documents),
+      wins AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS sh
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(w) - 2,
+               CASE WHEN LEN(w) > 0 THEN 1 ELSE 0 END) + 1)) AS t(i))"""
+
+  // pipe_eval_split — deterministic stratified train/valid/test split
+  // (90/5/5 by the Knuth multiplicative hash of doc_id, the same family
+  // pipe_mix_sample ranks with) plus the report that makes a split
+  // publishable: per (source, split) document/token counts and a LEAK
+  // column — documents whose exact content (lang|md5 of lowercased text)
+  // also appears in a DIFFERENT split. Split leakage is the classic
+  // eval-inflation bug: byte-identical docs landing in both train and
+  // test make benchmark numbers meaningless. The leak set is derived with
+  // one hash-keyed aggregation (content hash → distinct splits) and
+  // joined back as a broadcast (dup groups are rare by construction), so
+  // the corpus is scanned once and never shuffled as text.
+  val evalSplit = Q(
+    "pipe_eval_split",
+    Some("""
+      WITH assigned AS (
+        SELECT source, doc_id,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tok,
+               MD5(LOWER(text)) AS h,
+               CASE WHEN (doc_id * 2654435761) % 2147483648 % 100 < 90 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 2147483648 % 100 < 95 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents),
+      leaky AS (
+        SELECT h FROM assigned GROUP BY h HAVING COUNT(DISTINCT split) > 1)
+      SELECT a.source, a.split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(a.n_tok) AS BIGINT) AS n_tokens,
+             CAST(COUNT(l.h) AS BIGINT) AS n_leaked
+      FROM assigned a LEFT JOIN leaky l ON l.h = a.h
+      GROUP BY a.source, a.split
+      ORDER BY a.source, a.split
+    """)
+  ) { t =>
+    val bucket = (col("doc_id") * 2654435761L) % 2147483648L % 100L
+    val assigned = t.documents.select(
+      col("source"),
+      size(words(col("text"))).cast(LongType).as("n_tok"),
+      md5(lower(col("text")).cast("binary")).as("h"),
+      when(bucket < 90, "train").when(bucket < 95, "valid")
+        .otherwise("test").as("split"))
+    val leaky = assigned.groupBy(col("h"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .select(col("h"), lit(1).as("leak"))
+    assigned.join(broadcast(leaky), Seq("h"), "left")
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("n_tokens"),
+        count(col("leak")).as("n_leaked"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  // dedup_cross_source — the cross-source contamination matrix: for every
+  // pair of sources, how many distinct 3-token shingles they share, and
+  // the shingle-Jaccard overlap in integer basis points. This is the
+  // provenance report that tells a corpus owner WHICH feeds duplicate
+  // each other (crawl-vs-crawl overlap, a mirror site, a re-crawled
+  // dump) before any per-document dedup decision. The self-join is keyed
+  // on the shingle hash, and a shingle seen by k sources contributes
+  // k(k-1)/2 pairs with k ≤ |sources| — bounded fan-out per key, so the
+  // matrix costs one aggregation over (source, shingle) pairs at any
+  // corpus size. Per-source totals (≤ |sources| rows) broadcast back for
+  // the Jaccard denominator.
+  val crossSource = Q(
+    "dedup_cross_source",
+    Some(s"""
+      WITH $shinglesSql,
+      src_sh AS (SELECT DISTINCT source, sh FROM wins),
+      totals AS (SELECT source, COUNT(*) AS n_sh FROM src_sh GROUP BY source),
+      shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM src_sh a JOIN src_sh b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT s.source_a, s.source_b,
+             CAST(s.n_shared AS BIGINT) AS n_shared,
+             CAST(s.n_shared * 10000 // (ta.n_sh + tb.n_sh - s.n_shared) AS BIGINT)
+               AS overlap_bp
+      FROM shared s
+      JOIN totals ta ON ta.source = s.source_a
+      JOIN totals tb ON tb.source = s.source_b
+      ORDER BY s.source_a, s.source_b
+    """)
+  ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
+    val srcSh = t.documents
+      .select(col("source"),
+        explode(call_function("graft_shingles", col("text"))).as("sh"))
+      .distinct()
+    val totals = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val shared = srcSh.toDF("source_a", "sh")
+      .join(srcSh.toDF("source_b", "sh2"),
+        col("sh") === col("sh2") && col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(totals.toDF("source_a", "n_sh_a")), "source_a")
+      .join(broadcast(totals.toDF("source_b", "n_sh_b")), "source_b")
+      .select(col("source_a"), col("source_b"),
+        col("n_shared").cast(LongType).as("n_shared"),
+        expr("n_shared * 10000 div (n_sh_a + n_sh_b - n_shared)")
+          .cast(LongType).as("overlap_bp"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // text_novelty — first-occurrence content-novelty attribution: treating
+  // doc_id as ingest order, a document's novelty is the fraction of its
+  // distinct 3-token shingles never seen in ANY earlier document. The
+  // per-source rollup is the diminishing-returns curve of data curation —
+  // it says which feeds still contribute new content and which only
+  // re-tread the corpus (the signal behind de-prioritizing a crawl). The
+  // global first-sighting is one min-aggregation keyed on the shingle
+  // hash; joining it back to the per-document shingle stream is the same
+  // hash-keyed shuffle, so the cost is two linear passes over the shingle
+  // stream regardless of corpus size. Integer basis points end-to-end.
+  val novelty = Q(
+    "text_novelty",
+    Some(s"""
+      WITH $shinglesSql,
+      first_seen AS (
+        SELECT sh, MIN(doc_id) AS first_id FROM wins GROUP BY sh),
+      per_doc AS (
+        SELECT w.source, w.doc_id,
+               COUNT(*) AS n_sh,
+               SUM(CASE WHEN f.first_id = w.doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM wins w JOIN first_seen f ON f.sh = w.sh
+        GROUP BY w.source, w.doc_id)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+             CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+             CAST(SUM(n_novel) * 10000 // SUM(n_sh) AS BIGINT) AS novelty_bp,
+             CAST(COUNT(CASE WHEN n_novel = 0 THEN 1 END) AS BIGINT) AS n_zero_novel
+      FROM per_doc
+      GROUP BY source
+      ORDER BY source
+    """)
+  ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
+    val wins = t.documents
+      .select(col("source"), col("doc_id"),
+        explode(call_function("graft_shingles", col("text"))).as("sh"))
+      .distinct()
+    val firstSeen = wins.groupBy(col("sh")).agg(min(col("doc_id")).as("first_id"))
+    val perDoc = wins.join(firstSeen, Seq("sh"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    perDoc.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).cast(LongType).as("n_shingles"),
+        sum(col("n_novel")).cast(LongType).as("n_novel"),
+        expr("sum(n_novel) * 10000 div sum(n_sh)")
+          .cast(LongType).as("novelty_bp"),
+        count(when(col("n_novel") === 0, 1)).as("n_zero_novel"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[Q] = Seq(evalSplit, crossSource, novelty)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.text.CurationOps
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("pipe_eval_split: splits partition the corpus and leaks are cross-split dup groups") {
+    val rows = CurationOps.evalSplit.build(sf0001).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === sf0001.documents.count())
+    // every (source, split) row belongs to the fixed split set and the
+    // 90/5/5 hash split makes train strictly dominant per source
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")))
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, rs) =>
+      val m = rs.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+      assert(m.getOrElse("train", 0L) > m.getOrElse("valid", 0L))
+      assert(m.getOrElse("train", 0L) > m.getOrElse("test", 0L))
+    }
+    // a doc leaked in one split implies its twin is counted in another:
+    // leaks can never be confined to a single split overall
+    val leakedSplits = rows.filter(_.getAs[Long]("n_leaked") > 0)
+      .map(_.getAs[String]("split")).toSet
+    assert(leakedSplits.isEmpty || leakedSplits.size >= 2)
+  }
+
+  test("pipe_eval_split: planted cross-split duplicate is flagged in both splits") {
+    import spark.implicits._
+    // doc ids 0 and 13 land in different splits under the Knuth hash;
+    // give them identical text and both must count as leaked
+    def bucket(id: Long): Long = id * 2654435761L % 2147483648L % 100L
+    val id2 = (1L to 200L).find(i => (bucket(i) < 90) != (bucket(0L) < 90)).get
+    val docs = Seq(
+      (0L, "alpha beta gamma", "s1", "en"),
+      (id2, "ALPHA BETA GAMMA", "s1", "en"), // case-insensitive dup
+      (2L, "wholly unrelated content", "s2", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("curation-planted").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CurationOps.evalSplit.build(Tables(spark, dir)).collect()
+    assert(rows.map(_.getAs[Long]("n_leaked")).sum === 2L)
+    assert(rows.filter(_.getAs[Long]("n_leaked") > 0)
+      .map(_.getAs[String]("split")).toSet.size === 2)
+  }
+
+  test("dedup_cross_source: pairs are ordered, bounded, and overlap_bp is a valid jaccard") {
+    val rows = CurationOps.crossSource.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    val nSources = sf0001.documents.select("source").distinct().count()
+    assert(rows.length <= nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      val bp = r.getAs[Long]("overlap_bp")
+      assert(bp >= 0 && bp <= 10000)
+      assert(r.getAs[Long]("n_shared") > 0)
+    }
+  }
+
+  test("text_novelty: novel shingle totals equal the distinct corpus shingle count") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = CurationOps.novelty.build(sf0001).collect()
+    val totalNovel = rows.map(_.getAs[Long]("n_novel")).sum
+    val distinctShingles = sf0001.documents
+      .select(explode(call_function("graft_shingles", col("text"))).as("sh"))
+      .distinct().count()
+    // every distinct shingle is novel exactly once — in its first document
+    assert(totalNovel === distinctShingles)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("novelty_bp") >= 0 && r.getAs[Long]("novelty_bp") <= 10000)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+    }
+  }
+}
