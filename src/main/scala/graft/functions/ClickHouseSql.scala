@@ -180,6 +180,9 @@ object ClickHouseSql {
     if (l.contains("sample")) out = rewriteSample(out)
     if (l.contains("limit")) out = rewriteLimitBy(out)
     if (l.contains("prewhere")) out = rewritePrewhere(out)
+    if (l.contains("except") || l.contains("replace"))
+      out = rewriteStarModifiers(out, columnsOf)
+    if (l.contains("any")) out = rewriteAnyJoin(out, columnsOf)
     if (l.contains("global")) out = stripGlobalJoin(out)
     if (l.contains("settings")) out = stripSettings(out)
     if (l.contains("format")) out = stripFormat(out)
@@ -516,6 +519,199 @@ object ClickHouseSql {
           s"SELECT * EXCEPT (__ch_lb) FROM ($bodyWithRank) __ch_lbq " +
           s"WHERE __ch_lb <= $n" + orderText + sqlText.substring(byEnd)
         rewriteLimitBy(replaced)
+    }
+  }
+
+  /** ClickHouse star modifiers. `SELECT * EXCEPT (a, b)` is Spark-native
+    * and passes through; this handles the two CH spellings Spark lacks:
+    *
+    *   - parenless single-column `* EXCEPT c` → `* EXCEPT (c)`;
+    *   - `* [EXCEPT (…)] REPLACE (expr AS col, …)` → the star expanded to
+    *     the FROM table's explicit column list with each replaced column
+    *     rewritten as `expr AS col` IN PLACE (CH keeps the column's
+    *     position and name).
+    *
+    * The REPLACE expansion needs the star's source schema, so it only
+    * fires for a single-table FROM (no joins/subqueries at that depth) —
+    * anything else fails loudly rather than expanding the wrong schema.
+    * The star must be a select item (preceded by SELECT or a comma), so
+    * `a * replace(b, 'x', 'y')` — multiplication by the scalar function —
+    * is untouched.
+    */
+  private def rewriteStarModifiers(sqlText: String,
+    columnsOf: String => Seq[String]): String = {
+    val ts = lex(sqlText)
+    def q(c: String) = "`" + c.stripPrefix("`").stripSuffix("`") + "`"
+    val hit = ts.zipWithIndex.find { case (t, i) =>
+      t.text == "*" &&
+        (i > 0 && { val p = ts(i - 1); p.lower == "select" || p.text == "," }) &&
+        ts.lift(i + 1).exists { n =>
+          n.depth == t.depth &&
+            ((n.lower == "except" &&
+              // parenless EXCEPT: next token is a bare identifier
+              ts.lift(i + 2).exists(c => c.depth == t.depth && isIdent(c))) ||
+              (n.lower == "replace" &&
+                ts.lift(i + 2).exists(p => p.text == "(" && p.depth == t.depth)))
+        }
+    }
+    val hit2 = hit.orElse {
+      // * EXCEPT (…) REPLACE (…): the Spark-native EXCEPT followed by a
+      // REPLACE list still needs the full expansion
+      ts.zipWithIndex.find { case (t, i) =>
+        t.text == "*" &&
+          (i > 0 && { val p = ts(i - 1); p.lower == "select" || p.text == "," }) &&
+          ts.lift(i + 1).exists(n => n.lower == "except" && n.depth == t.depth) &&
+          ts.lift(i + 2).exists(p => p.text == "(" && p.depth == t.depth) && {
+            val close = ts.indexWhere(x => x.text == ")" && x.depth == t.depth, i + 2)
+            close > 0 && ts.lift(close + 1).exists(r =>
+              r.lower == "replace" && r.depth == t.depth)
+          }
+      }
+    }
+    hit2 match {
+      case None => sqlText
+      case Some((star, i)) =>
+        val d = star.depth
+        // parse EXCEPT list (parenless or parenthesized)
+        var j = i + 1
+        var excluded = Set.empty[String]
+        if (ts.lift(j).exists(_.lower == "except")) {
+          if (ts.lift(j + 1).exists(p => p.text == "(" && p.depth == d)) {
+            val close = ts.indexWhere(x => x.text == ")" && x.depth == d, j + 1)
+            excluded = ts.slice(j + 2, close).filter(isIdent)
+              .map(_.text.toLowerCase(java.util.Locale.ROOT)).toSet
+            j = close + 1
+          } else {
+            excluded = Set(ts(j + 1).text.toLowerCase(java.util.Locale.ROOT))
+            j = j + 2
+          }
+        }
+        val hasReplace = ts.lift(j).exists(r =>
+          r.lower == "replace" && r.depth == d &&
+            ts.lift(j + 1).exists(p => p.text == "(" && p.depth == d))
+        if (!hasReplace) {
+          // parenless EXCEPT only → parenthesize for Spark
+          val exceptTok = ts(i + 1)
+          val colTok = ts(i + 2)
+          return rewriteStarModifiers(
+            sqlText.substring(0, exceptTok.start) +
+              s"EXCEPT (${colTok.text})" + sqlText.substring(colTok.end),
+            columnsOf)
+        }
+        // REPLACE list: top-level comma-split `expr AS col` items
+        val open = j + 1
+        val close = ts.indexWhere(x => x.text == ")" && x.depth == d, open)
+        if (close < 0)
+          throw new IllegalArgumentException("* REPLACE: unclosed list")
+        val inner = ts.slice(open + 1, close)
+        val items = {
+          val buf = Vector.newBuilder[Vector[Tok]]
+          var cur = Vector.empty[Tok]
+          inner.foreach { t =>
+            if (t.text == "," && t.depth == d + 1) { buf += cur; cur = Vector.empty }
+            else cur = cur :+ t
+          }
+          buf += cur
+          buf.result()
+        }
+        val replacements: Map[String, String] = items.map { item =>
+          val asIdx = item.lastIndexWhere(t => t.depth == d + 1 && t.lower == "as")
+          if (asIdx < 0 || asIdx != item.length - 2 || !isIdent(item.last))
+            throw new IllegalArgumentException(
+              "* REPLACE items must be `expr AS column`")
+          val exprText =
+            sqlText.substring(item.head.start, item(asIdx).start).trim
+          item.last.text.toLowerCase(java.util.Locale.ROOT) -> exprText
+        }.toMap
+        // the star's source: single plain table in the block's FROM
+        val fromIdx = ts.indexWhere(t => t.depth == d && t.lower == "from", i)
+        if (fromIdx < 0 || !ts.lift(fromIdx + 1).exists(isIdent) ||
+          ts(fromIdx + 1).depth != d)
+          throw new IllegalArgumentException(
+            "* REPLACE needs a single-table FROM to resolve the schema")
+        val table = ts(fromIdx + 1).text
+        val joinish = Set("join", "inner", "left", "right", "full", "cross")
+        val restOfFrom = ts.drop(fromIdx + 2).takeWhile(t =>
+          t.depth > d || (t.depth == d && !clauseStart(t.lower)))
+        if (restOfFrom.exists(t => t.depth == d &&
+          (t.text == "," || joinish(t.lower))))
+          throw new IllegalArgumentException(
+            "* REPLACE over a join is not supported — list columns explicitly")
+        val cols = columnsOf(table)
+        val unknown = (excluded ++ replacements.keySet)
+          .diff(cols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+        if (unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"* EXCEPT/REPLACE names not in $table: ${unknown.mkString(", ")}")
+        val expanded = cols
+          .filterNot(c => excluded(c.toLowerCase(java.util.Locale.ROOT)))
+          .map { c =>
+            replacements.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+              case Some(e) => s"$e AS ${q(c)}"
+              case None => q(c)
+            }
+          }.mkString(", ")
+        rewriteStarModifiers(
+          sqlText.substring(0, star.start) + expanded +
+            sqlText.substring(ts(close).end),
+          columnsOf)
+    }
+  }
+
+  /** `[LEFT|INNER] ANY JOIN t [AS a] USING (k1, …)` — ClickHouse's
+    * at-most-one-match join. Spark has no ANY join, but deduplicating
+    * the right side to one row per join key gives the same shape; the
+    * kept row is the lexicographically-least full row (ROW_NUMBER over
+    * the key ordered by every column), which is deterministic where
+    * ClickHouse's pick is arbitrary. ON-form ANY joins are rejected
+    * loudly (the equi-key extraction from a free ON predicate is not
+    * worth guessing wrong).
+    */
+  private def rewriteAnyJoin(sqlText: String,
+    columnsOf: String => Seq[String]): String = {
+    val ts = lex(sqlText)
+    def q(c: String) = "`" + c.stripPrefix("`").stripSuffix("`") + "`"
+    val hit = ts.zipWithIndex.find { case (t, i) =>
+      t.lower == "any" &&
+        ts.lift(i + 1).exists(n => n.lower == "join" && n.depth == t.depth)
+    }
+    hit match {
+      case None => sqlText
+      case Some((anyTok, i)) =>
+        val d = anyTok.depth
+        if (!ts.lift(i + 2).exists(n => isIdent(n) && n.depth == d))
+          throw new IllegalArgumentException(
+            "ANY JOIN: only a plain named table is supported on the right")
+        val tbl = ts(i + 2)
+        // optional [AS] alias
+        var k = i + 3
+        var alias = norm(tbl.text)
+        if (ts.lift(k).exists(t => t.lower == "as" && t.depth == d) &&
+          ts.lift(k + 1).exists(isIdent)) { alias = ts(k + 1).text; k += 2 }
+        else if (ts.lift(k).exists(t => isIdent(t) && t.depth == d)) {
+          alias = ts(k).text; k += 1
+        }
+        val usingKw = ts.lift(k)
+        if (!usingKw.exists(t => t.lower == "using" && t.depth == d))
+          throw new IllegalArgumentException(
+            "ANY JOIN needs USING (…) — rewrite ON-form joins explicitly")
+        if (!ts.lift(k + 1).exists(p => p.text == "(" && p.depth == d))
+          throw new IllegalArgumentException("ANY JOIN USING: missing (…)")
+        val close = ts.indexWhere(x => x.text == ")" && x.depth == d, k + 1)
+        val keys = ts.slice(k + 2, close).filter(isIdent).map(_.text)
+        if (keys.isEmpty)
+          throw new IllegalArgumentException("ANY JOIN USING: empty key list")
+        val cols = columnsOf(tbl.text)
+        val sel = cols.map(q).mkString(", ")
+        val part = keys.map(q).mkString(", ")
+        val ord = cols.map(q).mkString(", ")
+        val sub = s"(SELECT $sel FROM (SELECT $sel, ROW_NUMBER() OVER " +
+          s"(PARTITION BY $part ORDER BY $ord) AS __ch_any FROM ${tbl.text}) " +
+          s"__ch_anyq WHERE __ch_any = 1)"
+        val replaced = sqlText.substring(0, anyTok.start) +
+          "JOIN " + sub + " AS " + alias + " " +
+          sqlText.substring(usingKw.get.start)
+        rewriteAnyJoin(replaced, columnsOf)
     }
   }
 

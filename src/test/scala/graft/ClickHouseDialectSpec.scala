@@ -434,4 +434,59 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(e2e.count() === sf0001.orders
       .select(col("o_orderstatus")).distinct().count())
   }
+
+  test("star modifiers: parenless EXCEPT, REPLACE in place, and both combined") {
+    import spark.implicits._
+    Seq((1, "x", 10.0), (2, "y", 20.0)).toDF("id", "name", "price")
+      .createOrReplaceTempView("star_t")
+    // parenless single-column EXCEPT → Spark-native parenthesized form
+    val ex = ClickHouseSql.sql(spark, "SELECT * EXCEPT name FROM star_t")
+    assert(ex.columns.toSeq === Seq("id", "price"))
+    // REPLACE keeps the column's position and name
+    val rp = ClickHouseSql.sql(spark,
+      "SELECT * REPLACE (price * 2 AS price) FROM star_t ORDER BY id")
+    assert(rp.columns.toSeq === Seq("id", "name", "price"))
+    assert(rp.select("price").as[Double].collect().toSeq === Seq(20.0, 40.0))
+    // EXCEPT (…) REPLACE (…) combined
+    val both = ClickHouseSql.sql(spark,
+      "SELECT * EXCEPT (name) REPLACE (upper(name) AS name) FROM star_t")
+      .columns.toSeq
+    assert(both === Seq("id", "price"))
+    // multiplication by a function named replace is untouched
+    val mul = "SELECT price * replace(name, 'x', 'y') AS z FROM star_t"
+    assert(ClickHouseSql.rewrite(mul, _ => Seq("id", "name", "price")) === mul)
+    // REPLACE over a join fails loudly instead of guessing a schema
+    val err = intercept[IllegalArgumentException] {
+      ClickHouseSql.rewrite(
+        "SELECT * REPLACE (a AS b) FROM t JOIN u ON t.k = u.k",
+        _ => Seq("a", "b"))
+    }
+    assert(err.getMessage.contains("join"))
+  }
+
+  test("ANY JOIN dedups the right side to one deterministic row per key") {
+    import spark.implicits._
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "lv")
+      .createOrReplaceTempView("any_l")
+    // key 1 has two candidate rows; lexicographically-least row wins
+    Seq((1, "r2"), (1, "r1"), (2, "s1")).toDF("k", "rv")
+      .createOrReplaceTempView("any_r")
+    val left = ClickHouseSql.sql(spark, """
+      SELECT k, lv, rv FROM any_l LEFT ANY JOIN any_r USING (k) ORDER BY k""")
+      .collect()
+    assert(left.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    assert(left.map(r => Option(r.getString(2))).toSeq ===
+      Seq(Some("r1"), Some("s1"), None))
+    // inner form: only matching keys, still one row each
+    val inner = ClickHouseSql.sql(spark, """
+      SELECT k, rv FROM any_l ANY JOIN any_r USING (k) ORDER BY k""").collect()
+    assert(inner.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "r1"), (2, "s1")))
+    // ON-form ANY join is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      ClickHouseSql.rewrite("SELECT * FROM a ANY JOIN b ON a.k = b.k",
+        _ => Seq("k"))
+    }
+    assert(err.getMessage.contains("USING"))
+  }
 }
