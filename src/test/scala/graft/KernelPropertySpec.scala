@@ -104,4 +104,30 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(agg.finish(merged) === expected)
     }
   }
+
+  test("cosine/dist2 kernels are bit-identical to the sequential double folds") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vec = Gen.listOfN(64, Gen.chooseNum(-1000, 1000).map(_ / 250.0f))
+    forSamples(Gen.zip(vec, vec)) { case (xs, ys) =>
+      val a = new GenericArrayData(xs.toArray)
+      val b = new GenericArrayData(ys.toArray)
+      // the reference folds: dot, norms, dist2 accumulated left-to-right
+      // in double space — exactly what zip_with/aggregate (and DuckDB
+      // LIST_SUM) evaluate
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var d2 = 0.0
+      xs.zip(ys).foreach { case (x, y) =>
+        val xd = x.toDouble; val yd = y.toDouble
+        dot += xd * yd; na += xd * xd; nb += yd * yd
+        val d = xd - yd; d2 += d * d
+      }
+      val expCos = dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(SignatureKernels.cosine(a, b, true, true) === expCos)
+      assert(SignatureKernels.dist2(a, b, true, true) === d2)
+      // double-typed arrays take the other accessor path, same values
+      val ad = new GenericArrayData(xs.map(_.toDouble).toArray)
+      val bd = new GenericArrayData(ys.map(_.toDouble).toArray)
+      assert(SignatureKernels.cosine(ad, bd, false, false) === expCos)
+      assert(SignatureKernels.dist2(ad, bd, false, false) === d2)
+    }
+  }
 }

@@ -30,6 +30,17 @@ class ScalingParamsSpec extends AnyFunSuite {
     }
   }
 
+  test("cellsFor targets ~400 vectors per cluster, clamped [16, 4096]") {
+    import graft.ann.Ann
+    assert(Ann.cellsFor(0) == 16)
+    assert(Ann.cellsFor(4000) == 16) // gate scale: shares the IVF quantizer
+    assert(Ann.cellsFor(6400) == 16) // 16 × 400 exactly
+    assert(Ann.cellsFor(6401) == 32)
+    assert(Ann.cellsFor(1000000) == 4096)
+    assert(Ann.cellsFor(400L * 4096) == 4096)
+    assert(Ann.cellsFor(Long.MaxValue / 4) == 4096) // cap
+  }
+
   test("simhashBands widens blocks past 2^23 docs") {
     assert(Dedup.simhashBands(1000) == 8) // 8×8-bit: pigeonhole hamming ≤ 7
     assert(Dedup.simhashBands(8388607L) == 8)

@@ -347,6 +347,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel emits the reached level once per user on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.funnelStream(mem.toDS(), windowSec = 3600, idleSec = 300,
+      watermark = "1 minute")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        // user 10: full funnel click -> view -> purchase
+        Event(1, ts(0), 10, "click", 0), Event(2, ts(5), 10, "view", 0),
+        Event(3, ts(10), 10, "purchase", 0),
+        // user 11: click then purchase but NO view — level stays 1
+        Event(4, ts(0), 11, "click", 0), Event(5, ts(5), 11, "purchase", 0),
+        // user 12: view only — never entered the funnel
+        Event(6, ts(0), 12, "view", 0),
+        // user 13: view first, the anchoring click arrives LATE next batch
+        Event(7, ts(2), 13, "view", 0))
+      q.processAllAvailable()
+      // late click for user 13 (event time BEFORE the view, still within
+      // the watermark) re-anchors the funnel to level 2
+      mem.addData(Event(8, ts(1), 13, "click", 0))
+      q.processAllAvailable()
+      // users still inside their idle horizon (timeout beyond the current
+      // watermark) are not yet emitted; 12 and 13's timeouts are already
+      // behind it and may fire as soon as the watermark advanced
+      val early = spark.table("funnel_stream").collect()
+        .map(_.getAs[Long]("user_id")).toSet
+      assert(!Set(10L, 11L).exists(early))
+      mem.addData(Event(9, ts(59), 99, "click", 0)) // advance watermark
+      q.processAllAvailable()
+      val all = spark.table("funnel_stream").collect()
+      assert(all.length === 4) // exactly once per user
+      val rows = all
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_level")).toMap
+      assert(rows === Map(10L -> 3, 11L -> 1, 12L -> 0, 13L -> 2))
+    } finally q.stop()
+  }
+
   test("streaming corpus clean: quality gate + PII scrub + exact dedup across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
