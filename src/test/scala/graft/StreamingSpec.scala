@@ -365,11 +365,13 @@ class StreamingSpec extends SparkSpec {
         // user 12: view only — never entered the funnel
         Event(6, ts(0), 12, "view", 0),
         // user 13: view first, the anchoring click arrives LATE next batch
-        Event(7, ts(2), 13, "view", 0))
+        Event(7, ts(10), 13, "view", 0))
       q.processAllAvailable()
-      // late click for user 13 (event time BEFORE the view, still within
-      // the watermark) re-anchors the funnel to level 2
-      mem.addData(Event(8, ts(1), 13, "click", 0))
+      // late click for user 13: event time BEFORE the view but INSIDE the
+      // 1-minute lateness horizon (watermark is min 9 after batch 1 —
+      // anything older would be dropped at the source) — re-anchors the
+      // funnel to level 2
+      mem.addData(Event(8, ts(9, 30), 13, "click", 0))
       q.processAllAvailable()
       // users still inside their idle horizon (timeout beyond the current
       // watermark) are not yet emitted; 12 and 13's timeouts are already
