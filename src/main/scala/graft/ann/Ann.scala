@@ -1093,6 +1093,104 @@ $pivots
       .orderBy(col("vec_id"))
   }
 
+  // ann_filtered — filtered (predicate-constrained) similarity search:
+  // each query's top-5 neighbors AMONG VECTORS SHARING ITS LABEL — the
+  // "similar documents from the same source/class" query every retrieval
+  // system needs. The label predicate is applied BEFORE scoring (filter-
+  // then-search): the equi-join on label lets Catalyst push the filter
+  // into the corpus scan, so the scored candidate set is the filtered
+  // corpus, not a post-filtered top-k that can silently return < k rows
+  // (the classic filtered-ANN bug). Queries broadcast; the corpus never
+  // shuffles; with an IVF index the same label filter composes with cell
+  // probing.
+  val filteredSearch = Q(
+    "ann_filtered",
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+               ${graft.functions.VectorLsh.cosSql("q.qvec", "e.embedding")} AS cos
+        FROM embeddings e JOIN q ON e.label = q.label
+        WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 5
+      ORDER BY query_id, rnk
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label"))
+    val scored = t.embeddings
+      .join(broadcast(queries), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // embed_outliers — per-cluster distance outliers: vectors whose squared
+  // distance to their centroid exceeds 2× the cluster mean — the cheap
+  // mislabeled/garbage-vector screen a pipeline runs before trusting an
+  // embedding space (outliers are dropped or re-embedded). Shares the
+  // memoized quantizer and integer-grid distances (exact in both
+  // engines); the per-cluster means are |cells| rows broadcast back, so
+  // the corpus is scanned twice and never shuffled. Integer arithmetic
+  // end-to-end.
+  val outliers = Q(
+    "embed_outliers",
+    Some(s"""
+      WITH ${ivfCtesSql(16, 4)},
+      ad AS (
+        SELECT vec_id, cell, CAST(FLOOR(dist) AS BIGINT) AS dq
+        FROM (SELECT vec_id, cid AS cell, dist,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM (SELECT e.vec_id, c.cid, ${dist2Sql("e.qv", "c.cv")} AS dist
+                    FROM qemb e, cents c))
+        WHERE rn = 1),
+      means AS (
+        SELECT cell, SUM(dq) // COUNT(*) AS mean_dq FROM ad GROUP BY cell)
+      SELECT a.cell,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(m.mean_dq) AS BIGINT) AS mean_dq,
+             CAST(MAX(a.dq) AS BIGINT) AS max_dq,
+             CAST(COUNT(CASE WHEN a.dq > 2 * m.mean_dq THEN 1 END) AS BIGINT)
+               AS n_outliers
+      FROM ad a JOIN means m ON m.cell = a.cell
+      GROUP BY a.cell
+      ORDER BY a.cell
+    """)
+  ) { t =>
+    val emb = ivfEmb(t)
+    val centroids = ivfCentroids(t, 16)
+    val ad = emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("cid"), dist2(col("qv"), col("cv")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("m.cid").as("cell"),
+        floor(col("m.dist")).cast(LongType).as("dq"))
+    val means = ad.groupBy(col("cell"))
+      .agg(expr("sum(dq) div count(1)").as("mean_dq"))
+    ad.join(broadcast(means), Seq("cell"))
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("mean_dq")).cast(LongType).as("mean_dq"),
+        max(col("dq")).cast(LongType).as("max_dq"),
+        count(when(col("dq") > col("mean_dq") * 2, 1)).as("n_outliers"))
+      .orderBy(col("cell"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
-    hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup)
+    hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
+    filteredSearch, outliers)
 }

@@ -123,6 +123,34 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ann_filtered: neighbors share the query's label and never include self") {
+    import org.apache.spark.sql.functions.col
+    val rows = Ann.filteredSearch.build(sf0001).collect()
+    val labelOf = sf0001.embeddings.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val v = r.getAs[Long]("vec_id")
+      assert(v !== q, "self excluded")
+      assert(labelOf(v) === labelOf(q), "neighbor from the query's label")
+      assert(r.getAs[Long]("rnk") >= 1 && r.getAs[Long]("rnk") <= 5)
+    }
+    // full k rows per query (filter-then-search can't under-fill here)
+    assert(rows.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 5))
+  }
+
+  test("embed_outliers: outliers bounded by cluster population, means consistent") {
+    val rows = Ann.outliers.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("n_outliers") >= 0 && r.getAs[Long]("n_outliers") < n,
+        "a cluster is never 100% outliers under a 2x-mean cut")
+      assert(r.getAs[Long]("max_dq") >= r.getAs[Long]("mean_dq"))
+    }
+  }
+
   test("dedup_semantic: planted twins dropped, originals kept, same cell") {
     val rows = Ann.semanticDedup.build(sf0001).collect()
     val corpus = sf0001.embeddings.count()
