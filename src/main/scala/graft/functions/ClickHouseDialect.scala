@@ -242,7 +242,152 @@ object ClickHouseDialect {
       greatestZero(Subtract(Size(args.head), Literal(1))))),
     "countEqual" -> (args => Size(ArrayFilter(args.head,
       LambdaFunction(EqualTo(UnresolvedNamedLambdaVariable(Seq("x")), args(1)),
-        Seq(UnresolvedNamedLambdaVariable(Seq("x"))))))))
+        Seq(UnresolvedNamedLambdaVariable(Seq("x"))))))),
+    // JSON extraction family, third batch. CH takes a key path as
+    // trailing arguments (strings descend into objects, 1-BASED ints
+    // index arrays); Spark's GetJsonObject takes a JSONPath — built here
+    // from literal keys, loud failure otherwise.
+    "JSONExtractString" -> (args => jsonExtract(args)),
+    "JSONExtractInt" -> (args =>
+      Cast(jsonExtract(args), org.apache.spark.sql.types.LongType)),
+    "JSONExtractFloat" -> (args =>
+      Cast(jsonExtract(args), org.apache.spark.sql.types.DoubleType)),
+    "JSONExtractBool" -> (args =>
+      Cast(jsonExtract(args), org.apache.spark.sql.types.BooleanType)),
+    "JSONHas" -> (args => IsNotNull(jsonExtract(args))),
+    // temporal, third batch
+    "addWeeks" -> (args => DateAdd(args.head, Multiply(args(1), Literal(7)))),
+    "subtractWeeks" -> (args => DateSub(args.head, Multiply(args(1), Literal(7)))),
+    "addMinutes" -> (args => TimestampAddInterval(args.head,
+      MultiplyDTInterval(Literal(java.time.Duration.ofMinutes(1)), args(1)))),
+    "addSeconds" -> (args => TimestampAddInterval(args.head,
+      MultiplyDTInterval(Literal(java.time.Duration.ofSeconds(1)), args(1)))),
+    "subtractHours" -> (args => TimestampAddInterval(args.head,
+      MultiplyDTInterval(Literal(java.time.Duration.ofHours(1)),
+        UnaryMinus(args(1))))),
+    "subtractMinutes" -> (args => TimestampAddInterval(args.head,
+      MultiplyDTInterval(Literal(java.time.Duration.ofMinutes(1)),
+        UnaryMinus(args(1))))),
+    "subtractSeconds" -> (args => TimestampAddInterval(args.head,
+      MultiplyDTInterval(Literal(java.time.Duration.ofSeconds(1)),
+        UnaryMinus(args(1))))),
+    "today" -> (_ => CurrentDate(None)),
+    "toYYYYMMDDhhmmss" -> (args =>
+      DateFormatClass(one(args), Literal("yyyyMMddHHmmss"))),
+    // MySQL-style specifiers translated to a Spark datetime pattern at
+    // registration (literal formats only). %M follows CURRENT ClickHouse
+    // semantics (full month name); minutes are %i, as in CH ≥ 23.x.
+    "formatDateTime" -> { args =>
+      if (!args(1).foldable)
+        throw new IllegalArgumentException(
+          "formatDateTime requires a literal format string")
+      DateFormatClass(args.head,
+        Literal(translateDateFormat(String.valueOf(args(1).eval()))))
+    },
+    // bit scalars + grouped bit aggregates
+    "bitAnd" -> (args => BitwiseAnd(args.head, args(1))),
+    "bitOr" -> (args => BitwiseOr(args.head, args(1))),
+    "bitXor" -> (args => BitwiseXor(args.head, args(1))),
+    "bitNot" -> (args => BitwiseNot(one(args))),
+    "bitShiftLeft" -> (args => ShiftLeft(args.head, args(1))),
+    "bitShiftRight" -> (args => ShiftRight(args.head, args(1))),
+    "groupBitAnd" -> (args => BitAndAgg(one(args))),
+    "groupBitOr" -> (args => BitOrAgg(one(args))),
+    "groupBitXor" -> (args => BitXorAgg(one(args))),
+    // aggregate aliases: CH's fixed-precision HLL variants land on
+    // Spark's HLL++ (different sketches, same approximate contract);
+    // anyHeavy's "some heavy hitter" contract is satisfied by exact mode
+    "uniqHLL12" -> (args => HyperLogLogPlusPlus(one(args))),
+    "uniqCombined" -> (args => HyperLogLogPlusPlus(one(args))),
+    "quantileTDigest" -> (args => new ApproximatePercentile(args(1), args.head)),
+    "anyHeavy" -> (args => Mode(one(args))),
+    // arrays/maps, third batch
+    // range is END-EXCLUSIVE in CH; Spark's sequence stops at the last
+    // value ≤ stop, so stop = end - 1 reproduces it for positive steps
+    "range" -> { args =>
+      if (args.length == 1) new Sequence(Literal(0L), Subtract(Cast(one(args),
+        org.apache.spark.sql.types.LongType), Literal(1L)), Literal(1L))
+      else new Sequence(args.head, Subtract(args(1), Literal(1)),
+        if (args.length > 2) args(2) else Literal(1))
+    },
+    "arrayEnumerate" -> { args =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      ArrayTransform(one(args), LambdaFunction(Add(i, Literal(1)), Seq(x, i)))
+    },
+    "arrayUniq" -> (args => Size(ArrayDistinct(one(args)))),
+    "arrayZip" -> (args => ArraysZip(args)),
+    "mapKeys" -> (args => MapKeys(one(args))),
+    "mapValues" -> (args => MapValues(one(args))),
+    "assumeNotNull" -> (args => KnownNotNull(one(args))),
+    // strings, third batch (no name collisions with Spark builtins)
+    "positionUTF8" -> (args => new StringLocate(args(1), args.head)),
+    "countSubstrings" -> { args =>
+      if (!args(1).foldable)
+        throw new IllegalArgumentException(
+          "countSubstrings requires a literal needle as its second argument")
+      Subtract(Size(StringSplit(args.head, Literal(java.util.regex.Pattern
+        .quote(String.valueOf(args(1).eval()))), Literal(-1))), Literal(1))
+    })
+
+  /** JSONPath from CH trailing keys: strings descend, 1-based ints index. */
+  private def jsonExtract(args: Seq[Expression]): Expression = {
+    if (args.length < 2)
+      throw new IllegalArgumentException("JSONExtract*: json and ≥1 key expected")
+    val path = args.tail.map { k =>
+      if (!k.foldable)
+        throw new IllegalArgumentException("JSONExtract*: keys must be literals")
+      k.eval() match {
+        case i: Int => s"[${i - 1}]"
+        case l: Long => s"[${l - 1}]"
+        case s => "." + String.valueOf(s)
+      }
+    }.mkString
+    GetJsonObject(args.head, Literal("$" + path))
+  }
+
+  /** MySQL/CH datetime specifiers → Spark pattern; non-specifier letters
+    * are quoted so they stay literal.
+    */
+  private[functions] def translateDateFormat(ch: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < ch.length) {
+      val c = ch.charAt(i)
+      if (c == '%' && i + 1 < ch.length) {
+        sb.append(ch.charAt(i + 1) match {
+          case 'Y' => "yyyy"
+          case 'y' => "yy"
+          case 'm' => "MM"
+          case 'd' => "dd"
+          case 'H' => "HH"
+          case 'I' => "hh"
+          case 'i' => "mm"
+          case 'M' => "MMMM"
+          case 'S' => "ss"
+          case 'p' => "a"
+          case 'j' => "DDD"
+          case 'e' => "d"
+          case 'a' => "EEE"
+          case 'W' => "EEEE"
+          case 'b' | 'h' => "MMM"
+          case 'F' => "yyyy-MM-dd"
+          case 'D' => "MM/dd/yy"
+          case 'T' => "HH:mm:ss"
+          case 'R' => "HH:mm"
+          case '%' => "%"
+          case other => throw new IllegalArgumentException(
+            s"formatDateTime: unsupported specifier %$other")
+        })
+        i += 2
+      } else {
+        if (Character.isLetter(c)) sb.append('\'').append(c).append('\'')
+        else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
 
   /** `greatest(0, e)` — keeps empty-array edge cases (arrayPopBack([]))
     * total instead of erroring inside Slice.

@@ -490,6 +490,49 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(err.getMessage.contains("USING"))
   }
 
+  test("third-batch names: JSON extraction, temporal, bits, arrays, formats") {
+    val r = spark.sql("""
+      SELECT JSONExtractString('{"a":{"b":"x"},"arr":[10,20]}', 'a', 'b') AS js,
+             JSONExtractInt('{"arr":[10,20]}', 'arr', 2) AS ji,
+             JSONHas('{"a":1}', 'b') AS jh,
+             addWeeks(DATE'2024-01-01', 2) AS aw,
+             addMinutes(TIMESTAMP'2024-01-01 00:00:00', 90) AS am,
+             subtractSeconds(TIMESTAMP'2024-01-01 00:01:00', 30) AS ss,
+             toYYYYMMDDhhmmss(TIMESTAMP'2024-01-02 03:04:05') AS ymdhms,
+             formatDateTime(TIMESTAMP'2024-03-05 07:08:09', '%Y-%m-%d %H:%i:%S') AS fdt,
+             bitAnd(12, 10) AS ba, bitShiftLeft(1, 6) AS bsl,
+             range(5) AS r5, range(2, 9, 3) AS r23,
+             arrayEnumerate(array('a','b','c')) AS en,
+             arrayUniq(array(1, 2, 2, 3)) AS au,
+             countSubstrings('abcabcab', 'ab') AS cs,
+             positionUTF8('hello world', 'world') AS pos
+    """).head()
+    assert(r.getAs[String]("js") === "x")
+    assert(r.getAs[Long]("ji") === 20L) // CH array indexing is 1-based
+    assert(r.getAs[Boolean]("jh") === false)
+    assert(r.getAs[java.sql.Date]("aw").toString === "2024-01-15")
+    assert(r.getAs[java.sql.Timestamp]("am").toString === "2024-01-01 01:30:00.0")
+    assert(r.getAs[java.sql.Timestamp]("ss").toString === "2024-01-01 00:00:30.0")
+    assert(r.getAs[String]("ymdhms") === "20240102030405")
+    assert(r.getAs[String]("fdt") === "2024-03-05 07:08:09")
+    assert(r.getAs[Int]("ba") === 8 && r.getAs[Int]("bsl") === 64)
+    assert(r.getAs[Seq[Long]]("r5") === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(r.getAs[Seq[Int]]("r23") === Seq(2, 5, 8)) // end-exclusive
+    assert(r.getAs[Seq[Int]]("en") === Seq(1, 2, 3))
+    assert(r.getAs[Int]("au") === 3)
+    assert(r.getAs[Int]("cs") === 3)
+    assert(r.getAs[Int]("pos") === 7)
+    // grouped bit aggregates + aggregate aliases over a real table
+    val agg = spark.sql("""
+      SELECT groupBitOr(o_orderkey) AS bo, groupBitAnd(o_orderkey) AS ba,
+             anyHeavy(o_orderstatus) AS ah, uniqCombined(o_custkey) AS uc
+      FROM orders_v""").head()
+    assert(agg.getAs[Long]("bo") > 0)
+    assert(Set("F", "O", "P").contains(agg.getAs[String]("ah")))
+    val exact = sf0001.orders.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(math.abs(agg.getAs[Long]("uc") - exact).toDouble / exact < 0.05)
+  }
+
   test("ASOF JOIN USING matches each event to the latest earlier quote") {
     import spark.implicits._
     Seq((1, 10, "e1"), (1, 25, "e2"), (2, 5, "e3"), (3, 50, "e4"))
