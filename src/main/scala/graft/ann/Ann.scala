@@ -396,16 +396,13 @@ object Ann {
           x => floor(x.cast(DoubleType) / col("scale") * 127 + 0.5)).as("qvec"))
     val queries = corpus.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"))
-    // integer dot product (dequantization scales cancel in the cosine)
-    def qdot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-        .cast(DoubleType)
-    def qnorm(a: Column): Column = sqrt(qdot(a, a))
+    // integer cosine via the codegen'd kernel: products ≤ 127² × dim stay
+    // far under 2^53, so double accumulation of the integer grid is
+    // exactly the long fold it replaces (dequantization scales cancel)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
-        round(qdot(col("q_qvec"), col("qvec")) /
-          (qnorm(col("q_qvec")) * qnorm(col("qvec"))), 6).as("cos"))
+        round(cosine(col("q_qvec"), col("qvec")), 6).as("cos"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 10)
       .orderBy(col("query_id"), col("rnk"))

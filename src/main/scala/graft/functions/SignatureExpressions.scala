@@ -119,15 +119,25 @@ object SignatureKernels {
     * never moves an oracle-compared value. One fused loop computes dot
     * and both norms; no per-element boxing, stays in whole-stage codegen.
     */
-  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+  /** Element accessor by type code: 0 = double, 1 = float, 2 = long.
+    * Integer elements are exact in double space up to 2^53, so a long
+    * array's fold is bit-identical whether accumulated in long or double.
+    */
+  private def elem(a: ArrayData, i: Int, tc: Int): Double = tc match {
+    case 1 => a.getFloat(i).toDouble
+    case 2 => a.getLong(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  def cosine(a: ArrayData, b: ArrayData, ta: Int, tb: Int): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = elem(a, i, ta)
+      val y = elem(b, i, tb)
       dot += x * y
       na += x * x
       nb += y * y
@@ -138,13 +148,11 @@ object SignatureKernels {
     // norm folds run over each full array
     var j = n
     while (j < a.numElements()) {
-      val x = if (aFloat) a.getFloat(j).toDouble else a.getDouble(j)
-      na += x * x; j += 1
+      val x = elem(a, j, ta); na += x * x; j += 1
     }
     var k = n
     while (k < b.numElements()) {
-      val y = if (bFloat) b.getFloat(k).toDouble else b.getDouble(k)
-      nb += y * y; k += 1
+      val y = elem(b, k, tb); nb += y * y; k += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
@@ -153,14 +161,12 @@ object SignatureKernels {
     * `aggregate(zip_with(a, b, (x, y) => (x-y)²))` (zip_with truncates to
     * the shorter array), bit-identical, codegen-friendly.
     */
-  def dist2(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+  def dist2(a: ArrayData, b: ArrayData, ta: Int, tb: Int): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      val d = x - y
+      val d = elem(a, i, ta) - elem(b, i, tb)
       acc += d * d
       i += 1
     }
@@ -380,16 +386,17 @@ case class WindowHashesExpr(child: Expression, w: Int = 10) extends UnaryExpress
 case class CosineExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def tc(e: Expression): Int = e.dataType match {
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(LongType, _) => 2
+    case _ => 0
   }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     SignatureKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
+      tc(left), tc(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SignatureKernels.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+      s"graft.functions.SignatureKernels.cosine($a, $b, ${tc(left)}, ${tc(right)})")
   override protected def withNewChildrenInternal(newLeft: Expression,
     newRight: Expression): CosineExpr = copy(left = newLeft, right = newRight)
 }
@@ -401,16 +408,17 @@ case class CosineExpr(left: Expression, right: Expression) extends BinaryExpress
 case class Dist2Expr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
-  private def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def tc(e: Expression): Int = e.dataType match {
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(LongType, _) => 2
+    case _ => 0
   }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     SignatureKernels.dist2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
+      tc(left), tc(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SignatureKernels.dist2($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+      s"graft.functions.SignatureKernels.dist2($a, $b, ${tc(left)}, ${tc(right)})")
   override protected def withNewChildrenInternal(newLeft: Expression,
     newRight: Expression): Dist2Expr = copy(left = newLeft, right = newRight)
 }

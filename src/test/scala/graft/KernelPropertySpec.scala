@@ -121,13 +121,24 @@ class KernelPropertySpec extends AnyFunSuite {
         val d = xd - yd; d2 += d * d
       }
       val expCos = dot / (math.sqrt(na) * math.sqrt(nb))
-      assert(SignatureKernels.cosine(a, b, true, true) === expCos)
-      assert(SignatureKernels.dist2(a, b, true, true) === d2)
+      assert(SignatureKernels.cosine(a, b, 1, 1) === expCos)
+      assert(SignatureKernels.dist2(a, b, 1, 1) === d2)
       // double-typed arrays take the other accessor path, same values
       val ad = new GenericArrayData(xs.map(_.toDouble).toArray)
       val bd = new GenericArrayData(ys.map(_.toDouble).toArray)
-      assert(SignatureKernels.cosine(ad, bd, false, false) === expCos)
-      assert(SignatureKernels.dist2(ad, bd, false, false) === d2)
+      assert(SignatureKernels.cosine(ad, bd, 0, 0) === expCos)
+      assert(SignatureKernels.dist2(ad, bd, 0, 0) === d2)
+      // integer-grid arrays (ann_quantized): double accumulation of
+      // longs below 2^53 equals the exact long fold
+      val al = new GenericArrayData(xs.map(v => (v * 250).toLong).toArray)
+      val bl = new GenericArrayData(ys.map(v => (v * 250).toLong).toArray)
+      var ldot = 0L; var lna = 0L; var lnb = 0L
+      xs.zip(ys).foreach { case (x, y) =>
+        val xl = (x * 250).toLong; val yl = (y * 250).toLong
+        ldot += xl * yl; lna += xl * xl; lnb += yl * yl
+      }
+      val expCosL = ldot.toDouble / (math.sqrt(lna.toDouble) * math.sqrt(lnb.toDouble))
+      assert(SignatureKernels.cosine(al, bl, 2, 2) === expCosL)
     }
   }
 }
