@@ -183,6 +183,7 @@ object ClickHouseSql {
     if (l.contains("except") || l.contains("replace"))
       out = rewriteStarModifiers(out, columnsOf)
     if (l.contains("asof")) out = rewriteAsofJoin(out, columnsOf)
+    if (l.contains("fill")) out = rewriteWithFill(out)
     if (l.contains("any")) out = rewriteAnyJoin(out, columnsOf)
     if (l.contains("global")) out = stripGlobalJoin(out)
     if (l.contains("settings")) out = stripSettings(out)
@@ -810,6 +811,134 @@ object ClickHouseSql {
           "JOIN " + sub + " AS " + alias + " " +
           sqlText.substring(usingKw.get.start)
         rewriteAnyJoin(replaced, columnsOf)
+    }
+  }
+
+  /** `ORDER BY c WITH FILL [FROM f] [TO t] [STEP s]` — ClickHouse's
+    * gap-filling sort: rows for missing ordering-key values are
+    * synthesized over the series [FROM, TO) (defaults: the query's own
+    * min..max inclusive, step 1). Rewritten to
+    * `original UNION ALL (series ANTI JOIN original)` + outer ORDER BY —
+    * a broadcast-size series and one anti join, nothing quadratic.
+    *
+    * Divergence, documented loudly: synthesized rows carry NULL in the
+    * non-ordering columns (a text rewriter cannot know column types;
+    * ClickHouse fills type defaults like 0/''). Scope: one numeric
+    * ordering key, literal FROM/TO/STEP, explicit aliased select items —
+    * anything else fails loudly rather than guessing.
+    */
+  private def rewriteWithFill(sqlText: String): String = {
+    val ts = lex(sqlText)
+    val hit = ts.zipWithIndex.find { case (t, i) =>
+      t.lower == "with" &&
+        ts.lift(i + 1).exists(n => n.lower == "fill" && n.depth == t.depth)
+    }
+    hit match {
+      case None => sqlText
+      case Some((wf, wi)) =>
+        val d = wf.depth
+        // the ORDER BY this fill belongs to
+        val ordIdx = ts.lastIndexWhere(t => t.depth == d && t.lower == "order", wi)
+        if (ordIdx < 0 || !ts.lift(ordIdx + 1).exists(_.lower == "by"))
+          throw new IllegalArgumentException("WITH FILL: no enclosing ORDER BY")
+        val keyToks = ts.slice(ordIdx + 2, wi)
+        if (keyToks.length != 1 || !isIdent(keyToks.head))
+          throw new IllegalArgumentException(
+            "WITH FILL supports a single plain ordering column")
+        val key = keyToks.head.text
+        // FROM / TO / STEP literals after FILL
+        var j = wi + 2
+        var from: Option[String] = None
+        var to: Option[String] = None
+        var step = "1"
+        var consumed = ts(wi + 1).end
+        def num(i: Int): Option[String] = ts.lift(i).flatMap { t =>
+          if (Character.isDigit(t.text.charAt(0))) Some(t.text)
+          else if (t.text == "-" && ts.lift(i + 1).exists(n =>
+            Character.isDigit(n.text.charAt(0)))) Some("-" + ts(i + 1).text)
+          else None
+        }
+        var advanced = true
+        while (advanced) {
+          advanced = false
+          ts.lift(j).map(_.lower) match {
+            case Some("from") =>
+              from = num(j + 1)
+              if (from.isEmpty) throw new IllegalArgumentException(
+                "WITH FILL FROM must be a numeric literal")
+              j += (if (ts(j + 1).text == "-") 3 else 2)
+              consumed = ts(j - 1).end; advanced = true
+            case Some("to") =>
+              to = num(j + 1)
+              if (to.isEmpty) throw new IllegalArgumentException(
+                "WITH FILL TO must be a numeric literal")
+              j += (if (ts(j + 1).text == "-") 3 else 2)
+              consumed = ts(j - 1).end; advanced = true
+            case Some("step") =>
+              step = num(j + 1).getOrElse(throw new IllegalArgumentException(
+                "WITH FILL STEP must be a numeric literal"))
+              j += (if (ts(j + 1).text == "-") 3 else 2)
+              consumed = ts(j - 1).end; advanced = true
+            case _ =>
+          }
+        }
+        // trailing LIMIT (after the fill fragment) moves to the outer query
+        val trailing = sqlText.substring(consumed).trim
+        if (trailing.nonEmpty && !trailing.toLowerCase(java.util.Locale.ROOT)
+          .matches("(limit\\s+\\d+)?;?\\s*"))
+          throw new IllegalArgumentException(
+            s"WITH FILL: unsupported trailing clause `$trailing`")
+        val outerLimit = if (trailing.isEmpty) ""
+          else " " + trailing.stripSuffix(";").trim
+        // the statement without ORDER BY … WITH FILL … (the inner query)
+        val inner = sqlText.substring(0, ts(ordIdx).start).trim
+        // select aliases: top-level items between SELECT and FROM
+        val selIdx = ts.indexWhere(t => t.depth == d && t.lower == "select")
+        val fromIdx = ts.indexWhere(t => t.depth == d && t.lower == "from", selIdx)
+        if (selIdx < 0 || fromIdx < 0)
+          throw new IllegalArgumentException("WITH FILL: malformed query block")
+        val items = {
+          val buf = Vector.newBuilder[Vector[Tok]]
+          var cur = Vector.empty[Tok]
+          ts.slice(selIdx + 1, fromIdx).foreach { t =>
+            if (t.text == "," && t.depth == d) { buf += cur; cur = Vector.empty }
+            else cur = cur :+ t
+          }
+          buf += cur
+          buf.result()
+        }
+        val aliases = items.map { item =>
+          if (item.isEmpty)
+            throw new IllegalArgumentException("WITH FILL: empty select item")
+          if (item.length == 1 && isIdent(item.head)) item.head.text
+          else if (isIdent(item.last) && item.length >= 2) item.last.text
+          else throw new IllegalArgumentException(
+            "WITH FILL needs every select item aliased (or a plain column)")
+        }
+        if (!aliases.exists(_.equalsIgnoreCase(key)))
+          throw new IllegalArgumentException(
+            s"WITH FILL: ordering column $key must appear in the select list")
+        // series bounds: explicit literals, else the query's own min/max
+        // (CH defaults — FROM inclusive, TO exclusive, derived max
+        // inclusive); the bounds row is computed once and is join-free
+        val fromExpr = from.getOrElse("mn")
+        val toExpr = to.getOrElse("mx")
+        val rawSeries =
+          s"SELECT explode(sequence(CAST($fromExpr AS BIGINT), " +
+            s"CAST($toExpr AS BIGINT), CAST($step AS BIGINT))) AS __chf_v " +
+            s"FROM (SELECT CAST(MIN($key) AS BIGINT) AS mn, " +
+            s"CAST(MAX($key) AS BIGINT) AS mx FROM ($inner) __chf_b)"
+        val series = to match {
+          case Some(t0) => s"(SELECT __chf_v FROM ($rawSeries) __chf_i " +
+            s"WHERE __chf_v < $t0) __chf_s"
+          case None => s"($rawSeries) __chf_s"
+        }
+        val fillSelect = aliases.map { a =>
+          if (a.equalsIgnoreCase(key)) s"__chf_v AS $a" else s"NULL AS $a"
+        }.mkString(", ")
+        s"SELECT * FROM (SELECT * FROM ($inner) __chf_q UNION ALL " +
+          s"SELECT $fillSelect FROM $series LEFT ANTI JOIN ($inner) __chf_a " +
+          s"ON __chf_a.$key = __chf_v) __chf_u ORDER BY $key$outerLimit"
     }
   }
 

@@ -533,6 +533,31 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(math.abs(agg.getAs[Long]("uc") - exact).toDouble / exact < 0.05)
   }
 
+  test("ORDER BY WITH FILL synthesizes missing series rows") {
+    import spark.implicits._
+    Seq((1, 10L), (2, 20L), (5, 50L), (7, 70L)).toDF("d", "v")
+      .createOrReplaceTempView("fill_t")
+    // derived bounds: gaps between min and max filled, values NULL
+    val derived = ClickHouseSql.sql(spark, """
+      SELECT d, v FROM fill_t ORDER BY d WITH FILL""").collect()
+    assert(derived.map(_.getLong(0)).toSeq === (1L to 7L)) // key widens to BIGINT in the union
+    assert(derived.map(r => Option(r.get(1))).count(_.isEmpty) === 3) // 3,4,6
+    // explicit FROM/TO/STEP: TO is exclusive, existing rows kept
+    val explicit = ClickHouseSql.sql(spark, """
+      SELECT d, v FROM fill_t ORDER BY d WITH FILL FROM 0 TO 10 STEP 2""").collect()
+    assert(explicit.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L, 8L))
+    // trailing LIMIT applies after filling
+    val limited = ClickHouseSql.sql(spark, """
+      SELECT d, v FROM fill_t ORDER BY d WITH FILL LIMIT 3""").collect()
+    assert(limited.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // unsupported shapes fail loudly
+    val err = intercept[IllegalArgumentException] {
+      ClickHouseSql.rewrite(
+        "SELECT d, v FROM t ORDER BY d, v WITH FILL", _ => Seq("d", "v"))
+    }
+    assert(err.getMessage.contains("single"))
+  }
+
   test("ASOF JOIN USING matches each event to the latest earlier quote") {
     import spark.implicits._
     Seq((1, 10, "e1"), (1, 25, "e2"), (2, 5, "e3"), (3, 50, "e4"))
