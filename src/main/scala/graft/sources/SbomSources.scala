@@ -338,6 +338,53 @@ object SbomSources {
       .partitionBy("source")
       .parquet(path)
 
+  /** Background-merge analog (ClickHouse merges small parts into larger
+    * ones to keep read amplification flat; an append-heavy parquet sink
+    * accumulates one small file per insert batch the same way). Per
+    * source partition: if the file count exceeds what `targetBytes`-sized
+    * files would need, rewrite JUST that partition — read, re-sort to the
+    * table ORDER BY, bin-pack to ceil(bytes/target) files, atomic
+    * directory swap (write `._compact_tmp`, retire, rename). Untouched
+    * partitions are never rewritten, so at 100 TB the cost tracks churn,
+    * not table size — the same contract as MergeTree background merges.
+    * Returns (partition, filesBefore, filesAfter) for observability.
+    */
+  def compactComponentTable(spark: SparkSession, path: String,
+    targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
+      .flatMap { part =>
+        val dir = part.getPath
+        val files = fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        if (files.length <= nOut) None
+        else {
+          val tmp = new org.apache.hadoop.fs.Path(dir.toString + "._compact_tmp")
+          val old = new org.apache.hadoop.fs.Path(dir.toString + "._compact_old")
+          spark.read.parquet(dir.toString)
+            .coalesce(nOut)
+            .sortWithinPartitions(col("name"), col("version"), col("license"))
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(old, true)
+          if (!fs.rename(dir, old))
+            throw new java.io.IOException(s"compact: retire $dir failed")
+          if (!fs.rename(tmp, dir)) {
+            // roll back: the un-compacted partition must come back
+            fs.rename(old, dir)
+            throw new java.io.IOException(s"compact: swap-in $dir failed")
+          }
+          fs.delete(old, true)
+          Some((part.getPath.getName, files.length, nOut))
+        }
+      }
+  }
+
   /** Stamp the insert-time audit column — the reference table's
     * `inserted_at DateTime DEFAULT now()` (entrypoint.sh:226): every
     * batch written through the sink carries when it landed, so appended

@@ -453,4 +453,33 @@ class SbomSourcesSpec extends SparkSpec {
     // includes source, sbom-merging.sh:491) = 5 unique components
     assert(row.getInt(5) === 5)
   }
+
+  test("compaction bin-packs small partition files without changing content") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/table"
+    def batch(tag: String) = Seq(
+      (s"lib-$tag-b", "1.0", "MIT", "gh"),
+      (s"lib-$tag-a", "2.0", "Apache-2.0", "gh"),
+      (s"lib-$tag-c", "1.1", "MIT", "wiz"))
+      .toDF("name", "version", "license", "source")
+    // three appended insert batches → several small files per partition
+    SbomSources.writeComponentTable(batch("x"), dir)
+    SbomSources.writeComponentTable(batch("y"), dir, mode = "append")
+    SbomSources.writeComponentTable(batch("z"), dir, mode = "append")
+    def partFiles(src: String): Int =
+      new java.io.File(s"$dir/source=$src").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(dir).collect().map(_.toSeq.toList).toSet
+    val filesBefore = partFiles("gh")
+    assert(filesBefore >= 3, "appends must have accumulated small files")
+    val report = SbomSources.compactComponentTable(spark, dir)
+    assert(report.nonEmpty)
+    report.foreach { case (_, nb, na) => assert(na < nb) }
+    assert(partFiles("gh") === 1, "small batches pack into one target-size file")
+    // content identical after the swap
+    val after = spark.read.parquet(dir).collect().map(_.toSeq.toList).toSet
+    assert(after === before)
+    // idempotent: a second pass finds nothing to merge
+    assert(SbomSources.compactComponentTable(spark, dir).isEmpty)
+  }
 }
