@@ -1176,6 +1176,95 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // dedup_substring_clip — the APPLY step of the suffix-array recipe: the
+  // clipped-corpus yield report after removing EVERY repeated run (not
+  // just the longest) from each document. Runs come from the same
+  // gaps-and-islands chain as dedup_substring_extents; adjacent runs'
+  // token spans can OVERLAP by up to windowLen−1 tokens (runs at
+  // positions 1–5 and 8–10 cover tokens 1–14 and 8–19), so removed-token
+  // counts are the measure of the interval UNION — computed with one
+  // running-max window per doc (covered_i = e_i − max(s_i, prevmax+1) + 1
+  // clamped at 0), never a sum of run lengths, which would double-count.
+  // Everything is integer token arithmetic — both engines agree exactly.
+  val substringClip = Q(
+    "dedup_substring_clip",
+    Some(s"""
+      WITH $corpusSql,
+      ${winsSql(distinct = false)},
+      rep AS (
+        SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2),
+      rp AS (
+        SELECT w.doc_id, w.pos FROM wins w JOIN rep r ON r.wh = w.wh),
+      runs AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 9 AS e
+        FROM (
+          SELECT doc_id, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM rp)
+        GROUP BY doc_id, grp),
+      cov AS (
+        SELECT doc_id,
+               GREATEST(0, e - GREATEST(s, COALESCE(pm, 0) + 1) + 1) AS covered
+        FROM (SELECT doc_id, s, e,
+                     MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM runs)),
+      clipped AS (
+        SELECT doc_id, SUM(covered) AS removed FROM cov GROUP BY doc_id)
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(c.doc_id) AS BIGINT) AS n_docs_clipped,
+             CAST(SUM(LEN(t.w)) AS BIGINT) AS tokens_before,
+             CAST(COALESCE(SUM(c.removed), 0) AS BIGINT) AS tokens_removed,
+             CAST(SUM(LEN(t.w)) - COALESCE(SUM(c.removed), 0) AS BIGINT)
+               AS tokens_after
+      FROM corpus cor
+      JOIN documents d ON d.doc_id = cor.doc_id % 1000000
+      JOIN toks t ON t.doc_id = cor.doc_id
+      LEFT JOIN clipped c ON c.doc_id = cor.doc_id
+      GROUP BY d.source
+      ORDER BY d.source
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val wins = withTwins(t)
+      .select(col("doc_id"),
+        posexplode(call_function("graft_winhash", col("text"))).as(Seq("pos0", "wh")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("wh"))
+    val rep = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("wh"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = wins.join(rep, Seq("wh"))
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(9L)).as("e"))
+    val prevMax = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val clipped = runs
+      .withColumn("pm", max(col("e")).over(prevMax))
+      .select(col("doc_id"),
+        greatest(lit(0L), col("e") -
+          greatest(col("s"), coalesce(col("pm"), lit(0L)) + 1) + 1).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("covered")).as("removed"))
+    withTwins(t)
+      .select(col("doc_id"), size(words(col("text"))).cast(LongType).as("n_tok"))
+      .join(t.documents.select(col("doc_id").as("orig_id"), col("source")),
+        col("doc_id") % 1000000 === col("orig_id"))
+      .join(clipped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("removed")).as("n_docs_clipped"),
+        sum(col("n_tok")).cast(LongType).as("tokens_before"),
+        coalesce(sum(col("removed")), lit(0L)).cast(LongType).as("tokens_removed"),
+        (sum(col("n_tok")) - coalesce(sum(col("removed")), lit(0L)))
+          .cast(LongType).as("tokens_after"))
+      .orderBy(col("source"))
+  }
+
   // pipe_train_corpus — the capstone: a production corpus-cleaning
   // recipe as ONE composed job over the raw documents —
   //   1. quality gate (word count + stopword ratio; fuses into the scan)
@@ -1337,5 +1426,5 @@ object Dedup {
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
     simhashDedup, simhashIdf, components, embeddingDedup, chunkDedup,
     applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
-    substringDedup, substringExtents)
+    substringDedup, substringExtents, substringClip)
 }

@@ -170,4 +170,37 @@ class DedupSpec extends SparkSpec {
     val meanErr = rows.map(_.getAs[Long]("err_bp")).sum.toDouble / rows.length
     assert(meanErr <= 2500, s"mean err $meanErr bp")
   }
+
+  test("substring clip: overlapping runs count union tokens, not the sum") {
+    import spark.implicits._
+    // doc H (13 tokens h1..h13) has repeated windows at positions 1
+    // (h1..h10, shared with doc I) and 4 (h4..h13, shared with doc J) —
+    // separate runs whose token spans OVERLAP on 4..10: the union is 13
+    // tokens, a naive run-length sum would claim 20.
+    val h = (1 to 13).map(i => s"h$i")
+    val docs = Seq(
+      (10L, h.mkString(" "), "en", "s1"),
+      (11L, h.take(10).mkString(" "), "en", "s1"), // = window W1
+      (12L, h.drop(3).mkString(" "), "en", "s1"), // = window W4
+      (13L, (1 to 12).map(i => s"k$i").mkString(" "), "en", "s2")) // clean
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("clip").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.substringClip.build(Tables(spark, dir)).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = rows("s1")
+    // corpus = originals + twins (last 3 tokens dropped): twins of I/J
+    // fall under 10 tokens and contribute no windows
+    assert(s1.getAs[Long]("n_docs") === 6L)
+    assert(s1.getAs[Long]("n_docs_clipped") === 4L) // H, H', I, J
+    assert(s1.getAs[Long]("tokens_before") === (13 + 10 + 10) + (10 + 7 + 7))
+    // H union 13 (not 20), H' 10, I 10, J 10
+    assert(s1.getAs[Long]("tokens_removed") === 43L)
+    assert(s1.getAs[Long]("tokens_after") === 14L)
+    val s2 = rows("s2")
+    assert(s2.getAs[Long]("n_docs_clipped") === 0L)
+    assert(s2.getAs[Long]("tokens_removed") === 0L)
+    assert(s2.getAs[Long]("tokens_after") === s2.getAs[Long]("tokens_before"))
+  }
 }
