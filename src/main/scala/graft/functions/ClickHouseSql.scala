@@ -184,6 +184,7 @@ object ClickHouseSql {
       out = rewriteStarModifiers(out, columnsOf)
     if (l.contains("asof")) out = rewriteAsofJoin(out, columnsOf)
     if (l.contains("fill")) out = rewriteWithFill(out)
+    if (l.contains("numbers")) out = rewriteNumbers(out)
     if (l.contains("any")) out = rewriteAnyJoin(out, columnsOf)
     if (l.contains("global")) out = stripGlobalJoin(out)
     if (l.contains("settings")) out = stripSettings(out)
@@ -811,6 +812,47 @@ object ClickHouseSql {
           "JOIN " + sub + " AS " + alias + " " +
           sqlText.substring(usingKw.get.start)
         rewriteAnyJoin(replaced, columnsOf)
+    }
+  }
+
+  /** `FROM numbers(n)` / `numbers(offset, n)` — ClickHouse's constant
+    * integer-series table function (its column is `number`); Spark's
+    * equivalent is `range(...)` with column `id`, so the rewrite wraps it
+    * in a renaming subquery. `system.numbers`-style unbounded reads are
+    * rejected loudly.
+    */
+  private def rewriteNumbers(sqlText: String): String = {
+    val ts = lex(sqlText)
+    val hit = ts.zipWithIndex.find { case (t, i) =>
+      t.lower == "numbers" &&
+        i > 0 && Set("from", "join", ",").contains(ts(i - 1).lower) &&
+        ts.lift(i + 1).exists(p => p.text == "(" && p.depth == t.depth)
+    }
+    hit match {
+      case None => sqlText
+      case Some((nt, i)) =>
+        val d = nt.depth
+        val close = ts.indexWhere(x => x.text == ")" && x.depth == d, i + 1)
+        if (close < 0)
+          throw new IllegalArgumentException("numbers(: unclosed argument list")
+        val args = ts.slice(i + 2, close).filter(_.text != ",").map(_.text)
+        if (args.isEmpty || args.length > 2 ||
+          !args.forall(a => Character.isDigit(a.charAt(0))))
+          throw new IllegalArgumentException(
+            "numbers(...) needs 1-2 numeric literals (n | offset, n)")
+        val rangeArgs =
+          if (args.length == 1) args.head
+          else s"${args.head}, ${args.head.toLong + args(1).toLong}"
+        // keep an existing alias if present; default to `numbers`
+        val hasAlias =
+          ts.lift(close + 1).exists(a => isIdent(a) && a.depth == d) ||
+            (ts.lift(close + 1).exists(a => a.lower == "as") &&
+              ts.lift(close + 2).exists(isIdent))
+        val aliasSuffix = if (hasAlias) "" else " numbers"
+        rewriteNumbers(
+          sqlText.substring(0, nt.start) +
+            s"(SELECT id AS number FROM range($rangeArgs))$aliasSuffix" +
+            sqlText.substring(ts(close).end))
     }
   }
 

@@ -533,6 +533,20 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(math.abs(agg.getAs[Long]("uc") - exact).toDouble / exact < 0.05)
   }
 
+  test("numbers() table function rewrites to range with CH column naming") {
+    val n = ClickHouseSql.sql(spark,
+      "SELECT sum(number) AS s FROM numbers(10)").head().getLong(0)
+    assert(n === 45L)
+    val off = ClickHouseSql.sql(spark,
+      "SELECT min(number) AS mn, max(number) AS mx, count(*) AS c " +
+        "FROM numbers(5, 3)").head()
+    assert(off.getLong(0) === 5L && off.getLong(1) === 7L && off.getLong(2) === 3L)
+    // alias and join positions work; the dialect FILL composes with it
+    val joined = ClickHouseSql.sql(spark, """
+      SELECT n.number AS x FROM numbers(3) AS n ORDER BY x""").collect()
+    assert(joined.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+  }
+
   test("ORDER BY WITH FILL synthesizes missing series rows") {
     import spark.implicits._
     Seq((1, 10L), (2, 20L), (5, 50L), (7, 70L)).toDF("d", "v")
