@@ -1187,7 +1187,48 @@ $pivots
       .orderBy(col("cell"))
   }
 
+  // ann_mips — maximum-inner-product retrieval: top-10 by RAW dot
+  // product, not cosine. The metric of recommender scoring (user·item
+  // where vector magnitude IS signal — normalizing it away, as cosine
+  // does, changes the ranking). Same broadcast shape as brute force; the
+  // score is the codegen'd dot kernel and the oracle the same
+  // left-to-right LIST_SUM fold. At scale the standard reduction applies:
+  // append sqrt(maxNorm² − ‖v‖²) as an extra coordinate and MIPS becomes
+  // cosine search over the augmented vectors, reusing the IVF/PQ stack.
+  val mips = Q(
+    "ann_mips",
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qvec, e.embedding),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))), 6) AS score
+        FROM embeddings e, q),
+      ranked AS (
+        SELECT query_id, vec_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id, score, CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 10
+      ORDER BY query_id, rnk
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    t.embeddings
+      .join(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(call_function("graft_dot", col("qvec"), col("embedding")), 6)
+          .as("score"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
-    filteredSearch, outliers)
+    filteredSearch, outliers, mips)
 }

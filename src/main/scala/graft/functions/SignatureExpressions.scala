@@ -157,6 +157,20 @@ object SignatureKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Dot product — the plain left-to-right double fold (zip_with
+    * truncation semantics), codegen-friendly; the MIPS scoring kernel.
+    */
+  def dot(a: ArrayData, b: ArrayData, ta: Int, tb: Int): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += elem(a, i, ta) * elem(b, i, tb)
+      i += 1
+    }
+    acc
+  }
+
   /** Squared L2 distance — the same sequential fold as
     * `aggregate(zip_with(a, b, (x, y) => (x-y)²))` (zip_with truncates to
     * the shorter array), bit-identical, codegen-friendly.
@@ -401,6 +415,25 @@ case class CosineExpr(left: Expression, right: Expression) extends BinaryExpress
     newRight: Expression): CosineExpr = copy(left = newLeft, right = newRight)
 }
 
+/** graft_dot(a, b) → DOUBLE — codegen'd dot product (the MIPS score). */
+case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def tc(e: Expression): Int = e.dataType match {
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(LongType, _) => 2
+    case _ => 0
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SignatureKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      tc(left), tc(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SignatureKernels.dot($a, $b, ${tc(left)}, ${tc(right)})")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+    newRight: Expression): DotExpr = copy(left = newLeft, right = newRight)
+}
+
 /** graft_dist2(a, b) → DOUBLE — codegen'd squared L2 distance, the
   * bit-identical kernel form of the zip_with/aggregate fold (used by the
   * IVF assignment stages, which evaluate it |corpus|×|cells| times).
@@ -476,6 +509,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.winHashDesc)
     ext.injectFunction(GraftFunctions.cosDesc)
     ext.injectFunction(GraftFunctions.dist2Desc)
+    ext.injectFunction(GraftFunctions.dotDesc)
     ext.injectOptimizerRule(_ => graft.plans.ApproxQuantileRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectParser((session, delegate) =>
@@ -529,11 +563,16 @@ object GraftFunctions {
       new ExpressionInfo(classOf[Dist2Expr].getName, "graft_dist2"),
       (args: Seq[Expression]) => Dist2Expr(args(0), args(1)))
 
+  val dotDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotExpr(args(0), args(1)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(simhashDesc, minhashDesc, shinglesDesc, bigramsDesc,
       fingerprintDesc, bitLanesDesc, winHashDesc, cosDesc,
-      dist2Desc).foreach { case (id, info, builder) =>
+      dist2Desc, dotDesc).foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }

@@ -207,5 +207,42 @@ object Behavior {
       .orderBy(col("strict_level"))
   }
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q52, q58)
+  // q63 — cohort retention matrix (the weekly triangle every product
+  // analytics tool renders): users grouped by first-activity week, each
+  // cohort's active count at week offsets 0, 1, 2, …. Two hash-keyed
+  // aggregations (distinct activity, per-user cohort) + one join on
+  // user_id — the cohort table is |users| rows, so at 100 TB the join is
+  // a shuffle on user_id with map-side-combined distincts, no window
+  // over the full event stream. Week truncation is Monday-start in both
+  // engines; offsets are exact integer day arithmetic / 7.
+  val q63 = Q(
+    "q63_cohorts",
+    Some("""
+      WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        FROM events),
+      coh AS (SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY user_id)
+      SELECT c.cohort,
+             CAST((a.wk - c.cohort) // 7 AS BIGINT) AS week_offset,
+             COUNT(*) AS n_active
+      FROM act a JOIN coh c ON c.user_id = a.user_id
+      GROUP BY c.cohort, week_offset
+      ORDER BY c.cohort, week_offset
+    """)
+  ) { t =>
+    val act = t.events
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val coh = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+    act.join(coh, "user_id")
+      .select(col("cohort"),
+        expr("datediff(wk, cohort) div 7").cast(LongType).as("week_offset"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63)
 }

@@ -139,6 +139,7 @@ class KernelPropertySpec extends AnyFunSuite {
       }
       val expCosL = ldot.toDouble / (math.sqrt(lna.toDouble) * math.sqrt(lnb.toDouble))
       assert(SignatureKernels.cosine(al, bl, 2, 2) === expCosL)
+      assert(SignatureKernels.dot(a, b, 1, 1) === dot)
     }
   }
 }
