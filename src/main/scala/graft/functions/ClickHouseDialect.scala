@@ -15,6 +15,52 @@ object ClickHouseDialect {
 
   private def one(args: Seq[Expression]): Expression = args.head
 
+  /** ClickHouse external dictionaries: small key→attribute lookup tables
+    * resolved per row (`dictGet('countries', 'name', code)`). Registered
+    * here as collected in-memory maps and compiled into each query as a
+    * single MapType literal + ElementAt — the broadcast-dim pattern
+    * without a join, resolved entirely at plan time. Map-literal lookup
+    * is a per-row scan of the literal, so registration caps the size at
+    * dimension scale (64k entries) — a bigger "dictionary" is a join, and
+    * should be written as one.
+    */
+  private val dicts =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Map[String, (org.apache.spark.sql.types.MapType, Map[Any, Any])]]()
+
+  def registerDictionary(df: org.apache.spark.sql.DataFrame, name: String,
+    keyCol: String, maxRows: Int = 65536): Unit = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"dictionary $name exceeds $maxRows entries — use a join for large tables")
+    val keyType = df.schema(keyCol).dataType
+    val attrs = df.columns.filterNot(_.equalsIgnoreCase(keyCol))
+    val byAttr = attrs.map { a =>
+      val vt = df.schema(a).dataType
+      a -> (org.apache.spark.sql.types.MapType(keyType, vt),
+        rows.map(r => r.getAs[Any](keyCol) -> r.getAs[Any](a)).toMap)
+    }.toMap
+    dicts.put(name, byAttr)
+    ()
+  }
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s, _) if s != null => s.toString
+    case _ => throw new IllegalArgumentException(s"$what must be a string literal")
+  }
+
+  private def dictMapLiteral(args: Seq[Expression]): Expression = {
+    val name = litString(args.head, "dictGet dictionary name")
+    val attr = litString(args(1), "dictGet attribute name")
+    val byAttr = Option(dicts.get(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"dictionary $name is not registered — ClickHouseDialect.registerDictionary first"))
+    val (mt, m) = byAttr.getOrElse(attr,
+      throw new IllegalArgumentException(
+        s"dictionary $name has no attribute $attr (has: ${byAttr.keys.mkString(", ")})"))
+    Literal.create(m, mt)
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // …If combinators
     "countIf" -> (args => Count(CaseWhen(Seq((args.head, Literal(1)))))),
@@ -322,6 +368,17 @@ object ClickHouseDialect {
     "assumeNotNull" -> (args => KnownNotNull(one(args))),
     // strings, third batch (no name collisions with Spark builtins)
     "positionUTF8" -> (args => new StringLocate(args(1), args.head)),
+    // dictionaries (see dicts above): plan-time map literals
+    "dictGet" -> (args => ElementAt(dictMapLiteral(args), args(2))),
+    "dictGetOrDefault" -> (args =>
+      Coalesce(Seq(ElementAt(dictMapLiteral(args), args(2)), args(3)))),
+    "dictHas" -> { args =>
+      val name = litString(args.head, "dictHas dictionary name")
+      val byAttr = Option(dicts.get(name)).getOrElse(
+        throw new IllegalArgumentException(s"dictionary $name is not registered"))
+      val (mt, m) = byAttr.head._2
+      ArrayContains(MapKeys(Literal.create(m, mt)), args(1))
+    },
     "countSubstrings" -> { args =>
       if (!args(1).foldable)
         throw new IllegalArgumentException(

@@ -185,6 +185,7 @@ object ClickHouseSql {
     if (l.contains("asof")) out = rewriteAsofJoin(out, columnsOf)
     if (l.contains("fill")) out = rewriteWithFill(out)
     if (l.contains("numbers")) out = rewriteNumbers(out)
+    if (l.contains("totals")) out = rewriteWithTotals(out)
     if (l.contains("any")) out = rewriteAnyJoin(out, columnsOf)
     if (l.contains("global")) out = stripGlobalJoin(out)
     if (l.contains("settings")) out = stripSettings(out)
@@ -812,6 +813,36 @@ object ClickHouseSql {
           "JOIN " + sub + " AS " + alias + " " +
           sqlText.substring(usingKw.get.start)
         rewriteAnyJoin(replaced, columnsOf)
+    }
+  }
+
+  /** `GROUP BY c1, … WITH TOTALS` — ClickHouse appends one summary row
+    * aggregated over the whole filtered set. `GROUPING SETS ((c1, …), ())`
+    * is the EXACT equivalent (unlike ROLLUP, which would add partial
+    * levels for multi-column keys); the totals row carries NULL group
+    * keys, as CH renders it.
+    */
+  private def rewriteWithTotals(sqlText: String): String = {
+    val ts = lex(sqlText)
+    val hit = ts.zipWithIndex.find { case (t, i) =>
+      t.lower == "with" &&
+        ts.lift(i + 1).exists(n => n.lower == "totals" && n.depth == t.depth)
+    }
+    hit match {
+      case None => sqlText
+      case Some((wt, wi)) =>
+        val d = wt.depth
+        val byIdx = ts.lastIndexWhere(t => t.depth == d && t.lower == "by", wi)
+        if (byIdx <= 0 || ts(byIdx - 1).lower != "group" ||
+          ts(byIdx - 1).depth != d)
+          throw new IllegalArgumentException("WITH TOTALS: no enclosing GROUP BY")
+        val keys = sqlText.substring(ts(byIdx).end, wt.start).trim
+        if (keys.isEmpty)
+          throw new IllegalArgumentException("WITH TOTALS: empty GROUP BY key list")
+        rewriteWithTotals(
+          sqlText.substring(0, ts(byIdx).end) +
+            s" GROUPING SETS (($keys), ())" +
+            sqlText.substring(ts(wi + 1).end))
     }
   }
 

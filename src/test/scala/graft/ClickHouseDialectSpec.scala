@@ -533,6 +533,51 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(math.abs(agg.getAs[Long]("uc") - exact).toDouble / exact < 0.05)
   }
 
+  test("GROUP BY WITH TOTALS appends exactly one all-NULL summary row") {
+    val rows = ClickHouseSql.sql(spark, """
+      SELECT o_orderstatus, COUNT(*) AS n FROM orders_v
+      GROUP BY o_orderstatus WITH TOTALS""").collect()
+    val totals = rows.filter(_.isNullAt(0))
+    assert(totals.length === 1)
+    assert(totals.head.getLong(1) === sf0001.orders.count())
+    // detail rows sum to the totals row (GROUPING SETS, not ROLLUP)
+    assert(rows.filterNot(_.isNullAt(0)).map(_.getLong(1)).sum ===
+      totals.head.getLong(1))
+    // multi-key: still exactly ONE extra row (rollup would add partials)
+    val multi = ClickHouseSql.sql(spark, """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders_v
+      GROUP BY o_orderstatus, o_orderpriority WITH TOTALS""").collect()
+    val detail = sf0001.orders
+      .groupBy(col("o_orderstatus"), col("o_orderpriority")).count().count()
+    assert(multi.length.toLong === detail + 1)
+  }
+
+  test("dictGet resolves registered dictionary attributes per row") {
+    import spark.implicits._
+    val dim = Seq((1L, "us", 330L), (2L, "de", 83L), (3L, "jp", 125L))
+      .toDF("id", "code", "pop")
+    ClickHouseDialect.registerDictionary(dim, "countries", "id")
+    val r = spark.sql("""
+      SELECT dictGet('countries', 'code', 2) AS c,
+             dictGetOrDefault('countries', 'code', 9, 'xx') AS dflt,
+             dictHas('countries', 3) AS h3,
+             dictHas('countries', 9) AS h9""").head()
+    assert(r.getString(0) === "de")
+    assert(r.getString(1) === "xx")
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    // per-row over a real table column
+    sf0001.nation.limit(3).createOrReplaceTempView("dict_n")
+    val n = spark.sql(
+      "SELECT dictGetOrDefault('countries', 'pop', n_nationkey + 1, -1) AS p " +
+        "FROM dict_n ORDER BY n_nationkey").collect()
+    assert(n.map(_.getLong(0)).toSet.subsetOf(Set(330L, 83L, 125L, -1L)))
+    // unregistered dictionaries fail loudly at plan time
+    val err = intercept[Exception] {
+      spark.sql("SELECT dictGet('nope', 'x', 1)").collect()
+    }
+    assert(err.getMessage.contains("not registered"))
+  }
+
   test("numbers() table function rewrites to range with CH column naming") {
     val n = ClickHouseSql.sql(spark,
       "SELECT sum(number) AS s FROM numbers(10)").head().getLong(0)
