@@ -984,6 +984,72 @@ $pivots
       .orderBy(col("dim"))
   }
 
+  // embed_covariance — strongest cross-dimension covariances on the
+  // shared 1024 integer grid: the redundancy/whitening diagnostic read
+  // before trusting per-dimension pruning or PCA (a pair of highly
+  // covariant dimensions carries half the information the index pays
+  // for). All moments are exact integer sums (n·Sij − Si·Sj), so both
+  // engines rank identically — no FP covariance drift. Cost is the
+  // inherent O(n·d²) cross-moment explode, aggregated map-side to
+  // d(d−1)/2 groups; the per-dimension sums (d rows) broadcast back.
+  // Long accumulators are exact to ~10⁹ rows at this grid; past that the
+  // sums widen to DECIMAL(38) with the same plan shape.
+  val covariance = Q(
+    "embed_covariance",
+    Some("""
+      WITH px AS (
+        SELECT vec_id, i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS xq
+        FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS t(i)),
+      dims AS (
+        SELECT dim, COUNT(*) AS n, SUM(xq) AS s FROM px GROUP BY dim),
+      cross_m AS (
+        SELECT a.dim AS dim_i, b.dim AS dim_j, SUM(a.xq * b.xq) AS sij
+        FROM px a JOIN px b ON a.vec_id = b.vec_id AND a.dim < b.dim
+        GROUP BY a.dim, b.dim),
+      cov AS (
+        SELECT c.dim_i, c.dim_j,
+               di.n AS n,
+               di.n * c.sij - di.s * dj.s AS cov_n2
+        FROM cross_m c
+        JOIN dims di ON di.dim = c.dim_i
+        JOIN dims dj ON dj.dim = c.dim_j)
+      SELECT CAST(dim_i AS BIGINT) AS dim_i,
+             CAST(dim_j AS BIGINT) AS dim_j,
+             CAST(cov_n2 * 1000 // (n * n) AS BIGINT) AS cov_milli
+      FROM (SELECT dim_i, dim_j, n, cov_n2,
+                   ROW_NUMBER() OVER (ORDER BY ABS(cov_n2) DESC, dim_i, dim_j) AS rn
+            FROM cov)
+      WHERE rn <= 20
+      ORDER BY dim_i, dim_j
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val px = t.embeddings
+      .select(col("vec_id"), posexplode(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1024).cast(LongType))))
+      .select(col("vec_id"), col("pos").cast(LongType).as("dim"), col("col").as("xq"))
+    val dims = px.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"))
+    val crossM = px.toDF("vec_id", "dim_i", "xi")
+      .join(px.toDF("vec_id2", "dim_j", "xj"),
+        col("vec_id") === col("vec_id2") && col("dim_i") < col("dim_j"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(sum(col("xi") * col("xj")).as("sij"))
+    val cov = crossM
+      .join(broadcast(dims.toDF("dim_i", "n", "s_i")), "dim_i")
+      .join(broadcast(dims.toDF("dim_j", "n_j", "s_j")), "dim_j")
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        (col("n") * col("sij") - col("s_i") * col("s_j")).as("cov_n2"))
+    cov
+      .withColumn("rn", row_number().over(
+        Window.orderBy(abs(col("cov_n2")).desc, col("dim_i"), col("dim_j"))))
+      .filter(col("rn") <= 20)
+      .select(col("dim_i"), col("dim_j"),
+        expr("cov_n2 * 1000 div (n * n)").cast(LongType).as("cov_milli"))
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
   // embed_kmeans — the coarse quantizer exposed as a clustering operator:
   // per-cluster population, inertia (sum of squared distances to the
   // centroid), and radius — the diagnostics a pipeline reads to judge
@@ -1230,5 +1296,5 @@ $pivots
 
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
-    filteredSearch, outliers, mips)
+    filteredSearch, outliers, mips, covariance)
 }
