@@ -516,6 +516,50 @@ object Streams {
     * not |corpus|, so the stream runs forever. Near-dups are the
     * companion nearDupStream; this stage is the exact-dup + hygiene cut.
     */
+  final case class SourcedDoc(doc_id: Long, ts: Timestamp, source: String,
+    text: String)
+
+  final case class Admitted(doc_id: Long, source: String, n_tok: Long,
+    cum_tokens: Long)
+
+  /** Streaming per-source token-budget admission (the ingest-side quota
+    * of pipe_mix_sample): each source may contribute at most
+    * `tokenBudget` whitespace tokens to the output stream; documents are
+    * admitted whole, in (event-time, doc_id) order within each batch,
+    * until the next document would overflow the budget — then that
+    * document is dropped (not split) and smaller later documents may
+    * still fit. State per source is ONE counter, so the operator's state
+    * size is |sources| regardless of stream length — the cheapest
+    * possible admission control at any scale. Cross-batch admission
+    * depends on arrival order, as any online quota does.
+    */
+  def budgetStream(docs: Dataset[SourcedDoc],
+    tokenBudget: Long = 1000000L,
+    watermark: String = "10 minutes"): Dataset[Admitted] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def update(source: String, it: Iterator[SourcedDoc],
+      state: GroupState[Long]): Iterator[Admitted] = {
+      var used = state.getOption.getOrElse(0L)
+      val out = Seq.newBuilder[Admitted]
+      it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+        val n = d.text.trim.split("\\s+").count(_.nonEmpty).toLong
+        if (used + n <= tokenBudget) {
+          used += n
+          out += Admitted(d.doc_id, source, n, used)
+        }
+      }
+      state.update(used)
+      out.result().iterator
+    }
+
+    docs
+      .withWatermark("ts", watermark)
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   def cleanCorpusStream(docs: Dataset[Doc], watermark: String = "10 minutes",
     minWords: Int = 20, minStopRatio: Double = 0.05): DataFrame = {
     val ws = split(trim(col("text")), "\\s+")

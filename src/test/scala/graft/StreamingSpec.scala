@@ -389,6 +389,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming token budget admits whole docs per source until exhausted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.SourcedDoc]
+    val q = Streams.budgetStream(mem.toDS(), tokenBudget = 10L)
+      .writeStream.format("memory").queryName("budget_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Streams.SourcedDoc(1, ts(0), "web", "a b c d"), // 4 tok -> admitted
+        Streams.SourcedDoc(2, ts(1), "web", "e f g h"), // 8 total -> admitted
+        Streams.SourcedDoc(3, ts(2), "web", "i j k"), // would hit 11 -> dropped
+        Streams.SourcedDoc(4, ts(3), "web", "l m"), // 10 total -> still fits
+        Streams.SourcedDoc(5, ts(0), "book", "x y z")) // independent budget
+      q.processAllAvailable()
+      val rows = spark.table("budget_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens")).toMap
+      assert(rows === Map(1L -> 4L, 2L -> 8L, 4L -> 10L, 5L -> 3L))
+      // a later batch cannot overdraw the exhausted source
+      mem.addData(Streams.SourcedDoc(6, ts(4), "web", "n"),
+        Streams.SourcedDoc(7, ts(4), "book", "w w w w w w w")) // 3+7=10 fits
+      q.processAllAvailable()
+      val after = spark.table("budget_stream").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(after === Set(1L, 2L, 4L, 5L, 7L))
+    } finally q.stop()
+  }
+
   test("streaming corpus clean: quality gate + PII scrub + exact dedup across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
