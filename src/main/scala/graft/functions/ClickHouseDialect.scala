@@ -368,6 +368,14 @@ object ClickHouseDialect {
     "assumeNotNull" -> (args => KnownNotNull(one(args))),
     // strings, third batch (no name collisions with Spark builtins)
     "positionUTF8" -> (args => new StringLocate(args(1), args.head)),
+    // window-frame navigation (CH names; `lagInFrame` ≡ SQL lag within
+    // the window frame — Spark's Lag/Lead, used inside OVER (...))
+    "lagInFrame" -> (args => Lag(args.head,
+      if (args.length > 1) args(1) else Literal(1),
+      if (args.length > 2) args(2) else Literal(null), ignoreNulls = false)),
+    "leadInFrame" -> (args => Lead(args.head,
+      if (args.length > 1) args(1) else Literal(1),
+      if (args.length > 2) args(2) else Literal(null), ignoreNulls = false)),
     // dictionaries (see dicts above): plan-time map literals
     "dictGet" -> (args => ElementAt(dictMapLiteral(args), args(2))),
     "dictGetOrDefault" -> (args =>

@@ -199,5 +199,61 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
-  val all: Seq[Q] = Seq(evalSplit, crossSource, novelty)
+  // text_tfidf — characteristic terms per source: top-5 non-stopword
+  // terms ranked by an integer TF-rarity score, tf·10000 div df (term
+  // frequency within the source × inverse document frequency across the
+  // corpus, in exact integer arithmetic instead of the classic float
+  // log-idf — same ranking intent, zero cross-engine drift). This is the
+  // "what is this source actually about" card a corpus curator reads
+  // next to the mix weights. Two hash-keyed aggregations (term×source
+  // tf, term df) and a broadcast of the df table's aggregate — the
+  // corpus is scanned once. df counts DOCUMENTS containing the term
+  // (distinct doc explode), the standard idf denominator.
+  val tfidf = Q(
+    "text_tfidf",
+    Some("""
+      WITH words AS (
+        SELECT doc_id, source, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS w
+        FROM documents),
+      terms AS (
+        SELECT doc_id, source, w FROM words
+        WHERE NOT LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], w)),
+      tf AS (
+        SELECT source, w, COUNT(*) AS tf FROM terms GROUP BY source, w),
+      df AS (
+        SELECT w, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY w),
+      scored AS (
+        SELECT t.source, t.w AS term, t.tf, d.df,
+               t.tf * 10000 // d.df AS score,
+               ROW_NUMBER() OVER (PARTITION BY t.source
+                 ORDER BY t.tf * 10000 // d.df DESC, t.w) AS rnk
+        FROM tf t JOIN df d ON d.w = t.w)
+      SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rnk
+      FROM scored WHERE rnk <= 5
+      ORDER BY source, rnk
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val terms = t.documents
+      .select(col("doc_id"), col("source"),
+        explode(words(col("text"))).as("w"))
+      .filter(!col("w").isin(TextOps.stopwords: _*))
+    val tf = terms.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(expr("tf * 10000 div df").desc, col("w"))
+    tf.join(df, "w")
+      .withColumn("score", expr("tf * 10000 div df"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("w").as("term"),
+        col("tf").cast(LongType).as("tf"), col("df").cast(LongType).as("df"),
+        col("score").cast(LongType).as("score"), col("rnk"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(evalSplit, crossSource, novelty, tfidf)
 }

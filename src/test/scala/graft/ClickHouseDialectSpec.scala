@@ -533,6 +533,17 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(math.abs(agg.getAs[Long]("uc") - exact).toDouble / exact < 0.05)
   }
 
+  test("lagInFrame/leadInFrame navigate window frames from SQL text") {
+    val rows = spark.sql("""
+      SELECT o_orderkey,
+             lagInFrame(o_orderkey) OVER (ORDER BY o_orderkey) AS prev,
+             leadInFrame(o_orderkey, 2, -1) OVER (ORDER BY o_orderkey) AS nxt2
+      FROM orders_v ORDER BY o_orderkey LIMIT 3""").collect()
+    assert(rows.head.isNullAt(1))
+    assert(rows(1).getLong(1) === rows.head.getLong(0))
+    assert(rows.head.getLong(2) === rows(2).getLong(0))
+  }
+
   test("GROUP BY WITH TOTALS appends exactly one all-NULL summary row") {
     val rows = ClickHouseSql.sql(spark, """
       SELECT o_orderstatus, COUNT(*) AS n FROM orders_v
