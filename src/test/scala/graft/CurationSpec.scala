@@ -59,6 +59,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("text_tfidf: five non-stopword terms per source, rarity-ranked") {
+    val rows = CurationOps.tfidf.build(sf0001).collect()
+    val sources = rows.map(_.getAs[String]("source")).distinct
+    assert(rows.length === sources.length * 5)
+    val stop = graft.text.TextOps.stopwords.toSet
+    rows.foreach { r =>
+      assert(!stop.contains(r.getAs[String]("term")))
+      assert(r.getAs[Long]("score") === r.getAs[Long]("tf") * 10000 / r.getAs[Long]("df"))
+    }
+    // ranks are dense 1..5 and scores non-increasing within a source
+    rows.groupBy(_.getAs[String]("source")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to 5L))
+      val scores = sorted.map(_.getAs[Long]("score")).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+  }
+
   test("text_novelty: novel shingle totals equal the distinct corpus shingle count") {
     graft.functions.GraftFunctions.register(spark)
     val rows = CurationOps.novelty.build(sf0001).collect()
