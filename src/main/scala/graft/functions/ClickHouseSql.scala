@@ -955,6 +955,25 @@ object ClickHouseSql {
             case _ =>
           }
         }
+        // INTERPOLATE (c1, …): carry-forward fill for the named columns
+        // (bare-column CH form — each synthesized row repeats the last
+        // real value instead of NULL)
+        var interpolated = Set.empty[String]
+        if (ts.lift(j).exists(t => t.lower == "interpolate" && t.depth == d) &&
+          ts.lift(j + 1).exists(p => p.text == "(" && p.depth == d)) {
+          val close = ts.indexWhere(x => x.text == ")" && x.depth == d, j + 1)
+          if (close < 0)
+            throw new IllegalArgumentException("INTERPOLATE: unclosed list")
+          val cols = ts.slice(j + 2, close)
+          if (cols.exists(t => !isIdent(t) && t.text != ","))
+            throw new IllegalArgumentException(
+              "INTERPOLATE supports bare columns (carry-forward); " +
+                "AS-expression interpolation is not supported")
+          interpolated = cols.filter(isIdent)
+            .map(_.text.toLowerCase(java.util.Locale.ROOT)).toSet
+          consumed = ts(close).end
+          j = close + 1
+        }
         // trailing LIMIT (after the fill fragment) moves to the outer query
         val trailing = sqlText.substring(consumed).trim
         if (trailing.nonEmpty && !trailing.toLowerCase(java.util.Locale.ROOT)
@@ -1006,10 +1025,28 @@ object ClickHouseSql {
             s"WHERE __chf_v < $t0) __chf_s"
           case None => s"($rawSeries) __chf_s"
         }
+        val unknownInterp = interpolated.diff(
+          aliases.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+        if (unknownInterp.nonEmpty)
+          throw new IllegalArgumentException(
+            s"INTERPOLATE names not in the select list: ${unknownInterp.mkString(", ")}")
+        if (interpolated(key.toLowerCase(java.util.Locale.ROOT)))
+          throw new IllegalArgumentException(
+            "INTERPOLATE cannot target the WITH FILL ordering column")
         val fillSelect = aliases.map { a =>
           if (a.equalsIgnoreCase(key)) s"__chf_v AS $a" else s"NULL AS $a"
         }.mkString(", ")
-        s"SELECT * FROM (SELECT * FROM ($inner) __chf_q UNION ALL " +
+        // outer projection: interpolated columns carry the last real
+        // value forward over the fill order, everything else passes through
+        val outerSel =
+          if (interpolated.isEmpty) "*"
+          else aliases.map { a =>
+            if (interpolated(a.toLowerCase(java.util.Locale.ROOT)))
+              s"last_value($a, true) OVER (ORDER BY $key " +
+                s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $a"
+            else a
+          }.mkString(", ")
+        s"SELECT $outerSel FROM (SELECT * FROM ($inner) __chf_q UNION ALL " +
           s"SELECT $fillSelect FROM $series LEFT ANTI JOIN ($inner) __chf_a " +
           s"ON __chf_a.$key = __chf_v) __chf_u ORDER BY $key$outerLimit"
     }

@@ -620,12 +620,24 @@ class ClickHouseDialectSpec extends SparkSpec {
     val limited = ClickHouseSql.sql(spark, """
       SELECT d, v FROM fill_t ORDER BY d WITH FILL LIMIT 3""").collect()
     assert(limited.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // INTERPOLATE carries the last real value into synthesized rows
+    val interp = ClickHouseSql.sql(spark, """
+      SELECT d, v FROM fill_t ORDER BY d WITH FILL INTERPOLATE (v)""").collect()
+    assert(interp.map(_.getLong(0)).toSeq === (1L to 7L))
+    assert(interp.map(_.getLong(1)).toSeq ===
+      Seq(10L, 20L, 20L, 20L, 50L, 50L, 70L))
     // unsupported shapes fail loudly
     val err = intercept[IllegalArgumentException] {
       ClickHouseSql.rewrite(
         "SELECT d, v FROM t ORDER BY d, v WITH FILL", _ => Seq("d", "v"))
     }
     assert(err.getMessage.contains("single"))
+    val err2 = intercept[IllegalArgumentException] {
+      ClickHouseSql.rewrite(
+        "SELECT d, v FROM t ORDER BY d WITH FILL INTERPOLATE (v AS v + 1)",
+        _ => Seq("d", "v"))
+    }
+    assert(err2.getMessage.contains("bare columns"))
   }
 
   test("ASOF JOIN USING matches each event to the latest earlier quote") {
