@@ -345,6 +345,17 @@ object ClickHouseDialect {
     // anyHeavy's "some heavy hitter" contract is satisfied by exact mode
     "uniqHLL12" -> (args => HyperLogLogPlusPlus(one(args))),
     "uniqCombined" -> (args => HyperLogLogPlusPlus(one(args))),
+    // parameterized aggregates — ClickHouse writes these `f(params)(args)`;
+    // ClickHouseSql.rewriteParamCall flattens the call to this params-first
+    // form, so both spellings resolve here
+    "quantiles" -> (args => new Percentile(args.last, CreateArray(args.init))),
+    "quantilesExact" -> (args => new Percentile(args.last, CreateArray(args.init))),
+    "topK" -> (args => TopKFreq(args(1), args.head, Literal(1L))),
+    "topKWeighted" -> (args => TopKFreq(args(1), args.head, args(2))),
+    // uniqUpTo(k)(x): exact distinct count saturating at k+1 ("more than k")
+    "uniqUpTo" -> (args => Least(Seq(
+      Count(Seq(args(1))).toAggregateExpression(isDistinct = true),
+      Cast(Add(args.head, Literal(1)), org.apache.spark.sql.types.LongType)))),
     "quantileTDigest" -> (args => new ApproximatePercentile(args(1), args.head)),
     "anyHeavy" -> (args => Mode(one(args))),
     // arrays/maps, third batch

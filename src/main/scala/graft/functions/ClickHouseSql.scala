@@ -175,6 +175,7 @@ object ClickHouseSql {
   def rewrite(sqlText: String, columnsOf: String => Seq[String]): String = {
     val l = sqlText.toLowerCase(java.util.Locale.ROOT)
     var out = sqlText
+    if (paramCallNames.exists(l.contains)) out = rewriteParamCall(out)
     if (l.contains("final")) out = rewriteFinal(out, columnsOf)
     if (l.contains("array")) out = rewriteArrayJoin(out)
     if (l.contains("sample")) out = rewriteSample(out)
@@ -191,6 +192,44 @@ object ClickHouseSql {
     if (l.contains("settings")) out = stripSettings(out)
     if (l.contains("format")) out = stripFormat(out)
     out
+  }
+
+  /** Names the dialect registers with params-first flattened signatures
+    * (lowercased; see ClickHouseDialect: quantile family, topK family,
+    * uniqUpTo).
+    */
+  private val paramCallNames = Set("quantile", "quantileexact",
+    "quantiletdigest", "quantiles", "quantilesexact", "topk",
+    "topkweighted", "uniqupto")
+
+  /** ClickHouse parameterized-aggregate call syntax `f(p, …)(args…)` →
+    * the dialect's flattened params-first form `f(p, …, args…)` —
+    * `quantile(0.9)(x)` becomes `quantile(0.9, x)`. Only names in
+    * [[paramCallNames]] are touched; `f(p)` with no second group (and
+    * all standard SQL) passes through byte-identical.
+    */
+  private def rewriteParamCall(sqlText: String): String = {
+    val toks = lex(sqlText)
+    val splices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < toks.length - 1) {
+      val t = toks(i)
+      if (paramCallNames(t.lower) && toks(i + 1).text == "(") {
+        val d = toks(i + 1).depth
+        var j = i + 2
+        while (j < toks.length && !(toks(j).text == ")" && toks(j).depth == d)) j += 1
+        if (j + 1 < toks.length && toks(j + 1).text == "(" &&
+          toks(j + 1).depth == d)
+          splices += ((toks(j).start, toks(j + 1).end))
+      }
+      i += 1
+    }
+    if (splices.isEmpty) sqlText
+    else {
+      val sb = new StringBuilder(sqlText)
+      splices.sortBy(-_._1).foreach { case (s, e) => sb.replace(s, e, ", ") }
+      sb.toString
+    }
   }
 
   /** Drop `GLOBAL` before a join keyword. ClickHouse's GLOBAL is a

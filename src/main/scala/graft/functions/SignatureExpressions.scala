@@ -205,6 +205,24 @@ object SignatureKernels {
     fp
   }
 
+  /** Portable word hash of every token (PortableHash polynomial fold,
+    * seed 7) — the per-token feature-hash stream for hashing-trick
+    * featurization; DuckDB mirror is PortableHash.wordHashSql over the
+    * same whitespace split.
+    */
+  def wordHashes(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val toks = tokenOffsets(bytes)
+    val nToks = toks.length / 2
+    val out = new Array[Long](nToks)
+    var t = 0
+    while (t < nToks) {
+      out(t) = wordHash(bytes, toks(2 * t), toks(2 * t + 1))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** xxhash64 of every `w`-token shingle (hash of the raw byte span from
     * token i through token i+w-1) — the inverted-index key stream for
     * n-gram similarity joins, with zero shingle-string construction.
@@ -376,6 +394,20 @@ case class FingerprintExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_wordhashes(text) → ARRAY<BIGINT> (portable per-token word
+  * hashes — the hashing-trick feature stream).
+  */
+case class WordHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.wordHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureKernels.wordHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordHashesExpr =
+    copy(child = newChild)
+}
+
 /** graft_winhash(text) → ARRAY<BIGINT> (10-token window dual-fold hashes,
   * one per full window position — the substring-dedup key stream).
   */
@@ -504,6 +536,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minhashDesc)
     ext.injectFunction(GraftFunctions.shinglesDesc)
     ext.injectFunction(GraftFunctions.fingerprintDesc)
+    ext.injectFunction(GraftFunctions.wordHashesDesc)
     ext.injectFunction(GraftFunctions.bigramsDesc)
     ext.injectFunction(GraftFunctions.bitLanesDesc)
     ext.injectFunction(GraftFunctions.winHashDesc)
@@ -543,6 +576,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[FingerprintExpr].getName, "graft_fingerprint"),
       (args: Seq[Expression]) => FingerprintExpr(args.head))
 
+  val wordHashesDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_wordhashes"),
+      new ExpressionInfo(classOf[WordHashesExpr].getName, "graft_wordhashes"),
+      (args: Seq[Expression]) => WordHashesExpr(args.head))
+
   val bitLanesDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_bitlanes"),
       new ExpressionInfo(classOf[BitLanesExpr].getName, "graft_bitlanes"),
@@ -571,7 +609,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(simhashDesc, minhashDesc, shinglesDesc, bigramsDesc,
-      fingerprintDesc, bitLanesDesc, winHashDesc, cosDesc,
+      fingerprintDesc, wordHashesDesc, bitLanesDesc, winHashDesc, cosDesc,
       dist2Desc, dotDesc).foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }

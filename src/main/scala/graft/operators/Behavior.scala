@@ -244,5 +244,61 @@ object Behavior {
       .orderBy(col("cohort"), col("week_offset"))
   }
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63)
+  // q64 — conversion-lag distribution (time-to-convert, the companion
+  // metric to the funnel's conversion rate): for each user, the delay
+  // from their FIRST click to their first purchase after it, rolled up
+  // by first-click day — conversions, exact total lag, and exact
+  // p50/p90 lag quantiles. Two per-user min-aggregations + a join on
+  // user_id; the percentile runs over |converting users per day| values,
+  // so at 100 TB it is a bounded per-day sort after hash-keyed aggs, no
+  // window over the raw event stream. Lag is integer seconds (both
+  // engines floor positive epochs), and the quantile interpolation
+  // follows the q21 epsilon+round contract.
+  val q64 = Q(
+    "q64_conversion_lag",
+    Some("""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      fc AS (SELECT user_id, MIN(ts) AS t_click FROM e
+             WHERE event_type = 'click' GROUP BY user_id),
+      fp AS (SELECT e.user_id, MIN(e.ts) AS t_conv
+             FROM e JOIN fc ON e.user_id = fc.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > fc.t_click
+             GROUP BY e.user_id),
+      lags AS (
+        SELECT CAST(DATE_TRUNC('day', fc.t_click) AS DATE) AS day,
+               CAST(EPOCH_US(fp.t_conv) // 1000000 - EPOCH_US(fc.t_click) // 1000000 AS BIGINT) AS lag_s
+        FROM fc JOIN fp ON fc.user_id = fp.user_id)
+      SELECT day,
+             COUNT(*) AS conversions,
+             CAST(SUM(lag_s) AS BIGINT) AS sum_lag_s,
+             ROUND(MEDIAN(lag_s) + 0.000001, 1) AS p50_lag_s,
+             ROUND(QUANTILE_CONT(lag_s, 0.9) + 0.000001, 1) AS p90_lag_s
+      FROM lags
+      GROUP BY day
+      ORDER BY day
+    """)
+  ) { t =>
+    val e = t.events.select(col("user_id"), col("event_type"), col("ts"))
+    val fc = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val fp = e.join(fc, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_conv"))
+    fc.join(fp, "user_id")
+      .select(
+        date_trunc("day", col("t_click")).cast("date").as("day"),
+        (unix_timestamp(col("t_conv")) - unix_timestamp(col("t_click")))
+          .cast(LongType).as("lag_s"))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("conversions"),
+        sum(col("lag_s")).as("sum_lag_s"),
+        percentile(col("lag_s"), array(lit(0.5), lit(0.9))).as("ps"))
+      .select(col("day"), col("conversions"), col("sum_lag_s"),
+        round(col("ps").getItem(0) + 0.000001, 1).as("p50_lag_s"),
+        round(col("ps").getItem(1) + 0.000001, 1).as("p90_lag_s"))
+      .orderBy(col("day"))
+  }
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63, q64)
 }

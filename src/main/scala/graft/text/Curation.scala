@@ -255,5 +255,132 @@ object CurationOps {
       .orderBy(col("source"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(evalSplit, crossSource, novelty, tfidf)
+  // pipe_quality_classifier — model-based quality filtering via the
+  // hashing trick (the fastText-classifier serving path of CCNet/GPT-3
+  // style pipelines): every token maps to a weight through the portable
+  // word hash — weight(w) = hash(w) mod 2001 − 1000 — and a document's
+  // score is the weight sum; keep ⇔ score ≥ 0. The weight table here is
+  // hash-derived (a deterministic stand-in for trained coefficients —
+  // swap the linear map for a learned vector without touching the plan);
+  // what's real and load-bearing is the serving plumbing: featurization
+  // runs inside the codegen'd graft_wordhashes kernel, scoring is a
+  // per-row array fold, and the rollup is one hash aggregation — a
+  // single narrow corpus scan, no model join, no shuffle of text, at
+  // any corpus size. Integer-exact end-to-end (31-bit hash arithmetic),
+  // so the DuckDB oracle reproduces every score bit-for-bit.
+  val qualityClassifier = Q(
+    "pipe_quality_classifier",
+    Some {
+      val wh = graft.functions.PortableHash.wordHashSql("w")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                 w -> w <> '') AS ws
+        FROM documents),
+      scored AS (
+        SELECT doc_id, source,
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(ws, w -> $wh % 2001 - 1000)),
+                 (a, x) -> a + x) AS sum_w
+        FROM toks)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(COUNT(CASE WHEN sum_w >= 0 THEN 1 END) AS BIGINT) AS kept_docs,
+             CAST(COUNT(CASE WHEN sum_w >= 0 THEN 1 END) * 10000 // COUNT(*) AS BIGINT) AS kept_bp
+      FROM scored
+      GROUP BY source
+      ORDER BY source
+      """
+    }
+  ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
+    val scored = t.documents.select(col("source"),
+      aggregate(
+        transform(
+          call_function("graft_wordhashes", lower(trim(col("text")))),
+          h => h % 2001L - 1000L),
+        lit(0L), (acc, x) => acc + x).as("sum_w"))
+    scored
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        count(when(col("sum_w") >= 0, 1)).as("kept_docs"))
+      .select(col("source"), col("docs"), col("kept_docs"),
+        expr("kept_docs * 10000 div docs").cast(LongType).as("kept_bp"))
+      .orderBy(col("source"))
+  }
+
+  // pipe_dataset_card — the per-source dataset card published next to a
+  // training corpus (datasheet row: volume, length profile, vocabulary,
+  // language mix, duplication): docs, token volume, mean length,
+  // distinct vocabulary, language count + majority language
+  // (deterministic count-then-name tie-break), and exact-dup document
+  // count (content-hash distinct). Three independent hash aggregations —
+  // a per-source scan, a (source, token) vocabulary count, and a
+  // (source, lang) majority vote — joined on `source` (≤ |sources| rows,
+  // broadcast). Text never shuffles: the vocabulary stage shuffles
+  // tokens, the dup stage ships md5 hashes. All counters integer-exact.
+  val datasetCard = Q(
+    "pipe_dataset_card",
+    Some("""
+      WITH base AS (
+        SELECT source, COUNT(*) AS docs,
+               SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) AS tokens,
+               COUNT(*) - COUNT(DISTINCT md5(LOWER(text))) AS dup_docs,
+               COUNT(DISTINCT lang) AS langs
+        FROM documents GROUP BY source),
+      voc AS (
+        SELECT source, COUNT(DISTINCT w) AS vocab FROM (
+          SELECT source,
+                 UNNEST(list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                   w -> w <> '')) AS w
+          FROM documents) GROUP BY source),
+      lng AS (
+        SELECT source, lang AS top_lang FROM (
+          SELECT source, lang,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY COUNT(*) DESC, lang) AS rnk
+          FROM documents GROUP BY source, lang) WHERE rnk = 1)
+      SELECT b.source,
+             CAST(b.docs AS BIGINT) AS docs,
+             CAST(b.tokens AS BIGINT) AS tokens,
+             CAST(b.tokens * 100 // b.docs AS BIGINT) AS mean_tokens_x100,
+             CAST(voc.vocab AS BIGINT) AS vocab,
+             CAST(b.langs AS BIGINT) AS langs,
+             lng.top_lang,
+             CAST(b.dup_docs AS BIGINT) AS dup_docs
+      FROM base b JOIN voc USING (source) JOIN lng USING (source)
+      ORDER BY b.source
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val d = t.documents
+    val base = d.groupBy(col("source")).agg(
+      count(lit(1)).as("docs"),
+      sum(size(split(trim(col("text")), "\\s+"))).as("tokens"),
+      (count(lit(1)) - countDistinct(md5(lower(col("text"))))).as("dup_docs"),
+      countDistinct(col("lang")).as("langs"))
+    val voc = d
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("vocab"))
+    val lngW = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("lang"))
+    val lng = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(lngW))
+      .filter(col("rnk") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    base.join(voc, "source").join(lng, "source")
+      .select(col("source"), col("docs"), col("tokens").cast(LongType).as("tokens"),
+        expr("tokens * 100 div docs").cast(LongType).as("mean_tokens_x100"),
+        col("vocab"), col("langs"), col("top_lang"), col("dup_docs"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[Q] = Seq(evalSplit, crossSource, novelty, tfidf,
+    qualityClassifier, datasetCard)
 }

@@ -677,4 +677,83 @@ class ClickHouseDialectSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("USING"))
   }
+
+  test("parameterized-aggregate call syntax f(params)(args) flattens") {
+    // pure-rewrite check: only the param-call boundary changes
+    assert(ClickHouseSql.rewrite(
+      "SELECT quantile(0.9)(x) FROM t", _ => Nil) ===
+      "SELECT quantile(0.9, x) FROM t")
+    assert(ClickHouseSql.rewrite(
+      "SELECT quantiles(0.25, 0.75)(x), topK(3)(s) FROM t", _ => Nil) ===
+      "SELECT quantiles(0.25, 0.75, x), topK(3, s) FROM t")
+    // non-parameterized calls and other names pass through byte-identical
+    assert(ClickHouseSql.rewrite(
+      "SELECT quantile(0.5, x), foo(1)(2) FROM t", _ => Nil) ===
+      "SELECT quantile(0.5, x), foo(1)(2) FROM t")
+
+    val r = ClickHouseSql.sql(spark, """
+      SELECT quantileExact(0.5)(o_totalprice) AS med,
+             quantiles(0.25, 0.75)(o_totalprice) AS qs,
+             uniqUpTo(5)(o_orderstatus) AS st,
+             uniqUpTo(2)(o_custkey) AS uc
+      FROM orders_v
+    """).head()
+    val exp = sf0001.orders.agg(
+      percentile(col("o_totalprice"), lit(0.5)),
+      percentile(col("o_totalprice"), array(lit(0.25), lit(0.75))),
+      countDistinct(col("o_orderstatus")),
+      countDistinct(col("o_custkey"))).head()
+    assert(r.getDouble(0) === exp.getDouble(0))
+    assert(r.getSeq[Double](1) === exp.getSeq[Double](1))
+    // 3 statuses < 5+1 → exact; custkey cardinality saturates at 2+1
+    assert(r.getLong(2) === exp.getLong(2))
+    assert(r.getLong(3) === 3L)
+  }
+
+  test("topK sketch keeps true heavy hitters past the capacity bound") {
+    // 40k distinct light keys ≫ the 64-counter sketch; the heavy key
+    // holds 20% of the stream (≫ n/capacity), so SpaceSaving guarantees
+    // it survives every displacement and partial-aggregate merge
+    spark.range(50000).select(
+      when(col("id") % 5 === 0, lit("HH"))
+        .otherwise(concat(lit("k"), col("id"))).as("v"))
+      .createOrReplaceTempView("hh_t")
+    val top = ClickHouseSql.sql(spark, "SELECT topK(1)(v) AS t FROM hh_t")
+      .head().getSeq[String](0)
+    assert(top === Seq("HH"))
+  }
+
+  test("topK/topKWeighted return most-frequent values, sketch-bounded") {
+    val top = ClickHouseSql.sql(spark,
+      "SELECT topK(2)(o_orderstatus) AS top FROM orders_v")
+      .head().getSeq[String](0)
+    val exact = sf0001.orders.groupBy(col("o_orderstatus")).count()
+      .orderBy(col("count").desc, col("o_orderstatus"))
+      .collect().map(_.getString(0)).take(2).toSeq
+    assert(top === exact)
+
+    // weighted: weight by o_totalprice — ranking flips to the status with
+    // the largest summed weight, computed exactly per group
+    val topW = ClickHouseSql.sql(spark, """
+      SELECT topKWeighted(1)(o_orderstatus, CAST(o_totalprice AS BIGINT)) AS t
+      FROM orders_v""").head().getSeq[String](0)
+    val exactW = sf0001.orders.groupBy(col("o_orderstatus"))
+      .agg(sum(col("o_totalprice").cast("bigint")).as("w"))
+      .orderBy(col("w").desc, col("o_orderstatus"))
+      .collect().map(_.getString(0)).take(1).toSeq
+    assert(topW === exactW)
+
+    // grouped + ties: deterministic value-order tie-break, numeric keys
+    val grouped = ClickHouseSql.sql(spark, """
+      SELECT o_orderstatus AS s, topK(3)(o_orderpriority) AS p
+      FROM orders_v GROUP BY o_orderstatus ORDER BY o_orderstatus""").collect()
+    grouped.foreach { row =>
+      val s = row.getString(0)
+      val exp3 = sf0001.orders.filter(col("o_orderstatus") === s)
+        .groupBy(col("o_orderpriority")).count()
+        .orderBy(col("count").desc, col("o_orderpriority"))
+        .collect().map(_.getString(0)).take(3).toSeq
+      assert(row.getSeq[String](1) === exp3, s"status $s")
+    }
+  }
 }

@@ -77,6 +77,57 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pipe_quality_classifier: scores are the planted hash-weight sums") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // reference scoring: portable word hash → weight = h % 2001 - 1000
+    val P = graft.functions.PortableHash.P
+    def wh(w: String): Long =
+      w.getBytes("UTF-8").foldLeft(7L)((h, b) => (h * 31 + (b & 0xff)) % P)
+    def score(text: String): Long =
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(w => wh(w) % 2001 - 1000).sum
+    val texts = Seq("alpha beta gamma delta", "zip zap", "one two three four five")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, s"s${i % 2}", "en") }
+      .toDF("doc_id", "text", "source", "lang")
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("clf-planted").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CurationOps.qualityClassifier.build(Tables(spark, dir)).collect()
+    val expKept = texts.zipWithIndex.groupBy { case (_, i) => s"s${i % 2}" }
+      .view.mapValues(ts => ts.count { case (t, _) => score(t) >= 0 }).toMap
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("kept_docs") === expKept(s).toLong, s)
+      assert(r.getAs[Long]("kept_bp") ===
+        r.getAs[Long]("kept_docs") * 10000 / r.getAs[Long]("docs"))
+    }
+    assert(rows.map(_.getAs[Long]("docs")).sum === texts.length.toLong)
+  }
+
+  test("pipe_dataset_card: counters agree with directly-computed facts") {
+    val rows = CurationOps.datasetCard.build(sf0001).collect()
+    val docs = sf0001.documents
+    assert(rows.map(_.getAs[Long]("docs")).sum === docs.count())
+    val bySource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("langs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("docs") === bySource(s)._1)
+      assert(r.getAs[Long]("langs") === bySource(s)._2)
+      assert(r.getAs[Long]("mean_tokens_x100") ===
+        r.getAs[Long]("tokens") * 100 / r.getAs[Long]("docs"))
+      assert(r.getAs[Long]("vocab") > 0 && r.getAs[Long]("dup_docs") >= 0)
+      // the majority language is the argmax of the per-source lang counts
+      val top = docs.filter(col("source") === s).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n")).orderBy(col("n").desc, col("lang"))
+        .head().getString(0)
+      assert(r.getAs[String]("top_lang") === top)
+    }
+  }
+
   test("text_novelty: novel shingle totals equal the distinct corpus shingle count") {
     graft.functions.GraftFunctions.register(spark)
     val rows = CurationOps.novelty.build(sf0001).collect()

@@ -90,6 +90,21 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wordHashes == per-token portable polynomial fold, layout-invariant") {
+    val P = graft.functions.PortableHash.P
+    def ref(w: String): Long =
+      w.getBytes("UTF-8").foldLeft(7L)((h, b) => (h * 31 + (b & 0xff)) % P)
+    forSamples(words) { ws =>
+      val got = SignatureKernels.wordHashes(
+        UTF8String.fromString(ws.mkString("  ") + " "))
+      assert(got.numElements() === ws.length)
+      ws.zipWithIndex.foreach { case (w, i) =>
+        assert(got.getLong(i) === ref(w), s"token $w")
+      }
+    }
+    assert(SignatureKernels.wordHashes(UTF8String.fromString("")).numElements() === 0)
+  }
+
   test("TopKAggregator == sort-then-take for arbitrary inputs and k") {
     forSamples(Gen.zip(
       Gen.listOf(Gen.zip(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0L, 1000L))),
