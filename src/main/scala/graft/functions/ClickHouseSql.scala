@@ -176,10 +176,13 @@ object ClickHouseSql {
     val l = sqlText.toLowerCase(java.util.Locale.ROOT)
     var out = sqlText
     if (paramCallNames.exists(l.contains)) out = rewriteParamCall(out)
+    if (l.contains("if")) out = rewriteIfCombinator(out)
+    if (l.contains("count")) out = rewriteBareCount(out)
+    if (l.contains("?")) out = rewriteTernary(out)
     if (l.contains("final")) out = rewriteFinal(out, columnsOf)
     if (l.contains("array")) out = rewriteArrayJoin(out)
     if (l.contains("sample")) out = rewriteSample(out)
-    if (l.contains("limit")) out = rewriteLimitBy(out)
+    if (l.contains("limit")) { out = rewriteLimitBy(out); out = rewriteLimitOffset(out) }
     if (l.contains("prewhere")) out = rewritePrewhere(out)
     if (l.contains("except") || l.contains("replace"))
       out = rewriteStarModifiers(out, columnsOf)
@@ -200,7 +203,11 @@ object ClickHouseSql {
     */
   private val paramCallNames = Set("quantile", "quantileexact",
     "quantiletdigest", "quantiles", "quantilesexact", "topk",
-    "topkweighted", "uniqupto")
+    "topkweighted", "uniqupto",
+    // -If variants flatten the same way, then rewriteIfCombinator
+    // peels the condition into a FILTER clause
+    "quantileif", "quantileexactif", "quantiletdigestif", "quantilesif",
+    "quantilesexactif", "topkif", "topkweightedif")
 
   /** ClickHouse parameterized-aggregate call syntax `f(p, …)(args…)` →
     * the dialect's flattened params-first form `f(p, …, args…)` —
@@ -210,7 +217,7 @@ object ClickHouseSql {
     */
   private def rewriteParamCall(sqlText: String): String = {
     val toks = lex(sqlText)
-    val splices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val splices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
     var i = 0
     while (i < toks.length - 1) {
       val t = toks(i)
@@ -220,17 +227,199 @@ object ClickHouseSql {
         while (j < toks.length && !(toks(j).text == ")" && toks(j).depth == d)) j += 1
         if (j + 1 < toks.length && toks(j + 1).text == "(" &&
           toks(j + 1).depth == d)
-          splices += ((toks(j).start, toks(j + 1).end))
+          splices += ((toks(j).start, toks(j + 1).end, ", "))
       }
       i += 1
     }
+    applySplices(sqlText, splices)
+  }
+
+  /** Aggregate bases eligible for the GENERIC ClickHouse `-If`
+    * combinator (lowercased). ClickHouse allows `<agg>If(args…, cond)`
+    * for every aggregate; the handful of hot names (countIf/sumIf/…)
+    * are native dialect registrations, and everything else rewrites to
+    * ANSI `agg(args…) FILTER (WHERE cond)` — same partial-aggregable
+    * plan, no extra CASE projection.
+    */
+  private val ifCombinatorBases = Set("sum", "avg", "min", "max", "count",
+    "any", "stddevpop", "stddevsamp", "varpop", "varsamp", "corr",
+    "covarpop", "covarsamp", "uniq", "uniqexact", "uniqhll12",
+    "uniqcombined", "argmax", "argmin", "grouparray", "groupuniqarray",
+    "quantile", "quantileexact", "quantiletdigest", "quantiles",
+    "quantilesexact", "topk", "topkweighted", "median", "medianexact",
+    "groupbitand", "groupbitor", "groupbitxor", "summap")
+
+  /** `<agg>If(args…, cond)` → `agg(args…) FILTER (WHERE cond)` for any
+    * aggregate base in [[ifCombinatorBases]] whose -If name is NOT a
+    * native dialect registration (those stay as-is). The last top-level
+    * comma splits args from the condition; nested calls rewrite too
+    * (their splice spans are disjoint). Runs after [[rewriteParamCall]],
+    * so `quantileExactIf(0.5)(x, cond)` arrives here already flattened.
+    */
+  private def rewriteIfCombinator(sqlText: String): String = {
+    val registered =
+      ClickHouseDialect.names.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val toks = lex(sqlText)
+    // (start, end, replacement)
+    val splices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length - 1) {
+      val t = toks(i)
+      val lower = t.lower
+      if (lower.length > 2 && lower.endsWith("if") &&
+        ifCombinatorBases(lower.dropRight(2)) && !registered(lower) &&
+        toks(i + 1).text == "(") {
+        val d = toks(i + 1).depth
+        var j = i + 2
+        var lastComma = -1
+        while (j < toks.length && !(toks(j).text == ")" && toks(j).depth == d)) {
+          // parens carry the OUTER depth; the group's own commas sit one
+          // level deeper
+          if (toks(j).text == "," && toks(j).depth == d + 1) lastComma = j
+          j += 1
+        }
+        if (j < toks.length && lastComma >= 0) {
+          // uniqExact registers as a pre-wrapped distinct-count
+          // AggregateExpression, which the FILTER clause can't wrap —
+          // spell it as ANSI count(DISTINCT …) instead
+          if (lower == "uniqexactif") {
+            splices += ((t.start, t.end, "count"))
+            splices += ((toks(i + 1).end, toks(i + 1).end, "DISTINCT "))
+          } else {
+            splices += ((t.start, t.end, t.text.dropRight(2)))
+          }
+          splices += ((toks(lastComma).start, toks(lastComma).end,
+            ") FILTER (WHERE "))
+        }
+      }
+      i += 1
+    }
+    applySplices(sqlText, splices)
+  }
+
+  /** Expression boundaries for the ternary rewrite: a token at the
+    * ternary's own depth from this set (or ANY token at lower depth)
+    * delimits the condition / else-branch. AND/OR are deliberately NOT
+    * here — ClickHouse's `?:` binds lower than both, so `a AND b ? x : y`
+    * conditions on `a AND b`.
+    */
+  private val exprStop = Set(",", "select", "when", "then", "else", "end",
+    "where", "having", "by", "as", "on", "case", "distinct", "all",
+    "limit", "offset", "prewhere", "union", "intersect", "except",
+    "from", "group", "order", "settings", "format", "window")
+
+  /** ClickHouse ternary `cond ? a : b` → `CASE WHEN cond THEN a ELSE b
+    * END`. Each ?:-pair is rewritten independently against the original
+    * token stream; a right-nested ternary in the else branch works out
+    * because the outer `:` delimits the inner condition and both END
+    * insertions land on the same boundary. `::` casts are skipped
+    * (adjacent colon pair).
+    */
+  private def rewriteTernary(sqlText: String): String = {
+    val toks = lex(sqlText)
+    val splices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    // a `::` cast colon is part of the expression, never a boundary
+    def castColon(k: Int): Boolean = toks(k).text == ":" &&
+      ((k + 1 < toks.length && toks(k + 1).text == ":" &&
+        toks(k + 1).start == toks(k).end) ||
+        (k > 0 && toks(k - 1).text == ":" &&
+          toks(k - 1).end == toks(k).start))
+    def isStop(k: Int, d: Int): Boolean = {
+      val t = toks(k)
+      t.depth < d || (t.depth == d && exprStop(t.lower) && !castColon(k))
+    }
+    var i = 0
+    while (i < toks.length) {
+      val q = toks(i)
+      if (q.text == "?") {
+        val d = q.depth
+        // the matching ELSE colon: same depth, skipping :: cast pairs
+        var j = i + 1
+        var colon = -1
+        var blocked = false
+        while (j < toks.length && colon < 0 && !blocked) {
+          if (toks(j).text == ":" && toks(j).depth == d && !castColon(j))
+            colon = j
+          else if (isStop(j, d)) blocked = true
+          j += 1
+        }
+        if (colon > 0) {
+          // condition start: walk back to the previous boundary. Unlike
+          // the forward scans, an earlier `?` or non-cast `:` IS a
+          // boundary here — in `c1 ? a : c2 ? b : d` the inner condition
+          // c2 starts right after the outer colon (right-associativity),
+          // while the outer else-branch swallows the whole inner ternary.
+          var k = i - 1
+          while (k >= 0 && !isStop(k, d) &&
+            !(toks(k).depth == d && (toks(k).text == "?" ||
+              (toks(k).text == ":" && !castColon(k))))) k -= 1
+          val condStart = toks(k + 1).start
+          // else-branch end: walk forward to the next boundary. String
+          // literals are OPAQUE to the lexer (no token), so the branch
+          // end is anchored at the STOP token's start (or end of text),
+          // never at the previous token's end — a trailing 'literal'
+          // would be silently excluded otherwise.
+          var e = colon + 1
+          while (e < toks.length && !isStop(e, d)) e += 1
+          val (elseEnd, endTxt) =
+            if (e == toks.length) (sqlText.length, " END")
+            else (toks(e).start, " END ")
+          splices += ((condStart, condStart, "CASE WHEN "))
+          splices += ((q.start, q.end, " THEN "))
+          splices += ((toks(colon).start, toks(colon).end, " ELSE "))
+          splices += ((elseEnd, elseEnd, endTxt))
+        }
+      }
+      i += 1
+    }
+    applySplices(sqlText, splices)
+  }
+
+  /** ClickHouse/MySQL `LIMIT offset, count` → ANSI
+    * `LIMIT count OFFSET offset`. Distinct from `LIMIT n BY cols`
+    * (handled by [[rewriteLimitBy]]): here the token after the comma is
+    * a number, there it's the BY keyword.
+    */
+  private def rewriteLimitOffset(sqlText: String): String = {
+    val toks = lex(sqlText)
+    val splices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length - 3) {
+      val t = toks(i)
+      if (t.lower == "limit" &&
+        toks(i + 1).depth == t.depth &&
+        Character.isDigit(toks(i + 1).text.charAt(0)) &&
+        toks(i + 2).text == "," && toks(i + 2).depth == t.depth &&
+        Character.isDigit(toks(i + 3).text.charAt(0)))
+        splices += ((toks(i + 1).start, toks(i + 3).end,
+          s"${toks(i + 3).text} OFFSET ${toks(i + 1).text}"))
+      i += 1
+    }
+    applySplices(sqlText, splices)
+  }
+
+  /** ClickHouse's bare `count()` → ANSI `count(*)`. */
+  private def rewriteBareCount(sqlText: String): String = {
+    val toks = lex(sqlText)
+    val splices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length - 2) {
+      if (toks(i).lower == "count" && toks(i + 1).text == "(" &&
+        toks(i + 2).text == ")")
+        splices += ((toks(i + 1).end, toks(i + 2).start, "*"))
+      i += 1
+    }
+    applySplices(sqlText, splices)
+  }
+
+  private def applySplices(sqlText: String,
+      splices: scala.collection.mutable.ArrayBuffer[(Int, Int, String)]): String =
     if (splices.isEmpty) sqlText
     else {
       val sb = new StringBuilder(sqlText)
-      splices.sortBy(-_._1).foreach { case (s, e) => sb.replace(s, e, ", ") }
+      splices.sortBy(-_._1).foreach { case (s, e, r) => sb.replace(s, e, r) }
       sb.toString
     }
-  }
 
   /** Drop `GLOBAL` before a join keyword. ClickHouse's GLOBAL is a
     * distribution directive (ship the right side to every node — i.e. a

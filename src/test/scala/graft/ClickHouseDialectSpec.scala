@@ -710,6 +710,77 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(r.getLong(3) === 3L)
   }
 
+  test("generic -If combinator rewrites to FILTER; count() gets its star") {
+    // rewrite shape: unregistered -If names peel the trailing condition
+    assert(ClickHouseSql.rewrite(
+      "SELECT uniqIf(x, y > 1) FROM t", _ => Nil) ===
+      "SELECT uniq(x) FILTER (WHERE  y > 1) FROM t")
+    // registered hot names (sumIf/countIf/…) stay native; count() → count(*)
+    assert(ClickHouseSql.rewrite(
+      "SELECT sumIf(x, c), count() FROM t", _ => Nil) ===
+      "SELECT sumIf(x, c), count(*) FROM t")
+    // parameterized + combinator compose: flatten first, then FILTER
+    assert(ClickHouseSql.rewrite(
+      "SELECT quantileExactIf(0.5)(x, c) FROM t", _ => Nil) ===
+      "SELECT quantileExact(0.5, x) FILTER (WHERE  c) FROM t")
+
+    val r = ClickHouseSql.sql(spark, """
+      SELECT uniqExactIf(o_custkey, o_orderstatus = 'F') AS uf,
+             argMaxIf(o_orderkey, o_totalprice, o_orderstatus = 'F') AS bigf,
+             quantileExactIf(0.5)(o_totalprice, o_orderstatus = 'F') AS medf,
+             count() AS n
+      FROM orders_v
+    """).head()
+    val f = sf0001.orders.filter(col("o_orderstatus") === "F")
+    val exp = f.agg(
+      countDistinct(col("o_custkey")),
+      max_by(col("o_orderkey"), col("o_totalprice")),
+      percentile(col("o_totalprice"), lit(0.5))).head()
+    assert(r.getLong(0) === exp.getLong(0))
+    assert(r.getLong(1) === exp.getLong(1))
+    assert(r.getDouble(2) === exp.getDouble(2))
+    assert(r.getLong(3) === sf0001.orders.count())
+  }
+
+  test("ternary ?: rewrites to CASE WHEN, respecting casts and nesting") {
+    // the rewriter pads its insertions — compare whitespace-squashed
+    def rw(s: String) =
+      ClickHouseSql.rewrite(s, _ => Nil).replaceAll("\\s+", " ").trim
+    assert(rw("SELECT x > 1 ? 'hi' : 'lo' FROM t") ===
+      "SELECT CASE WHEN x > 1 THEN 'hi' ELSE 'lo' END FROM t")
+    // :: casts are not ternary colons, on either side of the ?
+    assert(rw("SELECT x::INT > 1 ? y::INT : z FROM t") ===
+      "SELECT CASE WHEN x::INT > 1 THEN y::INT ELSE z END FROM t")
+    // right-nested ternary (CH right-associativity)
+    assert(rw("SELECT a > 1 ? 'x' : b > 2 ? 'y' : 'z' AS r FROM t") ===
+      "SELECT CASE WHEN a > 1 THEN 'x' ELSE CASE WHEN " +
+        "b > 2 THEN 'y' ELSE 'z' END END AS r FROM t")
+    // inside a function-call argument, bounded by the call parens
+    assert(rw("SELECT sum(x > 0 ? x : 0), n FROM t GROUP BY n") ===
+      "SELECT sum(CASE WHEN x > 0 THEN x ELSE 0 END ), n FROM t GROUP BY n")
+
+    val rows = ClickHouseSql.sql(spark, """
+      SELECT o_orderstatus AS s,
+             count(o_totalprice > 200000 ? 1 : NULL) AS n_big
+      FROM orders_v GROUP BY o_orderstatus ORDER BY s""").collect()
+    val exp = sf0001.orders.groupBy(col("o_orderstatus"))
+      .agg(count(when(col("o_totalprice") > 200000, 1)).as("n"))
+      .orderBy(col("o_orderstatus")).collect()
+    assert(rows.map(_.getLong(1)).toSeq === exp.map(_.getLong(1)).toSeq)
+  }
+
+  test("LIMIT offset, count rewrites to LIMIT/OFFSET; LIMIT BY untouched") {
+    assert(ClickHouseSql.rewrite(
+      "SELECT x FROM t ORDER BY x LIMIT 10, 5", _ => Nil) ===
+      "SELECT x FROM t ORDER BY x LIMIT 5 OFFSET 10")
+    val rows = ClickHouseSql.sql(spark, """
+      SELECT o_orderkey FROM orders_v ORDER BY o_orderkey LIMIT 7, 3
+    """).collect().map(_.getLong(0)).toSeq
+    val exp = sf0001.orders.orderBy(col("o_orderkey"))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).slice(7, 10).toSeq
+    assert(rows === exp)
+  }
+
   test("topK sketch keeps true heavy hitters past the capacity bound") {
     // 40k distinct light keys ≫ the 64-counter sketch; the heavy key
     // holds 20% of the stream (≫ n/capacity), so SpaceSaving guarantees
