@@ -182,6 +182,7 @@ object ClickHouseSql {
     if (l.contains("final")) out = rewriteFinal(out, columnsOf)
     if (l.contains("array")) out = rewriteArrayJoin(out)
     if (l.contains("sample")) out = rewriteSample(out)
+    if (l.contains("distinct")) out = rewriteDistinctOn(out)
     if (l.contains("limit")) { out = rewriteLimitBy(out); out = rewriteLimitOffset(out) }
     if (l.contains("prewhere")) out = rewritePrewhere(out)
     if (l.contains("except") || l.contains("replace"))
@@ -373,6 +374,51 @@ object ClickHouseSql {
       i += 1
     }
     applySplices(sqlText, splices)
+  }
+
+  /** ClickHouse `SELECT DISTINCT ON (k1, …) …` — first row per key
+    * group — re-expressed as the equivalent `LIMIT 1 BY k1, …`, which
+    * [[rewriteLimitBy]] then lowers to the ROW_NUMBER window shape. The
+    * ORDER BY (when present) decides which row is "first", exactly like
+    * ClickHouse; without one the pick is arbitrary-but-single. The
+    * LIMIT BY clause lands before any trailing plain LIMIT of the same
+    * block (ClickHouse applies DISTINCT ON before LIMIT).
+    */
+  private def rewriteDistinctOn(sqlText: String): String = {
+    val toks = lex(sqlText)
+    val hit = toks.zipWithIndex.find { case (t, i) =>
+      t.lower == "distinct" &&
+        toks.lift(i + 1).exists(n => n.depth == t.depth && n.lower == "on") &&
+        toks.lift(i + 2).exists(p => p.text == "(" && p.depth == t.depth)
+    }
+    hit match {
+      case None => sqlText
+      case Some((t, i)) =>
+        val d = t.depth
+        val close = toks.indexWhere(x => x.text == ")" && x.depth == d, i + 2)
+        if (close < 0)
+          throw new IllegalArgumentException("DISTINCT ON: unclosed column list")
+        val cols = sqlText.substring(toks(i + 2).end, toks(close).start).trim
+        if (cols.isEmpty)
+          throw new IllegalArgumentException("DISTINCT ON: empty column list")
+        // insertion point: before this block's trailing plain LIMIT, or
+        // at the block's end (next same-depth set-op / shallower token)
+        var j = close + 1
+        var insertAt = -1
+        while (j < toks.length && insertAt < 0) {
+          val x = toks(j)
+          if (x.depth < d ||
+            (x.depth == d && Set("union", "intersect", "except")(x.lower)))
+            insertAt = x.start
+          else if (x.depth == d && x.lower == "limit") insertAt = x.start
+          j += 1
+        }
+        val at = if (insertAt < 0) sqlText.length else insertAt
+        val out = sqlText.substring(0, t.start) +
+          sqlText.substring(toks(close).end, at).stripPrefix(" ") +
+          s" LIMIT 1 BY $cols " + sqlText.substring(at)
+        rewriteDistinctOn(rewriteLimitBy(out))
+    }
   }
 
   /** ClickHouse/MySQL `LIMIT offset, count` → ANSI

@@ -769,6 +769,28 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSeq === exp.map(_.getLong(1)).toSeq)
   }
 
+  test("DISTINCT ON picks one row per key, honoring ORDER BY") {
+    // highest-value order per customer, one row per customer
+    val rows = ClickHouseSql.sql(spark, """
+      SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+      FROM orders_v
+      ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """).collect()
+    val perKey = rows.groupBy(_.getLong(0))
+    assert(perKey.values.forall(_.length == 1))
+    // every returned (custkey, orderkey) is that customer's top pick
+    // under the ORDER BY (max price, then smallest orderkey)
+    val best = sf0001.orders.groupBy(col("o_custkey"))
+      .agg(max_by(col("o_orderkey"), struct(col("o_totalprice"),
+        -col("o_orderkey"))).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) === best(r.getLong(0)),
+        s"custkey ${r.getLong(0)}")
+    }
+    assert(rows.length === sf0001.orders.select("o_custkey").distinct().count())
+  }
+
   test("LIMIT offset, count rewrites to LIMIT/OFFSET; LIMIT BY untouched") {
     assert(ClickHouseSql.rewrite(
       "SELECT x FROM t ORDER BY x LIMIT 10, 5", _ => Nil) ===
