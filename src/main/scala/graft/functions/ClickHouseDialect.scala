@@ -352,6 +352,13 @@ object ClickHouseDialect {
     "quantilesExact" -> (args => new Percentile(args.last, CreateArray(args.init))),
     "topK" -> (args => TopKFreq(args(1), args.head, Literal(1L))),
     "topKWeighted" -> (args => TopKFreq(args(1), args.head, args(2))),
+    // event-sequence aggregates (windowFunnel(w)(ts, c1, …) etc.) —
+    // the params-first flattened spellings of the CH behavioral family
+    "windowFunnel" -> (args => WindowFunnel(args.head, args(1), args.drop(2))),
+    "sequenceMatch" -> (args =>
+      SequenceMatchAgg(args.head, args(1), args.drop(2), counting = false)),
+    "sequenceCount" -> (args =>
+      SequenceMatchAgg(args.head, args(1), args.drop(2), counting = true)),
     // uniqUpTo(k)(x): exact distinct count saturating at k+1 ("more than k")
     "uniqUpTo" -> (args => Least(Seq(
       Count(Seq(args(1))).toAggregateExpression(isDistinct = true),

@@ -208,7 +208,9 @@ object ClickHouseSql {
     // -If variants flatten the same way, then rewriteIfCombinator
     // peels the condition into a FILTER clause
     "quantileif", "quantileexactif", "quantiletdigestif", "quantilesif",
-    "quantilesexactif", "topkif", "topkweightedif")
+    "quantilesexactif", "topkif", "topkweightedif",
+    // event-sequence family: windowFunnel(w)(ts, c1, …)
+    "windowfunnel", "sequencematch", "sequencecount")
 
   /** ClickHouse parameterized-aggregate call syntax `f(p, …)(args…)` →
     * the dialect's flattened params-first form `f(p, …, args…)` —

@@ -769,6 +769,60 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSeq === exp.map(_.getLong(1)).toSeq)
   }
 
+  test("windowFunnel/sequenceMatch/sequenceCount from verbatim CH text") {
+    import spark.implicits._
+    Seq(
+      // full funnel inside the hour
+      (1, 0, "click"), (1, 10, "view"), (1, 20, "purchase"),
+      // view lands outside the 1h window of the only click
+      (2, 0, "click"), (2, 7200, "view"),
+      // no click at all → level 0
+      (3, 5, "view"), (3, 6, "purchase"),
+      // a later click re-anchors the chain; the view then fits
+      (4, 0, "click"), (4, 4000, "click"), (4, 5000, "view"),
+      // two disjoint click→view chains for sequenceCount
+      (5, 0, "click"), (5, 1, "view"), (5, 2, "click"), (5, 3, "view"))
+      .toDF("user_id", "off_s", "event_type")
+      .withColumn("ts", timestamp_seconds(col("off_s")))
+      .createOrReplaceTempView("fun_t")
+
+    val rows = ClickHouseSql.sql(spark, """
+      SELECT user_id,
+             windowFunnel(3600)(ts,
+               event_type = 'click', event_type = 'view',
+               event_type = 'purchase') AS lvl,
+             sequenceMatch('(?1)(?2)')(ts,
+               event_type = 'click', event_type = 'view') AS m,
+             sequenceCount('(?1).*(?2)')(ts,
+               event_type = 'click', event_type = 'view') AS c
+      FROM fun_t GROUP BY user_id ORDER BY user_id""").collect()
+    val byUser = rows.map(r => r.getInt(0) ->
+      (r.getInt(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(byUser(1) === ((3, true, 1L)))
+    assert(byUser(2) === ((1, true, 1L))) // match has no window constraint
+    assert(byUser(3) === ((0, false, 0L)))
+    assert(byUser(4) === ((2, true, 1L)))
+    assert(byUser(5) === ((2, true, 2L))) // two non-overlapping chains
+
+    // unsupported pattern syntax is rejected loudly, not mis-evaluated
+    val err = intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        """SELECT sequenceMatch('(?1)(?t<10)(?2)')(ts,
+             event_type = 'click', event_type = 'view') AS m
+           FROM fun_t""").collect()
+    }
+    assert(err.getMessage.contains("unsupported pattern") ||
+      Option(err.getCause).exists(_.getMessage.contains("unsupported pattern")))
+
+    // smoke over the real events table: levels stay within [0, 3]
+    sf0001.events.createOrReplaceTempView("ev_t")
+    val lv = ClickHouseSql.sql(spark, """
+      SELECT windowFunnel(3600)(ts, event_type = 'click',
+               event_type = 'view', event_type = 'purchase') AS l
+      FROM ev_t GROUP BY user_id""").collect().map(_.getInt(0))
+    assert(lv.nonEmpty && lv.forall(l => l >= 0 && l <= 3))
+  }
+
   test("DISTINCT ON picks one row per key, honoring ORDER BY") {
     // highest-value order per customer, one row per customer
     val rows = ClickHouseSql.sql(spark, """
