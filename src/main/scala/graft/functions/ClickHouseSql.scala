@@ -182,9 +182,11 @@ object ClickHouseSql {
     if (l.contains("final")) out = rewriteFinal(out, columnsOf)
     if (l.contains("array")) out = rewriteArrayJoin(out)
     if (l.contains("sample")) out = rewriteSample(out)
+    if (l.contains("qualify")) out = rewriteQualify(out)
     if (l.contains("distinct")) out = rewriteDistinctOn(out)
     if (l.contains("limit")) { out = rewriteLimitBy(out); out = rewriteLimitOffset(out) }
     if (l.contains("prewhere")) out = rewritePrewhere(out)
+    if (l.contains("apply")) out = rewriteStarApply(out, columnsOf)
     if (l.contains("except") || l.contains("replace"))
       out = rewriteStarModifiers(out, columnsOf)
     if (l.contains("asof")) out = rewriteAsofJoin(out, columnsOf)
@@ -421,6 +423,135 @@ object ClickHouseSql {
           s" LIMIT 1 BY $cols " + sqlText.substring(at)
         rewriteDistinctOn(rewriteLimitBy(out))
     }
+  }
+
+  /** ClickHouse's column-transformer `* [EXCEPT …] APPLY(f) [APPLY(g)]`:
+    * expands the star against the block's single FROM table and wraps
+    * every kept column — `* EXCEPT(k) APPLY(sum)` →
+    * `sum(col1) AS col1, …`. Chained APPLYs nest left-to-right
+    * (`APPLY(f) APPLY(g)` → g(f(col))). Runs before
+    * [[rewriteStarModifiers]]; a star with no APPLY is left for that
+    * rewrite (or Spark's native EXCEPT) to handle.
+    */
+  private def rewriteStarApply(sqlText: String,
+    columnsOf: String => Seq[String]): String = {
+    val ts = lex(sqlText)
+    def q(c: String) = "`" + c.stripPrefix("`").stripSuffix("`") + "`"
+    var found: Option[(Int, Int, Set[String], Seq[String])] = None // star idx, end idx, excluded, fns
+    var i = 0
+    while (i < ts.length && found.isEmpty) {
+      val t = ts(i)
+      if (t.text == "*" &&
+        (i > 0 && { val p = ts(i - 1); p.lower == "select" || p.text == "," })) {
+        val d = t.depth
+        var j = i + 1
+        var excluded = Set.empty[String]
+        // optional EXCEPT list (parenless or parenthesized)
+        if (ts.lift(j).exists(x => x.depth == d && x.lower == "except")) {
+          if (ts.lift(j + 1).exists(p => p.text == "(" && p.depth == d)) {
+            val close = ts.indexWhere(x => x.text == ")" && x.depth == d, j + 1)
+            if (close > 0) {
+              excluded = ts.slice(j + 2, close).filter(isIdent)
+                .map(_.text.toLowerCase(java.util.Locale.ROOT)).toSet
+              j = close + 1
+            }
+          } else if (ts.lift(j + 1).exists(c => c.depth == d && isIdent(c))) {
+            excluded = Set(ts(j + 1).text.toLowerCase(java.util.Locale.ROOT))
+            j = j + 2
+          }
+        }
+        // one or more APPLY(fn)
+        val fns = Vector.newBuilder[String]
+        var end = -1
+        while (ts.lift(j).exists(x => x.depth == d && x.lower == "apply") &&
+          ts.lift(j + 1).exists(p => p.text == "(" && p.depth == d) &&
+          ts.lift(j + 2).exists(isIdent) &&
+          ts.lift(j + 3).exists(p => p.text == ")" && p.depth == d)) {
+          fns += ts(j + 2).text
+          end = ts(j + 3).end
+          j += 4
+        }
+        val fnList = fns.result()
+        if (fnList.nonEmpty) found = Some((i, end, excluded, fnList))
+      }
+      i += 1
+    }
+    found match {
+      case None => sqlText
+      case Some((si, end, excluded, fns)) =>
+        val star = ts(si)
+        val d = star.depth
+        val fromIdx = ts.indexWhere(t =>
+          t.depth == d && t.lower == "from", si)
+        if (fromIdx < 0 || !ts.lift(fromIdx + 1).exists(isIdent) ||
+          ts(fromIdx + 1).depth != d)
+          throw new IllegalArgumentException(
+            "* APPLY needs a single-table FROM to resolve the schema")
+        val cols = columnsOf(ts(fromIdx + 1).text)
+        val unknown =
+          excluded.diff(cols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+        if (unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"* APPLY: EXCEPT names not in ${ts(fromIdx + 1).text}: " +
+              unknown.mkString(", "))
+        val expanded = cols
+          .filterNot(c => excluded(c.toLowerCase(java.util.Locale.ROOT)))
+          .map { c =>
+            val wrapped = fns.foldLeft(q(c))((e, f) => s"$f($e)")
+            s"$wrapped AS ${q(c)}"
+          }.mkString(", ")
+        rewriteStarApply(
+          sqlText.substring(0, star.start) + expanded + sqlText.substring(end),
+          columnsOf)
+    }
+  }
+
+  /** `QUALIFY <pred>` (ClickHouse/BigQuery/Snowflake window filter —
+    * Spark has no such clause): the block is wrapped so the predicate
+    * evaluates WITH the window functions and the filter runs outside —
+    *
+    *   SELECT <sel> FROM … QUALIFY p [ORDER BY …]
+    *   → SELECT * EXCEPT (`__qual`) FROM (
+    *       SELECT <sel>, (p) AS `__qual` FROM …) WHERE `__qual` [ORDER BY …]
+    *
+    * ORDER BY/LIMIT after QUALIFY stay on the outer query (they see the
+    * block's column names). DISTINCT + QUALIFY is rejected loudly — the
+    * helper column would change the distinct key.
+    */
+  private def rewriteQualify(sqlText: String): String = {
+    val toks = lex(sqlText)
+    val qi = toks.indexWhere(_.lower == "qualify")
+    if (qi < 0) return sqlText
+    val qt = toks(qi)
+    val d = qt.depth
+    val selIdx = toks.lastIndexWhere(t =>
+      t.depth == d && t.lower == "select", qi)
+    if (selIdx < 0)
+      throw new IllegalArgumentException("QUALIFY: no enclosing SELECT")
+    if (toks.lift(selIdx + 1).exists(_.lower == "distinct"))
+      throw new IllegalArgumentException(
+        "QUALIFY with SELECT DISTINCT is not supported — filter in a subquery")
+    val fromIdx = toks.indexWhere(t =>
+      t.depth == d && t.lower == "from", selIdx)
+    if (fromIdx < 0 || fromIdx > qi)
+      throw new IllegalArgumentException("QUALIFY: no FROM in its block")
+    // predicate span: until the next same-depth trailing clause
+    val predStopSet = Set("order", "limit", "union", "intersect", "except",
+      "settings", "format", "window", "offset")
+    var e = qi + 1
+    while (e < toks.length && !(toks(e).depth < d ||
+      (toks(e).depth == d && predStopSet(toks(e).lower)))) e += 1
+    val predEnd = if (e == toks.length) sqlText.length else toks(e).start
+    val pred = sqlText.substring(qt.end, predEnd).trim
+    if (pred.isEmpty)
+      throw new IllegalArgumentException("QUALIFY: empty predicate")
+    val out = sqlText.substring(0, toks(selIdx).start) +
+      "SELECT * EXCEPT (`__qual`) FROM (SELECT" +
+      sqlText.substring(toks(selIdx).end, toks(fromIdx).start) +
+      s", ($pred) AS `__qual` " +
+      sqlText.substring(toks(fromIdx).start, qt.start).trim +
+      ") WHERE `__qual` " + sqlText.substring(predEnd)
+    rewriteQualify(out)
   }
 
   /** ClickHouse/MySQL `LIMIT offset, count` → ANSI

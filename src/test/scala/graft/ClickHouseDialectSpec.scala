@@ -823,6 +823,66 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(lv.nonEmpty && lv.forall(l => l >= 0 && l <= 3))
   }
 
+  test("* APPLY wraps every kept column; chains compose; EXCEPT filters") {
+    assert(ClickHouseSql.rewrite(
+      "SELECT * EXCEPT(name) APPLY(max) FROM star_t",
+      _ => Seq("id", "name", "v")) ===
+      "SELECT max(`id`) AS `id`, max(`v`) AS `v` FROM star_t")
+    assert(ClickHouseSql.rewrite(
+      "SELECT * APPLY(abs) APPLY(sum) FROM star_t", _ => Seq("a", "b")) ===
+      "SELECT sum(abs(`a`)) AS `a`, sum(abs(`b`)) AS `b` FROM star_t")
+    // a star with EXCEPT but no APPLY is untouched here (native path)
+    assert(ClickHouseSql.rewrite(
+      "SELECT * EXCEPT (name) FROM star_t", _ => Seq("id", "name")) ===
+      "SELECT * EXCEPT (name) FROM star_t")
+
+    import spark.implicits._
+    Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("id", "name", "v").createOrReplaceTempView("apply_t")
+    val r = ClickHouseSql.sql(spark,
+      "SELECT * EXCEPT(name) APPLY(sum) FROM apply_t").head()
+    assert(r.getLong(0) === 6L)
+    assert(r.getDouble(1) === 60.0)
+  }
+
+  test("QUALIFY filters on window results, inline or via alias") {
+    // inline window expression in the predicate
+    val top = ClickHouseSql.sql(spark, """
+      SELECT o_custkey, o_orderkey, o_totalprice
+      FROM orders_v
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey) = 1
+      ORDER BY o_custkey
+    """).collect()
+    assert(top.length ===
+      sf0001.orders.select("o_custkey").distinct().count())
+    val best = sf0001.orders.groupBy(col("o_custkey"))
+      .agg(max_by(col("o_orderkey"), struct(col("o_totalprice"),
+        -col("o_orderkey"))).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    top.foreach(r => assert(r.getLong(1) === best(r.getLong(0))))
+    // the helper column is projected away
+    assert(top.head.schema.fieldNames.toSeq ===
+      Seq("o_custkey", "o_orderkey", "o_totalprice"))
+
+    // predicate referencing a SELECT alias (lateral column alias path)
+    val viaAlias = ClickHouseSql.sql(spark, """
+      SELECT o_custkey, o_orderkey,
+             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+      FROM orders_v
+      QUALIFY rnk <= 2
+      ORDER BY o_custkey, rnk
+    """).collect()
+    assert(viaAlias.nonEmpty && viaAlias.forall(_.getInt(2) <= 2))
+
+    val err = intercept[IllegalArgumentException] {
+      ClickHouseSql.rewrite(
+        "SELECT DISTINCT a FROM t QUALIFY row_number() OVER (ORDER BY a) = 1",
+        _ => Nil)
+    }
+    assert(err.getMessage.contains("DISTINCT"))
+  }
+
   test("DISTINCT ON picks one row per key, honoring ORDER BY") {
     // highest-value order per customer, one row per customer
     val rows = ClickHouseSql.sql(spark, """
