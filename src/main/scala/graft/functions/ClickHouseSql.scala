@@ -175,6 +175,9 @@ object ClickHouseSql {
   def rewrite(sqlText: String, columnsOf: String => Seq[String]): String = {
     val l = sqlText.toLowerCase(java.util.Locale.ROOT)
     var out = sqlText
+    if (l.contains("engine") &&
+      l.trim.replaceAll("\\s+", " ").startsWith("create table"))
+      return rewriteCreateTable(out)
     if (paramCallNames.exists(l.contains)) out = rewriteParamCall(out)
     if (l.contains("if")) out = rewriteIfCombinator(out)
     if (l.contains("count")) out = rewriteBareCount(out)
@@ -198,6 +201,193 @@ object ClickHouseSql {
     if (l.contains("settings")) out = stripSettings(out)
     if (l.contains("format")) out = stripFormat(out)
     out
+  }
+
+  // ------------------------------------------------------------ DDL
+
+  /** ClickHouse scalar type → Spark SQL type (lowercased keys). UInt64
+    * lands on BIGINT — the pragmatic mapping every CH-to-columnar
+    * migration picks; values above 2^63 would need DECIMAL(20,0).
+    */
+  private val chScalarTypes = Map(
+    "string" -> "STRING", "fixedstring" -> "STRING", "uuid" -> "STRING",
+    "json" -> "STRING", "ipv4" -> "STRING", "ipv6" -> "STRING",
+    "int8" -> "TINYINT", "uint8" -> "SMALLINT",
+    "int16" -> "SMALLINT", "uint16" -> "INT",
+    "int32" -> "INT", "uint32" -> "BIGINT",
+    "int64" -> "BIGINT", "uint64" -> "BIGINT",
+    "float32" -> "FLOAT", "float64" -> "DOUBLE",
+    "bool" -> "BOOLEAN", "boolean" -> "BOOLEAN",
+    "date" -> "DATE", "date32" -> "DATE",
+    "datetime" -> "TIMESTAMP", "datetime64" -> "TIMESTAMP")
+
+  /** Map one ClickHouse type expression (possibly nested) to Spark SQL.
+    * Unknown names pass through — they may already be Spark types.
+    */
+  def mapChType(s0: String): String = {
+    val s = s0.trim
+    val open = s.indexOf('(')
+    if (open < 0) {
+      chScalarTypes.getOrElse(s.toLowerCase(java.util.Locale.ROOT), s)
+    } else {
+      val name = s.substring(0, open).trim
+      val lower = name.toLowerCase(java.util.Locale.ROOT)
+      require(s.endsWith(")"), s"unbalanced type expression: $s0")
+      val inner = s.substring(open + 1, s.length - 1)
+      // split inner at top-level commas (quotes + parens aware)
+      val parts = Vector.newBuilder[String]
+      var depth = 0; var inQ = false; var last = 0
+      var i = 0
+      while (i < inner.length) {
+        val c = inner.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 => parts += inner.substring(last, i); last = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      parts += inner.substring(last)
+      val args = parts.result().map(_.trim).filter(_.nonEmpty)
+      lower match {
+        case "nullable" | "lowcardinality" => mapChType(args.head)
+        case "array" => s"ARRAY<${mapChType(args.head)}>"
+        case "map" => s"MAP<${mapChType(args.head)}, ${mapChType(args(1))}>"
+        case "decimal" => s"DECIMAL(${args.mkString(", ")})"
+        case "decimal32" => s"DECIMAL(9, ${args.head})"
+        case "decimal64" => s"DECIMAL(18, ${args.head})"
+        case "datetime64" | "datetime" => "TIMESTAMP"
+        case "fixedstring" => "STRING"
+        case "enum8" | "enum16" | "enum" => "STRING"
+        case "tuple" => throw new IllegalArgumentException(
+          s"unsupported ClickHouse type $s0 — declare a STRUCT column explicitly")
+        case _ => s // already a parameterized Spark type (VARCHAR(10), …)
+      }
+    }
+  }
+
+  /** `CREATE TABLE … (cols…) ENGINE = <XMergeTree>(…) [PARTITION BY …]
+    * [PRIMARY KEY …] ORDER BY (…) [TTL …] [SETTINGS …]` → a Spark
+    * `CREATE TABLE … (mapped cols) USING parquet`, with the engine +
+    * sort key registered in [[registerEngine]] so later `SELECT … FROM t
+    * FINAL` text gets the read-time merge semantics. Column types map
+    * through [[mapChType]]; per-column CODEC/TTL/MATERIALIZED/ALIAS/
+    * DEFAULT clauses are dropped (storage/ingest directives with no
+    * Spark analog). SummingMergeTree with no argument sums every
+    * numeric non-key column, like ClickHouse.
+    */
+  private def rewriteCreateTable(sqlText: String): String = {
+    val toks = lex(sqlText)
+    if (toks.length < 3 || toks.head.lower != "create" ||
+      toks(1).lower != "table") return sqlText
+    val engIdx = toks.indexWhere(t => t.depth == 0 && t.lower == "engine")
+    if (engIdx < 0) return sqlText
+    // table name: after TABLE, skipping IF NOT EXISTS
+    var ni = 2
+    if (toks(ni).lower == "if") ni += 3
+    val table = toks(ni).text
+    // column group
+    val openIdx = ni + 1
+    if (toks.lift(openIdx).forall(_.text != "("))
+      throw new IllegalArgumentException(
+        "CREATE TABLE … ENGINE: explicit column list required")
+    val closeIdx = toks.indexWhere(t => t.text == ")" && t.depth == 0, openIdx)
+    val colsInner = sqlText.substring(toks(openIdx).end, toks(closeIdx).start)
+    // split column defs at top-level commas of the group
+    val defs = {
+      val items = Vector.newBuilder[String]
+      var depth = 0; var inQ = false; var last = 0
+      var i = 0
+      while (i < colsInner.length) {
+        val c = colsInner.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 => items += colsInner.substring(last, i); last = i + 1
+          case _ =>
+        }
+        i += 1
+      }
+      items += colsInner.substring(last)
+      items.result().map(_.trim).filter(_.nonEmpty)
+    }
+    val colDirectives =
+      Set("default", "materialized", "alias", "codec", "ttl", "comment")
+    case class ColDef(name: String, sparkType: String, chType: String)
+    val mapped = defs.map { d =>
+      val dToks = lex(d)
+      require(dToks.nonEmpty && isIdent(dToks.head), s"bad column def: $d")
+      val name = dToks.head.text
+      // the type expression runs until the first top-level directive
+      val stop = dToks.indexWhere(t =>
+        t.depth == 0 && colDirectives(t.lower), 1)
+      val typeEnd = if (stop < 0) d.length else dToks(stop).start
+      val chType = d.substring(dToks.head.end, typeEnd).trim
+      ColDef(name, mapChType(chType), chType)
+    }
+    // engine name + args
+    val eqOff = if (toks.lift(engIdx + 1).exists(_.text == "=")) 1 else 0
+    val engNameTok = toks(engIdx + 1 + eqOff)
+    val engName = engNameTok.lower
+    var engArgs = Seq.empty[String]
+    var engEnd = engNameTok.end
+    if (toks.lift(engIdx + 2 + eqOff).exists(t =>
+      t.text == "(" && t.depth == 0)) {
+      val ec = toks.indexWhere(t => t.text == ")" && t.depth == 0,
+        engIdx + 2 + eqOff)
+      engArgs = toks.slice(engIdx + 3 + eqOff, ec).filter(isIdent).map(_.text)
+      engEnd = toks(ec).end
+    }
+    // ORDER BY sort key (identifiers only; expressions are rejected)
+    val obIdx = toks.indexWhere(t =>
+      t.depth == 0 && t.lower == "order", closeIdx)
+    val sortKey: Seq[String] =
+      if (obIdx < 0) Seq.empty
+      else if (toks.lift(obIdx + 2).exists(_.text == "(")) {
+        val oc = toks.indexWhere(t => t.text == ")" && t.depth == 0, obIdx + 2)
+        val inner = toks.slice(obIdx + 3, oc)
+        require(inner.forall(t => isIdent(t) || t.text == ","),
+          "CREATE TABLE: ORDER BY expressions are not supported — use columns")
+        inner.filter(isIdent).map(_.text)
+      } else Seq(toks(obIdx + 2).text)
+    val numericTypes = Set("TINYINT", "SMALLINT", "INT", "BIGINT",
+      "FLOAT", "DOUBLE")
+    def isKey(c: String) = sortKey.exists(_.equalsIgnoreCase(c))
+    engName match {
+      case "replacingmergetree" =>
+        require(sortKey.nonEmpty, "ReplacingMergeTree needs ORDER BY")
+        require(engArgs.nonEmpty,
+          "ReplacingMergeTree: a version column is required " +
+            "(batch reads have no insert order to fall back on)")
+        registerEngine(table, Replacing(sortKey, engArgs))
+      case "collapsingmergetree" =>
+        require(sortKey.nonEmpty, "CollapsingMergeTree needs ORDER BY")
+        require(engArgs.length >= 2,
+          "CollapsingMergeTree: declare (sign, versionCols…) — batch " +
+            "reads need an explicit version order for the surviving row")
+        registerEngine(table, Collapsing(sortKey, engArgs.head, engArgs.tail))
+      case "summingmergetree" =>
+        require(sortKey.nonEmpty, "SummingMergeTree needs ORDER BY")
+        val measures =
+          if (engArgs.nonEmpty) engArgs
+          else mapped.filter(c => !isKey(c.name) &&
+            numericTypes(c.sparkType.toUpperCase(java.util.Locale.ROOT)))
+            .map(_.name)
+        registerEngine(table, Summing(sortKey, measures))
+      case "mergetree" => // plain: FINAL is the identity, nothing to register
+      case other => throw new IllegalArgumentException(
+        s"unsupported table engine $other — supported: MergeTree, " +
+          "ReplacingMergeTree(ver…), CollapsingMergeTree(sign, ver…), " +
+          "SummingMergeTree([measures…])")
+    }
+    val colsSql = mapped.map(c => s"${c.name} ${c.sparkType}").mkString(", ")
+    sqlText.substring(0, toks(openIdx).start) +
+      s"($colsSql) USING parquet"
   }
 
   /** Names the dialect registers with params-first flattened signatures

@@ -845,6 +845,57 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(r.getDouble(1) === 60.0)
   }
 
+  test("CH CREATE TABLE DDL: types map, engine registers, FINAL reads work") {
+    // the type mapper alone
+    assert(ClickHouseSql.mapChType("Nullable(String)") === "STRING")
+    assert(ClickHouseSql.mapChType("LowCardinality(FixedString(8))") === "STRING")
+    assert(ClickHouseSql.mapChType("Array(Nullable(UInt32))") === "ARRAY<BIGINT>")
+    assert(ClickHouseSql.mapChType("Map(String, Float64)") === "MAP<STRING, DOUBLE>")
+    assert(ClickHouseSql.mapChType("DateTime64(3)") === "TIMESTAMP")
+    assert(ClickHouseSql.mapChType("Decimal(10, 2)") === "DECIMAL(10, 2)")
+    assert(ClickHouseSql.mapChType("Enum8('a' = 1, 'b' = 2)") === "STRING")
+
+    spark.sql("DROP TABLE IF EXISTS ch_ddl_t")
+    ClickHouseSql.sql(spark, """
+      CREATE TABLE ch_ddl_t (
+        k UInt32,
+        name LowCardinality(String) CODEC(ZSTD(3)),
+        ver UInt64,
+        amount Decimal(10, 2)
+      ) ENGINE = ReplacingMergeTree(ver)
+      PARTITION BY k
+      ORDER BY (k)
+      SETTINGS index_granularity = 8192
+    """)
+    val schema = spark.table("ch_ddl_t").schema
+    assert(schema.fieldNames.toSeq === Seq("k", "name", "ver", "amount"))
+    assert(schema("k").dataType.sql === "BIGINT")
+    assert(schema("name").dataType.sql === "STRING")
+    assert(schema("amount").dataType.sql === "DECIMAL(10,2)")
+
+    spark.sql("""INSERT INTO ch_ddl_t VALUES
+      (1, 'old', 1, 10.00), (1, 'new', 2, 20.00), (2, 'only', 1, 5.00)""")
+    val rows = ClickHouseSql.sql(spark,
+      "SELECT k, name FROM ch_ddl_t FINAL ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "new"), (2L, "only")))
+    spark.sql("DROP TABLE ch_ddl_t")
+
+    // unsupported engines and missing versions fail loudly
+    val e1 = intercept[IllegalArgumentException] {
+      ClickHouseSql.rewrite(
+        "CREATE TABLE x (a UInt8) ENGINE = AggregatingMergeTree ORDER BY (a)",
+        _ => Nil)
+    }
+    assert(e1.getMessage.contains("unsupported table engine"))
+    val e2 = intercept[IllegalArgumentException] {
+      ClickHouseSql.rewrite(
+        "CREATE TABLE x (a UInt8, v UInt8) ENGINE = ReplacingMergeTree ORDER BY (a)",
+        _ => Nil)
+    }
+    assert(e2.getMessage.contains("version column"))
+  }
+
   test("QUALIFY filters on window results, inline or via alias") {
     // inline window expression in the predicate
     val top = ClickHouseSql.sql(spark, """
