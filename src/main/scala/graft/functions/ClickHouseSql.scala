@@ -189,6 +189,7 @@ object ClickHouseSql {
     if (l.contains("distinct")) out = rewriteDistinctOn(out)
     if (l.contains("limit")) { out = rewriteLimitBy(out); out = rewriteLimitOffset(out) }
     if (l.contains("prewhere")) out = rewritePrewhere(out)
+    if (l.contains("columns")) out = rewriteColumnsSelector(out, columnsOf)
     if (l.contains("apply")) out = rewriteStarApply(out, columnsOf)
     if (l.contains("except") || l.contains("replace"))
       out = rewriteStarModifiers(out, columnsOf)
@@ -613,6 +614,67 @@ object ClickHouseSql {
           s" LIMIT 1 BY $cols " + sqlText.substring(at)
         rewriteDistinctOn(rewriteLimitBy(out))
     }
+  }
+
+  /** ClickHouse's dynamic column selector `COLUMNS('regex') [APPLY(f)…]`:
+    * expands to the FROM table's columns whose name partially matches
+    * the regex (CH's re2 `find` semantics), optionally wrapped by an
+    * APPLY chain. The string literal is invisible to the lexer, so the
+    * selector surfaces as `COLUMNS ( )` with the pattern recovered from
+    * the source span between the parens.
+    */
+  private def rewriteColumnsSelector(sqlText: String,
+    columnsOf: String => Seq[String]): String = {
+    val ts = lex(sqlText)
+    def q(c: String) = "`" + c.stripPrefix("`").stripSuffix("`") + "`"
+    var i = 0
+    while (i < ts.length - 2) {
+      val t = ts(i)
+      if (t.lower == "columns" &&
+        (i > 0 && { val p = ts(i - 1); p.lower == "select" || p.text == "," }) &&
+        ts(i + 1).text == "(" && ts(i + 1).depth == t.depth &&
+        ts(i + 2).text == ")" && ts(i + 2).depth == t.depth) {
+        val lit = sqlText.substring(ts(i + 1).end, ts(i + 2).start).trim
+        if (lit.length >= 2 && lit.startsWith("'") && lit.endsWith("'")) {
+          val regex = java.util.regex.Pattern.compile(
+            lit.substring(1, lit.length - 1))
+          val d = t.depth
+          // optional APPLY chain
+          val fns = Vector.newBuilder[String]
+          var j = i + 3
+          var end = ts(i + 2).end
+          while (ts.lift(j).exists(x => x.depth == d && x.lower == "apply") &&
+            ts.lift(j + 1).exists(p => p.text == "(" && p.depth == d) &&
+            ts.lift(j + 2).exists(isIdent) &&
+            ts.lift(j + 3).exists(p => p.text == ")" && p.depth == d)) {
+            fns += ts(j + 2).text
+            end = ts(j + 3).end
+            j += 4
+          }
+          val fromIdx = ts.indexWhere(x =>
+            x.depth == d && x.lower == "from", i)
+          if (fromIdx < 0 || !ts.lift(fromIdx + 1).exists(isIdent) ||
+            ts(fromIdx + 1).depth != d)
+            throw new IllegalArgumentException(
+              "COLUMNS('…') needs a single-table FROM to resolve the schema")
+          val matched =
+            columnsOf(ts(fromIdx + 1).text).filter(c => regex.matcher(c).find())
+          if (matched.isEmpty)
+            throw new IllegalArgumentException(
+              s"COLUMNS($lit) matches no column of ${ts(fromIdx + 1).text}")
+          val fnList = fns.result()
+          val expanded = matched.map { c =>
+            if (fnList.isEmpty) q(c)
+            else s"${fnList.foldLeft(q(c))((e, f) => s"$f($e)")} AS ${q(c)}"
+          }.mkString(", ")
+          return rewriteColumnsSelector(
+            sqlText.substring(0, t.start) + expanded + sqlText.substring(end),
+            columnsOf)
+        }
+      }
+      i += 1
+    }
+    sqlText
   }
 
   /** ClickHouse's column-transformer `* [EXCEPT …] APPLY(f) [APPLY(g)]`:

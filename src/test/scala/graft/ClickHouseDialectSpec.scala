@@ -845,6 +845,26 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(r.getDouble(1) === 60.0)
   }
 
+  test("COLUMNS('regex') expands matching columns, with APPLY chains") {
+    assert(ClickHouseSql.rewrite(
+      "SELECT COLUMNS('^o_order') FROM t",
+      _ => Seq("o_orderkey", "o_orderstatus", "o_custkey")) ===
+      "SELECT `o_orderkey`, `o_orderstatus` FROM t")
+    assert(ClickHouseSql.rewrite(
+      "SELECT COLUMNS('key$') APPLY(max) FROM t",
+      _ => Seq("o_orderkey", "o_custkey", "o_comment")) ===
+      "SELECT max(`o_orderkey`) AS `o_orderkey`, " +
+        "max(`o_custkey`) AS `o_custkey` FROM t")
+    val r = ClickHouseSql.sql(spark,
+      "SELECT COLUMNS('key$') APPLY(count) FROM orders_v").head()
+    assert(r.getLong(0) === sf0001.orders.count())
+    assert(r.getLong(1) === sf0001.orders.count())
+    val err = intercept[IllegalArgumentException] {
+      ClickHouseSql.rewrite("SELECT COLUMNS('^zz') FROM t", _ => Seq("a"))
+    }
+    assert(err.getMessage.contains("matches no column"))
+  }
+
   test("CH CREATE TABLE DDL: types map, engine registers, FINAL reads work") {
     // the type mapper alone
     assert(ClickHouseSql.mapChType("Nullable(String)") === "STRING")
