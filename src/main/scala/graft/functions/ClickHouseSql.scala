@@ -82,7 +82,34 @@ object ClickHouseSql {
     * needed): rewrite, then hand Spark's parser standard SQL.
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame =
-    spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq))
+    optimizeTable(spark, sqlText).getOrElse(
+      spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq)))
+
+  /** `OPTIMIZE TABLE t [FINAL]` — ClickHouse's force-merge. The batch
+    * analog MATERIALIZES the registered engine's read-time merge:
+    * evaluate `SELECT * FROM t FINAL`, cut the lineage with an eager
+    * local checkpoint (so the overwrite isn't reading the files it
+    * replaces), and overwrite the table in place. Afterwards plain
+    * reads — no FINAL — see merged data, exactly what a CH background
+    * merge achieves. A table with no registered engine is already
+    * merged; the statement is then a no-op, like CH on a merged part.
+    */
+  private def optimizeTable(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    if (toks.isEmpty || toks.head.lower != "optimize") return None
+    require(toks.length >= 3 && toks(1).lower == "table" &&
+      isIdent(toks(2)) &&
+      toks.drop(3).forall(t => t.lower == "final" || t.lower == ";"),
+      s"unsupported OPTIMIZE statement: $sqlText")
+    val table = toks(2).text
+    if (engineOf(table).isDefined) {
+      val merged = spark.sql(rewrite(s"SELECT * FROM $table FINAL",
+        t => spark.table(t).columns.toSeq))
+      merged.localCheckpoint(true).write.mode("overwrite").insertInto(table)
+    }
+    Some(spark.table(table).limit(0))
+  }
 
   // ---------------------------------------------------------------- scan
 

@@ -845,6 +845,26 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(r.getDouble(1) === 60.0)
   }
 
+  test("OPTIMIZE TABLE FINAL materializes the merge in place") {
+    spark.sql("DROP TABLE IF EXISTS ch_opt_t")
+    ClickHouseSql.sql(spark, """
+      CREATE TABLE ch_opt_t (k UInt32, name String, ver UInt64)
+      ENGINE = ReplacingMergeTree(ver) ORDER BY (k)
+    """)
+    spark.sql("""INSERT INTO ch_opt_t VALUES
+      (1, 'old', 1), (1, 'new', 2), (2, 'only', 1)""")
+    assert(spark.table("ch_opt_t").count() === 3)
+    ClickHouseSql.sql(spark, "OPTIMIZE TABLE ch_opt_t FINAL")
+    // a PLAIN read now sees the merged state
+    val rows = spark.sql("SELECT k, name FROM ch_opt_t ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "new"), (2L, "only")))
+    // idempotent
+    ClickHouseSql.sql(spark, "OPTIMIZE TABLE ch_opt_t FINAL")
+    assert(spark.table("ch_opt_t").count() === 2)
+    spark.sql("DROP TABLE ch_opt_t")
+  }
+
   test("COLUMNS('regex') expands matching columns, with APPLY chains") {
     assert(ClickHouseSql.rewrite(
       "SELECT COLUMNS('^o_order') FROM t",
