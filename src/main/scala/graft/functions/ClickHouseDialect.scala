@@ -394,6 +394,48 @@ object ClickHouseDialect {
     "leadInFrame" -> (args => Lead(args.head,
       if (args.length > 1) args(1) else Literal(1),
       if (args.length > 2) args(2) else Literal(null), ignoreNulls = false)),
+    // fourth batch: casts, temporal diffs, encodings
+    "toInt8" -> (args => Cast(one(args), org.apache.spark.sql.types.ByteType)),
+    "toInt16" -> (args => Cast(one(args), org.apache.spark.sql.types.ShortType)),
+    "toInt32" -> (args => Cast(one(args), org.apache.spark.sql.types.IntegerType)),
+    "toInt64" -> (args => Cast(one(args), org.apache.spark.sql.types.LongType)),
+    "toUInt8" -> (args => Cast(one(args), org.apache.spark.sql.types.ShortType)),
+    "toUInt16" -> (args => Cast(one(args), org.apache.spark.sql.types.IntegerType)),
+    "toUInt32" -> (args => Cast(one(args), org.apache.spark.sql.types.LongType)),
+    "toUInt64" -> (args => Cast(one(args), org.apache.spark.sql.types.LongType)),
+    "toFloat32" -> (args => Cast(one(args), org.apache.spark.sql.types.FloatType)),
+    "toFloat64" -> (args => Cast(one(args), org.apache.spark.sql.types.DoubleType)),
+    "fromUnixTimestamp" -> { args =>
+      val ts = SecondsToTimestamp(args.head)
+      if (args.length > 1)
+        DateFormatClass(ts,
+          Literal(translateDateFormat(String.valueOf(args(1).eval()))))
+      else ts
+    },
+    "base64Encode" -> (args => Base64(Cast(one(args),
+      org.apache.spark.sql.types.BinaryType))),
+    "base64Decode" -> (args => Cast(UnBase64(one(args)),
+      org.apache.spark.sql.types.StringType)),
+    // CH dateDiff counts crossed unit BOUNDARIES (diff of the operands
+    // truncated to the unit); age counts COMPLETE elapsed units —
+    // exactly Spark's timestampdiff. Spark's parser claims the
+    // `dateDiff(` spelling before resolution (unquoted-unit builtin), so
+    // ClickHouseSql rewrites CH's quoted-unit call to this name.
+    "chDateDiff" -> { args =>
+      val unit = litString(args.head, "dateDiff unit")
+      new TimestampDiff(unit,
+        TruncTimestamp(Literal(unit), args(1)),
+        TruncTimestamp(Literal(unit), args(2)))
+    },
+    "age" -> { args =>
+      new TimestampDiff(litString(args.head, "age unit"), args(1), args(2))
+    },
+    // CH's hash families are not reproduced bit-for-bit (sipHash/cityHash
+    // are CH-internal constants); the names land on xxhash64 — stable
+    // within graft, same contract (fast 64-bit dispersion), different
+    // values than a CH cluster would produce
+    "sipHash64" -> (args => XxHash64(args, 42L)),
+    "cityHash64" -> (args => XxHash64(args, 42L)),
     // dictionaries (see dicts above): plan-time map literals
     "dictGet" -> (args => ElementAt(dictMapLiteral(args), args(2))),
     "dictGetOrDefault" -> (args =>

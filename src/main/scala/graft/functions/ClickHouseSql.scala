@@ -208,6 +208,7 @@ object ClickHouseSql {
     if (paramCallNames.exists(l.contains)) out = rewriteParamCall(out)
     if (l.contains("if")) out = rewriteIfCombinator(out)
     if (l.contains("count")) out = rewriteBareCount(out)
+    if (l.contains("datediff")) out = rewriteDateDiff(out)
     if (l.contains("?")) out = rewriteTernary(out)
     if (l.contains("final")) out = rewriteFinal(out, columnsOf)
     if (l.contains("array")) out = rewriteArrayJoin(out)
@@ -865,6 +866,26 @@ object ClickHouseSql {
       if (toks(i).lower == "count" && toks(i + 1).text == "(" &&
         toks(i + 2).text == ")")
         splices += ((toks(i + 1).end, toks(i + 2).start, "*"))
+      i += 1
+    }
+    applySplices(sqlText, splices)
+  }
+
+  /** CH `dateDiff('unit', a, b)` (quoted unit, boundary-count
+    * semantics) → the dialect's `chDateDiff` — Spark's parser reserves
+    * the `dateDiff(` spelling for its own unquoted-unit builtin, whose
+    * complete-units semantics differ. The quoted unit is invisible to
+    * the lexer (string literal), so the call surfaces as
+    * `dateDiff ( ,` — that comma-right-after-paren shape is the cue.
+    */
+  private def rewriteDateDiff(sqlText: String): String = {
+    val toks = lex(sqlText)
+    val splices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length - 2) {
+      if (toks(i).lower == "datediff" && toks(i + 1).text == "(" &&
+        toks(i + 2).text == ",")
+        splices += ((toks(i).start, toks(i).end, "chDateDiff"))
       i += 1
     }
     applySplices(sqlText, splices)

@@ -845,6 +845,32 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(r.getDouble(1) === 60.0)
   }
 
+  test("fourth-batch names: UTF8 aliases, casts, temporal diffs, encodings") {
+    val r = ClickHouseSql.sql(spark, """
+      SELECT lengthUTF8('héllo') AS l,
+             upperUTF8('abc') AS u,
+             substringUTF8('hello', 2, 3) AS s,
+             toInt64('42') AS i,
+             toFloat64('2.5') AS f,
+             fromUnixTimestamp(0) AS t0,
+             base64Decode(base64Encode('round')) AS b,
+             dateDiff('day', TIMESTAMP '2024-01-01 23:59:00',
+                      TIMESTAMP '2024-01-02 00:01:00') AS boundary,
+             age('day', TIMESTAMP '2024-01-01 23:59:00',
+                 TIMESTAMP '2024-01-02 00:01:00') AS complete,
+             sipHash64('x') = sipHash64('x') AS stable
+    """).head()
+    assert(r.getInt(0) === 5) // chars, not bytes
+    assert(r.getString(1) === "ABC")
+    assert(r.getString(2) === "ell")
+    assert(r.getLong(3) === 42L)
+    assert(r.getDouble(4) === 2.5)
+    assert(r.getString(6) === "round")
+    assert(r.getLong(7) === 1L) // one midnight crossed…
+    assert(r.getLong(8) === 0L) // …but no complete day elapsed
+    assert(r.getBoolean(9))
+  }
+
   test("OPTIMIZE TABLE FINAL materializes the merge in place") {
     spark.sql("DROP TABLE IF EXISTS ch_opt_t")
     ClickHouseSql.sql(spark, """
