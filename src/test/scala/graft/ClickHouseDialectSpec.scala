@@ -873,6 +873,9 @@ class ClickHouseDialectSpec extends SparkSpec {
 
   test("OPTIMIZE TABLE FINAL materializes the merge in place") {
     spark.sql("DROP TABLE IF EXISTS ch_opt_t")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "ch_opt_t"))
     ClickHouseSql.sql(spark, """
       CREATE TABLE ch_opt_t (k UInt32, name String, ver UInt64)
       ENGINE = ReplacingMergeTree(ver) ORDER BY (k)
@@ -922,6 +925,9 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(ClickHouseSql.mapChType("Enum8('a' = 1, 'b' = 2)") === "STRING")
 
     spark.sql("DROP TABLE IF EXISTS ch_ddl_t")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "ch_ddl_t"))
     ClickHouseSql.sql(spark, """
       CREATE TABLE ch_ddl_t (
         k UInt32,

@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.{ClickHouseDialect, ClickHouseSql}
+
+/** One realistic ClickHouse session, replayed VERBATIM: DDL with CH
+  * types and a MergeTree engine, upsert-style inserts, the query
+  * idioms a migrating dashboard actually contains (FINAL, PREWHERE,
+  * combinators, parameterized aggregates, ternaries, QUALIFY,
+  * LIMIT BY), and a closing OPTIMIZE. This is the acceptance test for
+  * "a user of the reference could switch": every statement below is
+  * ClickHouse syntax, none of it is hand-rewritten.
+  */
+class MigrationE2ESpec extends SparkSpec {
+
+  private def ch(sql: String) = ClickHouseSql.sql(spark, sql)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    ClickHouseDialect.register(spark)
+  }
+
+  test("a ClickHouse session replays verbatim end-to-end") {
+    spark.sql("DROP TABLE IF EXISTS mig_events")
+    // an aborted earlier run can leave the managed location behind
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "mig_events"))
+
+    // 1. DDL — CH types, codec directives, Replacing engine, sort key
+    ch("""
+      CREATE TABLE mig_events (
+        user_id UInt64,
+        event_id UInt64,
+        kind LowCardinality(String),
+        amount Decimal(10, 2),
+        ts DateTime CODEC(Delta, ZSTD),
+        ver UInt64
+      ) ENGINE = ReplacingMergeTree(ver)
+      ORDER BY (user_id, event_id)
+      SETTINGS index_granularity = 8192
+    """)
+
+    // 2. inserts, including a later-version correction of event 102
+    spark.sql("""INSERT INTO mig_events VALUES
+      (1, 101, 'click',    0.00, TIMESTAMP '2024-03-01 10:00:00', 1),
+      (1, 102, 'purchase', 10.00, TIMESTAMP '2024-03-01 10:30:00', 1),
+      (1, 102, 'purchase', 12.50, TIMESTAMP '2024-03-01 10:30:00', 2),
+      (2, 201, 'click',    0.00, TIMESTAMP '2024-03-01 11:00:00', 1),
+      (2, 202, 'view',     0.00, TIMESTAMP '2024-03-01 11:05:00', 1),
+      (3, 301, 'click',    0.00, TIMESTAMP '2024-03-02 09:00:00', 1),
+      (3, 302, 'purchase', 99.99, TIMESTAMP '2024-03-02 09:10:00', 1)""")
+
+    // 3. FINAL + PREWHERE + combinators + bare count() + ternary
+    val daily = ch("""
+      SELECT toStartOfDay(ts) AS day,
+             count() AS n,
+             countIf(kind = 'purchase') AS purchases,
+             sumIf(amount, kind = 'purchase') AS revenue,
+             uniqExactIf(user_id, amount > 0 ? true : false) AS buyers
+      FROM mig_events FINAL
+      PREWHERE kind != 'error'
+      GROUP BY day ORDER BY day
+    """).collect()
+    assert(daily.length === 2)
+    // event 102's version-2 row (12.50) must win under FINAL
+    assert(BigDecimal(daily(0).getDecimal(3)) === BigDecimal("12.50"))
+    assert(daily(0).getLong(1) === 4L && daily(1).getLong(1) === 2L)
+    assert(daily(0).getLong(4) === 1L && daily(1).getLong(4) === 1L)
+
+    // 4. parameterized aggregates + windowFunnel from verbatim text
+    val stats = ch("""
+      SELECT quantileExact(0.5)(amount) AS med,
+             topK(1)(kind) AS top_kind,
+             windowFunnel(3600)(ts, kind = 'click', kind = 'purchase') AS lvl
+      FROM mig_events FINAL
+    """).head()
+    assert(stats.getSeq[String](1) === Seq("click"))
+    assert(stats.getInt(2) === 2)
+
+    // 5. QUALIFY + LIMIT BY shapes on the merged view
+    val topPerUser = ch("""
+      SELECT user_id, event_id, amount FROM mig_events FINAL
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        ORDER BY amount DESC, event_id) = 1
+      ORDER BY user_id
+    """).collect()
+    assert(topPerUser.map(_.getLong(1)).toSeq === Seq(102L, 201L, 302L))
+
+    // 6. OPTIMIZE materializes the merge; plain reads see 6 rows
+    ch("OPTIMIZE TABLE mig_events FINAL")
+    assert(spark.table("mig_events").count() === 6)
+    val merged = spark.sql(
+      "SELECT amount FROM mig_events WHERE event_id = 102").head()
+    assert(BigDecimal(merged.getDecimal(0)) === BigDecimal("12.50"))
+
+    spark.sql("DROP TABLE mig_events")
+  }
+}
