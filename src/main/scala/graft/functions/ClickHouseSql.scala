@@ -202,6 +202,9 @@ object ClickHouseSql {
   def rewrite(sqlText: String, columnsOf: String => Seq[String]): String = {
     val l = sqlText.toLowerCase(java.util.Locale.ROOT)
     var out = sqlText
+    if (l.contains("materialized") &&
+      l.trim.replaceAll("\\s+", " ").startsWith("create materialized view"))
+      return rewriteMaterializedView(out, columnsOf)
     if (l.contains("engine") &&
       l.trim.replaceAll("\\s+", " ").startsWith("create table"))
       return rewriteCreateTable(out)
@@ -387,36 +390,102 @@ object ClickHouseSql {
     val numericTypes = Set("TINYINT", "SMALLINT", "INT", "BIGINT",
       "FLOAT", "DOUBLE")
     def isKey(c: String) = sortKey.exists(_.equalsIgnoreCase(c))
-    engName match {
-      case "replacingmergetree" =>
-        require(sortKey.nonEmpty, "ReplacingMergeTree needs ORDER BY")
-        require(engArgs.nonEmpty,
-          "ReplacingMergeTree: a version column is required " +
-            "(batch reads have no insert order to fall back on)")
-        registerEngine(table, Replacing(sortKey, engArgs))
-      case "collapsingmergetree" =>
-        require(sortKey.nonEmpty, "CollapsingMergeTree needs ORDER BY")
-        require(engArgs.length >= 2,
-          "CollapsingMergeTree: declare (sign, versionCols…) — batch " +
-            "reads need an explicit version order for the surviving row")
-        registerEngine(table, Collapsing(sortKey, engArgs.head, engArgs.tail))
-      case "summingmergetree" =>
-        require(sortKey.nonEmpty, "SummingMergeTree needs ORDER BY")
-        val measures =
-          if (engArgs.nonEmpty) engArgs
-          else mapped.filter(c => !isKey(c.name) &&
-            numericTypes(c.sparkType.toUpperCase(java.util.Locale.ROOT)))
-            .map(_.name)
-        registerEngine(table, Summing(sortKey, measures))
-      case "mergetree" => // plain: FINAL is the identity, nothing to register
-      case other => throw new IllegalArgumentException(
-        s"unsupported table engine $other — supported: MergeTree, " +
-          "ReplacingMergeTree(ver…), CollapsingMergeTree(sign, ver…), " +
-          "SummingMergeTree([measures…])")
-    }
+    val summingDefault = () => mapped.filter(c => !isKey(c.name) &&
+      numericTypes(c.sparkType.toUpperCase(java.util.Locale.ROOT)))
+      .map(_.name)
+    registerEngineFromDdl(table, engName, engArgs, sortKey, summingDefault)
     val colsSql = mapped.map(c => s"${c.name} ${c.sparkType}").mkString(", ")
     sqlText.substring(0, toks(openIdx).start) +
       s"($colsSql) USING parquet"
+  }
+
+  /** Shared DDL engine registration (CREATE TABLE and CREATE
+    * MATERIALIZED VIEW). `summingDefault` supplies SummingMergeTree's
+    * no-argument measure inference where a column list is available
+    * (CREATE TABLE); contexts without declared types pass a thrower.
+    */
+  private def registerEngineFromDdl(table: String, engName: String,
+    engArgs: Seq[String], sortKey: Seq[String],
+    summingDefault: () => Seq[String]): Unit = engName match {
+    case "replacingmergetree" =>
+      require(sortKey.nonEmpty, "ReplacingMergeTree needs ORDER BY")
+      require(engArgs.nonEmpty,
+        "ReplacingMergeTree: a version column is required " +
+          "(batch reads have no insert order to fall back on)")
+      registerEngine(table, Replacing(sortKey, engArgs))
+    case "collapsingmergetree" =>
+      require(sortKey.nonEmpty, "CollapsingMergeTree needs ORDER BY")
+      require(engArgs.length >= 2,
+        "CollapsingMergeTree: declare (sign, versionCols…) — batch " +
+          "reads need an explicit version order for the surviving row")
+      registerEngine(table, Collapsing(sortKey, engArgs.head, engArgs.tail))
+    case "summingmergetree" =>
+      require(sortKey.nonEmpty, "SummingMergeTree needs ORDER BY")
+      val measures = if (engArgs.nonEmpty) engArgs else summingDefault()
+      registerEngine(table, Summing(sortKey, measures))
+    case "mergetree" => // plain: FINAL is the identity, nothing to register
+    case other => throw new IllegalArgumentException(
+      s"unsupported table engine $other — supported: MergeTree, " +
+        "ReplacingMergeTree(ver…), CollapsingMergeTree(sign, ver…), " +
+        "SummingMergeTree([measures…])")
+  }
+
+  /** ClickHouse `CREATE MATERIALIZED VIEW mv ENGINE = <X>MergeTree(…)
+    * ORDER BY (…) [POPULATE] AS SELECT …` — the batch analog: the
+    * SELECT materializes as a parquet CTAS (CH only backfills existing
+    * data with POPULATE, so without it the view is created EMPTY with
+    * the query's schema), and the engine + sort key register so FINAL
+    * reads of the view merge. CH's insert-triggered incremental refresh
+    * is the streaming module's job (stream_materialized*); re-running
+    * the CTAS (DROP + CREATE) is the batch refresh.
+    */
+  private def rewriteMaterializedView(sqlText: String,
+    columnsOf: String => Seq[String]): String = {
+    val toks = lex(sqlText)
+    if (toks.length < 4 || toks.head.lower != "create" ||
+      toks(1).lower != "materialized" || toks(2).lower != "view")
+      return sqlText
+    var ni = 3
+    if (toks(ni).lower == "if") ni += 3
+    val view = toks(ni).text
+    // AS SELECT boundary
+    val asIdx2 = toks.zipWithIndex.indexWhere { case (t, i) =>
+      i > ni && t.depth == 0 && t.lower == "as" &&
+        toks.lift(i + 1).exists(_.lower == "select")
+    }
+    require(asIdx2 > 0, "CREATE MATERIALIZED VIEW: missing AS SELECT")
+    val populate = toks.slice(ni, asIdx2).exists(_.lower == "populate")
+    // engine + sort key (between the name and AS)
+    val engIdx = toks.indexWhere(t =>
+      t.depth == 0 && t.lower == "engine", ni)
+    if (engIdx > 0 && engIdx < asIdx2) {
+      val eqOff = if (toks.lift(engIdx + 1).exists(_.text == "=")) 1 else 0
+      val engNameTok = toks(engIdx + 1 + eqOff)
+      var engArgs = Seq.empty[String]
+      if (toks.lift(engIdx + 2 + eqOff).exists(t =>
+        t.text == "(" && t.depth == 0)) {
+        val ec = toks.indexWhere(t => t.text == ")" && t.depth == 0,
+          engIdx + 2 + eqOff)
+        engArgs = toks.slice(engIdx + 3 + eqOff, ec).filter(isIdent).map(_.text)
+      }
+      val obIdx = toks.indexWhere(t =>
+        t.depth == 0 && t.lower == "order", ni)
+      val sortKey: Seq[String] =
+        if (obIdx < 0 || obIdx > asIdx2) Seq.empty
+        else if (toks.lift(obIdx + 2).exists(_.text == "(")) {
+          val oc = toks.indexWhere(t => t.text == ")" && t.depth == 0, obIdx + 2)
+          toks.slice(obIdx + 3, oc).filter(isIdent).map(_.text)
+        } else Seq(toks(obIdx + 2).text)
+      registerEngineFromDdl(view, engNameTok.lower, engArgs, sortKey,
+        () => throw new IllegalArgumentException(
+          "SummingMergeTree materialized views must list their measure " +
+            "columns explicitly — the view has no declared column types"))
+    }
+    val select = sqlText.substring(toks(asIdx2 + 1).start)
+    val body =
+      if (populate) select
+      else s"SELECT * FROM ($select) WHERE 1 = 0"
+    rewrite(s"CREATE TABLE $view USING parquet AS $body", columnsOf)
   }
 
   /** Names the dialect registers with params-first flattened signatures

@@ -871,6 +871,43 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(r.getBoolean(9))
   }
 
+  test("CREATE MATERIALIZED VIEW: POPULATE backfills, engine merges on FINAL") {
+    import spark.implicits._
+    for (t <- Seq("mv_base", "mv_daily", "mv_empty")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t))
+    }
+    Seq((1L, "a", 10L), (1L, "a", 5L), (2L, "b", 7L))
+      .toDF("k", "tag", "v").write.saveAsTable("mv_base")
+
+    ClickHouseSql.sql(spark, """
+      CREATE MATERIALIZED VIEW mv_daily
+      ENGINE = SummingMergeTree(v) ORDER BY (k)
+      POPULATE
+      AS SELECT k, tag, v FROM mv_base
+    """)
+    // raw rows are materialized; FINAL merges measures per sort key
+    assert(spark.table("mv_daily").count() === 3)
+    val merged = ClickHouseSql.sql(spark,
+      "SELECT k, v FROM mv_daily FINAL ORDER BY k").collect()
+    assert(merged.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 15L), (2L, 7L)))
+
+    // without POPULATE the view starts empty, schema intact
+    ClickHouseSql.sql(spark, """
+      CREATE MATERIALIZED VIEW mv_empty
+      ENGINE = MergeTree ORDER BY (k)
+      AS SELECT k, v FROM mv_base
+    """)
+    assert(spark.table("mv_empty").count() === 0)
+    assert(spark.table("mv_empty").columns.toSeq === Seq("k", "v"))
+
+    for (t <- Seq("mv_base", "mv_daily", "mv_empty"))
+      spark.sql(s"DROP TABLE $t")
+  }
+
   test("OPTIMIZE TABLE FINAL materializes the merge in place") {
     spark.sql("DROP TABLE IF EXISTS ch_opt_t")
     org.apache.commons.io.FileUtils.deleteQuietly(
