@@ -380,6 +380,53 @@ object ClickHouseDialect {
       ArrayTransform(one(args), LambdaFunction(Add(i, Literal(1)), Seq(x, i)))
     },
     "arrayUniq" -> (args => Size(ArrayDistinct(one(args)))),
+    // arrayDifference: [0, a2−a1, a3−a2, …]; the first element's zero is
+    // spelled x − x so the literal carries the array's own numeric type
+    "arrayDifference" -> { args =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      ArrayTransform(one(args), LambdaFunction(
+        If(EqualTo(i, Literal(0)), Subtract(x, x),
+          Subtract(x, ElementAt(one(args), i))), Seq(x, i)))
+    },
+    // arrayCumSum: prefix sums via a per-position fold (bounded by the
+    // array length — CH applies these to row-local arrays, not corpora)
+    "arrayCumSum" -> { args =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val y = UnresolvedNamedLambdaVariable(Seq("y"))
+      ArrayTransform(one(args), LambdaFunction(
+        ArrayAggregate(
+          Slice(one(args), Literal(1), Add(i, Literal(1))),
+          Subtract(x, x),
+          LambdaFunction(Add(acc, y), Seq(acc, y)),
+          LambdaFunction(acc, Seq(acc))),
+        Seq(x, i)))
+    },
+    "arrayIntersect" -> (args => ArrayIntersect(args.head, args(1))),
+    "arrayProduct" -> { args =>
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val y = UnresolvedNamedLambdaVariable(Seq("y"))
+      ArrayAggregate(
+        Cast(one(args), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+        Literal(1.0d),
+        LambdaFunction(Multiply(acc, y), Seq(acc, y)),
+        LambdaFunction(acc, Seq(acc)))
+    },
+    // arrayFirst/arrayFirstIndex live in ClickHouseSql as text rewrites:
+    // the analyzer requires a lambda argument's function to RESOLVE to a
+    // higher-order expression at top level, which element_at(filter(…))
+    // is not
+    "tupleElement" -> { args =>
+      val n = args(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"tupleElement index must be an integer literal, got $other")
+      }
+      GetStructField(args.head, n - 1)
+    },
     "arrayZip" -> (args => ArraysZip(args)),
     "mapKeys" -> (args => MapKeys(one(args))),
     "mapValues" -> (args => MapValues(one(args))),

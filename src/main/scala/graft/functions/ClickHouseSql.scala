@@ -212,6 +212,7 @@ object ClickHouseSql {
     if (l.contains("if")) out = rewriteIfCombinator(out)
     if (l.contains("count")) out = rewriteBareCount(out)
     if (l.contains("datediff")) out = rewriteDateDiff(out)
+    if (l.contains("arrayfirst")) out = rewriteArrayFirst(out)
     if (l.contains("?")) out = rewriteTernary(out)
     if (l.contains("final")) out = rewriteFinal(out, columnsOf)
     if (l.contains("array")) out = rewriteArrayJoin(out)
@@ -935,6 +936,48 @@ object ClickHouseSql {
       if (toks(i).lower == "count" && toks(i + 1).text == "(" &&
         toks(i + 2).text == ")")
         splices += ((toks(i + 1).end, toks(i + 2).start, "*"))
+      i += 1
+    }
+    applySplices(sqlText, splices)
+  }
+
+  /** CH `arrayFirst(λ, a)` / `arrayFirstIndex(λ, a)` → compositions of
+    * Spark HOFs (`element_at(filter(a, λ), 1)` /
+    * `array_position(transform(a, λ), true)`). These can't be registry
+    * builders: a call with a lambda argument must RESOLVE to a
+    * higher-order expression at top level, and the compositions don't.
+    * arrayFirstIndex returns 0 for no match (array_position's miss
+    * value), same as ClickHouse.
+    */
+  private def rewriteArrayFirst(sqlText: String): String = {
+    val toks = lex(sqlText)
+    val splices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length - 1) {
+      val t = toks(i)
+      val isFirst = t.lower == "arrayfirst"
+      val isIdx = t.lower == "arrayfirstindex"
+      if ((isFirst || isIdx) && toks(i + 1).text == "(") {
+        val d = toks(i + 1).depth
+        var j = i + 2
+        var comma = -1
+        while (j < toks.length && !(toks(j).text == ")" && toks(j).depth == d)) {
+          if (comma < 0 && toks(j).text == "," && toks(j).depth == d + 1)
+            comma = j
+          j += 1
+        }
+        if (j < toks.length && comma > 0) {
+          val lam = sqlText.substring(toks(i + 1).end, toks(comma).start).trim
+          val arr = sqlText.substring(toks(comma).end, toks(j).start).trim
+          val repl =
+            if (isFirst) s"element_at(filter($arr, $lam), 1)"
+            else s"array_position(transform($arr, $lam), true)"
+          // one splice per pass, then recurse — a nested arrayFirst in
+          // the argument text would otherwise overlap this span
+          splices += ((t.start, toks(j).end, repl))
+          return rewriteArrayFirst(applySplices(sqlText, splices))
+        }
+      }
       i += 1
     }
     applySplices(sqlText, splices)

@@ -845,6 +845,27 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(r.getDouble(1) === 60.0)
   }
 
+  test("array fifth-batch: differences, cumsum, first, product, tuple") {
+    val r = ClickHouseSql.sql(spark, """
+      SELECT arrayDifference(array(1, 4, 9, 16)) AS d,
+             arrayCumSum(array(1, 2, 3, 4)) AS cs,
+             arrayIntersect(array(1, 2, 3), array(2, 3, 4)) AS ix,
+             arrayProduct(array(2, 3, 4)) AS p,
+             arrayFirst(x -> x > 2, array(1, 3, 5)) AS f,
+             arrayFirstIndex(x -> x > 2, array(1, 3, 5)) AS fi,
+             arrayFirstIndex(x -> x > 9, array(1, 3, 5)) AS none,
+             tupleElement(struct(7, 'x'), 2) AS te
+    """).head()
+    assert(r.getSeq[Int](0) === Seq(0, 3, 5, 7))
+    assert(r.getSeq[Int](1) === Seq(1, 3, 6, 10))
+    assert(r.getSeq[Int](2).sorted === Seq(2, 3))
+    assert(r.getDouble(3) === 24.0)
+    assert(r.getInt(4) === 3)
+    assert(r.getLong(5) === 2L)
+    assert(r.getLong(6) === 0L)
+    assert(r.getString(7) === "x")
+  }
+
   test("fourth-batch names: UTF8 aliases, casts, temporal diffs, encodings") {
     val r = ClickHouseSql.sql(spark, """
       SELECT lengthUTF8('héllo') AS l,
