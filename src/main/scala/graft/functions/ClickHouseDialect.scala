@@ -500,7 +500,218 @@ object ClickHouseDialect {
           "countSubstrings requires a literal needle as its second argument")
       Subtract(Size(StringSplit(args.head, Literal(java.util.regex.Pattern
         .quote(String.valueOf(args(1).eval()))), Literal(-1))), Literal(1))
-    })
+    },
+    // ------------------------------------------------------------- batch 6
+    // temporal: year/quarter shifts + sub-hour grid alignment
+    "addYears" -> (args =>
+      new AddMonths(args.head, Multiply(args(1), Literal(12)))),
+    "subtractYears" -> (args =>
+      new AddMonths(args.head, UnaryMinus(Multiply(args(1), Literal(12))))),
+    "addQuarters" -> (args =>
+      new AddMonths(args.head, Multiply(args(1), Literal(3)))),
+    "subtractQuarters" -> (args =>
+      new AddMonths(args.head, UnaryMinus(Multiply(args(1), Literal(3))))),
+    "toStartOfMinute" -> (args => TruncTimestamp(Literal("minute"), one(args))),
+    "toStartOfFiveMinutes" -> (args => floorSeconds(one(args), 300L)),
+    "toStartOfTenMinutes" -> (args => floorSeconds(one(args), 600L)),
+    "toStartOfFifteenMinutes" -> (args => floorSeconds(one(args), 900L)),
+    "toLastDayOfMonth" -> (args => LastDay(one(args))),
+    // CH `monthName` is NOT mapped: Spark's monthname() builtin claims the
+    // name (register() never shadows) and returns the 3-letter
+    // abbreviation where CH returns the full name — the silent-wrong-
+    // answer trap again. Migrating users write date_format(d, 'MMMM').
+    // CH `isNaN` is also unmapped: Spark's isnan() is semantics-identical.
+    // toStartOfInterval(t, INTERVAL n unit): day-time intervals floor the
+    // epoch-second grid; the three calendar moduli CH accepts most often
+    // (month/quarter/year) land on trunc. Literal intervals only — the
+    // grid must be known at plan time.
+    "toStartOfInterval" -> { args =>
+      args(1) match {
+        case Literal(micros: Long, _: org.apache.spark.sql.types.DayTimeIntervalType) =>
+          require(micros > 0 && micros % 1000000L == 0,
+            "toStartOfInterval: whole-second day-time interval required")
+          floorSeconds(args.head, micros / 1000000L)
+        case Literal(months: Byte, _: org.apache.spark.sql.types.YearMonthIntervalType) =>
+          monthGridTrunc(months.toInt, args.head)
+        case Literal(months: Int, _: org.apache.spark.sql.types.YearMonthIntervalType) =>
+          monthGridTrunc(months, args.head)
+        case other => throw new IllegalArgumentException(
+          s"toStartOfInterval expects a literal INTERVAL as its second argument, got $other")
+      }
+    },
+    // strings, sixth batch
+    "editDistance" -> (args => Levenshtein(args.head, args(1))),
+    "levenshteinDistance" -> (args => Levenshtein(args.head, args(1))),
+    "countMatches" -> (args => RegExpCount(args.head, args(1))),
+    "initcapUTF8" -> (args => InitCap(one(args))),
+    "leftUTF8" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Left(args.head, args(1))),
+    "rightUTF8" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.Right(args.head, args(1))),
+    "translateUTF8" -> (args => StringTranslate(args.head, args(1), args(2))),
+    "splitByWhitespace" -> (args =>
+      StringSplit(one(args), Literal("\\s+"), Literal(-1))),
+    "alphaTokens" -> (args =>
+      RegExpExtractAll(one(args), Literal("[a-zA-Z]+"), Literal(0))),
+    // URL family — parse_url's Hadoop-compatible component extraction.
+    // CH returns '' for an absent component where java.net.URI yields
+    // null; extractURLParameter mirrors CH's '' explicitly (the common
+    // `!= ''` migration predicate), the rest keep null (CH '' vs null is
+    // visible only on already-invalid URLs).
+    "protocol" -> (args => parseUrl(one(args), "PROTOCOL")),
+    "domain" -> (args => parseUrl(one(args), "HOST")),
+    "domainWithoutWWW" -> (args =>
+      RegExpReplace(parseUrl(one(args), "HOST"), Literal("^www\\."), Literal(""))),
+    "topLevelDomain" -> (args => ElementAt(
+      StringSplit(parseUrl(one(args), "HOST"), Literal("\\."), Literal(-1)),
+      Literal(-1))),
+    "path" -> (args => parseUrl(one(args), "PATH")),
+    "pathFull" -> (args => parseUrl(one(args), "FILE")),
+    "queryString" -> (args => parseUrl(one(args), "QUERY")),
+    "fragment" -> (args => parseUrl(one(args), "REF")),
+    "extractURLParameter" -> (args => Coalesce(Seq(
+      new ParseUrl(Seq(args.head, Literal("QUERY"), args(1))), Literal("")))),
+    "cutQueryString" -> (args =>
+      RegExpReplace(one(args), Literal("\\?[^#]*"), Literal(""))),
+    "cutFragment" -> (args =>
+      RegExpReplace(one(args), Literal("#.*$"), Literal(""))),
+    // IPv4 scalars: dotted-quad ↔ UInt32, pure bit arithmetic
+    "IPv4NumToString" -> { args =>
+      val x = Cast(one(args), org.apache.spark.sql.types.LongType)
+      def oct(sh: Int): Expression = Cast(
+        BitwiseAnd(ShiftRightUnsigned(x, Literal(sh)), Literal(255L)),
+        org.apache.spark.sql.types.StringType)
+      new ConcatWs(Seq(Literal("."), oct(24), oct(16), oct(8), oct(0)))
+    },
+    "IPv4StringToNum" -> { args =>
+      val parts = StringSplit(one(args), Literal("\\."), Literal(-1))
+      def p(i: Int): Expression = Cast(ElementAt(parts, Literal(i)),
+        org.apache.spark.sql.types.LongType)
+      Add(Add(Add(Multiply(p(1), Literal(16777216L)),
+        Multiply(p(2), Literal(65536L))), Multiply(p(3), Literal(256L))), p(4))
+    },
+    // bit scalars, sixth batch. Rotates are 64-bit (CH rotates within the
+    // argument's own width; migrate narrower columns via the cast names).
+    "bitTest" -> (args => If(
+      Not(EqualTo(BitwiseAnd(Cast(args.head, org.apache.spark.sql.types.LongType),
+        ShiftLeft(Literal(1L), Cast(args(1), org.apache.spark.sql.types.IntegerType))),
+        Literal(0L))), Literal(1), Literal(0))),
+    "bitTestAll" -> { args =>
+      val mask = bitMask(args.tail)
+      If(EqualTo(BitwiseAnd(Cast(args.head,
+        org.apache.spark.sql.types.LongType), mask), mask), Literal(1), Literal(0))
+    },
+    "bitTestAny" -> { args =>
+      val mask = bitMask(args.tail)
+      If(Not(EqualTo(BitwiseAnd(Cast(args.head,
+        org.apache.spark.sql.types.LongType), mask), Literal(0L))),
+        Literal(1), Literal(0))
+    },
+    "bitRotateLeft" -> { args =>
+      val x = Cast(args.head, org.apache.spark.sql.types.LongType)
+      val n = Cast(args(1), org.apache.spark.sql.types.IntegerType)
+      BitwiseOr(ShiftLeft(x, n), ShiftRightUnsigned(x, Subtract(Literal(64), n)))
+    },
+    "bitRotateRight" -> { args =>
+      val x = Cast(args.head, org.apache.spark.sql.types.LongType)
+      val n = Cast(args(1), org.apache.spark.sql.types.IntegerType)
+      BitwiseOr(ShiftRightUnsigned(x, n), ShiftLeft(x, Subtract(Literal(64), n)))
+    },
+    "bitHammingDistance" -> (args => BitwiseCount(BitwiseXor(
+      Cast(args.head, org.apache.spark.sql.types.LongType),
+      Cast(args(1), org.apache.spark.sql.types.LongType)))),
+    // math scalars
+    "exp2" -> (args => Pow(Literal(2.0d), one(args))),
+    "exp10" -> (args => Pow(Literal(10.0d), one(args))),
+    "intExp2" -> (args => ShiftLeft(Literal(1L),
+      Cast(one(args), org.apache.spark.sql.types.IntegerType))),
+    "roundBankers" -> (args => BRound(args.head,
+      if (args.length > 1) args(1) else Literal(0))),
+    "isInfinite" -> (args => EqualTo(
+      Abs(Cast(one(args), org.apache.spark.sql.types.DoubleType)),
+      Literal(Double.PositiveInfinity))),
+    "isFinite" -> { args =>
+      val d = Cast(one(args), org.apache.spark.sql.types.DoubleType)
+      And(Not(IsNaN(d)), Not(EqualTo(Abs(d), Literal(Double.PositiveInfinity))))
+    },
+    // JSON, sixth batch: whole-document forms take the node itself; with
+    // trailing keys the same CH path grammar as JSONExtract* descends
+    // first. JSONLength covers arrays (element count) and objects (key
+    // count) via the coalesce.
+    "JSONLength" -> (args => Coalesce(Seq(
+      LengthOfJsonArray(jsonNode(args)), Size(JsonObjectKeys(jsonNode(args)))))),
+    "JSONExtractKeys" -> (args => JsonObjectKeys(jsonNode(args))),
+    "JSONExtractRaw" -> (args => jsonNode(args)),
+    "toJSONString" -> (args => new StructsToJson(one(args))),
+    // simpleJSONExtract* (the visitParam legacy family): top-level field
+    // access only in CH — the single-key JSONExtract path is a superset
+    "simpleJSONExtractString" -> (args => jsonExtract(args)),
+    "simpleJSONExtractInt" -> (args =>
+      Cast(jsonExtract(args), org.apache.spark.sql.types.LongType)),
+    "simpleJSONExtractFloat" -> (args =>
+      Cast(jsonExtract(args), org.apache.spark.sql.types.DoubleType)),
+    "simpleJSONHas" -> (args => IsNotNull(jsonExtract(args))),
+    // arrays, sixth batch
+    "arrayPushFront" -> (args =>
+      Concat(Seq(CreateArray(Seq(args(1))), args.head))),
+    "arrayPopFront" -> (args => Slice(args.head, Literal(2),
+      greatestZero(Subtract(Size(args.head), Literal(1))))),
+    "arrayResize" -> { args =>
+      if (args.length < 3)
+        throw new IllegalArgumentException(
+          "arrayResize requires an explicit fill element (arr, size, fill) — " +
+            "ClickHouse's typed zero default is not reconstructible from SQL text")
+      val arr = args.head; val n = args(1)
+      If(GreaterThanOrEqual(Size(arr), n), Slice(arr, Literal(1), n),
+        Concat(Seq(arr, ArrayRepeat(args(2), Subtract(n, Size(arr))))))
+    },
+    "arrayReverseSort" -> (args => new SortArray(one(args), Literal(false))),
+    "arrayRotateLeft" -> (args => rotateLeft(args.head, args(1))),
+    "arrayRotateRight" -> (args =>
+      rotateLeft(args.head, UnaryMinus(Cast(args(1),
+        org.apache.spark.sql.types.IntegerType)))),
+    "arrayElementOrNull" -> (args => new TryElementAt(args.head, args(1))),
+    // arrayFold's lambda is (acc, x) — exactly aggregate()'s merge shape
+    "arrayFold" -> (args =>
+      ArrayAggregate(args(1), args(2), validateLambda(args.head),
+        LambdaFunction.identity)),
+    "arrayJaccardIndex" -> (args => Divide(
+      Cast(Size(ArrayIntersect(args.head, args(1))),
+        org.apache.spark.sql.types.DoubleType),
+      Cast(Size(ArrayUnion(args.head, args(1))),
+        org.apache.spark.sql.types.DoubleType))),
+    // maps, sixth batch
+    "mapContains" -> (args => ArrayContains(MapKeys(args.head), args(1))),
+    "mapFromArrays" -> (args => MapFromArrays(args.head, args(1))),
+    "mapFilter" -> (args => MapFilter(args(1), validateLambda(args.head))),
+    // aggregates, sixth batch
+    "avgWeighted" -> (args => Divide(
+      Cast(Sum(Multiply(args.head, args(1))).toAggregateExpression(),
+        org.apache.spark.sql.types.DoubleType),
+      Cast(Sum(args(1)).toAggregateExpression(),
+        org.apache.spark.sql.types.DoubleType))),
+    "sumCount" -> (args => CreateStruct(Seq(
+      Sum(one(args)).toAggregateExpression(),
+      Count(Seq(one(args))).toAggregateExpression()))),
+    // CH skewPop ≡ Spark's population skewness; CH kurtPop is the RAW
+    // fourth moment m4/m2² where Spark reports EXCESS kurtosis (−3)
+    "skewPop" -> (args => Skewness(one(args))),
+    "kurtPop" -> (args =>
+      Add(Kurtosis(one(args)).toAggregateExpression(), Literal(3.0d))),
+    // groupArraySorted(n)(x) params-first (ClickHouseSql flattens the
+    // two-list call): smallest n values, ascending
+    "groupArraySorted" -> (args => Slice(
+      new SortArray(CollectList(args(1)).toAggregateExpression(),
+        Literal(true)), Literal(1), args.head)),
+    // boundingRatio(x, y): slope of the bounding box — (y@max-x − y@min-x)
+    // / (max-x − min-x), composed from argMin/argMax/min/max partials
+    "boundingRatio" -> (args => Divide(
+      Cast(Subtract(MaxBy(args(1), args.head).toAggregateExpression(),
+        MinBy(args(1), args.head).toAggregateExpression()),
+        org.apache.spark.sql.types.DoubleType),
+      Cast(Subtract(Max(args.head).toAggregateExpression(),
+        Min(args.head).toAggregateExpression()),
+        org.apache.spark.sql.types.DoubleType))))
 
   /** JSONPath from CH trailing keys: strings descend, 1-based ints index. */
   private def jsonExtract(args: Seq[Expression]): Expression = {
@@ -566,6 +777,52 @@ object ClickHouseDialect {
     */
   private def greatestZero(e: Expression): Expression =
     Greatest(Seq(Literal(0), e))
+
+  /** Floor a timestamp onto an n-second epoch grid (toStartOfFiveMinutes
+    * and friends): integral-divide the epoch second, re-multiply.
+    */
+  private def floorSeconds(ts: Expression, n: Long): Expression =
+    SecondsToTimestamp(Multiply(IntegralDivide(
+      UnixSeconds(Cast(ts, org.apache.spark.sql.types.TimestampType)),
+      Literal(n)), Literal(n)))
+
+  /** Calendar grids toStartOfInterval accepts: 1 month / 1 quarter / 1
+    * year as month counts (CH's sub-month year-month grids are unusual
+    * enough to fail loudly instead of silently mis-aligning).
+    */
+  private def monthGridTrunc(months: Int, ts: Expression): Expression =
+    months match {
+      case 1 => TruncTimestamp(Literal("month"), ts)
+      case 3 => TruncTimestamp(Literal("quarter"), ts)
+      case 12 => TruncTimestamp(Literal("year"), ts)
+      case other => throw new IllegalArgumentException(
+        s"toStartOfInterval: unsupported $other-month grid (1, 3, or 12)")
+    }
+
+  private def parseUrl(url: Expression, part: String): Expression =
+    new ParseUrl(Seq(url, Literal(part)))
+
+  /** OR of single-bit masks for bitTestAll/bitTestAny. */
+  private def bitMask(bits: Seq[Expression]): Expression =
+    bits.map(b => ShiftLeft(Literal(1L),
+      Cast(b, org.apache.spark.sql.types.IntegerType)): Expression)
+      .reduce((a, b) => BitwiseOr(a, b))
+
+  /** arrayRotateLeft with a sign-total shift (Pmod handles negatives);
+    * empty arrays pass through untouched.
+    */
+  private def rotateLeft(arr: Expression, n: Expression): Expression = {
+    val k = Pmod(Cast(n, org.apache.spark.sql.types.IntegerType), Size(arr))
+    If(LessThanOrEqual(Size(arr), Literal(0)), arr,
+      Concat(Seq(Slice(arr, Add(k, Literal(1)), Subtract(Size(arr), k)),
+        Slice(arr, Literal(1), k))))
+  }
+
+  /** Whole-document JSON arg (1-arg form) or the CH key path descended
+    * (2+ args) — shared by JSONLength/JSONExtractKeys/JSONExtractRaw.
+    */
+  private def jsonNode(args: Seq[Expression]): Expression =
+    if (args.length == 1) args.head else jsonExtract(args)
 
   /** CH higher-order functions put the lambda FIRST (arrayMap(x -> …, a));
     * Spark's resolver delivers it as a LambdaFunction expression already.

@@ -501,7 +501,8 @@ object ClickHouseSql {
     "quantileif", "quantileexactif", "quantiletdigestif", "quantilesif",
     "quantilesexactif", "topkif", "topkweightedif",
     // event-sequence family: windowFunnel(w)(ts, c1, …)
-    "windowfunnel", "sequencematch", "sequencecount")
+    "windowfunnel", "sequencematch", "sequencecount",
+    "grouparraysorted", "grouparraysortedif")
 
   /** ClickHouse parameterized-aggregate call syntax `f(p, …)(args…)` →
     * the dialect's flattened params-first form `f(p, …, args…)` —

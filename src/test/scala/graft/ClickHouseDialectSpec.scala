@@ -1144,4 +1144,131 @@ class ClickHouseDialectSpec extends SparkSpec {
       assert(row.getSeq[String](1) === exp3, s"status $s")
     }
   }
+
+  test("sixth-batch names: URL, IPv4, bit tests, temporal grids, JSON, arrays") {
+    val r = spark.sql("""
+      SELECT addYears(DATE'2020-02-29', 1) AS ay,
+             subtractQuarters(DATE'2024-05-01', 2) AS sq,
+             toStartOfFiveMinutes(TIMESTAMP'2024-01-01 00:07:30') AS t5,
+             toStartOfInterval(TIMESTAMP'2024-01-01 00:07:30', INTERVAL 10 MINUTE) AS t10,
+             toStartOfInterval(TIMESTAMP'2024-05-15 12:00:00', INTERVAL 1 MONTH) AS tm,
+             toLastDayOfMonth(DATE'2024-02-05') AS ld,
+             editDistance('kitten', 'sitting') AS ed,
+             countMatches('ababab', 'ab') AS cm,
+             leftUTF8('hello', 2) AS l2, rightUTF8('hello', 2) AS r2,
+             translateUTF8('abca', 'ac', 'xy') AS tr,
+             splitByWhitespace('a  b c') AS sw,
+             alphaTokens('abc2def3') AS at
+    """).head()
+    assert(r.getAs[java.sql.Date]("ay").toString === "2021-02-28")
+    assert(r.getAs[java.sql.Date]("sq").toString === "2023-11-01")
+    assert(r.getAs[java.sql.Timestamp]("t5").toString === "2024-01-01 00:05:00.0")
+    assert(r.getAs[java.sql.Timestamp]("t10").toString === "2024-01-01 00:00:00.0")
+    assert(r.getAs[java.sql.Timestamp]("tm").toString === "2024-05-01 00:00:00.0")
+    assert(r.getAs[java.sql.Date]("ld").toString === "2024-02-29")
+    assert(r.getAs[Int]("ed") === 3)
+    assert(r.getAs[Int]("cm") === 3)
+    assert(r.getAs[String]("l2") === "he" && r.getAs[String]("r2") === "lo")
+    assert(r.getAs[String]("tr") === "xbyx")
+    assert(r.getAs[Seq[String]]("sw") === Seq("a", "b", "c"))
+    assert(r.getAs[Seq[String]]("at") === Seq("abc", "def"))
+
+    val u = spark.sql("""
+      SELECT protocol(u) AS pr, domain(u) AS dm, domainWithoutWWW(u) AS dw,
+             topLevelDomain(u) AS tld, path(u) AS pa, queryString(u) AS qs,
+             fragment(u) AS fr, extractURLParameter(u, 'x') AS px,
+             extractURLParameter(u, 'zz') AS pz,
+             cutQueryString(u) AS cq, cutFragment(u) AS cf
+      FROM (SELECT 'https://www.example.com/a/b?x=1&y=2#frag' AS u)
+    """).head()
+    assert(u.getAs[String]("pr") === "https")
+    assert(u.getAs[String]("dm") === "www.example.com")
+    assert(u.getAs[String]("dw") === "example.com")
+    assert(u.getAs[String]("tld") === "com")
+    assert(u.getAs[String]("pa") === "/a/b")
+    assert(u.getAs[String]("qs") === "x=1&y=2")
+    assert(u.getAs[String]("fr") === "frag")
+    assert(u.getAs[String]("px") === "1" && u.getAs[String]("pz") === "")
+    assert(u.getAs[String]("cq") === "https://www.example.com/a/b#frag")
+    assert(u.getAs[String]("cf") === "https://www.example.com/a/b?x=1&y=2")
+
+    val b = spark.sql("""
+      SELECT IPv4NumToString(3232235777) AS ip, IPv4StringToNum('10.0.0.1') AS ipn,
+             bitTest(5, 0) AS bt1, bitTest(5, 1) AS bt0,
+             bitTestAll(7, 0, 1, 2) AS bta, bitTestAny(8, 0, 1) AS btn,
+             bitRotateLeft(1, 1) AS brl, bitRotateRight(1, 1) AS brr,
+             bitHammingDistance(5, 6) AS bhd,
+             exp2(10) AS e2, intExp2(10) AS ie2,
+             roundBankers(2.5) AS rb1, roundBankers(3.5) AS rb2,
+             isFinite(1.0) AS fin, isInfinite(CAST('Infinity' AS DOUBLE)) AS inf
+    """).head()
+    assert(b.getAs[String]("ip") === "192.168.1.1")
+    assert(b.getAs[Long]("ipn") === 167772161L)
+    assert(b.getAs[Int]("bt1") === 1 && b.getAs[Int]("bt0") === 0)
+    assert(b.getAs[Int]("bta") === 1 && b.getAs[Int]("btn") === 0)
+    assert(b.getAs[Long]("brl") === 2L && b.getAs[Long]("brr") === Long.MinValue)
+    assert(b.getAs[Int]("bhd") === 2)
+    assert(b.getAs[Double]("e2") === 1024.0d && b.getAs[Long]("ie2") === 1024L)
+    assert(b.getAs[java.math.BigDecimal]("rb1").doubleValue === 2.0d)
+    assert(b.getAs[java.math.BigDecimal]("rb2").doubleValue === 4.0d)
+    assert(b.getAs[Boolean]("fin") && b.getAs[Boolean]("inf"))
+
+    val j = spark.sql("""
+      SELECT JSONLength('[1,2,3]') AS la, JSONLength('{"a":1,"b":2}') AS lo,
+             JSONExtractKeys('{"a":1,"b":2}') AS ks,
+             JSONExtractRaw('{"a":{"b":1}}', 'a') AS raw,
+             toJSONString(named_struct('x', 1)) AS tj,
+             simpleJSONExtractInt('{"a":7}', 'a') AS si,
+             arrayPushFront(array(2, 3), 1) AS pf,
+             arrayPopFront(array(1, 2, 3)) AS po,
+             arrayResize(array(1, 2), 4, 0) AS rz,
+             arrayResize(array(1, 2, 3), 2, 0) AS rz2,
+             arrayReverseSort(array(2, 3, 1)) AS rs,
+             arrayRotateLeft(array(1, 2, 3, 4), 1) AS rl,
+             arrayRotateRight(array(1, 2, 3, 4), 1) AS rr,
+             arrayElementOrNull(array(1, 2), 5) AS en,
+             arrayFold((acc, x) -> acc + x, array(1, 2, 3), 100) AS fo,
+             arrayJaccardIndex(array(1, 2, 3), array(2, 3, 4)) AS ji,
+             mapContains(map('a', 1), 'a') AS mc,
+             mapValues(mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2))) AS mf
+    """).head()
+    assert(j.getAs[Int]("la") === 3 && j.getAs[Int]("lo") === 2)
+    assert(j.getAs[Seq[String]]("ks") === Seq("a", "b"))
+    assert(j.getAs[String]("raw") === """{"b":1}""")
+    assert(j.getAs[String]("tj") === """{"x":1}""")
+    assert(j.getAs[Long]("si") === 7L)
+    assert(j.getAs[Seq[Int]]("pf") === Seq(1, 2, 3))
+    assert(j.getAs[Seq[Int]]("po") === Seq(2, 3))
+    assert(j.getAs[Seq[Int]]("rz") === Seq(1, 2, 0, 0))
+    assert(j.getAs[Seq[Int]]("rz2") === Seq(1, 2))
+    assert(j.getAs[Seq[Int]]("rs") === Seq(3, 2, 1))
+    assert(j.getAs[Seq[Int]]("rl") === Seq(2, 3, 4, 1))
+    assert(j.getAs[Seq[Int]]("rr") === Seq(4, 1, 2, 3))
+    assert(j.isNullAt(j.fieldIndex("en")))
+    assert(j.getAs[Int]("fo") === 106)
+    assert(j.getAs[Double]("ji") === 0.5d)
+    assert(j.getAs[Boolean]("mc"))
+    assert(j.getAs[Seq[Int]]("mf") === Seq(2))
+
+    // aggregates: weighted average, tuple sum+count, moments, bounding
+    // slope, and the params-first sorted group array
+    val a = spark.sql("""
+      SELECT avgWeighted(v, w) AS aw, sumCount(v) AS sc,
+             skewPop(v2) AS sk, kurtPop(v2) AS ku,
+             boundingRatio(x, y) AS br
+      FROM (SELECT * FROM VALUES (10, 1, 1, 0, 10), (20, 3, 2, 10, 30),
+            (30, 0, 3, 5, 20) AS t(v, w, v2, x, y))
+    """).head()
+    assert(a.getAs[Double]("aw") === 17.5d)
+    val sc = a.getStruct(a.fieldIndex("sc"))
+    assert(sc.getLong(0) === 60L && sc.getLong(1) === 3L)
+    assert(math.abs(a.getAs[Double]("sk")) < 1e-12)
+    assert(math.abs(a.getAs[Double]("ku") - 1.5d) < 1e-12)
+    assert(a.getAs[Double]("br") === 2.0d)
+
+    val gs = ClickHouseSql.sql(spark, """
+      SELECT groupArraySorted(2)(v) AS g
+      FROM (SELECT * FROM VALUES (3), (1), (2) AS t(v))""").head()
+    assert(gs.getAs[Seq[Int]]("g") === Seq(1, 2))
+  }
 }
