@@ -82,8 +82,10 @@ object ClickHouseSql {
     * needed): rewrite, then hand Spark's parser standard SQL.
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame =
-    optimizeTable(spark, sqlText).getOrElse(
-      spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq)))
+    optimizeTable(spark, sqlText)
+      .orElse(alterMutation(spark, sqlText))
+      .getOrElse(
+        spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq)))
 
   /** `OPTIMIZE TABLE t [FINAL]` — ClickHouse's force-merge. The batch
     * analog MATERIALIZES the registered engine's read-time merge:
@@ -109,6 +111,101 @@ object ClickHouseSql {
       merged.localCheckpoint(true).write.mode("overwrite").insertInto(table)
     }
     Some(spark.table(table).limit(0))
+  }
+
+  /** ClickHouse mutations, materialized the way OPTIMIZE is: evaluate
+    * the surviving/updated rows, cut lineage with an eager local
+    * checkpoint, overwrite the table in place.
+    *
+    *   - `ALTER TABLE t DELETE WHERE cond` (classic mutation) and the
+    *     lightweight `DELETE FROM t WHERE cond`: rows where cond is
+    *     TRUE go away; NULL-cond rows are kept (CH deletes only
+    *     cond-true rows), hence the `NOT coalesce(cond, false)` guard.
+    *   - `ALTER TABLE t UPDATE c1 = e1, c2 = e2 WHERE cond`: each
+    *     assigned column becomes CASE WHEN cond THEN expr ELSE old END;
+    *     unassigned columns pass through, so the projected schema keeps
+    *     the table's column order and insertInto casts by position.
+    *
+    * On a cluster this is exactly what a CH mutation is underneath — a
+    * full rewrite of the affected parts — expressed as one distributed
+    * scan + overwrite instead of a background mutation queue. The
+    * assignment/condition text goes through [[rewrite]], so CH dialect
+    * functions are usable inside mutations.
+    */
+  private def alterMutation(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    def stripSemi(s: String): String = s.trim.stripSuffix(";").trim
+    def run(table: String, body: String): DataFrame = {
+      val df = spark.sql(rewrite(body, t => spark.table(t).columns.toSeq))
+      df.localCheckpoint(true).write.mode("overwrite").insertInto(table)
+      spark.table(table).limit(0)
+    }
+    if (toks.length >= 4 && toks.head.lower == "alter" &&
+      toks(1).lower == "table" && isIdent(toks(2))) {
+      val table = toks(2).text
+      toks(3).lower match {
+        case "delete" =>
+          require(toks.length > 4 && toks(4).lower == "where",
+            s"ALTER TABLE … DELETE requires WHERE: $sqlText")
+          val cond = stripSemi(sqlText.substring(toks(4).end))
+          require(cond.nonEmpty, s"empty DELETE condition: $sqlText")
+          Some(run(table,
+            s"SELECT * FROM $table WHERE NOT coalesce(($cond), false)"))
+        case "update" =>
+          val whereIdx = toks.indexWhere(t =>
+            t.lower == "where" && t.depth == 0, 4)
+          require(whereIdx > 4,
+            s"ALTER TABLE … UPDATE requires WHERE: $sqlText")
+          val cond = stripSemi(sqlText.substring(toks(whereIdx).end))
+          require(cond.nonEmpty, s"empty UPDATE condition: $sqlText")
+          val assignText = sqlText.substring(toks(3).end, toks(whereIdx).start)
+          val assigns = splitAssignments(assignText).map { a =>
+            val eq = a.indexOf('=')
+            require(eq > 0, s"UPDATE assignment must be col = expr: $a")
+            val col = a.substring(0, eq).trim
+            require(col.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"UPDATE target must be a plain column name: $col")
+            col.toLowerCase(java.util.Locale.ROOT) -> a.substring(eq + 1).trim
+          }.toMap
+          val cols = spark.table(table).columns
+          val missing = assigns.keySet --
+            cols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          require(missing.isEmpty,
+            s"UPDATE assigns to unknown column(s): ${missing.mkString(", ")}")
+          val proj = cols.map { c =>
+            assigns.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+              case Some(expr) =>
+                s"CASE WHEN coalesce(($cond), false) THEN ($expr) ELSE $c END AS $c"
+              case None => c
+            }
+          }.mkString(", ")
+          Some(run(table, s"SELECT $proj FROM $table"))
+        case other => throw new IllegalArgumentException(
+          s"unsupported ALTER TABLE action: $other in $sqlText")
+      }
+    } else if (toks.length >= 3 && toks.head.lower == "delete" &&
+      toks(1).lower == "from" && isIdent(toks(2))) {
+      require(toks.length > 3 && toks(3).lower == "where",
+        s"DELETE FROM requires WHERE: $sqlText")
+      val table = toks(2).text
+      val cond = stripSemi(sqlText.substring(toks(3).end))
+      require(cond.nonEmpty, s"empty DELETE condition: $sqlText")
+      Some(run(table,
+        s"SELECT * FROM $table WHERE NOT coalesce(($cond), false)"))
+    } else None
+  }
+
+  /** Split `c1 = e1, c2 = e2` on top-level commas (paren- and
+    * string-aware via the shared lexer).
+    */
+  private def splitAssignments(text: String): Seq[String] = {
+    val toks = lex(text)
+    val cuts = toks.filter(t => t.text == "," && t.depth == 0).map(_.start)
+    val bounds = (-1 +: cuts) :+ text.length
+    bounds.sliding(2).map { case Seq(a, b) =>
+      text.substring(a + 1, b).trim
+    }.toSeq.filter(_.nonEmpty)
   }
 
   // ---------------------------------------------------------------- scan

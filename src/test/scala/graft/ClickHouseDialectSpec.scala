@@ -1271,4 +1271,43 @@ class ClickHouseDialectSpec extends SparkSpec {
       FROM (SELECT * FROM VALUES (3), (1), (2) AS t(v))""").head()
     assert(gs.getAs[Seq[Int]]("g") === Seq(1, 2))
   }
+
+  test("ALTER TABLE DELETE/UPDATE and lightweight DELETE mutate in place") {
+    spark.sql("DROP TABLE IF EXISTS ch_mut_t")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "ch_mut_t"))
+    spark.sql("CREATE TABLE ch_mut_t (k BIGINT, name STRING, score BIGINT) USING parquet")
+    spark.sql("""INSERT INTO ch_mut_t VALUES
+      (1, 'a', 10), (2, 'b', 20), (3, 'c', 30), (4, NULL, 40)""")
+
+    // classic mutation: delete cond-TRUE rows; NULL-cond rows survive
+    ClickHouseSql.sql(spark, "ALTER TABLE ch_mut_t DELETE WHERE score >= 30 AND name = 'c'")
+    assert(spark.sql("SELECT k FROM ch_mut_t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L)) // k=4 has NULL name → kept
+
+    // UPDATE: assigned columns change only where cond holds; CH dialect
+    // functions work inside the assignment and the condition
+    ClickHouseSql.sql(spark,
+      "ALTER TABLE ch_mut_t UPDATE score = plus(score, 100), name = upper(name) WHERE modulo(k, 2) = 0")
+    val rows = spark.sql("SELECT k, name, score FROM ch_mut_t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "a", 10L), (2L, "B", 120L), (4L, null, 140L)))
+
+    // lightweight DELETE FROM
+    ClickHouseSql.sql(spark, "DELETE FROM ch_mut_t WHERE k = 1")
+    assert(spark.sql("SELECT k FROM ch_mut_t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L, 4L))
+
+    // loud failures: no WHERE, unknown column
+    val e1 = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark, "ALTER TABLE ch_mut_t DELETE")
+    }
+    assert(e1.getMessage.contains("requires WHERE"))
+    val e2 = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark, "ALTER TABLE ch_mut_t UPDATE zz = 1 WHERE k = 2")
+    }
+    assert(e2.getMessage.contains("unknown column"))
+    spark.sql("DROP TABLE ch_mut_t")
+  }
 }
