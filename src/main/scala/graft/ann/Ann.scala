@@ -1294,7 +1294,62 @@ $pivots
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ann_knn_graph — exact k-NN graph, cell-bounded: each vector's top-3
+  // neighbors AMONG ITS OWN IVF CELL'S members, ranked by the integer-
+  // grid dot product (exact arithmetic — no FP-ordering ambiguity
+  // between engines or executors). The kNN graph is the backbone
+  // structure of graph-based ANN indexes (HNSW/NSG build from exactly
+  // this neighborhood seed) and of graph-clustering semantic dedup; the
+  // cell bound keeps the pairwise stage O(cell²) like dedup_semantic —
+  // per-cell work, never corpus-quadratic, so the same plan holds at
+  // 100 TB with cellsFor-scaled cell counts. Quantizer training is the
+  // shared memoized Lloyd step — free when any IVF op already ran.
+  val knnGraph = Q(
+    "ann_knn_graph",
+    Some(s"""
+      WITH ${ivfCtesSql(16, 4)},
+      acq AS (SELECT ac.vec_id, ac.cell, q.qv
+              FROM ac JOIN qemb q ON q.vec_id = ac.vec_id),
+      pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.qv, b.qv),
+                 pr -> pr[1] * pr[2])) AS BIGINT) AS dot_q
+        FROM acq a JOIN acq b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT vec_id, neighbor_id, dot_q,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dot_q DESC, neighbor_id) AS rnk
+        FROM pairs)
+      SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, dot_q
+      FROM ranked WHERE rnk <= 3
+      ORDER BY vec_id, rnk
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = ivfEmb(t)
+    val centroids = ivfCentroids(t, 16)
+    val assigned = emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("qv"), col("cid"),
+        dist2(col("qv"), col("cv")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cell"),
+        first(col("qv")).as("qv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot_q").desc, col("neighbor_id"))
+    assigned.as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        call_function("graft_dot", col("a.qv"), col("b.qv"))
+          .cast(LongType).as("dot_q"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select(col("vec_id"), col("rnk"), col("neighbor_id"), col("dot_q"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
-    filteredSearch, outliers, mips, covariance)
+    filteredSearch, outliers, mips, covariance, knnGraph)
 }

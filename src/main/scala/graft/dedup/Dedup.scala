@@ -440,6 +440,70 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  // dedup_containment — asymmetric overlap for every MinHash-detected
+  // candidate pair: containment C = |A∩B| / min(|A|,|B|) over the exact
+  // shingle sets, in integer basis points, plus which doc is the
+  // container (the LARGER set — the smaller one is the contained
+  // near-subset). Jaccard misses the quote-inside-a-document case: a
+  // 100-shingle doc fully embedded in a 1000-shingle doc scores J≈0.10
+  // (kept by a 0.5 gate) but C=1.00 — the duplication the suffix-array
+  // recipe clips and citation-heavy corpora are full of. Same
+  // candidates × shingles join shape as dedup_minhash_recall — work
+  // scales with detected pairs, never corpus².
+  val containment = Q(
+    "dedup_containment",
+    Some {
+      val shingleStr = "array_to_string(list_slice(ws, i, i + 2), ' ')"
+      s"""
+      WITH $minhashCandSql,
+      cp AS (SELECT id1, id2 FROM cand),
+      inv AS (
+        SELECT DISTINCT doc_id, ${PortableHash.wordHashSql(shingleStr)} AS h
+        FROM words, UNNEST(RANGE(1, GREATEST(LEN(ws) - 2, 1) + 1)) AS t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+      co AS (
+        SELECT d.id1, d.id2, COUNT(*) AS co
+        FROM cp d
+        JOIN inv a ON a.doc_id = d.id1
+        JOIN inv b ON b.doc_id = d.id2 AND b.h = a.h
+        GROUP BY d.id1, d.id2)
+      SELECT d.id1, d.id2,
+             CAST(COALESCE(co.co, 0) * 10000 // LEAST(s1.n, s2.n) AS BIGINT)
+               AS containment_bp,
+             CAST(CASE WHEN s1.n >= s2.n THEN d.id1 ELSE d.id2 END AS BIGINT)
+               AS container_id
+      FROM cp d
+      LEFT JOIN co ON co.id1 = d.id1 AND co.id2 = d.id2
+      JOIN sizes s1 ON s1.doc_id = d.id1
+      JOIN sizes s2 ON s2.doc_id = d.id2
+      WHERE COALESCE(co.co, 0) * 10000 // LEAST(s1.n, s2.n) >= 5000
+      ORDER BY d.id1, d.id2
+      """
+    }
+  ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
+    val cp = minhashCands(t).select(col("id1"), col("id2"))
+    val inv = withTwins(t)
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"))).as("h"))
+      .distinct()
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = cp
+      .join(inv.select(col("doc_id").as("id1"), col("h")), "id1")
+      .join(inv.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("co"))
+    cp
+      .join(co, Seq("id1", "id2"), "left")
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        expr("coalesce(co, 0) * 10000 div least(n1, n2)").as("containment_bp"),
+        when(col("n1") >= col("n2"), col("id1")).otherwise(col("id2"))
+          .cast(LongType).as("container_id"))
+      .filter(col("containment_bp") >= 5000L)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   // dedup_simhash — SimHash near-dup with multi-table banding: the 64-bit
   // signature splits into 8 disjoint 8-bit bands; docs sharing ANY band
   // value are candidates (pigeonhole: hamming ≤ 7 guarantees a clean band),
@@ -1424,7 +1488,7 @@ object Dedup {
     "idf_bands" -> (() => { idfBanded(t).count(); () }))
 
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
-    simhashDedup, simhashIdf, components, embeddingDedup, chunkDedup,
-    applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
+    containment, simhashDedup, simhashIdf, components, embeddingDedup,
+    chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip)
 }

@@ -165,4 +165,19 @@ class AnnSpec extends SparkSpec {
       assert(cell === tcell, s"twin of $id must share its cluster")
     }
   }
+
+  test("knn graph: ranks contiguous from 1, dot non-increasing, no self edges") {
+    val rows = Ann.knnGraph.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    byVec.foreach { case (v, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ===
+        (1L to sorted.length).toSeq, s"vec $v ranks not contiguous")
+      assert(sorted.length <= 3)
+      sorted.foreach(r => assert(r.getAs[Long]("neighbor_id") != v))
+      val dots = sorted.map(_.getAs[Long]("dot_q")).toSeq
+      assert(dots === dots.sorted.reverse, s"vec $v dot_q not non-increasing")
+    }
+  }
 }

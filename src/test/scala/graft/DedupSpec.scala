@@ -203,4 +203,19 @@ class DedupSpec extends SparkSpec {
     assert(s2.getAs[Long]("tokens_removed") === 0L)
     assert(s2.getAs[Long]("tokens_after") === s2.getAs[Long]("tokens_before"))
   }
+
+  test("containment: truncated twins are fully contained in their originals") {
+    val rows = Dedup.containment.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    val twinPairs = rows.filter(r => r.getAs[Long]("id2") == r.getAs[Long]("id1") + 1000000L)
+    assert(twinPairs.nonEmpty, "no twin pairs among containment candidates")
+    twinPairs.foreach { r =>
+      // twin = original minus last 3 words → shingle subset → C = 100%
+      assert(r.getAs[Long]("containment_bp") === 10000L)
+      // the original (larger shingle set) is the container
+      assert(r.getAs[Long]("container_id") === r.getAs[Long]("id1"))
+    }
+    // the gate keeps only meaningful overlap
+    rows.foreach(r => assert(r.getAs[Long]("containment_bp") >= 5000L))
+  }
 }
