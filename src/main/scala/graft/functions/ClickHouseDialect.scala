@@ -711,7 +711,30 @@ object ClickHouseDialect {
         org.apache.spark.sql.types.DoubleType),
       Cast(Subtract(Max(args.head).toAggregateExpression(),
         Min(args.head).toAggregateExpression()),
-        org.apache.spark.sql.types.DoubleType))))
+        org.apache.spark.sql.types.DoubleType))),
+    // CH transform(x, from, to[, default]) — value remapping. The CH
+    // name collides with Spark's higher-order transform(arr, lambda);
+    // ClickHouseSql.rewriteChTransform renames 3/4-argument calls here
+    // (arg count separates the two grammars). Array-position lookup,
+    // evaluated only when found — no out-of-bounds under ANSI; a
+    // missing default returns x itself, as in CH.
+    "chTransform" -> { args =>
+      if (args.length < 3 || args.length > 4)
+        throw new IllegalArgumentException(
+          s"transform expects (x, from, to[, default]) — got ${args.length} arguments")
+      val pos = ArrayPosition(args(1), args.head)
+      If(GreaterThan(pos, Literal(0L)),
+        ElementAt(args(2), Cast(pos, org.apache.spark.sql.types.IntegerType)),
+        if (args.length > 3) args(3) else args.head)
+    },
+    // parseDateTimeBestEffort: the common CH ingestion formats tried in
+    // order — ISO-with-T, ISO-with-space, date-only, epoch seconds
+    // (9–10 digit strings), compact yyyyMMdd, European dd/MM/yyyy.
+    // Unparseable input yields NULL (CH's ...OrNull behavior; the
+    // throwing variant's extra strictness is not reproducible without
+    // a UDF layer, so both names land here — documented difference).
+    "parseDateTimeBestEffort" -> (args => bestEffortTimestamp(one(args))),
+    "parseDateTimeBestEffortOrNull" -> (args => bestEffortTimestamp(one(args))))
 
   /** JSONPath from CH trailing keys: strings descend, 1-based ints index. */
   private def jsonExtract(args: Seq[Expression]): Expression = {
@@ -801,6 +824,21 @@ object ClickHouseDialect {
 
   private def parseUrl(url: Expression, part: String): Expression =
     new ParseUrl(Seq(url, Literal(part)))
+
+  /** try_to_timestamp with a fixed pattern (null on mismatch). */
+  private def tryTs(e: Expression, fmt: String): Expression =
+    new ParseToTimestamp(e, Some(Literal(fmt)),
+      org.apache.spark.sql.types.TimestampType, None, false)
+
+  private def bestEffortTimestamp(e: Expression): Expression =
+    Coalesce(Seq(
+      tryTs(e, "yyyy-MM-dd'T'HH:mm:ss"),
+      tryTs(e, "yyyy-MM-dd HH:mm:ss"),
+      tryTs(e, "yyyy-MM-dd"),
+      CaseWhen(Seq((RLike(e, Literal("^[0-9]{9,10}$")),
+        SecondsToTimestamp(Cast(e, org.apache.spark.sql.types.LongType)))), None),
+      tryTs(e, "yyyyMMdd"),
+      tryTs(e, "dd/MM/yyyy")))
 
   /** OR of single-bit masks for bitTestAll/bitTestAny. */
   private def bitMask(bits: Seq[Expression]): Expression =

@@ -87,6 +87,35 @@ object ClickHouseSql {
       .getOrElse(
         spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq)))
 
+  /** ClickHouse `transform(x, from, to[, default])` — value remapping
+    * against literal arrays — collides with Spark's HIGHER-ORDER
+    * `transform(arr, lambda)`: the registry never shadows builtins, so
+    * the name itself is unmappable. The two are distinguishable from
+    * text: Spark's form always has exactly TWO top-level arguments; CH's
+    * has three or four. Those calls rename to the registered
+    * `chTransform`, whose builder is a guarded array-position lookup.
+    */
+  private def rewriteChTransform(sqlText: String): String = {
+    val toks = lex(sqlText)
+    val splices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length - 1) {
+      val t = toks(i)
+      if (t.lower == "transform" && toks(i + 1).text == "(") {
+        val d = toks(i + 1).depth
+        var j = i + 2
+        var commas = 0
+        while (j < toks.length && !(toks(j).text == ")" && toks(j).depth == d)) {
+          if (toks(j).text == "," && toks(j).depth == d + 1) commas += 1
+          j += 1
+        }
+        if (commas == 2 || commas == 3) splices += ((t.start, t.end, "chTransform"))
+      }
+      i += 1
+    }
+    applySplices(sqlText, splices)
+  }
+
   /** `OPTIMIZE TABLE t [FINAL]` — ClickHouse's force-merge. The batch
     * analog MATERIALIZES the registered engine's read-time merge:
     * evaluate `SELECT * FROM t FINAL`, cut the lineage with an eager
@@ -310,6 +339,7 @@ object ClickHouseSql {
     if (l.contains("count")) out = rewriteBareCount(out)
     if (l.contains("datediff")) out = rewriteDateDiff(out)
     if (l.contains("arrayfirst")) out = rewriteArrayFirst(out)
+    if (l.contains("transform")) out = rewriteChTransform(out)
     if (l.contains("?")) out = rewriteTernary(out)
     if (l.contains("final")) out = rewriteFinal(out, columnsOf)
     if (l.contains("array")) out = rewriteArrayJoin(out)

@@ -1310,4 +1310,37 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("unknown column"))
     spark.sql("DROP TABLE ch_mut_t")
   }
+
+  test("CH transform() remaps values; Spark's higher-order transform untouched") {
+    val r = ClickHouseSql.sql(spark, """
+      SELECT transform(s, array('F', 'O'), array('filled', 'open')) AS t3,
+             transform(s, array('X'), array('never'), 'other') AS t4,
+             transform(array(1, 2, 3), x -> x * 10) AS hof
+      FROM (SELECT 'F' AS s)
+    """).head()
+    assert(r.getAs[String]("t3") === "filled")
+    assert(r.getAs[String]("t4") === "other")
+    assert(r.getAs[Seq[Int]]("hof") === Seq(10, 20, 30))
+    // 3-arg miss with no default returns the input itself
+    val miss = ClickHouseSql.sql(spark,
+      "SELECT transform('P', array('F'), array('x')) AS m").head()
+    assert(miss.getAs[String]("m") === "P")
+
+    val ts = spark.sql("""
+      SELECT parseDateTimeBestEffort('2024-01-02T03:04:05') AS a,
+             parseDateTimeBestEffort('2024-01-02 03:04:05') AS b,
+             parseDateTimeBestEffort('2024-01-02') AS c,
+             parseDateTimeBestEffort('1700000000') AS d,
+             parseDateTimeBestEffort('20240102') AS e,
+             parseDateTimeBestEffort('02/03/2024') AS f,
+             parseDateTimeBestEffortOrNull('not a date') AS g
+    """).head()
+    assert(ts.getAs[java.sql.Timestamp]("a").toString === "2024-01-02 03:04:05.0")
+    assert(ts.getAs[java.sql.Timestamp]("b").toString === "2024-01-02 03:04:05.0")
+    assert(ts.getAs[java.sql.Timestamp]("c").toString === "2024-01-02 00:00:00.0")
+    assert(ts.getAs[java.sql.Timestamp]("d").toString === "2023-11-14 22:13:20.0")
+    assert(ts.getAs[java.sql.Timestamp]("e").toString === "2024-01-02 00:00:00.0")
+    assert(ts.getAs[java.sql.Timestamp]("f").toString === "2024-03-02 00:00:00.0")
+    assert(ts.isNullAt(ts.fieldIndex("g")))
+  }
 }
