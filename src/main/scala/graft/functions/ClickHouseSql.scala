@@ -84,6 +84,7 @@ object ClickHouseSql {
   def sql(spark: SparkSession, sqlText: String): DataFrame =
     optimizeTable(spark, sqlText)
       .orElse(alterMutation(spark, sqlText))
+      .orElse(renameOrExchange(spark, sqlText))
       .getOrElse(
         spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq)))
 
@@ -222,6 +223,55 @@ object ClickHouseSql {
       require(cond.nonEmpty, s"empty DELETE condition: $sqlText")
       Some(run(table,
         s"SELECT * FROM $table WHERE NOT coalesce(($cond), false)"))
+    } else None
+  }
+
+  /** ClickHouse table-management verbs Spark spells differently:
+    *
+    *   - `RENAME TABLE a TO b[, c TO d …]` → sequential Spark
+    *     `ALTER TABLE a RENAME TO b` statements (CH renames the list
+    *     left to right, not atomically across pairs — same here);
+    *   - `EXCHANGE TABLES a AND b` → the classic three-rename swap via
+    *     a temp name. CH's EXCHANGE is atomic; three renames are not —
+    *     callers that need atomicity on a live catalog should gate DDL
+    *     externally, and the temp name is collision-checked loudly.
+    *
+    * Engine registrations (MergeTree metadata for FINAL) follow the
+    * tables through both verbs.
+    */
+  private def renameOrExchange(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    def rename(from: String, to: String): Unit = {
+      spark.sql(s"ALTER TABLE $from RENAME TO $to")
+      engineOf(from).foreach { e =>
+        engines.remove(norm(from)); registerEngine(to, e)
+      }
+    }
+    if (toks.length >= 3 && toks.head.lower == "rename" &&
+      toks(1).lower == "table") {
+      // pairs: ident TO ident [, ident TO ident]*
+      var i = 2
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (i < toks.length && toks(i).text != ";") {
+        require(i + 2 < toks.length && isIdent(toks(i)) &&
+          toks(i + 1).lower == "to" && isIdent(toks(i + 2)),
+          s"RENAME TABLE expects a TO b[, c TO d]: $sqlText")
+        pairs += ((toks(i).text, toks(i + 2).text))
+        i += 3
+        if (i < toks.length && toks(i).text == ",") i += 1
+      }
+      pairs.foreach { case (a, b) => rename(a, b) }
+      Some(spark.emptyDataFrame)
+    } else if (toks.length >= 5 && toks.head.lower == "exchange" &&
+      toks(1).lower == "tables" && isIdent(toks(2)) &&
+      toks(3).lower == "and" && isIdent(toks(4))) {
+      val (a, b) = (toks(2).text, toks(4).text)
+      val tmp = s"graft_xchg_${norm(a)}_${norm(b)}_tmp"
+      require(!spark.catalog.tableExists(tmp),
+        s"EXCHANGE temp name $tmp already exists — drop it first")
+      rename(a, tmp); rename(b, a); rename(tmp, b)
+      Some(spark.emptyDataFrame)
     } else None
   }
 

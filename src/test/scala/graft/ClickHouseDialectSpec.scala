@@ -1343,4 +1343,42 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(ts.getAs[java.sql.Timestamp]("f").toString === "2024-03-02 00:00:00.0")
     assert(ts.isNullAt(ts.fieldIndex("g")))
   }
+
+  test("RENAME TABLE and EXCHANGE TABLES move tables and engine metadata") {
+    Seq("ch_ren_a", "ch_ren_b", "ch_ren_c").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t))
+    }
+    spark.sql("CREATE TABLE ch_ren_a (k BIGINT, v BIGINT) USING parquet")
+    spark.sql("INSERT INTO ch_ren_a VALUES (1, 10), (1, 20)")
+    ClickHouseSql.registerEngine("ch_ren_a",
+      Replacing(Seq("k"), Seq("v")))
+
+    // rename carries data AND the engine registration
+    ClickHouseSql.sql(spark, "RENAME TABLE ch_ren_a TO ch_ren_b")
+    assert(!spark.catalog.tableExists("ch_ren_a"))
+    assert(spark.table("ch_ren_b").count() === 2)
+    assert(ClickHouseSql.engineOf("ch_ren_b").isDefined)
+    assert(ClickHouseSql.engineOf("ch_ren_a").isEmpty)
+    // FINAL works on the renamed table
+    assert(ClickHouseSql.sql(spark,
+      "SELECT v FROM ch_ren_b FINAL").head().getLong(0) === 20L)
+
+    // exchange swaps contents and registrations
+    spark.sql("CREATE TABLE ch_ren_c (k BIGINT, v BIGINT) USING parquet")
+    spark.sql("INSERT INTO ch_ren_c VALUES (9, 90)")
+    ClickHouseSql.sql(spark, "EXCHANGE TABLES ch_ren_b AND ch_ren_c")
+    assert(spark.table("ch_ren_b").count() === 1)
+    assert(spark.table("ch_ren_c").count() === 2)
+    assert(ClickHouseSql.engineOf("ch_ren_b").isEmpty)
+    assert(ClickHouseSql.engineOf("ch_ren_c").isDefined)
+
+    val err = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark, "RENAME TABLE ch_ren_b ch_ren_zz")
+    }
+    assert(err.getMessage.contains("RENAME TABLE expects"))
+    Seq("ch_ren_b", "ch_ren_c").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
 }

@@ -56,4 +56,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("ann_knn_graph broadcasts centroids and equi-joins on cell") {
+    val plan = planOf("ann_knn_graph")
+    // quantizer assignment: centroids broadcast to the corpus, and the
+    // per-cell pair stage is an equi-join on cell — never a nested loop
+    // or cartesian over vectors (the property that keeps the pairwise
+    // stage O(cell²) at 100 TB)
+    // centroid fan-out IS a BroadcastNestedLoopJoin by design (16-row
+    // broadcast side, no key — the verdict-audited small-dim pattern);
+    // what must hold is: the pair stage is an EQUI-join on cell (hash
+    // or sort-merge), and nothing is a cartesian product
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dedup_containment joins candidates to shingles without corpus²") {
+    val plan = planOf("dedup_containment")
+    // pair × shingle co-occurrence is equi-keyed (id, h) — hash or
+    // sort-merge joins only; a cartesian here would be corpus-quadratic
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
