@@ -774,7 +774,64 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // pipe_shard_plan — the write-path layout step: assign WHOLE documents
+  // (never split — the WebDataset/parquet-shard contract, unlike
+  // pipe_pack_sequences' token windows) to fixed-budget output shards,
+  // per source, in doc_id order. Shard index is the closed-form
+  // floor(cum_start / budget): one prefix-sum window per source, no
+  // sequential first-fit carry — which makes the plan embarrassingly
+  // parallel and means a shard can overflow its budget by at most one
+  // document (reported as overflow_tokens, so the writer can see the
+  // worst case). Emits per shard the doc range the writer seeks to —
+  // the manifest a 100 TB shard-writing job partitions by.
+  val shardPlan = Q(
+    "pipe_shard_plan",
+    Some("""
+      WITH toks AS (
+        SELECT source, doc_id,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tok
+        FROM documents),
+      offs AS (
+        SELECT source, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+                 AS cum_start
+        FROM toks)
+      SELECT source,
+             CAST(cum_start // 4096 AS BIGINT) AS shard_idx,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             MIN(doc_id) AS first_doc,
+             MAX(doc_id) AS last_doc,
+             CAST(GREATEST(SUM(n_tok) + MIN(cum_start)
+               - (cum_start // 4096 + 1) * 4096, 0) AS BIGINT)
+               AS overflow_tokens
+      FROM offs
+      GROUP BY source, cum_start // 4096
+      ORDER BY source, shard_idx
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val budget = 4096L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("cum_start", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("shard_idx", (col("cum_start") / budget).cast(LongType))
+      .groupBy(col("source"), col("shard_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        greatest(sum(col("n_tok")) + min(col("cum_start"))
+          - (col("shard_idx") + 1L) * budget, lit(0L))
+          .cast(LongType).as("overflow_tokens"))
+      .orderBy(col("source"), col("shard_idx"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
-    lmScore, mixSample, decontaminate, attrition, packSequences)
+    lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan)
 }

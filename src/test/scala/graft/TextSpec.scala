@@ -176,4 +176,27 @@ class TextSpec extends SparkSpec {
       assert(boundary <= nSeqs)
     }
   }
+
+  test("shard plan: contiguous shards, disjoint ordered doc ranges, bounded overflow") {
+    val rows = graft.text.TextOps.shardPlan.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("shard_idx"))
+      // shard indexes contiguous from 0
+      assert(sorted.map(_.getAs[Long]("shard_idx")).toSeq ===
+        (0L until sorted.length).toSeq, s"source $s shard idx gap")
+      // doc ranges ordered and disjoint across consecutive shards
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"), s"source $s overlap")
+        case _ =>
+      }
+      // a shard never overflows by a whole budget (overflow < budget here
+      // since no doc in the corpus is 4096 tokens long)
+      sorted.foreach(r => assert(r.getAs[Long]("overflow_tokens") < 4096L))
+      // all but possibly the last shard have at least the budget's span
+      // covered: n_tokens + start-within-shard ≥ budget ⇒ n_tokens > 0
+      sorted.foreach(r => assert(r.getAs[Long]("n_tokens") > 0L))
+    }
+  }
 }
