@@ -19,6 +19,7 @@ object SparkEntry {
       graft.operators.Behavior.all ++
       graft.operators.Asof.all ++
       graft.operators.MergeTree.all ++
+      graft.operators.Stats.all ++
       graft.sbom.Sbom.all ++
       graft.text.TextOps.all ++
       graft.text.CurationOps.all ++

@@ -1,0 +1,310 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Statistical / interval aggregates (SURVEY.md §2a addendum, round 6):
+  * the ClickHouse analytics-statistics family — maxIntersections,
+  * intervalLengthSum, simpleLinearRegression, welch/student t-tests,
+  * entropy, deltaSum, rankCorr — re-expressed as declarative Spark
+  * plans (windows + composed aggregate partials), each with a DuckDB
+  * oracle.
+  *
+  * Scale notes: every aggregate here is partial-aggregable
+  * (map-side combine) except the window passes, whose partition key at
+  * 100 TB must be chosen at ingest cardinality (the sf tables use
+  * `o_orderstatus` / `l_returnflag` — 3 values — purely so the oracle
+  * is small; the operator shape is unchanged for a (tenant, day) key
+  * with millions of partitions, which is how a real deployment runs
+  * these).
+  */
+object Stats {
+
+  /** Deterministic synthetic interval for an order: open for
+    * `o_orderkey % 20 + 1` days from `o_orderdate` (the sf tables carry
+    * no close date; the hash-spread length exercises overlap logic).
+    */
+  private val closeTs =
+    expr("timestampadd(DAY, CAST(o_orderkey % 20 + 1 AS INT), o_orderdate)")
+
+  // q65 — ClickHouse maxIntersections/maxIntersectionsPosition: the
+  // maximum number of simultaneously-open intervals per group, and the
+  // earliest instant it is reached. Classic sweep: explode each interval
+  // to (+1 at start, -1 at end) deltas, running-sum ordered by
+  // (point, delta) — ends sort before starts at the same instant
+  // (half-open intervals), so the max is tie-order-independent.
+  val q65 = Q(
+    "q65_max_intersections",
+    Some("""
+      WITH pts AS (
+        SELECT o_orderstatus, o_orderdate AS p, 1 AS delta
+        FROM orders
+        UNION ALL
+        SELECT o_orderstatus,
+               o_orderdate + INTERVAL (CAST(o_orderkey % 20 + 1 AS INT)) DAY AS p,
+               -1 AS delta
+        FROM orders
+      ), sweep AS (
+        SELECT o_orderstatus, p,
+               SUM(delta) OVER (PARTITION BY o_orderstatus ORDER BY p, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
+        FROM pts
+      )
+      SELECT o_orderstatus,
+             CAST(MAX(open_now) AS BIGINT) AS max_open,
+             MIN(CASE WHEN open_now = mx THEN p END) AS first_peak
+      FROM (SELECT *, MAX(open_now) OVER (PARTITION BY o_orderstatus) AS mx FROM sweep)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val base = t.orders.select(col("o_orderstatus"), col("o_orderdate"), closeTs.as("close_ts"))
+    val pts = base.select(col("o_orderstatus"), col("o_orderdate").as("p"), lit(1).as("delta"))
+      .unionAll(base.select(col("o_orderstatus"), col("close_ts").as("p"), lit(-1).as("delta")))
+    val wRun = Window.partitionBy(col("o_orderstatus")).orderBy(col("p"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("o_orderstatus"))
+    pts
+      .withColumn("open_now", sum(col("delta")).over(wRun))
+      .withColumn("mx", max(col("open_now")).over(wAll))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max(col("open_now")).as("max_open"),
+        min(when(col("open_now") === col("mx"), col("p"))).as("first_peak"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // q66 — ClickHouse intervalLengthSum: total length of the UNION of the
+  // group's intervals (overlaps counted once). Islands technique: order
+  // by start, carry the running max end over strictly-preceding rows; a
+  // row whose start exceeds that max opens a new island; island id =
+  // running count of opens; then one agg per island and one per group.
+  // Two window passes + two partial-aggregable groupBys — no self-join,
+  // no quadratic overlap check.
+  val q66 = Q(
+    "q66_interval_union_len",
+    Some("""
+      WITH iv AS (
+        SELECT o_orderstatus, o_orderdate AS s,
+               o_orderdate + INTERVAL (CAST(o_orderkey % 20 + 1 AS INT)) DAY AS e,
+               o_orderkey
+        FROM orders
+      ), marked AS (
+        SELECT o_orderstatus, s, e, o_orderkey,
+               CASE WHEN s > MAX(e) OVER (PARTITION BY o_orderstatus ORDER BY s, e, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR MAX(e) OVER (PARTITION BY o_orderstatus ORDER BY s, e, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    THEN 1 ELSE 0 END AS opens
+        FROM iv
+      ), islanded AS (
+        SELECT o_orderstatus, s, e,
+               SUM(opens) OVER (PARTITION BY o_orderstatus ORDER BY s, e, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM marked
+      ), islands AS (
+        SELECT o_orderstatus, island, MIN(s) AS is_s, MAX(e) AS is_e
+        FROM islanded GROUP BY o_orderstatus, island
+      )
+      SELECT o_orderstatus,
+             COUNT(*) AS n_islands,
+             CAST(SUM(DATE_DIFF('day', is_s, is_e)) AS BIGINT) AS covered_days
+      FROM islands
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val iv = t.orders.select(col("o_orderstatus"), col("o_orderdate").as("s"),
+      closeTs.as("e"), col("o_orderkey"))
+    val wPrev = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("s"), col("e"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("s"), col("e"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("prev_max_e", max(col("e")).over(wPrev))
+      .withColumn("opens",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1).otherwise(0))
+      .withColumn("island", sum(col("opens")).over(wRun))
+      .groupBy(col("o_orderstatus"), col("island"))
+      .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(datediff(col("is_e"), col("is_s"))).cast(LongType).as("covered_days"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // q67 — ClickHouse simpleLinearRegression(x, y) → (slope, intercept):
+  // least squares from the covariance/variance partials, so the whole
+  // thing is one map-side-combinable aggregate pass (no second scan for
+  // the means). Oracle = DuckDB's native REGR_SLOPE/REGR_INTERCEPT.
+  val q67 = Q(
+    "q67_linreg",
+    Some("""
+      SELECT l_returnflag,
+             ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+             ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  ) { t =>
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")) /
+          var_pop(col("l_quantity")), 4).as("slope"),
+        round(avg(col("l_extendedprice")) -
+          covar_pop(col("l_quantity"), col("l_extendedprice")) /
+            var_pop(col("l_quantity")) * avg(col("l_quantity")), 4).as("intercept"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // q68 — ClickHouse studentTTest/welchTTest(value, sample_index): the
+  // two-sample t statistics, composed entirely from conditional
+  // aggregate partials (one scan, map-side combine) — the same
+  // avg/var/count-If decomposition the dialect's SQL-text names use.
+  // Sample 0 = 'O' (open) orders, sample 1 = 'F' (filled).
+  val q68 = Q(
+    "q68_ttest",
+    Some("""
+      WITH s AS (
+        SELECT AVG(o_totalprice)      FILTER (WHERE o_orderstatus = 'O') AS m0,
+               AVG(o_totalprice)      FILTER (WHERE o_orderstatus = 'F') AS m1,
+               VAR_SAMP(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS v0,
+               VAR_SAMP(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS v1,
+               COUNT(*)               FILTER (WHERE o_orderstatus = 'O') AS n0,
+               COUNT(*)               FILTER (WHERE o_orderstatus = 'F') AS n1
+        FROM orders
+      )
+      SELECT n0, n1,
+             ROUND((m0 - m1) / SQRT(v0/n0 + v1/n1), 4) AS welch_t,
+             ROUND((m0 - m1) / SQRT(((n0-1)*v0 + (n1-1)*v1) / (n0+n1-2) * (1.0/n0 + 1.0/n1)), 4)
+               AS student_t
+      FROM s
+    """)
+  ) { t =>
+    val o = when(col("o_orderstatus") === "O", col("o_totalprice"))
+    val f = when(col("o_orderstatus") === "F", col("o_totalprice"))
+    t.orders
+      .agg(
+        avg(o).as("m0"), avg(f).as("m1"),
+        var_samp(o).as("v0"), var_samp(f).as("v1"),
+        count(o).as("n0"), count(f).as("n1"))
+      .select(col("n0"), col("n1"),
+        round((col("m0") - col("m1")) /
+          sqrt(col("v0") / col("n0") + col("v1") / col("n1")), 4).as("welch_t"),
+        round((col("m0") - col("m1")) /
+          sqrt(((col("n0") - 1) * col("v0") + (col("n1") - 1) * col("v1")) /
+            (col("n0") + col("n1") - 2) * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4)
+          .as("student_t"))
+  }
+
+  // q69 — ClickHouse entropy(x): Shannon entropy (bits) of the user
+  // distribution within each event type. The scale path is two partial-
+  // aggregable groupBys (value-counts, then the entropy fold) using the
+  // numerically-stable form H = log2(N) − Σ c·log2(c) / N over integer
+  // counts — no per-group collect, no hashmap state. (The dialect's
+  // SQL-callable `entropy` name is the single-aggregate analog.)
+  val q69 = Q(
+    "q69_entropy",
+    Some("""
+      WITH c AS (
+        SELECT event_type, user_id, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, user_id
+      )
+      SELECT event_type,
+             COUNT(*) AS n_users,
+             CAST(SUM(cnt) AS BIGINT) AS n_events,
+             ROUND(LOG2(SUM(cnt)) - SUM(cnt * LOG2(cnt)) / SUM(cnt), 4) AS entropy_bits
+      FROM c
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    t.events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("cnt")).cast(LongType).as("n_events"),
+        round(log2(sum(col("cnt"))) -
+          sum(col("cnt") * log2(col("cnt"))) / sum(col("cnt")), 4).as("entropy_bits"))
+      .orderBy(col("event_type"))
+  }
+
+  // q70 — ClickHouse deltaSum(x): sum of the positive steps of a series.
+  // CH's aggregate is insertion-order-dependent; this is the
+  // deterministic re-expression — an explicit (date, key) ordering via
+  // lag(), with the per-step deltas summed exactly in DECIMAL so the
+  // result is engine-portable.
+  val q70 = Q(
+    "q70_delta_sum",
+    Some("""
+      WITH d AS (
+        SELECT o_orderpriority,
+               o_totalprice - LAG(o_totalprice) OVER
+                 (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey) AS step
+        FROM orders
+      )
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(CASE WHEN step > 0 THEN step ELSE 0 END AS DECIMAL(18,2)))
+                  AS DOUBLE) AS delta_sum,
+             COUNT(*) AS n
+      FROM d
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t.orders
+      .withColumn("step", col("o_totalprice") - lag(col("o_totalprice"), 1).over(w))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("step") > 0, col("step")).otherwise(lit(0))
+          .cast(DecimalType(18, 2))).cast(DoubleType).as("delta_sum"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // q71 — ClickHouse rankCorr(x, y): Spearman rank correlation = Pearson
+  // corr of the two rank sequences. RANK() (not row_number) makes ties
+  // deterministic without a tiebreak column; the corr partials then
+  // combine map-side.
+  val q71 = Q(
+    "q71_rank_corr",
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag,
+               RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rx,
+               RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS ry
+        FROM lineitem
+      )
+      SELECT l_returnflag, ROUND(CORR(rx, ry), 4) AS spearman, COUNT(*) AS n
+      FROM r
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    t.lineitem
+      .select(col("l_returnflag"),
+        rank().over(wq).as("rx"), rank().over(wp).as("ry"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(corr(col("rx"), col("ry")), 4).as("spearman"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71)
+}

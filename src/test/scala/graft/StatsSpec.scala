@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the statistical/interval aggregates (q63–q69).
+  * The DuckDB oracle proves value equality; these pin the semantic
+  * invariants that survive refactors (peak counts, union bounds,
+  * regression identities, entropy range).
+  */
+class StatsSpec extends SparkSpec {
+
+  test("max_intersections: peak is ≥ 1 and ≤ group row count; first_peak is a real boundary") {
+    val rows = Stats.q65.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    val counts = sf0001.orders.groupBy(col("o_orderstatus")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val mx = r.getAs[Long]("max_open")
+      assert(mx >= 1L && mx <= counts(r.getAs[String]("o_orderstatus")))
+      assert(r.getAs[Any]("first_peak") != null)
+    }
+  }
+
+  test("interval union: covered_days ≤ sum of interval lengths, ≥ longest interval") {
+    val union = Stats.q66.build(sf0001).collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Long]("n_islands"), r.getAs[Long]("covered_days"))).toMap
+    val per = sf0001.orders
+      .select(col("o_orderstatus"), expr("CAST(o_orderkey % 20 + 1 AS LONG)").as("len"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("len")).as("total"), max(col("len")).as("longest"))
+      .collect()
+    per.foreach { r =>
+      val (nIslands, covered) = union(r.getAs[String]("o_orderstatus"))
+      assert(covered <= r.getAs[Long]("total"))
+      assert(covered >= r.getAs[Long]("longest"))
+      assert(nIslands >= 1L)
+    }
+  }
+
+  test("linreg: slope/intercept reproduce the group mean point (ȳ = k·x̄ + b)") {
+    val lr = Stats.q67.build(sf0001).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("slope"), r.getAs[Double]("intercept"))).toMap
+    val means = sf0001.lineitem.groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("mx"), avg(col("l_extendedprice")).as("my"))
+      .collect()
+    means.foreach { r =>
+      val (k, b) = lr(r.getAs[String]("l_returnflag"))
+      val predicted = k * r.getAs[Double]("mx") + b
+      // slope/intercept are rounded to 4dp, so the identity holds loosely
+      assert(math.abs(predicted - r.getAs[Double]("my")) < 1.0,
+        s"mean point off regression line: $predicted vs ${r.getAs[Double]("my")}")
+    }
+  }
+
+  test("t-test: welch and student agree in sign; both finite") {
+    val r = Stats.q68.build(sf0001).collect().head
+    val (w, s) = (r.getAs[Double]("welch_t"), r.getAs[Double]("student_t"))
+    assert(!w.isNaN && !w.isInfinite && !s.isNaN && !s.isInfinite)
+    assert(math.signum(w) === math.signum(s))
+  }
+
+  test("entropy: within [0, log2(n_users)]; uniform-ish event stream is high-entropy") {
+    Stats.q69.build(sf0001).collect().foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val n = r.getAs[Long]("n_users")
+      assert(h >= 0.0 && h <= math.log(n.toDouble) / math.log(2.0) + 1e-9)
+    }
+  }
+
+  test("deltaSum: non-negative, and zero for a monotonically decreasing series") {
+    Stats.q70.build(sf0001).collect().foreach { r =>
+      assert(r.getAs[Double]("delta_sum") >= 0.0)
+    }
+    // planted series: strictly decreasing → deltaSum must be 0
+    import spark.implicits._
+    val planted = Seq(("p", 3.0, 1L), ("p", 2.0, 2L), ("p", 1.0, 3L))
+      .toDF("g", "v", "k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g")).orderBy(col("k"))
+    val ds = planted
+      .withColumn("step", col("v") - lag(col("v"), 1).over(w))
+      .agg(sum(when(col("step") > 0, col("step")).otherwise(lit(0.0))).as("d"))
+      .collect().head.getAs[Double]("d")
+    assert(ds === 0.0)
+  }
+
+  test("rankCorr: in [-1, 1]; perfectly monotone pair gives 1.0") {
+    Stats.q71.build(sf0001).collect().foreach { r =>
+      val rho = r.getAs[Double]("spearman")
+      assert(rho >= -1.0 && rho <= 1.0)
+    }
+    import spark.implicits._
+    val mono = (1 to 50).map(i => (i.toDouble, (i * i).toDouble)).toDF("x", "y")
+    import org.apache.spark.sql.expressions.Window
+    val rho = mono.select(
+      rank().over(Window.orderBy(col("x"))).as("rx"),
+      rank().over(Window.orderBy(col("y"))).as("ry"))
+      .agg(corr(col("rx"), col("ry")).as("c")).collect().head.getAs[Double]("c")
+    assert(math.abs(rho - 1.0) < 1e-9)
+  }
+}
