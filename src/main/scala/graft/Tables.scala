@@ -15,14 +15,23 @@ final case class Tables(spark: SparkSession, dir: String) {
 
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    * nanos-epoch LONG (spark.sql.legacy.parquet.nanosAsLong). Convert to a
-    * proper microsecond timestamp (floor-truncated, matching DuckDB's
-    * TIMESTAMP_NS→TIMESTAMP cast) so downstream operators see a timestamp.
+  /** events.ts has shipped as either TIMESTAMP(NANOS) parquet — which Spark
+    * only reads as a nanos-epoch LONG (spark.sql.legacy.parquet.nanosAsLong)
+    * — or plain TIMESTAMP(MICROS), which lands as TIMESTAMP_NTZ. Normalize
+    * both to the session TimestampType (floor-truncated micros, matching
+    * DuckDB's TIMESTAMP_NS→TIMESTAMP cast; the session is pinned UTC so the
+    * NTZ→LTZ cast is numerically the identity).
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   def region: DataFrame     = t("region")

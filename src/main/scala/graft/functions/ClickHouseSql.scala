@@ -384,6 +384,7 @@ object ClickHouseSql {
     if (l.contains("engine") &&
       l.trim.replaceAll("\\s+", " ").startsWith("create table"))
       return rewriteCreateTable(out)
+    if (l.contains("with")) out = rewriteScalarWith(out)
     if (paramCallNames.exists(l.contains)) out = rewriteParamCall(out)
     if (l.contains("if")) out = rewriteIfCombinator(out)
     if (l.contains("count")) out = rewriteBareCount(out)
@@ -407,7 +408,9 @@ object ClickHouseSql {
     if (l.contains("numbers")) out = rewriteNumbers(out)
     if (l.contains("totals")) out = rewriteWithTotals(out)
     if (l.contains("any")) out = rewriteAnyJoin(out, columnsOf)
-    if (l.contains("global")) out = stripGlobalJoin(out)
+    if (l.contains("global")) { out = stripGlobalJoin(out); out = stripGlobalIn(out) }
+    if (l.contains(" in ") || l.contains(" in\n") || l.contains(" in\t"))
+      out = rewriteInTable(out)
     if (l.contains("settings")) out = stripSettings(out)
     if (l.contains("format")) out = stripFormat(out)
     out
@@ -1209,6 +1212,157 @@ object ClickHouseSql {
         stripGlobalJoin(
           sqlText.substring(0, g.start) + sqlText.substring(ts(i + 1).start))
     }
+  }
+
+  /** Drop `GLOBAL` before `IN` / `NOT IN`. Same reasoning as
+    * [[stripGlobalJoin]]: ClickHouse's `GLOBAL IN (subquery)` ships the
+    * subquery result to every node — a broadcast directive Spark derives
+    * from statistics — so the keyword erases and the semi-join semantics
+    * stay with the planner.
+    */
+  private def stripGlobalIn(sqlText: String): String = {
+    val ts = lex(sqlText)
+    ts.zipWithIndex.find { case (t, i) =>
+      t.lower == "global" &&
+        ts.lift(i + 1).exists(n => n.depth == t.depth &&
+          (n.lower == "in" || (n.lower == "not" &&
+            ts.lift(i + 2).exists(m => m.depth == t.depth && m.lower == "in"))))
+    } match {
+      case None => sqlText
+      case Some((g, i)) =>
+        stripGlobalIn(
+          sqlText.substring(0, g.start) + sqlText.substring(ts(i + 1).start))
+    }
+  }
+
+  /** ClickHouse allows a bare table name as the right side of IN —
+    * `x IN allowed_users` reads the named table/set. ANSI requires a list
+    * or subquery, so expand to `IN (SELECT * FROM t)`. Only fires on
+    * `IN <ident>` NOT followed by `(` (a following paren is a table
+    * function / expression list, and plain `IN (…)` never matches because
+    * `(` is not an identifier); standard SQL has no `IN ident` form, so
+    * the rewrite cannot hijack valid Spark text.
+    */
+  private def rewriteInTable(sqlText: String): String = {
+    val ts = lex(sqlText)
+    ts.zipWithIndex.find { case (t, i) =>
+      t.lower == "in" &&
+        ts.lift(i + 1).exists(n => n.depth == t.depth && isIdent(n) &&
+          !ts.lift(i + 2).exists(m => m.text == "(" && m.depth == t.depth)) &&
+        // `in` must follow an expression, not be an identifier in its own
+        // right (nothing before, or a clause keyword before, means `in`
+        // is someone's column/alias — leave it alone)
+        ts.lift(i - 1).exists(p => p.text == ")" || p.text.last == '`' ||
+          (isIdent(p) || Character.isDigit(p.text.charAt(0))) && !clauseStart(p.lower))
+    } match {
+      case None => sqlText
+      case Some((t, i)) =>
+        val tbl = ts(i + 1)
+        rewriteInTable(
+          sqlText.substring(0, t.start) + "IN (SELECT * FROM " + tbl.text + ")" +
+            sqlText.substring(tbl.end))
+    }
+  }
+
+  /** ClickHouse scalar WITH: `WITH <expr> AS <ident>[, …] SELECT …` binds
+    * each ident to the EXPRESSION (re-evaluated per use — it is an alias,
+    * not a materialized value), visible through the whole statement
+    * including subqueries. ANSI WITH only admits `ident AS (subquery)`
+    * CTEs, so the scalar items are erased from the clause and every
+    * reference is substituted with the parenthesized expression. CTE items
+    * in the same list are kept (ClickHouse allows mixing); scalar aliases
+    * may reference earlier scalar aliases. `WITH (SELECT …) AS x` (scalar
+    * subquery alias) lands as a per-use scalar subquery, which Spark
+    * evaluates once — same value, CH just caches it explicitly.
+    *
+    * Only fires when WITH starts a statement or subquery (previous token
+    * is nothing, `(`, `;`, or a set-op keyword) — `WITH FILL`, `WITH
+    * TOTALS`, `WITH ROLLUP/CUBE` are preceded by expressions and never
+    * match; their rewrites run later on the substituted text.
+    */
+  private def rewriteScalarWith(sqlText: String): String = {
+    val ts = lex(sqlText)
+    val starters = Set("all", "union", "intersect", "except")
+    val cand = ts.zipWithIndex.filter { case (t, i) =>
+      t.lower == "with" &&
+        (i == 0 || {
+          val p = ts(i - 1)
+          p.text == "(" || p.text == ";" || starters(p.lower)
+        })
+    }
+    cand.foreach { case (w, wi) =>
+      val d = w.depth
+      // item boundaries: commas at depth d; the list ends at the first
+      // depth-d SELECT (the statement body)
+      var j = wi + 1
+      var items = Vector.empty[(Int, Int)] // token index range [from, until)
+      var from = wi + 1
+      var selIdx = -1
+      while (j < ts.length && selIdx >= -1) {
+        val t = ts(j)
+        if (t.depth < d) selIdx = -2 // fell out of the subquery — malformed
+        else if (t.depth == d && t.lower == "select") {
+          items :+= ((from, j)); selIdx = j; j = ts.length
+        } else if (t.depth == d && t.text == ",") {
+          items :+= ((from, j)); from = j + 1
+        }
+        j += 1
+      }
+      if (selIdx >= 0 && items.forall { case (a, b) => b > a }) {
+        // classify each item: scalar (… AS ident) vs CTE (ident AS (…))
+        val classified = items.map { case (a, b) =>
+          val slice = ts.slice(a, b)
+          val isCte = slice.length >= 3 && isIdent(slice(0)) &&
+            slice(1).lower == "as" && slice(2).text == "("
+          val isScalar = !isCte && slice.length >= 2 &&
+            slice(slice.length - 2).lower == "as" &&
+            slice(slice.length - 2).depth == d && isIdent(slice.last)
+          if (isScalar) {
+            val alias = slice.last.text
+            val expr = sqlText.substring(ts(a).start, slice(slice.length - 2).start).trim
+            Left(alias -> expr)
+          } else Right(sqlText.substring(ts(a).start, ts(b - 1).end))
+        }
+        val scalars0 = classified.collect { case Left(ae) => ae }
+        if (scalars0.nonEmpty) {
+          // earlier aliases substitute into later exprs (CH scoping)
+          val scalars = scalars0.foldLeft(Vector.empty[(String, String)]) {
+            case (acc, (a, e)) => acc :+ (a -> substituteAliases(e, acc))
+          }
+          val ctes = classified.collect { case Right(txt) => txt }
+          val restStart = ts(selIdx).start
+          val head =
+            if (ctes.isEmpty) ""
+            else "WITH " + ctes.map(substituteAliases(_, scalars)).mkString(", ") + " "
+          val rebuilt = sqlText.substring(0, w.start) + head +
+            substituteAliases(sqlText.substring(restStart), scalars)
+          return rewriteScalarWith(rebuilt)
+        }
+      }
+    }
+    sqlText
+  }
+
+  /** Replace each bare occurrence of an alias identifier with its
+    * parenthesized expression (exact-case match — ClickHouse identifiers
+    * are case-sensitive; qualified refs `t.x` lex as one token and never
+    * match; a following `(` means a function call and is skipped).
+    */
+  private def substituteAliases(text: String, aliases: Seq[(String, String)]): String = {
+    if (aliases.isEmpty) return text
+    val m = aliases.toMap
+    val ts = lex(text)
+    val sb = new StringBuilder
+    var pos = 0
+    ts.zipWithIndex.foreach { case (t, i) =>
+      if (m.contains(t.text) && !ts.lift(i + 1).exists(_.text == "(") &&
+        !ts.lift(i - 1).exists(_.lower == "as")) {
+        sb.append(text.substring(pos, t.start)).append("(").append(m(t.text)).append(")")
+        pos = t.end
+      }
+    }
+    sb.append(text.substring(pos))
+    sb.toString
   }
 
   /** Drop a `SETTINGS k = v [, k = v …]` clause (per-query engine knobs:

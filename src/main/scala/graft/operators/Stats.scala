@@ -306,5 +306,220 @@ object Stats {
       .orderBy(col("l_returnflag"))
   }
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71)
+  // q72 — ClickHouse cramersV / contingency / theilsU (a, b): the
+  // categorical-association family from ONE contingency table
+  // (order status × priority). Cell counts are a partial-aggregable
+  // groupBy; row/col margins come from windows over the tiny cells
+  // relation (≤ R×C rows regardless of input size — the 100 TB shape is
+  // unchanged); chi² and the entropy sums fold to one row. TheilsU is
+  // the asymmetric variant U(priority | status), from the same counts
+  // via H(a) − H(a|b).
+  val q72 = Q(
+    "q72_cramers_v",
+    Some("""
+      WITH cells AS (
+        SELECT o_orderstatus AS b, o_orderpriority AS a, COUNT(*) AS o
+        FROM orders GROUP BY 1, 2
+      ), m AS (
+        SELECT a, b, o,
+               SUM(o) OVER (PARTITION BY a) AS ra,
+               SUM(o) OVER (PARTITION BY b) AS cb,
+               SUM(o) OVER () AS n
+        FROM cells
+      ), agg AS (
+        SELECT MAX(n) AS n,
+               COUNT(DISTINCT a) AS nr, COUNT(DISTINCT b) AS nc,
+               SUM((o - ra*cb/CAST(n AS DOUBLE))*(o - ra*cb/CAST(n AS DOUBLE))
+                   / (ra*cb/CAST(n AS DOUBLE))) AS chi2,
+               SUM(o * LOG2(o)) AS sab
+        FROM m
+      ), margins AS (
+        SELECT (SELECT SUM(x * LOG2(x)) FROM (SELECT SUM(o) AS x FROM cells GROUP BY a)) AS sa,
+               (SELECT SUM(x * LOG2(x)) FROM (SELECT SUM(o) AS x FROM cells GROUP BY b)) AS sb
+      )
+      SELECT CAST(n AS BIGINT) AS n,
+             ROUND(SQRT(chi2 / (n * (LEAST(nr, nc) - 1))), 4) AS cramers_v,
+             ROUND(SQRT(chi2 / (chi2 + n)), 4) AS contingency_c,
+             ROUND(((LOG2(n) - sa/n) - (sb - sab)/n) / (LOG2(n) - sa/n), 4) AS theils_u
+      FROM agg, margins
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val cells = t.orders
+      .groupBy(col("o_orderstatus").as("b"), col("o_orderpriority").as("a"))
+      .agg(count(lit(1)).as("o"))
+    val m = cells
+      .withColumn("ra", sum(col("o")).over(Window.partitionBy(col("a"))))
+      .withColumn("cb", sum(col("o")).over(Window.partitionBy(col("b"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val e = col("ra") * col("cb") / col("n").cast(DoubleType)
+    m.agg(
+        max(col("n")).as("n"),
+        countDistinct(col("a")).as("nr"),
+        countDistinct(col("b")).as("nc"),
+        sum((col("o") - e) * (col("o") - e) / e).as("chi2"),
+        sum(col("o") * log2(col("o"))).as("sab"))
+      .crossJoin(
+        cells.groupBy(col("a")).agg(sum(col("o")).as("x"))
+          .agg(sum(col("x") * log2(col("x"))).as("sa")))
+      .crossJoin(
+        cells.groupBy(col("b")).agg(sum(col("o")).as("x"))
+          .agg(sum(col("x") * log2(col("x"))).as("sb")))
+      .select(
+        col("n").cast(LongType).as("n"),
+        round(sqrt(col("chi2") / (col("n") * (least(col("nr"), col("nc")) - 1))), 4)
+          .as("cramers_v"),
+        round(sqrt(col("chi2") / (col("chi2") + col("n"))), 4).as("contingency_c"),
+        round(((log2(col("n")) - col("sa") / col("n")) -
+          (col("sb") - col("sab")) / col("n")) /
+          (log2(col("n")) - col("sa") / col("n")), 4).as("theils_u"))
+  }
+
+  // q73 — ClickHouse mannWhitneyUTest(value, sample_index): the rank-sum
+  // U statistic per group, pooling both samples ('O' vs 'F' orders),
+  // with midranks for ties (RANK gives the min position; adding
+  // (ties−1)/2 recovers the average rank — deterministic in both
+  // engines, no row_number tie-break needed). U and the rank sums are
+  // exact multiples of 0.5, so the double sums are exact; only the
+  // normal-approximation z is rounded.
+  val q73 = Q(
+    "q73_mann_whitney",
+    Some("""
+      WITH pool AS (
+        SELECT o_orderpriority, o_totalprice AS v,
+               CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS s
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+      ), ranked AS (
+        SELECT o_orderpriority, s,
+               RANK() OVER (PARTITION BY o_orderpriority ORDER BY v)
+                 + (COUNT(*) OVER (PARTITION BY o_orderpriority, v) - 1) / 2.0 AS midrank
+        FROM pool
+      )
+      SELECT o_orderpriority,
+             CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(SUM(1 - s) AS BIGINT) AS n0,
+             SUM(CASE WHEN s = 1 THEN midrank ELSE 0 END)
+               - SUM(s) * (SUM(s) + 1) / 2.0 AS u1,
+             ROUND((SUM(CASE WHEN s = 1 THEN midrank ELSE 0 END)
+                      - SUM(s) * (SUM(s) + 1) / 2.0
+                      - SUM(s) * SUM(1 - s) / 2.0)
+                   / SQRT(SUM(s) * SUM(1 - s) * (COUNT(*) + 1) / 12.0), 4) AS z
+      FROM ranked
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val pool = t.orders
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderpriority"), col("o_totalprice").as("v"),
+        when(col("o_orderstatus") === "O", 1).otherwise(0).as("s"))
+    val ranked = pool.withColumn("midrank",
+      rank().over(Window.partitionBy(col("o_orderpriority")).orderBy(col("v"))) +
+        (count(lit(1)).over(Window.partitionBy(col("o_orderpriority"), col("v"))) - 1) / 2.0)
+    val r1 = sum(when(col("s") === 1, col("midrank")).otherwise(0.0))
+    val n1 = sum(col("s"))
+    val n0 = sum(lit(1) - col("s"))
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    ranked
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        n1.cast(LongType).as("n1"),
+        n0.cast(LongType).as("n0"),
+        u1.as("u1"),
+        round((u1 - n1 * n0 / 2.0) /
+          sqrt(n1 * n0 * (count(lit(1)) + 1) / 12.0), 4).as("z"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // q74 — ClickHouse skewPop/kurtPop(x): population skewness and excess
+  // kurtosis from raw power sums. l_quantity is integral (1..50), so the
+  // four power sums are EXACT BIGINTs in both engines — summation order
+  // cannot drift them — and only the final closed-form division is
+  // rounded. One scan, fully map-side-combinable.
+  val q74 = Q(
+    "q74_skew_kurt",
+    Some("""
+      WITH p AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS s1,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS s3,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+        FROM lineitem GROUP BY l_returnflag
+      )
+      SELECT l_returnflag, n,
+             ROUND((CAST(s3 AS DOUBLE)/n - 3.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n)
+                    + 2.0*POWER(CAST(s1 AS DOUBLE)/n, 3))
+                   / POWER(CAST(s2 AS DOUBLE)/n - POWER(CAST(s1 AS DOUBLE)/n, 2), 1.5), 4)
+               AS skew_pop,
+             ROUND((CAST(s4 AS DOUBLE)/n - 4.0*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n)
+                    + 6.0*POWER(CAST(s1 AS DOUBLE)/n, 2)*(CAST(s2 AS DOUBLE)/n)
+                    - 3.0*POWER(CAST(s1 AS DOUBLE)/n, 4))
+                   / POWER(CAST(s2 AS DOUBLE)/n - POWER(CAST(s1 AS DOUBLE)/n, 2), 2) - 3.0, 4)
+               AS kurt_excess
+      FROM p
+      ORDER BY l_returnflag
+    """)
+  ) { t =>
+    val q = col("l_quantity").cast(LongType)
+    val p = t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).as("s1"), sum(q * q).as("s2"),
+        sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+    val n = col("n"); val m1 = col("s1").cast(DoubleType) / n
+    val m2 = col("s2").cast(DoubleType) / n
+    val m3 = col("s3").cast(DoubleType) / n
+    val m4 = col("s4").cast(DoubleType) / n
+    val v = m2 - m1 * m1
+    p.select(col("l_returnflag"), n,
+        round((m3 - lit(3.0) * m1 * m2 + lit(2.0) * pow(m1, 3)) / pow(v, 1.5), 4)
+          .as("skew_pop"),
+        round((m4 - lit(4.0) * m1 * m3 + lit(6.0) * pow(m1, 2) * m2 -
+          lit(3.0) * pow(m1, 4)) / pow(v, 2) - lit(3.0), 4).as("kurt_excess"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // q75 — ClickHouse medianExact + the MAD robust-dispersion recipe:
+  // median absolute deviation = median(|x − median(x)|). Two exact
+  // interpolated-percentile passes; the per-group medians are a tiny
+  // relation broadcast back onto the fact scan (no second shuffle of the
+  // data, no sort of the full input — percentile's partial state is the
+  // per-partition value multiset, combined once per group).
+  val q75 = Q(
+    "q75_mad",
+    Some("""
+      WITH med AS (
+        SELECT l_returnflag, MEDIAN(l_extendedprice) AS m
+        FROM lineitem GROUP BY l_returnflag
+      )
+      SELECT l.l_returnflag,
+             ROUND(MAX(med.m) + 0.000001, 2) AS median_price,
+             ROUND(MEDIAN(ABS(l.l_extendedprice - med.m)) + 0.000001, 2) AS mad,
+             COUNT(*) AS n
+      FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+      GROUP BY l.l_returnflag
+      ORDER BY l.l_returnflag
+    """)
+  ) { t =>
+    val med = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+    t.lineitem
+      .join(broadcast(med), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      // +1e-6 before rounding: moves interpolated midpoints of 2-decimal
+      // prices off the x.xx5 ROUND half-boundary (same trick as q21)
+      .agg(
+        round(max(col("m")) + 0.000001, 2).as("median_price"),
+        round(expr("percentile(abs(l_extendedprice - m), 0.5)") + 0.000001, 2).as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
 }

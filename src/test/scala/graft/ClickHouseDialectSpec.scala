@@ -1381,4 +1381,65 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(err.getMessage.contains("RENAME TABLE expects"))
     Seq("ch_ren_b", "ch_ren_c").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
+
+  test("scalar WITH substitutes expression aliases per use") {
+    // plain scalar aliases, used in SELECT and WHERE
+    val r = ClickHouseSql.sql(spark,
+      """WITH 10 AS lo, lo * 20 AS hi
+        |SELECT count(*) AS n, max(o_orderkey - lo) AS adj
+        |FROM orders_v WHERE o_orderkey BETWEEN lo AND hi""".stripMargin)
+    val expect = spark.sql(
+      """SELECT count(*) AS n, max(o_orderkey - 10) AS adj
+        |FROM orders_v WHERE o_orderkey BETWEEN 10 AND 200""".stripMargin)
+    assert(r.collect().toSeq === expect.collect().toSeq)
+
+    // scalar-subquery alias form: WITH (SELECT …) AS m
+    val r2 = ClickHouseSql.sql(spark,
+      """WITH (SELECT max(o_orderkey) FROM orders_v) AS m
+        |SELECT count(*) AS n FROM orders_v WHERE o_orderkey = m""".stripMargin)
+    assert(r2.head().getLong(0) >= 1L)
+
+    // mixed scalar + CTE in one list; alias visible inside the CTE body
+    val r3 = ClickHouseSql.sql(spark,
+      """WITH 100 AS cap, big AS (SELECT o_orderkey FROM orders_v WHERE o_orderkey > cap)
+        |SELECT count(*) AS n FROM big""".stripMargin)
+    val exp3 = spark.sql(
+      "SELECT count(*) AS n FROM orders_v WHERE o_orderkey > 100")
+    assert(r3.head().getLong(0) === exp3.head().getLong(0))
+
+    // a pure-CTE WITH and WITH TOTALS/FILL text pass through untouched
+    def cols(t: String): Seq[String] = Seq("a", "b")
+    val cte = "WITH x AS (SELECT 1 AS a) SELECT a FROM x"
+    assert(ClickHouseSql.rewrite(cte, cols) === cte)
+    // alias is NOT substituted where it is being defined (AS alias)
+    val shadow = ClickHouseSql.rewrite(
+      "WITH 5 AS k SELECT a AS k FROM t ORDER BY k", cols)
+    assert(shadow === "SELECT a AS k FROM t ORDER BY (5)")
+  }
+
+  test("GLOBAL IN erases; bare IN table expands to a subquery") {
+    def cols(t: String): Seq[String] = Seq("a", "b")
+    assert(ClickHouseSql.rewrite(
+      "SELECT * FROM t WHERE a GLOBAL IN (SELECT a FROM s)", cols) ===
+      "SELECT * FROM t WHERE a IN (SELECT a FROM s)")
+    assert(ClickHouseSql.rewrite(
+      "SELECT * FROM t WHERE a GLOBAL NOT IN (SELECT a FROM s)", cols) ===
+      "SELECT * FROM t WHERE a NOT IN (SELECT a FROM s)")
+    assert(ClickHouseSql.rewrite(
+      "SELECT * FROM t WHERE a IN allowed_set", cols) ===
+      "SELECT * FROM t WHERE a IN (SELECT * FROM allowed_set)")
+    // plain IN lists and IN (subquery) are untouched
+    val lst = "SELECT * FROM t WHERE a IN (1, 2, 3)"
+    assert(ClickHouseSql.rewrite(lst, cols) === lst)
+
+    // end-to-end: the named set drives a semi-join
+    sf0001.orders.select(col("o_custkey")).distinct().limit(5)
+      .createOrReplaceTempView("ch_in_set")
+    val n = ClickHouseSql.sql(spark,
+      "SELECT count(*) AS n FROM orders_v WHERE o_custkey IN ch_in_set")
+      .head().getLong(0)
+    val expect = sf0001.orders.join(spark.table("ch_in_set"),
+      Seq("o_custkey"), "left_semi").count()
+    assert(n === expect)
+  }
 }

@@ -101,4 +101,38 @@ class StatsSpec extends SparkSpec {
       .agg(corr(col("rx"), col("ry")).as("c")).collect().head.getAs[Double]("c")
     assert(math.abs(rho - 1.0) < 1e-9)
   }
+
+  test("cramersV/contingency/theilsU all land in [0, 1]") {
+    val r = Stats.q72.build(sf0001).collect().head
+    Seq("cramers_v", "contingency_c", "theils_u").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, s"$c = $v out of [0,1]")
+    }
+    assert(r.getAs[Long]("n") === sf0001.orders.count())
+  }
+
+  test("mann-whitney: U within [0, n0*n1]; rank sums consistent") {
+    Stats.q73.build(sf0001).collect().foreach { r =>
+      val u = r.getAs[Double]("u1")
+      val bound = r.getAs[Long]("n0").toDouble * r.getAs[Long]("n1")
+      assert(u >= 0.0 && u <= bound, s"U=$u outside [0, $bound]")
+    }
+  }
+
+  test("skew/kurt: symmetric uniform-ish quantity is near-flat; kurtosis of uniform < 0") {
+    Stats.q74.build(sf0001).collect().foreach { r =>
+      // quantities are ~uniform 1..50: skew near 0, excess kurtosis ≈ -1.2
+      assert(math.abs(r.getAs[Double]("skew_pop")) < 0.5)
+      val k = r.getAs[Double]("kurt_excess")
+      assert(k < 0.0 && k > -2.0)
+    }
+  }
+
+  test("MAD: non-negative and no larger than the value range") {
+    Stats.q75.build(sf0001).collect().foreach { r =>
+      val mad = r.getAs[Double]("mad")
+      assert(mad >= 0.0)
+      assert(mad <= r.getAs[Double]("median_price"))
+    }
+  }
 }
