@@ -86,10 +86,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // GraftSession defaults matter here: without AQE the iterative index
+    // builds run every tiny shuffle at full static width (32 tasks of a
+    // few hundred rows each), and the build phase is 2-3x slower at
+    // local[32] than AQE-coalesced — measured, not theoretical.
+    val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Warm the table scans (file-index + codegen + nanos conversion) so

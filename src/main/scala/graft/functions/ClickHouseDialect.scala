@@ -44,6 +44,11 @@ object ClickHouseDialect {
     ()
   }
 
+  /** Remove a registered dictionary (DROP DICTIONARY). True if it existed. */
+  def dropDictionary(name: String): Boolean = dicts.remove(name) != null
+
+  def dictionaryExists(name: String): Boolean = dicts.containsKey(name)
+
   private def litString(e: Expression, what: String): String = e match {
     case Literal(s, _) if s != null => s.toString
     case _ => throw new IllegalArgumentException(s"$what must be a string literal")

@@ -85,8 +85,92 @@ object ClickHouseSql {
     optimizeTable(spark, sqlText)
       .orElse(alterMutation(spark, sqlText))
       .orElse(renameOrExchange(spark, sqlText))
+      .orElse(dictionaryDdl(spark, sqlText))
       .getOrElse(
         spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq)))
+
+  /** ClickHouse dictionary DDL wired to the dialect's dictGet registry.
+    *
+    *   - `CREATE DICTIONARY [IF NOT EXISTS] name (cols…) PRIMARY KEY k
+    *     SOURCE(CLICKHOUSE(TABLE 'src')) LAYOUT(…) LIFETIME(…)` reads the
+    *     source table, projects the declared columns, and registers the
+    *     result via [[ClickHouseDialect.registerDictionary]] — after which
+    *     `dictGet('name', 'attr', key)` resolves in any query. LAYOUT and
+    *     LIFETIME are engine tuning (hash layout / refresh cadence) and are
+    *     erased: the registry is an in-memory map compiled into plans, and
+    *     refresh = re-running CREATE DICTIONARY. Only the CLICKHOUSE(TABLE)
+    *     source is meaningful here — external HTTP/MySQL sources name
+    *     infrastructure this library does not reach.
+    *   - `DROP DICTIONARY [IF EXISTS] name` unregisters it.
+    */
+  private def dictionaryDdl(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    def noop: DataFrame = spark.emptyDataFrame
+    if (toks.length >= 2 && toks.head.lower == "drop" &&
+      toks(1).lower == "dictionary") {
+      var i = 2
+      val guarded =
+        if (toks.lift(i).exists(_.lower == "if")) { i += 2; true } else false
+      require(toks.length > i && isIdent(toks(i)),
+        s"DROP DICTIONARY expects a name: $sqlText")
+      val existed = ClickHouseDialect.dropDictionary(toks(i).text)
+      require(existed || guarded, s"dictionary ${toks(i).text} is not registered")
+      return Some(noop)
+    }
+    if (!(toks.length >= 2 && toks.head.lower == "create" &&
+      toks(1).lower == "dictionary")) return None
+    var i = 2
+    val guarded =
+      if (toks.lift(i).exists(_.lower == "if")) { i += 3; true } else false
+    require(toks.length > i + 1 && isIdent(toks(i)) && toks(i + 1).text == "(",
+      s"CREATE DICTIONARY expects name (columns…): $sqlText")
+    val name = toks(i).text
+    if (guarded && ClickHouseDialect.dictionaryExists(name)) return Some(noop)
+    // declared column names: the identifier opening each depth-1 item
+    val open = i + 1
+    val d = toks(open).depth
+    var j = open + 1
+    var colNames = Vector.empty[String]
+    var atItemStart = true
+    while (j < toks.length && !(toks(j).text == ")" && toks(j).depth == d)) {
+      val t = toks(j)
+      if (atItemStart && t.depth == d + 1 && isIdent(t)) {
+        colNames :+= t.text; atItemStart = false
+      } else if (t.text == "," && t.depth == d + 1) atItemStart = true
+      j += 1
+    }
+    require(colNames.nonEmpty, s"CREATE DICTIONARY has no columns: $sqlText")
+    val pk = toks.indexWhere(t => t.lower == "primary" && t.depth == 0)
+    require(pk >= 0 && toks.lift(pk + 1).exists(_.lower == "key") &&
+      toks.lift(pk + 2).exists(isIdent),
+      s"CREATE DICTIONARY needs PRIMARY KEY <col>: $sqlText")
+    require(!toks.lift(pk + 3).exists(t => t.text == "," && t.depth == 0),
+      s"composite dictionary keys are not supported: $sqlText")
+    val keyCol = toks(pk + 2).text
+    val src = toks.indexWhere(_.lower == "source")
+    require(src >= 0, s"CREATE DICTIONARY needs SOURCE(CLICKHOUSE(TABLE …)): $sqlText")
+    val tbl = toks.indexWhere(t => t.lower == "table" && t.depth >= 2, src)
+    require(tbl >= 0, s"only SOURCE(CLICKHOUSE(TABLE …)) is supported: $sqlText")
+    // the table name is a string literal (lexed away) or a bare ident
+    val srcTable =
+      if (toks.lift(tbl + 1).exists(t => isIdent(t))) toks(tbl + 1).text
+      else {
+        val rawEnd = toks.lift(tbl + 1).map(_.start).getOrElse(sqlText.length)
+        val raw = sqlText.substring(toks(tbl).end, rawEnd)
+        val m = "'([^']*)'".r.findFirstMatchIn(raw)
+        require(m.isDefined, s"SOURCE TABLE needs a name: $sqlText")
+        m.get.group(1)
+      }
+    val srcDf = spark.table(srcTable)
+    val have = srcDf.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val missing = colNames.filterNot(c => have(c.toLowerCase(java.util.Locale.ROOT)))
+    require(missing.isEmpty,
+      s"dictionary columns not on $srcTable: ${missing.mkString(", ")}")
+    ClickHouseDialect.registerDictionary(
+      srcDf.selectExpr(colNames: _*), name, keyCol)
+    Some(noop)
+  }
 
   /** ClickHouse `transform(x, from, to[, default])` — value remapping
     * against literal arrays — collides with Spark's HIGHER-ORDER
@@ -211,6 +295,12 @@ object ClickHouseSql {
             }
           }.mkString(", ")
           Some(run(table, s"SELECT $proj FROM $table"))
+        case "add" | "drop" | "rename"
+          if toks.lift(4).exists(_.lower == "column") =>
+          Some(alterColumn(spark, table, toks, sqlText))
+        case "modify" => throw new IllegalArgumentException(
+          "ALTER TABLE … MODIFY COLUMN is a type migration — recreate the " +
+            s"table with the target schema instead: $sqlText")
         case other => throw new IllegalArgumentException(
           s"unsupported ALTER TABLE action: $other in $sqlText")
       }
@@ -224,6 +314,114 @@ object ClickHouseSql {
       Some(run(table,
         s"SELECT * FROM $table WHERE NOT coalesce(($cond), false)"))
     } else None
+  }
+
+  /** ClickHouse column DDL — `ADD COLUMN` / `DROP COLUMN` / `RENAME
+    * COLUMN` — materialized as a full table rewrite (projection →
+    * eager checkpoint → saveAsTable overwrite), the same philosophy as
+    * mutations: on a cluster these ARE part rewrites. The semantic
+    * reason to materialize rather than metadata-ALTER: ClickHouse fills
+    * existing rows of a new column with its DEFAULT — or the TYPE's zero
+    * value (0, '', 1970-01-01, []) when none is declared — while Spark's
+    * metadata-only ADD COLUMNS reads missing values as NULL. Rewriting
+    * keeps CH read semantics exactly, and honors AFTER x / FIRST column
+    * positioning, which Spark's parquet DDL cannot. DEFAULT expressions
+    * go through [[rewrite]], so CH dialect functions work inside them.
+    */
+  private def alterColumn(spark: SparkSession, table: String,
+    toks: Vector[Tok], sqlText: String): DataFrame = {
+    import java.util.Locale.ROOT
+    val cols = spark.table(table).columns.toVector
+    val lc = cols.map(_.toLowerCase(ROOT))
+    def noop: DataFrame = spark.table(table).limit(0)
+    def materialize(projection: Seq[String]): DataFrame = {
+      val df = spark.sql(rewrite(s"SELECT ${projection.mkString(", ")} FROM $table",
+        t => spark.table(t).columns.toSeq))
+      df.localCheckpoint(true).write.mode("overwrite")
+        .format("parquet").saveAsTable(table)
+      noop
+    }
+    val action = toks(3).lower
+    var i = 5 // after ADD|DROP|RENAME COLUMN
+    val guarded = // IF [NOT] EXISTS
+      if (toks.lift(i).exists(_.lower == "if")) {
+        val not = toks.lift(i + 1).exists(_.lower == "not")
+        i += (if (not) 3 else 2)
+        true
+      } else false
+    require(toks.length > i && isIdent(toks(i)),
+      s"expected a column name in: $sqlText")
+    val name = toks(i).text
+    val exists = lc.contains(name.toLowerCase(ROOT))
+    action match {
+      case "add" =>
+        if (exists && guarded) return noop
+        require(!exists, s"column $name already exists on $table")
+        // type span: from after the name to the next depth-0
+        // DEFAULT/AFTER/FIRST/; (type parens carry inner depth > 0)
+        val stop = Set("default", "after", "first", ";")
+        val boundIdx = toks.indexWhere(t => t.depth == 0 && stop(t.lower), i + 1)
+        val typeEnd = if (boundIdx < 0) sqlText.length else toks(boundIdx).start
+        val typeText = sqlText.substring(toks(i).end, typeEnd).trim
+        require(typeText.nonEmpty, s"ADD COLUMN needs a type: $sqlText")
+        val sparkType = mapChType(typeText)
+        var defSql: Option[String] = None
+        var pos: Option[String] = None // Some("") = FIRST, Some(col) = AFTER col
+        if (boundIdx >= 0) toks(boundIdx).lower match {
+          case "default" =>
+            val next = toks.indexWhere(t => t.depth == 0 &&
+              (t.lower == "after" || t.lower == "first" || t.text == ";"),
+              boundIdx + 1)
+            val end = if (next < 0) sqlText.length else toks(next).start
+            defSql = Some(sqlText.substring(toks(boundIdx).end, end).trim)
+            if (next >= 0 && toks(next).lower == "after")
+              pos = Some(toks(next + 1).text)
+            else if (next >= 0 && toks(next).lower == "first") pos = Some("")
+          case "after" => pos = Some(toks(boundIdx + 1).text)
+          case "first" => pos = Some("")
+          case _ =>
+        }
+        val zero = zeroLiteral(sparkType)
+        val newCol = s"CAST((${defSql.getOrElse(zero)}) AS $sparkType) AS $name"
+        val ordered = pos match {
+          case Some("") => newCol +: cols
+          case Some(anchor) =>
+            val at = lc.indexOf(anchor.toLowerCase(ROOT))
+            require(at >= 0, s"AFTER column $anchor not found on $table")
+            (cols.take(at + 1) :+ newCol) ++ cols.drop(at + 1)
+          case None => cols :+ newCol
+        }
+        materialize(ordered)
+      case "drop" =>
+        if (!exists && guarded) return noop
+        require(exists, s"column $name not found on $table")
+        require(cols.length > 1, s"cannot drop the only column of $table")
+        materialize(cols.filterNot(_.equalsIgnoreCase(name)))
+      case "rename" =>
+        if (!exists && guarded) return noop
+        require(exists, s"column $name not found on $table")
+        require(toks.lift(i + 1).exists(_.lower == "to") &&
+          toks.lift(i + 2).exists(isIdent),
+          s"RENAME COLUMN expects a TO b: $sqlText")
+        val to = toks(i + 2).text
+        require(!lc.contains(to.toLowerCase(ROOT)),
+          s"column $to already exists on $table")
+        materialize(cols.map(c =>
+          if (c.equalsIgnoreCase(name)) s"$c AS $to" else c))
+    }
+  }
+
+  /** The SQL literal ClickHouse uses as a type's implicit default. */
+  private def zeroLiteral(sparkType: String): String = {
+    val t = sparkType.toUpperCase(java.util.Locale.ROOT)
+    if (t.startsWith("ARRAY")) "array()"
+    else if (t.startsWith("MAP")) "map()"
+    else if (t.startsWith("STRING") || t.startsWith("VARCHAR") ||
+      t.startsWith("CHAR")) "''"
+    else if (t == "BOOLEAN") "false"
+    else if (t == "DATE") "DATE '1970-01-01'"
+    else if (t.startsWith("TIMESTAMP")) "TIMESTAMP '1970-01-01 00:00:00'"
+    else "0"
   }
 
   /** ClickHouse table-management verbs Spark spells differently:

@@ -831,7 +831,51 @@ object TextOps {
       .orderBy(col("source"), col("shard_idx"))
   }
 
+  // text_search — conjunctive term search, the query-time probe of an
+  // inverted index (ClickHouse's full-text/ngram skip-index analog). The
+  // term filter lands BEFORE the shuffle: tokens explode narrowly on the
+  // scan side and only postings of the queried terms (rare by design —
+  // that is why one searches with an index) reach the aggregation, so the
+  // shuffled volume is O(query-term postings), not O(corpus tokens). The
+  // per-(doc, term) count then rolls up with AND semantics (every term
+  // present) + a summed term-frequency score. Materializing the
+  // un-filtered postings as a term-sorted table is the offline index
+  // build; this operator is the probe plan both paths share.
+  val search = Q(
+    "text_search",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, source,
+               UNNEST(STRING_SPLIT_REGEX(TRIM(lower(text)), '\s+')) AS term
+        FROM documents
+      ), hits AS (
+        SELECT doc_id, source, term, COUNT(*) AS c
+        FROM tok WHERE term IN ('dup', 'vector', 'key')
+        GROUP BY 1, 2, 3
+      )
+      SELECT doc_id, source, CAST(SUM(c) AS BIGINT) AS n_hits
+      FROM hits
+      GROUP BY doc_id, source
+      HAVING COUNT(*) = 3
+      ORDER BY doc_id
+    """)
+  ) { t =>
+    val terms = Seq("dup", "vector", "key")
+    t.documents
+      .select(col("doc_id"), col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).cast(LongType).as("n_hits"), count(lit(1)).as("nt"))
+      .where(col("nt") === terms.length)
+      .select(col("doc_id"), col("source"), col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
-    lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan)
+    lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
+    search)
 }

@@ -1442,4 +1442,69 @@ class ClickHouseDialectSpec extends SparkSpec {
       Seq("o_custkey"), "left_semi").count()
     assert(n === expect)
   }
+
+  test("ALTER TABLE ADD/DROP/RENAME COLUMN materializes CH default fills") {
+    import graft.functions.ClickHouseSql
+    spark.sql("CREATE TABLE ch_alt (k BIGINT, v BIGINT) USING parquet")
+    spark.sql("INSERT INTO ch_alt VALUES (1, 10), (2, 20)")
+
+    // no DEFAULT → the TYPE's zero value on existing rows (CH semantics),
+    // not NULL
+    ClickHouseSql.sql(spark, "ALTER TABLE ch_alt ADD COLUMN tag String")
+    val tags = spark.table("ch_alt").select("tag").collect().map(_.getString(0))
+    assert(tags.toSeq === Seq("", ""))
+
+    // explicit DEFAULT expression + AFTER positioning
+    ClickHouseSql.sql(spark,
+      "ALTER TABLE ch_alt ADD COLUMN score Float64 DEFAULT v * 2 AFTER k")
+    assert(spark.table("ch_alt").columns.toSeq === Seq("k", "score", "v", "tag"))
+    val sc = spark.table("ch_alt").orderBy("k").collect().map(_.getDouble(1))
+    assert(sc.toSeq === Seq(20.0, 40.0))
+
+    // IF NOT EXISTS no-ops on a present column
+    ClickHouseSql.sql(spark, "ALTER TABLE ch_alt ADD COLUMN IF NOT EXISTS tag String")
+
+    ClickHouseSql.sql(spark, "ALTER TABLE ch_alt RENAME COLUMN tag TO label")
+    assert(spark.table("ch_alt").columns.contains("label"))
+
+    ClickHouseSql.sql(spark, "ALTER TABLE ch_alt DROP COLUMN score")
+    assert(spark.table("ch_alt").columns.toSeq === Seq("k", "v", "label"))
+    assert(spark.table("ch_alt").count() === 2)
+
+    val err = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark, "ALTER TABLE ch_alt DROP COLUMN nope")
+    }
+    assert(err.getMessage.contains("not found"))
+    spark.sql("DROP TABLE ch_alt")
+  }
+
+  test("CREATE DICTIONARY wires a table into dictGet; DROP unregisters") {
+    import graft.functions.ClickHouseSql
+    spark.sql("CREATE TABLE ch_dict_src (code BIGINT, cname STRING, pop BIGINT) USING parquet")
+    spark.sql("INSERT INTO ch_dict_src VALUES (1, 'us', 330), (2, 'de', 83)")
+    ClickHouseSql.sql(spark, """
+      CREATE DICTIONARY dim_codes (code UInt64, cname String)
+      PRIMARY KEY code
+      SOURCE(CLICKHOUSE(TABLE 'ch_dict_src'))
+      LAYOUT(HASHED()) LIFETIME(MIN 0 MAX 300)""")
+    val r = spark.sql(
+      "SELECT dictGet('dim_codes', 'cname', 2) AS c").head()
+    assert(r.getString(0) === "de")
+    // declared columns only: pop was not declared, so it is not an attribute
+    val noAttr = intercept[Exception] {
+      spark.sql("SELECT dictGet('dim_codes', 'pop', 1)").collect()
+    }
+    assert(noAttr.getMessage.contains("no attribute"))
+    // IF NOT EXISTS no-ops; DROP removes; guarded DROP tolerates absence
+    ClickHouseSql.sql(spark, """
+      CREATE DICTIONARY IF NOT EXISTS dim_codes (code UInt64, cname String)
+      PRIMARY KEY code SOURCE(CLICKHOUSE(TABLE 'ch_dict_src')) LAYOUT(FLAT())""")
+    ClickHouseSql.sql(spark, "DROP DICTIONARY dim_codes")
+    val gone = intercept[Exception] {
+      spark.sql("SELECT dictGet('dim_codes', 'cname', 1)").collect()
+    }
+    assert(gone.getMessage.contains("not registered"))
+    ClickHouseSql.sql(spark, "DROP DICTIONARY IF EXISTS dim_codes")
+    spark.sql("DROP TABLE ch_dict_src")
+  }
 }

@@ -73,6 +73,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("text_search filters terms before the shuffle; scan reads 3 columns") {
+    val plan = planOf("text_search")
+    // the term predicate exists as a post-explode filter (scan side of
+    // the first shuffle): only query-term postings reach the aggregation
+    assert(plan.contains("dup"), plan.take(2000))
+    // scan projects only the needed columns
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("stats operators aggregate without nested-loop joins") {
+    Seq("q72_cramers_v", "q73_mann_whitney", "q74_skew_kurt", "q75_mad")
+      .foreach { q =>
+        val plan = planOf(q)
+        assert(!plan.contains("BroadcastNestedLoopJoin") ||
+          q == "q72_cramers_v", // q72's margin cross-joins are 1-row sides
+          s"$q:\n${plan.take(2000)}")
+        assert(!plan.contains("CartesianProduct"), q)
+      }
+    // q74 is the canonical one-pass shape: single scan, one agg exchange
+    // (plus the output sort)
+    val p74 = planOf("q74_skew_kurt")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllMatchIn(p74).size
+    assert(exchanges <= 2, s"q74 exchange count $exchanges:\n$p74")
+    assert(p74.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"),
+      p74.take(2000))
+  }
+
   test("dedup_containment joins candidates to shingles without corpus²") {
     val plan = planOf("dedup_containment")
     // pair × shingle co-occurrence is equi-keyed (id, h) — hash or
