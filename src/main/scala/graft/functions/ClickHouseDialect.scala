@@ -739,7 +739,135 @@ object ClickHouseDialect {
     // throwing variant's extra strictness is not reproducible without
     // a UDF layer, so both names land here — documented difference).
     "parseDateTimeBestEffort" -> (args => bestEffortTimestamp(one(args))),
-    "parseDateTimeBestEffortOrNull" -> (args => bestEffortTimestamp(one(args))))
+    "parseDateTimeBestEffortOrNull" -> (args => bestEffortTimestamp(one(args))),
+    // ---- seventh batch: search/trim scalars ------------------------------
+    // CH `position`, `hex`, `unhex`, `bin` collide with Spark builtins and
+    // stay unmapped per the no-shadowing policy. hex/unhex/bin agree with
+    // CH anyway; `position` is the one name whose CH argument order is
+    // SWAPPED vs the builtin — a documented migration caveat (a text-level
+    // swap would hijack valid Spark SQL, which is worse than the caveat).
+    "positionCaseInsensitive" -> (args =>
+      new StringLocate(Lower(args(1)), Lower(args.head))),
+    "multiSearchAny" -> { args =>
+      val x = UnresolvedNamedLambdaVariable(Seq("ms_needle"))
+      ArrayExists(args(1), LambdaFunction(
+        GreaterThan(new StringLocate(x, args.head), Literal(0)), Seq(x)))
+    },
+    "trimLeft" -> (args => StringTrimLeft(one(args))),
+    "trimRight" -> (args => StringTrimRight(one(args))),
+    "toNullable" -> (args => one(args)), // type-system marker: value identity
+    // ---- temporal names --------------------------------------------------
+    // (CH monthName stays unmapped — Spark's monthname() builtin owns the
+    // name, see the note beside toLastDayOfMonth; dateName('month', d)
+    // below provides the full-name form)
+    "dateName" -> { args =>
+      val part = args.head match {
+        case Literal(s, _) if s != null =>
+          s.toString.toLowerCase(java.util.Locale.ROOT)
+        case _ => throw new IllegalArgumentException(
+          "dateName: part must be a string literal")
+      }
+      def str(e: Expression) =
+        Cast(e, org.apache.spark.sql.types.StringType)
+      val ts = Cast(args(1), org.apache.spark.sql.types.TimestampType)
+      part match {
+        case "year" => str(Year(args(1)))
+        case "quarter" => str(Quarter(args(1)))
+        case "month" => new DateFormatClass(ts, Literal("MMMM"))
+        case "week" => str(WeekOfYear(args(1)))
+        case "dayofyear" => str(DayOfYear(args(1)))
+        case "day" => str(DayOfMonth(args(1)))
+        case "weekday" => new DateFormatClass(ts, Literal("EEEE"))
+        case "hour" => str(Hour(ts))
+        case "minute" => str(Minute(ts))
+        case "second" => str(Second(ts))
+        case other => throw new IllegalArgumentException(
+          s"dateName: unsupported part '$other'")
+      }
+    },
+    "toIntervalDay" -> (args => new MakeDTInterval(one(args))),
+    "toIntervalHour" -> (args => new MakeDTInterval(Literal(0), one(args))),
+    "toIntervalMinute" -> (args =>
+      new MakeDTInterval(Literal(0), Literal(0), one(args))),
+    "toIntervalMonth" -> (args => MakeYMInterval(Literal(0), one(args))),
+    "toIntervalYear" -> (args => MakeYMInterval(one(args), Literal(0))),
+    // ---- geo -------------------------------------------------------------
+    // haversine on a 6371 km mean-radius sphere, in meters. ClickHouse
+    // uses an ellipsoid-corrected constant; agreement is within ~0.3% —
+    // documented difference, not an oracle surface.
+    "greatCircleDistance" -> (args => haversineMeters(args)),
+    "geoDistance" -> (args => haversineMeters(args)),
+    // ---- aggregates, seventh batch --------------------------------------
+    // sample-adjusted skewness/kurtosis from the population aggregates +
+    // count: skewSamp = skew_pop·((n−1)/n)^1.5, kurtSamp (raw, non-excess)
+    // = (kurt_pop_excess+3)·((n−1)/n)²
+    "skewSamp" -> { args =>
+      val n = Cast(Count(Seq(one(args))).toAggregateExpression(),
+        org.apache.spark.sql.types.DoubleType)
+      Multiply(Skewness(one(args)).toAggregateExpression(),
+        Pow(Divide(Subtract(n, Literal(1.0)), n), Literal(1.5)))
+    },
+    "kurtSamp" -> { args =>
+      val n = Cast(Count(Seq(one(args))).toAggregateExpression(),
+        org.apache.spark.sql.types.DoubleType)
+      Multiply(Add(Kurtosis(one(args)).toAggregateExpression(), Literal(3.0d)),
+        Pow(Divide(Subtract(n, Literal(1.0)), n), Literal(2.0)))
+    },
+    // retention(c1, …, ck): r1 = any row satisfied c1; ri = r1 AND any
+    // row satisfied ci — the CH cohort-retention aggregate as an array of
+    // 0/1 ints composed from conditional-max partials
+    "retention" -> { args =>
+      def flag(c: Expression) =
+        Max(CaseWhen(Seq((c, Literal(1))), Literal(0))).toAggregateExpression()
+      val first = flag(args.head)
+      CreateArray(first +: args.tail.map(c => Multiply(first, flag(c))))
+    },
+    // histogram(k)(x) — CH's adaptive histogram; Spark's equivalent
+    // NumericHistogram sketch (same bins-merge algorithm family).
+    // Params-first after rewriteParamCall flattening.
+    "histogram" -> (args => new HistogramNumeric(args(1), args.head)),
+    // sketch-family distinct counts all land on HLL++ (CH's theta/combined
+    // variants differ in sketch internals, not contract)
+    "uniqTheta" -> (args => HyperLogLogPlusPlus(one(args))),
+    "uniqCombined64" -> (args => HyperLogLogPlusPlus(one(args))),
+    // quantileDeterministic(p)(x, det): the determinism seed exists so CH
+    // sampling reservoirs reproduce — exact Percentile is already
+    // deterministic, so the seed argument is accepted and ignored
+    "quantileDeterministic" -> (args => new Percentile(args(1), args.head)),
+    // ---- order-dependent names: loud migration guidance ------------------
+    "runningDifference" -> (_ => throw new IllegalArgumentException(
+      "runningDifference depends on ClickHouse block order — rewrite as " +
+        "x - lag(x) OVER (ORDER BY <explicit order>)")),
+    "neighbor" -> (_ => throw new IllegalArgumentException(
+      "neighbor depends on ClickHouse block order — rewrite as " +
+        "lag/lead OVER (ORDER BY <explicit order>)")),
+    "exponentialMovingAverage" -> (_ => throw new IllegalArgumentException(
+      "exponentialMovingAverage depends on row order — rewrite as an " +
+        "explicit window aggregation (see q09's running frames)")),
+    "groupArrayMovingSum" -> (_ => throw new IllegalArgumentException(
+      "groupArrayMovingSum depends on insertion order — rewrite as " +
+        "sum OVER (ORDER BY … ROWS n PRECEDING) (see q09)")),
+    "groupArrayMovingAvg" -> (_ => throw new IllegalArgumentException(
+      "groupArrayMovingAvg depends on insertion order — rewrite as " +
+        "avg OVER (ORDER BY … ROWS n PRECEDING) (see q09)")))
+
+  /** Haversine distance in meters on the 6371 km mean-radius sphere;
+    * args = (lon1, lat1, lon2, lat2) in degrees, ClickHouse's order.
+    */
+  private def haversineMeters(args: Seq[Expression]): Expression = {
+    require(args.length == 4,
+      "greatCircleDistance expects (lon1, lat1, lon2, lat2)")
+    def rad(e: Expression) = Multiply(
+      Cast(e, org.apache.spark.sql.types.DoubleType),
+      Literal(math.Pi / 180.0))
+    val dLat = Divide(Subtract(rad(args(3)), rad(args(1))), Literal(2.0))
+    val dLon = Divide(Subtract(rad(args(2)), rad(args.head)), Literal(2.0))
+    val h = Add(
+      Multiply(Sin(dLat), Sin(dLat)),
+      Multiply(Multiply(Cos(rad(args(1))), Cos(rad(args(3)))),
+        Multiply(Sin(dLon), Sin(dLon))))
+    Multiply(Literal(2.0 * 6371000.0), Asin(Sqrt(h)))
+  }
 
   /** JSONPath from CH trailing keys: strings descend, 1-based ints index. */
   private def jsonExtract(args: Seq[Expression]): Expression = {

@@ -880,7 +880,9 @@ object ClickHouseSql {
     "quantilesexactif", "topkif", "topkweightedif",
     // event-sequence family: windowFunnel(w)(ts, c1, …)
     "windowfunnel", "sequencematch", "sequencecount",
-    "grouparraysorted", "grouparraysortedif")
+    "grouparraysorted", "grouparraysortedif",
+    // seventh batch
+    "histogram", "quantiledeterministic")
 
   /** ClickHouse parameterized-aggregate call syntax `f(p, …)(args…)` →
     * the dialect's flattened params-first form `f(p, …, args…)` —

@@ -1507,4 +1507,80 @@ class ClickHouseDialectSpec extends SparkSpec {
     ClickHouseSql.sql(spark, "DROP DICTIONARY IF EXISTS dim_codes")
     spark.sql("DROP TABLE ch_dict_src")
   }
+
+  test("seventh-batch scalar names: search, trim, temporal, geo") {
+    val r = spark.sql("""
+      SELECT positionCaseInsensitive('Hello World', 'WORLD') AS pci,
+             multiSearchAny('needle in haystack', array('nope', 'hay')) AS msa,
+             multiSearchAny('needle in haystack', array('nope', 'also-no')) AS msn,
+             trimLeft('  x  ') AS tl,
+             trimRight('  x  ') AS tr,
+             toNullable(7) AS tn,
+             dateName('month', DATE'2024-04-09') AS mn,
+             dateName('weekday', DATE'2024-04-09') AS dn,
+             dateName('year', DATE'2024-04-09') AS dy,
+             CAST(DATE'2024-01-01' + toIntervalDay(3) AS STRING) AS pd,
+             CAST(DATE'2024-01-31' + toIntervalMonth(1) AS STRING) AS pm,
+             greatCircleDistance(-0.1278, 51.5074, 2.3522, 48.8566) AS gcd
+    """).head()
+    assert(r.getAs[Int]("pci") === 7)
+    assert(r.getAs[Boolean]("msa") && !r.getAs[Boolean]("msn"))
+    assert(r.getAs[String]("tl") === "x  ")
+    assert(r.getAs[String]("tr") === "  x")
+    assert(r.getAs[Int]("tn") === 7)
+    assert(r.getAs[String]("mn") === "April")
+    assert(r.getAs[String]("dn") === "Tuesday")
+    assert(r.getAs[String]("dy") === "2024")
+    assert(r.getAs[String]("pd") === "2024-01-04 00:00:00")
+    assert(r.getAs[String]("pm") === "2024-02-29")
+    // London→Paris ≈ 343.5 km; haversine on the mean-radius sphere
+    val gcd = r.getAs[Double]("gcd")
+    assert(gcd > 340000 && gcd < 348000, s"gcd=$gcd")
+  }
+
+  test("seventh-batch aggregates: sample moments, retention, histogram, sketch uniq") {
+    import graft.functions.ClickHouseSql
+    sf0001.lineitem.createOrReplaceTempView("lineitem_ch7")
+    // parameterized f(p)(args) calls need the CH rewriter, not bare spark.sql
+    val r = ClickHouseSql.sql(spark, """
+      SELECT skewSamp(l_quantity) AS ss,
+             kurtSamp(l_quantity) AS ks,
+             skewPop(l_quantity) AS sp,
+             kurtPop(l_quantity) AS kp,
+             uniqTheta(l_orderkey) AS ut,
+             quantileDeterministic(0.5)(l_quantity, 42) AS qd
+      FROM lineitem_ch7
+    """).head()
+    val n = sf0001.lineitem.count().toDouble
+    // sample adjustments shrink toward the population values as n grows
+    assert(math.abs(r.getAs[Double]("ss") -
+      r.getAs[Double]("sp") * math.pow((n - 1) / n, 1.5)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ks") -
+      r.getAs[Double]("kp") * math.pow((n - 1) / n, 2.0)) < 1e-9)
+    assert(r.getAs[Long]("ut") > 0)
+    val qd = r.getAs[Double]("qd")
+    assert(qd >= 1.0 && qd <= 50.0)
+
+    // retention: planted per-user event flags
+    import spark.implicits._
+    Seq((1, "a"), (1, "b"), (1, "c"), (2, "b"), (3, "a"), (3, "c"))
+      .toDF("u", "e").createOrReplaceTempView("ret_ev")
+    val ret = spark.sql("""
+      SELECT u, retention(e = 'a', e = 'b', e = 'c') AS r
+      FROM ret_ev GROUP BY u ORDER BY u""").collect()
+    assert(ret(0).getSeq[Int](1) === Seq(1, 1, 1)) // user 1: a,b,c
+    assert(ret(1).getSeq[Int](1) === Seq(0, 0, 0)) // user 2: no anchor 'a'
+    assert(ret(2).getSeq[Int](1) === Seq(1, 0, 1)) // user 3: a,c
+
+    // histogram(k)(x): k buckets back, each (lo, hi, height)
+    val h = ClickHouseSql.sql(spark,
+      "SELECT histogram(5)(l_quantity) AS h FROM lineitem_ch7").head()
+    assert(h.getSeq[org.apache.spark.sql.Row](0).length === 5)
+
+    // order-dependent names refuse with window guidance
+    val err = intercept[Exception] {
+      spark.sql("SELECT runningDifference(l_quantity) FROM lineitem_ch7").collect()
+    }
+    assert(err.getMessage.contains("lag"))
+  }
 }
