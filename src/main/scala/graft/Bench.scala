@@ -54,7 +54,8 @@ object Bench {
     * which would make broken operators read as fast.
     */
   def buildLine(results: Seq[Timing], sfDir: String, budget: Int = 1600,
-                reps: Int = 1, maxSpread: Double = 0.0): String = {
+                reps: Int = 1, maxSpread: Double = 0.0,
+                stealPct: Double = -1.0): String = {
     val total = results.map(_.sec).sum
     val errors = results.count(_.err)
     val sorted = results.sortBy(t => (!t.err, -t.sec))
@@ -79,9 +80,26 @@ object Bench {
     // contract (and its log-tail size bound) is unchanged.
     val repsField =
       if (reps > 1) s""""reps":$reps,"max_spread":${r3(maxSpread)},""" else ""
+    // Host CPU-steal over the run (virtualized hosts only): >10% means the
+    // hypervisor took that share of our cycles and wall-times are inflated
+    // by contention we cannot control — readers should compare medians
+    // across rounds with this number beside them.
+    val stealField = if (stealPct >= 0) s""""steal_pct":${r3(stealPct)},""" else ""
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,""" +
-      repsField + s""""queries":{$sb},"sf":"$sfDir"}"""
+      repsField + stealField + s""""queries":{$sb},"sf":"$sfDir"}"""
   }
+
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line, or None
+    * on non-Linux / restricted environments.
+    */
+  private def cpuJiffies(): Option[(Long, Long)] = try {
+    val line = {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().next() finally src.close()
+    }
+    val vals = line.trim.split("\\s+").drop(1).map(_.toLong)
+    if (vals.length >= 8) Some((vals(7), vals.sum)) else None
+  } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,6 +113,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jiffies0 = cpuJiffies()
     // Warm the table scans (file-index + codegen + nanos conversion) so
     // per-query timings reflect operator cost, not first-touch overhead.
     val t = Tables(spark, sfDir)
@@ -155,7 +174,13 @@ object Bench {
         java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    val line = buildLine(results, sfDir, reps = reps, maxSpread = maxSpread)
+    val stealPct = (for {
+      (s0, t0) <- jiffies0
+      (s1, t1) <- cpuJiffies()
+      if t1 > t0
+    } yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
+    val line = buildLine(results, sfDir, reps = reps, maxSpread = maxSpread,
+      stealPct = stealPct)
     spark.stop()
     println(line)
   }

@@ -74,6 +74,16 @@ class BenchSpec extends AnyFunSuite {
     assert(multi.contains("\"max_spread\":0.457"))
   }
 
+  test("steal_pct appears only when measurable; absent keeps the contract") {
+    val ts = Seq(Timing("q", 1.0, err = false))
+    assert(!Bench.buildLine(ts, "/sf").contains("steal_pct"))
+    val withSteal = Bench.buildLine(ts, "/sf", stealPct = 27.94)
+    assert(withSteal.contains("\"steal_pct\":27.94"))
+    // still valid JSON envelope
+    assert(withSteal.startsWith("{\"metric\":\"total\""))
+    assert(withSteal.endsWith("\"sf\":\"/sf\"}"))
+  }
+
   test("line stays within the log-tail budget even with many queries") {
     val many = (1 to 300).map(i =>
       Timing(s"very_long_query_name_number_$i", i * 0.01, err = false))
