@@ -1487,8 +1487,41 @@ object Dedup {
     "emb_lsh" -> (() => { embBucketed(t).count(); () }),
     "idf_bands" -> (() => { idfBanded(t).count(); () }))
 
+  // dedup_index_stats — the LSH index-health report a production dedup
+  // deployment watches: per MinHash band, the bucket count, the largest
+  // bucket, and the exact candidate-pair cost Σ s·(s−1)/2 the bucket-join
+  // will generate. A skewed bucket (hash bug, degenerate banding, a
+  // boilerplate-dominated corpus) shows up here as a pair_cost explosion
+  // BEFORE the join runs it — this is the observability side of the
+  // "never corpus²" design rule, and it reuses the memoized banded index,
+  // so the report is one tiny aggregation over an existing structure.
+  val indexStats = Q(
+    "dedup_index_stats",
+    Some {
+      s"""
+      WITH $minhashCandSql,
+      bsz AS (SELECT b AS band, bucket, COUNT(*) AS s FROM banded GROUP BY 1, 2)
+      SELECT CAST(band AS BIGINT) AS band,
+             COUNT(*) AS n_buckets,
+             CAST(MAX(s) AS BIGINT) AS max_bucket,
+             CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS pair_cost
+      FROM bsz GROUP BY band ORDER BY band
+      """
+    }
+  ) { t =>
+    minhashBanded(t)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("s"))
+      .groupBy(col("band").cast(LongType).as("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("s")).cast(LongType).as("max_bucket"),
+        sum(expr("s * (s - 1) div 2")).cast(LongType).as("pair_cost"))
+      .orderBy(col("band"))
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
-    substringDedup, substringExtents, substringClip)
+    substringDedup, substringExtents, substringClip, indexStats)
 }

@@ -753,6 +753,10 @@ object ClickHouseDialect {
       ArrayExists(args(1), LambdaFunction(
         GreaterThan(new StringLocate(x, args.head), Literal(0)), Seq(x)))
     },
+    // CH map arithmetic: union of keys, per-key sum/difference (absent
+    // key counts as zero) — map_zip_with with a coalescing lambda
+    "mapAdd" -> (args => mapArith(args, subtract = false)),
+    "mapSubtract" -> (args => mapArith(args, subtract = true)),
     "trimLeft" -> (args => StringTrimLeft(one(args))),
     "trimRight" -> (args => StringTrimRight(one(args))),
     "toNullable" -> (args => one(args)), // type-system marker: value identity
@@ -850,6 +854,20 @@ object ClickHouseDialect {
     "groupArrayMovingAvg" -> (_ => throw new IllegalArgumentException(
       "groupArrayMovingAvg depends on insertion order — rewrite as " +
         "avg OVER (ORDER BY … ROWS n PRECEDING) (see q09)")))
+
+  /** mapAdd/mapSubtract: MapZipWith over the key union with null-coalesced
+    * element arithmetic.
+    */
+  private def mapArith(args: Seq[Expression], subtract: Boolean): Expression = {
+    require(args.length == 2, "mapAdd/mapSubtract expect exactly 2 maps")
+    val k = UnresolvedNamedLambdaVariable(Seq("ma_k"))
+    val v1 = UnresolvedNamedLambdaVariable(Seq("ma_v1"))
+    val v2 = UnresolvedNamedLambdaVariable(Seq("ma_v2"))
+    val a = Coalesce(Seq(v1, Literal(0)))
+    val b = Coalesce(Seq(v2, Literal(0)))
+    val body = if (subtract) Subtract(a, b) else Add(a, b)
+    MapZipWith(args.head, args(1), LambdaFunction(body, Seq(k, v1, v2)))
+  }
 
   /** Haversine distance in meters on the 6371 km mean-radius sphere;
     * args = (lon1, lat1, lon2, lat2) in degrees, ClickHouse's order.

@@ -874,8 +874,72 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // text_boilerplate — shared header/footer detection, the signal behind
+  // boilerplate stripping in web-scrape cleaning: the most-repeated
+  // 3-token document prefix and suffix per source (≥2 docs). Each doc
+  // contributes exactly one prefix and one suffix, so the shuffled volume
+  // is two short strings per document regardless of document length, and
+  // the per-(source, kind) totals fall out of the same aggregation as a
+  // window sum — one narrow scan, one aggregation shuffle, one tiny
+  // window over fragment groups. Basis points = fragment docs per 10k
+  // source docs (integer-exact).
+  val boilerplate = Q(
+    "text_boilerplate",
+    Some("""
+      WITH w AS (
+        SELECT source, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS toks
+        FROM documents
+        WHERE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) >= 5
+      ), frags AS (
+        SELECT source, 'prefix' AS kind,
+               ARRAY_TO_STRING(toks[1:3], ' ') AS fragment FROM w
+        UNION ALL
+        SELECT source, 'suffix' AS kind,
+               ARRAY_TO_STRING(toks[-3:], ' ') AS fragment FROM w
+      ), counts AS (
+        SELECT source, kind, fragment, COUNT(*) AS c,
+               SUM(COUNT(*)) OVER (PARTITION BY source, kind) AS n_src
+        FROM frags GROUP BY source, kind, fragment
+      ), ranked AS (
+        SELECT source, kind, fragment, c, n_src,
+               ROW_NUMBER() OVER (PARTITION BY source, kind
+                                  ORDER BY c DESC, fragment) AS rn
+        FROM counts WHERE c >= 2
+      )
+      SELECT source, kind, fragment,
+             CAST(c AS BIGINT) AS n_docs,
+             CAST(c * 10000 // n_src AS BIGINT) AS bp
+      FROM ranked WHERE rn = 1
+      ORDER BY source, kind
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = t.documents
+      .select(col("source"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 5)
+    val frags = w.select(col("source"), lit("prefix").as("kind"),
+        concat_ws(" ", slice(col("toks"), 1, 3)).as("fragment"))
+      .unionAll(w.select(col("source"), lit("suffix").as("kind"),
+        concat_ws(" ", slice(col("toks"), -3, 3)).as("fragment")))
+    val counts = frags
+      .groupBy(col("source"), col("kind"), col("fragment"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n_src",
+        sum(col("c")).over(Window.partitionBy(col("source"), col("kind"))))
+    counts
+      .filter(col("c") >= 2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"), col("kind"))
+          .orderBy(col("c").desc, col("fragment"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("kind"), col("fragment"),
+        col("c").cast(LongType).as("n_docs"),
+        expr("c * 10000L div n_src").cast(LongType).as("bp"))
+      .orderBy(col("source"), col("kind"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
-    search)
+    search, boilerplate)
 }

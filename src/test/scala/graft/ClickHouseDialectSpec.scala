@@ -1583,4 +1583,12 @@ class ClickHouseDialectSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("lag"))
   }
+
+  test("mapAdd/mapSubtract union keys with zero-filled arithmetic") {
+    val r = spark.sql("""
+      SELECT mapAdd(map('a', 1, 'b', 2), map('b', 10, 'c', 3)) AS ma,
+             mapSubtract(map('a', 5), map('a', 2, 'z', 4)) AS ms""").head()
+    assert(r.getMap[String, Int](0).toMap === Map("a" -> 1, "b" -> 12, "c" -> 3))
+    assert(r.getMap[String, Int](1).toMap === Map("a" -> 3, "z" -> -4))
+  }
 }
