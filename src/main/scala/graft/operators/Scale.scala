@@ -156,5 +156,88 @@ object Scale {
       .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
   }
 
-  val all: Seq[Q] = Seq(q43, q44, q45, q51, q57)
+  /** 16-bit Morton spread: interleave zeros between the low 16 bits so two
+    * spread values OR into a Z-order key. Pure integer bit arithmetic —
+    * exactly mirrored in the DuckDB oracle.
+    */
+  private def mortonSpread(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0xFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  private def mortonSpreadSql(e: String): String = {
+    var s = s"($e & 65535)"
+    s = s"((($s | ($s << 8)) & 16711935))"
+    s = s"((($s | ($s << 4)) & 252645135))"
+    s = s"((($s | ($s << 2)) & 858993459))"
+    s"((($s | ($s << 1)) & 1431655765))"
+  }
+
+  // q76 — Z-order (Morton) write layout: the multi-dimensional clustering
+  // a 100 TB table needs for data skipping on BOTH (user, day) predicates
+  // at once. Rows sort by the interleaved-bit key and pack into
+  // fixed-size shards; the report is each shard's extent in both
+  // dimensions — the min/max ranges a parquet writer would put in
+  // footer statistics, i.e. exactly what a scan prunes on. Narrow
+  // per-dimension extents across shards = effective skipping. The oracle
+  // replays the identical bit arithmetic. At 100 TB the global
+  // ROW_NUMBER becomes repartitionByRange(zkey) + sortWithinPartitions —
+  // the audit report's shape (extents per shard) is unchanged; this is
+  // the write-path twin of pipe_shard_plan's size budgeting.
+  val q76 = Q(
+    "q76_zorder_layout",
+    Some {
+      val zx = mortonSpreadSql("(user_id & 65535)")
+      val zy = mortonSpreadSql(
+        "(CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS TIMESTAMP)) AS BIGINT) & 65535)")
+      s"""
+      WITH keyed AS (
+        SELECT user_id,
+               CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS TIMESTAMP)) AS BIGINT) AS d,
+               ($zx | ($zy << 1)) AS zkey,
+               event_id
+        FROM events
+      ), sharded AS (
+        SELECT user_id, d,
+               (ROW_NUMBER() OVER (ORDER BY zkey, event_id) - 1) // 10000 AS shard
+        FROM keyed
+      )
+      SELECT CAST(shard AS BIGINT) AS shard,
+             COUNT(*) AS n,
+             CAST(MIN(user_id) AS BIGINT) AS u_lo,
+             CAST(MAX(user_id) AS BIGINT) AS u_hi,
+             CAST(MIN(d) AS BIGINT) AS d_lo,
+             CAST(MAX(d) AS BIGINT) AS d_hi
+      FROM sharded
+      GROUP BY shard
+      ORDER BY shard
+      """
+    }
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val keyed = t.events.select(
+      col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01")).cast(LongType).as("d"),
+      col("event_id"))
+      .withColumn("zkey",
+        mortonSpread(col("user_id"))
+          .bitwiseOR(shiftleft(mortonSpread(col("d")), 1)))
+    keyed
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("zkey"), col("event_id"))))
+      .withColumn("shard", expr("CAST((rn - 1) DIV 10000 AS BIGINT)"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("user_id")).cast(LongType).as("u_lo"),
+        max(col("user_id")).cast(LongType).as("u_hi"),
+        min(col("d")).cast(LongType).as("d_lo"),
+        max(col("d")).cast(LongType).as("d_hi"))
+      .orderBy(col("shard"))
+  }
+
+  val all: Seq[Q] = Seq(q43, q44, q45, q51, q57, q76)
 }

@@ -107,4 +107,30 @@ class ScaleSpec extends SparkSpec {
       assert(keys.map(_.toLong).toSeq === keys.map(_.toLong).sorted.toSeq)
     }
   }
+
+  test("z-order layout actually clusters: shard extents beat the global extent") {
+    val rows = graft.operators.Scale.q76.build(Tables(spark, "/root/testdata/sf0.01")).collect()
+    assert(rows.nonEmpty)
+    val totalN = rows.map(_.getAs[Long]("n")).sum
+    val uGlobal = rows.map(_.getAs[Long]("u_hi")).max -
+      rows.map(_.getAs[Long]("u_lo")).min
+    val dGlobal = rows.map(_.getAs[Long]("d_hi")).max -
+      rows.map(_.getAs[Long]("d_lo")).min
+    // every full shard holds exactly the shard budget; the tail holds the rest
+    assert(rows.init.forall(_.getAs[Long]("n") === 10000L) || rows.length == 1)
+    assert(totalN === Tables(spark, "/root/testdata/sf0.01").events.count())
+    // clustering claim: the AVERAGE shard covers a strictly smaller
+    // rectangle than the global (user × day) extent — on a Z-order curve
+    // both dimensions shrink together; a date-only sort would leave the
+    // user extent global in every shard
+    if (rows.length >= 4 && uGlobal > 0 && dGlobal > 0) {
+      val avgU = rows.map(r => r.getAs[Long]("u_hi") - r.getAs[Long]("u_lo"))
+        .sum.toDouble / rows.length
+      val avgD = rows.map(r => r.getAs[Long]("d_hi") - r.getAs[Long]("d_lo"))
+        .sum.toDouble / rows.length
+      val areaRatio = (avgU / uGlobal) * (avgD / dGlobal)
+      assert(areaRatio < 0.5,
+        s"avg shard covers ${areaRatio * 100}%% of the global rectangle — not clustered")
+    }
+  }
 }
