@@ -86,8 +86,86 @@ object ClickHouseSql {
       .orElse(alterMutation(spark, sqlText))
       .orElse(renameOrExchange(spark, sqlText))
       .orElse(dictionaryDdl(spark, sqlText))
+      .orElse(intoOutfile(spark, sqlText))
       .getOrElse(
         spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq)))
+
+  /** `SELECT … INTO OUTFILE '<path>' [TRUNCATE] [FORMAT <name>]` — CH's
+    * client-side single-file export. The clause is cut from the text, the
+    * remaining SELECT runs through [[rewrite]], and the result lands as
+    * ONE file at the exact path (write-to-temp-dir then move the single
+    * part, since a distributed writer emits directories). Formats: CSV /
+    * CSVWithNames (header) / TSV / TabSeparated[WithNames] / Parquet /
+    * JSONEachRow; with no FORMAT the extension decides (.csv/.tsv/
+    * .parquet/.json|.jsonl), defaulting to CSV like ClickHouse. An
+    * existing file errors unless TRUNCATE is given — CH's own contract.
+    * The single-file move is the honest semantic: this is an EXPORT verb
+    * for human-scale results, not the parallel table writer.
+    */
+  private def intoOutfile(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    toks.zipWithIndex.find { case (t, i) =>
+      t.depth == 0 && t.lower == "into" &&
+        toks.lift(i + 1).exists(n => n.depth == 0 && n.lower == "outfile")
+    }.map { case (t, i) =>
+      val outTok = toks(i + 1)
+      val rawEnd = toks.lift(i + 2).map(_.start).getOrElse(sqlText.length)
+      val raw = sqlText.substring(outTok.end, rawEnd)
+      val m = "'([^']+)'".r.findFirstMatchIn(raw).getOrElse(
+        throw new IllegalArgumentException(
+          s"INTO OUTFILE needs a quoted path: $sqlText"))
+      val path = m.group(1)
+      var clauseEnd = outTok.end + m.end
+      var j = i + 2
+      var truncate = false
+      if (toks.lift(j).exists(x => x.depth == 0 && x.lower == "truncate")) {
+        truncate = true; clauseEnd = toks(j).end; j += 1
+      }
+      var fmtName: Option[String] = None
+      if (toks.lift(j).exists(x => x.depth == 0 && x.lower == "format") &&
+        toks.lift(j + 1).exists(isIdent)) {
+        fmtName = Some(toks(j + 1).lower); clauseEnd = toks(j + 1).end; j += 2
+      }
+      val query = (sqlText.substring(0, t.start) + " " +
+        sqlText.substring(clauseEnd)).trim.stripSuffix(";")
+      val df = spark.sql(rewrite(query, tb => spark.table(tb).columns.toSeq))
+      val target = new java.io.File(path)
+      require(truncate || !target.exists(),
+        s"INTO OUTFILE target exists (add TRUNCATE to overwrite): $path")
+      val ext = path.substring(path.lastIndexOf('.') + 1)
+        .toLowerCase(java.util.Locale.ROOT)
+      val fmt = fmtName.getOrElse(ext match {
+        case "parquet" => "parquet"
+        case "json" | "jsonl" => "jsoneachrow"
+        case "tsv" => "tabseparated"
+        case _ => "csv"
+      })
+      val tmp = path + ".__outfile_tmp"
+      val w = df.coalesce(1).write.mode("overwrite")
+      fmt match {
+        case "csv" => w.option("header", "false").csv(tmp)
+        case "csvwithnames" => w.option("header", "true").csv(tmp)
+        case "tsv" | "tabseparated" =>
+          w.option("header", "false").option("sep", "\t").csv(tmp)
+        case "tsvwithnames" | "tabseparatedwithnames" =>
+          w.option("header", "true").option("sep", "\t").csv(tmp)
+        case "parquet" => w.parquet(tmp)
+        case "jsoneachrow" => w.json(tmp)
+        case other => throw new IllegalArgumentException(
+          s"INTO OUTFILE format $other is not supported " +
+            "(CSV[WithNames], TabSeparated[WithNames], Parquet, JSONEachRow)")
+      }
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles().find(_.getName.startsWith("part-")).getOrElse(
+        throw new IllegalStateException(s"no part file written under $tmp"))
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dir.listFiles().foreach(f => { f.delete(); () })
+      dir.delete()
+      spark.emptyDataFrame
+    }
+  }
 
   /** ClickHouse dictionary DDL wired to the dialect's dictGet registry.
     *

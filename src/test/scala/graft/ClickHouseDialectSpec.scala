@@ -1584,6 +1584,38 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(err.getMessage.contains("lag"))
   }
 
+  test("INTO OUTFILE exports one file; TRUNCATE gates overwrite; FORMAT maps") {
+    import graft.functions.ClickHouseSql
+    val dir = java.nio.file.Files.createTempDirectory("ch_outfile").toFile
+    val csv = new java.io.File(dir, "top.csv").getPath
+    ClickHouseSql.sql(spark,
+      s"SELECT o_orderkey, o_totalprice FROM orders_v ORDER BY o_orderkey LIMIT 3 INTO OUTFILE '$csv'")
+    val lines = scala.io.Source.fromFile(csv).getLines().toList
+    assert(lines.length === 3) // plain CSV: no header, like ClickHouse
+    assert(lines.head.startsWith(lines.head.split(",")(0)))
+
+    // existing file refuses without TRUNCATE; TRUNCATE overwrites
+    val err = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark,
+        s"SELECT o_orderkey FROM orders_v LIMIT 1 INTO OUTFILE '$csv'")
+    }
+    assert(err.getMessage.contains("TRUNCATE"))
+    ClickHouseSql.sql(spark,
+      s"SELECT o_orderkey FROM orders_v ORDER BY o_orderkey LIMIT 1 INTO OUTFILE '$csv' TRUNCATE")
+    assert(scala.io.Source.fromFile(csv).getLines().size === 1)
+
+    // FORMAT CSVWithNames adds the header; parquet round-trips
+    val withNames = new java.io.File(dir, "wn.csv").getPath
+    ClickHouseSql.sql(spark,
+      s"SELECT o_orderkey AS k FROM orders_v LIMIT 2 INTO OUTFILE '$withNames' FORMAT CSVWithNames")
+    assert(scala.io.Source.fromFile(withNames).getLines().next() === "k")
+    val pq = new java.io.File(dir, "out.parquet").getPath
+    ClickHouseSql.sql(spark,
+      s"SELECT count(*) AS n FROM orders_v INTO OUTFILE '$pq'")
+    assert(spark.read.parquet(pq).head().getLong(0) === sf0001.orders.count())
+    dir.listFiles().foreach(_.delete()); dir.delete()
+  }
+
   test("mapAdd/mapSubtract union keys with zero-filled arithmetic") {
     val r = spark.sql("""
       SELECT mapAdd(map('a', 1, 'b', 2), map('b', 10, 'c', 3)) AS ma,
