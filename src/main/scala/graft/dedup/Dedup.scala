@@ -1487,6 +1487,66 @@ object Dedup {
     "emb_lsh" -> (() => { embBucketed(t).count(); () }),
     "idf_bands" -> (() => { idfBanded(t).count(); () }))
 
+  // dedup_threshold_sweep — the tuning report behind every near-dup
+  // threshold decision: for each candidate similarity cut (50%..100% in
+  // signature basis points), how many detected pairs and how many
+  // distinct documents would be implicated. Runs entirely over the
+  // memoized candidate pairs (LSH-bounded, never corpus²) with the same
+  // signature-agreement estimate the detector uses, so the sweep costs
+  // one pass over candidates however large the corpus — this is how a
+  // curator picks θ BEFORE committing to a corpus cut.
+  val thresholdSweep = Q(
+    "dedup_threshold_sweep",
+    Some {
+      s"""
+      WITH $minhashCandSql,
+      est AS (
+        SELECT id1, id2,
+               CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sig1, sig2),
+                 p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) * 625 AS BIGINT) AS est_bp
+        FROM cand),
+      th AS (SELECT UNNEST([5000, 6250, 7500, 8750, 10000]) AS theta),
+      hit AS (
+        SELECT th.theta, est.id1, est.id2
+        FROM th JOIN est ON est.est_bp >= th.theta),
+      docs AS (
+        SELECT theta, id1 AS d FROM hit UNION SELECT theta, id2 FROM hit)
+      SELECT th.theta,
+             COALESCE(p.n_pairs, 0) AS n_pairs,
+             COALESCE(d.n_docs, 0) AS n_docs
+      FROM th
+      LEFT JOIN (SELECT theta, COUNT(*) AS n_pairs FROM hit GROUP BY theta) p
+        ON p.theta = th.theta
+      LEFT JOIN (SELECT theta, COUNT(*) AS n_docs FROM docs GROUP BY theta) d
+        ON d.theta = th.theta
+      ORDER BY th.theta
+      """
+    }
+  ) { t =>
+    val k = 16
+    val thetas = Seq(5000L, 6250L, 7500L, 8750L, 10000L)
+    val est = minhashCands(t).select(col("id1"), col("id2"),
+      (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+        m => m)).cast(LongType) * (10000L / k)).as("est_bp"))
+    val thDf = {
+      import t.spark.implicits._
+      thetas.toDF("theta")
+    }
+    val hit = broadcast(thDf).join(est, est("est_bp") >= col("theta"))
+    val pairs = hit.groupBy(col("theta")).agg(count(lit(1)).as("n_pairs"))
+    val docs = hit.select(col("theta"), col("id1").as("d"))
+      .union(hit.select(col("theta"), col("id2").as("d")))
+      .distinct()
+      .groupBy(col("theta")).agg(count(lit(1)).as("n_docs"))
+    thDf
+      .join(pairs, Seq("theta"), "left")
+      .join(docs, Seq("theta"), "left")
+      .select(col("theta"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("theta"))
+  }
+
   // dedup_index_stats — the LSH index-health report a production dedup
   // deployment watches: per MinHash band, the bucket count, the largest
   // bucket, and the exact candidate-pair cost Σ s·(s−1)/2 the bucket-join
@@ -1523,5 +1583,6 @@ object Dedup {
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
-    substringDedup, substringExtents, substringClip, indexStats)
+    substringDedup, substringExtents, substringClip, indexStats,
+    thresholdSweep)
 }

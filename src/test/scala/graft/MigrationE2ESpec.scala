@@ -93,6 +93,50 @@ class MigrationE2ESpec extends SparkSpec {
       "SELECT amount FROM mig_events WHERE event_id = 102").head()
     assert(BigDecimal(merged.getDecimal(0)) === BigDecimal("12.50"))
 
+    // 7. scalar WITH + bare IN-table set + GLOBAL IN, verbatim
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW mig_vips AS
+      SELECT 1 AS user_id UNION ALL SELECT 3""")
+    val vipRev = ch("""
+      WITH 1.0 AS min_amount
+      SELECT sum(amount) AS rev
+      FROM mig_events
+      WHERE amount >= min_amount AND user_id IN mig_vips
+        AND user_id GLOBAL IN (SELECT user_id FROM mig_vips)
+    """).head()
+    assert(BigDecimal(vipRev.getDecimal(0)) === BigDecimal("112.49"))
+
+    // 8. column lifecycle: ADD with CH default fill, RENAME, DROP
+    ch("ALTER TABLE mig_events ADD COLUMN region String AFTER kind")
+    assert(spark.table("mig_events").columns.toSeq ===
+      Seq("user_id", "event_id", "kind", "region", "amount", "ts", "ver"))
+    assert(spark.sql("SELECT count(*) FROM mig_events WHERE region = ''")
+      .head().getLong(0) === 6L) // CH zero-default, not NULL
+    ch("ALTER TABLE mig_events RENAME COLUMN region TO geo")
+    ch("ALTER TABLE mig_events DROP COLUMN geo")
+    assert(spark.table("mig_events").count() === 6)
+
+    // 9. dictionary DDL feeding dictGet in query text
+    spark.sql("DROP TABLE IF EXISTS mig_kinds")
+    spark.sql("CREATE TABLE mig_kinds (kind STRING, score BIGINT) USING parquet")
+    spark.sql("INSERT INTO mig_kinds VALUES ('click', 1), ('purchase', 5), ('view', 0)")
+    ch("""CREATE DICTIONARY mig_kind_dict (kind String, score UInt64)
+          PRIMARY KEY kind SOURCE(CLICKHOUSE(TABLE 'mig_kinds'))
+          LAYOUT(HASHED()) LIFETIME(MIN 0 MAX 600)""")
+    val scored = spark.sql("""
+      SELECT sum(dictGet('mig_kind_dict', 'score', kind)) AS s FROM mig_events
+    """).head()
+    assert(scored.getLong(0) === 3L * 1 + 2L * 5 + 0L) // 3 clicks, 2 purchases, 1 view
+    ch("DROP DICTIONARY mig_kind_dict")
+
+    // 10. single-file export closes the session
+    val out = java.nio.file.Files.createTempDirectory("mig_out")
+      .resolve("daily.csv").toString
+    ch(s"""SELECT user_id, count() AS n FROM mig_events
+           GROUP BY user_id ORDER BY user_id INTO OUTFILE '$out' FORMAT CSVWithNames""")
+    val exported = scala.io.Source.fromFile(out).getLines().toList
+    assert(exported.head === "user_id,n" && exported.length === 4)
+
     spark.sql("DROP TABLE mig_events")
+    spark.sql("DROP TABLE mig_kinds")
   }
 }
