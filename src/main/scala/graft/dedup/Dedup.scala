@@ -1547,6 +1547,70 @@ object Dedup {
       .orderBy(col("theta"))
   }
 
+  // dedup_hub_rank — PageRank over the near-dup pair graph: which
+  // documents sit at the CENTER of duplication structure (the template /
+  // boilerplate "masters" that near-match many others). Three damped
+  // iterations in pure INTEGER arithmetic (rank scaled by 10^12,
+  // integral division at every step), so the fixed-point is identical in
+  // any engine and under any partitioning — FP PageRank would be
+  // last-ulp order-dependent and unhashable. Each iteration is one
+  // edges⋈ranks join + one aggregation over the memoized pair graph
+  // (LSH-bounded); the iteration count is fixed, so the plan is static —
+  // no driver loop, no convergence action.
+  val hubRank = Q(
+    "dedup_hub_rank",
+    Some {
+      val S = "1000000000000"
+      def iter(prev: String, out: String): String =
+        s"""c_$out AS (
+          SELECT e.dst AS id, SUM(r_$prev.r // r_$prev.deg) AS c
+          FROM e JOIN r_$prev ON r_$prev.id = e.src GROUP BY e.dst),
+        r_$out AS (
+          SELECT d.id, d.deg,
+                 (SELECT 15 * $S // (100 * n) FROM n) +
+                   (85 * COALESCE(c_$out.c, 0)) // 100 AS r
+          FROM deg d LEFT JOIN c_$out ON c_$out.id = d.id)"""
+      s"""
+      WITH $corpusSql,
+      $simhashPairsSql,
+      p AS (SELECT id1, id2 FROM spairs WHERE hamming <= 8),
+      e AS (SELECT id1 AS src, id2 AS dst FROM p
+            UNION ALL SELECT id2, id1 FROM p),
+      deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+      n AS (SELECT COUNT(*) AS n FROM deg),
+      r_0 AS (SELECT id, deg, $S // n.n AS r FROM deg, n),
+      ${iter("0", "1")},
+      ${iter("1", "2")},
+      ${iter("2", "3")}
+      SELECT id, CAST(deg AS BIGINT) AS deg, CAST(r AS BIGINT) AS score
+      FROM r_3 ORDER BY score DESC, id LIMIT 10
+      """
+    }
+  ) { t =>
+    val S = 1000000000000L
+    val pairs = simhashPairs(t).select(col("id1"), col("id2"))
+    val e = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val nDf = deg.agg(count(lit(1)).as("n"))
+    var r = deg.crossJoin(broadcast(nDf))
+      .select(col("id"), col("deg"), expr(s"${S}L div n").as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = e.join(r, e("src") === r("id"))
+        .select(col("dst"), expr("r div deg").as("cr"))
+        .groupBy(col("dst")).agg(sum(col("cr")).as("c"))
+      r = deg.crossJoin(broadcast(nDf))
+        .join(contrib, deg("id") === contrib("dst"), "left")
+        .select(deg("id"), col("deg"),
+          (expr(s"15L * ${S}L div (100L * n)") +
+            expr("85L * coalesce(c, 0L) div 100L")).as("r"))
+    }
+    r.select(col("id"), col("deg").cast(LongType).as("deg"),
+        col("r").cast(LongType).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(10)
+  }
+
   // dedup_index_stats — the LSH index-health report a production dedup
   // deployment watches: per MinHash band, the bucket count, the largest
   // bucket, and the exact candidate-pair cost Σ s·(s−1)/2 the bucket-join
@@ -1584,5 +1648,5 @@ object Dedup {
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
-    thresholdSweep)
+    thresholdSweep, hubRank)
 }
