@@ -98,7 +98,10 @@ object Bench {
       try src.getLines().next() finally src.close()
     }
     val vals = line.trim.split("\\s+").drop(1).map(_.toLong)
-    if (vals.length >= 8) Some((vals(7), vals.sum)) else None
+    // denominator = user..steal (first 8 fields) only: guest/guest_nice
+    // are already folded into user/nice by the kernel, and double-
+    // counting them understates steal%
+    if (vals.length >= 8) Some((vals(7), vals.take(8).sum)) else None
   } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {

@@ -33,6 +33,22 @@ object Ann {
   private def cosine(a: Column, b: Column): Column =
     call_function("graft_cos", a, b)
 
+  /** Per-query top-k of a corpus-sized scored relation through the
+    * two-phase TopKPerGroup physical plan (plans/TopKPerGroup.scala):
+    * partial k-heaps map-side, so ≤ k rows per query per task cross the
+    * shuffle — never `row_number() OVER (PARTITION BY query_id)`, which
+    * funnels the whole scored corpus into |queries| partitions and sorts
+    * each (SURVEY §4's stated design; q51 proves the operator). The rank
+    * column is computed AFTER the cut, over ≤ k rows per query.
+    */
+  private def rankedTopK(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col(scoreCol).desc, col("vec_id"))
+    graft.plans.TopKPerGroup.topK(scored, Seq("query_id"), scoreCol, "vec_id", k)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // embed_norms — vector statistics per label: exact dims, rounded norms.
   // Oracle-checked: the same double-space fold is expressible in DuckDB
   // list lambdas with identical sequential semantics.
@@ -89,18 +105,13 @@ object Ann {
       ORDER BY query_id, rnk
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
     val queries = t.embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val scored = t.embeddings
       .join(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 10)
-      .orderBy(col("query_id"), col("rnk"))
+    rankedTopK(scored, "cos", 10)
   }
 
   // Hyperplane LSH machinery shared with dedup_embedding — one sign
@@ -136,19 +147,15 @@ object Ann {
       ORDER BY query_id, rnk
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
     val corpus = t.embeddings.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding")).as("bucket"))
     val queries = corpus.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("bucket").as("qbucket"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    corpus.join(broadcast(queries), col("bucket") === col("qbucket"))
+    val scored = corpus.join(broadcast(queries), col("bucket") === col("qbucket"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 10)
-      .orderBy(col("query_id"), col("rnk"))
+    rankedTopK(scored, "cos", 10)
   }
 
   /** Squared L2 distance in double space. */
@@ -274,16 +281,12 @@ object Ann {
   }
 
   def ivfQuery(t: Tables, c: Int, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (corpus, probes) = ivfIndex(t, c, nprobe)
     // exact cosine inside probed cells only
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    corpus.join(broadcast(probes), "cell")
+    val scored = corpus.join(broadcast(probes), "cell")
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 10)
-      .orderBy(col("query_id"), col("rnk"))
+    rankedTopK(scored, "cos", 10)
   }
 
   // ann_ivf — IVF (inverted-file) ANN: deterministic coarse quantizer,
@@ -386,27 +389,34 @@ object Ann {
       ORDER BY query_id, rnk
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
-    val scaleC = aggregate(col("embedding"), lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
-    val corpus = t.embeddings
-      .select(col("vec_id"), col("embedding"), scaleC.as("scale"))
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast(DoubleType) / col("scale") * 127 + 0.5)).as("qvec"))
+    val corpus = int8Corpus(t)
     val queries = corpus.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"))
     // integer cosine via the codegen'd kernel: products ≤ 127² × dim stay
     // far under 2^53, so double accumulation of the integer grid is
     // exactly the long fold it replaces (dequantization scales cancel)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    corpus.join(broadcast(queries))
+    val scored = corpus.join(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_qvec"), col("qvec")), 6).as("cos"))
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 10)
-      .orderBy(col("query_id"), col("rnk"))
+    rankedTopK(scored, "cos", 10)
   }
+
+  /** Int8-quantized corpus (vec_id, qvec) — memoized per (session,
+    * dataset) like the other index structures: at query time a served
+    * quantized index is a BUILT artifact, not something re-derived from
+    * the float corpus per search. Warmed by buildSteps (`_build_int8`).
+    */
+  private def int8Corpus(t: Tables): DataFrame =
+    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#int8-corpus") {
+      val scaleC = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
+      t.embeddings
+        .select(col("vec_id"), col("embedding"), scaleC.as("scale"))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast(DoubleType) / col("scale") * 127 + 0.5)).as("qvec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   // ann_range_search — range query variant: ALL corpus vectors within
   // cosine ≥ 0.2 of each query (not top-k). Same broadcast shape as
@@ -549,8 +559,16 @@ $pivots
           col("e.gv").as("gv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Per-query ADC lookup table (query_id, m, code, part). */
-  private def pqLut(t: Tables): DataFrame = {
+  /** Per-query ADC lookup table (query_id, m, code, part) — memoized:
+    * the codebook aggregation over the corpus code table is the
+    * expensive half, and it is identical for every search that shares
+    * the query panel. Warmed by buildSteps (`_build_adc`).
+    */
+  private def pqLut(t: Tables): DataFrame =
+    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#pq-lut")(
+      pqLutBuild(t).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def pqLutBuild(t: Tables): DataFrame = {
     val cbv = pqCodes(t)
       .select(col("m"), col("code"), posexplode(col("gv")))
       .groupBy(col("m"), col("code"), col("pos"))
@@ -575,7 +593,6 @@ $pivots
     * order decides the candidate cut and must match the oracle.
     */
   private def pqSearch(t: Tables, restrict: Option[DataFrame]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scoredParts = pqCodes(t).join(broadcast(pqLut(t)), Seq("m", "code"))
     val restricted = restrict match {
       case Some(c) => scoredParts.join(c, Seq("query_id", "vec_id"), "left_semi")
@@ -588,20 +605,19 @@ $pivots
       .agg(partCols.head, partCols.tail: _*)
       .select(col("query_id"), col("vec_id"),
         (1 until PqM).foldLeft(col("p0"))((acc, m) => acc + col(s"p$m")).as("approx"))
-    val aw = Window.partitionBy(col("query_id")).orderBy(col("approx").desc, col("vec_id"))
-    val cands = approx.withColumn("ar", row_number().over(aw)).filter(col("ar") <= PqCand)
+    // the ADC candidate cut ranks the corpus-sized approx relation —
+    // two-phase top-k, same reason as the exact searches
+    val cands = graft.plans.TopKPerGroup
+      .topK(approx, Seq("query_id"), "approx", "vec_id", PqCand)
       .select(col("query_id"), col("vec_id"))
     val queries = t.embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    cands
+    val scored = cands
       .join(t.embeddings, "vec_id")
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 10)
-      .orderBy(col("query_id"), col("rnk"))
+    rankedTopK(scored, "cos", 10)
   }
 
   // ann_pq — product quantization (the memory-side complement of IVF's
@@ -813,20 +829,20 @@ $pivots
       .select(col("query_id"), col("vec_id"),
         (1 until PqM).foldLeft(col("cellterm") + col("p0"))((acc, m) => acc + col(s"p$m"))
           .as("approx"))
-    val aw = Window.partitionBy(col("query_id")).orderBy(col("approx").desc, col("vec_id"))
-    val cands = approx.withColumn("ar", row_number().over(aw)).filter(col("ar") <= PqCand)
+    // the residual ADC cut ranks the probed-cell code relation — the
+    // same two-phase top-k as the raw-vector PQ search
+    val cands = graft.plans.TopKPerGroup
+      .topK(approx.select(col("query_id"), col("vec_id"), col("approx")),
+        Seq("query_id"), "approx", "vec_id", PqCand)
       .select(col("query_id"), col("vec_id"))
     val queries = t.embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    cands
+    val scored = cands
       .join(t.embeddings, "vec_id")
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 10)
-      .orderBy(col("query_id"), col("rnk"))
+    rankedTopK(scored, "cos", 10)
   }
 
   // ann_recall — the evaluation harness a real ANN deployment ships with:
@@ -939,7 +955,9 @@ $pivots
     "ivf" -> (() => { val (cells, probes) = ivfIndex(t, 16, 4)
       cells.count(); probes.count(); () }),
     "pq" -> (() => { pqCodes(t).count(); () }),
-    "ivfpq_resid" -> (() => { residCodes(t, 16).count(); () }))
+    "ivfpq_resid" -> (() => { residCodes(t, 16).count(); () }),
+    "int8" -> (() => { int8Corpus(t).count(); () }),
+    "adc" -> (() => { pqLut(t).count(); () }))
 
   // embed_dim_stats — per-dimension first/second moments across the
   // corpus (the whitening/normalization diagnostic an embedding pipeline
@@ -1185,7 +1203,6 @@ $pivots
       ORDER BY query_id, rnk
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
     val queries = t.embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("label"))
@@ -1194,11 +1211,7 @@ $pivots
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 5)
-      .orderBy(col("query_id"), col("rnk"))
+    rankedTopK(scored, "cos", 5)
   }
 
   // embed_outliers — per-cluster distance outliers: vectors whose squared
@@ -1280,18 +1293,14 @@ $pivots
       ORDER BY query_id, rnk
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
     val queries = t.embeddings.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
-    t.embeddings
+    val scored = t.embeddings
       .join(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
         round(call_function("graft_dot", col("qvec"), col("embedding")), 6)
           .as("score"))
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 10)
-      .orderBy(col("query_id"), col("rnk"))
+    rankedTopK(scored, "score", 10)
   }
 
   // ann_knn_graph — exact k-NN graph, cell-bounded: each vector's top-3
@@ -1335,16 +1344,19 @@ $pivots
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cell"),
         first(col("qv")).as("qv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dot_q").desc, col("neighbor_id"))
-    assigned.as("a")
+    val pairs = assigned.as("a")
       .join(assigned.as("b"), col("a.cell") === col("b.cell") &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         call_function("graft_dot", col("a.qv"), col("b.qv"))
           .cast(LongType).as("dot_q"))
+    // pair volume is Σ cell² — per-VECTOR top-3 via the two-phase plan,
+    // so ≤ 3 rows per vector per task cross the shuffle; the rank window
+    // then sees 3 rows per group
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot_q").desc, col("neighbor_id"))
+    graft.plans.TopKPerGroup.topK(pairs, Seq("vec_id"), "dot_q", "neighbor_id", 3)
       .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 3)
       .select(col("vec_id"), col("rnk"), col("neighbor_id"), col("dot_q"))
       .orderBy(col("vec_id"), col("rnk"))
   }

@@ -130,8 +130,13 @@ object ClickHouseSql {
       val query = (sqlText.substring(0, t.start) + " " +
         sqlText.substring(clauseEnd)).trim.stripSuffix(";")
       val df = spark.sql(rewrite(query, tb => spark.table(tb).columns.toSeq))
-      val target = new java.io.File(path)
-      require(truncate || !target.exists(),
+      // all path handling goes through the Hadoop FileSystem of the
+      // TARGET path: on a cluster the export lands on shared storage
+      // (hdfs://, s3a://…) where java.io.File would silently look at the
+      // driver's local disk instead
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+      require(truncate || !fs.exists(target),
         s"INTO OUTFILE target exists (add TRUNCATE to overwrite): $path")
       val ext = path.substring(path.lastIndexOf('.') + 1)
         .toLowerCase(java.util.Locale.ROOT)
@@ -156,13 +161,15 @@ object ClickHouseSql {
           s"INTO OUTFILE format $other is not supported " +
             "(CSV[WithNames], TabSeparated[WithNames], Parquet, JSONEachRow)")
       }
-      val dir = new java.io.File(tmp)
-      val part = dir.listFiles().find(_.getName.startsWith("part-")).getOrElse(
-        throw new IllegalStateException(s"no part file written under $tmp"))
-      java.nio.file.Files.move(part.toPath, target.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dir.listFiles().foreach(f => { f.delete(); () })
-      dir.delete()
+      val tmpDir = new org.apache.hadoop.fs.Path(tmp)
+      val part = fs.listStatus(tmpDir).map(_.getPath)
+        .find(_.getName.startsWith("part-")).getOrElse(
+          throw new IllegalStateException(s"no part file written under $tmp"))
+      if (fs.exists(target) && !fs.delete(target, false))
+        throw new IllegalStateException(s"could not replace $path")
+      if (!fs.rename(part, target))
+        throw new IllegalStateException(s"could not move $part to $path")
+      fs.delete(tmpDir, true)
       spark.emptyDataFrame
     }
   }
@@ -685,7 +692,10 @@ object ClickHouseSql {
     if (l.contains("totals")) out = rewriteWithTotals(out)
     if (l.contains("any")) out = rewriteAnyJoin(out, columnsOf)
     if (l.contains("global")) { out = stripGlobalJoin(out); out = stripGlobalIn(out) }
-    if (l.contains(" in ") || l.contains(" in\n") || l.contains(" in\t"))
+    // any whitespace may precede/follow IN ("user_id\nIN allowed");
+    // the token-level matcher inside does the real work — this gate
+    // only has to be a superset of it
+    if ("(?s)\\sin\\s".r.findFirstIn(l).isDefined)
       out = rewriteInTable(out)
     if (l.contains("settings")) out = stripSettings(out)
     if (l.contains("format")) out = stripFormat(out)

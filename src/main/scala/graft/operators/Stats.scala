@@ -352,7 +352,12 @@ object Stats {
       .withColumn("ra", sum(col("o")).over(Window.partitionBy(col("a"))))
       .withColumn("cb", sum(col("o")).over(Window.partitionBy(col("b"))))
       .withColumn("n", sum(col("o")).over(Window.partitionBy()))
-    val e = col("ra") * col("cb") / col("n").cast(DoubleType)
+    // expected counts stay in floating point from the first multiply:
+    // ra*cb as a Long product wraps silently (ANSI off) near ~3B total
+    // rows while DuckDB errors loudly — double(ra)·double(cb) is exact
+    // whenever the long product would have been (< 2^53) and safe past it
+    val e = col("ra").cast(DoubleType) * col("cb").cast(DoubleType) /
+      col("n").cast(DoubleType)
     m.agg(
         max(col("n")).as("n"),
         countDistinct(col("a")).as("nr"),
@@ -377,11 +382,14 @@ object Stats {
 
   // q73 — ClickHouse mannWhitneyUTest(value, sample_index): the rank-sum
   // U statistic per group, pooling both samples ('O' vs 'F' orders),
-  // with midranks for ties (RANK gives the min position; adding
-  // (ties−1)/2 recovers the average rank — deterministic in both
-  // engines, no row_number tie-break needed). U and the rank sums are
-  // exact multiples of 0.5, so the double sums are exact; only the
-  // normal-approximation z is rounded.
+  // with midranks for ties (the min-rank-plus-(ties−1)/2 form —
+  // deterministic in both engines, no row_number tie-break needed). U
+  // and the rank sums are exact multiples of 0.5, so the double sums
+  // are exact; only the normal-approximation z is rounded. The Spark
+  // midrank is built from window COUNTs, not rank(): Spark's rank()
+  // returns 32-bit ints that wrap silently past ~2.1B rows per group
+  // while the oracle's RANK is BIGINT — counts are LongType end-to-end,
+  // and count≤(v) − (ties−1)/2 ≡ rank(v) + (ties−1)/2.
   val q73 = Q(
     "q73_mann_whitney",
     Some("""
@@ -414,9 +422,12 @@ object Stats {
       .filter(col("o_orderstatus").isin("O", "F"))
       .select(col("o_orderpriority"), col("o_totalprice").as("v"),
         when(col("o_orderstatus") === "O", 1).otherwise(0).as("s"))
-    val ranked = pool.withColumn("midrank",
-      rank().over(Window.partitionBy(col("o_orderpriority")).orderBy(col("v"))) +
-        (count(lit(1)).over(Window.partitionBy(col("o_orderpriority"), col("v"))) - 1) / 2.0)
+    val cntLE = count(lit(1)).over(
+      Window.partitionBy(col("o_orderpriority")).orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    val ties = count(lit(1)).over(
+      Window.partitionBy(col("o_orderpriority"), col("v")))
+    val ranked = pool.withColumn("midrank", cntLE - (ties - 1) / 2.0)
     val r1 = sum(when(col("s") === 1, col("midrank")).otherwise(0.0))
     val n1 = sum(col("s"))
     val n0 = sum(lit(1) - col("s"))

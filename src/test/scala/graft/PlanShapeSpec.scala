@@ -102,6 +102,25 @@ class PlanShapeSpec extends SparkSpec {
       p74.take(2000))
   }
 
+  test("ann top-k searches rank via two-phase TopKPerGroup, not a per-query window sort") {
+    // the regression this pins out: `row_number() OVER (PARTITION BY
+    // query_id)` over the scored corpus funnels every scored row into
+    // |queries| partitions and globally sorts each — the two-phase plan
+    // sends ≤ k rows per query per task across the shuffle instead. The
+    // only Window allowed is the post-cut rank over ≤ k rows per query,
+    // which requires the TopKPerGroup pair (partial + final) beneath it.
+    Seq("ann_bruteforce", "ann_quantized", "ann_mips", "ann_lsh",
+        "ann_filtered", "ann_knn_graph").foreach { q =>
+      val plan = planOf(q)
+      val topks = "TopKPerGroup".r.findAllMatchIn(plan).size
+      assert(topks >= 2, s"$q: expected partial+final TopKPerGroup, got $topks:\n${plan.take(2000)}")
+    }
+    // the PQ candidate cut (corpus-sized ADC relation) takes the same path
+    val pqPlan = planOf("ann_pq")
+    val pqTopks = "TopKPerGroup".r.findAllMatchIn(pqPlan).size
+    assert(pqTopks >= 4, s"ann_pq: expected top-k for both the ADC cut and the re-rank, got $pqTopks")
+  }
+
   test("dedup_containment joins candidates to shingles without corpus²") {
     val plan = planOf("dedup_containment")
     // pair × shingle co-occurrence is equi-keyed (id, h) — hash or
