@@ -186,20 +186,9 @@ object Scale {
   // replays the identical bit arithmetic.
   //
   // Scale-safe global rank (no single-partition ROW_NUMBER over the fact
-  // table): range-partition on (zkey, event_id) so each task sorts only
-  // its slice, tag rows with monotonically_increasing_id — pid << 33 |
-  // local position, deterministic ABOVE the in-partition sort of the
-  // unique key (nondeterministic projects are never pushed through the
-  // sort) — then rebuild the global row number as per-partition
-  // prefix-sum offsets + local position, the pipe_shard_plan technique
-  // applied to the write path. The only single-partition step is the
-  // cumsum over ≤ numPartitions count rows. The sorted relation is
-  // localCheckpoint-ed: the counts branch and the rank branch MUST read
-  // the same partition layout, and two materializations of a range
-  // exchange sample different partitioner bounds (exchange reuse is not
-  // guaranteed), which would mis-stitch the offsets — the checkpoint
-  // pins one layout for both consumers, and at real scale it doubles as
-  // the sorted staging the shard writer reads anyway.
+  // table): plans.GlobalRank — range-partition + in-partition sort +
+  // per-partition prefix-sum offsets, the pipe_shard_plan technique
+  // applied to the write path.
   val q76 = Q(
     "q76_zorder_layout",
     Some {
@@ -230,7 +219,6 @@ object Scale {
       """
     }
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
     val keyed = t.events.select(
       col("user_id"),
       datediff(to_date(col("ts")), lit("1970-01-01")).cast(LongType).as("d"),
@@ -238,23 +226,8 @@ object Scale {
       .withColumn("zkey",
         mortonSpread(col("user_id"))
           .bitwiseOR(shiftleft(mortonSpread(col("d")), 1)))
-    val sorted = keyed
-      .repartitionByRange(32, col("zkey"), col("event_id"))
-      .sortWithinPartitions(col("zkey"), col("event_id"))
-      .withColumn("mid", monotonically_increasing_id())
-      .withColumn("pid", shiftrightunsigned(col("mid"), 33))
-      .localCheckpoint()
-    // per-partition sizes (order-independent, so the re-fetch in this
-    // branch needs no cross-branch row-order agreement) → cumulative
-    // offsets over ≤ 32 rows → broadcast back onto the sorted slices
-    val offsets = sorted.groupBy(col("pid"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("off",
-        sum(col("cnt")).over(Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("cnt"))
-      .select(col("pid"), col("off"))
-    sorted.join(broadcast(offsets), "pid")
-      .withColumn("rn", col("off") + col("mid").bitwiseAND(lit((1L << 33) - 1)) + 1)
+    graft.plans.GlobalRank
+      .withRowNumber(keyed, Seq(col("zkey"), col("event_id")), 32, "rn")
       .withColumn("shard", expr("CAST((rn - 1) DIV 10000 AS BIGINT)"))
       .groupBy(col("shard"))
       .agg(

@@ -57,9 +57,14 @@ object WindowExt {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  // q41 — ntile quartiles over a global ordering (single-partition window
-  // on already-small data is fine; at scale ntile would ride a
-  // high-cardinality partition key like month).
+  // q41 — ntile quartiles over a global ordering. ntile is semantically
+  // global, but the single-partition window form stops scaling as soon
+  // as the ordered relation does — so the bucket is computed CLOSED-FORM
+  // from the scale-safe global rank (plans.GlobalRank: range partition +
+  // per-partition prefix-sum offsets) and the total count: NTILE(k)
+  // gives the first (n % k) buckets ceil(n/k) rows and the rest
+  // floor(n/k), so quartile = f(rn, n) with pure integer arithmetic —
+  // identical output to the window form at any scale.
   val q41 = Q(
     "q41_ntile",
     Some("""
@@ -73,10 +78,17 @@ object WindowExt {
       ORDER BY quartile
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    t.customer
-      .select(col("c_acctbal"), ntile(4).over(w).cast(LongType).as("quartile"))
+    val ranked = graft.plans.GlobalRank.withRowNumber(
+      t.customer.select(col("c_acctbal"), col("c_custkey")),
+      Seq(col("c_acctbal"), col("c_custkey")), 32, "rn", Some("n_total"))
+    ranked
+      .withColumn("quartile", expr("""
+        CAST(CASE
+          WHEN rn <= (n_total % 4) * (n_total DIV 4 + 1)
+            THEN (rn - 1) DIV (n_total DIV 4 + 1) + 1
+          ELSE (n_total % 4)
+            + (rn - (n_total % 4) * (n_total DIV 4 + 1) - 1) DIV (n_total DIV 4) + 1
+        END AS BIGINT)"""))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"), min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
       .orderBy(col("quartile"))

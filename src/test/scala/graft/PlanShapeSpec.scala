@@ -121,6 +121,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(pqTopks >= 4, s"ann_pq: expected top-k for both the ADC cut and the re-rank, got $pqTopks")
   }
 
+  test("q76/q41 build their global rank from GlobalRank, not a global window") {
+    // the regression this pins out: row_number()/ntile() OVER (ORDER BY …)
+    // — one partition sorts the whole fact table. GlobalRank's plan reads
+    // the checkpointed range-partitioned slices (Scan ExistingRDD) and
+    // joins broadcast prefix-sum offsets; no rank/ntile window function
+    // may appear over the base relation.
+    val p76 = planOf("q76_zorder_layout")
+    assert(p76.contains("ExistingRDD"), p76.take(2000))
+    assert(!p76.contains("row_number()"), p76.take(2000))
+    val p41 = planOf("q41_ntile")
+    assert(p41.contains("ExistingRDD"), p41.take(2000))
+    assert(!p41.contains("ntile("), p41.take(2000))
+  }
+
   test("dedup_containment joins candidates to shingles without corpus²") {
     val plan = planOf("dedup_containment")
     // pair × shingle co-occurrence is equi-keyed (id, h) — hash or
