@@ -689,6 +689,8 @@ object ClickHouseSql {
     if (l.contains("asof")) out = rewriteAsofJoin(out, columnsOf)
     if (l.contains("fill")) out = rewriteWithFill(out)
     if (l.contains("numbers")) out = rewriteNumbers(out)
+    if (l.contains("rollup") || l.contains("cube")) out = rewriteRollupCube(out)
+    if (l.contains("collate")) out = rewriteCollate(out)
     if (l.contains("totals")) out = rewriteWithTotals(out)
     if (l.contains("any")) out = rewriteAnyJoin(out, columnsOf)
     if (l.contains("global")) { out = stripGlobalJoin(out); out = stripGlobalIn(out) }
@@ -1902,34 +1904,51 @@ object ClickHouseSql {
     }
   }
 
-  /** `LIMIT n BY c1, c2` (ClickHouse per-group row cap): wrap the query
-    * block with a ROW_NUMBER partitioned by the BY columns, ordered by
-    * the block's ORDER BY (arbitrary within group without one, exactly
-    * like ClickHouse), filter to n, and drop the helper column with
-    * `SELECT * EXCEPT`. A trailing plain `LIMIT m` stays on the outer
-    * query.
+  /** `LIMIT n BY c1, c2` (ClickHouse per-group row cap) and its offset
+    * forms `LIMIT o, n BY …` / `LIMIT n OFFSET o BY …` (skip the first
+    * `o` rows of each group, then take `n`): wrap the query block with a
+    * ROW_NUMBER partitioned by the BY columns, ordered by the block's
+    * ORDER BY (arbitrary within group without one, exactly like
+    * ClickHouse), filter to the (o, o+n] rank band, and drop the helper
+    * column with `SELECT * EXCEPT`. A trailing plain `LIMIT m` stays on
+    * the outer query.
     */
   private def rewriteLimitBy(sqlText: String): String = {
     val ts = lex(sqlText)
-    val hit = ts.zipWithIndex.find { case (t, i) =>
-      t.lower == "limit" &&
-        ts.lift(i + 1).exists(n => n.depth == t.depth &&
-          Character.isDigit(n.text.charAt(0))) &&
-        ts.lift(i + 2).exists(b => b.depth == t.depth && b.lower == "by")
+    // (offset, n, index of the BY token) when tokens from `limit` at ts(i)
+    // spell one of the three LIMIT…BY shapes
+    def shape(i: Int): Option[(Long, Long, Int)] = {
+      val d = ts(i).depth
+      def num(k: Int): Option[Long] = ts.lift(k)
+        .filter(t => t.depth == d && Character.isDigit(t.text.charAt(0)))
+        .flatMap(t => t.text.toLongOption)
+      def kw(k: Int, w: String) =
+        ts.lift(k).exists(t => t.depth == d && t.lower == w)
+      num(i + 1).flatMap { a =>
+        if (kw(i + 2, "by")) Some((0L, a, i + 2))
+        else if (ts.lift(i + 2).exists(t => t.text == "," && t.depth == d))
+          num(i + 3).collect { case b if kw(i + 4, "by") => (a, b, i + 4) }
+        else if (kw(i + 2, "offset"))
+          num(i + 3).collect { case b if kw(i + 4, "by") => (b, a, i + 4) }
+        else None
+      }
+    }
+    val hit = ts.zipWithIndex.collectFirst {
+      case (t, i) if t.lower == "limit" && shape(i).isDefined =>
+        (t, i, shape(i).get)
     }
     hit match {
       case None => sqlText
-      case Some((lim, i)) =>
+      case Some((lim, i, (off, n, byIdx))) =>
         val d = lim.depth
-        val n = ts(i + 1).text
         // the BY column list: until next shallower token or same-depth
         // LIMIT/clause keyword
-        val byToks = ts.drop(i + 3).takeWhile(t =>
+        val byToks = ts.drop(byIdx + 1).takeWhile(t =>
           t.depth > d || (t.depth == d && !clauseStart(t.lower) && t.lower != "limit"))
         if (byToks.isEmpty)
           throw new IllegalArgumentException("LIMIT n BY: missing column list")
         val byEnd = byToks.last.end
-        val byCols = sqlText.substring(ts(i + 3).start, byEnd).trim
+        val byCols = sqlText.substring(ts(byIdx + 1).start, byEnd).trim
         // enclosing block: nearest SELECT at this depth before LIMIT
         val selIdx = ts.lastIndexWhere(t =>
           t.depth == d && t.lower == "select", i)
@@ -1958,9 +1977,12 @@ object ClickHouseSql {
         val bodyWithRank = body.substring(0, fromOff) +
           s", ROW_NUMBER() OVER (PARTITION BY $byCols $windowOrder) AS __ch_lb " +
           body.substring(fromOff)
+        val band =
+          if (off == 0L) s"__ch_lb <= $n"
+          else s"__ch_lb > $off AND __ch_lb <= ${off + n}"
         val replaced = sqlText.substring(0, sel.start) +
           s"SELECT * EXCEPT (__ch_lb) FROM ($bodyWithRank) __ch_lbq " +
-          s"WHERE __ch_lb <= $n" + orderText + sqlText.substring(byEnd)
+          s"WHERE $band" + orderText + sqlText.substring(byEnd)
         rewriteLimitBy(replaced)
     }
   }
@@ -2253,6 +2275,84 @@ object ClickHouseSql {
           sqlText.substring(usingKw.get.start)
         rewriteAnyJoin(replaced, columnsOf)
     }
+  }
+
+  /** `GROUP BY c1, … WITH ROLLUP` / `WITH CUBE` — ClickHouse's grouping
+    * modifiers (prefix subtotal levels / all key subsets). Rewritten to
+    * the ANSI `GROUP BY ROLLUP(…)` / `CUBE(…)` forms, which carry NULL
+    * subtotal keys — CH's own rendering under `group_by_use_nulls = 1`
+    * (its legacy default fills type defaults instead; migrations flip
+    * the setting precisely to get the ANSI behavior this rewrite emits).
+    */
+  private def rewriteRollupCube(sqlText: String): String = {
+    val ts = lex(sqlText)
+    val hit = ts.zipWithIndex.find { case (t, i) =>
+      t.lower == "with" && ts.lift(i + 1).exists(n =>
+        (n.lower == "rollup" || n.lower == "cube") && n.depth == t.depth)
+    }
+    hit match {
+      case None => sqlText
+      case Some((wt, wi)) =>
+        val d = wt.depth
+        val fn = ts(wi + 1).lower.toUpperCase(java.util.Locale.ROOT)
+        val byIdx = ts.lastIndexWhere(t => t.depth == d && t.lower == "by", wi)
+        if (byIdx <= 0 || ts(byIdx - 1).lower != "group" ||
+          ts(byIdx - 1).depth != d)
+          throw new IllegalArgumentException(s"WITH $fn: no enclosing GROUP BY")
+        val keys = sqlText.substring(ts(byIdx).end, wt.start).trim
+        if (keys.isEmpty)
+          throw new IllegalArgumentException(s"WITH $fn: empty GROUP BY key list")
+        rewriteRollupCube(
+          sqlText.substring(0, ts(byIdx).end) + s" $fn($keys)" +
+            sqlText.substring(ts(wi + 1).end))
+    }
+  }
+
+  /** `ORDER BY expr COLLATE 'locale' [ASC|DESC]` — ClickHouse's
+    * locale-aware ordering (documented case-insensitive). Spark 4's ICU
+    * collations express the same thing, so the rewrite wraps the sort
+    * expression as `collate(expr, '<locale>_CI')` and erases the COLLATE
+    * clause; ASC/DESC/NULLS ordering stays outside the wrapper. The
+    * locale literal passes through (`-` normalized to `_`), so any ICU
+    * language tag Spark recognizes works; an unknown tag fails loudly in
+    * Spark's collation resolver rather than silently sorting binary.
+    */
+  private def rewriteCollate(sqlText: String): String = {
+    val ts = lex(sqlText)
+    // the CH postfix operator is COLLATE followed by a quoted literal
+    // (opaque to the lexer, so the raw span between COLLATE and the next
+    // token starts with a quote); the collate(…) FUNCTION call this
+    // rewrite emits has `(` right after and is skipped
+    val i = ts.indices.find { k =>
+      ts(k).lower == "collate" && {
+        val spanEnd = ts.lift(k + 1).map(_.start).getOrElse(sqlText.length)
+        sqlText.substring(ts(k).end, spanEnd).trim.startsWith("'")
+      }
+    }.getOrElse(-1)
+    if (i < 0) return sqlText
+    val t = ts(i)
+    val d = t.depth
+    val litSpanEnd = ts.lift(i + 1).map(_.start).getOrElse(sqlText.length)
+    val raw = sqlText.substring(t.end, litSpanEnd)
+    val lit = raw.trim
+    if (!(lit.length >= 2 && lit.startsWith("'") && lit.endsWith("'")))
+      throw new IllegalArgumentException(
+        "COLLATE: expected a quoted locale literal")
+    val locale = lit.substring(1, lit.length - 1).replace('-', '_')
+    val litStop = t.end + raw.indexOf('\'') + lit.length
+    // sort-expression start: walk back to the previous same-depth
+    // boundary (a list comma or the BY keyword; a shallower token means
+    // we left the enclosing parenthesis)
+    var k = i - 1
+    while (k >= 0 && (ts(k).depth > d || (ts(k).depth == d &&
+      ts(k).text != "," && ts(k).lower != "by"))) k -= 1
+    if (k < 0 || ts(k).lower != "by" && ts(k).text != ",")
+      throw new IllegalArgumentException("COLLATE: not inside an ORDER BY list")
+    val exprStart = ts(k + 1).start
+    rewriteCollate(
+      sqlText.substring(0, exprStart) + "collate(" +
+        sqlText.substring(exprStart, t.start).trim +
+        s", '${locale}_CI')" + sqlText.substring(litStop))
   }
 
   /** `GROUP BY c1, … WITH TOTALS` — ClickHouse appends one summary row

@@ -372,6 +372,70 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(capped.count() === 5)
   }
 
+  test("LIMIT o, n BY and LIMIT n OFFSET o BY skip then take per group") {
+    sf0001.orders.createOrReplaceTempView("lbo_orders")
+    val exp = spark.sql("""
+      SELECT o_custkey, o_orderkey FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey) AS rn
+        FROM lbo_orders) WHERE rn > 1 AND rn <= 3
+      ORDER BY o_orderkey""").collect().map(_.toSeq).toSeq
+    assert(exp.nonEmpty)
+    for (form <- Seq("LIMIT 1, 2 BY o_custkey", "LIMIT 2 OFFSET 1 BY o_custkey")) {
+      val got = ClickHouseSql.sql(spark, s"""
+        SELECT o_custkey, o_orderkey FROM lbo_orders
+        ORDER BY o_orderkey $form""")
+      assert(got.columns.toSeq === Seq("o_custkey", "o_orderkey"))
+      assert(got.collect().map(_.toSeq).toSeq === exp, form)
+    }
+  }
+
+  test("GROUP BY ... WITH ROLLUP / WITH CUBE add subtotal levels") {
+    val rollup = ClickHouseSql.sql(spark, """
+      SELECT o_orderstatus, o_orderpriority, count() AS n FROM orders_v
+      GROUP BY o_orderstatus, o_orderpriority WITH ROLLUP""")
+    val expRollup = spark.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders_v
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""")
+    assert(rollup.collect().map(_.toSeq).toSet ===
+      expRollup.collect().map(_.toSeq).toSet)
+    // the grand-total row is present with NULL keys (group_by_use_nulls)
+    assert(rollup.where("o_orderstatus IS NULL AND o_orderpriority IS NULL")
+      .count() === 1)
+    val cube = ClickHouseSql.sql(spark, """
+      SELECT o_orderstatus, o_orderpriority, count() AS n FROM orders_v
+      GROUP BY o_orderstatus, o_orderpriority WITH CUBE""")
+    val expCube = spark.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders_v
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)""")
+    assert(cube.collect().map(_.toSeq).toSet ===
+      expCube.collect().map(_.toSeq).toSet)
+    // CUBE adds the (NULL, priority) slices ROLLUP lacks
+    assert(cube.count() > rollup.count())
+  }
+
+  test("ORDER BY ... COLLATE sorts locale-aware, case-insensitively") {
+    spark.sql("""SELECT * FROM VALUES ('apple'), ('Banana'), ('cherry'),
+      ('Apricot') AS t(w)""").createOrReplaceTempView("collate_t")
+    // binary order puts the capitals first; CH COLLATE 'en' interleaves
+    val got = ClickHouseSql.sql(spark,
+      "SELECT w FROM collate_t ORDER BY w COLLATE 'en'")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("apple", "Apricot", "Banana", "cherry"))
+    // DESC stays outside the collate() wrapper
+    val desc = ClickHouseSql.sql(spark,
+      "SELECT w FROM collate_t ORDER BY w COLLATE 'en' DESC")
+      .collect().map(_.getString(0)).toSeq
+    assert(desc === got.reverse)
+    // a later list entry keeps its own ordering direction
+    val two = ClickHouseSql.sql(spark, """
+      SELECT w, length(w) AS l FROM collate_t
+      ORDER BY length(w) DESC, w COLLATE 'en'""")
+      .collect().map(_.getString(0)).toSeq
+    assert(two === Seq("Apricot", "Banana", "cherry", "apple"))
+  }
+
   test("SAMPLE rewrites to deterministic TABLESAMPLE") {
     sf0001.lineitem.createOrReplaceTempView("smp_li")
     val total = sf0001.lineitem.count()

@@ -86,6 +86,26 @@ class MigrationE2ESpec extends SparkSpec {
     """).collect()
     assert(topPerUser.map(_.getLong(1)).toSeq === Seq(102L, 201L, 302L))
 
+    // 5b. grouping modifiers, offset LIMIT BY, and locale collation
+    val rolled = ch("""
+      SELECT user_id, kind, count() AS n FROM mig_events
+      GROUP BY user_id, kind WITH ROLLUP
+      ORDER BY user_id, kind
+    """).collect()
+    // 6 leaf groups + 3 per-user subtotals + 1 grand total
+    assert(rolled.length === 10)
+    assert(rolled.count(r => r.isNullAt(0) && r.isNullAt(1)) === 1)
+    val second = ch("""
+      SELECT user_id, event_id FROM mig_events
+      ORDER BY event_id LIMIT 1 OFFSET 1 BY user_id
+    """).collect()
+    // the second event of each user; user 3's rows collapse under no FINAL
+    assert(second.map(_.getLong(1)).sorted.toSeq === Seq(102L, 202L, 302L))
+    val byKind = ch("""
+      SELECT DISTINCT kind FROM mig_events ORDER BY kind COLLATE 'en'
+    """).collect().map(_.getString(0)).toSeq
+    assert(byKind === Seq("click", "purchase", "view"))
+
     // 6. OPTIMIZE materializes the merge; plain reads see 6 rows
     ch("OPTIMIZE TABLE mig_events FINAL")
     assert(spark.table("mig_events").count() === 6)
