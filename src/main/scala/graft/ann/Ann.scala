@@ -1361,7 +1361,67 @@ $pivots
       .orderBy(col("vec_id"), col("rnk"))
   }
 
+  // embed_calibration — int8 quantization calibration: per-dimension
+  // p1/p99 clip bounds on the shared 1024 grid, the symmetric clip
+  // max(|p1|, |p99|) (floored at one grid unit so a dead dimension never
+  // divides by zero), the resulting int8 scale 127/clip, and the
+  // saturation count that clip would cause — the report a quantized
+  // serving rollout reads before committing a scale, and the honest
+  // counterpart to ann_quantized's fixed grid. Two passes over the
+  // exploded (dim, xq) relation: a sort-based exact percentile per dim
+  // (64 keyed groups, parallel across dims — q21's interpolation-parity
+  // convention), the bounds broadcast back for the saturation count
+  // (q75's per-group-medians pattern). At larger dim×corpus products the
+  // percentile pass would flip to approx_percentile with the same shape.
+  val calibration = Q(
+    "embed_calibration",
+    Some("""
+      WITH px AS (
+        SELECT i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS xq
+        FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS t(i)),
+      bounds AS (
+        SELECT dim, COUNT(*) AS n,
+               ROUND(QUANTILE_CONT(xq, 0.01) + 0.000001, 2) AS p1,
+               ROUND(QUANTILE_CONT(xq, 0.99) + 0.000001, 2) AS p99
+        FROM px GROUP BY dim),
+      clip AS (
+        SELECT dim, n, p1, p99,
+               GREATEST(ABS(p1), ABS(p99), 1) AS clip_abs
+        FROM bounds)
+      SELECT c.dim, CAST(c.n AS BIGINT) AS n, c.p1, c.p99, c.clip_abs,
+             CAST(FLOOR(127000000 / c.clip_abs) AS BIGINT) AS scale_x1e6,
+             CAST(SUM(CASE WHEN ABS(p.xq) > c.clip_abs THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clipped
+      FROM clip c JOIN px p ON p.dim = c.dim
+      GROUP BY c.dim, c.n, c.p1, c.p99, c.clip_abs
+      ORDER BY c.dim
+    """)
+  ) { t =>
+    val px = t.embeddings
+      .select(posexplode(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1024).cast(LongType))))
+      .select(col("pos").cast(LongType).as("dim"), col("col").as("xq"))
+    val bounds = px.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("xq"), array(lit(0.01), lit(0.99))).as("ps"))
+      .select(col("dim"), col("n"),
+        round(col("ps").getItem(0) + 0.000001, 2).as("p1"),
+        round(col("ps").getItem(1) + 0.000001, 2).as("p99"))
+      .withColumn("clip_abs",
+        greatest(abs(col("p1")), abs(col("p99")), lit(1.0)))
+    px.join(broadcast(bounds), "dim")
+      .groupBy(col("dim"), col("n"), col("p1"), col("p99"), col("clip_abs"))
+      .agg(sum(when(abs(col("xq")) > col("clip_abs"), 1L).otherwise(0L))
+        .cast(LongType).as("n_clipped"))
+      .select(col("dim"), col("n").cast(LongType).as("n"),
+        col("p1"), col("p99"), col("clip_abs"),
+        floor(lit(127000000.0) / col("clip_abs")).cast(LongType).as("scale_x1e6"),
+        col("n_clipped"))
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
-    filteredSearch, outliers, mips, covariance, knnGraph)
+    filteredSearch, outliers, mips, covariance, knnGraph, calibration)
 }

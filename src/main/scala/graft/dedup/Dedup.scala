@@ -1644,9 +1644,53 @@ object Dedup {
       .orderBy(col("band"))
   }
 
+  // dedup_canonical — representative selection per near-dup component:
+  // instead of dedup_apply's keep-min-id policy, keep the BEST member —
+  // most tokens, tie → lowest id (the "keep the fullest copy" rule a
+  // production cut ships). One join of the memoized component labels
+  // against per-doc token counts + one keyed aggregation; the argmax is a
+  // map-side-combinable max over (n_tok, -id) structs, so no per-group
+  // sort anywhere. Reports what the policy keeps vs drops in tokens.
+  val canonical = Q(
+    "dedup_canonical",
+    Some(s"""
+      WITH $corpusSql,
+      $simhashPairsSql,
+      pairs AS MATERIALIZED (SELECT id1, id2 FROM spairs WHERE hamming <= 8),
+      ${ccLabelsSql()},
+      toks AS (
+        SELECT doc_id AS id,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tok
+        FROM corpus),
+      m AS (SELECT l.label, l.id, t.n_tok FROM labels l JOIN toks t USING (id))
+      SELECT label AS component, COUNT(*) AS group_size,
+             CAST(FIRST(id ORDER BY n_tok DESC, id) AS BIGINT) AS canonical_id,
+             CAST(FIRST(n_tok ORDER BY n_tok DESC, id) AS BIGINT) AS kept_tokens,
+             CAST(SUM(n_tok) - FIRST(n_tok ORDER BY n_tok DESC, id) AS BIGINT)
+               AS dropped_tokens
+      FROM m
+      GROUP BY label
+      HAVING COUNT(*) >= 2
+      ORDER BY component
+    """)
+  ) { t =>
+    val toks = withTwins(t).select(col("doc_id").as("id"),
+      size(words(col("text"))).cast(LongType).as("n_tok"))
+    val best = struct(col("n_tok").as("n_tok"), (-col("id")).as("nid"))
+    simhashLabels(t).join(toks, "id")
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("group_size"),
+        max_by(col("id"), best).as("canonical_id"),
+        max(best).getField("n_tok").cast(LongType).as("kept_tokens"),
+        (sum(col("n_tok")) - max(best).getField("n_tok")).cast(LongType)
+          .as("dropped_tokens"))
+      .filter(col("group_size") >= 2)
+      .orderBy(col("component"))
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
-    thresholdSweep, hubRank)
+    thresholdSweep, hubRank, canonical)
 }

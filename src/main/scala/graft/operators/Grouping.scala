@@ -174,5 +174,41 @@ object Grouping {
     """)
   }
 
-  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17)
+  // q80 — ROLLUP with GROUPING() level labels: subtotal rows carry an
+  // explicit level tag, so a NULL grouping key is distinguishable from a
+  // genuinely-NULL data value (the ambiguity every rollup consumer hits).
+  // Same plan as q15 — labels are free post-aggregation expressions.
+  val q80 = Q(
+    "q80_rollup_labeled",
+    Some("""
+      SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'total'
+                  WHEN GROUPING(l_linestatus) = 1 THEN 'flag'
+                  ELSE 'leaf' END AS lvl,
+             COALESCE(l_returnflag, '*') AS flag,
+             COALESCE(l_linestatus, '*') AS status,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY lvl, flag, status
+    """)
+  ) { t =>
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("volume"),
+        grouping(col("l_returnflag")).as("__g1"),
+        grouping(col("l_linestatus")).as("__g2"))
+      .select(
+        when(col("__g1") === 1, "total")
+          .when(col("__g2") === 1, "flag")
+          .otherwise("leaf").as("lvl"),
+        coalesce(col("l_returnflag"), lit("*")).as("flag"),
+        coalesce(col("l_linestatus"), lit("*")).as("status"),
+        col("n"), col("volume"))
+      .orderBy(col("lvl"), col("flag"), col("status"))
+  }
+
+  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q80)
 }

@@ -132,5 +132,122 @@ object Temporal {
       .orderBy(col("user_id"), col("session_id"))
   }
 
-  val all: Seq[Q] = Seq(q22, q23, q32, q34)
+  // q77 — calendar gap fill: daily order counts/revenue per priority with
+  // missing days emitted as zero rows (the dashboard-series contract CH
+  // serves with ORDER BY ... WITH FILL). The dense frame is
+  // |priorities| × |days| — bounded by the DIMENSIONS (date span × a
+  // low-cardinality attribute), independent of fact volume, so at 100 TB
+  // the fact table only feeds one (priority, day) aggregation; the
+  // calendar × priority scaffold is broadcast onto that small aggregate.
+  val q77 = Q(
+    "q77_gap_fill",
+    Some("""
+      WITH daily AS (
+        SELECT o_orderpriority AS priority, o_orderdate AS day,
+               COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1, 2),
+      bounds AS (SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders),
+      cal AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds),
+      dims AS (SELECT DISTINCT o_orderpriority AS priority FROM orders)
+      SELECT d.priority, c.day,
+             COALESCE(x.n, 0) AS n,
+             CAST(COALESCE(x.rev, 0) AS DOUBLE) AS rev
+      FROM cal c CROSS JOIN dims d
+      LEFT JOIN daily x ON x.priority = d.priority AND x.day = c.day
+      ORDER BY d.priority, c.day
+    """)
+  ) { t =>
+    val daily = t.orders
+      .groupBy(col("o_orderpriority").as("priority"), col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val cal = t.orders
+      .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val dims = t.orders.select(col("o_orderpriority").as("priority")).distinct()
+    cal.crossJoin(broadcast(dims))
+      .join(daily, Seq("priority", "day"), "left")
+      .select(col("priority"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("rev"), lit(BigDecimal(0)).cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("rev"))
+      .orderBy(col("priority"), col("day"))
+  }
+
+  // q78 — sliding 7-day distinct users per day, EXACT and shuffle-bounded:
+  // each distinct (day, user) pair contributes itself to its 7 trailing
+  // target days (a map-side ×7 explode of the already-distinct pairs),
+  // then one (day, user) distinct-count. No window sort anywhere, and the
+  // explode factor is the window length — the standard exact alternative
+  // to the unbounded per-day self-join. At 100 TB the distinct pair set is
+  // what shuffles, not the event stream.
+  val q78 = Q(
+    "q78_sliding_distinct",
+    Some("""
+      WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM du),
+      contrib AS (
+        SELECT day + CAST(k AS INTEGER) AS day, user_id
+        FROM du, UNNEST(RANGE(0, 7)) AS t(k))
+      SELECT c.day, COUNT(DISTINCT c.user_id) AS users_7d
+      FROM contrib c, bounds b
+      WHERE c.day BETWEEN b.lo AND b.hi
+      GROUP BY c.day
+      ORDER BY day
+    """)
+  ) { t =>
+    val du = t.events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val bounds = du.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    du.select(explode(sequence(lit(0), lit(6))).as("k"), col("day"), col("user_id"))
+      .select(date_add(col("day"), col("k")).as("day"), col("user_id"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day").between(col("lo"), col("hi")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("users_7d"))
+      .orderBy(col("day"))
+  }
+
+  // q79 — telemetry debounce: an event is suppressed when the SAME
+  // (user, type) fired within the previous 60 s. One keyed window
+  // (partition count grows with users × types — never a global sort),
+  // LAG against the raw predecessor, then a per-type survivor rollup.
+  val q79 = Q(
+    "q79_event_dedup",
+    Some("""
+      WITH flagged AS (
+        SELECT event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR DATE_DIFF('second', LAG(ts) OVER w, ts) > 60
+                    THEN 1 ELSE 0 END AS keep
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+      SELECT event_type, COUNT(*) AS n_total,
+             CAST(SUM(keep) AS BIGINT) AS n_kept,
+             CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dropped
+      FROM flagged
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(w)
+    t.events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("keep",
+        when(prev.isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(prev) > 60, 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep")).cast(LongType).as("n_kept"),
+        (count(lit(1)) - sum(col("keep"))).cast(LongType).as("n_dropped"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(q22, q23, q32, q34, q77, q78, q79)
 }

@@ -381,6 +381,156 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  // pipe_curriculum — quality-ordered curriculum phases: rank the corpus
+  // globally by a deterministic quality proxy (stopword density in basis
+  // points — the text_quality fluency signal, integer-exact), cut into 10
+  // equal-count phases by closed-form bucketing of the global row number,
+  // and report each phase's volume and score band. The global rank rides
+  // plans.GlobalRank (range partition + per-partition prefix-sum offsets)
+  // — no single-partition ROW_NUMBER window, so the ordering step scales
+  // like a sort-merge shuffle, not a funnel.
+  val curriculum = Q(
+    "pipe_curriculum",
+    Some("""
+      WITH feats AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_words,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                 w -> LIST_CONTAINS(['the','a','of','and','to','in','is','on','for','with'], w))) AS n_stop
+        FROM documents),
+      scored AS (
+        SELECT doc_id, n_words, n_stop * 10000 // n_words AS score_bp
+        FROM feats),
+      ranked AS (
+        SELECT doc_id, n_words, score_bp,
+               ROW_NUMBER() OVER (ORDER BY score_bp DESC, doc_id) AS rn,
+               COUNT(*) OVER () AS total
+        FROM scored)
+      SELECT CAST((rn - 1) * 10 // total AS BIGINT) AS phase,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+             CAST(MIN(score_bp) AS BIGINT) AS min_score_bp,
+             CAST(MAX(score_bp) AS BIGINT) AS max_score_bp
+      FROM ranked
+      GROUP BY 1
+      ORDER BY phase
+    """)
+  ) { t =>
+    val ws = words(col("text"))
+    val scored = t.documents
+      .select(col("doc_id"),
+        size(ws).cast(LongType).as("n_words"),
+        size(filter(ws, w => w.isin(graft.text.TextOps.stopwords: _*)))
+          .cast(LongType).as("n_stop"))
+      .withColumn("score_bp", expr("n_stop * 10000 div n_words"))
+    graft.plans.GlobalRank.withRowNumber(scored,
+      Seq(col("score_bp").desc, col("doc_id")), 32, "rn", Some("total"))
+      .groupBy(expr("(rn - 1) * 10 div total").cast(LongType).as("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast(LongType).as("n_tokens"),
+        min(col("score_bp")).cast(LongType).as("min_score_bp"),
+        max(col("score_bp")).cast(LongType).as("max_score_bp"))
+      .orderBy(col("phase"))
+  }
+
+  // pipe_mix_weights — temperature-scaled source mixture (UniMax/mT5
+  // alpha = 0.5): sampling weight ∝ sqrt(source tokens), damping the head
+  // source without starving the tail. Integer-exact across engines: the
+  // weight basis is floor(sqrt(n)) — IEEE sqrt is correctly rounded in
+  // both, so the floor never disagrees — and shares divide with integer
+  // `div`. The whole operator is one per-source aggregate (|sources|
+  // rows) + a broadcast of the two grand totals back onto it.
+  val mixWeights = Q(
+    "pipe_mix_weights",
+    Some("""
+      WITH per AS (
+        SELECT source,
+               CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      w AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS rt
+        FROM per)
+      SELECT source, n_tokens,
+             CAST(n_tokens * 10000 // SUM(n_tokens) OVER () AS BIGINT) AS nat_bp,
+             CAST(rt * 10000 // SUM(rt) OVER () AS BIGINT) AS mix_bp,
+             CAST((rt * 10000 // SUM(rt) OVER ()) * 1000
+                  // (n_tokens * 10000 // SUM(n_tokens) OVER ()) AS BIGINT) AS boost_x1000
+      FROM w
+      ORDER BY source
+    """)
+  ) { t =>
+    val per = t.documents
+      .groupBy(col("source"))
+      .agg(sum(size(words(col("text")))).cast(LongType).as("n_tokens"))
+      .withColumn("rt", floor(sqrt(col("n_tokens").cast("double"))).cast(LongType))
+    val tot = per.agg(sum(col("n_tokens")).as("__ts"), sum(col("rt")).as("__rts"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("n_tokens * 10000 div __ts").as("nat_bp"),
+        expr("rt * 10000 div __rts").as("mix_bp"),
+        expr("(rt * 10000 div __rts) * 1000 div (n_tokens * 10000 div __ts)")
+          .as("boost_x1000"))
+      .orderBy(col("source"))
+  }
+
+  // text_coverage — vocabulary compression curve: the share of corpus
+  // token volume covered by the top-{100, 1k, 10k} most frequent types
+  // (the "how big a tokenizer vocab do we need" read, and a drift alarm
+  // when coverage collapses). The global frequency rank is cut with the
+  // two-phase TopKPerGroup plan (map-side k-heaps — only ≤ k rows per
+  // task cross the shuffle, never the vocabulary), and the rank window
+  // then runs over the k-bounded survivor set.
+  val coverage = Q(
+    "text_coverage",
+    Some("""
+      WITH toks AS (
+        SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+          w -> w <> '')) AS w
+        FROM documents),
+      wc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+                     COUNT(*) AS n_types FROM wc),
+      ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn
+        FROM wc QUALIFY rn <= 10000),
+      ks AS (SELECT UNNEST([100, 1000, 10000]) AS k),
+      cov AS (
+        SELECT k, SUM(CASE WHEN rn <= k THEN c ELSE 0 END) AS covered
+        FROM ranked CROSS JOIN ks GROUP BY k)
+      SELECT CAST(ks.k AS BIGINT) AS k, t.n_types, t.total_tokens,
+             CAST(COALESCE(cv.covered, 0) AS BIGINT) AS covered_tokens,
+             CAST(COALESCE(cv.covered, 0) * 10000 // t.total_tokens AS BIGINT) AS coverage_bp
+      FROM ks CROSS JOIN tot t LEFT JOIN cov cv ON cv.k = ks.k
+      ORDER BY k
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val wc = t.documents
+      .select(explode(filter(split(trim(lower(col("text"))), "\\s+"),
+        w => w =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = wc.agg(sum(col("c")).cast(LongType).as("total_tokens"),
+      count(lit(1)).as("n_types"))
+    val top = graft.plans.TopKPerGroup.topK(
+      wc.withColumn("g", lit(1)), Seq("g"), "c", "w", 10000)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("c").desc, col("w"))))
+    val ks = t.spark.range(0, 3)
+      .select(element_at(array(lit(100L), lit(1000L), lit(10000L)),
+        (col("id") + 1).cast("int")).as("k"))
+    val cov = top.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(sum(when(col("rn") <= col("k"), col("c")).otherwise(0L)).as("covered"))
+    ks.crossJoin(tot)
+      .join(cov, Seq("k"), "left")
+      .select(col("k"), col("n_types"), col("total_tokens"),
+        coalesce(col("covered"), lit(0L)).cast(LongType).as("covered_tokens"),
+        expr("coalesce(covered, 0) * 10000 div total_tokens")
+          .cast(LongType).as("coverage_bp"))
+      .orderBy(col("k"))
+  }
+
   val all: Seq[Q] = Seq(evalSplit, crossSource, novelty, tfidf,
-    qualityClassifier, datasetCard)
+    qualityClassifier, datasetCard, curriculum, mixWeights, coverage)
 }

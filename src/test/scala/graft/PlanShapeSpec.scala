@@ -135,6 +135,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p41.contains("ntile("), p41.take(2000))
   }
 
+  test("pipe_curriculum ranks through GlobalRank, not a global window") {
+    val plan = planOf("pipe_curriculum")
+    assert(plan.contains("ExistingRDD"), plan.take(2000))
+    assert(!plan.contains("row_number()"), plan.take(2000))
+  }
+
+  test("text_coverage cuts the vocab with TopKPerGroup; scaffold joins broadcast") {
+    val plan = planOf("text_coverage")
+    // the frequency rank must not sort the whole vocabulary in one
+    // partition: the top-10k cut is the two-phase plan, and the only
+    // window is the rank over the k-bounded survivors above it
+    val topks = "TopKPerGroup".r.findAllMatchIn(plan).size
+    assert(topks >= 2, s"expected partial+final TopKPerGroup, got $topks:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q77/q78 keep the dense scaffold broadcast and the facts aggregated") {
+    val p77 = planOf("q77_gap_fill")
+    // calendar × priorities is dimension-sized: it must reach the daily
+    // aggregate through broadcast joins, never a shuffled cartesian
+    assert(p77.contains("BroadcastExchange"), p77.take(2000))
+    assert(!p77.contains("CartesianProduct"), p77.take(2000))
+    val p78 = planOf("q78_sliding_distinct")
+    // the exact sliding distinct is explode + re-aggregate: no window
+    // sort over the event stream anywhere
+    assert(!p78.contains("Window"), p78.take(2000))
+    assert(!p78.contains("CartesianProduct"), p78.take(2000))
+  }
+
   test("dedup_containment joins candidates to shingles without corpus²") {
     val plan = planOf("dedup_containment")
     // pair × shingle co-occurrence is equi-keyed (id, h) — hash or
