@@ -301,16 +301,45 @@ object ClickHouseSql {
     if (toks.isEmpty || toks.head.lower != "optimize") return None
     require(toks.length >= 3 && toks(1).lower == "table" &&
       isIdent(toks(2)) &&
-      toks.drop(3).forall(t => t.lower == "final" || t.lower == ";"),
+      toks.drop(3).forall(t => t.lower == "final" || t.lower == ";" ||
+        t.lower == "deduplicate" || t.lower == "by" || t.text == "," ||
+        isIdent(t)),
       s"unsupported OPTIMIZE statement: $sqlText")
     val table = toks(2).text
+    val dedupIdx = toks.indexWhere(_.lower == "deduplicate")
     if (engineOf(table).isDefined) {
       val merged = spark.sql(rewrite(s"SELECT * FROM $table FINAL",
         t => spark.table(t).columns.toSeq))
       merged.localCheckpoint(true).write.mode("overwrite").insertInto(table)
     }
+    if (dedupIdx >= 0) {
+      // `OPTIMIZE TABLE t [FINAL] DEDUPLICATE [BY c1, …]` — drop rows
+      // that are exact duplicates (of the BY columns, or fully) keeping
+      // one copy, like CH's merge-time dedup. The BY form keeps ONE
+      // arbitrary-but-deterministic representative per key (min of each
+      // other column is not CH's pick either — CH keeps an arbitrary
+      // row; we take rank-1 under the table's column order for
+      // reproducibility).
+      val cols = spark.table(table).columns.toSeq
+      val byCols =
+        if (toks.lift(dedupIdx + 1).exists(_.lower == "by"))
+          toks.drop(dedupIdx + 2).filter(isIdent).map(_.text)
+        else cols
+      require(byCols.nonEmpty, s"DEDUPLICATE BY: empty column list in $sqlText")
+      val q = qcols(cols)
+      val part = qcols(byCols)
+      val deduped = spark.sql(
+        s"SELECT ${q.mkString(", ")} FROM (SELECT ${q.mkString(", ")}, " +
+          s"ROW_NUMBER() OVER (PARTITION BY ${part.mkString(", ")} " +
+          s"ORDER BY ${q.mkString(", ")}) AS __ch_dd FROM $table) " +
+          "__ch_ddq WHERE __ch_dd = 1")
+      deduped.localCheckpoint(true).write.mode("overwrite").insertInto(table)
+    }
     Some(spark.table(table).limit(0))
   }
+
+  private def qcols(cs: Seq[String]): Seq[String] =
+    cs.map(c => "`" + c.stripPrefix("`").stripSuffix("`") + "`")
 
   /** ClickHouse mutations, materialized the way OPTIMIZE is: evaluate
     * the surviving/updated rows, cut lineage with an eager local
@@ -380,12 +409,9 @@ object ClickHouseSql {
             }
           }.mkString(", ")
           Some(run(table, s"SELECT $proj FROM $table"))
-        case "add" | "drop" | "rename"
+        case "add" | "drop" | "rename" | "modify"
           if toks.lift(4).exists(_.lower == "column") =>
           Some(alterColumn(spark, table, toks, sqlText))
-        case "modify" => throw new IllegalArgumentException(
-          "ALTER TABLE … MODIFY COLUMN is a type migration — recreate the " +
-            s"table with the target schema instead: $sqlText")
         case other => throw new IllegalArgumentException(
           s"unsupported ALTER TABLE action: $other in $sqlText")
       }
@@ -402,7 +428,7 @@ object ClickHouseSql {
   }
 
   /** ClickHouse column DDL — `ADD COLUMN` / `DROP COLUMN` / `RENAME
-    * COLUMN` — materialized as a full table rewrite (projection →
+    * COLUMN` / `MODIFY COLUMN` — materialized as a full table rewrite (projection →
     * eager checkpoint → saveAsTable overwrite), the same philosophy as
     * mutations: on a cluster these ARE part rewrites. The semantic
     * reason to materialize rather than metadata-ALTER: ClickHouse fills
@@ -493,6 +519,25 @@ object ClickHouseSql {
           s"column $to already exists on $table")
         materialize(cols.map(c =>
           if (c.equalsIgnoreCase(name)) s"$c AS $to" else c))
+      case "modify" =>
+        // `MODIFY COLUMN c NewType` — the type migration: existing values
+        // CAST in place, position and name kept (CH rewrites the parts;
+        // we rewrite the table). CH errors on an uncastable value where
+        // Spark (ANSI off) nulls it — the migration guide calls this out.
+        // `MODIFY COLUMN c DEFAULT …` without a type has no stored-default
+        // analog here and fails loudly.
+        if (!exists && guarded) return noop
+        require(exists, s"column $name not found on $table")
+        val stop = Set("default", ";")
+        val boundIdx = toks.indexWhere(t => t.depth == 0 && stop(t.lower), i + 1)
+        val typeEnd = if (boundIdx < 0) sqlText.length else toks(boundIdx).start
+        val typeText = sqlText.substring(toks(i).end, typeEnd).trim
+        require(typeText.nonEmpty,
+          s"MODIFY COLUMN needs a target type (stored DEFAULTs have no " +
+            s"analog on parquet tables): $sqlText")
+        val sparkType = mapChType(typeText)
+        materialize(cols.map(c =>
+          if (c.equalsIgnoreCase(name)) s"CAST($c AS $sparkType) AS $c" else c))
     }
   }
 

@@ -187,6 +187,59 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class DebounceAcc(last_kept_ms: Long)
+
+  final case class DebounceOut(user_id: Long, event_type: String,
+    ts: Timestamp, event_id: Long)
+
+  /** Streaming telemetry debounce (q79_event_dedup's streaming analog):
+    * per (user, type), an event is emitted only when it arrives more than
+    * `windowSec` after the last KEPT event of that key. Note the chain
+    * semantics: state tracks the last *survivor*, so a burst
+    * t=0,50,100,150 at windowSec=60 keeps 0 and 100 — the true debounce a
+    * device-telemetry ingest wants (the batch q79 compares against the
+    * raw predecessor instead, the SQL-oracle-able form; the two agree
+    * whenever gaps don't chain). State is one timestamp per active
+    * (user, type) key, GC'd by event-time timeout once the watermark
+    * passes the debounce horizon — bounded by |active keys|, not stream
+    * length.
+    */
+  def debounceStream(events: Dataset[Event], windowSec: Long = 60,
+    watermark: String = "10 minutes"): Dataset[DebounceOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winMs = windowSec * 1000
+
+    def update(key: (Long, String), it: Iterator[Event],
+      state: GroupState[DebounceAcc]): Iterator[DebounceOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var last = state.getOption.map(_.last_kept_ms)
+        val out = Seq.newBuilder[DebounceOut]
+        sorted.foreach { e =>
+          val ms = e.ts.getTime
+          if (last.forall(l => ms - l > winMs)) {
+            out += DebounceOut(key._1, key._2, e.ts, e.event_id)
+            last = Some(ms)
+          }
+        }
+        last.foreach { l =>
+          state.update(DebounceAcc(l))
+          state.setTimeoutTimestamp(l + winMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   final case class FunnelAcc(events: Seq[(String, Long)], last_ms: Long)
 
   final case class FunnelOut(user_id: Long, funnel_level: Int,

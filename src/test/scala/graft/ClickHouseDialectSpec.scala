@@ -1016,6 +1016,27 @@ class ClickHouseDialectSpec extends SparkSpec {
     spark.sql("DROP TABLE ch_opt_t")
   }
 
+  test("OPTIMIZE TABLE DEDUPLICATE drops exact duplicates, full-row and BY-key") {
+    spark.sql("DROP TABLE IF EXISTS ch_dd_t")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "ch_dd_t"))
+    spark.sql("CREATE TABLE ch_dd_t (k BIGINT, v STRING) USING parquet")
+    spark.sql("""INSERT INTO ch_dd_t VALUES
+      (1, 'a'), (1, 'a'), (1, 'b'), (2, 'c'), (2, 'c')""")
+    // full-row dedup keeps one copy of each identical row
+    ClickHouseSql.sql(spark, "OPTIMIZE TABLE ch_dd_t DEDUPLICATE")
+    assert(spark.sql("SELECT k, v FROM ch_dd_t ORDER BY k, v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (1L, "b"), (2L, "c")))
+    // BY-key dedup keeps one deterministic representative per key
+    ClickHouseSql.sql(spark, "OPTIMIZE TABLE ch_dd_t DEDUPLICATE BY k")
+    assert(spark.sql("SELECT k, v FROM ch_dd_t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "c")))
+    spark.sql("DROP TABLE ch_dd_t")
+  }
+
   test("COLUMNS('regex') expands matching columns, with APPLY chains") {
     assert(ClickHouseSql.rewrite(
       "SELECT COLUMNS('^o_order') FROM t",
@@ -1534,6 +1555,20 @@ class ClickHouseDialectSpec extends SparkSpec {
     ClickHouseSql.sql(spark, "ALTER TABLE ch_alt DROP COLUMN score")
     assert(spark.table("ch_alt").columns.toSeq === Seq("k", "v", "label"))
     assert(spark.table("ch_alt").count() === 2)
+
+    // MODIFY COLUMN casts in place, keeping name and position
+    ClickHouseSql.sql(spark, "ALTER TABLE ch_alt MODIFY COLUMN v String")
+    assert(spark.table("ch_alt").columns.toSeq === Seq("k", "v", "label"))
+    assert(spark.table("ch_alt").schema("v").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(spark.table("ch_alt").orderBy("k").collect()
+      .map(_.getString(1)).toSeq === Seq("10", "20"))
+    // IF EXISTS no-ops on a missing column; a bare DEFAULT change is loud
+    ClickHouseSql.sql(spark, "ALTER TABLE ch_alt MODIFY COLUMN IF EXISTS zzz Int64")
+    val modErr = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark, "ALTER TABLE ch_alt MODIFY COLUMN v DEFAULT '7'")
+    }
+    assert(modErr.getMessage.contains("target type"))
 
     val err = intercept[IllegalArgumentException] {
       ClickHouseSql.sql(spark, "ALTER TABLE ch_alt DROP COLUMN nope")

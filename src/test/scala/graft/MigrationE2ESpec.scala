@@ -134,6 +134,10 @@ class MigrationE2ESpec extends SparkSpec {
     ch("ALTER TABLE mig_events RENAME COLUMN region TO geo")
     ch("ALTER TABLE mig_events DROP COLUMN geo")
     assert(spark.table("mig_events").count() === 6)
+    ch("ALTER TABLE mig_events MODIFY COLUMN ver UInt32")
+    assert(spark.table("mig_events").schema("ver").dataType ===
+      org.apache.spark.sql.types.LongType) // UInt32 maps to BIGINT
+    ch("ALTER TABLE mig_events MODIFY COLUMN ver UInt64")
 
     // 9. dictionary DDL feeding dictGet in query text
     spark.sql("DROP TABLE IF EXISTS mig_kinds")

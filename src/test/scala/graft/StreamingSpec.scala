@@ -224,6 +224,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming debounce keeps the chain survivors per (user, type)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.debounceStream(mem.toDS(), windowSec = 60,
+      watermark = "1 minute")
+      .writeStream.format("memory").queryName("debounce_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def at(sec: Int) = new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000L)
+      // burst at 0 / 50 / 100 / 150 s: chain semantics keep 0 and 100 —
+      // 50 is within 60 s of kept-0, 100 is not, 150 is within 60 s of
+      // kept-100. A different event_type at 50 s is its own chain.
+      mem.addData(
+        Event(1, at(0), 7, "click", 1.0), Event(2, at(50), 7, "click", 1.0),
+        Event(5, at(50), 7, "view", 1.0))
+      q.processAllAvailable()
+      // later batch continues the same chain from state
+      mem.addData(Event(3, at(100), 7, "click", 1.0),
+        Event(4, at(150), 7, "click", 1.0))
+      q.processAllAvailable()
+      val kept = spark.table("debounce_out").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id")))
+        .toSet
+      assert(kept === Set(("click", 1L), ("click", 3L), ("view", 5L)),
+        s"got $kept")
+    } finally q.stop()
+  }
+
   test("streaming near-dup flags a twin arriving in a later batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
