@@ -1421,7 +1421,100 @@ $pivots
       .orderBy(col("dim"))
   }
 
+  // embed_pca_power — the top principal component by THREE fixed power
+  // iterations, integer-exact end to end: the heavy O(n·d²) cross-moment
+  // pass is the same distributed aggregation as embed_covariance; the
+  // iterations then run entirely on the d×d milli-normalized matrix
+  // (≤ 4096 rows — broadcast joins, no driver loop state, a static plan
+  // like dedup_hub_rank). Every division is sign-split (sign · |x| div m)
+  // because DuckDB `//` floors while Spark `div` truncates — they agree
+  // only on non-negative operands. L∞ normalization keeps entries in
+  // [-1000, 1000], so the matvec bound is d·10⁹·10³ ≈ 6·10¹³ — Long-safe
+  // at any corpus size (the n-dependence divides out in cov_milli).
+  // Covariance is PSD, so the dominant eigenvalue is non-negative and
+  // the all-positive seed cannot land orthogonal by sign symmetry.
+  val pcaPower = Q(
+    "embed_pca_power",
+    Some("""
+      WITH px AS (
+        SELECT vec_id, i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS xq
+        FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS t(i)),
+      dims AS (
+        SELECT dim, COUNT(*) AS n, SUM(xq) AS s, SUM(xq * xq) AS s2
+        FROM px GROUP BY dim),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      cm0 AS (
+        SELECT a.dim AS i, b.dim AS j, SUM(a.xq * b.xq) AS sij
+        FROM px a JOIN px b ON a.vec_id = b.vec_id AND a.dim < b.dim
+        GROUP BY 1, 2),
+      cp AS (
+        SELECT c.i, c.j, di.n * c.sij - di.s * dj.s AS cov_n2
+        FROM cm0 c
+        JOIN dims di ON di.dim = c.i
+        JOIN dims dj ON dj.dim = c.j),
+      cfull AS (
+        SELECT i, j, cov_n2 FROM cp
+        UNION ALL SELECT j, i, cov_n2 FROM cp
+        UNION ALL SELECT dim, dim, n * s2 - s * s FROM dims),
+      cmat AS (
+        SELECT i, j,
+               (CASE WHEN cov_n2 < 0 THEN -1 ELSE 1 END)
+                 * (ABS(cov_n2) * 1000 // (nn.n * nn.n)) AS c
+        FROM cfull, nn),
+      v0 AS (SELECT dim AS j, CAST(1000 AS BIGINT) AS v FROM dims),
+      w1 AS (SELECT c.i, SUM(c.c * v0.v) AS w FROM cmat c JOIN v0 ON v0.j = c.j GROUP BY c.i),
+      m1 AS (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w1),
+      v1 AS (SELECT i AS j, (CASE WHEN w < 0 THEN -1 ELSE 1 END) * (ABS(w) * 1000 // m) AS v FROM w1, m1),
+      w2 AS (SELECT c.i, SUM(c.c * v1.v) AS w FROM cmat c JOIN v1 ON v1.j = c.j GROUP BY c.i),
+      m2 AS (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w2),
+      v2 AS (SELECT i AS j, (CASE WHEN w < 0 THEN -1 ELSE 1 END) * (ABS(w) * 1000 // m) AS v FROM w2, m2),
+      w3 AS (SELECT c.i, SUM(c.c * v2.v) AS w FROM cmat c JOIN v2 ON v2.j = c.j GROUP BY c.i),
+      m3 AS (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w3),
+      v3 AS (SELECT i AS j, (CASE WHEN w < 0 THEN -1 ELSE 1 END) * (ABS(w) * 1000 // m) AS v FROM w3, m3)
+      SELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS loading_milli
+      FROM v3 ORDER BY dim
+    """)
+  ) { t =>
+    val px = t.embeddings
+      .select(col("vec_id"), posexplode(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1024).cast(LongType))))
+      .select(col("vec_id"), col("pos").cast(LongType).as("dim"), col("col").as("xq"))
+    val dims = px.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"),
+        sum(col("xq") * col("xq")).as("s2"))
+    val crossM = px.toDF("vec_id", "i", "xi")
+      .join(px.toDF("vec_id2", "j", "xj"),
+        col("vec_id") === col("vec_id2") && col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("sij"))
+    val cp = crossM
+      .join(broadcast(dims.select(col("dim").as("i"), col("n"), col("s").as("s_i"))), "i")
+      .join(broadcast(dims.select(col("dim").as("j"), col("s").as("s_j"))), "j")
+      .select(col("i"), col("j"), (col("n") * col("sij") - col("s_i") * col("s_j")).as("cov_n2"))
+    val diag = dims.select(col("dim").as("i"), col("dim").as("j"),
+      (col("n") * col("s2") - col("s") * col("s")).as("cov_n2"))
+    val nn = t.embeddings.agg(count(lit(1)).as("nn"))
+    val cmat = cp
+      .unionAll(cp.select(col("j").as("i"), col("i").as("j"), col("cov_n2")))
+      .unionAll(diag)
+      .crossJoin(broadcast(nn))
+      .select(col("i"), col("j"),
+        expr("(CASE WHEN cov_n2 < 0 THEN -1 ELSE 1 END) * (ABS(cov_n2) * 1000 DIV (nn * nn))").as("c"))
+    var v = dims.select(col("dim").as("j"), lit(1000L).as("v"))
+    for (_ <- 1 to 3) {
+      val w = cmat.join(v, "j").groupBy(col("i"))
+        .agg(sum(col("c") * col("v")).as("w"))
+      val m = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))
+      v = w.crossJoin(broadcast(m)).select(col("i").as("j"),
+        expr("(CASE WHEN w < 0 THEN -1 ELSE 1 END) * (ABS(w) * 1000 DIV m)").as("v"))
+    }
+    v.select(col("j").cast(LongType).as("dim"),
+      col("v").cast(LongType).as("loading_milli"))
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
-    filteredSearch, outliers, mips, covariance, knnGraph, calibration)
+    filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower)
 }

@@ -166,6 +166,34 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("pca power iteration lands on a dominant direction of the real covariance") {
+    val v = Ann.pcaPower.build(sf0001).collect()
+      .sortBy(_.getAs[Long]("dim")).map(_.getAs[Long]("loading_milli").toDouble)
+    assert(v.length === 64)
+    // L-infinity normalized: the peak loading is exactly ±1000
+    assert(v.map(math.abs).max === 1000.0, v.map(math.abs).max)
+    // compute the true covariance in doubles and check the iterate's
+    // Rayleigh quotient dominates every coordinate direction — i.e. the
+    // three integer rounds actually climbed toward the top eigenvector
+    val embs = sf0001.embeddings.collect()
+      .map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val n = embs.length
+    val d = 64
+    val mean = Array.tabulate(d)(j => embs.map(_(j)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      embs.map(e => (e(i) - mean(i)) * (e(j) - mean(j))).sum / n)
+    def rayleigh(x: Array[Double]): Double = {
+      val cx = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * x(j)).sum)
+      (0 until d).map(i => x(i) * cx(i)).sum / (0 until d).map(i => x(i) * x(i)).sum
+    }
+    val rq = rayleigh(v)
+    (0 until d).foreach { k =>
+      val e = Array.fill(d)(0.0); e(k) = 1.0
+      assert(rq >= rayleigh(e) * 0.999,
+        s"iterate's Rayleigh $rq below axis $k's ${rayleigh(e)}")
+    }
+  }
+
   test("knn graph: ranks contiguous from 1, dot non-increasing, no self edges") {
     val rows = Ann.knnGraph.build(sf0001).collect()
     assert(rows.nonEmpty)
