@@ -1426,9 +1426,11 @@ $pivots
   // pass is the same distributed aggregation as embed_covariance; the
   // iterations then run entirely on the d×d milli-normalized matrix
   // (≤ 4096 rows — broadcast joins, no driver loop state, a static plan
-  // like dedup_hub_rank). Every division is sign-split (sign · |x| div m)
-  // because DuckDB `//` floors while Spark `div` truncates — they agree
-  // only on non-negative operands. L∞ normalization keeps entries in
+  // like dedup_hub_rank). Divisions are sign-split (sign · |x| div m),
+  // which IS truncating division spelled engine-agnostically: both
+  // engines' integer div/`//` truncate toward zero today, and the split
+  // form stays correct even against a floor-division engine (they
+  // diverge only on negative operands). L∞ normalization keeps entries in
   // [-1000, 1000], so the matvec bound is d·10⁹·10³ ≈ 6·10¹³ — Long-safe
   // at any corpus size (the n-dependence divides out in cov_milli).
   // Covariance is PSD, so the dominant eigenvalue is non-negative and
