@@ -938,8 +938,164 @@ object TextOps {
       .orderBy(col("source"), col("kind"))
   }
 
+  // text_hash_embed — deterministic document vectors by the hashing
+  // trick (the text→embedding bridge a retrieval pipeline runs before
+  // any learned encoder exists): each token's portable hash picks one of
+  // 16 buckets (h mod 16) and a sign ((h div 256) mod 2), the bucket
+  // sums are L2-normalized to milli units with an integer isqrt. Hashing
+  // runs inside the codegen'd graft_wordhashes kernel; the vector build
+  // is one (doc, dim) aggregation plus a dimension scaffold left-join —
+  // text never shuffles, and the whole op is integer-exact so the oracle
+  // reproduces every coordinate. Emitted exploded as (doc_id, dim,
+  // val_milli) — the write layout a vector index ingests.
+  val hashEmbed = Q(
+    "text_hash_embed",
+    Some {
+      val wh = graft.functions.PortableHash.wordHashSql("w")
+      s"""
+      WITH hs AS (
+        SELECT doc_id, $wh AS h
+        FROM (SELECT doc_id,
+                UNNEST(list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                  w -> w <> '')) AS w
+              FROM documents)),
+      entries AS (
+        SELECT doc_id, h % 16 AS dim,
+               SUM(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hs GROUP BY doc_id, h % 16),
+      scaffold AS (
+        SELECT d.doc_id, t.dim
+        FROM (SELECT doc_id FROM documents) d, UNNEST(RANGE(0, 16)) AS t(dim)),
+      full_v AS (
+        SELECT s.doc_id, s.dim, COALESCE(e.v, 0) AS v
+        FROM scaffold s LEFT JOIN entries e
+          ON e.doc_id = s.doc_id AND e.dim = s.dim),
+      norms AS (
+        SELECT doc_id,
+               GREATEST(CAST(FLOOR(SQRT(CAST(SUM(v * v) AS DOUBLE))) AS BIGINT), 1) AS nrm
+        FROM full_v GROUP BY doc_id)
+      SELECT f.doc_id, CAST(f.dim AS BIGINT) AS dim,
+             CAST((CASE WHEN f.v < 0 THEN -1 ELSE 1 END)
+               * (ABS(f.v) * 1000 // n.nrm) AS BIGINT) AS val_milli
+      FROM full_v f JOIN norms n ON n.doc_id = f.doc_id
+      ORDER BY f.doc_id, f.dim
+      """
+    }
+  ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
+    val entries = t.documents
+      .select(col("doc_id"),
+        explode(call_function("graft_wordhashes", lower(trim(col("text"))))).as("h"))
+      .select(col("doc_id"), (col("h") % 16).as("dim"),
+        expr("CASE WHEN (h div 256) % 2 = 1 THEN 1L ELSE -1L END").as("sgn"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("v"))
+    val scaffold = t.documents.select(col("doc_id"))
+      .crossJoin(broadcast(t.spark.range(0, 16).select(col("id").as("dim"))))
+    val fullV = scaffold
+      .join(entries, Seq("doc_id", "dim"), "left")
+      .select(col("doc_id"), col("dim"), coalesce(col("v"), lit(0L)).as("v"))
+    val norms = fullV.groupBy(col("doc_id"))
+      .agg(greatest(floor(sqrt(sum(col("v") * col("v")).cast(DoubleType)))
+        .cast(LongType), lit(1L)).as("nrm"))
+    fullV.join(norms, "doc_id")
+      .select(col("doc_id"), col("dim").cast(LongType).as("dim"),
+        expr("(CASE WHEN v < 0 THEN -1 ELSE 1 END) * (ABS(v) * 1000 DIV nrm)")
+          .cast(LongType).as("val_milli"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  // text_pmi_pairs — collocation mining: the 20 strongest token-pair
+  // associations within a 3-token forward window, ranked by integer lift
+  // (c_ab·N·100 div c_a·c_b — PMI's argument in fixed-point), minimum
+  // pair count 5. Scale shape: pairs travel as HASH pairs (the
+  // codegen'd graft_wordhashes stream, 3 array pairs per token — never
+  // pair strings), the count is one hash aggregation, the cut is the
+  // two-phase TopKPerGroup, and only the ≤ 40 surviving hashes join back
+  // to the (hash → token) dictionary to recover strings. The oracle runs
+  // the same algebra over strings with the hash tie-break mirrored, so
+  // both engines select the identical boundary set.
+  val pmiPairs = Q(
+    "text_pmi_pairs",
+    Some {
+      val wh1 = graft.functions.PortableHash.wordHashSql("w1")
+      val wh2 = graft.functions.PortableHash.wordHashSql("w2")
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                 w -> w <> '') AS ws
+        FROM documents),
+      pos AS (
+        SELECT doc_id, ws, i, ws[i] AS w1
+        FROM toks, UNNEST(RANGE(1, LEN(ws) + 1)) AS t(i)),
+      pairs AS (
+        SELECT w1, ws[i + k] AS w2
+        FROM pos, UNNEST(RANGE(1, 4)) AS o(k)
+        WHERE i + k <= LEN(ws)),
+      pc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY w1, w2),
+      uni AS (
+        SELECT w AS tok, COUNT(*) AS c FROM (
+          SELECT UNNEST(ws) AS w FROM toks) GROUP BY w),
+      nn AS (SELECT SUM(c) AS n FROM uni),
+      scored AS (
+        SELECT p.w1, p.w2, p.c_ab,
+               p.c_ab * nn.n * 100 // (u1.c * u2.c) AS lift_x100
+        FROM pc p
+        JOIN uni u1 ON u1.tok = p.w1
+        JOIN uni u2 ON u2.tok = p.w2
+        CROSS JOIN nn
+        WHERE p.c_ab >= 5),
+      ranked AS (
+        SELECT w1, w2, c_ab, lift_x100,
+               ROW_NUMBER() OVER (ORDER BY lift_x100 DESC,
+                 $wh1 * 2147483648 + $wh2) AS rn
+        FROM scored)
+      SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+             CAST(lift_x100 AS BIGINT) AS lift_x100
+      FROM ranked WHERE rn <= 20
+      ORDER BY lift_x100 DESC, w1, w2
+      """
+    }
+  ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
+    val hs = t.documents
+      .select(call_function("graft_wordhashes", lower(trim(col("text")))).as("hs"))
+    val pairs = hs.select(explode(expr(
+      """flatten(transform(hs,
+           (x, i) -> transform(slice(hs, i + 2, 3), y -> struct(x AS h1, y AS h2))))"""))
+      .as("p"))
+      .select(col("p.h1").as("h1"), col("p.h2").as("h2"))
+    val pc = pairs.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("c_ab"))
+    val uni = hs.select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val nn = uni.agg(sum(col("c")).as("n"))
+    val scored = pc
+      .join(uni.select(col("h").as("h1"), col("c").as("c1")), "h1")
+      .join(uni.select(col("h").as("h2"), col("c").as("c2")), "h2")
+      .crossJoin(broadcast(nn))
+      .filter(col("c_ab") >= 5)
+      .select(col("h1"), col("h2"), col("c_ab"),
+        expr("c_ab * n * 100 div (c1 * c2)").as("lift_x100"),
+        (col("h1") * lit(2147483648L) + col("h2")).as("tb"))
+    val top = graft.plans.TopKPerGroup.topK(
+      scored.withColumn("g", lit(1)), Seq("g"), "lift_x100", "tb", 20)
+    // hash → token dictionary, joined only against the ≤ 40 survivors
+    val dict = t.documents
+      .select(explode(filter(split(trim(lower(col("text"))), "\\s+"),
+        w => w =!= "")).as("w"))
+      .select(col("w"), call_function("graft_wordhashes", col("w")).getItem(0).as("h"))
+      .distinct()
+    top
+      .join(dict.select(col("h").as("h1"), col("w").as("w1")), "h1")
+      .join(dict.select(col("h").as("h2"), col("w").as("w2")), "h2")
+      .select(col("w1"), col("w2"), col("c_ab").cast(LongType).as("c_ab"),
+        col("lift_x100").cast(LongType).as("lift_x100"))
+      .orderBy(col("lift_x100").desc, col("w1"), col("w2"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
-    search, boilerplate)
+    search, boilerplate, hashEmbed, pmiPairs)
 }
