@@ -1516,7 +1516,86 @@ $pivots
       .orderBy(col("dim"))
   }
 
+  // embed_rp_project — signed random projection 64→8 dims (the
+  // Achlioptas/JL sketch) with its distortion audit: y_j = Σ_d s_dj·x_d
+  // over the ±1 hyperplane family the LSH index already treats as model
+  // constants, on the shared 1024 integer grid so both engines agree on
+  // every coordinate. E[‖y‖²] = 8·‖x‖² for ±1 signs, so the per-vector
+  // ratio ‖y‖²·10⁴/(8·‖x‖²) centered on 10000 bp IS the JL distortion —
+  // reported per label as mean/min/max. Shape matters more than the
+  // sketch: the projection is a PER-ROW map (8 codegen'd
+  // aggregate-over-array folds, no explode, no shuffle), so at 100 TB it
+  // rides the scan like any narrow transform; only the label-sized audit
+  // aggregate moves. The oracle takes the explode form — same
+  // arithmetic, friendlier SQL.
+  val rpProject = {
+    val signs = graft.functions.PortableHash.planeSigns(8, 64)
+    val sMatSql = (0 until 8).map(j => signs(j).map(v =>
+      if (v > 0) "1" else "-1").mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    Q(
+      "embed_rp_project",
+      Some(s"""
+        WITH px AS (
+          SELECT vec_id, i - 1 AS dim,
+                 CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1024) AS BIGINT) AS xq
+          FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS t(i)),
+        nx AS (SELECT vec_id, SUM(xq * xq) AS n2x FROM px GROUP BY vec_id),
+        proj AS (
+          SELECT vec_id, j,
+                 SUM(xq * CAST(list_extract(list_extract($sMatSql, j + 1),
+                   dim + 1) AS BIGINT)) AS y
+          FROM px, UNNEST(RANGE(0, 8)) AS t2(j)
+          GROUP BY vec_id, j),
+        ny AS (SELECT vec_id, SUM(y * y) AS n2y FROM proj GROUP BY vec_id),
+        r AS (
+          SELECT e.label,
+                 ny.n2y * 10000 // (8 * GREATEST(nx.n2x, 1)) AS ratio_bp
+          FROM embeddings e
+          JOIN nx ON nx.vec_id = e.vec_id
+          JOIN ny ON ny.vec_id = e.vec_id)
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ratio_bp) // COUNT(*) AS BIGINT) AS mean_ratio_bp,
+               CAST(MIN(ratio_bp) AS BIGINT) AS min_ratio_bp,
+               CAST(MAX(ratio_bp) AS BIGINT) AS max_ratio_bp
+        FROM r
+        GROUP BY label
+        ORDER BY label
+      """)
+    ) { t =>
+      val xq = transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1024).cast(LongType))
+      def signsLit(j: Int): Column =
+        array(signs(j).map(v => lit(if (v > 0) 1L else -1L)): _*)
+      val yCols = (0 until 8).map { j =>
+        aggregate(zip_with(col("xq"), signsLit(j), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as(s"y$j")
+      }
+      val perVec = t.embeddings
+        .select(col("vec_id"), col("label").cast(LongType).as("label"), xq.as("xq"))
+        .select(col("vec_id"), col("label"),
+          aggregate(col("xq"), lit(0L), (acc, v) => acc + v * v).as("n2x"),
+          struct(yCols: _*).as("ys"))
+        .select(col("vec_id"), col("label"), col("n2x"),
+          (0 until 8).map(j => col(s"ys.y$j") * col(s"ys.y$j"))
+            .reduce(_ + _).as("n2y"))
+        .select(col("label"),
+          expr("n2y * 10000 div (8 * greatest(n2x, 1))").as("ratio_bp"))
+      perVec
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ratio_bp")).as("sr"),
+          min(col("ratio_bp")).as("min_ratio_bp"),
+          max(col("ratio_bp")).as("max_ratio_bp"))
+        .select(col("label"), col("n"),
+          expr("sr div n").as("mean_ratio_bp"),
+          col("min_ratio_bp"), col("max_ratio_bp"))
+        .orderBy(col("label"))
+    }
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
-    filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower)
+    filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
+    rpProject)
 }

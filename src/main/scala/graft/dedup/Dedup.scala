@@ -1688,9 +1688,60 @@ object Dedup {
       .orderBy(col("component"))
   }
 
+  // dedup_edit_distance — ORDER-SENSITIVE confirmation of the MinHash
+  // candidates: every set-based confirm upstream (signature agreement,
+  // exact Jaccard, containment) treats "b a" ≡ "a b", so a shuffled
+  // template scores as a perfect duplicate. Character-level Levenshtein
+  // is the truth that catches reordering before a cut trusts it. Cost
+  // discipline: the O(L²) DP runs ONLY on LSH candidate pairs (never
+  // corpus²), through Spark's codegen'd levenshtein expression; the free
+  // length-gap lower bound (|len1−len2| ≤ dist) ships alongside so a
+  // cheap pre-filter stage can be audited against the DP it would skip.
+  // At 100 TB docs past a length cap would be confirmed on a bounded
+  // prefix (the standard banded-DP tradeoff) — a policy this report
+  // makes explicit rather than silent.
+  val editDistance = Q(
+    "dedup_edit_distance",
+    Some(s"""
+      WITH $minhashCandSql,
+      texts AS (SELECT doc_id, text, LEN(text) AS len FROM corpus),
+      pairs AS (
+        SELECT c.id1, c.id2,
+               LEVENSHTEIN(t1.text, t2.text) AS dist,
+               GREATEST(t1.len, t2.len) AS maxlen,
+               ABS(t1.len - t2.len) AS len_gap
+        FROM (SELECT DISTINCT id1, id2 FROM cand) c
+        JOIN texts t1 ON t1.doc_id = c.id1
+        JOIN texts t2 ON t2.doc_id = c.id2)
+      SELECT id1, id2,
+             CAST(dist AS BIGINT) AS dist,
+             CAST(len_gap AS BIGINT) AS len_gap,
+             CAST((maxlen - dist) * 10000 // maxlen AS BIGINT) AS sim_bp,
+             CAST(CASE WHEN (maxlen - dist) * 10000 // maxlen >= 8000
+                       THEN 1 ELSE 0 END AS BIGINT) AS confirmed
+      FROM pairs
+      ORDER BY id1, id2
+    """)
+  ) { t =>
+    val texts = withTwins(t).select(col("doc_id"), col("text"),
+      length(col("text")).cast(LongType).as("len"))
+    minhashCands(t).select(col("id1"), col("id2"))
+      .join(texts.toDF("id1", "text1", "len1"), "id1")
+      .join(texts.toDF("id2", "text2", "len2"), "id2")
+      .select(col("id1"), col("id2"),
+        levenshtein(col("text1"), col("text2")).cast(LongType).as("dist"),
+        abs(col("len1") - col("len2")).as("len_gap"),
+        greatest(col("len1"), col("len2")).as("maxlen"))
+      .select(col("id1"), col("id2"), col("dist"), col("len_gap"),
+        expr("(maxlen - dist) * 10000 div maxlen").as("sim_bp"),
+        when(expr("(maxlen - dist) * 10000 div maxlen") >= 8000, 1L)
+          .otherwise(0L).as("confirmed"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
-    thresholdSweep, hubRank, canonical)
+    thresholdSweep, hubRank, canonical, editDistance)
 }

@@ -213,5 +213,97 @@ object MergeTree {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(replacing, collapsing, aggState, summing)
+  // q82_versioned_collapsing — VersionedCollapsingMergeTree(sign, version)
+  // FINAL: unlike plain Collapsing (q60), where a -1 cancels the LATEST
+  // +1 and out-of-order inserts corrupt state, a -1 cancels exactly the
+  // +1 carrying the SAME version — safe under arbitrary arrival order.
+  // The writer protocol is replayed from events: each event is a state
+  // update for its (user_id, event_type) key, written as cancel-previous
+  // (-1, k-1) + insert-new (+1, k), k = the per-key update sequence. The
+  // FINAL read is then pure aggregation: group rows by (key, version),
+  // a zero sign-sum is a cancelled pair, the surviving +1 with the max
+  // version is current state. Both the per-key sequencing window and the
+  // cancellation groupBy partition on the high-cardinality key — state
+  // per sort key, no global ordering anywhere, the same shape ClickHouse
+  // merges rely on at 100 TB.
+  val versioned = Q(
+    "q82_versioned_collapsing",
+    Some("""
+      WITH seqd AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS k
+        FROM events),
+      writes AS (
+        SELECT user_id, event_type, 1 AS sign, k AS version, value FROM seqd
+        UNION ALL
+        SELECT user_id, event_type, -1 AS sign, k - 1 AS version, value
+        FROM seqd WHERE k > 1),
+      grp AS (
+        SELECT user_id, event_type, version,
+               SUM(sign) AS ssum, COUNT(*) AS cnt,
+               MAX(CASE WHEN sign = 1 THEN value END) AS plus_value
+        FROM writes
+        GROUP BY user_id, event_type, version),
+      finals AS (
+        SELECT user_id, event_type,
+               MAX_BY(plus_value, version) AS final_value
+        FROM grp WHERE ssum = 1
+        GROUP BY user_id, event_type),
+      per_key AS (
+        SELECT user_id, event_type,
+               SUM(cnt) AS writes,
+               SUM(CASE WHEN ssum = 0 AND cnt = 2 THEN 1 ELSE 0 END) AS cancelled
+        FROM grp
+        GROUP BY user_id, event_type)
+      SELECT p.event_type,
+             CAST(SUM(p.writes) AS BIGINT) AS n_writes,
+             CAST(SUM(p.cancelled) AS BIGINT) AS n_cancelled_pairs,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CAST(f.final_value AS DECIMAL(18, 2))) AS DOUBLE)
+               AS total_final_value
+      FROM per_key p
+      LEFT JOIN finals f USING (user_id, event_type)
+      GROUP BY p.event_type
+      ORDER BY p.event_type
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val seqd = t.events
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+        col("event_id"))
+      .withColumn("k", row_number().over(w).cast(LongType))
+    val writes = seqd
+      .select(col("user_id"), col("event_type"), lit(1L).as("sign"),
+        col("k").as("version"), col("value"))
+      .unionAll(seqd.filter(col("k") > 1L)
+        .select(col("user_id"), col("event_type"), lit(-1L).as("sign"),
+          (col("k") - 1L).as("version"), col("value")))
+    val grp = writes
+      .groupBy(col("user_id"), col("event_type"), col("version"))
+      .agg(sum(col("sign")).as("ssum"), count(lit(1)).as("cnt"),
+        max(when(col("sign") === 1L, col("value"))).as("plus_value"))
+    val finals = grp.filter(col("ssum") === 1L)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(col("plus_value"), col("version")).as("final_value"))
+    val perKey = grp
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("cnt")).as("writes"),
+        sum(when(col("ssum") === 0L && col("cnt") === 2L, 1L).otherwise(0L))
+          .as("cancelled"))
+      .join(finals, Seq("user_id", "event_type"), "left")
+    perKey
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("writes")).cast(LongType).as("n_writes"),
+        sum(col("cancelled")).cast(LongType).as("n_cancelled_pairs"),
+        count(lit(1)).as("n_keys"),
+        sum(col("final_value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_final_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(replacing, collapsing, aggState, summing, versioned)
 }

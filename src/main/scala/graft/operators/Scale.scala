@@ -239,5 +239,138 @@ object Scale {
       .orderBy(col("shard"))
   }
 
-  val all: Seq[Q] = Seq(q43, q44, q45, q51, q57, q76)
+  // q81_key_sample — ClickHouse `SAMPLE BY intHash(key)` analog plus its
+  // accuracy audit: a deterministic 1-in-8 slice of the USER key space
+  // (not of rows — every sampled user keeps ALL their events, so
+  // per-user sequences like funnels/sessions stay intact inside the
+  // sample, which per-row sampling like q39 destroys). The sample
+  // predicate is a pure function of user_id, so at 100 TB it pushes to
+  // the scan and — on a table physically SAMPLE-BY-clustered like
+  // ClickHouse's — prunes 7/8 of granules before reading them. The audit
+  // half scans once and reports ×8-scaled estimates against truth per
+  // event_type (events and distinct users), in integer basis points:
+  // the evidence a team needs before trusting sampled dashboards.
+  val q81 = {
+    val (a0, b0, p) = (graft.functions.PortableHash.coefA(0),
+      graft.functions.PortableHash.coefB(0), graft.functions.PortableHash.P)
+    val sampledSql = s"(($a0 * user_id + $b0) % $p) % 8 = 0"
+    Q(
+      "q81_key_sample",
+      Some(s"""
+        WITH g AS (
+          SELECT event_type,
+                 COUNT(*) AS actual_events,
+                 COUNT(DISTINCT user_id) AS actual_users,
+                 COUNT(CASE WHEN $sampledSql THEN 1 END) AS sample_events,
+                 COUNT(DISTINCT CASE WHEN $sampledSql THEN user_id END) AS sample_users
+          FROM events
+          GROUP BY event_type)
+        SELECT event_type,
+               CAST(sample_events AS BIGINT) AS sample_events,
+               CAST(sample_users AS BIGINT) AS sample_users,
+               CAST(sample_events * 8 AS BIGINT) AS est_events,
+               CAST(actual_events AS BIGINT) AS actual_events,
+               CAST(ABS(sample_events * 8 - actual_events) * 10000 // actual_events
+                    AS BIGINT) AS err_bp
+        FROM g
+        ORDER BY event_type
+      """)
+    ) { t =>
+      val sampled = expr(s"(($a0 * user_id + $b0) % $p) % 8 = 0")
+      t.events
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(sampled, lit(1))).as("sample_events"),
+          countDistinct(when(sampled, col("user_id"))).as("sample_users"),
+          count(lit(1)).as("actual_events"),
+          countDistinct(col("user_id")).as("actual_users"))
+        .select(col("event_type"),
+          col("sample_events"), col("sample_users"),
+          (col("sample_events") * 8).as("est_events"),
+          col("actual_events"),
+          expr("abs(sample_events * 8 - actual_events) * 10000 div actual_events")
+            .as("err_bp"))
+        .orderBy(col("event_type"))
+    }
+  }
+
+  // q83_skip_index — the data-skipping audit that justifies q76's z-order
+  // layout: lay events into 1000-row granules in Morton (user, day) order,
+  // collect each granule's minmax extents (exactly the per-granule
+  // metadata a MergeTree skip index / parquet row-group footer stores),
+  // then evaluate a two-dimensional predicate (user_id 32..47 AND day
+  // 2024-01-08..2024-01-15) against the extents alone. `can_skip` = the
+  // extent test proves the granule empty of matches; `n_match` = the true
+  // match count, so the report itself verifies the pruning is sound
+  // (skip ⇒ 0 matches) and measures its power (fraction of granules
+  // skipped). On a linear time-ordered layout the user dimension prunes
+  // nothing; interleaving makes BOTH predicates prune — the reason a
+  // 100 TB table pays the one-time z-order write. Granule ranks come from
+  // plans.GlobalRank (range partition + prefix-sum offsets), not a
+  // single-partition window.
+  val q83 = Q(
+    "q83_skip_index",
+    Some {
+      val zx = mortonSpreadSql("(user_id & 65535)")
+      val zy = mortonSpreadSql(
+        "(CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS TIMESTAMP)) AS BIGINT) & 65535)")
+      s"""
+      WITH keyed AS (
+        SELECT user_id,
+               CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS TIMESTAMP)) AS BIGINT) AS d,
+               ($zx | ($zy << 1)) AS zkey,
+               event_id
+        FROM events
+      ), sharded AS (
+        SELECT user_id, d,
+               (ROW_NUMBER() OVER (ORDER BY zkey, event_id) - 1) // 1000 AS granule
+        FROM keyed
+      ), ext AS (
+        SELECT granule, COUNT(*) AS n,
+               MIN(user_id) AS u_lo, MAX(user_id) AS u_hi,
+               MIN(d) AS d_lo, MAX(d) AS d_hi,
+               COUNT(CASE WHEN user_id BETWEEN 32 AND 47
+                           AND d BETWEEN 19730 AND 19737 THEN 1 END) AS n_match
+        FROM sharded GROUP BY granule)
+      SELECT CAST(granule AS BIGINT) AS granule,
+             CAST(n AS BIGINT) AS n,
+             CAST(u_lo AS BIGINT) AS u_lo, CAST(u_hi AS BIGINT) AS u_hi,
+             CAST(d_lo AS BIGINT) AS d_lo, CAST(d_hi AS BIGINT) AS d_hi,
+             CAST(CASE WHEN u_hi < 32 OR u_lo > 47 OR d_hi < 19730 OR d_lo > 19737
+                       THEN 1 ELSE 0 END AS BIGINT) AS can_skip,
+             CAST(n_match AS BIGINT) AS n_match
+      FROM ext
+      ORDER BY granule
+      """
+    }
+  ) { t =>
+    val keyed = t.events.select(
+      col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01")).cast(LongType).as("d"),
+      col("event_id"))
+      .withColumn("zkey",
+        mortonSpread(col("user_id"))
+          .bitwiseOR(shiftleft(mortonSpread(col("d")), 1)))
+    val inPred = col("user_id").between(32, 47) && col("d").between(19730L, 19737L)
+    graft.plans.GlobalRank
+      .withRowNumber(keyed, Seq(col("zkey"), col("event_id")), 32, "rn")
+      .withColumn("granule", expr("CAST((rn - 1) DIV 1000 AS BIGINT)"))
+      .groupBy(col("granule"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("user_id")).cast(LongType).as("u_lo"),
+        max(col("user_id")).cast(LongType).as("u_hi"),
+        min(col("d")).cast(LongType).as("d_lo"),
+        max(col("d")).cast(LongType).as("d_hi"),
+        count(when(inPred, lit(1))).as("n_match"))
+      .select(col("granule"), col("n"), col("u_lo"), col("u_hi"),
+        col("d_lo"), col("d_hi"),
+        when(col("u_hi") < 32 || col("u_lo") > 47 ||
+          col("d_hi") < 19730L || col("d_lo") > 19737L, 1L).otherwise(0L)
+          .as("can_skip"),
+        col("n_match"))
+      .orderBy(col("granule"))
+  }
+
+  val all: Seq[Q] = Seq(q43, q44, q45, q51, q57, q76, q81, q83)
 }

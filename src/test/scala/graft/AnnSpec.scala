@@ -208,4 +208,19 @@ class AnnSpec extends SparkSpec {
       assert(dots === dots.sorted.reverse, s"vec $v dot_q not non-increasing")
     }
   }
+
+  test("embed_rp_project: ±1 projection preserves norms within JL distortion") {
+    val rows = graft.ann.Ann.rpProject.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mean = r.getAs[Long]("mean_ratio_bp")
+      // E[ratio] = 10000 bp; per-label means over ~50 vectors at k=8
+      // concentrate well inside a factor of ~2
+      assert(mean > 4000L && mean < 25000L,
+        s"label ${r.getAs[Long]("label")} mean_ratio_bp $mean")
+      assert(r.getAs[Long]("min_ratio_bp") >= 0L)
+      assert(r.getAs[Long]("min_ratio_bp") <= mean &&
+        mean <= r.getAs[Long]("max_ratio_bp"))
+    }
+  }
 }

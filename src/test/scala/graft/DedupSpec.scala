@@ -218,4 +218,22 @@ class DedupSpec extends SparkSpec {
     // the gate keeps only meaningful overlap
     rows.foreach(r => assert(r.getAs[Long]("containment_bp") >= 5000L))
   }
+
+  test("edit distance confirms planted twins and respects the length-gap bound") {
+    val rows = Dedup.editDistance.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // |len1 - len2| is a lower bound on Levenshtein distance
+      assert(r.getAs[Long]("dist") >= r.getAs[Long]("len_gap"))
+      val bp = r.getAs[Long]("sim_bp")
+      assert(bp >= 0L && bp <= 10000L)
+    }
+    // a twin is its original minus a 3-word tail: high char-level similarity
+    val twins = rows.filter(r =>
+      r.getAs[Long]("id2") === r.getAs[Long]("id1") + 1000000L)
+    assert(twins.nonEmpty)
+    val confirmed = twins.count(_.getAs[Long]("confirmed") === 1L)
+    assert(confirmed.toDouble / twins.length >= 0.8,
+      s"only $confirmed of ${twins.length} twins confirmed at 8000 bp")
+  }
 }

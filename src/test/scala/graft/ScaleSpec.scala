@@ -133,4 +133,36 @@ class ScaleSpec extends SparkSpec {
         s"avg shard covers ${areaRatio * 100}%% of the global rectangle — not clustered")
     }
   }
+
+  test("q81 keyed sample: consistent per-user slices and sane ×8 estimates") {
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val rows = Scale.q81.build(t).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val sampleEvents = r.getAs[Long]("sample_events")
+      val actual = r.getAs[Long]("actual_events")
+      assert(sampleEvents > 0 && sampleEvents < actual)
+      assert(r.getAs[Long]("est_events") === sampleEvents * 8)
+      // a 1-in-8 hash slice of 150 users should estimate within ~50%
+      assert(r.getAs[Long]("err_bp") <= 5000, s"err_bp ${r.getAs[Long]("err_bp")}")
+    }
+    // keyed (not row) sampling: the same users are in-sample for every type,
+    // so the distinct-user slice is consistent across groups
+    val su = rows.map(_.getAs[Long]("sample_users"))
+    assert(su.max - su.min <= 4, s"per-type sampled-user counts drifted: ${su.toSeq}")
+  }
+
+  test("q83 skip-index audit: pruning is sound and the z-layout prunes") {
+    val rows = Scale.q83.build(Tables(spark, "/root/testdata/sf0.01")).collect()
+    assert(rows.length >= 8)
+    rows.foreach { r =>
+      if (r.getAs[Long]("can_skip") === 1L)
+        assert(r.getAs[Long]("n_match") === 0L,
+          s"granule ${r.getAs[Long]("granule")} skipped but has matches")
+      assert(r.getAs[Long]("u_lo") <= r.getAs[Long]("u_hi"))
+      assert(r.getAs[Long]("d_lo") <= r.getAs[Long]("d_hi"))
+    }
+    val skipped = rows.count(_.getAs[Long]("can_skip") === 1L)
+    assert(skipped > 0, "z-ordered granule extents pruned nothing")
+  }
 }
