@@ -305,5 +305,61 @@ object MergeTree {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(replacing, collapsing, aggState, summing, versioned)
+  // q84_ttl_expiry — MergeTree TTL semantics, both policies at once:
+  // `TTL ts + INTERVAL 14 DAY DELETE` drops expired detail rows, and
+  // `TTL … GROUP BY day, type SET value = sum(value)` (the downsampling
+  // variant) collapses them into per-day aggregates instead — old data
+  // gets coarser, not gone. The reference clock is the table's own
+  // max(ts) (deterministic; production would use now()). The report per
+  // type shows what each policy retains: live detail rows + value, and
+  // the expired mass as (rollup rows, preserved value) — rollup value
+  // must equal expired value exactly, which the DECIMAL sums prove. One
+  // scan: the 1-row max-day aggregate broadcasts back (scalar subquery),
+  // then conditional aggregation — at 100 TB TTL is a partition-drop /
+  // partition-rewrite decided by exactly these per-granule day extents.
+  val ttlExpiry = Q(
+    "q84_ttl_expiry",
+    Some("""
+      WITH d AS (
+        SELECT event_type, value,
+               CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS TIMESTAMP)) AS BIGINT) AS d
+        FROM events),
+      cut AS (SELECT MAX(d) - 14 AS cutoff FROM d)
+      SELECT event_type,
+             CAST(COUNT(CASE WHEN d.d > cut.cutoff THEN 1 END) AS BIGINT) AS n_live,
+             CAST(COUNT(CASE WHEN d.d <= cut.cutoff THEN 1 END) AS BIGINT) AS n_expired,
+             CAST(COUNT(DISTINCT CASE WHEN d.d <= cut.cutoff THEN d.d END) AS BIGINT)
+               AS n_rollup_rows,
+             CAST(SUM(CASE WHEN d.d > cut.cutoff
+                           THEN CAST(value AS DECIMAL(18, 2)) ELSE 0 END) AS DOUBLE)
+               AS live_value,
+             CAST(SUM(CASE WHEN d.d <= cut.cutoff
+                           THEN CAST(value AS DECIMAL(18, 2)) ELSE 0 END) AS DOUBLE)
+               AS rollup_value
+      FROM d, cut
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    val d = t.events.select(col("event_type"), col("value"),
+      datediff(to_date(col("ts")), lit("1970-01-01")).cast(LongType).as("d"))
+    val cut = d.agg((max(col("d")) - 14L).as("cutoff"))
+    val expired = col("d") <= col("cutoff")
+    d.crossJoin(broadcast(cut))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(!expired, lit(1))).as("n_live"),
+        count(when(expired, lit(1))).as("n_expired"),
+        countDistinct(when(expired, col("d"))).as("n_rollup_rows"),
+        sum(when(!expired, col("value").cast(DecimalType(18, 2)))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType)
+          .as("live_value"),
+        sum(when(expired, col("value").cast(DecimalType(18, 2)))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType)
+          .as("rollup_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(replacing, collapsing, aggState, summing, versioned,
+    ttlExpiry)
 }

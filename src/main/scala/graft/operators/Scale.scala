@@ -372,5 +372,118 @@ object Scale {
       .orderBy(col("granule"))
   }
 
-  val all: Seq[Q] = Seq(q43, q44, q45, q51, q57, q76, q81, q83)
+  // q85_projection_audit — ClickHouse "projections" decided with data:
+  // the same fact table stored in three physical orders (day-sorted,
+  // user-sorted, z-order) and, for each of three predicates (day range,
+  // user range, both), how many 1000-row granules and rows each layout
+  // actually has to read, judged ONLY by per-granule minmax extents —
+  // the exact information a projection/materialized-ordering optimizer
+  // has at plan time. rows_matched is layout-invariant (a built-in
+  // consistency check); rows_scanned is the winner's evidence: each
+  // single-dimension sort dominates its own predicate and collapses on
+  // the other, z-order is the compromise that prunes on both. This is
+  // the 100 TB decision report for "which second sort order is worth
+  // storing" — granule ranks from plans.GlobalRank, never a
+  // single-partition window, ×3 layouts = 3 range shuffles of a
+  // 3-column projection of the facts.
+  val q85 = Q(
+    "q85_projection_audit",
+    Some {
+      val zx = mortonSpreadSql("(user_id & 65535)")
+      val zy = mortonSpreadSql("(d & 65535)")
+      val layouts = Seq(
+        "day_sorted" -> "d", "user_sorted" -> "user_id",
+        "zorder" -> s"($zx | ($zy << 1))")
+      val perLayout = layouts.map { case (name, ord) =>
+        s"""${name}_sh AS (
+        SELECT user_id, d,
+               (ROW_NUMBER() OVER (ORDER BY $ord, event_id) - 1) // 1000 AS granule
+        FROM keyed),
+      ${name}_ext AS (
+        SELECT granule, COUNT(*) AS n,
+               MIN(user_id) AS u_lo, MAX(user_id) AS u_hi,
+               MIN(d) AS d_lo, MAX(d) AS d_hi,
+               COUNT(CASE WHEN d BETWEEN 19730 AND 19737 THEN 1 END) AS m_day,
+               COUNT(CASE WHEN user_id BETWEEN 32 AND 47 THEN 1 END) AS m_user,
+               COUNT(CASE WHEN d BETWEEN 19730 AND 19737
+                           AND user_id BETWEEN 32 AND 47 THEN 1 END) AS m_both
+        FROM ${name}_sh GROUP BY granule)"""
+      }.mkString(",\n      ")
+      val preds = Seq(
+        ("p_day", "d_hi >= 19730 AND d_lo <= 19737", "m_day"),
+        ("p_user", "u_hi >= 32 AND u_lo <= 47", "m_user"),
+        ("p_both", "d_hi >= 19730 AND d_lo <= 19737 AND u_hi >= 32 AND u_lo <= 47",
+          "m_both"))
+      val branches = layouts.flatMap { case (name, _) =>
+        preds.map { case (pname, hit, m) =>
+          s"""SELECT '$name' AS layout, '$pname' AS predicate,
+               CAST(COUNT(*) AS BIGINT) AS granules_total,
+               CAST(COUNT(CASE WHEN $hit THEN 1 END) AS BIGINT) AS granules_scanned,
+               CAST(COALESCE(SUM(CASE WHEN $hit THEN n ELSE 0 END), 0) AS BIGINT) AS rows_scanned,
+               CAST(COALESCE(SUM($m), 0) AS BIGINT) AS rows_matched
+          FROM ${name}_ext"""
+        }
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH keyed AS (
+        SELECT user_id,
+               CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS TIMESTAMP)) AS BIGINT) AS d,
+               event_id
+        FROM events),
+      $perLayout
+      $branches
+      ORDER BY layout, predicate
+      """
+    }
+  ) { t =>
+    val keyed = t.events.select(
+      col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01")).cast(LongType).as("d"),
+      col("event_id"))
+    val pDay = col("d").between(19730L, 19737L)
+    val pUser = col("user_id").between(32L, 47L)
+    val hitDay = col("d_hi") >= 19730L && col("d_lo") <= 19737L
+    val hitUser = col("u_hi") >= 32L && col("u_lo") <= 47L
+    def audit(layout: String, sortKey: Column): DataFrame = {
+      val ext = graft.plans.GlobalRank
+        .withRowNumber(keyed, Seq(sortKey, col("event_id")), 32, "rn")
+        .withColumn("granule", expr("(rn - 1) DIV 1000"))
+        .groupBy(col("granule"))
+        .agg(count(lit(1)).as("n"),
+          min(col("user_id")).cast(LongType).as("u_lo"),
+          max(col("user_id")).cast(LongType).as("u_hi"),
+          min(col("d")).as("d_lo"), max(col("d")).as("d_hi"),
+          count(when(pDay, lit(1))).as("m_day"),
+          count(when(pUser, lit(1))).as("m_user"),
+          count(when(pDay && pUser, lit(1))).as("m_both"))
+      val one = ext.agg(
+        count(lit(1)).as("g_total"),
+        count(when(hitDay, lit(1))).as("gs_day"),
+        sum(when(hitDay, col("n")).otherwise(0L)).as("rs_day"),
+        sum(col("m_day")).as("rm_day"),
+        count(when(hitUser, lit(1))).as("gs_user"),
+        sum(when(hitUser, col("n")).otherwise(0L)).as("rs_user"),
+        sum(col("m_user")).as("rm_user"),
+        count(when(hitDay && hitUser, lit(1))).as("gs_both"),
+        sum(when(hitDay && hitUser, col("n")).otherwise(0L)).as("rs_both"),
+        sum(col("m_both")).as("rm_both"))
+      Seq(("p_day", "gs_day", "rs_day", "rm_day"),
+        ("p_user", "gs_user", "rs_user", "rm_user"),
+        ("p_both", "gs_both", "rs_both", "rm_both")).map { case (p, gs, rs, rm) =>
+        one.select(lit(layout).as("layout"), lit(p).as("predicate"),
+          col("g_total").cast(LongType).as("granules_total"),
+          col(gs).cast(LongType).as("granules_scanned"),
+          coalesce(col(rs), lit(0L)).cast(LongType).as("rows_scanned"),
+          coalesce(col(rm), lit(0L)).cast(LongType).as("rows_matched"))
+      }.reduce(_ unionAll _)
+    }
+    val zkey = mortonSpread(col("user_id"))
+      .bitwiseOR(shiftleft(mortonSpread(col("d")), 1))
+    audit("day_sorted", col("d"))
+      .unionAll(audit("user_sorted", col("user_id")))
+      .unionAll(audit("zorder", zkey))
+      .orderBy(col("layout"), col("predicate"))
+  }
+
+  val all: Seq[Q] = Seq(q43, q44, q45, q51, q57, q76, q81, q83, q85)
 }

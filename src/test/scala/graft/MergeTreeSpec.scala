@@ -39,4 +39,25 @@ class MergeTreeSpec extends SparkSpec {
       assert(r.getAs[Long]("n_cancelled_pairs") === nEvents - nKeys)
     }
   }
+
+  test("q84 TTL: delete and group-by policies partition rows exactly") {
+    val t = sf0001
+    val rows = MergeTree.ttlExpiry.build(t).collect()
+    assert(rows.length === 5)
+    val totals = t.events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("tv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (n, tv) = totals(r.getString(0))
+      // the two policies cover every row exactly once
+      assert(r.getAs[Long]("n_live") + r.getAs[Long]("n_expired") === n)
+      // the GROUP BY policy preserves expired value mass exactly
+      assert(math.abs(r.getAs[Double]("live_value") +
+        r.getAs[Double]("rollup_value") - tv) < 1e-6)
+      // 30 days of data, 14-day TTL: expired mass collapses to ≤16 day rows
+      assert(r.getAs[Long]("n_rollup_rows") <= 16L)
+      assert(r.getAs[Long]("n_rollup_rows") <= r.getAs[Long]("n_expired"))
+    }
+  }
 }

@@ -165,4 +165,34 @@ class ScaleSpec extends SparkSpec {
     val skipped = rows.count(_.getAs[Long]("can_skip") === 1L)
     assert(skipped > 0, "z-ordered granule extents pruned nothing")
   }
+
+  test("q85 projection audit: each layout wins its own predicate, matches agree") {
+    val rows = Scale.q85.build(Tables(spark, "/root/testdata/sf0.01")).collect()
+    assert(rows.length === 9)
+    def get(layout: String, pred: String) =
+      rows.find(r => r.getString(0) == layout && r.getString(1) == pred).get
+    // rows_matched is layout-invariant; scans always cover the matches
+    Seq("p_day", "p_user", "p_both").foreach { p =>
+      val ms = Seq("day_sorted", "user_sorted", "zorder")
+        .map(l => get(l, p).getAs[Long]("rows_matched"))
+      assert(ms.distinct.length === 1, s"$p matched drifted across layouts: $ms")
+      rows.filter(_.getString(1) == p).foreach { r =>
+        assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matched"))
+        assert(r.getAs[Long]("granules_scanned") <= r.getAs[Long]("granules_total"))
+      }
+    }
+    // a sort order prunes its own dimension better than the other one's
+    assert(get("day_sorted", "p_day").getAs[Long]("rows_scanned") <
+      get("user_sorted", "p_day").getAs[Long]("rows_scanned"))
+    assert(get("user_sorted", "p_user").getAs[Long]("rows_scanned") <
+      get("day_sorted", "p_user").getAs[Long]("rows_scanned"))
+    // z-order prunes on BOTH single dimensions and is never worse than
+    // the day sort on the combined predicate
+    assert(get("zorder", "p_day").getAs[Long]("granules_scanned") <
+      get("zorder", "p_day").getAs[Long]("granules_total"))
+    assert(get("zorder", "p_user").getAs[Long]("granules_scanned") <
+      get("zorder", "p_user").getAs[Long]("granules_total"))
+    assert(get("zorder", "p_both").getAs[Long]("rows_scanned") <=
+      get("day_sorted", "p_both").getAs[Long]("rows_scanned"))
+  }
 }
