@@ -1745,9 +1745,94 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  // dedup_similar_search — the QUERY-TIME shape of the near-dup stack:
+  // "find documents like THIS one", served from the same banded MinHash
+  // index the batch detector builds. Everything upstream is pairwise
+  // detection (corpus × corpus); this is the retrieval path a curator or
+  // ingest service actually calls — probe the query docs' band buckets
+  // (index equi-join, touching only colliding postings), confirm
+  // candidates with EXACT shingle Jaccard (candidates × shingles, never
+  // corpus²), cut to top-3 per query through the two-phase TopKPerGroup
+  // plan (≤k rows per task cross the exchange — no per-query partition
+  // sort). At 100 TB the banded index is the materialized table this
+  // op's first join probes; per-query cost scales with bucket collision
+  // counts, not corpus size.
+  val similarSearch = Q(
+    "dedup_similar_search",
+    Some {
+      val shingleStr = "array_to_string(list_slice(ws, i, i + 2), ' ')"
+      s"""
+      WITH $minhashCandSql,
+      probe AS (SELECT doc_id AS query_id, b, bucket FROM banded
+                WHERE doc_id IN (1, 2, 3)),
+      pc AS (
+        SELECT DISTINCT p.query_id, b2.doc_id AS cand_id
+        FROM probe p
+        JOIN banded b2 ON b2.b = p.b AND b2.bucket = p.bucket
+                      AND b2.doc_id <> p.query_id),
+      inv AS (
+        SELECT DISTINCT doc_id, ${PortableHash.wordHashSql(shingleStr)} AS h
+        FROM words, UNNEST(RANGE(1, GREATEST(LEN(ws) - 2, 1) + 1)) AS t(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+      co AS (
+        SELECT p.query_id, p.cand_id, COUNT(*) AS co
+        FROM pc p
+        JOIN inv a ON a.doc_id = p.query_id
+        JOIN inv b ON b.doc_id = p.cand_id AND b.h = a.h
+        GROUP BY p.query_id, p.cand_id),
+      scored AS (
+        SELECT p.query_id, p.cand_id,
+               COALESCE(co.co, 0) * 10000 //
+                 (s1.n + s2.n - COALESCE(co.co, 0)) AS jaccard_bp
+        FROM pc p
+        LEFT JOIN co ON co.query_id = p.query_id AND co.cand_id = p.cand_id
+        JOIN sizes s1 ON s1.doc_id = p.query_id
+        JOIN sizes s2 ON s2.doc_id = p.cand_id)
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(cand_id AS BIGINT) AS cand_id,
+             CAST(jaccard_bp AS BIGINT) AS jaccard_bp
+      FROM (SELECT query_id, cand_id, jaccard_bp,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY jaccard_bp DESC, cand_id) AS rnk
+            FROM scored)
+      WHERE rnk <= 3
+      ORDER BY query_id, jaccard_bp DESC, cand_id
+      """
+    }
+  ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
+    val banded = minhashBanded(t)
+    val probes = banded.filter(col("doc_id").isin(1L, 2L, 3L))
+      .select(col("doc_id").as("query_id"), col("band"), col("bucket"))
+    val cand = probes
+      .join(banded.select(col("doc_id").as("cand_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id")).distinct()
+    val inv = withTwins(t)
+      .select(col("doc_id"),
+        explode(call_function("graft_shingles", col("text"))).as("h"))
+      .distinct()
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = cand
+      .join(inv.select(col("doc_id").as("query_id"), col("h")), "query_id")
+      .join(inv.select(col("doc_id").as("cand_id"), col("h")), Seq("cand_id", "h"))
+      .groupBy(col("query_id"), col("cand_id")).agg(count(lit(1)).as("co"))
+    val scored = cand
+      .join(co, Seq("query_id", "cand_id"), "left")
+      .join(sizes.toDF("query_id", "n1"), "query_id")
+      .join(sizes.toDF("cand_id", "n2"), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        expr("coalesce(co, 0) * 10000 div (n1 + n2 - coalesce(co, 0))")
+          .as("jaccard_bp"))
+    graft.plans.TopKPerGroup
+      .topK(scored, Seq("query_id"), "jaccard_bp", "cand_id", 3)
+      .orderBy(col("query_id"), col("jaccard_bp").desc, col("cand_id"))
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
-    thresholdSweep, hubRank, canonical, editDistance)
+    thresholdSweep, hubRank, canonical, editDistance, similarSearch)
 }

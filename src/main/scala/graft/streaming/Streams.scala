@@ -631,4 +631,55 @@ object Streams {
       .dropDuplicatesWithinWatermark("content_key")
       .select(col("doc_id"), col("ts"), col("clean"), col("n_words"))
   }
+
+  /** Streaming TTL compaction — q84_ttl_expiry's maintenance job run
+    * continuously: each micro-batch appends detail rows, then re-splits
+    * the detail table by the event-time TTL horizon (cutoff = the
+    * table's max day − ttlDays — deterministic, no wall clock): rows
+    * inside the horizon stay detail, expired rows collapse into the
+    * per-(day, type) rollup table, whose (n, DECIMAL value) states merge
+    * re-aggregatably with what previous batches already rolled up (the
+    * TTL GROUP BY policy — old data gets coarser, never lost; DECIMAL
+    * sums make merged and direct aggregation agree exactly). Both tables
+    * move via the atomic snapshot swap. At 100 TB the same job drops or
+    * rewrites only the PARTITIONS whose day extents cross the horizon —
+    * exactly the per-granule day metadata q83 audits.
+    */
+  def ttlRollupStream(events: Dataset[Event], path: String, checkpoint: String,
+    ttlDays: Int = 14): org.apache.spark.sql.streaming.StreamingQuery = {
+    events.toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val detailP = s"$path/detail"
+        val rollupP = s"$path/rollup"
+        batch
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("d"))
+          .write.mode("append").parquet(detailP)
+        val detail = spark.read.parquet(detailP)
+        val cut = detail.agg((max(col("d")) - ttlDays).as("cutoff"))
+        val split = detail.crossJoin(broadcast(cut))
+        val live = split.filter(col("d") > col("cutoff")).drop("cutoff")
+        val expired = split.filter(col("d") <= col("cutoff"))
+          .groupBy(col("d"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).as("value_sum"))
+        val fs = new org.apache.hadoop.fs.Path(rollupP)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(rollupP)))
+            spark.read.parquet(rollupP).unionAll(expired)
+              .groupBy(col("d"), col("event_type"))
+              .agg(sum(col("n")).as("n"), sum(col("value_sum")).as("value_sum"))
+          else expired
+        swapInto(merged, rollupP, batchId)
+        swapInto(live, detailP, batchId)
+        ()
+      }
+      .start()
+  }
 }

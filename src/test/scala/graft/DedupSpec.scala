@@ -236,4 +236,17 @@ class DedupSpec extends SparkSpec {
     assert(confirmed.toDouble / twins.length >= 0.8,
       s"only $confirmed of ${twins.length} twins confirmed at 8000 bp")
   }
+
+  test("similar-doc search ranks each query's planted twin first") {
+    val rows = Dedup.similarSearch.build(sf0001).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size >= 2, s"only queries ${byQ.keySet} returned candidates")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      val js = rs.map(_.getAs[Long]("jaccard_bp")).toSeq
+      assert(js === js.sorted.reverse, s"query $q results not ranked: $js")
+      assert(rs.head.getAs[Long]("cand_id") === q + 1000000L,
+        s"query $q top hit is not its twin: ${rs.head}")
+    }
+  }
 }

@@ -475,4 +475,39 @@ class StreamingSpec extends SparkSpec {
         .map(_.getAs[Long]("doc_id")).toSet === Set(1L, 5L))
     } finally q.stop()
   }
+
+  test("TTL rollup stream compacts expired days and preserves value mass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    def day(d: Int): Timestamp = Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")
+    val mem = MemoryStream[Event]
+    val q = Streams.ttlRollupStream(mem.toDS(), s"$dir/t", s"$dir/ckpt", ttlDays = 14)
+    try {
+      mem.addData(Event(1, day(0), 1, "click", 1.5), Event(2, day(1), 2, "view", 2.5))
+      q.processAllAvailable()
+      // horizon = day1 − 14: nothing expired, all detail
+      assert(spark.read.parquet(s"$dir/t/detail").count() === 2L)
+      // day 20 arrives: horizon = day20 − 14 = day6 → days 0/1 expire
+      mem.addData(Event(3, day(20), 3, "click", 4.0))
+      q.processAllAvailable()
+      val detail = spark.read.parquet(s"$dir/t/detail").collect()
+      assert(detail.map(_.getAs[Long]("event_id")).toSet === Set(3L))
+      val rollup = spark.read.parquet(s"$dir/t/rollup").collect()
+        .map(r => (r.getAs[Long]("d"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("value_sum").doubleValue()))
+      assert(rollup.length === 2)
+      assert(rollup.map(_._4).sum === 4.0) // 1.5 + 2.5 preserved exactly
+      assert(rollup.forall(_._3 === 1L))
+      // a third batch must MERGE into the existing rollup, not replace it:
+      // late-ish day-2 row expires immediately at the day-20 horizon
+      mem.addData(Event(4, day(2), 4, "view", 0.5))
+      q.processAllAvailable()
+      val r2 = spark.read.parquet(s"$dir/t/rollup").collect()
+        .map(r => (r.getAs[Long]("d"), r.getAs[String]("event_type"),
+          r.getAs[java.math.BigDecimal]("value_sum").doubleValue()))
+      assert(r2.length === 3)
+      assert(math.abs(r2.map(_._3).sum - 4.5) < 1e-9)
+    } finally q.stop()
+  }
 }
