@@ -212,5 +212,59 @@ object AggExt {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56)
+  // q86_weighted_quantile — ClickHouse quantileExactWeighted(level)(x, w):
+  // the exact quantile of a VALUE distribution where each row carries a
+  // repeat count — the shape of pre-aggregated histograms and sampled
+  // tables, where plain quantileExact over rows is simply wrong. The
+  // selected value is the smallest x whose cumulative weight reaches
+  // level · total (ClickHouse's accumulate-and-pass rule), computed
+  // exactly: weights collapse to one row per distinct value first (a
+  // partial-aggregable groupBy — the window then runs over |distinct
+  // values| rows, not raw rows), cumulative sums are BIGINT, and the
+  // two thresholds compare as cum·100 ≥ level·total with no division.
+  // The picked values pass through untouched (no FP arithmetic to
+  // drift). At 100 TB the per-group distinct-value relation is the
+  // histogram a storage layer already maintains.
+  val q86 = Q(
+    "q86_weighted_quantile",
+    Some("""
+      WITH byval AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS x,
+               SUM(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem
+        GROUP BY l_returnflag, l_extendedprice),
+      cum AS (
+        SELECT flag, x, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS tw
+        FROM byval)
+      SELECT flag,
+             MIN(CASE WHEN cw * 100 >= 50 * tw THEN x END) AS wq50,
+             MIN(CASE WHEN cw * 100 >= 90 * tw THEN x END) AS wq90,
+             CAST(MAX(tw) AS BIGINT) AS total_weight
+      FROM cum
+      GROUP BY flag
+      ORDER BY flag
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val byval = t.lineitem
+      .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("w"))
+    val wf = Window.partitionBy(col("flag"))
+    val cum = byval
+      .withColumn("cw", sum(col("w")).over(wf.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum(col("w")).over(wf))
+    cum
+      .groupBy(col("flag"))
+      .agg(
+        min(when(col("cw") * 100 >= col("tw") * 50, col("x"))).as("wq50"),
+        min(when(col("cw") * 100 >= col("tw") * 90, col("x"))).as("wq90"),
+        max(col("tw")).cast(LongType).as("total_weight"))
+      .orderBy(col("flag"))
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56, q86)
 }

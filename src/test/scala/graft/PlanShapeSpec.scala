@@ -171,4 +171,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q83/q85 layout audits rank through GlobalRank, not a global window") {
+    Seq("q83_skip_index", "q85_projection_audit").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("ExistingRDD"), s"$q:\n${plan.take(2000)}")
+      assert(!plan.contains("row_number()"), s"$q:\n${plan.take(2000)}")
+    }
+  }
+
+  test("dedup_similar_search cuts per query with TopKPerGroup; no cartesian") {
+    val plan = planOf("dedup_similar_search")
+    val topks = "TopKPerGroup".r.findAllMatchIn(plan).size
+    assert(topks >= 2, s"expected partial+final TopKPerGroup, got $topks:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup_edit_distance pins DP parallelism with an explicit exchange") {
+    // the regression this pins out: AQE coalescing the byte-tiny pair
+    // rows onto one task and serializing the Levenshtein DP — the
+    // explicit numPartitions repartition must survive as a hash
+    // exchange the coalescer leaves alone
+    val plan = planOf("dedup_edit_distance")
+    assert(plan.contains("REPARTITION_BY_NUM"), plan.take(2000))
+    assert(plan.contains("levenshtein"), plan.take(2000))
+  }
 }

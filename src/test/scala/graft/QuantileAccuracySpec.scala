@@ -56,4 +56,24 @@ class QuantileAccuracySpec extends SparkSpec {
     }
     joined.head() // whole-table variant also executes
   }
+
+  test("q86 weighted quantile equals the weight-expanded multiset percentile") {
+    import org.apache.spark.sql.functions._
+    val t = sf0001
+    val got = graft.operators.AggExt.q86.build(t).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val raw = t.lineitem.select(col("l_returnflag"), col("l_extendedprice"),
+      col("l_quantity").cast("long")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (flag, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val tw = sorted.map(_._3).sum
+      def pick(levelPct: Long): Double = {
+        var cw = 0L
+        sorted.find { case (_, _, w) => cw += w; cw * 100 >= levelPct * tw }.get._2
+      }
+      assert(got(flag)._1 === pick(50), s"$flag wq50")
+      assert(got(flag)._2 === pick(90), s"$flag wq90")
+    }
+  }
 }
