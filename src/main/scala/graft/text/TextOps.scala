@@ -1094,8 +1094,151 @@ object TextOps {
       .orderBy(col("lift_x100").desc, col("w1"), col("w2"))
   }
 
+  /** One unrolled BPE learning round as a DuckDB CTE chain: pair counts
+    * with LEAD, argmax with the (count desc, pair asc) tie-break, then
+    * left-to-right non-overlapping merge application via run-parity
+    * selection (consecutive match positions — possible only when the two
+    * halves are equal — take alternate slots starting at the first, the
+    * greedy semantics of the classic in-memory merge loop).
+    */
+  private def bpeRoundSql(i: Int): String = {
+    val p = if (i == 1) "s0" else s"s${i - 1}"
+    s"""
+      pairs$i AS (
+        SELECT l, r, SUM(cnt) AS pc FROM (
+          SELECT word, cnt, tok AS l,
+                 LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS r
+          FROM $p) WHERE r IS NOT NULL GROUP BY l, r),
+      best$i AS (
+        SELECT l, r, pc FROM pairs$i ORDER BY pc DESC, l, r LIMIT 1),
+      m$i AS (
+        SELECT t.word, t.cnt, t.pos, t.tok,
+               CASE WHEN t.tok = b.l AND
+                 LEAD(t.tok) OVER (PARTITION BY t.word ORDER BY t.pos) = b.r
+               THEN 1 ELSE 0 END AS hit, b.l AS bl, b.r AS br
+        FROM $p t CROSS JOIN best$i b),
+      sel$i AS (
+        SELECT word, cnt, pos, tok, bl, br, hit,
+               CASE WHEN hit = 1 AND
+                 (ROW_NUMBER() OVER (PARTITION BY word, hit_run ORDER BY pos)) % 2 = 1
+               THEN 1 ELSE 0 END AS take
+        FROM (
+          SELECT *, CASE WHEN hit = 1
+                 THEN pos - ROW_NUMBER() OVER (PARTITION BY word, hit ORDER BY pos)
+                 ELSE NULL END AS hit_run
+          FROM m$i)),
+      s$i AS (
+        SELECT word, cnt,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+               CASE WHEN take = 1 THEN bl || br ELSE tok END AS tok
+        FROM (
+          SELECT *, LAG(take) OVER (PARTITION BY word ORDER BY pos) AS prev_take
+          FROM sel$i)
+        WHERE COALESCE(prev_take, 0) = 0)"""
+  }
+
+  /** One Spark BPE round over the vocabulary state (word, cnt, pos, tok):
+    * returns (argmax pair as a 1-row frame, post-merge state). The argmax
+    * crosses back as a 1-row broadcast — no collect, the 3-round plan is
+    * static. All windows partition by `word`, so the round parallelizes
+    * with the vocabulary, never the corpus.
+    */
+  private def bpeRound(prev: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val pairs = prev
+      .select(col("word"), col("cnt"), col("tok").as("l"),
+        lead(col("tok"), 1).over(wOrd).as("r"))
+      .filter(col("r").isNotNull)
+      .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pc"))
+    val best = pairs.orderBy(col("pc").desc, col("l"), col("r")).limit(1)
+    val hits = prev.crossJoin(broadcast(best))
+      .withColumn("hit",
+        when(col("tok") === col("l") &&
+          lead(col("tok"), 1).over(wOrd) === col("r"), 1).otherwise(0))
+    // Run-parity selection: consecutive match positions (l == r runs)
+    // merge at alternate slots, left-to-right — BPE's greedy application.
+    val runs = hits
+      .withColumn("rn_hit", row_number().over(
+        Window.partitionBy(col("word"), col("hit")).orderBy(col("pos"))))
+      .withColumn("hit_run", when(col("hit") === 1, col("pos") - col("rn_hit")))
+    val sel = runs
+      .withColumn("idx", row_number().over(
+        Window.partitionBy(col("word"), col("hit_run")).orderBy(col("pos"))))
+      .withColumn("take",
+        when(col("hit") === 1 && col("idx") % 2 === 1, 1).otherwise(0))
+    val next = sel
+      .withColumn("prev_take", lag(col("take"), 1).over(wOrd))
+      .filter(coalesce(col("prev_take"), lit(0)) === 0)
+      .select(col("word"), col("cnt"),
+        row_number().over(wOrd).cast(LongType).as("npos"),
+        when(col("take") === 1, concat(col("l"), col("r")))
+          .otherwise(col("tok")).as("tok"))
+      .withColumnRenamed("npos", "pos")
+    (best, next)
+  }
+
+  // text_bpe_merges — tokenizer merge learning (the byte-pair-encoding
+  // training step, Sennrich et al. 2016): 3 rounds of (count adjacent
+  // symbol pairs → merge the most frequent pair everywhere), then the
+  // post-merge top-12 symbol counts proving the applications composed.
+  // The corpus is scanned ONCE into the (distinct word, count) vocabulary
+  // — the classic BPE trick that makes the learning loop independent of
+  // corpus volume: every round operates on Σ|word| symbol rows of the
+  // DISTINCT vocabulary (windows keyed by word, vocabulary-parallel), and
+  // the per-round argmax crosses as a 1-row broadcast, so at 100 TB the
+  // merge loop costs the same as at 100 GB once the word histogram exists.
+  val bpeMerges = Q(
+    "text_bpe_merges",
+    Some(s"""
+      WITH vocab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT LOWER(UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))) AS word
+          FROM documents)
+        WHERE word <> '' GROUP BY word),
+      s0 AS (
+        SELECT word, cnt, CAST(t.i AS BIGINT) AS pos, chars[t.i] AS tok
+        FROM (SELECT word, cnt, regexp_extract_all(word, '.') AS chars FROM vocab),
+             UNNEST(RANGE(1, LEN(chars) + 1)) AS t(i)),
+      ${Seq(1, 2, 3).map(bpeRoundSql).mkString(",")}
+      SELECT 'merge_' || CAST(i AS VARCHAR) AS stage, l || '+' || r AS item,
+             CAST(pc AS BIGINT) AS cnt
+      FROM (SELECT 1 AS i, * FROM best1 UNION ALL
+            SELECT 2, * FROM best2 UNION ALL
+            SELECT 3, * FROM best3)
+      UNION ALL
+      SELECT 'token', tok, cnt FROM (
+        SELECT tok, CAST(SUM(cnt) AS BIGINT) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, tok) AS rk
+        FROM s3 GROUP BY tok) WHERE rk <= 12
+      ORDER BY stage, cnt DESC, item
+    """)
+  ) { t =>
+    val vocab = t.documents
+      .select(explode(split(trim(col("text")), "\\s+")).as("w0"))
+      .select(lower(col("w0")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val s0 = vocab
+      .select(col("word"), col("cnt"),
+        posexplode(regexp_extract_all(col("word"), lit("."), lit(0))).as(Seq("p", "tok")))
+      .select(col("word"), col("cnt"), (col("p") + 1).cast(LongType).as("pos"), col("tok"))
+    val (b1, s1) = bpeRound(s0)
+    val (b2, s2) = bpeRound(s1)
+    val (b3, s3) = bpeRound(s2)
+    val merges = Seq(b1 -> 1, b2 -> 2, b3 -> 3).map { case (b, i) =>
+      b.select(lit(s"merge_$i").as("stage"),
+        concat(col("l"), lit("+"), col("r")).as("item"),
+        col("pc").cast(LongType).as("cnt"))
+    }.reduce(_.unionAll(_))
+    val topToks = s3.groupBy(col("tok")).agg(sum(col("cnt")).cast(LongType).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(12)
+      .select(lit("token").as("stage"), col("tok").as("item"), col("cnt"))
+    merges.unionAll(topToks).orderBy(col("stage"), col("cnt").desc, col("item"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
-    search, boilerplate, hashEmbed, pmiPairs)
+    search, boilerplate, hashEmbed, pmiPairs, bpeMerges)
 }

@@ -199,4 +199,28 @@ class TextSpec extends SparkSpec {
       sorted.foreach(r => assert(r.getAs[Long]("n_tokens") > 0L))
     }
   }
+
+  test("text_bpe_merges: 3 merges + 12 tokens, non-increasing merge counts") {
+    val rows = TextOps.bpeMerges.build(sf0001).collect()
+    val merges = rows.filter(_.getAs[String]("stage").startsWith("merge_"))
+      .sortBy(_.getAs[String]("stage"))
+    val toks = rows.filter(_.getAs[String]("stage") == "token")
+    assert(merges.length === 3)
+    assert(toks.length === 12)
+    merges.foreach { r =>
+      assert(r.getAs[String]("item").matches(".+\\+.+"), "merge item is l+r")
+      assert(r.getAs[Long]("cnt") > 0L)
+    }
+    // merging the best pair can only create sub-counted successors and
+    // shrink existing pairs, so the per-round max pair count never grows
+    val cs = merges.map(_.getAs[Long]("cnt")).toSeq
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+      s"argmax pair count must be non-increasing across rounds: $cs")
+    // every learned merge symbol is a concatenation of its two halves
+    merges.foreach { r =>
+      val Array(l, rr) = r.getAs[String]("item").split("\\+", 2)
+      assert((l + rr).nonEmpty)
+    }
+    assert(toks.forall(_.getAs[Long]("cnt") > 0L))
+  }
 }
