@@ -195,4 +195,30 @@ class ScaleSpec extends SparkSpec {
     assert(get("zorder", "p_both").getAs[Long]("rows_scanned") <=
       get("day_sorted", "p_both").getAs[Long]("rows_scanned"))
   }
+
+  test("q87 grid join finds exactly the cross-join's within-radius pairs") {
+    val t = sf001
+    // naive oracle: full cross join with the same hashed coordinates and
+    // the same integer distance cut — the 3x3 neighbor replication must
+    // lose nothing (|dx|<=R implies adjacent cell) and add nothing (the
+    // d2 post-filter)
+    val naive = t.spark.sql(
+      s"""WITH c AS (SELECT c_custkey, c_nationkey,
+              (c_custkey * 2654435761) % 2147483648 % 100000 AS x,
+              (c_custkey * 1885706077) % 2147483648 % 100000 AS y
+            FROM parquet.`${t.dir}/customer.parquet`),
+          s AS (SELECT s_suppkey,
+              (s_suppkey * 3266489917) % 2147483648 % 100000 AS x,
+              (s_suppkey * 2971215073) % 2147483648 % 100000 AS y
+            FROM parquet.`${t.dir}/supplier.parquet`)
+          SELECT c.c_custkey, s.s_suppkey
+          FROM c CROSS JOIN s
+          WHERE (c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y) <= 4000000""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grid = graft.operators.Geo.q87.build(t)
+    val nPairs = grid.agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+    assert(nPairs === naive.size.toLong,
+      s"grid join pair count $nPairs != naive ${naive.size}")
+    assert(naive.nonEmpty, "fixture must produce at least one match")
+  }
 }

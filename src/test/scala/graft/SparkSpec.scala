@@ -15,6 +15,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .getOrCreate()
 
   lazy val sf0001: Tables = Tables(spark, "/root/testdata/sf0.001")
+  lazy val sf001: Tables = Tables(spark, "/root/testdata/sf0.01")
 
   override def afterAll(): Unit = {
     // Session is shared across suites in one forked JVM — don't stop it.
