@@ -266,5 +266,78 @@ object AggExt {
       .orderBy(col("flag"))
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56, q86)
+  // q88 — KMV (k-minimum-values) distinct sketch, the ClickHouse
+  // uniqTheta analog and the deterministic counterpart to q37's HLL:
+  // keep the k=64 smallest values of a universal hash of the key; the
+  // estimator (k-1)·P / h_k inverts the uniform spacing of order
+  // statistics. Everything is 31-bit integer arithmetic (PortableHash
+  // family), so unlike HLL the estimate is bit-reproducible in DuckDB
+  // and gets a FULL exact oracle — including the merge path: the `_all`
+  // row is the union of the per-group sketches (k smallest of the merged
+  // hash stream), the same one-pass combine a 1000-executor rollup ships.
+  // Scale: per group only k 8-byte values survive the map side (the
+  // TopKPerGroup partial heap), so the shuffle is |groups|·k rows no
+  // matter the fact volume; the exact COUNT(DISTINCT) alongside is the
+  // verification column, not the serving path.
+  val q88 = Q(
+    "q88_kmv_distinct",
+    Some {
+      val (p, k) = (graft.functions.PortableHash.P, 64)
+      val (a, b) = (graft.functions.PortableHash.coefA(9),
+        graft.functions.PortableHash.coefB(9))
+      s"""
+      WITH h AS (
+        SELECT DISTINCT o_orderpriority AS g,
+               ($a * (o_custkey % $p) + $b) % $p AS hv
+        FROM orders),
+      u AS (SELECT g, hv FROM h UNION SELECT '_all', hv FROM h),
+      ranked AS (
+        SELECT g, hv, ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv) AS rn
+        FROM u),
+      sk AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(hv) AS hk
+        FROM ranked WHERE rn <= $k GROUP BY g),
+      ex AS (
+        SELECT o_orderpriority AS g, COUNT(DISTINCT o_custkey) AS exact
+        FROM orders GROUP BY g
+        UNION ALL SELECT '_all', COUNT(DISTINCT o_custkey) FROM orders),
+      est AS (
+        SELECT s.g, e.exact,
+               CASE WHEN s.n_kept < $k THEN s.n_kept
+                    ELSE ($k::BIGINT - 1) * $p::BIGINT // s.hk END AS kmv
+        FROM sk s JOIN ex e ON e.g = s.g)
+      SELECT g, CAST(exact AS BIGINT) AS exact_distinct,
+             CAST(kmv AS BIGINT) AS kmv_estimate,
+             CAST(ABS(kmv - exact) * 10000 // exact AS BIGINT) AS err_bp
+      FROM est ORDER BY g
+    """
+    }
+  ) { t =>
+    val p = graft.functions.PortableHash.P
+    val k = 64
+    val hv = (lit(graft.functions.PortableHash.coefA(9)) * (col("o_custkey") % p)
+      + graft.functions.PortableHash.coefB(9)) % p
+    val h = t.orders.select(col("o_orderpriority").as("g"), hv.as("hv")).distinct()
+    val u = h.unionAll(h.select(lit("_all").as("g"), col("hv"))).distinct()
+    // k smallest hashes per group: two-phase TopKPerGroup on the negated
+    // hash (partial k-heaps map-side; ≤ k rows per group cross the wire)
+    val kept = graft.plans.TopKPerGroup.topK(
+      u.withColumn("negh", -col("hv")), Seq("g"), "negh", "hv", k)
+    val sk = kept.groupBy(col("g"))
+      .agg(count(lit(1)).cast(LongType).as("n_kept"), max(col("hv")).as("hk"))
+    val ex = t.orders.groupBy(col("o_orderpriority").as("g"))
+      .agg(countDistinct(col("o_custkey")).as("exact"))
+      .unionAll(t.orders.agg(countDistinct(col("o_custkey")).as("exact"))
+        .select(lit("_all").as("g"), col("exact")))
+    val kmv = when(col("n_kept") < k, col("n_kept"))
+      .otherwise(expr(s"(${k - 1} * ${p}L) div hk"))
+    sk.join(ex, "g")
+      .withColumn("kmv", kmv)
+      .select(col("g"), col("exact").cast(LongType).as("exact_distinct"),
+        col("kmv").cast(LongType).as("kmv_estimate"),
+        expr("abs(kmv - exact) * 10000 div exact").cast(LongType).as("err_bp"))
+      .orderBy(col("g"))
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56, q86, q88)
 }

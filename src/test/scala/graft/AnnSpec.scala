@@ -93,6 +93,26 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("q88 KMV sketch: estimate within order-statistic bounds, exact under k") {
+    val rows = graft.operators.AggExt.q88.build(sf001).collect()
+    assert(rows.map(_.getString(0)).contains("_all"), "merged-union row present")
+    rows.foreach { r =>
+      val (ex, est, bp) = (r.getAs[Long]("exact_distinct"),
+        r.getAs[Long]("kmv_estimate"), r.getAs[Long]("err_bp"))
+      assert(ex > 64L, "fixture groups must exceed the sketch size")
+      // KMV stderr ~ 1/sqrt(k-2) ~ 12.7% at k=64; 4 sigma = ~51%
+      assert(bp <= 5100L, s"${r.getString(0)}: est $est vs exact $ex ($bp bp)")
+      assert(est > 0L)
+    }
+    // the sketch must be EXACT when the group cardinality is under k
+    val tiny = graft.operators.AggExt.q88.build(sf0001).collect()
+      .filter(_.getAs[Long]("exact_distinct") < 64L)
+    tiny.foreach { r =>
+      assert(r.getAs[Long]("kmv_estimate") === r.getAs[Long]("exact_distinct"),
+        s"${r.getString(0)} under-k sketch must be exact")
+    }
+  }
+
   test("ann_recall gates all four index families against brute-force truth") {
     val rows = Ann.recallEval.build(sf0001).collect()
     val byMethod = rows.groupBy(_.getString(0))
