@@ -682,4 +682,46 @@ object Streams {
       }
       .start()
   }
+
+  /** Streaming KMV distinct sketch — the q88 estimator maintained online:
+    * per event_type, state is the k smallest universal hashes of user_id,
+    * a bounded set of ≤ k longs per key FOREVER (no watermark-sized
+    * growth — the sketch only shrinks its threshold), which is what makes
+    * count-distinct serviceable on an unbounded stream where exact
+    * distinct state would grow with |users|. KMV insertion is
+    * order-independent (min-set of a set union), so the online estimate
+    * is bit-identical to the batch q88 algebra over the same events —
+    * the spec pins that equality. Each batch emits the refreshed
+    * estimate per touched key (Update-style progress over an
+    * ever-growing distinct count).
+    */
+  final case class KmvEstimate(event_type: String, n_kept: Long, estimate: Long)
+
+  def kmvStream(events: Dataset[Event], k: Int = 64,
+    watermark: String = "10 minutes"): Dataset[KmvEstimate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val p = graft.functions.PortableHash.P
+
+    def update(key: String, it: Iterator[Event],
+      state: GroupState[Seq[Long]]): Iterator[KmvEstimate] = {
+      val set = scala.collection.mutable.TreeSet.empty[Long]
+      set ++= state.getOption.getOrElse(Seq.empty)
+      it.foreach { e =>
+        set += graft.functions.PortableHash.seeded(e.user_id % p, 9)
+        if (set.size > k) set -= set.last
+      }
+      val kept = set.toSeq
+      state.update(kept)
+      val est =
+        if (kept.size < k) kept.size.toLong
+        else (k - 1).toLong * p / kept.last
+      Iterator.single(KmvEstimate(key, kept.size.toLong, est))
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

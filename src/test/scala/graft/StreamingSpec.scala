@@ -510,4 +510,36 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(r2.map(_._3).sum - 4.5) < 1e-9)
     } finally q.stop()
   }
+
+  test("stream_kmv: bounded state, batch-identical estimate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val p = graft.functions.PortableHash.P
+    val mem = MemoryStream[Event]
+    val q = Streams.kmvStream(mem.toDS(), k = k)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two batches, 30 distinct users with overlap across batches
+      mem.addData((1 to 20).map(i => Event(i, ts(i % 10), i.toLong, "click", 1.0)): _*)
+      q.processAllAvailable()
+      mem.addData((11 to 30).map(i => Event(100 + i, ts(i % 10), i.toLong, "click", 1.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("kmv_stream").collect()
+        .filter(_.getAs[String]("event_type") == "click")
+      assert(rows.length === 2, "one estimate emitted per touched batch")
+      assert(rows.forall(_.getAs[Long]("n_kept") <= k.toLong), "state bounded by k")
+      // the final estimate must equal the batch KMV of ALL 30 users —
+      // insertion order and batch boundaries must not matter
+      val hashes = (1 to 30).map(u =>
+        graft.functions.PortableHash.seeded(u.toLong % p, 9)).distinct.sorted
+      val expected =
+        if (hashes.size < k) hashes.size.toLong
+        else (k - 1).toLong * p / hashes.take(k).last
+      // rows are emitted in batch order; MemoryStream sink appends, so the
+      // last row for the key is the final state
+      assert(rows.last.getAs[Long]("estimate") === expected)
+    } finally q.stop()
+  }
 }
