@@ -130,7 +130,8 @@ object Bench {
     // Itemized per-index build timings (dependency order — each memoized
     // structure is counted once, under its own name).
     val builds =
-      (graft.dedup.Dedup.buildSteps(t) ++ graft.ann.Ann.buildSteps(t))
+      (graft.dedup.Dedup.buildSteps(t) ++ graft.ann.Ann.buildSteps(t) ++
+        graft.text.TextOps.buildSteps(t))
         .map { case (name, run) => timed(s"_build_$name")(run()) }
     // Settling pause: let the build phase's GC debt and JIT compilation
     // drain before any query is timed — round 4 showed the first queries

@@ -223,4 +223,20 @@ class TextSpec extends SparkSpec {
     }
     assert(toks.forall(_.getAs[Long]("cnt") > 0L))
   }
+
+  test("pipe_tokenizer_apply: BPE encoding strictly compresses every source") {
+    val rows = TextOps.tokenizerApply.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    val srcs = sf0001.documents.select(col("source")).distinct().count()
+    assert(rows.length.toLong === srcs, "one row per source")
+    rows.foreach { r =>
+      val (ch, bpe, bp) = (r.getAs[Long]("n_char_toks"),
+        r.getAs[Long]("n_bpe_toks"), r.getAs[Long]("saved_bp"))
+      assert(bpe <= ch, "merges can only shorten the encoding")
+      // 3 merges applied to a real corpus must save SOMETHING
+      assert(bpe < ch, s"${r.getString(0)}: no compression at all")
+      assert(bp === (ch - bpe) * 10000 / ch)
+      assert(bp >= 0L && bp < 10000L)
+    }
+  }
 }
