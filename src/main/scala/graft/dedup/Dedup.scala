@@ -1611,6 +1611,94 @@ object Dedup {
       .limit(10)
   }
 
+  // dedup_triangles — triangle census of the near-dup pair graph: the
+  // cliquishness report that distinguishes tight duplicate CLUSTERS
+  // (template families — triangle-dense) from chains of borderline
+  // matches (transitive-closure accidents — triangle-free), read next to
+  // dedup_components before trusting cluster collapse. Algorithm is the
+  // classic degree-ordered orientation (each undirected edge points from
+  // its lower (deg, id) endpoint): every triangle is counted exactly
+  // once from its lowest corner, and wedge generation — the only
+  // superlinear step — pairs only each node's ORIENTED out-edges, whose
+  // count is O(√m) regardless of raw degree, so a boilerplate hub with
+  // 10⁶ neighbors contributes out-pairs, not deg² pairs. Reuses the
+  // memoized LSH-bounded pair graph; everything downstream of it is one
+  // self-join plus 1-row aggregates. Global clustering coefficient in
+  // integer basis points closes the report.
+  val triangles = Q(
+    "dedup_triangles",
+    Some {
+      s"""
+      WITH $corpusSql,
+      $simhashPairsSql,
+      p AS (SELECT id1, id2 FROM spairs WHERE hamming <= 8),
+      e AS (SELECT id1 AS src, id2 AS dst FROM p
+            UNION ALL SELECT id2, id1 FROM p),
+      deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY src),
+      o AS (
+        SELECT CASE WHEN (d1.deg, p.id1) < (d2.deg, p.id2)
+                    THEN p.id1 ELSE p.id2 END AS src,
+               CASE WHEN (d1.deg, p.id1) < (d2.deg, p.id2)
+                    THEN p.id2 ELSE p.id1 END AS dst,
+               CASE WHEN (d1.deg, p.id1) < (d2.deg, p.id2)
+                    THEN d2.deg ELSE d1.deg END AS ddst
+        FROM p JOIN deg d1 ON d1.id = p.id1 JOIN deg d2 ON d2.id = p.id2),
+      tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM o o1
+        JOIN o o2 ON o1.src = o2.src
+                 AND (o1.ddst, o1.dst) < (o2.ddst, o2.dst)
+        JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+      sums AS (
+        SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+               (SELECT COUNT(*) FROM p) AS n_edges,
+               (SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS n_wedges,
+               (SELECT n_triangles FROM tri) AS n_triangles)
+      SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+             CAST(n_edges AS BIGINT) AS n_edges,
+             CAST(n_wedges AS BIGINT) AS n_wedges,
+             CAST(n_triangles AS BIGINT) AS n_triangles,
+             CAST(CASE WHEN n_wedges > 0
+                  THEN 3 * n_triangles * 10000 // n_wedges
+                  ELSE 0 END AS BIGINT) AS clustering_bp
+      FROM sums
+      """
+    }
+  ) { t =>
+    val p = simhashPairs(t).select(col("id1"), col("id2"))
+    val e = p.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(p.select(col("id2").as("src"), col("id1").as("dst")))
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val pd = p
+      .join(deg.select(col("id").as("id1"), col("deg").as("d1")), "id1")
+      .join(deg.select(col("id").as("id2"), col("deg").as("d2")), "id2")
+    val lower = struct(col("d1"), col("id1")) < struct(col("d2"), col("id2"))
+    val o = pd.select(
+      when(lower, col("id1")).otherwise(col("id2")).as("src"),
+      when(lower, col("id2")).otherwise(col("id1")).as("dst"),
+      when(lower, col("d2")).otherwise(col("d1")).as("ddst"))
+    val o1 = o.select(col("src").as("a"), col("dst").as("b"), col("ddst").as("db"))
+    val o2 = o.select(col("src").as("a2"), col("dst").as("c"), col("ddst").as("dc"))
+    val o3 = o.select(col("src").as("b3"), col("dst").as("c3"))
+    val triCnt = o1
+      .join(o2, col("a") === col("a2") &&
+        (struct(col("db"), col("b")) < struct(col("dc"), col("c"))))
+      .join(o3, col("b") === col("b3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val sums = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val edges = p.agg(count(lit(1)).as("n_edges"))
+    sums.crossJoin(edges).crossJoin(triCnt)
+      .select(
+        col("n_nodes").cast(LongType).as("n_nodes"),
+        col("n_edges").cast(LongType).as("n_edges"),
+        col("n_wedges").cast(LongType).as("n_wedges"),
+        col("n_triangles").cast(LongType).as("n_triangles"),
+        expr("case when n_wedges > 0 then 3 * n_triangles * 10000 div n_wedges else 0 end")
+          .cast(LongType).as("clustering_bp"))
+  }
+
   // dedup_index_stats — the LSH index-health report a production dedup
   // deployment watches: per MinHash band, the bucket count, the largest
   // bucket, and the exact candidate-pair cost Σ s·(s−1)/2 the bucket-join
@@ -1834,5 +1922,6 @@ object Dedup {
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
-    thresholdSweep, hubRank, canonical, editDistance, similarSearch)
+    thresholdSweep, hubRank, canonical, editDistance, similarSearch,
+    triangles)
 }

@@ -249,4 +249,22 @@ class DedupSpec extends SparkSpec {
         s"query $q top hit is not its twin: ${rs.head}")
     }
   }
+
+  test("dedup_triangles: census invariants on the sf0.01 pair graph") {
+    val r = Dedup.triangles.build(sf001).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nodes, edges, wedges, tri, bp) = (row.getAs[Long]("n_nodes"),
+      row.getAs[Long]("n_edges"), row.getAs[Long]("n_wedges"),
+      row.getAs[Long]("n_triangles"), row.getAs[Long]("clustering_bp"))
+    assert(nodes > 0L && edges > 0L)
+    assert(edges <= nodes * (nodes - 1) / 2, "simple graph bound")
+    // every triangle closes 3 wedges; the coefficient can never exceed 1
+    assert(3 * tri <= wedges, s"3*$tri > $wedges")
+    assert(bp === (if (wedges > 0) 3 * tri * 10000 / wedges else 0L))
+    assert(bp <= 10000L)
+    // the planted twin clusters make the near-dup graph triangle-rich —
+    // a zero here means the orientation join silently lost its matches
+    assert(tri > 0L, "sf0.01 pair graph must contain triangles")
+  }
 }
