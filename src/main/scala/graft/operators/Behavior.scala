@@ -300,5 +300,57 @@ object Behavior {
       .orderBy(col("day"))
   }
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63, q64)
+  // q89 — sequenceNextNode (ClickHouse's path-analysis aggregate): what
+  // happens RIGHT AFTER each user's first signup — the distribution of
+  // next events, '_none' for users whose signup is their last event.
+  // Two keyed aggregations (first-signup anchor = |users| rows joined
+  // back hash-keyed; next-event min over the strictly-later slice) —
+  // user-parallel, no global window, so the path report costs the same
+  // two shuffles at any fact volume. Ordering is (ts, event_id), the
+  // engine's deterministic event tie-break.
+  val q89 = Q(
+    "q89_next_node",
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events),
+      s AS (
+        SELECT user_id, ts AS sts, event_id AS sid FROM (
+          SELECT user_id, ts, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM ev WHERE event_type = 'signup') WHERE rn = 1),
+      nx AS (
+        SELECT e.user_id, e.event_type,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM ev e JOIN s ON s.user_id = e.user_id
+        WHERE e.ts > s.sts OR (e.ts = s.sts AND e.event_id > s.sid))
+      SELECT COALESCE(n.event_type, '_none') AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM s LEFT JOIN (SELECT user_id, event_type FROM nx WHERE rn = 1) n
+        USING (user_id)
+      GROUP BY next_type ORDER BY next_type
+    """)
+  ) { t =>
+    val ev = t.events.select(col("user_id"), col("event_type"), col("ts"),
+      col("event_id"))
+    val firstSignup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("s"))
+      .select(col("user_id"), col("s.ts").as("sts"), col("s.event_id").as("sid"))
+    val next = ev.join(firstSignup, "user_id")
+      .filter(col("ts") > col("sts") ||
+        (col("ts") === col("sts") && col("event_id") > col("sid")))
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("nx"))
+      .select(col("user_id"), col("nx.event_type").as("next_type"))
+    firstSignup.join(next, Seq("user_id"), "left")
+      .select(coalesce(col("next_type"), lit("_none")).as("next_type"))
+      .groupBy(col("next_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_users"))
+      .orderBy(col("next_type"))
+  }
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63, q64, q89)
 }
