@@ -1594,8 +1594,126 @@ $pivots
     }
   }
 
+  // ann_diversify — MMR diversity re-ranking (maximal marginal relevance,
+  // Carbonell & Goldstein 1998): pick 3 of each query's top-10 greedily by
+  // 0.7·relevance − 0.3·max-similarity-to-already-picked, the re-rank a
+  // retrieval pipeline runs so "similar docs" aren't 3 copies of the same
+  // near-dup. The decomposition is what scales: the corpus contributes
+  // ONLY the top-k stage (two-phase TopKPerGroup — ≤ k rows per query
+  // cross the wire); MMR's quadratic runs over k² candidate pairs per
+  // query, a constant independent of corpus size. Greedy rounds are
+  // unrolled (static plan); each pick is a k=1 TopKPerGroup argmax with
+  // the (score desc, vec_id) tie-break, and scores are micro-unit
+  // integers off the 6-rounded cosine, so the DuckDB oracle replays every
+  // pick exactly.
+  val diversify = Q(
+    "ann_diversify",
+    Some {
+      val simU = s"CAST(ROUND(${cosSql("a.embedding", "b.embedding")} * 1000000) AS BIGINT)"
+      s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, vec_id, e.embedding,
+               ${cosSql("qvec", "embedding")} AS cos
+        FROM e, q),
+      cand AS (
+        SELECT query_id, vec_id, embedding,
+               CAST(ROUND(cos * 1000000) AS BIGINT) AS relu
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS rn FROM scored)
+        WHERE rn <= 10),
+      sims AS (
+        SELECT a.query_id, a.vec_id AS v1, b.vec_id AS v2, $simU AS simu
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+      p1 AS (
+        SELECT query_id, vec_id, relu, 7 * relu AS mmr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY relu DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+      r2 AS (
+        SELECT c.query_id, c.vec_id, c.relu, 7 * c.relu - 3 * s.simu AS mmr
+        FROM cand c
+        JOIN p1 ON p1.query_id = c.query_id AND c.vec_id <> p1.vec_id
+        JOIN sims s ON s.query_id = c.query_id AND s.v1 = c.vec_id
+                   AND s.v2 = p1.vec_id),
+      p2 AS (
+        SELECT query_id, vec_id, relu, mmr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY mmr DESC, vec_id) AS rn FROM r2) WHERE rn = 1),
+      sel2 AS (SELECT query_id, vec_id FROM p1
+               UNION ALL SELECT query_id, vec_id FROM p2),
+      r3 AS (
+        SELECT c.query_id, c.vec_id, c.relu,
+               7 * c.relu - 3 * MAX(s.simu) AS mmr
+        FROM cand c
+        LEFT JOIN sel2 x ON x.query_id = c.query_id AND x.vec_id = c.vec_id
+        JOIN sims s ON s.query_id = c.query_id AND s.v1 = c.vec_id
+        JOIN sel2 ON sel2.query_id = s.query_id AND sel2.vec_id = s.v2
+        WHERE x.vec_id IS NULL
+        GROUP BY c.query_id, c.vec_id, c.relu),
+      p3 AS (
+        SELECT query_id, vec_id, relu, mmr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY mmr DESC, vec_id) AS rn FROM r3) WHERE rn = 1)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id, relu, mmr
+      FROM (SELECT query_id, 1 AS rnk, vec_id, relu, mmr FROM p1
+            UNION ALL SELECT query_id, 2, vec_id, relu, mmr FROM p2
+            UNION ALL SELECT query_id, 3, vec_id, relu, mmr FROM p3)
+      ORDER BY query_id, rnk
+      """
+    }
+  ) { t =>
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = t.embeddings
+      .join(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+    val cand = graft.plans.TopKPerGroup.topK(scored, Seq("query_id"), "cos", "vec_id", 10)
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        round(col("cos") * 1000000).cast(LongType).as("relu"))
+    val simU = round(round(cosine(col("e1"), col("e2")), 6) * 1000000)
+      .cast(LongType).as("simu")
+    val sims = cand.select(col("query_id"), col("vec_id").as("v1"), col("embedding").as("e1"))
+      .join(cand.select(col("query_id").as("qb"), col("vec_id").as("v2"),
+        col("embedding").as("e2")),
+        col("query_id") === col("qb") && col("v1") =!= col("v2"))
+      .select(col("query_id"), col("v1"), col("v2"), simU)
+    def pick(r: DataFrame): DataFrame =
+      graft.plans.TopKPerGroup.topK(r, Seq("query_id"), "mmr", "vec_id", 1)
+    val base = cand.select(col("query_id"), col("vec_id"), col("relu"))
+    val p1 = pick(base.withColumn("mmr", col("relu") * 7))
+    val r2 = base.as("c")
+      .join(p1.select(col("query_id").as("q1"), col("vec_id").as("pv1")),
+        col("query_id") === col("q1") && col("vec_id") =!= col("pv1"))
+      .join(sims.select(col("query_id").as("qs"), col("v1"), col("v2"), col("simu")),
+        col("qs") === col("query_id") && col("v1") === col("vec_id") &&
+          col("v2") === col("pv1"))
+      .select(col("query_id"), col("vec_id"), col("relu"),
+        (col("relu") * 7 - col("simu") * 3).as("mmr"))
+    val p2 = pick(r2)
+    val sel2 = p1.select(col("query_id"), col("vec_id"))
+      .unionAll(p2.select(col("query_id"), col("vec_id")))
+    val r3 = base
+      .join(sel2, Seq("query_id", "vec_id"), "left_anti")
+      .join(sims.select(col("query_id").as("qs"), col("v1"), col("v2"), col("simu")),
+        col("qs") === col("query_id") && col("v1") === col("vec_id"))
+      .join(sel2.select(col("query_id").as("q2"), col("vec_id").as("pv")),
+        col("q2") === col("query_id") && col("pv") === col("v2"))
+      .groupBy(col("query_id"), col("vec_id"), col("relu"))
+      .agg(max(col("simu")).as("ms"))
+      .select(col("query_id"), col("vec_id"), col("relu"),
+        (col("relu") * 7 - col("ms") * 3).as("mmr"))
+    val p3 = pick(r3)
+    Seq(p1 -> 1, p2 -> 2, p3 -> 3).map { case (p, i) =>
+      p.select(col("query_id"), lit(i.toLong).as("rnk"), col("vec_id"),
+        col("relu"), col("mmr"))
+    }.reduce(_.unionAll(_)).orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
-    rpProject)
+    rpProject, diversify)
 }

@@ -113,6 +113,22 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ann_diversify: picks are distinct top-10 members, rank-1 = best cosine") {
+    val mmr = graft.ann.Ann.diversify.build(sf0001).collect()
+    val bf = graft.ann.Ann.bruteForce.build(sf0001).collect()
+    val top10 = bf.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val best = bf.filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    mmr.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val picks = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("vec_id"))
+      assert(picks.length === 3 && picks.distinct.length === 3)
+      assert(picks.toSet.subsetOf(top10(q)), s"query $q picked outside its top-10")
+      // the first MMR pick has no diversity penalty — it must be argmax cosine
+      assert(picks.head === best(q), s"query $q rank-1 disagrees with brute force")
+    }
+  }
+
   test("ann_recall gates all four index families against brute-force truth") {
     val rows = Ann.recallEval.build(sf0001).collect()
     val byMethod = rows.groupBy(_.getString(0))
