@@ -136,5 +136,72 @@ object Strings {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q28, q33)
+  // q90 — the ClickHouse array-function surface (arraySort, arrayDifference,
+  // arrayDistinct, arrayReverse, arrayEnumerate, indexOf, arrayMax) as
+  // codegen'd Spark higher-order functions over per-order line arrays:
+  // one collect per order (arrays bounded by lines-per-order, ≤ 7), then
+  // four order-SENSITIVE array metrics per row — adjacent |difference|
+  // sum, distinct count, reverse·enumerate dot, index-of-max — rolled up
+  // by array length. One aggregation shuffle; per-row array work is
+  // constant-bounded, so the op is a linear scan at any fact volume. The
+  // DuckDB oracle computes identical values through window algebra (LAG /
+  // ROW_NUMBER per order) — same numbers, two plans, which is exactly the
+  // argument for HOFs: Spark does it without a second window pass.
+  val q90 = Q(
+    "q90_array_funcs",
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey AS k, l_linenumber AS ln,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem),
+      w AS (
+        -- order by (ln, q): the synthetic lineitem has duplicate line
+        -- numbers per order, and the array metrics are order-sensitive —
+        -- (ln, q) matches the struct sort on the Spark side exactly
+        SELECT k, q,
+          ROW_NUMBER() OVER (PARTITION BY k ORDER BY ln, q) AS i,
+          COUNT(*) OVER (PARTITION BY k) AS n,
+          LAG(q) OVER (PARTITION BY k ORDER BY ln, q) AS pq,
+          MAX(q) OVER (PARTITION BY k) AS mx
+        FROM li),
+      per AS (
+        SELECT k, MAX(n) AS n,
+          SUM(CASE WHEN pq IS NULL THEN 0 ELSE ABS(q - pq) END) AS absdiff,
+          COUNT(DISTINCT q) AS ndistinct,
+          SUM((n + 1 - i) * q) AS revdot,
+          MIN(CASE WHEN q = mx THEN i END) AS idxmax
+        FROM w GROUP BY k)
+      SELECT CAST(n AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(absdiff) AS BIGINT) AS sum_absdiff,
+        CAST(SUM(ndistinct) AS BIGINT) AS sum_ndistinct,
+        CAST(SUM(revdot) AS BIGINT) AS sum_revdot,
+        CAST(SUM(idxmax) AS BIGINT) AS sum_idxmax
+      FROM per GROUP BY n ORDER BY n
+    """)
+  ) { t =>
+    val li = t.lineitem.select(col("l_orderkey").as("k"),
+      col("l_linenumber").as("ln"), col("l_quantity").cast(LongType).as("q"))
+    val arrs = li.groupBy(col("k"))
+      .agg(transform(array_sort(collect_list(struct(col("ln"), col("q")))),
+        x => x.getField("q")).as("arr"))
+    val m = arrs.select(
+      size(col("arr")).cast(LongType).as("n"),
+      expr("""aggregate(zip_with(slice(arr, 1, size(arr) - 1),
+               slice(arr, 2, size(arr) - 1), (a, b) -> abs(b - a)),
+               0L, (acc, x) -> acc + x)""").as("absdiff"),
+      size(array_distinct(col("arr"))).cast(LongType).as("ndistinct"),
+      expr("""aggregate(zip_with(reverse(arr),
+               sequence(1L, cast(size(arr) as bigint)), (v, i) -> v * i),
+               0L, (acc, x) -> acc + x)""").as("revdot"),
+      array_position(col("arr"), array_max(col("arr"))).as("idxmax"))
+    m.groupBy(col("n"))
+      .agg(count(lit(1)).cast(LongType).as("n_orders"),
+        sum(col("absdiff")).cast(LongType).as("sum_absdiff"),
+        sum(col("ndistinct")).cast(LongType).as("sum_ndistinct"),
+        sum(col("revdot")).cast(LongType).as("sum_revdot"),
+        sum(col("idxmax")).cast(LongType).as("sum_idxmax"))
+      .orderBy(col("n"))
+  }
+
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q28, q33, q90)
 }
