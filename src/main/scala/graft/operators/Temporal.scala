@@ -249,5 +249,83 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(q22, q23, q32, q34, q77, q78, q79)
+  // q91 — ORDER BY ... WITH FILL INTERPOLATE as an operator: the sparse
+  // per-type daily series of high-value event sums, densified over each
+  // type's own [min_day, max_day] span with LINEAR interpolation between
+  // the surrounding present days (the CH INTERPOLATE clause; q77 is the
+  // constant-fill sibling). The dense frame is generated from a
+  // |types|-row bounds aggregate — its size is span × types, a function
+  // of the DIMENSIONS — and the neighbor lookup is two ignore-nulls
+  // window passes over that dimension-sized frame, partitioned by type.
+  // Interpolation uses the lerp form (vp·(dn−d) + vn·(d−dp)) / (dn−dp):
+  // the numerator stays nonnegative, so truncating and flooring integer
+  // division agree and both engines produce identical cents.
+  val q91 = Q(
+    "q91_interpolate",
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 - DATE '1970-01-01' AS d, value
+        FROM events WHERE value >= 250),
+      daily AS (
+        SELECT event_type, CAST(d AS BIGINT) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        FROM e GROUP BY event_type, d),
+      bounds AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1
+                 FROM daily GROUP BY event_type),
+      cal AS (SELECT b.event_type, CAST(t.i AS BIGINT) AS d
+              FROM bounds b, UNNEST(RANGE(b.d0, b.d1 + 1)) AS t(i)),
+      j AS (SELECT c.event_type, c.d, daily.v
+            FROM cal c LEFT JOIN daily
+              ON daily.event_type = c.event_type AND daily.d = c.d),
+      nb AS (
+        SELECT event_type, d, v,
+          LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+            OVER (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+          FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+            OVER (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM j)
+      SELECT event_type, d,
+        CAST(CASE WHEN v IS NOT NULL THEN v
+             ELSE (pv * (nd - d) + nv * (d - pd)) // (nd - pd)
+             END AS BIGINT) AS value_cents,
+        CAST(CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS filled
+      FROM nb ORDER BY event_type, d
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.events.filter(col("value") >= 250)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast(LongType).as("d"),
+        col("value"))
+      .groupBy(col("event_type"), col("d"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("v"))
+    val cal = daily.groupBy(col("event_type"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cal.join(daily, Seq("event_type", "d"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+      .withColumn("pd", last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+      .withColumn("nd", first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(wn))
+      .select(col("event_type"), col("d"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(expr("(pv * (nd - d) + nv * (d - pd)) div (nd - pd)"))
+          .cast(LongType).as("value_cents"),
+        when(col("v").isNotNull, 0L).otherwise(1L).as("filled"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  val all: Seq[Q] = Seq(q22, q23, q32, q34, q77, q78, q79, q91)
 }
