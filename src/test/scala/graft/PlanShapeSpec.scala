@@ -197,4 +197,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("REPARTITION_BY_NUM"), plan.take(2000))
     assert(plan.contains("levenshtein"), plan.take(2000))
   }
+
+  test("q87_grid_join is a broadcast equi-join on cell id, never a cartesian") {
+    val plan = planOf("q87_grid_join")
+    // the radius predicate must reach the join as an equi-join on the
+    // cell key (that's the whole design); a cartesian or nested loop
+    // over customers x suppliers is the failure this pins out
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q88_kmv_distinct cuts the k-min set with two-phase TopKPerGroup") {
+    val plan = planOf("q88_kmv_distinct")
+    val topks = "TopKPerGroup".r.findAllMatchIn(plan).size
+    assert(topks >= 2, s"expected partial+final TopKPerGroup, got $topks:\n${plan.take(2000)}")
+  }
+
+  test("ann_diversify: every greedy pick is a TopKPerGroup, no window at all") {
+    val plan = planOf("ann_diversify")
+    // cand cut + 3 picks, each a partial+final pair
+    val topks = "TopKPerGroup".r.findAllMatchIn(plan).size
+    assert(topks >= 8, s"expected 4 two-phase TopKPerGroup stages, got $topks:\n${plan.take(2000)}")
+    assert(!plan.contains("WindowExec"), "MMR must not fall back to a window sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q91_interpolate windows are type-partitioned, scaffold is dimension-sized") {
+    val plan = planOf("q91_interpolate")
+    // every window must carry the event_type partition key — a global
+    // (unpartitioned) window over the dense calendar would serialize
+    val winSpecs = "PartitionSpec: \\[\\]".r.findAllMatchIn(plan).size
+    assert(!plan.contains("Window [") || winSpecs == 0, plan.take(2000))
+    assert(plan.contains("partitionBy") || plan.contains("event_type"),
+      plan.take(500))
+  }
+
+  test("dedup_triangles: census is equi-joins over the pair graph, no cartesian") {
+    val plan = planOf("dedup_triangles")
+    // the wedge and closure joins must be EQUI-joins (hash/sort-merge);
+    // the only nested-loop joins allowed are the 1-row summary
+    // cross-joins that assemble the final report row
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
