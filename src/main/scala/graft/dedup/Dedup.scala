@@ -722,26 +722,31 @@ object Dedup {
   // BOTH engines rather than fixed at 8, so the key space grows with the
   // data instead of going quadratic at 10⁹ vectors. The hyperplane signs
   // are literal model constants, so the oracle reproduces buckets exactly.
-  val embeddingDedup = Q(
-    "dedup_embedding",
-    Some(s"""
-      WITH ecorpus AS (
+  /** Embedding near-dup pair CTEs (`epairs`: id1, id2, cos ≥ 0.99) —
+    * shared by the dedup_embedding oracle and the detector-agreement
+    * report. CTE names are e-prefixed so the chain composes with the
+    * simhash fragment in one WITH block.
+    */
+  private def embPairsSql: String = s"""ecorpus AS (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
         SELECT vec_id + 1000000, embedding FROM embeddings),
       ebp AS (SELECT ${graft.functions.VectorLsh.planesForSql("COUNT(*)")} AS np
               FROM ecorpus),
-      bucketed AS (
+      ebucketed AS (
         SELECT vec_id, embedding,
                ${graft.functions.VectorLsh.bucketSqlDynamic("embedding", "SELECT np FROM ebp")} AS bucket
-        FROM ecorpus)
-      SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cos
-      FROM bucketed a JOIN bucketed b
-        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      WHERE $cosSql >= 0.99
-      ORDER BY id1, id2
-    """)
-  ) { t =>
+        FROM ecorpus),
+      epairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cos
+        FROM ebucketed a JOIN ebucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE $cosSql >= 0.99)"""
+
+  /** Spark twin of [[embPairsSql]]: embedding near-dup pairs off the
+    * memoized bucketed corpus, codegen'd cosine kernel.
+    */
+  private[graft] def embPairs(t: Tables): DataFrame = {
     // codegen'd cosine kernel (CosineExpr) — bit-identical to the former
     // dot/(norm·norm) fold, ~50x cheaper on the bucket-pair scoring stage
     val corpus = embBucketed(t)
@@ -752,7 +757,66 @@ object Dedup {
         round(call_function("graft_cos",
           col("a.embedding"), col("b.embedding")), 6).as("cos"))
       .filter(col("cos") >= 0.99)
-      .orderBy(col("id1"), col("id2"))
+  }
+
+  val embeddingDedup = Q(
+    "dedup_embedding",
+    Some(s"""
+      WITH $embPairsSql
+      SELECT id1, id2, cos FROM epairs
+      ORDER BY id1, id2
+    """)
+  ) { t =>
+    embPairs(t).orderBy(col("id1"), col("id2"))
+  }
+
+  // dedup_detector_agreement — do the TEXT detector (simhash, token
+  // frequency signal) and the EMBEDDING detector (hyperplane-LSH +
+  // cosine ≥ 0.99) agree on which documents are near-dups? The report a
+  // pipeline reads before trusting either alone: pair counts per
+  // detector, the intersection, and agreement in basis points
+  // (|∩|·10⁴/|∪|). Both pair sets come off memoized index structures,
+  // and the comparison itself is one full-outer equi-join on the pair
+  // key + a 1-row aggregate — the op costs what the detectors already
+  // paid, which is how cross-detector monitoring stays affordable at
+  // 100 TB.
+  val detectorAgreement = Q(
+    "dedup_detector_agreement",
+    Some {
+      s"""
+      WITH $corpusSql,
+      $simhashPairsSql,
+      ptext AS (SELECT id1, id2 FROM spairs WHERE hamming <= 8),
+      $embPairsSql,
+      pemb AS (SELECT id1, id2 FROM epairs),
+      j AS (
+        SELECT CASE WHEN ptext.id1 IS NOT NULL THEN 1 ELSE 0 END AS t,
+               CASE WHEN pemb.id1 IS NOT NULL THEN 1 ELSE 0 END AS e
+        FROM ptext FULL JOIN pemb
+          ON ptext.id1 = pemb.id1 AND ptext.id2 = pemb.id2)
+      SELECT CAST(SUM(t) AS BIGINT) AS n_text_pairs,
+             CAST(SUM(e) AS BIGINT) AS n_embed_pairs,
+             CAST(SUM(t * e) AS BIGINT) AS n_both,
+             CAST(COUNT(*) AS BIGINT) AS n_union,
+             CAST(SUM(t * e) * 10000 // COUNT(*) AS BIGINT) AS agreement_bp
+      FROM j
+      """
+    }
+  ) { t =>
+    val a = simhashPairs(t).select(col("id1"), col("id2"), lit(1L).as("t"))
+    val b = embPairs(t).select(col("id1"), col("id2"), lit(1L).as("e"))
+    a.join(b, Seq("id1", "id2"), "full_outer")
+      .select(coalesce(col("t"), lit(0L)).as("t"),
+        coalesce(col("e"), lit(0L)).as("e"))
+      .agg(sum(col("t")).as("n_text_pairs"),
+        sum(col("e")).as("n_embed_pairs"),
+        sum(col("t") * col("e")).as("n_both"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_text_pairs").cast(LongType).as("n_text_pairs"),
+        col("n_embed_pairs").cast(LongType).as("n_embed_pairs"),
+        col("n_both").cast(LongType).as("n_both"),
+        col("n_union").cast(LongType).as("n_union"),
+        expr("n_both * 10000 div n_union").cast(LongType).as("agreement_bp"))
   }
 
   // dedup_chunks — paragraph/chunk-level dedup: tumbling 10-word chunks
@@ -1923,5 +1987,5 @@ object Dedup {
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
     thresholdSweep, hubRank, canonical, editDistance, similarSearch,
-    triangles)
+    triangles, detectorAgreement)
 }

@@ -267,4 +267,20 @@ class DedupSpec extends SparkSpec {
     // a zero here means the orientation join silently lost its matches
     assert(tri > 0L, "sf0.01 pair graph must contain triangles")
   }
+
+  test("dedup_detector_agreement: set algebra consistent, clones found by both") {
+    val r = Dedup.detectorAgreement.build(sf001).collect().head
+    val (t, e, both, un, bp) = (r.getAs[Long]("n_text_pairs"),
+      r.getAs[Long]("n_embed_pairs"), r.getAs[Long]("n_both"),
+      r.getAs[Long]("n_union"), r.getAs[Long]("agreement_bp"))
+    assert(both <= math.min(t, e))
+    assert(un === t + e - both, "inclusion-exclusion must hold exactly")
+    assert(bp === both * 10000 / un)
+    // the embedding detector must at least find every planted clone pair
+    val nDocs = sf001.embeddings.count()
+    assert(e >= nDocs, s"embed detector found $e pairs < $nDocs planted clones")
+    // and a healthy fraction of the clone pairs is confirmed by BOTH
+    // detectors — total disagreement means one signal is broken
+    assert(both > 0L)
+  }
 }
