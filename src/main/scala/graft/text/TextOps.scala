@@ -1318,8 +1318,98 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // text_countmin — Count-Min sketch accuracy report over the 3-token
+  // shingle stream (d=4 rows × w=1024 columns, universal-hash cells from
+  // the PortableHash family): the frequency sketch a streaming pipeline
+  // keeps when the key space (shingles, URLs, n-grams) is too wide for an
+  // exact map. The sketch build is ONE map-side-combinable aggregation
+  // into d·w integer cells — constant memory per executor, cells merge by
+  // addition across any partitioning (the CM property), so the same plan
+  // serves 100 TB with a 16 KB state. The report probes the exact top-10
+  // shingles against the sketch: CM can only OVER-estimate (min of d row
+  // cells), and the over_bp column is the honest bias measurement at
+  // this stream/width ratio. All-integer arithmetic — the oracle rebuilds
+  // the identical sketch and replays every probe.
+  val countMin = Q(
+    "text_countmin",
+    Some {
+      val p = graft.functions.PortableHash.P
+      val w = 1024
+      val a4 = (0 until 4).map(j => graft.functions.PortableHash.coefA(20 + j))
+        .mkString("[", ",", "]")
+      val b4 = (0 until 4).map(j => graft.functions.PortableHash.coefB(20 + j))
+        .mkString("[", ",", "]")
+      val fold = "list_reduce(list_prepend(7::BIGINT, " +
+        "list_transform(string_split(sh, ''), c -> ascii(c)::BIGINT)), " +
+        s"(acc, x) -> (acc * 31 + x) % $p)"
+      s"""
+      WITH toks AS (
+        SELECT list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                 w -> w <> '') AS ws
+        FROM documents),
+      tc AS (
+        SELECT sh, COUNT(*) AS cnt FROM (
+          SELECT array_to_string(list_slice(ws, i, i + 2), ' ') AS sh
+          FROM toks, UNNEST(RANGE(1, GREATEST(LEN(ws) - 2, 1) + 1)) AS t(i))
+        GROUP BY sh),
+      whash AS (SELECT sh, cnt, $fold AS h FROM tc),
+      cells AS (
+        SELECT r, (list_extract($a4, r + 1) * h + list_extract($b4, r + 1))
+                   % $p % $w AS c,
+               SUM(cnt) AS n
+        FROM whash, UNNEST(RANGE(0, 4)) AS t(r) GROUP BY r, c),
+      top AS (SELECT sh, cnt, h FROM whash ORDER BY cnt DESC, sh LIMIT 10),
+      est AS (
+        SELECT t.sh, t.cnt, MIN(cells.n) AS cm
+        FROM top t, UNNEST(RANGE(0, 4)) AS tr(r)
+        JOIN cells ON cells.r = tr.r
+           AND cells.c = (list_extract($a4, tr.r + 1) * t.h
+                          + list_extract($b4, tr.r + 1)) % $p % $w
+        GROUP BY t.sh, t.cnt)
+      SELECT sh, CAST(cnt AS BIGINT) AS exact_cnt, CAST(cm AS BIGINT) AS cm_est,
+             CAST((cm - cnt) * 10000 // cnt AS BIGINT) AS over_bp
+      FROM est ORDER BY exact_cnt DESC, sh
+      """
+    }
+  ) { t =>
+    val p = graft.functions.PortableHash.P
+    val w = 1024
+    val aArr = array((0 until 4).map(j =>
+      lit(graft.functions.PortableHash.coefA(20 + j))): _*)
+    val bArr = array((0 until 4).map(j =>
+      lit(graft.functions.PortableHash.coefB(20 + j))): _*)
+    val sh = t.documents
+      .select(expr("filter(split(trim(lower(text)), '\\\\s+'), w -> w != '')").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+          "i -> array_join(slice(ws, i, 3), ' '))")).as("sh"))
+    val tc = sh.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+    // canonical shingle hash: the seed-7 polynomial byte fold of the
+    // space-joined shingle (the PortableHash contract) as a HOF
+    val whash = tc.withColumn("h", expr(
+      s"aggregate(split(sh, ''), 7L, (acc, c) -> (acc * 31 + ascii(c)) % ${p}L)"))
+    val cellOf = (r: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column) =>
+      (element_at(aArr, r + 1) * h + element_at(bArr, r + 1)) % p % w
+    val cells = whash
+      .select(col("cnt"), col("h"), explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("r"), cellOf(col("r"), col("h")).as("c"), col("cnt"))
+      .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("n"))
+    val top = whash.orderBy(col("cnt").desc, col("sh")).limit(10)
+    top
+      .select(col("sh"), col("cnt"), col("h"), explode(sequence(lit(0), lit(3))).as("tr"))
+      .join(cells,
+        cells("r") === col("tr") && cells("c") === cellOf(col("tr"), col("h")))
+      .groupBy(col("sh"), col("cnt"))
+      .agg(min(col("n")).as("cm"))
+      .select(col("sh"), col("cnt").cast(LongType).as("exact_cnt"),
+        col("cm").cast(LongType).as("cm_est"),
+        expr("(cm - cnt) * 10000 div cnt").cast(LongType).as("over_bp"))
+      .orderBy(col("exact_cnt").desc, col("sh"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
-    search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply)
+    search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
+    countMin)
 }

@@ -239,4 +239,20 @@ class TextSpec extends SparkSpec {
       assert(bp >= 0L && bp < 10000L)
     }
   }
+
+  test("text_countmin: CM estimates never under-count, probes are top-10") {
+    val rows = TextOps.countMin.build(sf0001).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (ex, cm, bp) = (r.getAs[Long]("exact_cnt"), r.getAs[Long]("cm_est"),
+        r.getAs[Long]("over_bp"))
+      // the Count-Min guarantee: min over rows can only over-estimate
+      assert(cm >= ex, s"${r.getString(0)}: CM $cm under exact $ex")
+      assert(bp === (cm - ex) * 10000 / ex)
+      assert(ex > 0L)
+    }
+    // probes are the exact top shingles: counts arrive non-increasing
+    val cs = rows.map(_.getAs[Long]("exact_cnt")).toSeq
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
 }
