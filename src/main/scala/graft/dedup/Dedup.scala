@@ -1763,6 +1763,85 @@ object Dedup {
           .cast(LongType).as("clustering_bp"))
   }
 
+  // dedup_winnow — winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+  // SIGMOD'03 — the MOSS algorithm): in every sliding window of w=4
+  // consecutive shingle hashes, keep the rightmost minimum. The guarantee
+  // MinHash can't give: any shared token run of length ≥ w+k−1 between
+  // two documents ALWAYS produces a shared fingerprint (positional, not
+  // probabilistic), at expected density 2/(w+1). The rightmost-min tie
+  // rule costs nothing here: hash and negated position pack into ONE
+  // 63-bit integer key (h·2³² + (2³² − pos)), so a plain frame MIN is the
+  // argmin and the selected hash is a bit shift — no second argmax pass,
+  // no struct comparisons. Fingerprint postings join df-capped (≤ 50,
+  // the jaccardIndex rule), so the pair stage is linear in postings, and
+  // every window is per-document — the whole op is embarrassingly
+  // document-parallel.
+  val winnow = Q(
+    "dedup_winnow",
+    Some {
+      val m = 4294967296L
+      val fold = "list_reduce(list_prepend(7::BIGINT, " +
+        "list_transform(string_split(sh, ''), c -> ascii(c)::BIGINT)), " +
+        s"(acc, x) -> (acc * 31 + x) % $P)"
+      s"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                 w -> w <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+               array_to_string(list_slice(ws, i, i + 2), ' ') AS sh
+        FROM toks, UNNEST(RANGE(1, GREATEST(LEN(ws) - 2, 1) + 1)) AS t(i)),
+      keyed AS (
+        SELECT doc_id, pos, $fold * $m + ($m - pos) AS k,
+               COUNT(*) OVER (PARTITION BY doc_id) AS mm
+        FROM sh),
+      wins AS (
+        SELECT doc_id,
+               MIN(k) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
+        FROM keyed WHERE pos <= GREATEST(mm - 3, 1)),
+      fps AS (SELECT DISTINCT doc_id, wk // $m AS h FROM wins),
+      fdf AS (SELECT h, COUNT(*) AS d FROM fps GROUP BY h),
+      rare AS (SELECT f.doc_id, f.h FROM fps f JOIN fdf ON fdf.h = f.h
+               WHERE fdf.d <= 50),
+      pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS shared_fp
+        FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT id1, id2, shared_fp FROM pairs
+      ORDER BY shared_fp DESC, id1, id2 LIMIT 10
+      """
+    }
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val m = 4294967296L
+    val toks = t.documents.select(col("doc_id"),
+      expr("filter(split(trim(lower(text)), '\\\\s+'), w -> w != '')").as("ws"))
+    val sh = toks.select(col("doc_id"),
+      posexplode(expr("transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+        "i -> array_join(slice(ws, i, 3), ' '))")).as(Seq("p0", "sh")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("sh"))
+    val keyed = sh
+      .withColumn("h", expr(
+        s"aggregate(split(sh, ''), 7L, (acc, c) -> (acc * 31 + ascii(c)) % ${P}L)"))
+      .withColumn("k", col("h") * m + (lit(m) - col("pos")))
+      .withColumn("mm", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val wins = keyed.filter(col("pos") <= greatest(col("mm") - 3, lit(1)))
+      .withColumn("wk", min(col("k")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)))
+    val fps = wins.select(col("doc_id"), expr(s"wk div ${m}L").as("h")).distinct()
+    val fdf = fps.groupBy(col("h")).agg(count(lit(1)).as("d"))
+    val rare = fps.join(fdf.filter(col("d") <= 50), "h")
+    rare.as("a")
+      .join(rare.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).cast(LongType).as("shared_fp"))
+      .orderBy(col("shared_fp").desc, col("id1"), col("id2"))
+      .limit(10)
+  }
+
   // dedup_index_stats — the LSH index-health report a production dedup
   // deployment watches: per MinHash band, the bucket count, the largest
   // bucket, and the exact candidate-pair cost Σ s·(s−1)/2 the bucket-join
@@ -1987,5 +2066,5 @@ object Dedup {
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
     thresholdSweep, hubRank, canonical, editDistance, similarSearch,
-    triangles, detectorAgreement)
+    triangles, detectorAgreement, winnow)
 }

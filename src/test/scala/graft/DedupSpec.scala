@@ -283,4 +283,19 @@ class DedupSpec extends SparkSpec {
     // detectors — total disagreement means one signal is broken
     assert(both > 0L)
   }
+
+  test("dedup_winnow: ranked shared-fingerprint pairs, canonical id order") {
+    val rows = Dedup.winnow.build(sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val shared = rows.map(_.getAs[Long]("shared_fp")).toSeq
+    assert(shared.zip(shared.tail).forall { case (a, b) => a >= b },
+      s"pairs must arrive ranked: $shared")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id1") < r.getAs[Long]("id2"), "canonical pair order")
+      assert(r.getAs[Long]("shared_fp") > 0L)
+    }
+    // the template corpus shares real runs — the top pair must share a
+    // non-trivial fingerprint set, not a single accidental collision
+    assert(shared.head >= 5L, s"top pair only shares ${shared.head} fingerprints")
+  }
 }
