@@ -532,5 +532,68 @@ object Stats {
       .orderBy(col("l_returnflag"))
   }
 
-  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
+  // q92 — Theil–Sen robust trend (median of all pairwise slopes): the
+  // outlier-resistant alternative to q67's least-squares line, run per
+  // event type over the DAILY-aggregated series. The design point: the
+  // quadratic pair stage is days², not events² — the fact table
+  // contributes one aggregation shuffle and the O(span²) slope relation
+  // is dimension-sized (≤ ~11k pairs per type at a 150-day span), keyed
+  // by type, window-ranked per type. Slopes are IEEE doubles of integer
+  // cents (identical division on both engines) ordered with a (d1, d2)
+  // tie-break, so the lower-median PICK is deterministic and the oracle
+  // reproduces the exact chosen pair (reported as num/den integers
+  // alongside the rounded slope).
+  val q92 = Q(
+    "q92_theil_sen",
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                    - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        FROM events GROUP BY event_type, d),
+      pairs AS (
+        SELECT a.event_type, a.d AS d1, b.d AS d2, a.v AS v1, b.v AS v2,
+               CAST(b.v - a.v AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.d > a.d),
+      ranked AS (
+        SELECT event_type, slope, v2 - v1 AS num, d2 - d1 AS den,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY slope, d1, d2) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM pairs)
+      SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+             CAST(num AS BIGINT) AS med_num, CAST(den AS BIGINT) AS med_den,
+             ROUND(slope, 4) AS slope_cents_per_day
+      FROM ranked WHERE rn = (n + 1) // 2
+      ORDER BY event_type
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast(LongType).as("d"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("v"))
+    val a = daily.select(col("event_type"), col("d").as("d1"), col("v").as("v1"))
+    val b = daily.select(col("event_type").as("et2"), col("d").as("d2"), col("v").as("v2"))
+    val pairs = a.join(b, col("event_type") === col("et2") && col("d2") > col("d1"))
+      .select(col("event_type"), col("d1"), col("d2"), col("v1"), col("v2"),
+        ((col("v2") - col("v1")).cast(DoubleType) /
+          (col("d2") - col("d1")).cast(DoubleType)).as("slope"))
+    val w = Window.partitionBy(col("event_type"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(w.orderBy(col("slope"), col("d1"), col("d2"))))
+      .withColumn("n", count(lit(1)).over(w))
+    ranked.filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("n").cast(LongType).as("n_pairs"),
+        (col("v2") - col("v1")).cast(LongType).as("med_num"),
+        (col("d2") - col("d1")).cast(LongType).as("med_den"),
+        round(col("slope"), 4).as("slope_cents_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
+    q92)
 }

@@ -135,4 +135,19 @@ class StatsSpec extends SparkSpec {
       assert(mad <= r.getAs[Double]("median_price"))
     }
   }
+
+  test("Theil-Sen: picked pair reproduces the slope; pair count = C(days,2)") {
+    val rows = Stats.q92.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, num, den, slope) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("med_num"),
+        r.getAs[Long]("med_den"), r.getAs[Double]("slope_cents_per_day"))
+      assert(den > 0L, "pairs are strictly forward in time")
+      // the reported slope IS the chosen pair's ratio
+      assert(math.abs(slope - math.round(num.toDouble / den * 10000) / 10000.0) < 1e-9)
+      // n = C(days, 2) for that type's series
+      val days = (1 + math.sqrt(1 + 8.0 * n)) / 2
+      assert(math.abs(days - math.round(days)) < 1e-9, s"n_pairs $n not triangular")
+    }
+  }
 }
