@@ -488,5 +488,106 @@ object Multimodal {
       .orderBy(col("w"))
   }
 
-  val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi)
+  /** Circular dHash of a decoded raster: grayscale box-downscale to an
+    * 8×8 grid (integer division throughout), then bit gy·8+gx is set when
+    * cell (gy,gx) is strictly brighter than its right neighbor
+    * (wrapping) — 64 gradient bits, invariant to uniform brightness
+    * shifts, the standard perceptual-hash key for image dedup.
+    */
+  def dhashOf(r: Raster): Long = {
+    val (w, h) = (r.width, r.height)
+    val sums = Array.ofDim[Long](8, 8)
+    val cnts = Array.ofDim[Long](8, 8)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 8 / w
+        val i = (y * w + x) * 3
+        val gray = ((r.rgb(i) & 0xff) + (r.rgb(i + 1) & 0xff) +
+          (r.rgb(i + 2) & 0xff)) / 3
+        sums(gy)(gx) += gray
+        cnts(gy)(gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val a = Array.tabulate(8, 8)((gy, gx) => sums(gy)(gx) / cnts(gy)(gx))
+    var hv = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (a(gy)(gx) > a(gy)((gx + 1) % 8)) hv |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hv
+  }
+
+  final case class ImageHash(media_id: Long, dhash: Long)
+
+  // mm_image_dedup — perceptual-hash image dedup: decode the REAL
+  // container bytes (P6 PPM / 24-bit BMP) per partition, compute the
+  // circular 8×8 dHash, and bucket exact hash matches — the standard
+  // first pass of image dedup at scale (pHash equality catches
+  // re-encodes and brightness shifts that byte-hashing misses, before
+  // any pairwise hamming stage). Per-image work is one decode + one
+  // 64-bit key; the bucket stage is a plain hash aggregation, so the op
+  // is a linear scan at any volume. The oracle recomputes every
+  // gradient bit from the pixel generator — a codec bug that shifts one
+  // channel byte flips hash bits and fails the gate.
+  val imageDedup = Q(
+    "mm_image_dedup",
+    Some(s"""
+      WITH media AS (
+        SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        FROM documents WHERE doc_id % 3 <> 2),
+      px AS (
+        SELECT doc_id, w, h, y.i AS y, x.i AS x,
+               ((doc_id*7 + ((y.i*w + x.i)*3 + 0)*13) % 251
+              + (doc_id*7 + ((y.i*w + x.i)*3 + 1)*13) % 251
+              + (doc_id*7 + ((y.i*w + x.i)*3 + 2)*13) % 251) // 3 AS gray
+        FROM media, UNNEST(RANGE(0, h)) AS y(i), UNNEST(RANGE(0, w)) AS x(i)),
+      cells AS (
+        SELECT doc_id, y*8//h AS gy, x*8//w AS gx, SUM(gray)//COUNT(*) AS a
+        FROM px GROUP BY doc_id, y*8//h, x*8//w),
+      bits AS (
+        SELECT l.doc_id,
+               CASE WHEN l.a > r.a THEN
+                 CASE WHEN l.gy*8 + l.gx = 63 THEN -9223372036854775807 - 1
+                      ELSE (1::BIGINT << (l.gy*8 + l.gx)) END
+               ELSE 0 END AS bv
+        FROM cells l JOIN cells r ON r.doc_id = l.doc_id AND r.gy = l.gy
+                                 AND r.gx = (l.gx + 1) % 8),
+      hashes AS (SELECT doc_id, SUM(bv)::BIGINT AS dhash FROM bits GROUP BY doc_id)
+      SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images,
+             CAST(MIN(doc_id) AS BIGINT) AS min_media_id
+      FROM hashes GROUP BY dhash
+      ORDER BY n_images DESC, dhash LIMIT 20
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    mediaOf(t)
+      .filter(_.kind != "video")
+      .mapPartitions(_.map { b =>
+        val raster = b.kind match {
+          case "image_ppm" => PpmCodec.decode(b.payload)
+          case _           => BmpCodec.decode(b.payload)
+        }
+        ImageHash(b.media_id, dhashOf(raster))
+      })
+      .toDF()
+      .groupBy(col("dhash"))
+      .agg(count(lit(1)).cast(LongType).as("n_images"),
+        min(col("media_id")).cast(LongType).as("min_media_id"))
+      .orderBy(col("n_images").desc, col("dhash"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi,
+    imageDedup)
 }

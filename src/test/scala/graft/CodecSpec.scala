@@ -262,4 +262,26 @@ class CodecSpec extends AnyFunSuite {
       assert(out.rgb((oy * 4 + ox) * 3 + c) === img.rgb((sy * 10 + sx) * 3 + c))
     }
   }
+
+  test("dHash: invariant to uniform brightness shift, sensitive to gradient flip") {
+    import graft.multimodal.Multimodal.dhashOf
+    val img = Codecs.generate(11L, 16, 12)
+    val h0 = dhashOf(img)
+    // +24 brightness on every channel (saturating add keeps order where
+    // unclipped; use a margin-safe shift by remapping into 0..200 first)
+    val capped = Codecs.Raster(16, 12,
+      img.rgb.map(b => ((b & 0xff) * 200 / 255).toByte))
+    val shifted = Codecs.Raster(16, 12,
+      capped.rgb.map(b => ((b & 0xff) + 24).toByte))
+    assert(dhashOf(shifted) === dhashOf(capped),
+      "gradient bits must survive a uniform brightness shift")
+    // horizontal mirror flips the gradient structure
+    val mirrored = {
+      val out = new Array[Byte](img.rgb.length)
+      for (y <- 0 until 12; x <- 0 until 16; c <- 0 until 3)
+        out((y * 16 + x) * 3 + c) = img.rgb((y * 16 + (15 - x)) * 3 + c)
+      Codecs.Raster(16, 12, out)
+    }
+    assert(dhashOf(mirrored) !== h0, "mirror must change the hash")
+  }
 }
