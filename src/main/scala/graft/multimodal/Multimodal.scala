@@ -588,6 +588,84 @@ object Multimodal {
       .limit(20)
   }
 
+  /** Energy-profile audio fingerprint: channel-0 samples split into 16
+    * equal windows (integer bounds), bit w set when window w's energy
+    * strictly exceeds its right neighbor (wrapping) — the audio sibling
+    * of [[dhashOf]]: gain-shape invariant, 16 bits per clip.
+    */
+  def audioFpOf(clip: Pcm): Long = {
+    val nch = clip.channels
+    val ns = clip.samples.length / nch
+    val e = new Array[Long](16)
+    var s = 0
+    while (s < ns) {
+      val v = clip.samples(s * nch).toLong
+      e(s * 16 / ns) += v * v
+      s += 1
+    }
+    var fp = 0L
+    var w = 0
+    while (w < 16) {
+      if (e(w) > e((w + 1) % 16)) fp |= 1L << w
+      w += 1
+    }
+    fp
+  }
+
+  final case class AudioFp(media_id: Long, fp: Long)
+
+  // mm_audio_dedup — energy-profile audio fingerprinting over the REAL
+  // WAV lane: decode the RIFF bytes per partition, fingerprint channel
+  // 0's 16-window energy shape (strict right-neighbor comparisons,
+  // wrapping), bucket exact fingerprint matches — the duplicate-audio
+  // first pass, robust to uniform gain because only energy ORDER enters
+  // the key. Stride-aware by construction: fingerprinting channel 0 of
+  // the interleaved stream catches the interleave bugs whole-stream
+  // statistics mask (the mm_audio lesson applied to retrieval). One
+  // decode + one 16-bit key per clip, then a hash aggregation.
+  val audioDedup = Q(
+    "mm_audio_dedup",
+    Some("""
+      WITH clips AS (
+        SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS nch,
+               (doc_id % 500 + 100) - (doc_id % 500 + 100) % (doc_id % 2 + 1) AS n
+        FROM documents),
+      ch0 AS (
+        SELECT doc_id, j // nch AS s, n // nch AS ns,
+               (doc_id*7 + j*13) % 4001 - 2000 AS v
+        FROM clips, UNNEST(RANGE(0, n)) AS t(j)
+        WHERE j % nch = 0),
+      wins AS (
+        SELECT doc_id, (s * 16) // ns AS w, SUM(v * v) AS e
+        FROM ch0 GROUP BY doc_id, (s * 16) // ns),
+      bits AS (
+        SELECT l.doc_id,
+               CASE WHEN l.e > r.e THEN (1::BIGINT << l.w) ELSE 0 END AS bv
+        FROM wins l JOIN wins r ON r.doc_id = l.doc_id AND r.w = (l.w + 1) % 16),
+      hashes AS (SELECT doc_id, SUM(bv)::BIGINT AS fp FROM bits GROUP BY doc_id)
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_clips,
+             CAST(MIN(doc_id) AS BIGINT) AS min_media_id
+      FROM hashes GROUP BY fp
+      ORDER BY n_clips DESC, fp LIMIT 20
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val channels = (id % 2 + 1).toInt
+        val n = (id % 500 + 100).toInt
+        val clip = WavCodec.decode(WavCodec.encode(generatePcm(id, channels, n)))
+        AudioFp(id, audioFpOf(clip))
+      })
+      .toDF()
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).cast(LongType).as("n_clips"),
+        min(col("media_id")).cast(LongType).as("min_media_id"))
+      .orderBy(col("n_clips").desc, col("fp"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi,
-    imageDedup)
+    imageDedup, audioDedup)
 }

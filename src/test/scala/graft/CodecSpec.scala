@@ -284,4 +284,24 @@ class CodecSpec extends AnyFunSuite {
     }
     assert(dhashOf(mirrored) !== h0, "mirror must change the hash")
   }
+
+  test("audio fingerprint: gain-invariant energy shape, stride-aware") {
+    import graft.multimodal.Multimodal.audioFpOf
+    val mono = Codecs.generatePcm(5L, 1, 320)
+    val fp0 = audioFpOf(mono)
+    // doubling the gain scales every window energy by 4 — order unchanged
+    val louder = Codecs.Pcm(1, 8000, mono.samples.map(s => (s * 2).toShort))
+    assert(audioFpOf(louder) === fp0, "uniform gain must not change the key")
+    // a stereo clip fingerprints channel 0 only: interleaving the same
+    // channel-0 stream with arbitrary channel-1 data leaves the key alone
+    val stereo = {
+      val out = new Array[Short](mono.samples.length * 2)
+      for (i <- mono.samples.indices) {
+        out(2 * i) = mono.samples(i)
+        out(2 * i + 1) = 1234.toShort
+      }
+      Codecs.Pcm(2, 8000, out)
+    }
+    assert(audioFpOf(stereo) === fp0, "channel-1 content leaked into the key")
+  }
 }
