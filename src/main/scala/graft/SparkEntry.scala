@@ -20,6 +20,7 @@ object SparkEntry {
       graft.operators.Asof.all ++
       graft.operators.MergeTree.all ++
       graft.operators.Stats.all ++
+      graft.operators.Series.all ++
       graft.operators.Geo.all ++
       graft.sbom.Sbom.all ++
       graft.text.TextOps.all ++

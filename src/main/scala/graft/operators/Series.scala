@@ -1,0 +1,247 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Time-series aggregate surface (SURVEY.md §2a extension): the
+  * ClickHouse series-analysis functions — exponentialMovingAverage,
+  * boundingRatio, minMap/maxMap, sequenceCount — re-expressed Spark-first
+  * with integer-exact arithmetic so every operator carries a full DuckDB
+  * oracle.
+  *
+  * Scale notes: every operator here is either a keyed window over a
+  * high-cardinality key (user_id — partitions scale with the data) or a
+  * straight partial-aggregable groupBy; nothing sorts the fact table in
+  * one partition and nothing collects unbounded state per group beyond
+  * the per-user event sequence the funnel family (q47/q52/q58) already
+  * rides.
+  */
+object Series {
+
+  /** value → exact integer cents through the proven DECIMAL(18,2) cast
+    * (same rounding in Spark and DuckDB — the §5 money rule).
+    */
+  private def cents(c: Column): Column =
+    c.cast(DecimalType(18, 2)).multiply(lit(100)).cast(LongType)
+
+  private val centsSql = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  // q93_ema — ClickHouse exponentialMovingAverage as an integer-exact
+  // operator: per user, over the last 8 events in (ts, event_id) order,
+  // the unnormalized EMA with halving weights Σ value·2^(7−age) — the
+  // newest event weighs 128, each older one half that. Computed as a
+  // Horner fold acc·2 + x over the reversed 8-frame (newest first):
+  // integer multiplies only. The fold weights the newest of an n-row
+  // frame 2^(n−1) (n < 8 only for a user's first 7 events), which the
+  // oracle reproduces closed-form as an explicit 8-term lag sum shifted
+  // right by (8−n): Σ lag_i·2^(7−i) has zeros in the low (8−n) bits
+  // when only n terms exist, so the shift is exact. (The natural
+  // list_reduce oracle is deliberately avoided: DuckDB 1.0's
+  // list_reduce mis-evaluates over multi-row grouped batches — see
+  // q96.) The window partitions by user_id — a key whose cardinality
+  // grows with the data, so no partition ever holds more than one
+  // user's events — and the frame is ROWS-bounded (8), so state per
+  // row is constant. The rollup then aggregates the smoothed stream
+  // per event_type with map-side combine.
+  val q93 = Q(
+    "q93_ema",
+    Some(s"""
+      WITH c AS (
+        SELECT event_type, user_id, ts, event_id, $centsSql AS x
+        FROM events),
+      ema AS (
+        SELECT event_type,
+               (COALESCE(x, 0) * 128
+                + COALESCE(LAG(x, 1) OVER w, 0) * 64
+                + COALESCE(LAG(x, 2) OVER w, 0) * 32
+                + COALESCE(LAG(x, 3) OVER w, 0) * 16
+                + COALESCE(LAG(x, 4) OVER w, 0) * 8
+                + COALESCE(LAG(x, 5) OVER w, 0) * 4
+                + COALESCE(LAG(x, 6) OVER w, 0) * 2
+                + COALESCE(LAG(x, 7) OVER w, 0))
+               >> (8 - LEAST(CAST(ROW_NUMBER() OVER w AS INTEGER), 8)) AS e
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_type,
+             COUNT(*) AS n,
+             MIN(e) AS min_ema,
+             MAX(e) AS max_ema,
+             CAST(SUM(e) AS BIGINT) AS sum_ema
+      FROM ema
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, Window.currentRow)
+    t.events
+      .withColumn("e",
+        aggregate(reverse(collect_list(cents(col("value"))).over(w)),
+          lit(0L), (acc, x) => acc * 2 + x))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("e")).as("min_ema"),
+        max(col("e")).as("max_ema"),
+        sum(col("e")).cast(LongType).as("sum_ema"))
+      .orderBy(col("event_type"))
+  }
+
+  // q94_bounding_ratio — ClickHouse boundingRatio(x, y): the slope of the
+  // straight line between the first and the last point of each group's
+  // (ts, value) series — (y_last − y_first)/(x_last − x_first), here in
+  // value-per-day. No window over the facts: the endpoints come from
+  // min_by/max_by keyed on a (ts, event_id) struct — a map-side
+  // combinable argmin/argmax, so the fact table pays one partial-agg
+  // shuffle of 4 longs per group. (The oracle mirrors with full-frame
+  // FIRST/LAST_VALUE windows — fine at oracle scale; the Spark side is
+  // the shape that survives 100 TB.) Slope arithmetic is double with
+  // one rounding at the end; numerator and denominator are exact
+  // integers (cents, micros) on both engines.
+  val q94 = Q(
+    "q94_bounding_ratio",
+    Some(s"""
+      WITH pts AS (
+        SELECT event_type,
+               FIRST_VALUE($centsSql) OVER w AS y0,
+               LAST_VALUE($centsSql) OVER w AS y1,
+               FIRST_VALUE(epoch_us(ts)) OVER w AS x0,
+               LAST_VALUE(epoch_us(ts)) OVER w AS x1
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      SELECT event_type,
+             ANY_VALUE(y0) AS first_cents,
+             ANY_VALUE(y1) AS last_cents,
+             ROUND((ANY_VALUE(y1) - ANY_VALUE(y0)) * 864000000.0
+                   / (ANY_VALUE(x1) - ANY_VALUE(x0)), 6) AS slope_per_day
+      FROM pts
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    val key = struct(col("ts"), col("event_id"))
+    t.events
+      .select(col("event_type"), cents(col("value")).as("c"),
+        unix_micros(col("ts")).as("us"), col("ts"), col("event_id"))
+      .groupBy(col("event_type"))
+      .agg(
+        min_by(col("c"), key).as("first_cents"),
+        max_by(col("c"), key).as("last_cents"),
+        min_by(col("us"), key).as("x0"),
+        max_by(col("us"), key).as("x1"))
+      .select(col("event_type"), col("first_cents"), col("last_cents"),
+        round((col("last_cents") - col("first_cents")) * lit(864000000.0)
+          / (col("x1") - col("x0")), 6).as("slope_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  // q95_minmax_map — ClickHouse minMap/maxMap: per event_type, the
+  // per-props-key extremes of `value`, emitted as q56_summap's sorted
+  // parallel CSV serialization (map columns don't hash portably; the
+  // string form does). Same two-stage shape as sumMap: a key-level
+  // partial-aggregable groupBy collapses the facts, then a
+  // dimension-sized per-group sort_array serializes — the facts never
+  // see a window.
+  val q95 = Q(
+    "q95_minmax_map",
+    Some(s"""
+      WITH kv0 AS (
+        SELECT event_type,
+               TRY_CAST(JSON_EXTRACT_STRING(props, '$$.k') AS BIGINT) AS k,
+               $centsSql AS c
+        FROM events),
+      kv AS (SELECT * FROM kv0 WHERE k IS NOT NULL),
+      per_key AS (
+        SELECT event_type, k, MIN(c) AS lo, MAX(c) AS hi
+        FROM kv GROUP BY event_type, k)
+      SELECT event_type,
+             array_to_string(LIST(k::VARCHAR ORDER BY k), ',') AS map_keys,
+             array_to_string(LIST(lo::VARCHAR ORDER BY k), ',') AS map_mins,
+             array_to_string(LIST(hi::VARCHAR ORDER BY k), ',') AS map_maxs
+      FROM per_key
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    val perKey = t.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+        cents(col("value")).as("c"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"), col("k"))
+      .agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    perKey
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("k"), col("lo"), col("hi")))).as("m"))
+      .select(col("event_type"),
+        concat_ws(",", transform(col("m"), e => e.getField("k").cast("string"))).as("map_keys"),
+        concat_ws(",", transform(col("m"), e => e.getField("lo").cast("string"))).as("map_mins"),
+        concat_ws(",", transform(col("m"), e => e.getField("hi").cast("string"))).as("map_maxs"))
+      .orderBy(col("event_type"))
+  }
+
+  // q96_sequence_count — ClickHouse sequenceCount('(?1).*(?2)'): how many
+  // NON-OVERLAPPING completed step pairs each user's ordered event stream
+  // contains (q52's sequenceMatch answers "at least one?"; this answers
+  // "how many?"). The greedy left-to-right scan is a fold with two-field
+  // state packed into one BIGINT (count·2 + armed-flag): an anchor event
+  // arms the state, the first matching close event converts the armed
+  // flag into a completed pair. The oracle states the same greedy scan
+  // as leftmost-first regex counting over the q52-style initial string —
+  // `c[^p]*p` consumes exactly anchor→first-close, then resumes after
+  // the close, which IS the armed-scan trajectory. (An earlier
+  // list_reduce-based oracle tripped a DuckDB 1.0 vectorizer bug —
+  // list_reduce over a multi-row grouped batch returns per-row results
+  // that differ from the same fold run on any single row — so the
+  // oracle deliberately avoids multi-row list_reduce.) Per-user state is
+  // the user's own event list (the q52/q58 funnel-family bound); the
+  // rollup is one map-side-combinable aggregation.
+  val q96 = Q(
+    "q96_sequence_count",
+    Some("""
+      WITH seqs AS (
+        SELECT user_id,
+               STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id),
+      folded AS (
+        SELECT user_id,
+               length(regexp_extract_all(seq, 'c[^p]*p')) AS n_cp,
+               length(regexp_extract_all(seq, 's[^e]*e')) AS n_se
+        FROM seqs)
+      SELECT CAST(SUM(n_cp) AS BIGINT) AS click_purchase_pairs,
+             CAST(SUM(n_se) AS BIGINT) AS signup_error_pairs,
+             COUNT(CASE WHEN n_cp > 0 THEN 1 END) AS users_with_cp,
+             COUNT(*) AS n_users
+      FROM folded
+    """)
+  ) { t =>
+    def codes(anchor: String, close: String): Column =
+      transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          when(col("event_type") === anchor, 1L)
+            .when(col("event_type") === close, 2L)
+            .otherwise(0L).as("code")))),
+        x => x.getField("code"))
+    def folded(arr: Column): Column =
+      aggregate(arr, lit(0L), (a, b) =>
+        when(b === 1, a - (a % 2) + 1)
+          .when(b === 2 && a % 2 === 1, a + 1)
+          .otherwise(a)) / 2
+    t.events
+      .groupBy(col("user_id"))
+      .agg(codes("click", "purchase").as("cp"), codes("signup", "error").as("se"))
+      .select(folded(col("cp")).cast(LongType).as("n_cp"),
+        folded(col("se")).cast(LongType).as("n_se"))
+      .agg(
+        sum(col("n_cp")).cast(LongType).as("click_purchase_pairs"),
+        sum(col("n_se")).cast(LongType).as("signup_error_pairs"),
+        count(when(col("n_cp") > 0, 1)).as("users_with_cp"),
+        count(lit(1)).as("n_users"))
+  }
+
+  val all: Seq[Q] = Seq(q93, q94, q95, q96)
+}

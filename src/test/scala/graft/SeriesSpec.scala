@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Series
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the time-series aggregate family (q93–q96).
+  * The DuckDB oracle proves value equality at the gate; these pin the
+  * semantic invariants that survive refactors (EMA weight algebra,
+  * bounding-ratio endpoints, map serialization, greedy-count bounds).
+  */
+class SeriesSpec extends SparkSpec {
+
+  test("ema: first event of a user has ema = its own cents; ema bounded by 255·max cents") {
+    // A frame of n rows weights Σ 2^i, i<n → max total weight 255; the
+    // smoothed stream can therefore never exceed 255 × the max raw value.
+    val maxCents = sf0001.events
+      .select((col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .agg(max(col("c"))).collect().head.getLong(0)
+    val rows = Series.q93.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_ema") <= 255L * maxCents)
+      assert(r.getAs[Long]("min_ema") >= 0L)
+      assert(r.getAs[Long]("n") > 0L)
+    }
+  }
+
+  test("ema: totals conserve — n sums to event count") {
+    val n = Series.q93.build(sf0001).agg(sum(col("n"))).collect().head.getLong(0)
+    assert(n === sf0001.events.count())
+  }
+
+  test("bounding ratio: endpoints come from the true min/max (ts, event_id) rows") {
+    val out = Series.q94.build(sf0001).collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val firsts = sf0001.events
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("first_cents") === firsts(r.getAs[String]("event_type")))
+    }
+  }
+
+  test("minmax map: per-key mins ≤ maxs, keys strictly ascending") {
+    Series.q95.build(sf0001).collect().foreach { r =>
+      val keys = r.getAs[String]("map_keys").split(",").map(_.toLong)
+      val lo = r.getAs[String]("map_mins").split(",").map(_.toLong)
+      val hi = r.getAs[String]("map_maxs").split(",").map(_.toLong)
+      assert(keys.length === lo.length && lo.length === hi.length)
+      assert(keys.sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+      lo.zip(hi).foreach { case (l, h) => assert(l <= h) }
+    }
+  }
+
+  test("sequence count: greedy pairs ≤ min(anchor, close) event totals; users_with_cp ≤ n_users") {
+    val r = Series.q96.build(sf0001).collect().head
+    val byType = sf0001.events.groupBy(col("event_type")).count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val cp = r.getAs[Long]("click_purchase_pairs")
+    val se = r.getAs[Long]("signup_error_pairs")
+    assert(cp <= math.min(byType.getOrElse("click", 0L), byType.getOrElse("purchase", 0L)))
+    assert(se <= math.min(byType.getOrElse("signup", 0L), byType.getOrElse("error", 0L)))
+    assert(r.getAs[Long]("users_with_cp") <= r.getAs[Long]("n_users"))
+  }
+
+  test("sequence count: fold matches a driver-side greedy replay at sf0.001") {
+    // Independent reimplementation: greedy armed scan over each user's
+    // (ts, event_id)-ordered initials, summed — must equal the operator.
+    val seqs = sf0001.events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (_, rows) =>
+        rows.sortBy(r => (r.getTimestamp(1).getTime, r.getTimestamp(1).getNanos, r.getLong(2)))
+          .map(_.getString(3)).mkString
+      }
+    def greedy(seq: String, a: Char, b: Char): Long = {
+      var armed = false; var n = 0L
+      seq.foreach { ch =>
+        if (ch == a) armed = true
+        else if (ch == b && armed) { n += 1; armed = false }
+      }
+      n
+    }
+    val expected = seqs.map(greedy(_, 'c', 'p')).sum
+    val got = Series.q96.build(sf0001).collect().head.getAs[Long]("click_purchase_pairs")
+    assert(got === expected)
+  }
+}
