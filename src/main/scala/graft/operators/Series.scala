@@ -243,5 +243,128 @@ object Series {
         count(lit(1)).as("n_users"))
   }
 
-  val all: Seq[Q] = Seq(q93, q94, q95, q96)
+  // q97_lttb — ClickHouse largestTriangleThreeBuckets(8): downsample each
+  // event_type's daily series to 8 visually-representative points. LTTB
+  // is inherently sequential-greedy (bucket i's pick depends on bucket
+  // i−1's), which is exactly why it's worth showing Spark-first: the
+  // facts pay ONE aggregation (per-type daily sums — map-side combine),
+  // and the whole greedy chain runs over the DIMENSION-sized series
+  // (≤ 366 rows/type, memoized via PersistCache) as 6 statically
+  // unrolled argmax steps — per-type 1-row frames broadcast-joined back
+  // to the tiny bucketed relation, the ann_diversify technique. Nothing
+  // iterates on the driver and no step touches the fact table again.
+  // Triangle areas are exact BIGINTs: the next-bucket average is kept as
+  // (Σx, Σy, c) and the area comparison is multiplied through by c, so
+  // no division ever happens and the oracle (the same chain as NB
+  // generated CTEs) reproduces every pick bit-for-bit. Tie-break:
+  // highest area, then earliest day.
+  private val LttbBuckets = 8
+
+  private def lttbOracle: String = {
+    val nb = LttbBuckets
+    val mids = (1 to nb - 2).map { i =>
+      val prev = if (i == 1) "sel0" else s"sel${i - 1}"
+      s"""
+      next$i AS (
+        SELECT event_type, SUM(d) AS sx, SUM(v) AS sy, COUNT(*) AS c
+        FROM bucketed WHERE b = ${i + 1} GROUP BY event_type),
+      sc$i AS (
+        SELECT cd.event_type, cd.d, cd.v,
+               ABS((a.d * n.c - n.sx) * (cd.v - a.v)
+                   - (a.d - cd.d) * (n.sy - a.v * n.c)) AS score
+        FROM bucketed cd
+        JOIN $prev a ON a.event_type = cd.event_type
+        JOIN next$i n ON n.event_type = cd.event_type
+        WHERE cd.b = $i),
+      sel$i AS (
+        SELECT event_type, d, v FROM (
+          SELECT event_type, d, v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY score DESC, d) AS rn
+          FROM sc$i) WHERE rn = 1)"""
+    }.mkString(",")
+    val unions = (1 to nb - 2)
+      .map(i => s"UNION ALL SELECT event_type, $i AS pick, d, v FROM sel$i")
+      .mkString("\n        ")
+    s"""
+      WITH daily0 AS (
+        SELECT event_type,
+               CAST(CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                    - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        FROM events GROUP BY event_type, d),
+      ranked AS (
+        SELECT event_type, d, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1 AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily0),
+      bucketed AS (
+        SELECT event_type, d, v,
+               CASE WHEN r = 0 THEN 0
+                    WHEN r = n - 1 THEN ${nb - 1}
+                    ELSE 1 + ((r - 1) * ${nb - 2}) // (n - 2) END AS b
+        FROM ranked),
+      sel0 AS (SELECT event_type, d, v FROM bucketed WHERE b = 0),$mids
+      SELECT event_type, CAST(pick AS BIGINT) AS pick,
+             d AS day_num, v AS y_cents
+      FROM (
+        SELECT event_type, 0 AS pick, d, v FROM sel0
+        $unions
+        UNION ALL SELECT event_type, ${nb - 1} AS pick, d, v
+                  FROM bucketed WHERE b = ${nb - 1})
+      ORDER BY event_type, pick
+    """
+  }
+
+  val q97 = Q("q97_lttb", Some(lttbOracle)) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val nb = LttbBuckets
+    val bucketed = graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#lttb-daily") {
+      val daily0 = t.events
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast(LongType).as("d"))
+        .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("v"))
+      val wt = Window.partitionBy(col("event_type"))
+      daily0
+        .withColumn("r", row_number().over(wt.orderBy(col("d"))) - 1)
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("b",
+          when(col("r") === 0, 0)
+            .when(col("r") === col("n") - 1, nb - 1)
+            // truncating the nonnegative double ratio = floor = integer div
+            .otherwise((lit(1) + ((col("r") - 1) * (nb - 2)) / (col("n") - 2))
+              .cast(LongType)))
+        .select(col("event_type"), col("d"), col("v"), col("b").cast(LongType).as("b"))
+    }
+    var sel = bucketed.filter(col("b") === 0).select(col("event_type"),
+      col("d").as("ad"), col("v").as("av"))
+    val picks = scala.collection.mutable.ArrayBuffer(
+      sel.select(col("event_type"), lit(0L).as("pick"),
+        col("ad").as("day_num"), col("av").as("y_cents")))
+    for (i <- 1 to nb - 2) {
+      val next = bucketed.filter(col("b") === i + 1)
+        .groupBy(col("event_type"))
+        .agg(sum(col("d")).as("sx"), sum(col("v")).as("sy"), count(lit(1)).as("c"))
+      val scored = bucketed.filter(col("b") === i)
+        .join(broadcast(sel), "event_type")
+        .join(broadcast(next), "event_type")
+        .withColumn("score",
+          abs((col("ad") * col("c") - col("sx")) * (col("v") - col("av"))
+            - (col("ad") - col("d")) * (col("sy") - col("av") * col("c"))))
+      sel = scored.groupBy(col("event_type"))
+        .agg(max_by(struct(col("d"), col("v")),
+          struct(col("score"), -col("d"))).as("p"))
+        .select(col("event_type"), col("p.d").as("ad"), col("p.v").as("av"))
+      picks += sel.select(col("event_type"), lit(i.toLong).as("pick"),
+        col("ad").as("day_num"), col("av").as("y_cents"))
+    }
+    picks += bucketed.filter(col("b") === nb - 1)
+      .select(col("event_type"), lit((nb - 1).toLong).as("pick"),
+        col("d").as("day_num"), col("v").as("y_cents"))
+    picks.reduce(_ unionByName _)
+      .orderBy(col("event_type"), col("pick"))
+  }
+
+  val all: Seq[Q] = Seq(q93, q94, q95, q96, q97)
 }

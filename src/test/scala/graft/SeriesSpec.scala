@@ -90,4 +90,28 @@ class SeriesSpec extends SparkSpec {
     val got = Series.q96.build(sf0001).collect().head.getAs[Long]("click_purchase_pairs")
     assert(got === expected)
   }
+
+  test("lttb: 8 picks per type, endpoints exact, days strictly ascending") {
+    val out = Series.q97.build(sf0001).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val daily = sf0001.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .count()
+      .groupBy(col("event_type"))
+      .agg(min(datediff(col("day"), lit("1970-01-01"))).as("lo"),
+        max(datediff(col("day"), lit("1970-01-01"))).as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    out.foreach { case (et, rows) =>
+      val (lo, hi, n) = daily(et)
+      if (n >= 8) {
+        assert(rows.length === 8, s"$et: expected 8 picks")
+        val days = rows.sortBy(_.getAs[Long]("pick")).map(_.getAs[Long]("day_num"))
+        assert(days.head === lo.toLong, s"$et: first pick must be the first day")
+        assert(days.last === hi.toLong, s"$et: last pick must be the last day")
+        assert(days.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+          s"$et: picked days must ascend")
+      }
+    }
+  }
 }
