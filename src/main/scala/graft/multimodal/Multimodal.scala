@@ -666,6 +666,100 @@ object Multimodal {
       .limit(20)
   }
 
+  final case class VideoFp(media_id: Long, fp: Long)
+
+  /** Temporal clip fingerprint: per frame an 8-bit spatial signature
+    * (luma row sums compared to the wrapping right neighbor — the video
+    * sibling of [[dhashOf]]: brightness-shift invariant, since a uniform
+    * +c moves every row sum equally), combined across frames in temporal
+    * order as a base-31 polynomial — so frame ORDER enters the key, not
+    * just the frame multiset.
+    */
+  def videoFpOf(clip: Y4m): Long = {
+    var fp = 0L
+    clip.frames.foreach { fr =>
+      val rs = new Array[Long](8)
+      var p = 0
+      while (p < fr.length) {
+        // 8 row bands; for the h=8 clips in the registry band == row,
+        // which is exactly the oracle's p // w
+        rs((p / clip.width) * 8 / clip.height) += (fr(p) & 0xff).toLong
+        p += 1
+      }
+      var sig = 0L
+      var r = 0
+      while (r < 8) {
+        if (rs(r) > rs((r + 1) % 8)) sig |= 1L << r
+        r += 1
+      }
+      fp = fp * 31 + sig
+    }
+    fp
+  }
+
+  // mm_video_dedup — temporal fingerprinting over the REAL Y4M lane: the
+  // third retrieval lane beside mm_image_dedup (spatial) and
+  // mm_audio_dedup (energy order). Each decoded frame reduces to an
+  // 8-bit SPATIAL signature (wrapping comparisons of the 8 luma row
+  // sums — brightness-shift-invariant like the image dHash), and the
+  // clip key is the base-31 polynomial combine of the per-frame
+  // signatures in TEMPORAL order — so two clips collide only when their
+  // whole frame sequence matches, and a reordered/dropped frame changes
+  // the key (what a bag-of-frames hash cannot see). One decode + one
+  // 64-bit key per clip, then a hash aggregation; the oracle replays
+  // every row sum, comparison bit and polynomial term from the pixel
+  // generator, with the polynomial as a closed-form POWER sum (no
+  // sequential fold needed — frame index is data, not state).
+  val videoDedup = Q(
+    "mm_video_dedup",
+    Some("""
+      WITH clips AS (
+        SELECT doc_id, 8 + (doc_id % 3) * 4 AS w, 8 AS h, doc_id % 4 + 2 AS nf
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, h, nf, f, p // w AS r,
+               (doc_id * 7 + (f * w * h + p) * 13) % 251 AS v
+        FROM clips, UNNEST(RANGE(0, nf)) AS t(f), UNNEST(RANGE(0, w * h)) AS t2(p)),
+      rows_ AS (
+        SELECT doc_id, nf, f, r, SUM(v) AS rs
+        FROM px GROUP BY doc_id, nf, f, r),
+      bits AS (
+        SELECT l.doc_id, l.nf, l.f,
+               CASE WHEN l.rs > rr.rs THEN (1::BIGINT << l.r) ELSE 0 END AS bv
+        FROM rows_ l JOIN rows_ rr
+          ON rr.doc_id = l.doc_id AND rr.f = l.f AND rr.r = (l.r + 1) % 8),
+      sigs AS (
+        SELECT doc_id, nf, f, SUM(bv) AS sig
+        FROM bits GROUP BY doc_id, nf, f),
+      fps AS (
+        SELECT doc_id,
+               CAST(SUM(sig * CAST(POWER(31, nf - 1 - f) AS BIGINT)) AS BIGINT) AS fp
+        FROM sigs GROUP BY doc_id)
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_clips,
+             CAST(MIN(doc_id) AS BIGINT) AS min_media_id
+      FROM fps GROUP BY fp
+      ORDER BY n_clips DESC, fp LIMIT 20
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + (id % 3) * 4).toInt
+        val h = 8
+        val nf = (id % 4 + 2).toInt
+        val clip = Y4mCodec.decode(Y4mCodec.encode(w, h, 30, 1,
+          (0 until nf).map(f => generateLuma(id, w, h, f))))
+        VideoFp(id, videoFpOf(clip))
+      })
+      .toDF()
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).cast(LongType).as("n_clips"),
+        min(col("media_id")).cast(LongType).as("min_media_id"))
+      .orderBy(col("n_clips").desc, col("fp"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi,
-    imageDedup, audioDedup)
+    imageDedup, audioDedup, videoDedup)
 }

@@ -339,5 +339,44 @@ object AggExt {
       .orderBy(col("g"))
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56, q86, q88)
+  // q98_uniq_upto — ClickHouse uniqUpTo(N): exact distinct count while a
+  // group stays ≤ N distinct values, saturating at N+1 ("more than N").
+  // The value of the combinator is its STATE BOUND — the typed
+  // Aggregator (functions/UniqUpTo.scala) never buffers more than N+1
+  // ids per group regardless of true cardinality, so partial-aggregate
+  // shuffle rows are ≤ N+1 longs where count(DISTINCT)'s state grows
+  // with the data. Run per (event_type, day) with N=50 (some day-cells
+  // saturate, some don't — both paths exercised), rolled up per type.
+  // The oracle is the saturation law itself: LEAST(exact distinct, N+1).
+  val q98 = Q(
+    "q98_uniq_upto",
+    Some("""
+      WITH per_day AS (
+        SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+               LEAST(COUNT(DISTINCT user_id), 51) AS u
+        FROM events GROUP BY event_type, day)
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             CAST(SUM(u) AS BIGINT) AS sum_capped_users,
+             CAST(MAX(u) AS BIGINT) AS max_capped_users,
+             COUNT(CASE WHEN u = 51 THEN 1 END) AS n_saturated_days
+      FROM per_day
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    val uniqUpTo = udaf(graft.functions.UniqUpTo(50))
+    t.events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(uniqUpTo(col("user_id")).as("u"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("u")).cast(LongType).as("sum_capped_users"),
+        max(col("u")).cast(LongType).as("max_capped_users"),
+        count(when(col("u") === 51, 1)).as("n_saturated_days"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56, q86, q88, q98)
 }

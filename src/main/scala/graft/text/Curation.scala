@@ -531,6 +531,156 @@ object CurationOps {
       .orderBy(col("k"))
   }
 
+  // text_tv_drift — per-source distribution drift: the total-variation
+  // distance ½·Σ_t |p_t − q_t| between each source's unigram
+  // distribution and the whole corpus's, the monitoring statistic a
+  // production ingest pipeline watches to catch a source going off-mix
+  // (KL/JS need logs and FP care; TV is integer-EXACT). Everything rides
+  // one common denominator: |c_ts·N − C_t·N_s| summed as DECIMAL(38,0)
+  // (no overflow until ~10³⁸ — sums of token-count products stay exact
+  // at any realistic corpus), and the absent-token mass needs no
+  // source×vocab outer join because Σ_{t∉s} C_t·N_s = N_s·(N − Σ_{t∈s}
+  // C_t) is closed-form from the covered mass. The most-drifted token
+  // per source comes from the two-phase TopKPerGroup plan (k=1 partial
+  // argmax map-side), not a vocab-wide window sort.
+  val tvDrift = Q(
+    "text_tv_drift",
+    Some("""
+      WITH toks AS (
+        SELECT source,
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                 w -> w <> '')) AS w
+        FROM documents),
+      sc AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w),
+      cc AS (SELECT w, SUM(c) AS corpus_c FROM sc GROUP BY w),
+      ns AS (SELECT source, SUM(c) AS n_src FROM sc GROUP BY source),
+      n_all AS (SELECT SUM(c) AS n FROM sc),
+      diffs AS (
+        SELECT s.source, s.w,
+               ABS(CAST(s.c AS DECIMAL(38,0)) * n.n
+                   - CAST(c2.corpus_c AS DECIMAL(38,0)) * x.n_src) AS num,
+               c2.corpus_c
+        FROM sc s
+        JOIN cc c2 ON c2.w = s.w
+        JOIN ns x ON x.source = s.source
+        CROSS JOIN n_all n),
+      agg AS (
+        SELECT d.source,
+               SUM(d.num) AS part_a,
+               SUM(d.corpus_c) AS covered
+        FROM diffs d GROUP BY d.source),
+      top AS (
+        SELECT source, w AS top_token
+        FROM (SELECT source, w,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY num DESC, w) AS rn
+              FROM diffs) WHERE rn = 1)
+      SELECT a.source,
+             CAST(x.n_src AS BIGINT) AS n_tokens,
+             CAST(FLOOR(10000.0 * CAST(a.part_a
+                    + CAST(x.n_src AS DECIMAL(38,0)) * (n.n - a.covered) AS DOUBLE)
+                  / CAST(2 * CAST(n.n AS DECIMAL(38,0)) * x.n_src AS DOUBLE))
+                  AS BIGINT) AS tv_bp,
+             t.top_token
+      FROM agg a
+      JOIN ns x ON x.source = a.source
+      JOIN top t ON t.source = a.source
+      CROSS JOIN n_all n
+      ORDER BY a.source
+    """)
+  ) { t =>
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val sc = t.documents
+      .select(col("source"),
+        explode(filter(split(trim(lower(col("text"))), "\\s+"), w => w =!= "")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val cc = sc.groupBy(col("w")).agg(sum(col("c")).as("corpus_c"))
+    val ns = sc.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    val nAll = sc.agg(sum(col("c")).as("n"))
+    val diffs = sc
+      .join(cc, "w")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nAll))
+      .withColumn("num",
+        abs(col("c").cast(DecimalType(38, 0)) * col("n")
+          - col("corpus_c").cast(DecimalType(38, 0)) * col("n_src")))
+    val agg = diffs.groupBy(col("source"))
+      .agg(sum(col("num")).as("part_a"), sum(col("corpus_c")).as("covered"))
+    val top = graft.plans.TopKPerGroup
+      .topK(diffs.select(col("source"), col("w"), col("num")),
+        Seq("source"), "num", "w", 1)
+      .select(col("source"), col("w").as("top_token"))
+    agg
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nAll))
+      .join(top, "source")
+      .select(col("source"),
+        col("n_src").cast(LongType).as("n_tokens"),
+        floor(lit(10000.0) * (col("part_a")
+          + col("n_src").cast(DecimalType(38, 0)) * (col("n") - col("covered")))
+          .cast(DoubleType)
+          / (lit(2) * col("n").cast(DecimalType(38, 0)) * col("n_src"))
+          .cast(DoubleType))
+          .cast(LongType).as("tv_bp"),
+        col("top_token"))
+      .orderBy(col("source"))
+  }
+
+  // text_readability — Flesch reading-ease per source from three exact
+  // integer corpus sums: words (the corpus tokenizer), sentences
+  // (terminal-punctuation runs), and a vowel-group syllable proxy (the
+  // classic heuristic — maximal [aeiou]+ runs, which regex counts
+  // identically on both engines). One scan, three codegen'd regex
+  // counts per document, one aggregation; the only floating point is
+  // the final scoring formula over the three BIGINTs, evaluated in the
+  // same operation order on both engines and rounded once. Sentence
+  // count is floored at 1 so punctuation-free shards can't divide by
+  // zero.
+  val readability = Q(
+    "text_readability",
+    Some("""
+      WITH per_doc AS (
+        SELECT source,
+               LENGTH(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                 x -> x <> '')) AS w,
+               LENGTH(REGEXP_EXTRACT_ALL(text, '[.!?]+')) AS s,
+               LENGTH(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiou]+')) AS y
+        FROM documents),
+      agg AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS words,
+               GREATEST(CAST(SUM(s) AS BIGINT), 1) AS sentences,
+               CAST(SUM(y) AS BIGINT) AS syllables
+        FROM per_doc GROUP BY source)
+      SELECT source, n_docs, words, sentences, syllables,
+             ROUND(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                   - 84.6 * (CAST(syllables AS DOUBLE) / words), 4) AS flesch
+      FROM agg
+      ORDER BY source
+    """)
+  ) { t =>
+    val perDoc = t.documents.select(
+      col("source"),
+      size(filter(split(trim(lower(col("text"))), "\\s+"), x => x =!= "")).as("w"),
+      size(expr("regexp_extract_all(text, '[.!?]+', 0)")).as("s"),
+      size(expr("regexp_extract_all(lower(text), '[aeiou]+', 0)")).as("y"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).cast(LongType).as("words"),
+        greatest(sum(col("s")).cast(LongType), lit(1L)).as("sentences"),
+        sum(col("y")).cast(LongType).as("syllables"))
+      .select(col("source"), col("n_docs"), col("words"), col("sentences"),
+        col("syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("words").cast("double") / col("sentences"))
+          - lit(84.6) * (col("syllables").cast("double") / col("words")), 4)
+          .as("flesch"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(evalSplit, crossSource, novelty, tfidf,
-    qualityClassifier, datasetCard, curriculum, mixWeights, coverage)
+    qualityClassifier, datasetCard, curriculum, mixWeights, coverage,
+    tvDrift, readability)
 }

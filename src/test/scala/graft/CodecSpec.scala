@@ -304,4 +304,21 @@ class CodecSpec extends AnyFunSuite {
     }
     assert(audioFpOf(stereo) === fp0, "channel-1 content leaked into the key")
   }
+
+  test("video fingerprint: brightness-shift invariant, frame-order sensitive") {
+    import graft.multimodal.Multimodal.videoFpOf
+    val w = 8; val h = 8
+    def frame(seed: Int): Array[Byte] =
+      Array.tabulate(w * h)(p => ((seed * 7 + p * 13) % 200).toByte)
+    val f0 = frame(3); val f1 = frame(11); val f2 = frame(27)
+    val clip = Codecs.Y4m(w, h, 30, 1, Vector(f0, f1, f2))
+    val fp0 = videoFpOf(clip)
+    // uniform brightness shift moves every row sum equally — key unchanged
+    val brighter = Codecs.Y4m(w, h, 30, 1,
+      Vector(f0, f1, f2).map(_.map(b => ((b & 0xff) + 30).toByte)))
+    assert(videoFpOf(brighter) === fp0, "uniform brightness leaked into the key")
+    // reordering the same frames must change the key (temporal polynomial)
+    val reordered = Codecs.Y4m(w, h, 30, 1, Vector(f1, f0, f2))
+    assert(videoFpOf(reordered) !== fp0, "frame order must enter the key")
+  }
 }

@@ -142,4 +142,52 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
     }
   }
+
+  test("text_tv_drift: tv_bp in [0, 10000]; one row per source; top token drawn from the source") {
+    val rows = CurationOps.tvDrift.build(sf0001).collect()
+    val sources = sf0001.documents.select(col("source")).distinct().count()
+    assert(rows.length === sources.toInt)
+    rows.foreach { r =>
+      val tv = r.getAs[Long]("tv_bp")
+      assert(tv >= 0L && tv <= 10000L, s"tv_bp out of range: $tv")
+      assert(r.getAs[String]("top_token").nonEmpty)
+      assert(r.getAs[Long]("n_tokens") > 0L)
+    }
+  }
+
+  test("text_tv_drift: operator matches a driver-side exact replay of the TV formula") {
+    val rows = CurationOps.tvDrift.build(sf0001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("tv_bp")).toMap
+    // independent reimplementation: collect token counts, compute
+    // ½·Σ_t |c_ts/N_s − C_t/N| per source with exact BigInt arithmetic
+    val counts = sf0001.documents
+      .select(col("source"),
+        explode(filter(split(trim(lower(col("text"))), "\\s+"), w => w =!= "")).as("w"))
+      .groupBy(col("source"), col("w")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val corpus = counts.groupMapReduce(_._1._2)(_._2)(_ + _)
+    val perSrc = counts.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val n = BigInt(corpus.values.sum)
+    perSrc.foreach { case (src, nsL) =>
+      val ns = BigInt(nsL)
+      val total = corpus.keysIterator.map { w =>
+        val cts = BigInt(counts.getOrElse((src, w), 0L))
+        (cts * n - BigInt(corpus(w)) * ns).abs
+      }.sum
+      val expect = (BigInt(10000) * total / (2 * n * ns)).toLong
+      // the operator floors an IEEE quotient; allow the 1-ulp boundary
+      assert(math.abs(rows(src) - expect) <= 1L, s"$src: ${rows(src)} vs $expect")
+    }
+  }
+
+  test("text_readability: formula reproduces from the reported integer sums") {
+    CurationOps.readability.build(sf0001).collect().foreach { r =>
+      val w = r.getAs[Long]("words"); val s = r.getAs[Long]("sentences")
+      val y = r.getAs[Long]("syllables")
+      val expect = BigDecimal(206.835 - 1.015 * (w.toDouble / s) - 84.6 * (y.toDouble / w))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("flesch") - expect) < 1e-9)
+      assert(w > 0 && s >= 1 && y > 0)
+    }
+  }
 }
