@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -378,5 +379,56 @@ object AggExt {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56, q86, q88, q98)
+  // q100_quantiles_multi — ClickHouse quantilesExact(0.25, 0.5, 0.75,
+  // 0.9): the multi-level array form of the exact quantile, all levels
+  // answered from ONE pass over the per-distinct-value histogram (the
+  // q86 accumulate-and-pass rule, unweighted): the facts collapse to ≤
+  // |distinct values| rows per group first (partial-aggregable), the
+  // cumulative window runs over that dimension-sized relation, and each
+  // level is a conditional MIN over the same cumsum — adding a level
+  // costs one column, not one pass. BIGINT threshold compares
+  // (cum·100 ≥ level·total), picked values pass through untouched.
+  val q100 = Q(
+    "q100_quantiles_multi",
+    Some("""
+      WITH byval AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+               COUNT(*) AS w
+        FROM lineitem GROUP BY flag, x),
+      cum AS (
+        SELECT flag, x, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS tw
+        FROM byval)
+      SELECT flag,
+             MIN(CASE WHEN cw * 100 >= 25 * tw THEN x END) AS q25,
+             MIN(CASE WHEN cw * 100 >= 50 * tw THEN x END) AS q50,
+             MIN(CASE WHEN cw * 100 >= 75 * tw THEN x END) AS q75,
+             MIN(CASE WHEN cw * 100 >= 90 * tw THEN x END) AS q90,
+             CAST(MAX(tw) AS BIGINT) AS n_rows
+      FROM cum
+      GROUP BY flag
+      ORDER BY flag
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val byval = t.lineitem
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_quantity").cast(LongType).as("x"))
+      .agg(count(lit(1)).as("w"))
+    val wf = Window.partitionBy(col("flag"))
+    val cum = byval
+      .withColumn("cw", sum(col("w")).over(wf.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum(col("w")).over(wf))
+    def pick(level: Int): Column =
+      min(when(col("cw") * 100 >= col("tw") * level, col("x"))).as(s"q$level")
+    cum.groupBy(col("flag"))
+      .agg(pick(25), pick(50), pick(75), pick(90),
+        max(col("tw")).cast(LongType).as("n_rows"))
+      .orderBy(col("flag"))
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56, q86, q88, q98, q100)
 }

@@ -100,5 +100,68 @@ object Geo {
       .orderBy(col("n_name"))
   }
 
-  val all: Seq[Q] = Seq(q87)
+  // q101_geohash — ClickHouse geohashEncode as a data-skipping key:
+  // interleave 10-bit (lat, lon) into a 20-bit Morton code (lon on odd
+  // bits, lat on even — the geohash bit order), render 4 base32
+  // characters, and report occupancy per cell. The encode is a pure
+  // per-row bit expression GENERATED once and emitted to both engines
+  // (no UDF — it stays inside whole-stage codegen, and the oracle runs
+  // the same generated arithmetic), exactly how a write path would
+  // compute a geo clustering key at 100 TB. The rollup is one
+  // aggregation; top cells via TakeOrdered on the aggregated relation.
+  private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  // Σ_i lon_bit_i·2^(2i+1) + lat_bit_i·2^(2i), emitted per dialect
+  private def mortonSql(lat: String, lon: String, shift: (String, Int) => String): String =
+    (0 until 10).map { i =>
+      s"(${shift(lon, i)} & 1) * ${1L << (2 * i + 1)} + (${shift(lat, i)} & 1) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  val q101 = Q(
+    "q101_geohash",
+    Some {
+      val m = mortonSql("lat", "lon", (c, i) => s"($c >> $i)")
+      val chars = (0 to 3)
+        .map(j => s"SUBSTR('$GeohashAlphabet', CAST((g >> ${5 * (3 - j)}) & 31 AS INTEGER) + 1, 1)")
+        .mkString(" || ")
+      s"""
+      WITH pts AS (
+        SELECT c_custkey, c_nationkey,
+               (c_custkey * 2654435761) % 2147483648 % 1024 AS lat,
+               (c_custkey * 1885706077) % 2147483648 % 1024 AS lon
+        FROM customer),
+      coded AS (SELECT c_custkey, c_nationkey, $m AS g FROM pts),
+      cells AS (SELECT $chars AS cell, c_custkey, c_nationkey FROM coded)
+      SELECT cell,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+      FROM cells
+      GROUP BY cell
+      ORDER BY n_customers DESC, cell
+      LIMIT 10
+    """
+    }
+  ) { t =>
+    val pts = t.customer.select(
+      col("c_custkey"), col("c_nationkey"),
+      ((col("c_custkey") * 2654435761L) % 2147483648L % 1024).as("lat"),
+      ((col("c_custkey") * 1885706077L) % 2147483648L % 1024).as("lon"))
+    val morton = (0 until 10).map { i =>
+      shiftright(col("lon"), i).bitwiseAND(1) * (1L << (2 * i + 1)) +
+        shiftright(col("lat"), i).bitwiseAND(1) * (1L << (2 * i))
+    }.reduce(_ + _)
+    val coded = pts.withColumn("g", morton)
+    val cell = concat((0 to 3).map(j =>
+      lit(GeohashAlphabet)
+        .substr(shiftright(col("g"), 5 * (3 - j)).bitwiseAND(31).cast("int") + 1,
+          lit(1))): _*)
+    coded.withColumn("cell", cell)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).cast(LongType).as("n_customers"),
+        countDistinct(col("c_nationkey")).cast(LongType).as("n_nations"))
+      .orderBy(col("n_customers").desc, col("cell"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(q87, q101)
 }

@@ -594,6 +594,74 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  // q99_anova — ClickHouse analysisOfVariance (one-way ANOVA): is the
+  // mean o_totalprice the same across order priorities? F and η² from
+  // the textbook decomposition SSB/SSW, computed from per-group EXACT
+  // partials (n, Σcents as BIGINT, Σcents² as DECIMAL(38,0) — the power
+  // sums every engine's -State combinator ships): one map-side-combining
+  // aggregation over the facts, then all floating point happens on the
+  // 5-row group relation with one rounding at the end (the q67/q68/q72
+  // precedent: FP sums over a handful of group terms, exact integer
+  // inputs). k−1 and N−k are exact BIGINTs.
+  val q99 = Q(
+    "q99_anova",
+    Some("""
+      WITH g AS (
+        SELECT o_orderpriority AS grp,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS s,
+               SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS DECIMAL(38,0))
+                   * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS q
+        FROM orders GROUP BY o_orderpriority),
+      tot AS (
+        SELECT COUNT(*) AS k,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(s) AS BIGINT) AS t,
+               CAST(SUM(q) AS DOUBLE) AS qtot,
+               SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS ssb_raw
+        FROM g)
+      SELECT CAST(k AS BIGINT) AS n_groups,
+             nn AS n_rows,
+             ROUND(((ssb_raw - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / nn)
+                    / (k - 1))
+                   / ((qtot - ssb_raw) / (nn - k)), 6) AS f_stat,
+             ROUND((ssb_raw - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / nn)
+                   / (qtot - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / nn),
+                   6) AS eta_sq
+      FROM tot
+    """)
+  ) { t =>
+    val cents = col("o_totalprice").cast(DecimalType(18, 2))
+      .multiply(lit(100)).cast(LongType)
+    val g = t.orders
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents).cast(LongType).as("s"),
+        sum(cents.cast(DecimalType(38, 0)) * cents).as("q"))
+    g.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).cast(LongType).as("nn"),
+      sum(col("s")).cast(LongType).as("t"),
+      sum(col("q")).cast(DoubleType).as("qtot"),
+      sum(col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("n"))
+        .as("ssb_raw"))
+      .select(
+        col("k").cast(LongType).as("n_groups"),
+        col("nn").as("n_rows"),
+        round(((col("ssb_raw")
+          - col("t").cast(DoubleType) * col("t").cast(DoubleType) / col("nn"))
+          / (col("k") - 1))
+          / ((col("qtot") - col("ssb_raw")) / (col("nn") - col("k"))), 6)
+          .as("f_stat"),
+        round((col("ssb_raw")
+          - col("t").cast(DoubleType) * col("t").cast(DoubleType) / col("nn"))
+          / (col("qtot")
+            - col("t").cast(DoubleType) * col("t").cast(DoubleType) / col("nn")), 6)
+          .as("eta_sq"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q92)
+    q92, q99)
 }

@@ -724,4 +724,40 @@ object Streams {
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** Streaming uniqUpTo(N) — the q98 combinator maintained online: per
+    * event_type, state is the distinct user set ONLY while it is ≤ N
+    * ids; at N+1 the set saturates and the state stops growing forever
+    * (≤ N+1 longs per key, no watermark-sized growth) — the streaming
+    * face of the same bound the batch Aggregator enforces per shuffle
+    * row. Saturation is monotone and insertion order-independent, so
+    * the online answer is identical to the batch operator over the same
+    * events (the spec pins that equality). Each batch emits the
+    * refreshed capped count per touched key.
+    */
+  final case class UniqUpToCount(event_type: String, capped_distinct: Long)
+
+  def uniqUpToStream(events: Dataset[Event], n: Int = 50,
+    watermark: String = "10 minutes"): Dataset[UniqUpToCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(key: String, it: Iterator[Event],
+      state: GroupState[Seq[Long]]): Iterator[UniqUpToCount] = {
+      var ids = scala.collection.mutable.TreeSet.empty[Long]
+      ids ++= state.getOption.getOrElse(Seq.empty)
+      it.foreach { e =>
+        if (ids.size <= n) ids += e.user_id
+      }
+      // cap at n+1: drop any overshoot beyond the saturation sentinel
+      val kept = ids.toSeq.take(n + 1)
+      state.update(kept)
+      Iterator.single(UniqUpToCount(key, math.min(kept.size, n + 1).toLong))
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -150,4 +150,41 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(days - math.round(days)) < 1e-9, s"n_pairs $n not triangular")
     }
   }
+
+  test("anova: F >= 0, eta_sq in [0,1], group/row counts exact") {
+    val r = Stats.q99.build(sf0001).collect().head
+    assert(r.getAs[Long]("n_groups") ===
+      sf0001.orders.select(col("o_orderpriority")).distinct().count())
+    assert(r.getAs[Long]("n_rows") === sf0001.orders.count())
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta >= 0.0 && eta <= 1.0, s"eta_sq out of range: $eta")
+  }
+
+  test("quantiles_multi: levels are monotone and within the data range") {
+    val bounds = sf0001.lineitem
+      .agg(min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
+      .collect().head
+    val (lo, hi) = (bounds.getDouble(0).toLong, bounds.getDouble(1).toLong)
+    graft.operators.AggExt.q100.build(sf0001).collect().foreach { r =>
+      val qs = Seq("q25", "q50", "q75", "q90").map(r.getAs[Long](_))
+      assert(qs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"quantile levels must be monotone: $qs")
+      assert(qs.head >= lo && qs.last <= hi)
+    }
+  }
+
+  test("geohash: cells are 4 base32 chars; occupancy sums bounded by customer count") {
+    val rows = graft.operators.Geo.q101.build(sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz".toSet
+    val nCust = sf0001.customer.count()
+    rows.foreach { r =>
+      val cell = r.getAs[String]("cell")
+      assert(cell.length === 4 && cell.forall(alphabet.contains), s"bad cell $cell")
+      assert(r.getAs[Long]("n_customers") >= 1L)
+      assert(r.getAs[Long]("n_nations") <= 25L)
+    }
+    assert(rows.map(_.getAs[Long]("n_customers")).sum <= nCust)
+  }
 }

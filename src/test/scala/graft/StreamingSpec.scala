@@ -542,4 +542,42 @@ class StreamingSpec extends SparkSpec {
       assert(rows.last.getAs[Long]("estimate") === expected)
     } finally q.stop()
   }
+
+  test("stream_uniq_upto: saturates at n+1, batch-identical, order-independent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = 5
+    val mem = MemoryStream[Event]
+    val q = Streams.uniqUpToStream(mem.toDS(), n = n)
+      .writeStream.format("memory").queryName("uut_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: 3 distinct users — below the cap, exact
+      mem.addData((1 to 6).map(i => Event(i, ts(i), (i % 3).toLong, "click", 1.0)): _*)
+      q.processAllAvailable()
+      // batch 2: 20 more distinct users — saturates at n+1
+      mem.addData((1 to 20).map(i => Event(100 + i, ts(i), (10 + i).toLong, "click", 1.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("uut_stream").collect()
+        .filter(_.getAs[String]("event_type") == "click")
+        .map(_.getAs[Long]("capped_distinct"))
+      assert(rows.length === 2)
+      assert(rows(0) === 3L, "below the cap the count is exact")
+      assert(rows(1) === (n + 1).toLong, "past the cap the answer saturates at n+1")
+      // batch-boundary independence: same events in one batch, same answer
+      val mem2 = MemoryStream[Event]
+      val q2 = Streams.uniqUpToStream(mem2.toDS(), n = n)
+        .writeStream.format("memory").queryName("uut_stream2")
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem2.addData(((1 to 6).map(i => Event(i, ts(i), (i % 3).toLong, "click", 1.0))
+          ++ (1 to 20).map(i => Event(100 + i, ts(i), (10 + i).toLong, "click", 1.0))): _*)
+        q2.processAllAvailable()
+        val one = spark.table("uut_stream2").collect()
+          .filter(_.getAs[String]("event_type") == "click")
+          .map(_.getAs[Long]("capped_distinct"))
+        assert(one.last === rows.last)
+      } finally q2.stop()
+    } finally q.stop()
+  }
 }
