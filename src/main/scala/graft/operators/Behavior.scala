@@ -352,5 +352,117 @@ object Behavior {
       .orderBy(col("next_type"))
   }
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63, q64, q89)
+  // q102_type_overlap — pairwise audience overlap matrix (the ClickHouse
+  // arrayIntersect/uniqExact segmentation readout): for every pair of
+  // event types, how many users do both, with the Jaccard in basis
+  // points. The facts collapse to distinct (type, user) FIRST (a
+  // partial-aggregable dedup), then the pair stage self-joins keyed on
+  // user_id — high-cardinality, scales with the data — with fan-out
+  // bounded by types-per-user², never corpus². Sizes broadcast back onto
+  // the tiny pair matrix; the division is BIGINT-exact (div) on both
+  // engines.
+  val q102 = Q(
+    "q102_type_overlap",
+    Some("""
+      WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+      sizes AS (SELECT event_type, COUNT(*) AS n FROM s GROUP BY event_type),
+      pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM s a JOIN s b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b)
+      SELECT p.type_a, p.type_b,
+             CAST(sa.n AS BIGINT) AS n_a,
+             CAST(sb.n AS BIGINT) AS n_b,
+             CAST(p.n_both AS BIGINT) AS n_both,
+             CAST(10000 * p.n_both // (sa.n + sb.n - p.n_both) AS BIGINT) AS jaccard_bp
+      FROM pairs p
+      JOIN sizes sa ON sa.event_type = p.type_a
+      JOIN sizes sb ON sb.event_type = p.type_b
+      ORDER BY p.type_a, p.type_b
+    """)
+  ) { t =>
+    val s = t.events.select(col("event_type"), col("user_id")).distinct()
+    val sizes = s.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = s.as("a")
+      .join(s.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"),
+        col("n_a").cast(LongType).as("n_a"),
+        col("n_b").cast(LongType).as("n_b"),
+        col("n_both").cast(LongType).as("n_both"),
+        expr("10000 * n_both div (n_a + n_b - n_both)").cast(LongType).as("jaccard_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  // q104_retention_flags — the ClickHouse retention() aggregate, anchored
+  // in time: per user, did a purchase / an error happen STRICTLY AFTER
+  // the user's first signup? (ClickHouse's retention() checks bare
+  // condition co-occurrence; anchoring at the first cond1 event is the
+  // form every real cohort readout wants, and q48/q63 already cover the
+  // calendar variants.) The first-signup anchor is a per-user window MIN
+  // (no ordering — a per-partition aggregate over the high-cardinality
+  // user key), then one groupBy(user) collapses the flags and one
+  // dimension-sized rollup per signup-day cohort reports retention in
+  // exact basis points.
+  val q104 = Q(
+    "q104_retention_flags",
+    Some("""
+      WITH anchored AS (
+        SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               MIN(CASE WHEN event_type = 'signup'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+                 OVER (PARTITION BY user_id) AS s0
+        FROM events),
+      per_user AS (
+        SELECT user_id, MIN(s0) AS s0,
+               MAX(CASE WHEN event_type = 'purchase' AND us > s0 THEN 1 ELSE 0 END) AS f_purchase,
+               MAX(CASE WHEN event_type = 'error' AND us > s0 THEN 1 ELSE 0 END) AS f_error
+        FROM anchored
+        WHERE s0 IS NOT NULL
+        GROUP BY user_id)
+      SELECT CAST(DATE_TRUNC('day', make_timestamp(s0)) AS DATE) AS cohort_day,
+             COUNT(*) AS n_signup_users,
+             CAST(SUM(f_purchase) AS BIGINT) AS n_purchase_after,
+             CAST(SUM(f_error) AS BIGINT) AS n_error_after,
+             CAST(10000 * SUM(f_purchase) // COUNT(*) AS BIGINT) AS purchase_bp
+      FROM per_user
+      GROUP BY cohort_day
+      ORDER BY cohort_day
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy(col("user_id"))
+    val anchored = t.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("s0",
+        min(when(col("event_type") === "signup", col("us"))).over(wu))
+      .filter(col("s0").isNotNull)
+    val perUser = anchored
+      .groupBy(col("user_id"))
+      .agg(min(col("s0")).as("s0"),
+        max(when(col("event_type") === "purchase" && col("us") > col("s0"), 1)
+          .otherwise(0)).as("f_purchase"),
+        max(when(col("event_type") === "error" && col("us") > col("s0"), 1)
+          .otherwise(0)).as("f_error"))
+    perUser
+      .groupBy(to_date(timestamp_micros(col("s0"))).as("cohort_day"))
+      .agg(count(lit(1)).as("n_signup_users"),
+        sum(col("f_purchase")).cast(LongType).as("n_purchase_after"),
+        sum(col("f_error")).cast(LongType).as("n_error_after"))
+      .select(col("cohort_day"), col("n_signup_users"),
+        col("n_purchase_after"), col("n_error_after"),
+        expr("10000 * n_purchase_after div n_signup_users")
+          .cast(LongType).as("purchase_bp"))
+      .orderBy(col("cohort_day"))
+  }
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63, q64, q89, q102, q104)
 }

@@ -366,5 +366,47 @@ object Series {
       .orderBy(col("event_type"), col("pick"))
   }
 
-  val all: Seq[Q] = Seq(q93, q94, q95, q96, q97)
+  // q103_moving_median — trailing 7-day exact median of the daily value
+  // series per event_type (the robust smoother ClickHouse serves via
+  // medianExact over groupArrayMovingX): facts pay one daily
+  // aggregation, then the ROWS-bounded frame median runs over the
+  // DIMENSION-sized series (≤366 rows/type — the window sorts days, not
+  // events). Spark computes the median from the sorted 7-frame array
+  // with the same (lo+hi)/2 rule DuckDB's windowed MEDIAN applies to
+  // integers, so even-frame interpolation is the exact .0/.5 double on
+  // both engines.
+  val q103 = Q(
+    "q103_moving_median",
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                    - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        FROM events GROUP BY event_type, d)
+      SELECT event_type, d,
+             MEDIAN(v) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+      FROM daily
+      ORDER BY event_type, d
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast(LongType).as("d"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("fr", sort_array(collect_list(col("v")).over(w)))
+      .select(col("event_type"), col("d"),
+        ((element_at(col("fr"), ((size(col("fr")) - 1) / 2).cast("int") + 1)
+          + element_at(col("fr"), (size(col("fr")) / 2).cast("int") + 1))
+          / lit(2.0)).as("med7"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103)
 }

@@ -114,4 +114,48 @@ class SeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("moving median: bounded by the frame extremes, one row per (type, day)") {
+    val rows = Series.q103.build(sf0001).collect()
+    val daily = sf0001.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("v"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => r.getDate(1).toLocalDate.toEpochDay -> r.getLong(2)).sortBy(_._1))
+      .toMap
+    assert(rows.length === daily.valuesIterator.map(_.length).sum)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type"); val d = r.getAs[Long]("d")
+      val series = daily(et)
+      val frame = series.filter(p => p._1 <= d && p._1 > d - 7).map(_._2)
+      val med = r.getAs[Double]("med7")
+      assert(med >= frame.min.toDouble && med <= frame.max.toDouble)
+      // exact replay of the (lo+hi)/2 rule
+      val s = frame.sorted
+      val expect = (s((s.length - 1) / 2) + s(s.length / 2)) / 2.0
+      assert(med === expect, s"$et d=$d: $med vs $expect")
+    }
+  }
+
+  test("type overlap: intersection bounded by both set sizes; full matrix emitted") {
+    val rows = graft.operators.Behavior.q102.build(sf0001).collect()
+    val types = sf0001.events.select(col("event_type")).distinct().count().toInt
+    assert(rows.length === types * (types - 1) / 2)
+    rows.foreach { r =>
+      val (na, nb, both) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both"))
+      assert(both <= math.min(na, nb))
+      val j = r.getAs[Long]("jaccard_bp")
+      assert(j >= 0L && j <= 10000L)
+    }
+  }
+
+  test("retention flags: retained never exceeds cohort size; bp consistent") {
+    graft.operators.Behavior.q104.build(sf0001).collect().foreach { r =>
+      val n = r.getAs[Long]("n_signup_users")
+      val p = r.getAs[Long]("n_purchase_after")
+      assert(p <= n && r.getAs[Long]("n_error_after") <= n)
+      assert(r.getAs[Long]("purchase_bp") === 10000L * p / n)
+    }
+  }
 }
