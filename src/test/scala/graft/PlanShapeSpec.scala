@@ -242,4 +242,45 @@ class PlanShapeSpec extends SparkSpec {
       || plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q93_ema windows by user_id only (keyed frame, no global window)") {
+    val plan = planOf("q93_ema")
+    // the EMA window must partition by the high-cardinality user key —
+    // a global (empty-partition) window over the facts would be the
+    // single-partition sort this family forbids
+    assert(plan.contains("windowspecdefinition(user_id#"), plan.take(2000))
+    assert(plan.contains("hashpartitioning(user_id#"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q97_lttb broadcasts the 1-row-per-type selection frames") {
+    val plan = planOf("q97_lttb")
+    // the greedy chain joins dimension-sized frames back by broadcast;
+    // the fact table is aggregated exactly once upstream (InMemoryRelation
+    // after the PersistCache build)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("text_tv_drift ranks the top token through TopKPerGroup, not a window sort") {
+    val plan = planOf("text_tv_drift")
+    assert(plan.contains("TopKPerGroup"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q102_type_overlap self-join is an equi-join on user_id") {
+    val plan = planOf("q102_type_overlap")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q98_uniq_upto aggregates with a partial (map-side) pass") {
+    val plan = planOf("q98_uniq_upto")
+    // typed Aggregator partial states must combine map-side: the plan
+    // carries the two-phase hash/object aggregate, not a single pass
+    assert(plan.contains("partial_uniqupto") || plan.contains("ObjectHashAggregate")
+      || plan.contains("SortAggregate"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
