@@ -2061,10 +2061,53 @@ object Dedup {
       .orderBy(col("query_id"), col("jaccard_bp").desc, col("cand_id"))
   }
 
+  // dedup_component_sizes — the size distribution of the near-dup
+  // components: how much of the duplication mass sits in pairs vs
+  // mega-clusters. THE number to read before dedup_apply ships — a fat
+  // tail (one 10k-doc component) means the detector is collapsing
+  // boilerplate families and the corpus cut will be far larger than the
+  // pair count suggests; a pairs-dominated histogram means near-dup is
+  // well-conditioned. Rides the memoized CC labels (built once per
+  // dataset); two dimension-sized aggregations — label→size, then
+  // size→histogram — plus exact share-of-implicated-docs in bp.
+  val componentSizes = Q(
+    "dedup_component_sizes",
+    Some(s"""
+      WITH $corpusSql,
+      $simhashPairsSql,
+      pairs AS MATERIALIZED (SELECT id1, id2 FROM spairs WHERE hamming <= 8),
+      ${ccLabelsSql()},
+      sizes AS (SELECT label, COUNT(*) AS s FROM labels GROUP BY label),
+      hist AS (
+        SELECT s AS group_size, COUNT(*) AS n_groups,
+               CAST(s * COUNT(*) AS BIGINT) AS n_docs
+        FROM sizes WHERE s >= 2 GROUP BY s),
+      tot AS (SELECT SUM(n_docs) AS total_docs FROM hist)
+      SELECT h.group_size, h.n_groups, h.n_docs,
+             CAST(h.n_docs * 10000 // t.total_docs AS BIGINT) AS doc_share_bp
+      FROM hist h CROSS JOIN tot t
+      ORDER BY h.group_size
+    """)
+  ) { t =>
+    val sizes = simhashLabels(t)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+    val hist = sizes
+      .groupBy(col("s").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .withColumn("n_docs", (col("group_size") * col("n_groups")).cast(LongType))
+    val tot = hist.agg(sum(col("n_docs")).as("total_docs"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("group_size"), col("n_groups"), col("n_docs"),
+        expr("n_docs * 10000 div total_docs").cast(LongType).as("doc_share_bp"))
+      .orderBy(col("group_size"))
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
     thresholdSweep, hubRank, canonical, editDistance, similarSearch,
-    triangles, detectorAgreement, winnow)
+    triangles, detectorAgreement, winnow, componentSizes)
 }

@@ -1407,9 +1407,53 @@ object TextOps {
       .orderBy(col("exact_cnt").desc, col("sh"))
   }
 
+  // text_char_trigrams — per-language character-trigram profile: the
+  // top-10 most frequent 3-char windows (the feature family language-ID
+  // models are built from — text_langid consumes exactly this signal;
+  // here it is surfaced as a readable profile). One explode to ~|chars|
+  // rows — the trigrams travel as 3-char strings keyed by (lang,
+  // trigram), a partial-aggregable count — then the top-10 cut rides
+  // two-phase TopKPerGroup (map-side k-heaps; the per-language
+  // vocabulary never sorts in one partition) and rank is computed over
+  // the ≤ 10 survivors.
+  val charTrigrams = Q(
+    "text_char_trigrams",
+    Some("""
+      WITH tris AS (
+        SELECT lang, SUBSTR(LOWER(text), CAST(i AS INTEGER), 3) AS tri
+        FROM documents, UNNEST(RANGE(1, GREATEST(LENGTH(text) - 1, 1))) AS t(i)),
+      counts AS (SELECT lang, tri, COUNT(*) AS cnt FROM tris GROUP BY lang, tri),
+      ranked AS (
+        SELECT lang, tri, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tri) AS rn
+        FROM counts)
+      SELECT lang, CAST(rn AS BIGINT) AS rnk, tri, CAST(cnt AS BIGINT) AS cnt
+      FROM ranked WHERE rn <= 10
+      ORDER BY lang, rnk
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = t.documents
+      .select(col("lang"), lower(col("text")).as("lt"))
+      // guard: sequence(1, 0) would COUNT DOWN in Spark; sub-3-char docs
+      // have no trigrams on either engine, so drop them before exploding
+      .filter(length(col("lt")) >= 3)
+      .select(col("lang"),
+        explode(expr("sequence(1, length(lt) - 2)")).as("i"),
+        col("lt"))
+      .select(col("lang"), col("lt").substr(col("i"), lit(3)).as("tri"))
+      .groupBy(col("lang"), col("tri"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
+    graft.plans.TopKPerGroup.topK(counts, Seq("lang"), "cnt", "tri", 10)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .select(col("lang"), col("rnk"), col("tri"), col("cnt").cast(LongType).as("cnt"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
-    countMin)
+    countMin, charTrigrams)
 }

@@ -298,4 +298,17 @@ class DedupSpec extends SparkSpec {
     // non-trivial fingerprint set, not a single accidental collision
     assert(shared.head >= 5L, s"top pair only shares ${shared.head} fingerprints")
   }
+
+  test("component sizes: histogram is consistent with dedup_components groups") {
+    val hist = Dedup.componentSizes.build(sf0001).collect()
+      .map(r => r.getAs[Long]("group_size") -> r.getAs[Long]("n_groups")).toMap
+    val groups = Dedup.components.build(sf0001).collect()
+      .map(_.getAs[Long]("group_size"))
+    val expect = groups.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(hist === expect, s"$hist vs $expect")
+    val shares = Dedup.componentSizes.build(sf0001).collect()
+      .map(_.getAs[Long]("doc_share_bp"))
+    assert(shares.sum <= 10000L)
+    assert(shares.forall(s => s >= 0L && s <= 10000L))
+  }
 }

@@ -255,4 +255,19 @@ class TextSpec extends SparkSpec {
     val cs = rows.map(_.getAs[Long]("exact_cnt")).toSeq
     assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("char trigrams: ≤10 per lang, all length 3, counts non-increasing") {
+    val rows = graft.text.TextOps.charTrigrams.build(sf0001).collect()
+      .groupBy(_.getAs[String]("lang"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, rs) =>
+      assert(rs.length <= 10)
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to rs.length).toSeq)
+      sorted.foreach(r => assert(r.getAs[String]("tri").length === 3, s"$lang bad trigram"))
+      val cnts = sorted.map(_.getAs[Long]("cnt"))
+      assert(cnts.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"$lang counts must be non-increasing")
+    }
+  }
 }
