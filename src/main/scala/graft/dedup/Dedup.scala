@@ -580,15 +580,28 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // undirected edge list, both directions
+    val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
+    def dbg[A](what: String)(f: => A): A =
+      if (!ccDebug) f else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(f"[cc] $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    // No distinct and no intermediate persist: every producer hands this
+    // loop a deduped (id1 < id2) pair list (simhashPairs ends in
+    // .distinct()), so doubling directions cannot create duplicate
+    // edges — and even a duplicate-carrying caller only pads the
+    // neighbor-MIN aggregation, never changes it. The removed
+    // .distinct() was a full extra shuffle of the edge list; the
+    // removed extra persist held a second copy of the same edges.
     val edges0 = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct()
-      .persist(MEMORY_AND_DISK)
     // Size the iteration's parallelism to the graph, not the session
     // default: each round is a join+agg over the edge list, and tiny
     // graphs on many partitions pay per-round scheduling that dwarfs the
     // work (~500k edges per partition is comfortable).
-    val edgeCount = edges0.count()
+    val edgeCount = dbg("edge materialize")(2L * pairs.count())
     val spark = pairs.sparkSession
     val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (edgeCount / 500000L).toInt + 1))
@@ -649,10 +662,14 @@ object Dedup {
       ls.join(l2.hint("shuffle_hash"), col("label") === col("jid"), "left")
         .select(col("id"), coalesce(col("jlabel"), col("label")).as("label"))
     }
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (sum < prevSum && i < maxIters) {
+      val t0 = if (debug) System.nanoTime() else 0L
       val next = jump(step(jump(step(labels)))).localCheckpoint(true)
       prevSum = sum
       sum = next.agg(org.apache.spark.sql.functions.sum(col("label"))).head().getLong(0)
+      if (debug) System.err.println(
+        f"[cc] round $i sum=$sum wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
       labels = next
       i += 2
     }
