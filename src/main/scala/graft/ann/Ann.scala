@@ -957,7 +957,8 @@ $pivots
     "pq" -> (() => { pqCodes(t).count(); () }),
     "ivfpq_resid" -> (() => { residCodes(t, 16).count(); () }),
     "int8" -> (() => { int8Corpus(t).count(); () }),
-    "adc" -> (() => { pqLut(t).count(); () }))
+    "adc" -> (() => { pqLut(t).count(); () }),
+    "knn_edges" -> (() => { knnEdgeSet(t).count(); () }))
 
   // embed_dim_stats — per-dimension first/second moments across the
   // corpus (the whitening/normalization diagnostic an embedding pipeline
@@ -1313,6 +1314,41 @@ $pivots
   // per-cell work, never corpus-quadratic, so the same plan holds at
   // 100 TB with cellsFor-scaled cell counts. Quantizer training is the
   // shared memoized Lloyd step — free when any IVF op already ran.
+  /** Memoized (vec_id, cell, qv) corpus cell assignment on the integer
+    * grid — the relation both the k-NN graph and graph-search routing
+    * read; built once per (session, dataset).
+    */
+  private[graft] def knnAssigned(t: Tables): DataFrame =
+    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#knn-assigned") {
+      val emb = ivfEmb(t)
+      val centroids = ivfCentroids(t, 16)
+      emb.join(broadcast(centroids))
+        .select(col("vec_id"), col("qv"), col("cid"),
+          dist2(col("qv"), col("cv")).as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cell"),
+          first(col("qv")).as("qv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Memoized cell-bounded k-NN edge set (vec_id, neighbor_id, dot_q;
+    * top-3 per vector) — ann_knn_graph's rows, shared with
+    * ann_graph_search's routing. Pair volume is Σ cell²; the top-3 cut
+    * rides the two-phase TopKPerGroup plan.
+    */
+  private[graft] def knnEdgeSet(t: Tables): DataFrame =
+    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#knn-edges") {
+      val assigned = knnAssigned(t)
+      val pairs = assigned.as("a")
+        .join(assigned.as("b"), col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+          call_function("graft_dot", col("a.qv"), col("b.qv"))
+            .cast(LongType).as("dot_q"))
+      graft.plans.TopKPerGroup.topK(pairs, Seq("vec_id"), "dot_q", "neighbor_id", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   val knnGraph = Q(
     "ann_knn_graph",
     Some(s"""
@@ -1336,29 +1372,128 @@ $pivots
     """)
   ) { t =>
     import org.apache.spark.sql.expressions.Window
-    val emb = ivfEmb(t)
-    val centroids = ivfCentroids(t, 16)
-    val assigned = emb.join(broadcast(centroids))
-      .select(col("vec_id"), col("qv"), col("cid"),
-        dist2(col("qv"), col("cv")).as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cell"),
-        first(col("qv")).as("qv"))
-    val pairs = assigned.as("a")
-      .join(assigned.as("b"), col("a.cell") === col("b.cell") &&
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-        call_function("graft_dot", col("a.qv"), col("b.qv"))
-          .cast(LongType).as("dot_q"))
     // pair volume is Σ cell² — per-VECTOR top-3 via the two-phase plan,
     // so ≤ 3 rows per vector per task cross the shuffle; the rank window
-    // then sees 3 rows per group
+    // then sees 3 rows per group (edge set memoized, shared with
+    // ann_graph_search)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("dot_q").desc, col("neighbor_id"))
-    graft.plans.TopKPerGroup.topK(pairs, Seq("vec_id"), "dot_q", "neighbor_id", 3)
+    knnEdgeSet(t)
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .select(col("vec_id"), col("rnk"), col("neighbor_id"), col("dot_q"))
       .orderBy(col("vec_id"), col("rnk"))
+  }
+
+  // ann_graph_search — greedy best-first routing over the k-NN graph:
+  // the serving primitive of every graph-based ANN index (HNSW's layer-0
+  // walk, NSG's search) run as a STATIC plan. Entry = the lowest-id
+  // member of the query's nearest coarse cell; then three unrolled hops,
+  // each moving to the best of {current} ∪ neighbors(current) by exact
+  // grid dot — monotone by construction (current is always a candidate),
+  // deterministic tie-break (higher dot, then lower id). Per hop the
+  // per-query 1-row frames broadcast against the memoized edge set —
+  // the corpus is touched only through the edge structure, which is the
+  // entire point of graph ANN at 100 TB: search cost is hops×degree,
+  // not corpus size. The oracle replays every hop as generated CTEs
+  // over the same integer-grid arithmetic, including the full trace
+  // (step 0..3 per query).
+  val graphSearch = Q(
+    "ann_graph_search",
+    Some {
+      val dotSql = (a: String, b: String) =>
+        s"CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b), pr -> pr[1] * pr[2])) AS BIGINT)"
+      val hops = (1 to 3).map { i =>
+        val prev = s"s${i - 1}"
+        s"""cand$i AS (
+          SELECT s.query_id, s.node AS cand FROM $prev s
+          UNION ALL
+          SELECT s.query_id, ed.neighbor_id
+          FROM $prev s JOIN edges ed ON ed.vec_id = s.node),
+        s$i AS (
+          SELECT query_id, node, dot_q FROM (
+            SELECT c.query_id, c.cand AS node,
+                   ${dotSql("g.gq", "n.qv")} AS dot_q,
+                   ROW_NUMBER() OVER (PARTITION BY c.query_id
+                     ORDER BY ${dotSql("g.gq", "n.qv")} DESC, c.cand) AS rn
+            FROM cand$i c
+            JOIN qgrid g ON g.query_id = c.query_id
+            JOIN acq n ON n.vec_id = c.cand)
+          WHERE rn = 1)"""
+      }.mkString(",")
+      val trace = (0 to 3)
+        .map(i => s"SELECT query_id, $i AS step, node, dot_q FROM s$i")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH ${ivfCtesSql(16, 1)},
+      acq AS (SELECT ac.vec_id, ac.cell, q.qv
+              FROM ac JOIN qemb q ON q.vec_id = ac.vec_id),
+      pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               ${dotSql("a.qv", "b.qv")} AS dot_q
+        FROM acq a JOIN acq b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      edges AS (
+        SELECT vec_id, neighbor_id FROM (
+          SELECT vec_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY dot_q DESC, neighbor_id) AS rnk
+          FROM pairs) WHERE rnk <= 3),
+      qgrid AS (SELECT vec_id AS query_id, qv AS gq FROM qemb WHERE vec_id < 5),
+      entry AS (
+        SELECT p.query_id, MIN(a.vec_id) AS node
+        FROM probes p JOIN ac a ON a.cell = p.cell
+        GROUP BY p.query_id),
+      s0 AS (
+        SELECT e.query_id, e.node, ${dotSql("g.gq", "n.qv")} AS dot_q
+        FROM entry e
+        JOIN qgrid g ON g.query_id = e.query_id
+        JOIN acq n ON n.vec_id = e.node),
+      $hops
+      SELECT query_id, CAST(step AS BIGINT) AS step, node, dot_q
+      FROM (
+        $trace)
+      ORDER BY query_id, step
+      """
+    }
+  ) { t =>
+    val assigned = knnAssigned(t)
+    val edges = knnEdgeSet(t).select(col("vec_id").as("src"), col("neighbor_id"))
+    val centroids = ivfCentroids(t, 16)
+    val queries = ivfEmb(t).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv").as("gq"))
+    val qcell = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("gq"), col("cid"),
+        dist2(col("gq"), col("cv")).as("dist"))
+      .groupBy(col("query_id"))
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cell"),
+        first(col("gq")).as("gq"))
+    def score(df: DataFrame): DataFrame = df
+      .join(assigned.select(col("vec_id").as("cand"), col("qv")), "cand")
+      .withColumn("dot_q",
+        call_function("graft_dot", col("gq"), col("qv")).cast(LongType))
+    var cur = score(
+      qcell.join(assigned.select(col("vec_id"), col("cell")), "cell")
+        .groupBy(col("query_id"))
+        .agg(min(col("vec_id")).as("cand"), first(col("gq")).as("gq")))
+      .select(col("query_id"), col("gq"), col("cand").as("node"), col("dot_q"))
+    val steps = scala.collection.mutable.ArrayBuffer(
+      cur.select(col("query_id"), lit(0L).as("step"), col("node"), col("dot_q")))
+    for (i <- 1 to 3) {
+      val cand = cur.select(col("query_id"), col("gq"), col("node").as("cand"))
+        .unionByName(
+          cur.join(edges, cur("node") === edges("src"))
+            .select(col("query_id"), col("gq"), col("neighbor_id").as("cand")))
+      cur = score(cand)
+        .groupBy(col("query_id"))
+        .agg(max_by(struct(col("cand"), col("dot_q")),
+          struct(col("dot_q"), -col("cand"))).as("p"),
+          first(col("gq")).as("gq"))
+        .select(col("query_id"), col("gq"), col("p.cand").as("node"),
+          col("p.dot_q").as("dot_q"))
+      steps += cur.select(col("query_id"), lit(i.toLong).as("step"),
+        col("node"), col("dot_q"))
+    }
+    steps.reduce(_ unionByName _).orderBy(col("query_id"), col("step"))
   }
 
   // embed_calibration — int8 quantization calibration: per-dimension
@@ -1715,5 +1850,5 @@ $pivots
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
-    rpProject, diversify)
+    rpProject, diversify, graphSearch)
 }

@@ -279,7 +279,11 @@ object Stats {
   // q71 — ClickHouse rankCorr(x, y): Spearman rank correlation = Pearson
   // corr of the two rank sequences. RANK() (not row_number) makes ties
   // deterministic without a tiebreak column; the corr partials then
-  // combine map-side.
+  // combine map-side. Bound: Spark's rank() is IntegerType, so a single
+  // group past ~2.1B rows wraps where DuckDB's BIGINT RANK doesn't —
+  // the same width bound q73 eliminates with count-built midranks;
+  // here corr() absorbs ranks as doubles immediately, so the fix if a
+  // deployment ever needs it is the q73 count-based construction.
   val q71 = Q(
     "q71_rank_corr",
     Some("""

@@ -259,4 +259,17 @@ class AnnSpec extends SparkSpec {
         mean <= r.getAs[Long]("max_ratio_bp"))
     }
   }
+
+  test("graph search: monotone improvement along the trace, 4 steps per query") {
+    val rows = graft.ann.Ann.graphSearch.build(sf0001).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, trace) =>
+      assert(trace.length === 4, s"query $q: expected steps 0..3")
+      val byStep = trace.sortBy(_.getAs[Long]("step"))
+      val dots = byStep.map(_.getAs[Long]("dot_q"))
+      assert(dots.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"query $q: greedy walk must never lose dot product: ${dots.toSeq}")
+    }
+  }
 }
