@@ -1847,8 +1847,92 @@ $pivots
     }.reduce(_.unionAll(_)).orderBy(col("query_id"), col("rnk"))
   }
 
+  // embed_matryoshka — truncated-dimension retrieval quality (the MRL /
+  // Matryoshka-embedding eval): how much top-10 recall survives when
+  // vectors are cut to their first 8/16/32 of 64 dimensions — the
+  // cheapest memory/recall dial a serving stack has (a w-dim prefix is
+  // w/64 of the RAM and FLOPs, no retraining). Per width one
+  // broadcast-join scoring pass over the corpus on the shared integer
+  // grid (prefix dots are exact BIGINTs), each ranked through the
+  // two-phase TopKPerGroup; recall is exact hits against the full-width
+  // truth, reported per width in basis points. Four corpus passes total
+  // (truth + 3 widths), all the same plan shape as ann_bruteforce.
+  private val MatryoshkaWidths = Seq(8, 16, 32)
+
+  val matryoshka = Q(
+    "embed_matryoshka",
+    Some {
+      def dotW(a: String, b: String, w: Int) =
+        s"CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a[1:$w], $b[1:$w]), pr -> pr[1] * pr[2])) AS BIGINT)"
+      def topW(name: String, w: Int) =
+        s"""${name}_s AS (
+          SELECT q.query_id, e.vec_id, ${dotW("q.gq", "e.qv", w)} AS dq
+          FROM grid e, qgrid q),
+        $name AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dq DESC, vec_id) AS rnk
+            FROM ${name}_s) WHERE rnk <= 10)"""
+      val widthCtes = MatryoshkaWidths.map(w => topW(s"top_$w", w)).mkString(",")
+      val widthUnion = MatryoshkaWidths
+        .map(w => s"SELECT $w AS width, query_id, vec_id FROM top_$w")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH grid AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 1024)) AS qv
+        FROM embeddings),
+      qgrid AS (SELECT vec_id AS query_id, qv AS gq FROM grid WHERE vec_id < 5),
+      ${topW("truth", 64)},
+      $widthCtes,
+      methods AS (
+        $widthUnion),
+      eval AS (
+        SELECT m.width, COUNT(*) AS n_retrieved, COUNT(t.vec_id) AS n_hits
+        FROM methods m
+        LEFT JOIN truth t ON t.query_id = m.query_id AND t.vec_id = m.vec_id
+        GROUP BY m.width)
+      SELECT CAST(width AS BIGINT) AS width,
+             CAST(n_retrieved AS BIGINT) AS n_retrieved,
+             CAST(n_hits AS BIGINT) AS n_hits,
+             CAST(n_hits * 10000 // n_retrieved AS BIGINT) AS recall_bp
+      FROM eval
+      ORDER BY width
+      """
+    }
+  ) { t =>
+    val grid = ivfEmb(t).select(col("vec_id"), col("qv"))
+    val qgrid = grid.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv").as("gq"))
+    def topW(w: Int): DataFrame = {
+      val scored = grid.join(broadcast(qgrid))
+        .select(col("query_id"), col("vec_id"),
+          call_function("graft_dot",
+            slice(col("gq"), 1, w), slice(col("qv"), 1, w))
+            .cast(LongType).as("dq"))
+      graft.plans.TopKPerGroup.topK(scored, Seq("query_id"), "dq", "vec_id", 10)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val truth = topW(64)
+    val methods = MatryoshkaWidths
+      .map(w => topW(w).withColumn("width", lit(w.toLong)))
+      .reduce(_ unionByName _)
+    val tr = truth.select(col("query_id").as("tq"), col("vec_id").as("tvec"))
+    methods
+      .join(tr, col("query_id") === col("tq") && col("vec_id") === col("tvec"),
+        "left")
+      .groupBy(col("width"))
+      .agg(count(lit(1)).as("n_retrieved"), count(col("tvec")).as("n_hits"))
+      .select(col("width"),
+        col("n_retrieved").cast(LongType).as("n_retrieved"),
+        col("n_hits").cast(LongType).as("n_hits"),
+        expr("n_hits * 10000 div n_retrieved").cast(LongType).as("recall_bp"))
+      .orderBy(col("width"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
-    rpProject, diversify, graphSearch)
+    rpProject, diversify, graphSearch, matryoshka)
 }

@@ -412,5 +412,62 @@ object Series {
       .orderBy(col("event_type"), col("d"))
   }
 
-  val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103)
+  // q105_sparkbar — ClickHouse's sparkbar aggregate, faithfully: render
+  // each event_type's daily-value series as a row of 8-level block
+  // glyphs (▁▂▃▄▅▆▇█), the terminal-dashboard readout CH ships for
+  // exactly this. The facts pay the one daily aggregation everything in
+  // this family shares; level mapping is pure integer arithmetic
+  // (1 + (v−min)·7 div max(range,1)) against per-type min/max from the
+  // same dimension-sized relation, and the glyph pick is
+  // character-indexed SUBSTR on both engines (UTF-8 safe: both index by
+  // character, not byte). Serialization is the ordered-concat idiom
+  // (q56's portable map form, here over days).
+  private val SparkbarGlyphs = "▁▂▃▄▅▆▇█"
+
+  val q105 = Q(
+    "q105_sparkbar",
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                    - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        FROM events GROUP BY event_type, d),
+      bounds AS (
+        SELECT event_type, MIN(v) AS lo, MAX(v) AS hi
+        FROM daily GROUP BY event_type)
+      SELECT d.event_type,
+             COUNT(*) AS n_days,
+             CAST(MIN(b.lo) AS BIGINT) AS min_cents,
+             CAST(MAX(b.hi) AS BIGINT) AS max_cents,
+             STRING_AGG(SUBSTR('$SparkbarGlyphs',
+               CAST(1 + (d.v - b.lo) * 7 // GREATEST(b.hi - b.lo, 1) AS INTEGER),
+               1), '' ORDER BY d.d) AS bar
+      FROM daily d JOIN bounds b ON b.event_type = d.event_type
+      GROUP BY d.event_type
+      ORDER BY d.event_type
+    """)
+  ) { t =>
+    val daily = t.events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast(LongType).as("d"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("v"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        min(col("v")).as("min_cents"),
+        max(col("v")).as("max_cents"),
+        sort_array(collect_list(struct(col("d"), col("v")))).as("series"))
+      .select(col("event_type"), col("n_days"), col("min_cents"), col("max_cents"),
+        array_join(transform(col("series"), e =>
+          lit(SparkbarGlyphs).substr(
+            (lit(1) + (e.getField("v") - col("min_cents")) * 7
+              / greatest(col("max_cents") - col("min_cents"), lit(1L)))
+              .cast("int"),
+            lit(1))), "").as("bar"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105)
 }

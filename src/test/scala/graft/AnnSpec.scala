@@ -272,4 +272,15 @@ class AnnSpec extends SparkSpec {
         s"query $q: greedy walk must never lose dot product: ${dots.toSeq}")
     }
   }
+
+  test("matryoshka: recall is monotone in width and bounded") {
+    val rows = graft.ann.Ann.matryoshka.build(sf0001).collect()
+      .sortBy(_.getAs[Long]("width"))
+    assert(rows.map(_.getAs[Long]("width")).toSeq === Seq(8L, 16L, 32L))
+    val rc = rows.map(_.getAs[Long]("recall_bp"))
+    assert(rc.forall(r => r >= 0L && r <= 10000L))
+    // wider prefixes cannot lose recall on this deterministic panel
+    assert(rc.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      s"recall must not decrease with width: ${rc.toSeq}")
+  }
 }

@@ -158,4 +158,15 @@ class SeriesSpec extends SparkSpec {
       assert(r.getAs[Long]("purchase_bp") === 10000L * p / n)
     }
   }
+
+  test("sparkbar: one glyph per day, extremes map to the lowest and highest block") {
+    val glyphs = "▁▂▃▄▅▆▇█"
+    Series.q105.build(sf0001).collect().foreach { r =>
+      val bar = r.getAs[String]("bar")
+      assert(bar.length === r.getAs[Long]("n_days").toInt)
+      assert(bar.forall(glyphs.contains(_)), s"unexpected glyph in $bar")
+      // the min and max day must render the first and last block level
+      assert(bar.contains('▁') && bar.contains('█'))
+    }
+  }
 }
