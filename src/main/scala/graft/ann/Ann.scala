@@ -1931,8 +1931,97 @@ $pivots
       .orderBy(col("width"))
   }
 
+  // embed_binary_quant — 1-bit (sign) quantization retrieval eval, the
+  // binary-quantization dial next to embed_matryoshka's prefix dial:
+  // every 64-dim vector collapses to ONE BIGINT of sign bits (32×
+  // memory cut), candidates rank by hamming distance (a single XOR +
+  // popcount per pair — the cheapest similarity a CPU can score), and
+  // recall@10 is measured exactly against the full-precision dot truth.
+  // Bit 63 packs via the simhash two's-complement convention so both
+  // engines build identical signed keys; the hamming top-10 rides
+  // TopKPerGroup on the negated distance. This is the
+  // binary-prefilter-then-rerank shape modern vector stores ship.
+  val binaryQuant = Q(
+    "embed_binary_quant",
+    Some {
+      val dot64 = (a: String, b: String) =>
+        s"CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b), pr -> pr[1] * pr[2])) AS BIGINT)"
+      s"""
+      WITH grid AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 1024)) AS qv
+        FROM embeddings),
+      qgrid AS (SELECT vec_id AS query_id, qv AS gq FROM grid WHERE vec_id < 5),
+      bits AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN qv[i + 1] > 0
+                 THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                           ELSE (1::BIGINT << i) END
+                 ELSE 0 END) AS BIGINT) AS sig
+        FROM grid, UNNEST(RANGE(0, 64)) AS t(i)
+        GROUP BY vec_id),
+      qbits AS (SELECT vec_id AS query_id, sig AS qsig FROM bits WHERE vec_id < 5),
+      truth_s AS (
+        SELECT q.query_id, e.vec_id, ${dot64("q.gq", "e.qv")} AS dq
+        FROM grid e, qgrid q),
+      truth AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY dq DESC, vec_id) AS rnk
+          FROM truth_s) WHERE rnk <= 10),
+      ham AS (
+        SELECT q.query_id, b.vec_id, BIT_COUNT(XOR(b.sig, q.qsig)) AS h
+        FROM bits b, qbits q),
+      btop AS (
+        SELECT query_id, vec_id, h FROM (
+          SELECT query_id, vec_id, h,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY h, vec_id) AS rnk
+          FROM ham) WHERE rnk <= 10)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+             CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits,
+             CAST(COUNT(t.vec_id) * 10000 // COUNT(*) AS BIGINT) AS recall_bp,
+             CAST(SUM(b.h) AS BIGINT) AS total_hamming
+      FROM btop b
+      LEFT JOIN truth t ON t.query_id = b.query_id AND t.vec_id = b.vec_id
+      """
+    }
+  ) { t =>
+    val grid = ivfEmb(t).select(col("vec_id"), col("qv"))
+    val qgrid = grid.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv").as("gq"))
+    // sign-bit pack: Java's 1L << 63 IS Long.MinValue, matching the
+    // oracle's explicit two's-complement case
+    val sig = expr(
+      "aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+        "acc + CASE WHEN element_at(qv, i + 1) > 0D THEN shiftleft(1L, i) ELSE 0L END)")
+    val bits = grid.select(col("vec_id"), sig.as("sig"))
+    val qbits = bits.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val truth = graft.plans.TopKPerGroup.topK(
+      grid.join(broadcast(qgrid))
+        .select(col("query_id"), col("vec_id"),
+          call_function("graft_dot", col("gq"), col("qv"))
+            .cast(LongType).as("dq")),
+      Seq("query_id"), "dq", "vec_id", 10)
+      .select(col("query_id").as("tq"), col("vec_id").as("tvec"))
+    val ham = bits.join(broadcast(qbits))
+      .select(col("query_id"), col("vec_id"),
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).cast(LongType).as("h"))
+      .withColumn("negh", -col("h"))
+    val btop = graft.plans.TopKPerGroup.topK(ham, Seq("query_id"), "negh", "vec_id", 10)
+    btop
+      .join(truth, col("query_id") === col("tq") && col("vec_id") === col("tvec"),
+        "left")
+      .agg(count(lit(1)).cast(LongType).as("n_retrieved"),
+        count(col("tvec")).cast(LongType).as("n_hits"),
+        expr("count(tvec) * 10000 div count(1)").cast(LongType).as("recall_bp"),
+        sum(col("h")).cast(LongType).as("total_hamming"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
-    rpProject, diversify, graphSearch, matryoshka)
+    rpProject, diversify, graphSearch, matryoshka, binaryQuant)
 }

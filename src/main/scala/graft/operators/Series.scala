@@ -469,5 +469,48 @@ object Series {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105)
+  // q106_event_gaps — stream-health gap analysis (the monitoring query
+  // behind every availability SLA): per event_type, the largest and
+  // mean silence between consecutive events, plus how many gaps exceed
+  // a 120 s alert threshold. One keyed LAG window ordered by
+  // (ts, event_id) — ties carry a deterministic tie-break, and the
+  // micros arithmetic is exact, so mean_gap divides two exact BIGINTs
+  // once. At 100 TB the partition key would be (tenant, day); the shape
+  // is unchanged.
+  val q106 = Q(
+    "q106_event_gaps",
+    Some("""
+      WITH gaps AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                     (PARTITION BY event_type
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS g
+        FROM events)
+      SELECT event_type,
+             COUNT(g) AS n_gaps,
+             CAST(MAX(g) AS BIGINT) AS max_gap_us,
+             CAST(SUM(g) // COUNT(g) AS BIGINT) AS mean_gap_us,
+             COUNT(CASE WHEN g > 120000000 THEN 1 END) AS n_alerts
+      FROM gaps
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("g", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("g")).as("n_gaps"),
+        max(col("g")).cast(LongType).as("max_gap_us"),
+        expr("sum(g) div count(g)").cast(LongType).as("mean_gap_us"),
+        count(when(col("g") > 120000000L, 1)).as("n_alerts"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106)
 }

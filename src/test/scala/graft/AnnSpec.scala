@@ -283,4 +283,13 @@ class AnnSpec extends SparkSpec {
     assert(rc.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
       s"recall must not decrease with width: ${rc.toSeq}")
   }
+
+  test("binary quant: 50 retrieved, recall bounded, hamming totals sane") {
+    val r = graft.ann.Ann.binaryQuant.build(sf0001).collect().head
+    assert(r.getAs[Long]("n_retrieved") === 50L)
+    val rc = r.getAs[Long]("recall_bp")
+    assert(rc >= 0L && rc <= 10000L)
+    // 50 pairs × ≤64 differing bits
+    assert(r.getAs[Long]("total_hamming") <= 50L * 64L)
+  }
 }

@@ -169,4 +169,16 @@ class SeriesSpec extends SparkSpec {
       assert(bar.contains('▁') && bar.contains('█'))
     }
   }
+
+  test("event gaps: n_gaps = events - 1 per type; mean between min and max gap") {
+    val byType = sf0001.events.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Series.q106.build(sf0001).collect().foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_gaps") === byType(et) - 1)
+      val mean = r.getAs[Long]("mean_gap_us")
+      assert(mean >= 0L && mean <= r.getAs[Long]("max_gap_us"))
+      assert(r.getAs[Long]("n_alerts") <= r.getAs[Long]("n_gaps"))
+    }
+  }
 }
