@@ -725,6 +725,41 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming gap alerting — q106_event_gaps' monitor run online: per
+    * event_type the state is ONE timestamp (the latest event seen); a
+    * batch emits an alert row for every inter-event silence above the
+    * threshold, including the gap that straddles the batch boundary
+    * (state carries the last event across batches). Events inside a
+    * batch are processed in event-time order so the online gaps are
+    * exactly the batch operator's LAG gaps over the same stream.
+    */
+  final case class GapAlert(event_type: String, gap_us: Long, at_us: Long)
+
+  def gapAlertStream(events: Dataset[Event], thresholdUs: Long = 120000000L,
+    watermark: String = "10 minutes"): Dataset[GapAlert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(key: String, it: Iterator[Event],
+      state: GroupState[Long]): Iterator[GapAlert] = {
+      var last = state.getOption.getOrElse(Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer.empty[GapAlert]
+      it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val us = e.ts.getTime * 1000L
+        if (last != Long.MinValue && us - last > thresholdUs)
+          out += GapAlert(key, us - last, us)
+        if (us > last) last = us
+      }
+      state.update(last)
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming uniqUpTo(N) — the q98 combinator maintained online: per
     * event_type, state is the distinct user set ONLY while it is ≤ N
     * ids; at N+1 the set saturates and the state stops growing forever

@@ -580,4 +580,28 @@ class StreamingSpec extends SparkSpec {
       } finally q2.stop()
     } finally q.stop()
   }
+
+  test("stream_gap_alert: alerts on big gaps, including across batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // threshold 60 s
+    val q = Streams.gapAlertStream(mem.toDS(), thresholdUs = 60000000L)
+      .writeStream.format("memory").queryName("gap_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: events at t=0s, 10s, 130s → one in-batch alert (120 s gap)
+      mem.addData(Event(1, ts(0, 0), 1, "click", 1.0),
+        Event(2, ts(0, 10), 1, "click", 1.0),
+        Event(3, ts(2, 10), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: next event at t=400s → one cross-batch alert (270 s gap)
+      mem.addData(Event(4, ts(6, 40), 1, "click", 1.0))
+      q.processAllAvailable()
+      val alerts = spark.table("gap_stream").collect()
+        .filter(_.getAs[String]("event_type") == "click")
+        .map(_.getAs[Long]("gap_us")).sorted
+      assert(alerts.toSeq === Seq(120000000L, 270000000L))
+    } finally q.stop()
+  }
 }
