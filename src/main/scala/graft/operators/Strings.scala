@@ -203,5 +203,134 @@ object Strings {
       .orderBy(col("n"))
   }
 
-  val all: Seq[Q] = Seq(q24, q25, q26, q27, q28, q33, q90)
+  // q107_url_funcs — the ClickHouse URL-function family (domain,
+  // topLevelDomain, path, extractURLParameter) over synthesized event
+  // URLs: decompose with simple anchored regexes (kept inside the RE2 ∩
+  // Java-regex common dialect so both engines extract identical
+  // fields — no lookarounds), then the rollup a traffic report wants:
+  // per (tld, domain), hits and distinct users. One scan, codegen'd
+  // regexes, one aggregation.
+  val q107 = Q(
+    "q107_url_funcs",
+    Some("""
+      WITH urls AS (
+        SELECT user_id,
+               'https://sub' || CAST(user_id % 3 AS VARCHAR) || '.example' ||
+               CASE CAST(user_id % 4 AS INTEGER)
+                    WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                    WHEN 2 THEN '.io' ELSE '.dev' END ||
+               '/p/' || event_type || '/' || CAST(event_id % 100 AS VARCHAR) ||
+               '?utm=' || CAST(event_id % 7 AS VARCHAR) AS url
+        FROM events),
+      parsed AS (
+        SELECT user_id,
+               REGEXP_EXTRACT(url, 'https://([^/]+)/', 1) AS domain,
+               REGEXP_EXTRACT(url, '\.([a-z]+)/', 1) AS tld,
+               REGEXP_EXTRACT(url, '//[^/]+(/[^?]*)', 1) AS path,
+               REGEXP_EXTRACT(url, 'utm=([0-9]+)', 1) AS utm
+        FROM urls)
+      SELECT tld, domain,
+             COUNT(*) AS n_hits,
+             COUNT(DISTINCT user_id) AS n_users,
+             COUNT(DISTINCT path) AS n_paths,
+             COUNT(DISTINCT utm) AS n_utm_values
+      FROM parsed
+      GROUP BY tld, domain
+      ORDER BY tld, domain
+    """)
+  ) { t =>
+    val url = concat(
+      lit("https://sub"), (col("user_id") % 3).cast("string"), lit(".example"),
+      when(col("user_id") % 4 === 0, ".com")
+        .when(col("user_id") % 4 === 1, ".org")
+        .when(col("user_id") % 4 === 2, ".io")
+        .otherwise(".dev"),
+      lit("/p/"), col("event_type"), lit("/"), (col("event_id") % 100).cast("string"),
+      lit("?utm="), (col("event_id") % 7).cast("string"))
+    t.events
+      .select(col("user_id"), url.as("url"))
+      .select(col("user_id"),
+        regexp_extract(col("url"), "https://([^/]+)/", 1).as("domain"),
+        regexp_extract(col("url"), "\\.([a-z]+)/", 1).as("tld"),
+        regexp_extract(col("url"), "//[^/]+(/[^?]*)", 1).as("path"),
+        regexp_extract(col("url"), "utm=([0-9]+)", 1).as("utm"))
+      .groupBy(col("tld"), col("domain"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("path")).as("n_paths"),
+        countDistinct(col("utm")).as("n_utm_values"))
+      .orderBy(col("tld"), col("domain"))
+  }
+
+  // q108_ip_funcs — the ClickHouse IPv4 function family
+  // (IPv4NumToString / IPv4StringToNum / subnet truncation) as pure
+  // integer arithmetic: synthesize a stable IPv4 per user with the
+  // multiplicative-hash idiom, render dotted-quad via div/mod octets,
+  // round-trip back to the number (the parse is the same arithmetic in
+  // reverse, proving the rendering), and roll up the /16 subnets a
+  // network report aggregates by. Everything is BIGINT + string concat —
+  // bit-identical across engines; the top-10 cut runs on the aggregated
+  // subnet relation.
+  val q108 = Q(
+    "q108_ip_funcs",
+    Some("""
+      WITH ips AS (
+        SELECT user_id,
+               (user_id * 2654435761) % 4294967296 AS ip
+        FROM (SELECT DISTINCT user_id FROM events)),
+      rendered AS (
+        SELECT user_id, ip,
+               CAST(ip // 16777216 AS VARCHAR) || '.' ||
+               CAST((ip // 65536) % 256 AS VARCHAR) || '.' ||
+               CAST((ip // 256) % 256 AS VARCHAR) || '.' ||
+               CAST(ip % 256 AS VARCHAR) AS ip_str,
+               ip - (ip % 65536) AS subnet16
+        FROM ips),
+      parsed AS (
+        SELECT *,
+               CAST(STRING_SPLIT(ip_str, '.')[1] AS BIGINT) * 16777216 +
+               CAST(STRING_SPLIT(ip_str, '.')[2] AS BIGINT) * 65536 +
+               CAST(STRING_SPLIT(ip_str, '.')[3] AS BIGINT) * 256 +
+               CAST(STRING_SPLIT(ip_str, '.')[4] AS BIGINT) AS ip_rt
+        FROM rendered)
+      SELECT CAST(subnet16 // 16777216 AS VARCHAR) || '.' ||
+             CAST((subnet16 // 65536) % 256 AS VARCHAR) || '.0.0/16' AS subnet,
+             COUNT(*) AS n_users,
+             COUNT(CASE WHEN ip_rt = ip THEN 1 END) AS n_roundtrip_ok
+      FROM parsed
+      GROUP BY subnet16
+      ORDER BY n_users DESC, subnet
+      LIMIT 10
+    """)
+  ) { t =>
+    val ips = t.events.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        ((col("user_id") * 2654435761L) % 4294967296L).as("ip"))
+    val rendered = ips.select(col("user_id"), col("ip"),
+      concat_ws(".",
+        (col("ip") / 16777216).cast(LongType).cast("string"),
+        ((col("ip") / 65536).cast(LongType) % 256).cast("string"),
+        ((col("ip") / 256).cast(LongType) % 256).cast("string"),
+        (col("ip") % 256).cast("string")).as("ip_str"),
+      (col("ip") - (col("ip") % 65536)).as("subnet16"))
+    val parsed = rendered.withColumn("ip_rt",
+      split(col("ip_str"), "\\.").getItem(0).cast(LongType) * 16777216L +
+        split(col("ip_str"), "\\.").getItem(1).cast(LongType) * 65536L +
+        split(col("ip_str"), "\\.").getItem(2).cast(LongType) * 256L +
+        split(col("ip_str"), "\\.").getItem(3).cast(LongType))
+    parsed
+      .groupBy(col("subnet16"))
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col("ip_rt") === col("ip"), 1)).as("n_roundtrip_ok"))
+      .select(
+        concat((col("subnet16") / 16777216).cast(LongType).cast("string"),
+          lit("."),
+          ((col("subnet16") / 65536).cast(LongType) % 256).cast("string"),
+          lit(".0.0/16")).as("subnet"),
+        col("n_users"), col("n_roundtrip_ok"))
+      .orderBy(col("n_users").desc, col("subnet"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(q24, q25, q26, q27, q28, q33, q90, q107, q108)
 }

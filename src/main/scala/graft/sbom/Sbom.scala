@@ -864,8 +864,65 @@ object Sbom {
           c => c.getField("source")))).cast(LongType).as("n_sources"))
   }
 
+  // sbom_diff — scan-over-scan drift: the query a security team runs
+  // every morning against the component table the reference maintains —
+  // what appeared, what vanished, what changed version between
+  // yesterday's scan and today's. Two deterministic scan snapshots are
+  // carved from the shared component corpus (distinct drop patterns +
+  // a version-bump cohort), full-outer-joined on comp_id, classified,
+  // and rolled up per status with the five lowest ids as evidence
+  // (sorted-CSV serialization — the portable map idiom). One join keyed
+  // on comp_id + one aggregation; at 100 TB the snapshots are two
+  // partitions of the same inserted_at-partitioned table.
+  val diff = Q(
+    "sbom_diff",
+    Some(s"""
+      WITH $componentsSql,
+      old_scan AS (
+        SELECT comp_id, name, version FROM components WHERE comp_id % 10 <> 7),
+      new_scan AS (
+        SELECT comp_id, name,
+               CASE WHEN comp_id % 5 = 0 THEN version || '-r2' ELSE version END AS version
+        FROM components WHERE comp_id % 10 <> 3),
+      joined AS (
+        SELECT COALESCE(o.comp_id, n.comp_id) AS comp_id,
+               CASE WHEN o.comp_id IS NULL THEN 'added'
+                    WHEN n.comp_id IS NULL THEN 'removed'
+                    WHEN o.version <> n.version THEN 'version_changed'
+                    ELSE 'unchanged' END AS status
+        FROM old_scan o FULL OUTER JOIN new_scan n ON n.comp_id = o.comp_id)
+      SELECT status,
+             CAST(COUNT(*) AS BIGINT) AS n_components,
+             array_to_string(LIST(comp_id::VARCHAR ORDER BY comp_id)[1:5], ',') AS sample_ids
+      FROM joined
+      GROUP BY status
+      ORDER BY status
+    """)
+  ) { t =>
+    val comps = components(t)
+    val oldScan = comps.filter(col("comp_id") % 10 =!= 7)
+      .select(col("comp_id").as("o_id"), col("version").as("o_ver"))
+    val newScan = comps.filter(col("comp_id") % 10 =!= 3)
+      .select(col("comp_id").as("n_id"),
+        when(col("comp_id") % 5 === 0, concat(col("version"), lit("-r2")))
+          .otherwise(col("version")).as("n_ver"))
+    oldScan
+      .join(newScan, col("o_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("o_id"), col("n_id")).as("comp_id"),
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("o_ver") =!= col("n_ver"), "version_changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).cast(LongType).as("n_components"),
+        concat_ws(",",
+          transform(slice(sort_array(collect_list(col("comp_id"))), 1, 5),
+            c => c.cast("string"))).as("sample_ids"))
+      .orderBy(col("status"))
+  }
+
   val all: Seq[Q] = Seq(flatten, mergeDedup, licenseMap, sourceExtract,
     filterPatterns, tableName, formatDetect, refCategory, componentStats,
     validate, convert, validateModes, purlParse, migrate, insertEscape,
-    localMerge)
+    localMerge, diff)
 }

@@ -482,4 +482,16 @@ class SbomSourcesSpec extends SparkSpec {
     // idempotent: a second pass finds nothing to merge
     assert(SbomSources.compactComponentTable(spark, dir).isEmpty)
   }
+
+  test("sbom_diff: statuses partition the scan union; version changes only in the bump cohort") {
+    val rows = graft.sbom.Sbom.diff.build(sf0001).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_components")).toMap
+    val total = sf0001.part.count()
+    val removed10 = sf0001.part.filter(col("p_partkey") % 10 === 3).count() // dropped from new
+    val added10 = sf0001.part.filter(col("p_partkey") % 10 === 7).count()   // absent from old
+    assert(rows.getOrElse("removed", 0L) === removed10 -
+      sf0001.part.filter(col("p_partkey") % 10 === 3 && col("p_partkey") % 10 === 7).count())
+    assert(rows.getOrElse("added", 0L) === added10)
+    assert(rows.values.sum === total) // every component classified exactly once
+  }
 }

@@ -187,4 +187,21 @@ class StatsSpec extends SparkSpec {
     }
     assert(rows.map(_.getAs[Long]("n_customers")).sum <= nCust)
   }
+
+  test("ip funcs: every rendered dotted quad round-trips to its number") {
+    graft.operators.Strings.q108.build(sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("n_roundtrip_ok") === r.getAs[Long]("n_users"),
+        s"roundtrip failure in ${r.getAs[String]("subnet")}")
+    }
+  }
+
+  test("url funcs: 12 (sub, tld) cells, users conserved per cell") {
+    val rows = graft.operators.Strings.q107.build(sf0001).collect()
+    assert(rows.length === 12)
+    rows.foreach { r =>
+      assert(r.getAs[String]("domain").startsWith("sub"))
+      assert(Set("com", "org", "io", "dev").contains(r.getAs[String]("tld")))
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_hits"))
+    }
+  }
 }
