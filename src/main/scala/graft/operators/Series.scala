@@ -338,11 +338,19 @@ object Series {
         .select(col("event_type"), col("d"), col("v"), col("b").cast(LongType).as("b"))
         // the greedy chain references this frame ~3× per unrolled step;
         // without persist every broadcast subtree would re-aggregate the
-        // fact table (observed: 5.7 s → sub-second once cached)
+        // fact table. coalesce(1): the series is ≤366 rows/type — one
+        // task per micro-stage instead of 32 near-empty ones.
+        .coalesce(1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    // Each sel_i is referenced by BOTH the output union and sel_{i+1}'s
+    // subtree — without truncation the final plan re-derives sel_1 once
+    // per later step (quadratic micro-job blowup; measured ~6 s of pure
+    // scheduling at sf0.1). localCheckpoint(eager) pins each 1-row-per-
+    // type frame so every step is computed exactly once.
     var sel = bucketed.filter(col("b") === 0).select(col("event_type"),
       col("d").as("ad"), col("v").as("av"))
+      .localCheckpoint(true)
     val picks = scala.collection.mutable.ArrayBuffer(
       sel.select(col("event_type"), lit(0L).as("pick"),
         col("ad").as("day_num"), col("av").as("y_cents")))
@@ -360,6 +368,7 @@ object Series {
         .agg(max_by(struct(col("d"), col("v")),
           struct(col("score"), -col("d"))).as("p"))
         .select(col("event_type"), col("p.d").as("ad"), col("p.v").as("av"))
+        .localCheckpoint(true)
       picks += sel.select(col("event_type"), lit(i.toLong).as("pick"),
         col("ad").as("day_num"), col("av").as("y_cents"))
     }
@@ -512,5 +521,120 @@ object Series {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106)
+  // q109_resample — the ClickHouse -Resample combinator
+  // (sumResample(start, end, step)(x, key)): per group, aggregates
+  // bucketed by a key range into a fixed-length array. Here
+  // sumResample(0, 30, 5) over day-of-month buckets per event_type —
+  // six 5-day windows, serialized as the portable parallel-CSV form
+  // (q56's map idiom; fixed bucket scaffold ensures empty buckets
+  // surface as explicit zeros, which is what distinguishes -Resample
+  // from a plain GROUP BY). Facts pay one two-key aggregation; the
+  // scaffold join is dimension-sized and broadcast.
+  val q109 = Q(
+    "q109_resample",
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+               (CAST(CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                    - DATE '2024-01-01' AS BIGINT)) // 5 AS bucket,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v,
+               COUNT(*) AS c
+        FROM events GROUP BY event_type, bucket),
+      scaffold AS (
+        SELECT t.event_type, r.bucket
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             UNNEST(RANGE(0, 6)) AS r(bucket)),
+      filled AS (
+        SELECT s.event_type, s.bucket,
+               COALESCE(d.v, 0) AS v, COALESCE(d.c, 0) AS c
+        FROM scaffold s
+        LEFT JOIN daily d
+          ON d.event_type = s.event_type AND d.bucket = s.bucket)
+      SELECT event_type,
+             array_to_string(LIST(bucket::VARCHAR ORDER BY bucket), ',') AS buckets,
+             array_to_string(LIST(v::VARCHAR ORDER BY bucket), ',') AS sum_cents,
+             array_to_string(LIST(c::VARCHAR ORDER BY bucket), ',') AS counts
+      FROM filled
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    val daily = t.events
+      .groupBy(col("event_type"),
+        (datediff(to_date(col("ts")), lit("2024-01-01")) / 5)
+          .cast(LongType).as("bucket"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("v"),
+        count(lit(1)).as("c"))
+    val scaffold = t.events.select(col("event_type")).distinct()
+      .crossJoin(t.spark.range(0, 6).select(col("id").as("bucket")))
+    scaffold
+      .join(daily, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("v"), lit(0L)).as("v"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("v"), col("c")))).as("m"))
+      .select(col("event_type"),
+        concat_ws(",", transform(col("m"), e => e.getField("bucket").cast("string"))).as("buckets"),
+        concat_ws(",", transform(col("m"), e => e.getField("v").cast("string"))).as("sum_cents"),
+        concat_ws(",", transform(col("m"), e => e.getField("c").cast("string"))).as("counts"))
+      .orderBy(col("event_type"))
+  }
+
+  // q110_nonneg_derivative — ClickHouse nonNegativeDerivative(value, ts):
+  // the per-second rate of change between consecutive samples, clamped
+  // at zero (counter-reset protection — the Prometheus rate() idiom CH
+  // ships as a window function). Keyed by user (high-cardinality
+  // partitions), exact micros denominators, DECIMAL-cent numerators;
+  // the per-type rollup reports how much positive movement the counter
+  // family saw and its steepest observed rate, with one rounded
+  // division per output row.
+  val q110 = Q(
+    "q110_nonneg_derivative",
+    Some("""
+      WITH d AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 - LAG(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER w AS dv,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS dt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      rates AS (
+        SELECT event_type,
+               CASE WHEN dv > 0 AND dt > 0 THEN dv ELSE 0 END AS pos_dv,
+               CASE WHEN dv > 0 AND dt > 0
+                    THEN ROUND(dv * 1000000.0 / dt, 6) ELSE NULL END AS rate
+        FROM d WHERE dt IS NOT NULL)
+      SELECT event_type,
+             COUNT(*) AS n_samples,
+             CAST(SUM(pos_dv) AS BIGINT) AS sum_pos_cents,
+             ROUND(MAX(rate), 6) AS max_rate_cents_per_s
+      FROM rates
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cents = col("value").cast(DecimalType(18, 2)).multiply(lit(100)).cast(LongType)
+    val d = t.events
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        cents.as("cv"), unix_micros(col("ts")).as("us"))
+      .withColumn("dv", col("cv") - lag(col("cv"), 1).over(w))
+      .withColumn("dt", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("dt").isNotNull)
+    d.select(col("event_type"),
+      when(col("dv") > 0 && col("dt") > 0, col("dv")).otherwise(0L).as("pos_dv"),
+      when(col("dv") > 0 && col("dt") > 0,
+        round(col("dv") * lit(1000000.0) / col("dt"), 6)).as("rate"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("pos_dv")).cast(LongType).as("sum_pos_cents"),
+        round(max(col("rate")), 6).as("max_rate_cents_per_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106, q109, q110)
 }

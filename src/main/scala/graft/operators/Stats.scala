@@ -666,6 +666,56 @@ object Stats {
           .as("eta_sq"))
   }
 
+  // q111_min_sample_size — ClickHouse minSampleSizeConversion: the A/B
+  // power calculator, fed by the table instead of a constant — for each
+  // event_type, measure the baseline conversion (distinct converting
+  // users over all users, an exact integer ratio) and answer "how many
+  // users per arm to detect a 10% relative DROP at α=0.05, 80%
+  // power?". The z constants are fixed; the formula is one double
+  // expression evaluated in the same operation order on both engines
+  // over exact integer inputs, rounded once. One distinct-pair
+  // aggregation + a 1-row broadcast of the denominator.
+  val q111 = Q(
+    "q111_min_sample_size",
+    Some("""
+      WITH conv AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS u
+        FROM events GROUP BY event_type),
+      tot AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+      p AS (
+        SELECT c.event_type,
+               CAST(c.u AS DOUBLE) / t.n AS p1,
+               CAST(c.u AS DOUBLE) / t.n * 0.9 AS p2,
+               c.u, t.n
+        FROM conv c CROSS JOIN tot t)
+      SELECT event_type,
+             CAST(u * 10000 // n AS BIGINT) AS conversion_bp,
+             ROUND(
+               POWER(1.959964 * SQRT(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+                     + 0.841621 * SQRT(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+               / ((p2 - p1) * (p2 - p1)), 4) AS n_per_arm
+      FROM p
+      ORDER BY event_type
+    """)
+  ) { t =>
+    val conv = t.events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+    val tot = t.events.agg(countDistinct(col("user_id")).as("n"))
+    conv.crossJoin(broadcast(tot))
+      .withColumn("p1", col("u").cast(DoubleType) / col("n"))
+      .withColumn("p2", col("u").cast(DoubleType) / col("n") * 0.9)
+      .select(col("event_type"),
+        expr("u * 10000 div n").cast(LongType).as("conversion_bp"),
+        round(
+          pow(lit(1.959964) * sqrt(lit(2) * ((col("p1") + col("p2")) / 2)
+            * (lit(1) - (col("p1") + col("p2")) / 2))
+            + lit(0.841621) * sqrt(col("p1") * (lit(1) - col("p1"))
+              + col("p2") * (lit(1) - col("p2"))), 2)
+          / ((col("p2") - col("p1")) * (col("p2") - col("p1"))), 4)
+          .as("n_per_arm"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q92, q99)
+    q92, q99, q111)
 }

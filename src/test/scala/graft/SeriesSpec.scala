@@ -181,4 +181,26 @@ class SeriesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_alerts") <= r.getAs[Long]("n_gaps"))
     }
   }
+
+  test("resample: fixed 6-bucket scaffold, zeros explicit, mass conserved") {
+    val rows = Series.q109.build(sf0001).collect()
+    val totalByType = sf0001.events.groupBy(col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[String]("buckets") === "0,1,2,3,4,5")
+      val sums = r.getAs[String]("sum_cents").split(",").map(_.toLong)
+      assert(sums.length === 6)
+      assert(sums.sum === totalByType(et), s"$et: resample buckets must conserve mass")
+    }
+  }
+
+  test("nonneg derivative: positive mass bounded by total absolute movement") {
+    Series.q110.build(sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("sum_pos_cents") >= 0L)
+      assert(r.getAs[Double]("max_rate_cents_per_s") >= 0.0)
+      assert(r.getAs[Long]("n_samples") > 0L)
+    }
+  }
 }

@@ -204,4 +204,13 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_hits"))
     }
   }
+
+  test("min sample size: smaller baselines need more samples; all positive") {
+    val rows = graft.operators.Stats.q111.build(sf0001).collect()
+      .map(r => (r.getAs[Long]("conversion_bp"), r.getAs[Double]("n_per_arm")))
+    rows.foreach { case (bp, n) =>
+      assert(bp > 0L && bp <= 10000L)
+      assert(n > 0.0)
+    }
+  }
 }
