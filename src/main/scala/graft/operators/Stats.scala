@@ -716,6 +716,98 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  // q112_auc — ClickHouse arrayAUC: the ROC area under the curve of a
+  // score predicting a binary label, computed EXACTLY via the
+  // rank-sum identity AUC = (Σ ranks⁺ − P(P+1)/2) / (P·N) with midrank
+  // tie handling — the q73 construction reused: doubled midranks are
+  // integers built from window COUNTs (BIGINT-safe, no rank()), so
+  // 2·Σranks⁺ is exact and AUC lands in basis points by integer
+  // division. Here: does `value` predict a purchase event? One
+  // ordered-rank window over the facts (2 window passes) + one
+  // aggregation; every intermediate is a BIGINT.
+  val q112 = Q(
+    "q112_auc",
+    Some("""
+      WITH scored AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        FROM events),
+      ranked AS (
+        SELECT s, label,
+               -- doubled midrank 2·mid = 2·below + tied + 1, built from a
+               -- RANGE (peer-inclusive) cumulative count so every tied row
+               -- sees the same below+tied total: 2·(≤s) − tied + 1
+               2 * COUNT(*) OVER (ORDER BY s
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - COUNT(*) OVER (PARTITION BY s) + 1 AS r2
+        FROM scored),
+      agg AS (
+        SELECT CAST(SUM(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r2pos,
+               CAST(SUM(label) AS BIGINT) AS p,
+               CAST(COUNT(*) - SUM(label) AS BIGINT) AS n
+        FROM ranked)
+      SELECT p AS n_pos, n AS n_neg,
+             CAST((r2pos - p * (p + 1)) * 10000 // (2 * p * n) AS BIGINT) AS auc_bp
+      FROM agg
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val scored = t.events.select(
+      col("value").cast(DecimalType(18, 2)).multiply(lit(100))
+        .cast(LongType).as("s"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+    val wCum = Window.orderBy(col("s"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTie = Window.partitionBy(col("s"))
+    // NOTE: the global ORDER BY s window is single-partition — acceptable
+    // here because AUC is a corpus-global statistic; the scale-safe form
+    // ranks via the per-distinct-value histogram (q86's shape: group by
+    // s first — |distinct scores| rows — then cumulative counts), which
+    // this plan collapses to as soon as scores are bucketed.
+    val ranked = scored
+      .withColumn("r2",
+        lit(2) * count(lit(1)).over(wCum) - count(lit(1)).over(wTie) + 1)
+    ranked
+      .agg(
+        sum(when(col("label") === 1, col("r2")).otherwise(0L))
+          .cast(LongType).as("r2pos"),
+        sum(col("label")).cast(LongType).as("p"),
+        (count(lit(1)) - sum(col("label"))).cast(LongType).as("n"))
+      .select(col("p").as("n_pos"), col("n").as("n_neg"),
+        expr("(r2pos - p * (p + 1)) * 10000 div (2 * p * n)")
+          .cast(LongType).as("auc_bp"))
+  }
+
+  // q113_corr_matrix — ClickHouse corrMatrix over the lineitem measures:
+  // every pairwise Pearson correlation of (quantity, extendedprice,
+  // discount, tax) from ONE map-side-combining scan (corr partials per
+  // pair), emitted as the tidy (x, y, corr) long form a heatmap reads.
+  // Cross-engine determinism the q38 way: both engines aggregate the
+  // same doubles and round once.
+  val q113 = Q(
+    "q113_corr_matrix",
+    Some {
+      val ms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for (i <- ms.indices; j <- ms.indices if i < j) yield (ms(i), ms(j))
+      pairs.map { case (a, b) =>
+        s"SELECT '$a' AS x, '$b' AS y, ROUND(CORR($a, $b), 4) AS corr FROM lineitem"
+      }.mkString("", "\n      UNION ALL ", "\n      ORDER BY x, y")
+    }
+  ) { t =>
+    val ms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for (i <- ms.indices; j <- ms.indices if i < j) yield (ms(i), ms(j))
+    val aggs = pairs.map { case (a, b) => round(corr(col(a), col(b)), 4).as(s"$a|$b") }
+    val wide = t.lineitem.agg(aggs.head, aggs.tail: _*)
+    // one scan computes all partials; explode the 1-row wide result into
+    // the tidy long form
+    val cols = pairs.map { case (a, b) =>
+      struct(lit(a).as("x"), lit(b).as("y"), col(s"`$a|$b`").as("corr"))
+    }
+    wide.select(explode(array(cols: _*)).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"), col("e.corr").as("corr"))
+      .orderBy(col("x"), col("y"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q92, q99, q111)
+    q92, q99, q111, q112, q113)
 }

@@ -1451,9 +1451,102 @@ object TextOps {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  // text_gopher_battery — the Gopher cleaning-rule battery as ONE
+  // consolidated report: per source, how many documents fail each named
+  // rule, and how many survive all of them. The five rules are the
+  // deterministic core of the published recipe, integer-exact so both
+  // engines agree bit-for-bit (mean-length bounds are cross-multiplied,
+  // never divided): r_short (<50 words), r_word_len (mean word length
+  // outside [3,10]), r_symbols (>10% non-alphanumeric chars),
+  // r_numeric (>20% letterless words), r_modal (top word >20% of
+  // tokens — the template/spam signal). Per-doc metrics come from one
+  // scan of codegen'd regex/array counts plus one (doc, word) aggregate
+  // for the modal share; the rollup is a partial-aggregable groupBy.
+  val gopherBattery = Q(
+    "text_gopher_battery",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                 w -> w <> '') AS ws,
+               LOWER(text) AS lt
+        FROM documents),
+      perdoc AS (
+        SELECT doc_id, source,
+               LENGTH(ws) AS n_words,
+               LENGTH(LIST_FILTER(ws, w -> NOT REGEXP_MATCHES(w, '[a-z]')))
+                 AS n_letterless,
+               LIST_SUM(LIST_TRANSFORM(ws, w -> LENGTH(w))) AS sum_wlen,
+               LENGTH(lt) - LENGTH(REGEXP_REPLACE(lt, '[^a-z0-9 ]', '', 'g'))
+                 AS n_symbols,
+               LENGTH(lt) AS n_chars
+        FROM toks),
+      modal AS (
+        SELECT doc_id, MAX(c) AS top_wc FROM (
+          SELECT doc_id, w, COUNT(*) AS c
+          FROM (SELECT doc_id, UNNEST(ws) AS w FROM toks)
+          GROUP BY doc_id, w)
+        GROUP BY doc_id),
+      flags AS (
+        SELECT p.source,
+               CASE WHEN p.n_words < 50 THEN 1 ELSE 0 END AS f_short,
+               CASE WHEN p.sum_wlen < 3 * p.n_words
+                      OR p.sum_wlen > 10 * p.n_words THEN 1 ELSE 0 END AS f_word_len,
+               CASE WHEN p.n_symbols * 10 > p.n_chars THEN 1 ELSE 0 END AS f_symbols,
+               CASE WHEN p.n_letterless * 5 > p.n_words THEN 1 ELSE 0 END AS f_numeric,
+               CASE WHEN m.top_wc * 5 > p.n_words THEN 1 ELSE 0 END AS f_modal
+        FROM perdoc p JOIN modal m ON m.doc_id = p.doc_id)
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(f_short) AS BIGINT) AS fail_short,
+             CAST(SUM(f_word_len) AS BIGINT) AS fail_word_len,
+             CAST(SUM(f_symbols) AS BIGINT) AS fail_symbols,
+             CAST(SUM(f_numeric) AS BIGINT) AS fail_numeric,
+             CAST(SUM(f_modal) AS BIGINT) AS fail_modal,
+             COUNT(CASE WHEN f_short + f_word_len + f_symbols
+                           + f_numeric + f_modal = 0 THEN 1 END) AS n_clean
+      FROM flags
+      GROUP BY source
+      ORDER BY source
+    """)
+  ) { t =>
+    val toks = t.documents.select(col("doc_id"), col("source"),
+      filter(split(trim(lower(col("text"))), "\\s+"), w => w =!= "").as("ws"),
+      lower(col("text")).as("lt"))
+    val perdoc = toks.select(col("doc_id"), col("source"),
+      size(col("ws")).cast(LongType).as("n_words"),
+      size(filter(col("ws"), w => !w.rlike("[a-z]"))).cast(LongType).as("n_letterless"),
+      aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("sum_wlen"),
+      (length(col("lt"))
+        - length(regexp_replace(col("lt"), "[^a-z0-9 ]", ""))).cast(LongType)
+        .as("n_symbols"),
+      length(col("lt")).cast(LongType).as("n_chars"))
+    val modal = toks.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_wc"))
+    perdoc.join(modal, "doc_id")
+      .select(col("source"),
+        when(col("n_words") < 50, 1L).otherwise(0L).as("f_short"),
+        when(col("sum_wlen") < col("n_words") * 3
+          || col("sum_wlen") > col("n_words") * 10, 1L).otherwise(0L).as("f_word_len"),
+        when(col("n_symbols") * 10 > col("n_chars"), 1L).otherwise(0L).as("f_symbols"),
+        when(col("n_letterless") * 5 > col("n_words"), 1L).otherwise(0L).as("f_numeric"),
+        when(col("top_wc") * 5 > col("n_words"), 1L).otherwise(0L).as("f_modal"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_short")).cast(LongType).as("fail_short"),
+        sum(col("f_word_len")).cast(LongType).as("fail_word_len"),
+        sum(col("f_symbols")).cast(LongType).as("fail_symbols"),
+        sum(col("f_numeric")).cast(LongType).as("fail_numeric"),
+        sum(col("f_modal")).cast(LongType).as("fail_modal"),
+        count(when(col("f_short") + col("f_word_len") + col("f_symbols")
+          + col("f_numeric") + col("f_modal") === 0, 1)).as("n_clean"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
-    countMin, charTrigrams)
+    countMin, charTrigrams, gopherBattery)
 }

@@ -213,4 +213,36 @@ class StatsSpec extends SparkSpec {
       assert(n > 0.0)
     }
   }
+
+  test("auc: in [0, 10000] bp; driver-side exact replay agrees") {
+    val r = graft.operators.Stats.q112.build(sf0001).collect().head
+    val auc = r.getAs[Long]("auc_bp")
+    assert(auc >= 0L && auc <= 10000L)
+    // independent replay: probability a random positive outranks a random
+    // negative (ties count half) — computed directly from the data
+    val rows = sf0001.events.select(
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("s"),
+      when(col("event_type") === "purchase", 1).otherwise(0).as("l")).collect()
+    val pos = rows.filter(_.getInt(1) == 1).map(_.getLong(0))
+    val neg = rows.filter(_.getInt(1) == 0).map(_.getLong(0))
+    var num = BigInt(0)
+    val negSorted = neg.sorted
+    pos.foreach { p =>
+      // 2·(#neg < p) + (#neg == p)
+      val below = negSorted.count(_ < p)
+      val tied = negSorted.count(_ == p)
+      num += 2 * below + tied
+    }
+    val expect = (num * 10000 / (BigInt(2) * pos.length * neg.length)).toLong
+    assert(auc === expect, s"$auc vs $expect")
+  }
+
+  test("corr matrix: 6 pairs, all within [-1, 1]") {
+    val rows = graft.operators.Stats.q113.build(sf0001).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+  }
 }

@@ -270,4 +270,16 @@ class TextSpec extends SparkSpec {
         s"$lang counts must be non-increasing")
     }
   }
+
+  test("gopher battery: clean docs bounded by docs minus worst single rule") {
+    graft.text.TextOps.gopherBattery.build(sf0001).collect().foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val fails = Seq("fail_short", "fail_word_len", "fail_symbols",
+        "fail_numeric", "fail_modal").map(r.getAs[Long](_))
+      fails.foreach(f => assert(f >= 0L && f <= n))
+      val clean = r.getAs[Long]("n_clean")
+      assert(clean <= n - fails.max, "clean docs cannot exceed survivors of the worst rule")
+      assert(clean >= math.max(n - fails.sum, 0L), "clean floor: union bound")
+    }
+  }
 }
