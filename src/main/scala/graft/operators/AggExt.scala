@@ -430,5 +430,86 @@ object AggExt {
       .orderBy(col("flag"))
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56, q86, q88, q98, q100)
+  // q114_group_sample — ClickHouse groupArraySample(k), deterministically:
+  // a uniform-without-replacement sample per group via hash-rank order
+  // statistics — rank every member by a universal hash of its id, keep
+  // the k smallest (the KMV trick pointed at sampling instead of
+  // cardinality). Exactly reproducible across engines AND across
+  // partitionings (a real reservoir depends on arrival order; the hash
+  // rank is a pure function of the data), ≤ k rows per group cross the
+  // shuffle through the two-phase TopKPerGroup plan, serialized sorted.
+  val q114 = Q(
+    "q114_group_sample",
+    Some {
+      val p = graft.functions.PortableHash.P
+      val (a, b) = (graft.functions.PortableHash.coefA(11),
+        graft.functions.PortableHash.coefB(11))
+      s"""
+      WITH h AS (
+        SELECT o_orderpriority AS g, o_orderkey,
+               ($a * (o_orderkey % $p) + $b) % $p AS hv
+        FROM orders),
+      ranked AS (
+        SELECT g, o_orderkey, hv,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv, o_orderkey) AS rn
+        FROM h)
+      SELECT g,
+             array_to_string(LIST(o_orderkey::VARCHAR ORDER BY o_orderkey), ',')
+               AS sample_keys,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM ranked WHERE rn <= 3
+      GROUP BY g
+      ORDER BY g
+    """
+    }
+  ) { t =>
+    val p = graft.functions.PortableHash.P
+    val hv = (lit(graft.functions.PortableHash.coefA(11)) * (col("o_orderkey") % p)
+      + graft.functions.PortableHash.coefB(11)) % p
+    val h = t.orders.select(col("o_orderpriority").as("g"), col("o_orderkey"),
+      hv.as("hv"))
+    graft.plans.TopKPerGroup.topK(
+      h.withColumn("negh", -col("hv")), Seq("g"), "negh", "o_orderkey", 3)
+      .groupBy(col("g"))
+      .agg(
+        concat_ws(",", transform(sort_array(collect_list(col("o_orderkey"))),
+          x => x.cast("string"))).as("sample_keys"),
+        count(lit(1)).cast(LongType).as("k"))
+      .orderBy(col("g"))
+  }
+
+  // q115_avg_weighted — ClickHouse avgWeighted(x, w): the
+  // weight-carrying mean, exact: numerator Σ w·x as DECIMAL cents
+  // (order-independent), denominator Σ w as BIGINT, one double division
+  // rounded once. Also emits both exact sums — the re-aggregatable
+  // -State pair a rollup ships.
+  val q115 = Q(
+    "q115_avg_weighted",
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_w,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_wx,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                   / SUM(CAST(l_quantity AS BIGINT)), 4) AS avg_weighted
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  ) { t =>
+    val wx = sum(col("l_extendedprice").cast(DecimalType(18, 2))
+      * col("l_quantity").cast(LongType))
+    val w = sum(col("l_quantity").cast(LongType))
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        w.cast(LongType).as("sum_w"),
+        wx.cast(DoubleType).as("sum_wx"),
+        round(wx.cast(DoubleType) / w, 4).as("avg_weighted"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56, q86, q88, q98, q100,
+    q114, q115)
 }

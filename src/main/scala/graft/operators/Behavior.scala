@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -464,5 +465,69 @@ object Behavior {
       .orderBy(col("cohort_day"))
   }
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63, q64, q89, q102, q104)
+  // q116_funnel_modes — ClickHouse windowFunnel's MODE MATRIX in one
+  // relation: the same click→view→purchase funnel evaluated under
+  // `ordered` (steps in order, anything between — q47's base
+  // semantics), `strict_order` (steps adjacent — q58's), and
+  // `strict_dedup` (a repeat of an already-matched step breaks the
+  // chain) side by side, per level — the comparison a funnel author
+  // reads to pick a mode, and the reason the modes exist at all
+  // (levels can only shrink: ordered ⊇ strict_dedup ⊇ strict_order —
+  // spec-pinned). One per-user ordered code string (the funnel-family
+  // bound), three regex ladders over it, one unpivot + aggregation.
+  val q116 = Q(
+    "q116_funnel_modes",
+    Some("""
+      WITH seqs AS (
+        SELECT user_id,
+               STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS s
+        FROM events GROUP BY user_id),
+      levels AS (
+        SELECT user_id,
+               CASE WHEN REGEXP_MATCHES(s, 'c.*v.*p') THEN 3
+                    WHEN REGEXP_MATCHES(s, 'c.*v') THEN 2
+                    WHEN REGEXP_MATCHES(s, 'c') THEN 1 ELSE 0 END AS ordered_lvl,
+               CASE WHEN s LIKE '%cvp%' THEN 3
+                    WHEN s LIKE '%cv%' THEN 2
+                    WHEN s LIKE '%c%' THEN 1 ELSE 0 END AS strict_order_lvl,
+               CASE WHEN REGEXP_MATCHES(s, 'c[^c]*v[^cv]*p') THEN 3
+                    WHEN REGEXP_MATCHES(s, 'c[^c]*v') THEN 2
+                    WHEN REGEXP_MATCHES(s, 'c') THEN 1 ELSE 0 END AS strict_dedup_lvl
+        FROM seqs),
+      modes AS (
+        SELECT 'ordered' AS mode, ordered_lvl AS level FROM levels
+        UNION ALL SELECT 'strict_dedup', strict_dedup_lvl FROM levels
+        UNION ALL SELECT 'strict_order', strict_order_lvl FROM levels)
+      SELECT mode, CAST(level AS BIGINT) AS level, COUNT(*) AS n_users
+      FROM modes
+      GROUP BY mode, level
+      ORDER BY mode, level
+    """)
+  ) { t =>
+    val seqs = t.events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("code")))).as("evs"))
+      .select(concat_ws("", transform(col("evs"), e => e.getField("code"))).as("s"))
+    def ladder(p3: Column => Column, p2: Column => Column, p1: Column => Column): Column =
+      when(p3(col("s")), 3L).when(p2(col("s")), 2L).when(p1(col("s")), 1L).otherwise(0L)
+    val levels = seqs.select(
+      ladder(_.rlike("c.*v.*p"), _.rlike("c.*v"), _.rlike("c")).as("ordered_lvl"),
+      ladder(_.contains("cvp"), _.contains("cv"), _.contains("c")).as("strict_order_lvl"),
+      ladder(_.rlike("c[^c]*v[^cv]*p"), _.rlike("c[^c]*v"), _.rlike("c"))
+        .as("strict_dedup_lvl"))
+    val modes = Seq(
+      ("ordered", "ordered_lvl"),
+      ("strict_dedup", "strict_dedup_lvl"),
+      ("strict_order", "strict_order_lvl")).map { case (m, c) =>
+      levels.select(lit(m).as("mode"), col(c).as("level"))
+    }.reduce(_ unionByName _)
+    modes.groupBy(col("mode"), col("level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("mode"), col("level"))
+  }
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63, q64, q89, q102, q104,
+    q116)
 }

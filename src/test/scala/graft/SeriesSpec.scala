@@ -203,4 +203,37 @@ class SeriesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_samples") > 0L)
     }
   }
+
+  test("funnel modes: per-mode users conserve; levels only shrink with strictness") {
+    val rows = graft.operators.Behavior.q116.build(sf0001).collect()
+    val users = sf0001.events.select(col("user_id")).distinct().count()
+    val byMode = rows.groupBy(_.getAs[String]("mode"))
+    assert(byMode.keySet === Set("ordered", "strict_dedup", "strict_order"))
+    byMode.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n_users")).sum === users)
+    }
+    // mean attained level: ordered ≥ strict_dedup ≥ strict_order
+    def mass(m: String): Long = byMode(m)
+      .map(r => r.getAs[Long]("level") * r.getAs[Long]("n_users")).sum
+    assert(mass("ordered") >= mass("strict_dedup"))
+    assert(mass("strict_dedup") >= mass("strict_order"))
+  }
+
+  test("group sample: 3 keys per group, all real members") {
+    val keys = sf0001.orders.select(col("o_orderkey")).collect()
+      .map(_.getLong(0)).toSet
+    graft.operators.AggExt.q114.build(sf0001).collect().foreach { r =>
+      val ids = r.getAs[String]("sample_keys").split(",").map(_.toLong)
+      assert(ids.length === r.getAs[Long]("k").toInt && ids.length <= 3)
+      ids.foreach(id => assert(keys.contains(id)))
+    }
+  }
+
+  test("avg weighted: equals exact sums ratio") {
+    graft.operators.AggExt.q115.build(sf0001).collect().foreach { r =>
+      val expect = BigDecimal(r.getAs[Double]("sum_wx") / r.getAs[Long]("sum_w"))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("avg_weighted") - expect) < 1e-9)
+    }
+  }
 }
