@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -510,6 +510,113 @@ object AggExt {
       .orderBy(col("l_returnflag"))
   }
 
+  // q117_bit_agg — ClickHouse groupBitAnd/groupBitOr/groupBitXor: the
+  // bitwise fold aggregates (capability masks, feature flags, parity
+  // checks). All three are commutative+associative on the low 16 bits
+  // of the order key, hence map-side combinable; Spark lacks bit_and/
+  // bit_or aggregates as builtins in this form, so AND folds via
+  // 2^16−1 − OR of complements (De Morgan over the fixed mask) and XOR
+  // via parity (odd popcount per bit ≡ sum of bits mod 2) — every step
+  // integer-exact on both engines.
+  val q117 = Q(
+    "q117_bit_agg",
+    Some("""
+      WITH b AS (
+        SELECT o_orderpriority AS g, o_orderkey % 65536 AS v
+        FROM orders)
+      SELECT g,
+             CAST(BIT_AND(v) AS BIGINT) AS all_bits,
+             CAST(BIT_OR(v) AS BIGINT) AS any_bits,
+             CAST(BIT_XOR(v) AS BIGINT) AS parity_bits,
+             COUNT(*) AS n
+      FROM b
+      GROUP BY g
+      ORDER BY g
+    """)
+  ) { t =>
+    val b = t.orders.select(col("o_orderpriority").as("g"),
+      (col("o_orderkey") % 65536).as("v"))
+    // per-bit parity and conjunction from 16 positional sums — one
+    // map-side-combinable aggregation computes all three folds
+    val bitSums = (0 until 16).map(i =>
+      sum(shiftright(col("v"), i).bitwiseAND(1)).as(s"s$i"))
+    val agg = b.groupBy(col("g"))
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
+    val andBits = (0 until 16).map(i =>
+      when(col(s"s$i") === col("n"), 1L << i).otherwise(0L)).reduce(_ + _)
+    val orBits = (0 until 16).map(i =>
+      when(col(s"s$i") > 0, 1L << i).otherwise(0L)).reduce(_ + _)
+    val xorBits = (0 until 16).map(i =>
+      when(col(s"s$i") % 2 === 1, 1L << i).otherwise(0L)).reduce(_ + _)
+    agg.select(col("g"),
+      andBits.cast(LongType).as("all_bits"),
+      orBits.cast(LongType).as("any_bits"),
+      xorBits.cast(LongType).as("parity_bits"),
+      col("n"))
+      .orderBy(col("g"))
+  }
+
+  // q118_map_algebra — ClickHouse mapAdd/mapSubtract: element-wise map
+  // arithmetic, here as the week-over-week DELTA of the per-props-key
+  // counter maps (the readout a metrics pipeline computes between two
+  // sumMap states). Two key-level partial aggregates full-outer-join on
+  // (group, key) — absent keys are implicit zeros on either side, which
+  // is exactly mapAdd's semantics — then the portable sorted-CSV
+  // serialization. No window, no explode beyond the JSON key pull.
+  val q118 = Q(
+    "q118_map_algebra",
+    Some("""
+      WITH kv AS (
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                 < DATE '2024-01-16' AS first_half,
+               TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k
+        FROM events),
+      w1 AS (SELECT event_type, k, COUNT(*) AS c FROM kv
+             WHERE k IS NOT NULL AND first_half GROUP BY event_type, k),
+      w2 AS (SELECT event_type, k, COUNT(*) AS c FROM kv
+             WHERE k IS NOT NULL AND NOT first_half GROUP BY event_type, k),
+      merged AS (
+        SELECT COALESCE(w1.event_type, w2.event_type) AS event_type,
+               COALESCE(w1.k, w2.k) AS k,
+               COALESCE(w2.c, 0) - COALESCE(w1.c, 0) AS delta,
+               COALESCE(w2.c, 0) + COALESCE(w1.c, 0) AS total
+        FROM w1 FULL OUTER JOIN w2
+          ON w1.event_type = w2.event_type AND w1.k = w2.k)
+      SELECT event_type,
+             array_to_string(LIST(k::VARCHAR ORDER BY k), ',') AS map_keys,
+             array_to_string(LIST(delta::VARCHAR ORDER BY k), ',') AS map_delta,
+             array_to_string(LIST(total::VARCHAR ORDER BY k), ',') AS map_total
+      FROM merged
+      GROUP BY event_type
+      ORDER BY event_type
+    """)
+  ) { t =>
+    val kv = t.events.select(col("event_type"),
+      (date_trunc("day", col("ts")).cast("date") < lit("2024-01-16")).as("first_half"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .filter(col("k").isNotNull)
+    def half(cond: Column, tag: String): DataFrame = kv.filter(cond)
+      .groupBy(col("event_type").as(s"et_$tag"), col("k").as(s"k_$tag"))
+      .agg(count(lit(1)).as(s"c_$tag"))
+    val w1 = half(col("first_half"), "a")
+    val w2 = half(!col("first_half"), "b")
+    w1.join(w2, col("et_a") === col("et_b") && col("k_a") === col("k_b"),
+      "full_outer")
+      .select(
+        coalesce(col("et_a"), col("et_b")).as("event_type"),
+        coalesce(col("k_a"), col("k_b")).as("k"),
+        (coalesce(col("c_b"), lit(0L)) - coalesce(col("c_a"), lit(0L))).as("delta"),
+        (coalesce(col("c_b"), lit(0L)) + coalesce(col("c_a"), lit(0L))).as("total"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("k"), col("delta"), col("total")))).as("m"))
+      .select(col("event_type"),
+        concat_ws(",", transform(col("m"), e => e.getField("k").cast("string"))).as("map_keys"),
+        concat_ws(",", transform(col("m"), e => e.getField("delta").cast("string"))).as("map_delta"),
+        concat_ws(",", transform(col("m"), e => e.getField("total").cast("string"))).as("map_total"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56, q86, q88, q98, q100,
-    q114, q115)
+    q114, q115, q117, q118)
 }

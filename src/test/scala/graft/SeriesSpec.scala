@@ -236,4 +236,26 @@ class SeriesSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("avg_weighted") - expect) < 1e-9)
     }
   }
+
+  test("bit agg: AND ⊆ XOR-support ⊆ OR as bit sets") {
+    graft.operators.AggExt.q117.build(sf0001).collect().foreach { r =>
+      val andB = r.getAs[Long]("all_bits")
+      val orB = r.getAs[Long]("any_bits")
+      val xorB = r.getAs[Long]("parity_bits")
+      assert((andB & orB) === andB, "AND bits must be a subset of OR bits")
+      assert((xorB & orB) === xorB, "XOR bits must be a subset of OR bits")
+      assert(orB < 65536L && andB >= 0L)
+    }
+  }
+
+  test("map algebra: delta + totals consistent with the raw per-key counts") {
+    graft.operators.AggExt.q118.build(sf0001).collect().foreach { r =>
+      val deltas = r.getAs[String]("map_delta").split(",").map(_.toLong)
+      val totals = r.getAs[String]("map_total").split(",").map(_.toLong)
+      deltas.zip(totals).foreach { case (d, t) =>
+        assert(math.abs(d) <= t, "a delta cannot exceed the combined mass")
+        assert((t + d) % 2 === 0, "t+d = 2·second-half count must be even")
+      }
+    }
+  }
 }
