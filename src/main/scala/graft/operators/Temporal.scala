@@ -327,5 +327,115 @@ object Temporal {
       .orderBy(col("event_type"), col("d"))
   }
 
-  val all: Seq[Q] = Seq(q22, q23, q32, q34, q77, q78, q79, q91)
+  // q119_heatmap — the (day-of-week × hour) activity matrix every ops
+  // dashboard renders: exact counts per cell, dense — the 7×24 scaffold
+  // cross-joins two tiny ranges so silent hours surface as explicit
+  // zeros — serialized one row per ISO weekday with the 24 hourly
+  // counts as the portable CSV vector. Facts pay one two-key
+  // aggregation (map-side combinable); weekday numbering pinned to
+  // ISO (1=Mon) on both engines.
+  val q119 = Q(
+    "q119_heatmap",
+    Some("""
+      WITH cells AS (
+        SELECT ISODOW(CAST(ts AS TIMESTAMP)) AS dow,
+               HOUR(CAST(ts AS TIMESTAMP)) AS hr,
+               COUNT(*) AS n
+        FROM events GROUP BY dow, hr),
+      scaffold AS (
+        SELECT d.dow, h.hr
+        FROM UNNEST(RANGE(1, 8)) AS d(dow), UNNEST(RANGE(0, 24)) AS h(hr)),
+      dense AS (
+        SELECT s.dow, s.hr, COALESCE(c.n, 0) AS n
+        FROM scaffold s LEFT JOIN cells c ON c.dow = s.dow AND c.hr = s.hr)
+      SELECT CAST(dow AS BIGINT) AS dow,
+             array_to_string(LIST(n::VARCHAR ORDER BY hr), ',') AS hourly,
+             CAST(SUM(n) AS BIGINT) AS day_total
+      FROM dense
+      GROUP BY dow
+      ORDER BY dow
+    """)
+  ) { t =>
+    val cells = t.events
+      .groupBy((weekday(col("ts")) + 1).cast(LongType).as("dow"),
+        hour(col("ts")).cast(LongType).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val scaffold = t.spark.range(1, 8).select(col("id").as("dow"))
+      .crossJoin(t.spark.range(0, 24).select(col("id").as("hr")))
+    scaffold
+      .join(cells, Seq("dow", "hr"), "left")
+      .select(col("dow"), col("hr"), coalesce(col("n"), lit(0L)).as("n"))
+      .groupBy(col("dow"))
+      .agg(
+        concat_ws(",", transform(sort_array(collect_list(struct(col("hr"), col("n")))),
+          e => e.getField("n").cast("string"))).as("hourly"),
+        sum(col("n")).cast(LongType).as("day_total"))
+      .orderBy(col("dow"))
+  }
+
+  // q120_session_stats — the rollup READ off q34's sessionization: how
+  // long are sessions, how deep, and how many bounce. Same two stacked
+  // user-keyed windows build the session relation (|sessions| rows —
+  // orders of magnitude smaller than events); the distribution stats
+  // then run over that aggregated relation with q21's exact-percentile
+  // convention (epsilon + round to step over engine ulp differences at
+  // interpolation midpoints). One row out.
+  val q120 = Q(
+    "q120_session_stats",
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+      flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR DATE_DIFF('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id,
+               CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid,
+               ts
+        FROM flagged),
+      per_session AS (
+        SELECT user_id, sid, COUNT(*) AS n_events,
+               CAST(DATE_DIFF('second', MIN(ts), MAX(ts)) AS BIGINT) AS dur
+        FROM sessions GROUP BY user_id, sid)
+      SELECT COUNT(*) AS n_sessions,
+             CAST(SUM(n_events) AS BIGINT) AS n_events,
+             COUNT(CASE WHEN n_events = 1 THEN 1 END) AS n_bounce,
+             ROUND(MEDIAN(dur) + 0.000001, 2) AS p50_duration_sec,
+             ROUND(QUANTILE_CONT(dur, 0.9) + 0.000001, 2) AS p90_duration_sec,
+             CAST(MAX(dur) AS BIGINT) AS max_duration_sec
+      FROM per_session
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(w)
+    val perSession = t.events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("is_start",
+        when(prev.isNull || unix_timestamp(col("ts")) - unix_timestamp(prev) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("is_start")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .cast(LongType).as("dur"))
+    perSession.agg(
+      count(lit(1)).as("n_sessions"),
+      sum(col("n_events")).cast(LongType).as("n_events"),
+      count(when(col("n_events") === 1, 1)).as("n_bounce"),
+      percentile(col("dur"), array(lit(0.5), lit(0.9))).as("ps"),
+      max(col("dur")).cast(LongType).as("max_duration_sec"))
+      .select(col("n_sessions"), col("n_events"), col("n_bounce"),
+        round(col("ps").getItem(0) + 0.000001, 2).as("p50_duration_sec"),
+        round(col("ps").getItem(1) + 0.000001, 2).as("p90_duration_sec"),
+        col("max_duration_sec"))
+  }
+
+  val all: Seq[Q] = Seq(q22, q23, q32, q34, q77, q78, q79, q91, q119, q120)
 }

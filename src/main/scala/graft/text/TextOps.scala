@@ -1544,9 +1544,83 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // text_langid_eval — the classifier eval loop closed: the langid
+  // heuristic scored against the corpus's own ground-truth lang column —
+  // per true language: accuracy in exact basis points and the most
+  // common confusion (argmax over off-diagonal cells, deterministic
+  // tie-break). Every data pipeline that ships a model-based filter
+  // needs exactly this readout; it reuses langidOn verbatim (one scan,
+  // the same argmax the gate already verifies) plus one dimension-sized
+  // aggregation.
+  val langidEval = Q(
+    "text_langid_eval",
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                   w -> LIST_CONTAINS(['the','and','of','is','a'], w))) AS s_en,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                   w -> LIST_CONTAINS(['der','und','die','ist','das'], w))) AS s_de,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                   w -> LIST_CONTAINS(['le','et','la','est','les'], w))) AS s_fr,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                   w -> LIST_CONTAINS(['el','y','la','es','los'], w))) AS s_es,
+               LEN(LIST_FILTER(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                   w -> LIST_CONTAINS(['de5','shi4','le5','zai4','he2'], w))) AS s_zh
+        FROM documents),
+      pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+                    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                    WHEN s_en >= s_de THEN 'en'
+                    ELSE 'de' END AS predicted
+        FROM scored),
+      cells AS (
+        SELECT lang, predicted, COUNT(*) AS n
+        FROM pred GROUP BY lang, predicted),
+      confusions AS (
+        SELECT lang, predicted AS top_confusion FROM (
+          SELECT lang, predicted,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY n DESC, predicted) AS rn
+          FROM cells WHERE predicted <> lang) WHERE rn = 1)
+      SELECT c.lang,
+             CAST(SUM(c.n) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN c.predicted = c.lang THEN c.n ELSE 0 END) AS BIGINT)
+               AS n_correct,
+             CAST(SUM(CASE WHEN c.predicted = c.lang THEN c.n ELSE 0 END) * 10000
+                  // SUM(c.n) AS BIGINT) AS accuracy_bp,
+             COALESCE(ANY_VALUE(cf.top_confusion), '') AS top_confusion
+      FROM cells c LEFT JOIN confusions cf ON cf.lang = c.lang
+      GROUP BY c.lang
+      ORDER BY c.lang
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val cells = langidOn(t.documents)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val wrong = cells.filter(col("predicted") =!= col("lang"))
+    // minimize (−n, predicted): most-frequent cell, then smallest code
+    val topConf = wrong.groupBy(col("lang"))
+      .agg(min_by(col("predicted"), struct(-col("n"), col("predicted")))
+        .as("top_confusion"))
+    cells.groupBy(col("lang"))
+      .agg(sum(col("n")).cast(LongType).as("n_docs"),
+        sum(when(col("predicted") === col("lang"), col("n")).otherwise(0L))
+          .cast(LongType).as("n_correct"))
+      .withColumn("accuracy_bp",
+        expr("n_correct * 10000 div n_docs").cast(LongType))
+      .join(topConf, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_correct"), col("accuracy_bp"),
+        coalesce(col("top_confusion"), lit("")).as("top_confusion"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
-    countMin, charTrigrams, gopherBattery)
+    countMin, charTrigrams, gopherBattery, langidEval)
 }

@@ -258,4 +258,26 @@ class SeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("heatmap: 7 dense rows of 24 cells; grand total = event count") {
+    val rows = graft.operators.Temporal.q119.build(sf0001).collect()
+    assert(rows.length === 7)
+    assert(rows.map(_.getAs[Long]("day_total")).sum === sf0001.events.count())
+    rows.foreach { r =>
+      val cells = r.getAs[String]("hourly").split(",")
+      assert(cells.length === 24)
+      assert(cells.map(_.toLong).sum === r.getAs[Long]("day_total"))
+    }
+  }
+
+  test("session stats: totals tie to the q34 session relation") {
+    val sessions = graft.operators.Temporal.q34.build(sf0001).collect()
+    val r = graft.operators.Temporal.q120.build(sf0001).collect().head
+    assert(r.getAs[Long]("n_sessions") === sessions.length.toLong)
+    assert(r.getAs[Long]("n_events") === sessions.map(_.getAs[Long]("n_events")).sum)
+    assert(r.getAs[Long]("n_bounce") ===
+      sessions.count(_.getAs[Long]("n_events") == 1L).toLong)
+    assert(r.getAs[Long]("max_duration_sec") ===
+      sessions.map(_.getAs[Long]("duration_sec")).max)
+  }
 }

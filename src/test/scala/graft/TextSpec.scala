@@ -282,4 +282,16 @@ class TextSpec extends SparkSpec {
       assert(clean >= math.max(n - fails.sum, 0L), "clean floor: union bound")
     }
   }
+
+  test("langid eval: accuracy consistent with the confusion cells; docs conserved") {
+    val rows = graft.text.TextOps.langidEval.build(sf0001).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === sf0001.documents.count())
+    rows.foreach { r =>
+      val acc = r.getAs[Long]("accuracy_bp")
+      assert(acc >= 0L && acc <= 10000L)
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_docs"))
+      assert(acc === 10000L * r.getAs[Long]("n_correct") / r.getAs[Long]("n_docs"))
+    }
+  }
 }
