@@ -122,5 +122,97 @@ object Shapes {
       .orderBy(col("p_brand"), col("rn"))
   }
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q35)
+  // q121_skyline — the Pareto front (skyline operator): orders no other
+  // order dominates on (cheaper price, more recent date) within their
+  // priority class — the classic multi-objective shortlist. The naive
+  // formulation is a quadratic dominance self-join; the scalable
+  // identity is one sorted window pass: scanning by (price asc, date
+  // desc), a row is on the front iff its date strictly exceeds every
+  // earlier row's (the running max over cheaper rows) — cheaper-and-
+  // later dominates. Ties on price resolved by keeping the latest date
+  // first so equal-price-earlier-date rows are dominated, never
+  // front-mates. Keyed by priority; per-partition one sort.
+  val q121 = Q(
+    "q121_skyline",
+    Some("""
+      WITH scanned AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate,
+               MAX(o_orderdate) OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderdate DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+        FROM orders)
+      SELECT o_orderpriority,
+             COUNT(*) AS front_size,
+             CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS front_price_cents
+      FROM scanned
+      WHERE best_prev IS NULL OR o_orderdate > best_prev
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderdate").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.orders
+      .withColumn("best_prev", max(col("o_orderdate")).over(w))
+      .filter(col("best_prev").isNull || col("o_orderdate") > col("best_prev"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("front_size"),
+        min(col("o_orderkey")).cast(LongType).as("first_key"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("front_price_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // q122_streaks — longest run of CONSECUTIVE active days per user
+  // (gaps-and-islands over the activity calendar): the engagement
+  // metric behind every "7-day streak" badge. Distinct (user, day)
+  // first (partial-aggregable), then the island id is day − dense
+  // position (constant within a consecutive run) — one user-keyed
+  // window, no self-join — and the rollup reports the streak-length
+  // histogram plus how many users ever hit a 3-day streak.
+  val q122 = Q(
+    "q122_streaks",
+    Some("""
+      WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                    - DATE '1970-01-01' AS BIGINT) AS d
+        FROM events),
+      runs AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM act),
+      streaks AS (
+        SELECT user_id, COUNT(*) AS len
+        FROM runs GROUP BY user_id, grp),
+      best AS (SELECT user_id, MAX(len) AS best_streak FROM streaks GROUP BY user_id)
+      SELECT CAST(best_streak AS BIGINT) AS best_streak,
+             COUNT(*) AS n_users
+      FROM best
+      GROUP BY best_streak
+      ORDER BY best_streak
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    t.events
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")).cast("date"), lit("1970-01-01"))
+          .cast(LongType).as("d"))
+      .distinct()
+      .withColumn("grp", col("d") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("best_streak"))
+      .groupBy(col("best_streak"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("best_streak"))
+  }
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q35, q121, q122)
 }

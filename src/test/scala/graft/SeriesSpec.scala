@@ -280,4 +280,28 @@ class SeriesSpec extends SparkSpec {
     assert(r.getAs[Long]("max_duration_sec") ===
       sessions.map(_.getAs[Long]("duration_sec")).max)
   }
+
+  test("skyline: a driver-side quadratic dominance check agrees at sf0.001") {
+    val rows = sf0001.orders.select(col("o_orderpriority"),
+      col("o_totalprice"), unix_micros(col("o_orderdate").cast("timestamp")).as("dt"),
+      col("o_orderkey")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val expect = rows.groupBy(_._1).view.mapValues { os =>
+      os.count { a =>
+        !os.exists(b => (b._4 != a._4) &&
+          ((b._2 < a._2 && b._3 >= a._3) || (b._2 <= a._2 && b._3 > a._3)))
+      }.toLong
+    }.toMap
+    val got = graft.operators.Shapes.q121.build(sf0001).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("front_size")).toMap
+    assert(got === expect, s"$got vs $expect")
+  }
+
+  test("streaks: histogram masses = users; best streak bounded by 30 days") {
+    val rows = graft.operators.Shapes.q122.build(sf0001).collect()
+    val users = sf0001.events.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum === users)
+    rows.foreach(r => assert(r.getAs[Long]("best_streak") >= 1L
+      && r.getAs[Long]("best_streak") <= 31L))
+  }
 }
