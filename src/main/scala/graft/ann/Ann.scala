@@ -2027,8 +2027,114 @@ $pivots
         sum(col("h")).cast(LongType).as("total_hamming"))
   }
 
+  // ann_binary_rerank — the two-stage serving pipeline modern vector
+  // stores actually run, end-to-end: a CHEAP binary prefilter (sign-bit
+  // hamming, one XOR+popcount per pair) shortlists 50 candidates per
+  // query, then the EXPENSIVE exact dot re-ranks only those 50 to the
+  // final top-10. The readout is the engineering trade in numbers:
+  // recall@10 vs the exact-everywhere truth next to the fraction of the
+  // corpus that ever reached the exact kernel (the cost dial). Both
+  // stages ride TopKPerGroup (hamming stage on the negated distance);
+  // at 100 TB the full-precision vectors are only fetched for the
+  // shortlist — the scan is 8 bytes/vector.
+  val binaryRerank = Q(
+    "ann_binary_rerank",
+    Some {
+      val dot64 = (a: String, b: String) =>
+        s"CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP($a, $b), pr -> pr[1] * pr[2])) AS BIGINT)"
+      s"""
+      WITH grid AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 1024)) AS qv
+        FROM embeddings),
+      qgrid AS (SELECT vec_id AS query_id, qv AS gq FROM grid WHERE vec_id < 5),
+      bits AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN qv[i + 1] > 0
+                 THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                           ELSE (1::BIGINT << i) END
+                 ELSE 0 END) AS BIGINT) AS sig
+        FROM grid, UNNEST(RANGE(0, 64)) AS t(i)
+        GROUP BY vec_id),
+      qbits AS (SELECT vec_id AS query_id, sig AS qsig FROM bits WHERE vec_id < 5),
+      shortlist AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.query_id, b.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY BIT_COUNT(XOR(b.sig, q.qsig)), b.vec_id) AS rnk
+          FROM bits b, qbits q) WHERE rnk <= 50),
+      rescored AS (
+        SELECT s.query_id, s.vec_id, ${dot64("g.gq", "e.qv")} AS dq
+        FROM shortlist s
+        JOIN qgrid g ON g.query_id = s.query_id
+        JOIN grid e ON e.vec_id = s.vec_id),
+      final AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY dq DESC, vec_id) AS rnk
+          FROM rescored) WHERE rnk <= 10),
+      truth_s AS (
+        SELECT q.query_id, e.vec_id, ${dot64("q.gq", "e.qv")} AS dq
+        FROM grid e, qgrid q),
+      truth AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY dq DESC, vec_id) AS rnk
+          FROM truth_s) WHERE rnk <= 10),
+      n_corpus AS (SELECT COUNT(*) AS n FROM grid)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+             CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits,
+             CAST(COUNT(t.vec_id) * 10000 // COUNT(*) AS BIGINT) AS recall_bp,
+             CAST(50 * 10000 // ANY_VALUE(nc.n) AS BIGINT) AS exact_scan_bp
+      FROM final f
+      LEFT JOIN truth t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+      CROSS JOIN n_corpus nc
+      """
+    }
+  ) { t =>
+    val grid = ivfEmb(t).select(col("vec_id"), col("qv"))
+    val qgrid = grid.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("qv").as("gq"))
+    val sig = expr(
+      "aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+        "acc + CASE WHEN element_at(qv, i + 1) > 0D THEN shiftleft(1L, i) ELSE 0L END)")
+    val bits = grid.select(col("vec_id"), sig.as("sig"))
+    val qbits = bits.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val shortlist = graft.plans.TopKPerGroup.topK(
+      bits.crossJoin(broadcast(qbits))
+        .select(col("query_id"), col("vec_id"),
+          (-bit_count(col("sig").bitwiseXOR(col("qsig"))).cast(LongType)).as("negh")),
+      Seq("query_id"), "negh", "vec_id", 50)
+      .select(col("query_id"), col("vec_id"))
+    val rescored = shortlist
+      .join(broadcast(qgrid), "query_id")
+      .join(grid, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        call_function("graft_dot", col("gq"), col("qv")).cast(LongType).as("dq"))
+    val fin = graft.plans.TopKPerGroup.topK(rescored, Seq("query_id"), "dq", "vec_id", 10)
+      .select(col("query_id"), col("vec_id"))
+    val truth = graft.plans.TopKPerGroup.topK(
+      grid.crossJoin(broadcast(qgrid))
+        .select(col("query_id"), col("vec_id"),
+          call_function("graft_dot", col("gq"), col("qv")).cast(LongType).as("dq")),
+      Seq("query_id"), "dq", "vec_id", 10)
+      .select(col("query_id").as("tq"), col("vec_id").as("tvec"))
+    val nCorpus = grid.agg(count(lit(1)).as("n"))
+    fin
+      .join(truth, col("query_id") === col("tq") && col("vec_id") === col("tvec"),
+        "left")
+      .crossJoin(broadcast(nCorpus))
+      .agg(count(lit(1)).cast(LongType).as("n_retrieved"),
+        count(col("tvec")).cast(LongType).as("n_hits"),
+        expr("count(tvec) * 10000 div count(1)").cast(LongType).as("recall_bp"),
+        expr("50 * 10000 div any_value(n)").cast(LongType).as("exact_scan_bp"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
-    rpProject, diversify, graphSearch, matryoshka, binaryQuant)
+    rpProject, diversify, graphSearch, matryoshka, binaryQuant, binaryRerank)
 }

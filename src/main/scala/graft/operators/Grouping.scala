@@ -210,5 +210,37 @@ object Grouping {
       .orderBy(col("lvl"), col("flag"), col("status"))
   }
 
-  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q80)
+  // q123_share_of_total — ratio-to-report: each priority's share of its
+  // month's revenue (the % column every finance pivot carries). Two
+  // partial-aggregable levels — (month, priority) then month — joined
+  // back broadcast (the month relation is dimension-sized), share in
+  // exact basis points from DECIMAL cents; no window over the facts.
+  val q123 = Q(
+    "q123_share_of_total",
+    Some("""
+      WITH mp AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+               o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY month, o_orderpriority),
+      m AS (SELECT month, CAST(SUM(cents) AS BIGINT) AS total FROM mp GROUP BY month)
+      SELECT mp.month, mp.o_orderpriority, mp.cents,
+             CAST(mp.cents * 10000 // m.total AS BIGINT) AS share_bp
+      FROM mp JOIN m ON m.month = mp.month
+      ORDER BY mp.month, mp.o_orderpriority
+    """)
+  ) { t =>
+    val mp = t.orders
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("o_orderpriority"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("cents"))
+    val m = mp.groupBy(col("month")).agg(sum(col("cents")).cast(LongType).as("total"))
+    mp.join(broadcast(m), "month")
+      .select(col("month"), col("o_orderpriority"), col("cents"),
+        expr("cents * 10000 div total").cast(LongType).as("share_bp"))
+      .orderBy(col("month"), col("o_orderpriority"))
+  }
+
+  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q80, q123)
 }

@@ -292,4 +292,16 @@ class AnnSpec extends SparkSpec {
     // 50 pairs × ≤64 differing bits
     assert(r.getAs[Long]("total_hamming") <= 50L * 64L)
   }
+
+  test("binary rerank: at least as good as raw binary top-10; scan share correct") {
+    val rr = graft.ann.Ann.binaryRerank.build(sf0001).collect().head
+    val bq = graft.ann.Ann.binaryQuant.build(sf0001).collect().head
+    assert(rr.getAs[Long]("n_retrieved") === 50L)
+    // reranking a 50-candidate shortlist can only improve on the raw
+    // hamming top-10's recall
+    assert(rr.getAs[Long]("recall_bp") >= bq.getAs[Long]("recall_bp"),
+      s"rerank ${rr.getAs[Long]("recall_bp")} < raw ${bq.getAs[Long]("recall_bp")}")
+    val n = sf0001.embeddings.count()
+    assert(rr.getAs[Long]("exact_scan_bp") === 50L * 10000L / n)
+  }
 }

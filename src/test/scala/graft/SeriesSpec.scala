@@ -304,4 +304,14 @@ class SeriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("best_streak") >= 1L
       && r.getAs[Long]("best_streak") <= 31L))
   }
+
+  test("share of total: shares per month sum to ~10000 bp") {
+    val rows = graft.operators.Grouping.q123.build(sf0001).collect()
+      .groupBy(_.getAs[java.sql.Date]("month").toString)
+    rows.foreach { case (m, rs) =>
+      val s = rs.map(_.getAs[Long]("share_bp")).sum
+      // integer floor division loses at most (k-1) bp for k priorities
+      assert(s <= 10000L && s >= 10000L - rs.length + 1, s"$m: $s")
+    }
+  }
 }
