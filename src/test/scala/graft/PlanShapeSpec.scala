@@ -253,13 +253,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("q97_lttb broadcasts the 1-row-per-type selection frames") {
+  test("q97_lttb output is a union of checkpointed per-step frames") {
     val plan = planOf("q97_lttb")
-    // the greedy chain joins dimension-sized frames back by broadcast;
-    // the fact table is aggregated exactly once upstream (InMemoryRelation
-    // after the PersistCache build)
-    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // each greedy step is localCheckpoint'd during build (broadcast
+    // joins run eagerly inside the chain — see Series.q97), so the
+    // OUTPUT plan must be a plain union over materialized step RDDs:
+    // no join, no exchange of the fact table, nothing recomputed
+    assert(plan.contains("Union"), plan.take(2000))
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      plan.take(2000))
     assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("text_tv_drift ranks the top token through TopKPerGroup, not a window sort") {
