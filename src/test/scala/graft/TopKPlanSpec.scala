@@ -39,4 +39,31 @@ class TopKPlanSpec extends SparkSpec {
       assert(custom === window, s"k=$k")
     }
   }
+
+  test("partial-flush path: >64k in-flight groups in one task still yields exact top-k") {
+    // Forces TopKPerGroupExec.MaxInFlightGroups (65536) to trip: 70k
+    // distinct groups streamed through a SINGLE input partition, so the
+    // partial pass must flush its heaps downstream mid-iterator and emit
+    // MULTIPLE partial outputs for the groups seen both before and after
+    // the flush — the final pass has to re-merge them. 3 rows per group,
+    // k=2; expected result computed directly.
+    import spark.implicits._
+    val n = 70000
+    val rows = (0 until n).flatMap { g =>
+      Seq((g.toLong, g.toLong * 10 + 1, 5.0), (g.toLong, g.toLong * 10 + 2, 9.0),
+        (g.toLong, g.toLong * 10 + 3, 7.0))
+    }
+    val df = rows.toDF("g", "id", "score").coalesce(1)
+    val got = TopKPerGroup.topK(df, Seq("g"), "score", "id", 2)
+      .collect()
+      .map(r => (r.getAs[Long]("g"), r.getAs[Long]("id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got.size === n, s"expected $n groups, got ${got.size}")
+    // best two scores per group are 9.0 (id g*10+2) and 7.0 (id g*10+3)
+    (0 until n by 7001).foreach { g =>
+      assert(got(g.toLong) === Seq(g.toLong * 10 + 2, g.toLong * 10 + 3),
+        s"group $g wrong: ${got(g.toLong)}")
+    }
+    assert(got.valuesIterator.forall(_.length == 2))
+  }
 }
