@@ -808,6 +808,60 @@ object Stats {
       .orderBy(col("x"), col("y"))
   }
 
+  // q124_gini — the Gini coefficient / Lorenz readout per group
+  // (revenue-concentration inequality: "do 20% of orders carry 80% of
+  // revenue?"). Exact via the rank identity G = (2·Σ i·xᵢ)/(n·Σx) −
+  // (n+1)/n over values sorted ascending: ranks come from one keyed
+  // window (row_number — ties get distinct ranks, which the identity
+  // tolerates because equal values commute in Σ i·xᵢ... they do NOT in
+  // general, so the sort carries the o_orderkey tie-break and BOTH
+  // engines use the identical total order), every numerator an exact
+  // BIGINT of cents, one double division rounded once. Top-decile share
+  // rides the same cumulative machinery in integer bp.
+  val q124 = Q(
+    "q124_gini",
+    Some("""
+      WITH v AS (
+        SELECT o_orderpriority AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey) AS i,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+      SELECT g,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS total_cents,
+             ROUND(2.0 * SUM(i * x) / (MAX(n) * CAST(SUM(x) AS DOUBLE))
+                   - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+             CAST(SUM(CASE WHEN i * 10 > n * 9 THEN x ELSE 0 END) * 10000
+                  // SUM(x) AS BIGINT) AS top_decile_bp
+      FROM v
+      GROUP BY g
+      ORDER BY g
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g"))
+    val v = t.orders
+      .select(col("o_orderpriority").as("g"),
+        col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100))
+          .cast(LongType).as("x"),
+        col("o_totalprice"), col("o_orderkey"))
+      .withColumn("i", row_number().over(
+        w.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(w))
+    v.groupBy(col("g"))
+      .agg(
+        max(col("n")).cast(LongType).as("n"),
+        sum(col("x")).cast(LongType).as("total_cents"),
+        round(lit(2.0) * sum(col("i") * col("x"))
+          / (max(col("n")) * sum(col("x")).cast(DoubleType))
+          - (max(col("n")) + lit(1.0)) / max(col("n")), 6).as("gini"),
+        expr("sum(CASE WHEN i * 10 > n * 9 THEN x ELSE 0 END) * 10000 div sum(x)")
+          .cast(LongType).as("top_decile_bp"))
+      .orderBy(col("g"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q92, q99, q111, q112, q113)
+    q92, q99, q111, q112, q113, q124)
 }

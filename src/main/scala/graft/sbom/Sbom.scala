@@ -921,8 +921,68 @@ object Sbom {
       .orderBy(col("status"))
   }
 
+  // sbom_fuzzy_match — cross-scanner component reconciliation: two
+  // scanners report the same package under formatting variants
+  // ("my widget" vs "my-widget" vs "MY_WIDGET"), and naive exact joins
+  // call them different components. The scalable shape: join on a
+  // NORMALIZED key (lower, non-alnum → nothing — a pure per-row
+  // expression, so the join stays an equi-join) and CONFIRM with edit
+  // distance on the raw names bounded to the candidate pairs only —
+  // never names². Reports match classes: exact, normalized-only
+  // (formatting drift), and the per-class edit-distance mass.
+  val fuzzyMatch = Q(
+    "sbom_fuzzy_match",
+    Some(s"""
+      WITH $componentsSql,
+      scan_a AS (
+        SELECT comp_id, name FROM components),
+      scan_b AS (
+        SELECT comp_id,
+               CASE WHEN comp_id % 3 = 0 THEN REPLACE(name, ' ', '-')
+                    WHEN comp_id % 3 = 1 THEN UPPER(REPLACE(name, ' ', '_'))
+                    ELSE name END AS name
+        FROM components),
+      keyed AS (
+        SELECT a.comp_id, a.name AS name_a, b.name AS name_b,
+               CASE WHEN a.name = b.name THEN 'exact'
+                    ELSE 'normalized' END AS match_class,
+               levenshtein(a.name, b.name) AS edit_dist
+        FROM scan_a a JOIN scan_b b
+          ON REGEXP_REPLACE(LOWER(a.name), '[^a-z0-9]', '', 'g')
+           = REGEXP_REPLACE(LOWER(b.name), '[^a-z0-9]', '', 'g')
+         AND a.comp_id = b.comp_id)
+      SELECT match_class,
+             CAST(COUNT(*) AS BIGINT) AS n_components,
+             CAST(SUM(edit_dist) AS BIGINT) AS total_edit_dist,
+             CAST(MAX(edit_dist) AS BIGINT) AS max_edit_dist
+      FROM keyed
+      GROUP BY match_class
+      ORDER BY match_class
+    """)
+  ) { t =>
+    val comps = components(t)
+    val scanA = comps.select(col("comp_id").as("id_a"), col("name").as("name_a"))
+    val scanB = comps.select(col("comp_id").as("id_b"),
+      when(col("comp_id") % 3 === 0, regexp_replace(col("name"), " ", "-"))
+        .when(col("comp_id") % 3 === 1, upper(regexp_replace(col("name"), " ", "_")))
+        .otherwise(col("name")).as("name_b"))
+    def norm(c: Column): Column = regexp_replace(lower(c), "[^a-z0-9]", "")
+    scanA
+      .join(scanB,
+        norm(col("name_a")) === norm(col("name_b")) && col("id_a") === col("id_b"))
+      .select(
+        when(col("name_a") === col("name_b"), "exact")
+          .otherwise("normalized").as("match_class"),
+        levenshtein(col("name_a"), col("name_b")).cast(LongType).as("edit_dist"))
+      .groupBy(col("match_class"))
+      .agg(count(lit(1)).cast(LongType).as("n_components"),
+        sum(col("edit_dist")).cast(LongType).as("total_edit_dist"),
+        max(col("edit_dist")).cast(LongType).as("max_edit_dist"))
+      .orderBy(col("match_class"))
+  }
+
   val all: Seq[Q] = Seq(flatten, mergeDedup, licenseMap, sourceExtract,
     filterPatterns, tableName, formatDetect, refCategory, componentStats,
     validate, convert, validateModes, purlParse, migrate, insertEscape,
-    localMerge, diff)
+    localMerge, diff, fuzzyMatch)
 }

@@ -494,4 +494,15 @@ class SbomSourcesSpec extends SparkSpec {
     assert(rows.getOrElse("added", 0L) === added10)
     assert(rows.values.sum === total) // every component classified exactly once
   }
+
+  test("sbom_fuzzy_match: every component reconciles; exact class = unmodified names") {
+    val rows = graft.sbom.Sbom.fuzzyMatch.build(sf0001).collect()
+      .map(r => r.getAs[String]("match_class") -> r.getAs[Long]("n_components")).toMap
+    val total = sf0001.part.count()
+    assert(rows.values.sum === total, "normalization must reconcile every variant")
+    // comp_id % 3 == 2 keeps the raw name — but a spaceless name is also
+    // unchanged by the variant rules, so 'exact' is at least that floor
+    assert(rows.getOrElse("exact", 0L) >=
+      sf0001.part.filter(col("p_partkey") % 3 === 2).count())
+  }
 }

@@ -245,4 +245,25 @@ class StatsSpec extends SparkSpec {
       assert(c >= -1.0001 && c <= 1.0001)
     }
   }
+
+  test("gini: in [0,1); driver-side exact replay agrees") {
+    val rows = graft.operators.Stats.q124.build(sf0001).collect()
+    val data = sf0001.orders.select(col("o_orderpriority"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("x"),
+      col("o_totalprice"), col("o_orderkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    rows.foreach { r =>
+      val g = r.getAs[String]("g")
+      val xs = data.filter(_._1 == g).sortBy(t => (t._3, t._4)).map(_._2)
+      val n = xs.length.toLong
+      val sum = xs.map(BigInt(_)).sum
+      val iSum = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val expect = BigDecimal(2.0 * iSum.toDouble / (n * sum.toDouble) - (n + 1.0) / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("gini") - expect) < 1e-6, s"$g")
+      assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
+      assert(r.getAs[Long]("top_decile_bp") >= 1000L,
+        "top decile cannot hold less than 10% of mass")
+    }
+  }
 }
