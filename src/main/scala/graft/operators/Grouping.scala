@@ -242,5 +242,38 @@ object Grouping {
       .orderBy(col("month"), col("o_orderpriority"))
   }
 
-  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q80, q123)
+  // q125_mode — the statistical mode per group with a DETERMINISTIC
+  // tie-break (most frequent quantity per return flag; ties → smallest
+  // value): two partial-aggregable levels — value counts, then a
+  // min_by over (−count, value) — no window, no sort of the facts.
+  // ClickHouse serves this as topK(1)(x) (approximate) or
+  // arrayElement(topKExact…); this is the exact form.
+  val q125 = Q(
+    "q125_mode",
+    Some("""
+      WITH c AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, q),
+      m AS (
+        SELECT l_returnflag, q AS mode_qty, n AS mode_n FROM (
+          SELECT l_returnflag, q, n,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY n DESC, q) AS rn
+          FROM c) WHERE rn = 1)
+      SELECT l_returnflag, CAST(mode_qty AS BIGINT) AS mode_qty,
+             CAST(mode_n AS BIGINT) AS mode_n
+      FROM m ORDER BY l_returnflag
+    """)
+  ) { t =>
+    t.lineitem
+      .groupBy(col("l_returnflag"), col("l_quantity").cast(LongType).as("q"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min_by(col("q"), struct(-col("n"), col("q"))).cast(LongType).as("mode_qty"),
+        max(col("n")).cast(LongType).as("mode_n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q80, q123, q125)
 }
