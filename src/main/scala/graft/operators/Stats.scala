@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -862,6 +863,117 @@ object Stats {
       .orderBy(col("g"))
   }
 
+  // q126_benford — Benford's-law first-digit audit of order totals (the
+  // classic fabricated-data screen): observed first-digit counts vs the
+  // log10(1+1/d) expectation, deviation in basis points. The first
+  // digit comes from a GENERATED integer CASE ladder over magnitude
+  // ranges — log10+floor would hinge on libm ulp agreement between
+  // engines at exact powers of ten; the ladder is pure BIGINT
+  // comparison, immune by construction. Expected shares are fixed
+  // literals; one map-side-combinable aggregation.
+  val q126 = Q(
+    "q126_benford",
+    Some {
+      // digit(x) for x in [1, 10^15): generated range ladder
+      val ladder = (1 to 15).map { k =>
+        val lo = math.pow(10, k - 1).toLong
+        val hi = math.pow(10, k).toLong
+        s"WHEN x < $hi THEN x // $lo"
+      }.mkString("CASE ", " ", " ELSE 1 END")
+      val expected = (1 to 9)
+        .map(d => f"WHEN ${d} THEN ${math.log10(1.0 + 1.0 / d)}%.10f")
+        .mkString("CASE digit ", " ", " ELSE 0.0 END")
+      s"""
+      WITH v AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM orders WHERE o_totalprice > 0),
+      d AS (SELECT $ladder AS digit FROM v),
+      c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      t AS (SELECT SUM(n) AS total FROM c)
+      SELECT CAST(c.digit AS BIGINT) AS digit,
+             CAST(c.n AS BIGINT) AS n,
+             CAST(c.n * 10000 // t.total AS BIGINT) AS observed_bp,
+             CAST(FLOOR(10000 * ($expected)) AS BIGINT) AS benford_bp
+      FROM c CROSS JOIN t
+      ORDER BY digit
+      """
+    }
+  ) { t =>
+    val x = col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100))
+      .cast(LongType)
+    val digit = (1 to 15).foldRight(lit(1L): Column) { (k, els) =>
+      val lo = math.pow(10, k - 1).toLong
+      val hi = math.pow(10, k).toLong
+      when(col("x") < hi, expr(s"x div $lo")).otherwise(els)
+    }
+    val expected = (1 to 9).foldRight(lit(0.0): Column) { (d, els) =>
+      when(col("digit") === d, lit(math.log10(1.0 + 1.0 / d))).otherwise(els)
+    }
+    val c = t.orders.filter(col("o_totalprice") > 0)
+      .select(x.as("x"))
+      .withColumn("digit", digit)
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum(col("n")).as("total"))
+    c.crossJoin(broadcast(tot))
+      .select(col("digit").cast(LongType).as("digit"),
+        col("n").cast(LongType).as("n"),
+        expr("n * 10000 div total").cast(LongType).as("observed_bp"),
+        floor(lit(10000) * expected).cast(LongType).as("benford_bp"))
+      .orderBy(col("digit"))
+  }
+
+  // q127_zscore_outliers — per-group 3σ outlier census with the
+  // comparison MULTIPLIED THROUGH to exact integers: with μ = S/n and
+  // population σ² = (n·Q − S²)/n², |x−μ| > 3σ clears of division to
+  // (n·x − S)² > 9·(n·Q − S²) — both sides DECIMAL(38,0) products
+  // of exact cent sums, so the flag can never flip on an FP boundary
+  // the way a double z-score comparison can (the subtle cross-engine
+  // bug this operator exists to demonstrate killing). Two passes: exact
+  // (n, S, Q) per group, broadcast back, one counting scan.
+  val q127 = Q(
+    "q127_zscore_outliers",
+    Some("""
+      WITH v AS (
+        SELECT o_orderpriority AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM orders),
+      m AS (
+        SELECT g, COUNT(*) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS s,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS q
+        FROM v GROUP BY g)
+      SELECT v.g,
+             CAST(m.n AS BIGINT) AS n,
+             COUNT(CASE WHEN (m.n * CAST(v.x AS DECIMAL(38,0)) - m.s)
+                             * (m.n * CAST(v.x AS DECIMAL(38,0)) - m.s)
+                           > 9 * (m.n * m.q - m.s * m.s)
+                        THEN 1 END) AS n_outliers
+      FROM v JOIN m ON m.g = v.g
+      GROUP BY v.g, m.n
+      ORDER BY v.g
+    """)
+  ) { t =>
+    import org.apache.spark.sql.types.DecimalType
+    val v = t.orders.select(col("o_orderpriority").as("g"),
+      col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100))
+        .cast(LongType).as("x"))
+    val m = v.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast(DecimalType(38, 0)).as("s"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("q"))
+    v.join(broadcast(m), "g")
+      .select(col("g"), col("n"),
+        ((col("n") * col("x").cast(DecimalType(38, 0)) - col("s"))
+          * (col("n") * col("x").cast(DecimalType(38, 0)) - col("s")))
+          .as("lhs"),
+        (lit(9) * (col("n") * col("q") - col("s") * col("s"))).as("rhs"))
+      .groupBy(col("g"), col("n"))
+      .agg(count(when(col("lhs") > col("rhs"), 1)).as("n_outliers"))
+      .select(col("g"), col("n").cast(LongType).as("n"), col("n_outliers"))
+      .orderBy(col("g"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q92, q99, q111, q112, q113, q124)
+    q92, q99, q111, q112, q113, q124, q126, q127)
 }

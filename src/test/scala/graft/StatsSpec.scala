@@ -266,4 +266,33 @@ class StatsSpec extends SparkSpec {
         "top decile cannot hold less than 10% of mass")
     }
   }
+
+  test("benford: observed shares sum to ~10000 bp; digits in 1..9") {
+    val rows = graft.operators.Stats.q126.build(sf0001).collect()
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(d >= 1L && d <= 9L)
+      assert(r.getAs[Long]("benford_bp") > 0L)
+    }
+    val s = rows.map(_.getAs[Long]("observed_bp")).sum
+    assert(s <= 10000L && s >= 10000L - 9L)
+    assert(rows.map(_.getAs[Long]("n")).sum === sf0001.orders.count())
+  }
+
+  test("zscore outliers: exact integer flags match a driver-side replay") {
+    val rows = graft.operators.Stats.q127.build(sf0001).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("n_outliers")).toMap
+    val data = sf0001.orders.select(col("o_orderpriority"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
+    data.groupBy(_._1).foreach { case (g, xs) =>
+      val n = BigInt(xs.length); val s = xs.map(_._2).sum
+      val q = xs.map(t => t._2 * t._2).sum
+      val rhs = 9 * (n * q - s * s)
+      val expect = xs.count { case (_, x) =>
+        val lhs = (n * x - s) * (n * x - s); lhs > rhs
+      }.toLong
+      assert(rows(g) === expect, s"$g: ${rows(g)} vs $expect")
+    }
+  }
 }
