@@ -250,14 +250,26 @@ object AggExt {
     """)
   ) { t =>
     import org.apache.spark.sql.expressions.Window
+    import graft.plans.GroupedPrefix
     val byval = t.lineitem
       .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
       .agg(sum(col("l_quantity").cast(LongType)).as("w"))
-    val wf = Window.partitionBy(col("flag"))
-    val cum = byval
-      .withColumn("cw", sum(col("w")).over(wf.orderBy(col("x"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tw", sum(col("w")).over(wf))
+    // the histogram is fact-sized when the value is near-unique (prices
+    // are), so the cumulative weights ride GroupedPrefix: slice-local
+    // running sums + broadcast prefix offsets; group totals come from
+    // the same per-slice partials via a whole-group window over the
+    // tiny slices relation — no flag-keyed window over the histogram
+    val staged = GroupedPrefix.stage(byval, Seq(col("flag"), col("x")))
+    val cum = GroupedPrefix.withOffsets(staged, Seq("flag"),
+      Seq(sum(col("w")).as("__w"))) { (slices, wPrev) =>
+      slices.select(col("flag"), col(GroupedPrefix.PID),
+        coalesce(sum(col("__w")).over(wPrev), lit(0L)).as("__off"),
+        sum(col("__w")).over(wPrev.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("tw"))
+    }
+      .withColumn("cw", col("__off") + sum(col("w")).over(
+        GroupedPrefix.localWindow(Seq("flag"), Seq(col("x")))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     cum
       .groupBy(col("flag"))
       .agg(

@@ -481,11 +481,13 @@ object Series {
   // q106_event_gaps — stream-health gap analysis (the monitoring query
   // behind every availability SLA): per event_type, the largest and
   // mean silence between consecutive events, plus how many gaps exceed
-  // a 120 s alert threshold. One keyed LAG window ordered by
-  // (ts, event_id) — ties carry a deterministic tie-break, and the
-  // micros arithmetic is exact, so mean_gap divides two exact BIGINTs
-  // once. At 100 TB the partition key would be (tenant, day); the shape
-  // is unchanged.
+  // a 120 s alert threshold. The LAG ordered by (ts, event_id) is
+  // GroupedPrefix two-pass: slice-local lag() plus a boundary patch
+  // (each slice's last (ts, id, micros) is a struct-max partial,
+  // prefix-maxed over earlier slices and broadcast back) — so the
+  // 5-value event_type key never collapses the stream into 5 sorted
+  // partitions. Ties carry a deterministic tie-break, and the micros
+  // arithmetic is exact, so mean_gap divides two exact BIGINTs once.
   val q106 = Q(
     "q106_event_gaps",
     Some("""
@@ -506,12 +508,21 @@ object Series {
       ORDER BY event_type
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    t.events
-      .select(col("event_type"), col("ts"), col("event_id"),
-        unix_micros(col("ts")).as("us"))
-      .withColumn("g", col("us") - lag(col("us"), 1).over(w))
+    import graft.plans.GroupedPrefix
+    val staged = GroupedPrefix.stage(
+      t.events.select(col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us")),
+      Seq(col("event_type"), col("ts"), col("event_id")))
+    val wLoc = GroupedPrefix.localWindow(Seq("event_type"),
+      Seq(col("ts"), col("event_id")))
+    GroupedPrefix.withOffsets(staged, Seq("event_type"),
+      Seq(max(struct(col("ts").as("t"), col("event_id").as("i"),
+        col("us").as("u"))).as("__last"))) { (slices, wPrev) =>
+      slices.select(col("event_type"), col(GroupedPrefix.PID),
+        max(col("__last")).over(wPrev).getField("u").as("__prev"))
+    }
+      .withColumn("g", col("us") -
+        coalesce(lag(col("us"), 1).over(wLoc), col("__prev")))
       .groupBy(col("event_type"))
       .agg(
         count(col("g")).as("n_gaps"),

@@ -13,12 +13,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   * oracle.
   *
   * Scale notes: every aggregate here is partial-aggregable
-  * (map-side combine) except the window passes, whose partition key at
-  * 100 TB must be chosen at ingest cardinality (the sf tables use
-  * `o_orderstatus` / `l_returnflag` — 3 values — purely so the oracle
-  * is small; the operator shape is unchanged for a (tenant, day) key
-  * with millions of partitions, which is how a real deployment runs
-  * these).
+  * (map-side combine), and every ordered pass (sweeps, islands, lags,
+  * ranks, midranks) rides plans.GroupedPrefix — range-partitioned
+  * slices + per-slice partials + broadcast prefix offsets — so a
+  * 3-value enum group key (the sf tables' o_orderstatus /
+  * l_returnflag) never collapses the fact table into 3 sorted
+  * partitions: parallelism is numPartitions × |groups| at any scale.
   */
 object Stats {
 
@@ -34,7 +34,13 @@ object Stats {
   // earliest instant it is reached. Classic sweep: explode each interval
   // to (+1 at start, -1 at end) deltas, running-sum ordered by
   // (point, delta) — ends sort before starts at the same instant
-  // (half-open intervals), so the max is tie-order-independent.
+  // (half-open intervals), so the max is tie-order-independent (within a
+  // tied (p, delta) block all deltas share a sign, so the running values
+  // form the same multiset whatever the intra-tie order). The running
+  // sum is GroupedPrefix two-pass (slice sums → broadcast offsets +
+  // slice-local windows), and the peak readout is ONE aggregation via a
+  // lexicographic struct-max (max open_now, then min p) — no
+  // whole-group max window anywhere.
   val q65 = Q(
     "q65_max_intersections",
     Some("""
@@ -61,29 +67,40 @@ object Stats {
     """)
   ) { t =>
     import org.apache.spark.sql.expressions.Window
+    import graft.plans.GroupedPrefix
     val base = t.orders.select(col("o_orderstatus"), col("o_orderdate"), closeTs.as("close_ts"))
     val pts = base.select(col("o_orderstatus"), col("o_orderdate").as("p"), lit(1).as("delta"))
       .unionAll(base.select(col("o_orderstatus"), col("close_ts").as("p"), lit(-1).as("delta")))
-    val wRun = Window.partitionBy(col("o_orderstatus")).orderBy(col("p"), col("delta"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("o_orderstatus"))
-    pts
-      .withColumn("open_now", sum(col("delta")).over(wRun))
-      .withColumn("mx", max(col("open_now")).over(wAll))
-      .groupBy(col("o_orderstatus"))
+    val staged = GroupedPrefix.stage(pts,
+      Seq(col("o_orderstatus"), col("p"), col("delta")))
+    val run = GroupedPrefix.withOffsets(staged, Seq("o_orderstatus"),
+      Seq(sum(col("delta")).as("__d"))) { (slices, wPrev) =>
+      slices.select(col("o_orderstatus"), col(GroupedPrefix.PID),
+        coalesce(sum(col("__d")).over(wPrev), lit(0L)).as("__off"))
+    }
+      .withColumn("open_now", col("__off") + sum(col("delta")).over(
+        GroupedPrefix.localWindow(Seq("o_orderstatus"), Seq(col("p"), col("delta")))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    run.groupBy(col("o_orderstatus"))
       .agg(
         max(col("open_now")).as("max_open"),
-        min(when(col("open_now") === col("mx"), col("p"))).as("first_peak"))
+        // argmax: max open_now, earliest p among its peaks — the struct
+        // MIN of (−open_now, p) picks the max count, then the min p
+        min(struct((lit(0L) - col("open_now")).as("no"), col("p").as("p")))
+          .getField("p").as("first_peak"))
       .orderBy(col("o_orderstatus"))
   }
 
   // q66 — ClickHouse intervalLengthSum: total length of the UNION of the
   // group's intervals (overlaps counted once). Islands technique: order
   // by start, carry the running max end over strictly-preceding rows; a
-  // row whose start exceeds that max opens a new island; island id =
-  // running count of opens; then one agg per island and one per group.
-  // Two window passes + two partial-aggregable groupBys — no self-join,
-  // no quadratic overlap check.
+  // row whose start exceeds that max opens a new island. The running
+  // max is GroupedPrefix two-pass (per-slice max ends → broadcast prefix
+  // maxes + slice-local windows), and the readout TELESCOPES: each row
+  // contributes max(0, e − max(s, prev_max)) days, which sums to
+  // exactly Σ(island_end − island_start), and n_islands = Σ opens — so
+  // no global island ids, no second ordered pass, one aggregation. No
+  // self-join, no quadratic overlap check, no enum-keyed fact window.
   val q66 = Q(
     "q66_interval_union_len",
     Some("""
@@ -118,25 +135,35 @@ object Stats {
     """)
   ) { t =>
     import org.apache.spark.sql.expressions.Window
+    import graft.plans.GroupedPrefix
     val iv = t.orders.select(col("o_orderstatus"), col("o_orderdate").as("s"),
       closeTs.as("e"), col("o_orderkey"))
-    val wPrev = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("s"), col("e"), col("o_orderkey"))
+    val staged = GroupedPrefix.stage(iv,
+      Seq(col("o_orderstatus"), col("s"), col("e"), col("o_orderkey")))
+    val wLocPrev = GroupedPrefix.localWindow(Seq("o_orderstatus"),
+      Seq(col("s"), col("e"), col("o_orderkey")))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wRun = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("s"), col("e"), col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    iv
-      .withColumn("prev_max_e", max(col("e")).over(wPrev))
+    val marked = GroupedPrefix.withOffsets(staged, Seq("o_orderstatus"),
+      Seq(max(col("e")).as("__e"))) { (slices, wPrev) =>
+      slices.select(col("o_orderstatus"), col(GroupedPrefix.PID),
+        max(col("__e")).over(wPrev).as("__pmax"))
+    }
+      // greatest() skips nulls: local prev-max for the slice's first row
+      // is null, the group's first slice has a null broadcast max
+      .withColumn("prev_max_e",
+        greatest(max(col("e")).over(wLocPrev), col("__pmax")))
       .withColumn("opens",
         when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1).otherwise(0))
-      .withColumn("island", sum(col("opens")).over(wRun))
-      .groupBy(col("o_orderstatus"), col("island"))
-      .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"))
+      .withColumn("contrib",
+        when(col("prev_max_e").isNull || col("e") > col("prev_max_e"),
+          datediff(col("e"),
+            when(col("opens") === 1, col("s")).otherwise(col("prev_max_e"))))
+          .otherwise(0))
+    marked
       .groupBy(col("o_orderstatus"))
       .agg(
-        count(lit(1)).as("n_islands"),
-        sum(datediff(col("is_e"), col("is_s"))).cast(LongType).as("covered_days"))
+        sum(col("opens")).cast(LongType).as("n_islands"),
+        sum(col("contrib")).cast(LongType).as("covered_days"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -244,9 +271,13 @@ object Stats {
 
   // q70 — ClickHouse deltaSum(x): sum of the positive steps of a series.
   // CH's aggregate is insertion-order-dependent; this is the
-  // deterministic re-expression — an explicit (date, key) ordering via
-  // lag(), with the per-step deltas summed exactly in DECIMAL so the
-  // result is engine-portable.
+  // deterministic re-expression — an explicit (date, key) ordering with
+  // the per-step deltas summed exactly in DECIMAL so the result is
+  // engine-portable. The lag is GroupedPrefix two-pass: slice-local
+  // lag() plus a boundary patch — each slice's LAST (date, key, value)
+  // is a per-slice struct-max partial, prefix-maxed over earlier slices
+  // and broadcast back, so the first row of every slice sees its true
+  // predecessor without the whole group ever sharing one partition.
   val q70 = Q(
     "q70_delta_sum",
     Some("""
@@ -265,10 +296,23 @@ object Stats {
       ORDER BY o_orderpriority
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderdate"), col("o_orderkey"))
-    t.orders
-      .withColumn("step", col("o_totalprice") - lag(col("o_totalprice"), 1).over(w))
+    import graft.plans.GroupedPrefix
+    val staged = GroupedPrefix.stage(
+      t.orders.select(col("o_orderpriority"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice")),
+      Seq(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey")))
+    val wLoc = GroupedPrefix.localWindow(Seq("o_orderpriority"),
+      Seq(col("o_orderdate"), col("o_orderkey")))
+    GroupedPrefix.withOffsets(staged, Seq("o_orderpriority"),
+      Seq(max(struct(col("o_orderdate").as("d"), col("o_orderkey").as("k"),
+        col("o_totalprice").as("v"))).as("__last"))) { (slices, wPrev) =>
+      slices.select(col("o_orderpriority"), col(GroupedPrefix.PID),
+        max(col("__last")).over(wPrev).getField("v").as("__prev"))
+    }
+      // first row of a slice: its predecessor is the previous slice's
+      // last value; first row of the group: both null → step null
+      .withColumn("step", col("o_totalprice") -
+        coalesce(lag(col("o_totalprice"), 1).over(wLoc), col("__prev")))
       .groupBy(col("o_orderpriority"))
       .agg(
         sum(when(col("step") > 0, col("step")).otherwise(lit(0))
@@ -280,11 +324,13 @@ object Stats {
   // q71 — ClickHouse rankCorr(x, y): Spearman rank correlation = Pearson
   // corr of the two rank sequences. RANK() (not row_number) makes ties
   // deterministic without a tiebreak column; the corr partials then
-  // combine map-side. Bound: Spark's rank() is IntegerType, so a single
-  // group past ~2.1B rows wraps where DuckDB's BIGINT RANK doesn't —
-  // the same width bound q73 eliminates with count-built midranks;
-  // here corr() absorbs ranks as doubles immediately, so the fix if a
-  // deployment ever needs it is the q73 count-based construction.
+  // combine map-side. Each rank pass is GroupedPrefix.withRank: ranges
+  // stage on (group, value) WITHOUT a tie-break so tied values share a
+  // slice, the global rank = BIGINT count of earlier slices' rows +
+  // slice-local rank — which also removes Spark rank()'s 32-bit wrap
+  // past ~2.1B rows per group (the offset is LongType end-to-end).
+  // Two staged passes because the two orderings are genuinely
+  // different sorts; each is numPartitions-parallel.
   val q71 = Q(
     "q71_rank_corr",
     Some("""
@@ -300,12 +346,14 @@ object Stats {
       ORDER BY l_returnflag
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
-    val wq = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-    val wp = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    t.lineitem
-      .select(col("l_returnflag"),
-        rank().over(wq).as("rx"), rank().over(wp).as("ry"))
+    import graft.plans.GroupedPrefix
+    val base = t.lineitem.select(col("l_returnflag"), col("l_quantity"),
+      col("l_extendedprice"))
+    val rx = GroupedPrefix.withRank(base, Seq("l_returnflag"),
+      col("l_quantity"), "rx")
+    val rxy = GroupedPrefix.withRank(rx, Seq("l_returnflag"),
+      col("l_extendedprice"), "ry")
+    rxy
       .groupBy(col("l_returnflag"))
       .agg(round(corr(col("rx"), col("ry")), 4).as("spearman"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
@@ -423,16 +471,29 @@ object Stats {
     """)
   ) { t =>
     import org.apache.spark.sql.expressions.Window
+    import graft.plans.GroupedPrefix
     val pool = t.orders
       .filter(col("o_orderstatus").isin("O", "F"))
       .select(col("o_orderpriority"), col("o_totalprice").as("v"),
         when(col("o_orderstatus") === "O", 1).otherwise(0).as("s"))
+    // stage on (group, v) with NO tie-break: the range partitioner sends
+    // equal keys to one slice, so within-slice RANGE counts and tie
+    // counts are globally correct once offset by earlier slices' rows
+    val staged = GroupedPrefix.stage(pool,
+      Seq(col("o_orderpriority"), col("v")))
     val cntLE = count(lit(1)).over(
-      Window.partitionBy(col("o_orderpriority")).orderBy(col("v"))
+      GroupedPrefix.localWindow(Seq("o_orderpriority"), Seq(col("v")))
         .rangeBetween(Window.unboundedPreceding, Window.currentRow))
-    val ties = count(lit(1)).over(
-      Window.partitionBy(col("o_orderpriority"), col("v")))
-    val ranked = pool.withColumn("midrank", cntLE - (ties - 1) / 2.0)
+    // the tie window adds v to the local partition key — same clustering
+    // (hash on (group, pid) satisfies it), so no extra exchange
+    val ties = count(lit(1)).over(Window.partitionBy(
+      col("o_orderpriority"), col(GroupedPrefix.PID), col("v")))
+    val ranked = GroupedPrefix.withOffsets(staged, Seq("o_orderpriority"),
+      Seq(count(lit(1)).as("__c"))) { (slices, wPrev) =>
+      slices.select(col("o_orderpriority"), col(GroupedPrefix.PID),
+        coalesce(sum(col("__c")).over(wPrev), lit(0L)).as("__off"))
+    }
+      .withColumn("midrank", col("__off") + cntLE - (ties - 1) / 2.0)
     val r1 = sum(when(col("s") === 1, col("midrank")).otherwise(0.0))
     val n1 = sum(col("s"))
     val n0 = sum(lit(1) - col("s"))
@@ -753,21 +814,28 @@ object Stats {
     """)
   ) { t =>
     import org.apache.spark.sql.expressions.Window
+    import graft.plans.GroupedPrefix
     val scored = t.events.select(
       col("value").cast(DecimalType(18, 2)).multiply(lit(100))
         .cast(LongType).as("s"),
       when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
-    val wCum = Window.orderBy(col("s"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTie = Window.partitionBy(col("s"))
-    // NOTE: the global ORDER BY s window is single-partition — acceptable
-    // here because AUC is a corpus-global statistic; the scale-safe form
-    // ranks via the per-distinct-value histogram (q86's shape: group by
-    // s first — |distinct scores| rows — then cumulative counts), which
-    // this plan collapses to as soon as scores are bucketed.
-    val ranked = scored
+    // GroupedPrefix with an EMPTY group: range-partition on s alone
+    // (ties colocate), local RANGE counts per slice, offsets from the
+    // ≤ numPartitions slice counts — the global rank without the
+    // single-partition ORDER BY s window
+    val staged = GroupedPrefix.stage(scored, Seq(col("s")))
+    val cntLE = count(lit(1)).over(
+      GroupedPrefix.localWindow(Nil, Seq(col("s")))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    val ties = count(lit(1)).over(
+      Window.partitionBy(col(GroupedPrefix.PID), col("s")))
+    val ranked = GroupedPrefix.withOffsets(staged, Nil,
+      Seq(count(lit(1)).as("__c"))) { (slices, wPrev) =>
+      slices.select(col(GroupedPrefix.PID),
+        coalesce(sum(col("__c")).over(wPrev), lit(0L)).as("__off"))
+    }
       .withColumn("r2",
-        lit(2) * count(lit(1)).over(wCum) - count(lit(1)).over(wTie) + 1)
+        lit(2) * (col("__off") + cntLE) - ties + 1)
     ranked
       .agg(
         sum(when(col("label") === 1, col("r2")).otherwise(0L))
@@ -812,13 +880,14 @@ object Stats {
   // q124_gini — the Gini coefficient / Lorenz readout per group
   // (revenue-concentration inequality: "do 20% of orders carry 80% of
   // revenue?"). Exact via the rank identity G = (2·Σ i·xᵢ)/(n·Σx) −
-  // (n+1)/n over values sorted ascending: ranks come from one keyed
-  // window (row_number — ties get distinct ranks, which the identity
-  // tolerates because equal values commute in Σ i·xᵢ... they do NOT in
-  // general, so the sort carries the o_orderkey tie-break and BOTH
-  // engines use the identical total order), every numerator an exact
-  // BIGINT of cents, one double division rounded once. Top-decile share
-  // rides the same cumulative machinery in integer bp.
+  // (n+1)/n over values sorted ascending: ranks are GroupedPrefix
+  // row numbers (slice-local row_number + BIGINT prefix offsets — ties
+  // get distinct ranks, which the identity tolerates because equal
+  // values commute in Σ i·xᵢ... they do NOT in general, so the sort
+  // carries the o_orderkey tie-break and BOTH engines use the identical
+  // total order), every numerator an exact BIGINT of cents, one double
+  // division rounded once. Top-decile share rides the same cumulative
+  // machinery in integer bp.
   val q124 = Q(
     "q124_gini",
     Some("""
@@ -842,15 +911,25 @@ object Stats {
     """)
   ) { t =>
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("g"))
-    val v = t.orders
-      .select(col("o_orderpriority").as("g"),
+    import graft.plans.GroupedPrefix
+    val staged = GroupedPrefix.stage(
+      t.orders.select(col("o_orderpriority").as("g"),
         col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100))
           .cast(LongType).as("x"),
-        col("o_totalprice"), col("o_orderkey"))
-      .withColumn("i", row_number().over(
-        w.orderBy(col("o_totalprice"), col("o_orderkey"))))
-      .withColumn("n", count(lit(1)).over(w))
+        col("o_totalprice"), col("o_orderkey")),
+      Seq(col("g"), col("o_totalprice"), col("o_orderkey")))
+    // ranks AND group sizes from the same per-slice count partials: the
+    // exclusive prefix is the rank offset, the group-window total is n
+    val v = GroupedPrefix.withOffsets(staged, Seq("g"),
+      Seq(count(lit(1)).as("__c"))) { (slices, wPrev) =>
+      slices.select(col("g"), col(GroupedPrefix.PID),
+        coalesce(sum(col("__c")).over(wPrev), lit(0L)).as("__off"),
+        sum(col("__c")).over(wPrev.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+    }
+      .withColumn("i", col("__off") + row_number().over(
+        GroupedPrefix.localWindow(Seq("g"),
+          Seq(col("o_totalprice"), col("o_orderkey")))))
     v.groupBy(col("g"))
       .agg(
         max(col("n")).cast(LongType).as("n"),

@@ -279,6 +279,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("ordered stats ops ride GroupedPrefix: no fact window keyed by the enum alone") {
+    // the regression this pins out (round-6 verdict #1): `agg() OVER
+    // (PARTITION BY <3-5 value enum> ORDER BY …)` over a fact table —
+    // the whole relation funnels into 3-5 sorted partitions. The
+    // GroupedPrefix plan reads checkpointed range-partitioned slices
+    // (Scan ExistingRDD) and every window over the facts carries the
+    // slice id __gp_pid in its spec; the only windows without it would
+    // be enum-keyed fact windows, which must not exist.
+    Seq("q65_max_intersections", "q66_interval_union_len", "q70_delta_sum",
+        "q71_rank_corr", "q73_mann_whitney", "q86_weighted_quantile",
+        "q106_event_gaps", "q112_auc", "q124_gini").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("ExistingRDD"), s"$q:\n${plan.take(2000)}")
+      val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toList
+      assert(specs.nonEmpty, s"$q: expected slice-local windows")
+      specs.foreach { s =>
+        assert(s.contains("__gp_pid"),
+          s"$q: window not slice-scoped (enum-keyed fact window?): $s")
+      }
+    }
+  }
+
   test("q98_uniq_upto aggregates with a partial (map-side) pass") {
     val plan = planOf("q98_uniq_upto")
     // typed Aggregator partial states must combine map-side: the plan
