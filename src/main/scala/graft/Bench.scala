@@ -122,10 +122,33 @@ object Bench {
     val t = Tables(spark, sfDir)
     Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
       t.lineitem, t.events, t.documents, t.embeddings).foreach(_.count())
+    // Diagnostics riding every timing (full dump only, not the contract
+    // line): JVM GC millis spent during the run, and the cached-block
+    // footprint after it (storage memory + disk across all persisted
+    // RDDs) — the round-6 regression cluster (q49 11x, threshold_sweep
+    // 5.2x, untouched code) pointed at storage-memory pressure evicting
+    // memoized frames and forcing recompute; these columns answer that
+    // in one bench run instead of a Spark-UI session.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def storageMB(): (Long, Long) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum >> 20, infos.map(_.diskSize).sum >> 20)
+    }
+    val diag = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]]
     def timed(name: String)(run: => Unit): Timing = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val err = try { run; false } catch { case _: Throwable => true }
-      Timing(name, (System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (mem, disk) = storageMB()
+      diag.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty)
+        .append(((gcMillis() - gc0), mem, disk))
+      Timing(name, sec, err)
     }
     // Itemized per-index build timings (dependency order — each memoized
     // structure is counted once, under its own name).
@@ -171,7 +194,12 @@ object Bench {
         .sortBy { case (_, rs) => -median(rs.map(_.sec)) }
         .map { case (n, rs) =>
           val runs = rs.map(r => if (r.err) "\"err\"" else r.sec.toString)
-          s""""$n":[${runs.mkString(",")}]"""
+          val d = diag.getOrElse(n, Seq.empty)
+          val gc = d.map(_._1).mkString(",")
+          val mem = d.map(_._2).mkString(",")
+          val disk = d.map(_._3).mkString(",")
+          s""""$n":{"sec":[${runs.mkString(",")}],"gc_ms":[$gc],""" +
+            s""""cache_mem_mb":[$mem],"cache_disk_mb":[$disk]}"""
         }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(

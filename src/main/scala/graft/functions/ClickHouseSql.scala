@@ -73,6 +73,32 @@ object ClickHouseSql {
   def engineOf(table: String): Option[Engine] =
     Option(engines.get(norm(table)))
 
+  /** One registered materialized view: its storage table, the SOURCE
+    * table whose inserts trigger it (ClickHouse: the leftmost FROM
+    * table — joins never re-trigger on their right sides), and the
+    * SELECT text to replay over each inserted block.
+    */
+  final case class MvDef(view: String, source: String, select: String)
+
+  private val mvDefs =
+    new java.util.concurrent.ConcurrentHashMap[String, MvDef]
+
+  /** Declare an insert-triggered materialized view (CREATE MATERIALIZED
+    * VIEW registers automatically; this is the programmatic form).
+    */
+  def registerMaterializedView(view: String, source: String,
+    select: String): Unit =
+    mvDefs.put(norm(view), MvDef(norm(view), norm(source), select))
+
+  def dropMaterializedView(view: String): Unit = mvDefs.remove(norm(view))
+
+  /** Views whose SELECT reads `table` as its trigger source. */
+  def materializedViewsOn(table: String): Seq[MvDef] = {
+    import scala.jdk.CollectionConverters._
+    mvDefs.values.asScala.toSeq.filter(_.source == norm(table))
+      .sortBy(_.view)
+  }
+
   private def norm(table: String): String = {
     val bare = table.stripPrefix("`").stripSuffix("`")
     bare.substring(bare.lastIndexOf('.') + 1).toLowerCase(java.util.Locale.ROOT)
@@ -87,6 +113,7 @@ object ClickHouseSql {
       .orElse(renameOrExchange(spark, sqlText))
       .orElse(dictionaryDdl(spark, sqlText))
       .orElse(intoOutfile(spark, sqlText))
+      .orElse(insertMvRefresh(spark, sqlText))
       .getOrElse(
         spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq)))
 
@@ -948,10 +975,13 @@ object ClickHouseSql {
     * ORDER BY (…) [POPULATE] AS SELECT …` — the batch analog: the
     * SELECT materializes as a parquet CTAS (CH only backfills existing
     * data with POPULATE, so without it the view is created EMPTY with
-    * the query's schema), and the engine + sort key register so FINAL
-    * reads of the view merge. CH's insert-triggered incremental refresh
-    * is the streaming module's job (stream_materialized*); re-running
-    * the CTAS (DROP + CREATE) is the batch refresh.
+    * the query's schema), the engine + sort key register so FINAL
+    * reads of the view merge, and the (view, source, select) triple
+    * registers as an INSERT trigger: [[sql]]'s INSERT path replays each
+    * inserted block through the SELECT ([[insertMvRefresh]]) — CH's
+    * actual MV contract. The streaming analog (stream_materialized*)
+    * covers continuous sources; re-running the CTAS (DROP + CREATE)
+    * remains the full-rebuild path.
     */
   private def rewriteMaterializedView(sqlText: String,
     columnsOf: String => Seq[String]): String = {
@@ -996,10 +1026,119 @@ object ClickHouseSql {
             "columns explicitly — the view has no declared column types"))
     }
     val select = sqlText.substring(toks(asIdx2 + 1).start)
+    // insert-trigger registration: CH MVs re-run their SELECT over each
+    // block inserted into the LEFTMOST FROM table (joined right sides
+    // never trigger) — record (view, source, select) so [[sql]]'s
+    // INSERT path can replay it
+    val st = lex(select)
+    st.zipWithIndex.find { case (t, i) =>
+      t.lower == "from" && st.lift(i + 1).exists(isIdent)
+    }.foreach { case (_, i) =>
+      registerMaterializedView(view, st(i + 1).text, select)
+    }
     val body =
       if (populate) select
       else s"SELECT * FROM ($select) WHERE 1 = 0"
     rewrite(s"CREATE TABLE $view USING parquet AS $body", columnsOf)
+  }
+
+  /** CH's materialized-view insert trigger, batch analog: an INSERT
+    * INTO a table with registered MVs evaluates its payload ONCE (eager
+    * checkpoint — the table and every view must see identical rows),
+    * appends it to the target, then plays the block through each MV's
+    * SELECT with the source relation rebound to the block and appends
+    * the result to the view's storage — aggregating engines thus
+    * accumulate partial states exactly like CH, merged at FINAL read.
+    * Cascades: a view reading a view re-triggers (depth-capped).
+    * Inserts into tables with no registered MV return None and take the
+    * untouched generic path.
+    */
+  private def insertMvRefresh(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    if (toks.length < 4 || toks.head.lower != "insert" ||
+      toks(1).lower != "into") return None
+    var i = 2
+    if (toks(i).lower == "table") i += 1
+    if (!isIdent(toks(i))) return None
+    val table = toks(i).text
+    if (materializedViewsOn(table).isEmpty) return None
+    i += 1
+    var listed = Seq.empty[String]
+    if (toks.lift(i).exists(_.text == "(")) {
+      val close = toks.indexWhere(t => t.text == ")" &&
+        t.depth == toks(i).depth, i)
+      listed = toks.slice(i + 1, close).filter(isIdent).map(_.text)
+      i = close + 1
+    }
+    require(toks.lift(i).isDefined, s"INSERT INTO $table: missing payload")
+    val payload = sqlText.substring(toks(i).start).trim.stripSuffix(";")
+    val blockSql =
+      if (toks(i).lower == "values") s"SELECT * FROM $payload" else payload
+    val raw = spark.sql(rewrite(blockSql, t => spark.table(t).columns.toSeq))
+    val schema = spark.table(table).schema
+    import org.apache.spark.sql.functions.{col, lit}
+    val aligned =
+      if (listed.isEmpty) {
+        require(raw.columns.length == schema.length,
+          s"INSERT INTO $table: ${raw.columns.length} values for " +
+            s"${schema.length} columns")
+        raw.toDF(schema.map(_.name).toSeq: _*)
+      } else {
+        val named = raw.toDF(listed: _*)
+        named.select(schema.map { f =>
+          listed.find(_.equalsIgnoreCase(f.name)) match {
+            case Some(n) => col(n).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }.toSeq: _*)
+      }
+    playInsert(spark, table, aligned.localCheckpoint(true), depth = 0)
+    Some(spark.table(table).limit(0))
+  }
+
+  /** Append `block` to `table` and cascade it through every MV sourced
+    * on the table (block rows → MV SELECT → view storage, recursively —
+    * CH chains MVs the same way). `block` must be materialized (eager
+    * checkpoint) before the call.
+    */
+  private def playInsert(spark: SparkSession, table: String,
+    block: DataFrame, depth: Int): Unit = {
+    require(depth < 8, s"materialized-view cascade too deep at $table " +
+      "(cycle between views?)")
+    block.write.mode("append").insertInto(table)
+    materializedViewsOn(table).foreach { mv =>
+      if (!spark.catalog.tableExists(mv.view)) dropMaterializedView(mv.view)
+      else {
+        val tmp = s"__mv_block_${mv.view}"
+        block.createOrReplaceTempView(tmp)
+        val bound = rebindRelation(mv.select, mv.source, tmp)
+        val out = spark
+          .sql(rewrite(bound, t => spark.table(t).columns.toSeq))
+          .localCheckpoint(true)
+        playInsert(spark, mv.view, out, depth + 1)
+      }
+    }
+  }
+
+  /** Token-level relation rebind: identifiers naming `src` in relation
+    * position (directly after FROM or JOIN) become `to`; column
+    * references and strings are untouched.
+    */
+  private def rebindRelation(select: String, src: String, to: String): String = {
+    val ts = lex(select)
+    val sb = new StringBuilder
+    var last = 0
+    ts.zipWithIndex.foreach { case (t, i) =>
+      val rel = isIdent(t) && norm(t.text) == norm(src) &&
+        ts.lift(i - 1).exists(p => p.lower == "from" || p.lower == "join")
+      if (rel) {
+        sb.append(select.substring(last, t.start)).append(to)
+        last = t.end
+      }
+    }
+    sb.append(select.substring(last))
+    sb.toString
   }
 
   /** Names the dialect registers with params-first flattened signatures

@@ -163,4 +163,73 @@ class MigrationE2ESpec extends SparkSpec {
     spark.sql("DROP TABLE mig_events")
     spark.sql("DROP TABLE mig_kinds")
   }
+
+  test("materialized views refresh on INSERT — CH's actual MV contract") {
+    for (t <- Seq("mv_src", "mv_rev", "mv_rev_daily")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t))
+    }
+    ch("""
+      CREATE TABLE mv_src (
+        user_id UInt64, kind String, amount Decimal(10, 2), day Date
+      ) ENGINE = MergeTree ORDER BY (user_id)
+    """)
+    ch("""INSERT INTO mv_src VALUES
+      (1, 'purchase', 10.00, DATE '2024-03-01'),
+      (2, 'click',     0.00, DATE '2024-03-01')""")
+
+    // per-user revenue view over the PRE-EXISTING rows (POPULATE) —
+    // and a CHAINED view reading the first (CH cascades MV triggers)
+    ch("""
+      CREATE MATERIALIZED VIEW mv_rev
+      ENGINE = SummingMergeTree(rev) ORDER BY (user_id)
+      POPULATE
+      AS SELECT user_id, sum(amount) AS rev FROM mv_src
+         WHERE kind = 'purchase' GROUP BY user_id
+    """)
+    ch("""
+      CREATE MATERIALIZED VIEW mv_rev_daily
+      ENGINE = SummingMergeTree(n) ORDER BY (bucket)
+      POPULATE
+      AS SELECT 'all' AS bucket, count() AS n FROM mv_rev
+    """)
+    assert(ch("SELECT user_id, rev FROM mv_rev FINAL").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDecimal(1)))).toSeq ===
+      Seq((1L, BigDecimal("10.00"))))
+
+    // the MV contract: an INSERT into the SOURCE refreshes the views —
+    // a migrated dashboard reading mv_rev must see the new purchase
+    // without anyone re-running the CTAS
+    ch("""INSERT INTO mv_src VALUES
+      (1, 'purchase',  2.50, DATE '2024-03-02'),
+      (3, 'purchase', 99.99, DATE '2024-03-02'),
+      (3, 'view',      0.00, DATE '2024-03-02')""")
+    val fresh = ch("SELECT user_id, rev FROM mv_rev FINAL ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDecimal(1)))).toSeq
+    assert(fresh === Seq((1L, BigDecimal("12.50")), (3L, BigDecimal("99.99"))))
+    // raw storage holds the per-block partial states (CH semantics:
+    // merge happens at FINAL read / background merge, not at insert)
+    assert(spark.table("mv_rev").count() === 3)
+    // the chained view re-triggered off mv_rev's block
+    assert(ch("SELECT bucket, n FROM mv_rev_daily FINAL").head().getLong(1) === 3L)
+
+    // a column-listed insert fills unlisted columns with NULL and still
+    // triggers; non-matching rows contribute nothing
+    ch("INSERT INTO mv_src (user_id, kind, amount) VALUES (1, 'click', 0.00)")
+    assert(ch("SELECT rev FROM mv_rev FINAL WHERE user_id = 1")
+      .head().getDecimal(0).toString === "12.50")
+
+    // inserts into unrelated tables take the generic path untouched
+    spark.sql("DROP TABLE IF EXISTS mv_other")
+    spark.sql("CREATE TABLE mv_other (x BIGINT) USING parquet")
+    ch("INSERT INTO mv_other VALUES (1)")
+    assert(spark.table("mv_other").count() === 1)
+
+    for (t <- Seq("mv_src", "mv_rev", "mv_rev_daily", "mv_other"))
+      spark.sql(s"DROP TABLE $t")
+    ClickHouseSql.dropMaterializedView("mv_rev")
+    ClickHouseSql.dropMaterializedView("mv_rev_daily")
+  }
 }
