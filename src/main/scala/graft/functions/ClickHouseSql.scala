@@ -752,7 +752,11 @@ object ClickHouseSql {
     if (l.contains("sample")) out = rewriteSample(out)
     if (l.contains("qualify")) out = rewriteQualify(out)
     if (l.contains("distinct")) out = rewriteDistinctOn(out)
-    if (l.contains("limit")) { out = rewriteLimitBy(out); out = rewriteLimitOffset(out) }
+    if (l.contains("limit")) {
+      out = rewriteLimitBy(out)
+      if (l.contains("ties")) out = rewriteLimitWithTies(out)
+      out = rewriteLimitOffset(out)
+    }
     if (l.contains("prewhere")) out = rewritePrewhere(out)
     if (l.contains("columns")) out = rewriteColumnsSelector(out, columnsOf)
     if (l.contains("apply")) out = rewriteStarApply(out, columnsOf)
@@ -2168,6 +2172,51 @@ object ClickHouseSql {
           s"SELECT * EXCEPT (__ch_lb) FROM ($bodyWithRank) __ch_lbq " +
           s"WHERE $band" + orderText + sqlText.substring(byEnd)
         rewriteLimitBy(replaced)
+    }
+  }
+
+  /** `ORDER BY … LIMIT n WITH TIES` — ClickHouse returns the first n
+    * rows PLUS every row tying the n-th row's sort key. Spark has no
+    * WITH TIES; the exact equivalent is a RANK() band: rank ≤ n admits
+    * a row iff its sort-key group starts within the first n positions,
+    * which is precisely the ties rule. The block is wrapped so the rank
+    * window runs over the block's OUTPUT (the ORDER BY may reference
+    * select aliases), the ORDER BY is re-applied for result order, and
+    * the helper column is dropped.
+    */
+  private def rewriteLimitWithTies(sqlText: String): String = {
+    val ts = lex(sqlText)
+    val hit = ts.zipWithIndex.collectFirst {
+      case (t, i) if t.lower == "limit" &&
+        ts.lift(i + 1).exists(x => x.depth == t.depth &&
+          x.text.forall(Character.isDigit)) &&
+        ts.lift(i + 2).exists(x => x.depth == t.depth && x.lower == "with") &&
+        ts.lift(i + 3).exists(x => x.depth == t.depth && x.lower == "ties") =>
+        (t, i)
+    }
+    hit match {
+      case None => sqlText
+      case Some((lim, i)) =>
+        val d = lim.depth
+        val n = ts(i + 1).text
+        val selIdx = ts.lastIndexWhere(t =>
+          t.depth == d && t.lower == "select", i)
+        if (selIdx < 0)
+          throw new IllegalArgumentException(
+            "LIMIT n WITH TIES: no enclosing SELECT")
+        val ordIdx = ts.lastIndexWhere(t =>
+          t.depth == d && t.lower == "order", i)
+        if (ordIdx <= selIdx)
+          throw new IllegalArgumentException("LIMIT n WITH TIES requires " +
+            "ORDER BY — ties are defined by the sort key")
+        val orderText = sqlText.substring(ts(ordIdx).start, lim.start).trim
+        val body = sqlText.substring(ts(selIdx).start, ts(ordIdx).start).trim
+        val replaced = sqlText.substring(0, ts(selIdx).start) +
+          s"SELECT * EXCEPT (__ch_wt) FROM (SELECT *, RANK() OVER " +
+          s"($orderText) AS __ch_wt FROM ($body) __ch_wtq) __ch_wtr " +
+          s"WHERE __ch_wt <= $n $orderText" +
+          sqlText.substring(ts(i + 3).end)
+        rewriteLimitWithTies(replaced)
     }
   }
 

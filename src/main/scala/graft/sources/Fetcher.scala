@@ -129,6 +129,143 @@ object Fetcher {
     downloads: Int = 1) extends Result
   final case class GaveUp(stage: String, detail: String) extends Result
 
+  /** Two-step signed-URL sources (wiz.sh:47-120 `download_wiz_report` →
+    * wiz.sh:123 `download_wiz_report_from_url`; mend.sh:250
+    * `download_mend_report`): authenticate, exchange the report id for a
+    * SIGNED download URL, then download from that URL. Distinct from
+    * [[Transport]] because the failure surface is different: the signed
+    * URL (and the bearer token behind it) can EXPIRE between the
+    * exchange and a long download, and the recovery is not "retry the
+    * same request" but the re-auth → fresh-URL → resume choreography
+    * [[fetchViaSignedUrl]] runs.
+    */
+  trait UrlTransport {
+    /** Obtain/refresh the bearer token (wiz.sh:7 `authenticate_wiz`,
+      * mend.sh:7 `authenticate_mend` — login → refreshToken → JWT). */
+    def authenticate(): Either[String, Unit]
+    /** Exchange the report id for a signed download URL (wiz's GraphQL
+      * `lastRun.url`, mend's `reports/download/<uuid>` redirect). An
+      * empty URL is an error (wiz.sh:104-110: unknown report, no
+      * completed run, or an already-expired report URL). */
+    def fetchUrl(): Either[String, String]
+    /** Download the document behind a signed URL. */
+    def download(url: String): Either[String, String]
+  }
+
+  final case class UrlFetched(document: String, urlFetches: Int,
+    reauths: Int, downloads: Int) extends Result
+
+  /** Expired-credential classifier for signed-URL downloads: HTTP 401,
+    * an explicit "expired" marker (wiz.sh:107 names "Report URL has
+    * expired"), or a 403 with a signature complaint (how object stores
+    * report dead presigned URLs). These re-enter the re-auth
+    * choreography instead of burning download retries on a credential
+    * that cannot heal by waiting (mend JWTs simply time out —
+    * mend.sh:193's re-login exists for exactly this).
+    */
+  val signedUrlExpired: String => Boolean = err => {
+    val l = err.toLowerCase(java.util.Locale.ROOT)
+    l.contains("401") || l.contains("expired") ||
+      (l.contains("403") && l.contains("signature"))
+  }
+
+  /** Run the auth → signed-URL → download state machine.
+    *
+    * Semantics replayed from the reference:
+    *   - auth failure is FATAL (wiz.sh:40, mend.sh exits on login
+    *     failure) — bad credentials cannot improve by retrying;
+    *   - URL exchange retries under `policy.maxRequestAttempts` with
+    *     backoff; `retryable`=false errors (GraphQL errors, unknown
+    *     report) abort immediately;
+    *   - a download error classified `expired` consumes NO download
+    *     budget: the credential died, not the transfer — re-auth, fetch
+    *     a FRESH signed URL, and retry, at most `maxUrlRefreshes` times
+    *     (a URL that expires every time means the clock skew or report
+    *     retention is broken — give up loudly);
+    *   - other download errors follow the [[fetch]] rules (fatal unless
+    *     `retryable`; bounded by `policy.maxDownloadAttempts`;
+    *     `validate` failures retry as download failures).
+    */
+  def fetchViaSignedUrl(transport: UrlTransport, policy: Policy = Policy(),
+    sleep: Long => Unit = Thread.sleep,
+    expired: String => Boolean = signedUrlExpired,
+    retryable: String => Boolean = _ => true,
+    validate: String => Either[String, Unit] = _ => Right(()),
+    maxUrlRefreshes: Int = 2): Result = {
+    def backoff(i: Int): Long =
+      policy.backoffMs(math.min(i, policy.backoffMs.size - 1))
+
+    transport.authenticate() match {
+      case Left(err) => return GaveUp("auth", s"fatal: $err")
+      case Right(()) => ()
+    }
+    var urlFetches = 0
+    def freshUrl(): Either[Result, String] = {
+      var attempt = 0
+      var out: Option[Either[Result, String]] = None
+      while (out.isEmpty) {
+        attempt += 1
+        urlFetches += 1
+        transport.fetchUrl() match {
+          case Right(u) => out = Some(Right(u))
+          case Left(err) =>
+            if (!retryable(err)) out = Some(Left(GaveUp("url", s"fatal: $err")))
+            else if (attempt >= policy.maxRequestAttempts)
+              out = Some(Left(GaveUp("url", s"$err (after $attempt attempts)")))
+            else sleep(backoff(attempt - 1))
+        }
+      }
+      out.get
+    }
+    freshUrl() match {
+      case Left(gaveUp) => gaveUp
+      case Right(url0) =>
+        var url = url0
+        var reauths = 0
+        var downloads = 0
+        var result: Option[Result] = None
+        while (result.isEmpty) {
+          downloads += 1
+          transport.download(url) match {
+            case Right(doc) => validate(doc) match {
+              case Right(()) =>
+                result = Some(UrlFetched(doc, urlFetches, reauths, downloads))
+              case Left(verr) =>
+                if (downloads >= policy.maxDownloadAttempts)
+                  result = Some(GaveUp("download",
+                    s"$verr (after $downloads attempts)"))
+                else sleep(backoff(downloads - 1))
+            }
+            case Left(err) if expired(err) =>
+              if (reauths >= maxUrlRefreshes)
+                result = Some(GaveUp("download",
+                  s"signed URL expired after $reauths refreshes: $err"))
+              else {
+                downloads -= 1 // the credential failed, not the transfer
+                transport.authenticate() match {
+                  case Left(aerr) =>
+                    result = Some(GaveUp("auth", s"fatal on re-auth: $aerr"))
+                  case Right(()) =>
+                    reauths += 1
+                    freshUrl() match {
+                      case Left(gaveUp) => result = Some(gaveUp)
+                      case Right(u) => url = u
+                    }
+                }
+              }
+            case Left(err) =>
+              if (!retryable(err))
+                result = Some(GaveUp("download", s"fatal: $err"))
+              else if (downloads >= policy.maxDownloadAttempts)
+                result = Some(GaveUp("download",
+                  s"$err (after $downloads attempts)"))
+              else sleep(backoff(downloads - 1))
+          }
+        }
+        result.get
+    }
+  }
+
   /** Run the request → poll → download state machine under `policy`.
     *
     * `retryable` classifies transport errors: a fatal error (false) gives

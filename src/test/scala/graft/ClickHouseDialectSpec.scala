@@ -627,6 +627,36 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(multi.length.toLong === detail + 1)
   }
 
+  test("LIMIT n WITH TIES keeps every row tying the n-th sort key") {
+    // orders share o_orderdate values: the cut at n must extend through
+    // the last date's full tie group (CH semantics), then stop
+    val byDate = sf0001.orders.groupBy(col("o_orderdate")).count()
+      .orderBy(col("o_orderdate")).collect()
+    val n = byDate.head.getLong(1) + 1 // lands mid-way into the 2nd date
+    val expected = byDate.head.getLong(1) + byDate(1).getLong(1)
+    val rows = ClickHouseSql.sql(spark, s"""
+      SELECT o_orderkey, o_orderdate FROM orders_v
+      ORDER BY o_orderdate LIMIT $n WITH TIES""").collect()
+    assert(rows.length.toLong === expected)
+    assert(rows.map(_.get(1)).distinct.length === 2)
+    // an exact group boundary adds nothing
+    val exact = ClickHouseSql.sql(spark, s"""
+      SELECT o_orderkey, o_orderdate FROM orders_v
+      ORDER BY o_orderdate LIMIT ${byDate.head.getLong(1)} WITH TIES""").collect()
+    assert(exact.length.toLong === byDate.head.getLong(1))
+    // ORDER BY may reference a select alias; DESC ties work the same
+    val agg = ClickHouseSql.sql(spark, """
+      SELECT o_orderstatus, COUNT(*) AS n FROM orders_v
+      GROUP BY o_orderstatus ORDER BY n DESC LIMIT 1 WITH TIES""").collect()
+    assert(agg.map(_.getLong(1)).distinct.length === 1)
+    // without ORDER BY the clause is meaningless — loud error, like CH
+    val err = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark,
+        "SELECT o_orderkey FROM orders_v LIMIT 3 WITH TIES")
+    }
+    assert(err.getMessage.contains("ORDER BY"))
+  }
+
   test("dictGet resolves registered dictionary attributes per row") {
     import spark.implicits._
     val dim = Seq((1L, "us", 330L), (2L, "de", 83L), (3L, "jp", 125L))

@@ -214,4 +214,99 @@ class FetcherSpec extends AnyFunSuite {
     assert(r === Fetched("{\"ok\": true}", 1, 1, downloads = 2))
     assert(slept.toSeq === Seq(1000L, 5L))
   }
+
+  /** Scripted two-step signed-URL transport (wiz.sh:47-170,
+    * mend.sh:250): auth results, URL exchanges, and per-URL download
+    * outcomes are all injectable.
+    */
+  private class UrlStub(
+    authResults: Iterator[Either[String, Unit]],
+    urlResults: Iterator[Either[String, String]],
+    downloadFor: String => Either[String, String]) extends UrlTransport {
+    var auths = 0
+    var urlCalls = 0
+    var downloadCalls = 0
+    override def authenticate(): Either[String, Unit] = { auths += 1; authResults.next() }
+    override def fetchUrl(): Either[String, String] = { urlCalls += 1; urlResults.next() }
+    override def download(url: String): Either[String, String] = {
+      downloadCalls += 1; downloadFor(url)
+    }
+  }
+
+  test("signed-URL happy path: auth → URL exchange → download (wiz.sh:47-170)") {
+    val t = new UrlStub(Iterator(Right(())), Iterator(Right("https://s3/r1?sig=a")),
+      url => Right(s"""{"from": "$url"}"""))
+    val r = Fetcher.fetchViaSignedUrl(t, sleep = noSleep)
+    assert(r === UrlFetched("""{"from": "https://s3/r1?sig=a"}""",
+      urlFetches = 1, reauths = 0, downloads = 1))
+    assert(t.auths === 1)
+  }
+
+  test("expired signed URL mid-download: re-auth, fresh URL, resume — no download budget burned") {
+    // first URL dies with the object store's expiry complaint; the
+    // choreography must re-login (wiz.sh:7 / mend.sh:7), exchange a
+    // FRESH URL (wiz.sh:107 'Report URL has expired'), and succeed
+    val t = new UrlStub(
+      Iterator(Right(()), Right(())),
+      Iterator(Right("https://s3/r1?sig=old"), Right("https://s3/r1?sig=new")),
+      url => if (url.endsWith("old"))
+        Left("403 Forbidden: request signature expired")
+      else Right("{\"ok\": true}"))
+    val r = Fetcher.fetchViaSignedUrl(t,
+      Policy(maxDownloadAttempts = 1), sleep = noSleep)
+    // maxDownloadAttempts=1 proves the expiry consumed NO download budget
+    assert(r === UrlFetched("{\"ok\": true}", urlFetches = 2, reauths = 1,
+      downloads = 1))
+    assert(t.auths === 2 && t.urlCalls === 2 && t.downloadCalls === 2)
+  }
+
+  test("bad credentials are fatal at auth — first login and re-auth alike (wiz.sh:40)") {
+    val t1 = new UrlStub(Iterator(Left("invalid client secret")),
+      Iterator.empty, _ => fail("must not reach the URL exchange"))
+    assert(Fetcher.fetchViaSignedUrl(t1, sleep = noSleep) ===
+      GaveUp("auth", "fatal: invalid client secret"))
+
+    val t2 = new UrlStub(
+      Iterator(Right(()), Left("refresh token revoked")),
+      Iterator(Right("u1")),
+      _ => Left("401 Unauthorized: token expired"))
+    assert(Fetcher.fetchViaSignedUrl(t2, sleep = noSleep) ===
+      GaveUp("auth", "fatal on re-auth: refresh token revoked"))
+  }
+
+  test("a URL that expires every time gives up after maxUrlRefreshes, loudly") {
+    val t = new UrlStub(
+      Iterator.continually(Right(())),
+      Iterator.continually(Right("u")),
+      _ => Left("presigned URL expired"))
+    val r = Fetcher.fetchViaSignedUrl(t, sleep = noSleep, maxUrlRefreshes = 2)
+    assert(r === GaveUp("download",
+      "signed URL expired after 2 refreshes: presigned URL expired"))
+    assert(t.auths === 3 && t.urlCalls === 3) // initial + 2 refresh rounds
+  }
+
+  test("URL exchange retries transient errors, aborts on GraphQL errors (wiz.sh:104-119)") {
+    val (slept, sleeper) = sleeps
+    val ok = new UrlStub(Iterator(Right(())),
+      Iterator(Left("502 Bad Gateway"), Right("u2")), _ => Right("{}"))
+    val r = Fetcher.fetchViaSignedUrl(ok, Policy(backoffMs = Seq(7L)), sleeper,
+      retryable = e => !e.contains("GraphQL"))
+    assert(r === UrlFetched("{}", urlFetches = 2, reauths = 0, downloads = 1))
+    assert(slept.toSeq === Seq(7L))
+
+    val bad = new UrlStub(Iterator(Right(())),
+      Iterator(Left("Wiz GraphQL error: report not found")),
+      _ => fail("must not download"))
+    assert(Fetcher.fetchViaSignedUrl(bad, sleep = noSleep,
+      retryable = e => !e.contains("GraphQL")) ===
+      GaveUp("url", "fatal: Wiz GraphQL error: report not found"))
+  }
+
+  test("signedUrlExpired classifies 401s, explicit expiry, and 403 signature complaints") {
+    assert(Fetcher.signedUrlExpired("401 Unauthorized"))
+    assert(Fetcher.signedUrlExpired("Report URL has expired"))
+    assert(Fetcher.signedUrlExpired("403 Forbidden: SignatureDoesNotMatch"))
+    assert(!Fetcher.signedUrlExpired("403 Forbidden: rate limit exceeded"))
+    assert(!Fetcher.signedUrlExpired("503 Service Unavailable"))
+  }
 }
