@@ -113,6 +113,7 @@ object ClickHouseSql {
       .orElse(renameOrExchange(spark, sqlText))
       .orElse(dictionaryDdl(spark, sqlText))
       .orElse(intoOutfile(spark, sqlText))
+      .orElse(insertFormat(spark, sqlText))
       .orElse(insertMvRefresh(spark, sqlText))
       .getOrElse(
         spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq)))
@@ -1045,6 +1046,145 @@ object ClickHouseSql {
       else s"SELECT * FROM ($select) WHERE 1 = 0"
     rewrite(s"CREATE TABLE $view USING parquet AS $body", columnsOf)
   }
+
+  /** CH TSV field unescape (the inverse of lib/clickhouse.sh's
+    * jq-@tsv escaping that sbom_insert_escape replays): backslash
+    * escapes tab/newline/return/backslash; a backslash before any
+    * other character escapes that character. Fields are split on RAW
+    * tabs first — escaped tabs are the two-character sequence \t and
+    * never collide.
+    */
+  private def unescapeTsv(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => sb.append('\t')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** ClickHouse inline-data INSERT — `INSERT INTO [db.]t [(cols)]
+    * FORMAT <fmt>` with the rows as raw text after the format name:
+    * the EXACT statement the reference's entrypoint sends over the CH
+    * HTTP interface (entrypoint.sh:408 — `INSERT INTO db.t (name,
+    * version, license, source) FORMAT TSV` with a jq-@tsv body).
+    * Formats: TSV/TabSeparated (CH backslash escapes, `\N` = NULL),
+    * CSV, JSONEachRow (fields matched by NAME; missing fields take CH
+    * type defaults — 0 / '' / epoch — not NULL; unknown fields are a
+    * loud error), Values (the standard payload). The parsed block
+    * takes [[playInsert]], so materialized-view triggers fire exactly
+    * as for a SQL INSERT.
+    */
+  private def insertFormat(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    import org.apache.spark.sql.functions.{col, expr}
+    val toks = lex(sqlText)
+    if (toks.length < 4 || toks.head.lower != "insert" ||
+      toks(1).lower != "into") return None
+    var i = 2
+    if (toks(i).lower == "table") i += 1
+    if (!isIdent(toks(i))) return None
+    val table = toks(i).text
+    i += 1
+    var listed = Seq.empty[String]
+    if (toks.lift(i).exists(_.text == "(")) {
+      val close = toks.indexWhere(t => t.text == ")" &&
+        t.depth == toks(i).depth, i)
+      listed = toks.slice(i + 1, close).filter(isIdent).map(_.text)
+      i = close + 1
+    }
+    // the format name is word-like but may be a SQL keyword (Values),
+    // so check the shape directly rather than through isIdent
+    if (!toks.lift(i).exists(t => t.depth == 0 && t.lower == "format") ||
+      !toks.lift(i + 1).exists(t => Character.isLetter(t.text.charAt(0))))
+      return None
+    val fmt = toks(i + 1).lower
+    // CH strips exactly one newline after the format name; be tolerant
+    // of surrounding whitespace
+    val body = sqlText.substring(toks(i + 1).end)
+      .dropWhile(c => c == ' ' || c == '\t').stripPrefix("\r\n")
+      .stripPrefix("\n")
+    val schema = spark.table(table).schema
+    val target: Seq[StructField] =
+      if (listed.isEmpty) schema.fields.toSeq
+      else listed.map(n => schema.fields.find(_.name.equalsIgnoreCase(n))
+        .getOrElse(throw new IllegalArgumentException(
+          s"INSERT column $n not found on $table")))
+    def lines: Seq[String] =
+      body.split("\n").toSeq.map(_.stripSuffix("\r")).filter(_.nonEmpty)
+    def fromCells(cells: Seq[Array[String]]): DataFrame = {
+      val strDf = spark.createDataFrame(
+        java.util.Arrays.asList(cells.map(a =>
+          org.apache.spark.sql.Row(a.toIndexedSeq: _*)): _*),
+        org.apache.spark.sql.types.StructType(
+          target.map(f => StructField(f.name, StringType, nullable = true))))
+      strDf.select(target.map(f =>
+        col(q1(f.name)).cast(f.dataType).as(f.name)): _*)
+    }
+    val block: DataFrame = fmt match {
+      case "tsv" | "tabseparated" =>
+        fromCells(lines.map { ln =>
+          val fs = ln.split("\t", -1)
+          require(fs.length == target.length,
+            s"FORMAT TSV row has ${fs.length} fields, " +
+              s"expected ${target.length}: $ln")
+          fs.map(f => if (f == "\\N") null else unescapeTsv(f))
+        })
+      case "csv" =>
+        import spark.implicits._
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType(target.toArray))
+          .csv(spark.createDataset(lines))
+      case "jsoneachrow" =>
+        import spark.implicits._
+        val parsed = spark.read.json(spark.createDataset(lines))
+        val known = target.map(_.name.toLowerCase(java.util.Locale.ROOT))
+        val unknown = parsed.columns.filterNot(c =>
+          known.contains(c.toLowerCase(java.util.Locale.ROOT)))
+        require(unknown.isEmpty,
+          s"JSONEachRow fields ${unknown.mkString(", ")} not on $table")
+        parsed.select(target.map { f =>
+          val dflt = expr(s"CAST((${zeroLiteral(f.dataType.sql)}) " +
+            s"AS ${f.dataType.sql})")
+          parsed.columns.find(_.equalsIgnoreCase(f.name)) match {
+            // absent PER ROW (and explicit null) → CH type default;
+            // absence is per-row in JSONEachRow, so coalesce, not a
+            // column-presence check alone
+            case Some(c) => org.apache.spark.sql.functions
+              .coalesce(col(q1(c)).cast(f.dataType), dflt).as(f.name)
+            case None => dflt.as(f.name)
+          }
+        }: _*)
+      case "values" =>
+        spark.sql(rewrite(s"SELECT * FROM VALUES $body",
+          t => spark.table(t).columns.toSeq)).toDF(target.map(_.name): _*)
+      case other => throw new IllegalArgumentException(
+        s"INSERT … FORMAT $other is not supported " +
+          "(TSV/TabSeparated, CSV, JSONEachRow, Values)")
+    }
+    val full =
+      if (listed.isEmpty) block.toDF(schema.fieldNames.toSeq: _*)
+      else block.select(schema.map { f =>
+        if (listed.exists(_.equalsIgnoreCase(f.name))) col(q1(f.name))
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    playInsert(spark, table, full.localCheckpoint(true), depth = 0)
+    Some(spark.table(table).limit(0))
+  }
+
+  private def q1(c: String): String =
+    "`" + c.stripPrefix("`").stripSuffix("`") + "`"
 
   /** CH's materialized-view insert trigger, batch analog: an INSERT
     * INTO a table with registered MVs evaluates its payload ONCE (eager

@@ -232,4 +232,69 @@ class MigrationE2ESpec extends SparkSpec {
     ClickHouseSql.dropMaterializedView("mv_rev")
     ClickHouseSql.dropMaterializedView("mv_rev_daily")
   }
+
+  test("inline-data INSERT FORMAT replays the entrypoint's exact statement shape") {
+    for (t <- Seq("fmt_components", "fmt_stats")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t))
+    }
+    ch("""
+      CREATE TABLE fmt_components (
+        name String, version String, license String, source String,
+        scanned_at DateTime
+      ) ENGINE = MergeTree ORDER BY (name)
+    """)
+    // entrypoint.sh:408's statement: column-listed INSERT, TSV body —
+    // with the jq-@tsv escapes (tab/newline in a field) and \N null
+    ch("INSERT INTO fmt_components (name, version, license, source) FORMAT TSV\n" +
+      "lodash\t4.17.21\tMIT\tgithub\n" +
+      "weird\\tname\t1.0\t\\N\tmend\n" +
+      "multi\\nline\t2.0\tApache-2.0\twiz\n")
+    val rows = spark.table("fmt_components").orderBy("version").collect()
+    assert(rows.length === 3)
+    assert(rows(2).getString(0) === "lodash")      // 4.17.21 sorts last
+    assert(rows(0).getString(0) === "weird\tname") // escaped tab restored
+    assert(rows(0).isNullAt(2))                    // \N is NULL
+    assert(rows(1).getString(0) === "multi\nline")
+    assert(rows.forall(_.isNullAt(4)))             // unlisted column
+
+    // JSONEachRow: name-matched fields, CH type default for absent ones
+    ch("""INSERT INTO fmt_components FORMAT JSONEachRow
+      {"name": "left-pad", "version": "1.3.0", "license": "WTFPL", "source": "github"}
+      {"name": "no-license", "version": "0.1"}""")
+    val jr = spark.table("fmt_components")
+      .filter(org.apache.spark.sql.functions.col("name") === "no-license").head()
+    assert(jr.getString(2) === "") // CH default '', not NULL
+    // unknown JSON fields are a loud error, like CH's default mode
+    val err = intercept[IllegalArgumentException] {
+      ch("""INSERT INTO fmt_components FORMAT JSONEachRow
+        {"name": "x", "bogus": 1}""")
+    }
+    assert(err.getMessage.contains("bogus"))
+
+    // FORMAT TSV inserts fire materialized-view triggers like any other
+    ch("""
+      CREATE MATERIALIZED VIEW fmt_stats
+      ENGINE = SummingMergeTree(n) ORDER BY (source)
+      POPULATE
+      AS SELECT source, count() AS n FROM fmt_components GROUP BY source
+    """)
+    ch("INSERT INTO fmt_components (name, version, license, source) FORMAT TSV\n" +
+      "extra\t9.9\tMIT\tgithub\n")
+    val gh = ClickHouseSql.sql(spark,
+      "SELECT n FROM fmt_stats FINAL WHERE source = 'github'").head()
+    assert(gh.getLong(0) === 3L) // 2 from POPULATE + 1 triggered
+
+    // CSV and Values forms round-trip through the same path
+    ch("INSERT INTO fmt_components (name, version, license, source) FORMAT CSV\n" +
+      "csvpkg,1.0,BSD-3-Clause,github\n")
+    ch("INSERT INTO fmt_components (name, version, license, source) " +
+      "FORMAT Values ('valpkg', '2.0', 'ISC', 'mend')")
+    assert(spark.table("fmt_components").count() === 8)
+
+    for (t <- Seq("fmt_components", "fmt_stats")) spark.sql(s"DROP TABLE $t")
+    ClickHouseSql.dropMaterializedView("fmt_stats")
+  }
 }
