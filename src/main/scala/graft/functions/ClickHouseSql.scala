@@ -743,6 +743,8 @@ object ClickHouseSql {
     if (l.contains("with")) out = rewriteScalarWith(out)
     if (paramCallNames.exists(l.contains)) out = rewriteParamCall(out)
     if (l.contains("if")) out = rewriteIfCombinator(out)
+    if (l.contains("distinct") || l.contains("ornull") || l.contains("array"))
+      out = rewriteAggCombinators(out)
     if (l.contains("count")) out = rewriteBareCount(out)
     if (l.contains("datediff")) out = rewriteDateDiff(out)
     if (l.contains("arrayfirst")) out = rewriteArrayFirst(out)
@@ -1383,6 +1385,98 @@ object ClickHouseSql {
           }
           splices += ((toks(lastComma).start, toks(lastComma).end,
             ") FILTER (WHERE "))
+        }
+      }
+      i += 1
+    }
+    applySplices(sqlText, splices)
+  }
+
+  private val distinctCombBases = Set("sum", "avg", "count", "min", "max")
+  private val arrayCombBases = Set("sum", "avg", "count", "min", "max",
+    "grouparray")
+
+  /** The remaining ClickHouse aggregate combinators with faithful ANSI
+    * lowerings (beyond the generic `-If` above):
+    *
+    *   - `<agg>Distinct(x)` → `agg(DISTINCT x)` — including
+    *     countDistinct/sumDistinct, where the rewrite is the identity
+    *     Spark already accepts;
+    *   - `<agg>OrNull(x)` → the suffix DROPS for every base except
+    *     count: Spark aggregates already return NULL over zero
+    *     aggregated rows, which is exactly -OrNull's contract (CH needs
+    *     the combinator because ITS empty sum is 0); `countOrNull(x)` →
+    *     `nullif(count(x), 0)`;
+    *   - `<agg>Array(arr)` → per-row fold + combine, each
+    *     type-faithful where the fold is (min/max via
+    *     array_min/array_max, count via size) and an explicit DOUBLE
+    *     fold for sum/avg (a migration from CH's widened integer sums
+    *     loses exactness past 2^53 — the loud alternative is exploding
+    *     the array, which changes the query shape); `groupArrayArray`
+    *     (a.k.a. array concat across rows) → `flatten(collect_list(…))`.
+    */
+  private def rewriteAggCombinators(sqlText: String): String = {
+    val registered =
+      ClickHouseDialect.names.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val toks = lex(sqlText)
+    val splices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length - 1) {
+      val t = toks(i)
+      val lower = t.lower
+      val isCall = toks(i + 1).text == "(" && !registered(lower)
+      def closeIdx: Int = {
+        val d = toks(i + 1).depth
+        var j = i + 2
+        while (j < toks.length && !(toks(j).text == ")" && toks(j).depth == d))
+          j += 1
+        j
+      }
+      if (isCall && lower.length > 8 && lower.endsWith("distinct") &&
+        distinctCombBases(lower.dropRight(8))) {
+        splices += ((t.start, t.end, t.text.dropRight(8)))
+        splices += ((toks(i + 1).end, toks(i + 1).end, "DISTINCT "))
+      } else if (isCall && lower.length > 6 && lower.endsWith("ornull") &&
+        ifCombinatorBases(lower.dropRight(6))) {
+        val j = closeIdx
+        if (j < toks.length) {
+          if (lower.dropRight(6) == "count") {
+            splices += ((t.start, t.end, "nullif(count"))
+            splices += ((toks(j).end, toks(j).end, ", 0)"))
+          } else splices += ((t.start, t.end, t.text.dropRight(6)))
+        }
+      } else if (isCall && lower.length > 5 && lower.endsWith("array") &&
+        arrayCombBases(lower.dropRight(5))) {
+        val j = closeIdx
+        if (j < toks.length) {
+          val open = toks(i + 1)
+          val close = toks(j)
+          val arg = sqlText.substring(open.end, close.start).trim
+          lower.dropRight(5) match {
+            case "count" =>
+              splices += ((t.start, open.end, "sum(coalesce(size("))
+              splices += ((close.start, close.end, "), 0))"))
+            case "min" =>
+              splices += ((t.start, open.end, "min(array_min("))
+              splices += ((close.start, close.end, "))"))
+            case "max" =>
+              splices += ((t.start, open.end, "max(array_max("))
+              splices += ((close.start, close.end, "))"))
+            case "sum" =>
+              splices += ((t.start, open.end, "sum(aggregate("))
+              splices += ((close.start, close.end,
+                ", 0D, (__ca_a, __ca_x) -> __ca_a + __ca_x))"))
+            case "avg" =>
+              // try_divide: zero elements → NULL (CH emits nan there;
+              // NULL is the engine-idiomatic empty-average)
+              splices += ((t.start, close.end,
+                s"try_divide(sum(aggregate($arg, 0D, (__ca_a, __ca_x) -> " +
+                  s"__ca_a + __ca_x)), sum(coalesce(size($arg), 0)))"))
+            case "grouparray" =>
+              splices += ((t.start, open.end, "flatten(collect_list("))
+              splices += ((close.start, close.end, "))"))
+            case _ =>
+          }
         }
       }
       i += 1

@@ -627,6 +627,46 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(multi.length.toLong === detail + 1)
   }
 
+  test("-Distinct/-OrNull/-Array combinators lower to faithful ANSI forms") {
+    // -Distinct → agg(DISTINCT …); -OrNull drops (Spark's empty-group
+    // NULL IS the -OrNull contract) except countOrNull → nullif
+    val d = ClickHouseSql.sql(spark, """
+      SELECT sumOrNull(o_totalprice) AS s0,
+             countOrNull(o_orderkey) AS c0
+      FROM orders_v WHERE o_orderkey < 0""").head()
+    assert(d.isNullAt(0)) // no rows → NULL, CH's sumOrNull
+    assert(d.isNullAt(1)) // countOrNull: 0 → NULL
+    val d2 = ClickHouseSql.sql(spark, """
+      SELECT sumDistinct(o_custkey) AS sd,
+             avgDistinct(o_custkey) AS ad,
+             countDistinct(o_orderstatus) AS cd
+      FROM orders_v""").head()
+    val custs = sf0001.orders.select(col("o_custkey")).distinct()
+      .agg(org.apache.spark.sql.functions.sum(col("o_custkey")),
+        org.apache.spark.sql.functions.avg(col("o_custkey"))).head()
+    assert(d2.getLong(0) === custs.getLong(0))
+    assert(d2.getDouble(1) === custs.getDouble(1))
+    assert(d2.getLong(2) === sf0001.orders
+      .select(col("o_orderstatus")).distinct().count())
+
+    // -Array: per-row fold + combine over array columns
+    import spark.implicits._
+    Seq((1L, Seq(1.0, 2.0)), (1L, Seq(3.0)), (2L, Seq.empty[Double]))
+      .toDF("k", "xs").createOrReplaceTempView("arr_v")
+    val a = ClickHouseSql.sql(spark, """
+      SELECT k, sumArray(xs) AS s, countArray(xs) AS n,
+             minArray(xs) AS mn, maxArray(xs) AS mx,
+             avgArray(xs) AS av, groupArrayArray(xs) AS flat
+      FROM arr_v GROUP BY k ORDER BY k""").collect()
+    assert(a(0).getDouble(1) === 6.0)
+    assert(a(0).getLong(2) === 3L)
+    assert(a(0).getDouble(3) === 1.0 && a(0).getDouble(4) === 3.0)
+    assert(a(0).getDouble(5) === 2.0)
+    assert(a(0).getSeq[Double](6).sorted === Seq(1.0, 2.0, 3.0))
+    assert(a(1).getLong(2) === 0L) // empty arrays count 0 elements
+    spark.catalog.dropTempView("arr_v")
+  }
+
   test("LIMIT n WITH TIES keeps every row tying the n-th sort key") {
     // orders share o_orderdate values: the cut at n must extend through
     // the last date's full tie group (CH semantics), then stop
