@@ -647,5 +647,109 @@ object Series {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106, q109, q110)
+  // q128_moving_sum — ClickHouse groupArrayMovingSum(3)(x): the k=3
+  // trailing moving sum along each user's event series. The window is
+  // keyed by user_id (high-cardinality — parallelism grows with users,
+  // never an enum funnel) and ROWS-bounded, so state per partition is
+  // k values. CH returns the whole array per group; the oracle-friendly
+  // readout is the series' LAST moving sum (deterministic rn=1 pick
+  // under the (ts, event_id) total order) and its maximum, both exact
+  // BIGINT cents.
+  val q128 = Q(
+    "q128_moving_sum",
+    Some("""
+      WITH m AS (
+        SELECT user_id,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id,
+             COUNT(*) AS n,
+             CAST(MAX(mov3) AS BIGINT) AS max_mov3_cents,
+             CAST(MAX(CASE WHEN rn = 1 THEN mov3 END) AS BIGINT) AS last_mov3_cents
+      FROM m
+      GROUP BY user_id
+      ORDER BY user_id
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val cents = col("value").cast(DecimalType(18, 2)).multiply(lit(100))
+      .cast(LongType)
+    val wMov = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-2, Window.currentRow)
+    val wLast = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"), cents.as("cv"))
+      .withColumn("mov3", sum(col("cv")).over(wMov))
+      .withColumn("rn", row_number().over(wLast))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("mov3")).cast(LongType).as("max_mov3_cents"),
+        max(when(col("rn") === 1, col("mov3"))).cast(LongType)
+          .as("last_mov3_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  // q129_decay_sum — ClickHouse exponentialTimeDecayedSum, re-expressed
+  // with a half-life-per-day decay and a 30-day horizon so the whole
+  // computation is EXACT integer arithmetic: the decayed weight of an
+  // event aged k days is 2^(30−k) in scaled units (one bit shift — no
+  // libm exp() whose ulp behavior differs across engines), terms are
+  // DECIMAL(38,0) products of exact cents, and only the final
+  // /2^30 + round happens in floating point, identically on both
+  // engines. Two passes: per-type max date (broadcast back), one
+  // map-side-combinable aggregation.
+  val q129 = Q(
+    "q129_decay_sum",
+    Some("""
+      WITH v AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events),
+      mx AS (SELECT event_type, MAX(d) AS md FROM v GROUP BY event_type)
+      SELECT v.event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN mx.md - v.d <= 30
+               THEN CAST(v.cents AS DECIMAL(38,0))
+                    * (CAST(1 AS BIGINT) << (30 - (mx.md - v.d)))
+               ELSE 0 END) AS DECIMAL(38,0)) AS scaled,
+             ROUND(CAST(SUM(CASE WHEN mx.md - v.d <= 30
+               THEN CAST(v.cents AS DECIMAL(38,0))
+                    * (CAST(1 AS BIGINT) << (30 - (mx.md - v.d)))
+               ELSE 0 END) AS DOUBLE) / 1073741824.0, 4) AS decayed_cents
+      FROM v JOIN mx ON v.event_type = mx.event_type
+      GROUP BY v.event_type
+      ORDER BY v.event_type
+    """)
+  ) { t =>
+    val v = t.events.select(col("event_type"),
+      col("value").cast(DecimalType(18, 2)).multiply(lit(100))
+        .cast(LongType).as("cents"),
+      to_date(col("ts")).as("d"))
+    val mx = v.groupBy(col("event_type")).agg(max(col("d")).as("md"))
+    // shiftleft's bit count is an expression here (30 − age), so the
+    // term goes through expr(); both branches are DECIMAL(38,0)
+    val term = expr("""CASE WHEN datediff(md, d) <= 30
+      THEN CAST(cents AS DECIMAL(38,0))
+           * shiftleft(CAST(1 AS BIGINT), 30 - datediff(md, d))
+      ELSE CAST(0 AS DECIMAL(38,0)) END""")
+    v.join(broadcast(mx), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(term).cast(DecimalType(38, 0)).as("scaled"),
+        round(sum(term).cast(DoubleType) / lit(1073741824.0), 4)
+          .as("decayed_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106, q109, q110,
+    q128, q129)
 }
