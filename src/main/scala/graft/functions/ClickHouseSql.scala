@@ -440,6 +440,34 @@ object ClickHouseSql {
         case "add" | "drop" | "rename" | "modify"
           if toks.lift(4).exists(_.lower == "column") =>
           Some(alterColumn(spark, table, toks, sqlText))
+        case "drop" if toks.lift(4).exists(_.lower == "partition") =>
+          // CH's retention verb. On a table created with a plain-column
+          // PARTITION BY this is Spark's native partition drop (a
+          // metadata/file operation — no data rewrite); tables without
+          // real partitioning fall back to the materialized delete,
+          // matching CH's row-level effect.
+          val valueText = stripSemi(sqlText.substring(toks(4).end)).trim
+          require(valueText.nonEmpty,
+            s"ALTER TABLE … DROP PARTITION needs a value: $sqlText")
+          import scala.jdk.CollectionConverters._
+          val pcols = spark.catalog.listColumns(table).collectAsList()
+            .asScala.filter(_.isPartition).map(_.name).toSeq
+          require(pcols.size <= 1,
+            s"DROP PARTITION supports single-column partitioning; $table " +
+              s"has (${pcols.mkString(", ")})")
+          pcols.headOption match {
+            case Some(pc) =>
+              try spark.sql(s"ALTER TABLE $table DROP PARTITION ($pc = $valueText)")
+              catch {
+                case _: Throwable => run(table,
+                  s"SELECT * FROM $table WHERE NOT ($pc <=> $valueText)")
+              }
+              Some(spark.table(table).limit(0))
+            case None => throw new IllegalArgumentException(
+              s"DROP PARTITION: $table has no partition column — " +
+                "declare PARTITION BY <column> in CREATE TABLE, or use " +
+                "ALTER TABLE … DELETE WHERE for row-level retention")
+          }
         case other => throw new IllegalArgumentException(
           s"unsupported ALTER TABLE action: $other in $sqlText")
       }
@@ -942,9 +970,36 @@ object ClickHouseSql {
       numericTypes(c.sparkType.toUpperCase(java.util.Locale.ROOT)))
       .map(_.name)
     registerEngineFromDdl(table, engName, engArgs, sortKey, summingDefault)
+    // PARTITION BY: plain columns become REAL parquet partitioning —
+    // scans prune on them and DROP PARTITION is a metadata/file drop,
+    // exactly the role CH partitions play. Expression partitioning
+    // (toYYYYMM(d), …) stays erased: Spark USING tables partition on
+    // columns, and materializing a derived column would change the
+    // declared schema.
+    val pbIdx = toks.indexWhere(t =>
+      t.depth == 0 && t.lower == "partition", closeIdx)
+    val partCols: Seq[String] =
+      if (pbIdx < 0 || !toks.lift(pbIdx + 1).exists(_.lower == "by")) Seq.empty
+      else toks.lift(pbIdx + 2) match {
+        case Some(t) if t.text == "(" =>
+          val pc = toks.indexWhere(x => x.text == ")" && x.depth == 0, pbIdx + 2)
+          val inner = toks.slice(pbIdx + 3, pc)
+          if (inner.forall(x => isIdent(x) || x.text == ","))
+            inner.filter(isIdent).map(_.text)
+          else Seq.empty
+        case Some(t) if isIdent(t) &&
+          !toks.lift(pbIdx + 3).exists(x => x.text == "(" && x.depth == 0) =>
+          Seq(t.text)
+        case _ => Seq.empty
+      }
+    val partClause =
+      if (partCols.nonEmpty &&
+        partCols.forall(p => mapped.exists(_.name.equalsIgnoreCase(p))))
+        s" PARTITIONED BY (${partCols.mkString(", ")})"
+      else ""
     val colsSql = mapped.map(c => s"${c.name} ${c.sparkType}").mkString(", ")
     sqlText.substring(0, toks(openIdx).start) +
-      s"($colsSql) USING parquet"
+      s"($colsSql) USING parquet$partClause"
   }
 
   /** Shared DDL engine registration (CREATE TABLE and CREATE

@@ -697,6 +697,41 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(err.getMessage.contains("ORDER BY"))
   }
 
+  test("PARTITION BY column is real parquet partitioning; DROP PARTITION retires it") {
+    spark.sql("DROP TABLE IF EXISTS ch_part_t")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "ch_part_t"))
+    ClickHouseSql.sql(spark, """
+      CREATE TABLE ch_part_t (k UInt64, v String, mon String)
+      ENGINE = MergeTree PARTITION BY mon ORDER BY (k)
+    """)
+    spark.sql("""INSERT INTO ch_part_t VALUES
+      (1, 'a', '2024-01'), (2, 'b', '2024-01'), (3, 'c', '2024-02')""")
+    // the partition column must prune at scan time
+    import org.apache.spark.sql.execution.FormattedMode
+    val plan = spark.sql("SELECT k FROM ch_part_t WHERE mon = '2024-02'")
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("mon"), plan.take(1500))
+    // CH's retention verb: the month's rows go away, others are intact
+    ClickHouseSql.sql(spark, "ALTER TABLE ch_part_t DROP PARTITION '2024-01'")
+    val left = spark.table("ch_part_t").collect()
+    assert(left.length === 1 && left.head.getLong(0) === 3L)
+    // expression partitioning stays erased (schema unchanged, no throw)
+    spark.sql("DROP TABLE IF EXISTS ch_part_e")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "ch_part_e"))
+    ClickHouseSql.sql(spark, """
+      CREATE TABLE ch_part_e (k UInt64, d Date)
+      ENGINE = MergeTree PARTITION BY toYYYYMM(d) ORDER BY (k)
+    """)
+    assert(spark.table("ch_part_e").columns.toSeq === Seq("k", "d"))
+    spark.sql("DROP TABLE ch_part_t")
+    spark.sql("DROP TABLE ch_part_e")
+  }
+
   test("dictGet resolves registered dictionary attributes per row") {
     import spark.implicits._
     val dim = Seq((1L, "us", 330L), (2L, "de", 83L), (3L, "jp", 125L))
