@@ -163,6 +163,24 @@ object ClickHouseDialect {
     // trap. ClickHouse users get `anyLast`, `any_value`, `ifnull`,
     // `nullif`, and `locate` instead, all semantics-identical.
     "anyLast" -> (args => Last(one(args), ignoreNulls = true)),
+    // -State / -Merge combinators for the LINEAR aggregates, where the
+    // state IS the value (the AggregatingMergeTree batch model —
+    // q61_agg_state): producing a state = running the aggregate;
+    // merging states = re-aggregating, with COUNT states merging by
+    // SUM. Non-linear states (avgState, quantileState) are
+    // engine-opaque and unregistered — they fail loudly at analysis.
+    "sumState" -> (args => Sum(one(args))),
+    "countState" -> (args => Count(Seq(one(args)))),
+    "minState" -> (args => Min(one(args))),
+    "maxState" -> (args => Max(one(args))),
+    "anyState" -> (args => First(one(args), ignoreNulls = true)),
+    "anyLastState" -> (args => Last(one(args), ignoreNulls = true)),
+    "sumMerge" -> (args => Sum(one(args))),
+    "countMerge" -> (args => Sum(one(args))),
+    "minMerge" -> (args => Min(one(args))),
+    "maxMerge" -> (args => Max(one(args))),
+    "anyMerge" -> (args => First(one(args), ignoreNulls = true)),
+    "anyLastMerge" -> (args => Last(one(args), ignoreNulls = true)),
     // cast family
     "toDate" -> (args => Cast(one(args), org.apache.spark.sql.types.DateType)),
     "toInt64" -> (args => Cast(one(args), org.apache.spark.sql.types.LongType)),

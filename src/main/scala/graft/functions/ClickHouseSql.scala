@@ -60,6 +60,20 @@ object ClickHouseSql {
   final case class Summing(sortKey: Seq[String], measures: Seq[String])
     extends Engine
 
+  /** AggregatingMergeTree: state columns merge per sort key with the
+    * function their `AggregateFunction(f, T)` declaration names. In the
+    * batch re-expression states are VALUES for the linear aggregates
+    * (a partial sum IS a sum, a partial count IS a count — merged by
+    * SUM; min/max/any are their own merge), which is the
+    * q61_agg_state model; non-linear states (avg, quantiles) are
+    * engine-opaque in CH and rejected loudly at DDL time with the
+    * restatement to use (sum+count columns).
+    *
+    * @param merges lowercased column name → merge SQL function
+    */
+  final case class Aggregating(sortKey: Seq[String],
+    merges: Map[String, String]) extends Engine
+
   private val engines =
     new java.util.concurrent.ConcurrentHashMap[String, Engine]
 
@@ -872,6 +886,10 @@ object ClickHouseSql {
         case "enum8" | "enum16" | "enum" => "STRING"
         case "tuple" => throw new IllegalArgumentException(
           s"unsupported ClickHouse type $s0 — declare a STRUCT column explicitly")
+        case "aggregatefunction" | "simpleaggregatefunction" =>
+          // linear aggregate states store as the value type itself
+          // (validated against the linear set at CREATE TABLE time)
+          if (args.length >= 2) mapChType(args(1)) else "BIGINT"
         case _ => s // already a parameterized Spark type (VARCHAR(10), …)
       }
     }
@@ -969,7 +987,27 @@ object ClickHouseSql {
     val summingDefault = () => mapped.filter(c => !isKey(c.name) &&
       numericTypes(c.sparkType.toUpperCase(java.util.Locale.ROOT)))
       .map(_.name)
-    registerEngineFromDdl(table, engName, engArgs, sortKey, summingDefault)
+    // AggregateFunction(f, T) columns: record the merge function each
+    // state column needs at FINAL time — only the LINEAR aggregates
+    // whose state is the value itself (partial counts merge by SUM)
+    val stateFnMerge = Map("sum" -> "SUM", "count" -> "SUM",
+      "min" -> "MIN", "max" -> "MAX",
+      "any" -> "any_value", "anylast" -> "any_value")
+    val aggregatingMerges = () => mapped.flatMap { c =>
+      val m = "(?i)^(?:Simple)?AggregateFunction\\s*\\(\\s*(\\w+)".r
+        .findFirstMatchIn(c.chType)
+      m.map { g =>
+        val fn = g.group(1).toLowerCase(java.util.Locale.ROOT)
+        val merge = stateFnMerge.getOrElse(fn, throw new
+            IllegalArgumentException(
+          s"AggregateFunction($fn, …) state on ${c.name} is " +
+            "engine-opaque — restate as linear columns (avg → " +
+            "sum+count, the q61_agg_state model)"))
+        c.name.toLowerCase(java.util.Locale.ROOT) -> merge
+      }
+    }.toMap
+    registerEngineFromDdl(table, engName, engArgs, sortKey, summingDefault,
+      aggregatingMerges)
     // PARTITION BY: plain columns become REAL parquet partitioning —
     // scans prune on them and DROP PARTITION is a metadata/file drop,
     // exactly the role CH partitions play. Expression partitioning
@@ -1009,7 +1047,15 @@ object ClickHouseSql {
     */
   private def registerEngineFromDdl(table: String, engName: String,
     engArgs: Seq[String], sortKey: Seq[String],
-    summingDefault: () => Seq[String]): Unit = engName match {
+    summingDefault: () => Seq[String],
+    aggregatingMerges: () => Map[String, String] = () =>
+      throw new IllegalArgumentException(
+        "AggregatingMergeTree needs AggregateFunction(f, T) column " +
+          "declarations — a materialized view has none; declare the " +
+          "target table explicitly")): Unit = engName match {
+    case "aggregatingmergetree" =>
+      require(sortKey.nonEmpty, "AggregatingMergeTree needs ORDER BY")
+      registerEngine(table, Aggregating(sortKey, aggregatingMerges()))
     case "replacingmergetree" =>
       require(sortKey.nonEmpty, "ReplacingMergeTree needs ORDER BY")
       require(engArgs.nonEmpty,
@@ -1030,7 +1076,7 @@ object ClickHouseSql {
     case other => throw new IllegalArgumentException(
       s"unsupported table engine $other — supported: MergeTree, " +
         "ReplacingMergeTree(ver…), CollapsingMergeTree(sign, ver…), " +
-        "SummingMergeTree([measures…])")
+        "SummingMergeTree([measures…]), AggregatingMergeTree")
   }
 
   /** ClickHouse `CREATE MATERIALIZED VIEW mv ENGINE = <X>MergeTree(…)
@@ -2259,6 +2305,17 @@ object ClickHouseSql {
           else if (measures.exists(_.equalsIgnoreCase(c)))
             s"SUM(${q(c)}) AS ${q(c)}"
           else s"any_value(${q(c)}) AS ${q(c)}"
+        }.mkString(", ")
+        s"(SELECT $sel FROM $table GROUP BY $keys)"
+      case Aggregating(_, merges) =>
+        val sel = cols.map { c =>
+          if (isKey(c)) q(c)
+          else {
+            val fn = merges.getOrElse(
+              c.stripPrefix("`").stripSuffix("`")
+                .toLowerCase(java.util.Locale.ROOT), "any_value")
+            s"$fn(${q(c)}) AS ${q(c)}"
+          }
         }.mkString(", ")
         s"(SELECT $sel FROM $table GROUP BY $keys)"
     }
