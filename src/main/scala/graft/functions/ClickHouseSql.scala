@@ -87,6 +87,60 @@ object ClickHouseSql {
   def engineOf(table: String): Option[Engine] =
     Option(engines.get(norm(table)))
 
+  /** A `CREATE TABLE … PARTITION BY` table's two-piece layout. Spark
+    * moves partition columns to the END of a partitioned table's
+    * schema, which would silently re-bind positional CH INSERTs and
+    * reorder `SELECT *` — so the dialect stores the partitioned data in
+    * a PHYSICAL table (`<name>__parts`) and registers the declared name
+    * as a VIEW projecting the ClickHouse-declared column order. Every
+    * dialect write path resolves through this registry and aligns
+    * columns BY NAME against the physical schema, so positional INSERTs
+    * bind to the declared order and partition pruning still reaches the
+    * parquet scan. `partCols` are the physical partition columns;
+    * `genExpr` is the Spark SQL text of the generated partition value
+    * for expression partitioning (`PARTITION BY toYYYYMM(d)` →
+    * `__ch_part = CAST(date_format(d, 'yyyyMM') AS INT)`), recomputed
+    * on every inserted block.
+    */
+  final case class PartitionedTable(physical: String,
+    declared: Seq[String], partCols: Seq[String], genExpr: Option[String])
+
+  private val partTables =
+    new java.util.concurrent.ConcurrentHashMap[String, PartitionedTable]
+
+  def partitionedTable(table: String): Option[PartitionedTable] =
+    Option(partTables.get(norm(table)))
+
+  private def physicalFor(table: String): String =
+    partitionedTable(table).map(_.physical).getOrElse(table)
+
+  /** The generated partition column's reserved name. */
+  private val GenPartCol = "__ch_part"
+
+  /** Append/overwrite `block` (declared-order columns, any order by
+    * name) into `table`, resolving the partitioned physical layout:
+    * the generated partition value is recomputed from the block and
+    * columns realign by NAME to the physical schema (partition columns
+    * last). Non-partitioned tables write positionally as before.
+    */
+  private def writeBlock(spark: SparkSession, table: String,
+    block: DataFrame, mode: String): Unit = partitionedTable(table) match {
+    case Some(pt) =>
+      import org.apache.spark.sql.functions.{col, expr}
+      val named = block.toDF(pt.declared: _*)
+      val withGen = pt.genExpr match {
+        case Some(g) => named.withColumn(GenPartCol, expr(g))
+        case None => named
+      }
+      // align by NAME and cast to the stored types (CH INSERT coerces
+      // literals — VALUES-sourced blocks arrive as parsed literal types)
+      val physSchema = spark.table(pt.physical).schema
+      withGen.select(physSchema.map(f =>
+        col(q1(f.name)).cast(f.dataType).as(f.name)).toSeq: _*)
+        .write.mode(mode).insertInto(pt.physical)
+    case None => block.write.mode(mode).insertInto(table)
+  }
+
   /** One registered materialized view: its storage table, the SOURCE
     * table whose inserts trigger it (ClickHouse: the leftmost FROM
     * table — joins never re-trigger on their right sides), and the
@@ -129,8 +183,187 @@ object ClickHouseSql {
       .orElse(intoOutfile(spark, sqlText))
       .orElse(insertFormat(spark, sqlText))
       .orElse(insertMvRefresh(spark, sqlText))
+      .orElse(createPartitionedTable(spark, sqlText))
+      .orElse(tableLifecycle(spark, sqlText))
       .getOrElse(
         spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq)))
+
+  /** `CREATE TABLE t (…) ENGINE = <X>MergeTree … PARTITION BY <spec>` —
+    * executed as the two-piece layout of [[PartitionedTable]]: the
+    * PARTITION BY clause is cut out of the DDL text, the rest runs
+    * through the normal CREATE rewrite (types map, engine registers
+    * under the DECLARED name so FINAL reads work), the resulting
+    * standard CREATE is retargeted at `<name>__parts` with real
+    * `PARTITIONED BY`, and the declared name becomes a view restoring
+    * the declared column order. Plain-column specs partition on the
+    * column itself; expression specs (`toYYYYMM(d)` …) materialize a
+    * generated `__ch_part` column at write time — the majority
+    * ClickHouse layout — so scans prune on it and `DROP PARTITION
+    * 202401` is a metadata drop of the month.
+    */
+  private def createPartitionedTable(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    if (toks.length < 3 || toks.head.lower != "create" ||
+      toks(1).lower != "table") return None
+    if (toks.indexWhere(t => t.depth == 0 && t.lower == "engine") < 0)
+      return None
+    var ni = 2
+    var ifNotExists = false
+    if (toks(ni).lower == "if") { ifNotExists = true; ni += 3 }
+    val table = toks(ni).text
+    val openIdx = ni + 1
+    if (toks.lift(openIdx).forall(_.text != "(")) return None
+    val closeIdx = toks.indexWhere(t => t.text == ")" && t.depth == 0, openIdx)
+    val pbIdx = toks.indexWhere(t =>
+      t.depth == 0 && t.lower == "partition", closeIdx)
+    if (pbIdx < 0 || !toks.lift(pbIdx + 1).exists(_.lower == "by"))
+      return None
+    // the partition spec runs to the next top-level clause keyword
+    val stopKw = Set("order", "primary", "ttl", "settings", "sample")
+    val stopIdx = toks.indexWhere(t =>
+      t.depth == 0 && stopKw(t.lower), pbIdx + 2)
+    val specEnd = if (stopIdx < 0) sqlText.length else toks(stopIdx).start
+    val specText = sqlText.substring(toks(pbIdx + 2).start, specEnd)
+      .trim.stripSuffix(";").trim
+    require(specText.nonEmpty, s"PARTITION BY: empty spec in $sqlText")
+    if (ifNotExists && spark.catalog.tableExists(table))
+      return Some(spark.emptyDataFrame)
+    // classify: plain column list vs expression
+    val specToks = lex(specText)
+    val plainCols: Seq[String] =
+      if (specToks.forall(t => isIdent(t) || t.text == ","))
+        specToks.filter(isIdent).map(_.text)
+      else if (specToks.length >= 2 && specToks.head.text == "(" &&
+        specToks.last.text == ")" &&
+        specToks.slice(1, specToks.length - 1)
+          .forall(t => isIdent(t) || t.text == ","))
+        specToks.slice(1, specToks.length - 1).filter(isIdent).map(_.text)
+      else Seq.empty
+    // DDL text without the PARTITION BY clause → the normal rewrite
+    // (registers the engine under the declared name)
+    val baseText = sqlText.substring(0, toks(pbIdx).start) +
+      sqlText.substring(specEnd)
+    val createStd = rewrite(baseText, t => spark.table(t).columns.toSeq)
+    val declared = declaredColumnsOf(createStd)
+    val phys = table + "__parts"
+    val createPhys = spliceTableName(createStd, phys)
+    if (plainCols.nonEmpty) {
+      val missing = plainCols.filterNot(p =>
+        declared.exists(_.equalsIgnoreCase(p)))
+      require(missing.isEmpty,
+        s"PARTITION BY column(s) ${missing.mkString(", ")} not declared " +
+          s"on $table")
+      spark.sql(createPhys + s" PARTITIONED BY (${plainCols.mkString(", ")})")
+      partTables.put(norm(table),
+        PartitionedTable(phys, declared, plainCols, None))
+    } else {
+      val genSql = chPartExprToSpark(specText)
+      // derive the generated column's type from the declared schema,
+      // then rebuild the physical table partitioned on it
+      spark.sql(createPhys)
+      val genSchema = spark.table(phys)
+        .withColumn(GenPartCol, org.apache.spark.sql.functions.expr(genSql))
+        .schema
+      spark.sql(s"DROP TABLE $phys")
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], genSchema)
+        .write.partitionBy(GenPartCol).format("parquet").saveAsTable(phys)
+      partTables.put(norm(table),
+        PartitionedTable(phys, declared, Seq(GenPartCol), Some(genSql)))
+    }
+    spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT " +
+      s"${declared.map(q1).mkString(", ")} FROM $phys")
+    Some(spark.table(table).limit(0))
+  }
+
+  /** Column names, in declared order, of a standard `CREATE TABLE t
+    * (c1 T1, c2 T2, …) USING parquet` produced by the CREATE rewrite.
+    */
+  private def declaredColumnsOf(createStd: String): Seq[String] = {
+    val toks = lex(createStd)
+    val openIdx = toks.indexWhere(t => t.text == "(" && t.depth == 0)
+    val closeIdx = toks.indexWhere(t => t.text == ")" && t.depth == 0, openIdx)
+    require(openIdx > 0 && closeIdx > openIdx,
+      s"cannot locate the column group in: $createStd")
+    // the identifier opening each depth-1 item (first token after the
+    // group opener or a depth-1 comma)
+    val names = Vector.newBuilder[String]
+    var expectName = true
+    toks.slice(openIdx + 1, closeIdx).foreach { t =>
+      if (expectName && isIdent(t)) { names += t.text; expectName = false }
+      else if (t.text == "," && t.depth == 1) expectName = true
+    }
+    names.result()
+  }
+
+  /** Retarget a standard `CREATE TABLE <name> (…)` at another name. */
+  private def spliceTableName(createStd: String, to: String): String = {
+    val toks = lex(createStd)
+    var ni = 2
+    if (toks(ni).lower == "if") ni += 3
+    createStd.substring(0, toks(ni).start) + to +
+      createStd.substring(toks(ni).end)
+  }
+
+  /** The common ClickHouse partition expressions, translated to
+    * extension-free Spark SQL (these run inside [[writeBlock]] on every
+    * inserted block, and at DDL time to derive the partition column's
+    * type). Unknown expressions pass through verbatim — they resolve
+    * when the session has the dialect's function registry installed,
+    * and fail loudly at DDL time otherwise.
+    */
+  private def chPartExprToSpark(spec: String): String = {
+    val m = "(?is)^(\\w+)\\s*\\((.*)\\)$".r
+    spec.trim match {
+      case m(fn, arg) => fn.toLowerCase(java.util.Locale.ROOT) match {
+        case "toyyyymm" => s"CAST(date_format($arg, 'yyyyMM') AS INT)"
+        case "toyyyymmdd" => s"CAST(date_format($arg, 'yyyyMMdd') AS INT)"
+        case "toyyyy" | "toyear" => s"year($arg)"
+        case "tomonth" => s"month($arg)"
+        case "todate" => s"CAST(($arg) AS DATE)"
+        case "tostartofmonth" => s"trunc(CAST(($arg) AS DATE), 'MM')"
+        case "tostartofweek" | "tomonday" =>
+          s"date_sub(CAST(($arg) AS DATE), " +
+            s"(dayofweek(CAST(($arg) AS DATE)) + 5) % 7)"
+        case "tostartofday" => s"CAST(($arg) AS DATE)"
+        case "intdiv" => s"CAST(FLOOR(${arg.replace(",", " / ")}) AS BIGINT)"
+        case _ => spec.trim
+      }
+      case other => other
+    }
+  }
+
+  /** `DROP TABLE` / `TRUNCATE TABLE` on a [[PartitionedTable]]: both
+    * pieces (view + physical) are affected and the registries are kept
+    * in sync; other tables take the untouched generic path.
+    */
+  private def tableLifecycle(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    if (toks.length < 3) return None
+    val verb = toks.head.lower
+    if ((verb != "drop" && verb != "truncate") || toks(1).lower != "table")
+      return None
+    var i = 2
+    if (toks(i).lower == "if") i += 2 // IF EXISTS
+    if (!toks.lift(i).exists(isIdent)) return None
+    val table = toks(i).text
+    partitionedTable(table) match {
+      case None => None
+      case Some(pt) =>
+        if (verb == "drop") {
+          spark.sql(s"DROP VIEW IF EXISTS $table")
+          spark.sql(s"DROP TABLE IF EXISTS ${pt.physical}")
+          partTables.remove(norm(table))
+          engines.remove(norm(table))
+          mvDefs.remove(norm(table))
+        } else {
+          spark.sql(s"TRUNCATE TABLE ${pt.physical}")
+        }
+        Some(spark.emptyDataFrame)
+    }
+  }
 
   /** `SELECT … INTO OUTFILE '<path>' [TRUNCATE] [FORMAT <name>]` — CH's
     * client-side single-file export. The clause is cut from the text, the
@@ -352,7 +585,7 @@ object ClickHouseSql {
     if (engineOf(table).isDefined) {
       val merged = spark.sql(rewrite(s"SELECT * FROM $table FINAL",
         t => spark.table(t).columns.toSeq))
-      merged.localCheckpoint(true).write.mode("overwrite").insertInto(table)
+      writeBlock(spark, table, merged.localCheckpoint(true), "overwrite")
     }
     if (dedupIdx >= 0) {
       // `OPTIMIZE TABLE t [FINAL] DEDUPLICATE [BY c1, …]` — drop rows
@@ -375,7 +608,7 @@ object ClickHouseSql {
           s"ROW_NUMBER() OVER (PARTITION BY ${part.mkString(", ")} " +
           s"ORDER BY ${q.mkString(", ")}) AS __ch_dd FROM $table) " +
           "__ch_ddq WHERE __ch_dd = 1")
-      deduped.localCheckpoint(true).write.mode("overwrite").insertInto(table)
+      writeBlock(spark, table, deduped.localCheckpoint(true), "overwrite")
     }
     Some(spark.table(table).limit(0))
   }
@@ -408,7 +641,7 @@ object ClickHouseSql {
     def stripSemi(s: String): String = s.trim.stripSuffix(";").trim
     def run(table: String, body: String): DataFrame = {
       val df = spark.sql(rewrite(body, t => spark.table(t).columns.toSeq))
-      df.localCheckpoint(true).write.mode("overwrite").insertInto(table)
+      writeBlock(spark, table, df.localCheckpoint(true), "overwrite")
       spark.table(table).limit(0)
     }
     if (toks.length >= 4 && toks.head.lower == "alter" &&
@@ -455,26 +688,44 @@ object ClickHouseSql {
           if toks.lift(4).exists(_.lower == "column") =>
           Some(alterColumn(spark, table, toks, sqlText))
         case "drop" if toks.lift(4).exists(_.lower == "partition") =>
-          // CH's retention verb. On a table created with a plain-column
-          // PARTITION BY this is Spark's native partition drop (a
-          // metadata/file operation — no data rewrite); tables without
-          // real partitioning fall back to the materialized delete,
-          // matching CH's row-level effect.
+          // CH's retention verb. On a table created with PARTITION BY
+          // this is Spark's native partition drop against the PHYSICAL
+          // table (a metadata/file operation — no data rewrite); for an
+          // expression partition the value is the expression's value
+          // (`DROP PARTITION 202401` on toYYYYMM). A missing partition
+          // is a no-op, as in CH. Only a failed native drop falls back
+          // to the materialized delete — surfaced on stderr, never
+          // swallowed silently (a half-done overwrite must not
+          // masquerade as a metadata drop).
           val valueText = stripSemi(sqlText.substring(toks(4).end)).trim
           require(valueText.nonEmpty,
             s"ALTER TABLE … DROP PARTITION needs a value: $sqlText")
           import scala.jdk.CollectionConverters._
-          val pcols = spark.catalog.listColumns(table).collectAsList()
-            .asScala.filter(_.isPartition).map(_.name).toSeq
+          val reg = partitionedTable(table)
+          val phys = physicalFor(table)
+          val pcols = reg.map(_.partCols).getOrElse(
+            spark.catalog.listColumns(table).collectAsList()
+              .asScala.filter(_.isPartition).map(_.name).toSeq)
           require(pcols.size <= 1,
             s"DROP PARTITION supports single-column partitioning; $table " +
               s"has (${pcols.mkString(", ")})")
           pcols.headOption match {
             case Some(pc) =>
-              try spark.sql(s"ALTER TABLE $table DROP PARTITION ($pc = $valueText)")
+              try spark.sql(
+                s"ALTER TABLE $phys DROP PARTITION (${q1(pc)} = $valueText)")
               catch {
-                case _: Throwable => run(table,
-                  s"SELECT * FROM $table WHERE NOT ($pc <=> $valueText)")
+                case _: org.apache.spark.sql.catalyst.analysis
+                  .NoSuchPartitionException => // CH: dropping a missing
+                  // partition is a no-op
+                case e: org.apache.spark.sql.AnalysisException =>
+                  System.err.println(
+                    s"[graft] native DROP PARTITION on $phys failed " +
+                      s"(${e.getClass.getSimpleName}: ${e.getMessage.linesIterator
+                        .nextOption().getOrElse("")}); " +
+                      "falling back to a full-table rewrite")
+                  val keep = spark.table(table).columns.toSeq
+                  run(table, s"SELECT ${qcols(keep).mkString(", ")} " +
+                    s"FROM $phys WHERE NOT (${q1(pc)} <=> $valueText)")
               }
               Some(spark.table(table).limit(0))
             case None => throw new IllegalArgumentException(
@@ -518,8 +769,41 @@ object ClickHouseSql {
     def materialize(projection: Seq[String]): DataFrame = {
       val df = spark.sql(rewrite(s"SELECT ${projection.mkString(", ")} FROM $table",
         t => spark.table(t).columns.toSeq))
-      df.localCheckpoint(true).write.mode("overwrite")
-        .format("parquet").saveAsTable(table)
+      partitionedTable(table) match {
+        case Some(pt) =>
+          // schema-changing DDL on a partitioned table: both pieces
+          // rebuild — the physical re-partitions on the (surviving)
+          // partition columns, the view re-projects the new declared
+          // order, and the registry updates. Dropping or renaming a
+          // partition column (or, for expression partitioning, a column
+          // the expression reads) fails loudly at analysis time.
+          val newDeclared = df.columns.toSeq
+          val missingPart = pt.genExpr match {
+            case None => pt.partCols.filterNot(p =>
+              newDeclared.exists(_.equalsIgnoreCase(p)))
+            case Some(_) => Nil // gen expr analysis below surfaces it
+          }
+          require(missingPart.isEmpty,
+            s"cannot drop/rename partition column(s) " +
+              s"${missingPart.mkString(", ")} of $table")
+          val block = df.localCheckpoint(true)
+          val withGen = pt.genExpr match {
+            case Some(g) => block.withColumn(GenPartCol,
+              org.apache.spark.sql.functions.expr(g))
+            case None => block
+          }
+          withGen.schema // force analysis BEFORE dropping anything
+          spark.sql(s"DROP VIEW IF EXISTS $table")
+          spark.sql(s"DROP TABLE IF EXISTS ${pt.physical}")
+          withGen.write.partitionBy(pt.partCols: _*)
+            .format("parquet").saveAsTable(pt.physical)
+          spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT " +
+            s"${newDeclared.map(q1).mkString(", ")} FROM ${pt.physical}")
+          partTables.put(norm(table), pt.copy(declared = newDeclared))
+        case None =>
+          df.localCheckpoint(true).write.mode("overwrite")
+            .format("parquet").saveAsTable(table)
+      }
       noop
     }
     val action = toks(3).lower
@@ -641,7 +925,19 @@ object ClickHouseSql {
     sqlText: String): Option[DataFrame] = {
     val toks = lex(sqlText)
     def rename(from: String, to: String): Unit = {
-      spark.sql(s"ALTER TABLE $from RENAME TO $to")
+      partitionedTable(from) match {
+        case Some(pt) =>
+          // two-piece layout: rename the physical, re-point the view
+          val newPhys = to + "__parts"
+          spark.sql(s"ALTER TABLE ${pt.physical} RENAME TO $newPhys")
+          spark.sql(s"DROP VIEW IF EXISTS $from")
+          spark.sql(s"CREATE OR REPLACE VIEW $to AS SELECT " +
+            s"${pt.declared.map(q1).mkString(", ")} FROM $newPhys")
+          partTables.remove(norm(from))
+          partTables.put(norm(to), pt.copy(physical = newPhys))
+        case None =>
+          spark.sql(s"ALTER TABLE $from RENAME TO $to")
+      }
       engineOf(from).foreach { e =>
         engines.remove(norm(from)); registerEngine(to, e)
       }
@@ -1008,36 +1304,17 @@ object ClickHouseSql {
     }.toMap
     registerEngineFromDdl(table, engName, engArgs, sortKey, summingDefault,
       aggregatingMerges)
-    // PARTITION BY: plain columns become REAL parquet partitioning —
-    // scans prune on them and DROP PARTITION is a metadata/file drop,
-    // exactly the role CH partitions play. Expression partitioning
-    // (toYYYYMM(d), …) stays erased: Spark USING tables partition on
-    // columns, and materializing a derived column would change the
-    // declared schema.
-    val pbIdx = toks.indexWhere(t =>
-      t.depth == 0 && t.lower == "partition", closeIdx)
-    val partCols: Seq[String] =
-      if (pbIdx < 0 || !toks.lift(pbIdx + 1).exists(_.lower == "by")) Seq.empty
-      else toks.lift(pbIdx + 2) match {
-        case Some(t) if t.text == "(" =>
-          val pc = toks.indexWhere(x => x.text == ")" && x.depth == 0, pbIdx + 2)
-          val inner = toks.slice(pbIdx + 3, pc)
-          if (inner.forall(x => isIdent(x) || x.text == ","))
-            inner.filter(isIdent).map(_.text)
-          else Seq.empty
-        case Some(t) if isIdent(t) &&
-          !toks.lift(pbIdx + 3).exists(x => x.text == "(" && x.depth == 0) =>
-          Seq(t.text)
-        case _ => Seq.empty
-      }
-    val partClause =
-      if (partCols.nonEmpty &&
-        partCols.forall(p => mapped.exists(_.name.equalsIgnoreCase(p))))
-        s" PARTITIONED BY (${partCols.mkString(", ")})"
-      else ""
+    // PARTITION BY is NOT emitted here: Spark moves partition columns
+    // to the END of a `PARTITIONED BY` table's schema, which would
+    // silently re-bind positional INSERTs and reorder `SELECT *` away
+    // from the ClickHouse-declared order. [[sql]] intercepts partitioned
+    // CREATEs first ([[createPartitionedTable]]) and builds the
+    // two-piece physical-table + declared-order-view layout instead;
+    // this text-level rewrite (reachable via direct [[rewrite]] calls)
+    // erases the clause, keeping the declared schema exact.
     val colsSql = mapped.map(c => s"${c.name} ${c.sparkType}").mkString(", ")
     sqlText.substring(0, toks(openIdx).start) +
-      s"($colsSql) USING parquet$partClause"
+      s"($colsSql) USING parquet"
   }
 
   /** Shared DDL engine registration (CREATE TABLE and CREATE
@@ -1279,8 +1556,11 @@ object ClickHouseSql {
       if (listed.isEmpty) block.toDF(schema.fieldNames.toSeq: _*)
       else block.select(schema.map { f =>
         if (listed.exists(_.equalsIgnoreCase(f.name))) col(q1(f.name))
-        else org.apache.spark.sql.functions.lit(null)
-          .cast(f.dataType).as(f.name)
+        // columns omitted from the INSERT list get the TYPE default
+        // (0/''/epoch), like ClickHouse — same rule as the per-row
+        // JSONEachRow fill above, never NULL
+        else expr(s"CAST((${zeroLiteral(f.dataType.sql)}) " +
+          s"AS ${f.dataType.sql})").as(f.name)
       }.toSeq: _*)
     playInsert(spark, table, full.localCheckpoint(true), depth = 0)
     Some(spark.table(table).limit(0))
@@ -1309,7 +1589,12 @@ object ClickHouseSql {
     if (toks(i).lower == "table") i += 1
     if (!isIdent(toks(i))) return None
     val table = toks(i).text
-    if (materializedViewsOn(table).isEmpty) return None
+    // claimed for MV-triggering tables AND partitioned tables — the
+    // latter's declared name is a view, so the generic spark.sql INSERT
+    // path cannot take them (and positional VALUES must bind to the
+    // DECLARED order, which this path's alignment guarantees)
+    if (materializedViewsOn(table).isEmpty &&
+      partitionedTable(table).isEmpty) return None
     i += 1
     var listed = Seq.empty[String]
     if (toks.lift(i).exists(_.text == "(")) {
@@ -1330,13 +1615,21 @@ object ClickHouseSql {
         require(raw.columns.length == schema.length,
           s"INSERT INTO $table: ${raw.columns.length} values for " +
             s"${schema.length} columns")
+        // bind positionally to the DECLARED order, coercing literal
+        // types to the stored types (CH INSERT casts '2024-01-01' into
+        // a Date column)
         raw.toDF(schema.map(_.name).toSeq: _*)
+          .select(schema.map(f =>
+            col(q1(f.name)).cast(f.dataType).as(f.name)).toSeq: _*)
       } else {
         val named = raw.toDF(listed: _*)
         named.select(schema.map { f =>
           listed.find(_.equalsIgnoreCase(f.name)) match {
-            case Some(n) => col(n).as(f.name)
-            case None => lit(null).cast(f.dataType).as(f.name)
+            case Some(n) => col(n).cast(f.dataType).as(f.name)
+            // unlisted → CH type default, matching insertFormat's rule
+            case None => org.apache.spark.sql.functions
+              .expr(s"CAST((${zeroLiteral(f.dataType.sql)}) " +
+                s"AS ${f.dataType.sql})").as(f.name)
           }
         }.toSeq: _*)
       }
@@ -1353,7 +1646,7 @@ object ClickHouseSql {
     block: DataFrame, depth: Int): Unit = {
     require(depth < 8, s"materialized-view cascade too deep at $table " +
       "(cycle between views?)")
-    block.write.mode("append").insertInto(table)
+    writeBlock(spark, table, block, "append")
     materializedViewsOn(table).foreach { mv =>
       if (!spark.catalog.tableExists(mv.view)) dropMaterializedView(mv.view)
       else {
@@ -1368,24 +1661,25 @@ object ClickHouseSql {
     }
   }
 
-  /** Token-level relation rebind: identifiers naming `src` in relation
-    * position (directly after FROM or JOIN) become `to`; column
-    * references and strings are untouched.
+  /** Token-level relation rebind: the FIRST identifier naming `src` in
+    * relation position (directly after FROM or JOIN) becomes `to`;
+    * later occurrences, column references, and strings are untouched.
+    * Only the leftmost is rebound because that is ClickHouse's MV
+    * trigger contract: the inserted block substitutes for the leftmost
+    * table only — a SELECT that self-joins the source (`FROM src JOIN
+    * src`) reads the FULL stored table on the right side.
     */
   private def rebindRelation(select: String, src: String, to: String): String = {
     val ts = lex(select)
-    val sb = new StringBuilder
-    var last = 0
-    ts.zipWithIndex.foreach { case (t, i) =>
-      val rel = isIdent(t) && norm(t.text) == norm(src) &&
+    val hit = ts.zipWithIndex.find { case (t, i) =>
+      isIdent(t) && norm(t.text) == norm(src) &&
         ts.lift(i - 1).exists(p => p.lower == "from" || p.lower == "join")
-      if (rel) {
-        sb.append(select.substring(last, t.start)).append(to)
-        last = t.end
-      }
     }
-    sb.append(select.substring(last))
-    sb.toString
+    hit match {
+      case Some((t, _)) =>
+        select.substring(0, t.start) + to + select.substring(t.end)
+      case None => select
+    }
   }
 
   /** Names the dialect registers with params-first flattened signatures
@@ -2545,9 +2839,14 @@ object ClickHouseSql {
       case Some((lim, i)) =>
         val d = lim.depth
         val n = ts(i + 1).text
-        val selIdx = ts.lastIndexWhere(t =>
-          t.depth == d && t.lower == "select", i)
-        if (selIdx < 0)
+        // anchor at the FIRST depth-d SELECT: for a set operation
+        // (SELECT … UNION ALL SELECT … ORDER BY x LIMIT n WITH TIES)
+        // the trailing ORDER BY/LIMIT govern the WHOLE compound, so the
+        // RANK() band must wrap every branch — anchoring at the last
+        // SELECT would band only the final branch, silently wrong
+        val selIdx = ts.indexWhere(t =>
+          t.depth == d && t.lower == "select")
+        if (selIdx < 0 || selIdx >= i)
           throw new IllegalArgumentException(
             "LIMIT n WITH TIES: no enclosing SELECT")
         val ordIdx = ts.lastIndexWhere(t =>

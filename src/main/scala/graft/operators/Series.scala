@@ -698,13 +698,16 @@ object Series {
 
   // q129_decay_sum — ClickHouse exponentialTimeDecayedSum, re-expressed
   // with a half-life-per-day decay and a 30-day horizon so the whole
-  // computation is EXACT integer arithmetic: the decayed weight of an
-  // event aged k days is 2^(30−k) in scaled units (one bit shift — no
-  // libm exp() whose ulp behavior differs across engines), terms are
-  // DECIMAL(38,0) products of exact cents, and only the final
-  // /2^30 + round happens in floating point, identically on both
-  // engines. Two passes: per-type max date (broadcast back), one
-  // map-side-combinable aggregation.
+  // computation is EXACT integer arithmetic end to end: the decayed
+  // weight of an event aged k days is 2^(30−k) in scaled units (one bit
+  // shift — no libm exp() whose ulp behavior differs across engines),
+  // terms are DECIMAL(38,0) products of exact cents, and the readout is
+  // fixed-point: decayed_cents_e4 = floor(scaled·10⁴ / 2³⁰) as BIGINT.
+  // No floating point anywhere — round 7's driver gate proved that a
+  // 53-bit numerator pushed through ROUND(double, 4) hashes a different
+  // ulp across DuckDB builds; the sums are nonnegative, so floor
+  // division agrees in both engines. Two passes: per-type max date
+  // (broadcast back), one map-side-combinable aggregation.
   val q129 = Q(
     "q129_decay_sum",
     Some("""
@@ -720,10 +723,11 @@ object Series {
                THEN CAST(v.cents AS DECIMAL(38,0))
                     * (CAST(1 AS BIGINT) << (30 - (mx.md - v.d)))
                ELSE 0 END) AS DECIMAL(38,0)) AS scaled,
-             ROUND(CAST(SUM(CASE WHEN mx.md - v.d <= 30
+             CAST(CAST(SUM(CASE WHEN mx.md - v.d <= 30
                THEN CAST(v.cents AS DECIMAL(38,0))
                     * (CAST(1 AS BIGINT) << (30 - (mx.md - v.d)))
-               ELSE 0 END) AS DOUBLE) / 1073741824.0, 4) AS decayed_cents
+               ELSE 0 END) AS HUGEINT) * 10000 // 1073741824
+               AS BIGINT) AS decayed_cents_e4
       FROM v JOIN mx ON v.event_type = mx.event_type
       GROUP BY v.event_type
       ORDER BY v.event_type
@@ -744,9 +748,9 @@ object Series {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(term).cast(DecimalType(38, 0)).as("scaled"),
-        round(sum(term).cast(DoubleType) / lit(1073741824.0), 4)
-          .as("decayed_cents"))
+        sum(term).cast(DecimalType(38, 0)).as("scaled"))
+      .withColumn("decayed_cents_e4",
+        expr("CAST((scaled * 10000) div 1073741824 AS BIGINT)"))
       .orderBy(col("event_type"))
   }
 

@@ -78,7 +78,18 @@ object GroupedPrefix {
                  (offsets: (DataFrame, WindowSpec) => DataFrame): DataFrame = {
     val keys = (groupCols :+ PID).map(col)
     val slices = staged.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-    staged.join(broadcast(offsets(slices, prevSlices(groupCols))), groupCols :+ PID)
+    // NULL-SAFE key equality: a NULL group key is a regular group under
+    // PARTITION BY window semantics, but null != null in a plain
+    // equi-join — those rows would silently drop. Rename the offsets
+    // side's keys, join on <=> (broadcast-hash supports EqualNullSafe),
+    // and drop the duplicates.
+    val keyNames = groupCols :+ PID
+    val renamed = keyNames.foldLeft(offsets(slices, prevSlices(groupCols)))(
+      (d, c) => d.withColumnRenamed(c, "__gp_r_" + c))
+    val cond = keyNames.map(c => col(c) <=> col("__gp_r_" + c))
+      .reduce(_ && _)
+    staged.join(broadcast(renamed), cond)
+      .drop(keyNames.map("__gp_r_" + _): _*)
   }
 
   /** The slice-scoped window every consumer's local pass runs under:

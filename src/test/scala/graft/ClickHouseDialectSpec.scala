@@ -12,6 +12,20 @@ class ClickHouseDialectSpec extends SparkSpec {
     sf0001.orders.createOrReplaceTempView("orders_v")
   }
 
+  /** Drop a leftover catalog object of either type (the warehouse dir
+    * persists across test runs, and a name may be a view one run and a
+    * table the next) plus its warehouse directory.
+    */
+  private def dropAnyType(name: String): Unit = {
+    if (spark.catalog.tableExists(name)) {
+      val isView = spark.catalog.getTable(name).tableType == "VIEW"
+      spark.sql(s"DROP ${if (isView) "VIEW" else "TABLE"} $name")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), name))
+  }
+
   test("countIf/sumIf/argMax/quantileExact from SQL text") {
     val r = spark.sql("""
       SELECT countIf(o_orderstatus = 'F') AS nf,
@@ -695,19 +709,33 @@ class ClickHouseDialectSpec extends SparkSpec {
         "SELECT o_orderkey FROM orders_v LIMIT 3 WITH TIES")
     }
     assert(err.getMessage.contains("ORDER BY"))
+    // a set operation: the tie band must cover the WHOLE union, not
+    // just the final branch (ADVICE r7) — here every branch-1 row ties
+    // the minimum date, so banding only branch 2 would lose them
+    val minDate = byDate.head.get(0)
+    val union = ClickHouseSql.sql(spark, s"""
+      SELECT o_orderkey, o_orderdate FROM orders_v WHERE o_orderdate = DATE'$minDate'
+      UNION ALL
+      SELECT o_orderkey, o_orderdate FROM orders_v WHERE o_orderdate <> DATE'$minDate'
+      ORDER BY o_orderdate LIMIT 1 WITH TIES""").collect()
+    assert(union.length.toLong === byDate.head.getLong(1))
+    assert(union.forall(_.get(1).toString == minDate.toString))
   }
 
   test("PARTITION BY column is real parquet partitioning; DROP PARTITION retires it") {
-    spark.sql("DROP TABLE IF EXISTS ch_part_t")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:"), "ch_part_t"))
+    Seq("ch_part_t", "ch_part_t__parts", "ch_part_e", "ch_part_e__parts")
+      .foreach(dropAnyType)
     ClickHouseSql.sql(spark, """
       CREATE TABLE ch_part_t (k UInt64, v String, mon String)
       ENGINE = MergeTree PARTITION BY mon ORDER BY (k)
     """)
-    spark.sql("""INSERT INTO ch_part_t VALUES
+    ClickHouseSql.sql(spark, """INSERT INTO ch_part_t VALUES
       (1, 'a', '2024-01'), (2, 'b', '2024-01'), (3, 'c', '2024-02')""")
+    // declared order at the read surface, positional values in place
+    assert(spark.table("ch_part_t").columns.toSeq === Seq("k", "v", "mon"))
+    assert(spark.table("ch_part_t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "a", "2024-01"), (2L, "b", "2024-01"), (3L, "c", "2024-02")))
     // the partition column must prune at scan time
     import org.apache.spark.sql.execution.FormattedMode
     val plan = spark.sql("SELECT k FROM ch_part_t WHERE mon = '2024-02'")
@@ -718,18 +746,32 @@ class ClickHouseDialectSpec extends SparkSpec {
     ClickHouseSql.sql(spark, "ALTER TABLE ch_part_t DROP PARTITION '2024-01'")
     val left = spark.table("ch_part_t").collect()
     assert(left.length === 1 && left.head.getLong(0) === 3L)
-    // expression partitioning stays erased (schema unchanged, no throw)
-    spark.sql("DROP TABLE IF EXISTS ch_part_e")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:"), "ch_part_e"))
+    // dropping a missing partition is a no-op, like CH
+    ClickHouseSql.sql(spark, "ALTER TABLE ch_part_t DROP PARTITION '2023-12'")
+    assert(spark.table("ch_part_t").count() === 1L)
+
+    // expression partitioning: toYYYYMM(d) materializes a generated
+    // partition column at write — declared schema unchanged, DROP
+    // PARTITION by the expression VALUE retires the month
     ClickHouseSql.sql(spark, """
       CREATE TABLE ch_part_e (k UInt64, d Date)
       ENGINE = MergeTree PARTITION BY toYYYYMM(d) ORDER BY (k)
     """)
     assert(spark.table("ch_part_e").columns.toSeq === Seq("k", "d"))
-    spark.sql("DROP TABLE ch_part_t")
-    spark.sql("DROP TABLE ch_part_e")
+    ClickHouseSql.sql(spark, """INSERT INTO ch_part_e VALUES
+      (1, '2024-01-15'), (2, '2024-01-20'), (3, '2024-02-03')""")
+    assert(spark.table("ch_part_e").count() === 3L)
+    // the physical layout really is partitioned by the month value
+    val ePlan = spark.sql(
+      "SELECT k FROM ch_part_e__parts WHERE __ch_part = 202402")
+      .queryExecution.explainString(FormattedMode)
+    assert(ePlan.contains("PartitionFilters") && ePlan.contains("__ch_part"),
+      ePlan.take(1500))
+    ClickHouseSql.sql(spark, "ALTER TABLE ch_part_e DROP PARTITION 202401")
+    assert(spark.table("ch_part_e").collect().map(_.getLong(0)).toSeq ===
+      Seq(3L))
+    ClickHouseSql.sql(spark, "DROP TABLE ch_part_t")
+    ClickHouseSql.sql(spark, "DROP TABLE ch_part_e")
   }
 
   test("dictGet resolves registered dictionary attributes per row") {
@@ -1172,10 +1214,7 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(ClickHouseSql.mapChType("Decimal(10, 2)") === "DECIMAL(10, 2)")
     assert(ClickHouseSql.mapChType("Enum8('a' = 1, 'b' = 2)") === "STRING")
 
-    spark.sql("DROP TABLE IF EXISTS ch_ddl_t")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:"), "ch_ddl_t"))
+    Seq("ch_ddl_t", "ch_ddl_t__parts").foreach(dropAnyType)
     ClickHouseSql.sql(spark, """
       CREATE TABLE ch_ddl_t (
         k UInt32,
@@ -1187,24 +1226,41 @@ class ClickHouseDialectSpec extends SparkSpec {
       ORDER BY (k)
       SETTINGS index_granularity = 8192
     """)
+    // PARTITION BY k with k declared FIRST: the read surface must keep
+    // the DECLARED order even though Spark stores partition columns
+    // last in the physical table
     val schema = spark.table("ch_ddl_t").schema
     assert(schema.fieldNames.toSeq === Seq("k", "name", "ver", "amount"))
     assert(schema("k").dataType.sql === "BIGINT")
     assert(schema("name").dataType.sql === "STRING")
     assert(schema("amount").dataType.sql === "DECIMAL(10,2)")
 
-    spark.sql("""INSERT INTO ch_ddl_t VALUES
+    // positional INSERT binds to the DECLARED column order, verbatim CH
+    ClickHouseSql.sql(spark, """INSERT INTO ch_ddl_t VALUES
       (1, 'old', 1, 10.00), (1, 'new', 2, 20.00), (2, 'only', 1, 5.00)""")
+    val all = spark.table("ch_ddl_t")
+      .orderBy("k", "ver").collect()
+    assert(all.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getDecimal(3).doubleValue)).toSeq === Seq(
+      (1L, "old", 1L, 10.0), (1L, "new", 2L, 20.0), (2L, "only", 1L, 5.0)))
     val rows = ClickHouseSql.sql(spark,
       "SELECT k, name FROM ch_ddl_t FINAL ORDER BY k").collect()
     assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
       Seq((1L, "new"), (2L, "only")))
-    spark.sql("DROP TABLE ch_ddl_t")
+    // a filter on the partition column prunes at scan time
+    import org.apache.spark.sql.execution.FormattedMode
+    val ddlPlan = spark.sql("SELECT name FROM ch_ddl_t WHERE k = 2")
+      .queryExecution.explainString(FormattedMode)
+    assert(ddlPlan.contains("PartitionFilters") && ddlPlan.contains("k"),
+      ddlPlan.take(1500))
+    ClickHouseSql.sql(spark, "DROP TABLE ch_ddl_t")
+    assert(!spark.catalog.tableExists("ch_ddl_t") &&
+      !spark.catalog.tableExists("ch_ddl_t__parts"))
 
     // unsupported engines and missing versions fail loudly
     val e1 = intercept[IllegalArgumentException] {
       ClickHouseSql.rewrite(
-        "CREATE TABLE x (a UInt8) ENGINE = AggregatingMergeTree ORDER BY (a)",
+        "CREATE TABLE x (a UInt8) ENGINE = Memory ORDER BY (a)",
         _ => Nil)
     }
     assert(e1.getMessage.contains("unsupported table engine"))

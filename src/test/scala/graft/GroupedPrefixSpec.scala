@@ -93,6 +93,25 @@ class GroupedPrefixSpec extends SparkSpec {
     assert(spread === 1L, "a tie group crossed a slice boundary")
   }
 
+  test("NULL group keys survive — treated as one regular group") {
+    // PARTITION BY treats NULL as a group; the offsets join must use
+    // null-safe equality or those rows silently drop (ADVICE r7)
+    import spark.implicits._
+    val withNulls = data.withColumn("g",
+      when(col("g") === "C", lit(null: String)).otherwise(col("g")))
+    val got = GroupedPrefix.withRank(withNulls, Seq("g"), col("v"), "r",
+      numPartitions = 7)
+    assert(got.count() === 400L, "rows dropped on NULL group keys")
+    val gotMap = got.select(col("g"), col("id"), col("r")).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2)).toMap
+    val naive = withNulls.withColumn("r",
+      rank().over(Window.partitionBy(col("g")).orderBy(col("v"))))
+      .select(col("g"), col("id"), col("r")).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        r.getInt(2).toLong).toMap
+    assert(gotMap === naive)
+  }
+
   test("offsets relation is slice-bounded, not data-bounded") {
     val staged = GroupedPrefix.stage(data,
       Seq(col("g"), col("v"), col("id")), numPartitions = 7)

@@ -258,7 +258,8 @@ class MigrationE2ESpec extends SparkSpec {
     assert(rows(0).getString(0) === "weird\tname") // escaped tab restored
     assert(rows(0).isNullAt(2))                    // \N is NULL
     assert(rows(1).getString(0) === "multi\nline")
-    assert(rows.forall(_.isNullAt(4)))             // unlisted column
+    // unlisted column → CH TYPE default (epoch for DateTime), not NULL
+    assert(rows.forall(_.getTimestamp(4).toInstant.toEpochMilli === 0L))
 
     // JSONEachRow: name-matched fields, CH type default for absent ones
     ch("""INSERT INTO fmt_components FORMAT JSONEachRow
