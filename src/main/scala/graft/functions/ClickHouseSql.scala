@@ -103,7 +103,8 @@ object ClickHouseSql {
     * on every inserted block.
     */
   final case class PartitionedTable(physical: String,
-    declared: Seq[String], partCols: Seq[String], genExpr: Option[String])
+    declared: Seq[String], partCols: Seq[String], genExpr: Option[String],
+    chSpec: Option[String] = None)
 
   private val partTables =
     new java.util.concurrent.ConcurrentHashMap[String, PartitionedTable]
@@ -270,7 +271,8 @@ object ClickHouseSql {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], genSchema)
         .write.partitionBy(GenPartCol).format("parquet").saveAsTable(phys)
       partTables.put(norm(table),
-        PartitionedTable(phys, declared, Seq(GenPartCol), Some(genSql)))
+        PartitionedTable(phys, declared, Seq(GenPartCol), Some(genSql),
+          Some(specText)))
     }
     spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT " +
       s"${declared.map(q1).mkString(", ")} FROM $phys")
@@ -332,6 +334,72 @@ object ClickHouseSql {
       }
       case other => other
     }
+  }
+
+  /** Partition pruning for EXPRESSION-partitioned tables: ClickHouse
+    * users filter by the partition expression itself (`WHERE
+    * toYYYYMM(d) = 202402`), but through the declared-order view that
+    * predicate is a function of the data column — the scan cannot prune
+    * on it. This pass rewrites the query to read the physical table
+    * (declared columns + `__ch_part`, aliased back to the declared
+    * name) and replaces every occurrence of the partition expression's
+    * token sequence with `__ch_part`, so the predicate lands on the
+    * REAL partition column and the parquet scan prunes whole months.
+    * Conservative gates — any miss leaves the query correct, just
+    * unpruned: SELECT-only, no FINAL, no bare `*` (the subquery would
+    * widen it), exactly one expression-partitioned relation, and the
+    * spec's token sequence actually present.
+    */
+  private def rewritePartitionPrune(sqlText: String): String = {
+    import scala.jdk.CollectionConverters._
+    val exprTabs = partTables.asScala.toMap.filter(_._2.genExpr.isDefined)
+    if (exprTabs.isEmpty) return sqlText
+    val ts = lex(sqlText)
+    if (ts.isEmpty ||
+      (ts.head.lower != "select" && ts.head.lower != "with")) return sqlText
+    if (ts.exists(t => t.lower == "final" || t.text == "*")) return sqlText
+    val rels = ts.zipWithIndex.filter { case (t, i) =>
+      isIdent(t) && exprTabs.contains(norm(t.text)) &&
+        ts.lift(i - 1).exists(p => p.lower == "from" || p.lower == "join")
+    }
+    if (rels.map { case (t, _) => norm(t.text) }.distinct.size != 1)
+      return sqlText
+    val pt = exprTabs(norm(rels.head._1.text))
+    val specToks = pt.chSpec.map(s => lex(s).map(_.lower))
+      .getOrElse(return sqlText)
+    if (specToks.isEmpty) return sqlText
+    val tl = ts.map(_.lower)
+    val hits = (0 to ts.length - specToks.length).filter { s =>
+      specToks.indices.forall(j => tl(s + j) == specToks(j))
+    }
+    if (hits.isEmpty) return sqlText
+    // build the spliced text: spec hits → __ch_part, relations → the
+    // __ch_part-bearing subquery (aliased to the declared name when the
+    // relation has no alias of its own, so qualified refs keep working)
+    final case class Span(start: Int, end: Int, repl: String)
+    val sub = s"(SELECT ${(pt.declared :+ GenPartCol).map(q1).mkString(", ")} " +
+      s"FROM ${pt.physical})"
+    val relSpans = rels.map { case (t, i) =>
+      val aliased = ts.lift(i + 1).exists(isIdent)
+      Span(t.start, t.end, if (aliased) sub else s"$sub AS ${t.text}")
+    }
+    val hitSpans = hits.map(s =>
+      Span(ts(s).start, ts(s + specToks.length - 1).end, GenPartCol))
+    val spans = (relSpans ++ hitSpans).sortBy(_.start)
+    // overlapping spans (a spec hit inside a relation name is impossible,
+    // but be safe) → bail out untouched
+    if (spans.sliding(2).exists {
+      case Seq(a, b) => a.end > b.start
+      case _ => false
+    }) return sqlText
+    val sb = new StringBuilder
+    var last = 0
+    spans.foreach { sp =>
+      sb.append(sqlText.substring(last, sp.start)).append(sp.repl)
+      last = sp.end
+    }
+    sb.append(sqlText.substring(last))
+    sb.toString
   }
 
   /** `DROP TABLE` / `TRUNCATE TABLE` on a [[PartitionedTable]]: both
@@ -1118,6 +1186,8 @@ object ClickHouseSql {
       out = rewriteInTable(out)
     if (l.contains("settings")) out = stripSettings(out)
     if (l.contains("format")) out = stripFormat(out)
+    out = rewritePartitionPrune(out) // no-op unless an expression-
+    // partitioned table is referenced with its partition expression
     out
   }
 

@@ -767,9 +767,24 @@ class ClickHouseDialectSpec extends SparkSpec {
       .queryExecution.explainString(FormattedMode)
     assert(ePlan.contains("PartitionFilters") && ePlan.contains("__ch_part"),
       ePlan.take(1500))
+    // and the CH idiom — filtering by the partition EXPRESSION through
+    // the declared name — prunes too (rewritePartitionPrune maps
+    // toYYYYMM(d) onto the generated partition column)
+    val idiom = ClickHouseSql.sql(spark,
+      "SELECT k FROM ch_part_e WHERE toYYYYMM(d) = 202402")
+    assert(idiom.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    val idiomPlan = idiom.queryExecution.explainString(FormattedMode)
+    assert(idiomPlan.contains("PartitionFilters") &&
+      idiomPlan.contains("__ch_part"), idiomPlan.take(1500))
     ClickHouseSql.sql(spark, "ALTER TABLE ch_part_e DROP PARTITION 202401")
     assert(spark.table("ch_part_e").collect().map(_.getLong(0)).toSeq ===
       Seq(3L))
+    // TRUNCATE TABLE empties both layouts, keeping schema + registry
+    ClickHouseSql.sql(spark, "TRUNCATE TABLE ch_part_e")
+    assert(spark.table("ch_part_e").count() === 0L)
+    assert(spark.table("ch_part_e").columns.toSeq === Seq("k", "d"))
+    ClickHouseSql.sql(spark, "INSERT INTO ch_part_e VALUES (9, '2024-03-01')")
+    assert(spark.table("ch_part_e").head().getLong(0) === 9L)
     ClickHouseSql.sql(spark, "DROP TABLE ch_part_t")
     ClickHouseSql.sql(spark, "DROP TABLE ch_part_e")
   }
