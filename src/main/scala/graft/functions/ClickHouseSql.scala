@@ -214,7 +214,9 @@ object ClickHouseSql {
     if (toks(ni).lower == "if") { ifNotExists = true; ni += 3 }
     val table = toks(ni).text
     val openIdx = ni + 1
-    if (toks.lift(openIdx).forall(_.text != "(")) return None
+    if (toks.lift(openIdx).forall(_.text != "("))
+      return createPartitionedCtas(spark, sqlText, toks, table, ni,
+        ifNotExists)
     val closeIdx = toks.indexWhere(t => t.text == ")" && t.depth == 0, openIdx)
     val pbIdx = toks.indexWhere(t =>
       t.depth == 0 && t.lower == "partition", closeIdx)
@@ -230,17 +232,7 @@ object ClickHouseSql {
     require(specText.nonEmpty, s"PARTITION BY: empty spec in $sqlText")
     if (ifNotExists && spark.catalog.tableExists(table))
       return Some(spark.emptyDataFrame)
-    // classify: plain column list vs expression
-    val specToks = lex(specText)
-    val plainCols: Seq[String] =
-      if (specToks.forall(t => isIdent(t) || t.text == ","))
-        specToks.filter(isIdent).map(_.text)
-      else if (specToks.length >= 2 && specToks.head.text == "(" &&
-        specToks.last.text == ")" &&
-        specToks.slice(1, specToks.length - 1)
-          .forall(t => isIdent(t) || t.text == ","))
-        specToks.slice(1, specToks.length - 1).filter(isIdent).map(_.text)
-      else Seq.empty
+    val plainCols = plainPartitionCols(specText)
     // DDL text without the PARTITION BY clause → the normal rewrite
     // (registers the engine under the declared name)
     val baseText = sqlText.substring(0, toks(pbIdx).start) +
@@ -269,6 +261,89 @@ object ClickHouseSql {
       spark.sql(s"DROP TABLE $phys")
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], genSchema)
+        .write.partitionBy(GenPartCol).format("parquet").saveAsTable(phys)
+      partTables.put(norm(table),
+        PartitionedTable(phys, declared, Seq(GenPartCol), Some(genSql),
+          Some(specText)))
+    }
+    spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT " +
+      s"${declared.map(q1).mkString(", ")} FROM $phys")
+    Some(spark.table(table).limit(0))
+  }
+
+  /** A PARTITION BY spec's plain column list — empty when the spec is
+    * an expression (`toYYYYMM(d)`), which partitions on a generated
+    * column instead.
+    */
+  private def plainPartitionCols(specText: String): Seq[String] = {
+    val specToks = lex(specText)
+    if (specToks.forall(t => isIdent(t) || t.text == ","))
+      specToks.filter(isIdent).map(_.text)
+    else if (specToks.length >= 2 && specToks.head.text == "(" &&
+      specToks.last.text == ")" &&
+      specToks.slice(1, specToks.length - 1)
+        .forall(t => isIdent(t) || t.text == ","))
+      specToks.slice(1, specToks.length - 1).filter(isIdent).map(_.text)
+    else Seq.empty
+  }
+
+  /** The CTAS spelling of a partitioned CREATE (`CREATE TABLE t
+    * ENGINE = … PARTITION BY <spec> ORDER BY … AS SELECT …`): evaluate
+    * the SELECT once, write it as the partitioned physical table (plus
+    * the generated partition column for expression specs), and expose
+    * the declared-order view — the same two-piece layout as the
+    * column-list form. CTAS without PARTITION BY returns None and takes
+    * the text-level [[rewriteCtas]] path.
+    */
+  private def createPartitionedCtas(spark: SparkSession, sqlText: String,
+    toks: Vector[Tok], table: String, ni: Int,
+    ifNotExists: Boolean): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.expr
+    val asIdx = toks.zipWithIndex.indexWhere { case (t, i) =>
+      i > ni && t.depth == 0 && t.lower == "as" &&
+        toks.lift(i + 1).exists(x =>
+          x.lower == "select" || x.lower == "with" || x.text == "(")
+    }
+    if (asIdx < 0) return None
+    val pbIdx = toks.indexWhere(t =>
+      t.depth == 0 && t.lower == "partition", ni)
+    if (pbIdx < 0 || pbIdx >= asIdx ||
+      !toks.lift(pbIdx + 1).exists(_.lower == "by")) return None
+    val stopKw = Set("order", "primary", "ttl", "settings", "sample", "as")
+    val stopIdx = toks.indexWhere(t =>
+      t.depth == 0 && stopKw(t.lower), pbIdx + 2)
+    require(stopIdx > 0 && stopIdx <= asIdx,
+      s"PARTITION BY: cannot locate the spec's end in $sqlText")
+    val specText = sqlText.substring(toks(pbIdx + 2).start,
+      toks(stopIdx).start).trim
+    require(specText.nonEmpty, s"PARTITION BY: empty spec in $sqlText")
+    if (ifNotExists && spark.catalog.tableExists(table))
+      return Some(spark.emptyDataFrame)
+    // DDL without the clause → rewriteCtas (registers the engine and
+    // rewrites the SELECT); the select text is after our own marker
+    val baseText = sqlText.substring(0, toks(pbIdx).start) +
+      sqlText.substring(toks(stopIdx).start)
+    val createStd = rewrite(baseText, t => spark.table(t).columns.toSeq)
+    val marker = " USING parquet AS "
+    val mi = createStd.indexOf(marker)
+    require(mi > 0, s"unexpected CTAS rewrite shape: $createStd")
+    val df = spark.sql(createStd.substring(mi + marker.length))
+    val declared = df.columns.toSeq
+    val phys = table + "__parts"
+    val plainCols = plainPartitionCols(specText)
+    if (plainCols.nonEmpty) {
+      val missing = plainCols.filterNot(p =>
+        declared.exists(_.equalsIgnoreCase(p)))
+      require(missing.isEmpty,
+        s"PARTITION BY column(s) ${missing.mkString(", ")} not in the " +
+          s"CTAS select of $table")
+      df.write.partitionBy(plainCols: _*).format("parquet")
+        .saveAsTable(phys)
+      partTables.put(norm(table),
+        PartitionedTable(phys, declared, plainCols, None))
+    } else {
+      val genSql = chPartExprToSpark(specText)
+      df.withColumn(GenPartCol, expr(genSql))
         .write.partitionBy(GenPartCol).format("parquet").saveAsTable(phys)
       partTables.put(norm(table),
         PartitionedTable(phys, declared, Seq(GenPartCol), Some(genSql),
@@ -1145,7 +1220,7 @@ object ClickHouseSql {
       return rewriteMaterializedView(out, columnsOf)
     if (l.contains("engine") &&
       l.trim.replaceAll("\\s+", " ").startsWith("create table"))
-      return rewriteCreateTable(out)
+      return rewriteCreateTable(out, columnsOf)
     if (l.contains("with")) out = rewriteScalarWith(out)
     if (paramCallNames.exists(l.contains)) out = rewriteParamCall(out)
     if (l.contains("if")) out = rewriteIfCombinator(out)
@@ -1271,7 +1346,8 @@ object ClickHouseSql {
     * Spark analog). SummingMergeTree with no argument sums every
     * numeric non-key column, like ClickHouse.
     */
-  private def rewriteCreateTable(sqlText: String): String = {
+  private def rewriteCreateTable(sqlText: String,
+    columnsOf: String => Seq[String] = _ => Nil): String = {
     val toks = lex(sqlText)
     if (toks.length < 3 || toks.head.lower != "create" ||
       toks(1).lower != "table") return sqlText
@@ -1281,11 +1357,11 @@ object ClickHouseSql {
     var ni = 2
     if (toks(ni).lower == "if") ni += 3
     val table = toks(ni).text
-    // column group
+    // column group — absent means the CTAS form (`CREATE TABLE t
+    // ENGINE = … ORDER BY … AS SELECT …`)
     val openIdx = ni + 1
     if (toks.lift(openIdx).forall(_.text != "("))
-      throw new IllegalArgumentException(
-        "CREATE TABLE … ENGINE: explicit column list required")
+      return rewriteCtas(sqlText, toks, table, ni, columnsOf)
     val closeIdx = toks.indexWhere(t => t.text == ")" && t.depth == 0, openIdx)
     val colsInner = sqlText.substring(toks(openIdx).end, toks(closeIdx).start)
     // split column defs at top-level commas of the group
@@ -1385,6 +1461,57 @@ object ClickHouseSql {
     val colsSql = mapped.map(c => s"${c.name} ${c.sparkType}").mkString(", ")
     sqlText.substring(0, toks(openIdx).start) +
       s"($colsSql) USING parquet"
+  }
+
+  /** ClickHouse CTAS: `CREATE TABLE t ENGINE = <X>MergeTree(…)
+    * [PARTITION BY …] ORDER BY (…) [SETTINGS …] AS SELECT …` → a Spark
+    * `CREATE TABLE t USING parquet AS <rewritten select>`, with the
+    * engine + sort key registered exactly like the column-list form so
+    * FINAL reads merge. The column types come from the SELECT, so
+    * no-argument SummingMergeTree and AggregatingMergeTree (which need
+    * declared types to infer measures/states) fail loudly with the
+    * restatement. PARTITION BY on the CTAS form is handled by
+    * [[createPartitionedTable]] when executed through [[sql]]; at this
+    * text level it is erased (correct, just unpruned).
+    */
+  private def rewriteCtas(sqlText: String, toks: Vector[Tok],
+    table: String, ni: Int, columnsOf: String => Seq[String]): String = {
+    val asIdx = toks.zipWithIndex.indexWhere { case (t, i) =>
+      i > ni && t.depth == 0 && t.lower == "as" &&
+        toks.lift(i + 1).exists(x =>
+          x.lower == "select" || x.lower == "with" || x.text == "(")
+    }
+    require(asIdx > 0,
+      "CREATE TABLE … ENGINE: explicit column list or AS SELECT required")
+    val engIdx = toks.indexWhere(t => t.depth == 0 && t.lower == "engine")
+    require(engIdx > 0 && engIdx < asIdx,
+      s"CREATE TABLE AS SELECT: ENGINE clause must precede AS: $sqlText")
+    val eqOff = if (toks.lift(engIdx + 1).exists(_.text == "=")) 1 else 0
+    val engNameTok = toks(engIdx + 1 + eqOff)
+    var engArgs = Seq.empty[String]
+    if (toks.lift(engIdx + 2 + eqOff).exists(t =>
+      t.text == "(" && t.depth == 0)) {
+      val ec = toks.indexWhere(t => t.text == ")" && t.depth == 0,
+        engIdx + 2 + eqOff)
+      engArgs = toks.slice(engIdx + 3 + eqOff, ec).filter(isIdent).map(_.text)
+    }
+    val obIdx = toks.indexWhere(t =>
+      t.depth == 0 && t.lower == "order", engIdx)
+    val sortKey: Seq[String] =
+      if (obIdx < 0 || obIdx >= asIdx) Seq.empty
+      else if (toks.lift(obIdx + 2).exists(_.text == "(")) {
+        val oc = toks.indexWhere(t => t.text == ")" && t.depth == 0, obIdx + 2)
+        toks.slice(obIdx + 3, oc).filter(isIdent).map(_.text)
+      } else Seq(toks(obIdx + 2).text)
+    val thrower: () => Seq[String] = () => throw new IllegalArgumentException(
+      "CTAS declares no column types — use the explicit column-list " +
+        "CREATE TABLE for measure/state inference")
+    registerEngineFromDdl(table, engNameTok.lower, engArgs, sortKey,
+      thrower)
+    val selectText = sqlText.substring(toks(asIdx + 1).start)
+      .trim.stripSuffix(";")
+    sqlText.substring(0, toks(ni).end) +
+      " USING parquet AS " + rewrite(selectText, columnsOf)
   }
 
   /** Shared DDL engine registration (CREATE TABLE and CREATE

@@ -1287,6 +1287,46 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("version column"))
   }
 
+  test("CREATE TABLE … ENGINE … AS SELECT (CTAS) registers engines and partitions") {
+    Seq("ch_ctas_t", "ch_ctas_p", "ch_ctas_p__parts").foreach(dropAnyType)
+    // ReplacingMergeTree CTAS: engine registers, FINAL merges
+    ClickHouseSql.sql(spark, """
+      CREATE TABLE ch_ctas_t ENGINE = ReplacingMergeTree(ver) ORDER BY (k)
+      AS SELECT * FROM VALUES (1, 'old', 1), (1, 'new', 2), (2, 'only', 1)
+         AS v(k, name, ver)
+    """)
+    assert(spark.table("ch_ctas_t").count() === 3L)
+    val fin = ClickHouseSql.sql(spark,
+      "SELECT k, name FROM ch_ctas_t FINAL ORDER BY k").collect()
+    assert(fin.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "new"), (2, "only")))
+    // expression-partitioned CTAS: two-piece layout, declared order,
+    // DROP PARTITION by month value
+    ClickHouseSql.sql(spark, """
+      CREATE TABLE ch_ctas_p ENGINE = MergeTree
+      PARTITION BY toYYYYMM(d) ORDER BY (k)
+      AS SELECT * FROM VALUES
+        (1, DATE'2024-01-15'), (2, DATE'2024-01-20'), (3, DATE'2024-02-03')
+        AS v(k, d)
+    """)
+    assert(spark.table("ch_ctas_p").columns.toSeq === Seq("k", "d"))
+    assert(spark.table("ch_ctas_p").count() === 3L)
+    ClickHouseSql.sql(spark, "ALTER TABLE ch_ctas_p DROP PARTITION 202401")
+    assert(spark.table("ch_ctas_p").collect().map(_.getInt(0)).toSeq ===
+      Seq(3))
+    // no-arg SummingMergeTree CTAS has no declared types to infer
+    // measures from — loud error
+    val err = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark, """
+        CREATE TABLE ch_ctas_bad ENGINE = SummingMergeTree ORDER BY (k)
+        AS SELECT 1 AS k, 2 AS v
+      """)
+    }
+    assert(err.getMessage.contains("column"))
+    ClickHouseSql.sql(spark, "DROP TABLE ch_ctas_t")
+    ClickHouseSql.sql(spark, "DROP TABLE ch_ctas_p")
+  }
+
   test("QUALIFY filters on window results, inline or via alias") {
     // inline window expression in the predicate
     val top = ClickHouseSql.sql(spark, """
