@@ -118,6 +118,35 @@ object ClickHouseSql {
   /** The generated partition column's reserved name. */
   private val GenPartCol = "__ch_part"
 
+  /** Declared `ORDER BY` sort keys per CH table (every engine,
+    * including plain MergeTree). ClickHouse parts are physically sorted
+    * by this key — the primary index IS the sort order. The Spark
+    * re-expression: every dialect write sorts the block within
+    * partitions by (partition cols ++ sort key) before the parquet
+    * write, so each data file holds sorted runs and its row-group
+    * min/max statistics are TIGHT on the key — scans with sort-key
+    * predicates skip row groups, the 100 TB analog of CH primary-key
+    * skipping (q83_skip_index is the registry-side demonstration).
+    */
+  private val sortKeys =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]
+
+  def sortKeyOf(table: String): Option[Seq[String]] =
+    Option(sortKeys.get(norm(table)))
+
+  /** Sort a block the way the table's parts are declared sorted, when a
+    * sort key is registered and its columns are present (column DDL may
+    * have dropped one — then the layout degrades, never errors).
+    */
+  private def sortedForWrite(df: DataFrame, table: String,
+    leading: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keys = (leading ++ sortKeyOf(table).getOrElse(Nil)).distinct
+      .filter(k => df.columns.exists(_.equalsIgnoreCase(k)))
+    if (keys.isEmpty) df
+    else df.sortWithinPartitions(keys.map(k => col(q1(k))): _*)
+  }
+
   /** Append/overwrite `block` (declared-order columns, any order by
     * name) into `table`, resolving the partitioned physical layout:
     * the generated partition value is recomputed from the block and
@@ -136,10 +165,14 @@ object ClickHouseSql {
       // align by NAME and cast to the stored types (CH INSERT coerces
       // literals — VALUES-sourced blocks arrive as parsed literal types)
       val physSchema = spark.table(pt.physical).schema
-      withGen.select(physSchema.map(f =>
+      val aligned = withGen.select(physSchema.map(f =>
         col(q1(f.name)).cast(f.dataType).as(f.name)).toSeq: _*)
+      // cluster by partition value, then the declared sort key — each
+      // output file holds one partition's sorted run
+      sortedForWrite(aligned, table, leading = pt.partCols)
         .write.mode(mode).insertInto(pt.physical)
-    case None => block.write.mode(mode).insertInto(table)
+    case None =>
+      sortedForWrite(block, table).write.mode(mode).insertInto(table)
   }
 
   /** One registered materialized view: its storage table, the SOURCE
@@ -337,13 +370,15 @@ object ClickHouseSql {
       require(missing.isEmpty,
         s"PARTITION BY column(s) ${missing.mkString(", ")} not in the " +
           s"CTAS select of $table")
-      df.write.partitionBy(plainCols: _*).format("parquet")
+      sortedForWrite(df, table, leading = plainCols)
+        .write.partitionBy(plainCols: _*).format("parquet")
         .saveAsTable(phys)
       partTables.put(norm(table),
         PartitionedTable(phys, declared, plainCols, None))
     } else {
       val genSql = chPartExprToSpark(specText)
-      df.withColumn(GenPartCol, expr(genSql))
+      sortedForWrite(df.withColumn(GenPartCol, expr(genSql)), table,
+        leading = Seq(GenPartCol))
         .write.partitionBy(GenPartCol).format("parquet").saveAsTable(phys)
       partTables.put(norm(table),
         PartitionedTable(phys, declared, Seq(GenPartCol), Some(genSql),
@@ -500,6 +535,7 @@ object ClickHouseSql {
           spark.sql(s"DROP TABLE IF EXISTS ${pt.physical}")
           partTables.remove(norm(table))
           engines.remove(norm(table))
+          sortKeys.remove(norm(table))
           mvDefs.remove(norm(table))
         } else {
           spark.sql(s"TRUNCATE TABLE ${pt.physical}")
@@ -1084,6 +1120,8 @@ object ClickHouseSql {
       engineOf(from).foreach { e =>
         engines.remove(norm(from)); registerEngine(to, e)
       }
+      Option(sortKeys.remove(norm(from)))
+        .foreach(sk => sortKeys.put(norm(to), sk))
     }
     if (toks.length >= 3 && toks.head.lower == "rename" &&
       toks(1).lower == "table") {
@@ -1510,8 +1548,14 @@ object ClickHouseSql {
       thrower)
     val selectText = sqlText.substring(toks(asIdx + 1).start)
       .trim.stripSuffix(";")
-    sqlText.substring(0, toks(ni).end) +
-      " USING parquet AS " + rewrite(selectText, columnsOf)
+    val sel = rewrite(selectText, columnsOf)
+    // sorted-write layout for CTAS too: SORT BY = within-partition sort,
+    // so the created files hold sort-key-ordered runs like CH parts
+    val sorted =
+      if (sortKey.isEmpty) sel
+      else s"SELECT * FROM ($sel) __ch_ctas SORT BY " +
+        sortKey.map(q1).mkString(", ")
+    sqlText.substring(0, toks(ni).end) + " USING parquet AS " + sorted
   }
 
   /** Shared DDL engine registration (CREATE TABLE and CREATE
@@ -1526,7 +1570,9 @@ object ClickHouseSql {
       throw new IllegalArgumentException(
         "AggregatingMergeTree needs AggregateFunction(f, T) column " +
           "declarations — a materialized view has none; declare the " +
-          "target table explicitly")): Unit = engName match {
+          "target table explicitly")): Unit = {
+    if (sortKey.nonEmpty) sortKeys.put(norm(table), sortKey)
+    engName match {
     case "aggregatingmergetree" =>
       require(sortKey.nonEmpty, "AggregatingMergeTree needs ORDER BY")
       registerEngine(table, Aggregating(sortKey, aggregatingMerges()))
@@ -1546,11 +1592,13 @@ object ClickHouseSql {
       require(sortKey.nonEmpty, "SummingMergeTree needs ORDER BY")
       val measures = if (engArgs.nonEmpty) engArgs else summingDefault()
       registerEngine(table, Summing(sortKey, measures))
-    case "mergetree" => // plain: FINAL is the identity, nothing to register
+    case "mergetree" => // plain: FINAL is the identity, no merge engine
+      // (the sort key still registered above for sorted-write layout)
     case other => throw new IllegalArgumentException(
       s"unsupported table engine $other — supported: MergeTree, " +
         "ReplacingMergeTree(ver…), CollapsingMergeTree(sign, ver…), " +
         "SummingMergeTree([measures…]), AggregatingMergeTree")
+    }
   }
 
   /** ClickHouse `CREATE MATERIALIZED VIEW mv ENGINE = <X>MergeTree(…)
@@ -1786,12 +1834,14 @@ object ClickHouseSql {
     if (toks(i).lower == "table") i += 1
     if (!isIdent(toks(i))) return None
     val table = toks(i).text
-    // claimed for MV-triggering tables AND partitioned tables — the
-    // latter's declared name is a view, so the generic spark.sql INSERT
-    // path cannot take them (and positional VALUES must bind to the
-    // DECLARED order, which this path's alignment guarantees)
+    // claimed for MV-triggering tables, partitioned tables (their
+    // declared name is a view, so the generic spark.sql INSERT path
+    // cannot take them, and positional VALUES must bind to the DECLARED
+    // order), and ORDER BY tables (the write path sorts each block by
+    // the declared sort key — CH sorted parts)
     if (materializedViewsOn(table).isEmpty &&
-      partitionedTable(table).isEmpty) return None
+      partitionedTable(table).isEmpty &&
+      sortKeyOf(table).isEmpty) return None
     i += 1
     var listed = Seq.empty[String]
     if (toks.lift(i).exists(_.text == "(")) {

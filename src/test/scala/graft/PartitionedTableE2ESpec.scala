@@ -155,6 +155,52 @@ class PartitionedTableE2ESpec extends SparkSpec {
     ch("DROP TABLE pt_rn_c")
   }
 
+  test("ORDER BY tables write sort-key-ordered files (CH sorted parts)") {
+    Seq("pt_sorted", "pt_sorted__parts", "pt_sorted_p", "pt_sorted_p__parts")
+      .foreach(dropAnyType)
+    ch("""CREATE TABLE pt_sorted (k UInt64, v String)
+      ENGINE = MergeTree ORDER BY (k)""")
+    assert(ClickHouseSql.sortKeyOf("pt_sorted") === Some(Seq("k")))
+    // insert deliberately shuffled keys; the write path must sort them
+    val vals = scala.util.Random.shuffle((1 to 500).toList)
+      .map(i => s"($i, 'v$i')").mkString(", ")
+    ch(s"INSERT INTO pt_sorted VALUES $vals")
+    // every parquet file must be internally ordered by k — tight
+    // row-group min/max = primary-key skipping at scale
+    val dir = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "pt_sorted")
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.getAbsolutePath)
+        .select("k").collect().map(_.getLong(0)).toSeq
+      assert(ks === ks.sorted, s"file ${f.getName} is not sorted by k")
+    }
+    // a partitioned table sorts within each partition's files too
+    ch("""CREATE TABLE pt_sorted_p (k UInt64, mon String)
+      ENGINE = MergeTree PARTITION BY mon ORDER BY (k)""")
+    val pvals = scala.util.Random.shuffle((1 to 200).toList)
+      .map(i => s"($i, '2024-0${1 + i % 2}')").mkString(", ")
+    ch(s"INSERT INTO pt_sorted_p VALUES $pvals")
+    val pdir = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "pt_sorted_p__parts")
+    val pfiles = new scala.collection.mutable.ArrayBuffer[java.io.File]
+    def walk(d: java.io.File): Unit = d.listFiles().foreach { f =>
+      if (f.isDirectory) walk(f)
+      else if (f.getName.endsWith(".parquet")) pfiles += f
+    }
+    walk(pdir)
+    assert(pfiles.nonEmpty)
+    pfiles.foreach { f =>
+      val ks = spark.read.parquet(f.getAbsolutePath)
+        .select("k").collect().map(_.getLong(0)).toSeq
+      assert(ks === ks.sorted, s"file ${f.getName} is not sorted by k")
+    }
+    ch("DROP TABLE pt_sorted")
+    ch("DROP TABLE pt_sorted_p")
+    dropAnyType("pt_sorted_p")
+  }
+
   test("MV triggers fire on partitioned-source inserts") {
     Seq("pt_mv_src", "pt_mv_src__parts", "pt_mv_agg").foreach(dropAnyType)
     ClickHouseSql.dropMaterializedView("pt_mv_agg")
