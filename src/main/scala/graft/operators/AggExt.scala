@@ -58,18 +58,26 @@ object AggExt {
       ORDER BY l_returnflag
     """)
   ) { t =>
-    // One percentile aggregate for all three points — a single sort of
-    // each group's values instead of three. The +1e-6 epsilon before
-    // rounding moves interpolated midpoints of 2-decimal prices off the
-    // exact ROUND half-boundary (x.xx5), where a 1-ulp difference between
-    // the engines' interpolation arithmetic would otherwise flip the cent.
-    t.lineitem
-      .groupBy(col("l_returnflag"))
-      .agg(
-        percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9), lit(0.99))).as("ps"),
-        min(col("l_extendedprice")).as("lo"),
-        max(col("l_extendedprice")).as("hi")
-      )
+    // All three points from ONE GroupedPrefix staged sort (covering-
+    // slice rank selection, bit-identical to percentile()'s
+    // interpolation) — never percentile()'s per-group value→count map,
+    // whose merge concentrates distinct-PRICE-sized state on one
+    // reducer per enum group (the 100 TB cliff; integer-domain
+    // quantiles like q100/q64 keep the histogram form because their
+    // state is bounded by the value domain, prices are not). The +1e-6
+    // epsilon before rounding moves interpolated midpoints of 2-decimal
+    // prices off the exact ROUND half-boundary (x.xx5), where a 1-ulp
+    // difference between the engines' interpolation arithmetic would
+    // otherwise flip the cent.
+    import graft.plans.GroupedPrefix
+    val ps = GroupedPrefix.exactQuantiles(
+      t.lineitem.select(col("l_returnflag"), col("l_extendedprice")),
+      Seq("l_returnflag"), col("l_extendedprice"),
+      Seq(0.5, 0.9, 0.99), "ps")
+    val mm = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+    ps.join(mm, Seq("l_returnflag"))
       .select(col("l_returnflag"),
         round(col("ps").getItem(0) + 0.000001, 2).as("p50"),
         round(col("ps").getItem(1) + 0.000001, 2).as("p90"),

@@ -294,6 +294,11 @@ object Behavior {
       .agg(
         count(lit(1)).as("conversions"),
         sum(col("lag_s")).as("sum_lag_s"),
+        // percentile() here is domain-bounded: lag_s is INTEGER seconds
+        // within the retention window, so the per-group value→count
+        // state is capped by the value domain (the q100 histogram
+        // argument) — unlike unbounded price domains (q21/q75, which
+        // ride GroupedPrefix.exactQuantiles instead)
         percentile(col("lag_s"), array(lit(0.5), lit(0.9))).as("ps"))
       .select(col("day"), col("conversions"), col("sum_lag_s"),
         round(col("ps").getItem(0) + 0.000001, 1).as("p50_lag_s"),

@@ -564,10 +564,12 @@ object Stats {
 
   // q75 — ClickHouse medianExact + the MAD robust-dispersion recipe:
   // median absolute deviation = median(|x − median(x)|). Two exact
-  // interpolated-percentile passes; the per-group medians are a tiny
-  // relation broadcast back onto the fact scan (no second shuffle of the
-  // data, no sort of the full input — percentile's partial state is the
-  // per-partition value multiset, combined once per group).
+  // rank-selection passes on GroupedPrefix.exactQuantile (range-
+  // partitioned sort + covering-slice positional pick — never
+  // percentile()'s per-group value→count map, whose merge concentrates
+  // distinct-value-sized state on one reducer per enum group); the
+  // per-group medians are a tiny relation broadcast back onto the fact
+  // scan for the deviation pass.
   val q75 = Q(
     "q75_mad",
     Some("""
@@ -584,17 +586,31 @@ object Stats {
       ORDER BY l.l_returnflag
     """)
   ) { t =>
-    val med = t.lineitem.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
-    t.lineitem
-      .join(broadcast(med), Seq("l_returnflag"))
-      .groupBy(col("l_returnflag"))
-      // +1e-6 before rounding: moves interpolated midpoints of 2-decimal
-      // prices off the x.xx5 ROUND half-boundary (same trick as q21)
-      .agg(
-        round(max(col("m")) + 0.000001, 2).as("median_price"),
-        round(expr("percentile(abs(l_extendedprice - m), 0.5)") + 0.000001, 2).as("mad"),
-        count(lit(1)).as("n"))
+    // Exact medians via GroupedPrefix rank selection, NOT percentile():
+    // percentile's aggregation state is a value→count map per group —
+    // with 3 enum groups over high-cardinality prices the merge
+    // concentrates a distinct-value-sized map on one reducer per group,
+    // a memory funnel at scale. Rank selection takes one parallel
+    // range-partitioned sort per pass and reduces through ordinary
+    // conditional maxes; the interpolation formula is percentile's own,
+    // so values are bit-identical.
+    import graft.plans.GroupedPrefix
+    val base = t.lineitem.select(col("l_returnflag"),
+      col("l_extendedprice").as("x"))
+    val med = GroupedPrefix.exactQuantile(base, Seq("l_returnflag"),
+      col("x"), 0.5, "m") // (l_returnflag, m, m_n)
+    val dev = base.join(broadcast(med), Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        abs(col("x").cast(DoubleType) - col("m")).as("d"))
+    val mad = GroupedPrefix.exactQuantile(dev, Seq("l_returnflag"),
+      col("d"), 0.5, "mad0")
+    // +1e-6 before rounding: moves interpolated midpoints of 2-decimal
+    // prices off the x.xx5 ROUND half-boundary (same trick as q21)
+    med.join(mad, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        round(col("m") + 0.000001, 2).as("median_price"),
+        round(col("mad0") + 0.000001, 2).as("mad"),
+        col("m_n").as("n"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -429,6 +429,9 @@ object Temporal {
       count(lit(1)).as("n_sessions"),
       sum(col("n_events")).cast(LongType).as("n_events"),
       count(when(col("n_events") === 1, 1)).as("n_bounce"),
+      // domain-bounded percentile: dur is INTEGER seconds capped by
+      // session length, so the value→count state is small (see q21/q75
+      // for the unbounded-domain alternative on GroupedPrefix)
       percentile(col("dur"), array(lit(0.5), lit(0.9))).as("ps"),
       max(col("dur")).cast(LongType).as("max_duration_sec"))
       .select(col("n_sessions"), col("n_events"), col("n_bounce"),

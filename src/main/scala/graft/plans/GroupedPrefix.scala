@@ -100,6 +100,106 @@ object GroupedPrefix {
   def localWindow(groupCols: Seq[String], sortCols: Seq[Column]): WindowSpec =
     Window.partitionBy((groupCols :+ PID).map(col): _*).orderBy(sortCols: _*)
 
+  /** EXACT interpolated per-group quantile via rank selection — the
+    * scale-safe replacement for `percentile(v, q)`, whose aggregation
+    * state is a value→count map PER GROUP: with low-cardinality groups
+    * and high-cardinality values the merge concentrates a
+    * distinct-value-sized map on one reducer per group — a memory
+    * funnel at scale. Here the data takes one range-partitioned
+    * sort (parallelism = numPartitions), positions resolve by COUNT
+    * (broadcast-joined back, null-safe), and the two bracketing values
+    * reduce through an ordinary map-side-combinable conditional max.
+    * Interpolation matches Spark/DuckDB continuous semantics:
+    * pos = (n−1)·q zero-based, value = lo + frac·(hi − lo) in double.
+    *
+    * Returns one row per group: groupCols, `out` (double), and
+    * `{out}_n` (the group's row count, BIGINT) — most callers need n
+    * anyway and it falls out for free.
+    */
+  def exactQuantile(df: DataFrame, groupCols: Seq[String], v: Column,
+                    q: Double, out: String,
+                    numPartitions: Int = 0): DataFrame = {
+    exactQuantiles(df, groupCols, v, Seq(q), "__gp_qs", numPartitions)
+      .select(groupCols.map(col) :+
+        col("__gp_qs").getItem(0).as(out) :+
+        col("__gp_qs_n").as(out + "_n"): _*)
+  }
+
+  /** Multi-point form of [[exactQuantile]]: one staged sort serves every
+    * requested quantile — `out` is an ARRAY(double) in `qs` order (the
+    * `percentile(v, array(…))` shape), plus `{out}_n` (group row count).
+    */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], v: Column,
+                     qs: Seq[Double], out: String,
+                     numPartitions: Int = 0): DataFrame = {
+    require(qs.nonEmpty, "exactQuantiles: empty quantile list")
+    val nCol = out + "_n"
+    val base = df.select(groupCols.map(col) :+ v.cast("double")
+      .as("__gp_v"): _*)
+    // one range-partitioned sort; slice counts locate every target
+    // position, so only the COVERING slices (≤ 2 per group per point)
+    // take the local positional pass — no full-rank window, no
+    // join-back onto every row
+    val staged = stage(base, groupCols.map(col) :+ col("__gp_v"),
+      numPartitions)
+    val slices = staged.groupBy((groupCols :+ PID).map(col): _*)
+      .agg(count(lit(1)).as("__gp_c"))
+    val wGroup = Window.partitionBy(groupCols.map(col): _*)
+    def pos(i: Int): Column = (col(nCol) - 1) * lit(qs(i))
+    def tlo(i: Int): String = s"__gp_tlo_$i"
+    def thi(i: Int): String = s"__gp_thi_$i"
+    val withTargets = qs.indices.foldLeft(
+      slices
+        .withColumn("__gp_off",
+          coalesce(sum(col("__gp_c")).over(prevSlices(groupCols)), lit(0L)))
+        .withColumn(nCol, sum(col("__gp_c")).over(wGroup))) { (d, i) =>
+      d.withColumn(tlo(i), floor(pos(i)) + 1) // 1-based target positions
+        .withColumn(thi(i), ceil(pos(i)) + 1)
+    }
+    def covers(t: String): Column =
+      col("__gp_off") < col(t) && col(t) <= col("__gp_off") + col("__gp_c")
+    val targets = withTargets
+      .where(qs.indices.map(i => covers(tlo(i)) || covers(thi(i)))
+        .reduce(_ || _))
+      .drop("__gp_c")
+    // null-safe keys: NULL group keys are regular groups (see
+    // withOffsets)
+    val keyNames = groupCols :+ PID
+    val renamed = keyNames.foldLeft(targets)((d, c) =>
+      d.withColumnRenamed(c, "__gp_t_" + c))
+    val cond = keyNames.map(c => col(c) <=> col("__gp_t_" + c))
+      .reduce(_ && _)
+    val covered = staged.join(broadcast(renamed), cond)
+      .drop(keyNames.map("__gp_t_" + _): _*)
+    // the value at 1-based global position p: within a covering slice
+    // the positional index is off + row_number (any stable order among
+    // tied values yields the same VALUE at a given position)
+    val gpos = col("__gp_off") +
+      row_number().over(localWindow(groupCols, Seq(col("__gp_v"))))
+    val aggs =
+      max(col(nCol)).as(nCol) +:
+        qs.indices.flatMap(i => Seq(
+          max(when(col("__gp_gpos") === col(tlo(i)), col("__gp_v")))
+            .as(s"__gp_lo_$i"),
+          max(when(col("__gp_gpos") === col(thi(i)), col("__gp_v")))
+            .as(s"__gp_hi_$i")))
+    val points = qs.indices.map { i =>
+      // Spark Percentile's own interpolation, replicated term for term
+      // so the double is bit-identical: integral position → the value
+      // itself; else the WEIGHTED form (ceil−pos)·lo + (pos−floor)·hi
+      // (NOT lo + frac·(hi−lo), which rounds a different ulp)
+      when(floor(pos(i)) === ceil(pos(i)), col(s"__gp_lo_$i"))
+        .otherwise((ceil(pos(i)) - pos(i)) * col(s"__gp_lo_$i") +
+          (pos(i) - floor(pos(i))) * col(s"__gp_hi_$i"))
+    }
+    covered
+      .withColumn("__gp_gpos", gpos)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) :+
+        array(points: _*).as(out) :+ col(nCol): _*)
+  }
+
   /** Append a BIGINT grouped RANK() of `v` (min rank over ties) as
     * `out`: stage WITHOUT a tie-break so ties stay within one slice,
     * offset = rows in earlier slices, local rank within the slice.

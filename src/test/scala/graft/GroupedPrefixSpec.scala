@@ -112,6 +112,41 @@ class GroupedPrefixSpec extends SparkSpec {
     assert(gotMap === naive)
   }
 
+  test("exactQuantile matches percentile() bit-for-bit, ties and all") {
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val got = GroupedPrefix.exactQuantile(data, Seq("g"), col("x"), q,
+        "qv", numPartitions = 7)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+        .toMap
+      val naive = data.groupBy(col("g"))
+        .agg(expr(s"percentile(x, $q)").as("qv"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+        .toMap
+      assert(got === naive, s"q=$q")
+    }
+  }
+
+  test("exactQuantiles multi-point and global (no groups) match percentile()") {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val got = GroupedPrefix.exactQuantiles(data, Seq("g"), col("x"), qs,
+      "ps", numPartitions = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getLong(2))).toMap
+    val naive = data.groupBy(col("g"))
+      .agg(expr("percentile(x, array(0.5, 0.9, 0.99))").as("ps"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(got === naive)
+    // empty groupCols = one global group (the ungrouped-agg shape)
+    val g0 = GroupedPrefix.exactQuantiles(data, Seq.empty, col("x"), qs,
+      "ps", numPartitions = 7).head()
+    val n0 = data.agg(expr("percentile(x, array(0.5, 0.9, 0.99))"),
+      count(lit(1))).head()
+    assert(g0.getSeq[Double](0) === n0.getSeq[Double](0))
+    assert(g0.getLong(1) === n0.getLong(1))
+  }
+
   test("offsets relation is slice-bounded, not data-bounded") {
     val staged = GroupedPrefix.stage(data,
       Seq(col("g"), col("v"), col("id")), numPartitions = 7)
