@@ -760,6 +760,99 @@ object Multimodal {
       .limit(20)
   }
 
+  /** Per-clip scene-cut statistics (exact integers). */
+  final case class SceneCutStats(media_id: Long, w: Long, n_frames: Long,
+    n_cuts: Long, n_keyframes: Long, key_luma_wsum: Long)
+
+  // mm_scene_cut — keyframe selection by scene-change detection, the
+  // step a video training-data pipeline runs between frame decode and
+  // captioning/dedup: decode the REAL Y4M container, compute each
+  // frame's luma sum, declare a CUT where the absolute luma delta
+  // between consecutive frames exceeds the threshold, and keep frame 0
+  // plus every post-cut frame as keyframes. Statistics are exact — cut
+  // and keyframe counts plus a (frame-position+1)-weighted luma
+  // checksum over the KEPT frames only, so a cut placed one frame off
+  // fails the oracle, which replays every luma byte from the shared
+  // generator. Scale shape: decode + detection are per-clip inside one
+  // mapPartitions (no shuffle until the final small groupBy on width) —
+  // detection state is two longs per clip regardless of frame count.
+  val sceneCut = Q(
+    "mm_scene_cut",
+    Some("""
+      WITH clips AS (
+        SELECT doc_id, 8 + (doc_id % 3) * 4 AS w, 8 AS h, doc_id % 6 + 3 AS nf
+        FROM documents),
+      fr AS (
+        SELECT doc_id, w, nf, f,
+               SUM((doc_id * 7 + (f * w * h + p) * 13) % 251) AS s
+        FROM clips, UNNEST(RANGE(0, nf)) AS t(f),
+                    UNNEST(RANGE(0, w * h)) AS t2(p)
+        GROUP BY doc_id, w, nf, f),
+      keyed AS (
+        SELECT doc_id, w, nf, f, s,
+               CASE WHEN f = 0 THEN 1
+                    WHEN ABS(s - LAG(s) OVER (PARTITION BY doc_id
+                                              ORDER BY f)) > 500 THEN 1
+                    ELSE 0 END AS is_key
+        FROM fr),
+      per_clip AS (
+        SELECT doc_id, w, MAX(nf) AS nf,
+               SUM(CASE WHEN is_key = 1 AND f > 0 THEN 1 ELSE 0 END) AS n_cuts,
+               SUM(is_key) AS n_keys,
+               SUM(CASE WHEN is_key = 1 THEN s * (f + 1) ELSE 0 END) AS kw
+        FROM keyed GROUP BY doc_id, w)
+      SELECT CAST(w AS BIGINT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_clips,
+             CAST(SUM(nf) AS BIGINT) AS n_frames,
+             CAST(SUM(n_cuts) AS BIGINT) AS n_cuts,
+             CAST(SUM(n_keys) AS BIGINT) AS n_keyframes,
+             CAST(SUM(kw) AS BIGINT) AS key_luma_wsum
+      FROM per_clip
+      GROUP BY w
+      ORDER BY w
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val threshold = 500L
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + (id % 3) * 4).toInt
+        val h = 8
+        val nf = (id % 6 + 3).toInt
+        val clip = Y4mCodec.decode(Y4mCodec.encode(w, h, 30, 1,
+          (0 until nf).map(f => generateLuma(id, w, h, f))))
+        require(clip.frames.length == nf, s"Y4M frame-count mismatch")
+        var prev = 0L
+        var cuts = 0L; var keys = 0L; var kw = 0L
+        var f = 0
+        while (f < clip.frames.length) {
+          val fr = clip.frames(f)
+          var s = 0L
+          var p = 0
+          while (p < fr.length) { s += fr(p) & 0xff; p += 1 }
+          val isKey = f == 0 || math.abs(s - prev) > threshold
+          if (isKey) {
+            keys += 1
+            kw += s * (f + 1)
+            if (f > 0) cuts += 1
+          }
+          prev = s
+          f += 1
+        }
+        SceneCutStats(id, w.toLong, nf.toLong, cuts, keys, kw)
+      })
+      .toDF()
+      .groupBy(col("w"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(col("n_frames")).as("n_frames"),
+        sum(col("n_cuts")).as("n_cuts"),
+        sum(col("n_keyframes")).as("n_keyframes"),
+        sum(col("key_luma_wsum")).as("key_luma_wsum"))
+      .orderBy(col("w"))
+  }
+
   val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi,
-    imageDedup, audioDedup, videoDedup)
+    imageDedup, audioDedup, videoDedup, sceneCut)
 }
