@@ -119,6 +119,45 @@ object Streams {
     ()
   }
 
+  /** Streaming ingest into the ClickHouse-like partitioned layout — the
+    * §2d analog of the dialect's `PARTITION BY toYYYYMM(ts)` tables:
+    * each micro-batch lands as parquet partitioned by the generated
+    * month column and sorted within partitions by the declared sort
+    * key, so the files hold sorted runs exactly like the batch write
+    * path ([[graft.functions.ClickHouseSql]] sorted parts) and month
+    * retention stays a directory drop. The sort forces foreachBatch
+    * (streaming plans reject Sort outside Complete mode); replay
+    * safety comes from a per-batch marker file — a restarted batch
+    * whose marker exists is skipped, so the append is idempotent
+    * across recovery (the same contract the parquet sink's
+    * _spark_metadata log provides, kept explicit here because the
+    * batch hook owns the write).
+    */
+  def partitionedIngest(events: DataFrame, path: String, checkpoint: String,
+    sortKey: Seq[String] = Seq("user_id", "ts"))
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("__ch_part", date_format(col("ts"), "yyyyMM").cast("int"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(conf)
+        val marker = new org.apache.hadoop.fs.Path(
+          path + s"/_graft_batch_$batchId")
+        if (!fs.exists(marker)) {
+          batch
+            .sortWithinPartitions(("__ch_part" +: sortKey).map(col): _*)
+            .write.mode("append").partitionBy("__ch_part")
+            .parquet(path)
+          fs.create(marker, true).close()
+        }
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join: purchases attributed to the same user's
     * clicks within `horizon`. Both sides watermarked so join state is
     * bounded and evicted as event time advances — the attribution-join

@@ -51,6 +51,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("partitioned ingest lands month-partitioned sorted files, idempotent on restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_pi").toString
+    def mts(month: Int, day: Int): Timestamp =
+      Timestamp.valueOf(f"2024-$month%02d-$day%02d 00:00:00")
+    val mem = MemoryStream[Event]
+    def start() = Streams.partitionedIngest(mem.toDF(),
+      s"$dir/table", s"$dir/ckpt", sortKey = Seq("user_id", "ts"))
+    val q1 = start()
+    try {
+      mem.addData(
+        Event(1, mts(1, 5), 30, "click", 1.0),
+        Event(2, mts(1, 6), 10, "view", 2.0),
+        Event(3, mts(2, 3), 20, "click", 3.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // month directories exist; files within each are sorted by user_id
+    val root = new java.io.File(s"$dir/table")
+    val parts = root.listFiles().filter(_.getName.startsWith("__ch_part="))
+      .map(_.getName).sorted
+    assert(parts.toSeq === Seq("__ch_part=202401", "__ch_part=202402"))
+    root.listFiles().filter(_.isDirectory).foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val us = spark.read.parquet(f.getAbsolutePath)
+          .select("user_id").collect().map(_.getLong(0)).toSeq
+        assert(us === us.sorted, s"${f.getName} not sorted by user_id")
+      }
+    }
+    // restart on the same checkpoint: replayed batches are skipped by
+    // the marker, new data appends exactly once
+    val q2 = start()
+    try {
+      mem.addData(Event(4, mts(2, 9), 5, "view", 4.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val all = spark.read.parquet(s"$dir/table")
+    assert(all.count() === 4L)
+    assert(all.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+    // month retention = directory drop, exactly like the batch dialect
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/table/__ch_part=202401"))
+    assert(spark.read.parquet(s"$dir/table").count() === 2L)
+  }
+
   test("materialized aggregate table refreshes across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
