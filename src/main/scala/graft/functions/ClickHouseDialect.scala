@@ -15,6 +15,27 @@ object ClickHouseDialect {
 
   private def one(args: Seq[Expression]): Expression = args.head
 
+  /** CH `empty`/`notEmpty`: '' for strings, zero-length for arrays and
+    * maps — one name over both, so the emptiness test must dispatch on
+    * the RESOLVED child type (Length for string/binary, Size
+    * otherwise). RuntimeReplaceable keeps it a pure rewrite the
+    * optimizer codegens as usual.
+    */
+  private final case class ChEmpty(child: Expression, negate: Boolean)
+    extends UnaryExpression with RuntimeReplaceable {
+    override lazy val replacement: Expression = {
+      val test = child.dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BinaryType =>
+          EqualTo(Length(child), Literal(0))
+        case _ => EqualTo(Size(child), Literal(0))
+      }
+      if (negate) Not(test) else test
+    }
+    override protected def withNewChildInternal(newChild: Expression): ChEmpty =
+      copy(child = newChild)
+  }
+
   /** ClickHouse external dictionaries: small key→attribute lookup tables
     * resolved per row (`dictGet('countries', 'name', code)`). Registered
     * here as collected in-memory maps and compiled into each query as a
@@ -154,8 +175,10 @@ object ClickHouseDialect {
     "arraySort" -> (args => new SortArray(one(args))),
     "arrayReverse" -> (args => Reverse(one(args))),
     "arrayDistinct" -> (args => ArrayDistinct(one(args))),
-    "empty" -> (args => EqualTo(Size(one(args)), Literal(0))),
-    "notEmpty" -> (args => GreaterThan(Size(one(args)), Literal(0))),
+    // CH empty/notEmpty accept strings AND arrays/maps — the test
+    // dispatches on the resolved child type (ChEmpty below)
+    "empty" -> (args => ChEmpty(one(args), negate = false)),
+    "notEmpty" -> (args => ChEmpty(one(args), negate = true)),
     // value pickers. ClickHouse `any`/`ifNull`/`nullIf`/`position` are NOT
     // mapped: Spark resolves those names to builtins first (register()
     // never shadows), and the builtin `any` (boolean) and `position`
@@ -506,6 +529,8 @@ object ClickHouseDialect {
     // values than a CH cluster would produce
     "sipHash64" -> (args => XxHash64(args, 42L)),
     "cityHash64" -> (args => XxHash64(args, 42L)),
+    "farmHash64" -> (args => XxHash64(args, 42L)),
+    "halfMD5" -> (args => XxHash64(args, 42L)),
     // dictionaries (see dicts above): plan-time map literals
     "dictGet" -> (args => ElementAt(dictMapLiteral(args), args(2))),
     "dictGetOrDefault" -> (args =>
@@ -606,13 +631,62 @@ object ClickHouseDialect {
         org.apache.spark.sql.types.StringType)
       new ConcatWs(Seq(Literal("."), oct(24), oct(16), oct(8), oct(0)))
     },
-    "IPv4StringToNum" -> { args =>
-      val parts = StringSplit(one(args), Literal("\\."), Literal(-1))
-      def p(i: Int): Expression = Cast(ElementAt(parts, Literal(i)),
-        org.apache.spark.sql.types.LongType)
-      Add(Add(Add(Multiply(p(1), Literal(16777216L)),
-        Multiply(p(2), Literal(65536L))), Multiply(p(3), Literal(256L))), p(4))
+    "IPv4StringToNum" -> (args => ipv4ToNum(one(args))),
+    // seventh batch: the coverage-probe closures (round 8) ---------------
+    // toIPv4 is the constructor spelling of IPv4StringToNum
+    "toIPv4" -> (args => ipv4ToNum(one(args))),
+    // FixedString(n) pads with NUL bytes, like CH storage
+    "toFixedString" -> (args =>
+      StringRPad(args.head, args(1), Literal("\u0000"))),
+    // zero-on-zero-divisor arithmetic
+    "intDivOrZero" -> { args =>
+      val b = Cast(args(1), org.apache.spark.sql.types.LongType)
+      If(EqualTo(b, Literal(0L)), Literal(0L),
+        IntegralDivide(Cast(args.head, org.apache.spark.sql.types.LongType), b))
     },
+    "moduloOrZero" -> { args =>
+      val b = Cast(args(1), org.apache.spark.sql.types.LongType)
+      If(EqualTo(b, Literal(0L)), Literal(0L),
+        Remainder(Cast(args.head, org.apache.spark.sql.types.LongType), b))
+    },
+    // 2^floor(log2(x)) for x ≥ 1, else 0 — CH's bucket rounding
+    "roundToExp2" -> { args =>
+      val x = Cast(one(args), org.apache.spark.sql.types.DoubleType)
+      If(LessThan(x, Literal(1.0)), Literal(0L),
+        ShiftLeft(Literal(1L),
+          Cast(Floor(Log2(x)), org.apache.spark.sql.types.IntegerType)))
+    },
+    // largest array element ≤ x; below the lowest bound → the lowest
+    "roundDown" -> { args =>
+      val v = UnresolvedNamedLambdaVariable(Seq("graft_rd"))
+      val le = LambdaFunction(LessThanOrEqual(v, args.head), Seq(v))
+      Coalesce(Seq(ArrayMax(ArrayFilter(args(1), le)), ArrayMin(args(1))))
+    },
+    // "2,8" — the set bits of the mask as their power-of-two values
+    "bitmaskToList" -> { args =>
+      val x = Cast(one(args), org.apache.spark.sql.types.LongType)
+      val b = UnresolvedNamedLambdaVariable(Seq("graft_bit"))
+      val positions = Sequence(Literal(0), Literal(63), None)
+      val setBits = ArrayFilter(positions,
+        LambdaFunction(Not(EqualTo(
+          BitwiseAnd(x, ShiftLeft(Literal(1L), b)), Literal(0L))), Seq(b)))
+      val v2 = UnresolvedNamedLambdaVariable(Seq("graft_bit2"))
+      val values = ArrayTransform(setBits,
+        LambdaFunction(Cast(ShiftLeft(Literal(1L), v2),
+          org.apache.spark.sql.types.StringType), Seq(v2)))
+      ArrayJoin(values, Literal(","), None)
+    },
+    // L2 norm — the embedding-column staple
+    "arrayNorm" -> { args =>
+      val acc = UnresolvedNamedLambdaVariable(Seq("graft_an_acc"))
+      val el = UnresolvedNamedLambdaVariable(Seq("graft_an_x"))
+      val dbl = Cast(el, org.apache.spark.sql.types.DoubleType)
+      Sqrt(ArrayAggregate(one(args), Literal(0.0),
+        LambdaFunction(Add(acc, Multiply(dbl, dbl)), Seq(acc, el)),
+        LambdaFunction.identity))
+    },
+    // CH timeSlot rounds to the half-hour grid
+    "timeSlot" -> (args => floorSeconds(one(args), 1800L)),
     // bit scalars, sixth batch. Rotates are 64-bit (CH rotates within the
     // argument's own width; migrate narrower columns via the cast names).
     "bitTest" -> (args => If(
@@ -1025,6 +1099,15 @@ object ClickHouseDialect {
         Slice(arr, Literal(1), k))))
   }
 
+  /** Dotted-quad IPv4 → UInt32, shared by IPv4StringToNum and toIPv4. */
+  private def ipv4ToNum(arg: Expression): Expression = {
+    val parts = StringSplit(arg, Literal("\\."), Literal(-1))
+    def p(i: Int): Expression = Cast(ElementAt(parts, Literal(i)),
+      org.apache.spark.sql.types.LongType)
+    Add(Add(Add(Multiply(p(1), Literal(16777216L)),
+      Multiply(p(2), Literal(65536L))), Multiply(p(3), Literal(256L))), p(4))
+  }
+
   /** Whole-document JSON arg (1-arg form) or the CH key path descended
     * (2+ args) — shared by JSONLength/JSONExtractKeys/JSONExtractRaw.
     */
@@ -1040,10 +1123,44 @@ object ClickHouseDialect {
       s"expected a lambda (x -> …) as the first argument, got $other")
   }
 
+  /** CH's fallible-conversion family, generated over the numeric/date
+    * widths: `to<T>OrNull(x)` is a TRY cast (null on failure, like CH),
+    * `to<T>OrZero(x)` coalesces the TRY cast with the type's zero —
+    * the spellings every defensive CH ingest query uses.
+    */
+  private val castOrEntries: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.types._
+    def tryCast(e: Expression, dt: DataType): Expression =
+      Cast(e, dt, None, EvalMode.TRY)
+    val numeric: Seq[(String, DataType, Expression)] = Seq(
+      ("Int8", ByteType, Literal(0.toByte)),
+      ("Int16", ShortType, Literal(0.toShort)),
+      ("Int32", IntegerType, Literal(0)),
+      ("Int64", LongType, Literal(0L)),
+      ("UInt8", ShortType, Literal(0.toShort)),
+      ("UInt16", IntegerType, Literal(0)),
+      ("UInt32", LongType, Literal(0L)),
+      ("UInt64", LongType, Literal(0L)),
+      ("Float32", FloatType, Literal(0.0f)),
+      ("Float64", DoubleType, Literal(0.0)))
+    val temporal: Seq[(String, DataType, Expression)] = Seq(
+      ("Date", DateType, Cast(Literal("1970-01-01"), DateType)),
+      ("DateTime", TimestampType,
+        Cast(Literal("1970-01-01 00:00:00"), TimestampType)))
+    (numeric ++ temporal).flatMap { case (ch, dt, zero) =>
+      Seq(
+        s"to${ch}OrNull" ->
+          ((args: Seq[Expression]) => tryCast(one(args), dt)),
+        s"to${ch}OrZero" ->
+          ((args: Seq[Expression]) =>
+            Coalesce(Seq(tryCast(one(args), dt), zero))))
+    }
+  }
+
   /** Register (or refresh) the dialect names on a live session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, builder) =>
+    (builders ++ castOrEntries).foreach { case (name, builder) =>
       val id = FunctionIdentifier(name)
       if (!reg.functionExists(id))
         reg.registerFunction(id, new ExpressionInfo(getClass.getName, name), builder)
@@ -1051,5 +1168,5 @@ object ClickHouseDialect {
   }
 
   /** Names exposed by this dialect (for docs/tests). */
-  def names: Seq[String] = builders.map(_._1)
+  def names: Seq[String] = (builders ++ castOrEntries).map(_._1)
 }

@@ -1287,6 +1287,34 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("version column"))
   }
 
+  test("round-8 scalar batch: OrZero/OrNull casts, roundDown, bitmaskToList, norms") {
+    val r = ClickHouseSql.sql(spark, """SELECT
+      empty('') AS e1, notEmpty('a') AS e2, empty(array()) AS e3,
+      toInt64OrZero('12x') AS z1, toInt64OrNull('12x') AS n1,
+      toFloat64OrZero('1.5') AS f1, toDateOrNull('nope') AS d1,
+      intDivOrZero(7, 0) AS dz, moduloOrZero(7, 3) AS mz,
+      roundToExp2(100) AS r2, roundDown(5.7, array(1.0, 5.0, 10.0)) AS rd,
+      roundDown(0.3, array(1.0, 5.0)) AS rd0,
+      bitmaskToList(10) AS bm, arrayNorm(array(3.0, 4.0)) AS an,
+      timeSlot(toDateTime('2024-01-01 00:47:11')) AS tsl,
+      toFixedString('ab', 4) AS fs, toIPv4('1.2.3.4') AS ip,
+      farmHash64('x') AS fh""").head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getLong(3) === 0L && r.isNullAt(4))
+    assert(r.getDouble(5) === 1.5 && r.isNullAt(6))
+    assert(r.getLong(7) === 0L && r.getLong(8) === 1L)
+    assert(r.getLong(9) === 64L)
+    // SQL float literals parse as DECIMAL, so roundDown returns decimal
+    assert(r.getDecimal(10).doubleValue === 5.0)
+    assert(r.getDecimal(11).doubleValue === 1.0) // below lowest → lowest
+    assert(r.getString(12) === "2,8")
+    assert(r.getDouble(13) === 5.0)
+    assert(r.getTimestamp(14).toString === "2024-01-01 00:30:00.0")
+    assert(r.getString(15).length === 4 && r.getString(15).startsWith("ab"))
+    assert(r.getLong(16) === 16909060L)
+    assert(!r.isNullAt(17))
+  }
+
   test("CREATE TABLE … ENGINE … AS SELECT (CTAS) registers engines and partitions") {
     Seq("ch_ctas_t", "ch_ctas_p", "ch_ctas_p__parts").foreach(dropAnyType)
     // ReplacingMergeTree CTAS: engine registers, FINAL merges

@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.{ClickHouseDialect, ClickHouseSql}
+
+/** Dev probe (not part of the suite contract): evaluate a battery of
+  * common ClickHouse expressions through the dialect and report which
+  * fail — coverage radar for the function surface.
+  */
+object FnProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("fnprobe")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ClickHouseDialect.register(spark)
+    val exprs = Seq(
+      "arrayStringConcat(array('a','b'), '-')",
+      "splitByChar(',', 'a,b,c')",
+      "toStartOfFiveMinutes(toDateTime('2024-01-01 00:07:00'))",
+      "toStartOfFifteenMinutes(toDateTime('2024-01-01 00:17:00'))",
+      "formatDateTime(toDateTime('2024-01-02 03:04:05'), '%Y-%m-%d')",
+      "toUnixTimestamp(toDateTime('2024-01-01 00:00:00'))",
+      "has(array(1,2,3), 2)",
+      "indexOf(array('x','y'), 'y')",
+      "empty('')", "notEmpty('a')", "empty(array())",
+      "lengthUTF8('héllo')",
+      "substringUTF8('héllo', 2, 3)",
+      "positionCaseInsensitive('Hello', 'LL')",
+      "multiSearchAny('hello world', array('wor', 'zzz'))",
+      "extractAll('a1b22c333', '\\\\d+')",
+      "JSONExtractString('{\"a\":\"v\"}', 'a')",
+      "JSONExtractInt('{\"a\":7}', 'a')",
+      "mapKeys(map('k', 1))", "mapValues(map('k', 1))",
+      "arrayIntersect(array(1,2,3), array(2,3,4))",
+      "arrayDistinct(array(1,1,2))",
+      "arrayReverse(array(1,2))",
+      "arraySlice(array(1,2,3,4), 2, 2)",
+      "arrayPushBack(array(1), 2)",
+      "arrayPopFront(array(1,2))",
+      "arrayCompact(array(1,1,2,1))",
+      "arrayDifference(array(1,4,9))",
+      "arrayCumSum(array(1,2,3))",
+      "bitCount(7)",
+      "toFixedString('ab', 4)",
+      "leftPad('7', 3, '0')", "rightPad('7', 3, '0')",
+      "trimBoth('  x  ')", "trimLeft(' x')", "trimRight('x ')",
+      "startsWith('abc', 'ab')", "endsWith('abc', 'bc')",
+      "tupleElement((1, 'x'), 2)",
+      "greatest(1, 2, 3)", "least(1, 2, 3)",
+      "intDivOrZero(7, 0)", "moduloOrZero(7, 0)",
+      "ifNull(NULL, 5)", "nullIf(3, 3)", "assumeNotNull(3)",
+      "toInt64OrZero('12x')", "toFloat64OrZero('x')",
+      "toDateOrNull('not a date')",
+      "coalesce(NULL, 2)",
+      "roundToExp2(100)", "roundDown(5.7, array(1.0, 5.0, 10.0))",
+      "e()", "pi()",
+      "cityHash64('x')", "sipHash64('x')", "farmHash64('x')",
+      "halfMD5('x')", "hex(255)", "unhex('ff')",
+      "bitmaskToList(10)",
+      "domainWithoutWWW('https://www.x.com/p')",
+      "cutQueryString('http://x.com/p?a=1')",
+      "toIPv4('1.2.3.4')",
+      "dateName('month', toDate('2024-03-01'))",
+      "monthName(toDate('2024-03-01'))",
+      "toLastDayOfMonth(toDate('2024-02-05'))",
+      "addDays(toDate('2024-01-01'), 5)",
+      "subtractMonths(toDate('2024-03-01'), 1)",
+      "age('day', toDate('2024-01-01'), toDate('2024-02-01'))",
+      "timeSlot(toDateTime('2024-01-01 00:47:00'))",
+      "arrayZip(array(1,2), array('a','b'))",
+      "arrayAvg(array(1,2,3))", "arrayProduct(array(2,3))",
+      "arrayNorm(array(3.0,4.0))",
+      "arrayAll(x -> x > 0, array(1,2))",
+      "arrayExists(x -> x > 1, array(1,2))",
+      "arrayCount(x -> x > 1, array(1,2,3))",
+      "arrayMap(x -> x * 2, array(1,2))",
+      "arrayFilter(x -> x > 1, array(1,2,3))",
+      "arraySort(array(3,1,2))", "arrayReverseSort(array(1,3,2))"
+    )
+    var failed = 0
+    exprs.foreach { e =>
+      try {
+        val v = ClickHouseSql.sql(spark, s"SELECT $e AS v").head().get(0)
+        println(s"OK   $e = $v")
+      } catch {
+        case ex: Throwable =>
+          failed += 1
+          println(s"FAIL $e -- ${ex.getMessage.linesIterator.nextOption().getOrElse("").take(110)}")
+      }
+    }
+    println(s"$failed / ${exprs.length} failed")
+    spark.stop()
+  }
+}
