@@ -77,7 +77,7 @@ object AggExt {
     val mm = t.lineitem.groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("lo"),
         max(col("l_extendedprice")).as("hi"))
-    ps.join(mm, Seq("l_returnflag"))
+    ps.join(broadcast(mm), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         round(col("ps").getItem(0) + 0.000001, 2).as("p50"),
         round(col("ps").getItem(1) + 0.000001, 2).as("p90"),

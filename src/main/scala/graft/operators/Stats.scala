@@ -606,7 +606,7 @@ object Stats {
       col("d"), 0.5, "mad0")
     // +1e-6 before rounding: moves interpolated midpoints of 2-decimal
     // prices off the x.xx5 ROUND half-boundary (same trick as q21)
-    med.join(mad, Seq("l_returnflag"))
+    med.join(broadcast(mad), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         round(col("m") + 0.000001, 2).as("median_price"),
         round(col("mad0") + 0.000001, 2).as("mad"),
