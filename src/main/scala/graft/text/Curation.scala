@@ -680,7 +680,66 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  // pipe_epoch_shuffle — the reproducible-training-order contract:
+  // each epoch is a deterministic global permutation of the corpus
+  // (epoch-salted Knuth multiplicative hash), sharded by hash so the
+  // order needs NO global sort — shard assignment is a pure map, and
+  // within-shard positions come from a shard-parallel window
+  // (parallelism = shards × partitions at any corpus size). Epochs
+  // permute differently (different salt) but identically on re-run —
+  // the position-weighted doc_id checksum pins the EXACT order per
+  // (epoch, shard), so an engine that shuffled nondeterministically or
+  // dropped a tie-break fails the oracle.
+  val epochShuffle = Q(
+    "pipe_epoch_shuffle",
+    Some("""
+      WITH epochs AS (SELECT UNNEST(ARRAY[0, 1]) AS epoch),
+      toks AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tok
+        FROM documents),
+      ordered AS (
+        SELECT e.epoch, t.doc_id, t.n_tok,
+               (t.doc_id * 2654435761 + e.epoch * 40503) % 2147483648 AS h
+        FROM toks t CROSS JOIN epochs e),
+      placed AS (
+        SELECT epoch, doc_id, n_tok, h, h % 8 AS shard,
+               ROW_NUMBER() OVER (PARTITION BY epoch, h % 8
+                                  ORDER BY h, doc_id) AS pos
+        FROM ordered)
+      SELECT epoch, CAST(shard AS BIGINT) AS shard,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(MAX(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT)
+               AS first_doc,
+             CAST(SUM(pos * doc_id) AS BIGINT) AS ord_checksum
+      FROM placed
+      GROUP BY epoch, shard
+      ORDER BY epoch, shard
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.documents.select(col("doc_id"),
+      size(words(col("text"))).cast(LongType).as("n_tok"))
+    val placed = toks
+      .withColumn("epoch", explode(array(lit(0), lit(1))))
+      .withColumn("h", (col("doc_id") * lit(2654435761L) +
+        col("epoch") * lit(40503L)) % lit(2147483648L))
+      .withColumn("shard", col("h") % lit(8L))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("h"), col("doc_id"))))
+    placed.groupBy(col("epoch"), col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        max(when(col("pos") === 1, col("doc_id"))).cast(LongType)
+          .as("first_doc"),
+        sum(col("pos") * col("doc_id")).cast(LongType).as("ord_checksum"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
   val all: Seq[Q] = Seq(evalSplit, crossSource, novelty, tfidf,
     qualityClassifier, datasetCard, curriculum, mixWeights, coverage,
-    tvDrift, readability)
+    tvDrift, readability, epochShuffle)
 }
