@@ -410,6 +410,11 @@ object ClickHouseDialect {
       Count(Seq(args(1))).toAggregateExpression(isDistinct = true),
       Cast(Add(args.head, Literal(1)), org.apache.spark.sql.types.LongType)))),
     "quantileTDigest" -> (args => new ApproximatePercentile(args(1), args.head)),
+    // CH's other quantile sketches (timing histogram, bfloat16) land on
+    // the same approx family — estimates differ within sketch error,
+    // the documented approximate-quantile divergence
+    "quantileTiming" -> (args => new ApproximatePercentile(args(1), args.head)),
+    "quantileBFloat16" -> (args => new ApproximatePercentile(args(1), args.head)),
     "anyHeavy" -> (args => Mode(one(args))),
     // arrays/maps, third batch
     // range is END-EXCLUSIVE in CH; Spark's sequence stops at the last
@@ -909,6 +914,77 @@ object ClickHouseDialect {
       Multiply(Add(Kurtosis(one(args)).toAggregateExpression(), Literal(3.0d)),
         Pow(Divide(Subtract(n, Literal(1.0)), n), Literal(2.0)))
     },
+    // ---- aggregates, eighth batch (r8 probe closures) --------------------
+    // numeric-stability spellings: Spark's Welford/compensated kernels ARE
+    // the stable algorithm, so the *Stable/Kahan names are aliases;
+    // sumWithOverflow diverges documented-ly (Spark widens, CH wraps)
+    "sumKahan" -> (args => Sum(Cast(one(args),
+      org.apache.spark.sql.types.DoubleType))),
+    "sumWithOverflow" -> (args => Sum(one(args))),
+    "stddevPopStable" -> (args => StddevPop(one(args))),
+    "stddevSampStable" -> (args => StddevSamp(one(args))),
+    "varPopStable" -> (args => VariancePop(one(args))),
+    "varSampStable" -> (args => VarianceSamp(one(args))),
+    // simpleLinearRegression(x, y) → (k, b): k = cov_pop/var_pop, b =
+    // avg(y) − k·avg(x) — composed from partial-aggregable kernels
+    "simpleLinearRegression" -> { args =>
+      val x = Cast(args.head, org.apache.spark.sql.types.DoubleType)
+      val y = Cast(args(1), org.apache.spark.sql.types.DoubleType)
+      val k = Divide(CovPopulation(x, y).toAggregateExpression(),
+        VariancePop(x).toAggregateExpression())
+      val b = Subtract(Average(y).toAggregateExpression(),
+        Multiply(k, Average(x).toAggregateExpression()))
+      CreateNamedStruct(Seq(Literal("k"), k, Literal("b"), b))
+    },
+    // order-dependent or whole-relation aggregates: no distributed engine
+    // should promise block order / these need a plan, not a function —
+    // throw with the registry's scale-safe re-expression
+    "deltaSum" -> (_ => throw new IllegalArgumentException(
+      "deltaSum depends on block order — rewrite with a keyed window " +
+        "over an explicit ORDER BY (the q70_delta_sum recipe: " +
+        "greatest(x - lag(x), 0) summed)")),
+    "deltaSumTimestamp" -> (_ => throw new IllegalArgumentException(
+      "deltaSumTimestamp depends on block order — order by the " +
+        "timestamp explicitly and sum greatest(x - lag(x), 0) over a " +
+        "keyed window (q70_delta_sum recipe)")),
+    "rankCorr" -> (_ => throw new IllegalArgumentException(
+      "rankCorr needs global ranks — rank both measures with " +
+        "graft.plans.GroupedPrefix.withRank and corr() the ranks " +
+        "(the q71_rank_corr recipe)")),
+    "entropy" -> (_ => throw new IllegalArgumentException(
+      "entropy aggregates the VALUE DISTRIBUTION — group by the value, " +
+        "count, and sum -p*log2(p) over the counts relation " +
+        "(the q69_entropy recipe)")),
+    "intervalLengthSum" -> (_ => throw new IllegalArgumentException(
+      "intervalLengthSum is a sweep over interval endpoints — use the " +
+        "q66_interval_union_len recipe (GroupedPrefix running max of " +
+        "ends vs starts)")),
+    "maxIntersections" -> (_ => throw new IllegalArgumentException(
+      "maxIntersections is a sweep over ±1 endpoint deltas — use the " +
+        "q65_max_intersections recipe (GroupedPrefix running sum)")),
+    "corrMatrix" -> (_ => throw new IllegalArgumentException(
+      "corrMatrix returns a matrix — compute pairwise corr() columns " +
+        "(the q113_corr_matrix recipe)")),
+    "studentTTest" -> (_ => throw new IllegalArgumentException(
+      "studentTTest returns (t, p) — compose per-group mean/var/count " +
+        "partials (the q68_ttest recipe); p-values need a CDF, which " +
+        "belongs in the report layer")),
+    "welchTTest" -> (_ => throw new IllegalArgumentException(
+      "welchTTest returns (t, p) — compose per-group mean/var/count " +
+        "partials (the q68_ttest recipe)")),
+    "meanZTest" -> (_ => throw new IllegalArgumentException(
+      "meanZTest returns (z, p) — compose per-group mean/var/count " +
+        "partials (the q68_ttest recipe)")),
+    "groupArrayLast" -> (_ => throw new IllegalArgumentException(
+      "groupArrayLast depends on insertion order — rewrite as a keyed " +
+        "window over an explicit ORDER BY (slice of " +
+        "collect_list over the ordered window, the groupArraySorted " +
+        "shape)")),
+    "groupBitmapAnd" -> (_ => throw new IllegalArgumentException(
+      "groupBitmapAnd intersects per-row bitmaps — over scalar rows " +
+        "that is `count(DISTINCT x) = 1` logic; over bitmap columns " +
+        "rewrite as array_intersect folds (q55_bitmap_distinct " +
+        "recipe)")),
     // retention(c1, …, ck): r1 = any row satisfied c1; ri = r1 AND any
     // row satisfied ci — the CH cohort-retention aggregate as an array of
     // 0/1 ints composed from conditional-max partials

@@ -1944,7 +1944,14 @@ object ClickHouseSql {
     "windowfunnel", "sequencematch", "sequencecount",
     "grouparraysorted", "grouparraysortedif",
     // seventh batch
-    "histogram", "quantiledeterministic")
+    "histogram", "quantiledeterministic",
+    // eighth batch: the sketch-variant quantile spellings land on the
+    // same approx family (documented divergence: estimates within
+    // sketch error)
+    "quantiletiming", "quantilebfloat16",
+    "quantiletimingif", "quantilebfloat16if",
+    // flattens so the registered thrower can teach its rewrite
+    "grouparraylast")
 
   /** ClickHouse parameterized-aggregate call syntax `f(p, …)(args…)` →
     * the dialect's flattened params-first form `f(p, …, args…)` —
@@ -2022,6 +2029,11 @@ object ClickHouseSql {
           if (lower == "uniqexactif") {
             splices += ((t.start, t.end, "count"))
             splices += ((toks(i + 1).end, toks(i + 1).end, "DISTINCT "))
+          } else if (lower == "anyif") {
+            // the bare base would resolve to Spark's builtin `any`
+            // (boolean aggregate) — a silent-wrong-answer trap; CH anyIf
+            // means any_value FILTER
+            splices += ((t.start, t.end, "any_value"))
           } else {
             splices += ((t.start, t.end, t.text.dropRight(2)))
           }

@@ -1315,6 +1315,44 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(!r.isNullAt(17))
   }
 
+  test("round-8 aggregate batch: stable aliases, regression struct, anyIf, sketches") {
+    val r = ClickHouseSql.sql(spark, """SELECT
+      sumKahan(o_totalprice) AS sk,
+      stddevPopStable(o_totalprice) AS sp,
+      varSampStable(o_totalprice) AS vs,
+      sumWithOverflow(o_orderkey) AS so,
+      simpleLinearRegression(o_custkey, o_totalprice) AS slr,
+      anyIf(o_orderstatus, o_totalprice > 100000) AS av,
+      quantileTiming(0.5)(o_totalprice) AS qt
+      FROM orders_v""").head()
+    val exp = sf0001.orders.agg(
+      sum(col("o_totalprice")), stddev_pop(col("o_totalprice")),
+      var_samp(col("o_totalprice")), sum(col("o_orderkey"))).head()
+    assert(math.abs(r.getDouble(0) - exp.getDouble(0)) /
+      exp.getDouble(0) < 1e-12)
+    assert(r.getDouble(1) === exp.getDouble(1))
+    assert(r.getDouble(2) === exp.getDouble(2))
+    assert(r.getLong(3) === exp.getLong(3))
+    val slr = r.getStruct(4)
+    // k, b reproduce covar_pop/var_pop composition
+    val kb = sf0001.orders.agg(
+      (covar_pop(col("o_custkey"), col("o_totalprice")) /
+        var_pop(col("o_custkey"))).as("k"),
+      avg(col("o_totalprice")).as("my"), avg(col("o_custkey")).as("mx"))
+      .head()
+    assert(slr.getDouble(0) === kb.getDouble(0))
+    assert(slr.getDouble(1) === kb.getDouble(1) -
+      kb.getDouble(0) * kb.getDouble(2))
+    assert(Set("F", "O", "P").contains(r.getString(5))) // any_value FILTER
+    assert(r.getDouble(6) > 0.0)
+    // order-dependent names teach the scale-safe rewrite, never compute
+    val err = intercept[Exception] {
+      ClickHouseSql.sql(spark, "SELECT deltaSum(o_totalprice) FROM orders_v")
+        .collect()
+    }
+    assert(err.getMessage.contains("q70_delta_sum"))
+  }
+
   test("CREATE TABLE … ENGINE … AS SELECT (CTAS) registers engines and partitions") {
     Seq("ch_ctas_t", "ch_ctas_p", "ch_ctas_p__parts").foreach(dropAnyType)
     // ReplacingMergeTree CTAS: engine registers, FINAL merges

@@ -77,6 +77,46 @@ object FnProbe {
       "arrayFilter(x -> x > 1, array(1,2,3))",
       "arraySort(array(3,1,2))", "arrayReverseSort(array(1,3,2))"
     )
+    // aggregate battery over a tiny table — the same radar for the
+    // aggregate-name surface
+    spark.sql("""SELECT * FROM VALUES
+      (1, 'a', 1.5, TIMESTAMP'2024-01-01 00:00:00'),
+      (2, 'a', 2.5, TIMESTAMP'2024-01-01 00:01:00'),
+      (3, 'b', 4.0, TIMESTAMP'2024-01-01 00:05:00')
+      AS t(id, g, x, ts)""").createOrReplaceTempView("probe_t")
+    val aggs = Seq(
+      "sumCount(x)", "sumKahan(x)", "countDistinct(g)",
+      "quantileTiming(0.5)(x)", "quantileBFloat16(0.5)(x)",
+      "deltaSum(x)", "deltaSumTimestamp(x, ts)",
+      "maxIntersections(id, id + 2)", "boundingRatio(id, x)",
+      "groupBitmapAnd(id)", "groupArrayLast(2)(x)",
+      "groupUniqArray(g)", "uniqTheta(g)", "uniqHLL12(g)",
+      "stddevPopStable(x)", "varPopStable(x)",
+      "avgWeighted(x, id)", "sumWithOverflow(x)",
+      "rankCorr(id, x)", "studentTTest(x, id % 2)",
+      "welchTTest(x, id % 2)", "meanZTest(x, id % 2)",
+      "first_value(x)", "last_value(x)",
+      "simpleLinearRegression(id, x)", "corrMatrix(id, x)",
+      "entropy(g)", "intervalLengthSum(id, id + 2)",
+      "skewPop(x)", "kurtPop(x)", "median(x)",
+      "argMinIf(g, x, id > 1)", "anyIf(g, id > 1)")
+    var afailed = 0
+    aggs.foreach { e =>
+      try {
+        val v = ClickHouseSql.sql(spark,
+          s"SELECT $e AS v FROM probe_t").head().get(0)
+        println(s"AOK  $e = $v")
+      } catch {
+        // a registered thrower TEACHING the scale-safe rewrite is
+        // coverage, not a gap — only unresolved names count as failures
+        case ex: Throwable if Option(ex.getMessage).exists(m =>
+          m.contains("recipe") || m.contains("rewrite")) =>
+          println(s"AGUIDE $e -- ${ex.getMessage.linesIterator.nextOption().getOrElse("").take(70)}")
+        case ex: Throwable =>
+          afailed += 1
+          println(s"AFAIL $e -- ${ex.getMessage.linesIterator.nextOption().getOrElse("").take(110)}")
+      }
+    }
     var failed = 0
     exprs.foreach { e =>
       try {
@@ -88,7 +128,8 @@ object FnProbe {
           println(s"FAIL $e -- ${ex.getMessage.linesIterator.nextOption().getOrElse("").take(110)}")
       }
     }
-    println(s"$failed / ${exprs.length} failed")
+    println(s"scalars: $failed / ${exprs.length} failed; " +
+      s"aggregates: $afailed / ${aggs.length} failed")
     spark.stop()
   }
 }
