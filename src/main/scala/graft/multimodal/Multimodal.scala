@@ -853,6 +853,93 @@ object Multimodal {
       .orderBy(col("w"))
   }
 
+  /** Per-clip voice-activity statistics (exact integers). */
+  final case class VadStats(media_id: Long, n_channels: Long, n_ch0: Long,
+    n_voiced: Long, n_segments: Long, seg_checksum: Long)
+
+  // mm_audio_vad — energy-threshold voice-activity detection, the
+  // silence-trimming step an audio training-data pipeline runs between
+  // decode and transcription: decode the REAL WAV container, walk
+  // channel 0, mark samples with |amplitude| ≥ 1000 as voiced, and
+  // count maximal voiced RUNS (segments). Exact statistics — voiced
+  // and segment counts plus a (start-position+1)-sum checksum, so a
+  // run boundary off by one sample fails the oracle, which replays
+  // every amplitude from the shared generator. Detection state is one
+  // boolean per clip inside one mapPartitions pass (the same
+  // two-longs-per-item shape as mm_scene_cut).
+  val audioVad = Q(
+    "mm_audio_vad",
+    Some("""
+      WITH clips AS (
+        SELECT doc_id,
+               CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+               (doc_id % 500 + 100) - (doc_id % 500 + 100) % (doc_id % 2 + 1)
+                 AS n_samples
+        FROM documents),
+      ch0 AS (
+        SELECT doc_id, ch, n_samples // ch AS n_ch0, k,
+               ABS((doc_id * 7 + (k * ch) * 13) % 4001 - 2000) >= 1000
+                 AS voiced
+        FROM clips, UNNEST(RANGE(0, n_samples // ch)) AS t(k)),
+      runs AS (
+        SELECT doc_id, ch, n_ch0, k, voiced,
+               CASE WHEN voiced AND NOT COALESCE(
+                 LAG(voiced) OVER (PARTITION BY doc_id ORDER BY k), FALSE)
+               THEN 1 ELSE 0 END AS is_start
+        FROM ch0),
+      per_clip AS (
+        SELECT doc_id, ch, MAX(n_ch0) AS n_ch0,
+               SUM(CASE WHEN voiced THEN 1 ELSE 0 END) AS n_voiced,
+               SUM(is_start) AS n_segments,
+               SUM(CASE WHEN is_start = 1 THEN k + 1 ELSE 0 END) AS cks
+        FROM runs GROUP BY doc_id, ch)
+      SELECT ch AS n_channels,
+             CAST(COUNT(*) AS BIGINT) AS n_clips,
+             CAST(SUM(n_ch0) AS BIGINT) AS n_ch0,
+             CAST(SUM(n_voiced) AS BIGINT) AS n_voiced,
+             CAST(SUM(n_segments) AS BIGINT) AS n_segments,
+             CAST(SUM(cks) AS BIGINT) AS seg_checksum
+      FROM per_clip
+      GROUP BY ch
+      ORDER BY ch
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val threshold = 1000
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val channels = (id % 2 + 1).toInt
+        val n = (id % 500 + 100).toInt
+        val clip = WavCodec.decode(WavCodec.encode(
+          generatePcm(id, channels, n)))
+        var prev = false
+        var voiced = 0L; var segs = 0L; var cks = 0L
+        var k = 0
+        val nCh0 = clip.samples.length / clip.channels
+        while (k < nCh0) {
+          val v = clip.samples(k * clip.channels).toInt
+          val vo = math.abs(v) >= threshold
+          if (vo) {
+            voiced += 1
+            if (!prev) { segs += 1; cks += k + 1 }
+          }
+          prev = vo
+          k += 1
+        }
+        VadStats(id, channels.toLong, nCh0.toLong, voiced, segs, cks)
+      })
+      .toDF()
+      .groupBy(col("n_channels"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(col("n_ch0")).as("n_ch0"),
+        sum(col("n_voiced")).as("n_voiced"),
+        sum(col("n_segments")).as("n_segments"),
+        sum(col("seg_checksum")).as("seg_checksum"))
+      .orderBy(col("n_channels"))
+  }
+
   val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi,
-    imageDedup, audioDedup, videoDedup, sceneCut)
+    imageDedup, audioDedup, videoDedup, sceneCut, audioVad)
 }
