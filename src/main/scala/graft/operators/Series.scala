@@ -708,6 +708,15 @@ object Series {
   // ulp across DuckDB builds; the sums are nonnegative, so floor
   // division agrees in both engines. Two passes: per-type max date
   // (broadcast back), one map-side-combinable aggregation.
+  //
+  // OUTPUT TYPES: every emitted column is BIGINT. The internal sum stays
+  // DECIMAL(38,0) (cents·2³⁰ would overflow a 64-bit product mid-sum at
+  // extreme SF only after the ·10⁴ readout step, which therefore divides
+  // FIRST in decimal space), but the `scaled` READOUT is cast to BIGINT:
+  // round 8 proved the engines agree on the decimal VALUE while the
+  // driver's harness hashes decimal128 serialization differently — it was
+  // the registry's only DECIMAL(p>18) output column and its only
+  // hash-fail. OutputTypeLintSpec now bans the class outright.
   val q129 = Q(
     "q129_decay_sum",
     Some("""
@@ -722,7 +731,7 @@ object Series {
              CAST(SUM(CASE WHEN mx.md - v.d <= 30
                THEN CAST(v.cents AS DECIMAL(38,0))
                     * (CAST(1 AS BIGINT) << (30 - (mx.md - v.d)))
-               ELSE 0 END) AS DECIMAL(38,0)) AS scaled,
+               ELSE 0 END) AS BIGINT) AS scaled,
              CAST(CAST(SUM(CASE WHEN mx.md - v.d <= 30
                THEN CAST(v.cents AS DECIMAL(38,0))
                     * (CAST(1 AS BIGINT) << (30 - (mx.md - v.d)))
@@ -748,9 +757,12 @@ object Series {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(term).cast(DecimalType(38, 0)).as("scaled"))
+        sum(term).cast(DecimalType(38, 0)).as("__scaled_dec"))
       .withColumn("decayed_cents_e4",
-        expr("CAST((scaled * 10000) div 1073741824 AS BIGINT)"))
+        expr("CAST((__scaled_dec * 10000) div 1073741824 AS BIGINT)"))
+      .select(col("event_type"), col("n"),
+        col("__scaled_dec").cast(LongType).as("scaled"),
+        col("decayed_cents_e4"))
       .orderBy(col("event_type"))
   }
 
