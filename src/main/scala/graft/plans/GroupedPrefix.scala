@@ -113,8 +113,9 @@ object GroupedPrefix {
     * pos = (n−1)·q zero-based, value = lo + frac·(hi − lo) in double.
     *
     * Returns one row per group: groupCols, `out` (double), and
-    * `{out}_n` (the group's row count, BIGINT) — most callers need n
-    * anyway and it falls out for free.
+    * `{out}_n` (the group's NON-NULL value count, BIGINT — percentile()
+    * ignores NULL inputs and so does this) — most callers need n anyway
+    * and it falls out for free.
     */
   def exactQuantile(df: DataFrame, groupCols: Seq[String], v: Column,
                     q: Double, out: String,
@@ -127,15 +128,25 @@ object GroupedPrefix {
 
   /** Multi-point form of [[exactQuantile]]: one staged sort serves every
     * requested quantile — `out` is an ARRAY(double) in `qs` order (the
-    * `percentile(v, array(…))` shape), plus `{out}_n` (group row count).
+    * `percentile(v, array(…))` shape), plus `{out}_n` (the group's
+    * NON-NULL value count, BIGINT — percentile() semantics: NULL inputs
+    * are ignored, they neither shift positions nor count toward n, and a
+    * group whose values are all NULL emits no row, exactly as
+    * percentile() returns NULL only through the outer aggregate).
     */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], v: Column,
                      qs: Seq[Double], out: String,
                      numPartitions: Int = 0): DataFrame = {
     require(qs.nonEmpty, "exactQuantiles: empty quantile list")
     val nCol = out + "_n"
+    // NULL values must not enter the staged order: percentile() ignores
+    // NULL inputs, but NULLs sort FIRST ascending — left in, they would
+    // inflate n, shift every target position, and could even be selected
+    // as lo/hi. (NULL group KEYS remain regular groups — only the value
+    // column is filtered.)
     val base = df.select(groupCols.map(col) :+ v.cast("double")
       .as("__gp_v"): _*)
+      .where(col("__gp_v").isNotNull)
     // one range-partitioned sort; slice counts locate every target
     // position, so only the COVERING slices (≤ 2 per group per point)
     // take the local positional pass — no full-rank window, no

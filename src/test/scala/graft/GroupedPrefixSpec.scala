@@ -126,6 +126,32 @@ class GroupedPrefixSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantile ignores NULL values exactly like percentile()") {
+    // NULLs sort first ascending — left in the staged order they would
+    // inflate n, shift every target position, and could be selected as
+    // lo/hi. percentile() ignores NULL inputs; so must the rank path.
+    val withNulls = data.withColumn("xn",
+      when(col("id") % 5 === 0, lit(null)).otherwise(col("x")))
+    for (q <- Seq(0.0, 0.5, 0.9)) {
+      val got = GroupedPrefix.exactQuantile(withNulls, Seq("g"), col("xn"), q,
+        "qv", numPartitions = 7)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+        .toMap
+      val naiveAll = withNulls.groupBy(col("g"))
+        .agg(expr(s"percentile(xn, $q)").as("qv"),
+          count(col("xn")).as("n")) // non-null count — the documented {out}_n
+        .collect()
+      // a group whose values are ALL NULL (g=Z here: its one row lands
+      // on the id%5 mask) emits no row from the rank path; percentile()
+      // surfaces it as NULL — both mean "no data"
+      val naive = naiveAll.filter(r => r.getLong(2) > 0)
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(naiveAll.exists(r => r.getLong(2) == 0L),
+        "fixture lost its all-NULL group")
+      assert(got === naive, s"q=$q")
+    }
+  }
+
   test("exactQuantiles multi-point and global (no groups) match percentile()") {
     val qs = Seq(0.5, 0.9, 0.99)
     val got = GroupedPrefix.exactQuantiles(data, Seq("g"), col("x"), qs,
