@@ -25,8 +25,10 @@ import graft.Tables
   * the per-stage (docs, tokens) yield pairs. The near-dup labels come
   * from the session-memoized component build (built once per dataset,
   * shared with the whole dedup family); the decontamination side is a
-  * broadcast semi-join of the (tiny) holdout shingle set; shard indices
-  * are per-source prefix sums — windows partition on source, never a
+  * broadcast semi-join of the (tiny) holdout shingle set; the mix rank
+  * and shard prefix sums ride [[graft.plans.GroupedPrefix]] — every
+  * window partitions on (source, slice), numPartitions × |sources|
+  * concurrent tasks, never |sources| corpus-sized sorts and never a
   * single global ordering.
   */
 object CorpusPipeline {
@@ -56,6 +58,58 @@ object CorpusPipeline {
     docsWritten: Long,
     tokensWritten: Long,
     log: Seq[String])
+
+  /** Per-source deterministic hash-rank mix cut (the pipe_mix_sample
+    * rule): keep each source's `share_bp`/10000 fraction, selected by
+    * the smallest Knuth-hash rank. The rank rides
+    * [[graft.plans.GroupedPrefix.withRank]] — numPartitions × |sources|
+    * parallel slices, never |sources| corpus-sized window sorts — and
+    * (hash, doc_id) is unique per source so min-rank == row_number.
+    * Per-source counts are a dimension-sized aggregate broadcast back.
+    * Exposed for plan-shape tests; `run` is the caller.
+    */
+  private[graft] def mixSample(clean: DataFrame,
+    sourceShareBp: Map[String, Int]): DataFrame = {
+    val shareExpr = sourceShareBp.foldLeft(lit(10000L)) {
+      case (acc, (src, bp)) => when(col("source") === src, lit(bp.toLong)).otherwise(acc)
+    }
+    val ranked = graft.plans.GroupedPrefix.withRank(clean, Seq("source"),
+      struct((col("doc_id") * 2654435761L) % 2147483648L, col("doc_id")),
+      "rn")
+    val counts = clean.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+    ranked
+      .join(broadcast(counts), "source")
+      .withColumn("share_bp", shareExpr)
+      .filter(col("rn") <= expr("n_src * share_bp div 10000"))
+      .drop("rn", "n_src", "share_bp")
+      .select(clean.columns.map(col): _*)
+  }
+
+  /** Whole-doc shard assignment per source: shard = floor(cum_start /
+    * budget) off a per-source token prefix sum (pipe_shard_plan's
+    * closed form), GroupedPrefix-decomposed — range-partition on
+    * (source, doc_id), per-slice token-sum partials, broadcast
+    * exclusive offsets, slice-local running sums. Layout work
+    * distributes across numPartitions × |sources| slices, not one sort
+    * task per source. Exposed for plan-shape tests.
+    */
+  private[graft] def shardLayout(mixed: DataFrame, budget: Long): DataFrame = {
+    val gp = graft.plans.GroupedPrefix
+    val staged = gp.stage(mixed, Seq(col("source"), col("doc_id")))
+    val withOff = gp.withOffsets(staged, Seq("source"),
+      Seq(sum(col("n_tok")).as("__gp_s"))) { (slices, wPrev) =>
+      slices.select(col("source"), col(gp.PID),
+        coalesce(sum(col("__gp_s")).over(wPrev), lit(0L)).as("__gp_off"))
+    }
+    val wLocal = gp.localWindow(Seq("source"), Seq(col("doc_id")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withOff
+      .withColumn("cum_start",
+        col("__gp_off") + coalesce(sum(col("n_tok")).over(wLocal), lit(0L)))
+      .withColumn("shard", expr(s"cum_start div $budget"))
+      .select(mixed.columns.map(col) :+ col("shard"): _*)
+  }
 
   def run(t: Tables, cfg: Config): Result = {
     val log = ListBuffer.empty[String]
@@ -122,32 +176,11 @@ object CorpusPipeline {
     }
     stages += yieldOf("decontaminate", clean)
 
-    val mixed = if (cfg.sourceShareBp.isEmpty) clean else {
-      val shareExpr = cfg.sourceShareBp.foldLeft(lit(10000L)) {
-        case (acc, (src, bp)) => when(col("source") === src, lit(bp.toLong)).otherwise(acc)
-      }
-      val w = Window.partitionBy(col("source"))
-      val wo = w.orderBy((col("doc_id") * 2654435761L) % 2147483648L, col("doc_id"))
-      clean
-        .withColumn("rn", row_number().over(wo))
-        .withColumn("n_src", count(lit(1)).over(w))
-        .withColumn("share_bp", shareExpr)
-        .filter(col("rn") <= expr("n_src * share_bp div 10000"))
-        .drop("rn", "n_src", "share_bp")
-        .localCheckpoint(true)
-    }
+    val mixed = if (cfg.sourceShareBp.isEmpty) clean
+                else mixSample(clean, cfg.sourceShareBp).localCheckpoint(true)
     stages += yieldOf("mix_sample", mixed)
 
-    // whole-doc shard assignment per source: shard = floor(cum_start /
-    // budget) off a per-source token prefix sum (pipe_shard_plan's
-    // closed form — the window partitions on source, so layout work
-    // distributes across sources)
-    val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val sharded = mixed
-      .withColumn("cum_start", coalesce(sum(col("n_tok")).over(wCum), lit(0L)))
-      .withColumn("shard", expr(s"cum_start div ${cfg.shardTokenBudget}"))
-      .drop("cum_start")
+    val sharded = shardLayout(mixed, cfg.shardTokenBudget)
 
     sharded.write.mode(SaveMode.Overwrite)
       .partitionBy("source", "shard")

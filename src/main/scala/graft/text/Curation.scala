@@ -684,8 +684,13 @@ object CurationOps {
   // each epoch is a deterministic global permutation of the corpus
   // (epoch-salted Knuth multiplicative hash), sharded by hash so the
   // order needs NO global sort — shard assignment is a pure map, and
-  // within-shard positions come from a shard-parallel window
-  // (parallelism = shards × partitions at any corpus size). Epochs
+  // within-shard positions ride plans.GroupedPrefix.withRank (r9):
+  // range-partition on ((epoch, shard), (h, doc_id)), per-slice count
+  // partials, slice-local windows — parallelism is numPartitions ×
+  // |epochs×shards| at any corpus size. (The previous
+  // `Window.partitionBy(epoch, shard)` was exactly |epochs|×|shards| =
+  // 16 corpus-sized window partitions — the fixed-key funnel this
+  // operator's own comment used to deny.) Epochs
   // permute differently (different salt) but identically on re-run —
   // the position-weighted doc_id checksum pins the EXACT order per
   // (epoch, shard), so an engine that shuffled nondeterministically or
@@ -718,17 +723,17 @@ object CurationOps {
       ORDER BY epoch, shard
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
     val toks = t.documents.select(col("doc_id"),
       size(words(col("text"))).cast(LongType).as("n_tok"))
-    val placed = toks
-      .withColumn("epoch", explode(array(lit(0), lit(1))))
-      .withColumn("h", (col("doc_id") * lit(2654435761L) +
-        col("epoch") * lit(40503L)) % lit(2147483648L))
-      .withColumn("shard", col("h") % lit(8L))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("epoch"), col("shard"))
-          .orderBy(col("h"), col("doc_id"))))
+    // (h, doc_id) is unique within (epoch, shard), so min-rank ==
+    // row_number; GroupedPrefix keeps slice-level parallelism
+    val placed = graft.plans.GroupedPrefix.withRank(
+      toks
+        .withColumn("epoch", explode(array(lit(0), lit(1))))
+        .withColumn("h", (col("doc_id") * lit(2654435761L) +
+          col("epoch") * lit(40503L)) % lit(2147483648L))
+        .withColumn("shard", col("h") % lit(8L)),
+      Seq("epoch", "shard"), struct(col("h"), col("doc_id")), "pos")
     placed.groupBy(col("epoch"), col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -19,6 +19,33 @@ object TextOps {
   /** Whitespace word array. */
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Shared by pipe_pack_sequences / pipe_shard_plan: the per-source
+    * running token sum in doc_id order (`cum_end`), GroupedPrefix-
+    * decomposed — range-partition on (source, doc_id), per-slice sum
+    * partials, broadcast exclusive offsets, slice-local running sums.
+    * Parallelism is numPartitions × |sources| regardless of corpus size;
+    * the naive `SUM() OVER (PARTITION BY source ORDER BY doc_id)` is
+    * |sources| (≈20) corpus-sized sort tasks — the enum-keyed
+    * fact-window scale-killer this helper exists to avoid.
+    */
+  private def tokenPrefix(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.GroupedPrefix
+    val toks = t.documents.select(col("source"), col("doc_id"),
+      size(words(col("text"))).cast(LongType).as("n_tok"))
+    val staged = GroupedPrefix.stage(toks, Seq(col("source"), col("doc_id")))
+    val withOff = GroupedPrefix.withOffsets(staged, Seq("source"),
+      Seq(sum(col("n_tok")).as("__gp_s"))) { (slices, wPrev) =>
+      slices.select(col("source"), col(GroupedPrefix.PID),
+        coalesce(sum(col("__gp_s")).over(wPrev), lit(0L)).as("__gp_off"))
+    }
+    withOff.withColumn("cum_end",
+      col("__gp_off") + sum(col("n_tok")).over(
+        GroupedPrefix.localWindow(Seq("source"), Seq(col("doc_id")))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("cum_end"))
+  }
+
   // text_tokens — token counting two ways: whitespace tokens and a BPE-ish
   // regex tokenization (letter runs / digit runs / single punctuation).
   val tokens = Q(
@@ -542,9 +569,13 @@ object TextOps {
   // kept are the n_target smallest by a portable integer hash — a
   // reproducible sample, not a Math.random one, so reruns and the oracle
   // select the IDENTICAL set (checked via the selected-id sum, not just
-  // counts). One window shuffle on source; at 100 TB the rank-based cut
-  // becomes a per-source hash-threshold filter (no window) once
-  // per-source counts are known — same selected set.
+  // counts). Scale shape (r9): the per-source hash rank rides
+  // plans.GroupedPrefix.withRank — range-partition on (source, (h,
+  // doc_id)), per-slice offsets, slice-local windows — so parallelism is
+  // numPartitions × |sources|, never |sources| sort tasks holding the
+  // whole corpus; per-source counts are a dimension-sized aggregate
+  // broadcast back, not a corpus-wide COUNT() OVER (PARTITION BY
+  // source).
   val mixSample = Q(
     "pipe_mix_sample",
     Some("""
@@ -573,16 +604,17 @@ object TextOps {
       ORDER BY source
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source"))
-    val wo = w.orderBy(col("h"), col("doc_id"))
-    t.documents
+    val hashed = t.documents
       .select(col("source"), col("doc_id"),
         ((col("doc_id") * 2654435761L) % 2147483648L).as("h"))
-      .withColumn("rn", row_number().over(wo))
-      .withColumn("n_docs", count(lit(1)).over(w))
+    // (h, doc_id) is unique per source, so min-rank == row_number
+    val ranked = graft.plans.GroupedPrefix.withRank(hashed, Seq("source"),
+      struct(col("h"), col("doc_id")), "rn")
+    val counts = hashed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
       .withColumn("n_target",
         expr("n_docs * (CASE WHEN LENGTH(source) % 2 = 0 THEN 40 ELSE 10 END) div 100"))
+    ranked.join(broadcast(counts), "source")
       .groupBy(col("source"))
       .agg(
         min(col("n_docs")).cast(LongType).as("n_docs"),
@@ -725,10 +757,11 @@ object TextOps {
   // sequences. Reports, per source, the packed-corpus shape a trainer
   // needs: sequence count, documents that straddle a chunk boundary
   // (their loss masks span two sequences), and tail padding. Offsets
-  // are a prefix sum — one window per source, so the packing
-  // parallelizes across sources and no token data moves; at 100 TB the
-  // same plan holds with range-partitioned windows inside a source.
-  // Integer token counts end-to-end — both engines agree exactly.
+  // are a prefix sum riding plans.GroupedPrefix (r9): range-partition on
+  // (source, doc_id), per-slice token-sum partials, broadcast exclusive
+  // offsets, slice-local running sums — parallelism is numPartitions ×
+  // |sources| at any corpus size, never |sources| corpus-sized sort
+  // tasks. Integer token counts end-to-end — both engines agree exactly.
   val packSequences = Q(
     "pipe_pack_sequences",
     Some("""
@@ -754,14 +787,8 @@ object TextOps {
       ORDER BY source
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val seqLen = 2048L
-    t.documents
-      .select(col("source"), col("doc_id"),
-        size(words(col("text"))).cast(LongType).as("n_tok"))
-      .withColumn("cum_end", sum(col("n_tok")).over(w))
+    tokenPrefix(t)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -778,12 +805,14 @@ object TextOps {
   // (never split — the WebDataset/parquet-shard contract, unlike
   // pipe_pack_sequences' token windows) to fixed-budget output shards,
   // per source, in doc_id order. Shard index is the closed-form
-  // floor(cum_start / budget): one prefix-sum window per source, no
-  // sequential first-fit carry — which makes the plan embarrassingly
-  // parallel and means a shard can overflow its budget by at most one
-  // document (reported as overflow_tokens, so the writer can see the
-  // worst case). Emits per shard the doc range the writer seeks to —
-  // the manifest a 100 TB shard-writing job partitions by.
+  // floor(cum_start / budget): a GroupedPrefix-decomposed prefix sum
+  // (see tokenPrefix — numPartitions × |sources| parallel slices, not
+  // one sort task per source), no sequential first-fit carry — which
+  // makes the plan embarrassingly parallel and means a shard can
+  // overflow its budget by at most one document (reported as
+  // overflow_tokens, so the writer can see the worst case). Emits per
+  // shard the doc range the writer seeks to — the manifest a 100 TB
+  // shard-writing job partitions by.
   val shardPlan = Q(
     "pipe_shard_plan",
     Some("""
@@ -811,14 +840,9 @@ object TextOps {
       ORDER BY source, shard_idx
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
     val budget = 4096L
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.documents
-      .select(col("source"), col("doc_id"),
-        size(words(col("text"))).cast(LongType).as("n_tok"))
-      .withColumn("cum_start", sum(col("n_tok")).over(w) - col("n_tok"))
+    tokenPrefix(t)
+      .withColumn("cum_start", col("cum_end") - col("n_tok"))
       .withColumn("shard_idx", (col("cum_start") / budget).cast(LongType))
       .groupBy(col("source"), col("shard_idx"))
       .agg(count(lit(1)).as("n_docs"),

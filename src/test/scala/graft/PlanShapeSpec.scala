@@ -301,6 +301,48 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pipe_* corpus-order ops ride GroupedPrefix: every fact window carries the slice id") {
+    // the regression this pins out (round-8 verdict #2): `… OVER
+    // (PARTITION BY source …)` / `(PARTITION BY epoch, shard)` over the
+    // corpus — source has ~20 values and (epoch, shard) exactly 16, so
+    // the whole corpus funnels into that many sort tasks at any scale.
+    // The GroupedPrefix plans read checkpointed range-partitioned slices
+    // (Scan ExistingRDD) and every window over the facts carries
+    // __gp_pid in its spec.
+    Seq("pipe_mix_sample", "pipe_pack_sequences", "pipe_shard_plan",
+        "pipe_epoch_shuffle").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("ExistingRDD"), s"$q:\n${plan.take(2000)}")
+      val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toList
+      assert(specs.nonEmpty, s"$q: expected slice-local windows")
+      specs.foreach { s =>
+        assert(s.contains("__gp_pid"),
+          s"$q: window not slice-scoped (enum-keyed fact window?): $s")
+      }
+    }
+  }
+
+  test("CorpusPipeline mix + shard layout ride GroupedPrefix too") {
+    // the orchestrator's write path repeats the pipe_mix_sample /
+    // pipe_shard_plan shapes — same pin: no window over the corpus may
+    // lack the slice id
+    val docs = sf0001.documents.selectExpr("doc_id", "source", "text",
+      "CAST(size(split(trim(text), '\\\\s+')) AS LONG) AS n_tok")
+    Seq(
+      "mix" -> graft.text.CorpusPipeline.mixSample(docs, Map("web" -> 5000)),
+      "shard" -> graft.text.CorpusPipeline.shardLayout(docs, 2000L)
+    ).foreach { case (label, df) =>
+      val plan = df.queryExecution.explainString(FormattedMode)
+      assert(plan.contains("ExistingRDD"), s"$label:\n${plan.take(2000)}")
+      val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toList
+      assert(specs.nonEmpty, s"$label: expected slice-local windows")
+      specs.foreach { s =>
+        assert(s.contains("__gp_pid"),
+          s"$label: window not slice-scoped: $s")
+      }
+    }
+  }
+
   test("q98_uniq_upto aggregates with a partial (map-side) pass") {
     val plan = planOf("q98_uniq_upto")
     // typed Aggregator partial states must combine map-side: the plan
