@@ -126,12 +126,20 @@ object Streams {
     * key, so the files hold sorted runs exactly like the batch write
     * path ([[graft.functions.ClickHouseSql]] sorted parts) and month
     * retention stays a directory drop. The sort forces foreachBatch
-    * (streaming plans reject Sort outside Complete mode); replay
-    * safety comes from a per-batch marker file — a restarted batch
-    * whose marker exists is skipped, so the append is idempotent
-    * across recovery (the same contract the parquet sink's
-    * _spark_metadata log provides, kept explicit here because the
-    * batch hook owns the write).
+    * (streaming plans reject Sort outside Complete mode).
+    *
+    * Replay safety is a small write-ahead protocol, not a bare marker —
+    * a marker written after a direct append leaves a window (job commit
+    * → crash → no marker) where the restarted batch re-appends the same
+    * rows. Here each batch (1) writes its files to a batch-private
+    * staging dir, (2) records the exact DESTINATION paths it is about
+    * to create in an `.inflight` file, (3) moves the files (a rename
+    * per file — metadata-only on HDFS-like stores), (4) writes the
+    * commit marker and drops the intent. Recovery replays the log:
+    * commit marker present → batch already fully landed, skip; intent
+    * present without commit → delete the listed destinations (undoing
+    * any half-done move), then redo from a fresh staging write. Every
+    * crash point therefore lands the batch exactly once.
     */
   def partitionedIngest(events: DataFrame, path: String, checkpoint: String,
     sortKey: Seq[String] = Seq("user_id", "ts"))
@@ -142,21 +150,65 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-        val root = new org.apache.hadoop.fs.Path(path)
-        val fs = root.getFileSystem(conf)
-        val marker = new org.apache.hadoop.fs.Path(
-          path + s"/_graft_batch_$batchId")
-        if (!fs.exists(marker)) {
-          batch
-            .sortWithinPartitions(("__ch_part" +: sortKey).map(col): _*)
-            .write.mode("append").partitionBy("__ch_part")
-            .parquet(path)
-          fs.create(marker, true).close()
-        }
-        ()
+        landPartitionedBatch(batch, path, sortKey, batchId)
       }
       .start()
+
+  /** One batch of [[partitionedIngest]]'s stage→intent→move→commit
+    * protocol (exposed for the recovery-path spec — a streaming restart
+    * only replays the last un-checkpointed batch, so the undo branch
+    * needs direct drive to test deterministically).
+    */
+  private[graft] def landPartitionedBatch(
+    batch: Dataset[org.apache.spark.sql.Row], path: String,
+    sortKey: Seq[String], batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val commit = new Path(path + s"/_graft_batch_$batchId")
+    val intent = new Path(path + s"/_graft_batch_$batchId.inflight")
+    val staging = new Path(path + s"/._staging_$batchId")
+    if (fs.exists(commit)) return
+    // undo: a prior attempt may have moved some files before dying
+    if (fs.exists(intent)) {
+      val in = fs.open(intent)
+      val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toVector finally in.close()
+      listed.foreach(p => fs.delete(new Path(p), false))
+      fs.delete(intent, false)
+    }
+    fs.delete(staging, true)
+    batch
+      .sortWithinPartitions(("__ch_part" +: sortKey).map(col): _*)
+      .write.mode("overwrite").partitionBy("__ch_part")
+      .parquet(staging.toString)
+    // enumerate staged data files → destination paths, log the intent
+    // BEFORE any move so recovery can always undo
+    val moves = fs.listStatus(staging).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("__ch_part="))
+      .flatMap { dir =>
+        fs.listStatus(dir.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => (f.getPath,
+            new Path(new Path(root, dir.getPath.getName),
+              f.getPath.getName)))
+      }
+    val out = fs.create(intent, true)
+    try out.write(moves.map(_._2.toString).mkString("\n")
+      .getBytes("UTF-8")) finally out.close()
+    moves.foreach { case (src, dst) =>
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"partitioned ingest: move $src -> $dst failed")
+    }
+    fs.create(commit, true).close()
+    fs.delete(intent, false)
+    fs.delete(staging, true)
+  }
 
   /** Stream-stream interval join: purchases attributed to the same user's
     * clicks within `horizon`. Both sides watermarked so join state is

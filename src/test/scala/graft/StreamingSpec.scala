@@ -75,9 +75,13 @@ class StreamingSpec extends SparkSpec {
     assert(parts.toSeq === Seq("__ch_part=202401", "__ch_part=202402"))
     root.listFiles().filter(_.isDirectory).foreach { d =>
       d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        // each committed file holds runs sorted by the FULL declared
+        // sort key (user_id, ts) — the same sorted-parts property the
+        // batch CTAS write path guarantees (PartitionedTableE2ESpec)
         val us = spark.read.parquet(f.getAbsolutePath)
-          .select("user_id").collect().map(_.getLong(0)).toSeq
-        assert(us === us.sorted, s"${f.getName} not sorted by user_id")
+          .select("user_id", "ts").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSeq
+        assert(us === us.sorted, s"${f.getName} not sorted by (user_id, ts)")
       }
     }
     // restart on the same checkpoint: replayed batches are skipped by
@@ -95,6 +99,41 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(s"$dir/table/__ch_part=202401"))
     assert(spark.read.parquet(s"$dir/table").count() === 2L)
+  }
+
+  test("partitioned ingest recovers a crash between move and commit exactly once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_piw").toString
+    val path = s"$dir/table"
+    val batch = Seq(
+      Event(1, Timestamp.valueOf("2024-01-05 00:00:00"), 30, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-02-03 00:00:00"), 20, "view", 2.0))
+      .toDF()
+      .withColumn("__ch_part",
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("ts"), "yyyyMM").cast("int"))
+    Streams.landPartitionedBatch(batch, path, Seq("user_id", "ts"), 0L)
+    assert(spark.read.parquet(path).count() === 2L)
+    // simulate the crash window the WAL closes: files moved, commit
+    // marker never written — recovery must UNDO the listed destinations
+    // and re-land, not append a second copy
+    val root = new java.io.File(path)
+    val landed = root.listFiles().filter(_.getName.startsWith("__ch_part="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+    assert(landed.nonEmpty)
+    assert(new java.io.File(path, "_graft_batch_0").delete())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_batch_0.inflight"),
+      landed.mkString("\n"))
+    Streams.landPartitionedBatch(batch, path, Seq("user_id", "ts"), 0L)
+    assert(spark.read.parquet(path).count() === 2L,
+      "recovery doubled the batch")
+    assert(new java.io.File(path, "_graft_batch_0").exists())
+    assert(!new java.io.File(path, "_graft_batch_0.inflight").exists())
+    // replay with the commit marker present is a no-op
+    Streams.landPartitionedBatch(batch, path, Seq("user_id", "ts"), 0L)
+    assert(spark.read.parquet(path).count() === 2L)
   }
 
   test("materialized aggregate table refreshes across micro-batches") {
