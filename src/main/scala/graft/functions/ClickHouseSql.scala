@@ -134,6 +134,21 @@ object ClickHouseSql {
   def sortKeyOf(table: String): Option[Seq[String]] =
     Option(sortKeys.get(norm(table)))
 
+  /** Columns declared `Nullable(T)` in the CH DDL, per table
+    * (lower-cased names). [[mapChType]] erases Nullable(T) to plain T
+    * for the Spark schema, so nullability must be tracked here: a
+    * Nullable column omitted from an INSERT column list (or absent from
+    * a FORMAT row) defaults to NULL in ClickHouse, while a plain column
+    * defaults to the type's zero — filling 0 for a Nullable column
+    * would be a silent value divergence.
+    */
+  private val nullableCols =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]
+
+  private def isNullableCol(table: String, column: String): Boolean =
+    Option(nullableCols.get(norm(table)))
+      .exists(_.contains(column.toLowerCase(java.util.Locale.ROOT)))
+
   /** Sort a block the way the table's parts are declared sorted, when a
     * sort key is registered and its columns are present (column DDL may
     * have dropped one — then the layout degrades, never errors).
@@ -211,6 +226,7 @@ object ClickHouseSql {
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame =
     optimizeTable(spark, sqlText)
+      .orElse(systemVerb(spark, sqlText))
       .orElse(alterMutation(spark, sqlText))
       .orElse(renameOrExchange(spark, sqlText))
       .orElse(dictionaryDdl(spark, sqlText))
@@ -439,7 +455,16 @@ object ClickHouseSql {
           s"date_sub(CAST(($arg) AS DATE), " +
             s"(dayofweek(CAST(($arg) AS DATE)) + 5) % 7)"
         case "tostartofday" => s"CAST(($arg) AS DATE)"
-        case "intdiv" => s"CAST(FLOOR(${arg.replace(",", " / ")}) AS BIGINT)"
+        case "intdiv" =>
+          // split ONLY at the top-level comma — nested calls carry their
+          // own commas (intDiv(toUInt32(x, 'UTC'), 100) must not garble).
+          // FLOOR (round toward −∞) matches CH intDiv on the nonnegative
+          // partition-key domain this translation serves.
+          val commas = lex(arg).filter(t => t.text == "," && t.depth == 0)
+          require(commas.size == 1, s"intDiv expects 2 arguments: $spec")
+          val a = arg.substring(0, commas.head.start).trim
+          val b = arg.substring(commas.head.end).trim
+          s"CAST(FLOOR(($a) / ($b)) AS BIGINT)"
         case _ => spec.trim
       }
       case other => other
@@ -536,6 +561,7 @@ object ClickHouseSql {
           partTables.remove(norm(table))
           engines.remove(norm(table))
           sortKeys.remove(norm(table))
+          nullableCols.remove(norm(table))
           mvDefs.remove(norm(table))
         } else {
           spark.sql(s"TRUNCATE TABLE ${pt.physical}")
@@ -655,6 +681,7 @@ object ClickHouseSql {
         s"DROP DICTIONARY expects a name: $sqlText")
       val existed = ClickHouseDialect.dropDictionary(toks(i).text)
       require(existed || guarded, s"dictionary ${toks(i).text} is not registered")
+      dictDefs.remove(norm(toks(i).text))
       return Some(noop)
     }
     if (!(toks.length >= 2 && toks.head.lower == "create" &&
@@ -708,7 +735,86 @@ object ClickHouseSql {
       s"dictionary columns not on $srcTable: ${missing.mkString(", ")}")
     ClickHouseDialect.registerDictionary(
       srcDf.selectExpr(colNames: _*), name, keyCol)
+    // remember the definition so SYSTEM RELOAD DICTIONARY can
+    // re-snapshot from the current source rows
+    dictDefs.put(norm(name), DictDef(srcTable, colNames, keyCol))
     Some(noop)
+  }
+
+  /** Tables whose merges are administratively stopped (SYSTEM STOP
+    * MERGES); the sentinel `*` means globally stopped. Read by the
+    * OPTIMIZE gate.
+    */
+  private val stoppedMerges =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def mergesStopped(table: String): Boolean =
+    stoppedMerges.contains("*") || stoppedMerges.contains(norm(table))
+
+  /** CREATE DICTIONARY definitions (name → source table, columns, key)
+    * so `SYSTEM RELOAD DICTIONARY` can re-snapshot from the CURRENT
+    * source rows — registration itself is a point-in-time snapshot.
+    */
+  private final case class DictDef(srcTable: String, cols: Seq[String],
+    keyCol: String)
+  private val dictDefs =
+    new java.util.concurrent.ConcurrentHashMap[String, DictDef]
+
+  /** `SYSTEM <verb>` administration statements:
+    *
+    *   - `SYSTEM STOP MERGES [table]` / `SYSTEM START MERGES [table]` —
+    *     with a table, gates that table's OPTIMIZE; bare form gates all
+    *     tables. Background merges don't exist in this engine (merging
+    *     happens at OPTIMIZE/FINAL time), so the OBSERVABLE contract is
+    *     exactly the OPTIMIZE gate: while stopped, OPTIMIZE fails
+    *     loudly instead of merging; FINAL reads still collapse at query
+    *     time, as they do on a merges-stopped ClickHouse table.
+    *   - `SYSTEM RELOAD DICTIONARY name` / `SYSTEM RELOAD DICTIONARIES`
+    *     — re-snapshot the registered dictionary (or all of them) from
+    *     the current source-table rows, CH's manual refresh.
+    *   - `SYSTEM FLUSH LOGS` — accepted no-op: system log tables are
+    *     ClickHouse server infrastructure with no analog here.
+    *
+    * Other SYSTEM verbs (replica/cluster management) name
+    * infrastructure this engine does not have and fail loudly.
+    */
+  private def systemVerb(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    if (toks.isEmpty || toks.head.lower != "system") return None
+    def noop: DataFrame = spark.emptyDataFrame
+    val verb = toks.lift(1).map(_.lower).getOrElse("")
+    val obj = toks.lift(2).map(_.lower).getOrElse("")
+    (verb, obj) match {
+      case ("stop", "merges") | ("start", "merges") =>
+        val key = toks.lift(3).filter(isIdent).map(t => norm(t.text))
+          .getOrElse("*")
+        if (verb == "stop") stoppedMerges.add(key)
+        else if (key == "*") stoppedMerges.clear() // global START clears all
+        else stoppedMerges.remove(key)
+        Some(noop)
+      case ("reload", "dictionary") =>
+        require(toks.lift(3).exists(isIdent),
+          s"SYSTEM RELOAD DICTIONARY expects a name: $sqlText")
+        reloadDictionary(spark, toks(3).text)
+        Some(noop)
+      case ("reload", "dictionaries") =>
+        import scala.jdk.CollectionConverters._
+        dictDefs.keySet().asScala.toSeq.sorted
+          .foreach(reloadDictionary(spark, _))
+        Some(noop)
+      case ("flush", "logs") => Some(noop)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported SYSTEM statement (replica/cluster verbs name " +
+          s"infrastructure this engine does not have): $sqlText")
+    }
+  }
+
+  private def reloadDictionary(spark: SparkSession, name: String): Unit = {
+    val d = dictDefs.get(norm(name))
+    require(d != null, s"dictionary $name is not registered")
+    ClickHouseDialect.registerDictionary(
+      spark.table(d.srcTable).selectExpr(d.cols: _*), name, d.keyCol)
   }
 
   /** ClickHouse `transform(x, from, to[, default])` — value remapping
@@ -760,6 +866,13 @@ object ClickHouseSql {
         isIdent(t)),
       s"unsupported OPTIMIZE statement: $sqlText")
     val table = toks(2).text
+    // SYSTEM STOP MERGES gate: CH refuses to start the merge while
+    // merges are stopped for the table (optimize_throw_if_noop
+    // behavior) — failing loudly beats a silent no-op that callers
+    // would read as "merged"
+    require(!mergesStopped(table),
+      s"OPTIMIZE TABLE $table: merges are stopped " +
+        "(SYSTEM STOP MERGES) — run SYSTEM START MERGES first")
     val dedupIdx = toks.indexWhere(_.lower == "deduplicate")
     if (engineOf(table).isDefined) {
       val merged = spark.sql(rewrite(s"SELECT * FROM $table FINAL",
@@ -893,9 +1006,16 @@ object ClickHouseSql {
               try spark.sql(
                 s"ALTER TABLE $phys DROP PARTITION (${q1(pc)} = $valueText)")
               catch {
+                // CH: dropping a missing partition is a no-op. Spark's
+                // DROP PARTITION raises the PLURAL
+                // NoSuchPartitionsException (InMemoryCatalog and Hive
+                // alike); the singular variant exists for other partition
+                // APIs — catch both so a routine already-absent drop
+                // never falls through to the rewrite fallback below.
                 case _: org.apache.spark.sql.catalyst.analysis
-                  .NoSuchPartitionException => // CH: dropping a missing
-                  // partition is a no-op
+                  .NoSuchPartitionException =>
+                case _: org.apache.spark.sql.catalyst.analysis
+                  .NoSuchPartitionsException =>
                 case e: org.apache.spark.sql.AnalysisException =>
                   System.err.println(
                     s"[graft] native DROP PARTITION on $phys failed " +
@@ -1087,6 +1207,20 @@ object ClickHouseSql {
     else "0"
   }
 
+  /** The default a column of `table` takes when an INSERT omits it:
+    * NULL for a column declared Nullable(T) in the CH DDL (ClickHouse's
+    * Nullable default), the type's zero otherwise. All three fill sites
+    * (INSERT column list, FORMAT column list, JSONEachRow absent field)
+    * route through this so the rule cannot drift.
+    */
+  private def defaultFill(table: String,
+    f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.expr
+    val lit = if (isNullableCol(table, f.name)) "NULL"
+              else zeroLiteral(f.dataType.sql)
+    expr(s"CAST(($lit) AS ${f.dataType.sql})")
+  }
+
   /** ClickHouse table-management verbs Spark spells differently:
     *
     *   - `RENAME TABLE a TO b[, c TO d …]` → sequential Spark
@@ -1122,6 +1256,8 @@ object ClickHouseSql {
       }
       Option(sortKeys.remove(norm(from)))
         .foreach(sk => sortKeys.put(norm(to), sk))
+      Option(nullableCols.remove(norm(from)))
+        .foreach(nc => nullableCols.put(norm(to), nc))
     }
     if (toks.length >= 3 && toks.head.lower == "rename" &&
       toks(1).lower == "table") {
@@ -1488,6 +1624,13 @@ object ClickHouseSql {
     }.toMap
     registerEngineFromDdl(table, engName, engArgs, sortKey, summingDefault,
       aggregatingMerges)
+    // record Nullable(T) declarations before mapChType erases them —
+    // INSERT default fills consult this (NULL, not the type's zero)
+    val nullables = mapped.filter(c =>
+      "(?i)^Nullable\\s*\\(".r.findFirstIn(c.chType.trim).isDefined)
+      .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+    if (nullables.nonEmpty) nullableCols.put(norm(table), nullables)
+    else nullableCols.remove(norm(table))
     // PARTITION BY is NOT emitted here: Spark moves partition columns
     // to the END of a `PARTITIONED BY` table's schema, which would
     // silently re-bind positional INSERTs and reorder `SELECT *` away
@@ -1779,12 +1922,12 @@ object ClickHouseSql {
         require(unknown.isEmpty,
           s"JSONEachRow fields ${unknown.mkString(", ")} not on $table")
         parsed.select(target.map { f =>
-          val dflt = expr(s"CAST((${zeroLiteral(f.dataType.sql)}) " +
-            s"AS ${f.dataType.sql})")
+          val dflt = defaultFill(table, f)
           parsed.columns.find(_.equalsIgnoreCase(f.name)) match {
-            // absent PER ROW (and explicit null) → CH type default;
-            // absence is per-row in JSONEachRow, so coalesce, not a
-            // column-presence check alone
+            // absent PER ROW (and explicit null) → CH column default
+            // (NULL for declared-Nullable columns, the type's zero
+            // otherwise); absence is per-row in JSONEachRow, so
+            // coalesce, not a column-presence check alone
             case Some(c) => org.apache.spark.sql.functions
               .coalesce(col(q1(c)).cast(f.dataType), dflt).as(f.name)
             case None => dflt.as(f.name)
@@ -1801,11 +1944,11 @@ object ClickHouseSql {
       if (listed.isEmpty) block.toDF(schema.fieldNames.toSeq: _*)
       else block.select(schema.map { f =>
         if (listed.exists(_.equalsIgnoreCase(f.name))) col(q1(f.name))
-        // columns omitted from the INSERT list get the TYPE default
-        // (0/''/epoch), like ClickHouse — same rule as the per-row
-        // JSONEachRow fill above, never NULL
-        else expr(s"CAST((${zeroLiteral(f.dataType.sql)}) " +
-          s"AS ${f.dataType.sql})").as(f.name)
+        // columns omitted from the INSERT list get the COLUMN default,
+        // like ClickHouse: NULL for declared-Nullable columns, the
+        // type's zero (0/''/epoch) otherwise — same rule as the per-row
+        // JSONEachRow fill above
+        else defaultFill(table, f).as(f.name)
       }.toSeq: _*)
     playInsert(spark, table, full.localCheckpoint(true), depth = 0)
     Some(spark.table(table).limit(0))
@@ -1873,10 +2016,9 @@ object ClickHouseSql {
         named.select(schema.map { f =>
           listed.find(_.equalsIgnoreCase(f.name)) match {
             case Some(n) => col(n).cast(f.dataType).as(f.name)
-            // unlisted → CH type default, matching insertFormat's rule
-            case None => org.apache.spark.sql.functions
-              .expr(s"CAST((${zeroLiteral(f.dataType.sql)}) " +
-                s"AS ${f.dataType.sql})").as(f.name)
+            // unlisted → CH column default (NULL for Nullable columns),
+            // matching insertFormat's rule
+            case None => defaultFill(table, f).as(f.name)
           }
         }.toSeq: _*)
       }

@@ -1889,6 +1889,63 @@ class ClickHouseDialectSpec extends SparkSpec {
     spark.sql("DROP TABLE ch_dict_src")
   }
 
+  test("SYSTEM STOP/START MERGES gates OPTIMIZE; RELOAD DICTIONARY re-snapshots") {
+    import graft.functions.ClickHouseSql
+    spark.sql("DROP TABLE IF EXISTS ch_sys_t")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), "ch_sys_t"))
+    ClickHouseSql.sql(spark, """
+      CREATE TABLE ch_sys_t (k UInt32, name String, ver UInt64)
+      ENGINE = ReplacingMergeTree(ver) ORDER BY (k)""")
+    spark.sql("INSERT INTO ch_sys_t VALUES (1, 'old', 1), (1, 'new', 2)")
+    // stopped: OPTIMIZE refuses loudly; FINAL reads still collapse
+    ClickHouseSql.sql(spark, "SYSTEM STOP MERGES ch_sys_t")
+    val refused = intercept[Exception] {
+      ClickHouseSql.sql(spark, "OPTIMIZE TABLE ch_sys_t FINAL")
+    }
+    assert(refused.getMessage.contains("merges are stopped"))
+    assert(spark.table("ch_sys_t").count() === 2) // nothing merged
+    assert(ClickHouseSql.sql(spark,
+      "SELECT name FROM ch_sys_t FINAL").head().getString(0) === "new")
+    // started again: OPTIMIZE merges in place
+    ClickHouseSql.sql(spark, "SYSTEM START MERGES ch_sys_t")
+    ClickHouseSql.sql(spark, "OPTIMIZE TABLE ch_sys_t FINAL")
+    assert(spark.table("ch_sys_t").count() === 1)
+    // bare STOP MERGES gates every table; bare START clears it
+    ClickHouseSql.sql(spark, "SYSTEM STOP MERGES")
+    assert(intercept[Exception] {
+      ClickHouseSql.sql(spark, "OPTIMIZE TABLE ch_sys_t FINAL")
+    }.getMessage.contains("merges are stopped"))
+    ClickHouseSql.sql(spark, "SYSTEM START MERGES")
+    ClickHouseSql.sql(spark, "OPTIMIZE TABLE ch_sys_t FINAL")
+    spark.sql("DROP TABLE ch_sys_t")
+    // RELOAD DICTIONARY re-snapshots the CURRENT source rows
+    dropAnyType("ch_sys_dict_src")
+    spark.sql("CREATE TABLE ch_sys_dict_src (code BIGINT, cname STRING) USING parquet")
+    spark.sql("INSERT INTO ch_sys_dict_src VALUES (1, 'us')")
+    ClickHouseSql.sql(spark, """
+      CREATE DICTIONARY sys_codes (code UInt64, cname String)
+      PRIMARY KEY code SOURCE(CLICKHOUSE(TABLE 'ch_sys_dict_src'))
+      LAYOUT(HASHED())""")
+    spark.sql("INSERT INTO ch_sys_dict_src VALUES (2, 'de')")
+    // registration was a snapshot: the new row is invisible until reload
+    assert(!spark.sql("SELECT dictHas('sys_codes', 2)").head().getBoolean(0))
+    ClickHouseSql.sql(spark, "SYSTEM RELOAD DICTIONARY sys_codes")
+    assert(spark.sql("SELECT dictHas('sys_codes', 2)").head().getBoolean(0))
+    assert(spark.sql("SELECT dictGet('sys_codes', 'cname', 2)")
+      .head().getString(0) === "de")
+    // RELOAD DICTIONARIES (all) and FLUSH LOGS are accepted
+    ClickHouseSql.sql(spark, "SYSTEM RELOAD DICTIONARIES")
+    ClickHouseSql.sql(spark, "SYSTEM FLUSH LOGS")
+    // unknown SYSTEM verbs fail loudly
+    assert(intercept[Exception] {
+      ClickHouseSql.sql(spark, "SYSTEM RESTART REPLICA r1")
+    }.getMessage.contains("unsupported SYSTEM"))
+    ClickHouseSql.sql(spark, "DROP DICTIONARY sys_codes")
+    spark.sql("DROP TABLE ch_sys_dict_src")
+  }
+
   test("seventh-batch scalar names: search, trim, temporal, geo") {
     val r = spark.sql("""
       SELECT positionCaseInsensitive('Hello World', 'WORLD') AS pci,
