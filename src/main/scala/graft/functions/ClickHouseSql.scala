@@ -558,6 +558,7 @@ object ClickHouseSql {
         if (verb == "drop") {
           spark.sql(s"DROP VIEW IF EXISTS $table")
           spark.sql(s"DROP TABLE IF EXISTS ${pt.physical}")
+          spark.sql(s"DROP TABLE IF EXISTS ${pt.physical}__detached")
           partTables.remove(norm(table))
           engines.remove(norm(table))
           sortKeys.remove(norm(table))
@@ -926,6 +927,18 @@ object ClickHouseSql {
     * scan + overwrite instead of a background mutation queue. The
     * assignment/condition text goes through [[rewrite]], so CH dialect
     * functions are usable inside mutations.
+    *
+    * Partition lifecycle verbs (all single-partition-column, like DROP
+    * PARTITION): `DETACH PARTITION v` (out of the active set, into the
+    * `__detached` side table), `ATTACH PARTITION v` (back from
+    * detached), `ATTACH PARTITION v FROM src` (copy from another
+    * table), `REPLACE PARTITION v FROM src` (drop + copy), `MOVE
+    * PARTITION v TO TABLE dst` (copy + drop), and `CLEAR COLUMN c IN
+    * PARTITION v` (reset to the column default in one partition).
+    * Detach/drop are metadata/file operations — no data rewrite;
+    * attach/copy ride the dialect write path (declared-order
+    * realignment, sorted parts) WITHOUT triggering materialized views,
+    * because CH attaches are parts operations, not inserts.
     */
   private def alterMutation(spark: SparkSession,
     sqlText: String): Option[DataFrame] = {
@@ -1032,6 +1045,98 @@ object ClickHouseSql {
                 "declare PARTITION BY <column> in CREATE TABLE, or use " +
                 "ALTER TABLE … DELETE WHERE for row-level retention")
           }
+        case "detach" if toks.lift(4).exists(_.lower == "partition") =>
+          // CH takes the partition out of the active set — queries stop
+          // seeing it, the data survives in detached storage for a later
+          // ATTACH. Copy the partition to the `__detached` side table,
+          // then route the active-set removal through the DROP PARTITION
+          // handler (native metadata drop + its audited fallback).
+          val valueText = stripSemi(sqlText.substring(toks(4).end)).trim
+          require(valueText.nonEmpty,
+            s"ALTER TABLE … DETACH PARTITION needs a value: $sqlText")
+          detachPartition(spark, table, valueText)
+          Some(spark.table(table).limit(0))
+        case "attach" if toks.lift(4).exists(_.lower == "partition") =>
+          // Two CH forms: `ATTACH PARTITION v` restores this table's
+          // detached partition; `ATTACH PARTITION v FROM src` COPIES
+          // the partition from another table (src keeps its data).
+          val fromIdx = toks.indexWhere(t =>
+            t.lower == "from" && t.depth == 0, 5)
+          if (fromIdx > 0) {
+            val valueText = stripSemi(
+              sqlText.substring(toks(4).end, toks(fromIdx).start)).trim
+            require(valueText.nonEmpty && toks.lift(fromIdx + 1).exists(isIdent),
+              s"ATTACH PARTITION … FROM expects a value and a table: $sqlText")
+            copyPartition(spark, toks(fromIdx + 1).text, table, valueText)
+          } else {
+            val valueText = stripSemi(sqlText.substring(toks(4).end)).trim
+            require(valueText.nonEmpty,
+              s"ALTER TABLE … ATTACH PARTITION needs a value: $sqlText")
+            attachFromDetached(spark, table, valueText)
+          }
+          Some(spark.table(table).limit(0))
+        case "replace" if toks.lift(4).exists(_.lower == "partition") =>
+          // `ALTER TABLE dst REPLACE PARTITION v FROM src` — dst's
+          // partition is swapped for a copy of src's (src untouched):
+          // drop, then copy, both through the audited paths.
+          val fromIdx = toks.indexWhere(t =>
+            t.lower == "from" && t.depth == 0, 5)
+          require(fromIdx > 0 && toks.lift(fromIdx + 1).exists(isIdent),
+            s"REPLACE PARTITION requires FROM <table>: $sqlText")
+          val valueText = stripSemi(
+            sqlText.substring(toks(4).end, toks(fromIdx).start)).trim
+          require(valueText.nonEmpty,
+            s"REPLACE PARTITION needs a value: $sqlText")
+          sql(spark, s"ALTER TABLE $table DROP PARTITION $valueText")
+          copyPartition(spark, toks(fromIdx + 1).text, table, valueText)
+          Some(spark.table(table).limit(0))
+        case "move" if toks.lift(4).exists(_.lower == "partition") =>
+          // `ALTER TABLE src MOVE PARTITION v TO TABLE dst` — the data
+          // changes tables: copy into dst, then drop from src.
+          val toIdx = toks.indexWhere(t => t.lower == "to" && t.depth == 0, 5)
+          require(toIdx > 0 && toks.lift(toIdx + 1).exists(_.lower == "table") &&
+            toks.lift(toIdx + 2).exists(isIdent),
+            s"MOVE PARTITION requires TO TABLE <dst>: $sqlText")
+          val valueText = stripSemi(
+            sqlText.substring(toks(4).end, toks(toIdx).start)).trim
+          require(valueText.nonEmpty, s"MOVE PARTITION needs a value: $sqlText")
+          val dst = toks(toIdx + 2).text
+          copyPartition(spark, table, dst, valueText)
+          sql(spark, s"ALTER TABLE $table DROP PARTITION $valueText")
+          Some(spark.table(dst).limit(0))
+        case "clear" if toks.lift(4).exists(_.lower == "column") =>
+          // `ALTER TABLE t CLEAR COLUMN c IN PARTITION v` — reset the
+          // column to its COLUMN default (NULL for declared-Nullable,
+          // the type's zero otherwise — the INSERT-fill rule) inside one
+          // partition; other partitions pass through untouched.
+          require(toks.lift(5).exists(isIdent),
+            s"CLEAR COLUMN needs a column name: $sqlText")
+          val colName = toks(5).text
+          require(toks.lift(6).exists(_.lower == "in") &&
+            toks.lift(7).exists(_.lower == "partition"),
+            s"CLEAR COLUMN requires IN PARTITION: $sqlText")
+          val valueText = stripSemi(sqlText.substring(toks(7).end)).trim
+          require(valueText.nonEmpty,
+            s"CLEAR COLUMN … IN PARTITION needs a value: $sqlText")
+          val schema = spark.table(table).schema
+          val f = schema.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+            throw new IllegalArgumentException(
+              s"CLEAR COLUMN: no column $colName on $table"))
+          // expression-partitioned tables don't expose the generated
+          // column through the declared view — recompute the expression
+          val pcCond = partitionedTable(table).flatMap(_.genExpr)
+            .map(g => s"($g) <=> ($valueText)")
+            .getOrElse(s"${q1(partitionColumn(spark, table))} <=> ($valueText)")
+          val dflt =
+            if (isNullableCol(table, f.name)) "NULL"
+            else zeroLiteral(f.dataType.sql)
+          val proj = schema.map { c =>
+            if (c.name.equalsIgnoreCase(colName))
+              s"CASE WHEN $pcCond THEN CAST(($dflt) AS ${f.dataType.sql}) " +
+                s"ELSE ${q1(c.name)} END AS ${q1(c.name)}"
+            else q1(c.name)
+          }.mkString(", ")
+          Some(run(table, s"SELECT $proj FROM $table"))
         case other => throw new IllegalArgumentException(
           s"unsupported ALTER TABLE action: $other in $sqlText")
       }
@@ -1045,6 +1150,109 @@ object ClickHouseSql {
       Some(run(table,
         s"SELECT * FROM $table WHERE NOT coalesce(($cond), false)"))
     } else None
+  }
+
+  /** The single partition column of `table` — the physical one for
+    * registered partitioned tables, the catalog's for plain Spark
+    * partitioned tables. Partition lifecycle verbs (DETACH / ATTACH /
+    * MOVE / REPLACE / CLEAR … IN PARTITION) share DROP PARTITION's
+    * single-column restriction.
+    */
+  private def partitionColumn(spark: SparkSession, table: String): String = {
+    import scala.jdk.CollectionConverters._
+    val pcols = partitionedTable(table).map(_.partCols).getOrElse(
+      spark.catalog.listColumns(table).collectAsList()
+        .asScala.filter(_.isPartition).map(_.name).toSeq)
+    require(pcols.size == 1,
+      s"partition operations need single-column partitioning; $table " +
+        s"has (${pcols.mkString(", ")})")
+    pcols.head
+  }
+
+  /** The `<physical>__detached` side table backing DETACH/ATTACH
+    * PARTITION — same schema as the physical table (partition column
+    * included), created empty on first detach, dropped with the table.
+    * Pure storage: never registered as a CH table.
+    */
+  private def detachedStore(spark: SparkSession, phys: String,
+    pc: String): String = {
+    val det = phys + "__detached"
+    if (!spark.catalog.tableExists(det))
+      spark.table(phys).limit(0).write.partitionBy(pc).saveAsTable(det)
+    det
+  }
+
+  private def detachPartition(spark: SparkSession, table: String,
+    valueText: String): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val phys = physicalFor(table)
+    val pc = partitionColumn(spark, table)
+    val det = detachedStore(spark, phys, pc)
+    val detSchema = spark.table(det).schema
+    spark.table(phys)
+      .where(expr(s"${q1(pc)} <=> ($valueText)"))
+      .select(detSchema.map(f =>
+        col(q1(f.name)).cast(f.dataType).as(f.name)).toSeq: _*)
+      .write.mode("append").insertInto(det)
+    // active-set removal rides the DROP PARTITION handler: native
+    // metadata drop, no-op when absent, audited rewrite fallback
+    sql(spark, s"ALTER TABLE $table DROP PARTITION $valueText")
+    ()
+  }
+
+  private def attachFromDetached(spark: SparkSession, table: String,
+    valueText: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    val phys = physicalFor(table)
+    val pc = partitionColumn(spark, table)
+    val det = phys + "__detached"
+    // nothing ever detached → nothing to attach (CH: attaching a
+    // partition with no detached parts attaches zero parts)
+    if (!spark.catalog.tableExists(det)) return
+    appendAligned(spark, table,
+      spark.table(det).where(expr(s"${q1(pc)} <=> ($valueText)")))
+    try spark.sql(s"ALTER TABLE $det DROP PARTITION (${q1(pc)} = $valueText)")
+    catch {
+      case _: org.apache.spark.sql.catalyst.analysis
+        .NoSuchPartitionException =>
+      case _: org.apache.spark.sql.catalyst.analysis
+        .NoSuchPartitionsException =>
+    }
+  }
+
+  /** Copy `src`'s partition `valueText` into `dst` (src untouched) —
+    * the shared half of ATTACH…FROM / REPLACE…FROM / MOVE…TO. CH
+    * requires structurally identical tables; here the copy realigns by
+    * NAME through the dialect write path, so a missing column fails
+    * loudly at analysis.
+    */
+  private def copyPartition(spark: SparkSession, src: String, dst: String,
+    valueText: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    val srcPc = partitionColumn(spark, src)
+    appendAligned(spark, dst, spark.table(physicalFor(src))
+      .where(expr(s"${q1(srcPc)} <=> ($valueText)")))
+  }
+
+  /** Append `rows` (physical/declared columns present by name) into
+    * `table` through the dialect write path: declared-order
+    * realignment, generated-partition recompute, sorted parts. ATTACH
+    * is a parts operation in ClickHouse, not an INSERT — materialized
+    * views must NOT replay — hence [[writeBlock]], never playInsert.
+    */
+  private def appendAligned(spark: SparkSession, table: String,
+    rows: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    partitionedTable(table) match {
+      case Some(pt) =>
+        writeBlock(spark, table,
+          rows.select(pt.declared.map(c => col(q1(c))): _*), "append")
+      case None =>
+        val schema = spark.table(table).schema
+        sortedForWrite(rows.select(schema.map(f =>
+          col(q1(f.name)).cast(f.dataType).as(f.name)).toSeq: _*), table)
+          .write.mode("append").insertInto(table)
+    }
   }
 
   /** ClickHouse column DDL — `ADD COLUMN` / `DROP COLUMN` / `RENAME

@@ -201,6 +201,84 @@ class PartitionedTableE2ESpec extends SparkSpec {
     dropAnyType("pt_sorted_p")
   }
 
+  test("DETACH/ATTACH PARTITION round-trips through detached storage") {
+    Seq("pt_da", "pt_da__parts", "pt_da__parts__detached").foreach(dropAnyType)
+    ch("""CREATE TABLE pt_da (k UInt64, v String, d Date)
+      ENGINE = MergeTree PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+    ch("""INSERT INTO pt_da VALUES
+      (1, 'a', '2024-01-05'), (2, 'b', '2024-01-20'),
+      (3, 'c', '2024-02-10')""")
+    // detach: partition leaves the active set but survives detached
+    ch("ALTER TABLE pt_da DETACH PARTITION 202401")
+    assert(spark.table("pt_da").collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(spark.table("pt_da__parts__detached").count() === 2L)
+    // detaching an absent partition is a no-op, like DROP
+    ch("ALTER TABLE pt_da DETACH PARTITION 202512")
+    assert(spark.table("pt_da").count() === 1L)
+    // attach: rows come back in declared order; detached store drains
+    ch("ALTER TABLE pt_da ATTACH PARTITION 202401")
+    assert(spark.table("pt_da").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    assert(spark.table("pt_da").columns.toSeq === Seq("k", "v", "d"))
+    assert(spark.table("pt_da__parts__detached").count() === 0L)
+    // attaching again (nothing detached) is a no-op, not a duplicate
+    ch("ALTER TABLE pt_da ATTACH PARTITION 202401")
+    assert(spark.table("pt_da").count() === 3L)
+    ch("DROP TABLE pt_da")
+    assert(!spark.catalog.tableExists("pt_da__parts__detached"))
+  }
+
+  test("ATTACH FROM / REPLACE FROM / MOVE TO TABLE copy partitions across tables") {
+    Seq("pt_cp_a", "pt_cp_a__parts", "pt_cp_b", "pt_cp_b__parts")
+      .foreach(dropAnyType)
+    ch("""CREATE TABLE pt_cp_a (k UInt64, mon String)
+      ENGINE = MergeTree PARTITION BY mon ORDER BY (k)""")
+    ch("""CREATE TABLE pt_cp_b (k UInt64, mon String)
+      ENGINE = MergeTree PARTITION BY mon ORDER BY (k)""")
+    ch("""INSERT INTO pt_cp_a VALUES
+      (1, '2024-01'), (2, '2024-01'), (3, '2024-02')""")
+    ch("INSERT INTO pt_cp_b VALUES (9, '2024-01')")
+    // ATTACH … FROM copies (src untouched) and ADDS to dst's partition
+    ch("ALTER TABLE pt_cp_b ATTACH PARTITION '2024-01' FROM pt_cp_a")
+    assert(spark.table("pt_cp_a").count() === 3L)
+    assert(spark.table("pt_cp_b").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 9L))
+    // REPLACE … FROM swaps dst's partition for a copy of src's
+    ch("ALTER TABLE pt_cp_b REPLACE PARTITION '2024-01' FROM pt_cp_a")
+    assert(spark.table("pt_cp_b").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L))
+    // MOVE … TO TABLE transfers: dst gains, src loses
+    ch("ALTER TABLE pt_cp_a MOVE PARTITION '2024-02' TO TABLE pt_cp_b")
+    assert(spark.table("pt_cp_a").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 2L))
+    assert(spark.table("pt_cp_b").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    ch("DROP TABLE pt_cp_a")
+    ch("DROP TABLE pt_cp_b")
+  }
+
+  test("CLEAR COLUMN IN PARTITION resets to the column default") {
+    Seq("pt_clr", "pt_clr__parts").foreach(dropAnyType)
+    ch("""CREATE TABLE pt_clr (k UInt64, score UInt32, note Nullable(String), d Date)
+      ENGINE = MergeTree PARTITION BY toYYYYMM(d) ORDER BY (k)""")
+    ch("""INSERT INTO pt_clr VALUES
+      (1, 10, 'jan', '2024-01-05'), (2, 20, 'jan2', '2024-01-20'),
+      (3, 30, 'feb', '2024-02-10')""")
+    // plain column → the type's zero, only inside the named partition
+    ch("ALTER TABLE pt_clr CLEAR COLUMN score IN PARTITION 202401")
+    val scores = spark.table("pt_clr").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores === Map(1L -> 0L, 2L -> 0L, 3L -> 30L))
+    // Nullable column → NULL (the INSERT-default rule), not ''
+    ch("ALTER TABLE pt_clr CLEAR COLUMN note IN PARTITION 202401")
+    val notes = spark.table("pt_clr").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(notes === Map(1L -> None, 2L -> None, 3L -> Some("feb")))
+    assert(spark.table("pt_clr").columns.toSeq ===
+      Seq("k", "score", "note", "d"))
+    ch("DROP TABLE pt_clr")
+  }
+
   test("MV triggers fire on partitioned-source inserts") {
     Seq("pt_mv_src", "pt_mv_src__parts", "pt_mv_agg").foreach(dropAnyType)
     ClickHouseSql.dropMaterializedView("pt_mv_agg")
