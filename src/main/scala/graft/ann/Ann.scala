@@ -2133,8 +2133,86 @@ $pivots
         expr("50 * 10000 div any_value(n)").cast(LongType).as("exact_scan_bp"))
   }
 
+  // embed_centroid_drift — distribution-shift monitor: per label, the
+  // cosine between the centroid of one half of the corpus (even vec_id —
+  // "the previous snapshot") and the other (odd — "the new batch"). A
+  // drifting embedding space (model change, upstream corruption, a
+  // poisoned source) shows up as drift_cos falling away from 1 before
+  // any downstream metric moves. Cross-ROW float sums are order-
+  // dependent, so the mean is computed in integer space: each component
+  // is floored onto a 2^16 grid (float→double is exact, ×2^16 is a
+  // power-of-two shift, FLOOR is deterministic), per-dimension sums are
+  // BIGINT (exact, order-free), and the n divisors cancel inside the
+  // cosine — so both engines fold the same integers and the only
+  // float step is one division of correctly-rounded int64→double casts.
+  // Bounds: |q| ≤ 2¹⁵, so Σ(sa·sb) over d dims stays in int64 up to
+  // ~1.2e7 rows per (label, half) at d=64 — past that, drop the grid to
+  // 2^8 or widen the internal sums to DECIMAL (outputs stay as-is).
+  // Scale shape: one corpus scan, map-side-combinable (label, dim)
+  // aggregation to a |labels|×d relation; everything after is
+  // dimension-sized.
+  val centroidDrift = Q(
+    "embed_centroid_drift",
+    Some("""
+      WITH c AS (
+        SELECT label, vec_id % 2 AS half, i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 65536) AS BIGINT) AS q
+        FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS t(i)),
+      s AS (
+        SELECT label, dim,
+               CAST(SUM(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT) AS sa,
+               CAST(SUM(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT) AS sb
+        FROM c GROUP BY label, dim),
+      agg AS (
+        SELECT label,
+               CAST(SUM(sa * sb) AS BIGINT) AS dot,
+               CAST(SUM(sa * sa) AS BIGINT) AS na2,
+               CAST(SUM(sb * sb) AS BIGINT) AS nb2
+        FROM s GROUP BY label),
+      n AS (
+        SELECT label,
+               CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM embeddings GROUP BY label)
+      SELECT a.label AS label, n.n_a AS n_a, n.n_b AS n_b,
+             ROUND(CAST(dot AS DOUBLE) /
+               (SQRT(CAST(na2 AS DOUBLE)) * SQRT(CAST(nb2 AS DOUBLE))), 6)
+               AS drift_cos
+      FROM agg a JOIN n ON a.label = n.label
+      WHERE na2 > 0 AND nb2 > 0
+      ORDER BY label
+    """)
+  ) { t =>
+    val comps = t.embeddings
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "comp")))
+      .withColumn("q",
+        floor(col("comp").cast(DoubleType) * 65536).cast(LongType))
+    val s = comps.groupBy(col("label"), col("dim"))
+      .agg(
+        sum(when(col("half") === 0, col("q")).otherwise(0L)).as("sa"),
+        sum(when(col("half") === 1, col("q")).otherwise(0L)).as("sb"))
+    val agg = s.groupBy(col("label"))
+      .agg(
+        sum(col("sa") * col("sb")).as("dot"),
+        sum(col("sa") * col("sa")).as("na2"),
+        sum(col("sb") * col("sb")).as("nb2"))
+    val n = t.embeddings.groupBy(col("label"))
+      .agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+    agg.join(broadcast(n), "label")
+      .where(col("na2") > 0 && col("nb2") > 0)
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("dot").cast(DoubleType) /
+          (sqrt(col("na2").cast(DoubleType)) * sqrt(col("nb2").cast(DoubleType))),
+          6).as("drift_cos"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
-    rpProject, diversify, graphSearch, matryoshka, binaryQuant, binaryRerank)
+    rpProject, diversify, graphSearch, matryoshka, binaryQuant, binaryRerank,
+    centroidDrift)
 }

@@ -855,6 +855,117 @@ object TextOps {
       .orderBy(col("source"), col("shard_idx"))
   }
 
+  // pipe_incremental — the resume manifest an incremental ingest run
+  // plans from: which docs a previous run already processed (a
+  // deterministic Knuth-hash ledger — ~70% of doc_ids — standing in for
+  // the real run's manifest), and per source what the NEXT run must do:
+  // new docs, new tokens, the shard index appends start at (shards are
+  // append-only, so done_tokens div budget), and how many shards the
+  // append touches. At 100 TB this is THE everyday query — a pipeline
+  // never reprocesses the corpus, it diffs the ledger and plans the
+  // delta. Integer arithmetic end-to-end; the output is a
+  // |sources|-row manifest. Scale shape: one projection scan +
+  // map-side-combinable per-source aggregate — no window, no corpus
+  // shuffle.
+  val incremental = Q(
+    "pipe_incremental",
+    Some("""
+      WITH toks AS (
+        SELECT source, doc_id,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tok,
+               (doc_id * 2654435761) % 100 < 70 AS done
+        FROM documents)
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN done THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN done THEN n_tok ELSE 0 END) AS BIGINT)
+               AS done_tokens,
+             CAST(SUM(CASE WHEN done THEN 0 ELSE n_tok END) AS BIGINT)
+               AS new_tokens,
+             CAST(SUM(CASE WHEN done THEN n_tok ELSE 0 END) // 4096 AS BIGINT)
+               AS start_shard,
+             CAST(CASE WHEN SUM(CASE WHEN done THEN 0 ELSE n_tok END) = 0
+               THEN 0
+               ELSE (SUM(n_tok) - 1) // 4096
+                    - SUM(CASE WHEN done THEN n_tok ELSE 0 END) // 4096 + 1
+               END AS BIGINT) AS shards_touched
+      FROM toks
+      GROUP BY source
+      ORDER BY source
+    """)
+  ) { t =>
+    val budget = 4096L
+    t.documents
+      .select(col("source"),
+        size(words(col("text"))).cast(LongType).as("n_tok"),
+        ((col("doc_id") * 2654435761L) % 100 < 70).as("done"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("done"), 0L).otherwise(1L)).cast(LongType).as("n_new"),
+        sum(when(col("done"), col("n_tok")).otherwise(0L)).cast(LongType)
+          .as("done_tokens"),
+        sum(when(col("done"), 0L).otherwise(col("n_tok"))).cast(LongType)
+          .as("new_tokens"),
+        sum(col("n_tok")).as("__tot"))
+      .select(col("source"), col("n_docs"), col("n_new"),
+        col("done_tokens"), col("new_tokens"),
+        expr(s"done_tokens div $budget").as("start_shard"),
+        when(col("new_tokens") === 0, 0L).otherwise(
+          expr(s"(__tot - 1) div $budget") -
+            expr(s"done_tokens div $budget") + 1L)
+          .cast(LongType).as("shards_touched"))
+      .orderBy(col("source"))
+  }
+
+  // pipe_len_hist — token-length histogram per source in power-of-two
+  // buckets: the distribution a trainer reads to pick seq_len and price
+  // packing efficiency (pipe_pack_sequences reports the outcome for ONE
+  // seq_len; the histogram prices them all). bucket = floor(log2(n)) is
+  // computed ARITHMETICALLY — length of the binary representation — so
+  // no FP log whose power-of-two boundaries could land a different ulp
+  // across engines. pad_waste_bp is the no-packing worst case: tokens
+  // wasted if every doc in the bucket were padded to the bucket's upper
+  // edge 2^(bucket+1). Integer end-to-end. Scale: projection scan +
+  // (source, bucket) map-side-combinable aggregate — no window.
+  val lenHist = Q(
+    "pipe_len_hist",
+    Some("""
+      WITH toks AS (
+        SELECT source,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tok
+        FROM documents),
+      b AS (
+        SELECT source, n_tok,
+               LENGTH(BIN(GREATEST(n_tok, 1))) - 1 AS bucket
+        FROM toks)
+      SELECT source, CAST(bucket AS BIGINT) AS bucket,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens,
+             CAST((COUNT(*) * (1::BIGINT << (bucket + 1)) - SUM(n_tok)) * 10000
+               // (COUNT(*) * (1::BIGINT << (bucket + 1))) AS BIGINT)
+               AS pad_waste_bp
+      FROM b
+      GROUP BY source, bucket
+      ORDER BY source, bucket
+    """)
+  ) { t =>
+    t.documents
+      .select(col("source"),
+        size(words(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("bucket",
+        (length(bin(greatest(col("n_tok"), lit(1L)))) - 1).cast(LongType))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      .withColumn("cap",
+        expr("n_docs * (CAST(1 AS BIGINT) << CAST(bucket + 1 AS INT))"))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        col("tokens").cast(LongType).as("tokens"),
+        expr("(cap - tokens) * 10000 div cap").cast(LongType)
+          .as("pad_waste_bp"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   // text_search — conjunctive term search, the query-time probe of an
   // inverted index (ClickHouse's full-text/ngram skip-index analog). The
   // term filter lands BEFORE the shuffle: tokens explode narrowly on the
@@ -1645,6 +1756,7 @@ object TextOps {
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
+    incremental, lenHist,
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
     countMin, charTrigrams, gopherBattery, langidEval)
 }

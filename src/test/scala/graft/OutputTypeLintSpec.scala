@@ -58,6 +58,10 @@ class OutputTypeLintSpec extends SparkSpec {
     "dedup_minhash_lsh" -> Set("est_jaccard"),
     "dedup_ngram_jaccard" -> Set("jaccard"),
     "embed_calibration" -> Set("p1", "p99", "clip_abs"),
+    // reviewed r9: the only float step is ROUND(int64→double casts
+    // divided through sqrt) over exact integer sums — term order shared
+    // verbatim with the oracle (see the op's scaladoc)
+    "embed_centroid_drift" -> Set("drift_cos"),
     "embed_norms" -> Set("min_norm", "max_norm"),
     "q01_pricing_summary" -> Set("sum_qty", "sum_base_price",
       "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc"),

@@ -343,6 +343,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("r9 additions: map-side aggregates, broadcast joins, no windows") {
+    // embed_centroid_drift: one corpus scan into a (label, dim) partial
+    // aggregate; the per-label count side joins via broadcast
+    val drift = planOf("embed_centroid_drift")
+    assert(drift.contains("HashAggregate"), drift.take(2000))
+    assert(drift.contains("BroadcastHashJoin"))
+    assert(!drift.contains("windowspecdefinition"))
+    // the two manifest ops are pure projection-scan + aggregate — a
+    // window creeping in would reintroduce the enum-keyed funnel
+    Seq("pipe_incremental", "pipe_len_hist").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("HashAggregate"), s"$q:\n${plan.take(2000)}")
+      assert(!plan.contains("windowspecdefinition"),
+        s"$q grew a window:\n${plan.take(2000)}")
+      assert(!plan.contains("Exchange SinglePartition") ||
+        plan.contains("partial"), s"$q:\n${plan.take(2000)}")
+    }
+  }
+
   test("q98_uniq_upto aggregates with a partial (map-side) pass") {
     val plan = planOf("q98_uniq_upto")
     // typed Aggregator partial states must combine map-side: the plan
