@@ -149,6 +149,33 @@ object ClickHouseSql {
     Option(nullableCols.get(norm(table)))
       .exists(_.contains(column.toLowerCase(java.util.Locale.ROOT)))
 
+  /** Table-level `TTL <expr> [DELETE]` clauses (CH-dialect expression
+    * text, per table). ClickHouse applies TTL when parts MERGE — rows
+    * whose TTL timestamp has passed are deleted during the merge, not
+    * at read time — so here [[optimizeTable]] is the application point,
+    * exactly the OPTIMIZE-forces-a-merge contract. Registered at CREATE
+    * (table-level clause only; per-column TTLs are storage directives
+    * and are dropped), updated by `ALTER TABLE … MODIFY TTL`, cleared
+    * by `ALTER TABLE … REMOVE TTL`.
+    */
+  private val ttlExprs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Strip the optional trailing DELETE action keyword (`TTL expr
+    * DELETE` — DELETE is CH's default TTL action; other actions name
+    * storage tiers this engine does not have and fail loudly).
+    */
+  private def cleanTtlText(raw: String, sqlText: String): String = {
+    val t = raw.trim
+    require(t.nonEmpty, s"empty TTL clause: $sqlText")
+    val lower = t.toLowerCase(java.util.Locale.ROOT)
+    require(!lower.contains(" to volume") && !lower.contains(" to disk") &&
+      !lower.contains("recompress"),
+      s"TTL actions other than DELETE name storage tiers this engine " +
+        s"does not have: $sqlText")
+    "(?is)\\s+delete\\s*$".r.replaceFirstIn(t, "")
+  }
+
   /** Sort a block the way the table's parts are declared sorted, when a
     * sort key is registered and its columns are present (column DDL may
     * have dropped one — then the layout degrades, never errors).
@@ -563,6 +590,7 @@ object ClickHouseSql {
           engines.remove(norm(table))
           sortKeys.remove(norm(table))
           nullableCols.remove(norm(table))
+          ttlExprs.remove(norm(table))
           mvDefs.remove(norm(table))
         } else {
           spark.sql(s"TRUNCATE TABLE ${pt.physical}")
@@ -903,6 +931,15 @@ object ClickHouseSql {
           "__ch_ddq WHERE __ch_dd = 1")
       writeBlock(spark, table, deduped.localCheckpoint(true), "overwrite")
     }
+    // merge-time TTL: rows whose TTL timestamp has passed leave the
+    // table with the merge OPTIMIZE just forced (CH applies TTL on
+    // merges, never at read time). NULL TTL values never expire.
+    Option(ttlExprs.get(norm(table))).foreach { ttl =>
+      val kept = spark.sql(rewrite(
+        s"SELECT * FROM $table WHERE NOT coalesce(($ttl) <= now(), false)",
+        t => spark.table(t).columns.toSeq))
+      writeBlock(spark, table, kept.localCheckpoint(true), "overwrite")
+    }
     Some(spark.table(table).limit(0))
   }
 
@@ -992,6 +1029,17 @@ object ClickHouseSql {
         case "add" | "drop" | "rename" | "modify"
           if toks.lift(4).exists(_.lower == "column") =>
           Some(alterColumn(spark, table, toks, sqlText))
+        case "modify" if toks.lift(4).exists(_.lower == "ttl") =>
+          // `ALTER TABLE t MODIFY TTL expr` — re-declare the table TTL;
+          // takes effect at the next merge (OPTIMIZE), like CH
+          require(spark.catalog.tableExists(table),
+            s"MODIFY TTL: no table $table")
+          ttlExprs.put(norm(table),
+            cleanTtlText(stripSemi(sqlText.substring(toks(4).end)), sqlText))
+          Some(spark.emptyDataFrame)
+        case "remove" if toks.lift(4).exists(_.lower == "ttl") =>
+          ttlExprs.remove(norm(table))
+          Some(spark.emptyDataFrame)
         case "drop" if toks.lift(4).exists(_.lower == "partition") =>
           // CH's retention verb. On a table created with PARTITION BY
           // this is Spark's native partition drop against the PHYSICAL
@@ -1466,6 +1514,8 @@ object ClickHouseSql {
         .foreach(sk => sortKeys.put(norm(to), sk))
       Option(nullableCols.remove(norm(from)))
         .foreach(nc => nullableCols.put(norm(to), nc))
+      Option(ttlExprs.remove(norm(from)))
+        .foreach(tt => ttlExprs.put(norm(to), tt))
     }
     if (toks.length >= 3 && toks.head.lower == "rename" &&
       toks(1).lower == "table") {
@@ -1839,6 +1889,17 @@ object ClickHouseSql {
       .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
     if (nullables.nonEmpty) nullableCols.put(norm(table), nullables)
     else nullableCols.remove(norm(table))
+    // table-level TTL (after the column group, so top-level by depth;
+    // per-column TTLs inside the group are directives, dropped above)
+    val ttlIdx = toks.indexWhere(t =>
+      t.depth == 0 && t.lower == "ttl", closeIdx)
+    if (ttlIdx >= 0) {
+      val endIdx = toks.indexWhere(t => t.depth == 0 &&
+        (t.lower == "settings" || t.text == ";"), ttlIdx + 1)
+      val rawEnd = if (endIdx < 0) sqlText.length else toks(endIdx).start
+      ttlExprs.put(norm(table),
+        cleanTtlText(sqlText.substring(toks(ttlIdx).end, rawEnd), sqlText))
+    } else ttlExprs.remove(norm(table))
     // PARTITION BY is NOT emitted here: Spark moves partition columns
     // to the END of a `PARTITIONED BY` table's schema, which would
     // silently re-bind positional INSERTs and reorder `SELECT *` away

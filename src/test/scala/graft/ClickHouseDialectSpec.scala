@@ -1946,6 +1946,45 @@ class ClickHouseDialectSpec extends SparkSpec {
     spark.sql("DROP TABLE ch_sys_dict_src")
   }
 
+  test("table TTL applies at OPTIMIZE (merge) time; MODIFY/REMOVE TTL re-declare") {
+    import graft.functions.ClickHouseSql
+    dropAnyType("ch_ttl_t")
+    ClickHouseSql.sql(spark, """
+      CREATE TABLE ch_ttl_t (k UInt32, v String, d Date)
+      ENGINE = MergeTree ORDER BY (k)
+      TTL d + INTERVAL 30 DAY DELETE""")
+    spark.sql("""INSERT INTO ch_ttl_t VALUES
+      (1, 'ancient', DATE'2020-01-01'), (2, 'future', DATE'2030-01-01')""")
+    // TTL is merge-time, not read-time: both rows visible before OPTIMIZE
+    assert(spark.table("ch_ttl_t").count() === 2L)
+    ClickHouseSql.sql(spark, "OPTIMIZE TABLE ch_ttl_t FINAL")
+    assert(spark.table("ch_ttl_t").collect().map(_.getString(1)).toSeq ===
+      Seq("future"))
+    // MODIFY TTL re-declares: a 100-year horizon keeps everything
+    spark.sql("INSERT INTO ch_ttl_t VALUES (3, 'old', DATE'2021-06-01')")
+    ClickHouseSql.sql(spark,
+      "ALTER TABLE ch_ttl_t MODIFY TTL d + INTERVAL 36500 DAY")
+    ClickHouseSql.sql(spark, "OPTIMIZE TABLE ch_ttl_t FINAL")
+    assert(spark.table("ch_ttl_t").count() === 2L)
+    // back to the tight horizon: the old row leaves on the next merge
+    ClickHouseSql.sql(spark,
+      "ALTER TABLE ch_ttl_t MODIFY TTL d + INTERVAL 30 DAY")
+    ClickHouseSql.sql(spark, "OPTIMIZE TABLE ch_ttl_t FINAL")
+    assert(spark.table("ch_ttl_t").collect().map(_.getString(1)).toSeq ===
+      Seq("future"))
+    // REMOVE TTL: nothing expires any more
+    ClickHouseSql.sql(spark, "ALTER TABLE ch_ttl_t REMOVE TTL")
+    spark.sql("INSERT INTO ch_ttl_t VALUES (4, 'ancient2', DATE'2019-01-01')")
+    ClickHouseSql.sql(spark, "OPTIMIZE TABLE ch_ttl_t FINAL")
+    assert(spark.table("ch_ttl_t").count() === 2L)
+    // storage-tier TTL actions fail loudly
+    assert(intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        "ALTER TABLE ch_ttl_t MODIFY TTL d + INTERVAL 1 DAY TO VOLUME 'cold'")
+    }.getMessage.contains("storage tiers"))
+    spark.sql("DROP TABLE ch_ttl_t")
+  }
+
   test("seventh-batch scalar names: search, trim, temporal, geo") {
     val r = spark.sql("""
       SELECT positionCaseInsensitive('Hello World', 'WORLD') AS pci,
