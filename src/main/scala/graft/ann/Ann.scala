@@ -329,7 +329,7 @@ object Ann {
                     FROM qemb e, cents c))
         WHERE rn = 1),
       probes AS (
-        SELECT query_id, qvec, cell
+        SELECT query_id, qvec, cell, pr
         FROM (SELECT query_id, qvec, cell,
                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cdist, cell) AS pr
               FROM (SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid AS cell,
@@ -2133,6 +2133,113 @@ $pivots
         expr("50 * 10000 div any_value(n)").cast(LongType).as("exact_scan_bp"))
   }
 
+  // ann_probe_sweep — the IVF serving dial measured end-to-end: recall@10
+  // and candidate-scan cost at nprobe = 1/2/4/8 against the brute-force
+  // truth, in one pass. Probe sets are prefix-nested (ranked by centroid
+  // distance), so ONE pranked probe table serves every sweep point —
+  // cells and centroids come from the memoized index build, the corpus
+  // joins the ≤8-cell candidate set once, and the sweep explodes only
+  // the candidate rows (≤ 4× a candidate set that is itself a small
+  // fraction of the corpus — never 4 corpus scans). This is the table a
+  // serving team reads to pick nprobe: scanned_rows is the exact cost,
+  // recall_bp the exact quality, both integers; ranking matches
+  // ann_ivf's (round(cos,6), vec_id tie-break), so both engines select
+  // identical top-10 sets.
+  val probeSweep = Q(
+    "ann_probe_sweep",
+    Some(s"""
+      WITH ${ivfCtesSqlDyn("16", 8, "")},
+      bt_q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 5),
+      bt_scored AS (
+        SELECT q.query_id, e.vec_id, ${cosSql("q.qvec", "e.embedding")} AS cos
+        FROM embeddings e, bt_q q),
+      bt_top AS (
+        SELECT query_id, vec_id
+        FROM (SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rnk
+              FROM bt_scored)
+        WHERE rnk <= 10),
+      sweep AS (SELECT UNNEST([1, 2, 4, 8]) AS nprobe),
+      cand AS (
+        SELECT s.nprobe, p.query_id, p.qvec, a.vec_id, a.embedding
+        FROM probes p JOIN ac a ON a.cell = p.cell, sweep s
+        WHERE p.pr <= s.nprobe),
+      cost AS (
+        SELECT nprobe, COUNT(*) AS scanned_rows,
+               COUNT(DISTINCT query_id) AS n_queries
+        FROM cand GROUP BY nprobe),
+      scored AS (
+        SELECT nprobe, query_id, vec_id,
+               ROUND(${cosSql("qvec", "embedding")}, 6) AS cos
+        FROM cand),
+      topk AS (
+        SELECT nprobe, query_id, vec_id
+        FROM (SELECT nprobe, query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                        ORDER BY cos DESC, vec_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 10),
+      hits AS (
+        SELECT k.nprobe, COUNT(t.vec_id) AS n_hits
+        FROM topk k LEFT JOIN bt_top t
+          ON k.query_id = t.query_id AND k.vec_id = t.vec_id
+        GROUP BY k.nprobe)
+      SELECT CAST(c.nprobe AS BIGINT) AS nprobe,
+             CAST(c.n_queries AS BIGINT) AS n_queries,
+             CAST(c.scanned_rows AS BIGINT) AS scanned_rows,
+             CAST(h.n_hits AS BIGINT) AS n_hits,
+             CAST(h.n_hits * 10000 // (c.n_queries * 10) AS BIGINT) AS recall_bp
+      FROM cost c JOIN hits h ON c.nprobe = h.nprobe
+      ORDER BY nprobe
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val (corpus, _) = ivfIndex(t, 16, 8) // memoized cells; probes re-ranked below
+    val centroids = ivfCentroids(t, 16)
+    val emb = ivfEmb(t)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("qv").as("qqv"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cid"))
+    val pranked = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("qvec"), col("cid"),
+        dist2(col("qqv"), col("cv")).as("cdist"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= 8)
+      .select(col("query_id"), col("qvec"), col("cid").as("cell"), col("pr"))
+    val cand = corpus.join(broadcast(pranked), "cell")
+      .withColumn("nprobe", explode(array(Seq(1, 2, 4, 8).map(lit): _*)))
+      .filter(col("pr") <= col("nprobe"))
+    val cost = cand.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("scanned_rows"),
+        countDistinct(col("query_id")).as("n_queries"))
+    val scored = cand.select(col("nprobe"), col("query_id"), col("vec_id"),
+      round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+    val wk = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val topk = graft.plans.TopKPerGroup
+      .topK(scored, Seq("nprobe", "query_id"), "cos", "vec_id", 10)
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= 10)
+    val truth = bruteForce.build(t)
+      .select(col("query_id").as("t_qid"), col("vec_id").as("hit_id"))
+    val hits = topk
+      .join(truth, col("query_id") === col("t_qid") &&
+        col("vec_id") === col("hit_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(col("hit_id")).as("n_hits"))
+    cost.join(hits, "nprobe")
+      .select(col("nprobe").cast(LongType).as("nprobe"),
+        col("n_queries").cast(LongType).as("n_queries"),
+        col("scanned_rows").cast(LongType).as("scanned_rows"),
+        col("n_hits").cast(LongType).as("n_hits"),
+        expr("n_hits * 10000 div (n_queries * 10)").cast(LongType)
+          .as("recall_bp"))
+      .orderBy(col("nprobe"))
+  }
+
   // embed_centroid_drift — distribution-shift monitor: per label, the
   // cosine between the centroid of one half of the corpus (even vec_id —
   // "the previous snapshot") and the other (odd — "the new batch"). A
@@ -2214,5 +2321,5 @@ $pivots
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
     rpProject, diversify, graphSearch, matryoshka, binaryQuant, binaryRerank,
-    centroidDrift)
+    centroidDrift, probeSweep)
 }
