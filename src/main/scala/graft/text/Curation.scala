@@ -243,12 +243,16 @@ object CurationOps {
       .agg(count(lit(1)).as("tf"))
     val df = terms.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(expr("tf * 10000 div df").desc, col("w"))
-    tf.join(df, "w")
+    // the top-5 cut rides TopKPerGroup: the vocab-sized (source, term)
+    // relation never funnels into |sources| window sort tasks — ≤ 5
+    // rows per source cross the shuffle, and the rank label is a
+    // 5-row-per-group window after the cut (the text_tv_drift shape)
+    val scored = tf.join(df, "w")
       .withColumn("score", expr("tf * 10000 div df"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("w"))
+    graft.plans.TopKPerGroup.topK(scored, Seq("source"), "score", "w", 5)
       .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 5)
       .select(col("source"), col("w").as("term"),
         col("tf").cast(LongType).as("tf"), col("df").cast(LongType).as("df"),
         col("score").cast(LongType).as("score"), col("rnk"))

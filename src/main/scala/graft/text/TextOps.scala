@@ -1056,17 +1056,18 @@ object TextOps {
         concat_ws(" ", slice(col("toks"), 1, 3)).as("fragment"))
       .unionAll(w.select(col("source"), lit("suffix").as("kind"),
         concat_ws(" ", slice(col("toks"), -3, 3)).as("fragment")))
+    // the fragment vocab is corpus-derived, so neither the per-(source,
+    // kind) total nor the top-1 may window over it on a ~40-value key:
+    // the total is a dimension-sized aggregate broadcast back, the
+    // top-1 rides TopKPerGroup (≤ 1 row per group crosses the shuffle)
     val counts = frags
       .groupBy(col("source"), col("kind"), col("fragment"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("n_src",
-        sum(col("c")).over(Window.partitionBy(col("source"), col("kind"))))
-    counts
-      .filter(col("c") >= 2)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("source"), col("kind"))
-          .orderBy(col("c").desc, col("fragment"))))
-      .filter(col("rn") === 1)
+    val totals = frags.groupBy(col("source"), col("kind"))
+      .agg(count(lit(1)).as("n_src"))
+    graft.plans.TopKPerGroup.topK(counts.filter(col("c") >= 2),
+        Seq("source", "kind"), "c", "fragment", 1)
+      .join(broadcast(totals), Seq("source", "kind"))
       .select(col("source"), col("kind"), col("fragment"),
         col("c").cast(LongType).as("n_docs"),
         expr("c * 10000L div n_src").cast(LongType).as("bp"))

@@ -343,6 +343,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("text_tfidf / text_boilerplate cut vocab-sized tops with TopKPerGroup") {
+    // both rank a corpus-derived vocabulary on a ~20/40-value key: the
+    // cut must be TopKPerGroup (bounded rows cross the shuffle), never
+    // a window sort of the vocab per enum key; boilerplate's per-group
+    // total must be a broadcast aggregate, not SUM() OVER
+    Seq("text_tfidf", "text_boilerplate").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("TopKPerGroup"), s"$q:\n${plan.take(2000)}")
+      val specs = "windowspecdefinition\\([^)]*".r.findAllIn(plan).toList
+      // tfidf keeps one 5-row-per-group rank label AFTER the cut;
+      // boilerplate must have no window at all
+      if (q == "text_boilerplate")
+        assert(specs.isEmpty, s"$q grew a window:\n${specs.mkString("\n")}")
+    }
+    assert(planOf("text_boilerplate").contains("BroadcastHashJoin"))
+  }
+
   test("r9 additions: map-side aggregates, broadcast joins, no windows") {
     // embed_centroid_drift: one corpus scan into a (label, dim) partial
     // aggregate; the per-label count side joins via broadcast
