@@ -141,6 +141,55 @@ object Streams {
     * any half-done move), then redo from a fresh staging write. Every
     * crash point therefore lands the batch exactly once.
     */
+  /** [[partitionedIngest]] plus ClickHouse-style TTL retention applied
+    * at each batch commit — the streaming analog of the dialect's
+    * merge-time `TTL` (the batch side applies it at OPTIMIZE; a stream
+    * has no OPTIMIZE, so the commit IS the merge point): after a batch
+    * lands, month partitions more than `keepMonths` behind the newest
+    * LANDED month are dropped as whole directories — CH's
+    * `ttl_only_drop_parts` fast path, a metadata/file operation, never
+    * a rewrite. Event-time driven: wall clock never enters, so replays
+    * are deterministic and a stalled source expires nothing.
+    */
+  def partitionedIngestTtl(events: DataFrame, path: String,
+    checkpoint: String, keepMonths: Int,
+    sortKey: Seq[String] = Seq("user_id", "ts"))
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("__ch_part", date_format(col("ts"), "yyyyMM").cast("int"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        landPartitionedBatch(batch, path, sortKey, batchId)
+        applyTtlRetention(batch.sparkSession, path, keepMonths)
+      }
+      .start()
+
+  /** Drop `__ch_part=yyyyMM` partition directories more than
+    * `keepMonths` behind the newest landed month (exposed for the
+    * retention spec). Month arithmetic is calendar-correct across year
+    * boundaries (202401 − 2 months → 202311).
+    */
+  private[graft] def applyTtlRetention(
+    spark: org.apache.spark.sql.SparkSession, path: String,
+    keepMonths: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val parts = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__ch_part="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("__ch_part=").toInt).toOption
+        .map(_ -> s.getPath))
+    if (parts.isEmpty) return
+    val newest = parts.map(_._1).max
+    val total = (newest / 100) * 12 + (newest % 100) - 1 - keepMonths
+    val cutoff = (total / 12) * 100 + (total % 12) + 1
+    parts.filter(_._1 < cutoff).foreach { case (_, p) => fs.delete(p, true) }
+  }
+
   def partitionedIngest(events: DataFrame, path: String, checkpoint: String,
     sortKey: Seq[String] = Seq("user_id", "ts"))
     : org.apache.spark.sql.streaming.StreamingQuery =

@@ -101,6 +101,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/table").count() === 2L)
   }
 
+  test("TTL ingest drops expired month partitions at batch commit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_pttl").toString
+    def mts(month: Int, day: Int): Timestamp =
+      Timestamp.valueOf(f"2024-$month%02d-$day%02d 00:00:00")
+    val mem = MemoryStream[Event]
+    val q = Streams.partitionedIngestTtl(mem.toDF(),
+      s"$dir/table", s"$dir/ckpt", keepMonths = 1)
+    try {
+      mem.addData(
+        Event(1, mts(1, 5), 30, "click", 1.0),
+        Event(2, mts(2, 6), 10, "view", 2.0))
+      q.processAllAvailable()
+      // both months within the horizon: nothing expires
+      def months = new java.io.File(s"$dir/table").listFiles()
+        .filter(_.getName.startsWith("__ch_part=")).map(_.getName).sorted.toSeq
+      assert(months === Seq("__ch_part=202401", "__ch_part=202402"))
+      // event time advances to April: January/February fall > 1 month
+      // behind the newest landed month and their DIRECTORIES drop —
+      // retention is a file operation, never a rewrite
+      mem.addData(Event(3, mts(4, 2), 20, "click", 3.0))
+      q.processAllAvailable()
+      assert(months === Seq("__ch_part=202404"))
+      assert(spark.read.parquet(s"$dir/table").count() === 1L)
+      // wall clock never entered: a replayed/stalled source with no new
+      // data expires nothing further
+      val before = months
+      mem.addData(Event(4, mts(4, 9), 5, "view", 4.0))
+      q.processAllAvailable()
+      assert(months === before)
+      assert(spark.read.parquet(s"$dir/table").count() === 2L)
+    } finally q.stop()
+  }
+
   test("partitioned ingest recovers a crash between move and commit exactly once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_piw").toString

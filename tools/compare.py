@@ -91,9 +91,21 @@ def main():
         if len(a) != len(b):
             print(f"  {name}: ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}")
             n_fail += 1; failures.append(name); continue
-        # dtype report (informational — driver may compare schemas)
+        # dtype check: a float column on ONE side only (Spark emitting
+        # DOUBLE where the oracle computes DECIMAL/int, or vice versa)
+        # compares value-equal through this single DuckDB session but
+        # hashes differently downstream — the q80 escape the ScalaTest
+        # lint caught in r9. Cross-kind float/non-float is a FAILURE;
+        # same-kind representation diffs (int64 vs object Decimal of
+        # integers) stay informational.
         dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
               if str(a[c].dtype) != str(b[c].dtype)]
+        kind_bad = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+                    if (a[c].dtype.kind == 'f') != (b[c].dtype.kind == 'f')]
+        if kind_bad:
+            print(f"  {name}: DTYPE KIND MISMATCH {kind_bad} "
+                  "(float on one side only — serialization-divergent)")
+            n_fail += 1; failures.append(name); continue
         try:
             ok = True
             for c in a.columns:
