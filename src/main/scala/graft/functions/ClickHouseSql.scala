@@ -253,6 +253,7 @@ object ClickHouseSql {
     */
   def sql(spark: SparkSession, sqlText: String): DataFrame =
     optimizeTable(spark, sqlText)
+      .orElse(showCreateTable(spark, sqlText))
       .orElse(systemVerb(spark, sqlText))
       .orElse(alterMutation(spark, sqlText))
       .orElse(renameOrExchange(spark, sqlText))
@@ -264,6 +265,88 @@ object ClickHouseSql {
       .orElse(tableLifecycle(spark, sqlText))
       .getOrElse(
         spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq)))
+
+  /** `SHOW CREATE TABLE t` — reconstruct the ClickHouse-dialect DDL
+    * from the live declared schema + the registries (engine, sort key,
+    * partition spec, TTL, Nullable columns); returns one row, column
+    * `statement`. Like CH itself, the output is a NORMALIZED form —
+    * per-column CODEC/DEFAULT/COMMENT directives were dropped at CREATE
+    * (documented there) and do not reappear — and it is ROUND-TRIPPABLE:
+    * executing the returned statement recreates an equivalent table
+    * (ShowCreate round-trip spec). Types map back via [[chTypeBack]].
+    */
+  private def showCreateTable(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    if (toks.length < 4 || toks.head.lower != "show" ||
+      toks(1).lower != "create" || toks(2).lower != "table" ||
+      !isIdent(toks(3))) return None
+    val table = toks(3).text
+    require(spark.catalog.tableExists(table),
+      s"SHOW CREATE TABLE: no table $table")
+    val schema = spark.table(table).schema
+    val cols = schema.map(f =>
+      s"${f.name} ${chTypeBack(table, f)}").mkString(", ")
+    val engineText = engineOf(table) match {
+      case Some(Replacing(_, ver)) =>
+        s"ReplacingMergeTree(${ver.mkString(", ")})"
+      case Some(Collapsing(_, sign, ver)) =>
+        s"CollapsingMergeTree(${(sign +: ver).mkString(", ")})"
+      case Some(Summing(_, measures)) =>
+        s"SummingMergeTree(${measures.mkString(", ")})"
+      case Some(Aggregating(_, _)) => "AggregatingMergeTree"
+      case None => "MergeTree"
+    }
+    val partText = partitionedTable(table).map(pt =>
+      " PARTITION BY " + pt.chSpec.getOrElse(pt.partCols.head))
+      .getOrElse("")
+    // CH's normalized form spells an empty key `ORDER BY tuple()`; this
+    // dialect's CREATE omits the clause instead, and round-trip fidelity
+    // to the dialect wins here
+    val orderText = sortKeyOf(table) match {
+      case Some(sk) if sk.nonEmpty => s" ORDER BY (${sk.mkString(", ")})"
+      case _ => ""
+    }
+    val ttlText = Option(ttlExprs.get(norm(table)))
+      .map(t => s" TTL $t").getOrElse("")
+    val stmt = s"CREATE TABLE $table ($cols) ENGINE = $engineText" +
+      partText + orderText + ttlText
+    Some(spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(stmt)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("statement",
+          org.apache.spark.sql.types.StringType)))))
+  }
+
+  /** Spark type → ClickHouse type text (the [[mapChType]] inverse on
+    * the types it produces), re-wrapping Nullable from the per-table
+    * registry.
+    */
+  private def chTypeBack(table: String,
+    f: org.apache.spark.sql.types.StructField): String = {
+    import org.apache.spark.sql.types._
+    def back(dt: DataType): String = dt match {
+      case ByteType => "Int8"
+      case ShortType => "Int16"
+      case IntegerType => "Int32"
+      case LongType => "Int64"
+      case FloatType => "Float32"
+      case DoubleType => "Float64"
+      case StringType => "String"
+      case BooleanType => "Bool"
+      case DateType => "Date"
+      case _: TimestampType => "DateTime"
+      case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+      case a: ArrayType => s"Array(${back(a.elementType)})"
+      case m: MapType => s"Map(${back(m.keyType)}, ${back(m.valueType)})"
+      case BinaryType => "String"
+      case other => throw new IllegalArgumentException(
+        s"SHOW CREATE TABLE: no ClickHouse spelling for Spark type $other")
+    }
+    val base = back(f.dataType)
+    if (isNullableCol(table, f.name)) s"Nullable($base)" else base
+  }
 
   /** `CREATE TABLE t (…) ENGINE = <X>MergeTree … PARTITION BY <spec>` —
     * executed as the two-piece layout of [[PartitionedTable]]: the

@@ -1946,6 +1946,50 @@ class ClickHouseDialectSpec extends SparkSpec {
     spark.sql("DROP TABLE ch_sys_dict_src")
   }
 
+  test("SHOW CREATE TABLE reconstructs round-trippable DDL") {
+    import graft.functions.ClickHouseSql
+    Seq("ch_sct", "ch_sct__parts").foreach(dropAnyType)
+    ClickHouseSql.sql(spark, """
+      CREATE TABLE ch_sct (k UInt64, name String, note Nullable(String),
+        amount Decimal(10, 2), d Date, ver UInt64)
+      ENGINE = ReplacingMergeTree(ver)
+      PARTITION BY toYYYYMM(d) ORDER BY (k, d)
+      TTL d + INTERVAL 90 DAY""")
+    val stmt = ClickHouseSql.sql(spark, "SHOW CREATE TABLE ch_sct")
+      .head().getString(0)
+    // normalized pieces all present
+    assert(stmt.startsWith("CREATE TABLE ch_sct ("))
+    assert(stmt.contains("k Int64"))
+    assert(stmt.contains("note Nullable(String)"))
+    assert(stmt.contains("amount Decimal(10, 2)"))
+    assert(stmt.contains("ENGINE = ReplacingMergeTree(ver)"))
+    assert(stmt.contains("PARTITION BY toYYYYMM(d)"))
+    assert(stmt.contains("ORDER BY (k, d)"))
+    assert(stmt.contains("TTL d + INTERVAL 90 DAY"))
+    // round trip: the statement recreates an equivalent table —
+    // partition pruning, FINAL merge, Nullable default, TTL all intact
+    ClickHouseSql.sql(spark,
+      "INSERT INTO ch_sct VALUES (1, 'a', 'x', 1.00, '2024-01-05', 1)")
+    ClickHouseSql.sql(spark, "DROP TABLE ch_sct")
+    ClickHouseSql.sql(spark, stmt)
+    ClickHouseSql.sql(spark, """INSERT INTO ch_sct VALUES
+      (1, 'old', 'x', 1.00, '2030-01-05', 1),
+      (1, 'new', 'y', 2.00, '2030-01-05', 2)""")
+    assert(ClickHouseSql.sql(spark,
+      "SELECT name FROM ch_sct FINAL").head().getString(0) === "new")
+    val stmt2 = ClickHouseSql.sql(spark, "SHOW CREATE TABLE ch_sct")
+      .head().getString(0)
+    assert(stmt2 === stmt, "SHOW CREATE is not a fixed point")
+    ClickHouseSql.sql(spark, "DROP TABLE ch_sct")
+    // plain unregistered Spark table: bare normalized form
+    dropAnyType("ch_sct_plain")
+    spark.sql("CREATE TABLE ch_sct_plain (a BIGINT, b STRING) USING parquet")
+    val plain = ClickHouseSql.sql(spark, "SHOW CREATE TABLE ch_sct_plain")
+      .head().getString(0)
+    assert(plain === "CREATE TABLE ch_sct_plain (a Int64, b String) ENGINE = MergeTree")
+    spark.sql("DROP TABLE ch_sct_plain")
+  }
+
   test("table TTL applies at OPTIMIZE (merge) time; MODIFY/REMOVE TTL re-declare") {
     import graft.functions.ClickHouseSql
     dropAnyType("ch_ttl_t")
