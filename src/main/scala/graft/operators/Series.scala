@@ -766,6 +766,144 @@ object Series {
       .orderBy(col("event_type"))
   }
 
+  // q132_cusum — change-point location per order status over the daily
+  // revenue series: the CUSUM statistic S_t = Σ_{i≤t}(x_i − x̄) peaks at
+  // the most likely single shift point. Multiplied through by n to stay
+  // EXACT: D_t = n·P_t − t·T (P_t = prefix cents sum, T = total, t = day
+  // index) is a BIGINT — n ≈ thousands of days, P_t exact cents — and
+  // argmax|D_t| plus the step means before/after (integer div of exact
+  // sums) are all integers, no FP anywhere.
+  //
+  // Scale shape: the fact table collapses to the per-(status, day)
+  // relation in ONE map-side-combinable groupBy (≤ |status|·|days| rows —
+  // dimension-sized at any corpus size, the q77/q119 precedent), and only
+  // that small relation crosses the unpartitioned-ish windows (partitioned
+  // by the 3-value status but carrying ~days rows each, not corpus rows).
+  val q132 = Q(
+    "q132_cusum",
+    Some("""
+      WITH daily AS (
+        SELECT o_orderstatus AS g, CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2),
+      pre AS (
+        SELECT g, d, x,
+               CAST(SUM(x) OVER (PARTITION BY g ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS t,
+               CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT) AS tot,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM daily),
+      scored AS (
+        SELECT g, d, t, p, tot, n,
+               CAST(ABS(n * p - t * tot) AS BIGINT) AS dabs
+        FROM pre),
+      best AS (
+        SELECT g, MAX(dabs) AS d_abs, MAX(n) AS n_days
+        FROM scored GROUP BY g),
+      at AS (
+        SELECT s.g, MIN(s.d) AS cp_day, MIN(s.t) AS cp_t
+        FROM scored s JOIN best b ON s.g = b.g AND s.dabs = b.d_abs
+        GROUP BY s.g)
+      SELECT b.g AS o_orderstatus, b.n_days, at.cp_day, b.d_abs,
+             CAST(s.p // at.cp_t AS BIGINT) AS mean_before_cents,
+             CAST(CASE WHEN b.n_days > at.cp_t
+                  THEN (s.tot - s.p) // (b.n_days - at.cp_t) END AS BIGINT)
+               AS mean_after_cents
+      FROM best b
+      JOIN at ON at.g = b.g
+      JOIN scored s ON s.g = b.g AND s.t = at.cp_t
+      ORDER BY o_orderstatus
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.orders
+      .groupBy(col("o_orderstatus").as("g"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100)))
+        .cast(LongType).as("x"))
+    val byDay = Window.partitionBy(col("g")).orderBy(col("d"))
+    val whole = Window.partitionBy(col("g"))
+    val scored = daily
+      .withColumn("p", sum(col("x")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(byDay).cast(LongType))
+      .withColumn("tot", sum(col("x")).over(whole))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("dabs", abs(col("n") * col("p") - col("t") * col("tot")))
+    // lexicographic struct-max: (max |D|, then earliest day) in ONE
+    // aggregation — the peak row's own prefix/total ride along in the
+    // struct so no second join back is needed
+    scored
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n_days"),
+        max(struct(col("dabs"), (-col("t")).as("nt"),
+          col("d"), col("p"), col("tot"))).as("m"))
+      .select(col("g").as("o_orderstatus"), col("n_days"),
+        col("m.d").as("cp_day"), col("m.dabs").as("d_abs"),
+        expr("m.p div (-m.nt)").cast(LongType).as("mean_before_cents"),
+        when(col("n_days") > -col("m.nt"),
+          expr("(m.tot - m.p) div (n_days - (-m.nt))"))
+          .cast(LongType).as("mean_after_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // q133_autocorr — sample autocorrelation of the daily revenue series at
+  // row-lags 1 and 7 per order status (the weekly-seasonality probe):
+  // Pearson corr of the series against itself shifted k observed days.
+  // The inputs are EXACT integer cents (one groupBy collapse, as q132),
+  // so both engines hand corr() identical doubles; corr itself is the
+  // reviewed q38/q113 DOUBLE class — one ROUND at the readout, on the
+  // lint exemption. Lag pairs ride a window over the dimension-sized
+  // daily relation; n_pairs makes the truncation at series edges
+  // auditable.
+  val q133 = Q(
+    "q133_autocorr",
+    Some("""
+      WITH daily AS (
+        SELECT o_orderstatus AS g, CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2),
+      lagged AS (
+        SELECT g, x,
+               LAG(x, 1) OVER (PARTITION BY g ORDER BY d) AS x1,
+               LAG(x, 7) OVER (PARTITION BY g ORDER BY d) AS x7
+        FROM daily)
+      SELECT g AS o_orderstatus, lag, acf_r4, n_pairs FROM (
+        SELECT g, CAST(1 AS BIGINT) AS lag, ROUND(CORR(x, x1), 4) AS acf_r4,
+               CAST(COUNT(x1) AS BIGINT) AS n_pairs
+        FROM lagged GROUP BY g
+        UNION ALL
+        SELECT g, CAST(7 AS BIGINT) AS lag, ROUND(CORR(x, x7), 4) AS acf_r4,
+               CAST(COUNT(x7) AS BIGINT) AS n_pairs
+        FROM lagged GROUP BY g)
+      ORDER BY o_orderstatus, lag
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.orders
+      .groupBy(col("o_orderstatus").as("g"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100)))
+        .cast(LongType).as("x"))
+    val byDay = Window.partitionBy(col("g")).orderBy(col("d"))
+    val lagged = daily
+      .withColumn("x1", lag(col("x"), 1).over(byDay))
+      .withColumn("x7", lag(col("x"), 7).over(byDay))
+    // both lags fold in ONE map-side-combinable aggregation over the
+    // small daily relation; explode to the tidy (status, lag) long form
+    lagged.groupBy(col("g"))
+      .agg(round(corr(col("x"), col("x1")), 4).as("a1"),
+        count(col("x1")).as("n1"),
+        round(corr(col("x"), col("x7")), 4).as("a7"),
+        count(col("x7")).as("n7"))
+      .select(col("g").as("o_orderstatus"), explode(array(
+        struct(lit(1L).as("lag"), col("a1").as("acf_r4"), col("n1").as("n_pairs")),
+        struct(lit(7L).as("lag"), col("a7").as("acf_r4"), col("n7").as("n_pairs"))))
+        .as("e"))
+      .select(col("o_orderstatus"), col("e.lag").as("lag"),
+        col("e.acf_r4").as("acf_r4"), col("e.n_pairs").as("n_pairs"))
+      .orderBy(col("o_orderstatus"), col("lag"))
+  }
+
   val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106, q109, q110,
-    q128, q129)
+    q128, q129, q132, q133)
 }

@@ -1069,6 +1069,140 @@ object Stats {
       .orderBy(col("g"))
   }
 
+  // q130_ks_test — two-sample Kolmogorov–Smirnov over the same pair of
+  // samples as q68's t-tests (open 'O' vs finished 'F' order prices; CH
+  // kolmogorovSmirnovTest): D = sup_v |F0(v) − F1(v)|. Entirely EXACT
+  // integer arithmetic: at every pooled sample point v the scaled ECDF
+  // gap is |c0(v)·n1 − c1(v)·n0| where c_i(v) = #{x ∈ sample i : x ≤ v}
+  // — a BIGINT, so D is reported as the integer numerator d_num over
+  // n0·n1 plus the e6 fixed-point d_e6 = d_num·10⁶ div (n0·n1); no FP
+  // anywhere, and the argmax point carries a lexicographic struct-max
+  // tie-break (smallest v attaining the max), the q65 recipe.
+  //
+  // Scale shape: the cumulative counts are a GLOBAL ordered sweep — the
+  // q112_auc recipe: GroupedPrefix with an EMPTY group range-partitions
+  // on the value alone (ties colocate by the RangePartitioner), local
+  // RANGE windows per slice, broadcast per-slice offsets; parallelism is
+  // numShufflePartitions at any corpus size, never a single sorted
+  // partition. Totals ride a 1-row broadcast frame. The BIGINT products
+  // c·n hold to ~3×10⁹ rows per sample; past that, lift the two products
+  // to DECIMAL(38,0) (d_e6 itself is bounded by 10⁶ at any scale).
+  val q130 = Q(
+    "q130_ks_test",
+    Some("""
+      WITH s AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g
+        FROM orders WHERE o_orderstatus IN ('O', 'F')),
+      tot AS (
+        SELECT CAST(SUM(1 - g) AS BIGINT) AS n0, CAST(SUM(g) AS BIGINT) AS n1
+        FROM s),
+      c AS (
+        SELECT v,
+               SUM(1 - g) OVER (ORDER BY v
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0,
+               SUM(g) OVER (ORDER BY v
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1
+        FROM s),
+      d AS (
+        SELECT CAST(ABS(c0 * tot.n1 - c1 * tot.n0) AS BIGINT) AS dn, v
+        FROM c, tot),
+      m AS (SELECT MAX(dn) AS d_num FROM d),
+      at AS (SELECT MIN(d.v) AS ks_at_cents FROM d, m WHERE d.dn = m.d_num)
+      SELECT tot.n0, tot.n1, m.d_num,
+             m.d_num * 1000000 // (tot.n0 * tot.n1) AS d_e6,
+             at.ks_at_cents
+      FROM tot, m, at
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.GroupedPrefix
+    val s = t.orders.filter(col("o_orderstatus").isin("O", "F")).select(
+      col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100))
+        .cast(LongType).as("v"),
+      when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("g"))
+    val staged = GroupedPrefix.stage(s, Seq(col("v")))
+    val le = GroupedPrefix.localWindow(Nil, Seq(col("v")))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val c0LE = sum(lit(1L) - col("g")).over(le)
+    val c1LE = sum(col("g")).over(le)
+    val cum = GroupedPrefix.withOffsets(staged, Nil,
+      Seq(sum(lit(1L) - col("g")).as("__c0"), sum(col("g")).as("__c1"))) {
+      (slices, wPrev) =>
+        slices.select(col(GroupedPrefix.PID),
+          coalesce(sum(col("__c0")).over(wPrev), lit(0L)).as("__off0"),
+          coalesce(sum(col("__c1")).over(wPrev), lit(0L)).as("__off1"))
+    }
+      .withColumn("c0", col("__off0") + c0LE)
+      .withColumn("c1", col("__off1") + c1LE)
+    val tot = s.agg(sum(lit(1L) - col("g")).cast(LongType).as("n0"),
+      sum(col("g")).cast(LongType).as("n1"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n0"), col("n1"),
+        abs(col("c0") * col("n1") - col("c1") * col("n0")).as("dn"),
+        col("v"))
+      // ONE aggregation: lexicographic struct-max carries (max gap,
+      // then smallest attaining value) across the shuffle as partials
+      .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        max(struct(col("dn"), (-col("v")).as("nv"))).as("m"))
+      .select(col("n0"), col("n1"), col("m.dn").as("d_num"),
+        expr("m.dn * 1000000 div (n0 * n1)").cast(LongType).as("d_e6"),
+        (-col("m.nv")).cast(LongType).as("ks_at_cents"))
+  }
+
+  // q131_info_value — ClickHouse categoricalInformationValue: per-category
+  // weight-of-evidence and information-value contribution of
+  // o_orderpriority for the binary outcome "order finished" ('F').
+  // WoE_c = ln((good_c·B)/(bad_c·G)) and ivc = (good_c/G − bad_c/B)·WoE_c
+  // — the logs force DOUBLE, reviewed onto the lint exemption with the
+  // oracle sharing the exact term order: both engines compute
+  // ln(double(good·B)/double(bad·G)) from EXACT integer products
+  // (< 2⁵³, hence exactly representable), then one ROUND. The sf tables'
+  // categories all carry both outcomes; zero cells would need the usual
+  // ±0.5 adjustment, asserted away here (a NULL woe would hash-diverge
+  // loudly, not silently).
+  //
+  // Scale shape: one map-side-combinable groupBy to the 5-row cells
+  // relation; totals are a 1-row broadcast cross join — nothing
+  // corpus-sized crosses a window.
+  val q131 = Q(
+    "q131_info_value",
+    Some("""
+      WITH cells AS (
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(CASE WHEN o_orderstatus <> 'F' THEN 1 END) AS BIGINT) AS good,
+               CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS bad
+        FROM orders GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(good) AS BIGINT) AS g_tot, CAST(SUM(bad) AS BIGINT) AS b_tot
+        FROM cells)
+      SELECT priority, good, bad,
+             ROUND(LN(CAST(good * b_tot AS DOUBLE) / CAST(bad * g_tot AS DOUBLE)), 4)
+               AS woe_r4,
+             ROUND((CAST(good AS DOUBLE) / g_tot - CAST(bad AS DOUBLE) / b_tot)
+                   * LN(CAST(good * b_tot AS DOUBLE) / CAST(bad * g_tot AS DOUBLE)), 4)
+               AS ivc_r4
+      FROM cells, tot
+      ORDER BY priority
+    """)
+  ) { t =>
+    val cells = t.orders
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count(when(col("o_orderstatus") =!= "F", 1)).as("good"),
+        count(when(col("o_orderstatus") === "F", 1)).as("bad"))
+    val tot = cells.agg(sum(col("good")).cast(LongType).as("g_tot"),
+      sum(col("bad")).cast(LongType).as("b_tot"))
+    val woe = log((col("good") * col("b_tot")).cast(DoubleType) /
+      (col("bad") * col("g_tot")).cast(DoubleType))
+    cells.crossJoin(broadcast(tot))
+      .select(col("priority"), col("good"), col("bad"),
+        round(woe, 4).as("woe_r4"),
+        round((col("good").cast(DoubleType) / col("g_tot") -
+          col("bad").cast(DoubleType) / col("b_tot")) * woe, 4).as("ivc_r4"))
+      .orderBy(col("priority"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q92, q99, q111, q112, q113, q124, q126, q127)
+    q92, q99, q111, q112, q113, q124, q126, q127, q130, q131)
 }

@@ -76,6 +76,13 @@ class OutputTypeLintSpec extends SparkSpec {
     "q115_avg_weighted" -> Set("sum_wx", "avg_weighted"),
     "q120_session_stats" -> Set("p50_duration_sec", "p90_duration_sec"),
     "q124_gini" -> Set("gini"),
+    // reviewed r9: Pearson corr over exact integer cents inputs — both
+    // engines hand corr() identical doubles (the q38/q113 class), one
+    // ROUND at the readout
+    "q133_autocorr" -> Set("acf_r4"),
+    // reviewed r9: ln of a ratio of exact BIGINT products (< 2^53, both
+    // exactly representable as doubles), term order shared verbatim
+    "q131_info_value" -> Set("woe_r4", "ivc_r4"),
     "q20_argmax" -> Set("best_price"),
     "q21_quantiles" -> Set("p50", "p90", "p99", "lo", "hi"),
     "q30_scalar_subquery" -> Set("o_totalprice"),
