@@ -904,6 +904,69 @@ object Series {
       .orderBy(col("o_orderstatus"), col("lag"))
   }
 
+  // q135_seasonal — classical additive seasonal decomposition of the
+  // daily revenue series per order status (the exact skeleton of CH
+  // seriesDecomposeSTL): trend = centered 7-observed-day moving
+  // average, seasonal index per ISO weekday = mean of the detrended
+  // series. Kept EXACT by never dividing: trend×7 is the centered
+  // 7-row sum (BIGINT), detrended×7 = 7x − trend7, and the weekday
+  // index is reported as the exact rational seasonal_num/seasonal_den
+  // (= Σ detrended7 over 7·n_days) — no FP, no integer-div semantics
+  // hazard, and the spec can assert Σ_w num/den ≈ 0 the way classical
+  // decomposition promises.
+  //
+  // Scale shape: one map-side-combinable groupBy collapses the fact
+  // table to the per-(status, day) relation (≤ |status|·|days| rows —
+  // dimension-sized at any corpus size); only that small relation
+  // crosses the 3-value-status windows, then one more map-side groupBy
+  // to the 3×7 readout.
+  val q135 = Q(
+    "q135_seasonal",
+    Some("""
+      WITH daily AS (
+        SELECT o_orderstatus AS g, CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2),
+      tr AS (
+        SELECT g, d, x,
+               SUM(x) OVER (PARTITION BY g ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+               COUNT(*) OVER (PARTITION BY g ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+        FROM daily),
+      det AS (
+        SELECT g, ISODOW(d) AS weekday, 7 * x - t7 AS det7
+        FROM tr WHERE c7 = 7)
+      SELECT g AS o_orderstatus, CAST(weekday AS BIGINT) AS weekday,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(det7) AS BIGINT) AS seasonal_num,
+             CAST(7 * COUNT(*) AS BIGINT) AS seasonal_den
+      FROM det GROUP BY 1, 2
+      ORDER BY o_orderstatus, weekday
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.orders
+      .groupBy(col("o_orderstatus").as("g"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100)))
+        .cast(LongType).as("x"))
+    val w7 = Window.partitionBy(col("g")).orderBy(col("d")).rowsBetween(-3, 3)
+    daily
+      .withColumn("t7", sum(col("x")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .where(col("c7") === 7)
+      // Spark weekday(): 0 = Monday … 6 = Sunday; ISODOW is 1-based
+      .select(col("g"), (expr("weekday(d)") + 1).cast(LongType).as("weekday"),
+        (col("x") * 7 - col("t7")).as("det7"))
+      .groupBy(col("g"), col("weekday"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("det7")).cast(LongType).as("seasonal_num"),
+        (count(lit(1)) * 7).cast(LongType).as("seasonal_den"))
+      .select(col("g").as("o_orderstatus"), col("weekday"), col("n_days"),
+        col("seasonal_num"), col("seasonal_den"))
+      .orderBy(col("o_orderstatus"), col("weekday"))
+  }
+
   val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106, q109, q110,
-    q128, q129, q132, q133)
+    q128, q129, q132, q133, q135)
 }

@@ -1203,6 +1203,77 @@ object Stats {
       .orderBy(col("priority"))
   }
 
+  // q134_tukey — Tukey-fence outlier census per order status (CH
+  // seriesOutliersDetectTukey semantics on the static distribution):
+  // mild outliers outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR], extreme outside
+  // the 3·IQR fences. The quartiles interpolate at frac ∈ {0, .25, .5,
+  // .75} over integer cents, so every quantile is an exact multiple of
+  // ¼ cent — 4·Q is an exact BIGINT in both engines (all interpolation
+  // terms < 2⁵³ and dyadic, so DuckDB's lo+(hi−lo)·frac and Spark's
+  // (ceil−pos)·lo+(pos−floor)·hi round identically: they don't round at
+  // all). Every fence comparison is then cleared of FP entirely by
+  // scaling ×8: 8x < 2·q1x4 − 3·iqrx4 etc. — outlier flags can never
+  // flip on an ulp boundary.
+  //
+  // Scale shape: quartiles ride ONE GroupedPrefix staged sort (q21's
+  // recipe — never percentile()'s per-group value map); the fences
+  // broadcast back onto the fact scan and the census is one
+  // map-side-combinable aggregation.
+  val q134 = Q(
+    "q134_tukey",
+    Some("""
+      WITH v AS (
+        SELECT o_orderstatus AS g,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM orders),
+      q AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(QUANTILE_CONT(x, 0.25) * 4) AS BIGINT) AS q1_x4,
+               CAST(ROUND(QUANTILE_CONT(x, 0.75) * 4) AS BIGINT) AS q3_x4
+        FROM v GROUP BY g)
+      SELECT q.g AS o_orderstatus, q.n, q.q1_x4, q.q3_x4,
+             q.q3_x4 - q.q1_x4 AS iqr_x4,
+             CAST(SUM(CASE WHEN 8*v.x < 2*q.q1_x4 - 3*(q.q3_x4 - q.q1_x4)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_mild_lo,
+             CAST(SUM(CASE WHEN 8*v.x > 2*q.q3_x4 + 3*(q.q3_x4 - q.q1_x4)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_mild_hi,
+             CAST(SUM(CASE WHEN 8*v.x < 2*q.q1_x4 - 6*(q.q3_x4 - q.q1_x4)
+                             OR 8*v.x > 2*q.q3_x4 + 6*(q.q3_x4 - q.q1_x4)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM v JOIN q ON v.g = q.g
+      GROUP BY 1, 2, 3, 4, 5
+      ORDER BY o_orderstatus
+    """)
+  ) { t =>
+    import graft.plans.GroupedPrefix
+    val v = t.orders.select(col("o_orderstatus").as("g"),
+      col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100))
+        .cast(LongType).as("x"))
+    val ps = GroupedPrefix.exactQuantiles(v, Seq("g"), col("x"),
+      Seq(0.25, 0.75), "ps")
+    val fences = ps.select(col("g"), col("ps_n").as("n"),
+      round(col("ps").getItem(0) * 4).cast(LongType).as("q1_x4"),
+      round(col("ps").getItem(1) * 4).cast(LongType).as("q3_x4"))
+    val iqr = col("q3_x4") - col("q1_x4")
+    val x8 = col("x") * 8
+    v.join(broadcast(fences), Seq("g"))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        max(col("q1_x4")).as("q1_x4"), max(col("q3_x4")).as("q3_x4"),
+        max(iqr).as("iqr_x4"),
+        sum(when(x8 < col("q1_x4") * 2 - iqr * 3, 1L).otherwise(0L))
+          .cast(LongType).as("n_mild_lo"),
+        sum(when(x8 > col("q3_x4") * 2 + iqr * 3, 1L).otherwise(0L))
+          .cast(LongType).as("n_mild_hi"),
+        sum(when(x8 < col("q1_x4") * 2 - iqr * 6 ||
+                 x8 > col("q3_x4") * 2 + iqr * 6, 1L).otherwise(0L))
+          .cast(LongType).as("n_extreme"))
+      .select(col("g").as("o_orderstatus"), col("n"), col("q1_x4"),
+        col("q3_x4"), col("iqr_x4"), col("n_mild_lo"), col("n_mild_hi"),
+        col("n_extreme"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q92, q99, q111, q112, q113, q124, q126, q127, q130, q131)
+    q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134)
 }

@@ -314,4 +314,31 @@ class SeriesSpec extends SparkSpec {
       assert(s <= 10000L && s >= 10000L - rs.length + 1, s"$m: $s")
     }
   }
+
+  test("seasonal: exact rational weekday indices match a driver-side replay") {
+    val rows = graft.operators.Series.q135.build(sf0001).collect()
+      .map(r => (r.getAs[String]("o_orderstatus"), r.getAs[Long]("weekday")) -> r)
+      .toMap
+    val daily = sf0001.orders
+      .groupBy(col("o_orderstatus"), to_date(col("o_orderdate")).as("d"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)") * 100)).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getAs[java.sql.Date](1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (g, ds) =>
+      val s = ds.sortBy(_._2.toLocalDate.toEpochDay)
+      val expect = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      for (i <- 3 until s.length - 3) {
+        val t7 = (i - 3 to i + 3).map(j => s(j)._3).sum
+        val det7 = 7 * s(i)._3 - t7
+        val wd = s(i)._2.toLocalDate.getDayOfWeek.getValue.toLong // ISO 1..7
+        val (num, cnt) = expect.getOrElse(wd, (0L, 0L))
+        expect(wd) = (num + det7, cnt + 1)
+      }
+      expect.foreach { case (wd, (num, cnt)) =>
+        val r = rows((g, wd))
+        assert(r.getAs[Long]("seasonal_num") === num, s"$g/$wd")
+        assert(r.getAs[Long]("seasonal_den") === 7 * cnt)
+        assert(r.getAs[Long]("n_days") === cnt)
+      }
+    }
+  }
 }

@@ -295,4 +295,32 @@ class StatsSpec extends SparkSpec {
       assert(rows(g) === expect, s"$g: ${rows(g)} vs $expect")
     }
   }
+
+  test("tukey: fences and censuses match an exact driver-side replay") {
+    val rows = graft.operators.Stats.q134.build(sf0001).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r).toMap
+    val data = sf0001.orders.select(col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    data.groupBy(_._1).foreach { case (g, xs) =>
+      val v = xs.map(_._2).sorted
+      val n = v.length
+      // quantile ×4 exactly: pos = (n−1)·q, q ∈ {¼, ¾} → 4·pos integer
+      def q4(num: Long): Long = { // num = 4·pos = (n−1)·num4 with num4 ∈ {1,3}
+        val lo = (num / 4).toInt; val frac = num % 4
+        if (frac == 0) 4 * v(lo) else (4 - frac) * v(lo) + frac * v(lo + 1)
+      }
+      val q1x4 = q4((n - 1).toLong * 1); val q3x4 = q4((n - 1).toLong * 3)
+      val iqr = q3x4 - q1x4
+      val r = rows(g)
+      assert(r.getAs[Long]("q1_x4") === q1x4)
+      assert(r.getAs[Long]("q3_x4") === q3x4)
+      assert(r.getAs[Long]("n_mild_lo") ===
+        v.count(x => 8 * x < 2 * q1x4 - 3 * iqr).toLong)
+      assert(r.getAs[Long]("n_mild_hi") ===
+        v.count(x => 8 * x > 2 * q3x4 + 3 * iqr).toLong)
+      assert(r.getAs[Long]("n_extreme") === v.count(x =>
+        8 * x < 2 * q1x4 - 6 * iqr || 8 * x > 2 * q3x4 + 6 * iqr).toLong)
+    }
+  }
 }
