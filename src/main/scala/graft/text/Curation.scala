@@ -748,7 +748,84 @@ object CurationOps {
       .orderBy(col("epoch"), col("shard"))
   }
 
+  // pipe_dataset_diff — release-to-release dataset diff: the governance
+  // report a corpus publisher ships with every snapshot — per source,
+  // how many docs were added / removed / changed / unchanged between two
+  // versions, by CONTENT HASH, plus the char mass entering and leaving.
+  // The two versions are deterministic views of `documents` (one-in-20
+  // membership churn each way, one-in-17 content edits), standing in for
+  // two real snapshot reads; membership is decided ONLY by the
+  // full-outer join + hash compare — never by peeking at the generator
+  // predicates — so the plan is the honest one a real diff runs.
+  //
+  // Scale shape: doc_id is the join key — high-cardinality, so the
+  // full-outer shuffle join hash-partitions evenly at any corpus size
+  // (AQE handles the residual skew); MD5 rides the projection scan
+  // map-side; the readout is one map-side-combinable per-source
+  // aggregate. No window, nothing dimension-keyed carries fact rows.
+  val datasetDiff = Q(
+    "pipe_dataset_diff",
+    Some("""
+      WITH v_old AS (
+        SELECT doc_id, source, n_chars, MD5(text) AS h
+        FROM documents WHERE doc_id % 20 <> 7),
+      v_new AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 17 = 0 THEN n_chars + 3 ELSE n_chars END
+                 AS n_chars,
+               MD5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END)
+                 AS h
+        FROM documents WHERE doc_id % 20 <> 3)
+      SELECT COALESCE(o.source, n.source) AS source,
+             CAST(SUM(CASE WHEN o.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_added,
+             CAST(SUM(CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             CAST(SUM(CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                            AND o.h <> n.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+             CAST(SUM(CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                            AND o.h = n.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unchanged,
+             CAST(SUM(CASE WHEN o.doc_id IS NULL THEN n.n_chars ELSE 0 END)
+               AS BIGINT) AS chars_added,
+             CAST(SUM(CASE WHEN n.doc_id IS NULL THEN o.n_chars ELSE 0 END)
+               AS BIGINT) AS chars_removed
+      FROM v_old o FULL JOIN v_new n ON o.doc_id = n.doc_id
+      GROUP BY 1
+      ORDER BY source
+    """)
+  ) { t =>
+    val vOld = t.documents.where(col("doc_id") % 20 =!= 7)
+      .select(col("doc_id").as("o_id"), col("source").as("o_source"),
+        col("n_chars").as("o_chars"), md5(col("text")).as("o_h"))
+    val edited = col("doc_id") % 17 === 0
+    val vNew = t.documents.where(col("doc_id") % 20 =!= 3)
+      .select(col("doc_id").as("n_id"), col("source").as("n_source"),
+        when(edited, col("n_chars") + 3).otherwise(col("n_chars")).as("nn_chars"),
+        md5(when(edited, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("n_h"))
+    vOld.join(vNew, col("o_id") === col("n_id"), "full_outer")
+      .groupBy(coalesce(col("o_source"), col("n_source")).as("source"))
+      .agg(
+        sum(when(col("o_id").isNull, 1L).otherwise(0L)).cast(LongType)
+          .as("n_added"),
+        sum(when(col("n_id").isNull, 1L).otherwise(0L)).cast(LongType)
+          .as("n_removed"),
+        sum(when(col("o_id").isNotNull && col("n_id").isNotNull &&
+          col("o_h") =!= col("n_h"), 1L).otherwise(0L)).cast(LongType)
+          .as("n_changed"),
+        sum(when(col("o_id").isNotNull && col("n_id").isNotNull &&
+          col("o_h") === col("n_h"), 1L).otherwise(0L)).cast(LongType)
+          .as("n_unchanged"),
+        sum(when(col("o_id").isNull, col("nn_chars")).otherwise(0L))
+          .cast(LongType).as("chars_added"),
+        sum(when(col("n_id").isNull, col("o_chars")).otherwise(0L))
+          .cast(LongType).as("chars_removed"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(evalSplit, crossSource, novelty, tfidf,
     qualityClassifier, datasetCard, curriculum, mixWeights, coverage,
-    tvDrift, readability, epochShuffle)
+    tvDrift, readability, epochShuffle, datasetDiff)
 }
