@@ -379,6 +379,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("r9 stats additions: global sweep slice-scoped, daily ops window post-collapse") {
+    // q130_ks_test's cumulative counts ride the q112 global GroupedPrefix
+    // sweep — every fact window must carry the slice id
+    val ks = planOf("q130_ks_test")
+    assert(ks.contains("ExistingRDD"), ks.take(2000))
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(ks).toList
+    assert(specs.nonEmpty)
+    specs.foreach(s => assert(s.contains("__gp_pid"),
+      s"q130 window not slice-scoped: $s"))
+    // q132/q133/q135 window ONLY over the daily collapse: no window spec
+    // may reference the raw fact column — that would mean the fact table
+    // itself funneled into the 3-value status window
+    Seq("q132_cusum", "q133_autocorr", "q135_seasonal").foreach { q =>
+      val plan = planOf(q)
+      "windowspecdefinition\\([^)]*".r.findAllIn(plan).foreach { s =>
+        assert(!s.contains("o_totalprice"),
+          s"$q: window over raw fact rows: $s")
+      }
+      assert(plan.contains("HashAggregate"), s"$q:\n${plan.take(2000)}")
+    }
+    // pipe_dataset_diff: an honest shuffled full-outer equi-join on
+    // doc_id — no window, no nested-loop join
+    val diff = planOf("pipe_dataset_diff")
+    assert(!diff.contains("windowspecdefinition"), diff.take(2000))
+    assert(diff.contains("FullOuter"), diff.take(2000))
+    assert(!diff.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q98_uniq_upto aggregates with a partial (map-side) pass") {
     val plan = planOf("q98_uniq_upto")
     // typed Aggregator partial states must combine map-side: the plan
