@@ -254,6 +254,8 @@ object ClickHouseSql {
   def sql(spark: SparkSession, sqlText: String): DataFrame =
     optimizeTable(spark, sqlText)
       .orElse(showCreateTable(spark, sqlText))
+      .orElse(describeTable(spark, sqlText))
+      .orElse(checkTable(spark, sqlText))
       .orElse(systemVerb(spark, sqlText))
       .orElse(alterMutation(spark, sqlText))
       .orElse(renameOrExchange(spark, sqlText))
@@ -317,6 +319,74 @@ object ClickHouseSql {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("statement",
           org.apache.spark.sql.types.StringType)))))
+  }
+
+  /** `DESCRIBE [TABLE] t` / `DESC [TABLE] t` — the CH table-inspection
+    * verb: one row per column, `name` + the NORMALIZED ClickHouse type
+    * (the same [[chTypeBack]] spelling SHOW CREATE TABLE prints,
+    * Nullable re-wrapped from the registry). Only the bare
+    * `DESCRIBE [TABLE] <ident>` form is intercepted; anything longer
+    * (DESCRIBE SELECT …, DESCRIBE EXTENDED …) falls through to Spark.
+    */
+  private def describeTable(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText).filterNot(_.text == ";")
+    if (toks.isEmpty) return None
+    val v = toks.head.lower
+    if (v != "describe" && v != "desc") return None
+    var i = 1
+    if (toks.lift(i).exists(_.lower == "table")) i += 1
+    if (toks.length != i + 1 || !isIdent(toks(i))) return None
+    val table = toks(i).text
+    require(spark.catalog.tableExists(table),
+      s"DESCRIBE TABLE: no table $table")
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList[org.apache.spark.sql.Row]
+    spark.table(table).schema.foreach(f =>
+      rows.add(org.apache.spark.sql.Row(f.name, chTypeBack(table, f))))
+    Some(spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("type",
+          org.apache.spark.sql.types.StringType)))))
+  }
+
+  /** `CHECK TABLE t` — structural consistency check, one row with
+    * `result` 1/0 like ClickHouse. Verifies what the two-piece layout
+    * can break: the table exists, a partitioned declared-name view
+    * still projects exactly the declared column order over an existing
+    * physical table, every sort-key column is present, and a LIMIT 1
+    * read succeeds. Deliberately METADATA-scale — no full scan, no
+    * checksums (a 100 TB CHECK must not read 100 TB; CH's per-part
+    * checksum check has no analog over parquet the engine doesn't own).
+    */
+  private def checkTable(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText).filterNot(_.text == ";")
+    if (toks.length != 3 || toks.head.lower != "check" ||
+      toks(1).lower != "table" || !isIdent(toks(2))) return None
+    val table = toks(2).text
+    val ok =
+      try {
+        require(spark.catalog.tableExists(table))
+        partitionedTable(table).foreach { pt =>
+          require(spark.catalog.tableExists(pt.physical))
+          require(spark.table(table).columns.toSeq == pt.declared)
+        }
+        sortKeyOf(table).foreach { sk =>
+          val cols = spark.table(table).columns.toSet
+          require(sk.forall(cols.contains))
+        }
+        spark.table(table).limit(1).collect()
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    Some(spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(if (ok) 1L else 0L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("result",
+          org.apache.spark.sql.types.LongType)))))
   }
 
   /** Spark type → ClickHouse type text (the [[mapChType]] inverse on
@@ -647,39 +717,103 @@ object ClickHouseSql {
     sb.toString
   }
 
-  /** `DROP TABLE` / `TRUNCATE TABLE` on a [[PartitionedTable]]: both
-    * pieces (view + physical) are affected and the registries are kept
-    * in sync; other tables take the untouched generic path.
+  /** The recycle slot a delayed DROP parks `table` under. One slot per
+    * name: a later drop of the same name purges the previous occupant.
+    */
+  private def droppedSlot(table: String): String = norm(table) + "__dropped"
+
+  /** Remove `table` physically — both pieces of a partitioned layout
+    * plus every registry entry. The terminal form of DROP (SYNC, or
+    * purging a recycle slot).
+    */
+  private def physicalDrop(spark: SparkSession, table: String): Unit = {
+    partitionedTable(table) match {
+      case Some(pt) =>
+        spark.sql(s"DROP VIEW IF EXISTS $table")
+        spark.sql(s"DROP TABLE IF EXISTS ${pt.physical}")
+        spark.sql(s"DROP TABLE IF EXISTS ${pt.physical}__detached")
+        partTables.remove(norm(table))
+      case None =>
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+    engines.remove(norm(table))
+    sortKeys.remove(norm(table))
+    nullableCols.remove(norm(table))
+    ttlExprs.remove(norm(table))
+    mvDefs.remove(norm(table))
+  }
+
+  /** `DROP TABLE` / `TRUNCATE TABLE` / `UNDROP TABLE` through the
+    * dialect.
+    *
+    *   - `DROP TABLE [IF EXISTS] t` is a DELAYED drop (the CH Atomic-
+    *     database idiom): the table — data, layout, registries — is
+    *     metadata-RENAMED into the `<t>__dropped` recycle slot, never
+    *     copied, so drop stays O(1) at any data size and
+    *     `UNDROP TABLE t` restores it exactly. One slot per name: a
+    *     later drop of the same name purges the previous occupant, and
+    *     `DROP TABLE t SYNC` (CH's wait-for-removal form) purges
+    *     immediately with no recycle slot.
+    *   - `UNDROP TABLE t` renames the slot back; it errors loudly if a
+    *     new `t` exists (CH: UNDROP after re-CREATE fails) or if there
+    *     is nothing to restore.
+    *   - `TRUNCATE TABLE` on a [[PartitionedTable]] truncates the
+    *     physical piece; other tables take the generic path.
+    *
+    * Plain Spark VIEWs are not intercepted (CH: DROP TABLE on a view is
+    * an error — falls through to Spark's own loud failure).
     */
   private def tableLifecycle(spark: SparkSession,
     sqlText: String): Option[DataFrame] = {
     val toks = lex(sqlText)
     if (toks.length < 3) return None
     val verb = toks.head.lower
+    if (verb == "undrop") {
+      if (toks(1).lower != "table" || !isIdent(toks(2))) return None
+      val table = toks(2).text
+      val slot = droppedSlot(table)
+      require(!spark.catalog.tableExists(table) &&
+        partitionedTable(table).isEmpty,
+        s"UNDROP TABLE: $table already exists — drop or rename it first")
+      require(spark.catalog.tableExists(slot),
+        s"UNDROP TABLE: nothing to restore for $table (never dropped, " +
+          "dropped SYNC, or purged by a later drop of the same name)")
+      renameTable(spark, slot, table)
+      return Some(spark.emptyDataFrame)
+    }
     if ((verb != "drop" && verb != "truncate") || toks(1).lower != "table")
       return None
     var i = 2
-    if (toks(i).lower == "if") i += 2 // IF EXISTS
+    var ifExists = false
+    if (toks(i).lower == "if") { ifExists = true; i += 2 } // IF EXISTS
     if (!toks.lift(i).exists(isIdent)) return None
     val table = toks(i).text
-    partitionedTable(table) match {
-      case None => None
-      case Some(pt) =>
-        if (verb == "drop") {
-          spark.sql(s"DROP VIEW IF EXISTS $table")
-          spark.sql(s"DROP TABLE IF EXISTS ${pt.physical}")
-          spark.sql(s"DROP TABLE IF EXISTS ${pt.physical}__detached")
-          partTables.remove(norm(table))
-          engines.remove(norm(table))
-          sortKeys.remove(norm(table))
-          nullableCols.remove(norm(table))
-          ttlExprs.remove(norm(table))
-          mvDefs.remove(norm(table))
-        } else {
+    val sync = toks.lift(i + 1).exists(_.lower == "sync")
+    if (verb == "truncate") {
+      return partitionedTable(table) match {
+        case None => None
+        case Some(pt) =>
           spark.sql(s"TRUNCATE TABLE ${pt.physical}")
-        }
-        Some(spark.emptyDataFrame)
+          Some(spark.emptyDataFrame)
+      }
     }
+    // DROP TABLE. Missing target: IF EXISTS is a quiet no-op, otherwise
+    // Spark's own error path is the loud one.
+    val isPartitioned = partitionedTable(table).isDefined
+    if (!isPartitioned && !spark.catalog.tableExists(table))
+      return if (ifExists) Some(spark.emptyDataFrame) else None
+    if (!isPartitioned) {
+      val tableType =
+        try spark.catalog.getTable(table).tableType
+        catch { case scala.util.control.NonFatal(_) => "" }
+      if (tableType == "VIEW") return None
+    }
+    // one recycle slot per name: purge the previous occupant
+    if (spark.catalog.tableExists(droppedSlot(table)))
+      physicalDrop(spark, droppedSlot(table))
+    if (sync) physicalDrop(spark, table)
+    else renameTable(spark, table, droppedSlot(table))
+    Some(spark.emptyDataFrame)
   }
 
   /** `SELECT … INTO OUTFILE '<path>' [TRUNCATE] [FORMAT <name>]` — CH's
@@ -1573,33 +1707,68 @@ object ClickHouseSql {
     * Engine registrations (MergeTree metadata for FINAL) follow the
     * tables through both verbs.
     */
+  /** Delete a STALE default-location warehouse directory for `name` —
+    * one left on disk by a previous session whose in-memory catalog is
+    * gone (the catalog is per-session; the warehouse dir is not).
+    * Spark's managed-table RENAME validates the destination location
+    * is empty, so a leftover `<warehouse>/t__dropped` from an earlier
+    * run would fail every later delayed DROP of `t`. Only fires when
+    * the catalog does NOT know the table — a live table's directory is
+    * never touched.
+    */
+  private def clearStaleLocation(spark: SparkSession, name: String): Unit = {
+    if (spark.catalog.tableExists(name)) return
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, norm(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Rename `from` to `to`, carrying the two-piece partitioned layout
+    * and every registry entry (engine, sort key, Nullable set, TTL)
+    * along. Shared by RENAME TABLE, EXCHANGE TABLES, and the delayed
+    * DROP / UNDROP recycle path — all CH verbs that move a table are
+    * metadata renames, never data copies.
+    */
+  private def renameTable(spark: SparkSession, from: String,
+    to: String): Unit = {
+    partitionedTable(from) match {
+      case Some(pt) =>
+        // two-piece layout: rename the physical, re-point the view
+        val newPhys = to + "__parts"
+        clearStaleLocation(spark, newPhys)
+        spark.sql(s"ALTER TABLE ${pt.physical} RENAME TO $newPhys")
+        // the detached-partition side table follows its owner
+        if (spark.catalog.tableExists(pt.physical + "__detached")) {
+          clearStaleLocation(spark, s"${newPhys}__detached")
+          spark.sql(s"ALTER TABLE ${pt.physical}__detached RENAME TO " +
+            s"${newPhys}__detached")
+        }
+        spark.sql(s"DROP VIEW IF EXISTS $from")
+        spark.sql(s"CREATE OR REPLACE VIEW $to AS SELECT " +
+          s"${pt.declared.map(q1).mkString(", ")} FROM $newPhys")
+        partTables.remove(norm(from))
+        partTables.put(norm(to), pt.copy(physical = newPhys))
+      case None =>
+        clearStaleLocation(spark, to)
+        spark.sql(s"ALTER TABLE $from RENAME TO $to")
+    }
+    engineOf(from).foreach { e =>
+      engines.remove(norm(from)); registerEngine(to, e)
+    }
+    Option(sortKeys.remove(norm(from)))
+      .foreach(sk => sortKeys.put(norm(to), sk))
+    Option(nullableCols.remove(norm(from)))
+      .foreach(nc => nullableCols.put(norm(to), nc))
+    Option(ttlExprs.remove(norm(from)))
+      .foreach(tt => ttlExprs.put(norm(to), tt))
+  }
+
   private def renameOrExchange(spark: SparkSession,
     sqlText: String): Option[DataFrame] = {
     val toks = lex(sqlText)
-    def rename(from: String, to: String): Unit = {
-      partitionedTable(from) match {
-        case Some(pt) =>
-          // two-piece layout: rename the physical, re-point the view
-          val newPhys = to + "__parts"
-          spark.sql(s"ALTER TABLE ${pt.physical} RENAME TO $newPhys")
-          spark.sql(s"DROP VIEW IF EXISTS $from")
-          spark.sql(s"CREATE OR REPLACE VIEW $to AS SELECT " +
-            s"${pt.declared.map(q1).mkString(", ")} FROM $newPhys")
-          partTables.remove(norm(from))
-          partTables.put(norm(to), pt.copy(physical = newPhys))
-        case None =>
-          spark.sql(s"ALTER TABLE $from RENAME TO $to")
-      }
-      engineOf(from).foreach { e =>
-        engines.remove(norm(from)); registerEngine(to, e)
-      }
-      Option(sortKeys.remove(norm(from)))
-        .foreach(sk => sortKeys.put(norm(to), sk))
-      Option(nullableCols.remove(norm(from)))
-        .foreach(nc => nullableCols.put(norm(to), nc))
-      Option(ttlExprs.remove(norm(from)))
-        .foreach(tt => ttlExprs.put(norm(to), tt))
-    }
+    def rename(from: String, to: String): Unit =
+      renameTable(spark, from, to)
     if (toks.length >= 3 && toks.head.lower == "rename" &&
       toks(1).lower == "table") {
       // pairs: ident TO ident [, ident TO ident]*

@@ -298,4 +298,60 @@ class MigrationE2ESpec extends SparkSpec {
     for (t <- Seq("fmt_components", "fmt_stats")) spark.sql(s"DROP TABLE $t")
     ClickHouseSql.dropMaterializedView("fmt_stats")
   }
+
+  test("DESCRIBE / CHECK / delayed DROP + UNDROP complete the table lifecycle") {
+    for (t <- Seq("lc_t", "lc_t__dropped", "lc_t__parts", "lc_t__dropped__parts"))
+      ch(s"DROP TABLE IF EXISTS $t SYNC")
+
+    ch("""
+      CREATE TABLE lc_t (
+        k UInt64,
+        v Nullable(String),
+        d Date
+      ) ENGINE = ReplacingMergeTree(k) PARTITION BY d ORDER BY (k)
+    """)
+    ch("INSERT INTO lc_t VALUES (1, 'a', DATE '2024-01-01'), " +
+      "(2, NULL, DATE '2024-02-01')")
+
+    // DESCRIBE prints the normalized CH types, Nullable re-wrapped
+    val desc = ch("DESCRIBE TABLE lc_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc === Map("k" -> "Int64", "v" -> "Nullable(String)",
+      "d" -> "Date"))
+    // the short form resolves identically
+    assert(ch("DESC lc_t").collect().length === 3)
+
+    // CHECK on a healthy table → 1
+    assert(ch("CHECK TABLE lc_t").head().getLong(0) === 1L)
+    assert(ch("CHECK TABLE lc_missing").head().getLong(0) === 0L)
+
+    // delayed DROP: data parks in the recycle slot, name is free
+    ch("DROP TABLE lc_t")
+    assert(!spark.catalog.tableExists("lc_t"))
+    // UNDROP restores table, rows, engine, partition layout
+    ch("UNDROP TABLE lc_t")
+    assert(spark.table("lc_t").columns.toSeq === Seq("k", "v", "d"))
+    assert(ch("SELECT count() AS n FROM lc_t FINAL").head().getLong(0) === 2L)
+    assert(ch("CHECK TABLE lc_t").head().getLong(0) === 1L)
+    // partition ops still work after the round trip
+    ch("ALTER TABLE lc_t DROP PARTITION '2024-02-01'")
+    assert(spark.table("lc_t").count() === 1L)
+
+    // UNDROP with nothing parked errors loudly
+    val e1 = intercept[IllegalArgumentException](ch("UNDROP TABLE lc_t2"))
+    assert(e1.getMessage.contains("nothing to restore"))
+    // re-CREATE after a drop blocks UNDROP (CH contract)
+    ch("DROP TABLE lc_t")
+    ch("CREATE TABLE lc_t (k UInt64) ENGINE = MergeTree")
+    val e2 = intercept[IllegalArgumentException](ch("UNDROP TABLE lc_t"))
+    assert(e2.getMessage.contains("already exists"))
+    // a later drop of the same name purges the previous occupant
+    ch("DROP TABLE lc_t")
+    ch("UNDROP TABLE lc_t")
+    assert(spark.table("lc_t").columns.toSeq === Seq("k"))
+    // DROP ... SYNC removes immediately, leaving nothing to restore
+    ch("DROP TABLE lc_t SYNC")
+    val e3 = intercept[IllegalArgumentException](ch("UNDROP TABLE lc_t"))
+    assert(e3.getMessage.contains("nothing to restore"))
+  }
 }
