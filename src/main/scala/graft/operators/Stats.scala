@@ -1274,6 +1274,252 @@ object Stats {
       .orderBy(col("o_orderstatus"))
   }
 
+  // q136_kendall — Kendall rank correlation between the daily revenue
+  // and daily order-count series per order status (CH rankCorr's
+  // non-parametric sibling; q71 is Spearman). Counted EXACTLY over
+  // explicit pairs: nc concordant, nd discordant, ties_x / ties_y
+  // (pairs tied in that coordinate), all BIGINT, and tau-a in e6
+  // fixed-point computed sign-split — |nc−nd|·10⁶ div n_pairs, then the
+  // sign — because Spark `div` truncates toward zero while DuckDB `//`
+  // floors, and the two agree only on non-negative operands.
+  //
+  // Scale shape: one map-side-combinable groupBy collapses the fact
+  // table to the (status, day) relation, which is CALENDAR-bounded
+  // (|statuses|·|days| rows at any corpus size — more data widens the
+  // days' contents, not the relation). The pair join is that
+  // dimension-sized relation against a broadcast of itself on
+  // (g, d1 < d2) — O(days²) pairs independent of corpus scale, never a
+  // fact-table self-join.
+  val q136 = Q(
+    "q136_kendall",
+    Some("""
+      WITH daily AS (
+        SELECT o_orderstatus AS g, CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2),
+      days AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY g),
+      p AS (
+        SELECT a.g,
+               CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+                    THEN 1 ELSE 0 END AS c,
+               CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+                    THEN 1 ELSE 0 END AS dc,
+               CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+               CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d),
+      agg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(c) AS BIGINT) AS nc, CAST(SUM(dc) AS BIGINT) AS nd,
+               CAST(SUM(tx) AS BIGINT) AS ties_x, CAST(SUM(ty) AS BIGINT) AS ties_y
+        FROM p GROUP BY g)
+      SELECT agg.g AS o_orderstatus, days.n_days, agg.n_pairs, agg.nc, agg.nd,
+             agg.ties_x, agg.ties_y,
+             CASE WHEN agg.nc >= agg.nd
+                  THEN (agg.nc - agg.nd) * 1000000 // agg.n_pairs
+                  ELSE -((agg.nd - agg.nc) * 1000000 // agg.n_pairs)
+             END AS tau_a_e6
+      FROM agg JOIN days ON agg.g = days.g
+      ORDER BY o_orderstatus
+    """)
+  ) { t =>
+    val daily = t.orders
+      .groupBy(col("o_orderstatus").as("g"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100)))
+        .cast(LongType).as("x"),
+        count(lit(1)).as("y"))
+    val nDays = daily.groupBy(col("g")).agg(count(lit(1)).as("n_days"))
+    val a = daily.select(col("g"), col("d").as("d1"), col("x").as("x1"),
+      col("y").as("y1"))
+    val b = daily.select(col("g").as("g2"), col("d").as("d2"),
+      col("x").as("x2"), col("y").as("y2"))
+    val conc = (col("x1") < col("x2") && col("y1") < col("y2")) ||
+      (col("x1") > col("x2") && col("y1") > col("y2"))
+    val disc = (col("x1") < col("x2") && col("y1") > col("y2")) ||
+      (col("x1") > col("x2") && col("y1") < col("y2"))
+    val agg = a.join(broadcast(b),
+      col("g") === col("g2") && col("d1") < col("d2"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(conc, 1L).otherwise(0L)).cast(LongType).as("nc"),
+        sum(when(disc, 1L).otherwise(0L)).cast(LongType).as("nd"),
+        sum(when(col("x1") === col("x2"), 1L).otherwise(0L))
+          .cast(LongType).as("ties_x"),
+        sum(when(col("y1") === col("y2"), 1L).otherwise(0L))
+          .cast(LongType).as("ties_y"))
+    agg.join(broadcast(nDays), Seq("g"))
+      .select(col("g").as("o_orderstatus"), col("n_days"), col("n_pairs"),
+        col("nc"), col("nd"), col("ties_x"), col("ties_y"),
+        when(col("nc") >= col("nd"),
+          expr("(nc - nd) * 1000000 div n_pairs"))
+          .otherwise(-expr("(nd - nc) * 1000000 div n_pairs"))
+          .cast(LongType).as("tau_a_e6"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // q137_runs_test — Wald–Wolfowitz runs test on the daily revenue
+  // series per order status: classify each observed day above/below the
+  // series median (median-ties dropped, the standard treatment), count
+  // the runs R in date order, and report the expected-runs value as the
+  // EXACT rational mu_num/mu_den = (n + 2ab)/n — no FP anywhere. The
+  // median itself is made exact by doubling: at frac 0.5 over integer
+  // cents 2·median = lo + hi, a BIGINT in both engines (dyadic
+  // interpolation — no rounding ever happens).
+  //
+  // Scale shape: the fact table collapses to the calendar-bounded daily
+  // relation first (map-side combinable); the median rides the same
+  // GroupedPrefix covering-slice selection as q21/q75/q134 (no
+  // per-group value map), and only the dimension-sized daily relation
+  // crosses the 3-value-status lag window — the documented
+  // dimension-sized exception, same as the q133/q135 series windows.
+  val q137 = Q(
+    "q137_runs_test",
+    Some("""
+      WITH daily AS (
+        SELECT o_orderstatus AS g, CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2),
+      med AS (
+        SELECT g, CAST(ROUND(2 * QUANTILE_CONT(x, 0.5)) AS BIGINT) AS med2
+        FROM daily GROUP BY g),
+      s AS (
+        SELECT daily.g, daily.d,
+               CASE WHEN 2 * daily.x > med.med2 THEN 1 ELSE -1 END AS sgn,
+               CASE WHEN 2 * daily.x = med.med2 THEN 1 ELSE 0 END AS tie
+        FROM daily JOIN med ON daily.g = med.g),
+      runs AS (
+        SELECT g,
+               CASE WHEN sgn <> LAG(sgn) OVER (PARTITION BY g ORDER BY d)
+                    THEN 1 ELSE 0 END AS flip, sgn
+        FROM s WHERE tie = 0),
+      r AS (
+        SELECT g, CAST(SUM(flip) + 1 AS BIGINT) AS r_runs,
+               CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+               CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        FROM runs GROUP BY g),
+      ties AS (
+        SELECT g, CAST(SUM(tie) AS BIGINT) AS n_ties FROM s GROUP BY g)
+      SELECT r.g AS o_orderstatus, r.n_above, r.n_below, ties.n_ties, r.r_runs,
+             r.n_above + r.n_below + 2 * r.n_above * r.n_below AS mu_num,
+             r.n_above + r.n_below AS mu_den
+      FROM r JOIN ties ON r.g = ties.g
+      ORDER BY o_orderstatus
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.GroupedPrefix
+    val daily = t.orders
+      .groupBy(col("o_orderstatus").as("g"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100)))
+        .cast(LongType).as("x"))
+    val med = GroupedPrefix.exactQuantiles(daily, Seq("g"), col("x"),
+      Seq(0.5), "m")
+      .select(col("g"),
+        round(col("m").getItem(0) * 2).cast(LongType).as("med2"))
+    val s = daily.join(broadcast(med), Seq("g"))
+      .select(col("g"), col("d"),
+        when(col("x") * 2 > col("med2"), 1L).otherwise(-1L).as("sgn"),
+        when(col("x") * 2 === col("med2"), 1L).otherwise(0L).as("tie"))
+    val byDay = Window.partitionBy(col("g")).orderBy(col("d"))
+    val r = s.where(col("tie") === 0)
+      .withColumn("flip",
+        when(col("sgn") =!= lag(col("sgn"), 1).over(byDay), 1L).otherwise(0L))
+      .groupBy(col("g"))
+      .agg((sum(col("flip")) + 1).cast(LongType).as("r_runs"),
+        sum(when(col("sgn") === 1, 1L).otherwise(0L))
+          .cast(LongType).as("n_above"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L))
+          .cast(LongType).as("n_below"))
+    val ties = s.groupBy(col("g"))
+      .agg(sum(col("tie")).cast(LongType).as("n_ties"))
+    r.join(broadcast(ties), Seq("g"))
+      .select(col("g").as("o_orderstatus"), col("n_above"), col("n_below"),
+        col("n_ties"), col("r_runs"),
+        (col("n_above") + col("n_below") +
+          col("n_above") * col("n_below") * 2).as("mu_num"),
+        (col("n_above") + col("n_below")).as("mu_den"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // q138_chi2_gof — chi-square goodness-of-fit of the order-arrival
+  // weekday distribution against uniform, per order status. Kept EXACT
+  // by clearing denominators: with E = n/7 each cell contributes
+  // (O − n/7)²/(n/7) = (7O − n)²/(7n), so chi2 = chi2_num/chi2_den with
+  // chi2_num = Σ_w (7·O_w − n)² and chi2_den = 7n — both BIGINT — plus
+  // the e6 fixed-point chi2_e6 (numerators non-negative, so Spark div
+  // and DuckDB // agree). The cell grid is DENSIFIED to all 7 weekdays
+  // per status (an absent weekday must contribute n², not vanish).
+  // The worst cell is a lexicographic struct-max: largest |7O − n|,
+  // smallest weekday on ties — the q65 recipe. BIGINT bound: each term
+  // is < (7n)², safe to ~4×10⁸ rows per status; past that lift the
+  // squares to DECIMAL(38,0).
+  //
+  // Scale shape: one map-side-combinable groupBy to the ≤ |status|·7
+  // cells relation; the weekday grid comes from exploding a 7-element
+  // literal against the 3-row status relation; totals broadcast.
+  val q138 = Q(
+    "q138_chi2_gof",
+    Some("""
+      WITH cells0 AS (
+        SELECT o_orderstatus AS g, CAST(ISODOW(CAST(o_orderdate AS DATE)) AS BIGINT) AS w,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2),
+      grid AS (
+        SELECT sg.g, CAST(wd.w AS BIGINT) AS w
+        FROM (SELECT DISTINCT g FROM cells0) sg,
+             (SELECT UNNEST(GENERATE_SERIES(1, 7)) AS w) wd),
+      cells AS (
+        SELECT grid.g, grid.w, COALESCE(cells0.o, 0) AS o
+        FROM grid LEFT JOIN cells0 ON grid.g = cells0.g AND grid.w = cells0.w),
+      tot AS (SELECT g, CAST(SUM(o) AS BIGINT) AS n FROM cells GROUP BY g),
+      dev AS (
+        SELECT cells.g, cells.w, tot.n,
+               7 * cells.o - tot.n AS d
+        FROM cells JOIN tot ON cells.g = tot.g),
+      agg AS (
+        SELECT g, MAX(n) AS n, CAST(SUM(d * d) AS BIGINT) AS chi2_num,
+               CAST(MAX(ABS(d)) AS BIGINT) AS worst_dev
+        FROM dev GROUP BY g),
+      at AS (
+        SELECT dev.g, MIN(dev.w) AS worst_weekday
+        FROM dev JOIN agg ON dev.g = agg.g AND ABS(dev.d) = agg.worst_dev
+        GROUP BY dev.g)
+      SELECT agg.g AS o_orderstatus, agg.n, CAST(6 AS BIGINT) AS dof,
+             agg.chi2_num, CAST(7 * agg.n AS BIGINT) AS chi2_den,
+             agg.chi2_num * 1000000 // (7 * agg.n) AS chi2_e6,
+             at.worst_weekday, agg.worst_dev
+      FROM agg JOIN at ON agg.g = at.g
+      ORDER BY o_orderstatus
+    """)
+  ) { t =>
+    val cells0 = t.orders
+      .groupBy(col("o_orderstatus").as("g"),
+        (expr("weekday(CAST(o_orderdate AS DATE))") + 1)
+          .cast(LongType).as("w"))
+      .agg(count(lit(1)).as("o"))
+    val grid = cells0.select(col("g")).distinct()
+      .select(col("g"),
+        explode(array((1L to 7L).map(lit): _*)).as("w"))
+    val cells = grid.join(cells0, Seq("g", "w"), "left")
+      .select(col("g"), col("w"), coalesce(col("o"), lit(0L)).as("o"))
+    val tot = cells.groupBy(col("g")).agg(sum(col("o")).cast(LongType).as("n"))
+    cells.join(broadcast(tot), Seq("g"))
+      .select(col("g"), col("w"), col("n"),
+        (col("o") * 7 - col("n")).as("d"))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        sum(col("d") * col("d")).cast(LongType).as("chi2_num"),
+        (max(col("n")) * 7).cast(LongType).as("chi2_den"),
+        max(struct(abs(col("d")).as("ad"), (-col("w")).as("nw"))).as("worst"))
+      .select(col("g").as("o_orderstatus"), col("n"), lit(6L).as("dof"),
+        col("chi2_num"), col("chi2_den"),
+        expr("chi2_num * 1000000 div chi2_den").cast(LongType).as("chi2_e6"),
+        (-col("worst.nw")).cast(LongType).as("worst_weekday"),
+        col("worst.ad").cast(LongType).as("worst_dev"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134)
+    q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134, q136,
+    q137, q138)
 }

@@ -407,6 +407,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!diff.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("r9 second stats batch: daily-relation pairing and dense cells stay small") {
+    // q136_kendall: pairs come from a BROADCAST hash join of the daily
+    // relation against itself — never a cartesian product, never a
+    // shuffled enum-key self-join of fact rows
+    val kendall = planOf("q136_kendall")
+    assert(kendall.contains("BroadcastHashJoin"), kendall.take(2000))
+    assert(!kendall.contains("CartesianProduct"), kendall.take(2000))
+    // q137/q136: no window spec may see the raw fact column — windows
+    // (median selection, lag) run strictly over the daily collapse
+    Seq("q136_kendall", "q137_runs_test").foreach { q =>
+      val plan = planOf(q)
+      "windowspecdefinition\\([^)]*".r.findAllIn(plan).foreach { s =>
+        assert(!s.contains("o_totalprice"),
+          s"$q: window over raw fact rows: $s")
+      }
+    }
+    // q138_chi2_gof: pure aggregate + broadcast totals — no window at
+    // all, and the weekday grid never inflates past a hash aggregate
+    val chi2 = planOf("q138_chi2_gof")
+    assert(!chi2.contains("windowspecdefinition"), chi2.take(2000))
+    assert(chi2.contains("HashAggregate"), chi2.take(2000))
+    assert(!chi2.contains("CartesianProduct"), chi2.take(2000))
+  }
+
   test("q98_uniq_upto aggregates with a partial (map-side) pass") {
     val plan = planOf("q98_uniq_upto")
     // typed Aggregator partial states must combine map-side: the plan
