@@ -825,7 +825,85 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  // pipe_token_budget — largest-remainder apportionment of a training
+  // token budget across sources (the step after pipe_mix_weights: turn
+  // proportional shares into INTEGER per-source allocations that sum
+  // EXACTLY to the budget — naive floor under-allocates by up to
+  // |sources|−1 tokens, naive rounding can overshoot). Budget B =
+  // half the corpus token mass; each source gets base = B·n_s div T
+  // plus one extra token for the `B − Σ base` largest remainders
+  // (ties → source name asc, deterministic). Entirely BIGINT: products
+  // B·n_s hold to ~3×10⁹ total tokens; past that lift the one product
+  // to DECIMAL(38,0) (the apportionment logic is unchanged).
+  //
+  // Scale shape: one map-side-combinable per-source aggregate
+  // (|sources| rows at any corpus size), broadcast totals, and the
+  // remainder rank is a window over that dimension-sized relation —
+  // the documented exception class; nothing corpus-sized is ordered.
+  val tokenBudget = Q(
+    "pipe_token_budget",
+    Some("""
+      WITH per AS (
+        SELECT source,
+               CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+               CAST(SUM(n_tokens) // 2 AS BIGINT) AS b
+        FROM per),
+      q AS (
+        SELECT per.source, per.n_tokens,
+               (tot.b * per.n_tokens) // tot.t AS base,
+               (tot.b * per.n_tokens) % tot.t AS rem,
+               tot.b AS b
+        FROM per, tot),
+      lo AS (SELECT CAST(MAX(b) - SUM(base) AS BIGINT) AS leftover FROM q),
+      r AS (
+        SELECT source, n_tokens, base, b,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        FROM q)
+      SELECT r.source, r.n_tokens, CAST(r.base AS BIGINT) AS base_alloc,
+             CAST(CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+             CAST(r.base + CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0 END
+               AS BIGINT) AS alloc,
+             CAST((r.base + CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0 END)
+                  * 10000 // r.b AS BIGINT) AS share_bp
+      FROM r, lo
+      ORDER BY source
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val per = t.documents
+      .groupBy(col("source"))
+      .agg(sum(size(words(col("text")))).cast(LongType).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).cast(LongType).as("t"))
+      .withColumn("b", expr("t div 2"))
+    val q = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("b * n_tokens div t").as("base"),
+        expr("(b * n_tokens) % t").as("rem"),
+        col("b"))
+    val lo = q.agg((max(col("b")) - sum(col("base")))
+      .cast(LongType).as("leftover"))
+    // remainder rank: |sources|-sized relation — the documented
+    // dimension-sized window exception
+    val r = q.withColumn("rk",
+      row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+    val extra = when(col("rk") <= col("leftover"), 1L).otherwise(0L)
+    r.crossJoin(broadcast(lo))
+      .select(col("source"), col("n_tokens"),
+        col("base").cast(LongType).as("base_alloc"),
+        extra.cast(LongType).as("extra"),
+        (col("base") + extra).cast(LongType).as("alloc"),
+        ((col("base") + extra) * 10000).cast(LongType).as("__num"),
+        col("b"))
+      .select(col("source"), col("n_tokens"), col("base_alloc"),
+        col("extra"), col("alloc"),
+        expr("__num div b").cast(LongType).as("share_bp"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(evalSplit, crossSource, novelty, tfidf,
     qualityClassifier, datasetCard, curriculum, mixWeights, coverage,
-    tvDrift, readability, epochShuffle, datasetDiff)
+    tvDrift, readability, epochShuffle, datasetDiff, tokenBudget)
 }
