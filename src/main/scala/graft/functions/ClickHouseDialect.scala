@@ -1006,6 +1006,104 @@ object ClickHouseDialect {
     // sampling reservoirs reproduce — exact Percentile is already
     // deterministic, so the seed argument is accepted and ignored
     "quantileDeterministic" -> (args => new Percentile(args(1), args.head)),
+    // ---- eighth batch: hashes (CH binary-return forms), string/URL/
+    // date long tail. chMD5/chSHA* exist because Spark's builtin
+    // md5/sha1/sha2 return lowercase HEX STRINGS while CH's MD5/SHA*
+    // return raw bytes (FixedString) — so the CH idiom hex(MD5(x))
+    // would double-hex. ClickHouseSql.rewriteHashNames splices the
+    // case-sensitive CH spellings onto these; unhex restores the byte
+    // contract, and Spark's uppercase hex() then matches CH exactly.
+    "chMD5" -> (args => Unhex(Md5(Cast(one(args),
+      org.apache.spark.sql.types.BinaryType)))),
+    "chSHA1" -> (args => Unhex(Sha1(Cast(one(args),
+      org.apache.spark.sql.types.BinaryType)))),
+    "chSHA224" -> (args => Unhex(Sha2(Cast(one(args),
+      org.apache.spark.sql.types.BinaryType), Literal(224)))),
+    "chSHA256" -> (args => Unhex(Sha2(Cast(one(args),
+      org.apache.spark.sql.types.BinaryType), Literal(256)))),
+    // string long tail
+    "substringIndex" -> (args =>
+      SubstringIndex(args.head, args(1), args(2))),
+    "positionCaseInsensitiveUTF8" -> (args =>
+      new StringLocate(Lower(args(1)), Lower(args.head))),
+    "startsWithUTF8" -> (args => StartsWith(args.head, args(1))),
+    "endsWithUTF8" -> (args => EndsWith(args.head, args(1))),
+    "leftPadUTF8" -> (args => StringLPad(args.head, args(1),
+      if (args.length > 2) args(2) else Literal(" "))),
+    "rightPadUTF8" -> (args => StringRPad(args.head, args(1),
+      if (args.length > 2) args(2) else Literal(" "))),
+    // ngrams(s, n): all length-n character slices, in order
+    "ngrams" -> { args =>
+      val i = UnresolvedNamedLambdaVariable(Seq("graft_ng_i"))
+      val n = Cast(args(1), org.apache.spark.sql.types.IntegerType)
+      val count = Subtract(Add(Length(args.head), Literal(1)), n)
+      If(LessThan(count, Literal(1)),
+        Cast(CreateArray(Nil), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+        ArrayTransform(new Sequence(Literal(1), count),
+          LambdaFunction(Substring(args.head, i, n), Seq(i))))
+    },
+    // date constructors and relative-epoch counters
+    "makeDate" -> (args => MakeDate(args.head, args(1), args(2))),
+    "makeDateTime" -> (args => MakeTimestamp(args.head, args(1), args(2),
+      args(3), args(4),
+      Cast(args(5), org.apache.spark.sql.types.DecimalType(8, 6)))),
+    // chMonthName: spliced from CH's `monthName` spelling by
+    // ClickHouseSql.rewriteNameOverrides — Spark 4 ships a builtin
+    // `monthname` that returns the SHORT form ("Mar"), so registering
+    // the CH name directly is skipped by the exists-check. A literal
+    // table, not a format pattern: CH monthName is locale-independent
+    // full English.
+    "chMonthName" -> (args => ElementAt(CreateArray(Seq("January",
+      "February", "March", "April", "May", "June", "July", "August",
+      "September", "October", "November", "December").map(Literal(_))),
+      Month(Cast(one(args), org.apache.spark.sql.types.DateType)))),
+    "toStartOfSecond" -> (args => TruncTimestamp(Literal("second"), one(args))),
+    "toRelativeDayNum" -> (args => DateDiff(
+      Cast(one(args), org.apache.spark.sql.types.DateType),
+      Cast(Literal("1970-01-01"), org.apache.spark.sql.types.DateType))),
+    "toRelativeHourNum" -> (args => IntegralDivide(
+      Cast(one(args), org.apache.spark.sql.types.LongType), Literal(3600L))),
+    "toRelativeMinuteNum" -> (args => IntegralDivide(
+      Cast(one(args), org.apache.spark.sql.types.LongType), Literal(60L))),
+    "toRelativeSecondNum" -> (args =>
+      Cast(one(args), org.apache.spark.sql.types.LongType)),
+    // decimal casts: scale must be a literal (CH's contract too)
+    "toDecimal32" -> (args => Cast(args.head,
+      org.apache.spark.sql.types.DecimalType(9, decimalScale(args)))),
+    "toDecimal64" -> (args => Cast(args.head,
+      org.apache.spark.sql.types.DecimalType(18, decimalScale(args)))),
+    "toDecimal128" -> (args => Cast(args.head,
+      org.apache.spark.sql.types.DecimalType(38, decimalScale(args)))),
+    // numeric odds and ends. (CH `sign` is NOT overridden: Spark's
+    // builtin sign() already resolves — it returns -1.0/0.0/1.0 as
+    // DOUBLE where CH returns Int8; value-equal in comparisons.)
+    "ifNotFinite" -> { args =>
+      val d = Cast(args.head, org.apache.spark.sql.types.DoubleType)
+      If(And(Not(IsNaN(d)),
+        Not(EqualTo(Abs(d), Literal(Double.PositiveInfinity)))),
+        args.head, args(1))
+    },
+    // URL long tail. netloc ≈ HOST (CH also keeps user:password@ and
+    // :port — the sf tables' URLs carry neither); the significant-
+    // subdomain pair uses label position (multi-part public suffixes
+    // like co.uk resolve one label short — CH consults a suffix list).
+    "netloc" -> (args => parseUrl(one(args), "HOST")),
+    "firstSignificantSubdomain" -> { args =>
+      val labels = StringSplit(parseUrl(one(args), "HOST"),
+        Literal("\\."), Literal(-1))
+      ElementAt(labels, Literal(-2))
+    },
+    "cutToFirstSignificantSubdomain" -> { args =>
+      val labels = StringSplit(parseUrl(one(args), "HOST"),
+        Literal("\\."), Literal(-1))
+      ArrayJoin(Slice(labels,
+        Greatest(Seq(Subtract(Size(labels), Literal(1)), Literal(1))),
+        Literal(2)), Literal("."), None)
+    },
+    "encodeURLComponent" -> (args => UrlEncode(one(args))),
+    "decodeURLComponent" -> (args => UrlDecode(one(args))),
+    "generateUUIDv4" -> (_ => Uuid()),
     // ---- order-dependent names: loud migration guidance ------------------
     "runningDifference" -> (_ => throw new IllegalArgumentException(
       "runningDifference depends on ClickHouse block order — rewrite as " +
@@ -1053,6 +1151,20 @@ object ClickHouseDialect {
       Multiply(Multiply(Cos(rad(args(1))), Cos(rad(args(3)))),
         Multiply(Sin(dLon), Sin(dLon))))
     Multiply(Literal(2.0 * 6371000.0), Asin(Sqrt(h)))
+  }
+
+  /** Literal scale for toDecimal32/64/128 (CH requires a literal too). */
+  private def decimalScale(args: Seq[Expression]): Int = {
+    require(args.length == 2 && args(1).foldable,
+      "toDecimalN(x, scale): scale must be a literal")
+    args(1).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"toDecimalN: integer scale expected, got $other")
+    }
   }
 
   /** JSONPath from CH trailing keys: strings descend, 1-based ints index. */

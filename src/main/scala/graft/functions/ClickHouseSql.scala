@@ -1911,6 +1911,8 @@ object ClickHouseSql {
     if (l.contains("distinct") || l.contains("ornull") || l.contains("array"))
       out = rewriteAggCombinators(out)
     if (l.contains("count")) out = rewriteBareCount(out)
+    if (out.contains("MD5") || out.contains("SHA") ||
+      out.contains("monthName")) out = rewriteHashNames(out)
     if (l.contains("datediff")) out = rewriteDateDiff(out)
     if (l.contains("arrayfirst")) out = rewriteArrayFirst(out)
     if (l.contains("transform")) out = rewriteChTransform(out)
@@ -3200,6 +3202,31 @@ object ClickHouseSql {
     * the lexer (string literal), so the call surfaces as
     * `dateDiff ( ,` — that comma-right-after-paren shape is the cue.
     */
+  /** CH spellings whose exact names collide with Spark builtins of
+    * DIFFERENT semantics, renamed (case-SENSITIVELY, as CH requires) to
+    * the dialect's ch* forms: MD5/SHA1/SHA224/SHA256 return BYTES in CH
+    * while Spark's md5/sha1/sha2 return lowercase hex STRINGS — the
+    * ubiquitous CH idiom `hex(MD5(x))` would silently double-hex — and
+    * Spark 4's builtin monthname returns the short form ("Mar") where
+    * CH returns full English. Lexer-driven: string literals and other
+    * identifiers are untouched, and only a CALL (identifier directly
+    * followed by `(`) is renamed, so a column named MD5 survives.
+    */
+  private def rewriteHashNames(sqlText: String): String = {
+    val names = Map("MD5" -> "chMD5", "SHA1" -> "chSHA1",
+      "SHA224" -> "chSHA224", "SHA256" -> "chSHA256",
+      "monthName" -> "chMonthName")
+    val ts = lex(sqlText)
+    val sb = new StringBuilder(sqlText)
+    // right-to-left so earlier token offsets stay valid as we splice
+    for (i <- ts.indices.reverse) {
+      val t = ts(i)
+      if (names.contains(t.text) && ts.lift(i + 1).exists(_.text == "("))
+        sb.replace(t.start, t.end, names(t.text))
+    }
+    sb.toString
+  }
+
   private def rewriteDateDiff(sqlText: String): String = {
     val toks = lex(sqlText)
     val splices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]

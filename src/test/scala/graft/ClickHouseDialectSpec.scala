@@ -1118,6 +1118,58 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(r.getBoolean(9))
   }
 
+  test("eighth-batch names: CH byte-hashes, string/URL/date long tail") {
+    val r = ClickHouseSql.sql(spark, """
+      SELECT hex(MD5('abc')) AS md5hex,
+             length(SHA256('abc')) AS sha_len,
+             substringIndex('www.example.com', '.', 2) AS si,
+             ngrams('abcd', 2) AS ng,
+             ngrams('a', 3) AS ng_short,
+             makeDate(2024, 2, 29) AS md,
+             monthName(DATE '2024-03-05') AS mn,
+             toRelativeDayNum(DATE '1970-01-11') AS rdn,
+             toRelativeHourNum(toDateTime(7200)) AS rhn,
+             toDecimal64('2.50', 2) AS dec2,
+             sign(-7) AS sg,
+             ifNotFinite(acos(2.0), 42.0) AS inf_repl,
+             netloc('https://www.example.com/path?q=1') AS nl,
+             firstSignificantSubdomain('https://a.b.example.com/x') AS fsd,
+             cutToFirstSignificantSubdomain('https://a.b.example.com/x') AS cfsd,
+             decodeURLComponent(encodeURLComponent('a b&c')) AS url_rt,
+             leftPadUTF8('7', 3, '0') AS lp,
+             positionCaseInsensitiveUTF8('Hello', 'ELL') AS pci,
+             CAST(toStartOfSecond(TIMESTAMP '2024-01-01 01:02:03.456')
+               AS STRING) AS tss,
+             length(generateUUIDv4()) AS uuid_len,
+             'MD5(a)' AS lit_untouched
+    """).head()
+    // CH MD5/SHA* return BYTES — hex() then matches CH's uppercase form
+    assert(r.getString(0) === "900150983CD24FB0D6963F7D28E17F72")
+    assert(r.getInt(1) === 32)
+    assert(r.getString(2) === "www.example")
+    assert(r.getSeq[String](3) === Seq("ab", "bc", "cd"))
+    assert(r.getSeq[String](4) === Seq.empty)
+    assert(r.getDate(5).toString === "2024-02-29")
+    assert(r.getString(6) === "March")
+    assert(r.getInt(7) === 10)
+    assert(r.getLong(8) === 2L)
+    assert(r.getDecimal(9) === new java.math.BigDecimal("2.50"))
+    // CH sign returns Int8; Spark's builtin (not overridden) returns
+    // the value-equal DOUBLE
+    assert(r.getDouble(10) === -1.0)
+    assert(r.getDouble(11) === 42.0)
+    assert(r.getString(12) === "www.example.com")
+    assert(r.getString(13) === "example")
+    assert(r.getString(14) === "example.com")
+    assert(r.getString(15) === "a b&c")
+    assert(r.getString(16) === "007")
+    assert(r.getInt(17) === 2)
+    assert(r.getString(18) === "2024-01-01 01:02:03")
+    assert(r.getInt(19) === 36)
+    // the case-sensitive hash rename never touches string literals
+    assert(r.getString(20) === "MD5(a)")
+  }
+
   test("CREATE MATERIALIZED VIEW: POPULATE backfills, engine merges on FINAL") {
     import spark.implicits._
     for (t <- Seq("mv_base", "mv_daily", "mv_empty")) {
