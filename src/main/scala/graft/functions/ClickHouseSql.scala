@@ -256,6 +256,10 @@ object ClickHouseSql {
       .orElse(showCreateTable(spark, sqlText))
       .orElse(describeTable(spark, sqlText))
       .orElse(checkTable(spark, sqlText))
+      .orElse(existsTable(spark, sqlText))
+      .orElse(showTables(spark, sqlText))
+      .orElse(killVerb(sqlText))
+      .orElse(backupRestore(spark, sqlText))
       .orElse(systemVerb(spark, sqlText))
       .orElse(alterMutation(spark, sqlText))
       .orElse(renameOrExchange(spark, sqlText))
@@ -286,6 +290,20 @@ object ClickHouseSql {
     val table = toks(3).text
     require(spark.catalog.tableExists(table),
       s"SHOW CREATE TABLE: no table $table")
+    val stmt = createStatementOf(spark, table)
+    Some(spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(stmt)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("statement",
+          org.apache.spark.sql.types.StringType)))))
+  }
+
+  /** Normalized, round-trippable CH CREATE statement reconstructed
+    * from the live schema plus the engine/sort-key/partition/TTL/
+    * Nullable registries — shared by SHOW CREATE TABLE and BACKUP.
+    */
+  private def createStatementOf(spark: SparkSession, table: String): String = {
     val schema = spark.table(table).schema
     val cols = schema.map(f =>
       s"${f.name} ${chTypeBack(table, f)}").mkString(", ")
@@ -311,14 +329,8 @@ object ClickHouseSql {
     }
     val ttlText = Option(ttlExprs.get(norm(table)))
       .map(t => s" TTL $t").getOrElse("")
-    val stmt = s"CREATE TABLE $table ($cols) ENGINE = $engineText" +
+    s"CREATE TABLE $table ($cols) ENGINE = $engineText" +
       partText + orderText + ttlText
-    Some(spark.createDataFrame(
-      java.util.Collections.singletonList(
-        org.apache.spark.sql.Row(stmt)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("statement",
-          org.apache.spark.sql.types.StringType)))))
   }
 
   /** `DESCRIBE [TABLE] t` / `DESC [TABLE] t` — the CH table-inspection
@@ -813,6 +825,148 @@ object ClickHouseSql {
       physicalDrop(spark, droppedSlot(table))
     if (sync) physicalDrop(spark, table)
     else renameTable(spark, table, droppedSlot(table))
+    Some(spark.emptyDataFrame)
+  }
+
+  /** `KILL MUTATION/QUERY` — loud migration guidance, the
+    * runningDifference philosophy: mutations here are SYNCHRONOUS
+    * (ALTER … UPDATE/DELETE materializes before returning), so there is
+    * never an async mutation to kill; a running query is a Spark job.
+    */
+  private def killVerb(sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    if (toks.isEmpty || toks.head.lower != "kill") return None
+    throw new IllegalArgumentException(
+      "KILL MUTATION/QUERY: mutations are synchronous in this engine " +
+        "(ALTER ... UPDATE/DELETE materializes before returning), so " +
+        "there is never an async mutation to kill; cancel the Spark " +
+        "job to stop a running query")
+  }
+
+  /** `EXISTS [TABLE] t` — CH's existence probe: one row, `result` 1/0.
+    * Covers both plain catalog tables and the dialect's partitioned
+    * two-piece layout (whose declared name is a view).
+    */
+  private def existsTable(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText).filterNot(_.text == ";")
+    if (toks.isEmpty || toks.head.lower != "exists") return None
+    var i = 1
+    if (toks.lift(i).exists(_.lower == "table")) i += 1
+    if (toks.length != i + 1 || !isIdent(toks(i))) return None
+    val table = toks(i).text
+    val ok = spark.catalog.tableExists(table) ||
+      partitionedTable(table).isDefined
+    Some(spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(if (ok) 1L else 0L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("result",
+          org.apache.spark.sql.types.LongType)))))
+  }
+
+  /** `SHOW TABLES [LIKE '<pattern>']` in CH's output shape: ONE `name`
+    * column (Spark's builtin returns namespace/tableName/isTemporary).
+    * The dialect's internal pieces (`__parts`, `__detached`, recycle
+    * slots) are machinery, not tables — hidden, like CH hides its own
+    * internals. LIKE uses CH `%`/`_` wildcards, case-sensitive.
+    */
+  private def showTables(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText).filterNot(_.text == ";")
+    if (toks.length < 2 || toks.head.lower != "show" ||
+      toks(1).lower != "tables") return None
+    val pat: Option[String] =
+      if (toks.lift(2).exists(_.lower == "like"))
+        "'([^']*)'".r.findFirstMatchIn(sqlText.substring(toks(2).end))
+          .map(_.group(1))
+      else if (toks.length == 2) None
+      else return None // SHOW TABLES FROM/IN db — no databases here
+    val rx = pat.map(p => ("^" + java.util.regex.Pattern.quote(p)
+      .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r)
+    val internal = Seq("__parts", "__detached", "__dropped")
+    val names = spark.catalog.listTables().collect()
+      .map(_.name)
+      .filterNot(n => internal.exists(n.contains))
+      .filter(n => rx.forall(_.findFirstIn(n).isDefined))
+      .sorted
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList[org.apache.spark.sql.Row]
+    names.foreach(n => rows.add(org.apache.spark.sql.Row(n)))
+    Some(spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType)))))
+  }
+
+  /** `BACKUP TABLE t TO File('<path>')` / `RESTORE TABLE t [AS t2]
+    * FROM File('<path>')` — the CH 22.8+ backup verbs (the bare quoted
+    * `TO '<path>'` form is accepted too). A backup is a REAL copy:
+    * the table's current rows land as parquet under `<path>/data` and
+    * the normalized CH DDL (the SHOW CREATE statement — engine, sort
+    * key, partition spec, TTL, Nullable) as `<path>/ddl.sql`, so the
+    * backup is self-describing and survives the session. RESTORE
+    * replays that DDL through the dialect (recreating the partitioned
+    * two-piece layout and every registration) and appends the data
+    * through the dialect write path (partition placement +
+    * sort-key-ordered blocks, same as any INSERT). Like CH: BACKUP to
+    * an existing path errors; RESTORE onto an existing table errors;
+    * `RESTORE TABLE t AS t2` renames on the way in. All file I/O rides
+    * the TARGET path's Hadoop FileSystem, so `hdfs://`/`s3a://`
+    * destinations work unchanged on a cluster.
+    */
+  private def backupRestore(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText).filterNot(_.text == ";")
+    if (toks.length < 4) return None
+    val verb = toks.head.lower
+    if ((verb != "backup" && verb != "restore") ||
+      toks(1).lower != "table" || !isIdent(toks(2))) return None
+    val table = toks(2).text
+    var i = 3
+    // RESTORE TABLE t AS t2
+    var restoreAs = table
+    if (verb == "restore" && toks.lift(i).exists(_.lower == "as") &&
+      toks.lift(i + 1).exists(isIdent)) {
+      restoreAs = toks(i + 1).text; i += 2
+    }
+    val kw = if (verb == "backup") "to" else "from"
+    require(toks.lift(i).exists(_.lower == kw),
+      s"${verb.toUpperCase} TABLE expects ${kw.toUpperCase} <destination>: $sqlText")
+    val raw = sqlText.substring(toks(i).end)
+    val path = "'([^']+)'".r.findFirstMatchIn(raw).map(_.group(1)).getOrElse(
+      throw new IllegalArgumentException(
+        s"${verb.toUpperCase} TABLE needs a quoted path: $sqlText"))
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(base, "data")
+    val ddlFile = new org.apache.hadoop.fs.Path(base, "ddl.sql")
+    if (verb == "backup") {
+      require(spark.catalog.tableExists(table),
+        s"BACKUP TABLE: no table $table")
+      require(!fs.exists(base),
+        s"BACKUP TABLE: destination already exists: $path")
+      spark.table(table).write.parquet(dataDir.toString)
+      val out = fs.create(ddlFile)
+      try out.write(createStatementOf(spark, table)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else {
+      require(fs.exists(ddlFile),
+        s"RESTORE TABLE: no backup at $path (missing ddl.sql)")
+      require(!spark.catalog.tableExists(restoreAs) &&
+        partitionedTable(restoreAs).isEmpty,
+        s"RESTORE TABLE: $restoreAs already exists — drop it first " +
+          "(CH: RESTORE onto an existing table errors)")
+      val in = fs.open(ddlFile)
+      val ddl =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      sql(spark, if (restoreAs == table) ddl
+        else spliceTableName(ddl, restoreAs))
+      appendAligned(spark, restoreAs, spark.read.parquet(dataDir.toString))
+    }
     Some(spark.emptyDataFrame)
   }
 

@@ -299,6 +299,89 @@ class MigrationE2ESpec extends SparkSpec {
     ClickHouseSql.dropMaterializedView("fmt_stats")
   }
 
+  test("EXISTS / SHOW TABLES speak CH shapes; KILL guides loudly") {
+    for (t <- Seq("sh_alpha", "sh_beta"))
+      ch(s"DROP TABLE IF EXISTS $t SYNC")
+    ch("CREATE TABLE sh_alpha (k UInt64, d Date) " +
+      "ENGINE = MergeTree PARTITION BY d ORDER BY (k)")
+    ch("CREATE TABLE sh_beta (k UInt64) ENGINE = MergeTree")
+
+    assert(ch("EXISTS sh_alpha").head().getLong(0) === 1L)
+    assert(ch("EXISTS TABLE sh_beta").head().getLong(0) === 1L)
+    assert(ch("EXISTS sh_gamma").head().getLong(0) === 0L)
+
+    // one `name` column, CH shape; two-piece internals are hidden
+    val names = ch("SHOW TABLES LIKE 'sh_%'").collect().map(_.getString(0))
+    assert(names.toSeq === Seq("sh_alpha", "sh_beta"))
+    assert(ch("SHOW TABLES LIKE 'sh_alpha'").count() === 1L)
+    val all = ch("SHOW TABLES").collect().map(_.getString(0))
+    assert(all.contains("sh_alpha") &&
+      !all.exists(_.contains("__parts")) &&
+      !all.exists(_.contains("__dropped")))
+
+    val e = intercept[IllegalArgumentException](
+      ch("KILL MUTATION WHERE mutation_id = '1'"))
+    assert(e.getMessage.contains("synchronous"))
+
+    for (t <- Seq("sh_alpha", "sh_beta")) ch(s"DROP TABLE $t SYNC")
+  }
+
+  test("BACKUP TABLE / RESTORE TABLE round-trip data, DDL, and registrations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bk").toFile
+    dir.delete() // BACKUP refuses an existing destination
+    val p = dir.getAbsolutePath
+    for (t <- Seq("bk_t", "bk_t2"))
+      ch(s"DROP TABLE IF EXISTS $t SYNC")
+
+    ch("""
+      CREATE TABLE bk_t (
+        k UInt64, v Nullable(String), d Date
+      ) ENGINE = ReplacingMergeTree(k) PARTITION BY d ORDER BY (k)
+    """)
+    ch("INSERT INTO bk_t VALUES (1, 'a', DATE '2024-01-01'), " +
+      "(1, 'b', DATE '2024-01-01'), (2, NULL, DATE '2024-02-01')")
+
+    ch(s"BACKUP TABLE bk_t TO File('$p')")
+    // self-describing: data parquet + the normalized DDL
+    assert(new java.io.File(dir, "ddl.sql").exists())
+    assert(new java.io.File(dir, "data").exists())
+    // a second backup to the same destination errors like CH
+    val e0 = intercept[IllegalArgumentException](
+      ch(s"BACKUP TABLE bk_t TO '$p'"))
+    assert(e0.getMessage.contains("already exists"))
+
+    // restore under the original name requires the name to be free
+    val e1 = intercept[IllegalArgumentException](
+      ch(s"RESTORE TABLE bk_t FROM File('$p')"))
+    assert(e1.getMessage.contains("already exists"))
+    ch("DROP TABLE bk_t SYNC")
+    ch(s"RESTORE TABLE bk_t FROM File('$p')")
+    assert(spark.table("bk_t").columns.toSeq === Seq("k", "v", "d"))
+    assert(spark.table("bk_t").count() === 3L)
+    // engine registration survived: FINAL collapses the k=1 pair
+    assert(ch("SELECT count() AS n FROM bk_t FINAL").head().getLong(0) === 2L)
+    // partition layout survived: DROP PARTITION still prunes by value
+    ch("ALTER TABLE bk_t DROP PARTITION '2024-02-01'")
+    assert(spark.table("bk_t").count() === 2L)
+    // Nullable registry survived the round trip
+    val desc = ch("DESCRIBE bk_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("v") === "Nullable(String)")
+
+    // RESTORE ... AS lands the same backup under a new name
+    ch(s"RESTORE TABLE bk_t AS bk_t2 FROM File('$p')")
+    assert(spark.table("bk_t2").count() === 3L)
+    assert(ch("SELECT count() AS n FROM bk_t2 FINAL").head().getLong(0) === 2L)
+
+    // missing backup errors loudly
+    val e2 = intercept[IllegalArgumentException](
+      ch(s"RESTORE TABLE bk_t3 FROM File('${p}_nope')"))
+    assert(e2.getMessage.contains("no backup"))
+
+    for (t <- Seq("bk_t", "bk_t2")) ch(s"DROP TABLE $t SYNC")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("DESCRIBE / CHECK / delayed DROP + UNDROP complete the table lifecycle") {
     for (t <- Seq("lc_t", "lc_t__dropped", "lc_t__parts", "lc_t__dropped__parts"))
       ch(s"DROP TABLE IF EXISTS $t SYNC")
