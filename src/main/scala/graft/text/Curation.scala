@@ -903,7 +903,85 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  // text_kappa — Cohen's kappa agreement between two document quality
+  // gates per source (the dedup_detector_agreement idea lifted to
+  // chance-corrected form: "do my char-length and token-count filters
+  // actually measure different things?"). Entirely EXACT by clearing
+  // denominators: po = D/n and pe = (a1·b1 + a0·b0)/n² give
+  // kappa = (D·n − P)/(n² − P) with P the marginal-product sum — both
+  // BIGINT, plus a sign-split e6 readout (Spark div truncates, DuckDB
+  // // floors; they agree only on non-negative operands). The den = 0
+  // degenerate (both gates constant → pe = 1) reads as the perfect-
+  // agreement convention 10⁶. BIGINT bound: P < n², safe to ~3×10⁹
+  // docs per source; past that lift the products to DECIMAL(38,0).
+  //
+  // Scale shape: one map-side-combinable per-source aggregate over a
+  // projection scan — the 2×2 cells are four conditional sums; nothing
+  // is ordered, nothing corpus-sized crosses a shuffle beyond the
+  // |sources|-row aggregate.
+  val gateKappa = Q(
+    "text_kappa",
+    Some("""
+      WITH r AS (
+        SELECT source,
+               CASE WHEN LENGTH(text) >= 300 THEN 1 ELSE 0 END AS a,
+               CASE WHEN LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) >= 60
+                    THEN 1 ELSE 0 END AS b
+        FROM documents),
+      c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM r GROUP BY source),
+      k AS (
+        SELECT source, n, n11, n10, n01, n00,
+               (n11 + n00) * n -
+                 ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                 AS kappa_num,
+               n * n -
+                 ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                 AS kappa_den
+        FROM c)
+      SELECT source, n, n11, n10, n01, n00, kappa_num, kappa_den,
+             CASE WHEN kappa_den = 0 THEN 1000000
+                  WHEN kappa_num >= 0
+                    THEN kappa_num * 1000000 // kappa_den
+                  ELSE -((-kappa_num) * 1000000 // kappa_den)
+             END AS kappa_e6
+      FROM k
+      ORDER BY source
+    """)
+  ) { t =>
+    val r = t.documents.select(col("source"),
+      when(length(col("text")) >= 300, 1L).otherwise(0L).as("a"),
+      when(size(words(col("text"))) >= 60, 1L).otherwise(0L).as("b"))
+    val c = r.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).cast(LongType).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).cast(LongType).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).cast(LongType).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b")))
+          .cast(LongType).as("n00"))
+    val pe = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))
+    val k = c.select(col("source"), col("n"), col("n11"), col("n10"),
+      col("n01"), col("n00"),
+      ((col("n11") + col("n00")) * col("n") - pe).as("kappa_num"),
+      (col("n") * col("n") - pe).as("kappa_den"))
+    k.select(col("source"), col("n"), col("n11"), col("n10"), col("n01"),
+      col("n00"), col("kappa_num"), col("kappa_den"),
+      when(col("kappa_den") === 0, 1000000L)
+        .when(col("kappa_num") >= 0,
+          expr("kappa_num * 1000000 div kappa_den"))
+        .otherwise(-expr("(-kappa_num) * 1000000 div kappa_den"))
+        .cast(LongType).as("kappa_e6"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(evalSplit, crossSource, novelty, tfidf,
     qualityClassifier, datasetCard, curriculum, mixWeights, coverage,
-    tvDrift, readability, epochShuffle, datasetDiff, tokenBudget)
+    tvDrift, readability, epochShuffle, datasetDiff, tokenBudget,
+    gateKappa)
 }
