@@ -236,10 +236,15 @@ object ClickHouseSql {
 
   def dropMaterializedView(view: String): Unit = mvDefs.remove(norm(view))
 
-  /** Views whose SELECT reads `table` as its trigger source. */
+  /** Views whose SELECT reads `table` as its trigger source. A view
+    * parked in a delayed-DROP recycle slot keeps its definition (so
+    * UNDROP restores the trigger) but must NOT receive inserts while
+    * parked — CH's trashed MVs are inert.
+    */
   def materializedViewsOn(table: String): Seq[MvDef] = {
     import scala.jdk.CollectionConverters._
-    mvDefs.values.asScala.toSeq.filter(_.source == norm(table))
+    mvDefs.values.asScala.toSeq
+      .filter(d => d.source == norm(table) && !d.view.endsWith("__dropped"))
       .sortBy(_.view)
   }
 
@@ -1916,6 +1921,11 @@ object ClickHouseSql {
       .foreach(nc => nullableCols.put(norm(to), nc))
     Option(ttlExprs.remove(norm(from)))
       .foreach(tt => ttlExprs.put(norm(to), tt))
+    // a renamed MATERIALIZED VIEW keeps its insert trigger (keyed by the
+    // view's own name; the source reference inside is name-based and
+    // survives a source's drop/undrop round trip unchanged)
+    Option(mvDefs.remove(norm(from)))
+      .foreach(d => mvDefs.put(norm(to), d.copy(view = norm(to))))
   }
 
   private def renameOrExchange(spark: SparkSession,

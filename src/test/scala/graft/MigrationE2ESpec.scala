@@ -299,6 +299,33 @@ class MigrationE2ESpec extends SparkSpec {
     ClickHouseSql.dropMaterializedView("fmt_stats")
   }
 
+  test("a materialized view's insert trigger survives DROP + UNDROP") {
+    for (t <- Seq("mvlc_src", "mvlc_mv"))
+      ch(s"DROP TABLE IF EXISTS $t SYNC")
+    ClickHouseSql.dropMaterializedView("mvlc_mv")
+    ch("CREATE TABLE mvlc_src (k UInt64, v UInt64) ENGINE = MergeTree")
+    ch("""
+      CREATE MATERIALIZED VIEW mvlc_mv ENGINE = MergeTree
+      AS SELECT k, v * 2 AS v2 FROM mvlc_src
+    """)
+    ch("INSERT INTO mvlc_src VALUES (1, 10)")
+    assert(spark.table("mvlc_mv").count() === 1L)
+
+    ch("DROP TABLE mvlc_mv")
+    // while parked, inserts into the source do NOT feed the slot
+    ch("INSERT INTO mvlc_src VALUES (2, 20)")
+    ch("UNDROP TABLE mvlc_mv")
+    assert(spark.table("mvlc_mv").count() === 1L) // missed (2,20) — dropped
+    // restored trigger fires again
+    ch("INSERT INTO mvlc_src VALUES (3, 30)")
+    val rows = spark.table("mvlc_mv").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.toSeq === Seq((1L, 20L), (3L, 60L)))
+
+    for (t <- Seq("mvlc_mv", "mvlc_src")) ch(s"DROP TABLE $t SYNC")
+    ClickHouseSql.dropMaterializedView("mvlc_mv")
+  }
+
   test("EXISTS / SHOW TABLES speak CH shapes; KILL guides loudly") {
     for (t <- Seq("sh_alpha", "sh_beta"))
       ch(s"DROP TABLE IF EXISTS $t SYNC")
