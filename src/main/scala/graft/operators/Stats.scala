@@ -1519,7 +1519,54 @@ object Stats {
       .orderBy(col("o_orderstatus"))
   }
 
+  // q139_dispersion — Poisson index of dispersion (variance-to-mean
+  // ratio) of the daily order-arrival counts per status: D = s²/x̄ > 1
+  // flags over-dispersed (bursty) arrivals, the classic check before
+  // modeling an event stream as Poisson. EXACT rational with the
+  // denominators cleared: s² = (nQ − S²)/(n(n−1)) and x̄ = S/n give
+  // D = (nQ − S²)/((n−1)·S) — numerator non-negative by Cauchy-Schwarz,
+  // so the e6 fixed point is floor/truncate-agnostic. BIGINT bound:
+  // nQ ~ |days|·(events/day)², safe to ~10⁸ events/day; past that lift
+  // the two products to DECIMAL(38,0).
+  //
+  // Scale shape: one map-side-combinable groupBy collapses the fact
+  // table to the calendar-bounded daily relation; the readout is a
+  // second map-side aggregate over it. No window, no join.
+  val q139 = Q(
+    "q139_dispersion",
+    Some("""
+      WITH daily AS (
+        SELECT o_orderstatus AS g, CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2)
+      SELECT g AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS BIGINT)
+               AS disp_num,
+             CAST((COUNT(*) - 1) * SUM(c) AS BIGINT) AS disp_den,
+             CAST((COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)) * 1000000
+                  // ((COUNT(*) - 1) * SUM(c)) AS BIGINT) AS disp_e6
+      FROM daily GROUP BY g
+      ORDER BY o_orderstatus
+    """)
+  ) { t =>
+    val daily = t.orders
+      .groupBy(col("o_orderstatus").as("g"), to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    daily.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).cast(LongType).as("n_events"),
+        sum(col("c") * col("c")).cast(LongType).as("__q"))
+      .select(col("g").as("o_orderstatus"), col("n_days"), col("n_events"),
+        (col("n_days") * col("__q") - col("n_events") * col("n_events"))
+          .cast(LongType).as("disp_num"),
+        ((col("n_days") - 1) * col("n_events")).cast(LongType).as("disp_den"))
+      .withColumn("disp_e6",
+        expr("disp_num * 1000000 div disp_den").cast(LongType))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134, q136,
-    q137, q138)
+    q137, q138, q139)
 }

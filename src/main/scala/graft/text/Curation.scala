@@ -980,8 +980,60 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  // text_mcnemar — McNemar's paired test on the same two quality gates
+  // as text_kappa: the discordant counts b = n10 (length-gate only) and
+  // c = n01 (token-gate only) drive chi2 = (b−c)²/(b+c), the "did
+  // changing the gate actually change WHO passes" statistic (marginal
+  // homogeneity). EXACT: numerator and denominator are BIGINT, the
+  // squared numerator is non-negative so the e6 fixed point is
+  // floor/truncate-agnostic, and b+c = 0 (no discordant docs) reads as
+  // the no-disagreement convention 0.
+  //
+  // Scale shape: identical to text_kappa — one map-side-combinable
+  // per-source aggregate over a projection scan, nothing ordered.
+  val mcnemar = Q(
+    "text_mcnemar",
+    Some("""
+      WITH r AS (
+        SELECT source,
+               CASE WHEN LENGTH(text) >= 300 THEN 1 ELSE 0 END AS a,
+               CASE WHEN LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) >= 60
+                    THEN 1 ELSE 0 END AS b
+        FROM documents),
+      c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01
+        FROM r GROUP BY source)
+      SELECT source, n, n10, n01,
+             (n10 - n01) * (n10 - n01) AS mcnemar_num,
+             n10 + n01 AS mcnemar_den,
+             CASE WHEN n10 + n01 = 0 THEN 0
+                  ELSE (n10 - n01) * (n10 - n01) * 1000000 // (n10 + n01)
+             END AS chi2_e6
+      FROM c
+      ORDER BY source
+    """)
+  ) { t =>
+    val r = t.documents.select(col("source"),
+      when(length(col("text")) >= 300, 1L).otherwise(0L).as("a"),
+      when(size(words(col("text"))) >= 60, 1L).otherwise(0L).as("b"))
+    val c = r.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a") * (lit(1L) - col("b"))).cast(LongType).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).cast(LongType).as("n01"))
+    val d = col("n10") - col("n01")
+    c.select(col("source"), col("n"), col("n10"), col("n01"),
+      (d * d).as("mcnemar_num"),
+      (col("n10") + col("n01")).as("mcnemar_den"),
+      when(col("n10") + col("n01") === 0, 0L)
+        .otherwise(expr("(n10 - n01) * (n10 - n01) * 1000000 div (n10 + n01)"))
+        .cast(LongType).as("chi2_e6"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(evalSplit, crossSource, novelty, tfidf,
     qualityClassifier, datasetCard, curriculum, mixWeights, coverage,
     tvDrift, readability, epochShuffle, datasetDiff, tokenBudget,
-    gateKappa)
+    gateKappa, mcnemar)
 }
