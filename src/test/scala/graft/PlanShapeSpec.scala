@@ -431,6 +431,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!chi2.contains("CartesianProduct"), chi2.take(2000))
   }
 
+  test("r9 third batch: gate diagnostics and apportionment stay aggregate-shaped") {
+    // kappa/mcnemar/dispersion: pure map-side-combinable aggregates —
+    // a window or cartesian creeping in would be the enum-funnel class
+    Seq("text_kappa", "text_mcnemar", "q139_dispersion").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("HashAggregate"), s"$q:\n${plan.take(2000)}")
+      assert(!plan.contains("windowspecdefinition"),
+        s"$q grew a window:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2000)}")
+    }
+    // pipe_token_budget: the only window ranks the |sources|-sized
+    // remainder relation — it must never see the raw text column
+    val tb = planOf("pipe_token_budget")
+    "windowspecdefinition\\([^)]*".r.findAllIn(tb).foreach { s =>
+      assert(!s.contains("text"), s"token_budget window over fact rows: $s")
+    }
+    assert(tb.contains("HashAggregate"), tb.take(2000))
+  }
+
   test("q98_uniq_upto aggregates with a partial (map-side) pass") {
     val plan = planOf("q98_uniq_upto")
     // typed Aggregator partial states must combine map-side: the plan
