@@ -940,6 +940,122 @@ object Multimodal {
       .orderBy(col("n_channels"))
   }
 
+  /** Per-image letterbox detection readout (exact integers). */
+  final case class LetterboxStats(kind: String, bars_top: Long,
+    bars_bottom: Long, letterboxed: Long, content_wsum: Long)
+
+  /** Raster with `bars = id % 4` near-black rows injected at the top
+    * and bottom (values (id+j) % 3 ≤ 2) around the standard generator's
+    * content — the deterministic letterbox the oracle replays.
+    */
+  private def letterboxRaster(id: Long, w: Int, h: Int): Raster = {
+    val bars = (id % 4).toInt
+    val n = w * h * 3
+    val rgb = new Array[Byte](n)
+    var j = 0
+    while (j < n) {
+      val row = j / (w * 3)
+      rgb(j) =
+        (if (row < bars || row >= h - bars) ((id + j) % 3).toInt
+         else pixel(id, j)).toByte
+      j += 1
+    }
+    Raster(w, h, rgb)
+  }
+
+  // mm_letterbox — black-bar (letterbox/pillarbox) detection on the
+  // image lane, the crop-before-training QC step a vision pipeline runs
+  // so padding bars don't dilute the signal. Deterministic letterboxed
+  // rasters round-trip through the REAL containers (P6 PPM / 24-bit
+  // BMP, whose bottom-up row order + row padding must be undone
+  // correctly for bar positions to survive), then the detector works
+  // from decoded bytes alone: a row is "black" iff its RGB sum < 9·w
+  // (bar rows sum ≤ 6w; generator content rows are orders of magnitude
+  // above), bars_top = first non-black row, bars_bottom counts from the
+  // last. The content checksum Σ v·(j+1) over NON-black rows proves
+  // the crop is positioned exactly — one row off fails the oracle,
+  // which replays every pixel from the shared generator formula.
+  // Scale shape: one decode + one O(pixels) scan per image inside
+  // mapPartitions (constant state), then a map-side groupBy on the
+  // 2-value kind. No shuffle carries pixels.
+  val letterbox = Q(
+    "mm_letterbox",
+    Some("""
+      WITH imgs AS (
+        SELECT doc_id, CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+               CAST(doc_id % 16 + 8 AS BIGINT) AS h,
+               CASE WHEN doc_id % 3 = 0 THEN 'image_ppm'
+                    ELSE 'image_bmp' END AS kind,
+               doc_id % 4 AS bars
+        FROM documents WHERE doc_id % 3 <> 2),
+      px AS (
+        SELECT doc_id, kind, w, h, j, j // (w * 3) AS rw_row,
+               CASE WHEN j // (w * 3) < bars OR j // (w * 3) >= h - bars
+                    THEN (doc_id + j) % 3
+                    ELSE (doc_id * 7 + j * 13) % 251 END AS v
+        FROM imgs, UNNEST(RANGE(0, w * h * 3)) AS t(j)),
+      rws AS (
+        SELECT doc_id, kind, MAX(h) AS h, MAX(w) AS w, rw_row,
+               SUM(v) AS rs, SUM(v * (j + 1)) AS rww
+        FROM px GROUP BY doc_id, kind, rw_row),
+      per_img AS (
+        SELECT doc_id, kind, MAX(h) AS h,
+               MIN(CASE WHEN rs >= 9 * w THEN rw_row END) AS top,
+               MAX(CASE WHEN rs >= 9 * w THEN rw_row END) AS bot,
+               SUM(CASE WHEN rs >= 9 * w THEN rww ELSE 0 END) AS cw
+        FROM rws GROUP BY doc_id, kind)
+      SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_images,
+             CAST(SUM(CASE WHEN top > 0 OR bot < h - 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_letterboxed,
+             CAST(SUM(top) AS BIGINT) AS bars_top,
+             CAST(SUM(h - 1 - bot) AS BIGINT) AS bars_bottom,
+             CAST(SUM(cw) AS BIGINT) AS content_wsum
+      FROM per_img GROUP BY kind ORDER BY kind
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id")).where(col("doc_id") % 3 =!= 2)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = dims(id)
+        val raster = letterboxRaster(id, w, h)
+        val (kind, decoded) =
+          if (id % 3 == 0) ("image_ppm", PpmCodec.decode(PpmCodec.encode(raster)))
+          else ("image_bmp", BmpCodec.decode(BmpCodec.encode(raster)))
+        require(decoded.width == w && decoded.height == h,
+          s"codec round-trip dims mismatch for $id")
+        // detector: first/last content row from decoded bytes alone
+        var top = -1; var bot = -1; var cw = 0L
+        var row = 0
+        while (row < h) {
+          var rs = 0L; var rww = 0L
+          var k = row * w * 3
+          val end = (row + 1) * w * 3
+          while (k < end) {
+            val v = decoded.rgb(k) & 0xff
+            rs += v; rww += v.toLong * (k + 1); k += 1
+          }
+          if (rs >= 9L * w) {
+            if (top < 0) top = row
+            bot = row
+            cw += rww
+          }
+          row += 1
+        }
+        LetterboxStats(kind, top.toLong, (h - 1 - bot).toLong,
+          if (top > 0 || bot < h - 1) 1L else 0L, cw)
+      })
+      .toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("letterboxed")).cast("long").as("n_letterboxed"),
+        sum(col("bars_top")).cast("long").as("bars_top"),
+        sum(col("bars_bottom")).cast("long").as("bars_bottom"),
+        sum(col("content_wsum")).cast("long").as("content_wsum"))
+      .orderBy(col("kind"))
+  }
+
   val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi,
-    imageDedup, audioDedup, videoDedup, sceneCut, audioVad)
+    imageDedup, audioDedup, videoDedup, sceneCut, audioVad, letterbox)
 }
