@@ -274,8 +274,21 @@ object ClickHouseSql {
       .orElse(insertMvRefresh(spark, sqlText))
       .orElse(createPartitionedTable(spark, sqlText))
       .orElse(tableLifecycle(spark, sqlText))
-      .getOrElse(
-        spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq)))
+      .getOrElse {
+        // CH Atomic-database behavior for the plain CREATE paths too:
+        // a new table never collides with storage a DEAD session's
+        // same-named table left in the warehouse (live tables are in
+        // the catalog and are never touched)
+        val toks = lex(sqlText)
+        if (toks.length > 2 && toks.head.lower == "create" &&
+          (toks(1).lower == "table" || toks(1).lower == "materialized")) {
+          var ni = if (toks(1).lower == "materialized") 3 else 2
+          if (toks.lift(ni).exists(_.lower == "if")) ni += 3
+          toks.lift(ni).filter(isIdent)
+            .foreach(t => clearStaleLocation(spark, t.text))
+        }
+        spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq))
+      }
 
   /** `SHOW CREATE TABLE t` — reconstruct the ClickHouse-dialect DDL
     * from the live declared schema + the registries (engine, sort key,
@@ -487,6 +500,11 @@ object ClickHouseSql {
     val declared = declaredColumnsOf(createStd)
     val phys = table + "__parts"
     val createPhys = spliceTableName(createStd, phys)
+    // CH Atomic-database behavior: name reuse never collides with a
+    // previous incarnation's storage — clear stale dirs a dead session
+    // left behind (only when the catalog does NOT know the name)
+    clearStaleLocation(spark, phys)
+    clearStaleLocation(spark, s"${phys}__detached")
     if (plainCols.nonEmpty) {
       val missing = plainCols.filterNot(p =>
         declared.exists(_.equalsIgnoreCase(p)))
@@ -576,6 +594,8 @@ object ClickHouseSql {
     val df = spark.sql(createStd.substring(mi + marker.length))
     val declared = df.columns.toSeq
     val phys = table + "__parts"
+    clearStaleLocation(spark, phys)
+    clearStaleLocation(spark, s"${phys}__detached")
     val plainCols = plainPartitionCols(specText)
     if (plainCols.nonEmpty) {
       val missing = plainCols.filterNot(p =>
@@ -1264,13 +1284,35 @@ object ClickHouseSql {
     sqlText: String): Option[DataFrame] = {
     val toks = lex(sqlText)
     if (toks.isEmpty || toks.head.lower != "optimize") return None
-    require(toks.length >= 3 && toks(1).lower == "table" &&
-      isIdent(toks(2)) &&
-      toks.drop(3).forall(t => t.lower == "final" || t.lower == ";" ||
-        t.lower == "deduplicate" || t.lower == "by" || t.text == "," ||
-        isIdent(t)),
+    require(toks.length >= 3 && toks(1).lower == "table" && isIdent(toks(2)),
       s"unsupported OPTIMIZE statement: $sqlText")
     val table = toks(2).text
+    // optional `PARTITION <value>` scope (CH merges never cross
+    // partitions, so a scoped OPTIMIZE is exact CH semantics — and the
+    // only scale-sensible form on a big table: rewrite one partition's
+    // files, not the table)
+    var rest = toks.drop(3)
+    var partVal: Option[String] = None
+    if (rest.headOption.exists(_.lower == "partition")) {
+      // the lexer treats string literals as opaque (no token), so a
+      // quoted value lives in the RAW text between this token and the
+      // next; bare numeric values do lex as tokens
+      val pTok = rest.head
+      val nextStart = rest.lift(1).map(_.start).getOrElse(sqlText.length)
+      "'((?:[^']|'')*)'".r
+        .findFirstMatchIn(sqlText.substring(pTok.end, nextStart)) match {
+        case Some(m) =>
+          partVal = Some(m.group(1)); rest = rest.drop(1)
+        case None =>
+          require(rest.length >= 2,
+            s"OPTIMIZE ... PARTITION expects a value: $sqlText")
+          partVal = Some(rest(1).text); rest = rest.drop(2)
+      }
+    }
+    require(rest.forall(t => t.lower == "final" || t.lower == ";" ||
+      t.lower == "deduplicate" || t.lower == "by" || t.text == "," ||
+      isIdent(t)),
+      s"unsupported OPTIMIZE statement: $sqlText")
     // SYSTEM STOP MERGES gate: CH refuses to start the merge while
     // merges are stopped for the table (optimize_throw_if_noop
     // behavior) — failing loudly beats a silent no-op that callers
@@ -1279,10 +1321,55 @@ object ClickHouseSql {
       s"OPTIMIZE TABLE $table: merges are stopped " +
         "(SYSTEM STOP MERGES) — run SYSTEM START MERGES first")
     val dedupIdx = toks.indexWhere(_.lower == "deduplicate")
-    if (engineOf(table).isDefined) {
-      val merged = spark.sql(rewrite(s"SELECT * FROM $table FINAL",
-        t => spark.table(t).columns.toSeq))
-      writeBlock(spark, table, merged.localCheckpoint(true), "overwrite")
+    // relation the three transforms read, and how their result lands:
+    // unscoped → the declared view, whole-table overwrite; scoped →
+    // only the named partition's physical rows (partition-pruned scan),
+    // and a DYNAMIC-overwrite write that replaces only that partition's
+    // files — an all-rows-expired partition falls back to the native
+    // DROP PARTITION (dynamic overwrite of an empty frame is a no-op).
+    val scopedPt = partVal.map { _ =>
+      partitionedTable(table).getOrElse(throw new IllegalArgumentException(
+        s"OPTIMIZE ... PARTITION: $table is not partitioned"))
+    }
+    val scopeView = "__ch_opt_scope"
+    def sourceRelation(): String = scopedPt match {
+      case Some(pt) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val pcol = pt.partCols.head
+        val physSchema = spark.table(pt.physical).schema
+        spark.table(pt.physical)
+          .where(col(q1(pcol)) ===
+            lit(partVal.get).cast(physSchema(pcol).dataType))
+          .select(pt.declared.map(c => col(q1(c))): _*)
+          .createOrReplaceTempView(scopeView)
+        scopeView
+      case None => table
+    }
+    def landBlock(df: DataFrame): Unit = {
+      val eager = df.localCheckpoint(true)
+      scopedPt match {
+        case Some(_) =>
+          if (eager.isEmpty) {
+            sql(spark, s"ALTER TABLE $table DROP PARTITION '${partVal.get}'")
+          } else {
+            val key = "spark.sql.sources.partitionOverwriteMode"
+            val prev = spark.conf.getOption(key).getOrElse("static")
+            spark.conf.set(key, "dynamic")
+            try writeBlock(spark, table, eager, "overwrite")
+            finally spark.conf.set(key, prev)
+          }
+        case None => writeBlock(spark, table, eager, "overwrite")
+      }
+    }
+    engineOf(table).foreach { e =>
+      val rel = sourceRelation()
+      val merged =
+        if (rel == table)
+          spark.sql(rewrite(s"SELECT * FROM $table FINAL",
+            t => spark.table(t).columns.toSeq))
+        else spark.sql("SELECT * FROM " +
+          finalSubquery(rel, spark.table(rel).columns.toSeq, e))
+      landBlock(merged)
     }
     if (dedupIdx >= 0) {
       // `OPTIMIZE TABLE t [FINAL] DEDUPLICATE [BY c1, …]` — drop rows
@@ -1292,7 +1379,8 @@ object ClickHouseSql {
       // other column is not CH's pick either — CH keeps an arbitrary
       // row; we take rank-1 under the table's column order for
       // reproducibility).
-      val cols = spark.table(table).columns.toSeq
+      val rel = sourceRelation()
+      val cols = spark.table(rel).columns.toSeq
       val byCols =
         if (toks.lift(dedupIdx + 1).exists(_.lower == "by"))
           toks.drop(dedupIdx + 2).filter(isIdent).map(_.text)
@@ -1303,18 +1391,19 @@ object ClickHouseSql {
       val deduped = spark.sql(
         s"SELECT ${q.mkString(", ")} FROM (SELECT ${q.mkString(", ")}, " +
           s"ROW_NUMBER() OVER (PARTITION BY ${part.mkString(", ")} " +
-          s"ORDER BY ${q.mkString(", ")}) AS __ch_dd FROM $table) " +
+          s"ORDER BY ${q.mkString(", ")}) AS __ch_dd FROM $rel) " +
           "__ch_ddq WHERE __ch_dd = 1")
-      writeBlock(spark, table, deduped.localCheckpoint(true), "overwrite")
+      landBlock(deduped)
     }
     // merge-time TTL: rows whose TTL timestamp has passed leave the
     // table with the merge OPTIMIZE just forced (CH applies TTL on
     // merges, never at read time). NULL TTL values never expire.
     Option(ttlExprs.get(norm(table))).foreach { ttl =>
+      val rel = sourceRelation()
       val kept = spark.sql(rewrite(
-        s"SELECT * FROM $table WHERE NOT coalesce(($ttl) <= now(), false)",
+        s"SELECT * FROM $rel WHERE NOT coalesce(($ttl) <= now(), false)",
         t => spark.table(t).columns.toSeq))
-      writeBlock(spark, table, kept.localCheckpoint(true), "overwrite")
+      landBlock(kept)
     }
     Some(spark.table(table).limit(0))
   }

@@ -299,6 +299,50 @@ class MigrationE2ESpec extends SparkSpec {
     ClickHouseSql.dropMaterializedView("fmt_stats")
   }
 
+  test("OPTIMIZE TABLE ... PARTITION merges ONLY the named partition") {
+    ch("DROP TABLE IF EXISTS opt_p SYNC")
+    ch("""
+      CREATE TABLE opt_p (k UInt64, v UInt64, d Date)
+      ENGINE = ReplacingMergeTree(v) PARTITION BY d ORDER BY (k)
+    """)
+    // duplicates for the same sort key in BOTH partitions
+    ch("INSERT INTO opt_p VALUES " +
+      "(1, 1, DATE '2024-01-01'), (1, 2, DATE '2024-01-01'), " +
+      "(2, 1, DATE '2024-02-01'), (2, 2, DATE '2024-02-01')")
+
+    ch("OPTIMIZE TABLE opt_p PARTITION '2024-01-01' FINAL")
+    // January merged in place (one row, the max-version winner) …
+    val jan = spark.table("opt_p")
+      .where(org.apache.spark.sql.functions.col("d") === org.apache.spark.sql.functions.lit("2024-01-01")).collect()
+    assert(jan.length === 1 && jan.head.getAs[Long]("v") === 2L)
+    // … February untouched: its duplicate pair is still there
+    assert(spark.table("opt_p")
+      .where(org.apache.spark.sql.functions.col("d") === org.apache.spark.sql.functions.lit("2024-02-01")).count() === 2L)
+
+    // full OPTIMIZE then collapses the rest
+    ch("OPTIMIZE TABLE opt_p FINAL")
+    assert(spark.table("opt_p").count() === 2L)
+
+    // scoped DEDUPLICATE: only the named partition loses its dup pair
+    ch("INSERT INTO opt_p VALUES (3, 9, DATE '2024-03-01'), " +
+      "(3, 9, DATE '2024-03-01'), (4, 9, DATE '2024-04-01'), " +
+      "(4, 9, DATE '2024-04-01')")
+    ch("OPTIMIZE TABLE opt_p PARTITION '2024-03-01' DEDUPLICATE")
+    assert(spark.table("opt_p")
+      .where(org.apache.spark.sql.functions.col("d") === org.apache.spark.sql.functions.lit("2024-03-01")).count() === 1L)
+    assert(spark.table("opt_p")
+      .where(org.apache.spark.sql.functions.col("d") === org.apache.spark.sql.functions.lit("2024-04-01")).count() === 2L)
+
+    // a PARTITION scope on an unpartitioned table errors loudly
+    ch("DROP TABLE IF EXISTS opt_np SYNC")
+    ch("CREATE TABLE opt_np (k UInt64) ENGINE = MergeTree")
+    val e = intercept[IllegalArgumentException](
+      ch("OPTIMIZE TABLE opt_np PARTITION 'x' FINAL"))
+    assert(e.getMessage.contains("not partitioned"))
+
+    for (t <- Seq("opt_p", "opt_np")) ch(s"DROP TABLE $t SYNC")
+  }
+
   test("a materialized view's insert trigger survives DROP + UNDROP") {
     for (t <- Seq("mvlc_src", "mvlc_mv"))
       ch(s"DROP TABLE IF EXISTS $t SYNC")
