@@ -1327,40 +1327,13 @@ object ClickHouseSql {
     // and a DYNAMIC-overwrite write that replaces only that partition's
     // files — an all-rows-expired partition falls back to the native
     // DROP PARTITION (dynamic overwrite of an empty frame is a no-op).
-    val scopedPt = partVal.map { _ =>
-      partitionedTable(table).getOrElse(throw new IllegalArgumentException(
-        s"OPTIMIZE ... PARTITION: $table is not partitioned"))
+    partVal.foreach { _ =>
+      require(partitionedTable(table).isDefined,
+        s"OPTIMIZE ... PARTITION: $table is not partitioned")
     }
-    val scopeView = "__ch_opt_scope"
-    def sourceRelation(): String = scopedPt match {
-      case Some(pt) =>
-        import org.apache.spark.sql.functions.{col, lit}
-        val pcol = pt.partCols.head
-        val physSchema = spark.table(pt.physical).schema
-        spark.table(pt.physical)
-          .where(col(q1(pcol)) ===
-            lit(partVal.get).cast(physSchema(pcol).dataType))
-          .select(pt.declared.map(c => col(q1(c))): _*)
-          .createOrReplaceTempView(scopeView)
-        scopeView
-      case None => table
-    }
-    def landBlock(df: DataFrame): Unit = {
-      val eager = df.localCheckpoint(true)
-      scopedPt match {
-        case Some(_) =>
-          if (eager.isEmpty) {
-            sql(spark, s"ALTER TABLE $table DROP PARTITION '${partVal.get}'")
-          } else {
-            val key = "spark.sql.sources.partitionOverwriteMode"
-            val prev = spark.conf.getOption(key).getOrElse("static")
-            spark.conf.set(key, "dynamic")
-            try writeBlock(spark, table, eager, "overwrite")
-            finally spark.conf.set(key, prev)
-          }
-        case None => writeBlock(spark, table, eager, "overwrite")
-      }
-    }
+    def sourceRelation(): String = sourceRelationFor(spark, table, partVal)
+    def landBlock(df: DataFrame): Unit =
+      landBlockFor(spark, table, partVal, df)
     engineOf(table).foreach { e =>
       val rel = sourceRelation()
       val merged =
@@ -1406,6 +1379,65 @@ object ClickHouseSql {
       landBlock(kept)
     }
     Some(spark.table(table).limit(0))
+  }
+
+  /** The relation a table-rewriting verb reads: the declared view for
+    * an unscoped rewrite, or a temp view over ONLY the named
+    * partition's physical rows (a partition-pruned scan) for a
+    * `PARTITION v` scope. Shared by OPTIMIZE and MATERIALIZE TTL.
+    */
+  private def sourceRelationFor(spark: SparkSession, table: String,
+    partVal: Option[String]): String = partVal match {
+    case Some(v) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val pt = partitionedTable(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"PARTITION-scoped rewrite: $table is not partitioned"))
+      val pcol = pt.partCols.head
+      val physSchema = spark.table(pt.physical).schema
+      spark.table(pt.physical)
+        .where(col(q1(pcol)) === lit(v).cast(physSchema(pcol).dataType))
+        .select(pt.declared.map(c => col(q1(c))): _*)
+        .createOrReplaceTempView("__ch_opt_scope")
+      "__ch_opt_scope"
+    case None => table
+  }
+
+  /** Land a table-rewriting verb's result: whole-table overwrite when
+    * unscoped; DYNAMIC partition overwrite (only the named partition's
+    * files rewrite) when scoped, with an all-rows-gone partition
+    * falling back to the native DROP PARTITION (dynamic overwrite of
+    * an empty frame is a no-op).
+    */
+  private def landBlockFor(spark: SparkSession, table: String,
+    partVal: Option[String], df: DataFrame): Unit = {
+    val eager = df.localCheckpoint(true)
+    partVal match {
+      case Some(v) =>
+        if (eager.isEmpty) {
+          sql(spark, s"ALTER TABLE $table DROP PARTITION '$v'")
+        } else {
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val prev = spark.conf.getOption(key).getOrElse("static")
+          spark.conf.set(key, "dynamic")
+          try writeBlock(spark, table, eager, "overwrite")
+          finally spark.conf.set(key, prev)
+        }
+      case None => writeBlock(spark, table, eager, "overwrite")
+    }
+  }
+
+  /** Apply the declared table TTL NOW (the TTL step of OPTIMIZE, alone
+    * — no merge, no dedup), optionally scoped to one partition.
+    */
+  private def materializeTtl(spark: SparkSession, table: String,
+    partVal: Option[String]): Unit = {
+    val ttl = ttlExprs.get(norm(table))
+    val rel = sourceRelationFor(spark, table, partVal)
+    val kept = spark.sql(rewrite(
+      s"SELECT * FROM $rel WHERE NOT coalesce(($ttl) <= now(), false)",
+      t => spark.table(t).columns.toSeq))
+    landBlockFor(spark, table, partVal, kept)
   }
 
   private def qcols(cs: Seq[String]): Seq[String] =
@@ -1504,6 +1536,25 @@ object ClickHouseSql {
           Some(spark.emptyDataFrame)
         case "remove" if toks.lift(4).exists(_.lower == "ttl") =>
           ttlExprs.remove(norm(table))
+          Some(spark.emptyDataFrame)
+        case "materialize" if toks.lift(4).exists(_.lower == "ttl") =>
+          // `ALTER TABLE t MATERIALIZE TTL [IN PARTITION v]` — apply
+          // the declared TTL NOW instead of waiting for the next merge
+          // (CH runs this as a mutation, NOT a merge — versions stay
+          // uncollapsed for plain reads). IN PARTITION scopes the
+          // rewrite to one partition's files, like scoped OPTIMIZE.
+          require(spark.catalog.tableExists(table),
+            s"MATERIALIZE TTL: no table $table")
+          require(ttlExprs.containsKey(norm(table)),
+            s"MATERIALIZE TTL: $table declares no TTL")
+          val partVal =
+            if (toks.lift(5).exists(_.lower == "in") &&
+              toks.lift(6).exists(_.lower == "partition")) {
+              val tail = stripSemi(sqlText.substring(toks(6).end)).trim
+              Some("'((?:[^']|'')*)'".r.findFirstMatchIn(tail)
+                .map(_.group(1)).getOrElse(tail))
+            } else None
+          materializeTtl(spark, table, partVal)
           Some(spark.emptyDataFrame)
         case "drop" if toks.lift(4).exists(_.lower == "partition") =>
           // CH's retention verb. On a table created with PARTITION BY

@@ -343,6 +343,33 @@ class MigrationE2ESpec extends SparkSpec {
     for (t <- Seq("opt_p", "opt_np")) ch(s"DROP TABLE $t SYNC")
   }
 
+  test("MATERIALIZE TTL applies retention now, without merging versions") {
+    ch("DROP TABLE IF EXISTS mt_t SYNC")
+    ch("""
+      CREATE TABLE mt_t (k UInt64, v UInt64, d Date)
+      ENGINE = ReplacingMergeTree(v) PARTITION BY d ORDER BY (k)
+      TTL d + INTERVAL 1 YEAR
+    """)
+    // two partitions long past the TTL horizon + one recent; the k=9
+    // pair is a Replacing duplicate that must NOT collapse
+    ch("INSERT INTO mt_t VALUES " +
+      "(1, 1, DATE '2020-01-01'), (2, 1, DATE '2020-02-01'), " +
+      "(9, 1, DATE '2099-01-01'), (9, 2, DATE '2099-01-01')")
+
+    // scoped: only January 2020 expires
+    ch("ALTER TABLE mt_t MATERIALIZE TTL IN PARTITION '2020-01-01'")
+    assert(spark.table("mt_t").count() === 3L)
+    // unscoped: the rest of the expired mass goes; versions survive
+    // (CH MATERIALIZE TTL is a mutation, not a merge)
+    ch("ALTER TABLE mt_t MATERIALIZE TTL")
+    val left = spark.table("mt_t").collect()
+    assert(left.length === 2 && left.forall(_.getAs[Long]("k") === 9L))
+    // FINAL still collapses at read time
+    assert(ch("SELECT count() AS n FROM mt_t FINAL").head().getLong(0) === 1L)
+
+    ch("DROP TABLE mt_t SYNC")
+  }
+
   test("a materialized view's insert trigger survives DROP + UNDROP") {
     for (t <- Seq("mvlc_src", "mvlc_mv"))
       ch(s"DROP TABLE IF EXISTS $t SYNC")
