@@ -1104,6 +1104,127 @@ object ClickHouseDialect {
     "encodeURLComponent" -> (args => UrlEncode(one(args))),
     "decodeURLComponent" -> (args => UrlDecode(one(args))),
     "generateUUIDv4" -> (_ => Uuid()),
+    // ---- ninth batch: FnProbe radar gaps ---------------------------------
+    // tokens: split on non-alphanumeric runs, empties dropped (CH's
+    // ASCII tokenizer)
+    "tokens" -> { args =>
+      val x = UnresolvedNamedLambdaVariable(Seq("graft_tk_x"))
+      ArrayFilter(
+        StringSplit(one(args), Literal("[^A-Za-z0-9]+"), Literal(-1)),
+        LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x)))
+    },
+    // CH format('{} and {}', a, b): positional {} / indexed {n}
+    // placeholders → format_string's %s / %n$s (pattern must be a
+    // literal, as in CH)
+    "format" -> { args =>
+      require(args.nonEmpty && args.head.foldable,
+        "format: the pattern must be a string literal")
+      val pat = String.valueOf(args.head.eval())
+      val sb = new StringBuilder
+      var i = 0
+      while (i < pat.length) {
+        val c = pat.charAt(i)
+        if (c == '{') {
+          val close = pat.indexOf('}', i)
+          require(close > 0, s"format: unclosed placeholder in $pat")
+          val idx = pat.substring(i + 1, close)
+          sb.append(if (idx.isEmpty) "%s" else s"%${idx.toInt + 1}$$s")
+          i = close + 1
+        } else {
+          if (c == '%') sb.append("%%") else sb.append(c)
+          i += 1
+        }
+      }
+      FormatString(Literal(sb.toString) +: args.tail: _*)
+    },
+    "splitByRegexp" -> (args =>
+      StringSplit(args(1), args.head, Literal(-1))),
+    // extractGroups(s, re): every capture group of the FIRST match;
+    // the regex must be a literal so the group count is known at plan
+    // time (CH requires a constant pattern too)
+    "extractGroups" -> { args =>
+      require(args.length == 2 && args(1).foldable,
+        "extractGroups(haystack, pattern): pattern must be a literal")
+      val re = String.valueOf(args(1).eval())
+      val n = java.util.regex.Pattern.compile(re).matcher("").groupCount()
+      require(n > 0, s"extractGroups: pattern has no capture groups: $re")
+      CreateArray((1 to n).map(i =>
+        RegExpExtract(args.head, args(1), Literal(i)): Expression))
+    },
+    // arrayShingles(arr, n): every length-n contiguous window, in order
+    "arrayShingles" -> { args =>
+      val i = UnresolvedNamedLambdaVariable(Seq("graft_sh_i"))
+      val n = Cast(args(1), org.apache.spark.sql.types.IntegerType)
+      val count = Subtract(Add(Size(args.head), Literal(1)), n)
+      // Slice(x, 1, max(count, 0)) empties the result when count ≤ 0
+      // while keeping the element type (Sequence needs an ascending
+      // range, so the generator uses max(count, 1))
+      Slice(
+        ArrayTransform(
+          new Sequence(Literal(1), Greatest(Seq(count, Literal(1)))),
+          LambdaFunction(Slice(args.head, i, n), Seq(i))),
+        Literal(1), Greatest(Seq(count, Literal(0))))
+    },
+    // first-appearance dense ids (array_distinct preserves first-
+    // appearance order, so the distinct position IS the dense id)
+    "arrayEnumerateDense" -> { args =>
+      val x = UnresolvedNamedLambdaVariable(Seq("graft_ed_x"))
+      ArrayTransform(one(args),
+        LambdaFunction(ArrayPosition(ArrayDistinct(one(args)), x), Seq(x)))
+    },
+    "sigmoid" -> { args =>
+      val d = Cast(one(args), org.apache.spark.sql.types.DoubleType)
+      Divide(Literal(1.0), Add(Literal(1.0), Exp(UnaryMinus(d))))
+    },
+    // ISO week-numbering year = calendar year of that week's Thursday
+    "toISOYear" -> { args =>
+      val d = Cast(one(args), org.apache.spark.sql.types.DateType)
+      Year(DateAdd(d, Subtract(Literal(3), WeekDay(d))))
+    },
+    "dateTrunc" -> (args => TruncTimestamp(args.head,
+      Cast(args(1), org.apache.spark.sql.types.TimestampType))),
+    // timeSlots(start, duration[, size=1800]): the slot-grid starts
+    // covering [start, start+duration]; size must be a literal (CH
+    // requires a constant there too)
+    "timeSlots" -> { args =>
+      val size =
+        if (args.length > 2) {
+          require(args(2).foldable, "timeSlots: size must be a literal")
+          String.valueOf(args(2).eval()).toLong
+        } else 1800L
+      val startL = Cast(args.head, org.apache.spark.sql.types.LongType)
+      val endTs = Cast(Add(startL,
+        Cast(args(1), org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.types.TimestampType)
+      new Sequence(floorSeconds(args.head, size), floorSeconds(endTs, size),
+        Literal(new org.apache.spark.unsafe.types.CalendarInterval(
+          0, 0, size * 1000000L)))
+    },
+    // literal normalization only (CH also collapses IN-lists)
+    "normalizeQuery" -> (args =>
+      RegExpReplace(
+        RegExpReplace(one(args), Literal("'[^']*'"), Literal("?")),
+        Literal("\\b\\d+(\\.\\d+)?\\b"), Literal("?"))),
+    // exact weighted quantile: Spark's Percentile takes a frequency
+    // column natively — CH quantileExactWeighted(p)(x, w) is exactly it
+    "quantileExactWeighted" -> (args =>
+      new Percentile(args(1), args.head, args(2))),
+    // exact no-interpolation quantiles: Low picks the lower of two
+    // straddling elements (percentile_disc ascending), High the upper
+    // (percentile_disc descending at 1 − p)
+    "quantileExactLow" -> (args => PercentileDisc(args(1), args.head)),
+    "quantileExactHigh" -> (args => PercentileDisc(args(1),
+      Subtract(Literal(1.0),
+        Cast(args.head, org.apache.spark.sql.types.DoubleType)),
+      reverse = true)),
+    // exactly one distinct non-null value ⟺ min = max
+    "singleValueOrNull" -> { args =>
+      def agg(f: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateFunction): Expression = f.toAggregateExpression()
+      If(EqualTo(agg(Min(args.head)), agg(Max(args.head))),
+        agg(Min(args.head)), Literal.create(null,
+          org.apache.spark.sql.types.NullType))
+    },
     // ---- order-dependent names: loud migration guidance ------------------
     "runningDifference" -> (_ => throw new IllegalArgumentException(
       "runningDifference depends on ClickHouse block order — rewrite as " +
@@ -1119,7 +1240,30 @@ object ClickHouseDialect {
         "sum OVER (ORDER BY … ROWS n PRECEDING) (see q09)")),
     "groupArrayMovingAvg" -> (_ => throw new IllegalArgumentException(
       "groupArrayMovingAvg depends on insertion order — rewrite as " +
-        "avg OVER (ORDER BY … ROWS n PRECEDING) (see q09)")))
+        "avg OVER (ORDER BY … ROWS n PRECEDING) (see q09)")),
+    "cramersV" -> (_ => throw new IllegalArgumentException(
+      "cramersV aggregates the joint distribution — build the " +
+        "contingency cells with one groupBy and fold chi2 from them " +
+        "(the q72_cramers_v recipe)")),
+    "contingency" -> (_ => throw new IllegalArgumentException(
+      "contingency aggregates the joint distribution — build the " +
+        "contingency cells with one groupBy and fold the coefficient " +
+        "from them (the q72_cramers_v recipe)")),
+    "theilsU" -> (_ => throw new IllegalArgumentException(
+      "theilsU aggregates the joint distribution — build the " +
+        "contingency cells with one groupBy and fold conditional " +
+        "entropy from them (the q72/q69 recipes)")),
+    "largestTriangleThreeBuckets" -> (_ => throw new IllegalArgumentException(
+      "largestTriangleThreeBuckets needs the series in time order — " +
+        "use the bucketed LTTB plan (the q97_lttb recipe)")),
+    "groupConcat" -> (_ => throw new IllegalArgumentException(
+      "groupConcat depends on insertion order — rewrite as " +
+        "array_join(array_sort(collect_list(x)), sep) with an explicit " +
+        "order (the q28_collect_sorted recipe)")),
+    "arrayAUC" -> (_ => throw new IllegalArgumentException(
+      "arrayAUC over per-row arrays hides the corpus-level statistic — " +
+        "compute exact AUC relationally from the score ranks (the " +
+        "q112_auc recipe)")))
 
   /** mapAdd/mapSubtract: MapZipWith over the key union with null-coalesced
     * element arithmetic.

@@ -2218,7 +2218,8 @@ object ClickHouseSql {
     if (out.contains("MD5") || out.contains("SHA") ||
       out.contains("monthName")) out = rewriteHashNames(out)
     if (l.contains("datediff")) out = rewriteDateDiff(out)
-    if (l.contains("arrayfirst")) out = rewriteArrayFirst(out)
+    if (l.contains("arrayfirst") || l.contains("arraylast"))
+      out = rewriteArrayFirst(out)
     if (l.contains("transform")) out = rewriteChTransform(out)
     if (l.contains("?")) out = rewriteTernary(out)
     if (l.contains("final")) out = rewriteFinal(out, columnsOf)
@@ -2920,7 +2921,11 @@ object ClickHouseSql {
     "quantiletiming", "quantilebfloat16",
     "quantiletimingif", "quantilebfloat16if",
     // flattens so the registered thrower can teach its rewrite
-    "grouparraylast")
+    "grouparraylast",
+    // ninth batch: exact weighted/low/high quantiles + the LTTB
+    // thrower (flattened so it can teach the q97 recipe)
+    "quantileexactweighted", "quantileexactlow", "quantileexacthigh",
+    "quantileexactweightedif", "largesttrianglethreebuckets")
 
   /** ClickHouse parameterized-aggregate call syntax `f(p, …)(args…)` →
     * the dialect's flattened params-first form `f(p, …, args…)` —
@@ -3473,7 +3478,10 @@ object ClickHouseSql {
       val t = toks(i)
       val isFirst = t.lower == "arrayfirst"
       val isIdx = t.lower == "arrayfirstindex"
-      if ((isFirst || isIdx) && toks(i + 1).text == "(") {
+      val isLast = t.lower == "arraylast"
+      val isLastIdx = t.lower == "arraylastindex"
+      if ((isFirst || isIdx || isLast || isLastIdx) &&
+        toks(i + 1).text == "(") {
         val d = toks(i + 1).depth
         var j = i + 2
         var comma = -1
@@ -3487,6 +3495,15 @@ object ClickHouseSql {
           val arr = sqlText.substring(toks(comma).end, toks(j).start).trim
           val repl =
             if (isFirst) s"element_at(filter($arr, $lam), 1)"
+            else if (isLast) s"element_at(filter($arr, $lam), -1)"
+            else if (isLastIdx)
+              // last matching index = size − first match on the
+              // reversed flags + 1; array_position's 0-when-absent
+              // must stay 0
+              s"CASE WHEN array_position(reverse(transform($arr, $lam)), " +
+                s"true) = 0 THEN 0 ELSE size($arr) - " +
+                s"array_position(reverse(transform($arr, $lam)), true) " +
+                s"+ 1 END"
             else s"array_position(transform($arr, $lam), true)"
           // one splice per pass, then recurse — a nested arrayFirst in
           // the argument text would otherwise overlap this span

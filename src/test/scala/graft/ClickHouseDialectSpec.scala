@@ -1170,6 +1170,59 @@ class ClickHouseDialectSpec extends SparkSpec {
     assert(r.getString(20) === "MD5(a)")
   }
 
+  test("ninth-batch names: radar gaps closed — strings, arrays, quantiles") {
+    val r = ClickHouseSql.sql(spark, """
+      SELECT tokens('a b,,c!d') AS tk,
+             format('{} and {}', 'x', 'y') AS f1,
+             format('{1}-{0}', 'a', 'b') AS f2,
+             splitByRegexp('\\d+', 'a1b22c') AS sre,
+             extractGroups('a1b2', '([a-z])(\\d)') AS eg,
+             arrayLast(x -> x > 1, array(1,2,3)) AS al,
+             arrayLastIndex(x -> x > 1, array(1,2,3)) AS ali,
+             arrayLastIndex(x -> x > 9, array(1,2,3)) AS ali0,
+             arrayShingles(array(1,2,3,4), 2) AS sh,
+             arrayShingles(array(1), 3) AS sh0,
+             arrayEnumerateDense(array(10,20,10,30)) AS ed,
+             round(sigmoid(0.0), 4) AS sg,
+             toISOYear(toDate('2021-01-01')) AS iy,
+             CAST(dateTrunc('month', toDate('2024-03-15')) AS DATE) AS dt,
+             size(timeSlots(toDateTime('2024-01-01 00:10:00'), 3600)) AS ts_n,
+             normalizeQuery('SELECT 12 + ''ab''') AS nq
+    """).head()
+    assert(r.getSeq[String](0) === Seq("a", "b", "c", "d"))
+    assert(r.getString(1) === "x and y")
+    assert(r.getString(2) === "b-a")
+    assert(r.getSeq[String](3) === Seq("a", "b", "c"))
+    assert(r.getSeq[String](4) === Seq("a", "1"))
+    assert(r.getInt(5) === 3)
+    assert(r.getLong(6) === 3L)
+    assert(r.getLong(7) === 0L)
+    assert(r.getSeq[Seq[Int]](8) === Seq(Seq(1, 2), Seq(2, 3), Seq(3, 4)))
+    assert(r.getSeq[Seq[Int]](9) === Seq.empty)
+    assert(r.getSeq[Long](10) === Seq(1L, 2L, 1L, 3L))
+    assert(r.getDouble(11) === 0.5)
+    // 2021-01-01 is a Friday of ISO week 2020-W53
+    assert(r.getInt(12) === 2020)
+    assert(r.getDate(13).toString === "2024-03-01")
+    assert(r.getInt(14) === 3) // slots 00:00, 00:30, 01:00 cover 00:10+1h
+    assert(r.getString(15) === "SELECT ? + ?")
+
+    val agg = ClickHouseSql.sql(spark, """
+      SELECT quantileExactWeighted(0.5)(x, w) AS qw,
+             quantileExactLow(0.5)(x) AS ql,
+             quantileExactHigh(0.5)(x) AS qh,
+             singleValueOrNull(g) AS sv,
+             singleValueOrNull(x) AS sv2
+      FROM VALUES (1.0, 1, 'a'), (2.0, 1, 'a'), (3.0, 1, 'a'),
+                  (4.0, 1, 'a') AS t(x, w, g)
+    """).head()
+    // even count: Low picks the lower middle, High the upper
+    assert(agg.getDouble(1) === 2.0)
+    assert(agg.getDouble(2) === 3.0)
+    assert(agg.getString(3) === "a")   // one distinct value
+    assert(agg.isNullAt(4))            // four distinct values
+  }
+
   test("CREATE MATERIALIZED VIEW: POPULATE backfills, engine merges on FINAL") {
     import spark.implicits._
     for (t <- Seq("mv_base", "mv_daily", "mv_empty")) {

@@ -75,7 +75,47 @@ object FnProbe {
       "arrayCount(x -> x > 1, array(1,2,3))",
       "arrayMap(x -> x * 2, array(1,2))",
       "arrayFilter(x -> x > 1, array(1,2,3))",
-      "arraySort(array(3,1,2))", "arrayReverseSort(array(1,3,2))"
+      "arraySort(array(3,1,2))", "arrayReverseSort(array(1,3,2))",
+      // r9 eighth batch + fresh candidates
+      "hex(MD5('abc'))", "length(SHA256('abc'))",
+      "substringIndex('a.b.c', '.', 2)",
+      "ngrams('abcd', 2)",
+      "makeDate(2024, 2, 29)", "makeDateTime(2024, 1, 2, 3, 4, 5)",
+      "monthName(toDate('2024-03-01'))",
+      "toStartOfSecond(toDateTime('2024-01-01 01:02:03'))",
+      "toRelativeDayNum(toDate('1970-01-11'))",
+      "toDecimal64('2.50', 2)",
+      "netloc('https://x.com/p')",
+      "firstSignificantSubdomain('https://a.b.example.com/x')",
+      "cutToFirstSignificantSubdomain('https://a.b.example.com/x')",
+      "decodeURLComponent(encodeURLComponent('a b'))",
+      "length(generateUUIDv4())",
+      "ifNotFinite(acos(2.0), 42.0)",
+      // untried candidates — the radar's next frontier
+      "tokens('a b  c')",
+      "soundex('Smith')", "ascii('A')", "char(65, 66)",
+      "initcap('hello world')", "reverse('abc')", "repeat('ab', 2)",
+      "format('{} and {}', 'a', 'b')",
+      "splitByRegexp('\\\\d+', 'a1b22c')",
+      "extractGroups('a1b2', '([a-z])(\\\\d)')",
+      "arrayFirst(x -> x > 1, array(1,2,3))",
+      "arrayLast(x -> x > 1, array(1,2,3))",
+      "arrayFirstIndex(x -> x > 1, array(1,2,3))",
+      "arrayLastIndex(x -> x > 1, array(1,2,3))",
+      "arrayShingles(array(1,2,3,4), 2)",
+      "arrayRotateRight(array(1,2,3), 1)",
+      "arrayEnumerateDense(array(10,20,10))",
+      "arrayAUC(array(0.1,0.4,0.35,0.8), array(0,0,1,1))",
+      "log2(8)", "cbrt(27.0)", "sign(-5)", "sigmoid(0.0)",
+      "gcd(12, 18)", "lcm(4, 6)",
+      "isNaN(acos(2.0))",
+      "toISOYear(toDate('2024-01-01'))",
+      "toYearWeek(toDate('2024-03-05'))",
+      "timeSlots(toDateTime('2024-01-01 00:00:00'), 3600)",
+      "dateTrunc('month', toDate('2024-03-15'))",
+      "byteSize('abc')",
+      "normalizeQuery('SELECT 1 + 2')",
+      "positionUTF8('héllo', 'llo')"
     )
     // aggregate battery over a tiny table — the same radar for the
     // aggregate-name surface
@@ -99,7 +139,19 @@ object FnProbe {
       "simpleLinearRegression(id, x)", "corrMatrix(id, x)",
       "entropy(g)", "intervalLengthSum(id, id + 2)",
       "skewPop(x)", "kurtPop(x)", "median(x)",
-      "argMinIf(g, x, id > 1)", "anyIf(g, id > 1)")
+      "argMinIf(g, x, id > 1)", "anyIf(g, id > 1)",
+      // untried aggregate candidates
+      "quantileExactWeighted(0.5)(x, id)",
+      "topKWeighted(2)(g, id)",
+      "cramersV(g, id % 2)",
+      "contingency(g, id % 2)",
+      "theilsU(g, id % 2)",
+      "singleValueOrNull(g)",
+      "any_value(g)",
+      "largestTriangleThreeBuckets(2)(id, x)",
+      "groupConcat(g)",
+      "quantileExactLow(0.5)(x)",
+      "quantileExactHigh(0.5)(x)")
     var afailed = 0
     aggs.foreach { e =>
       try {
@@ -123,9 +175,12 @@ object FnProbe {
         val v = ClickHouseSql.sql(spark, s"SELECT $e AS v").head().get(0)
         println(s"OK   $e = $v")
       } catch {
+        case ex: Throwable if Option(ex.getMessage).exists(m =>
+          m.contains("recipe") || m.contains("rewrite")) =>
+          println(s"GUIDE $e -- ${ex.getMessage.linesIterator.nextOption().getOrElse("").take(70)}")
         case ex: Throwable =>
           failed += 1
-          println(s"FAIL $e -- ${ex.getMessage.linesIterator.nextOption().getOrElse("").take(110)}")
+          println(s"FAIL $e -- ${Option(ex.getMessage).getOrElse("").linesIterator.nextOption().getOrElse("").take(110)}")
       }
     }
     println(s"scalars: $failed / ${exprs.length} failed; " +
