@@ -93,7 +93,7 @@ object AggExt {
     Some("""
       SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM events
       GROUP BY 1
       ORDER BY bucket
@@ -103,7 +103,7 @@ object AggExt {
       .groupBy(floor(col("value") / 50).cast(LongType).as("bucket"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total")
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total")
       )
       .orderBy(col("bucket"))
   }

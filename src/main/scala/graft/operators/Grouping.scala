@@ -43,7 +43,7 @@ object Grouping {
       SELECT o_orderpriority,
              COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
              COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
-             CAST(SUM(CASE WHEN o_totalprice > 250000 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS big_total,
+             CAST(SUM(CASE WHEN o_totalprice > 250000 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total,
              COUNT(*) AS n
       FROM orders
       GROUP BY o_orderpriority
@@ -56,7 +56,7 @@ object Grouping {
         count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
         count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
         sum(when(col("o_totalprice") > 250000, col("o_totalprice").cast(DecimalType(18, 2)))
-          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DecimalType(18, 2)).as("big_total"),
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType).as("big_total"),
         count(lit(1)).as("n")
       )
       .orderBy(col("o_orderpriority"))
@@ -71,7 +71,7 @@ object Grouping {
                   WHEN c_acctbal < 7000 THEN 'mid'
                   ELSE 'high' END AS bal_bucket,
              COUNT(*) AS n_customers,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_bal
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       FROM customer
       GROUP BY 1
       ORDER BY bal_bucket
@@ -85,7 +85,7 @@ object Grouping {
           .otherwise("high").as("bal_bucket"))
       .agg(
         count(lit(1)).as("n_customers"),
-        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total_bal")
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType).as("total_bal")
       )
       .orderBy(col("bal_bucket"))
   }
@@ -95,7 +95,7 @@ object Grouping {
     "q14_having",
     Some("""
       SELECT o_custkey, COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders
       GROUP BY o_custkey
       HAVING COUNT(*) >= 15
@@ -106,7 +106,7 @@ object Grouping {
       .groupBy(col("o_custkey"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total")
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total")
       )
       .filter(col("n_orders") >= 15)
       .orderBy(col("o_custkey"))
@@ -117,7 +117,7 @@ object Grouping {
     "q15_rollup",
     Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+             CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -125,7 +125,7 @@ object Grouping {
   ) { t =>
     t.lineitem
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_quantity")).cast(LongType).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(sum(col("l_quantity")).cast(DoubleType).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
@@ -134,7 +134,7 @@ object Grouping {
     "q16_cube",
     Some("""
       SELECT o_orderstatus, o_orderpriority,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total, COUNT(*) AS n
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -143,7 +143,7 @@ object Grouping {
     t.orders
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
@@ -187,7 +187,7 @@ object Grouping {
              COALESCE(l_returnflag, '*') AS flag,
              COALESCE(l_linestatus, '*') AS status,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS volume
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
       FROM lineitem
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY lvl, flag, status
@@ -197,7 +197,7 @@ object Grouping {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-          .cast(DecimalType(18, 2)).as("volume"),
+          .cast(DoubleType).as("volume"),
         grouping(col("l_returnflag")).as("__g1"),
         grouping(col("l_linestatus")).as("__g2"))
       .select(

@@ -35,7 +35,7 @@ object MergeTree {
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_keys,
              CAST(SUM(event_id) AS BIGINT) AS id_checksum,
-             CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DECIMAL(18,2)) AS total_value
+             CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
       FROM final
       GROUP BY event_type
       ORDER BY event_type
@@ -51,7 +51,7 @@ object MergeTree {
       .agg(
         count(lit(1)).as("n_keys"),
         sum(col("event_id")).cast(LongType).as("id_checksum"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
       .orderBy(col("event_type"))
   }
 
@@ -89,7 +89,7 @@ object MergeTree {
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_keys,
              CAST(SUM(last_plus_id) AS BIGINT) AS id_checksum,
-             CAST(SUM(CAST(last_plus_value AS DECIMAL(18, 2))) AS DECIMAL(18,2)) AS total_value
+             CAST(SUM(CAST(last_plus_value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
       FROM final
       GROUP BY event_type
       ORDER BY event_type
@@ -111,7 +111,7 @@ object MergeTree {
       .agg(
         count(lit(1)).as("n_keys"),
         sum(col("last_plus_id")).cast(LongType).as("id_checksum"),
-        sum(col("last_plus_value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total_value"))
+        sum(col("last_plus_value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
       .orderBy(col("event_type"))
   }
 
@@ -146,9 +146,9 @@ object MergeTree {
         GROUP BY event_type)
       SELECT event_type,
              CAST(n AS BIGINT) AS n,
-             CAST(total AS DECIMAL(18,2)) AS total,
-             CAST(vmin AS DECIMAL(18,2)) AS vmin,
-             CAST(vmax AS DECIMAL(18,2)) AS vmax,
+             CAST(total AS DOUBLE) AS total,
+             CAST(vmin AS DOUBLE) AS vmin,
+             CAST(vmax AS DOUBLE) AS vmax,
              CAST(n_states AS BIGINT) AS n_states
       FROM merged
       ORDER BY event_type
@@ -165,9 +165,9 @@ object MergeTree {
       .groupBy(col("event_type"))
       .agg(
         sum(col("cnt_state")).cast(LongType).as("n"),
-        sum(col("sum_state")).cast(DecimalType(18, 2)).as("total"),
-        min(col("min_state")).cast(DecimalType(18, 2)).as("vmin"),
-        max(col("max_state")).cast(DecimalType(18, 2)).as("vmax"),
+        sum(col("sum_state")).cast(DoubleType).as("total"),
+        min(col("min_state")).cast(DoubleType).as("vmin"),
+        max(col("max_state")).cast(DoubleType).as("vmax"),
         count(lit(1)).as("n_states"))
       .orderBy(col("event_type"))
   }
@@ -192,7 +192,7 @@ object MergeTree {
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
              CAST(SUM(n_merged) AS BIGINT) AS n_source_rows,
-             CAST(SUM(value_sum) AS DECIMAL(18,2)) AS total_value,
+             CAST(SUM(value_sum) AS DOUBLE) AS total_value,
              CAST(MAX(n_merged) AS BIGINT) AS max_merged
       FROM collapsed
       GROUP BY event_type
@@ -208,7 +208,7 @@ object MergeTree {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(col("n_merged")).cast(LongType).as("n_source_rows"),
-        sum(col("value_sum")).cast(DecimalType(18, 2)).as("total_value"),
+        sum(col("value_sum")).cast(DoubleType).as("total_value"),
         max(col("n_merged")).cast(LongType).as("max_merged"))
       .orderBy(col("event_type"))
   }
@@ -260,7 +260,7 @@ object MergeTree {
              CAST(SUM(p.writes) AS BIGINT) AS n_writes,
              CAST(SUM(p.cancelled) AS BIGINT) AS n_cancelled_pairs,
              CAST(COUNT(*) AS BIGINT) AS n_keys,
-             CAST(SUM(CAST(f.final_value AS DECIMAL(18, 2))) AS DECIMAL(18,2))
+             CAST(SUM(CAST(f.final_value AS DECIMAL(18, 2))) AS DOUBLE)
                AS total_final_value
       FROM per_key p
       LEFT JOIN finals f USING (user_id, event_type)
@@ -300,7 +300,7 @@ object MergeTree {
         sum(col("writes")).cast(LongType).as("n_writes"),
         sum(col("cancelled")).cast(LongType).as("n_cancelled_pairs"),
         count(lit(1)).as("n_keys"),
-        sum(col("final_value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+        sum(col("final_value").cast(DecimalType(18, 2))).cast(DoubleType)
           .as("total_final_value"))
       .orderBy(col("event_type"))
   }
@@ -331,10 +331,10 @@ object MergeTree {
              CAST(COUNT(DISTINCT CASE WHEN d.d <= cut.cutoff THEN d.d END) AS BIGINT)
                AS n_rollup_rows,
              CAST(SUM(CASE WHEN d.d > cut.cutoff
-                           THEN CAST(value AS DECIMAL(18, 2)) ELSE 0 END) AS DECIMAL(18,2))
+                           THEN CAST(value AS DECIMAL(18, 2)) ELSE 0 END) AS DOUBLE)
                AS live_value,
              CAST(SUM(CASE WHEN d.d <= cut.cutoff
-                           THEN CAST(value AS DECIMAL(18, 2)) ELSE 0 END) AS DECIMAL(18,2))
+                           THEN CAST(value AS DECIMAL(18, 2)) ELSE 0 END) AS DOUBLE)
                AS rollup_value
       FROM d, cut
       GROUP BY event_type
@@ -352,10 +352,10 @@ object MergeTree {
         count(when(expired, lit(1))).as("n_expired"),
         countDistinct(when(expired, col("d"))).as("n_rollup_rows"),
         sum(when(!expired, col("value").cast(DecimalType(18, 2)))
-          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DecimalType(18, 2))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType)
           .as("live_value"),
         sum(when(expired, col("value").cast(DecimalType(18, 2)))
-          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DecimalType(18, 2))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType)
           .as("rollup_value"))
       .orderBy(col("event_type"))
   }

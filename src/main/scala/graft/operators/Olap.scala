@@ -8,10 +8,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 /** Core OLAP operator surface (SURVEY.md §2a).
   *
   * Cross-engine determinism rules (SURVEY.md §5): money/fractional sums go
-  * through an exact DECIMAL cast (order-independent in Spark AND DuckDB)
-  * and are SURFACED as int64-backed DECIMAL(18,s) since r9 (the
-  * output-type lint's preferred form; raw stored columns and averages
-  * remain reviewed DOUBLE); averages are computed as
+  * through an exact DECIMAL cast (order-independent in Spark AND DuckDB),
+  * then back to DOUBLE for a stable output schema; averages are computed as
   * exact-decimal-sum / exact-count in double space (deterministic); every
   * result has a total ORDER BY with a unique tie-break.
   */
@@ -19,8 +17,8 @@ object Olap {
 
   /** Exact 2-decimal cast: makes FP sums order-independent. */
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  /** Exact sum of a 2-decimal quantity, surfaced as exact DECIMAL. */
-  private def moneySum(c: Column): Column = sum(dec2(c)).cast(DecimalType(18, 2))
+  /** Exact sum of a 2-decimal quantity, surfaced as double. */
+  private def moneySum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
   /** Deterministic 4-decimal average: exact decimal sum / count. */
   private def avg4(c: Column, cnt: Column): Column =
     round(sum(dec2(c)).cast(DoubleType) / cnt, 4)
@@ -33,10 +31,10 @@ object Olap {
     "q01_pricing_summary",
     Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(26,6))) AS DECIMAL(18,6)) AS sum_charge,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(26,6))) AS DOUBLE) AS sum_charge,
              ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
              ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
              ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
@@ -52,12 +50,12 @@ object Olap {
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity")).cast(LongType).as("sum_qty"),
+        sum(col("l_quantity")).cast(DoubleType).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base_price"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(22, 4)))
-          .cast(DecimalType(18, 4)).as("sum_disc_price"),
+          .cast(DoubleType).as("sum_disc_price"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-          .cast(DecimalType(26, 6))).cast(DecimalType(18, 6)).as("sum_charge"),
+          .cast(DecimalType(26, 6))).cast(DoubleType).as("sum_charge"),
         round(sum(col("l_quantity")) / cnt, 4).as("avg_qty"),
         avg4(col("l_extendedprice"), cnt).as("avg_price"),
         avg4(col("l_discount"), cnt).as("avg_disc"),
@@ -234,7 +232,7 @@ object Olap {
       SELECT o_custkey, o_orderkey,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total,
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -251,7 +249,7 @@ object Olap {
     t.orders
       .select(
         col("o_custkey"), col("o_orderkey"),
-        sum(dec2(col("o_totalprice"))).over(wAll).cast(DecimalType(18, 2)).as("running_total"),
+        sum(dec2(col("o_totalprice"))).over(wAll).cast(DoubleType).as("running_total"),
         round(sum(dec2(col("o_totalprice"))).over(w3).cast(DoubleType) /
           count(lit(1)).over(w3), 4).as("moving_avg3")
       )

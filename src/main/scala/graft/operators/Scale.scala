@@ -33,7 +33,7 @@ object Scale {
     "q43_topk_values",
     Some("""
       SELECT l_partkey, COUNT(*) AS freq,
-             CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+             CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
       FROM lineitem
       GROUP BY l_partkey
       ORDER BY freq DESC, l_partkey
@@ -42,7 +42,7 @@ object Scale {
   ) { t =>
     t.lineitem
       .groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("freq"), sum(col("l_quantity")).cast(LongType).as("total_qty"))
+      .agg(count(lit(1)).as("freq"), sum(col("l_quantity")).cast(DoubleType).as("total_qty"))
       .orderBy(col("freq").desc, col("l_partkey"))
       .limit(25)
   }
@@ -57,7 +57,7 @@ object Scale {
     "q57_topk_weighted",
     Some("""
       SELECT l_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DECIMAL(18,2)) AS weight,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS weight,
              COUNT(*) AS freq
       FROM lineitem
       GROUP BY l_partkey
@@ -71,7 +71,7 @@ object Scale {
         count(lit(1)).as("freq"))
       .orderBy(col("w_dec").desc, col("l_partkey"))
       .limit(25)
-      .select(col("l_partkey"), col("w_dec").cast(DecimalType(18, 2)).as("weight"), col("freq"))
+      .select(col("l_partkey"), col("w_dec").cast(DoubleType).as("weight"), col("freq"))
   }
 
   // q44 — salted-join equivalence surface: revenue per order priority via

@@ -19,9 +19,9 @@ object Shapes {
              COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_a,
              COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_n,
              COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_r,
-             CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS qty_a,
-             CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS qty_n,
-             CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS qty_r
+             CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_a,
+             CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_n,
+             CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS qty_r
       FROM lineitem
       GROUP BY l_linestatus
       ORDER BY l_linestatus
@@ -34,11 +34,11 @@ object Shapes {
         count(when(col("l_returnflag") === "N", 1)).as("n_n"),
         count(when(col("l_returnflag") === "R", 1)).as("n_r"),
         coalesce(sum(when(col("l_returnflag") === "A", col("l_quantity").cast(DecimalType(18, 2)))), lit(0))
-          .cast(DecimalType(18, 2)).as("qty_a"),
+          .cast(DoubleType).as("qty_a"),
         coalesce(sum(when(col("l_returnflag") === "N", col("l_quantity").cast(DecimalType(18, 2)))), lit(0))
-          .cast(DecimalType(18, 2)).as("qty_n"),
+          .cast(DoubleType).as("qty_n"),
         coalesce(sum(when(col("l_returnflag") === "R", col("l_quantity").cast(DecimalType(18, 2)))), lit(0))
-          .cast(DecimalType(18, 2)).as("qty_r"))
+          .cast(DoubleType).as("qty_r"))
       .orderBy(col("l_linestatus"))
   }
 
@@ -71,13 +71,13 @@ object Shapes {
     Some("""
       WITH monthly AS (
         SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders
         GROUP BY 1
       ),
       deltas AS (
         SELECT month, revenue,
-               CAST(revenue - LAG(revenue) OVER (ORDER BY month) AS DECIMAL(18,2)) AS delta
+               revenue - LAG(revenue) OVER (ORDER BY month) AS delta
         FROM monthly
       )
       SELECT month, revenue, delta
@@ -89,11 +89,10 @@ object Shapes {
     import org.apache.spark.sql.expressions.Window
     val monthly = t.orders
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("revenue"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"))
     val w = Window.orderBy(col("month"))
     monthly
-      .withColumn("delta",
-        (col("revenue") - lag(col("revenue"), 1).over(w)).cast(DecimalType(18, 2)))
+      .withColumn("delta", col("revenue") - lag(col("revenue"), 1).over(w))
       .filter(col("delta") > 0)
       .orderBy(col("month"))
   }

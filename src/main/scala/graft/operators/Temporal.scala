@@ -16,7 +16,7 @@ object Temporal {
     Some("""
       SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
              COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders
       GROUP BY 1
       ORDER BY month
@@ -26,7 +26,7 @@ object Temporal {
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total"))
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
       .orderBy(col("month"))
   }
 
@@ -153,7 +153,7 @@ object Temporal {
       dims AS (SELECT DISTINCT o_orderpriority AS priority FROM orders)
       SELECT d.priority, c.day,
              COALESCE(x.n, 0) AS n,
-             CAST(COALESCE(x.rev, 0) AS DECIMAL(18,2)) AS rev
+             CAST(COALESCE(x.rev, 0) AS DOUBLE) AS rev
       FROM cal c CROSS JOIN dims d
       LEFT JOIN daily x ON x.priority = d.priority AND x.day = c.day
       ORDER BY d.priority, c.day
@@ -172,7 +172,7 @@ object Temporal {
       .select(col("priority"), col("day"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("rev"), lit(BigDecimal(0)).cast(DecimalType(18, 2)))
-          .cast(DecimalType(18, 2)).as("rev"))
+          .cast(DoubleType).as("rev"))
       .orderBy(col("priority"), col("day"))
   }
 

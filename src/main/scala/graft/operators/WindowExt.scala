@@ -17,7 +17,7 @@ object WindowExt {
     "q39_sample",
     Some("""
       SELECT o_orderstatus, COUNT(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders
       WHERE o_orderkey % 10 = 0
       GROUP BY o_orderstatus
@@ -28,7 +28,7 @@ object WindowExt {
       .filter(col("o_orderkey") % 10 === 0)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total"))
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -154,7 +154,7 @@ object WindowExt {
       SELECT
         COUNT(CASE WHEN seg IS NULL THEN 1 END) AS n_nulled_seg,
         COUNT(CASE WHEN bal IS NOT DISTINCT FROM NULL THEN 1 END) AS n_null_bal,
-        CAST(SUM(CAST(COALESCE(bal, 0) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_bal,
+        CAST(SUM(CAST(COALESCE(bal, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
         COUNT(CASE WHEN seg IS NOT DISTINCT FROM 'BUILDING' THEN 1 END) AS n_building
       FROM c
     """)
@@ -166,7 +166,7 @@ object WindowExt {
       .agg(
         count(when(col("seg").isNull, 1)).as("n_nulled_seg"),
         count(when(col("bal") <=> lit(null), 1)).as("n_null_bal"),
-        sum(coalesce(col("bal"), lit(0)).cast(DecimalType(18, 2))).cast(DecimalType(18, 2)).as("total_bal"),
+        sum(coalesce(col("bal"), lit(0)).cast(DecimalType(18, 2))).cast(DoubleType).as("total_bal"),
         count(when(col("seg") <=> "BUILDING", 1)).as("n_building"))
   }
 

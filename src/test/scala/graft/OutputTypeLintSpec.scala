@@ -63,11 +63,12 @@ class OutputTypeLintSpec extends SparkSpec {
     // verbatim with the oracle (see the op's scaladoc)
     "embed_centroid_drift" -> Set("drift_cos"),
     "embed_norms" -> Set("min_norm", "max_norm"),
-    "q01_pricing_summary" -> Set("avg_qty", "avg_price", "avg_disc"),
+    "q01_pricing_summary" -> Set("sum_qty", "sum_base_price",
+      "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc"),
     "q02_topn" -> Set("o_totalprice"),
     "q06_anti_join" -> Set("c_acctbal"),
     "q08_window_rank" -> Set("o_totalprice"),
-    "q09_window_running" -> Set("moving_avg3"),
+    "q09_window_running" -> Set("running_total", "moving_avg3"),
     "q103_moving_median" -> Set("med7"),
     "q10_lag_lead" -> Set("next_price"),
     "q110_nonneg_derivative" -> Set("max_rate_cents_per_s"),
@@ -83,14 +84,31 @@ class OutputTypeLintSpec extends SparkSpec {
     // reviewed r9: ln of a ratio of exact BIGINT products (< 2^53, both
     // exactly representable as doubles), term order shared verbatim
     "q131_info_value" -> Set("woe_r4", "ivc_r4"),
+    "q12_conditional_agg" -> Set("big_total"),
+    "q13_case_bucket" -> Set("total_bal"),
+    "q14_having" -> Set("total"),
+    "q15_rollup" -> Set("sum_qty"),
+    "q16_cube" -> Set("total"),
     "q20_argmax" -> Set("best_price"),
     "q21_quantiles" -> Set("p50", "p90", "p99", "lo", "hi"),
+    "q22_date_trunc" -> Set("total"),
+    "q29_pivot" -> Set("qty_a", "qty_n", "qty_r"),
     "q30_scalar_subquery" -> Set("o_totalprice"),
+    "q31_cte_chain" -> Set("revenue", "delta"),
     "q35_topk_per_group" -> Set("p_retailprice"),
+    "q36_histogram" -> Set("total"),
     "q38_corr_stats" -> Set("corr_qty_price", "sd_qty", "var_qty"),
+    "q39_sample" -> Set("total"),
     "q41_ntile" -> Set("lo", "hi"),
+    "q43_topk_values" -> Set("total_qty"),
     "q51_topk_plan" -> Set("p_retailprice"),
     "q53_window_pct" -> Set("pct_rank", "cume"),
+    "q54_null_safe" -> Set("total_bal"),
+    "q57_topk_weighted" -> Set("weight"),
+    "q59_replacing" -> Set("total_value"),
+    "q60_collapsing" -> Set("total_value"),
+    "q61_agg_state" -> Set("total", "vmin", "vmax"),
+    "q62_summing" -> Set("total_value"),
     "q64_conversion_lag" -> Set("p50_lag_s", "p90_lag_s"),
     "q67_linreg" -> Set("slope", "intercept"),
     "q68_ttest" -> Set("welch_t", "student_t"),
@@ -101,6 +119,10 @@ class OutputTypeLintSpec extends SparkSpec {
     "q73_mann_whitney" -> Set("u1", "z"),
     "q74_skew_kurt" -> Set("skew_pop", "kurt_excess"),
     "q75_mad" -> Set("median_price", "mad"),
+    "q77_gap_fill" -> Set("rev"),
+    "q80_rollup_labeled" -> Set("volume"),
+    "q82_versioned_collapsing" -> Set("total_final_value"),
+    "q84_ttl_expiry" -> Set("live_value", "rollup_value"),
     "q86_weighted_quantile" -> Set("wq50", "wq90"),
     "q92_theil_sen" -> Set("slope_cents_per_day"),
     "q94_bounding_ratio" -> Set("slope_per_day"),
