@@ -90,7 +90,7 @@ object Olap {
     Some("""
       SELECT o.o_orderkey,
              CAST(o.o_orderdate AS DATE) AS order_date,
-             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,4))) AS DECIMAL(18,4)) AS revenue
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
       FROM customer c
       JOIN orders o ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -106,7 +106,7 @@ object Olap {
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(22, 4)))
-        .cast(DecimalType(18, 4)).as("revenue"))
+        .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -117,7 +117,7 @@ object Olap {
     "q04_star_join",
     Some("""
       SELECT r.r_name, n.n_name,
-             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,4))) AS DECIMAL(18,4)) AS revenue,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
              COUNT(*) AS n_items
       FROM region r
       JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -136,7 +136,7 @@ object Olap {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(22, 4)))
-          .cast(DecimalType(18, 4)).as("revenue"),
+          .cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items")
       )
       .orderBy(col("r_name"), col("n_name"))
@@ -185,7 +185,7 @@ object Olap {
     Some("""
       SELECT c.c_custkey,
              COUNT(o.o_orderkey) AS n_orders,
-             CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spent
+             CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
       FROM customer c
       LEFT JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY c.c_custkey
@@ -197,7 +197,7 @@ object Olap {
       .groupBy(col("c_custkey"))
       .agg(
         count(col("o_orderkey")).as("n_orders"),
-        coalesce(sum(dec2(col("o_totalprice"))), lit(0)).cast(DecimalType(18, 2)).as("total_spent")
+        coalesce(sum(dec2(col("o_totalprice"))), lit(0)).cast(DoubleType).as("total_spent")
       )
       .orderBy(col("c_custkey"))
   }

@@ -81,7 +81,7 @@ object Scale {
     "q44_salted_join",
     Some("""
       SELECT o_orderpriority,
-             CAST(SUM(CAST(l_rev AS DECIMAL(22,4))) AS DECIMAL(18,4)) AS revenue,
+             CAST(SUM(CAST(l_rev AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
              COUNT(*) AS n_orders
       FROM orders
       JOIN (SELECT l_orderkey,
@@ -100,7 +100,7 @@ object Scale {
       "o_orderkey", salt = 8)
       .groupBy(col("o_orderpriority"))
       .agg(
-        sum(col("l_rev").cast(DecimalType(22, 4))).cast(DecimalType(18, 4)).as("revenue"),
+        sum(col("l_rev").cast(DecimalType(22, 4))).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderpriority"))
   }

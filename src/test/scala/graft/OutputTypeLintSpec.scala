@@ -66,7 +66,10 @@ class OutputTypeLintSpec extends SparkSpec {
     "q01_pricing_summary" -> Set("sum_qty", "sum_base_price",
       "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc"),
     "q02_topn" -> Set("o_totalprice"),
+    "q03_join_agg" -> Set("revenue"),
+    "q04_star_join" -> Set("revenue"),
     "q06_anti_join" -> Set("c_acctbal"),
+    "q07_outer_join" -> Set("total_spent"),
     "q08_window_rank" -> Set("o_totalprice"),
     "q09_window_running" -> Set("running_total", "moving_avg3"),
     "q103_moving_median" -> Set("med7"),
@@ -101,6 +104,7 @@ class OutputTypeLintSpec extends SparkSpec {
     "q39_sample" -> Set("total"),
     "q41_ntile" -> Set("lo", "hi"),
     "q43_topk_values" -> Set("total_qty"),
+    "q44_salted_join" -> Set("revenue"),
     "q51_topk_plan" -> Set("p_retailprice"),
     "q53_window_pct" -> Set("pct_rank", "cume"),
     "q54_null_safe" -> Set("total_bal"),
