@@ -232,7 +232,7 @@ class ClickHouseDialectSpec extends SparkSpec {
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_keys,
              CAST(SUM(event_id) AS BIGINT) AS id_checksum,
-             CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DECIMAL(18,2)) AS total_value
+             CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
       FROM events_ch FINAL
       GROUP BY event_type
       ORDER BY event_type
@@ -250,7 +250,7 @@ class ClickHouseDialectSpec extends SparkSpec {
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_keys,
              CAST(SUM(event_id) AS BIGINT) AS id_checksum,
-             CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DECIMAL(18,2)) AS total_value
+             CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
       FROM signed_ch FINAL
       GROUP BY event_type
       ORDER BY event_type
@@ -268,7 +268,7 @@ class ClickHouseDialectSpec extends SparkSpec {
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
              CAST(SUM(n_merged) AS BIGINT) AS n_source_rows,
-             CAST(SUM(value_sum) AS DECIMAL(18,2)) AS total_value,
+             CAST(SUM(value_sum) AS DOUBLE) AS total_value,
              CAST(MAX(n_merged) AS BIGINT) AS max_merged
       FROM counters_ch FINAL
       GROUP BY event_type

@@ -32,7 +32,7 @@ class MergeTreeSpec extends SparkSpec {
     rows.foreach { r =>
       val (tv, nEvents, nKeys) = direct(r.getString(0))
       assert(math.abs(
-        r.getAs[java.math.BigDecimal]("total_final_value").doubleValue - tv) < 1e-6)
+        r.getAs[Double]("total_final_value") - tv) < 1e-6)
       assert(r.getAs[Long]("n_keys") === nKeys)
       // writes = 2n − 1 per key: n inserts + (n − 1) cancels
       assert(r.getAs[Long]("n_writes") === 2 * nEvents - nKeys)
@@ -55,8 +55,8 @@ class MergeTreeSpec extends SparkSpec {
       assert(r.getAs[Long]("n_live") + r.getAs[Long]("n_expired") === n)
       // the GROUP BY policy preserves expired value mass exactly
       assert(math.abs(
-        r.getAs[java.math.BigDecimal]("live_value").doubleValue +
-        r.getAs[java.math.BigDecimal]("rollup_value").doubleValue - tv) < 1e-6)
+        r.getAs[Double]("live_value") +
+        r.getAs[Double]("rollup_value") - tv) < 1e-6)
       // 30 days of data, 14-day TTL: expired mass collapses to ≤16 day rows
       assert(r.getAs[Long]("n_rollup_rows") <= 16L)
       assert(r.getAs[Long]("n_rollup_rows") <= r.getAs[Long]("n_expired"))

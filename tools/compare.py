@@ -8,7 +8,7 @@ matching oracle SQL from <out>/oracle_sql.json in DuckDB against the same
 parquet tables, and compares values EXACTLY (sorted columns + sorted rows).
 Exact equality here implies any driver-side hash compare passes.
 """
-import sys, os, json, glob, re, time
+import sys, os, json, glob, time
 import duckdb
 import pandas as pd
 
@@ -49,24 +49,30 @@ def main():
         files = glob.glob(f"{path}/*.parquet")
         if not files:
             print(f"  {name}: NO OUTPUT PARQUET"); n_fail += 1; failures.append(name); continue
-        # Output-type lint (the r7/r8 local-green/driver-red class): the
+        # Output-type lint (the r7/r8/r9 local-green/driver-red class): the
         # driver's harness hashes its own serialization of each column, and
-        # FLOAT and DECIMAL(p>18) (decimal128) have hashed differently
-        # across engines while comparing value-equal through this gate's
-        # single DuckDB session. Ban them outright; no current query needs
-        # either. (Unreviewed DOUBLE is OutputTypeLintSpec's finer check.)
+        # FLOAT and DECIMAL — ANY decimal, r9 proved it, not just
+        # decimal128 — have hashed differently across engines while
+        # comparing value-equal through this gate's single DuckDB session.
+        # The r9 mechanism: the harness renders the Spark parquet side as
+        # str(Decimal) WITH trailing zeros ('4792710.90') but the oracle
+        # side as shortest-float repr ('4792710.9'), so a decimal column
+        # fails exactly when some value hits a trailing zero at its scale
+        # (15/15 of r9's driver fails predicted by that rule, 0 false
+        # positives over 269 outputs). Ban the class outright; readouts
+        # must be DOUBLE or BIGINT. (Unreviewed DOUBLE is
+        # OutputTypeLintSpec's finer check.)
         bad_types = []
         for cname, ctype, *_ in con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet('{path}/*.parquet')").fetchall():
             t = ctype.upper()
             if "FLOAT" in t or "REAL" in t:  # float32 (DOUBLE is fine here)
                 bad_types.append(f"{cname}: {ctype}")
-            m = re.search(r"DECIMAL\((\d+)", t)
-            if m and int(m.group(1)) > 18:
+            if "DECIMAL" in t:
                 bad_types.append(f"{cname}: {ctype}")
         if bad_types:
             print(f"  {name}: BANNED OUTPUT TYPE {bad_types} "
-                  "(FLOAT / DECIMAL(p>18) serialize engine-specifically)")
+                  "(FLOAT / DECIMAL serialize engine-specifically at the driver)")
             n_fail += 1; failures.append(name); continue
         spark_df = con.execute(f"SELECT * FROM read_parquet('{path}/*.parquet')").fetchdf()
         if name not in oracle:
