@@ -1050,11 +1050,20 @@ $pivots
       .select(col("vec_id"), col("pos").cast(LongType).as("dim"), col("col").as("xq"))
     val dims = px.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"))
-    val crossM = px.toDF("vec_id", "dim_i", "xi")
-      .join(px.toDF("vec_id2", "dim_j", "xj"),
-        col("vec_id") === col("vec_id2") && col("dim_i") < col("dim_j"))
-      .groupBy(col("dim_i"), col("dim_j"))
-      .agg(sum(col("xi") * col("xj")).as("sij"))
+    // cross moments without the vec_id self-join (r10, the
+    // embed_pca_power shape): per-row (i<j) pair products through one
+    // generator, hash-aggregated map-side into d²/2 keys — the only
+    // shuffle is the fixed-size partials, never the n·d relation.
+    val qaCov = t.embeddings.select(transform(col("embedding"),
+      x => floor(x.cast(DoubleType) * 1024).cast(LongType)).as("qa"))
+    val crossM = qaCov
+      .select(explode(flatten(transform(col("qa"), (x, i) =>
+        transform(slice(col("qa"), i + 2, size(col("qa"))), (y, k) =>
+          struct(i.cast(LongType).as("dim_i"),
+            (i + lit(1) + k).cast(LongType).as("dim_j"),
+            (x * y).as("p")))))).as("e"))
+      .groupBy(col("e.dim_i").as("dim_i"), col("e.dim_j").as("dim_j"))
+      .agg(sum(col("e.p")).as("sij"))
     val cov = crossM
       .join(broadcast(dims.toDF("dim_i", "n", "s_i")), "dim_i")
       .join(broadcast(dims.toDF("dim_j", "n_j", "s_j")), "dim_j")
@@ -1627,11 +1636,24 @@ $pivots
     val dims = px.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"),
         sum(col("xq") * col("xq")).as("s2"))
-    val crossM = px.toDF("vec_id", "i", "xi")
-      .join(px.toDF("vec_id2", "j", "xj"),
-        col("vec_id") === col("vec_id2") && col("i") < col("j"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("xi") * col("xj")).as("sij"))
+    // cross moments WITHOUT the vec_id self-join (r10): each row expands
+    // its own (i<j) pair products through one generator — flatten of
+    // nested indexed transforms — and the hash aggregate combines
+    // map-side into the fixed d²/2 key space, so the only shuffle is
+    // ≤ d²/2 partials per task. The join form range-shuffled the whole
+    // n·d exploded relation on vec_id before producing the same pairs —
+    // at 100 TB that shuffle IS the query; this shape is a single
+    // narrow scan at any corpus size.
+    val qa = t.embeddings.select(transform(col("embedding"),
+      x => floor(x.cast(DoubleType) * 1024).cast(LongType)).as("qa"))
+    val crossM = qa
+      .select(explode(flatten(transform(col("qa"), (x, i) =>
+        transform(slice(col("qa"), i + 2, size(col("qa"))), (y, k) =>
+          struct(i.cast(LongType).as("i"),
+            (i + lit(1) + k).cast(LongType).as("j"),
+            (x * y).as("p")))))).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p")).as("sij"))
     val cp = crossM
       .join(broadcast(dims.select(col("dim").as("i"), col("n"), col("s").as("s_i"))), "i")
       .join(broadcast(dims.select(col("dim").as("j"), col("s").as("s_j"))), "j")

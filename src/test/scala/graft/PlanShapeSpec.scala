@@ -450,6 +450,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(tb.contains("HashAggregate"), tb.take(2000))
   }
 
+  test("embed cross-moment passes never self-join on vec_id (r10)") {
+    // embed_covariance / embed_pca_power: the O(n·d²) cross-moment pass
+    // expands (i<j) pair products per row through one generator and
+    // hash-aggregates map-side into the fixed d²/2 key space — the r9
+    // form range-shuffled the whole n·d exploded relation through a
+    // vec_id SortMergeJoin, which IS the query at 100 TB. A join over
+    // the embeddings scan reappearing here is the regression.
+    Seq("embed_covariance", "embed_pca_power").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("Generate"), s"$q lost the pair generator:\n${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q re-grew the vec_id self-join:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2000)}")
+    }
+  }
+
   test("q98_uniq_upto aggregates with a partial (map-side) pass") {
     val plan = planOf("q98_uniq_upto")
     // typed Aggregator partial states must combine map-side: the plan
