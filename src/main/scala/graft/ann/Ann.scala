@@ -2339,9 +2339,105 @@ $pivots
       .orderBy(col("label"))
   }
 
+  // ann_rrf — reciprocal rank fusion (Cormack/Clarke/Buettcher 2009, the
+  // standard hybrid-retrieval merge in RAG and training-data search
+  // stacks): two retrievers rank the corpus per query — normalized
+  // cosine and raw inner product (MIPS), genuinely different orderings
+  // when norms vary — each is cut to its top-50, and a document's fused
+  // score is Σ 1/(60 + rank) over the lists it appears in, here as the
+  // EXACT integer Σ 1000000 div (60 + rank), so the fused ordering and
+  // every readout are engine-identical BIGINTs (ranks themselves are
+  // deterministic: rounded score desc, vec_id tie-break). Scale shape:
+  // ONE broadcast-scored corpus pass feeds both lists, each cut by
+  // TopKPerGroup (partial k-heaps map-side — ≤50 rows per query per
+  // task cross the shuffle, never a corpus window), and fusion joins two
+  // 50-row-per-query relations. Missing-from-list contributes 0, the
+  // published convention.
+  val rrf = Q(
+    "ann_rrf",
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+          ROUND(
+            LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qvec, e.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+            (SQRT(LIST_SUM(LIST_TRANSFORM(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+            6) AS cos,
+          ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.qvec, e.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS dot
+        FROM embeddings e, q),
+      rc AS (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS r
+        FROM scored QUALIFY r <= 50),
+      rd AS (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS r
+        FROM scored QUALIFY r <= 50),
+      fused AS (
+        SELECT COALESCE(rc.query_id, rd.query_id) AS query_id,
+               COALESCE(rc.vec_id, rd.vec_id) AS vec_id,
+               COALESCE(rc.r, 0) AS rank_cos,
+               COALESCE(rd.r, 0) AS rank_dot,
+               COALESCE(1000000 // (60 + rc.r), 0)
+                 + COALESCE(1000000 // (60 + rd.r), 0) AS rrf_e6
+        FROM rc FULL OUTER JOIN rd
+          ON rc.query_id = rd.query_id AND rc.vec_id = rd.vec_id),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY rrf_e6 DESC, vec_id) AS rnk
+        FROM fused)
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(rank_cos AS BIGINT) AS rank_cos,
+             CAST(rank_dot AS BIGINT) AS rank_dot,
+             CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+             CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 10
+      ORDER BY query_id, rnk
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = t.embeddings
+      .join(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"),
+        round(call_function("graft_dot", col("qvec"), col("embedding")), 6)
+          .as("dot"))
+    def top50(score: String): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(score).desc, col("vec_id"))
+      graft.plans.TopKPerGroup
+        .topK(scored.select(col("query_id"), col("vec_id"), col(score)),
+          Seq("query_id"), score, "vec_id", 50)
+        .withColumn("r", row_number().over(w).cast(LongType))
+        .select(col("query_id"), col("vec_id"), col("r"))
+    }
+    val rc = top50("cos").withColumnRenamed("r", "r_cos")
+    val rd = top50("dot").withColumnRenamed("r", "r_dot")
+    val fused = rc.join(rd, Seq("query_id", "vec_id"), "full_outer")
+      .select(col("query_id"), col("vec_id"),
+        coalesce(col("r_cos"), lit(0L)).as("rank_cos"),
+        coalesce(col("r_dot"), lit(0L)).as("rank_dot"),
+        (coalesce(expr("1000000 div (60 + r_cos)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + r_dot)"), lit(0L))).as("rrf_e6"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_e6").desc, col("vec_id"))
+    graft.plans.TopKPerGroup.topK(fused, Seq("query_id"), "rrf_e6", "vec_id", 10)
+      .withColumn("rnk", row_number().over(wF).cast(LongType))
+      .select(col("query_id"), col("vec_id"), col("rank_cos"),
+        col("rank_dot"), col("rrf_e6").cast(LongType).as("rrf_e6"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
     rpProject, diversify, graphSearch, matryoshka, binaryQuant, binaryRerank,
-    centroidDrift, probeSweep)
+    centroidDrift, probeSweep, rrf)
 }

@@ -1566,7 +1566,118 @@ object Stats {
       .orderBy(col("o_orderstatus"))
   }
 
+  // q140 — ClickHouse meanZTest(pop_var_x, pop_var_y, conf)(sample,
+  // index): two-sample z test with KNOWN population variances ('O' vs
+  // 'F' order totals; σ = 120000.00 both arms, conf = 0.95). Unlike
+  // q68's t-tests (sample variances through var_samp), every aggregate
+  // here is EXACT — integer cents sums and counts — and z / the CI
+  // bounds are single scalar expressions over those four exact values,
+  // so both engines compute identical doubles with no
+  // aggregation-order dependence (the q131/q133 reviewed-DOUBLE class).
+  // Scale: one map-side-combinable aggregation over the scan.
+  val q140 = Q(
+    "q140_meanztest",
+    Some("""
+      WITH s AS (
+        SELECT CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS s1,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n0,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n1
+        FROM orders)
+      SELECT n0, n1,
+             ROUND((CAST(s0 AS DOUBLE) / (100.0 * n0) - CAST(s1 AS DOUBLE) / (100.0 * n1))
+               / SQRT(120000.0 * 120000.0 / n0 + 120000.0 * 120000.0 / n1), 4) AS z,
+             ROUND((CAST(s0 AS DOUBLE) / (100.0 * n0) - CAST(s1 AS DOUBLE) / (100.0 * n1))
+               - 1.96 * SQRT(120000.0 * 120000.0 / n0 + 120000.0 * 120000.0 / n1), 2) AS ci_low,
+             ROUND((CAST(s0 AS DOUBLE) / (100.0 * n0) - CAST(s1 AS DOUBLE) / (100.0 * n1))
+               + 1.96 * SQRT(120000.0 * 120000.0 / n0 + 120000.0 * 120000.0 / n1), 2) AS ci_high
+      FROM s
+    """)
+  ) { t =>
+    val cents = col("o_totalprice").cast(DecimalType(18, 2))
+      .multiply(lit(100)).cast(LongType)
+    val s = t.orders.agg(
+      sum(when(col("o_orderstatus") === "O", cents)).cast(LongType).as("s0"),
+      sum(when(col("o_orderstatus") === "F", cents)).cast(LongType).as("s1"),
+      count(when(col("o_orderstatus") === "O", 1)).as("n0"),
+      count(when(col("o_orderstatus") === "F", 1)).as("n1"))
+    val delta = col("s0").cast(DoubleType) / (lit(100.0) * col("n0")) -
+      col("s1").cast(DoubleType) / (lit(100.0) * col("n1"))
+    val se = sqrt(lit(120000.0) * lit(120000.0) / col("n0") +
+      lit(120000.0) * lit(120000.0) / col("n1"))
+    s.select(col("n0"), col("n1"),
+      round(delta / se, 4).as("z"),
+      round(delta - lit(1.96) * se, 2).as("ci_low"),
+      round(delta + lit(1.96) * se, 2).as("ci_high"))
+  }
+
+  // q141 — ClickHouse quantileExactLow / quantileExactHigh /
+  // quantileExact(Nearest): the three exact order-statistic selection
+  // rules at the quartiles, per l_returnflag over l_extendedprice
+  // cents — all BIGINT, no interpolation anywhere. With n rows and
+  // level q = k/4, the 1-based selected positions are
+  //   low:     floor((n−1)·q) + 1
+  //   high:    ceil((n−1)·q) + 1  =  ((n−1)·k + 3) div 4 + 1
+  //   nearest: floor((n−1)·q + ½) + 1  =  ((n−1)·k·2 + 4) div 8 + 1
+  // (operands nonnegative, so div/`//` agree). Selection rides ONE
+  // GroupedPrefix rank pass (range-partitioned staged sort — never a
+  // |groups|-partition window): the value at position p is
+  // max(c | rank(c) ≤ p) since ties share their min rank, so all nine
+  // readouts fold into one map-side-combinable aggregation over the
+  // ranked relation, with per-group counts broadcast back.
+  val q141 = Q(
+    "q141_quantile_exact",
+    Some("""
+      WITH v AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM lineitem),
+      r AS (
+        SELECT l_returnflag, c,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM v)
+      SELECT l_returnflag, CAST(MIN(n) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN rn <= (n-1)*1 // 4 + 1 THEN c END) AS BIGINT) AS p25_low,
+             CAST(MAX(CASE WHEN rn <= ((n-1)*1 + 3) // 4 + 1 THEN c END) AS BIGINT) AS p25_high,
+             CAST(MAX(CASE WHEN rn <= ((n-1)*2 + 4) // 8 + 1 THEN c END) AS BIGINT) AS p25_near,
+             CAST(MAX(CASE WHEN rn <= (n-1)*2 // 4 + 1 THEN c END) AS BIGINT) AS p50_low,
+             CAST(MAX(CASE WHEN rn <= ((n-1)*2 + 3) // 4 + 1 THEN c END) AS BIGINT) AS p50_high,
+             CAST(MAX(CASE WHEN rn <= ((n-1)*4 + 4) // 8 + 1 THEN c END) AS BIGINT) AS p50_near,
+             CAST(MAX(CASE WHEN rn <= (n-1)*3 // 4 + 1 THEN c END) AS BIGINT) AS p75_low,
+             CAST(MAX(CASE WHEN rn <= ((n-1)*3 + 3) // 4 + 1 THEN c END) AS BIGINT) AS p75_high,
+             CAST(MAX(CASE WHEN rn <= ((n-1)*6 + 4) // 8 + 1 THEN c END) AS BIGINT) AS p75_near
+      FROM r
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  ) { t =>
+    import graft.plans.GroupedPrefix
+    val base = t.lineitem.select(col("l_returnflag"),
+      col("l_extendedprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType).as("c"))
+    val ranked = GroupedPrefix.withRank(base, Seq("l_returnflag"), col("c"), "rn")
+    val counts = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    def at(posExpr: String, out: String): Column =
+      max(when(expr(s"rn <= $posExpr"), col("c"))).cast(LongType).as(out)
+    ranked.join(broadcast(counts), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("n")).cast(LongType).as("n"),
+        at("(n-1)*1 div 4 + 1", "p25_low"),
+        at("((n-1)*1 + 3) div 4 + 1", "p25_high"),
+        at("((n-1)*2 + 4) div 8 + 1", "p25_near"),
+        at("(n-1)*2 div 4 + 1", "p50_low"),
+        at("((n-1)*2 + 3) div 4 + 1", "p50_high"),
+        at("((n-1)*4 + 4) div 8 + 1", "p50_near"),
+        at("(n-1)*3 div 4 + 1", "p75_low"),
+        at("((n-1)*3 + 3) div 4 + 1", "p75_high"),
+        at("((n-1)*6 + 4) div 8 + 1", "p75_near"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134, q136,
-    q137, q138, q139)
+    q137, q138, q139, q140, q141)
 }

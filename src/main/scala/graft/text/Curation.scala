@@ -315,6 +315,90 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  // pipe_dsir_weights — hashed-feature importance weights for data
+  // selection (the DSIR recipe — "Data Selection for Language Models
+  // via Importance Resampling", Xie et al. 2023 — with its hashed
+  // n-gram feature space, linearized to exact integer ratios instead
+  // of log-likelihood so the oracle agrees bit-for-bit): every token
+  // maps to one of 4096 hashed features; the target distribution is
+  // the deterministic curated sample (doc_id % 7 = 0, a stand-in for
+  // the target-domain corpus); a feature's importance ratio is
+  // tf_target·N_raw·10⁴ div (tf_raw·N_target) in basis points (clamped
+  // at 10×), and a document's weight is the mean ratio over its
+  // tokens. Scale shape: the feature table is ≤ 4096 rows — it (and
+  // the two totals) BROADCASTS back onto the exploded corpus, so the
+  // pipeline is two map-side-combinable aggregations and one broadcast
+  // join; the corpus text never shuffles. Wide products ride
+  // DECIMAL(38)/HUGEINT internally; every readout is BIGINT.
+  val dsirWeights = Q(
+    "pipe_dsir_weights",
+    Some {
+      val wh = graft.functions.PortableHash.wordHashSql("w")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                 w -> w <> '') AS ws
+        FROM documents),
+      feat AS (
+        SELECT doc_id, source, $wh % 4096 AS f
+        FROM toks, UNNEST(ws) AS t(w)),
+      tfr AS (SELECT f, COUNT(*) AS tf_r FROM feat GROUP BY f),
+      tft AS (SELECT f, COUNT(*) AS tf_t FROM feat WHERE doc_id % 7 = 0 GROUP BY f),
+      tot AS (SELECT (SELECT COUNT(*) FROM feat) AS n_r,
+                     (SELECT COUNT(*) FROM feat WHERE doc_id % 7 = 0) AS n_t),
+      ratio AS (
+        SELECT tfr.f,
+               LEAST(CAST(COALESCE(tft.tf_t, 0) AS HUGEINT) * n_r * 10000
+                 // (CAST(tfr.tf_r AS HUGEINT) * n_t), 100000) AS ratio_bp
+        FROM tfr LEFT JOIN tft USING (f), tot),
+      dw AS (
+        SELECT fe.doc_id, fe.source, SUM(r.ratio_bp) // COUNT(*) AS w_bp
+        FROM feat fe JOIN ratio r ON r.f = fe.f
+        GROUP BY fe.doc_id, fe.source)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(w_bp) // COUNT(*) AS BIGINT) AS mean_weight_bp,
+             CAST(COUNT(CASE WHEN w_bp >= 10000 THEN 1 END) AS BIGINT) AS target_like_docs
+      FROM dw
+      GROUP BY source
+      ORDER BY source
+      """
+    }
+  ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
+    val feat = t.documents
+      .select(col("doc_id"), col("source"),
+        explode(call_function("graft_wordhashes", lower(trim(col("text")))))
+          .as("h"))
+      .select(col("doc_id"), col("source"), (col("h") % 4096).as("f"))
+    val tfr = feat.groupBy(col("f")).agg(count(lit(1)).as("tf_r"))
+    val tft = feat.filter(col("doc_id") % 7 === 0)
+      .groupBy(col("f")).agg(count(lit(1)).as("tf_t"))
+    val tot = feat.agg(count(lit(1)).as("n_r"),
+      count(when(col("doc_id") % 7 === 0, 1)).as("n_t"))
+    val ratio = tfr.join(tft, Seq("f"), "left")
+      .na.fill(0L, Seq("tf_t"))
+      .crossJoin(broadcast(tot))
+      .select(col("f"),
+        least(
+          expr("CAST(tf_t AS DECIMAL(38,0)) * n_r * 10000" +
+            " div (CAST(tf_r AS DECIMAL(38,0)) * n_t)"),
+          lit(100000L)).as("ratio_bp"))
+    val dw = feat.join(broadcast(ratio), "f")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("ratio_bp")).as("rs"), count(lit(1)).as("ntok"))
+      .select(col("source"), expr("rs div ntok").as("w_bp"))
+    dw.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("w_bp")).as("__sw"),
+        count(when(col("w_bp") >= 10000, 1)).as("target_like_docs"))
+      .select(col("source"), col("docs"),
+        expr("__sw div docs").cast(LongType).as("mean_weight_bp"),
+        col("target_like_docs"))
+      .orderBy(col("source"))
+  }
+
   // pipe_dataset_card — the per-source dataset card published next to a
   // training corpus (datasheet row: volume, length profile, vocabulary,
   // language mix, duplication): docs, token volume, mean length,
@@ -1035,5 +1119,5 @@ object CurationOps {
   val all: Seq[Q] = Seq(evalSplit, crossSource, novelty, tfidf,
     qualityClassifier, datasetCard, curriculum, mixWeights, coverage,
     tvDrift, readability, epochShuffle, datasetDiff, tokenBudget,
-    gateKappa, mcnemar)
+    gateKappa, mcnemar, dsirWeights)
 }

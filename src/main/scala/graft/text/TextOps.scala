@@ -1754,10 +1754,73 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  // text_sttr — segmental type-token ratio (STTR, the standard
+  // windowed lexical-diversity measure: raw TTR shrinks with document
+  // length, so diversity is measured per fixed-size segment and
+  // averaged — Covington & McFall's MATTR is the sliding cousin). Each
+  // document splits into consecutive 20-token segments (trailing
+  // partial dropped; docs under 20 tokens are excluded and counted),
+  // segment TTR = distinct/20, doc STTR = mean over segments — all as
+  // exact basis points: sttr_bp = Σ distinct_k · 500 div nseg. The
+  // whole measure is a PER-ROW array fold (sequence → slice →
+  // array_distinct — codegen'd, no explode), so at 100 TB it rides the
+  // scan; only the |sources|-sized summary shuffles.
+  val sttr = Q(
+    "text_sttr",
+    Some("""
+      WITH ws AS (
+        SELECT source,
+               list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                 w -> w <> '') AS w
+        FROM documents),
+      seg AS (
+        SELECT source, LEN(w) // 20 AS nseg,
+               CASE WHEN LEN(w) >= 20 THEN
+                 LIST_SUM(LIST_TRANSFORM(RANGE(0, LEN(w) // 20),
+                   k -> LEN(LIST_DISTINCT(LIST_SLICE(w, k*20 + 1, k*20 + 20)))))
+               END AS dsum
+        FROM ws)
+      SELECT source,
+             CAST(COUNT(CASE WHEN nseg >= 1 THEN 1 END) AS BIGINT) AS docs_measured,
+             CAST(COUNT(CASE WHEN nseg = 0 THEN 1 END) AS BIGINT) AS docs_short,
+             CAST(SUM(dsum * 500 // nseg) // COUNT(CASE WHEN nseg >= 1 THEN 1 END)
+               AS BIGINT) AS mean_sttr_bp,
+             CAST(MIN(dsum * 500 // nseg) AS BIGINT) AS min_sttr_bp,
+             CAST(MAX(dsum * 500 // nseg) AS BIGINT) AS max_sttr_bp
+      FROM seg
+      GROUP BY source
+      ORDER BY source
+    """)
+  ) { t =>
+    val w = filter(words(lower(col("text"))), x => x =!= "")
+    // integer segment count (Column `/` is double division — keep the
+    // arithmetic integral end to end)
+    val nseg = floor(size(w).cast(LongType) / lit(20)).cast(LongType)
+    val seg = t.documents.select(col("source"),
+      nseg.as("nseg"),
+      when(size(w) >= 20,
+        aggregate(
+          transform(sequence(lit(0), (nseg - 1).cast("int")),
+            k => size(array_distinct(slice(w, k * 20 + 1, lit(20))))),
+          lit(0L), (acc, x) => acc + x.cast(LongType))).as("dsum"))
+    val sttrBp = expr("dsum * 500 div nseg")
+    seg.groupBy(col("source"))
+      .agg(
+        count(when(col("nseg") >= 1, 1)).as("docs_measured"),
+        count(when(col("nseg") === 0, 1)).as("docs_short"),
+        sum(sttrBp).as("__ssum"),
+        min(sttrBp).cast(LongType).as("min_sttr_bp"),
+        max(sttrBp).cast(LongType).as("max_sttr_bp"))
+      .select(col("source"), col("docs_measured"), col("docs_short"),
+        expr("__ssum div docs_measured").cast(LongType).as("mean_sttr_bp"),
+        col("min_sttr_bp"), col("max_sttr_bp"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
     incremental, lenHist,
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
-    countMin, charTrigrams, gopherBattery, langidEval)
+    countMin, charTrigrams, gopherBattery, langidEval, sttr)
 }

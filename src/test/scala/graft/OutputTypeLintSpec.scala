@@ -96,6 +96,11 @@ class OutputTypeLintSpec extends SparkSpec {
     // engines hand corr() identical doubles (the q38/q113 class), one
     // ROUND at the readout
     "q133_autocorr" -> Set("acf_r4"),
+    // reviewed r10: z and the CI bounds are single scalar expressions
+    // over four exact integers (cents sums + counts) — no
+    // aggregation-order dependence; oracle shares the term order
+    // verbatim
+    "q140_meanztest" -> Set("z", "ci_low", "ci_high"),
     // reviewed r9: ln of a ratio of exact BIGINT products (< 2^53, both
     // exactly representable as doubles), term order shared verbatim
     "q131_info_value" -> Set("woe_r4", "ivc_r4"),
