@@ -253,6 +253,387 @@ object ClickHouseSql {
     bare.substring(bare.lastIndexOf('.') + 1).toLowerCase(java.util.Locale.ROOT)
   }
 
+  // ---- MergeTree projections (ALTER TABLE … ADD PROJECTION) --------------
+  //
+  // ClickHouse projections are part-local pre-computed copies of a table —
+  // an AGGREGATE projection stores partially-aggregated states per part, a
+  // SORT projection stores the same rows re-sorted — and the optimizer
+  // transparently answers matching queries from them
+  // (optimize_use_projections, default on). The Spark-first realization
+  // keeps exactly that contract:
+  //
+  //   - storage `<t>__proj_<p>` holds PARTIAL aggregates: MATERIALIZE
+  //     writes one combined block; every later INSERT appends the
+  //     inserted block's own partial aggregation (CH's new-part
+  //     projection, verbatim) — reads re-combine with the partial-merge
+  //     functions (sum→SUM, count→SUM, min→MIN, max→MAX), so the store
+  //     is never rewritten on insert, only appended;
+  //   - table-REWRITING verbs (OPTIMIZE, mutations, MATERIALIZE TTL)
+  //     rebuild materialized projections from the landed table — the
+  //     batch analog of CH recalculating projections during merges;
+  //   - the read-side rewrite ([[rewriteWithProjection]]) answers a
+  //     single-table aggregate query from the smallest projection whose
+  //     dims cover the query's GROUP BY + WHERE + selected dims and whose
+  //     stored aggregates cover every aggregate call; a `SELECT *`
+  //     filtered on a sort projection's leading key reads the sorted copy
+  //     (row-group pruning does the skipping). Projections follow their
+  //     table through RENAME / delayed DROP / UNDROP (a parked
+  //     `…__dropped` owner is inert — its name never matches a query).
+  //
+  // Simplifications vs CH, stated loudly: projections live per-table (not
+  // per-part beyond the append-block granularity), SHOW CREATE TABLE does
+  // not yet echo them, and unmaterialized projections are never used
+  // (CH uses them for parts written after ADD; here MATERIALIZE is the
+  // activation step).
+
+  /** One aggregate term a projection pre-computes: `fn` over `col`
+    * (empty col = `count(*)`), stored as partial column `store`.
+    */
+  final case class ProjAgg(fn: String, col: String, store: String)
+
+  /** One declared projection: aggregate when `aggs` nonempty (grouped by
+    * `dims`), sort when `sortCols` nonempty.
+    */
+  final case class ProjDef(table: String, name: String, dims: Seq[String],
+    aggs: Seq[ProjAgg], sortCols: Seq[String], materialized: Boolean) {
+    def isAgg: Boolean = aggs.nonEmpty
+  }
+
+  private val projDefs =
+    new java.util.concurrent.ConcurrentHashMap[String, ProjDef]
+
+  private def projKey(table: String, name: String): String =
+    norm(table) + "#" + norm(name)
+
+  private[graft] def projStore(table: String, name: String): String =
+    norm(table) + "__proj_" + norm(name)
+
+  def projectionsOn(table: String): Seq[ProjDef] = {
+    import scala.jdk.CollectionConverters._
+    projDefs.values.asScala.toSeq
+      .filter(_.table == norm(table)).sortBy(_.name)
+  }
+
+  /** The partial-aggregate block a relation contributes to an aggregate
+    * projection (map-side states; re-combined at read).
+    */
+  private def projPartialAgg(df: DataFrame, p: ProjDef): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val aggCols = p.aggs.map { a =>
+      a.fn match {
+        case "sum" => sum(col(q1(a.col))).as(a.store)
+        case "count" =>
+          (if (a.col.isEmpty) count(lit(1)) else count(col(q1(a.col))))
+            .as(a.store)
+        case "min" => min(col(q1(a.col))).as(a.store)
+        case "max" => max(col(q1(a.col))).as(a.store)
+      }
+    }
+    df.groupBy(p.dims.map(c => col(q1(c))): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** The block a relation contributes to a SORT projection: the same
+    * rows range-clustered and sorted on the projection keys, so parquet
+    * row-group min/max stats prune reads on those keys.
+    */
+  private def projSorted(df: DataFrame, p: ProjDef): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keys = p.sortCols.map(c => col(q1(c)))
+    df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
+  }
+
+  /** (Re)build one projection's storage from the table's current
+    * contents and mark it live.
+    */
+  private def materializeProjection(spark: SparkSession, table: String,
+    p: ProjDef): Unit = {
+    val store = projStore(table, p.name)
+    val base = spark.table(table)
+    val block =
+      (if (p.isAgg) projPartialAgg(base, p) else projSorted(base, p))
+        .localCheckpoint(true)
+    spark.sql(s"DROP TABLE IF EXISTS $store")
+    clearStaleLocation(spark, store)
+    block.write.saveAsTable(store)
+    projDefs.put(projKey(table, p.name), p.copy(materialized = true))
+  }
+
+  /** INSERT maintenance: append the inserted block's contribution to
+    * every live projection (CH: a new part carries its projections).
+    * `namedBlock` must already carry the table's declared column names.
+    */
+  private def projOnInsert(spark: SparkSession, table: String,
+    namedBlock: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    projectionsOn(table).filter(_.materialized).foreach { p =>
+      val store = projStore(table, p.name)
+      val add = if (p.isAgg) projPartialAgg(namedBlock, p)
+      else projSorted(namedBlock, p)
+      val cols = spark.table(store).columns.toSeq
+      add.select(cols.map(c => col(q1(c))): _*)
+        .write.mode("append").insertInto(store)
+    }
+  }
+
+  /** Rebuild every live projection after a table-rewriting verb
+    * (OPTIMIZE / mutation / TTL) lands new contents.
+    */
+  private def rematerializeProjections(spark: SparkSession,
+    table: String): Unit =
+    projectionsOn(table).filter(_.materialized)
+      .foreach(p => materializeProjection(spark, table, p))
+
+  /** Rename/drop plumbing: projections follow their owner. */
+  private def projRename(spark: SparkSession, from: String,
+    to: String): Unit =
+    projectionsOn(from).foreach { p =>
+      val (fromStore, toStore) = (projStore(from, p.name), projStore(to, p.name))
+      if (spark.catalog.tableExists(fromStore)) {
+        clearStaleLocation(spark, toStore)
+        spark.sql(s"ALTER TABLE $fromStore RENAME TO $toStore")
+      }
+      projDefs.remove(projKey(from, p.name))
+      projDefs.put(projKey(to, p.name), p.copy(table = norm(to)))
+    }
+
+  private def projPhysicalDrop(spark: SparkSession, table: String): Unit =
+    projectionsOn(table).foreach { p =>
+      spark.sql(s"DROP TABLE IF EXISTS ${projStore(table, p.name)}")
+      projDefs.remove(projKey(table, p.name))
+    }
+
+  private val ProjAggRe =
+    "(?i)^(sum|min|max|count)\\s*\\(\\s*(\\*|[A-Za-z_][A-Za-z0-9_]*)?\\s*\\)$".r
+
+  private def projAggOf(fn0: String, col0: String): ProjAgg = {
+    val fn = fn0.toLowerCase(java.util.Locale.ROOT)
+    val col = Option(col0).map(_.trim).filter(c => c.nonEmpty && c != "*")
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+    val store = fn match {
+      case "count" => if (col.isEmpty) "cnt_all" else s"cnt_$col"
+      case f => s"${f}_$col"
+    }
+    ProjAgg(fn, col, store)
+  }
+
+  /** `ALTER TABLE t ADD|MATERIALIZE|DROP|CLEAR PROJECTION …`. */
+  private def projectionDdl(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    if (toks.length < 5 || toks.head.lower != "alter" ||
+      toks(1).lower != "table" || !isIdent(toks(2))) return None
+    val verb = toks(3).lower
+    if (!Set("add", "materialize", "drop", "clear").contains(verb) ||
+      toks(4).lower != "projection") return None
+    val table = toks(2).text
+    var i = 5
+    var ifGuard = false
+    if (toks.lift(i).exists(_.lower == "if")) {
+      // ADD … IF NOT EXISTS / DROP … IF EXISTS
+      ifGuard = true
+      i += (if (toks.lift(i + 1).exists(_.lower == "not")) 3 else 2)
+    }
+    require(toks.lift(i).exists(isIdent),
+      s"expected a projection name: $sqlText")
+    val name = toks(i).text
+    val existing = Option(projDefs.get(projKey(table, name)))
+    verb match {
+      case "add" =>
+        if (existing.isDefined) {
+          require(ifGuard, s"projection $name already exists on $table " +
+            "(ADD PROJECTION IF NOT EXISTS to ignore)")
+          return Some(spark.emptyDataFrame)
+        }
+        val open = sqlText.indexOf('(', toks(i).end)
+        val close = sqlText.lastIndexOf(')')
+        require(open > 0 && close > open,
+          s"ADD PROJECTION expects (SELECT …): $sqlText")
+        val inner = sqlText.substring(open + 1, close).trim
+        require(inner.toLowerCase(java.util.Locale.ROOT).startsWith("select"),
+          s"ADD PROJECTION body must be a SELECT: $sqlText")
+        val body = inner.substring("select".length)
+        val gIdx = "(?i)\\bgroup\\s+by\\b".r.findFirstMatchIn(body)
+        val oIdx = "(?i)\\border\\s+by\\b".r.findFirstMatchIn(body)
+        val p = (gIdx, oIdx) match {
+          case (Some(g), None) =>
+            val dims = splitAssignments(body.substring(g.end))
+              .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+            require(dims.nonEmpty && dims.forall(_.matches("[a-z_][a-z0-9_]*")),
+              s"GROUP BY must list plain columns: $sqlText")
+            val items = splitAssignments(body.substring(0, g.start)).map(_.trim)
+            val aggs = items.flatMap {
+              case ProjAggRe(fn, c) => Some(projAggOf(fn, c))
+              case d if dims.contains(d.toLowerCase(java.util.Locale.ROOT)) =>
+                None
+              case other => throw new IllegalArgumentException(
+                "aggregate projection items must be GROUP BY columns or " +
+                  s"sum/min/max/count over one column — got `$other` in: " +
+                  sqlText)
+            }
+            require(aggs.nonEmpty,
+              s"aggregate projection declares no aggregates: $sqlText")
+            ProjDef(norm(table), norm(name), dims, aggs, Nil,
+              materialized = false)
+          case (None, Some(o)) =>
+            require(body.substring(0, o.start).trim == "*",
+              "sort projection must be `SELECT * ORDER BY …` " +
+                s"(column-subset sort projections not supported): $sqlText")
+            val keys = splitAssignments(body.substring(o.end))
+              .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+            require(keys.nonEmpty && keys.forall(_.matches("[a-z_][a-z0-9_]*")),
+              s"ORDER BY must list plain columns: $sqlText")
+            ProjDef(norm(table), norm(name), Nil, Nil, keys,
+              materialized = false)
+          case _ => throw new IllegalArgumentException(
+            "ADD PROJECTION body must have exactly one of GROUP BY " +
+              s"(aggregate projection) or ORDER BY (sort projection): $sqlText")
+        }
+        projDefs.put(projKey(table, name), p)
+        Some(spark.emptyDataFrame)
+      case "materialize" =>
+        val p = existing.getOrElse(throw new IllegalArgumentException(
+          s"MATERIALIZE PROJECTION: no projection $name on $table"))
+        materializeProjection(spark, table, p)
+        Some(spark.emptyDataFrame)
+      case "clear" =>
+        val p = existing.getOrElse(throw new IllegalArgumentException(
+          s"CLEAR PROJECTION: no projection $name on $table"))
+        spark.sql(s"DROP TABLE IF EXISTS ${projStore(table, name)}")
+        projDefs.put(projKey(table, name), p.copy(materialized = false))
+        Some(spark.emptyDataFrame)
+      case "drop" =>
+        if (existing.isEmpty) {
+          require(ifGuard,
+            s"DROP PROJECTION: no projection $name on $table")
+          return Some(spark.emptyDataFrame)
+        }
+        spark.sql(s"DROP TABLE IF EXISTS ${projStore(table, name)}")
+        projDefs.remove(projKey(table, name))
+        Some(spark.emptyDataFrame)
+    }
+  }
+
+  /** SQL keywords/literals that may appear in a WHERE clause without
+    * naming a column (the projection-match identifier screen).
+    */
+  private val ProjWhereKeywords = Set("and", "or", "not", "in", "between",
+    "like", "is", "null", "true", "false", "case", "when", "then", "else",
+    "end", "cast", "as", "bigint", "int", "double", "string", "date")
+
+  /** Try to answer a single-table SELECT from one of its live
+    * projections; None = no safe match, run the query as written.
+    */
+  private[graft] def rewriteWithProjection(spark: SparkSession,
+    sqlText: String): Option[String] = {
+    val toks = lex(sqlText)
+    if (toks.isEmpty || toks.head.lower != "select") return None
+    var depth = 0
+    var fromIdx = -1; var whereIdx = -1; var groupIdx = -1; var tailIdx = -1
+    val banned = Set("join", "union", "having", "over", "intersect",
+      "except", "distinct", "qualify", "sample", "limit")
+    for ((t, i) <- toks.zipWithIndex) {
+      if (t.text == "(") depth += 1
+      else if (t.text == ")") depth -= 1
+      else if (depth == 0) {
+        if (banned.contains(t.lower)) return None
+        if (t.lower == "select" && i > 0) return None
+        if (t.lower == "from") {
+          if (fromIdx >= 0) return None
+          fromIdx = i
+        }
+        if (t.lower == "where") whereIdx = i
+        if (t.lower == "group" && toks.lift(i + 1).exists(_.lower == "by"))
+          groupIdx = i
+        if (t.lower == "order" && toks.lift(i + 1).exists(_.lower == "by")
+          && tailIdx < 0) tailIdx = i
+      } else if (t.lower == "select") return None
+    }
+    if (fromIdx < 0 || !toks.lift(fromIdx + 1).exists(isIdent)) return None
+    val tableTok = toks(fromIdx + 1)
+    val table = tableTok.text
+    val projs = projectionsOn(table).filter(_.materialized)
+    if (projs.isEmpty) return None
+    // nothing between the table name and the next clause (no alias)
+    val afterTable = toks.lift(fromIdx + 2)
+    if (!afterTable.forall(t => Set("where", "group", "order")
+      .contains(t.lower) || t.text == ";")) return None
+    def seg(fromEnd: Int, to: Int): String =
+      sqlText.substring(fromEnd, if (to >= 0) toks(to).start else sqlText.length)
+    val selectText = sqlText.substring(toks.head.end, toks(fromIdx).start).trim
+    val whereText = if (whereIdx < 0) "" else {
+      val stop = if (groupIdx >= 0) groupIdx else if (tailIdx >= 0) tailIdx else -1
+      seg(toks(whereIdx).end, stop).trim
+    }
+    val whereIdents = if (whereText.isEmpty) Nil
+    else lex(whereText).filter(isIdent).map(t => t.lower)
+      .filterNot(ProjWhereKeywords.contains)
+    val tailText = if (tailIdx < 0) "" else sqlText.substring(toks(tailIdx).start)
+    if (tailText.contains("(")) return None // ORDER BY over expressions
+    if (groupIdx >= 0) {
+      // aggregate-projection match
+      val groupText = seg(toks(groupIdx + 1).end,
+        if (tailIdx >= 0) tailIdx else -1).trim
+      val groupCols = splitAssignments(groupText)
+        .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      if (!groupCols.forall(_.matches("[a-z_][a-z0-9_]*"))) return None
+      final case class Item(text: String, alias: Option[String],
+        agg: Option[ProjAgg], dim: Option[String])
+      val AliasRe = "(?is)^(.*?)\\s+as\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$".r
+      val items = splitAssignments(selectText).map(_.trim).map { raw =>
+        val (e, al) = raw match {
+          case AliasRe(e0, a0) => (e0.trim, Some(a0))
+          case _ => (raw, None)
+        }
+        e match {
+          case ProjAggRe(fn, c) => Item(e, al, Some(projAggOf(fn, c)), None)
+          case d if d.toLowerCase(java.util.Locale.ROOT)
+            .matches("[a-z_][a-z0-9_]*") =>
+            Item(e, al, None, Some(d.toLowerCase(java.util.Locale.ROOT)))
+          case _ => return None
+        }
+      }
+      val needDims = (groupCols ++ items.flatMap(_.dim) ++ whereIdents).distinct
+      val needAggs = items.flatMap(_.agg)
+      if (needAggs.isEmpty) return None
+      val fit = projs.filter(p => p.isAgg &&
+        needDims.forall(p.dims.contains) &&
+        needAggs.forall(a => p.aggs.exists(_.store == a.store)))
+        .sortBy(p => (p.dims.length, p.name)).headOption
+      fit.map { p =>
+        val store = projStore(table, p.name)
+        val outItems = items.map { it =>
+          it.agg match {
+            case Some(a) =>
+              val combine = a.fn match {
+                case "sum" | "count" => "SUM"
+                case "min" => "MIN"
+                case "max" => "MAX"
+              }
+              val alias = it.alias.getOrElse("`" + it.text + "`")
+              s"$combine(${q1(a.store)}) AS $alias"
+            case None =>
+              it.text + it.alias.map(a => s" AS $a").getOrElse("")
+          }
+        }
+        s"SELECT ${outItems.mkString(", ")} FROM $store" +
+          (if (whereText.nonEmpty) s" WHERE $whereText" else "") +
+          s" GROUP BY ${groupCols.mkString(", ")}" +
+          (if (tailText.nonEmpty) " " + tailText else "")
+      }
+    } else {
+      // sort-projection match: SELECT * … WHERE touches the leading key
+      if (selectText != "*" || whereIdents.isEmpty) return None
+      val fit = projs.filter(p => p.sortCols.nonEmpty &&
+        whereIdents.contains(p.sortCols.head))
+        .sortBy(_.name).headOption
+      fit.map { p =>
+        sqlText.substring(0, tableTok.start) + projStore(table, p.name) +
+          sqlText.substring(tableTok.end)
+      }
+    }
+  }
+
   /** Run ClickHouse-dialect SQL text on any session (no extension
     * needed): rewrite, then hand Spark's parser standard SQL.
     */
@@ -266,6 +647,7 @@ object ClickHouseSql {
       .orElse(killVerb(sqlText))
       .orElse(backupRestore(spark, sqlText))
       .orElse(systemVerb(spark, sqlText))
+      .orElse(projectionDdl(spark, sqlText))
       .orElse(alterMutation(spark, sqlText))
       .orElse(renameOrExchange(spark, sqlText))
       .orElse(dictionaryDdl(spark, sqlText))
@@ -287,7 +669,12 @@ object ClickHouseSql {
           toks.lift(ni).filter(isIdent)
             .foreach(t => clearStaleLocation(spark, t.text))
         }
-        spark.sql(rewrite(sqlText, t => spark.table(t).columns.toSeq))
+        // CH optimize_use_projections (default on): a single-table
+        // aggregate SELECT that a live projection covers reads the
+        // projection's partial store instead of the base table
+        val effective = rewriteWithProjection(spark, sqlText)
+          .getOrElse(sqlText)
+        spark.sql(rewrite(effective, t => spark.table(t).columns.toSeq))
       }
 
   /** `SHOW CREATE TABLE t` — reconstruct the ClickHouse-dialect DDL
@@ -778,6 +1165,7 @@ object ClickHouseSql {
     nullableCols.remove(norm(table))
     ttlExprs.remove(norm(table))
     mvDefs.remove(norm(table))
+    projPhysicalDrop(spark, table)
   }
 
   /** `DROP TABLE` / `TRUNCATE TABLE` / `UNDROP TABLE` through the
@@ -828,9 +1216,16 @@ object ClickHouseSql {
     val sync = toks.lift(i + 1).exists(_.lower == "sync")
     if (verb == "truncate") {
       return partitionedTable(table) match {
-        case None => None
+        case None =>
+          if (projectionsOn(table).exists(_.materialized)) {
+            // keep projections consistent with the emptied table
+            spark.sql(s"TRUNCATE TABLE $table")
+            rematerializeProjections(spark, table)
+            Some(spark.emptyDataFrame)
+          } else None
         case Some(pt) =>
           spark.sql(s"TRUNCATE TABLE ${pt.physical}")
+          rematerializeProjections(spark, table)
           Some(spark.emptyDataFrame)
       }
     }
@@ -1425,6 +1820,9 @@ object ClickHouseSql {
         }
       case None => writeBlock(spark, table, eager, "overwrite")
     }
+    // CH recalculates projections during merges; the batch analog
+    // rebuilds them from the landed table
+    rematerializeProjections(spark, table)
   }
 
   /** Apply the declared table TTL NOW (the TTL step of OPTIMIZE, alone
@@ -1481,6 +1879,8 @@ object ClickHouseSql {
     def run(table: String, body: String): DataFrame = {
       val df = spark.sql(rewrite(body, t => spark.table(t).columns.toSeq))
       writeBlock(spark, table, df.localCheckpoint(true), "overwrite")
+      // CH recalculates projections when a mutation rewrites parts
+      rematerializeProjections(spark, table)
       spark.table(table).limit(0)
     }
     if (toks.length >= 4 && toks.head.lower == "alter" &&
@@ -2066,6 +2466,8 @@ object ClickHouseSql {
     // survives a source's drop/undrop round trip unchanged)
     Option(mvDefs.remove(norm(from)))
       .foreach(d => mvDefs.put(norm(to), d.copy(view = norm(to))))
+    // projections follow their owner (rename, delayed DROP, UNDROP)
+    projRename(spark, from, to)
   }
 
   private def renameOrExchange(spark: SparkSession,
@@ -2808,11 +3210,13 @@ object ClickHouseSql {
     // claimed for MV-triggering tables, partitioned tables (their
     // declared name is a view, so the generic spark.sql INSERT path
     // cannot take them, and positional VALUES must bind to the DECLARED
-    // order), and ORDER BY tables (the write path sorts each block by
-    // the declared sort key — CH sorted parts)
+    // order), ORDER BY tables (the write path sorts each block by
+    // the declared sort key — CH sorted parts), and tables with live
+    // projections (the block must contribute its partial part)
     if (materializedViewsOn(table).isEmpty &&
       partitionedTable(table).isEmpty &&
-      sortKeyOf(table).isEmpty) return None
+      sortKeyOf(table).isEmpty &&
+      !projectionsOn(table).exists(_.materialized)) return None
     i += 1
     var listed = Seq.empty[String]
     if (toks.lift(i).exists(_.text == "(")) {
@@ -2864,6 +3268,13 @@ object ClickHouseSql {
     require(depth < 8, s"materialized-view cascade too deep at $table " +
       "(cycle between views?)")
     writeBlock(spark, table, block, "append")
+    // projection maintenance: the inserted block contributes its own
+    // partial-aggregate (or sorted) part to every live projection
+    if (projectionsOn(table).exists(_.materialized)) {
+      val declared = partitionedTable(table).map(_.declared)
+        .getOrElse(spark.table(table).columns.toSeq)
+      projOnInsert(spark, table, block.toDF(declared: _*))
+    }
     materializedViewsOn(table).foreach { mv =>
       if (!spark.catalog.tableExists(mv.view)) dropMaterializedView(mv.view)
       else {

@@ -1,0 +1,156 @@
+package graft
+
+import graft.functions.ClickHouseSql
+import org.apache.spark.sql.functions._
+
+/** MergeTree projections through the CH dialect: ADD / MATERIALIZE /
+  * CLEAR / DROP PROJECTION, the read-side rewrite
+  * (optimize_use_projections), INSERT partial maintenance, rebuild on
+  * table-rewriting verbs, and rename/drop following.
+  */
+class ProjectionSpec extends SparkSpec {
+
+  private def dropAnyType(name: String): Unit = {
+    if (spark.catalog.tableExists(name)) {
+      val isView = spark.catalog.getTable(name).tableType == "VIEW"
+      spark.sql(s"DROP ${if (isView) "VIEW" else "TABLE"} $name")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), name))
+  }
+
+  /** Fresh base table: events collapsed to integer cents (exact
+    * comparisons everywhere).
+    */
+  private def freshBase(name: String): Unit = {
+    Seq(name, name + "__proj_p_agg", name + "__proj_p_ord",
+      name + "__dropped", name + "__dropped__proj_p_agg",
+      name + "_renamed", name + "_renamed__proj_p_agg")
+      .foreach(dropAnyType)
+    ClickHouseSql.sql(spark, s"DROP TABLE IF EXISTS $name SYNC")
+    sf0001.events.select(col("event_type"), col("user_id"),
+      col("value").cast("decimal(18,2)").multiply(lit(100))
+        .cast("bigint").as("vc"))
+      .write.saveAsTable(name)
+  }
+
+  private def ch(s: String) = ClickHouseSql.sql(spark, s)
+
+  test("aggregate projection: rewrite only after MATERIALIZE, exact answers") {
+    freshBase("prj_ev")
+    ch("""ALTER TABLE prj_ev ADD PROJECTION p_agg
+          (SELECT event_type, user_id, sum(vc), count(), min(vc), max(vc)
+           GROUP BY event_type, user_id)""")
+    val q = """SELECT event_type, sum(vc) AS total, count() AS n
+               FROM prj_ev GROUP BY event_type ORDER BY event_type"""
+    // declared but unmaterialized: never used
+    assert(ClickHouseSql.rewriteWithProjection(spark, q).isEmpty)
+    ch("ALTER TABLE prj_ev MATERIALIZE PROJECTION p_agg")
+    val rw = ClickHouseSql.rewriteWithProjection(spark, q)
+    assert(rw.exists(_.contains("prj_ev__proj_p_agg")), rw.toString)
+    val got = ch(q).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = spark.table("prj_ev").groupBy(col("event_type"))
+      .agg(sum(col("vc")), count(lit(1))).orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === exp)
+  }
+
+  test("projection covers GROUP BY subsets, WHERE on dims, min/max combine") {
+    val q = """SELECT user_id, min(vc) AS lo, max(vc) AS hi
+               FROM prj_ev WHERE user_id <= 10
+               GROUP BY user_id ORDER BY user_id"""
+    assert(ClickHouseSql.rewriteWithProjection(spark, q)
+      .exists(_.contains("__proj_p_agg")))
+    val got = ch(q).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = spark.table("prj_ev").filter(col("user_id") <= 10)
+      .groupBy(col("user_id")).agg(min(col("vc")), max(col("vc")))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === exp)
+  }
+
+  test("queries the projection cannot cover run against the base table") {
+    // vc is not a dim: grouping by it must not rewrite
+    assert(ClickHouseSql.rewriteWithProjection(spark,
+      "SELECT vc, count() FROM prj_ev GROUP BY vc").isEmpty)
+    // avg is not a stored partial
+    assert(ClickHouseSql.rewriteWithProjection(spark,
+      "SELECT event_type, avg(vc) FROM prj_ev GROUP BY event_type").isEmpty)
+    // WHERE touching a non-dim column must not rewrite
+    assert(ClickHouseSql.rewriteWithProjection(spark,
+      """SELECT event_type, sum(vc) FROM prj_ev WHERE vc > 0
+         GROUP BY event_type""").isEmpty)
+    // joins never rewrite
+    assert(ClickHouseSql.rewriteWithProjection(spark,
+      """SELECT a.event_type, sum(a.vc) FROM prj_ev a
+         JOIN prj_ev b ON a.user_id = b.user_id
+         GROUP BY a.event_type""").isEmpty)
+  }
+
+  test("INSERT appends a partial part; answers stay exact without rebuild") {
+    val before = spark.table("prj_ev__proj_p_agg").count()
+    ch("""INSERT INTO prj_ev VALUES
+          ('click', 1, 12345), ('click', 1, 55), ('purchase', 9999, 777)""")
+    // the store grew by appended partials — it was NOT rewritten
+    assert(spark.table("prj_ev__proj_p_agg").count() > before)
+    val q = """SELECT event_type, sum(vc) AS total, count() AS n
+               FROM prj_ev GROUP BY event_type ORDER BY event_type"""
+    val got = ch(q).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = spark.table("prj_ev").groupBy(col("event_type"))
+      .agg(sum(col("vc")), count(lit(1))).orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === exp)
+  }
+
+  test("mutations rebuild the projection store (CH merge recalculation)") {
+    ch("ALTER TABLE prj_ev DELETE WHERE user_id = 1")
+    val q = """SELECT event_type, sum(vc) AS total, count() AS n
+               FROM prj_ev GROUP BY event_type ORDER BY event_type"""
+    val got = ch(q).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = spark.table("prj_ev").groupBy(col("event_type"))
+      .agg(sum(col("vc")), count(lit(1))).orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === exp)
+    assert(spark.table("prj_ev").filter(col("user_id") === 1).isEmpty)
+  }
+
+  test("RENAME carries the projection; CLEAR parks it; DROP removes it") {
+    ch("RENAME TABLE prj_ev TO prj_ev_renamed")
+    val q = """SELECT event_type, sum(vc) AS total
+               FROM prj_ev_renamed GROUP BY event_type"""
+    assert(ClickHouseSql.rewriteWithProjection(spark, q)
+      .exists(_.contains("prj_ev_renamed__proj_p_agg")))
+    ch("RENAME TABLE prj_ev_renamed TO prj_ev")
+    ch("ALTER TABLE prj_ev CLEAR PROJECTION p_agg")
+    val q2 = q.replace("prj_ev_renamed", "prj_ev")
+    assert(ClickHouseSql.rewriteWithProjection(spark, q2).isEmpty)
+    ch("ALTER TABLE prj_ev MATERIALIZE PROJECTION p_agg")
+    assert(ClickHouseSql.rewriteWithProjection(spark, q2).isDefined)
+    ch("ALTER TABLE prj_ev DROP PROJECTION p_agg")
+    assert(ClickHouseSql.rewriteWithProjection(spark, q2).isEmpty)
+    assert(!spark.catalog.tableExists("prj_ev__proj_p_agg"))
+    // idempotent guards
+    ch("ALTER TABLE prj_ev DROP PROJECTION IF EXISTS p_agg")
+    intercept[IllegalArgumentException] {
+      ch("ALTER TABLE prj_ev DROP PROJECTION p_agg")
+    }
+  }
+
+  test("sort projection: SELECT * filtered on the leading key reads the sorted copy") {
+    ch("ALTER TABLE prj_ev ADD PROJECTION p_ord (SELECT * ORDER BY user_id, vc)")
+    ch("ALTER TABLE prj_ev MATERIALIZE PROJECTION p_ord")
+    val q = "SELECT * FROM prj_ev WHERE user_id = 7"
+    assert(ClickHouseSql.rewriteWithProjection(spark, q)
+      .exists(_.contains("prj_ev__proj_p_ord")))
+    val got = ch(q).orderBy(col("event_type"), col("vc"))
+      .collect().map(_.toSeq)
+    val exp = spark.table("prj_ev").filter(col("user_id") === 7)
+      .orderBy(col("event_type"), col("vc")).collect().map(_.toSeq)
+    assert(got === exp)
+    // a filter that never touches the sort key stays on the base table
+    assert(ClickHouseSql.rewriteWithProjection(spark,
+      "SELECT * FROM prj_ev WHERE event_type = 'click'").isEmpty)
+    ch("ALTER TABLE prj_ev DROP PROJECTION p_ord")
+  }
+}
