@@ -1677,7 +1677,57 @@ object Stats {
       .orderBy(col("l_returnflag"))
   }
 
+  // q142 — top-share concentration (the Lorenz-curve readout next to
+  // q124's Gini: "what share of revenue do the top 1% / 10% of
+  // customers hold"): per-customer revenue in exact cents, globally
+  // ranked desc with a unique (−cents, custkey) tuple so rank =
+  // row_number deterministically, top-k cut at k = ceil(n/100) and
+  // ceil(n/10), shares in exact basis points. The global rank rides the
+  // q112 GroupedPrefix sweep (range-partitioned staged sort + slice
+  // offsets — never a single-partition ORDER BY window); n and the
+  // total broadcast back from a one-row aggregate.
+  val q142 = Q(
+    "q142_pareto_share",
+    Some("""
+      WITH c AS (
+        SELECT o_custkey,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey),
+      r AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+               COUNT(*) OVER () AS n,
+               SUM(cents) OVER () AS tot
+        FROM c)
+      SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
+             CAST(MIN(tot) AS BIGINT) AS total_cents,
+             CAST(SUM(CASE WHEN rn <= (n + 99) // 100 THEN cents END)
+               * 10000 // MIN(tot) AS BIGINT) AS top1_share_bp,
+             CAST(SUM(CASE WHEN rn <= (n + 9) // 10 THEN cents END)
+               * 10000 // MIN(tot) AS BIGINT) AS top10_share_bp
+      FROM r
+    """)
+  ) { t =>
+    import graft.plans.GroupedPrefix
+    val c = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType)).cast(LongType).as("cents"))
+    val ranked = GroupedPrefix.withRank(c, Nil,
+      struct((-col("cents")).as("nc"), col("o_custkey")), "rn")
+    val tot = c.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(
+        min(col("n")).cast(LongType).as("n_customers"),
+        min(col("tot")).cast(LongType).as("total_cents"),
+        sum(when(expr("rn <= (n + 99) div 100"), col("cents"))).as("__s1"),
+        sum(when(expr("rn <= (n + 9) div 10"), col("cents"))).as("__s10"))
+      .select(col("n_customers"), col("total_cents"),
+        expr("__s1 * 10000 div total_cents").cast(LongType).as("top1_share_bp"),
+        expr("__s10 * 10000 div total_cents").cast(LongType).as("top10_share_bp"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134, q136,
-    q137, q138, q139, q140, q141)
+    q137, q138, q139, q140, q141, q142)
 }

@@ -1817,10 +1817,100 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // text_rake — RAKE keyword extraction ("Rapid Automatic Keyword
+  // Extraction", Rose et al. 2010): candidate phrases are maximal
+  // stopword-free token runs; a word scores deg(w)/freq(w) where
+  // deg(w) sums the lengths of the phrases containing each occurrence;
+  // a phrase scores the sum of its word scores — here in exact milli
+  // units (deg·1000 div freq) so both engines agree bit-for-bit. Shape:
+  // phrase ids fall out of a running stopword count per document (a
+  // per-DOC window — ≤100 tokens per partition, millions of tiny
+  // partitions, scale-safe), word stats are one vocabulary-keyed
+  // aggregation, phrase scores join tokens to word scores on the word
+  // key, and the per-source top-3 rides TopKPerGroup (map-side k-heaps
+  // — the phrase relation never funnels into |sources| sort tasks).
+  val rake = Q(
+    "text_rake",
+    Some("""
+      WITH toks0 AS (
+        SELECT doc_id, source, i - 1 AS pos, ws[i] AS w
+        FROM (SELECT doc_id, source,
+                list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                  x -> x <> '') AS ws
+              FROM documents), UNNEST(RANGE(1, LEN(ws) + 1)) AS t(i)),
+      marked AS (
+        SELECT doc_id, source, pos, w,
+               CASE WHEN LIST_CONTAINS(
+                 ['the','a','of','and','to','in','is','on','for','with'], w)
+               THEN 1 ELSE 0 END AS is_stop
+        FROM toks0),
+      g AS (
+        SELECT doc_id, source, pos, w, is_stop,
+               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM marked),
+      tk AS (SELECT doc_id, source, pos, w, grp FROM g WHERE is_stop = 0),
+      tk2 AS (SELECT *, COUNT(*) OVER (PARTITION BY doc_id, grp) AS plen
+              FROM tk),
+      wstat AS (
+        SELECT w, SUM(plen) * 1000 // COUNT(*) AS score_milli
+        FROM tk2 GROUP BY w),
+      phr AS (
+        SELECT t.doc_id, t.grp, t.source,
+               array_to_string(LIST(t.w ORDER BY t.pos), ' ') AS phrase,
+               CAST(SUM(s.score_milli) AS BIGINT) AS score_milli
+        FROM tk2 t JOIN wstat s ON s.w = t.w
+        GROUP BY t.doc_id, t.grp, t.source),
+      dd AS (
+        SELECT source, phrase, COUNT(*) AS n_occurrences,
+               MAX(score_milli) AS score_milli
+        FROM phr GROUP BY source, phrase),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY score_milli DESC, phrase) AS rnk
+        FROM dd)
+      SELECT source, phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+             CAST(score_milli AS BIGINT) AS score_milli, CAST(rnk AS BIGINT) AS rnk
+      FROM rk WHERE rnk <= 3
+      ORDER BY source, rnk
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val toks0 = t.documents
+      .select(col("doc_id"), col("source"),
+        posexplode(filter(words(lower(col("text"))), w => w =!= "")))
+      .toDF("doc_id", "source", "pos", "w")
+      .withColumn("is_stop", col("w").isin(stopwords: _*).cast("int"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tk = toks0.withColumn("grp", sum(col("is_stop")).over(wDoc))
+      .filter(col("is_stop") === 0)
+    val tk2 = tk.withColumn("plen",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
+    val wstat = tk2.groupBy(col("w"))
+      .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .select(col("w"), expr("deg * 1000 div freq").as("score_milli"))
+    val phr = tk2.join(wstat, "w")
+      .groupBy(col("doc_id"), col("grp"), col("source"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").as("phrase"),
+        sum(col("score_milli")).cast(LongType).as("score_milli"))
+    val dd = phr.groupBy(col("source"), col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("score_milli")).as("score_milli"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("score_milli").desc, col("phrase"))
+    graft.plans.TopKPerGroup.topK(dd, Seq("source"), "score_milli", "phrase", 3)
+      .withColumn("rnk", row_number().over(wTop).cast(LongType))
+      .select(col("source"), col("phrase"), col("n_occurrences"),
+        col("score_milli"), col("rnk"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
     incremental, lenHist,
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
-    countMin, charTrigrams, gopherBattery, langidEval, sttr)
+    countMin, charTrigrams, gopherBattery, langidEval, sttr, rake)
 }
