@@ -259,6 +259,70 @@ object Streams {
     fs.delete(staging, true)
   }
 
+  /** Streaming projection maintenance — the streaming twin of the CH
+    * dialect's INSERT-side projection contract (ClickHouseSql: every
+    * new part carries its own partial aggregates): each micro-batch
+    * APPENDS one immutable projection part — the batch's partial
+    * (event_type, user_id) states: count, exact-cents sum, min, max —
+    * under `__part_id=<batchId>/`, and [[readProjection]] re-combines
+    * with the partial-merge functions (SUM of counts/sums, MIN of
+    * mins, MAX of maxes). No state store, no rewrite of existing
+    * files: at 100 TB a batch writes |batch dims| rows and the hot
+    * path never touches history (compaction is an offline OPTIMIZE,
+    * exactly CH's merge). Exactly-once rides a per-batch commit
+    * marker: a replayed batch whose marker exists is skipped; a batch
+    * that died mid-write left no marker and its directory is
+    * overwritten whole.
+    */
+  def projectionStream(events: DataFrame, path: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val part = batch
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("cnt_all"),
+            sum(col("value").cast(DecimalType(18, 2)).multiply(lit(100))
+              .cast("bigint")).as("sum_vc"),
+            min(col("value").cast(DecimalType(18, 2)).multiply(lit(100))
+              .cast("bigint")).as("min_vc"),
+            max(col("value").cast(DecimalType(18, 2)).multiply(lit(100))
+              .cast("bigint")).as("max_vc"))
+        landProjectionPart(part, path, batchId)
+      }
+      .start()
+
+  /** One [[projectionStream]] part landing (exposed for the replay
+    * spec): skip if committed, else overwrite the part dir whole and
+    * only then write the commit marker.
+    */
+  private[graft] def landProjectionPart(
+    block: Dataset[org.apache.spark.sql.Row], path: String,
+    batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = block.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val commit = new Path(path + s"/_graft_batch_$batchId")
+    if (fs.exists(commit)) return
+    block.write.mode("overwrite")
+      .parquet(path + s"/__part_id=$batchId")
+    fs.create(commit, true).close()
+  }
+
+  /** The combined read of a [[projectionStream]] store: partial parts
+    * re-aggregate with the partial-merge functions.
+    */
+  def readProjection(spark: org.apache.spark.sql.SparkSession,
+    path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cnt_all")).as("n"),
+        sum(col("sum_vc")).as("sum_vc"),
+        min(col("min_vc")).as("min_vc"),
+        max(col("max_vc")).as("max_vc"))
+
   /** Stream-stream interval join: purchases attributed to the same user's
     * clicks within `horizon`. Both sides watermarked so join state is
     * bounded and evicted as event time advances — the attribution-join

@@ -724,4 +724,38 @@ class StreamingSpec extends SparkSpec {
       assert(alerts.toSeq === Seq(120000000L, 270000000L))
     } finally q.stop()
   }
+
+  test("stream_projection: append-only partial parts, exact combined reads, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_proj").toString
+    val mem = MemoryStream[Event]
+    val q = Streams.projectionStream(mem.toDF(), s"$dir/store", s"$dir/ckpt")
+    try {
+      mem.addData(Event(1, ts(0), 10, "click", 2.50),
+        Event(2, ts(1), 10, "click", 3.25),
+        Event(3, ts(2), 11, "view", 7.00))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(3), 10, "click", 4.25),
+        Event(5, ts(4), 12, "view", 1.00))
+      q.processAllAvailable()
+      // two immutable parts landed — nothing rewritten
+      val parts = new java.io.File(s"$dir/store").listFiles()
+        .filter(_.getName.startsWith("__part_id=")).map(_.getName).sorted
+      assert(parts.toSeq === Seq("__part_id=0", "__part_id=1"))
+      val combined = Streams.readProjection(spark, s"$dir/store").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(combined === Set(
+        ("click", 10L, 3L, 1000L, 250L, 425L),
+        ("view", 11L, 1L, 700L, 700L, 700L),
+        ("view", 12L, 1L, 100L, 100L, 100L)))
+      // replay of a committed batch is a no-op (marker short-circuits)
+      val replay = Seq(("click", 10L, 99L, 99999L, 1L, 99999L))
+        .toDF("event_type", "user_id", "cnt_all", "sum_vc", "min_vc", "max_vc")
+      Streams.landProjectionPart(replay, s"$dir/store", 0L)
+      assert(Streams.readProjection(spark, s"$dir/store").collect()
+        .map(_.getLong(2)).sum === 5L)
+    } finally q.stop()
+  }
 }
