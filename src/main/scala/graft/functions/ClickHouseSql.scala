@@ -417,6 +417,65 @@ object ClickHouseSql {
     ProjAgg(fn, col, store)
   }
 
+  /** Parse one projection body (`SELECT … GROUP BY …` aggregate form or
+    * `SELECT * ORDER BY …` sort form) — shared by ALTER TABLE … ADD
+    * PROJECTION and inline `PROJECTION p (…)` items in CREATE TABLE
+    * (the SHOW CREATE round-trip spelling).
+    */
+  private def parseProjectionBody(table: String, name: String,
+    inner: String, ctx: String): ProjDef = {
+    require(inner.toLowerCase(java.util.Locale.ROOT).startsWith("select"),
+      s"PROJECTION body must be a SELECT: $ctx")
+    val body = inner.substring("select".length)
+    val gIdx = "(?i)\\bgroup\\s+by\\b".r.findFirstMatchIn(body)
+    val oIdx = "(?i)\\border\\s+by\\b".r.findFirstMatchIn(body)
+    (gIdx, oIdx) match {
+      case (Some(g), None) =>
+        val dims = splitAssignments(body.substring(g.end))
+          .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        require(dims.nonEmpty && dims.forall(_.matches("[a-z_][a-z0-9_]*")),
+          s"GROUP BY must list plain columns: $ctx")
+        val items = splitAssignments(body.substring(0, g.start)).map(_.trim)
+        val aggs = items.flatMap {
+          case ProjAggRe(fn, c) => Some(projAggOf(fn, c))
+          case d if dims.contains(d.toLowerCase(java.util.Locale.ROOT)) =>
+            None
+          case other => throw new IllegalArgumentException(
+            "aggregate projection items must be GROUP BY columns or " +
+              s"sum/min/max/count over one column — got `$other` in: " + ctx)
+        }
+        require(aggs.nonEmpty,
+          s"aggregate projection declares no aggregates: $ctx")
+        ProjDef(norm(table), norm(name), dims, aggs, Nil,
+          materialized = false)
+      case (None, Some(o)) =>
+        require(body.substring(0, o.start).trim == "*",
+          "sort projection must be `SELECT * ORDER BY …` " +
+            s"(column-subset sort projections not supported): $ctx")
+        val keys = splitAssignments(body.substring(o.end))
+          .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        require(keys.nonEmpty && keys.forall(_.matches("[a-z_][a-z0-9_]*")),
+          s"ORDER BY must list plain columns: $ctx")
+        ProjDef(norm(table), norm(name), Nil, Nil, keys,
+          materialized = false)
+      case _ => throw new IllegalArgumentException(
+        "PROJECTION body must have exactly one of GROUP BY " +
+          s"(aggregate projection) or ORDER BY (sort projection): $ctx")
+    }
+  }
+
+  /** The normalized body text [[parseProjectionBody]] round-trips —
+    * what SHOW CREATE TABLE prints inside `PROJECTION p (…)`.
+    */
+  private def projSelectText(p: ProjDef): String =
+    if (p.isAgg) {
+      val aggText = p.aggs.map(a =>
+        if (a.fn == "count" && a.col.isEmpty) "count()"
+        else s"${a.fn}(${a.col})")
+      s"SELECT ${(p.dims ++ aggText).mkString(", ")} " +
+        s"GROUP BY ${p.dims.mkString(", ")}"
+    } else s"SELECT * ORDER BY ${p.sortCols.mkString(", ")}"
+
   /** `ALTER TABLE t ADD|MATERIALIZE|DROP|CLEAR PROJECTION …`. */
   private def projectionDdl(spark: SparkSession,
     sqlText: String): Option[DataFrame] = {
@@ -450,46 +509,8 @@ object ClickHouseSql {
         require(open > 0 && close > open,
           s"ADD PROJECTION expects (SELECT …): $sqlText")
         val inner = sqlText.substring(open + 1, close).trim
-        require(inner.toLowerCase(java.util.Locale.ROOT).startsWith("select"),
-          s"ADD PROJECTION body must be a SELECT: $sqlText")
-        val body = inner.substring("select".length)
-        val gIdx = "(?i)\\bgroup\\s+by\\b".r.findFirstMatchIn(body)
-        val oIdx = "(?i)\\border\\s+by\\b".r.findFirstMatchIn(body)
-        val p = (gIdx, oIdx) match {
-          case (Some(g), None) =>
-            val dims = splitAssignments(body.substring(g.end))
-              .map(_.trim.toLowerCase(java.util.Locale.ROOT))
-            require(dims.nonEmpty && dims.forall(_.matches("[a-z_][a-z0-9_]*")),
-              s"GROUP BY must list plain columns: $sqlText")
-            val items = splitAssignments(body.substring(0, g.start)).map(_.trim)
-            val aggs = items.flatMap {
-              case ProjAggRe(fn, c) => Some(projAggOf(fn, c))
-              case d if dims.contains(d.toLowerCase(java.util.Locale.ROOT)) =>
-                None
-              case other => throw new IllegalArgumentException(
-                "aggregate projection items must be GROUP BY columns or " +
-                  s"sum/min/max/count over one column — got `$other` in: " +
-                  sqlText)
-            }
-            require(aggs.nonEmpty,
-              s"aggregate projection declares no aggregates: $sqlText")
-            ProjDef(norm(table), norm(name), dims, aggs, Nil,
-              materialized = false)
-          case (None, Some(o)) =>
-            require(body.substring(0, o.start).trim == "*",
-              "sort projection must be `SELECT * ORDER BY …` " +
-                s"(column-subset sort projections not supported): $sqlText")
-            val keys = splitAssignments(body.substring(o.end))
-              .map(_.trim.toLowerCase(java.util.Locale.ROOT))
-            require(keys.nonEmpty && keys.forall(_.matches("[a-z_][a-z0-9_]*")),
-              s"ORDER BY must list plain columns: $sqlText")
-            ProjDef(norm(table), norm(name), Nil, Nil, keys,
-              materialized = false)
-          case _ => throw new IllegalArgumentException(
-            "ADD PROJECTION body must have exactly one of GROUP BY " +
-              s"(aggregate projection) or ORDER BY (sort projection): $sqlText")
-        }
-        projDefs.put(projKey(table, name), p)
+        projDefs.put(projKey(table, name),
+          parseProjectionBody(table, name, inner, sqlText))
         Some(spark.emptyDataFrame)
       case "materialize" =>
         val p = existing.getOrElse(throw new IllegalArgumentException(
@@ -734,7 +755,12 @@ object ClickHouseSql {
     }
     val ttlText = Option(ttlExprs.get(norm(table)))
       .map(t => s" TTL $t").getOrElse("")
-    s"CREATE TABLE $table ($cols) ENGINE = $engineText" +
+    // CH keeps projections inside the column group; the spelling here
+    // round-trips through the inline-PROJECTION CREATE path (re-running
+    // this DDL re-declares them, unmaterialized — MATERIALIZE activates)
+    val projText = projectionsOn(table)
+      .map(p => s", PROJECTION ${p.name} (${projSelectText(p)})").mkString
+    s"CREATE TABLE $table ($cols$projText) ENGINE = $engineText" +
       partText + orderText + ttlText
   }
 
@@ -2777,10 +2803,28 @@ object ClickHouseSql {
       items += colsInner.substring(last)
       items.result().map(_.trim).filter(_.nonEmpty)
     }
+    // inline `PROJECTION p (SELECT …)` items (CH keeps projections
+    // inside the column group; SHOW CREATE round-trips through here) —
+    // registered on the table, stripped from the emitted Spark DDL
+    val (projItems, colDefs0) = defs.partition(d =>
+      lex(d).headOption.exists(_.lower == "projection"))
+    projItems.foreach { item =>
+      val its = lex(item)
+      require(its.length >= 2 && isIdent(its(1)),
+        s"bad PROJECTION item: $item")
+      val pname = its(1).text
+      val open = item.indexOf('(', its(1).end)
+      val close = item.lastIndexOf(')')
+      require(open > 0 && close > open,
+        s"PROJECTION expects (SELECT …): $item")
+      val innerSel = item.substring(open + 1, close).trim
+      projDefs.put(projKey(table, pname),
+        parseProjectionBody(table, pname, innerSel, item))
+    }
     val colDirectives =
       Set("default", "materialized", "alias", "codec", "ttl", "comment")
     case class ColDef(name: String, sparkType: String, chType: String)
-    val mapped = defs.map { d =>
+    val mapped = colDefs0.map { d =>
       val dToks = lex(d)
       require(dToks.nonEmpty && isIdent(dToks.head), s"bad column def: $d")
       val name = dToks.head.text

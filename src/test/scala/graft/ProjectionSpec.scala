@@ -153,4 +153,37 @@ class ProjectionSpec extends SparkSpec {
       "SELECT * FROM prj_ev WHERE event_type = 'click'").isEmpty)
     ch("ALTER TABLE prj_ev DROP PROJECTION p_ord")
   }
+
+  test("projections round-trip through SHOW CREATE TABLE / inline CREATE") {
+    Seq("prj_rt", "prj_rt2", "prj_rt__proj_p1", "prj_rt2__proj_p1")
+      .foreach(dropAnyType)
+    ch("DROP TABLE IF EXISTS prj_rt SYNC")
+    ch("DROP TABLE IF EXISTS prj_rt2 SYNC")
+    ch("""CREATE TABLE prj_rt (user_id UInt64, event_type String, vc Int64,
+          PROJECTION p1 (SELECT event_type, sum(vc), count()
+                         GROUP BY event_type))
+          ENGINE = MergeTree ORDER BY (user_id)""")
+    val show = ch("SHOW CREATE TABLE prj_rt").head().getString(0)
+    assert(show.contains("PROJECTION p1 (SELECT event_type, sum(vc), " +
+      "count() GROUP BY event_type)"), show)
+    // fixed point: re-running the printed DDL declares the same table +
+    // projection under another name, and ITS show is the same modulo name
+    ch(show.replace("prj_rt", "prj_rt2"))
+    val show2 = ch("SHOW CREATE TABLE prj_rt2").head().getString(0)
+    assert(show2 === show.replace("prj_rt", "prj_rt2"))
+    // inline-declared projections activate with MATERIALIZE like
+    // ALTER-added ones, and INSERTs maintain them
+    ch("INSERT INTO prj_rt2 VALUES (1, 'click', 10), (2, 'click', 5), (3, 'view', 7)")
+    ch("ALTER TABLE prj_rt2 MATERIALIZE PROJECTION p1")
+    ch("INSERT INTO prj_rt2 VALUES (4, 'view', 100)")
+    val q = """SELECT event_type, sum(vc) AS s, count() AS n
+               FROM prj_rt2 GROUP BY event_type ORDER BY event_type"""
+    assert(ClickHouseSql.rewriteWithProjection(spark, q)
+      .exists(_.contains("prj_rt2__proj_p1")))
+    val got = ch(q).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("click", 15L, 2L), ("view", 107L, 2L)))
+    ch("DROP TABLE prj_rt SYNC")
+    ch("DROP TABLE prj_rt2 SYNC")
+  }
 }
