@@ -2121,10 +2121,98 @@ object Dedup {
       .orderBy(col("group_size"))
   }
 
+  // dedup_cdc — content-defined chunking (the Rabin/LBFS recipe behind
+  // rsync/restic/storage dedup, word-granular here): a chunk boundary
+  // falls AFTER token i whenever the rolling 3-token hash lands in the
+  // 1/8 sentinel class — boundaries move with the content, so an edit
+  // reshuffles only the chunks it touches (fixed-size chunking shifts
+  // every later chunk — dedup_chunks is the contrast op). Chunk
+  // identity is the md5 of the chunk's token-hash sequence; the
+  // duplicate mass is read off distinct-vs-total chunk counts over the
+  // twinned corpus. Shape: per-doc rolling hash = two LAGs over
+  // ≤100-token partitions, chunk ids from a running boundary count
+  // (closed form — no fold), one (doc, chunk) aggregation, one global
+  // distinct count. No pairwise stage at all: CDC dedup is O(corpus)
+  // at any scale.
+  val cdc = Q(
+    "dedup_cdc",
+    Some {
+      s"""
+      WITH $corpusSql,
+      toks AS (
+        SELECT doc_id, i - 1 AS pos, ${PortableHash.wordHashSql("ws[i]")} AS h
+        FROM (SELECT doc_id,
+                list_filter(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                  x -> x <> '') AS ws
+              FROM corpus), UNNEST(RANGE(1, LEN(ws) + 1)) AS t(i)),
+      rolled AS (
+        SELECT doc_id, pos, h,
+               LAG(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+               LAG(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+        FROM toks),
+      flagged AS (
+        SELECT doc_id, pos, h,
+               CASE WHEN pos >= 2
+                 AND (h2 * 961 + h1 * 31 + h) % $P % 8 = 0
+               THEN 1 ELSE 0 END AS b
+        FROM rolled),
+      grouped AS (
+        SELECT doc_id, pos, h,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS grp
+        FROM flagged),
+      chunks AS (
+        SELECT doc_id, grp,
+               MD5(array_to_string(LIST(CAST(h AS VARCHAR) ORDER BY pos),
+                 ' ')) AS k,
+               COUNT(*) AS len
+        FROM grouped GROUP BY doc_id, grp)
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct,
+             CAST(COUNT(*) - COUNT(DISTINCT k) AS BIGINT) AS dup_instances,
+             CAST((COUNT(*) - COUNT(DISTINCT k)) * 10000 // COUNT(*)
+               AS BIGINT) AS dup_bp,
+             CAST(SUM(len) * 100 // COUNT(*) AS BIGINT) AS mean_len_x100
+      FROM chunks
+      """
+    }
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(t.spark)
+    val toks = withTwins(t)
+      .select(col("doc_id"),
+        posexplode(call_function("graft_wordhashes", col("text"))))
+      .toDF("doc_id", "pos", "h")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val rolled = toks
+      .withColumn("h1", lag(col("h"), 1).over(wDoc))
+      .withColumn("h2", lag(col("h"), 2).over(wDoc))
+      .withColumn("b", when(col("pos") >= 2 &&
+        (col("h2") * 961 + col("h1") * 31 + col("h")) % PortableHash.P % 8 === 0,
+        1L).otherwise(0L))
+      .withColumn("grp", sum(col("b")).over(wDoc) - col("b"))
+    val chunks = rolled
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("h").cast("string").as("hs")))),
+        s => s.getField("hs")), " ")).as("k"),
+        count(lit(1)).as("len"))
+    chunks.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_chunks"),
+      countDistinct(col("k")).as("n_distinct"),
+      (count(lit(1)) - countDistinct(col("k"))).as("dup_instances"),
+      sum(col("len")).as("__tok"))
+      .select(col("n_docs"), col("n_chunks"), col("n_distinct"),
+        col("dup_instances"),
+        expr("dup_instances * 10000 div n_chunks").cast(LongType).as("dup_bp"),
+        expr("__tok * 100 div n_chunks").cast(LongType).as("mean_len_x100"))
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
     thresholdSweep, hubRank, canonical, editDistance, similarSearch,
-    triangles, detectorAgreement, winnow, componentSizes)
+    triangles, detectorAgreement, winnow, componentSizes, cdc)
 }

@@ -1056,6 +1056,101 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** Per-clip resampled-audio statistics (exact integers). */
+  final case class ResampleStats(media_id: Long, n_channels: Int,
+    in_samples: Long, out_samples: Long, amp_sum_out: Long,
+    energy_out: Long, checksum: Long)
+
+  // mm_audio_resample — sample-rate conversion on the real WAV lane
+  // (8000 → 4000 Hz by integer 2:1 decimation with a 2-tap boxcar
+  // anti-alias prefilter: y[k,c] = floor((x[2k,c] + x[2k+1,c]) / 2) per
+  // channel, FRAME-wise — stride-aware like mm_audio's amp_sum_ch0, so
+  // an interleaving mistake shifts every output sample and fails the
+  // checksum). The /2 is TRUNCATING division on both sides — Scala `/`
+  // and DuckDB `//` both truncate toward zero (verified on negative
+  // sums this round; floorDiv would diverge on every negative odd
+  // sum). An odd trailing frame is
+  // dropped (output length = frames div 2 per channel). Statistics are
+  // exact: per-channel-layout clip counts, in/out sample volumes, the
+  // resampled amplitude/energy sums, and a position-weighted checksum
+  // Σ y·(k+1) that pins output ORDER, not just its multiset. The
+  // oracle replays every resampled sample from the PCM generator.
+  val audioResample = Q(
+    "mm_audio_resample",
+    Some("""
+      WITH clips AS (
+        SELECT doc_id, ch, n_raw - n_raw % ch AS n_samples
+        FROM (SELECT doc_id,
+                CAST(doc_id % 2 + 1 AS INT) AS ch,
+                doc_id % 500 + 100 AS n_raw
+              FROM documents)),
+      frames AS (
+        SELECT doc_id, ch, n_samples, n_samples // ch AS nf FROM clips),
+      y AS (
+        SELECT doc_id, ch, n_samples, k,
+               (((doc_id * 7 + (2*k*ch + c) * 13) % 4001 - 2000)
+                + ((doc_id * 7 + ((2*k+1)*ch + c) * 13) % 4001 - 2000)) // 2
+                 AS yv
+        FROM frames,
+             UNNEST(RANGE(0, nf // 2)) AS t(k),
+             UNNEST(RANGE(0, ch)) AS t2(c)),
+      per_clip AS (
+        SELECT doc_id, ch, MIN(n_samples) AS in_samples,
+               COUNT(*) AS out_samples,
+               SUM(yv) AS amp_sum_out,
+               SUM(yv * yv) AS energy_out,
+               SUM(yv * (k + 1)) AS checksum
+        FROM y GROUP BY doc_id, ch)
+      SELECT ch AS n_channels,
+             CAST(COUNT(*) AS BIGINT) AS n_clips,
+             CAST(SUM(in_samples) AS BIGINT) AS in_samples,
+             CAST(SUM(out_samples) AS BIGINT) AS out_samples,
+             CAST(SUM(amp_sum_out) AS BIGINT) AS amp_sum_out,
+             CAST(SUM(energy_out) AS BIGINT) AS energy_out,
+             CAST(SUM(checksum) AS BIGINT) AS checksum
+      FROM per_clip
+      GROUP BY ch
+      ORDER BY n_channels
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val channels = (id % 2 + 1).toInt
+        val n = (id % 500 + 100).toInt
+        val clip = WavCodec.decode(WavCodec.encode(generatePcm(id, channels, n)))
+        val ch = clip.channels
+        val outFrames = (clip.samples.length / ch) / 2
+        var amp = 0L; var energy = 0L; var chk = 0L
+        var k = 0
+        while (k < outFrames) {
+          var c = 0
+          while (c < ch) {
+            val a = clip.samples((2 * k) * ch + c).toLong
+            val b = clip.samples((2 * k + 1) * ch + c).toLong
+            val y = (a + b) / 2
+            amp += y; energy += y * y; chk += y * (k + 1)
+            c += 1
+          }
+          k += 1
+        }
+        ResampleStats(id, ch, clip.samples.length.toLong,
+          outFrames.toLong * ch, amp, energy, chk)
+      })
+      .toDF()
+      .groupBy(col("n_channels"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum(col("in_samples")).as("in_samples"),
+        sum(col("out_samples")).as("out_samples"),
+        sum(col("amp_sum_out")).as("amp_sum_out"),
+        sum(col("energy_out")).as("energy_out"),
+        sum(col("checksum")).as("checksum"))
+      .orderBy(col("n_channels"))
+  }
+
   val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi,
-    imageDedup, audioDedup, videoDedup, sceneCut, audioVad, letterbox)
+    imageDedup, audioDedup, videoDedup, sceneCut, audioVad, letterbox,
+    audioResample)
 }
