@@ -44,6 +44,13 @@ object CorpusPipeline {
     /** Per-source keep share in basis points (absent source = keep all),
       * selected by deterministic Knuth-hash rank like pipe_mix_sample. */
     sourceShareBp: Map[String, Int] = Map.empty,
+    /** DSIR selection (Xie et al. 2023, the pipe_dsir_weights
+      * arithmetic): keep only docs whose hashed-feature importance
+      * weight vs the curated target sample is at least this many basis
+      * points (10000 = corpus-neutral). Weights are computed over the
+      * SURVIVING corpus at this stage, so ratios reflect what cleaning
+      * left. None = skip. */
+    dsirMinWeightBp: Option[Int] = None,
     /** Whole-doc shard token budget (pipe_shard_plan contract). */
     shardTokenBudget: Long = 2000L,
     /** Destination directory: corpus/ (partitioned by source, shard) and
@@ -176,8 +183,23 @@ object CorpusPipeline {
     }
     stages += yieldOf("decontaminate", clean)
 
-    val mixed = if (cfg.sourceShareBp.isEmpty) clean
-                else mixSample(clean, cfg.sourceShareBp).localCheckpoint(true)
+    // DSIR selection: hashed-feature importance weights vs the curated
+    // target sample, computed over the surviving corpus (the ≤4096-row
+    // feature table broadcasts; text never shuffles — Curation's shape)
+    val selected = cfg.dsirMinWeightBp match {
+      case None => clean
+      case Some(minBp) =>
+        graft.functions.GraftFunctions.register(t.spark)
+        val keep = CurationOps
+          .dsirDocWeights(clean.select(col("doc_id"), col("text")))
+          .filter(col("w_bp") >= minBp)
+          .select(col("doc_id"))
+        clean.join(keep, "doc_id").localCheckpoint(true)
+    }
+    stages += yieldOf("dsir_select", selected)
+
+    val mixed = if (cfg.sourceShareBp.isEmpty) selected
+                else mixSample(selected, cfg.sourceShareBp).localCheckpoint(true)
     stages += yieldOf("mix_sample", mixed)
 
     val sharded = shardLayout(mixed, cfg.shardTokenBudget)

@@ -367,11 +367,31 @@ object CurationOps {
     }
   ) { t =>
     graft.functions.GraftFunctions.register(t.spark)
-    val feat = t.documents
-      .select(col("doc_id"), col("source"),
+    val dw = dsirDocWeights(t.documents.select(col("doc_id"), col("text")))
+    t.documents.select(col("doc_id"), col("source")).join(dw, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("w_bp")).as("__sw"),
+        count(when(col("w_bp") >= 10000, 1)).as("target_like_docs"))
+      .select(col("source"), col("docs"),
+        expr("__sw div docs").cast(LongType).as("mean_weight_bp"),
+        col("target_like_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-document DSIR importance weight in basis points over an
+    * arbitrary `(doc_id, text)` relation — the pipe_dsir_weights
+    * arithmetic factored out so [[CorpusPipeline]]'s selection stage
+    * and the registry operator can never drift. Target sample =
+    * doc_id % 7 = 0 (the deterministic curated-reference stand-in).
+    * Returns `(doc_id, w_bp)`.
+    */
+  private[graft] def dsirDocWeights(docs: DataFrame): DataFrame = {
+    val feat = docs
+      .select(col("doc_id"),
         explode(call_function("graft_wordhashes", lower(trim(col("text")))))
           .as("h"))
-      .select(col("doc_id"), col("source"), (col("h") % 4096).as("f"))
+      .select(col("doc_id"), (col("h") % 4096).as("f"))
     val tfr = feat.groupBy(col("f")).agg(count(lit(1)).as("tf_r"))
     val tft = feat.filter(col("doc_id") % 7 === 0)
       .groupBy(col("f")).agg(count(lit(1)).as("tf_t"))
@@ -385,18 +405,10 @@ object CurationOps {
           expr("CAST(tf_t AS DECIMAL(38,0)) * n_r * 10000" +
             " div (CAST(tf_r AS DECIMAL(38,0)) * n_t)"),
           lit(100000L)).as("ratio_bp"))
-    val dw = feat.join(broadcast(ratio), "f")
-      .groupBy(col("doc_id"), col("source"))
+    feat.join(broadcast(ratio), "f")
+      .groupBy(col("doc_id"))
       .agg(sum(col("ratio_bp")).as("rs"), count(lit(1)).as("ntok"))
-      .select(col("source"), expr("rs div ntok").as("w_bp"))
-    dw.groupBy(col("source"))
-      .agg(count(lit(1)).as("docs"),
-        sum(col("w_bp")).as("__sw"),
-        count(when(col("w_bp") >= 10000, 1)).as("target_like_docs"))
-      .select(col("source"), col("docs"),
-        expr("__sw div docs").cast(LongType).as("mean_weight_bp"),
-        col("target_like_docs"))
-      .orderBy(col("source"))
+      .select(col("doc_id"), expr("rs div ntok").as("w_bp"))
   }
 
   // pipe_dataset_card — the per-source dataset card published next to a

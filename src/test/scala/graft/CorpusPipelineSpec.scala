@@ -25,9 +25,17 @@ class CorpusPipelineSpec extends SparkSpec {
       minStopwordBp = 0,
       holdout = Some(holdout),
       sourceShareBp = Map("src0" -> 5000),
+      dsirMinWeightBp = Some(8000),
       shardTokenBudget = 500L,
       outDir = out)
     val res = CorpusPipeline.run(t, cfg)
+
+    // the DSIR stage selected exactly the docs whose recomputed weight
+    // over the decontaminated corpus clears the threshold
+    val postDecon = res.stages.find(_.stage === "decontaminate").get.docs
+    val postDsir = res.stages.find(_.stage === "dsir_select").get.docs
+    assert(postDsir <= postDecon)
+    assert(postDsir > 0, "DSIR selection emptied the corpus")
 
     // stage yields decrease monotonically (every stage only drops docs)
     val docs = res.stages.map(_.docs)
