@@ -552,7 +552,7 @@ object ClickHouseSql {
     var depth = 0
     var fromIdx = -1; var whereIdx = -1; var groupIdx = -1; var tailIdx = -1
     val banned = Set("join", "union", "having", "over", "intersect",
-      "except", "distinct", "qualify", "sample", "limit")
+      "except", "distinct", "qualify", "sample")
     for ((t, i) <- toks.zipWithIndex) {
       if (t.text == "(") depth += 1
       else if (t.text == ")") depth -= 1
@@ -566,7 +566,11 @@ object ClickHouseSql {
         if (t.lower == "where") whereIdx = i
         if (t.lower == "group" && toks.lift(i + 1).exists(_.lower == "by"))
           groupIdx = i
-        if (t.lower == "order" && toks.lift(i + 1).exists(_.lower == "by")
+        // the tail (ORDER BY … [LIMIT n] / bare LIMIT n) carries over
+        // verbatim — its identifiers must be dims or select aliases,
+        // which the "(" screen below enforces
+        if ((t.lower == "limit" ||
+          (t.lower == "order" && toks.lift(i + 1).exists(_.lower == "by")))
           && tailIdx < 0) tailIdx = i
       } else if (t.lower == "select") return None
     }
@@ -577,7 +581,7 @@ object ClickHouseSql {
     if (projs.isEmpty) return None
     // nothing between the table name and the next clause (no alias)
     val afterTable = toks.lift(fromIdx + 2)
-    if (!afterTable.forall(t => Set("where", "group", "order")
+    if (!afterTable.forall(t => Set("where", "group", "order", "limit")
       .contains(t.lower) || t.text == ";")) return None
     def seg(fromEnd: Int, to: Int): String =
       sqlText.substring(fromEnd, if (to >= 0) toks(to).start else sqlText.length)

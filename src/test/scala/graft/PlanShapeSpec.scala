@@ -466,6 +466,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("r10 additions keep their scale shapes") {
+    // q141/q142: order statistics ride the GroupedPrefix staged sort
+    // (its range exchange hides behind the stage checkpoint, so the
+    // visible fingerprint is the slice id in the downstream plan) —
+    // never a naive |groups|-partition or global ORDER BY window
+    Seq("q141_quantile_exact", "q142_pareto_share").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("__gp_pid"),
+        s"$q lost the GroupedPrefix staged sort:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    }
+    // ann_rrf: both retriever lists and the fused cut ride TopKPerGroup
+    // (partial+final pairs) — a corpus-sized per-query window is the
+    // regression
+    val rrf = planOf("ann_rrf")
+    val topks = "TopKPerGroup".r.findAllMatchIn(rrf).size
+    assert(topks >= 6, s"ann_rrf: expected 3 TopKPerGroup pairs, got $topks")
+    // text_rake / dedup_cdc: the only windows partition by doc (tiny
+    // partitions) or post-cut groups — never the raw `source` enum over
+    // the token stream
+    Seq("text_rake", "dedup_cdc").foreach { q =>
+      val plan = planOf(q)
+      "windowspecdefinition\\([^)]*".r.findAllIn(plan).foreach { w =>
+        assert(w.contains("doc_id") || w.contains("grp") ||
+          w.contains("source"), s"$q unexpected window: $w")
+      }
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    }
+    // text_rake's per-source ranking happens AFTER the TopKPerGroup cut
+    val rake = planOf("text_rake")
+    assert("TopKPerGroup".r.findAllMatchIn(rake).size >= 2,
+      s"text_rake lost the TopKPerGroup cut:\n${rake.take(2000)}")
+  }
+
   test("q98_uniq_upto aggregates with a partial (map-side) pass") {
     val plan = planOf("q98_uniq_upto")
     // typed Aggregator partial states must combine map-side: the plan

@@ -70,6 +70,20 @@ class ProjectionSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("ORDER BY ... LIMIT tails carry through the projection rewrite") {
+    val q = """SELECT event_type, sum(vc) AS total
+               FROM prj_ev GROUP BY event_type
+               ORDER BY total DESC, event_type LIMIT 2"""
+    assert(ClickHouseSql.rewriteWithProjection(spark, q)
+      .exists(_.contains("__proj_p_agg")))
+    val got = ch(q).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exp = spark.table("prj_ev").groupBy(col("event_type"))
+      .agg(sum(col("vc")).as("total"))
+      .orderBy(col("total").desc, col("event_type")).limit(2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === exp)
+  }
+
   test("queries the projection cannot cover run against the base table") {
     // vc is not a dim: grouping by it must not rewrite
     assert(ClickHouseSql.rewriteWithProjection(spark,
