@@ -417,6 +417,83 @@ object ClickHouseSql {
     ProjAgg(fn, col, store)
   }
 
+  /** Session toggle for the projection read rewrite — ClickHouse's
+    * `optimize_use_projections` setting (default 1), driven by the
+    * dialect's `SET` verb.
+    */
+  private val useProjections = new java.util.concurrent.atomic.AtomicBoolean(true)
+
+  /** `SET <setting> = <value>` — the CH session-settings verb. Settings
+    * with a faithful engine-side effect are applied; everything else
+    * fails loudly with the Spark-conf migration pointer (silently
+    * swallowing a performance/behavior setting is how migrations rot).
+    */
+  private def setVerb(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    if (toks.length < 2 || toks.head.lower != "set") return None
+    // `SET spark.` style passes straight through to Spark
+    if (toks(1).text.startsWith("spark")) return None
+    val name = toks(1).lower
+    val eq = toks.lift(2).exists(_.text == "=")
+    if (!eq) return None
+    val value = sqlText.substring(toks(2).end).trim.stripSuffix(";").trim
+    name match {
+      case "optimize_use_projections" =>
+        useProjections.set(value == "1" || value.equalsIgnoreCase("true"))
+        Some(spark.emptyDataFrame)
+      // settings whose Spark behavior already matches the CH default —
+      // accepted as no-ops so pasted session preambles run
+      case "max_threads" | "max_memory_usage" | "send_logs_level" =>
+        Some(spark.emptyDataFrame)
+      case other => throw new IllegalArgumentException(
+        s"unsupported ClickHouse setting `$other` — engine-level knobs " +
+          "live in Spark conf (spark.sql.*); set them on the session " +
+          s"builder instead: $sqlText")
+    }
+  }
+
+  /** `EXPLAIN [AST|SYNTAX|PLAN|PIPELINE|ESTIMATE] <stmt>` — the CH
+    * introspection verb, mapped to what this engine can truthfully
+    * show: SYNTAX prints the dialect-REWRITTEN Spark SQL (CH's EXPLAIN
+    * SYNTAX prints the optimized query text — same contract), AST the
+    * analyzed logical plan, PLAN (and bare EXPLAIN) the formatted
+    * physical plan. PIPELINE/ESTIMATE name executor internals this
+    * engine does not have — loud guidance instead of fake output.
+    * Output shape is CH's: one `explain` string column, one row per
+    * line.
+    */
+  private def explainVerb(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    if (toks.isEmpty || toks.head.lower != "explain") return None
+    val mode = toks.lift(1).map(_.lower).getOrElse("")
+    val known = Set("ast", "syntax", "plan", "pipeline", "estimate")
+    val body = sqlText.substring(
+      if (known(mode)) toks(1).end else toks.head.end).trim
+    require(body.nonEmpty, s"EXPLAIN expects a statement: $sqlText")
+    import spark.implicits._
+    def lines(s: String): DataFrame =
+      s.split('\n').toSeq.toDF("explain")
+    mode match {
+      case "pipeline" | "estimate" => throw new IllegalArgumentException(
+        s"EXPLAIN ${mode.toUpperCase} names ClickHouse executor " +
+          "internals this engine does not have — use EXPLAIN PLAN " +
+          s"(Spark physical plan) or EXPLAIN SYNTAX: $sqlText")
+      case "syntax" =>
+        val rewritten = rewriteWithProjection(spark, body).getOrElse(
+          rewrite(body, t => spark.table(t).columns.toSeq))
+        Some(lines(rewritten))
+      case "ast" =>
+        val df = sql(spark, body)
+        Some(lines(df.queryExecution.analyzed.treeString))
+      case _ =>
+        val df = sql(spark, body)
+        Some(lines(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)))
+    }
+  }
+
   /** Parse one projection body (`SELECT … GROUP BY …` aggregate form or
     * `SELECT * ORDER BY …` sort form) — shared by ALTER TABLE … ADD
     * PROJECTION and inline `PROJECTION p (…)` items in CREATE TABLE
@@ -547,6 +624,7 @@ object ClickHouseSql {
     */
   private[graft] def rewriteWithProjection(spark: SparkSession,
     sqlText: String): Option[String] = {
+    if (!useProjections.get) return None
     val toks = lex(sqlText)
     if (toks.isEmpty || toks.head.lower != "select") return None
     var depth = 0
@@ -672,6 +750,8 @@ object ClickHouseSql {
       .orElse(killVerb(sqlText))
       .orElse(backupRestore(spark, sqlText))
       .orElse(systemVerb(spark, sqlText))
+      .orElse(setVerb(spark, sqlText))
+      .orElse(explainVerb(spark, sqlText))
       .orElse(projectionDdl(spark, sqlText))
       .orElse(alterMutation(spark, sqlText))
       .orElse(renameOrExchange(spark, sqlText))

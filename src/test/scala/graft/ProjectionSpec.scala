@@ -84,6 +84,25 @@ class ProjectionSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("SET optimize_use_projections toggles the rewrite; EXPLAIN SYNTAX shows it") {
+    val q = """SELECT event_type, sum(vc) AS total
+               FROM prj_ev GROUP BY event_type"""
+    assert(ClickHouseSql.rewriteWithProjection(spark, q).isDefined)
+    ch("SET optimize_use_projections = 0")
+    assert(ClickHouseSql.rewriteWithProjection(spark, q).isEmpty)
+    ch("SET optimize_use_projections = 1")
+    assert(ClickHouseSql.rewriteWithProjection(spark, q).isDefined)
+    // EXPLAIN SYNTAX prints the dialect-rewritten text — with the
+    // projection on, the store name is visible in it (CH's EXPLAIN
+    // SYNTAX shows the optimized query the same way)
+    val syn = ch(s"EXPLAIN SYNTAX $q").collect().map(_.getString(0)).mkString("\n")
+    assert(syn.contains("prj_ev__proj_p_agg"), syn)
+    val plan = ch(s"EXPLAIN $q").collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Physical Plan"), plan.take(300))
+    intercept[IllegalArgumentException] { ch(s"EXPLAIN PIPELINE $q") }
+    intercept[IllegalArgumentException] { ch("SET join_algorithm = 'hash'") }
+  }
+
   test("queries the projection cannot cover run against the base table") {
     // vc is not a dim: grouping by it must not rewrite
     assert(ClickHouseSql.rewriteWithProjection(spark,
