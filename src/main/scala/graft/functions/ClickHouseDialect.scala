@@ -115,6 +115,18 @@ object ClickHouseDialect {
     // scalar misc
     "modulo" -> (args => Remainder(args.head, args(1))),
     "intDiv" -> (args => IntegralDivide(args.head, args(1))),
+    "gcd" -> (args => GcdExpr(
+      Cast(args.head, org.apache.spark.sql.types.LongType),
+      Cast(args(1), org.apache.spark.sql.types.LongType))),
+    "lcm" -> (args => LcmExpr(
+      Cast(args.head, org.apache.spark.sql.types.LongType),
+      Cast(args(1), org.apache.spark.sql.types.LongType))),
+    "toYearWeek" -> (args => ToYearWeekExpr(
+      Cast(one(args), org.apache.spark.sql.types.DateType))),
+    "byteSize" -> (args => ByteSizeExpr(one(args))),
+    // reached through the `char(` splice — Spark's builtin char is 1-arg
+    "chChar" -> (args => ChCharExpr(args.map(a =>
+      Cast(a, org.apache.spark.sql.types.LongType)))),
     "arrayJoin" -> (args => Explode(one(args))),
     // statistics (ClickHouse camelCase → Spark natives)
     "stddevPop" -> (args => StddevPop(one(args))),

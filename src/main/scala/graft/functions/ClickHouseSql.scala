@@ -2728,7 +2728,8 @@ object ClickHouseSql {
       out = rewriteAggCombinators(out)
     if (l.contains("count")) out = rewriteBareCount(out)
     if (out.contains("MD5") || out.contains("SHA") ||
-      out.contains("monthName")) out = rewriteHashNames(out)
+      out.contains("monthName") || out.contains("char("))
+      out = rewriteHashNames(out)
     if (l.contains("datediff")) out = rewriteDateDiff(out)
     if (l.contains("arrayfirst") || l.contains("arraylast"))
       out = rewriteArrayFirst(out)
@@ -4075,13 +4076,17 @@ object ClickHouseSql {
   private def rewriteHashNames(sqlText: String): String = {
     val names = Map("MD5" -> "chMD5", "SHA1" -> "chSHA1",
       "SHA224" -> "chSHA224", "SHA256" -> "chSHA256",
-      "monthName" -> "chMonthName")
+      "monthName" -> "chMonthName",
+      // CH's multi-arg byte-assembling char() vs Spark's 1-arg builtin;
+      // `CAST(x AS char(n))` type positions are excluded below
+      "char" -> "chChar")
     val ts = lex(sqlText)
     val sb = new StringBuilder(sqlText)
     // right-to-left so earlier token offsets stay valid as we splice
     for (i <- ts.indices.reverse) {
       val t = ts(i)
-      if (names.contains(t.text) && ts.lift(i + 1).exists(_.text == "("))
+      if (names.contains(t.text) && ts.lift(i + 1).exists(_.text == "(") &&
+        !ts.lift(i - 1).exists(_.lower == "as"))
         sb.replace(t.start, t.end, names(t.text))
     }
     sb.toString

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the near-dup signature hot path.
@@ -18,6 +18,44 @@ import org.apache.spark.unsafe.types.UTF8String
   * inside whole-stage codegen via a static call.
   */
 object SignatureKernels {
+
+  /** MySQL/ClickHouse YEARWEEK mode 0 on days-since-epoch: week starts
+    * SUNDAY, week 1 is the first Sunday-started week of the year, and
+    * days before it belong to the PREVIOUS year's numbering (CH
+    * toYearWeek's default mode).
+    */
+  def toYearWeek(epochDay: Int): Int = {
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit
+    def firstSunday(y: Int): LocalDate = {
+      val jan1 = LocalDate.of(y, 1, 1)
+      jan1.plusDays((7 - jan1.getDayOfWeek.getValue % 7) % 7)
+    }
+    val d = LocalDate.ofEpochDay(epochDay.toLong)
+    val fs = firstSunday(d.getYear)
+    if (!d.isBefore(fs))
+      d.getYear * 100 + (ChronoUnit.DAYS.between(fs, d) / 7 + 1).toInt
+    else {
+      val py = d.getYear - 1
+      py * 100 + (ChronoUnit.DAYS.between(firstSunday(py), d) / 7 + 1).toInt
+    }
+  }
+
+  /** Euclid's gcd on magnitudes; gcd(0,0) = 0 (documented — ClickHouse
+    * throws there; a total function beats a throwing one in batch
+    * pipelines, and the divergence is stated in the migration guide).
+    */
+  def gcd(a: Long, b: Long): Long = {
+    var x = math.abs(a); var y = math.abs(b)
+    while (y != 0L) { val t = x % y; x = y; y = t }
+    x
+  }
+
+  /** lcm via gcd; 0 when either operand is 0. Divides BEFORE the
+    * multiply so the intermediate never overflows when the result fits.
+    */
+  def lcm(a: Long, b: Long): Long =
+    if (a == 0L || b == 0L) 0L else math.abs(a / gcd(a, b) * b)
 
   private final val Space = ' '.toByte
 
@@ -445,6 +483,109 @@ case class CosineExpr(left: Expression, right: Expression) extends BinaryExpress
       s"graft.functions.SignatureKernels.cosine($a, $b, ${tc(left)}, ${tc(right)})")
   override protected def withNewChildrenInternal(newLeft: Expression,
     newRight: Expression): CosineExpr = copy(left = newLeft, right = newRight)
+}
+
+/** gcd(a, b) → BIGINT — codegen'd Euclid (ClickHouse gcd; the dialect
+  * casts operands to Long at registration). gcd(0,0) = 0, documented.
+  */
+case class GcdExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SignatureKernels.gcd(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SignatureKernels.gcd($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+    newRight: Expression): GcdExpr = copy(left = newLeft, right = newRight)
+}
+
+/** lcm(a, b) → BIGINT — codegen'd via gcd; 0 when either operand is 0. */
+case class LcmExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SignatureKernels.lcm(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SignatureKernels.lcm($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+    newRight: Expression): LcmExpr = copy(left = newLeft, right = newRight)
+}
+
+/** toYearWeek(date) → INT — CH/MySQL YEARWEEK mode 0 (Sunday weeks;
+  * pre-first-Sunday days carry the previous year's numbering).
+  */
+case class ToYearWeekExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(d: Any): Any =
+    SignatureKernels.toYearWeek(d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, d =>
+      s"graft.functions.SignatureKernels.toYearWeek($d)")
+  override protected def withNewChildInternal(c: Expression): ToYearWeekExpr =
+    copy(child = c)
+}
+
+/** byteSize(x) → BIGINT — ClickHouse's in-memory size probe, reporting
+  * THIS engine's column widths: fixed types by their Spark width,
+  * String as octet length + 9 (CH's varint-length + data contract).
+  * Dates are 4 bytes here (Spark DateType) where CH Date is 2 —
+  * documented in the migration guide.
+  */
+case class ByteSizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  private lazy val fixed: Long = child.dataType match {
+    case BooleanType | ByteType => 1L
+    case ShortType => 2L
+    case IntegerType | FloatType | DateType => 4L
+    case LongType | DoubleType | TimestampType => 8L
+    case StringType | BinaryType => -1L
+    case other => throw new IllegalArgumentException(
+      s"byteSize: unsupported type ${other.sql} — fixed-width scalars " +
+        "and String only")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    if (fixed >= 0) fixed
+    else v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.numBytes.toLong + 9L
+      case b: Array[Byte] => b.length.toLong + 9L
+      case _ => fixed
+    }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (fixed >= 0) defineCodeGen(ctx, ev, _ => s"${fixed}L")
+    else child.dataType match {
+      case StringType => defineCodeGen(ctx, ev, s => s"((long) $s.numBytes() + 9L)")
+      case _ => defineCodeGen(ctx, ev, s => s"((long) $s.length + 9L)")
+    }
+  override protected def withNewChildInternal(c: Expression): ByteSizeExpr =
+    copy(child = c)
+}
+
+/** chChar(b1, b2, …) → STRING — ClickHouse's multi-argument char():
+  * each argument is one raw BYTE of the result (mod 256), assembled as
+  * UTF-8 — multi-byte characters compose from consecutive byte args.
+  * Reached via the `char(` splice (Spark's builtin char is 1-arg).
+  */
+case class ChCharExpr(children: Seq[Expression]) extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val bytes = new Array[Byte](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      bytes(i) = (v.asInstanceOf[Long] & 0xffL).toByte
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes)
+  }
+  override protected def withNewChildrenInternal(
+    newChildren: IndexedSeq[Expression]): ChCharExpr = copy(children = newChildren)
 }
 
 /** graft_dot(a, b) → DOUBLE — codegen'd dot product (the MIPS score). */
