@@ -485,5 +485,75 @@ object Scale {
       .orderBy(col("layout"), col("predicate"))
   }
 
-  val all: Seq[Q] = Seq(q43, q44, q45, q51, q57, q76, q81, q83, q85)
+  /** Delete a STALE warehouse directory a DEAD session left for `name`
+    * (live catalog entries are never touched) — the same rerun-stability
+    * rule the CH dialect's CREATE paths apply.
+    */
+  private def clearStale(spark: org.apache.spark.sql.SparkSession,
+    name: String): Unit =
+    if (!spark.catalog.tableExists(name))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name))
+
+  /** Session-memoized BUCKETED copies of lineitem and orders,
+    * co-bucketed (8 buckets) and sorted on the order key — Spark's
+    * co-located-join layout: both sides pre-hash into matching buckets
+    * at WRITE time, so an equi-join on the bucket key needs NO exchange
+    * at read time. At 100 TB this is the difference between
+    * re-shuffling the fact table on every join and never shuffling it;
+    * the write cost amortizes across every downstream join on the key.
+    */
+  private def bucketedPair(t: Tables): (DataFrame, DataFrame) = synchronized {
+    val spark = t.spark
+    val tag = java.lang.Long.toHexString(
+      t.dir.hashCode.toLong & 0xffffffffL)
+    val ln = s"graft_bkt_lineitem_$tag"
+    val on = s"graft_bkt_orders_$tag"
+    if (!spark.catalog.tableExists(ln)) {
+      clearStale(spark, ln)
+      t.lineitem
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable(ln)
+    }
+    if (!spark.catalog.tableExists(on)) {
+      clearStale(spark, on)
+      t.orders.select(col("o_orderkey"), col("o_orderstatus"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable(on)
+    }
+    (spark.table(ln), spark.table(on))
+  }
+
+  // q143 — the bucketed co-located join (SURVEY §4's stated layout
+  // lever, exercised end to end): lineitem ⋈ orders on the order key
+  // over the 8-bucket sorted tables — the MERGE hint keeps the join
+  // sort-merge (a broadcast would also skip the shuffle but would not
+  // prove the layout), and the bucketed scans feed it with ZERO
+  // exchange on either side (PlanShapeSpec pins ≤ 2 exchanges total:
+  // the aggregation and the output sort — the join itself moves no
+  // rows). Values are the q03 revenue arithmetic, oracle-checked from
+  // the raw tables.
+  val q143 = Q(
+    "q143_bucketed_join",
+    Some("""
+      SELECT o.o_orderstatus,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderstatus
+      ORDER BY o.o_orderstatus
+    """)
+  ) { t =>
+    val (l, o) = bucketedPair(t)
+    l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(22, 4))).cast(DoubleType).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val all: Seq[Q] = Seq(q43, q44, q45, q51, q57, q76, q81, q83, q85, q143)
 }

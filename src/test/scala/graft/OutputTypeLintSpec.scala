@@ -101,6 +101,9 @@ class OutputTypeLintSpec extends SparkSpec {
     // aggregation-order dependence; oracle shares the term order
     // verbatim
     "q140_meanztest" -> Set("z", "ci_low", "ci_high"),
+    // reviewed r10: the q03 revenue arithmetic (exact decimal sum →
+    // DOUBLE readout, oracle identical) over the bucketed layout
+    "q143_bucketed_join" -> Set("revenue"),
     // reviewed r9: ln of a ratio of exact BIGINT products (< 2^53, both
     // exactly representable as doubles), term order shared verbatim
     "q131_info_value" -> Set("woe_r4", "ivc_r4"),

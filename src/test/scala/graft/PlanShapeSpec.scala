@@ -500,6 +500,19 @@ class PlanShapeSpec extends SparkSpec {
       s"text_rake lost the TopKPerGroup cut:\n${rake.take(2000)}")
   }
 
+  test("q143_bucketed_join: bucketed scans feed the merge join with no exchange") {
+    val plan = planOf("q143_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("Bucketed: true"),
+      s"scans are not reading bucketed layout:\n${plan.take(2000)}")
+    // the join moves no rows: the only exchanges are the aggregation
+    // and the output sort (formatted plans list each node in the tree
+    // and the details; count tree entries)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllMatchIn(plan).size
+    assert(exchanges <= 2,
+      s"bucketing lost — join re-shuffles ($exchanges exchanges):\n$plan")
+  }
+
   test("q98_uniq_upto aggregates with a partial (map-side) pass") {
     val plan = planOf("q98_uniq_upto")
     // typed Aggregator partial states must combine map-side: the plan
