@@ -2209,10 +2209,90 @@ object Dedup {
         expr("__tok * 100 div n_chunks").cast(LongType).as("mean_len_x100"))
   }
 
+  // dedup_bbit — b-bit minhash (Li & König, WWW 2010: store only the
+  // LOWEST b bits of each permutation's min-hash — 16 bits per doc here
+  // for b=1, k=16 — a 64× signature compression whose agreement rate
+  // still estimates Jaccard: E[agree] = J + (1−J)/2, so
+  // Ĵ = 2·agree/k − 1). Audited on the planted twin pairs against the
+  // full 61-bit-value estimator from the SAME signatures: per-estimator
+  // means in exact bp, the mean absolute gap, and detection agreement
+  // at the 0.5 threshold. One signature scan (codegen'd graft_minhash),
+  // one id-keyed join of originals to twins — no pairwise stage, no FP.
+  val bbit = Q(
+    "dedup_bbit",
+    Some {
+      val al = PortableHash.coefASql(16)
+      val bl = PortableHash.coefBSql(16)
+      val shingleStr = "array_to_string(list_slice(ws, i, i + 2), ' ')"
+      s"""
+      WITH $corpusSql,
+      words AS (SELECT doc_id, list_filter(STRING_SPLIT_REGEX(TRIM(text), '\\s+'),
+                   w -> w <> '') AS ws FROM corpus),
+      sh AS (
+        SELECT doc_id, ${PortableHash.wordHashSql(shingleStr)} AS h
+        FROM words, UNNEST(RANGE(1, GREATEST(LEN(ws) - 2, 1) + 1)) AS t(i)),
+      sigv AS (
+        SELECT doc_id, j,
+               MIN((list_extract($al, j + 1) * h + list_extract($bl, j + 1)) % $P) AS v
+        FROM sh, UNNEST(RANGE(0, 16)) AS t2(j)
+        GROUP BY doc_id, j),
+      sigs AS (SELECT doc_id, LIST(v ORDER BY j) AS sig FROM sigv GROUP BY doc_id),
+      pairs AS (
+        SELECT o.doc_id AS id1, o.sig AS sig1, tw.sig AS sig2
+        FROM sigs o JOIN sigs tw ON tw.doc_id = o.doc_id + 1000000
+        WHERE o.doc_id < 1000000),
+      est AS (
+        SELECT id1,
+               LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sig1, sig2),
+                 p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) * 625 AS full_bp,
+               GREATEST(0, (2 * LIST_SUM(LIST_TRANSFORM(LIST_ZIP(sig1, sig2),
+                 p -> CASE WHEN p[1] % 2 = p[2] % 2 THEN 1 ELSE 0 END)) - 16)
+                 * 625) AS bbit_bp
+        FROM pairs)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(full_bp) // COUNT(*) AS BIGINT) AS mean_full_bp,
+             CAST(SUM(bbit_bp) // COUNT(*) AS BIGINT) AS mean_bbit_bp,
+             CAST(SUM(ABS(bbit_bp - full_bp)) // COUNT(*) AS BIGINT) AS mean_abs_gap_bp,
+             CAST(COUNT(CASE WHEN (full_bp >= 5000) = (bbit_bp >= 5000)
+               THEN 1 END) AS BIGINT) AS detect_agree
+      FROM est
+      """
+    }
+  ) { t =>
+    graft.functions.GraftFunctions.register(t.spark)
+    val sig = withTwins(t)
+      .select(col("doc_id"), call_function("graft_minhash", col("text")).as("sig"))
+    val orig = sig.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("id1"), col("sig").as("sig1"))
+    val twin = sig.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("id1"), col("sig").as("sig2"))
+    val est = orig.join(twin, "id1")
+      .select(col("id1"),
+        (aggregate(zip_with(col("sig1"), col("sig2"),
+          (a, b) => when(a === b, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x) * 625L).as("full_bp"),
+        greatest(lit(0L),
+          (aggregate(zip_with(col("sig1"), col("sig2"),
+            (a, b) => when(a % 2 === b % 2, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x) * 2L - 16L) * 625L).as("bbit_bp"))
+    est.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("full_bp")).as("__sf"),
+      sum(col("bbit_bp")).as("__sb"),
+      sum(abs(col("bbit_bp") - col("full_bp"))).as("__sg"),
+      count(when((col("full_bp") >= 5000) === (col("bbit_bp") >= 5000), 1))
+        .as("detect_agree"))
+      .select(col("n_pairs"),
+        expr("__sf div n_pairs").cast(LongType).as("mean_full_bp"),
+        expr("__sb div n_pairs").cast(LongType).as("mean_bbit_bp"),
+        expr("__sg div n_pairs").cast(LongType).as("mean_abs_gap_bp"),
+        col("detect_agree"))
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
     thresholdSweep, hubRank, canonical, editDistance, similarSearch,
-    triangles, detectorAgreement, winnow, componentSizes, cdc)
+    triangles, detectorAgreement, winnow, componentSizes, cdc, bbit)
 }

@@ -1907,10 +1907,72 @@ object TextOps {
       .orderBy(col("source"), col("rnk"))
   }
 
+  // pipe_interleave — deterministic proportional source interleaving
+  // (the data-loader mixing order of T5/GPT-style training: each source
+  // spreads EVENLY through the global stream in proportion to its
+  // size, not in blocks): doc r of 1..n_s from source s lands at
+  // Bresenham position p = (2r−1)·N div (2·n_s) — exact integers, no
+  // RNG — and the global order is (p, source, doc_id). Scale shape:
+  // per-source ranks ride GroupedPrefix (range slices, never
+  // |sources| corpus sorts), N and n_s broadcast back, and the emitted
+  // HEAD of the stream is cut by a position prefilter BEFORE any
+  // global sort: the k-th smallest position is < k + max_p_step, so
+  // p ≤ 40 bounds the candidate set to ≲ 40 + |sources| rows — the
+  // only globally-sorted relation at any corpus size.
+  val interleave = Q(
+    "pipe_interleave",
+    Some("""
+      WITH counts AS (
+        SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+      tot AS (SELECT SUM(n_s) AS n FROM counts),
+      ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS r
+        FROM documents),
+      placed AS (
+        SELECT d.doc_id, d.source,
+               (2 * d.r - 1) * t.n // (2 * c.n_s) AS p
+        FROM ranked d JOIN counts c ON c.source = d.source, tot t),
+      head AS (
+        SELECT doc_id, source, p,
+               ROW_NUMBER() OVER (ORDER BY p, source, doc_id) AS seq_no
+        FROM placed)
+      SELECT CAST(seq_no AS BIGINT) AS seq_no, source,
+             CAST(doc_id AS BIGINT) AS doc_id, CAST(p AS BIGINT) AS p
+      FROM head WHERE seq_no <= 20
+      ORDER BY seq_no
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = t.documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum(col("n_s")).as("n"))
+    val ranked = graft.plans.GroupedPrefix.withRank(
+      t.documents.select(col("doc_id"), col("source")),
+      Seq("source"), col("doc_id"), "r")
+    val placed = ranked
+      .join(broadcast(counts), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("source"),
+        expr("(2 * r - 1) * n div (2 * n_s)").as("p"))
+    // density bound: #rows with p ≤ x is ≈ x (+1 per source), so p ≤ 40
+    // always covers the first 20 — the global sort runs on ≤ 40+|src|
+    // rows regardless of corpus size
+    val w = Window.orderBy(col("p"), col("source"), col("doc_id"))
+    placed.filter(col("p") <= 40)
+      .withColumn("seq_no", row_number().over(w).cast(LongType))
+      .filter(col("seq_no") <= 20)
+      .select(col("seq_no"), col("source"),
+        col("doc_id").cast(LongType).as("doc_id"),
+        col("p").cast(LongType).as("p"))
+      .orderBy(col("seq_no"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
     incremental, lenHist,
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
-    countMin, charTrigrams, gopherBattery, langidEval, sttr, rake)
+    countMin, charTrigrams, gopherBattery, langidEval, sttr, rake,
+    interleave)
 }
