@@ -553,6 +553,42 @@ object ClickHouseSql {
         s"GROUP BY ${p.dims.mkString(", ")}"
     } else s"SELECT * ORDER BY ${p.sortCols.mkString(", ")}"
 
+  /** CH `CREATE TABLE a AS b` (bare table reference — a STRUCTURE
+    * clone, never data): replays b's normalized SHOW CREATE DDL under
+    * a's name, so columns, engine, sort key, Nullable set, TTL,
+    * partitioning, and projection DEFINITIONS all carry (projections
+    * arrive unmaterialized — CH clones structure, not parts). An
+    * ENGINE override on the clone form is out of scope and fails
+    * loudly; `AS SELECT`/`AS (…)` fall through to the CTAS path.
+    */
+  private def createTableClone(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText)
+    if (toks.length < 5 || toks.head.lower != "create" ||
+      toks(1).lower != "table") return None
+    var ni = 2
+    var ifNot = false
+    if (toks(ni).lower == "if") { ifNot = true; ni += 3 }
+    if (!toks.lift(ni).exists(isIdent)) return None
+    val table = toks(ni).text
+    if (!toks.lift(ni + 1).exists(_.lower == "as")) return None
+    val srcTok = toks.lift(ni + 2)
+    if (!srcTok.exists(t => isIdent(t) &&
+      !Set("select", "with").contains(t.lower))) return None
+    val src = srcTok.get.text
+    require(toks.drop(ni + 3).forall(_.text == ";"),
+      "CREATE TABLE … AS <table> with trailing clauses (ENGINE " +
+        s"override) is not supported — clone, then ALTER: $sqlText")
+    if (ifNot && (spark.catalog.tableExists(table) ||
+      partitionedTable(table).isDefined))
+      return Some(spark.emptyDataFrame)
+    val ddl = createStatementOf(spark, src)
+    val prefix = s"CREATE TABLE $src"
+    require(ddl.startsWith(prefix), s"unexpected SHOW CREATE shape: $ddl")
+    sql(spark, s"CREATE TABLE $table" + ddl.substring(prefix.length))
+    Some(spark.emptyDataFrame)
+  }
+
   /** `ALTER TABLE t ADD|MATERIALIZE|DROP|CLEAR PROJECTION …`. */
   private def projectionDdl(spark: SparkSession,
     sqlText: String): Option[DataFrame] = {
@@ -759,6 +795,7 @@ object ClickHouseSql {
       .orElse(intoOutfile(spark, sqlText))
       .orElse(insertFormat(spark, sqlText))
       .orElse(insertMvRefresh(spark, sqlText))
+      .orElse(createTableClone(spark, sqlText))
       .orElse(createPartitionedTable(spark, sqlText))
       .orElse(tableLifecycle(spark, sqlText))
       .getOrElse {

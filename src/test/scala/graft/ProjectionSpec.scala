@@ -187,6 +187,56 @@ class ProjectionSpec extends SparkSpec {
     ch("ALTER TABLE prj_ev DROP PROJECTION p_ord")
   }
 
+  test("projection on a PARTITION BY table: rewrite, INSERT maintenance") {
+    Seq("prj_part", "prj_part__parts", "prj_part__proj_pp").foreach(dropAnyType)
+    ch("DROP TABLE IF EXISTS prj_part SYNC")
+    ch("""CREATE TABLE prj_part (d Date, event_type String, vc Int64)
+          ENGINE = MergeTree PARTITION BY toYYYYMM(d) ORDER BY (event_type)""")
+    ch("""INSERT INTO prj_part VALUES
+          ('2024-01-05', 'click', 10), ('2024-01-06', 'click', 5),
+          ('2024-02-01', 'view', 7)""")
+    ch("ALTER TABLE prj_part ADD PROJECTION pp (SELECT event_type, sum(vc), count() GROUP BY event_type)")
+    ch("ALTER TABLE prj_part MATERIALIZE PROJECTION pp")
+    ch("INSERT INTO prj_part VALUES ('2024-02-09', 'view', 100)")
+    val q = """SELECT event_type, sum(vc) AS total, count() AS n
+               FROM prj_part GROUP BY event_type ORDER BY event_type"""
+    assert(ClickHouseSql.rewriteWithProjection(spark, q)
+      .exists(_.contains("prj_part__proj_pp")))
+    val got = ch(q).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("click", 15L, 2L), ("view", 107L, 2L)))
+    ch("DROP TABLE prj_part SYNC")
+  }
+
+  test("CREATE TABLE a AS b clones structure, registries, and projections — not data") {
+    Seq("prj_clone_src", "prj_clone_dst", "prj_clone_src__proj_pc",
+      "prj_clone_dst__proj_pc").foreach(dropAnyType)
+    ch("DROP TABLE IF EXISTS prj_clone_src SYNC")
+    ch("DROP TABLE IF EXISTS prj_clone_dst SYNC")
+    ch("""CREATE TABLE prj_clone_src (user_id UInt64, event_type String, vc Int64,
+          PROJECTION pc (SELECT event_type, sum(vc) GROUP BY event_type))
+          ENGINE = MergeTree ORDER BY (user_id)""")
+    ch("INSERT INTO prj_clone_src VALUES (1, 'click', 10)")
+    ch("CREATE TABLE prj_clone_dst AS prj_clone_src")
+    // structure + registries carried, data NOT
+    assert(spark.table("prj_clone_dst").columns.toSeq ===
+      Seq("user_id", "event_type", "vc"))
+    assert(spark.table("prj_clone_dst").isEmpty)
+    val show = ch("SHOW CREATE TABLE prj_clone_dst").head().getString(0)
+    assert(show.contains("PROJECTION pc"), show)
+    assert(show.contains("ORDER BY (user_id)"), show)
+    // the cloned projection activates independently of the source's
+    ch("INSERT INTO prj_clone_dst VALUES (2, 'view', 7)")
+    ch("ALTER TABLE prj_clone_dst MATERIALIZE PROJECTION pc")
+    val q = "SELECT event_type, sum(vc) AS s FROM prj_clone_dst GROUP BY event_type"
+    assert(ClickHouseSql.rewriteWithProjection(spark, q)
+      .exists(_.contains("prj_clone_dst__proj_pc")))
+    assert(ch(q).collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("view", 7L)))
+    ch("DROP TABLE prj_clone_src SYNC")
+    ch("DROP TABLE prj_clone_dst SYNC")
+  }
+
   test("projections round-trip through SHOW CREATE TABLE / inline CREATE") {
     Seq("prj_rt", "prj_rt2", "prj_rt__proj_p1", "prj_rt2__proj_p1")
       .foreach(dropAnyType)
