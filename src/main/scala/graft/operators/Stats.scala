@@ -1727,7 +1727,74 @@ object Stats {
         expr("__s10 * 10000 div total_cents").cast(LongType).as("top10_share_bp"))
   }
 
+  // q144 — ClickHouse cramersVBiasCorrected(a, b): the Bergsma (2013)
+  // bias-corrected Cramér's V over the same status × priority
+  // contingency table as q72 — φ²_bc = max(0, φ² − (r−1)(c−1)/(n−1)),
+  // r_bc = r − (r−1)²/(n−1), V_bc = √(φ²_bc / min(r_bc−1, c_bc−1)).
+  // Everything downstream of the exact integer cell counts is scalar
+  // arithmetic over one row (the q72/q140 reviewed-DOUBLE class; both
+  // engines share the term order verbatim). Same scale shape as q72:
+  // one map-side groupBy to ≤ r·c cells, windows only over that tiny
+  // relation.
+  val q144 = Q(
+    "q144_cramers_bc",
+    Some("""
+      WITH cells AS (
+        SELECT o_orderstatus AS b, o_orderpriority AS a, COUNT(*) AS o
+        FROM orders GROUP BY 1, 2
+      ), m AS (
+        SELECT a, b, o,
+               SUM(o) OVER (PARTITION BY a) AS ra,
+               SUM(o) OVER (PARTITION BY b) AS cb,
+               SUM(o) OVER () AS n
+        FROM cells
+      ), agg AS (
+        SELECT MAX(n) AS n,
+               COUNT(DISTINCT a) AS nr, COUNT(DISTINCT b) AS nc,
+               SUM((o - ra*cb/CAST(n AS DOUBLE))*(o - ra*cb/CAST(n AS DOUBLE))
+                   / (ra*cb/CAST(n AS DOUBLE))) AS chi2
+        FROM m
+      )
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(nr AS BIGINT) AS r, CAST(nc AS BIGINT) AS c,
+             ROUND(SQRT(
+               GREATEST(0.0, chi2/n - (nr-1.0)*(nc-1.0)/(n-1.0))
+               / (LEAST(nr - (nr-1.0)*(nr-1.0)/(n-1.0),
+                        nc - (nc-1.0)*(nc-1.0)/(n-1.0)) - 1.0)), 4)
+               AS cramers_v_bc
+      FROM agg
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val cells = t.orders
+      .groupBy(col("o_orderstatus").as("b"), col("o_orderpriority").as("a"))
+      .agg(count(lit(1)).as("o"))
+    val m = cells
+      .withColumn("ra", sum(col("o")).over(Window.partitionBy(col("a"))))
+      .withColumn("cb", sum(col("o")).over(Window.partitionBy(col("b"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val e = col("ra").cast(DoubleType) * col("cb").cast(DoubleType) /
+      col("n").cast(DoubleType)
+    m.agg(
+        max(col("n")).as("n"),
+        countDistinct(col("a")).as("nr"),
+        countDistinct(col("b")).as("nc"),
+        sum((col("o") - e) * (col("o") - e) / e).as("chi2"))
+      .select(
+        col("n").cast(LongType).as("n"),
+        col("nr").cast(LongType).as("r"),
+        col("nc").cast(LongType).as("c"),
+        round(sqrt(
+          greatest(lit(0.0),
+            col("chi2") / col("n") -
+              (col("nr") - lit(1.0)) * (col("nc") - lit(1.0)) / (col("n") - lit(1.0))) /
+          (least(
+            col("nr") - (col("nr") - lit(1.0)) * (col("nr") - lit(1.0)) / (col("n") - lit(1.0)),
+            col("nc") - (col("nc") - lit(1.0)) * (col("nc") - lit(1.0)) / (col("n") - lit(1.0)))
+            - lit(1.0))), 4).as("cramers_v_bc"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134, q136,
-    q137, q138, q139, q140, q141, q142)
+    q137, q138, q139, q140, q141, q142, q144)
 }

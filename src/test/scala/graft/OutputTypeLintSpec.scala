@@ -104,6 +104,9 @@ class OutputTypeLintSpec extends SparkSpec {
     // reviewed r10: the q03 revenue arithmetic (exact decimal sum →
     // DOUBLE readout, oracle identical) over the bucketed layout
     "q143_bucketed_join" -> Set("revenue"),
+    // reviewed r10: the q72 chi² class — scalar math over exact counts,
+    // term order shared verbatim with the oracle, one ROUND
+    "q144_cramers_bc" -> Set("cramers_v_bc"),
     // reviewed r9: ln of a ratio of exact BIGINT products (< 2^53, both
     // exactly representable as doubles), term order shared verbatim
     "q131_info_value" -> Set("woe_r4", "ivc_r4"),
