@@ -1968,11 +1968,75 @@ object TextOps {
       .orderBy(col("seq_no"))
   }
 
+  // text_burstiness — per-term burstiness (Church & Gale's
+  // variance-to-mean dispersion: a term whose occurrences CLUMP into
+  // few documents — names, boilerplate, spam — has VMR ≫ 1, while
+  // function words sit near Poisson VMR ≈ 1; corpus pipelines read the
+  // bursty tail as a contamination/boilerplate signal): with
+  // c_{t,d} per-doc counts over all N docs (absent = 0, which the sums
+  // encode for free), VMR_t = (N·Σc² − (Σc)²) / (N·Σc) in exact e4
+  // fixed point, wide products in DECIMAL(38)/HUGEINT. Terms below a
+  // df ≥ 5 floor are dropped (singleton noise); the top-10 bursty
+  // terms ride TopKPerGroup — the vocabulary-sized relation never
+  // funnels into one sort task.
+  val burstiness = Q(
+    "text_burstiness",
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id,
+                list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                  x -> x <> '') AS ws
+              FROM documents), UNNEST(ws) AS t(w)),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      cd AS (SELECT w, doc_id, COUNT(*) AS c FROM toks GROUP BY w, doc_id),
+      per_term AS (
+        SELECT w, COUNT(*) AS df, SUM(c) AS s1, SUM(c * c) AS s2
+        FROM cd GROUP BY w HAVING COUNT(*) >= 5),
+      scored AS (
+        SELECT w, df, s1,
+               (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 10000
+                 // (CAST(n AS HUGEINT) * s1) AS vmr_e4
+        FROM per_term, nn),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY vmr_e4 DESC, w) AS rnk
+        FROM scored)
+      SELECT w AS term, CAST(df AS BIGINT) AS df,
+             CAST(s1 AS BIGINT) AS total_tf,
+             CAST(vmr_e4 AS BIGINT) AS vmr_e4, CAST(rnk AS BIGINT) AS rnk
+      FROM rk WHERE rnk <= 10
+      ORDER BY rnk
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.documents
+      .select(col("doc_id"), explode(filter(words(lower(col("text"))),
+        w => w =!= "")).as("w"))
+    val nn = t.documents.agg(count(lit(1)).as("n"))
+    val cd = toks.groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val perTerm = cd.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .filter(col("df") >= 5)
+    val scored = perTerm.crossJoin(broadcast(nn))
+      .select(col("w"), col("df"), col("s1"),
+        expr("(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)" +
+          " * 10000 div (CAST(n AS DECIMAL(38,0)) * s1)").as("vmr_e4"))
+    val wTop = Window.orderBy(col("vmr_e4").desc, col("w"))
+    graft.plans.TopKPerGroup
+      .topK(scored.withColumn("g", lit(1)), Seq("g"), "vmr_e4", "w", 10)
+      .withColumn("rnk", row_number().over(wTop).cast(LongType))
+      .select(col("w").as("term"), col("df").cast(LongType).as("df"),
+        col("s1").cast(LongType).as("total_tf"),
+        col("vmr_e4").cast(LongType).as("vmr_e4"), col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
     incremental, lenHist,
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
     countMin, charTrigrams, gopherBattery, langidEval, sttr, rake,
-    interleave)
+    interleave, burstiness)
 }
