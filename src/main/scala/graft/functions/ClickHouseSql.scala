@@ -553,6 +553,139 @@ object ClickHouseSql {
         s"GROUP BY ${p.dims.mkString(", ")}"
     } else s"SELECT * ORDER BY ${p.sortCols.mkString(", ")}"
 
+  // ---- system.* introspection tables --------------------------------
+  //
+  // The three system tables every ClickHouse migration queries —
+  // system.tables, system.columns, system.parts — materialized ON
+  // DEMAND from the catalog + the dialect registries + parquet FOOTER
+  // metadata (CH's system.parts is metadata-only; so is this — row
+  // counts come from footers, never a scan). A statement referencing
+  // `system.<t>` has the reference spliced onto a freshly-built temp
+  // view, so WHERE/JOIN/ORDER over system tables run as ordinary SQL.
+
+  /** Visible CH-surface tables: internals (two-piece layout pieces,
+    * detached stores, recycle slots, projection stores) hidden the way
+    * CH hides its own.
+    */
+  private def visibleTables(spark: SparkSession): Seq[String] = {
+    val internal = Seq("__parts", "__detached", "__dropped", "__proj_")
+    spark.catalog.listTables().collect().map(_.name)
+      .filterNot(_.startsWith("__"))
+      .filterNot(n => internal.exists(n.contains)).sorted.toSeq
+  }
+
+  private def engineTextOf(table: String): String = engineOf(table) match {
+    case Some(Replacing(_, ver)) => s"ReplacingMergeTree(${ver.mkString(", ")})"
+    case Some(Collapsing(_, sign, ver)) =>
+      s"CollapsingMergeTree(${(sign +: ver).mkString(", ")})"
+    case Some(Summing(_, measures)) =>
+      s"SummingMergeTree(${measures.mkString(", ")})"
+    case Some(Aggregating(_, _)) => "AggregatingMergeTree"
+    case None => "MergeTree"
+  }
+
+  /** (file path → (rows, bytes)) from the parquet FOOTER + file status —
+    * metadata-only, the system.parts contract.
+    */
+  private def footerStats(spark: SparkSession,
+    path: String): (Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bytes = p.getFileSystem(conf).getFileStatus(p).getLen
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try (r.getRecordCount, bytes) finally r.close()
+  }
+
+  private def dataFilesOf(spark: SparkSession, table: String): Seq[String] =
+    spark.table(table).inputFiles.toSeq.sorted
+
+  /** The partition VALUE a file path carries (`…/col=v/part.parquet`),
+    * or CH's `all` for unpartitioned layouts.
+    */
+  private def partitionOfPath(path: String): String = {
+    val segs = path.split('/')
+    segs.reverse.drop(1).find(_.contains("="))
+      .map(_.split("=", 2)(1)).getOrElse("all")
+  }
+
+  /** A CH-surface TABLE (not a plain/temp view): either a registered
+    * partitioned two-piece layout (whose declared name is a view by
+    * construction) or a catalog MANAGED/EXTERNAL table.
+    */
+  private def isBaseTable(spark: SparkSession, t: String): Boolean =
+    partitionedTable(t).isDefined ||
+      (try {
+        val tt = spark.catalog.getTable(t).tableType
+        tt == "MANAGED" || tt == "EXTERNAL"
+      } catch { case scala.util.control.NonFatal(_) => false })
+
+  private def buildSystemView(spark: SparkSession, kind: String): String = {
+    import org.apache.spark.sql.types.{LongType => LT, StringType => ST,
+      StructField, StructType}
+    import org.apache.spark.sql.Row
+    val rows = new java.util.ArrayList[Row]
+    val (viewName, schema) = kind match {
+      case "tables" =>
+        visibleTables(spark).foreach { t =>
+          if (isBaseTable(spark, t)) {
+            val stats = dataFilesOf(spark, t).map(footerStats(spark, _))
+            rows.add(Row(t, engineTextOf(t),
+              partitionedTable(t).map(pt =>
+                pt.chSpec.getOrElse(pt.partCols.head)).getOrElse(""),
+              sortKeyOf(t).map(_.mkString(", ")).getOrElse(""),
+              stats.map(_._1).sum, stats.map(_._2).sum))
+          }
+        }
+        ("__ch_system_tables", StructType(Seq(
+          StructField("name", ST), StructField("engine", ST),
+          StructField("partition_key", ST), StructField("sorting_key", ST),
+          StructField("total_rows", LT), StructField("total_bytes", LT))))
+      case "columns" =>
+        visibleTables(spark).foreach { t =>
+          spark.table(t).schema.fields.zipWithIndex.foreach { case (f, i) =>
+            rows.add(Row(t, f.name, chTypeBack(t, f), (i + 1).toLong))
+          }
+        }
+        ("__ch_system_columns", StructType(Seq(
+          StructField("table", ST), StructField("name", ST),
+          StructField("type", ST), StructField("position", LT))))
+      case "parts" =>
+        visibleTables(spark).foreach { t =>
+          if (isBaseTable(spark, t)) dataFilesOf(spark, t).foreach { f =>
+            val (r, b) = footerStats(spark, f)
+            rows.add(Row(t, partitionOfPath(f),
+              f.substring(f.lastIndexOf('/') + 1), r, b))
+          }
+        }
+        ("__ch_system_parts", StructType(Seq(
+          StructField("table", ST), StructField("partition", ST),
+          StructField("name", ST), StructField("rows", LT),
+          StructField("bytes_on_disk", LT))))
+      case other => throw new IllegalArgumentException(
+        s"unsupported system table system.$other — " +
+          "system.tables/columns/parts are available")
+    }
+    spark.createDataFrame(rows, schema).createOrReplaceTempView(viewName)
+    viewName
+  }
+
+  /** Splice every `system.<t>` reference onto a freshly-materialized
+    * temp view; None when the text references no system table.
+    */
+  private def systemTablesRewrite(spark: SparkSession,
+    sqlText: String): Option[String] = {
+    val ts = lex(sqlText)
+    val hits = ts.filter(t => t.lower.startsWith("system."))
+    if (hits.isEmpty) return None
+    val sb = new StringBuilder(sqlText)
+    for (t <- hits.reverse) {
+      val kind = t.lower.stripPrefix("system.")
+      sb.replace(t.start, t.end, buildSystemView(spark, kind))
+    }
+    Some(sb.toString)
+  }
+
   /** CH `CREATE TABLE a AS b` (bare table reference — a STRUCTURE
     * clone, never data): replays b's normalized SHOW CREATE DDL under
     * a's name, so columns, engine, sort key, Nullable set, TTL,
@@ -811,11 +944,14 @@ object ClickHouseSql {
           toks.lift(ni).filter(isIdent)
             .foreach(t => clearStaleLocation(spark, t.text))
         }
-        // CH optimize_use_projections (default on): a single-table
+        // system.* references materialize their introspection views and
+        // splice onto them first; then the projection read rewrite
+        // (CH optimize_use_projections, default on): a single-table
         // aggregate SELECT that a live projection covers reads the
         // projection's partial store instead of the base table
-        val effective = rewriteWithProjection(spark, sqlText)
-          .getOrElse(sqlText)
+        val sysText = systemTablesRewrite(spark, sqlText).getOrElse(sqlText)
+        val effective = rewriteWithProjection(spark, sysText)
+          .getOrElse(sysText)
         spark.sql(rewrite(effective, t => spark.table(t).columns.toSeq))
       }
 
@@ -1451,7 +1587,7 @@ object ClickHouseSql {
       else return None // SHOW TABLES FROM/IN db — no databases here
     val rx = pat.map(p => ("^" + java.util.regex.Pattern.quote(p)
       .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r)
-    val internal = Seq("__parts", "__detached", "__dropped")
+    val internal = Seq("__parts", "__detached", "__dropped", "__proj_")
     val names = spark.catalog.listTables().collect()
       .map(_.name)
       .filterNot(n => internal.exists(n.contains))

@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.ClickHouseSql
+import org.apache.spark.sql.functions._
+
+/** The CH system.* introspection tables: materialized on demand from
+  * the catalog + registries + parquet FOOTER metadata (never a scan),
+  * queryable with ordinary WHERE/ORDER/JOIN SQL.
+  */
+class SystemTablesSpec extends SparkSpec {
+
+  private def ch(s: String) = ClickHouseSql.sql(spark, s)
+
+  private def dropAnyType(name: String): Unit = {
+    if (spark.catalog.tableExists(name)) {
+      val isView = spark.catalog.getTable(name).tableType == "VIEW"
+      spark.sql(s"DROP ${if (isView) "VIEW" else "TABLE"} $name")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), name))
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Seq("sysd_plain", "sysd_part", "sysd_part__parts").foreach(dropAnyType)
+    ch("DROP TABLE IF EXISTS sysd_plain SYNC")
+    ch("DROP TABLE IF EXISTS sysd_part SYNC")
+    ch("""CREATE TABLE sysd_plain (user_id UInt64, v Nullable(Int64))
+          ENGINE = ReplacingMergeTree(v) ORDER BY (user_id)""")
+    ch("INSERT INTO sysd_plain VALUES (1, 10), (2, 20), (3, 30)")
+    ch("""CREATE TABLE sysd_part (d Date, vc Int64)
+          ENGINE = MergeTree PARTITION BY toYYYYMM(d) ORDER BY (d)""")
+    ch("""INSERT INTO sysd_part VALUES
+          ('2024-01-05', 1), ('2024-01-06', 2), ('2024-02-01', 3)""")
+  }
+
+  test("system.tables: engine, keys, and footer-metadata row counts") {
+    val r = ch("""SELECT name, engine, partition_key, sorting_key, total_rows
+                  FROM system.tables WHERE name LIKE 'sysd_%' ORDER BY name""")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getString(2),
+        x.getString(3), x.getLong(4)))
+    assert(r.toSeq === Seq(
+      ("sysd_part", "MergeTree", "toYYYYMM(d)", "d", 3L),
+      ("sysd_plain", "ReplacingMergeTree(v)", "", "user_id", 3L)))
+    // internals (two-piece physical, projection stores) never listed
+    assert(ch("SELECT count() AS n FROM system.tables WHERE name LIKE '%__parts'")
+      .head().getLong(0) === 0L)
+  }
+
+  test("system.columns: declared order and normalized CH types") {
+    val r = ch("""SELECT name, type, position FROM system.columns
+                  WHERE table = 'sysd_plain' ORDER BY position""")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    // UInt64 normalizes to Int64 (Spark has no unsigned) — the same
+    // spelling SHOW CREATE TABLE prints
+    assert(r.toSeq === Seq(("user_id", "Int64", 1L), ("v", "Nullable(Int64)", 2L)))
+  }
+
+  test("system.parts: one row per data file with partition values and footer rows") {
+    val parts = ch("""SELECT partition, rows FROM system.parts
+                      WHERE table = 'sysd_part' ORDER BY partition""")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    // two partitions; per-partition footer row counts sum to the table
+    assert(parts.map(_._1).toSet === Set("202401", "202402"))
+    assert(parts.map(_._2).sum === 3L)
+    val plain = ch("SELECT partition FROM system.parts WHERE table = 'sysd_plain'")
+      .collect().map(_.getString(0)).toSet
+    assert(plain === Set("all"))
+    // metadata joins work like any relation
+    val joined = ch("""SELECT t.name, sum(p.rows) AS r
+                       FROM system.tables t JOIN system.parts p ON p.table = t.name
+                       WHERE t.name LIKE 'sysd_%' GROUP BY t.name ORDER BY t.name""")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(joined.toSeq === Seq(("sysd_part", 3L), ("sysd_plain", 3L)))
+  }
+
+  override def afterAll(): Unit = {
+    ch("DROP TABLE IF EXISTS sysd_plain SYNC")
+    ch("DROP TABLE IF EXISTS sysd_part SYNC")
+    super.afterAll()
+  }
+}
