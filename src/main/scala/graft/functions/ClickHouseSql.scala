@@ -628,14 +628,14 @@ object ClickHouseSql {
     val (viewName, schema) = kind match {
       case "tables" =>
         visibleTables(spark).foreach { t =>
-          if (isBaseTable(spark, t)) {
+          if (isBaseTable(spark, t)) try {
             val stats = dataFilesOf(spark, t).map(footerStats(spark, _))
             rows.add(Row(t, engineTextOf(t),
               partitionedTable(t).map(pt =>
                 pt.chSpec.getOrElse(pt.partCols.head)).getOrElse(""),
               sortKeyOf(t).map(_.mkString(", ")).getOrElse(""),
               stats.map(_._1).sum, stats.map(_._2).sum))
-          }
+          } catch { case scala.util.control.NonFatal(_) => () } // non-parquet table: skip
         }
         ("__ch_system_tables", StructType(Seq(
           StructField("name", ST), StructField("engine", ST),
@@ -643,20 +643,25 @@ object ClickHouseSql {
           StructField("total_rows", LT), StructField("total_bytes", LT))))
       case "columns" =>
         visibleTables(spark).foreach { t =>
-          spark.table(t).schema.fields.zipWithIndex.foreach { case (f, i) =>
-            rows.add(Row(t, f.name, chTypeBack(t, f), (i + 1).toLong))
-          }
+          // total by construction: a column with no CH spelling (a type
+          // some non-dialect table declared) reports Spark's own SQL
+          // type — a system view must never make a query throw
+          try spark.table(t).schema.fields.zipWithIndex.foreach { case (f, i) =>
+            val tpe = try chTypeBack(t, f)
+            catch { case _: IllegalArgumentException => f.dataType.sql }
+            rows.add(Row(t, f.name, tpe, (i + 1).toLong))
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
         ("__ch_system_columns", StructType(Seq(
           StructField("table", ST), StructField("name", ST),
           StructField("type", ST), StructField("position", LT))))
       case "parts" =>
         visibleTables(spark).foreach { t =>
-          if (isBaseTable(spark, t)) dataFilesOf(spark, t).foreach { f =>
+          if (isBaseTable(spark, t)) try dataFilesOf(spark, t).foreach { f =>
             val (r, b) = footerStats(spark, f)
             rows.add(Row(t, partitionOfPath(f),
               f.substring(f.lastIndexOf('/') + 1), r, b))
-          }
+          } catch { case scala.util.control.NonFatal(_) => () } // non-parquet table: skip
         }
         ("__ch_system_parts", StructType(Seq(
           StructField("table", ST), StructField("partition", ST),
