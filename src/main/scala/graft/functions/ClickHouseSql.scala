@@ -472,6 +472,15 @@ object ClickHouseSql {
     val body = sqlText.substring(
       if (known(mode)) toks(1).end else toks.head.end).trim
     require(body.nonEmpty, s"EXPLAIN expects a statement: $sqlText")
+    // EXPLAIN must never MUTATE: dialect verbs (INSERT, OPTIMIZE,
+    // ALTER … DELETE, DROP, TRUNCATE, projection DDL, …) dispatch
+    // EAGERLY through sql(), so planning them would execute them.
+    // Restrict the body to read-only statements up front.
+    val bodyHead = lex(body).headOption.map(_.lower).getOrElse("")
+    require(bodyHead == "select" || bodyHead == "with",
+      "EXPLAIN supports SELECT/WITH bodies only — dialect DDL/DML " +
+        "verbs execute eagerly and an EXPLAIN must never mutate " +
+        s"state: $sqlText")
     import spark.implicits._
     def lines(s: String): DataFrame =
       s.split('\n').toSeq.toDF("explain")
@@ -584,21 +593,61 @@ object ClickHouseSql {
     case None => "MergeTree"
   }
 
-  /** (file path → (rows, bytes)) from the parquet FOOTER + file status —
-    * metadata-only, the system.parts contract.
-    */
-  private def footerStats(spark: SparkSession,
-    path: String): (Long, Long) = {
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(path)
-    val bytes = p.getFileSystem(conf).getFileStatus(p).getLen
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-    try (r.getRecordCount, bytes) finally r.close()
-  }
-
   private def dataFilesOf(spark: SparkSession, table: String): Seq[String] =
     spark.table(table).inputFiles.toSeq.sorted
+
+  /** Footer opens performed by [[footerStatsOf]] since JVM start —
+    * observable in local mode (tasks share the JVM), which is how
+    * SystemTablesSpec proves a repeated system.* query does ZERO
+    * footer I/O.
+    */
+  private[graft] val footerReads = new java.util.concurrent.atomic.AtomicLong
+
+  // (table → (file-list fingerprint, per-file stats)) — one live entry
+  // per table, so the memo is bounded by the catalog size
+  private val footerMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(String, Long, Long)])]
+
+  /** Per-file `(path, rows, bytes)` for all of `table`'s data files —
+    * parquet FOOTER + file status only (the system.parts contract:
+    * metadata, never a data scan). The footer reads run ON THE CLUSTER
+    * (the file list is parallelized; at 100 TB ≈ 10⁶ files a serial
+    * per-file loop on the driver thread would be minutes-to-hours of
+    * FS round-trips), and the result is memoized per (table, file-list
+    * fingerprint): part files are immutable and job-unique by name, so
+    * an unchanged list means unchanged stats and a repeated system.*
+    * query costs zero footer I/O — ClickHouse answers system.parts
+    * from in-memory parts metadata; after the first build, so does
+    * this.
+    */
+  private[graft] def footerStatsOf(spark: SparkSession,
+    table: String): Seq[(String, Long, Long)] = {
+    val files = dataFilesOf(spark, table)
+    if (files.isEmpty) return Nil
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.foreach(f => md.update(f.getBytes("UTF-8")))
+    val fp = md.digest().map("%02x".format(_)).mkString
+    val key = norm(table)
+    val hit = footerMemo.get(key)
+    if (hit != null && hit._1 == fp) return hit._2
+    val sc = spark.sparkContext
+    val confW = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
+    val slices = math.max(1, math.min(files.length, sc.defaultParallelism))
+    val stats = sc.parallelize(files, slices).map { f =>
+      // static module access (no closure capture): in local mode the
+      // task hits the driver's singleton, which is what the spec reads
+      ClickHouseSql.footerReads.incrementAndGet()
+      val conf = confW.value
+      val p = new org.apache.hadoop.fs.Path(f)
+      val bytes = p.getFileSystem(conf).getFileStatus(p).getLen
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try (f, r.getRecordCount, bytes) finally r.close()
+    }.collect().toSeq.sortBy(_._1)
+    footerMemo.put(key, (fp, stats))
+    stats
+  }
 
   /** The partition VALUE a file path carries (`…/col=v/part.parquet`),
     * or CH's `all` for unpartitioned layouts.
@@ -629,12 +678,12 @@ object ClickHouseSql {
       case "tables" =>
         visibleTables(spark).foreach { t =>
           if (isBaseTable(spark, t)) try {
-            val stats = dataFilesOf(spark, t).map(footerStats(spark, _))
+            val stats = footerStatsOf(spark, t)
             rows.add(Row(t, engineTextOf(t),
               partitionedTable(t).map(pt =>
                 pt.chSpec.getOrElse(pt.partCols.head)).getOrElse(""),
               sortKeyOf(t).map(_.mkString(", ")).getOrElse(""),
-              stats.map(_._1).sum, stats.map(_._2).sum))
+              stats.map(_._2).sum, stats.map(_._3).sum))
           } catch { case scala.util.control.NonFatal(_) => () } // non-parquet table: skip
         }
         ("__ch_system_tables", StructType(Seq(
@@ -657,11 +706,11 @@ object ClickHouseSql {
           StructField("type", ST), StructField("position", LT))))
       case "parts" =>
         visibleTables(spark).foreach { t =>
-          if (isBaseTable(spark, t)) try dataFilesOf(spark, t).foreach { f =>
-            val (r, b) = footerStats(spark, f)
-            rows.add(Row(t, partitionOfPath(f),
-              f.substring(f.lastIndexOf('/') + 1), r, b))
-          } catch { case scala.util.control.NonFatal(_) => () } // non-parquet table: skip
+          if (isBaseTable(spark, t)) try footerStatsOf(spark, t)
+            .foreach { case (f, r, b) =>
+              rows.add(Row(t, partitionOfPath(f),
+                f.substring(f.lastIndexOf('/') + 1), r, b))
+            } catch { case scala.util.control.NonFatal(_) => () } // non-parquet table: skip
         }
         ("__ch_system_parts", StructType(Seq(
           StructField("table", ST), StructField("partition", ST),
@@ -879,6 +928,14 @@ object ClickHouseSql {
         .sortBy(p => (p.dims.length, p.name)).headOption
       fit.map { p =>
         val store = projStore(table, p.name)
+        // the store holds sum-widened partials; SUM over a DECIMAL
+        // store column would re-widen (p+10 → p+20), making the
+        // query's output schema depend on whether a projection
+        // matched — cast the combine back to the stored (= base
+        // query's) type so rewritten and unrewritten runs agree
+        val storeTypes = spark.table(store).schema
+          .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType)
+          .toMap
         val outItems = items.map { it =>
           it.agg match {
             case Some(a) =>
@@ -888,7 +945,13 @@ object ClickHouseSql {
                 case "max" => "MAX"
               }
               val alias = it.alias.getOrElse("`" + it.text + "`")
-              s"$combine(${q1(a.store)}) AS $alias"
+              val inner = s"$combine(${q1(a.store)})"
+              val kept = storeTypes.get(a.store) match {
+                case Some(d: org.apache.spark.sql.types.DecimalType)
+                  if combine == "SUM" => s"CAST($inner AS ${d.sql})"
+                case _ => inner
+              }
+              s"$kept AS $alias"
             case None =>
               it.text + it.alias.map(a => s" AS $a").getOrElse("")
           }
@@ -2291,6 +2354,11 @@ object ClickHouseSql {
                   run(table, s"SELECT ${qcols(keep).mkString(", ")} " +
                     s"FROM $phys WHERE NOT (${q1(pc)} <=> $valueText)")
               }
+              // in CH projections are part-local, so a partition drop
+              // removes their parts with it; this table-level store
+              // must rebuild explicitly or a covered query would keep
+              // answering from the dropped partition's partials
+              rematerializeProjections(spark, table)
               Some(spark.table(table).limit(0))
             case None => throw new IllegalArgumentException(
               s"DROP PARTITION: $table has no partition column — " +
@@ -2326,6 +2394,9 @@ object ClickHouseSql {
               s"ALTER TABLE … ATTACH PARTITION needs a value: $sqlText")
             attachFromDetached(spark, table, valueText)
           }
+          // ATTACH appends parts without the INSERT projection hook
+          // (writeBlock, not playInsert) — rebuild the stores here
+          rematerializeProjections(spark, table)
           Some(spark.table(table).limit(0))
         case "replace" if toks.lift(4).exists(_.lower == "partition") =>
           // `ALTER TABLE dst REPLACE PARTITION v FROM src` — dst's
@@ -2341,6 +2412,9 @@ object ClickHouseSql {
             s"REPLACE PARTITION needs a value: $sqlText")
           sql(spark, s"ALTER TABLE $table DROP PARTITION $valueText")
           copyPartition(spark, toks(fromIdx + 1).text, table, valueText)
+          // the copy lands via writeBlock (no projection hook) —
+          // rebuild after the final table contents are in place
+          rematerializeProjections(spark, table)
           Some(spark.table(table).limit(0))
         case "move" if toks.lift(4).exists(_.lower == "partition") =>
           // `ALTER TABLE src MOVE PARTITION v TO TABLE dst` — the data
@@ -2354,6 +2428,9 @@ object ClickHouseSql {
           require(valueText.nonEmpty, s"MOVE PARTITION needs a value: $sqlText")
           val dst = toks(toIdx + 2).text
           copyPartition(spark, table, dst, valueText)
+          // dst gained rows outside the INSERT projection hook; src's
+          // own rebuild rides the DROP PARTITION handler below
+          rematerializeProjections(spark, dst)
           sql(spark, s"ALTER TABLE $table DROP PARTITION $valueText")
           Some(spark.table(dst).limit(0))
         case "clear" if toks.lift(4).exists(_.lower == "column") =>

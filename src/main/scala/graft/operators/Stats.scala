@@ -1723,8 +1723,14 @@ object Stats {
         sum(when(expr("rn <= (n + 99) div 100"), col("cents"))).as("__s1"),
         sum(when(expr("rn <= (n + 9) div 10"), col("cents"))).as("__s10"))
       .select(col("n_customers"), col("total_cents"),
-        expr("__s1 * 10000 div total_cents").cast(LongType).as("top1_share_bp"),
-        expr("__s10 * 10000 div total_cents").cast(LongType).as("top10_share_bp"))
+        // total cents reach ~1e17–1e18 at the 100 TB target, so the
+        // ×10000 numerator wraps BIGINT — widen to DECIMAL(38,0)
+        // first (the text_burstiness convention); DuckDB's SUM runs
+        // in HUGEINT so the oracle never wrapped
+        expr("CAST(__s1 AS DECIMAL(38,0)) * 10000 div total_cents")
+          .cast(LongType).as("top1_share_bp"),
+        expr("CAST(__s10 AS DECIMAL(38,0)) * 10000 div total_cents")
+          .cast(LongType).as("top10_share_bp"))
   }
 
   // q144 — ClickHouse cramersVBiasCorrected(a, b): the Bergsma (2013)

@@ -1946,20 +1946,25 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val counts = t.documents.groupBy(col("source"))
       .agg(count(lit(1)).as("n_s"))
-    val tot = counts.agg(sum(col("n_s")).as("n"))
+    val tot = counts.agg(sum(col("n_s")).as("n"),
+      count(lit(1)).as("n_sources"))
     val ranked = graft.plans.GroupedPrefix.withRank(
       t.documents.select(col("doc_id"), col("source")),
       Seq("source"), col("doc_id"), "r")
     val placed = ranked
       .join(broadcast(counts), "source")
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("n_sources"),
         expr("(2 * r - 1) * n div (2 * n_s)").as("p"))
-    // density bound: #rows with p ≤ x is ≈ x (+1 per source), so p ≤ 40
-    // always covers the first 20 — the global sort runs on ≤ 40+|src|
-    // rows regardless of corpus size
+    // density bound, source-count-aware: with S sources and N > x,
+    // #rows with p ≤ x is ≥ x+1−S/2 (each source s contributes
+    // ≥ (x+1)·n_s/N − 1/2 of them), so x = 40+S always covers the
+    // first 20 — a corpus of many TINY sources pushes every first
+    // position up to ~N/(2·n_s), which a fixed cut would miss
+    // entirely. The global sort still runs on ≲ 40+2S candidate rows
+    // regardless of corpus size.
     val w = Window.orderBy(col("p"), col("source"), col("doc_id"))
-    placed.filter(col("p") <= 40)
+    placed.filter(col("p") <= lit(40) + col("n_sources"))
       .withColumn("seq_no", row_number().over(w).cast(LongType))
       .filter(col("seq_no") <= 20)
       .select(col("seq_no"), col("source"),

@@ -208,6 +208,79 @@ class ProjectionSpec extends SparkSpec {
     ch("DROP TABLE prj_part SYNC")
   }
 
+  test("partition verbs rebuild live projections (DROP / ATTACH FROM)") {
+    Seq("prj_pv", "prj_pv__parts", "prj_pv__proj_pv",
+      "prj_pv2", "prj_pv2__parts").foreach(dropAnyType)
+    ch("DROP TABLE IF EXISTS prj_pv SYNC")
+    ch("DROP TABLE IF EXISTS prj_pv2 SYNC")
+    ch("""CREATE TABLE prj_pv (d Date, event_type String, vc Int64)
+          ENGINE = MergeTree PARTITION BY toYYYYMM(d) ORDER BY (event_type)""")
+    ch("""INSERT INTO prj_pv VALUES
+          ('2024-01-05', 'click', 10), ('2024-01-06', 'click', 5),
+          ('2024-02-01', 'click', 7)""")
+    ch("ALTER TABLE prj_pv ADD PROJECTION pv (SELECT event_type, sum(vc) GROUP BY event_type)")
+    ch("ALTER TABLE prj_pv MATERIALIZE PROJECTION pv")
+    val q = "SELECT event_type, sum(vc) AS s FROM prj_pv GROUP BY event_type"
+    assert(ch(q).head().getLong(1) === 22L)
+    // DROP PARTITION's NATIVE (metadata) path must not leave the
+    // projection store answering with the dropped partition's rows
+    ch("ALTER TABLE prj_pv DROP PARTITION 202401")
+    assert(ClickHouseSql.rewriteWithProjection(spark, q)
+      .exists(_.contains("prj_pv__proj_pv")))
+    assert(ch(q).collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("click", 7L)))
+    // ATTACH … FROM appends parts outside the INSERT hook — the
+    // covered answer must include them
+    ch("""CREATE TABLE prj_pv2 (d Date, event_type String, vc Int64)
+          ENGINE = MergeTree PARTITION BY toYYYYMM(d) ORDER BY (event_type)""")
+    ch("INSERT INTO prj_pv2 VALUES ('2024-03-01', 'click', 100)")
+    ch("ALTER TABLE prj_pv ATTACH PARTITION 202403 FROM prj_pv2")
+    assert(ch(q).collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("click", 107L)))
+    ch("DROP TABLE prj_pv SYNC")
+    ch("DROP TABLE prj_pv2 SYNC")
+  }
+
+  test("EXPLAIN never mutates: non-SELECT bodies are rejected up front") {
+    freshBase("prj_expl")
+    val n0 = spark.table("prj_expl").count()
+    val e = intercept[IllegalArgumentException] {
+      ch("EXPLAIN INSERT INTO prj_expl VALUES ('click', 1, 10)")
+    }
+    assert(e.getMessage.contains("never mutate"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      ch("EXPLAIN AST TRUNCATE TABLE prj_expl")
+    }
+    assert(spark.table("prj_expl").count() === n0,
+      "EXPLAIN of a DML verb must not execute it")
+    // WITH bodies stay explainable
+    assert(ch("EXPLAIN WITH x AS (SELECT 1 AS a) SELECT a FROM x").count() > 0)
+  }
+
+  test("SUM over DECIMAL keeps its result type through the projection rewrite") {
+    Seq("prj_dec", "prj_dec__proj_pd").foreach(dropAnyType)
+    ch("DROP TABLE IF EXISTS prj_dec SYNC")
+    ch("""CREATE TABLE prj_dec (event_type String, dv Decimal(18,2))
+          ENGINE = MergeTree ORDER BY (event_type)""")
+    ch("INSERT INTO prj_dec VALUES ('click', 1.25), ('click', 2.50), ('view', 3.00)")
+    ch("ALTER TABLE prj_dec ADD PROJECTION pd (SELECT event_type, sum(dv) GROUP BY event_type)")
+    ch("ALTER TABLE prj_dec MATERIALIZE PROJECTION pd")
+    val q = "SELECT event_type, sum(dv) AS s FROM prj_dec GROUP BY event_type ORDER BY event_type"
+    assert(ClickHouseSql.rewriteWithProjection(spark, q)
+      .exists(_.contains("prj_dec__proj_pd")))
+    val covered = ch(q)
+    ch("SET optimize_use_projections = 0")
+    val base = try ch(q) finally ch("SET optimize_use_projections = 1")
+    // the same query's schema must not depend on whether a projection
+    // matched: the store holds sum-widened DECIMAL(p+10,s) partials and
+    // a bare re-SUM would widen again to p+20
+    assert(covered.schema("s").dataType === base.schema("s").dataType,
+      s"covered=${covered.schema("s").dataType} base=${base.schema("s").dataType}")
+    assert(covered.collect().map(r => (r.getString(0), r.getDecimal(1).toPlainString)).toSeq
+      === base.collect().map(r => (r.getString(0), r.getDecimal(1).toPlainString)).toSeq)
+    ch("DROP TABLE prj_dec SYNC")
+  }
+
   test("CREATE TABLE a AS b clones structure, registries, and projections — not data") {
     Seq("prj_clone_src", "prj_clone_dst", "prj_clone_src__proj_pc",
       "prj_clone_dst__proj_pc").foreach(dropAnyType)

@@ -75,6 +75,23 @@ class SystemTablesSpec extends SparkSpec {
     assert(joined.toSeq === Seq(("sysd_part", 3L), ("sysd_plain", 3L)))
   }
 
+  test("system.parts is memoized: a repeat over unchanged tables does ZERO footer I/O") {
+    // warm: this build may open footers (distributed, not driver-serial)
+    ch("SELECT count() AS n FROM system.parts WHERE table LIKE 'sysd_%'").collect()
+    val before = ClickHouseSql.footerReads.get()
+    val again = ch("""SELECT table, sum(rows) AS r FROM system.parts
+                      WHERE table LIKE 'sysd_%' GROUP BY table ORDER BY table""")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(again.toSeq === Seq(("sysd_part", 3L), ("sysd_plain", 3L)))
+    assert(ClickHouseSql.footerReads.get() === before,
+      "unchanged file lists must answer from the footer memo")
+    // …and a CONTENT change invalidates exactly the changed table
+    ch("INSERT INTO sysd_plain VALUES (4, 40)")
+    val r2 = ch("SELECT sum(rows) AS r FROM system.parts WHERE table = 'sysd_plain'")
+      .head().getLong(0)
+    assert(r2 === 4L, "new parts must be re-read, not served stale")
+  }
+
   override def afterAll(): Unit = {
     ch("DROP TABLE IF EXISTS sysd_plain SYNC")
     ch("DROP TABLE IF EXISTS sysd_part SYNC")
