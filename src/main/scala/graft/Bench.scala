@@ -55,18 +55,25 @@ object Bench {
     */
   def buildLine(results: Seq[Timing], sfDir: String, budget: Int = 1600,
                 reps: Int = 1, maxSpread: Double = 0.0,
-                stealPct: Double = -1.0): String = {
+                stealPct: Double = -1.0, diagJson: String = ""): String = {
     val total = results.map(_.sec).sum
     val errors = results.count(_.err)
     val sorted = results.sortBy(t => (!t.err, -t.sec))
     def render(t: Timing): String =
       "\"" + t.name + "\":" + (if (t.err) "\"err\"" else r3(t.sec))
+    // Flagged-query diagnostics (gc/spread/cache for anything slower than
+    // 2x its trailing round) ride INSIDE the budget: the artifact must
+    // carry its own noise-vs-plan attribution, but never at the cost of
+    // pushing the line out of the consumer's log-tail window.
+    val diagField = if (diagJson.isEmpty) "" else s""""diag":{$diagJson},"""
     val sb = new StringBuilder
     var kept = 0
     var fits = true
     while (fits && kept < sorted.length) {
       val entry = (if (sb.isEmpty) "" else ",") + render(sorted(kept))
-      if (sb.length + entry.length <= budget - 60) { sb.append(entry); kept += 1 }
+      if (sb.length + entry.length <= budget - 60 - diagField.length) {
+        sb.append(entry); kept += 1
+      }
       else fits = false
     }
     val dropped = sorted.drop(kept)
@@ -86,7 +93,58 @@ object Bench {
     // across rounds with this number beside them.
     val stealField = if (stealPct >= 0) s""""steal_pct":${r3(stealPct)},""" else ""
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,""" +
-      repsField + stealField + s""""queries":{$sb},"sf":"$sfDir"}"""
+      repsField + stealField + diagField + s""""queries":{$sb},"sf":"$sfDir"}"""
+  }
+
+  /** Per-query seconds from the NEWEST BENCH_r*.json in `dir` — the
+    * trailing-round reference the slow-query flag compares against.
+    * Envelope fields the regex also catches (value, reps, …) can never
+    * collide with registry query names; absent/unreadable → empty.
+    */
+  def lastRoundSecs(dir: String = "."): Map[String, Double] = try {
+    val fs = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    if (fs.isEmpty) Map.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        fs.maxBy(_.getName).toPath), "UTF-8")
+      "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  } catch { case _: Throwable => Map.empty }
+
+  /** Compact diag entries for flagged queries: slower than 2x the
+    * trailing round (and >1 s), or rep spread >2x on a >2 s query —
+    * the two contention signatures that burned judge time in r6–r10.
+    * Slowest-first, capped at `cap` bytes so the contract line keeps
+    * its size bound. Pure; spec'd by BenchSpec.
+    */
+  def diagEntries(
+    runs: Seq[(String, Seq[Double])],
+    perQueryDiag: Map[String, (Long, Long, Long)],
+    prior: Map[String, Double],
+    cap: Int = 300): String = {
+    val flagged = runs.flatMap { case (name, secs) =>
+      if (secs.isEmpty) None else {
+        val med = median(secs)
+        val spr = (secs.max - secs.min) / math.max(med, 1e-9)
+        val slowVsPrior = prior.get(name).exists(p => med > 2 * p && med > 1.0)
+        if (slowVsPrior || (spr > 2.0 && med > 2.0)) {
+          val (gc, mem, disk) =
+            perQueryDiag.getOrElse(name, (0L, 0L, 0L))
+          Some((med, s""""$name":{"gc_ms":$gc,"spread":${r3(spr)},""" +
+            s""""mem_mb":$mem,"disk_mb":$disk}"""))
+        } else None
+      }
+    }.sortBy(-_._1).map(_._2)
+    val sb = new StringBuilder
+    var fits = true
+    for (e <- flagged if fits) {
+      val entry = (if (sb.isEmpty) "" else ",") + e
+      if (sb.length + entry.length <= cap) sb.append(entry) else fits = false
+    }
+    sb.toString
   }
 
   /** (steal, total) jiffies from /proc/stat's aggregate cpu line, or None
@@ -211,8 +269,20 @@ object Bench {
       (s1, t1) <- cpuJiffies()
       if t1 > t0
     } yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
+    // Flagged-query attribution IN the artifact (r10 verdict: the gc/
+    // cache columns lived only in the full dump on the bench host, so a
+    // 10x swing on unchanged code could not be adjudicated from
+    // evidence): per-rep max gc millis and the cache footprint for any
+    // query >2x its trailing-round median or with a >2x rep spread.
+    val diagJson = diagEntries(
+      queryRuns.collect { case (n, rs) if !rs.exists(_.err) =>
+        n -> rs.map(_.sec) },
+      diag.map { case (n, d) =>
+        n -> ((d.map(_._1).max, d.map(_._2).max, d.map(_._3).max))
+      }.toMap,
+      lastRoundSecs())
     val line = buildLine(results, sfDir, reps = reps, maxSpread = maxSpread,
-      stealPct = stealPct)
+      stealPct = stealPct, diagJson = diagJson)
     spark.stop()
     println(line)
   }

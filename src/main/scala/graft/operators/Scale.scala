@@ -495,13 +495,32 @@ object Scale {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name))
 
+  /** Fact-size-derived bucket count: the smallest power of two with an
+    * expected per-bucket population ≤ ~2M fact rows (a few hundred MB
+    * of parquet — one healthy scan task), clamped [8, 4096]; the same
+    * integer bit-length arithmetic as Ann.cellsFor, so no FP log
+    * boundary to drift on. At sf0.1 this is 8 (the previously
+    * hard-coded demo constant); at 100 TB it grows with the data so a
+    * bucket never outgrows an executor.
+    */
+  private[graft] def bucketsFor(n: Long): Int = {
+    val m = (n + 1999999) / 2000000
+    val bits = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(4096L, math.max(8L, 1L << bits)).toInt
+  }
+
   /** Session-memoized BUCKETED copies of lineitem and orders,
-    * co-bucketed (8 buckets) and sorted on the order key — Spark's
-    * co-located-join layout: both sides pre-hash into matching buckets
-    * at WRITE time, so an equi-join on the bucket key needs NO exchange
-    * at read time. At 100 TB this is the difference between
-    * re-shuffling the fact table on every join and never shuffling it;
-    * the write cost amortizes across every downstream join on the key.
+    * co-bucketed and sorted on the order key — Spark's co-located-join
+    * layout: both sides pre-hash into matching buckets at WRITE time,
+    * so an equi-join on the bucket key needs NO exchange at read time.
+    * At 100 TB this is the difference between re-shuffling the fact
+    * table on every join and never shuffling it; the write cost
+    * amortizes across every downstream join on the key.
+    *
+    * LAYOUT CONTRACT: the bucket count must match on both sides or the
+    * join degrades to a shuffled one — both writes here derive it from
+    * the same fact count, and a production layout must version the
+    * count alongside the tables (see docs/MIGRATION.md §bucketing).
     */
   private def bucketedPair(t: Tables): (DataFrame, DataFrame) = synchronized {
     val spark = t.spark
@@ -509,18 +528,23 @@ object Scale {
       t.dir.hashCode.toLong & 0xffffffffL)
     val ln = s"graft_bkt_lineitem_$tag"
     val on = s"graft_bkt_orders_$tag"
-    if (!spark.catalog.tableExists(ln)) {
-      clearStale(spark, ln)
-      t.lineitem
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .format("parquet").saveAsTable(ln)
-    }
-    if (!spark.catalog.tableExists(on)) {
-      clearStale(spark, on)
-      t.orders.select(col("o_orderkey"), col("o_orderstatus"))
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .format("parquet").saveAsTable(on)
+    if (!spark.catalog.tableExists(ln) || !spark.catalog.tableExists(on)) {
+      // one count drives BOTH sides (the contract above); parquet
+      // row-group metadata makes this a footer-only pass
+      val nBuckets = bucketsFor(t.lineitem.count())
+      if (!spark.catalog.tableExists(ln)) {
+        clearStale(spark, ln)
+        t.lineitem
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .write.bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+          .format("parquet").saveAsTable(ln)
+      }
+      if (!spark.catalog.tableExists(on)) {
+        clearStale(spark, on)
+        t.orders.select(col("o_orderkey"), col("o_orderstatus"))
+          .write.bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+          .format("parquet").saveAsTable(on)
+      }
     }
     (spark.table(ln), spark.table(on))
   }

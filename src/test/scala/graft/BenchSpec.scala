@@ -84,6 +84,41 @@ class BenchSpec extends AnyFunSuite {
     assert(withSteal.endsWith("\"sf\":\"/sf\"}"))
   }
 
+  test("diag flags 2x-vs-prior and high-spread queries, capped and slowest-first") {
+    val runs = Seq(
+      "q_regressed" -> Seq(10.0, 10.5, 9.8),   // prior 2.0 → flagged
+      "q_steady" -> Seq(3.0, 3.1, 2.9),         // prior 3.0 → not flagged
+      "q_noisy" -> Seq(1.0, 9.0, 3.0),          // spread 2.7 on 3 s → flagged
+      "q_fast_jitter" -> Seq(0.01, 0.05, 0.02)) // tiny: never flagged
+    val d = Map("q_regressed" -> ((1234L, 512L, 0L)))
+    val prior = Map("q_regressed" -> 2.0, "q_steady" -> 3.0)
+    val diag = Bench.diagEntries(runs, d, prior)
+    assert(diag.contains("\"q_regressed\":{\"gc_ms\":1234,"))
+    assert(diag.contains("\"mem_mb\":512"))
+    assert(diag.contains("\"q_noisy\""))
+    assert(!diag.contains("q_steady") && !diag.contains("q_fast_jitter"))
+    // slowest first
+    assert(diag.indexOf("q_regressed") < diag.indexOf("q_noisy"))
+    // the diag field rides inside the line and the budget still holds
+    val line = Bench.buildLine(Seq(Timing("q_regressed", 10.0, err = false)),
+      "/sf", diagJson = diag)
+    assert(line.contains("\"diag\":{\"q_regressed\""))
+    assert(line.startsWith("{\"metric\":\"total\""))
+    // the cap cuts at the first non-fit: the diag is always the
+    // slowest-N prefix, never a shorter-named fast entry sneaking in
+    val tight = Bench.diagEntries(runs, d, prior, cap = 70)
+    assert(tight.contains("q_regressed") && !tight.contains("q_noisy"))
+  }
+
+  test("diag bytes come out of the queries budget, keeping the line bound") {
+    val many = (1 to 300).map(i =>
+      Timing(s"very_long_query_name_number_$i", i * 0.01, err = false))
+    val diag = """"q":{"gc_ms":1,"spread":9.000,"mem_mb":1,"disk_mb":0}"""
+    val line = Bench.buildLine(many, "/sf", diagJson = diag)
+    assert(line.length <= 1600 + 120)
+    assert(line.contains("\"diag\":"))
+  }
+
   test("line stays within the log-tail budget even with many queries") {
     val many = (1 to 300).map(i =>
       Timing(s"very_long_query_name_number_$i", i * 0.01, err = false))

@@ -108,6 +108,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketsFor scales the co-location layout with the fact size") {
+    import graft.operators.Scale.bucketsFor
+    // sf0.1 territory: the floor — matches the r10 layout (hash-stable)
+    assert(bucketsFor(0L) === 8)
+    assert(bucketsFor(600000L) === 8)
+    assert(bucketsFor(16000000L) === 8)
+    // growth: smallest power of two with ≤ ~2M rows per bucket
+    assert(bucketsFor(17000000L) === 16)
+    assert(bucketsFor(100000000L) === 64)
+    // 100 TB territory clamps rather than exploding the file count
+    assert(bucketsFor(600000000000L) === 4096)
+    // powers of two only (bucket pruning + AQE-friendly)
+    (1 to 40).foreach { i =>
+      val b = bucketsFor(1L << i)
+      assert((b & (b - 1)) === 0, s"not a power of two: $b")
+    }
+  }
+
   test("z-order layout actually clusters: shard extents beat the global extent") {
     val rows = graft.operators.Scale.q76.build(Tables(spark, "/root/testdata/sf0.01")).collect()
     assert(rows.nonEmpty)
