@@ -163,6 +163,7 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         landPartitionedBatch(batch, path, sortKey, batchId)
         applyTtlRetention(batch.sparkSession, path, keepMonths)
+        ()
       }
       .start()
 
@@ -173,21 +174,24 @@ object Streams {
     */
   private[graft] def applyTtlRetention(
     spark: org.apache.spark.sql.SparkSession, path: String,
-    keepMonths: Int): Unit = {
+    keepMonths: Int): Option[Int] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
+    if (!fs.exists(root)) return None
     val parts = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__ch_part="))
       .flatMap(s => scala.util.Try(
         s.getPath.getName.stripPrefix("__ch_part=").toInt).toOption
         .map(_ -> s.getPath))
-    if (parts.isEmpty) return
+    if (parts.isEmpty) return None
     val newest = parts.map(_._1).max
     val total = (newest / 100) * 12 + (newest % 100) - 1 - keepMonths
     val cutoff = (total / 12) * 100 + (total % 12) + 1
     parts.filter(_._1 < cutoff).foreach { case (_, p) => fs.delete(p, true) }
+    // the cutoff is returned so a sibling store (a projection over this
+    // table) can expire the SAME months — lockstep, never its own clock
+    Some(cutoff)
   }
 
   def partitionedIngest(events: DataFrame, path: String, checkpoint: String,
@@ -300,16 +304,97 @@ object Streams {
     */
   private[graft] def landProjectionPart(
     block: Dataset[org.apache.spark.sql.Row], path: String,
-    batchId: Long): Unit = {
+    batchId: Long, partitionCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = block.sparkSession.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
     val commit = new Path(path + s"/_graft_batch_$batchId")
     if (fs.exists(commit)) return
-    block.write.mode("overwrite")
+    val w = block.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path + s"/__part_id=$batchId")
     fs.create(commit, true).close()
   }
+
+  /** The PRODUCTION ingest shape — a partitioned CH table WITH a live
+    * projection ingesting online, one stream: each micro-batch
+    * (1) lands month-partitioned sorted data files through
+    * [[landPartitionedBatch]]'s stage→intent→move→commit protocol,
+    * then (2) appends the batch's partial projection part, itself
+    * partitioned by the SAME month key — ClickHouse keeps projection
+    * parts INSIDE their partition's parts, which is exactly why its
+    * partition drops never leave a stale projection; this layout
+    * reproduces that containment. Both landings are idempotent behind
+    * their own per-batch commit markers, so a crash before, between,
+    * or during either replays to exactly-once on BOTH stores. With
+    * `keepMonths` set, retention expires base months and projection
+    * months from the SAME cutoff (the base store's newest landed
+    * month), so covered answers never diverge from the table.
+    */
+  def partitionedProjectionIngest(events: DataFrame, path: String,
+    projPath: String, checkpoint: String, keepMonths: Int = Int.MaxValue,
+    sortKey: Seq[String] = Seq("user_id", "ts"))
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("__ch_part", date_format(col("ts"), "yyyyMM").cast("int"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        landPartitionedBatch(batch, path, sortKey, batchId)
+        val cents = col("value").cast(DecimalType(18, 2))
+          .multiply(lit(100)).cast("bigint")
+        val part = batch
+          .groupBy(col("__ch_part"), col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("cnt_all"), sum(cents).as("sum_vc"),
+            min(cents).as("min_vc"), max(cents).as("max_vc"))
+        landProjectionPart(part, projPath, batchId,
+          partitionCols = Seq("__ch_part"))
+        if (keepMonths != Int.MaxValue)
+          applyTtlRetention(batch.sparkSession, path, keepMonths).foreach(
+            cut => applyProjectionRetention(batch.sparkSession, projPath, cut))
+      }
+      .start()
+
+  /** Expire the projection store's months below `cutoff` — the cutoff
+    * COMES FROM the base table's retention pass ([[applyTtlRetention]]),
+    * never from the projection's own contents, so the two stores age in
+    * lockstep. A month drop here is a nested-directory delete (the
+    * `__ch_part=m` subdir of every `__part_id=N`) — file operations
+    * only, like CH dropping a partition's projection parts with it.
+    */
+  private[graft] def applyProjectionRetention(
+    spark: org.apache.spark.sql.SparkSession, projPath: String,
+    cutoff: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(projPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__part_id="))
+      .foreach { part =>
+        fs.listStatus(part.getPath).toSeq
+          .filter(s => s.isDirectory &&
+            scala.util.Try(s.getPath.getName.stripPrefix("__ch_part=").toInt)
+              .toOption.exists(_ < cutoff))
+          .foreach(s => fs.delete(s.getPath, true))
+      }
+  }
+
+  /** Combined read of a [[partitionedProjectionIngest]] projection
+    * store: per-(month, event_type, user_id) totals re-aggregated with
+    * the partial-merge functions. The month key is a real partition
+    * directory on BOTH levels, so a WHERE on it prunes parquet files
+    * before any read.
+    */
+  def readPartitionedProjection(spark: org.apache.spark.sql.SparkSession,
+    path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("__ch_part"), col("event_type"), col("user_id"))
+      .agg(sum(col("cnt_all")).as("n"),
+        sum(col("sum_vc")).as("sum_vc"),
+        min(col("min_vc")).as("min_vc"),
+        max(col("max_vc")).as("max_vc"))
 
   /** The combined read of a [[projectionStream]] store: partial parts
     * re-aggregate with the partial-merge functions.

@@ -725,6 +725,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_partitioned_projection: one stream lands table AND projection, lockstep TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppi").toString
+    def mts(month: Int, day: Int): Timestamp =
+      Timestamp.valueOf(f"2024-$month%02d-$day%02d 00:00:00")
+    val mem = MemoryStream[Event]
+    def start() = Streams.partitionedProjectionIngest(mem.toDF(),
+      s"$dir/table", s"$dir/proj", s"$dir/ckpt", keepMonths = 2)
+    val q1 = start()
+    try {
+      mem.addData(
+        Event(1, mts(1, 5), 10, "click", 2.50),
+        Event(2, mts(1, 6), 10, "click", 3.25),
+        Event(3, mts(2, 3), 11, "view", 7.00))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // both stores landed batch 0: month dirs on the table, a projection
+    // part holding month SUBDIRS (CH: projection parts live inside
+    // their partition's parts)
+    val tableMonths = new java.io.File(s"$dir/table").listFiles()
+      .filter(_.getName.startsWith("__ch_part=")).map(_.getName).sorted
+    assert(tableMonths.toSeq === Seq("__ch_part=202401", "__ch_part=202402"))
+    val part0 = new java.io.File(s"$dir/proj/__part_id=0")
+    assert(part0.listFiles().filter(_.getName.startsWith("__ch_part="))
+      .map(_.getName).sorted.toSeq ===
+      Seq("__ch_part=202401", "__ch_part=202402"))
+    // restart on the same checkpoint: replay skips both landings, new
+    // data appends exactly once to both
+    val q2 = start()
+    try {
+      mem.addData(Event(4, mts(2, 9), 10, "click", 4.25))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/table").count() === 4L)
+    val combined = Streams.readPartitionedProjection(spark, s"$dir/proj")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(combined === Set(
+      (202401, "click", 10L, 2L, 575L, 250L, 325L),
+      (202402, "view", 11L, 1L, 700L, 700L, 700L),
+      (202402, "click", 10L, 1L, 425L, 425L, 425L)))
+    // the covered answer equals the base-table recompute — the
+    // projection is never a separate source of truth
+    val base = spark.read.parquet(s"$dir/table")
+      .groupBy("__ch_part", "event_type", "user_id")
+      .count().count()
+    assert(base === combined.size.toLong)
+    // a month far enough ahead expires January from BOTH stores at the
+    // same commit — base and projection never diverge
+    val q3 = start()
+    try {
+      mem.addData(Event(5, mts(4, 1), 12, "view", 1.00))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val monthsAfter = new java.io.File(s"$dir/table").listFiles()
+      .filter(_.getName.startsWith("__ch_part=")).map(_.getName).toSet
+    assert(!monthsAfter.contains("__ch_part=202401"), monthsAfter.toString)
+    val projMonths = Streams.readPartitionedProjection(spark, s"$dir/proj")
+      .select("__ch_part").distinct().collect().map(_.getInt(0)).toSet
+    assert(projMonths === Set(202402, 202404))
+  }
+
   test("stream_projection: append-only partial parts, exact combined reads, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
