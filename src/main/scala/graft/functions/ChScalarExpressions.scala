@@ -1,0 +1,402 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure kernels for the CH scalar long tail the tenth FnProbe batch
+  * surfaced — formatting, fuzzy-string, IP validation, Unicode
+  * normalization. Static methods so the expressions below stay inside
+  * whole-stage codegen via a single call.
+  *
+  * Reference semantics: ClickHouse's public docs for
+  * formatReadable* / bar / jaroWinklerSimilarity / regexpQuoteMeta /
+  * isIPv4String / isIPv6String (all standard public algorithms).
+  */
+object ChScalarKernels {
+
+  private val sizeUnits =
+    Array("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB", "ZiB", "YiB")
+
+  /** formatReadableSize: binary units, two decimals ("1.00 MiB"). */
+  def readableSize(v: Double): UTF8String = {
+    var x = math.abs(v)
+    var u = 0
+    while (x >= 1024.0 && u < sizeUnits.length - 1) { x /= 1024.0; u += 1 }
+    val sign = if (v < 0) "-" else ""
+    UTF8String.fromString(
+      f"$sign${x}%.2f ${sizeUnits(u)}".replace(',', '.'))
+  }
+
+  private val qtyUnits =
+    Array("", " thousand", " million", " billion", " trillion", " quadrillion")
+
+  /** formatReadableQuantity: decimal units, two decimals ("1.23 million"). */
+  def readableQuantity(v: Double): UTF8String = {
+    var x = math.abs(v)
+    var u = 0
+    while (x >= 1000.0 && u < qtyUnits.length - 1) { x /= 1000.0; u += 1 }
+    val sign = if (v < 0) "-" else ""
+    UTF8String.fromString(
+      s"$sign${f"${x}%.2f".replace(',', '.')}${qtyUnits(u)}")
+  }
+
+  /** formatReadableTimeDelta: "1 hour, 1 minute, 1 second" (CH's
+    * largest-unit-first comma list; years=365d, months=30.5d like CH).
+    */
+  def readableTimeDelta(v: Double): UTF8String = {
+    var rest = math.abs(v).toLong
+    val units = Seq(
+      ("year", 31536000L), ("month", 2635200L), ("day", 86400L),
+      ("hour", 3600L), ("minute", 60L), ("second", 1L))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, sec) <- units) {
+      val n = rest / sec
+      if (n > 0 || (sec == 1L && parts.isEmpty)) {
+        parts += s"$n $name" + (if (n == 1) "" else "s")
+        rest -= n * sec
+      }
+    }
+    val sign = if (v < 0) "-" else ""
+    UTF8String.fromString(sign + parts.mkString(", "))
+  }
+
+  /** bar(x, min, max, width): Unicode block bar with 1/8-char
+    * resolution, CH's visual profile aggregate companion.
+    */
+  def bar(x: Double, lo: Double, hi: Double, width: Double): UTF8String = {
+    if (hi <= lo || width <= 0) return UTF8String.fromString("")
+    val frac = math.max(0.0, math.min(1.0, (x - lo) / (hi - lo)))
+    val eighths = math.round(frac * width * 8).toInt
+    val full = eighths / 8
+    val part = eighths % 8
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < full) { sb.append('█'); i += 1 }
+    if (part > 0) sb.append((0x2590 - part).toChar) // ▏..▉ are U+2589-258F
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Jaro similarity in [0,1] — the standard matching/transposition
+    * formula.
+    */
+  def jaro(a: String, b: String): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val window = math.max(0, math.max(a.length, b.length) / 2 - 1)
+    val aM = new Array[Boolean](a.length)
+    val bM = new Array[Boolean](b.length)
+    var matches = 0
+    for (i <- a.indices) {
+      val from = math.max(0, i - window)
+      val to = math.min(b.length - 1, i + window)
+      var j = from
+      var found = false
+      while (j <= to && !found) {
+        if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+          aM(i) = true; bM(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    for (i <- a.indices if aM(i)) {
+      while (!bM(k)) k += 1
+      if (a.charAt(i) != b.charAt(k)) t += 1
+      k += 1
+    }
+    val m = matches.toDouble
+    (m / a.length + m / b.length + (m - t / 2.0) / m) / 3.0
+  }
+
+  /** Jaro-Winkler: Jaro boosted by the common prefix (≤4, p=0.1). */
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val (a, b) = (ua.toString, ub.toString)
+    val j = jaro(a, b)
+    var prefix = 0
+    while (prefix < math.min(4, math.min(a.length, b.length)) &&
+      a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+    j + prefix * 0.1 * (1.0 - j)
+  }
+
+  def jaroOnly(ua: UTF8String, ub: UTF8String): Double =
+    jaro(ua.toString, ub.toString)
+
+  /** regexpQuoteMeta: backslash-escape CH's metacharacter set. */
+  def regexpQuoteMeta(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val special = "\\|()^$.[]?*+{:-"
+    val sb = new java.lang.StringBuilder(str.length + 8)
+    str.foreach { c =>
+      if (special.indexOf(c) >= 0) sb.append('\\')
+      sb.append(c)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** normalizeUTF8NFC/NFD/NFKC/NFKD via java.text.Normalizer. */
+  def normalizeUtf8(s: UTF8String, form: String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.valueOf(form)))
+
+  /** toValidUTF8: replace unpaired surrogates with U+FFFD (JVM strings
+    * are otherwise valid Unicode by construction).
+    */
+  def toValidUtf8(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 < str.length && Character.isLowSurrogate(str.charAt(i + 1))) {
+          sb.append(c).append(str.charAt(i + 1)); i += 1
+        } else sb.append('�')
+      } else if (Character.isLowSurrogate(c)) sb.append('�')
+      else sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Strict dotted-quad IPv4 check (0-255 per octet, no leading-zero
+    * requirement relaxations beyond CH's).
+    */
+  def isIPv4(s: UTF8String): Boolean = {
+    val parts = s.toString.split("\\.", -1)
+    parts.length == 4 && parts.forall { p =>
+      p.nonEmpty && p.length <= 3 && p.forall(_.isDigit) && p.toInt <= 255
+    }
+  }
+
+  /** IPv6 validator: full and `::`-compressed forms, optional trailing
+    * dotted-quad (IPv4-mapped). No DNS, pure string parsing.
+    */
+  def isIPv6(s: UTF8String): Boolean = {
+    val str = s.toString
+    if (str.isEmpty) return false
+    val dc = str.indexOf("::")
+    if (dc >= 0 && str.indexOf("::", dc + 1) >= 0) return false // one :: max
+    def groups(part: String): Option[Int] = {
+      if (part.isEmpty) return Some(0)
+      val gs = part.split(":", -1)
+      var n = 0
+      for ((g, i) <- gs.zipWithIndex) {
+        val lastAndV4 = i == gs.length - 1 && g.contains('.')
+        if (lastAndV4) {
+          if (!isIPv4(UTF8String.fromString(g))) return None
+          n += 2
+        } else {
+          if (g.isEmpty || g.length > 4 ||
+            !g.forall(c => Character.digit(c, 16) >= 0)) return None
+          n += 1
+        }
+      }
+      Some(n)
+    }
+    if (dc < 0) groups(str).contains(8)
+    else {
+      val (l, r) = (str.substring(0, dc), str.substring(dc + 2))
+      (groups(l), groups(r)) match {
+        case (Some(a), Some(b)) => a + b <= 7 // :: covers ≥1 group
+        case _ => false
+      }
+    }
+  }
+}
+
+/** formatReadableSize/Quantity/TimeDelta — mode-dispatched at plan time. */
+case class ChReadableExpr(child: Expression, mode: String)
+  extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = mode match {
+    case "size" => ChScalarKernels.readableSize(v.asInstanceOf[Double])
+    case "quantity" => ChScalarKernels.readableQuantity(v.asInstanceOf[Double])
+    case _ => ChScalarKernels.readableTimeDelta(v.asInstanceOf[Double])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = mode match {
+      case "size" => "readableSize"
+      case "quantity" => "readableQuantity"
+      case _ => "readableTimeDelta"
+    }
+    defineCodeGen(ctx, ev, v => s"graft.functions.ChScalarKernels.$fn($v)")
+  }
+  override protected def withNewChildInternal(c: Expression): ChReadableExpr =
+    copy(child = c)
+}
+
+/** bar(x, min, max, width) → STRING (4-ary: CodegenFallback like the
+  * dialect's other n-ary display helpers — never a hot-path function).
+  */
+case class ChBarExpr(children: Seq[Expression]) extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.length == 4, "bar(x, min, max, width)")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      def d(a: Any): Double = a match {
+        case x: Double => x
+        case x: Float => x.toDouble
+        case x: Long => x.toDouble
+        case x: Int => x.toDouble
+        case x: Short => x.toDouble
+        case x: Byte => x.toDouble
+        case x: org.apache.spark.sql.types.Decimal => x.toDouble
+        case other => throw new IllegalArgumentException(
+          s"bar expects numeric arguments, got $other")
+      }
+      ChScalarKernels.bar(d(vs(0)), d(vs(1)), d(vs(2)), d(vs(3)))
+    }
+  }
+  override protected def withNewChildrenInternal(
+    newChildren: IndexedSeq[Expression]): ChBarExpr = copy(children = newChildren)
+}
+
+/** jaroSimilarity / jaroWinklerSimilarity(a, b) → DOUBLE. */
+case class ChJaroWinklerExpr(left: Expression, right: Expression,
+  winkler: Boolean) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def fn: String = if (winkler) "jaroWinkler" else "jaroOnly"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (winkler) ChScalarKernels.jaroWinkler(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+    else ChScalarKernels.jaroOnly(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ChScalarKernels.$fn($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+    r: Expression): ChJaroWinklerExpr = copy(left = l, right = r)
+}
+
+/** One-arg string kernels sharing a shape: regexpQuoteMeta,
+  * toValidUTF8, isIPv4String, isIPv6String.
+  */
+case class ChStringKernelExpr(child: Expression, fn: String)
+  extends UnaryExpression {
+  override def dataType: DataType = fn match {
+    case "isIPv4" | "isIPv6" => BooleanType
+    case _ => StringType
+  }
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = fn match {
+    case "regexpQuoteMeta" =>
+      ChScalarKernels.regexpQuoteMeta(v.asInstanceOf[UTF8String])
+    case "toValidUtf8" =>
+      ChScalarKernels.toValidUtf8(v.asInstanceOf[UTF8String])
+    case "isIPv4" => ChScalarKernels.isIPv4(v.asInstanceOf[UTF8String])
+    case _ => ChScalarKernels.isIPv6(v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.ChScalarKernels.$fn($v)")
+  override protected def withNewChildInternal(c: Expression): ChStringKernelExpr =
+    copy(child = c)
+}
+
+/** normalizeUTF8NFC/NFD/NFKC/NFKD(s). */
+case class ChNormalizeUtf8Expr(child: Expression, form: String)
+  extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ChScalarKernels.normalizeUtf8(v.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"""graft.functions.ChScalarKernels.normalizeUtf8($v, "$form")""")
+  override protected def withNewChildInternal(c: Expression): ChNormalizeUtf8Expr =
+    copy(child = c)
+}
+
+/** lgamma/tgamma via commons-math3 (on Spark's classpath). */
+case class ChGammaExpr(child: Expression, log: Boolean)
+  extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Double]
+    if (log) org.apache.commons.math3.special.Gamma.logGamma(x)
+    else org.apache.commons.math3.special.Gamma.gamma(x)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      if (log) s"org.apache.commons.math3.special.Gamma.logGamma($v)"
+      else s"org.apache.commons.math3.special.Gamma.gamma($v)")
+  override protected def withNewChildInternal(c: Expression): ChGammaExpr =
+    copy(child = c)
+}
+
+/** tupleHammingDistance(t1, t2) → INT: count of positions where the
+  * structs differ (null vs null counts as equal, null vs value as
+  * different — CH compares stored values).
+  */
+case class ChTupleHammingExpr(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  private lazy val fields: Seq[DataType] = left.dataType match {
+    case StructType(fs) => fs.map(_.dataType).toSeq
+    case other => throw new IllegalArgumentException(
+      s"tupleHammingDistance expects tuples, got ${other.sql}")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (ra, rb) = (a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+    var d = 0
+    for ((dt, i) <- fields.zipWithIndex) {
+      val (va, vb) = (ra.get(i, dt), rb.get(i, dt))
+      val same = if (va == null || vb == null) va == vb else va == vb
+      if (!same) d += 1
+    }
+    d
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+    r: Expression): ChTupleHammingExpr = copy(left = l, right = r)
+}
+
+/** toTypeName(x) → the CH spelling of the argument's RESOLVED Spark
+  * type — a plan-time constant (foldable), like CH's.
+  */
+case class ChTypeNameExpr(child: Expression) extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = true
+  private def chName(dt: DataType): String = dt match {
+    case ByteType => "Int8"
+    case ShortType => "Int16"
+    case IntegerType => "Int32"
+    case LongType => "Int64"
+    case FloatType => "Float32"
+    case DoubleType => "Float64"
+    case StringType => "String"
+    case BinaryType => "String"
+    case BooleanType => "Bool"
+    case DateType => "Date"
+    case TimestampType => "DateTime"
+    case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+    case ArrayType(t, _) => s"Array(${chName(t)})"
+    case MapType(k, v, _) => s"Map(${chName(k)}, ${chName(v)})"
+    case StructType(fs) => s"Tuple(${fs.map(f => chName(f.dataType)).mkString(", ")})"
+    case other => other.sql
+  }
+  private lazy val name: UTF8String = {
+    val base = chName(child.dataType)
+    UTF8String.fromString(
+      if (child.nullable && !child.dataType.isInstanceOf[ArrayType] &&
+        !child.dataType.isInstanceOf[MapType] &&
+        !child.dataType.isInstanceOf[StructType]) s"Nullable($base)" else base)
+  }
+  override def eval(input: InternalRow): Any = name
+  override protected def withNewChildInternal(c: Expression): ChTypeNameExpr =
+    copy(child = c)
+}

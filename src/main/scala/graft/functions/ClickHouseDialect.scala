@@ -104,8 +104,13 @@ object ClickHouseDialect {
     // argMin/argMax
     "argMax" -> (args => MaxBy(args.head, args(1))),
     "argMin" -> (args => MinBy(args.head, args(1))),
-    // group arrays
-    "groupArray" -> (args => CollectList(one(args))),
+    // group arrays; groupArray(N)(x) keeps the first N (params-first
+    // after the rewriteParamCall flattening)
+    "groupArray" -> { args =>
+      if (args.length == 1) CollectList(args.head)
+      else Slice(CollectList(args(1)).toAggregateExpression(),
+        Literal(1), Cast(args.head, org.apache.spark.sql.types.IntegerType))
+    },
     "groupUniqArray" -> (args => CollectSet(one(args))),
     // scalar date helpers
     "toStartOfMonth" -> (args => TruncTimestamp(Literal("month"), one(args))),
@@ -1275,7 +1280,289 @@ object ClickHouseDialect {
     "arrayAUC" -> (_ => throw new IllegalArgumentException(
       "arrayAUC over per-row arrays hides the corpus-level statistic — " +
         "compute exact AUC relationally from the score ranks (the " +
-        "q112_auc recipe)")))
+        "q112_auc recipe)")),
+    // ---- tenth batch: FnProbe radar gaps ---------------------------------
+    // replaceOne: first occurrence only (locate → splice; non-literal
+    // needles supported, unlike a regex quote approach)
+    "replaceOne" -> { args =>
+      val pos = new StringLocate(args(1), args.head)
+      If(EqualTo(pos, Literal(0)), args.head,
+        Concat(Seq(
+          Substring(args.head, Literal(1), Subtract(pos, Literal(1))),
+          args(2),
+          Substring(args.head, Add(pos, Length(args(1))),
+            Literal(Int.MaxValue)))))
+    },
+    // multiSearchFirstIndex: 1-based index of the needle with the
+    // LEFTMOST occurrence (array order breaks position ties) — CH's
+    // contract, not first-needle-that-matches
+    "multiSearchFirstIndex" -> { args =>
+      val n = UnresolvedNamedLambdaVariable(Seq("graft_msf_n"))
+      val p = UnresolvedNamedLambdaVariable(Seq("graft_msf_p"))
+      val positions = ArrayTransform(args(1),
+        LambdaFunction(new StringLocate(n, args.head), Seq(n)))
+      val found = ArrayFilter(positions,
+        LambdaFunction(GreaterThan(p, Literal(0)), Seq(p)))
+      If(EqualTo(Size(found), Literal(0)), Literal(0),
+        ArrayPosition(positions, ArrayMin(found)))
+    },
+    // chExtract: CH extract(haystack, re) — spliced from `extract(`
+    // by ClickHouseSql (Spark's parser owns the EXTRACT(field FROM x)
+    // spelling). First capturing group if the pattern has one, else
+    // the whole match; '' when no match — CH's contract, which is why
+    // the pattern must be a literal (the group choice is plan-time).
+    "chExtract" -> { args =>
+      val pat = litString(args(1), "extract pattern")
+      val group = if (pat.replaceAll("\\\\\\(", "").contains("(")) 1 else 0
+      RegExpExtract(args.head, args(1), Literal(group))
+    },
+    // hash long tail: javaHash IS Java's String.hashCode (Hive's string
+    // hash is the same recurrence — Catalyst's HiveHash); CH hiveHash
+    // is javaHash with the sign bit zeroed. murmurHash2_64 lands on
+    // xxhash64 like the other CH-internal-constant families (same
+    // dispersion contract, different values than CH — documented).
+    "javaHash" -> (args => HiveHash(args)),
+    "hiveHash" -> (args =>
+      BitwiseAnd(Cast(HiveHash(args), org.apache.spark.sql.types.LongType),
+        Literal(0x7fffffffL))),
+    "murmurHash2_64" -> (args => XxHash64(args, 42L)),
+    "murmurHash2_32" -> (args => Murmur3Hash(args, 42)),
+    "murmurHash3_32" -> (args => Murmur3Hash(args, 42)),
+    "murmurHash3_64" -> (args => XxHash64(args, 42L)),
+    // isValidJSON: get_json_object('$') is null exactly on malformed
+    // input (scalars included — '5' is valid JSON and round-trips)
+    "isValidJSON" -> (args =>
+      IsNotNull(GetJsonObject(one(args), Literal("$")))),
+    // cutURLParameter(url, name): drop one query parameter, healing the
+    // separator (mid-list keeps the following param's '&' under the
+    // preceding '?'/'&'; list-end drops its own separator)
+    "cutURLParameter" -> { args =>
+      val q = java.util.regex.Pattern.quote(
+        litString(args(1), "cutURLParameter name"))
+      val step1 = RegExpReplace(args.head,
+        Literal(s"([?&])$q=[^&#]*&"), Literal("$1"))
+      RegExpReplace(step1, Literal(s"[?&]$q=[^&#]*"), Literal(""))
+    },
+    "isIPv4String" -> (args => ChStringKernelExpr(one(args), "isIPv4")),
+    "isIPv6String" -> (args => ChStringKernelExpr(one(args), "isIPv6")),
+    "arrayWithConstant" -> (args => ArrayRepeat(args(1), args.head)),
+    // arrayReduce: literal combinator name over a row-local array
+    "arrayReduce" -> { args =>
+      val name = litString(args.head, "arrayReduce aggregate name")
+        .toLowerCase(java.util.Locale.ROOT)
+      val arr = args(1)
+      name match {
+        case "sum" => arraySumD(arr)
+        case "min" => ArrayMin(arr)
+        case "max" => ArrayMax(arr)
+        case "avg" => Divide(arraySumD(arr),
+          Cast(Size(arr), org.apache.spark.sql.types.DoubleType))
+        case "count" => Size(arr)
+        case "uniqexact" | "uniq" => Size(ArrayDistinct(arr))
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce: unsupported combinator `$other` — sum/min/max/" +
+            "avg/count/uniqExact map; anything stateful should be a " +
+            "real aggregate over exploded rows")
+      }
+    },
+    "arrayShiftLeft" -> (args => arrayShift(args, left = true)),
+    "arrayShiftRight" -> (args => arrayShift(args, left = false)),
+    // vector math: the codegen'd graft kernels (arrays cast to Float64
+    // first — CH computes these in Float64 too)
+    "dotProduct" -> (args => DotExpr(toDArr(args.head), toDArr(args(1)))),
+    "L1Norm" -> { args =>
+      val x = UnresolvedNamedLambdaVariable(Seq("graft_l1_x"))
+      arraySumD(ArrayTransform(toDArr(one(args)),
+        LambdaFunction(Abs(x), Seq(x))))
+    },
+    "L2Norm" -> (args =>
+      Sqrt(DotExpr(toDArr(one(args)), toDArr(one(args))))),
+    "LinfNorm" -> { args =>
+      val x = UnresolvedNamedLambdaVariable(Seq("graft_li_x"))
+      ArrayMax(ArrayTransform(toDArr(one(args)),
+        LambdaFunction(Abs(x), Seq(x))))
+    },
+    "L1Distance" -> { args =>
+      val x = UnresolvedNamedLambdaVariable(Seq("graft_l1d_x"))
+      val y = UnresolvedNamedLambdaVariable(Seq("graft_l1d_y"))
+      arraySumD(ZipWith(toDArr(args.head), toDArr(args(1)),
+        LambdaFunction(Abs(Subtract(x, y)), Seq(x, y))))
+    },
+    "L2Distance" -> (args =>
+      Sqrt(Dist2Expr(toDArr(args.head), toDArr(args(1))))),
+    "L2SquaredDistance" -> (args =>
+      Dist2Expr(toDArr(args.head), toDArr(args(1)))),
+    "LinfDistance" -> { args =>
+      val x = UnresolvedNamedLambdaVariable(Seq("graft_lid_x"))
+      val y = UnresolvedNamedLambdaVariable(Seq("graft_lid_y"))
+      ArrayMax(ZipWith(toDArr(args.head), toDArr(args(1)),
+        LambdaFunction(Abs(Subtract(x, y)), Seq(x, y))))
+    },
+    "cosineDistance" -> { args =>
+      val (a, b) = (toDArr(args.head), toDArr(args(1)))
+      Subtract(Literal(1.0d), Divide(DotExpr(a, b),
+        Multiply(Sqrt(DotExpr(a, a)), Sqrt(DotExpr(b, b)))))
+    },
+    "tupleHammingDistance" -> (args =>
+      ChTupleHammingExpr(args.head, args(1))),
+    "toTypeName" -> (args => ChTypeNameExpr(one(args))),
+    "intExp10" -> (args => Cast(Pow(Literal(10.0d),
+      Cast(one(args), org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.LongType)),
+    "lgamma" -> (args => ChGammaExpr(
+      Cast(one(args), org.apache.spark.sql.types.DoubleType), log = true)),
+    "tgamma" -> (args => ChGammaExpr(
+      Cast(one(args), org.apache.spark.sql.types.DoubleType), log = false)),
+    // roundAge/roundDuration: CH's fixed bucket ladders
+    "roundAge" -> (args => bucketLadder(one(args),
+      Seq(1L -> 17L, 18L -> 18L, 25L -> 25L, 35L -> 35L, 45L -> 45L,
+        55L -> 55L))),
+    "roundDuration" -> (args => bucketLadder(one(args),
+      Seq(1L, 10L, 30L, 60L, 120L, 180L, 240L, 300L, 600L, 1200L, 1800L,
+        3600L, 7200L, 18000L, 36000L).map(v => v -> v))),
+    "formatReadableSize" -> (args => ChReadableExpr(
+      Cast(one(args), org.apache.spark.sql.types.DoubleType), "size")),
+    "formatReadableQuantity" -> (args => ChReadableExpr(
+      Cast(one(args), org.apache.spark.sql.types.DoubleType), "quantity")),
+    "formatReadableTimeDelta" -> (args => ChReadableExpr(
+      Cast(one(args), org.apache.spark.sql.types.DoubleType), "timedelta")),
+    "bar" -> (args => ChBarExpr(args)),
+    // countDigits: digits of the integral part (CH counts the decimal
+    // digits of the value's representation, sign excluded)
+    "countDigits" -> (args => Length(Cast(Abs(Cast(one(args),
+      org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StringType))),
+    "normalizeUTF8NFC" -> (args => ChNormalizeUtf8Expr(one(args), "NFC")),
+    "normalizeUTF8NFD" -> (args => ChNormalizeUtf8Expr(one(args), "NFD")),
+    "normalizeUTF8NFKC" -> (args => ChNormalizeUtf8Expr(one(args), "NFKC")),
+    "normalizeUTF8NFKD" -> (args => ChNormalizeUtf8Expr(one(args), "NFKD")),
+    "toValidUTF8" -> (args => ChStringKernelExpr(one(args), "toValidUtf8")),
+    "editDistance" -> (args => Levenshtein(args.head, args(1))),
+    "levenshteinDistance" -> (args => Levenshtein(args.head, args(1))),
+    "jaroWinklerSimilarity" -> (args =>
+      ChJaroWinklerExpr(args.head, args(1), winkler = true)),
+    "jaroSimilarity" -> (args =>
+      ChJaroWinklerExpr(args.head, args(1), winkler = false)),
+    "regexpQuoteMeta" -> (args =>
+      ChStringKernelExpr(one(args), "regexpQuoteMeta")),
+    "negate" -> (args => UnaryMinus(one(args))),
+    // CH's typed empty-array constructors
+    "emptyArrayInt8" -> (_ => emptyArr(org.apache.spark.sql.types.ByteType)),
+    "emptyArrayInt16" -> (_ => emptyArr(org.apache.spark.sql.types.ShortType)),
+    "emptyArrayInt32" -> (_ => emptyArr(org.apache.spark.sql.types.IntegerType)),
+    "emptyArrayInt64" -> (_ => emptyArr(org.apache.spark.sql.types.LongType)),
+    "emptyArrayUInt8" -> (_ => emptyArr(org.apache.spark.sql.types.ShortType)),
+    "emptyArrayUInt16" -> (_ => emptyArr(org.apache.spark.sql.types.IntegerType)),
+    "emptyArrayUInt32" -> (_ => emptyArr(org.apache.spark.sql.types.LongType)),
+    "emptyArrayUInt64" -> (_ => emptyArr(org.apache.spark.sql.types.LongType)),
+    "emptyArrayFloat32" -> (_ => emptyArr(org.apache.spark.sql.types.FloatType)),
+    "emptyArrayFloat64" -> (_ => emptyArr(org.apache.spark.sql.types.DoubleType)),
+    "emptyArrayString" -> (_ => emptyArr(org.apache.spark.sql.types.StringType)),
+    "emptyArrayDate" -> (_ => emptyArr(org.apache.spark.sql.types.DateType)),
+    "emptyArrayDateTime" -> (_ => emptyArr(org.apache.spark.sql.types.TimestampType)),
+    // ---- tenth batch: aggregates ----
+    // groupBitmap over a scalar column is the bitmap's cardinality —
+    // exact distinct; groupBitmapOr unions per-row singletons → same.
+    "groupBitmap" -> (args =>
+      Count(args).toAggregateExpression(isDistinct = true)),
+    "groupBitmapOr" -> (args =>
+      Count(args).toAggregateExpression(isDistinct = true)),
+    "groupBitmapXor" -> (_ => throw new IllegalArgumentException(
+      "groupBitmapXor keeps values seen an ODD number of times — " +
+        "rewrite as a groupBy count having count % 2 = 1 (the " +
+        "q55_bitmap_distinct recipe)")),
+    // quantileGK(accuracy, q)(x): Spark's own GK-family sketch
+    // (ApproximatePercentile), accuracy mapped through directly
+    "quantileGK" -> (args => new ApproximatePercentile(args(2), args(1),
+      Cast(args.head, org.apache.spark.sql.types.IntegerType))),
+    "exponentialMovingAverage" -> (_ => throw new IllegalArgumentException(
+      "exponentialMovingAverage is time-anchored — rewrite as " +
+        "sum(v * pow(2, (t - T)/x)) / sum(pow(2, (t - T)/x)) with T a " +
+        "fixed in-window reference (max(t) over the window), the " +
+        "q114_decay recipe")),
+    "mannWhitneyUTest" -> (_ => throw new IllegalArgumentException(
+      "mannWhitneyUTest needs global ranks — compute them " +
+        "relationally (rank the pooled sample, sum per group; the " +
+        "q130_ks_test recipe shape)")),
+    // minMap/maxMap: per-key min/max across rows of a MAP column —
+    // fold the collected maps through map_zip_with (least/greatest
+    // skip the missing-key nulls), then sort keys like CH
+    "minMap" -> (args => mapMinMax(one(args), isMin = true)),
+    "maxMap" -> (args => mapMinMax(one(args), isMin = false)))
+
+  private def toDArr(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+
+  /** Double-summing fold over a row-local array (vector-math helper). */
+  private def arraySumD(arr: Expression): Expression = {
+    val acc = UnresolvedNamedLambdaVariable(Seq("graft_as_acc"))
+    val y = UnresolvedNamedLambdaVariable(Seq("graft_as_y"))
+    ArrayAggregate(toDArr(arr), Literal(0.0d),
+      LambdaFunction(Add(acc, y), Seq(acc, y)),
+      LambdaFunction(acc, Seq(acc)))
+  }
+
+  /** arrayShiftLeft/Right(arr, n, fill): slide and pad — the fill is
+    * required (CH defaults to the element type's zero; a silent wrong
+    * default is worse than asking for it).
+    */
+  private def arrayShift(args: Seq[Expression], left: Boolean): Expression = {
+    require(args.length == 3,
+      "arrayShiftLeft/Right(arr, n, fill) — pass the fill explicitly " +
+        "(CH's default is the element type's zero)")
+    val arr = args.head
+    val n = Cast(args(1), org.apache.spark.sql.types.IntegerType)
+    val k = Least(Seq(Greatest(Seq(n, Literal(0))), Size(arr)))
+    val pad = ArrayRepeat(args(2), k)
+    // slice length is computed, never Int.MaxValue: Slice adds start +
+    // length internally and a MaxValue sentinel overflows to an empty
+    // result
+    if (left)
+      Concat(Seq(Slice(arr, Add(k, Literal(1)), Subtract(Size(arr), k)), pad))
+    else
+      Concat(Seq(pad, Slice(arr, Literal(1), Subtract(Size(arr), k))))
+  }
+
+  /** CH's fixed rounding ladders (roundAge/roundDuration): below the
+    * first threshold → 0, else the largest (threshold → value) whose
+    * threshold is ≤ x.
+    */
+  private def bucketLadder(x: Expression,
+    ladder: Seq[(Long, Long)]): Expression = {
+    val v = Cast(x, org.apache.spark.sql.types.LongType)
+    CaseWhen(ladder.reverse.map { case (lo, out) =>
+      (GreaterThanOrEqual(v, Literal(lo)), Literal(out): Expression)
+    }, Some(Literal(0L)))
+  }
+
+  private def emptyArr(dt: org.apache.spark.sql.types.DataType): Expression =
+    Literal.create(Array.empty[Any],
+      org.apache.spark.sql.types.ArrayType(dt))
+
+  /** minMap/maxMap: fold collected maps via MapZipWith — seeded from
+    * the FIRST collected map so the fold is correctly typed without a
+    * plan-time map literal; least/greatest skip missing-key nulls.
+    * Result keys sorted, like CH's.
+    */
+  private def mapMinMax(m: Expression, isMin: Boolean): Expression = {
+    val lst = CollectList(m).toAggregateExpression()
+    val acc = UnresolvedNamedLambdaVariable(Seq("graft_mm_acc"))
+    val x = UnresolvedNamedLambdaVariable(Seq("graft_mm_x"))
+    val k = UnresolvedNamedLambdaVariable(Seq("graft_mm_k"))
+    val v1 = UnresolvedNamedLambdaVariable(Seq("graft_mm_v1"))
+    val v2 = UnresolvedNamedLambdaVariable(Seq("graft_mm_v2"))
+    val pick: Expression =
+      if (isMin) Least(Seq(v1, v2)) else Greatest(Seq(v1, v2))
+    val folded = ArrayAggregate(
+      Slice(lst, Literal(2),
+        Greatest(Seq(Literal(0), Subtract(Size(lst), Literal(1))))),
+      ElementAt(lst, Literal(1)),
+      LambdaFunction(MapZipWith(acc, x,
+        LambdaFunction(pick, Seq(k, v1, v2))), Seq(acc, x)),
+      LambdaFunction(acc, Seq(acc)))
+    new MapFromEntries(new SortArray(MapEntries(folded), Literal(true)))
+  }
 
   /** mapAdd/mapSubtract: MapZipWith over the key union with null-coalesced
     * element arithmetic.

@@ -2986,6 +2986,7 @@ object ClickHouseSql {
       out.contains("monthName") || out.contains("char("))
       out = rewriteHashNames(out)
     if (l.contains("datediff")) out = rewriteDateDiff(out)
+    if (l.contains("extract")) out = rewriteExtract(out)
     if (l.contains("arrayfirst") || l.contains("arraylast"))
       out = rewriteArrayFirst(out)
     if (l.contains("transform")) out = rewriteChTransform(out)
@@ -3720,7 +3721,10 @@ object ClickHouseSql {
     // ninth batch: exact weighted/low/high quantiles + the LTTB
     // thrower (flattened so it can teach the q97 recipe)
     "quantileexactweighted", "quantileexactlow", "quantileexacthigh",
-    "quantileexactweightedif", "largesttrianglethreebuckets")
+    "quantileexactweightedif", "largesttrianglethreebuckets",
+    // tenth batch: groupArray(N)(x) head-slice, the GK sketch, and the
+    // EMA thrower (flattened so it can teach the q114 recipe)
+    "grouparray", "quantilegk", "exponentialmovingaverage")
 
   /** ClickHouse parameterized-aggregate call syntax `f(p, …)(args…)` →
     * the dialect's flattened params-first form `f(p, …, args…)` —
@@ -4356,6 +4360,36 @@ object ClickHouseSql {
         toks(i + 2).text == ",")
         splices += ((toks(i).start, toks(i).end, "chDateDiff"))
       i += 1
+    }
+    applySplices(sqlText, splices)
+  }
+
+  /** CH `extract(haystack, re)` → the dialect's `chExtract` — Spark's
+    * parser owns the `EXTRACT(field FROM ts)` spelling. The cue is a
+    * top-level COMMA inside the parens (the SQL-standard form has FROM
+    * there instead), so both spellings coexist in one statement.
+    */
+  private def rewriteExtract(sqlText: String): String = {
+    val toks = lex(sqlText)
+    val splices = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    for (i <- toks.indices) {
+      if (toks(i).lower == "extract" &&
+        toks.lift(i + 1).exists(_.text == "(")) {
+        val depth = toks(i + 1).depth
+        var j = i + 2
+        var isCall = false
+        var done = false
+        while (j < toks.length && !done) {
+          val t = toks(j)
+          if (t.text == ")" && t.depth == depth) done = true
+          else if (t.depth == depth + 1 || (t.text == "(" && t.depth == depth + 1)) {
+            if (t.text == ",") { isCall = true; done = true }
+            if (t.lower == "from") done = true
+          }
+          j += 1
+        }
+        if (isCall) splices += ((toks(i).start, toks(i).end, "chExtract"))
+      }
     }
     applySplices(sqlText, splices)
   }

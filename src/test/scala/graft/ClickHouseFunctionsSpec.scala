@@ -100,4 +100,67 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(e.getSeq[Double](4) === Seq(4.0))
     assert(e.getSeq[Double](5) === Seq(4.0))
   }
+
+  test("tenth-batch dialect names: pinned values, not just non-throwing") {
+    graft.functions.ClickHouseDialect.register(spark)
+    def one(e: String): Any =
+      graft.functions.ClickHouseSql.sql(spark, s"SELECT $e AS v").head().get(0)
+    assert(one("replaceOne('aaa', 'a', 'b')").toString === "baa")
+    assert(one("replaceOne('xyz', 'q', 'b')").toString === "xyz")
+    assert(one("multiSearchFirstIndex('hello', array('zz', 'll'))") === 2)
+    // leftmost OCCURRENCE wins, not first needle that matches
+    assert(one("multiSearchFirstIndex('hello', array('llo', 'he'))") === 2)
+    assert(one("multiSearchFirstIndex('hello', array('zz'))") === 0)
+    assert(one("extract('key=val', '=(.*)$')").toString === "val")
+    assert(one("extract('a1b', '[0-9]')").toString === "1")
+    // the SQL-standard spelling still parses alongside the CH call
+    assert(one("extract(YEAR FROM DATE'2024-03-01')") === 2024)
+    assert(one("arrayShiftLeft(array(1,2,3), 1, 0)") ===
+      Seq(2, 3, 0))
+    assert(one("arrayShiftRight(array(1,2,3), 1, 0)") ===
+      Seq(0, 1, 2))
+    assert(one("arrayShiftLeft(array(1,2), 5, 9)") === Seq(9, 9))
+    assert(one("dotProduct(array(1.0,2.0), array(3.0,4.0))") === 11.0)
+    assert(one("L2Distance(array(0.0,0.0), array(3.0,4.0))") === 5.0)
+    assert(one("L1Norm(array(1.0,-2.0))") === 3.0)
+    assert(one("LinfNorm(array(1.0,-5.0))") === 5.0)
+    assert(one("cosineDistance(array(1.0,0.0), array(1.0,0.0))") === 0.0)
+    assert(one("tupleHammingDistance((1, 2, 3), (1, 9, 3))") === 1)
+    assert(one("toTypeName(CAST(1 AS BIGINT))").toString === "Int64")
+    assert(one("roundAge(3)") === 17L)
+    assert(one("roundAge(0)") === 0L)
+    assert(one("roundDuration(250)") === 240L)
+    assert(one("formatReadableSize(1048576)").toString === "1.00 MiB")
+    assert(one("formatReadableTimeDelta(3661)").toString ===
+      "1 hour, 1 minute, 1 second")
+    assert(one("bar(5, 0, 10, 10)").toString === "█████")
+    assert(one("isIPv4String('1.2.3.4')") === true)
+    assert(one("isIPv4String('1.2.3.256')") === false)
+    assert(one("isIPv6String('2001:db8::1')") === true)
+    assert(one("isIPv6String('2001:db8::1::2')") === false)
+    assert(one("isIPv6String('::ffff:1.2.3.4')") === true)
+    assert(one("levenshteinDistance('abc', 'axc')") === 1)
+    assert(one("jaroSimilarity('abc', 'abc')") === 1.0)
+    assert(one("regexpQuoteMeta('a.b')").toString === "a\\.b")
+    assert(one("countDigits(12345)") === 5)
+    assert(one("arrayReduce('max', array(1,2,3))") === 3)
+    assert(one("cutURLParameter('http://x.com/?a=1&b=2', 'a')").toString ===
+      "http://x.com/?b=2")
+    assert(one("cutURLParameter('http://x.com/?a=1&b=2', 'b')").toString ===
+      "http://x.com/?a=1")
+    assert(one("isValidJSON('{\"a\":1}')") === true)
+    assert(one("isValidJSON('nope')") === false)
+    assert(one("emptyArrayInt64()") === Seq.empty)
+    // aggregates over a tiny frame
+    spark.sql("""SELECT id, g, CAST(x AS DOUBLE) AS x FROM VALUES
+      (1, 'a', 1.5), (2, 'a', 2.5),
+      (3, 'b', 4.0) AS t(id, g, x)""").createOrReplaceTempView("tb_probe")
+    def agg(e: String): Any = graft.functions.ClickHouseSql.sql(spark,
+      s"SELECT $e AS v FROM tb_probe").head().get(0)
+    assert(agg("groupArray(2)(x)")
+      .asInstanceOf[scala.collection.Seq[Double]].toList === List(1.5, 2.5))
+    assert(agg("groupBitmap(g)") === 2L)
+    assert(agg("minMap(map(g, x))") === Map("a" -> 1.5, "b" -> 4.0))
+    assert(agg("maxMap(map(g, x))") === Map("a" -> 2.5, "b" -> 4.0))
+  }
 }

@@ -115,7 +115,81 @@ object FnProbe {
       "dateTrunc('month', toDate('2024-03-15'))",
       "byteSize('abc')",
       "normalizeQuery('SELECT 1 + 2')",
-      "positionUTF8('héllo', 'llo')"
+      "positionUTF8('héllo', 'llo')",
+      // r11 tenth batch — bit ops, URL parts, IP, distances, readable
+      // formats, JSON introspection, UTF-8 normalization, fuzzy strings
+      "bitTest(5, 0)", "bitTestAll(7, 0, 1)", "bitTestAny(4, 0, 2)",
+      "bitShiftLeft(1, 3)", "bitShiftRight(8, 3)",
+      "bitHammingDistance(111, 109)",
+      "concatWithSeparator('-', 'a', 'b')",
+      "toStartOfTenMinutes(toDateTime('2024-01-01 00:17:00'))",
+      "toMonday(toDate('2024-03-07'))",
+      "toStartOfQuarter(toDate('2024-05-15'))",
+      "toDayOfYear(toDate('2024-02-01'))",
+      "toISOWeek(toDate('2024-01-04'))",
+      "toYYYYMMDD(toDate('2024-03-05'))",
+      "fromUnixTimestamp(0)",
+      "dateDiff('day', toDate('2024-01-01'), toDate('2024-02-01'))",
+      "addHours(toDateTime('2024-01-01 00:00:00'), 25)",
+      "replaceOne('aaa', 'a', 'b')", "replaceRegexpAll('a1b2', '\\\\d', '#')",
+      "countSubstrings('aaa', 'aa')", "countMatches('a1b22c', '\\\\d+')",
+      "multiSearchFirstIndex('hello', array('zz', 'll'))",
+      "extract('key=val', '=(.*)$')",
+      "base64Encode('ab')", "base64Decode('YWI=')", "tryBase64Decode('!!')",
+      "crc32('x')", "xxHash64('x')", "murmurHash2_64('x')",
+      "javaHash('x')", "hiveHash('x')",
+      "isValidJSON('{\"a\":1}')", "JSONLength('{\"a\":1,\"b\":2}')",
+      "JSONHas('{\"a\":1}', 'a')", "JSONExtractKeys('{\"a\":1,\"b\":2}')",
+      "JSONExtractFloat('{\"a\":2.5}', 'a')",
+      "JSONExtractBool('{\"a\":true}', 'a')",
+      "protocol('https://x.com/p')", "path('https://x.com/p?a=1')",
+      "queryString('https://x.com/p?a=1&b=2')",
+      "fragment('https://x.com/p#frag')",
+      "topLevelDomain('https://a.example.com/x')",
+      "extractURLParameter('http://x.com/?a=1&b=2', 'b')",
+      "cutURLParameter('http://x.com/?a=1&b=2', 'a')",
+      "IPv4NumToString(16909060)", "IPv4StringToNum('1.2.3.4')",
+      "isIPv4String('1.2.3.4')", "isIPv6String('::1')",
+      "arrayConcat(array(1), array(2,3))",
+      "arrayResize(array(1,2), 4, 0)",
+      "arrayFlatten(array(array(1,2), array(3)))",
+      "arrayUniq(array(1,1,2))",
+      "hasAll(array(1,2,3), array(2,3))", "hasAny(array(1,2), array(2,9))",
+      "countEqual(array(1,2,1), 1)",
+      "range(4)", "arrayWithConstant(3, 'x')",
+      "arrayJaccardIndex(array(1,2,3), array(2,3,4))",
+      "arrayReduce('sum', array(1,2,3))",
+      "arrayRotateLeft(array(1,2,3), 1)",
+      "arrayShiftLeft(array(1,2,3), 1, 0)",
+      "mapContains(map('k', 1), 'k')",
+      "mapFromArrays(array('a','b'), array(1,2))",
+      "mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2))",
+      "mapAdd(map('a', 1), map('a', 2, 'b', 5))",
+      "dotProduct(array(1.0,2.0), array(3.0,4.0))",
+      "L1Norm(array(1.0,-2.0))", "L2Norm(array(3.0,4.0))",
+      "LinfNorm(array(1.0,-5.0))",
+      "L2Distance(array(0.0,0.0), array(3.0,4.0))",
+      "cosineDistance(array(1.0,0.0), array(0.0,1.0))",
+      "tupleHammingDistance((1, 2), (1, 3))",
+      "toTypeName(CAST(1 AS BIGINT))", "isFinite(1.0)", "isInfinite(1.0)",
+      "transform(2, array(1,2), array('a','b'), 'z')",
+      "multiIf(1 > 2, 'a', 3 > 2, 'b', 'c')",
+      "intExp2(3)", "intExp10(2)", "exp2(3.0)", "exp10(2.0)",
+      "degrees(pi())", "hypot(3.0, 4.0)", "lgamma(5.0)", "tgamma(5.0)",
+      "roundBankers(2.5)", "roundAge(25)", "roundDuration(100)",
+      "formatReadableSize(1048576)", "formatReadableQuantity(1234567)",
+      "formatReadableTimeDelta(3661)",
+      "parseDateTimeBestEffort('2024-01-02 03:04:05')",
+      "toUInt8('5')", "toInt32OrNull('x')",
+      "bar(5, 0, 10, 10)", "countDigits(12345)",
+      "normalizeUTF8NFC('é')", "toValidUTF8('ok')",
+      "translate('abc', 'ab', 'xy')",
+      "editDistance('abc', 'abd')", "levenshteinDistance('abc', 'axc')",
+      "jaroWinklerSimilarity('abc', 'abd')",
+      "regexpQuoteMeta('a.b')",
+      "left('abcde', 2)", "right('abcde', 2)", "space(3)",
+      "intDiv(7, 2)", "modulo(7, 3)", "negate(5)", "plus(1, 2)",
+      "emptyArrayInt64()", "emptyArrayString()"
     )
     // aggregate battery over a tiny table — the same radar for the
     // aggregate-name surface
@@ -151,7 +225,28 @@ object FnProbe {
       "largestTriangleThreeBuckets(2)(id, x)",
       "groupConcat(g)",
       "quantileExactLow(0.5)(x)",
-      "quantileExactHigh(0.5)(x)")
+      "quantileExactHigh(0.5)(x)",
+      // r11 tenth batch — sketch/bitmap/map/sequence aggregates
+      "uniqExact(g)", "uniqCombined(g)", "uniqCombined64(g)",
+      "topK(2)(g)", "groupArray(x)", "groupArray(2)(x)",
+      "groupArrayMovingSum(x)", "groupArrayMovingAvg(x)",
+      "groupBitAnd(id)", "groupBitOr(id)", "groupBitXor(id)",
+      "groupBitmap(id)", "groupBitmapOr(id)", "groupBitmapXor(id)",
+      "covarSamp(id, x)", "covarPop(id, x)", "corr(id, x)",
+      "anyLast(g)", "anyHeavy(g)",
+      "histogram(3)(x)",
+      "sumIf(x, id > 1)", "avgIf(x, id > 1)",
+      "quantilesExact(0.25, 0.5)(x)",
+      "quantileTDigest(0.5)(x)",
+      "quantileDeterministic(0.5)(x, id)",
+      "quantileGK(100, 0.5)(x)",
+      "exponentialMovingAverage(1)(x, id)",
+      "mannWhitneyUTest(x, id % 2)",
+      "minMap(map(g, x))", "maxMap(map(g, x))",
+      "sequenceMatch('(?1)(?2)')(ts, id = 1, id = 2)",
+      "sequenceCount('(?1)')(ts, id >= 1)",
+      "windowFunnel(3600)(ts, id = 1, id = 2)",
+      "retention(id >= 1, id >= 2)")
     var afailed = 0
     aggs.foreach { e =>
       try {
