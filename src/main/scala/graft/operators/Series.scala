@@ -967,6 +967,136 @@ object Series {
       .orderBy(col("o_orderstatus"), col("weekday"))
   }
 
+  // q147 — 14-period SMA-RSI over the daily revenue series per order
+  // status (the technical-analysis momentum readout; the SMA form, not
+  // Wilder's recursive smoothing, so every window is order-free and
+  // both engines agree bit for bit). Exact integers end to end: daily
+  // cents → lag diffs → gain/loss window sums → RSI in e4 fixed point
+  // as 1000000·G div (G+L). Facts pay ONE daily aggregation; the lag
+  // and the 14-row frames run over the calendar-bounded daily relation
+  // (≤ ~2.5k rows per status at ANY corpus size — the window never
+  // sees the fact table).
+  val q147 = Q(
+    "q147_rsi",
+    Some("""
+      WITH daily AS (
+        SELECT o_orderstatus AS st,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+        FROM orders GROUP BY st, d),
+      diffs AS (
+        SELECT st, d,
+               v - LAG(v) OVER (PARTITION BY st ORDER BY d) AS dv
+        FROM daily),
+      agg AS (
+        SELECT st, d,
+               SUM(CASE WHEN dv > 0 THEN dv ELSE 0 END)
+                 OVER (PARTITION BY st ORDER BY d
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS g,
+               SUM(CASE WHEN dv < 0 THEN -dv ELSE 0 END)
+                 OVER (PARTITION BY st ORDER BY d
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS l,
+               COUNT(dv) OVER (PARTITION BY st ORDER BY d
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS cnt
+        FROM diffs)
+      SELECT st, d, CAST(g AS BIGINT) AS gain_cents,
+             CAST(l AS BIGINT) AS loss_cents,
+             CAST(g * 1000000 // (g + l) AS BIGINT) AS rsi_e4
+      FROM agg
+      WHERE cnt = 14 AND g + l > 0
+      ORDER BY st, d
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.orders
+      .groupBy(col("o_orderstatus").as("st"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast(LongType).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType)).as("v"))
+    val wLag = Window.partitionBy(col("st")).orderBy(col("d"))
+    val w14 = wLag.rowsBetween(-13, Window.currentRow)
+    daily
+      .withColumn("dv", col("v") - lag(col("v"), 1).over(wLag))
+      .select(col("st"), col("d"),
+        sum(when(col("dv") > 0, col("dv")).otherwise(0L)).over(w14).as("g"),
+        sum(when(col("dv") < 0, -col("dv")).otherwise(0L)).over(w14).as("l"),
+        count(col("dv")).over(w14).as("cnt"))
+      .filter(col("cnt") === 14 && col("g") + col("l") > 0)
+      .select(col("st"), col("d"),
+        col("g").cast(LongType).as("gain_cents"),
+        col("l").cast(LongType).as("loss_cents"),
+        // widen before ×1e6: 14 days of cents reach ~1e14 at the
+        // 100 TB target and the numerator would wrap BIGINT (the
+        // q142 convention; DuckDB's window SUM is already HUGEINT)
+        expr("CAST(g AS DECIMAL(38,0)) * 1000000 div (g + l)")
+          .cast(LongType).as("rsi_e4"))
+      .orderBy(col("st"), col("d"))
+  }
+
+  // q149 — Hampel filter over the daily value series per event type
+  // (the robust outlier detector next to q103's moving median): a day
+  // is flagged when its deviation from the CENTERED 11-day window
+  // median exceeds 3× the window's MAD. Both medians are LOWER order
+  // statistics of the collected frame — pure integers, no
+  // interpolation, so both engines agree exactly; the deviations
+  // derive from the SAME collected frame (one window pass, not two).
+  // The frames run over the calendar-bounded daily relation, never the
+  // fact table.
+  val q149 = Q(
+    "q149_hampel",
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                    - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        FROM events GROUP BY event_type, d),
+      framed AS (
+        SELECT event_type, d, v,
+               LIST_SORT(LIST(v) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS fr
+        FROM daily),
+      med AS (
+        SELECT event_type, d, v, fr,
+               fr[(LEN(fr) + 1) // 2] AS med
+        FROM framed),
+      mad AS (
+        SELECT event_type, d, v, med,
+               LIST_SORT(LIST_TRANSFORM(fr, x -> ABS(x - med)))
+                 [(LEN(fr) + 1) // 2] AS mad
+        FROM med)
+      SELECT event_type, d, CAST(v AS BIGINT) AS v_cents,
+             CAST(med AS BIGINT) AS med_cents,
+             CAST(mad AS BIGINT) AS mad_cents
+      FROM mad
+      WHERE ABS(v - med) > 3 * mad AND ABS(v - med) > 0
+      ORDER BY event_type, d
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast(LongType).as("d"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(-5, 5)
+    daily
+      .withColumn("fr", sort_array(collect_list(col("v")).over(w)))
+      .withColumn("med",
+        element_at(col("fr"), ((size(col("fr")) + 1) / 2).cast("int")))
+      .withColumn("mad", element_at(
+        sort_array(transform(col("fr"), x => abs(x - col("med")))),
+        ((size(col("fr")) + 1) / 2).cast("int")))
+      .filter(abs(col("v") - col("med")) > lit(3) * col("mad") &&
+        abs(col("v") - col("med")) > 0)
+      .select(col("event_type"), col("d"),
+        col("v").cast(LongType).as("v_cents"),
+        col("med").cast(LongType).as("med_cents"),
+        col("mad").cast(LongType).as("mad_cents"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
   val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106, q109, q110,
-    q128, q129, q132, q133, q135)
+    q128, q129, q132, q133, q135, q147, q149)
 }

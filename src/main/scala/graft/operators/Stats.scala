@@ -1800,7 +1800,249 @@ object Stats {
             - lit(1.0))), 4).as("cramers_v_bc"))
   }
 
+  // q145 — Herfindahl–Hirschman concentration index of supplier revenue
+  // within each nation (the q124/q142 concentration family's third
+  // member — HHI is the antitrust-standard readout). The metric is
+  // defined on FLOORED basis-point shares (share_bp = cents×10000 div
+  // total), so every term is exact integer arithmetic in BOTH engines —
+  // no squared-cents DECIMAL(38) blowup (cents² × 1e8 passes 10³⁸ at
+  // the 100 TB target; bp² ≤ 1e8 never does). Shape: one fact-table
+  // aggregation to supplier grain, then nation totals broadcast back —
+  // the second and third aggregates run on the supplier-sized relation.
+  val q145 = Q(
+    "q145_herfindahl",
+    Some("""
+      WITH sup AS (
+        SELECT l_suppkey,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+        FROM lineitem GROUP BY l_suppkey),
+      nat AS (
+        SELECT n.n_name, sup.c,
+               SUM(sup.c) OVER (PARTITION BY n.n_name) AS tot
+        FROM sup
+        JOIN supplier s ON s.s_suppkey = sup.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey)
+      SELECT n_name,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(MAX(tot) AS BIGINT) AS total_cents,
+             CAST(SUM((c * 10000 // tot) * (c * 10000 // tot)) AS BIGINT) AS hhi_e8
+      FROM nat
+      GROUP BY n_name
+      ORDER BY n_name
+    """)
+  ) { t =>
+    val sup = t.lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType)).as("c"))
+    val named = sup
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+    val tots = named.groupBy(col("n_name")).agg(sum(col("c")).as("tot"))
+    named.join(broadcast(tots), "n_name")
+      // widen before ×10000: cents reach ~1e16 at 100 TB and the bp
+      // numerator would wrap BIGINT (the q142 convention)
+      .withColumn("bp", expr("CAST(c AS DECIMAL(38,0)) * 10000 div tot"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        max(col("tot")).cast(LongType).as("total_cents"),
+        sum(col("bp") * col("bp")).cast(LongType).as("hhi_e8"))
+      .orderBy(col("n_name"))
+  }
+
+  // q146 — Kruskal–Wallis H test (the k-group generalization of q73's
+  // Mann–Whitney): does order priority shift the totalprice
+  // distribution, tested within each order status. Midranks ride q73's
+  // GroupedPrefix machinery verbatim (range counts + tie windows, no
+  // global sort); H and its tie-corrected form are closed-form over
+  // per-(status, priority) rank sums — identical term ORDER on both
+  // engines, and the tie correction's cubes are pure IEEE
+  // multiplication (t·t·t as DOUBLE, never pow/log — N³ would wrap
+  // BIGINT at ~2M rows, a 100 TB certainty).
+  val q146 = Q(
+    "q146_kruskal_wallis",
+    Some("""
+      WITH pool AS (
+        SELECT o_orderstatus AS st, o_orderpriority AS g, o_totalprice AS v
+        FROM orders),
+      ranked AS (
+        SELECT st, g,
+               RANK() OVER (PARTITION BY st ORDER BY v)
+                 + (COUNT(*) OVER (PARTITION BY st, v) - 1) / 2.0 AS midrank
+        FROM pool),
+      grp AS (
+        SELECT st, g, SUM(midrank) AS r, COUNT(*) AS n
+        FROM ranked GROUP BY st, g),
+      ties AS (
+        SELECT st, SUM(CAST(t AS DOUBLE) * t * t - t) AS tsum
+        FROM (SELECT st, v, COUNT(*) AS t FROM pool GROUP BY st, v)
+        GROUP BY st),
+      hs AS (
+        SELECT grp.st,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               12.0 * SUM(r * r / n) / (SUM(n) * (SUM(n) + 1.0))
+                 - 3.0 * (SUM(n) + 1.0) AS h,
+               MAX(ties.tsum) AS tsum
+        FROM grp JOIN ties ON ties.st = grp.st
+        GROUP BY grp.st)
+      SELECT st, n, k,
+             ROUND(h, 6) AS h,
+             ROUND(h / (1.0 - tsum /
+               (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_corr
+      FROM hs
+      ORDER BY st
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.GroupedPrefix
+    val pool = t.orders.select(col("o_orderstatus").as("st"),
+      col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+    val staged = GroupedPrefix.stage(pool, Seq(col("st"), col("v")))
+    val cntLE = count(lit(1)).over(
+      GroupedPrefix.localWindow(Seq("st"), Seq(col("v")))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    val tiesW = count(lit(1)).over(Window.partitionBy(
+      col("st"), col(GroupedPrefix.PID), col("v")))
+    val ranked = GroupedPrefix.withOffsets(staged, Seq("st"),
+      Seq(count(lit(1)).as("__c"))) { (slices, wPrev) =>
+      slices.select(col("st"), col(GroupedPrefix.PID),
+        coalesce(sum(col("__c")).over(wPrev), lit(0L)).as("__off"))
+    }
+      .withColumn("midrank", col("__off") + cntLE - (tiesW - lit(1)) / 2.0)
+    val grp = ranked.groupBy(col("st"), col("g"))
+      .agg(sum(col("midrank")).as("r"), count(lit(1)).as("n"))
+    val ties = pool.groupBy(col("st"), col("v")).agg(count(lit(1)).as("t"))
+      .groupBy(col("st"))
+      .agg(sum(col("t").cast(DoubleType) * col("t") * col("t") - col("t"))
+        .as("tsum"))
+    grp.join(broadcast(ties), "st")
+      .groupBy(col("st"))
+      .agg(
+        sum(col("n")).cast(LongType).as("n"),
+        count(lit(1)).cast(LongType).as("k"),
+        (lit(12.0) * sum(col("r") * col("r") / col("n"))
+          / (sum(col("n")) * (sum(col("n")) + lit(1.0)))
+          - lit(3.0) * (sum(col("n")) + lit(1.0))).as("__h"),
+        max(col("tsum")).as("__tsum"))
+      .select(col("st"), col("n"), col("k"),
+        round(col("__h"), 6).as("h"),
+        round(col("__h") / (lit(1.0) - col("__tsum") /
+          (col("n").cast(DoubleType) * col("n") * col("n") - col("n"))), 6)
+          .as("h_corr"))
+      .orderBy(col("st"))
+  }
+
+  // q148 — winsorized mean (the robust-mean cleaner next to q75's MAD):
+  // clamp each group's cents at its P05/P95 LOWER order statistics
+  // (q141's exact rank-cut machinery), then average the clamped values
+  // — all BIGINT, the mean floored (div). Two passes: ranks + bounds on
+  // the grouped relation, bounds broadcast back over the base.
+  val q148 = Q(
+    "q148_winsorize",
+    Some("""
+      WITH v AS (
+        SELECT l_returnflag AS g,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM lineitem),
+      r AS (
+        SELECT g, c,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY c) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM v),
+      bounds AS (
+        SELECT g,
+               MAX(CASE WHEN rn <= (n-1)*5 // 100 + 1 THEN c END) AS lo,
+               MAX(CASE WHEN rn <= (n-1)*95 // 100 + 1 THEN c END) AS hi
+        FROM r GROUP BY g)
+      SELECT v.g,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(bounds.lo) AS BIGINT) AS lo_cents,
+             CAST(MAX(bounds.hi) AS BIGINT) AS hi_cents,
+             CAST(SUM(CASE WHEN c < lo THEN lo WHEN c > hi THEN hi ELSE c END)
+               // COUNT(*) AS BIGINT) AS winsor_mean_cents,
+             CAST(COUNT(CASE WHEN c < lo OR c > hi THEN 1 END) AS BIGINT) AS n_clamped
+      FROM v JOIN bounds ON bounds.g = v.g
+      GROUP BY v.g
+      ORDER BY v.g
+    """)
+  ) { t =>
+    import graft.plans.GroupedPrefix
+    val base = t.lineitem.select(col("l_returnflag").as("g"),
+      col("l_extendedprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType).as("c"))
+    val ranked = GroupedPrefix.withRank(base, Seq("g"), col("c"), "rn")
+    val counts = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val bounds = ranked.join(broadcast(counts), "g")
+      .groupBy(col("g"))
+      .agg(max(when(expr("rn <= (n-1)*5 div 100 + 1"), col("c"))).as("lo"),
+        max(when(expr("rn <= (n-1)*95 div 100 + 1"), col("c"))).as("hi"))
+    base.join(broadcast(bounds), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        max(col("lo")).cast(LongType).as("lo_cents"),
+        max(col("hi")).cast(LongType).as("hi_cents"),
+        sum(when(col("c") < col("lo"), col("lo"))
+          .when(col("c") > col("hi"), col("hi"))
+          .otherwise(col("c"))).as("__s"),
+        count(when(col("c") < col("lo") || col("c") > col("hi"), 1))
+          .cast(LongType).as("n_clamped"))
+      .select(col("g"), col("n"), col("lo_cents"), col("hi_cents"),
+        expr("__s div n").cast(LongType).as("winsor_mean_cents"),
+        col("n_clamped"))
+      .orderBy(col("g"))
+  }
+
+  // q150 — the Lorenz curve itself, as the ten decile points q124's
+  // gini integrates: cumulative revenue share (exact basis points) held
+  // by the bottom d×10% of customers, globally ranked. Rides q142's
+  // machinery — GroupedPrefix global rank with a unique (cents,
+  // custkey) tie-break, n/total broadcast from a one-row aggregate, ten
+  // conditional sums in ONE pass (never ten scans), DECIMAL(38,0)
+  // widening before the ×10000.
+  val q150 = Q(
+    "q150_lorenz",
+    Some {
+      val cols = (1 to 10).map(d =>
+        s"""CAST(SUM(CASE WHEN rn <= n * $d // 10 THEN c END)
+            * 10000 // MIN(tot) AS BIGINT) AS cum_bp_$d""").mkString(",\n             ")
+      s"""
+      WITH cust AS (
+        SELECT o_custkey,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+        FROM orders GROUP BY o_custkey),
+      r AS (
+        SELECT c,
+               ROW_NUMBER() OVER (ORDER BY c, o_custkey) AS rn,
+               COUNT(*) OVER () AS n,
+               SUM(c) OVER () AS tot
+        FROM cust)
+      SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
+             CAST(MIN(tot) AS BIGINT) AS total_cents,
+             $cols
+      FROM r
+      """
+    }
+  ) { t =>
+    import graft.plans.GroupedPrefix
+    val cust = t.orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType)).cast(LongType).as("c"))
+    val ranked = GroupedPrefix.withRank(cust, Nil,
+      struct(col("c"), col("o_custkey")), "rn")
+    val tot = cust.agg(count(lit(1)).as("n"), sum(col("c")).as("tot"))
+    val cuts = (1 to 10).map(d =>
+      expr(s"CAST(SUM(CASE WHEN rn <= n * $d div 10 THEN c END) AS DECIMAL(38,0))" +
+        s" * 10000 div MIN(tot)").cast(LongType).as(s"cum_bp_$d"))
+    val aggs = Seq(min(col("n")).cast(LongType).as("n_customers"),
+      min(col("tot")).cast(LongType).as("total_cents")) ++ cuts
+    ranked.crossJoin(broadcast(tot))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134, q136,
-    q137, q138, q139, q140, q141, q142, q144)
+    q137, q138, q139, q140, q141, q142, q144, q145, q146, q148, q150)
 }

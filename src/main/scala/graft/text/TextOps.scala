@@ -2037,11 +2037,59 @@ object TextOps {
       .orderBy(col("rnk"))
   }
 
+  // text_hapax — hapax legomena profile per source (the lexical-richness
+  // readout next to text_sttr: a corpus whose vocabulary is mostly
+  // one-occurrence words is raw/noisy; one dominated by repeated terms
+  // is templated/boilerplate — Zipf's tail, measured exactly): token
+  // and type counts, hapax (freq 1) and dis legomena (freq 2), and the
+  // hapax:type ratio in exact basis points. One explode → (source,
+  // word) count — vocabulary-sized, map-side-combinable — then a
+  // per-source rollup; no windows, no sorts.
+  val hapax = Q(
+    "text_hapax",
+    Some("""
+      WITH toks AS (
+        SELECT source, w
+        FROM (SELECT source,
+                list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                  x -> x <> '') AS ws
+              FROM documents), UNNEST(ws) AS t(w)),
+      wc AS (
+        SELECT source, w, COUNT(*) AS f FROM toks GROUP BY source, w)
+      SELECT source,
+             CAST(SUM(f) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(COUNT(CASE WHEN f = 1 THEN 1 END) AS BIGINT) AS hapax,
+             CAST(COUNT(CASE WHEN f = 2 THEN 1 END) AS BIGINT) AS dis,
+             CAST(COUNT(CASE WHEN f = 1 THEN 1 END) * 10000
+                  // COUNT(*) AS BIGINT) AS hapax_bp
+      FROM wc
+      GROUP BY source
+      ORDER BY source
+    """)
+  ) { t =>
+    val wc = t.documents
+      .select(col("source"),
+        explode(filter(words(lower(col("text"))), x => x =!= "")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("f"))
+    wc.groupBy(col("source"))
+      .agg(
+        sum(col("f")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("f") === 1, 1)).as("hapax"),
+        count(when(col("f") === 2, 1)).cast(LongType).as("dis"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("hapax"),
+        col("dis"),
+        expr("hapax * 10000 div n_types").cast(LongType).as("hapax_bp"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
     incremental, lenHist,
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
     countMin, charTrigrams, gopherBattery, langidEval, sttr, rake,
-    interleave, burstiness)
+    interleave, burstiness, hapax)
 }

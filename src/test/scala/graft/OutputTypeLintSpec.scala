@@ -107,6 +107,11 @@ class OutputTypeLintSpec extends SparkSpec {
     // reviewed r10: the q72 chi² class — scalar math over exact counts,
     // term order shared verbatim with the oracle, one ROUND
     "q144_cramers_bc" -> Set("cramers_v_bc"),
+    // reviewed r11: the q73 midrank class — H is closed-form over
+    // per-group rank sums (midranks are exact x.0/x.5 doubles), tie
+    // cubes are pure IEEE multiplication (t·t·t, never pow), term
+    // order shared verbatim with the oracle, one ROUND each
+    "q146_kruskal_wallis" -> Set("h", "h_corr"),
     // reviewed r9: ln of a ratio of exact BIGINT products (< 2^53, both
     // exactly representable as doubles), term order shared verbatim
     "q131_info_value" -> Set("woe_r4", "ivc_r4"),
