@@ -1056,14 +1056,14 @@ $pivots
     // shuffle is the fixed-size partials, never the n·d relation.
     val qaCov = t.embeddings.select(transform(col("embedding"),
       x => floor(x.cast(DoubleType) * 1024).cast(LongType)).as("qa"))
+    // r11: the pair products come from the graft_crossmom generator
+    // kernel (one primitive loop per row) instead of interpreted
+    // nested-transform lambdas — same rows, same Generate →
+    // HashAggregate shape, ~3 s of lambda dispatch gone at sf0.1
     val crossM = qaCov
-      .select(explode(flatten(transform(col("qa"), (x, i) =>
-        transform(slice(col("qa"), i + 2, size(col("qa"))), (y, k) =>
-          struct(i.cast(LongType).as("dim_i"),
-            (i + lit(1) + k).cast(LongType).as("dim_j"),
-            (x * y).as("p")))))).as("e"))
-      .groupBy(col("e.dim_i").as("dim_i"), col("e.dim_j").as("dim_j"))
-      .agg(sum(col("e.p")).as("sij"))
+      .selectExpr("graft_crossmom(qa) AS (dim_i, dim_j, p)")
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(sum(col("p")).as("sij"))
     val cov = crossM
       .join(broadcast(dims.toDF("dim_i", "n", "s_i")), "dim_i")
       .join(broadcast(dims.toDF("dim_j", "n_j", "s_j")), "dim_j")
@@ -1646,14 +1646,12 @@ $pivots
     // narrow scan at any corpus size.
     val qa = t.embeddings.select(transform(col("embedding"),
       x => floor(x.cast(DoubleType) * 1024).cast(LongType)).as("qa"))
+    // r11: primitive-loop generator kernel instead of interpreted
+    // nested-transform lambdas (see embed_covariance)
     val crossM = qa
-      .select(explode(flatten(transform(col("qa"), (x, i) =>
-        transform(slice(col("qa"), i + 2, size(col("qa"))), (y, k) =>
-          struct(i.cast(LongType).as("i"),
-            (i + lit(1) + k).cast(LongType).as("j"),
-            (x * y).as("p")))))).as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).as("sij"))
+      .selectExpr("graft_crossmom(qa) AS (i, j, p)")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("sij"))
     val cp = crossM
       .join(broadcast(dims.select(col("dim").as("i"), col("n"), col("s").as("s_i"))), "i")
       .join(broadcast(dims.select(col("dim").as("j"), col("s").as("s_j"))), "j")
