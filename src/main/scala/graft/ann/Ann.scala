@@ -2433,9 +2433,91 @@ $pivots
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // embed_isotropy — mean-direction cosine profile per label (the
+  // Ethayarajh-style anisotropy diagnostic: embeddings that all point
+  // the same way — mean cos near 1 — carry little directional
+  // information; a healthy space reads near 0). cos(x, m̄) is
+  // scale-invariant in m̄, so the UNNORMALIZED per-label sum vector
+  // stands in for the mean: every dot and norm is an exact integer on
+  // the shared 1024 grid (row-order-independent), and only the final
+  // sqrt/ratio runs in IEEE — identical ops both engines, floored to
+  // e4. Scale shape: the (label, dim) sum table is label-count × d
+  // rows → broadcast back as an array; the per-vector pass is a
+  // row-local fold — no n·d shuffle, no self-join (caveat: the LONG
+  // dot fold is exact below ~1e19 per term-sum; DECIMAL-widen beyond).
+  val isotropy = Q(
+    "embed_isotropy",
+    Some("""
+      WITH q AS (
+        SELECT vec_id, label,
+               LIST_TRANSFORM(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS xq
+        FROM embeddings),
+      px AS (
+        SELECT vec_id, label, i - 1 AS dim, xq[i] AS x
+        FROM q, UNNEST(RANGE(1, LEN(xq) + 1)) AS t(i)),
+      sums AS (SELECT label, dim, SUM(x) AS s FROM px GROUP BY label, dim),
+      ssn AS (SELECT label, SUM(s * s) AS ss FROM sums GROUP BY label),
+      percvec AS (
+        SELECT px.vec_id, px.label,
+               SUM(px.x * sums.s) AS dot,
+               SUM(px.x * px.x) AS xx
+        FROM px JOIN sums ON sums.label = px.label AND sums.dim = px.dim
+        GROUP BY px.vec_id, px.label),
+      cosv AS (
+        SELECT p.label,
+               CAST(FLOOR(CAST(dot AS DOUBLE) * 10000 /
+                 (SQRT(CAST(xx AS DOUBLE)) * SQRT(CAST(ss AS DOUBLE))))
+                 AS BIGINT) AS cos_e4
+        FROM percvec p JOIN ssn ON ssn.label = p.label
+        WHERE xx > 0)
+      SELECT label,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cos_e4) // COUNT(*) AS BIGINT) AS mean_cos_e4,
+             CAST(MIN(cos_e4) AS BIGINT) AS min_cos_e4,
+             CAST(MAX(cos_e4) AS BIGINT) AS max_cos_e4
+      FROM cosv
+      GROUP BY label
+      ORDER BY label
+    """)
+  ) { t =>
+    val q = t.embeddings.select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1024).cast(LongType)).as("xq"))
+    val sums = q
+      .select(col("label"), posexplode(col("xq")))
+      .groupBy(col("label"), col("pos").as("dim"))
+      .agg(sum(col("col")).as("s"))
+    val sarr = sums.groupBy(col("label"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+          e => e.getField("s")).as("sarr"),
+        sum(col("s") * col("s")).as("ss"))
+    val cosv = q.join(broadcast(sarr), "label")
+      .select(col("label"),
+        aggregate(zip_with(col("xq"), col("sarr"), (x, y) => x * y),
+          lit(0L), (acc, p) => acc + p).as("dot"),
+        aggregate(col("xq"), lit(0L), (acc, x) => acc + x * x).as("xx"),
+        col("ss"))
+      .filter(col("xx") > 0)
+      .select(col("label"),
+        floor(col("dot").cast(DoubleType) * 10000 /
+          (sqrt(col("xx").cast(DoubleType)) * sqrt(col("ss").cast(DoubleType))))
+          .cast(LongType).as("cos_e4"))
+    cosv.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cos_e4")).as("__s"),
+        min(col("cos_e4")).as("min_cos_e4"),
+        max(col("cos_e4")).as("max_cos_e4"))
+      .select(col("label"), col("n"),
+        expr("__s div n").cast(LongType).as("mean_cos_e4"),
+        col("min_cos_e4"), col("max_cos_e4"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
     rpProject, diversify, graphSearch, matryoshka, binaryQuant, binaryRerank,
-    centroidDrift, probeSweep, rrf)
+    centroidDrift, probeSweep, rrf, isotropy)
 }

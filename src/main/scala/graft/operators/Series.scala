@@ -1097,6 +1097,85 @@ object Series {
       .orderBy(col("event_type"), col("d"))
   }
 
+  // q152 — single change-point detection by binary segmentation (the
+  // first split of CUSUM/BinSeg, next to q132's CUSUM path): the day
+  // boundary maximizing the between-segment sum of squares
+  // n·(S1·n2 − S2·n1)²/(n1·n2) — equivalently the two-mean fit. The
+  // split NUMERATOR (S1·n2 − S2·n1) is exact in DECIMAL(38,0) (cents ×
+  // day-count ≤ ~1e21 at 100 TB); only the squared score is IEEE, with
+  // identical term order on both engines and a (score DESC, day ASC)
+  // tie-break, and the EMITTED columns are all exact BIGINTs (the
+  // score never leaves the plan). Prefix sums and the argmax run over
+  // the calendar-bounded daily relation, never the fact table.
+  val q152 = Q(
+    "q152_changepoint",
+    Some("""
+      WITH daily AS (
+        SELECT o_orderstatus AS st,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+        FROM orders GROUP BY st, d),
+      pre AS (
+        SELECT st, d, v,
+               SUM(v) OVER (PARTITION BY st ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+               ROW_NUMBER() OVER (PARTITION BY st ORDER BY d) AS k,
+               SUM(v) OVER (PARTITION BY st) AS s,
+               COUNT(*) OVER (PARTITION BY st) AS n
+        FROM daily),
+      scored AS (
+        SELECT st, d, k, n, s1, s - s1 AS s2,
+               CAST(s1 * (n - k) - (s - s1) * k AS DOUBLE)
+                 * CAST(s1 * (n - k) - (s - s1) * k AS DOUBLE)
+                 / (CAST(k AS DOUBLE) * (n - k)) AS score
+        FROM pre WHERE k < n),
+      best AS (
+        SELECT st, d, k, n, s1, s2,
+               ROW_NUMBER() OVER (PARTITION BY st ORDER BY score DESC, d) AS rn
+        FROM scored)
+      SELECT st, CAST(d AS BIGINT) AS split_d,
+             CAST(k AS BIGINT) AS n1, CAST(n - k AS BIGINT) AS n2,
+             CAST(s1 // k AS BIGINT) AS mean1_cents,
+             CAST(s2 // (n - k) AS BIGINT) AS mean2_cents
+      FROM best WHERE rn = 1
+      ORDER BY st
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.orders
+      .groupBy(col("o_orderstatus").as("st"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast(LongType).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType)).as("v"))
+    val wOrd = Window.partitionBy(col("st")).orderBy(col("d"))
+    val wAll = Window.partitionBy(col("st"))
+    val pre = daily.select(col("st"), col("d"), col("v"),
+      sum(col("v")).over(wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).as("s1"),
+      row_number().over(wOrd).cast(LongType).as("k"),
+      sum(col("v")).over(wAll).as("s"),
+      count(lit(1)).over(wAll).as("n"))
+    val scored = pre.filter(col("k") < col("n"))
+      .withColumn("s2", col("s") - col("s1"))
+      // numerator exact in DECIMAL(38,0), squared once in IEEE with
+      // the oracle's exact term order
+      .withColumn("num", expr(
+        "CAST(CAST(s1 AS DECIMAL(38,0)) * (n - k) " +
+          "- CAST(s2 AS DECIMAL(38,0)) * k AS DOUBLE)"))
+      .withColumn("score",
+        col("num") * col("num") / (col("k").cast(DoubleType) * (col("n") - col("k"))))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("st")).orderBy(col("score").desc, col("d"))))
+      .filter(col("rn") === 1)
+      .select(col("st"), col("d").cast(LongType).as("split_d"),
+        col("k").cast(LongType).as("n1"),
+        (col("n") - col("k")).cast(LongType).as("n2"),
+        expr("s1 div k").cast(LongType).as("mean1_cents"),
+        expr("s2 div (n - k)").cast(LongType).as("mean2_cents"))
+      .orderBy(col("st"))
+  }
+
   val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106, q109, q110,
-    q128, q129, q132, q133, q135, q147, q149)
+    q128, q129, q132, q133, q135, q147, q149, q152)
 }

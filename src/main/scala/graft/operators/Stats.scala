@@ -2042,7 +2042,95 @@ object Stats {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  // q151 — RFM segmentation (the classic CRM cell assignment: Recency /
+  // Frequency / Monetary quartile scores per customer, 1..4 each).
+  // Quartile thresholds are the LOWER order statistics via q141's exact
+  // rank cuts — NOT ntile, whose tie placement is engine-specific —
+  // and the bucket is 1 + (v>t25) + (v>t50) + (v>t75), tie-stable on
+  // both engines. Facts pay one customer-grain aggregation; the three
+  // rank passes and the 64-cell rollup run on the customer-sized
+  // relation.
+  val q151 = Q(
+    "q151_rfm",
+    Some("""
+      WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS r0 FROM orders),
+      cust AS (
+        SELECT o_custkey,
+               CAST((SELECT r0 FROM ref) - MAX(CAST(o_orderdate AS DATE)) AS BIGINT) AS r,
+               COUNT(*) AS f,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS m
+        FROM orders GROUP BY o_custkey),
+      rr AS (SELECT r AS v, ROW_NUMBER() OVER (ORDER BY r) AS rn, COUNT(*) OVER () AS n FROM cust),
+      fr AS (SELECT f AS v, ROW_NUMBER() OVER (ORDER BY f) AS rn, COUNT(*) OVER () AS n FROM cust),
+      mr AS (SELECT m AS v, ROW_NUMBER() OVER (ORDER BY m) AS rn, COUNT(*) OVER () AS n FROM cust),
+      th AS (
+        SELECT
+          (SELECT MAX(CASE WHEN rn <= (n-1)*25 // 100 + 1 THEN v END) FROM rr) AS r25,
+          (SELECT MAX(CASE WHEN rn <= (n-1)*50 // 100 + 1 THEN v END) FROM rr) AS r50,
+          (SELECT MAX(CASE WHEN rn <= (n-1)*75 // 100 + 1 THEN v END) FROM rr) AS r75,
+          (SELECT MAX(CASE WHEN rn <= (n-1)*25 // 100 + 1 THEN v END) FROM fr) AS f25,
+          (SELECT MAX(CASE WHEN rn <= (n-1)*50 // 100 + 1 THEN v END) FROM fr) AS f50,
+          (SELECT MAX(CASE WHEN rn <= (n-1)*75 // 100 + 1 THEN v END) FROM fr) AS f75,
+          (SELECT MAX(CASE WHEN rn <= (n-1)*25 // 100 + 1 THEN v END) FROM mr) AS m25,
+          (SELECT MAX(CASE WHEN rn <= (n-1)*50 // 100 + 1 THEN v END) FROM mr) AS m50,
+          (SELECT MAX(CASE WHEN rn <= (n-1)*75 // 100 + 1 THEN v END) FROM mr) AS m75)
+      SELECT
+        CAST(1 + CAST(r > r25 AS INT) + CAST(r > r50 AS INT)
+           + CAST(r > r75 AS INT) AS BIGINT) AS r_score,
+        CAST(1 + CAST(f > f25 AS INT) + CAST(f > f50 AS INT)
+           + CAST(f > f75 AS INT) AS BIGINT) AS f_score,
+        CAST(1 + CAST(m > m25 AS INT) + CAST(m > m50 AS INT)
+           + CAST(m > m75 AS INT) AS BIGINT) AS m_score,
+        CAST(COUNT(*) AS BIGINT) AS n_customers,
+        CAST(SUM(m) AS BIGINT) AS total_cents
+      FROM cust, th
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3
+    """)
+  ) { t =>
+    import graft.plans.GroupedPrefix
+    val ref = t.orders.agg(max(to_date(col("o_orderdate"))).as("r0"))
+    val cust = t.orders.crossJoin(broadcast(ref))
+      .groupBy(col("o_custkey"))
+      .agg(
+        // recency = days from the LAST order to the reference date
+        min(datediff(col("r0"), to_date(col("o_orderdate"))))
+          .cast(LongType).as("r"),
+        count(lit(1)).as("f"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))
+          .multiply(lit(100)).cast(LongType)).as("m"))
+    def thresholds(metric: String): org.apache.spark.sql.DataFrame = {
+      val ranked = GroupedPrefix.withRank(
+        cust.select(col(metric).as("v")), Nil, col("v"), "rn")
+      val n1 = cust.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n1))
+        .agg(
+          max(when(expr("rn <= (n-1)*25 div 100 + 1"), col("v"))).as(s"${metric}25"),
+          max(when(expr("rn <= (n-1)*50 div 100 + 1"), col("v"))).as(s"${metric}50"),
+          max(when(expr("rn <= (n-1)*75 div 100 + 1"), col("v"))).as(s"${metric}75"))
+    }
+    val th = thresholds("r")
+      .crossJoin(thresholds("f"))
+      .crossJoin(thresholds("m"))
+    cust.crossJoin(broadcast(th))
+      .select(
+        (lit(1) + (col("r") > col("r25")).cast("int")
+          + (col("r") > col("r50")).cast("int")
+          + (col("r") > col("r75")).cast("int")).cast(LongType).as("r_score"),
+        (lit(1) + (col("f") > col("f25")).cast("int")
+          + (col("f") > col("f50")).cast("int")
+          + (col("f") > col("f75")).cast("int")).cast(LongType).as("f_score"),
+        (lit(1) + (col("m") > col("m25")).cast("int")
+          + (col("m") > col("m50")).cast("int")
+          + (col("m") > col("m75")).cast("int")).cast(LongType).as("m_score"),
+        col("m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m")).cast(LongType).as("total_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134, q136,
-    q137, q138, q139, q140, q141, q142, q144, q145, q146, q148, q150)
+    q137, q138, q139, q140, q141, q142, q144, q145, q146, q148, q150, q151)
 }

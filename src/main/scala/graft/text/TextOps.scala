@@ -2085,11 +2085,114 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // text_yule_k — Yule's characteristic K per source (the repeat-rate
+  // lexical-diversity constant next to text_hapax: K = 10⁴·(Σf²−N)/N²,
+  // high K = heavy repetition/templating, low K = rich vocabulary).
+  // Exact e2 fixed point: K·100 = (Σf²−N)·10⁶ div N², the squared sums
+  // DECIMAL(38,0)/HUGEINT-widened (f² passes BIGINT when one term
+  // dominates a 100 TB corpus). Same vocabulary-sized relation as
+  // text_hapax, map-side-combinable, no windows.
+  val yuleK = Q(
+    "text_yule_k",
+    Some("""
+      WITH toks AS (
+        SELECT source, w
+        FROM (SELECT source,
+                list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                  x -> x <> '') AS ws
+              FROM documents), UNNEST(ws) AS t(w)),
+      wc AS (
+        SELECT source, w, COUNT(*) AS f FROM toks GROUP BY source, w)
+      SELECT source,
+             CAST(SUM(f) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST((SUM(f * f) - SUM(f)) * 1000000
+                  // (SUM(f) * SUM(f)) AS BIGINT) AS yule_k_e2
+      FROM wc
+      GROUP BY source
+      ORDER BY source
+    """)
+  ) { t =>
+    val wc = t.documents
+      .select(col("source"),
+        explode(filter(words(lower(col("text"))), x => x =!= "")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("f"))
+    wc.groupBy(col("source"))
+      .agg(
+        sum(col("f")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(expr("CAST(f AS DECIMAL(38,0)) * f")).as("__f2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("(__f2 - n_tokens) * 1000000 div " +
+          "(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)")
+          .cast(LongType).as("yule_k_e2"))
+      .orderBy(col("source"))
+  }
+
+  // pipe_stratified_sample — per-source deterministic stratified
+  // sampling with exact quotas (the corpus-subsetting step whose
+  // naive form — rand() < frac — neither hits quotas nor reproduces):
+  // quota_s = ceil(n_s/10), membership by per-source rank over the
+  // Knuth multiplicative hash of doc_id (pipe_eval_split's portable
+  // hash — reshuffles assignment pseudo-randomly, reproducible on any
+  // engine/cluster). Ranks ride GroupedPrefix — no per-source sorts
+  // of the corpus into |sources| partitions — and the readout checks
+  // the contract: sampled counts hit the quota exactly, token mass
+  // reported for both strata.
+  val stratifiedSample = Q(
+    "pipe_stratified_sample",
+    Some("""
+      WITH d AS (
+        SELECT source, doc_id,
+               LEN(list_filter(STRING_SPLIT_REGEX(TRIM(text), '\s+'),
+                 x -> x <> '')) AS n_tok,
+               (doc_id * 2654435761) % 2147483648 AS h
+        FROM documents),
+      r AS (
+        SELECT source, doc_id, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM d)
+      SELECT source,
+             CAST(MIN(n) AS BIGINT) AS n_docs,
+             CAST((MIN(n) + 9) // 10 AS BIGINT) AS quota,
+             CAST(COUNT(CASE WHEN rn <= (n + 9) // 10 THEN 1 END) AS BIGINT) AS n_sampled,
+             CAST(SUM(CASE WHEN rn <= (n + 9) // 10 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_sampled,
+             CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+             CAST(SUM(CASE WHEN rn <= (n + 9) // 10 THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+      FROM r
+      GROUP BY source
+      ORDER BY source
+    """)
+  ) { t =>
+    import graft.plans.GroupedPrefix
+    val d = t.documents.select(col("source"), col("doc_id"),
+      size(filter(words(trim(col("text"))), x => x =!= ""))
+        .cast(LongType).as("n_tok"),
+      ((col("doc_id") * 2654435761L) % 2147483648L).as("h"))
+    val ranked = GroupedPrefix.withRank(d, Seq("source"),
+      struct(col("h"), col("doc_id")), "rn")
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), "source")
+      .groupBy(col("source"))
+      .agg(
+        min(col("n")).cast(LongType).as("n_docs"),
+        expr("(MIN(n) + 9) div 10").cast(LongType).as("quota"),
+        count(when(expr("rn <= (n + 9) div 10"), 1)).as("n_sampled"),
+        sum(when(expr("rn <= (n + 9) div 10"), col("n_tok")).otherwise(0L))
+          .cast(LongType).as("tok_sampled"),
+        sum(col("n_tok")).cast(LongType).as("tok_total"),
+        sum(when(expr("rn <= (n + 9) div 10"), col("doc_id")).otherwise(0L))
+          .cast(LongType).as("id_checksum"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
     incremental, lenHist,
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
     countMin, charTrigrams, gopherBattery, langidEval, sttr, rake,
-    interleave, burstiness, hapax)
+    interleave, burstiness, hapax, yuleK, stratifiedSample)
 }
