@@ -716,9 +716,38 @@ object ClickHouseSql {
           StructField("table", ST), StructField("partition", ST),
           StructField("name", ST), StructField("rows", LT),
           StructField("bytes_on_disk", LT))))
+      case "databases" =>
+        // single-catalog engine: the CH surface is one Atomic database
+        rows.add(Row("default", "Atomic"))
+        ("__ch_system_databases", StructType(Seq(
+          StructField("name", ST), StructField("engine", ST))))
+      case "functions" =>
+        // the dialect registry + the session's resolved functions —
+        // what a migration greps to see which CH names exist here.
+        // Metadata-only: both lists come from in-memory registries.
+        val dialect = ClickHouseDialect.names.toSet
+        dialect.toSeq.sorted.foreach(n => rows.add(Row(n, "ch_dialect")))
+        spark.catalog.listFunctions().collect().map(_.name)
+          .filterNot(dialect.contains).sorted
+          .foreach(n => rows.add(Row(n, "builtin")))
+        ("__ch_system_functions", StructType(Seq(
+          StructField("name", ST), StructField("origin", ST))))
+      case "settings" =>
+        // the settings the dialect's SET verb accepts, with live values
+        rows.add(Row("optimize_use_projections",
+          if (useProjections.get) "1" else "0", "projection read rewrite"))
+        Seq("max_threads", "max_memory_usage", "send_logs_level").foreach(
+          n => rows.add(Row(n, "", "accepted no-op (Spark conf owns it)")))
+        ("__ch_system_settings", StructType(Seq(
+          StructField("name", ST), StructField("value", ST),
+          StructField("description", ST))))
+      case "one" =>
+        // CH's constant table (drivers SELECT from it to ping)
+        rows.add(Row(0L))
+        ("__ch_system_one", StructType(Seq(StructField("dummy", LT))))
       case other => throw new IllegalArgumentException(
-        s"unsupported system table system.$other — " +
-          "system.tables/columns/parts are available")
+        s"unsupported system table system.$other — system.tables/" +
+          "columns/parts/databases/functions/settings/one are available")
     }
     spark.createDataFrame(rows, schema).createOrReplaceTempView(viewName)
     viewName

@@ -75,6 +75,27 @@ class SystemTablesSpec extends SparkSpec {
     assert(joined.toSeq === Seq(("sysd_part", 3L), ("sysd_plain", 3L)))
   }
 
+  test("system.databases/functions/settings/one: the introspection long tail") {
+    assert(ch("SELECT name, engine FROM system.databases").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("default", "Atomic")))
+    // dialect names are listed with their origin; builtins follow
+    val fns = ch("""SELECT origin, count() AS n FROM system.functions
+                    GROUP BY origin ORDER BY origin""").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fns("ch_dialect") > 200, fns.toString)
+    assert(fns("builtin") > 300, fns.toString)
+    assert(ch("""SELECT count() AS n FROM system.functions
+                 WHERE name = 'countIf'""").head().getLong(0) === 1L)
+    // SET round-trips into system.settings
+    ch("SET optimize_use_projections = 0")
+    try assert(ch("""SELECT value FROM system.settings
+                     WHERE name = 'optimize_use_projections'""")
+      .head().getString(0) === "0")
+    finally ch("SET optimize_use_projections = 1")
+    assert(ch("SELECT dummy FROM system.one").head().getLong(0) === 0L)
+  }
+
   test("system.parts is memoized: a repeat over unchanged tables does ZERO footer I/O") {
     // warm: this build may open footers (distributed, not driver-serial)
     ch("SELECT count() AS n FROM system.parts WHERE table LIKE 'sysd_%'").collect()
