@@ -1150,7 +1150,90 @@ object Multimodal {
       .orderBy(col("n_channels"))
   }
 
+  // mm_image_neardup — hamming-radius image near-duplication over the
+  // same 64-bit circular dHash mm_image_dedup buckets exactly: the
+  // CLIP-era image-dedup primitive (re-encodes/minor edits flip a few
+  // gradient bits, so exact-hash buckets miss them). Scale shape is
+  // the simhash banding family's: 4×16-bit bands → candidate pairs
+  // share a band bucket (never an all-pairs pass), verify with a
+  // codegen'd popcount on the XOR, flag at hamming ≤ 6. Band
+  // extraction is shift+mask, identical under arithmetic or logical
+  // fill once masked. Oracle replays every gradient bit from the
+  // pixel generator, then the same banded join.
+  val imageNearDup = Q(
+    "mm_image_neardup",
+    Some(s"""
+      WITH media AS (
+        SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        FROM documents WHERE doc_id % 3 <> 2),
+      px AS (
+        SELECT doc_id, w, h, y.i AS y, x.i AS x,
+               ((doc_id*7 + ((y.i*w + x.i)*3 + 0)*13) % 251
+              + (doc_id*7 + ((y.i*w + x.i)*3 + 1)*13) % 251
+              + (doc_id*7 + ((y.i*w + x.i)*3 + 2)*13) % 251) // 3 AS gray
+        FROM media, UNNEST(RANGE(0, h)) AS y(i), UNNEST(RANGE(0, w)) AS x(i)),
+      cells AS (
+        SELECT doc_id, y*8//h AS gy, x*8//w AS gx, SUM(gray)//COUNT(*) AS a
+        FROM px GROUP BY doc_id, y*8//h, x*8//w),
+      bits AS (
+        SELECT l.doc_id,
+               CASE WHEN l.a > r.a THEN
+                 CASE WHEN l.gy*8 + l.gx = 63 THEN -9223372036854775807 - 1
+                      ELSE (1::BIGINT << (l.gy*8 + l.gx)) END
+               ELSE 0 END AS bv
+        FROM cells l JOIN cells r ON r.doc_id = l.doc_id AND r.gy = l.gy
+                                 AND r.gx = (l.gx + 1) % 8),
+      hashes AS (SELECT doc_id, SUM(bv)::BIGINT AS dhash FROM bits GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, dhash, b.i AS band,
+               (dhash >> (16 * b.i)) & 65535 AS bval
+        FROM hashes, UNNEST(RANGE(0, 4)) AS b(i)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+               BIT_COUNT(XOR(a.dhash, b.dhash)) AS ham
+        FROM bands a JOIN bands b
+          ON b.band = a.band AND b.bval = a.bval AND b.doc_id > a.doc_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(COUNT(CASE WHEN ham <= 6 THEN 1 END) AS BIGINT) AS n_neardup,
+             CAST(COALESCE(SUM(CASE WHEN ham <= 6 THEN ham END), 0) AS BIGINT) AS ham_sum,
+             CAST(COALESCE(SUM(CASE WHEN ham <= 6 THEN i + j END), 0) AS BIGINT) AS id_checksum
+      FROM cand
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val hashes = mediaOf(t)
+      .filter(_.kind != "video")
+      .mapPartitions(_.map { b =>
+        val raster = b.kind match {
+          case "image_ppm" => PpmCodec.decode(b.payload)
+          case _           => BmpCodec.decode(b.payload)
+        }
+        ImageHash(b.media_id, dhashOf(raster))
+      })
+      .toDF()
+    val bands = hashes
+      .select(col("media_id"), col("dhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bval",
+        expr("shiftrightunsigned(dhash, 16 * band)").bitwiseAND(lit(65535L)))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("b.band") === col("a.band") && col("b.bval") === col("a.bval") &&
+          col("b.media_id") > col("a.media_id"))
+      .select(col("a.media_id").as("i"), col("b.media_id").as("j"),
+        expr("bit_count(a.dhash ^ b.dhash)").cast(LongType).as("ham"))
+      .distinct()
+    cand.agg(
+      count(lit(1)).as("n_candidates"),
+      count(when(col("ham") <= 6, 1)).as("n_neardup"),
+      coalesce(sum(when(col("ham") <= 6, col("ham"))), lit(0L))
+        .cast(LongType).as("ham_sum"),
+      coalesce(sum(when(col("ham") <= 6, col("i") + col("j"))), lit(0L))
+        .cast(LongType).as("id_checksum"))
+  }
+
   val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi,
     imageDedup, audioDedup, videoDedup, sceneCut, audioVad, letterbox,
-    audioResample)
+    audioResample, imageNearDup)
 }

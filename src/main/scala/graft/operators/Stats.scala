@@ -2130,7 +2130,145 @@ object Stats {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  // q153 — ABC (Pareto) classification of parts by revenue: class A
+  // while the running revenue share ≤ 80%, B to 95%, C beyond — the
+  // inventory-management readout next to q150's Lorenz deciles. Exact
+  // integer boundary tests (cw·100 ≤ tw·80, never a ratio), revenue
+  // ranked desc with a part-key tie-break, cumulative weights on the
+  // q86 GroupedPrefix pattern (slice-local running sums + broadcast
+  // prefix offsets — no global window). Products DECIMAL(38,0)-widened
+  // (cw·100 passes BIGINT at the 100 TB target).
+  val q153 = Q(
+    "q153_abc",
+    Some("""
+      WITH bypart AS (
+        SELECT l_partkey,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+        FROM lineitem GROUP BY l_partkey),
+      cum AS (
+        SELECT c,
+               SUM(c) OVER (ORDER BY c DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(c) OVER () AS tw
+        FROM bypart),
+      classed AS (
+        SELECT c, tw,
+               CASE WHEN cw * 100 <= tw * 80 THEN 'A'
+                    WHEN cw * 100 <= tw * 95 THEN 'B'
+                    ELSE 'C' END AS cls
+        FROM cum)
+      SELECT cls,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(c) AS BIGINT) AS revenue_cents,
+             CAST(SUM(c) * 10000 // MAX(tw) AS BIGINT) AS share_bp
+      FROM classed
+      GROUP BY cls
+      ORDER BY cls
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.GroupedPrefix
+    val byPart = t.lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType)).as("c"))
+      .withColumn("negc", -col("c"))
+    val staged = GroupedPrefix.stage(byPart,
+      Seq(col("negc"), col("l_partkey")))
+    val cum = GroupedPrefix.withOffsets(staged, Nil,
+      Seq(sum(col("c")).as("__w"))) { (slices, wPrev) =>
+      slices.select(col(GroupedPrefix.PID),
+        coalesce(sum(col("__w")).over(wPrev), lit(0L)).as("__off"),
+        sum(col("__w")).over(wPrev.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("tw"))
+    }
+      .withColumn("cw", col("__off") + sum(col("c")).over(
+        GroupedPrefix.localWindow(Nil, Seq(col("negc"), col("l_partkey")))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum
+      .withColumn("cls",
+        when(expr("CAST(cw AS DECIMAL(38,0)) * 100 <= CAST(tw AS DECIMAL(38,0)) * 80"), "A")
+          .when(expr("CAST(cw AS DECIMAL(38,0)) * 100 <= CAST(tw AS DECIMAL(38,0)) * 95"), "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("c")).cast(LongType).as("revenue_cents"),
+        expr("CAST(SUM(c) AS DECIMAL(38,0)) * 10000 div MAX(tw)")
+          .cast(LongType).as("share_bp"))
+      .orderBy(col("cls"))
+  }
+
+  // q155 — market-basket pair analysis (association rules over order
+  // contents: which parts co-occur beyond chance): support = co-order
+  // count, lift = n_ab·N / (n_a·n_b) in exact e4. Scale shape: ONE
+  // shuffle to order grain, pairs generated ROW-LOCALLY from each
+  // order's ≤7-item part set (bounded quadratic — order size is a
+  // schema constant, not a corpus variable), global top-20 via a
+  // TakeOrdered 20-row heap, and the part-frequency joins run on the
+  // 20 SURVIVORS against a broadcast — never on the pair relation.
+  val q155 = Q(
+    "q155_basket_lift",
+    Some("""
+      WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      nord AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+      pf AS (SELECT l_partkey, COUNT(*) AS np FROM items GROUP BY l_partkey),
+      pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+        FROM items a JOIN items b
+          ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey),
+      top AS (
+        SELECT pa, pb, n_ab,
+               ROW_NUMBER() OVER (ORDER BY n_ab DESC, pa, pb) AS rn
+        FROM pairs)
+      SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
+             CAST(n_ab AS BIGINT) AS support,
+             CAST(fa.np AS BIGINT) AS n_a, CAST(fb.np AS BIGINT) AS n_b,
+             CAST(n_ab * (SELECT n FROM nord) * 10000
+                  // (fa.np * fb.np) AS BIGINT) AS lift_e4
+      FROM top JOIN pf fa ON fa.l_partkey = top.pa
+               JOIN pf fb ON fb.l_partkey = top.pb
+      WHERE rn <= 20
+      ORDER BY support DESC, pa, pb
+    """)
+  ) { t =>
+    val items = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nord = items.agg(countDistinct(col("l_orderkey")).as("n"))
+    val pf = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("np"))
+    // row-local pair generation from each order's sorted part set
+    val pairs = items
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("pa"), y.as("pb")))))).as("e"))
+      .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+    val top = pairs
+      .orderBy(col("n_ab").desc, col("pa"), col("pb"))
+      .limit(20)
+    // part frequencies for the 20 survivors only: the 20-row side is
+    // the BROADCAST side against the part-grain relation (broadcasting
+    // pf itself would ship the whole part dimension)
+    val fa = pf.join(broadcast(top.select(col("pa")).distinct()),
+      pf("l_partkey") === col("pa")).select(col("pa"), col("np").as("n_a"))
+    val fb = pf.join(broadcast(top.select(col("pb")).distinct()),
+      pf("l_partkey") === col("pb")).select(col("pb"), col("np").as("n_b"))
+    top
+      .join(broadcast(fa), "pa")
+      .join(broadcast(fb), "pb")
+      .crossJoin(broadcast(nord))
+      .select(col("pa").cast(LongType), col("pb").cast(LongType),
+        col("n_ab").cast(LongType).as("support"),
+        col("n_a").cast(LongType), col("n_b").cast(LongType),
+        expr("CAST(n_ab AS DECIMAL(38,0)) * n * 10000 div (n_a * n_b)")
+          .cast(LongType).as("lift_e4"))
+      .orderBy(col("support").desc, col("pa"), col("pb"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134, q136,
-    q137, q138, q139, q140, q141, q142, q144, q145, q146, q148, q150, q151)
+    q137, q138, q139, q140, q141, q142, q144, q145, q146, q148, q150, q151,
+    q153, q155)
 }
