@@ -1176,6 +1176,99 @@ object Series {
       .orderBy(col("st"))
   }
 
+  // q154 — Bollinger-band breaches over the daily revenue series per
+  // status (the ±2σ envelope of technical analysis), EXACTLY: the
+  // breach test (v − S/n)² > 4·(Q/n − S²/n²) clears denominators to
+  // (v·n − S)² > 4·(Q·n − S²) — pure integer comparison on window
+  // sums of cents and squared cents, DECIMAL(38,0)-widened (squares
+  // pass BIGINT at the 100 TB target). No sqrt, no FP anywhere.
+  // Trailing 20-day frames over the calendar-bounded daily relation.
+  val q154 = Q(
+    "q154_bollinger_breach",
+    Some("""
+      WITH daily AS (
+        SELECT o_orderstatus AS st,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+        FROM orders GROUP BY st, d),
+      win AS (
+        SELECT st, d, v,
+               SUM(v) OVER w AS s, SUM(v * v) OVER w AS q,
+               COUNT(*) OVER w AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY st ORDER BY d
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      SELECT st, CAST(d AS BIGINT) AS d, CAST(v AS BIGINT) AS v_cents,
+             CAST(s // n AS BIGINT) AS ma_cents,
+             CASE WHEN v * n > s THEN 1 ELSE -1 END AS side
+      FROM win
+      WHERE n = 20
+        AND (v * n - s) * (v * n - s) > 4 * (q * n - s * s)
+      ORDER BY st, d
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.orders
+      .groupBy(col("o_orderstatus").as("st"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast(LongType).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType)).as("v"))
+    val w = Window.partitionBy(col("st")).orderBy(col("d"))
+      .rowsBetween(-19, Window.currentRow)
+    daily
+      .select(col("st"), col("d"), col("v"),
+        sum(col("v")).over(w).as("s"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).over(w).as("q"),
+        count(lit(1)).over(w).as("n"))
+      .filter(col("n") === 20 && expr(
+        "(CAST(v AS DECIMAL(38,0)) * n - s) * (CAST(v AS DECIMAL(38,0)) * n - s)" +
+          " > 4 * (CAST(q AS DECIMAL(38,0)) * n - CAST(s AS DECIMAL(38,0)) * s)"))
+      .select(col("st"), col("d").cast(LongType).as("d"),
+        col("v").cast(LongType).as("v_cents"),
+        expr("s div n").cast(LongType).as("ma_cents"),
+        when(expr("CAST(v AS DECIMAL(38,0)) * n > s"), 1)
+          .otherwise(-1).as("side"))
+      .orderBy(col("st"), col("d"))
+  }
+
+  // q156 — the Kaplan–Meier LIFE TABLE over the q65 synthetic interval
+  // durations (order open for o_orderkey%20+1 days): at each duration
+  // t, the at-risk count n_t (intervals with duration ≥ t) and event
+  // count d_t (duration = t) — the exact-integer core the KM
+  // product-limit estimator multiplies up (the product itself is a
+  // rational the caller folds; emitting it would force FP). n_t comes
+  // from a suffix sum over the ≤20-row duration histogram — the facts
+  // pay one histogram aggregation.
+  val q156 = Q(
+    "q156_life_table",
+    Some("""
+      WITH dur AS (
+        SELECT o_orderstatus AS st,
+               CAST(o_orderkey % 20 + 1 AS BIGINT) AS t
+        FROM orders),
+      hist AS (SELECT st, t, COUNT(*) AS d FROM dur GROUP BY st, t)
+      SELECT st, t, CAST(d AS BIGINT) AS d_events,
+             CAST(SUM(d) OVER (PARTITION BY st ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk
+      FROM hist
+      ORDER BY st, t
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val hist = t.orders
+      .select(col("o_orderstatus").as("st"),
+        (col("o_orderkey") % 20 + 1).cast(LongType).as("t"))
+      .groupBy(col("st"), col("t"))
+      .agg(count(lit(1)).as("d"))
+    val w = Window.partitionBy(col("st")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .select(col("st"), col("t"),
+        col("d").cast(LongType).as("d_events"),
+        sum(col("d")).over(w).cast(LongType).as("n_at_risk"))
+      .orderBy(col("st"), col("t"))
+  }
+
   val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106, q109, q110,
-    q128, q129, q132, q133, q135, q147, q149, q152)
+    q128, q129, q132, q133, q135, q147, q149, q152, q154, q156)
 }
