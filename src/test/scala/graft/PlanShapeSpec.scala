@@ -466,6 +466,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("r11 additions keep their scale shapes") {
+    // q155: pairs come from the ROW-LOCAL per-order generator (one
+    // Generate, no items-side self-join), the cut is a TakeOrdered
+    // 20-row heap, and the part-frequency lookups broadcast the
+    // 20-survivor side — never the part dimension
+    val basket = planOf("q155_basket_lift")
+    assert(basket.contains("Generate"), basket.take(2000))
+    assert(basket.contains("TakeOrderedAndProject"), basket.take(2000))
+    assert(!basket.contains("CartesianProduct"), basket.take(2000))
+    // q153/q150/q151: order statistics ride the GroupedPrefix staged
+    // sort, never a naive global ORDER BY window
+    Seq("q153_abc", "q150_lorenz", "q151_rfm").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("__gp_pid"),
+        s"$q lost the GroupedPrefix staged sort:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2000)}")
+    }
+    // mm_image_neardup: candidates come from the band-bucket join —
+    // an EQUI join (SMJ/SHJ), never an all-pairs product
+    val nd = planOf("mm_image_neardup")
+    assert(!nd.contains("CartesianProduct") &&
+      !nd.contains("BroadcastNestedLoopJoin"), nd.take(2000))
+    // q145: supplier/nation dims broadcast onto the supplier-grain agg
+    val hhi = planOf("q145_herfindahl")
+    assert(hhi.contains("BroadcastHashJoin"), hhi.take(2000))
+    assert(!hhi.contains("SortMergeJoin"), hhi.take(2000))
+  }
+
   test("r10 additions keep their scale shapes") {
     // q141/q142: order statistics ride the GroupedPrefix staged sort
     // (its range exchange hides behind the stage checkpoint, so the
