@@ -533,6 +533,112 @@ object Behavior {
       .orderBy(col("mode"), col("level"))
   }
 
+  // q157 — the cohort LTV triangle (q63's revenue sibling, the growth
+  // team's core artifact: cumulative revenue per acquisition cohort by
+  // months-since-acquisition): cohort = customer's first order month,
+  // age in calendar months (y·12+m arithmetic, exact), per-cell
+  // revenue and the running LTV per customer in floored cents. The
+  // facts pay one custkey-join (the natural co-key) + one (cohort,
+  // age) aggregation; the cumulative window runs over the
+  // months²/2-bounded triangle, never the facts.
+  val q157 = Q(
+    "q157_cohort_ltv",
+    Some("""
+      WITH o AS (
+        SELECT o_custkey,
+               EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+                 + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS ym,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders),
+      coh AS (SELECT o_custkey, MIN(ym) AS cym FROM o GROUP BY o_custkey),
+      size_ AS (SELECT cym, COUNT(*) AS n_customers FROM coh GROUP BY cym),
+      cell AS (
+        SELECT coh.cym, o.ym - coh.cym AS age, SUM(o.c) AS rev
+        FROM o JOIN coh ON coh.o_custkey = o.o_custkey
+        GROUP BY coh.cym, age),
+      tri AS (
+        SELECT cym, age, rev,
+               SUM(rev) OVER (PARTITION BY cym ORDER BY age
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM cell)
+      SELECT CAST(t.cym AS BIGINT) AS cohort_ym,
+             CAST(t.age AS BIGINT) AS age_months,
+             CAST(s.n_customers AS BIGINT) AS n_customers,
+             CAST(t.rev AS BIGINT) AS rev_cents,
+             CAST(t.cum AS BIGINT) AS cum_rev_cents,
+             CAST(t.cum // s.n_customers AS BIGINT) AS ltv_cents
+      FROM tri t JOIN size_ s ON s.cym = t.cym
+      ORDER BY cohort_ym, age_months
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val o = t.orders.select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast(LongType).as("ym"),
+      col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType).as("c"))
+    val coh = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("cym"))
+    val sizes = coh.groupBy(col("cym")).agg(count(lit(1)).as("n_customers"))
+    val cell = o.join(coh, "o_custkey")
+      .groupBy(col("cym"), (col("ym") - col("cym")).as("age"))
+      .agg(sum(col("c")).as("rev"))
+    val w = Window.partitionBy(col("cym")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell
+      .withColumn("cum", sum(col("rev")).over(w))
+      .join(broadcast(sizes), "cym")
+      .select(col("cym").cast(LongType).as("cohort_ym"),
+        col("age").cast(LongType).as("age_months"),
+        col("n_customers").cast(LongType).as("n_customers"),
+        col("rev").cast(LongType).as("rev_cents"),
+        col("cum").cast(LongType).as("cum_rev_cents"),
+        expr("cum div n_customers").cast(LongType).as("ltv_cents"))
+      .orderBy(col("cohort_ym"), col("age_months"))
+  }
+
+  // q158 — new vs returning (the other growth-dashboard staple): per
+  // order month, orders / distinct customers / revenue split by
+  // whether the month is the customer's FIRST. The customer-grain
+  // first-month relation joins back on the natural custkey co-key;
+  // everything downstream is one month-sized aggregation.
+  val q158 = Q(
+    "q158_new_vs_returning",
+    Some("""
+      WITH o AS (
+        SELECT o_custkey,
+               EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+                 + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS ym,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders),
+      first_ AS (SELECT o_custkey, MIN(ym) AS fym FROM o GROUP BY o_custkey)
+      SELECT CAST(o.ym AS BIGINT) AS ym,
+             CASE WHEN o.ym = f.fym THEN 'new' ELSE 'returning' END AS kind,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+             CAST(SUM(o.c) AS BIGINT) AS rev_cents
+      FROM o JOIN first_ f ON f.o_custkey = o.o_custkey
+      GROUP BY o.ym, kind
+      ORDER BY ym, kind
+    """)
+  ) { t =>
+    val o = t.orders.select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast(LongType).as("ym"),
+      col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType).as("c"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("fym"))
+    o.join(first, "o_custkey")
+      .withColumn("kind",
+        when(col("ym") === col("fym"), "new").otherwise("returning"))
+      .groupBy(col("ym"), col("kind"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(col("c")).cast(LongType).as("rev_cents"))
+      .select(col("ym").cast(LongType).as("ym"), col("kind"),
+        col("n_orders"), col("n_customers"), col("rev_cents"))
+      .orderBy(col("ym"), col("kind"))
+  }
+
   val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63, q64, q89, q102, q104,
-    q116)
+    q116, q157, q158)
 }
