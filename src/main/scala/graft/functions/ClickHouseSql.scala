@@ -485,10 +485,35 @@ object ClickHouseSql {
     def lines(s: String): DataFrame =
       s.split('\n').toSeq.toDF("explain")
     mode match {
-      case "pipeline" | "estimate" => throw new IllegalArgumentException(
-        s"EXPLAIN ${mode.toUpperCase} names ClickHouse executor " +
-          "internals this engine does not have — use EXPLAIN PLAN " +
-          s"(Spark physical plan) or EXPLAIN SYNTAX: $sqlText")
+      case "pipeline" => throw new IllegalArgumentException(
+        "EXPLAIN PIPELINE names ClickHouse executor internals this " +
+          "engine does not have — use EXPLAIN PLAN (Spark physical " +
+          s"plan) or EXPLAIN SYNTAX: $sqlText")
+      case "estimate" =>
+        // CH's EXPLAIN ESTIMATE: per referenced table, the parts/rows/
+        // marks a scan would read — answered from the SAME footer
+        // metadata system.parts serves (distributed + memoized, never
+        // a data scan). Marks use CH's 8192-row granule convention.
+        val bodyToks = lex(body)
+        val fromTables = bodyToks.zipWithIndex.collect {
+          case (t0, i) if (t0.lower == "from" || t0.lower == "join") &&
+            bodyToks.lift(i + 1).exists(isIdent) &&
+            !bodyToks.lift(i + 1).exists(_.lower.startsWith("system.")) =>
+            bodyToks(i + 1).text
+        }.distinct.filter(spark.catalog.tableExists)
+        import org.apache.spark.sql.types.{LongType => LT2,
+          StringType => ST2, StructField, StructType}
+        val rs = new java.util.ArrayList[org.apache.spark.sql.Row]
+        fromTables.foreach { tbl =>
+          val stats = footerStatsOf(spark, tbl)
+          val rowsN = stats.map(_._2).sum
+          rs.add(org.apache.spark.sql.Row("default", norm(tbl),
+            stats.length.toLong, rowsN, rowsN / 8192L + 1L))
+        }
+        Some(spark.createDataFrame(rs, StructType(Seq(
+          StructField("database", ST2), StructField("table", ST2),
+          StructField("parts", LT2), StructField("rows", LT2),
+          StructField("marks", LT2)))))
       case "syntax" =>
         val rewritten = rewriteWithProjection(spark, body).getOrElse(
           rewrite(body, t => spark.table(t).columns.toSeq))

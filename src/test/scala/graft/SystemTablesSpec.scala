@@ -96,6 +96,20 @@ class SystemTablesSpec extends SparkSpec {
     assert(ch("SELECT dummy FROM system.one").head().getLong(0) === 0L)
   }
 
+  test("EXPLAIN ESTIMATE reads parts/rows/marks from the footer memo, never a scan") {
+    val r = ch("EXPLAIN ESTIMATE SELECT v FROM sysd_plain WHERE user_id > 1")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.length === 1)
+    val (db, tbl, parts, rows, marks) = r.head
+    assert(db === "default" && tbl === "sysd_plain")
+    assert(rows >= 3L && parts >= 1L && marks >= 1L)
+    // still read-only: a DML body is rejected before any estimate
+    intercept[IllegalArgumentException] {
+      ch("EXPLAIN ESTIMATE INSERT INTO sysd_plain VALUES (9, 9)")
+    }
+  }
+
   test("system.parts is memoized: a repeat over unchanged tables does ZERO footer I/O") {
     // warm: this build may open footers (distributed, not driver-serial)
     ch("SELECT count() AS n FROM system.parts WHERE table LIKE 'sysd_%'").collect()
