@@ -408,6 +408,44 @@ object Streams {
         min(col("min_vc")).as("min_vc"),
         max(col("max_vc")).as("max_vc"))
 
+  /** One first-seen row per (user, month) with the new/returning
+    * verdict — q158's streaming sibling, the growth dashboard fed
+    * online. State per user is ONE first-month long plus the bounded
+    * set of months already emitted (bounded by the CALENDAR, not the
+    * stream), so state never grows with event volume; kind is decided
+    * once per (user, month) and never retracted — exactly-once rows
+    * the downstream counter aggregates freely.
+    */
+  final case class NvrState(firstYm: Int, seen: Seq[Int])
+  final case class NvrOut(user_id: Long, ym: Int, kind: String)
+
+  def newVsReturning(events: Dataset[Event]): Dataset[NvrOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def ymOf(ts: Timestamp): Int = {
+      val ld = ts.toLocalDateTime
+      ld.getYear * 12 + ld.getMonthValue
+    }
+    def update(userId: Long, it: Iterator[Event],
+      state: GroupState[NvrState]): Iterator[NvrOut] = {
+      val months = it.map(e => ymOf(e.ts)).toSeq.distinct.sorted
+      if (months.isEmpty) Iterator.empty
+      else {
+        val st0 = state.getOption.getOrElse(
+          NvrState(months.head, Seq.empty))
+        val fresh = months.filterNot(st0.seen.contains)
+        val firstYm = math.min(st0.firstYm, months.head)
+        state.update(NvrState(firstYm, (st0.seen ++ fresh).distinct))
+        fresh.iterator.map(m => NvrOut(userId, m,
+          if (m == firstYm) "new" else "returning"))
+      }
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stream-stream interval join: purchases attributed to the same user's
     * clicks within `horizon`. Both sides watermarked so join state is
     * bounded and evicted as event time advances — the attribution-join

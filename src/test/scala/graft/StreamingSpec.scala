@@ -788,6 +788,39 @@ class StreamingSpec extends SparkSpec {
     assert(projMonths === Set(202402, 202404))
   }
 
+  test("stream_new_vs_returning: one verdict per (user, month), state bounded by calendar") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mts(month: Int, day: Int): Timestamp =
+      Timestamp.valueOf(f"2024-$month%02d-$day%02d 00:00:00")
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.newVsReturning(mem.toDS()).writeStream
+      .format("memory").queryName("nvr").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, mts(1, 5), 10, "click", 1.0),
+        Event(2, mts(1, 9), 10, "click", 1.0),   // same month: no 2nd row
+        Event(3, mts(2, 1), 10, "click", 1.0),
+        Event(4, mts(1, 2), 11, "view", 1.0))
+      q.processAllAvailable()
+      val r1 = spark.table("nvr").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val (jan, feb) = (2024 * 12 + 1, 2024 * 12 + 2)
+      assert(r1 === Set((10L, jan, "new"), (10L, feb, "returning"),
+        (11L, jan, "new")))
+      // later batch: repeat months emit NOTHING; new months return once
+      mem.addData(
+        Event(5, mts(2, 9), 10, "click", 1.0),   // (10, feb) already out
+        Event(6, mts(3, 1), 10, "click", 1.0),
+        Event(7, mts(2, 2), 11, "view", 1.0))
+      q.processAllAvailable()
+      val r2 = spark.table("nvr").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(r2 === r1 ++ Set((10L, 2024 * 12 + 3, "returning"),
+        (11L, feb, "returning")))
+    } finally q.stop()
+  }
+
   test("stream_projection: append-only partial parts, exact combined reads, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
