@@ -400,3 +400,395 @@ case class ChTypeNameExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): ChTypeNameExpr =
     copy(child = c)
 }
+
+/** Second kernel block — the eleventh FnProbe batch: URL hierarchies,
+  * IPv6 canonicalization, CIDR membership, form-encoding, n-gram
+  * distance (public algorithms throughout).
+  */
+object ChScalarKernels2 {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** CH URLHierarchy: the URL cut after every path/query boundary. */
+  def urlHierarchy(u: UTF8String): GenericArrayData = {
+    val s = u.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val proto = s.indexOf("//")
+    val hostStart = if (proto >= 0) proto + 2 else 0
+    var i = hostStart
+    var n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '/' || c == '?') {
+        out += UTF8String.fromString(s.substring(0, i + 1))
+        if (c == '?') { i = n } // query ends the hierarchy walk
+      }
+      i += 1
+    }
+    if (out.isEmpty || out.last.toString.length < s.length)
+      out += u
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** CH URLPathHierarchy: same walk, path-relative (host dropped). */
+  def urlPathHierarchy(u: UTF8String): GenericArrayData = {
+    val s = u.toString
+    val proto = s.indexOf("//")
+    val pathStart = s.indexOf('/', if (proto >= 0) proto + 2 else 0)
+    if (pathStart < 0) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = pathStart + 1
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '/' || c == '?')
+        out += UTF8String.fromString(s.substring(pathStart, i + 1))
+      i += 1
+    }
+    if (out.isEmpty || out.last.toString.length < n - pathStart)
+      out += UTF8String.fromString(s.substring(pathStart))
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  def encodeForm(s: UTF8String): UTF8String = UTF8String.fromString(
+    java.net.URLEncoder.encode(s.toString, "UTF-8"))
+
+  def decodeForm(s: UTF8String): UTF8String = UTF8String.fromString(
+    java.net.URLDecoder.decode(s.toString, "UTF-8"))
+
+  /** Parse a textual IPv6 (full / ::-compressed / v4-mapped) to its 8
+    * 16-bit groups, or null when invalid.
+    */
+  private def parse6(str: String): Array[Int] = {
+    if (!ChScalarKernels.isIPv6(UTF8String.fromString(str))) return null
+    def side(part: String): Array[Int] = {
+      if (part.isEmpty) return Array.empty
+      part.split(":", -1).flatMap { g =>
+        if (g.contains('.')) {
+          val o = g.split("\\.").map(_.toInt)
+          Array((o(0) << 8) | o(1), (o(2) << 8) | o(3))
+        } else Array(Integer.parseInt(g, 16))
+      }
+    }
+    val dc = str.indexOf("::")
+    if (dc < 0) side(str)
+    else {
+      val l = side(str.substring(0, dc))
+      val r = side(str.substring(dc + 2))
+      l ++ Array.fill(8 - l.length - r.length)(0) ++ r
+    }
+  }
+
+  /** RFC 5952 canonical form: lowercase hex, longest zero run (≥2)
+    * compressed, leftmost on ties.
+    */
+  def canonIPv6(s: UTF8String): UTF8String = {
+    val g = parse6(s.toString)
+    require(g != null, s"toIPv6: not an IPv6 address: $s")
+    var bestStart = -1; var bestLen = 0
+    var i = 0
+    while (i < 8) {
+      if (g(i) == 0) {
+        var j = i
+        while (j < 8 && g(j) == 0) j += 1
+        if (j - i > bestLen) { bestStart = i; bestLen = j - i }
+        i = j
+      } else i += 1
+    }
+    val sb = new java.lang.StringBuilder
+    if (bestLen >= 2) {
+      for (k <- 0 until bestStart) {
+        if (k > 0) sb.append(':')
+        sb.append(Integer.toHexString(g(k)))
+      }
+      sb.append("::")
+      for (k <- (bestStart + bestLen) until 8) {
+        if (k > bestStart + bestLen) sb.append(':')
+        sb.append(Integer.toHexString(g(k)))
+      }
+    } else {
+      for (k <- 0 until 8) {
+        if (k > 0) sb.append(':')
+        sb.append(Integer.toHexString(g(k)))
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** isIPAddressInRange('addr', 'cidr/p') — v4 and v6, prefix compare
+    * on the byte level (no DNS, pure parsing); false on any parse
+    * failure (CH throws on malformed CIDR; a total predicate is the
+    * safer surface for WHERE clauses — documented).
+    */
+  def ipInRange(addr: UTF8String, cidr: UTF8String): Boolean = {
+    val c = cidr.toString
+    val cut = c.lastIndexOf('/')
+    if (cut < 0) return false
+    val net = c.substring(0, cut)
+    val bits = try c.substring(cut + 1).toInt catch { case _: Exception => return false }
+    def v4bytes(s: String): Array[Int] =
+      if (ChScalarKernels.isIPv4(UTF8String.fromString(s)))
+        s.split("\\.").map(_.toInt)
+      else null
+    val (a, b, width) = {
+      val a4 = v4bytes(addr.toString); val n4 = v4bytes(net)
+      if (a4 != null && n4 != null) (a4, n4, 32)
+      else {
+        val a6 = parse6(addr.toString); val n6 = parse6(net)
+        if (a6 == null || n6 == null) return false
+        (a6.flatMap(g => Array(g >> 8, g & 255)),
+          n6.flatMap(g => Array(g >> 8, g & 255)), 128)
+      }
+    }
+    if (bits < 0 || bits > width) return false
+    var k = 0
+    var ok = true
+    while (k * 8 < bits && ok) {
+      val rem = bits - k * 8
+      val mask = if (rem >= 8) 255 else (256 - (1 << (8 - rem))) & 255
+      if ((a(k) & mask) != (b(k) & mask)) ok = false
+      k += 1
+    }
+    ok
+  }
+
+  /** CH ngramDistance: 1 − 2·|common 4-grams| / (|A| + |B|) over
+    * character 4-gram multisets (Sørensen–Dice complement; strings
+    * shorter than 4 compare as single grams).
+    */
+  def ngramDistance(ua: UTF8String, ub: UTF8String): Double = {
+    def grams(s: String): Seq[String] =
+      if (s.length < 4) Seq(s) else (0 to s.length - 4).map(i => s.substring(i, i + 4))
+    val (a, b) = (grams(ua.toString), grams(ub.toString))
+    val bc = scala.collection.mutable.Map.empty[String, Int]
+    b.foreach(g => bc(g) = bc.getOrElse(g, 0) + 1)
+    var common = 0
+    a.foreach { g =>
+      val n = bc.getOrElse(g, 0)
+      if (n > 0) { common += 1; bc(g) = n - 1 }
+    }
+    1.0 - 2.0 * common / (a.size + b.size)
+  }
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def nodeAt(json: String,
+    path: Seq[String]): com.fasterxml.jackson.databind.JsonNode = {
+    var n = try jsonMapper.readTree(json) catch { case _: Exception => null }
+    path.foreach { k => if (n != null) n = n.get(k) }
+    n
+  }
+
+  /** CH JSONType: the node's CH type name, '' when absent/invalid. */
+  def jsonType(json: UTF8String, path: Array[UTF8String]): UTF8String = {
+    val n = nodeAt(json.toString, path.map(_.toString).toSeq)
+    UTF8String.fromString(
+      if (n == null) ""
+      else if (n.isObject) "Object"
+      else if (n.isArray) "Array"
+      else if (n.isTextual) "String"
+      else if (n.isBoolean) "Bool"
+      else if (n.isNull) "Null"
+      else if (n.isIntegralNumber) "Int64"
+      else "Double")
+  }
+
+  /** CH JSONExtractArrayRaw: raw JSON text of each array element. */
+  def jsonArrayRaw(json: UTF8String,
+    path: Array[UTF8String]): GenericArrayData = {
+    val n = nodeAt(json.toString, path.map(_.toString).toSeq)
+    if (n == null || !n.isArray) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val it = n.elements()
+      while (it.hasNext) out += UTF8String.fromString(it.next().toString)
+      new GenericArrayData(out.toArray)
+    }
+  }
+
+  /** CH JSONArrayLength: element count, null when not an array. */
+  def jsonArrayLength(json: UTF8String, path: Array[UTF8String]): Any = {
+    val n = nodeAt(json.toString, path.map(_.toString).toSeq)
+    if (n == null || !n.isArray) null else n.size().toLong
+  }
+}
+
+/** n-ary JSON introspection over jackson (on Spark's classpath):
+  * mode = type | arrayraw | arraylength; children = json [, path keys].
+  */
+case class ChJsonExpr(children: Seq[Expression], mode: String)
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = mode match {
+    case "type" => StringType
+    case "arrayraw" => ArrayType(StringType)
+    case _ => LongType
+  }
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.head == null) return null
+    val json = vs.head.asInstanceOf[UTF8String]
+    val path = vs.tail.map(v =>
+      if (v == null) return null else v.asInstanceOf[UTF8String]).toArray
+    mode match {
+      case "type" => ChScalarKernels2.jsonType(json, path)
+      case "arrayraw" => ChScalarKernels2.jsonArrayRaw(json, path)
+      case _ => ChScalarKernels2.jsonArrayLength(json, path)
+    }
+  }
+  override protected def withNewChildrenInternal(
+    newChildren: IndexedSeq[Expression]): ChJsonExpr = copy(children = newChildren)
+}
+
+/** erf/erfc via commons-math3 (Spark's own classpath). */
+case class ChErfExpr(child: Expression, complement: Boolean)
+  extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Double]
+    if (complement) org.apache.commons.math3.special.Erf.erfc(x)
+    else org.apache.commons.math3.special.Erf.erf(x)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      if (complement) s"org.apache.commons.math3.special.Erf.erfc($v)"
+      else s"org.apache.commons.math3.special.Erf.erf($v)")
+  override protected def withNewChildInternal(c: Expression): ChErfExpr =
+    copy(child = c)
+}
+
+/** Element-wise tuple arithmetic (tuplePlus/Minus/Negate and the
+  * by-number forms) — arity is resolution-time, so eval walks the
+  * struct fields; numeric fields computed in their own type.
+  */
+case class ChTupleArithExpr(left: Expression, right: Option[Expression],
+  op: String) extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = left +: right.toSeq
+  override def dataType: DataType = left.dataType
+  override def nullable: Boolean = children.exists(_.nullable)
+  private lazy val fields: Seq[DataType] = left.dataType match {
+    case StructType(fs) => fs.map(_.dataType).toSeq
+    case other => throw new IllegalArgumentException(
+      s"tuple arithmetic expects a tuple, got ${other.sql}")
+  }
+  private def combine(dt: DataType, a: Any, b: Double): Any = {
+    val x = dt match {
+      case DoubleType => a.asInstanceOf[Double]
+      case FloatType => a.asInstanceOf[Float].toDouble
+      case LongType => a.asInstanceOf[Long].toDouble
+      case IntegerType => a.asInstanceOf[Int].toDouble
+      case ShortType => a.asInstanceOf[Short].toDouble
+      case ByteType => a.asInstanceOf[Byte].toDouble
+      case other => throw new IllegalArgumentException(
+        s"tuple arithmetic: non-numeric field ${other.sql}")
+    }
+    val y = op match {
+      case "plus" => x + b
+      case "minus" => x - b
+      case "mulnum" => x * b
+      case _ => -x
+    }
+    dt match {
+      case DoubleType => y
+      case FloatType => y.toFloat
+      case LongType => y.toLong
+      case IntegerType => y.toInt
+      case ShortType => y.toShort
+      case ByteType => y.toByte
+      case _ => y
+    }
+  }
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val ra = a.asInstanceOf[InternalRow]
+    val rb = right.map(_.eval(input))
+    if (right.nonEmpty && rb.get == null) return null
+    val out = new Array[Any](fields.length)
+    for ((dt, i) <- fields.zipWithIndex) {
+      val b: Double = (op, rb) match {
+        case ("mulnum", Some(n)) => n match {
+          case d: Double => d
+          case l: Long => l.toDouble
+          case x: Int => x.toDouble
+          case x: java.lang.Number => x.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"tuple-by-number: non-numeric scalar $other")
+        }
+        case (_, Some(row: InternalRow)) =>
+          val bv = row.get(i, fields(i))
+          bv match {
+            case d: Double => d
+            case f: Float => f.toDouble
+            case l: Long => l.toDouble
+            case x: Int => x.toDouble
+            case s: Short => s.toDouble
+            case b1: Byte => b1.toDouble
+            case _ => 0.0
+          }
+        case _ => 0.0
+      }
+      out(i) = combine(dt, ra.get(i, dt), b)
+    }
+    InternalRow(out: _*)
+  }
+  override protected def withNewChildrenInternal(
+    newChildren: IndexedSeq[Expression]): ChTupleArithExpr =
+    copy(left = newChildren.head,
+      right = if (newChildren.length > 1) Some(newChildren(1)) else None)
+}
+
+/** One-arg kernels of the eleventh batch (mode-dispatched). */
+case class ChStringKernelExpr2(child: Expression, fn: String)
+  extends UnaryExpression {
+  override def dataType: DataType = fn match {
+    case "urlHierarchy" | "urlPathHierarchy" => ArrayType(StringType)
+    case _ => StringType
+  }
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = fn match {
+    case "encodeForm" => ChScalarKernels2.encodeForm(v.asInstanceOf[UTF8String])
+    case "decodeForm" => ChScalarKernels2.decodeForm(v.asInstanceOf[UTF8String])
+    case "urlHierarchy" =>
+      ChScalarKernels2.urlHierarchy(v.asInstanceOf[UTF8String])
+    case "urlPathHierarchy" =>
+      ChScalarKernels2.urlPathHierarchy(v.asInstanceOf[UTF8String])
+    case _ => ChScalarKernels2.canonIPv6(v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.ChScalarKernels2.$fn($v)")
+  override protected def withNewChildInternal(c: Expression): ChStringKernelExpr2 =
+    copy(child = c)
+}
+
+/** isIPAddressInRange(addr, cidr) → BOOLEAN, v4 + v6. */
+case class ChIpInRangeExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ChScalarKernels2.ipInRange(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ChScalarKernels2.ipInRange($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+    r: Expression): ChIpInRangeExpr = copy(left = l, right = r)
+}
+
+/** ngramDistance(a, b) → DOUBLE (4-gram Sørensen–Dice complement). */
+case class ChNgramDistanceExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ChScalarKernels2.ngramDistance(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ChScalarKernels2.ngramDistance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression,
+    r: Expression): ChNgramDistanceExpr = copy(left = l, right = r)
+}

@@ -1460,6 +1460,212 @@ object ClickHouseDialect {
     "emptyArrayString" -> (_ => emptyArr(org.apache.spark.sql.types.StringType)),
     "emptyArrayDate" -> (_ => emptyArr(org.apache.spark.sql.types.DateType)),
     "emptyArrayDateTime" -> (_ => emptyArr(org.apache.spark.sql.types.TimestampType)),
+    // ---- eleventh batch: date/string/array/map/tuple/URL/IP/JSON/math
+    // ISO year start = Monday of the week containing Jan 4 of the ISO
+    // year (reuses the Thursday rule toISOYear pins)
+    "toStartOfISOYear" -> { args =>
+      val d = Cast(one(args), org.apache.spark.sql.types.DateType)
+      val isoY = Year(DateAdd(d, Subtract(Literal(3), WeekDay(d))))
+      val jan4 = MakeDate(isoY, Literal(1), Literal(4))
+      DateSub(jan4, WeekDay(jan4))
+    },
+    // toWeek mode 0 = the yearweek numbering's week component
+    "toWeek" -> (args => Pmod(ToYearWeekExpr(
+      Cast(one(args), org.apache.spark.sql.types.DateType)), Literal(100))),
+    "toModifiedJulianDay" -> (args => DateDiff(
+      Cast(one(args), org.apache.spark.sql.types.DateType),
+      Cast(Literal("1858-11-17"), org.apache.spark.sql.types.DateType))),
+    "fromModifiedJulianDay" -> (args => DateAdd(
+      Cast(Literal("1858-11-17"), org.apache.spark.sql.types.DateType),
+      one(args))),
+    // proleptic days since 0000-01-01 = epoch days + 719528
+    "toDaysSinceYearZero" -> (args => Add(DateDiff(
+      Cast(one(args), org.apache.spark.sql.types.DateType),
+      Cast(Literal("1970-01-01"), org.apache.spark.sql.types.DateType)),
+      Literal(719528))),
+    "ngramDistance" -> (args => ChNgramDistanceExpr(args.head, args(1))),
+    "countSubstringsCaseInsensitive" -> { args =>
+      if (!args(1).foldable)
+        throw new IllegalArgumentException(
+          "countSubstringsCaseInsensitive requires a literal needle")
+      Subtract(Size(StringSplit(Lower(args.head),
+        Literal(java.util.regex.Pattern.quote(
+          String.valueOf(args(1).eval())
+            .toLowerCase(java.util.Locale.ROOT))), Literal(-1))), Literal(1))
+    },
+    // the graft portable word-simhash kernel (CH's constants are
+    // internal — same contract, different values, like the hash family)
+    "wordShingleSimHash" -> (args => SimHash64Expr(one(args))),
+    // soundex-agreement 0..4 (the MySQL `difference` contract)
+    "difference" -> { args =>
+      def c(i: Int): Expression = If(EqualTo(
+        Substring(new SoundEx(args.head), Literal(i), Literal(1)),
+        Substring(new SoundEx(args(1)), Literal(i), Literal(1))),
+        Literal(1), Literal(0))
+      Add(Add(c(1), c(2)), Add(c(3), c(4)))
+    },
+    "concatAssumeInjective" -> (args => Concat(args.map(a =>
+      Cast(a, org.apache.spark.sql.types.StringType)))),
+    "toStringCutToZero" -> (args => ElementAt(StringSplit(
+      Cast(one(args), org.apache.spark.sql.types.StringType),
+      Literal("\\x00"), Literal(2)), Literal(1))),
+    "min2" -> (args => Least(args)),
+    "max2" -> (args => Greatest(args)),
+    // arrayFill: forward-fill where the predicate is FALSE from the
+    // nearest earlier TRUE element (CH's scan); the user lambda is
+    // duplicated per use — each higher-order site rebinds it
+    "arrayFill" -> { args =>
+      val lf = validateLambda(args.head)
+      val arr = args(1)
+      val x = UnresolvedNamedLambdaVariable(Seq("graft_af_x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("graft_af_i"))
+      def freshLambda(): Expression = lf.transformUp {
+        case v: UnresolvedNamedLambdaVariable => v.copy()
+      }
+      val kept = ArrayFilter(Slice(arr, Literal(1), Add(i, Literal(1))),
+        freshLambda().asInstanceOf[LambdaFunction])
+      val condX = ArrayExists(CreateArray(Seq(x)),
+        freshLambda().asInstanceOf[LambdaFunction])
+      ArrayTransform(arr, LambdaFunction(
+        If(condX, x,
+          If(GreaterThan(Size(kept), Literal(0)),
+            ElementAt(kept, Literal(-1)), x)), Seq(x, i)))
+    },
+    "arraySplit" -> (_ => throw new IllegalArgumentException(
+      "arraySplit builds nested segment arrays — rewrite as explode + " +
+        "running boundary count + collect per segment (the dedup_cdc " +
+        "recipe)")),
+    // CH contract: first k sorted, rest unspecified — a full sort
+    // satisfies it exactly
+    "arrayPartialSort" -> (args => new SortArray(args(1))),
+    // mapExists / mapAll / mapApply live in ClickHouseSql as TEXT
+    // rewrites (the arrayFirst precedent): the analyzer requires a
+    // lambda argument's function to resolve to a higher-order
+    // expression at top level, which size(map_filter(…)) is not.
+    // right side wins on shared keys (MapZipWith unions the key space)
+    "mapUpdate" -> { args =>
+      val k = UnresolvedNamedLambdaVariable(Seq("mu_k"))
+      val v1 = UnresolvedNamedLambdaVariable(Seq("mu_v1"))
+      val v2 = UnresolvedNamedLambdaVariable(Seq("mu_v2"))
+      MapZipWith(args.head, args(1),
+        LambdaFunction(Coalesce(Seq(v2, v1)), Seq(k, v1, v2)))
+    },
+    "mapSort" -> (args =>
+      new MapFromEntries(new SortArray(MapEntries(one(args)),
+        Literal(true)))),
+    "mapReverseSort" -> (args =>
+      new MapFromEntries(new SortArray(MapEntries(one(args)),
+        Literal(false)))),
+    "tuplePlus" -> (args =>
+      ChTupleArithExpr(args.head, Some(args(1)), "plus")),
+    "tupleMinus" -> (args =>
+      ChTupleArithExpr(args.head, Some(args(1)), "minus")),
+    "tupleMultiplyByNumber" -> (args =>
+      ChTupleArithExpr(args.head, Some(args(1)), "mulnum")),
+    "tupleNegate" -> (args => ChTupleArithExpr(args.head, None, "negate")),
+    "encodeURLFormComponent" -> (args =>
+      ChStringKernelExpr2(one(args), "encodeForm")),
+    "decodeURLFormComponent" -> (args =>
+      ChStringKernelExpr2(one(args), "decodeForm")),
+    "queryStringAndFragment" -> (args =>
+      RegExpExtract(one(args), Literal("[?](.*)"), Literal(1))),
+    "cutWWW" -> (args => RegExpReplace(one(args),
+      Literal("^(([a-z]+:)?//)www\\."), Literal("$1"))),
+    "URLHierarchy" -> (args =>
+      ChStringKernelExpr2(one(args), "urlHierarchy")),
+    "URLPathHierarchy" -> (args =>
+      ChStringKernelExpr2(one(args), "urlPathHierarchy")),
+    "extractURLParameters" -> { args =>
+      val p = UnresolvedNamedLambdaVariable(Seq("eup_p"))
+      ArrayFilter(StringSplit(parseUrl(one(args), "QUERY"),
+        Literal("&"), Literal(-1)),
+        LambdaFunction(Not(EqualTo(p, Literal(""))), Seq(p)))
+    },
+    "extractURLParameterNames" -> { args =>
+      val p = UnresolvedNamedLambdaVariable(Seq("eun_p"))
+      val q = UnresolvedNamedLambdaVariable(Seq("eun_q"))
+      ArrayTransform(
+        ArrayFilter(StringSplit(parseUrl(one(args), "QUERY"),
+          Literal("&"), Literal(-1)),
+          LambdaFunction(Not(EqualTo(p, Literal(""))), Seq(p))),
+        LambdaFunction(SubstringIndex(q, Literal("="), Literal(1)), Seq(q)))
+    },
+    "toIPv6" -> (args => ChStringKernelExpr2(one(args), "canonIPv6")),
+    "IPv4CIDRToRange" -> { args =>
+      val x = Cast(args.head, org.apache.spark.sql.types.LongType)
+      val bits = Cast(args(1), org.apache.spark.sql.types.IntegerType)
+      // mask of the host part: 2^(32-bits) - 1
+      val host = Subtract(ShiftLeft(Literal(1L),
+        Subtract(Literal(32), bits)), Literal(1L))
+      val lo = BitwiseAnd(x, BitwiseNot(host))
+      val hi = BitwiseOr(x, host)
+      def str(e: Expression): Expression = {
+        def oct(sh: Int): Expression = Cast(
+          BitwiseAnd(ShiftRightUnsigned(e, Literal(sh)), Literal(255L)),
+          org.apache.spark.sql.types.StringType)
+        new ConcatWs(Seq(Literal("."), oct(24), oct(16), oct(8), oct(0)))
+      }
+      CreateStruct(Seq(str(lo), str(hi)))
+    },
+    "isIPAddressInRange" -> (args =>
+      ChIpInRangeExpr(args.head, args(1))),
+    "JSONType" -> (args => ChJsonExpr(args, "type")),
+    "JSONExtractArrayRaw" -> (args => ChJsonExpr(args, "arrayraw")),
+    "JSONArrayLength" -> (args => ChJsonExpr(args, "arraylength")),
+    "erf" -> (args => ChErfExpr(
+      Cast(one(args), org.apache.spark.sql.types.DoubleType),
+      complement = false)),
+    "erfc" -> (args => ChErfExpr(
+      Cast(one(args), org.apache.spark.sql.types.DoubleType),
+      complement = true)),
+    // decimal arithmetic with an explicit result scale (CH contract:
+    // the scale argument is a literal)
+    "divideDecimal" -> { args =>
+      require(args.length == 3 && args(2).foldable,
+        "divideDecimal(a, b, result_scale): scale must be a literal")
+      Cast(Divide(args.head, args(1)), org.apache.spark.sql.types
+        .DecimalType(38, String.valueOf(args(2).eval()).toInt))
+    },
+    "multiplyDecimal" -> { args =>
+      val m = Multiply(args.head, args(1))
+      if (args.length > 2) {
+        require(args(2).foldable,
+          "multiplyDecimal result_scale must be a literal")
+        Cast(m, org.apache.spark.sql.types.DecimalType(38,
+          String.valueOf(args(2).eval()).toInt))
+      } else m
+    },
+    // two-sample proportions z-test: (z, p, ci_lo, ci_hi) — p via erfc,
+    // the CI's normal quantile computed at PLAN time from the literal
+    // confidence (commons-math3 inverse CDF)
+    "proportionsZTest" -> { args =>
+      require(args.length == 6 && args(4).foldable && args(5).foldable,
+        "proportionsZTest(s1, s2, n1, n2, conf, 'pooled'|'unpooled') — " +
+          "confidence and pooling must be literals")
+      def d(e: Expression) = Cast(e, org.apache.spark.sql.types.DoubleType)
+      val (s1, s2, n1, n2) = (d(args(0)), d(args(1)), d(args(2)), d(args(3)))
+      val conf = String.valueOf(args(4).eval()).toDouble
+      val pooled = String.valueOf(args(5).eval()).toLowerCase(
+        java.util.Locale.ROOT) == "pooled"
+      val (p1, p2) = (Divide(s1, n1), Divide(s2, n2))
+      val diff = Subtract(p1, p2)
+      val se: Expression =
+        if (pooled) {
+          val p = Divide(Add(s1, s2), Add(n1, n2))
+          Sqrt(Multiply(Multiply(p, Subtract(Literal(1.0), p)),
+            Add(Divide(Literal(1.0), n1), Divide(Literal(1.0), n2))))
+        } else Sqrt(Add(
+          Divide(Multiply(p1, Subtract(Literal(1.0), p1)), n1),
+          Divide(Multiply(p2, Subtract(Literal(1.0), p2)), n2)))
+      val z = Divide(diff, se)
+      val pval = ChErfExpr(Divide(Abs(z), Literal(math.sqrt(2.0))),
+        complement = true)
+      val zq = new org.apache.commons.math3.distribution.NormalDistribution()
+        .inverseCumulativeProbability(1.0 - (1.0 - conf) / 2.0)
+      CreateStruct(Seq(z, pval,
+        Subtract(diff, Multiply(Literal(zq), se)),
+        Add(diff, Multiply(Literal(zq), se))))
+    },
     // ---- tenth batch: aggregates ----
     // groupBitmap over a scalar column is the bitmap's cardinality —
     // exact distinct; groupBitmapOr unions per-row singletons → same.

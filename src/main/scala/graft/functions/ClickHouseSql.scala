@@ -3043,6 +3043,8 @@ object ClickHouseSql {
     if (l.contains("extract")) out = rewriteExtract(out)
     if (l.contains("arrayfirst") || l.contains("arraylast"))
       out = rewriteArrayFirst(out)
+    if (l.contains("mapexists") || l.contains("mapall") ||
+      l.contains("mapapply")) out = rewriteMapHof(out)
     if (l.contains("transform")) out = rewriteChTransform(out)
     if (l.contains("?")) out = rewriteTernary(out)
     if (l.contains("final")) out = rewriteFinal(out, columnsOf)
@@ -4367,6 +4369,69 @@ object ClickHouseSql {
       i += 1
     }
     applySplices(sqlText, splices)
+  }
+
+  /** CH map higher-order functions whose natural rewrite is NOT a
+    * top-level higher-order expression (the arrayFirst restriction):
+    * mapExists/mapAll become size(map_filter(…)) comparisons, and
+    * mapApply's two-argument (k, v) lambda re-binds onto one
+    * map_entries struct parameter by TEXT substitution of the
+    * parameter identifiers.
+    */
+  private def rewriteMapHof(sqlText: String): String = {
+    val toks = lex(sqlText)
+    var i = 0
+    while (i < toks.length - 1) {
+      val t = toks(i)
+      val kind = t.lower match {
+        case "mapexists" | "mapall" | "mapapply" => t.lower
+        case _ => ""
+      }
+      if (kind.nonEmpty && toks(i + 1).text == "(") {
+        val d = toks(i + 1).depth
+        var j = i + 2
+        var comma = -1
+        while (j < toks.length && !(toks(j).text == ")" && toks(j).depth == d)) {
+          if (comma < 0 && toks(j).text == "," && toks(j).depth == d + 1)
+            comma = j
+          j += 1
+        }
+        if (j < toks.length && comma > 0) {
+          val lam = sqlText.substring(toks(i + 1).end, toks(comma).start).trim
+          val m = sqlText.substring(toks(comma).end, toks(j).start).trim
+          val repl = kind match {
+            case "mapexists" =>
+              s"(size(map_keys(map_filter($m, $lam))) > 0)"
+            case "mapall" =>
+              s"(size(map_keys(map_filter($m, $lam))) = size(map_keys($m)))"
+            case _ =>
+              // (k, v) -> body : substitute the param identifiers in
+              // the body with the entry struct's fields
+              val arrow = lam.indexOf("->")
+              require(arrow > 0, s"mapApply expects a lambda: $lam")
+              val params = lam.substring(0, arrow).trim
+                .stripPrefix("(").stripSuffix(")").split(",").map(_.trim)
+              require(params.length == 2,
+                s"mapApply expects a two-argument lambda (k, v): $lam")
+              val body = lam.substring(arrow + 2)
+              val bToks = lex(body)
+              val sb = new StringBuilder(body)
+              for (bt <- bToks.reverse if isIdent(bt)) {
+                if (bt.text == params(0))
+                  sb.replace(bt.start, bt.end, "__graft_me.key")
+                else if (bt.text == params(1))
+                  sb.replace(bt.start, bt.end, "__graft_me.value")
+              }
+              s"map_from_entries(transform(map_entries($m), " +
+                s"__graft_me -> ${sb.toString.trim}))"
+          }
+          return rewriteMapHof(applySplices(sqlText,
+            scala.collection.mutable.ArrayBuffer((t.start, toks(j).end, repl))))
+        }
+      }
+      i += 1
+    }
+    sqlText
   }
 
   /** CH `dateDiff('unit', a, b)` (quoted unit, boundary-count

@@ -163,4 +163,54 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(agg("minMap(map(g, x))") === Map("a" -> 1.5, "b" -> 4.0))
     assert(agg("maxMap(map(g, x))") === Map("a" -> 2.5, "b" -> 4.0))
   }
+
+  test("eleventh-batch dialect names: pinned values") {
+    graft.functions.ClickHouseDialect.register(spark)
+    def one(e: String): Any =
+      graft.functions.ClickHouseSql.sql(spark, s"SELECT $e AS v").head().get(0)
+    // ISO-year start: 2024 starts Mon Jan 1; 2023 starts Mon Jan 2
+    assert(one("toStartOfISOYear(toDate('2024-06-01'))").toString === "2024-01-01")
+    assert(one("toStartOfISOYear(toDate('2023-06-01'))").toString === "2023-01-02")
+    assert(one("toModifiedJulianDay('1858-11-17')") === 0)
+    assert(one("fromModifiedJulianDay(0)").toString === "1858-11-17")
+    assert(one("difference('Smith', 'Smyth')") === 4)
+    assert(one("difference('Smith', 'Jones')") === 2) // S530 vs J520: positions 3,4 agree
+    assert(one("toStringCutToZero('ab')") === org.apache.spark.unsafe.types
+      .UTF8String.fromString("ab").toString)
+    assert(one("min2(3, 5)") === 3 && one("max2(3, 5)") === 5)
+    assert(one("arrayFill(x -> x > 0, array(1, 0, 2, 0))") === Seq(1, 1, 2, 2))
+    assert(one("arrayPartialSort(2, array(3,1,2))") === Seq(1, 2, 3))
+    assert(one("mapExists((k, v) -> v > 1, map('a', 1))") === false)
+    assert(one("mapAll((k, v) -> v > 1, map('a', 1, 'b', 2))") === false)
+    assert(one("mapApply((k, v) -> (k, v * 2), map('a', 1))") === Map("a" -> 2))
+    assert(one("mapUpdate(map('a', 1, 'b', 2), map('b', 9))") ===
+      Map("a" -> 1, "b" -> 9))
+    assert(one("mapSort(map('b', 2, 'a', 1))").toString.startsWith("Map(a"))
+    assert(one("tuplePlus((1, 2), (3, 4))").toString === "[4,6]")
+    assert(one("tupleNegate((1, -2))").toString === "[-1,2]")
+    assert(one("tupleMultiplyByNumber((1, 2), 3)").toString === "[3,6]")
+    assert(one("encodeURLFormComponent('a b')").toString === "a+b")
+    assert(one("decodeURLFormComponent('a+b')").toString === "a b")
+    assert(one("cutWWW('https://www.x.com/p')").toString === "https://x.com/p")
+    assert(one("queryStringAndFragment('http://x.com/p?a=1#f')").toString === "a=1#f")
+    assert(one("URLPathHierarchy('https://x.com/a/b')") ===
+      Seq("/a/", "/a/b"))
+    assert(one("extractURLParameterNames('http://x.com/?a=1&b=2')") ===
+      Seq("a", "b"))
+    assert(one("toIPv6('0:0:0:0:0:0:0:1')").toString === "::1")
+    assert(one("toIPv6('2001:0db8:0:0:1:0:0:1')").toString === "2001:db8::1:0:0:1")
+    assert(one("IPv4CIDRToRange(toIPv4('192.168.5.2'), 16)").toString ===
+      "[192.168.0.0,192.168.255.255]")
+    assert(one("isIPAddressInRange('192.168.1.1', '10.0.0.0/8')") === false)
+    assert(one("isIPAddressInRange('2001:db8::1', '2001:db8::/32')") === true)
+    assert(one("JSONType('[1,2]')").toString === "Array")
+    assert(one("JSONType('{\"a\":\"x\"}', 'a')").toString === "String")
+    assert(one("JSONArrayLength('[1,2,3]')") === 3L)
+    assert(one("JSONExtractArrayRaw('{\"a\":[1,{\"b\":2}]}', 'a')") ===
+      Seq("1", "{\"b\":2}"))
+    assert(one("round(erf(0.5), 6)") === 0.5205)
+    assert(one("ngramDistance('abcd', 'abcd')") === 0.0)
+    // the SQL-EXTRACT coexistence holds inside bigger statements too
+    assert(one("mapExists((k, v) -> v > 0, map('a', 1)) AND extract(YEAR FROM DATE'2024-01-01') = 2024") === true)
+  }
 }

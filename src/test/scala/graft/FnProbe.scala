@@ -189,7 +189,60 @@ object FnProbe {
       "regexpQuoteMeta('a.b')",
       "left('abcde', 2)", "right('abcde', 2)", "space(3)",
       "intDiv(7, 2)", "modulo(7, 3)", "negate(5)", "plus(1, 2)",
-      "emptyArrayInt64()", "emptyArrayString()"
+      "emptyArrayInt64()", "emptyArrayString()",
+      // r11 eleventh batch — date/string/array/map/tuple/URL/JSON/math
+      // long tails the tenth batch didn't reach
+      "toStartOfISOYear(toDate('2024-01-01'))",
+      "toWeek(toDate('2024-03-05'))",
+      "subtractHours(toDateTime('2024-01-02 03:00:00'), 4)",
+      "addQuarters(toDate('2024-01-15'), 2)",
+      "toModifiedJulianDay('2024-01-01')",
+      "fromModifiedJulianDay(60310)",
+      "today()", "yesterday()",
+      "toDaysSinceYearZero(toDate('2024-01-01'))",
+      "ngramDistance('hello', 'hallo')",
+      "countSubstringsCaseInsensitive('AaA', 'a')",
+      "positionCaseInsensitiveUTF8('HÉllo', 'éll')",
+      "wordShingleSimHash('a b c d e')",
+      "difference('Smith', 'Smyth')",
+      "concatAssumeInjective('a', 'b')",
+      "toString(42)", "toStringCutToZero('ab cd')",
+      "arrayFold((acc, x) -> acc + x, array(1,2,3), 0)",
+      "arrayFill(x -> x > 0, array(1, 0, 2, 0))",
+      "arraySplit((x, y) -> y > x, array(1, 3, 2, 5))",
+      "arrayStringConcat(array('x','y'))",
+      "arraySum(array(1,2,3))", "arrayMin(array(3,1))", "arrayMax(array(3,1))",
+      "arrayPartialSort(2, array(3,1,2))",
+      "mapExists((k, v) -> v > 1, map('a', 1, 'b', 2))",
+      "mapAll((k, v) -> v > 0, map('a', 1))",
+      "mapUpdate(map('a', 1, 'b', 2), map('b', 9))",
+      "mapApply((k, v) -> (k, v * 2), map('a', 1))",
+      "mapSort(map('b', 2, 'a', 1))",
+      "tuplePlus((1, 2), (3, 4))", "tupleMinus((5, 5), (1, 2))",
+      "tupleMultiplyByNumber((1, 2), 3)", "tupleNegate((1, -2))",
+      "encodeURLFormComponent('a b')", "decodeURLFormComponent('a+b')",
+      "queryStringAndFragment('http://x.com/p?a=1#f')",
+      "cutWWW('https://www.x.com/p')",
+      "URLHierarchy('https://x.com/a/b?c=1')",
+      "URLPathHierarchy('https://x.com/a/b')",
+      "extractURLParameters('http://x.com/?a=1&b=2')",
+      "extractURLParameterNames('http://x.com/?a=1&b=2')",
+      "toIPv6('::1')",
+      "IPv4CIDRToRange(toIPv4('192.168.5.2'), 16)",
+      "isIPAddressInRange('127.0.0.1', '127.0.0.0/8')",
+      "JSONType('{\"a\":1}')", "JSONType('{\"a\":1}', 'a')",
+      "JSONExtractArrayRaw('{\"a\":[1,2]}', 'a')",
+      "JSONArrayLength('[1,2,3]')",
+      "simpleJSONExtractString('{\"a\":\"v\"}', 'a')",
+      "simpleJSONExtractInt('{\"a\":7}', 'a')",
+      "simpleJSONHas('{\"a\":7}', 'a')",
+      "erf(0.5)", "erfc(0.5)", "cosh(1.0)", "sinh(1.0)",
+      "asinh(1.0)", "acosh(2.0)", "atanh(0.5)", "atan2(1.0, 2.0)",
+      "log1p(0.5)", "cot(1.0)", "factorial(5)",
+      "divideDecimal(toDecimal64('10.0', 2), toDecimal64('3.0', 2), 4)",
+      "multiplyDecimal(toDecimal64('2.5', 2), toDecimal64('4.0', 2))",
+      "min2(3, 5)", "max2(3, 5)",
+      "proportionsZTest(10, 20, 100, 100, 0.95, 'unpooled')"
     )
     // aggregate battery over a tiny table — the same radar for the
     // aggregate-name surface
