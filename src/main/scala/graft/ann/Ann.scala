@@ -2515,9 +2515,59 @@ $pivots
       .orderBy(col("label"))
   }
 
+  // embed_knn_purity — neighborhood label purity of the k-NN graph
+  // (the embedding-quality readout retrieval teams gate on: if a
+  // vector's nearest neighbors don't share its label, the space won't
+  // retrieve): per label, the fraction of top-3 kNN edges whose
+  // endpoints agree, exact basis points. Reuses the MEMOIZED edge set
+  // (free when ann_knn_graph/ann_graph_search already ran); the label
+  // joins are id-keyed equi joins on the 3n-row edge relation.
+  val knnPurity = Q(
+    "embed_knn_purity",
+    Some(s"""
+      WITH ${ivfCtesSql(16, 4)},
+      acq AS (SELECT ac.vec_id, ac.cell, q.qv
+              FROM ac JOIN qemb q ON q.vec_id = ac.vec_id),
+      pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.qv, b.qv),
+                 pr -> pr[1] * pr[2])) AS BIGINT) AS dot_q
+        FROM acq a JOIN acq b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT vec_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dot_q DESC, neighbor_id) AS rnk
+        FROM pairs),
+      edges AS (SELECT vec_id, neighbor_id FROM ranked WHERE rnk <= 3),
+      lab AS (SELECT vec_id, label FROM embeddings)
+      SELECT la.label,
+             CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(COUNT(CASE WHEN lb.label = la.label THEN 1 END) AS BIGINT) AS n_same,
+             CAST(COUNT(CASE WHEN lb.label = la.label THEN 1 END) * 10000
+                  // COUNT(*) AS BIGINT) AS purity_bp
+      FROM edges e
+      JOIN lab la ON la.vec_id = e.vec_id
+      JOIN lab lb ON lb.vec_id = e.neighbor_id
+      GROUP BY la.label
+      ORDER BY la.label
+    """)
+  ) { t =>
+    val labels = t.embeddings.select(col("vec_id"), col("label"))
+    knnEdgeSet(t)
+      .join(labels.toDF("vec_id", "label_a"), "vec_id")
+      .join(labels.toDF("neighbor_id", "label_b"), "neighbor_id")
+      .groupBy(col("label_a").as("label"))
+      .agg(count(lit(1)).as("n_edges"),
+        count(when(col("label_b") === col("label_a"), 1)).as("n_same"))
+      .select(col("label"), col("n_edges"), col("n_same"),
+        expr("n_same * 10000 div n_edges").cast(LongType).as("purity_bp"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
     rpProject, diversify, graphSearch, matryoshka, binaryQuant, binaryRerank,
-    centroidDrift, probeSweep, rrf, isotropy)
+    centroidDrift, probeSweep, rrf, isotropy, knnPurity)
 }
