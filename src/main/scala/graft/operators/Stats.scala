@@ -1835,11 +1835,16 @@ object Stats {
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
         .multiply(lit(100)).cast(LongType)).as("c"))
+    // the supplier-grain relation feeds BOTH the nation totals and the
+    // share pass — pin it so the fact-table aggregation (the one heavy
+    // shuffle) runs once, not once per consumer (it is supplier-
+    // dimension-sized, so the checkpoint is bytes, not data)
     val named = sup
       .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
+      .localCheckpoint(true)
     val tots = named.groupBy(col("n_name")).agg(sum(col("c")).as("tot"))
     named.join(broadcast(tots), "n_name")
       // widen before ×10000: cents reach ~1e16 at 100 TB and the bp
@@ -2099,6 +2104,10 @@ object Stats {
         count(lit(1)).as("f"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))
           .multiply(lit(100)).cast(LongType)).as("m"))
+      // four consumers (three rank passes + the scoring pass) — pin the
+      // customer-grain relation so the fact aggregation runs ONCE (the
+      // plan otherwise re-scans orders per consumer; no ReusedExchange)
+      .localCheckpoint(true)
     def thresholds(metric: String): org.apache.spark.sql.DataFrame = {
       val ranked = GroupedPrefix.withRank(
         cust.select(col(metric).as("v")), Nil, col("v"), "rn")
