@@ -1233,7 +1233,80 @@ object Multimodal {
         .cast(LongType).as("id_checksum"))
   }
 
+  // mm_audio_neardup — hamming-radius audio near-duplication over
+  // mm_audio_dedup's exact 16-bit energy-shape fingerprint (a re-gain
+  // or mild re-encode flips a window bit or two; exact buckets miss
+  // them): 2×8-bit bands bound the candidates, popcount verify at
+  // hamming ≤ 2 — the image lane's banding argument on the audio
+  // fingerprint. Oracle replays every PCM sample's energy window from
+  // the generator, then the same banded join.
+  val audioNearDup = Q(
+    "mm_audio_neardup",
+    Some("""
+      WITH clips AS (
+        SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS nch,
+               (doc_id % 500 + 100) - (doc_id % 500 + 100) % (doc_id % 2 + 1) AS n
+        FROM documents),
+      ch0 AS (
+        SELECT doc_id, j // nch AS s, n // nch AS ns,
+               (doc_id*7 + j*13) % 4001 - 2000 AS v
+        FROM clips, UNNEST(RANGE(0, n)) AS t(j)
+        WHERE j % nch = 0),
+      wins AS (
+        SELECT doc_id, (s * 16) // ns AS w, SUM(v * v) AS e
+        FROM ch0 GROUP BY doc_id, (s * 16) // ns),
+      bits AS (
+        SELECT l.doc_id,
+               CASE WHEN l.e > r.e THEN (1::BIGINT << l.w) ELSE 0 END AS bv
+        FROM wins l JOIN wins r ON r.doc_id = l.doc_id AND r.w = (l.w + 1) % 16),
+      hashes AS (SELECT doc_id, SUM(bv)::BIGINT AS fp FROM bits GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, fp, b.i AS band, (fp >> (8 * b.i)) & 255 AS bval
+        FROM hashes, UNNEST(RANGE(0, 2)) AS b(i)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+               BIT_COUNT(XOR(a.fp, b.fp)) AS ham
+        FROM bands a JOIN bands b
+          ON b.band = a.band AND b.bval = a.bval AND b.doc_id > a.doc_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(COUNT(CASE WHEN ham <= 2 THEN 1 END) AS BIGINT) AS n_neardup,
+             CAST(COALESCE(SUM(CASE WHEN ham <= 2 THEN ham END), 0) AS BIGINT) AS ham_sum,
+             CAST(COALESCE(SUM(CASE WHEN ham <= 2 THEN i + j END), 0) AS BIGINT) AS id_checksum
+      FROM cand
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val hashes = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val channels = (id % 2 + 1).toInt
+        val n = (id % 500 + 100).toInt
+        val clip = WavCodec.decode(WavCodec.encode(generatePcm(id, channels, n)))
+        AudioFp(id, audioFpOf(clip))
+      })
+      .toDF()
+    val bands = hashes
+      .select(col("media_id"), col("fp"),
+        explode(sequence(lit(0), lit(1))).as("band"))
+      .withColumn("bval",
+        expr("shiftrightunsigned(fp, 8 * band)").bitwiseAND(lit(255L)))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("b.band") === col("a.band") && col("b.bval") === col("a.bval") &&
+          col("b.media_id") > col("a.media_id"))
+      .select(col("a.media_id").as("i"), col("b.media_id").as("j"),
+        expr("bit_count(a.fp ^ b.fp)").cast(LongType).as("ham"))
+      .distinct()
+    cand.agg(
+      count(lit(1)).as("n_candidates"),
+      count(when(col("ham") <= 2, 1)).as("n_neardup"),
+      coalesce(sum(when(col("ham") <= 2, col("ham"))), lit(0L))
+        .cast(LongType).as("ham_sum"),
+      coalesce(sum(when(col("ham") <= 2, col("i") + col("j"))), lit(0L))
+        .cast(LongType).as("id_checksum"))
+  }
+
   val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi,
     imageDedup, audioDedup, videoDedup, sceneCut, audioVad, letterbox,
-    audioResample, imageNearDup)
+    audioResample, imageNearDup, audioNearDup)
 }
