@@ -792,3 +792,101 @@ case class ChNgramDistanceExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression,
     r: Expression): ChNgramDistanceExpr = copy(left = l, right = r)
 }
+
+/** Standard geohash (public algorithm): alternating lon/lat bisection
+  * bits, base32 alphabet; decode returns the cell center.
+  */
+object GeohashKernel {
+  private val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  def encode(lon: Double, lat: Double, precision: Int): UTF8String = {
+    val p = math.max(1, math.min(12, precision))
+    var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
+    val sb = new java.lang.StringBuilder(p)
+    var bit = 0
+    var ch = 0
+    var even = true
+    while (sb.length < p) {
+      if (even) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      even = !even
+      bit += 1
+      if (bit == 5) { sb.append(alphabet.charAt(ch)); bit = 0; ch = 0 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** (lon, lat) center of the cell. */
+  def decode(h: UTF8String): InternalRow = {
+    var (lonLo, lonHi, latLo, latHi) = (-180.0, 180.0, -90.0, 90.0)
+    var even = true
+    h.toString.foreach { c =>
+      val v = alphabet.indexOf(c.toLower)
+      require(v >= 0, s"geohashDecode: invalid character '$c'")
+      var m = 16
+      while (m > 0) {
+        if (even) {
+          val mid = (lonLo + lonHi) / 2
+          if ((v & m) != 0) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if ((v & m) != 0) latLo = mid else latHi = mid
+        }
+        even = !even
+        m >>= 1
+      }
+    }
+    InternalRow((lonLo + lonHi) / 2, (latLo + latHi) / 2)
+  }
+}
+
+/** geohashEncode(lon, lat, precision) → STRING. */
+case class GeohashEncodeExpr(children: Seq[Expression]) extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.length == 3, "geohashEncode(lon, lat, precision)")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      def d(a: Any): Double = a match {
+        case x: Double => x
+        case x: Float => x.toDouble
+        case x: Long => x.toDouble
+        case x: Int => x.toDouble
+        case x: org.apache.spark.sql.types.Decimal => x.toDouble
+        case other => throw new IllegalArgumentException(
+          s"geohashEncode expects numeric coordinates, got $other")
+      }
+      val p = vs(2) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => d(other).toInt
+      }
+      GeohashKernel.encode(d(vs(0)), d(vs(1)), p)
+    }
+  }
+  override protected def withNewChildrenInternal(
+    newChildren: IndexedSeq[Expression]): GeohashEncodeExpr =
+    copy(children = newChildren)
+}
+
+/** geohashDecode(h) → STRUCT<longitude: DOUBLE, latitude: DOUBLE>. */
+case class GeohashDecodeExpr(child: Expression) extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("longitude", DoubleType, nullable = false),
+    StructField("latitude", DoubleType, nullable = false)))
+  override protected def nullSafeEval(v: Any): Any =
+    GeohashKernel.decode(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): GeohashDecodeExpr =
+    copy(child = c)
+}

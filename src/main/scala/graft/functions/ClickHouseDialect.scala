@@ -1666,6 +1666,89 @@ object ClickHouseDialect {
         Subtract(diff, Multiply(Literal(zq), se)),
         Add(diff, Multiply(Literal(zq), se))))
     },
+    // ---- twelfth batch: session/timezone/parse/geo/snowflake/uuid/bitmap
+    "currentDatabase" -> (_ => Literal("default")),
+    "currentUser" -> (_ => CurrentUser()),
+    "timeZone" -> (_ => CurrentTimeZone()),
+    "timezone" -> (_ => CurrentTimeZone()),
+    // CH toTimeZone changes the DISPLAY zone of the same instant; with
+    // Spark timestamps rendered in the session zone, the faithful
+    // display move is the wall-clock conversion session-tz → target
+    "toTimeZone" -> (args => ConvertTimezone(CurrentTimeZone(), args(1),
+      Cast(args.head, org.apache.spark.sql.types.TimestampType))),
+    // CH parseDateTime takes MySQL-style % patterns — the shared
+    // translator turns them into Spark patterns at plan time
+    "parseDateTime" -> { args =>
+      require(args.length >= 2 && args(1).foldable,
+        "parseDateTime(s, format): format must be a literal")
+      new ParseToTimestamp(args.head,
+        Some(Literal(translateDateFormat(String.valueOf(args(1).eval())))),
+        org.apache.spark.sql.types.TimestampType, None, failOnError = true)
+    },
+    "parseDateTimeOrNull" -> { args =>
+      require(args.length >= 2 && args(1).foldable,
+        "parseDateTimeOrNull(s, format): format must be a literal")
+      new ParseToTimestamp(args.head,
+        Some(Literal(translateDateFormat(String.valueOf(args(1).eval())))),
+        org.apache.spark.sql.types.TimestampType, None, failOnError = false)
+    },
+    "geohashEncode" -> (args => GeohashEncodeExpr(args)),
+    "geohashDecode" -> (args => GeohashDecodeExpr(one(args))),
+    // Twitter-epoch snowflake ids (CH's constants): ms = (id >> 22) +
+    // 1288834974657
+    "snowflakeIDToDateTime" -> (args => MillisToTimestamp(Add(
+      ShiftRight(Cast(one(args), org.apache.spark.sql.types.LongType),
+        Literal(22)), Literal(1288834974657L)))),
+    "dateTimeToSnowflakeID" -> (args => ShiftLeft(
+      Subtract(UnixMillis(Cast(one(args),
+        org.apache.spark.sql.types.TimestampType)),
+        Literal(1288834974657L)), Literal(22))),
+    // UUID text validation (Spark has no UUID type: CH's toUUID maps
+    // to the validated lowercase canonical STRING; the *OrNull form
+    // nulls instead of raising)
+    "toUUID" -> { args =>
+      val re = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+      If(RLike(one(args), Literal(re)), Lower(one(args)),
+        Cast(RaiseError(Literal("toUUID: malformed UUID string")),
+          org.apache.spark.sql.types.StringType))
+    },
+    "toUUIDOrNull" -> { args =>
+      val re = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+      If(RLike(one(args), Literal(re)), Lower(one(args)),
+        Literal.create(null, org.apache.spark.sql.types.StringType))
+    },
+    "UUIDStringToNum" -> (args => Unhex(RegExpReplace(one(args),
+      Literal("-"), Literal("")))),
+    "runningAccumulate" -> (_ => throw new IllegalArgumentException(
+      "runningAccumulate depends on CH block order — rewrite as " +
+        "SUM(x) OVER (ORDER BY <explicit key> ROWS UNBOUNDED " +
+        "PRECEDING) (the q09 recipe)")),
+    "neighbor" -> (_ => throw new IllegalArgumentException(
+      "neighbor depends on CH block order — rewrite as " +
+        "lag/lead OVER (ORDER BY <explicit key>) (the q10 recipe)")),
+    // CH bitmap objects modeled as SORTED DISTINCT ARRAYS — every
+    // bitmap verb is then an exact array operation (documented: the
+    // value surface matches; the roaring compression is CH-internal)
+    "bitmapBuild" -> (args => new SortArray(ArrayDistinct(one(args)))),
+    "bitmapToArray" -> (args => new SortArray(ArrayDistinct(one(args)))),
+    "bitmapCardinality" -> (args => Size(ArrayDistinct(one(args)))),
+    "bitmapContains" -> (args => ArrayContains(args.head, args(1))),
+    "bitmapAnd" -> (args =>
+      new SortArray(ArrayIntersect(args.head, args(1)))),
+    "bitmapOr" -> (args => new SortArray(ArrayUnion(args.head, args(1)))),
+    "bitmapXor" -> (args => new SortArray(ArrayExcept(
+      ArrayUnion(args.head, args(1)),
+      ArrayIntersect(args.head, args(1))))),
+    "bitmapAndnot" -> (args =>
+      new SortArray(ArrayExcept(args.head, args(1)))),
+    "bitmapAndCardinality" -> (args =>
+      Size(ArrayIntersect(args.head, args(1)))),
+    "bitmapOrCardinality" -> (args =>
+      Size(ArrayUnion(args.head, args(1)))),
+    "bitmapMin" -> (args => ArrayMin(one(args))),
+    "bitmapMax" -> (args => ArrayMax(one(args))),
     // ---- tenth batch: aggregates ----
     // groupBitmap over a scalar column is the bitmap's cardinality —
     // exact distinct; groupBitmapOr unions per-row singletons → same.
@@ -1850,7 +1933,7 @@ object ClickHouseDialect {
           case 'I' => "hh"
           case 'i' => "mm"
           case 'M' => "MMMM"
-          case 'S' => "ss"
+          case 'S' | 's' => "ss" // CH: %S and %s are both seconds
           case 'p' => "a"
           case 'j' => "DDD"
           case 'e' => "d"
