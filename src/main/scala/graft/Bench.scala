@@ -62,7 +62,7 @@ object Bench {
     def render(t: Timing): String =
       "\"" + t.name + "\":" + (if (t.err) "\"err\"" else r3(t.sec))
     // Flagged-query diagnostics (gc/spread/cache for anything slower than
-    // 2x its trailing round) ride INSIDE the budget: the artifact must
+    // 2x its all-rounds best) ride INSIDE the budget: the artifact must
     // carry its own noise-vs-plan attribution, but never at the cost of
     // pushing the line out of the consumer's log-tail window.
     val diagField = if (diagJson.isEmpty) "" else s""""diag":{$diagJson},"""
@@ -96,29 +96,40 @@ object Bench {
       repsField + stealField + diagField + s""""queries":{$sb},"sf":"$sfDir"}"""
   }
 
-  /** Per-query seconds from the NEWEST BENCH_r*.json in `dir` — the
-    * trailing-round reference the slow-query flag compares against.
+  /** Per-query BEST (minimum) seconds across EVERY BENCH_r*.json in `dir`
+    * plus the quiet-host local records in `dir`/docs (bench_r*_local
+    * .json) — the reference the slow-query flag compares against. The
+    * trailing-round reference used through r11 had a ratchet blindspot: a
+    * regression that PERSISTS becomes its own reference after one round
+    * and self-exempts from the diagnostics built for exactly that case
+    * (dedup_semantic read ~9x its quiet-host level in r10 AND r11 with no
+    * diag entry). The all-rounds minimum is an absolute reference — once
+    * a query has ever run fast, every later slow reading keeps firing the
+    * gc/mem/disk attribution until the cause is fixed or diagnosed.
     * Envelope fields the regex also catches (value, reps, …) can never
     * collide with registry query names; absent/unreadable → empty.
     */
-  def lastRoundSecs(dir: String = "."): Map[String, Double] = try {
-    val fs = Option(new java.io.File(dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-    if (fs.isEmpty) Map.empty
-    else {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        fs.maxBy(_.getName).toPath), "UTF-8")
+  def bestRoundSecs(dir: String = "."): Map[String, Double] = try {
+    def jsons(d: java.io.File, pat: String): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches(pat))
+    val fs = jsons(new java.io.File(dir), "BENCH_r\\d+\\.json") ++
+      jsons(new java.io.File(dir, "docs"), "bench_r\\d+_local\\.json")
+    fs.foldLeft(Map.empty[String, Double]) { (acc, f) =>
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        .foldLeft(acc) { (m, g) =>
+          val (k, v) = (g.group(1), g.group(2).toDouble)
+          m.updated(k, math.min(v, m.getOrElse(k, Double.MaxValue)))
+        }
     }
   } catch { case _: Throwable => Map.empty }
 
   /** Compact diag entries for flagged queries: slower than 2x the
-    * trailing round (and >1 s), or rep spread >2x on a >2 s query —
-    * the two contention signatures that burned judge time in r6–r10.
-    * Slowest-first, capped at `cap` bytes so the contract line keeps
-    * its size bound. Pure; spec'd by BenchSpec.
+    * all-rounds-best reading (and >1 s), or rep spread >2x on a >2 s
+    * query — the two contention signatures that burned judge time in
+    * r6–r11. Slowest-first, capped at `cap` bytes so the contract line
+    * keeps its size bound. Pure; spec'd by BenchSpec.
     */
   def diagEntries(
     runs: Seq[(String, Seq[Double])],
@@ -273,14 +284,14 @@ object Bench {
     // cache columns lived only in the full dump on the bench host, so a
     // 10x swing on unchanged code could not be adjudicated from
     // evidence): per-rep max gc millis and the cache footprint for any
-    // query >2x its trailing-round median or with a >2x rep spread.
+    // query >2x its ALL-ROUNDS-BEST median or with a >2x rep spread.
     val diagJson = diagEntries(
       queryRuns.collect { case (n, rs) if !rs.exists(_.err) =>
         n -> rs.map(_.sec) },
       diag.map { case (n, d) =>
         n -> ((d.map(_._1).max, d.map(_._2).max, d.map(_._3).max))
       }.toMap,
-      lastRoundSecs())
+      bestRoundSecs())
     val line = buildLine(results, sfDir, reps = reps, maxSpread = maxSpread,
       stealPct = stealPct, diagJson = diagJson)
     spark.stop()

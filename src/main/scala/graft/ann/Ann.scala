@@ -1167,12 +1167,18 @@ $pivots
     // (twinned) corpus — at the gate SFs this resolves to 16, sharing the
     // memoized IVF quantizer
     val centroids = ivfCentroids(t, cellsFor(2L * t.embeddings.count()))
-    val assigned = twins.join(broadcast(centroids))
+    // three consumers (both sides of the in-cell pair join + the verdict
+    // join) — pin the vector-grain assignment so the quantize pass runs
+    // ONCE; Pin.pinned (persist MEMORY_AND_DISK + eager count) rather
+    // than relying on plan reuse, so a cache-evicted memoized quantizer
+    // cannot silently triple the cost (the r10/r11 driver-bench
+    // hypothesis), and lineage survives executor loss at cluster scale
+    val assigned = graft.plans.Pin.pinned(twins.join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         dist2(col("qv"), col("cv")).as("dist"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cell"),
-        first(col("embedding")).as("embedding"))
+        first(col("embedding")).as("embedding")))
     val dup = assigned.as("a")
       .join(assigned.as("b"), col("a.cell") === col("b.cell") &&
         col("b.vec_id") < col("a.vec_id"))

@@ -181,14 +181,17 @@ object ChScalarKernels {
     if (str.isEmpty) return false
     val dc = str.indexOf("::")
     if (dc >= 0 && str.indexOf("::", dc + 1) >= 0) return false // one :: max
-    def groups(part: String): Option[Int] = {
+    // v4Allowed: an embedded dotted quad is legal ONLY as the final group
+    // of the WHOLE address — the left side of a `::` is never final, so
+    // '1.2.3.4::' must be rejected, not canonicalized
+    def groups(part: String, v4Allowed: Boolean): Option[Int] = {
       if (part.isEmpty) return Some(0)
       val gs = part.split(":", -1)
       var n = 0
       for ((g, i) <- gs.zipWithIndex) {
         val lastAndV4 = i == gs.length - 1 && g.contains('.')
         if (lastAndV4) {
-          if (!isIPv4(UTF8String.fromString(g))) return None
+          if (!v4Allowed || !isIPv4(UTF8String.fromString(g))) return None
           n += 2
         } else {
           if (g.isEmpty || g.length > 4 ||
@@ -198,10 +201,10 @@ object ChScalarKernels {
       }
       Some(n)
     }
-    if (dc < 0) groups(str).contains(8)
+    if (dc < 0) groups(str, v4Allowed = true).contains(8)
     else {
       val (l, r) = (str.substring(0, dc), str.substring(dc + 2))
-      (groups(l), groups(r)) match {
+      (groups(l, v4Allowed = false), groups(r, v4Allowed = true)) match {
         case (Some(a), Some(b)) => a + b <= 7 // :: covers ≥1 group
         case _ => false
       }
@@ -658,9 +661,49 @@ case class ChErfExpr(child: Expression, complement: Boolean)
     copy(child = c)
 }
 
+/** divideDecimal(a, b, result_scale) with ClickHouse semantics: the
+  * quotient is TRUNCATED toward zero at the result scale. Spark's
+  * decimal-to-decimal cast rounds HALF_UP at the target scale, so
+  * routing through Cast(Divide(..)) diverges on boundary values
+  * (divideDecimal(2, 3, 0) → 0 in CH, 1 via the rounding cast). Division
+  * by zero yields null (Spark's non-ANSI Divide convention — the engine
+  * convention everywhere else in this dialect). Never hot-path (a
+  * dialect-probe function), so CodegenFallback.
+  */
+case class ChDecimalTruncDivExpr(left: Expression, right: Expression,
+  scale: Int) extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DecimalType(38, scale)
+  override def nullIntolerant: Boolean = true
+  // division by zero yields null whatever the children's nullability
+  override def nullable: Boolean = true
+  private def jbd(v: Any): java.math.BigDecimal = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case l: Long => java.math.BigDecimal.valueOf(l)
+    case i: Int => java.math.BigDecimal.valueOf(i.toLong)
+    case s: Short => java.math.BigDecimal.valueOf(s.toLong)
+    case b: Byte => java.math.BigDecimal.valueOf(b.toLong)
+    case d: Double => new java.math.BigDecimal(d.toString)
+    case f: Float => new java.math.BigDecimal(f.toString)
+    case other => throw new IllegalArgumentException(
+      s"divideDecimal expects numeric arguments, got $other")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val y = jbd(b)
+    if (y.signum == 0) null
+    else org.apache.spark.sql.types.Decimal(
+      jbd(a).divide(y, scale, java.math.RoundingMode.DOWN), 38, scale)
+  }
+  override protected def withNewChildrenInternal(
+    l: Expression, r: Expression): ChDecimalTruncDivExpr =
+    copy(left = l, right = r)
+}
+
 /** Element-wise tuple arithmetic (tuplePlus/Minus/Negate and the
   * by-number forms) — arity is resolution-time, so eval walks the
-  * struct fields; numeric fields computed in their own type.
+  * struct fields; numeric fields computed in their own type (integral
+  * fields in exact Long arithmetic — see combine).
   */
 case class ChTupleArithExpr(left: Expression, right: Option[Expression],
   op: String) extends Expression
@@ -673,32 +716,96 @@ case class ChTupleArithExpr(left: Expression, right: Option[Expression],
     case other => throw new IllegalArgumentException(
       s"tuple arithmetic expects a tuple, got ${other.sql}")
   }
-  private def combine(dt: DataType, a: Any, b: Double): Any = {
-    val x = dt match {
-      case DoubleType => a.asInstanceOf[Double]
-      case FloatType => a.asInstanceOf[Float].toDouble
-      case LongType => a.asInstanceOf[Long].toDouble
-      case IntegerType => a.asInstanceOf[Int].toDouble
-      case ShortType => a.asInstanceOf[Short].toDouble
-      case ByteType => a.asInstanceOf[Byte].toDouble
-      case other => throw new IllegalArgumentException(
-        s"tuple arithmetic: non-numeric field ${other.sql}")
-    }
-    val y = op match {
-      case "plus" => x + b
-      case "minus" => x - b
-      case "mulnum" => x * b
-      case _ => -x
-    }
-    dt match {
-      case DoubleType => y
-      case FloatType => y.toFloat
-      case LongType => y.toLong
-      case IntegerType => y.toInt
-      case ShortType => y.toShort
-      case ByteType => y.toByte
-      case _ => y
-    }
+  private def toDoubleNum(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case l: Long => l.toDouble
+    case x: Int => x.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+    case x: java.lang.Number => x.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"tuple arithmetic: non-numeric operand $other")
+  }
+  private def isIntegralNum(v: Any): Boolean = v match {
+    case _: Long | _: Int | _: Short | _: Byte => true
+    case _ => false
+  }
+  private def toLongNum(v: Any): Long = v match {
+    case l: Long => l
+    case x: Int => x.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalArgumentException(
+      s"tuple arithmetic: non-integral operand $other")
+  }
+  private def jbdNum(v: Any): java.math.BigDecimal = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case l: Long => java.math.BigDecimal.valueOf(l)
+    case i: Int => java.math.BigDecimal.valueOf(i.toLong)
+    case s: Short => java.math.BigDecimal.valueOf(s.toLong)
+    case b: Byte => java.math.BigDecimal.valueOf(b.toLong)
+    case d: Double => new java.math.BigDecimal(d.toString)
+    case f: Float => new java.math.BigDecimal(f.toString)
+    case other => throw new IllegalArgumentException(
+      s"tuple arithmetic: non-numeric operand $other")
+  }
+  // Integral fields (Int64 tuples are the ClickHouse norm) combine in
+  // EXACT Long arithmetic — a Double round-trip silently loses precision
+  // above 2^53 where CH does exact integer math. Decimal fields combine
+  // in exact BigDecimal. Double is used only for fractional FP field
+  // types, or when the by-number scalar itself is fractional (the result
+  // field type stays the tuple's own — CH widens to Float64 there; a
+  // documented MIGRATION.md divergence).
+  private def combine(dt: DataType, a: Any, b: Any): Any = dt match {
+    case dtd: org.apache.spark.sql.types.DecimalType =>
+      val x = jbdNum(a)
+      val n = if (b == null) java.math.BigDecimal.ZERO else jbdNum(b)
+      val y = op match {
+        case "plus" => x.add(n)
+        case "minus" => x.subtract(n)
+        case "mulnum" => x.multiply(n)
+        case _ => x.negate()
+      }
+      org.apache.spark.sql.types.Decimal(y, dtd.precision, dtd.scale)
+    case LongType | IntegerType | ShortType | ByteType
+        if b == null || isIntegralNum(b) =>
+      val x = toLongNum(a)
+      val n = if (b == null) 0L else toLongNum(b)
+      val y = op match {
+        case "plus" => x + n
+        case "minus" => x - n
+        case "mulnum" => x * n
+        case _ => -x
+      }
+      dt match {
+        case LongType => y
+        case IntegerType => y.toInt
+        case ShortType => y.toShort
+        case ByteType => y.toByte
+        case _ => y
+      }
+    case DoubleType | FloatType | LongType | IntegerType | ShortType |
+        ByteType =>
+      val x = toDoubleNum(a)
+      val n = if (b == null) 0.0 else toDoubleNum(b)
+      val y = op match {
+        case "plus" => x + n
+        case "minus" => x - n
+        case "mulnum" => x * n
+        case _ => -x
+      }
+      dt match {
+        case DoubleType => y
+        case FloatType => y.toFloat
+        case LongType => y.toLong
+        case IntegerType => y.toInt
+        case ShortType => y.toShort
+        case ByteType => y.toByte
+        case _ => y
+      }
+    case other => throw new IllegalArgumentException(
+      s"tuple arithmetic: non-numeric field ${other.sql}")
   }
   override def eval(input: InternalRow): Any = {
     val a = left.eval(input)
@@ -708,27 +815,28 @@ case class ChTupleArithExpr(left: Expression, right: Option[Expression],
     if (right.nonEmpty && rb.get == null) return null
     val out = new Array[Any](fields.length)
     for ((dt, i) <- fields.zipWithIndex) {
-      val b: Double = (op, rb) match {
+      val b: Any = (op, rb) match {
         case ("mulnum", Some(n)) => n match {
-          case d: Double => d
-          case l: Long => l.toDouble
-          case x: Int => x.toDouble
+          case _: Double | _: Long | _: Int | _: Float | _: Short | _: Byte => n
+          case d: org.apache.spark.sql.types.Decimal =>
+            // a whole decimal scalar stays on the exact Long path
+            val bd = d.toJavaBigDecimal.stripTrailingZeros()
+            if (bd.scale <= 0 && bd.precision - bd.scale <= 19)
+              try bd.longValueExact() catch {
+                case _: ArithmeticException => d.toDouble
+              }
+            else d.toDouble
           case x: java.lang.Number => x.doubleValue()
           case other => throw new IllegalArgumentException(
             s"tuple-by-number: non-numeric scalar $other")
         }
         case (_, Some(row: InternalRow)) =>
-          val bv = row.get(i, fields(i))
-          bv match {
-            case d: Double => d
-            case f: Float => f.toDouble
-            case l: Long => l.toDouble
-            case x: Int => x.toDouble
-            case s: Short => s.toDouble
-            case b1: Byte => b1.toDouble
-            case _ => 0.0
+          row.get(i, fields(i)) match {
+            case v @ (_: Double | _: Float | _: Long | _: Int | _: Short |
+                _: Byte | _: org.apache.spark.sql.types.Decimal) => v
+            case _ => null
           }
-        case _ => 0.0
+        case _ => null
       }
       out(i) = combine(dt, ra.get(i, dt), b)
     }

@@ -1623,8 +1623,10 @@ object ClickHouseDialect {
     "divideDecimal" -> { args =>
       require(args.length == 3 && args(2).foldable,
         "divideDecimal(a, b, result_scale): scale must be a literal")
-      Cast(Divide(args.head, args(1)), org.apache.spark.sql.types
-        .DecimalType(38, String.valueOf(args(2).eval()).toInt))
+      // kernel, not Cast(Divide(..)): CH truncates the quotient toward
+      // zero at the result scale; Spark's decimal cast rounds HALF_UP
+      ChDecimalTruncDivExpr(args.head, args(1),
+        String.valueOf(args(2).eval()).toInt)
     },
     "multiplyDecimal" -> { args =>
       val m = Multiply(args.head, args(1))

@@ -674,6 +674,67 @@ object ClickHouseSql {
     stats
   }
 
+  // (table → (file-list fingerprint, partition-grain stats)) — the
+  // paged-table sibling of footerMemo, bounded by the catalog size
+  private val footerPartMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(String, Long, Long, Long)])]
+
+  /** File count beyond which system.parts pages to PARTITION grain —
+    * the per-file collect is fine at 10⁵ files (~100 MB of driver
+    * tuples, once, memoized) but a 10⁶+-file table must aggregate on
+    * the cluster and collect |partitions| rows, not |files|.
+    */
+  private def partsPageThreshold(spark: SparkSession): Int =
+    try spark.conf.get("spark.graft.system.partsPageThreshold", "100000").toInt
+    catch { case _: NumberFormatException => 100000 }
+
+  /** Partition-grain `(partition, n_files, rows, bytes)` for `table` —
+    * the footer pass runs on the cluster like [[footerStatsOf]], but the
+    * aggregation to partition grain ALSO happens distributed
+    * (reduceByKey on the partition value), so the driver receives
+    * |partitions| rows no matter how many data files the table pages.
+    * Memoized per (table, file-list fingerprint); when the per-file memo
+    * already holds this fingerprint the grain conversion is a local fold
+    * — never a second footer pass.
+    */
+  private[graft] def footerPartitionStatsOf(spark: SparkSession,
+    table: String): Seq[(String, Long, Long, Long)] = {
+    val files = dataFilesOf(spark, table)
+    if (files.isEmpty) return Nil
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.foreach(f => md.update(f.getBytes("UTF-8")))
+    val fp = md.digest().map("%02x".format(_)).mkString
+    val key = norm(table)
+    val hit = footerPartMemo.get(key)
+    if (hit != null && hit._1 == fp) return hit._2
+    val fileHit = footerMemo.get(key)
+    val stats =
+      if (fileHit != null && fileHit._1 == fp)
+        fileHit._2.groupBy(s => partitionOfPath(s._1)).toSeq.map {
+          case (p, ss) => (p, ss.size.toLong, ss.map(_._2).sum, ss.map(_._3).sum)
+        }.sortBy(_._1)
+      else {
+        val sc = spark.sparkContext
+        val confW = new org.apache.spark.SerializableWritable(
+          spark.sessionState.newHadoopConf())
+        val slices = math.max(1, math.min(files.length, sc.defaultParallelism))
+        sc.parallelize(files, slices).map { f =>
+          ClickHouseSql.footerReads.incrementAndGet()
+          val conf = confW.value
+          val p = new org.apache.hadoop.fs.Path(f)
+          val bytes = p.getFileSystem(conf).getFileStatus(p).getLen
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          try (partitionOfPath(f), (1L, r.getRecordCount, bytes))
+          finally r.close()
+        }.reduceByKey { (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3) }
+          .collect().toSeq
+          .map { case (p, (n, rws, b)) => (p, n, rws, b) }.sortBy(_._1)
+      }
+    footerPartMemo.put(key, (fp, stats))
+    stats
+  }
+
   /** The partition VALUE a file path carries (`…/col=v/part.parquet`),
     * or CH's `all` for unpartitioned layouts.
     */
@@ -703,12 +764,21 @@ object ClickHouseSql {
       case "tables" =>
         visibleTables(spark).foreach { t =>
           if (isBaseTable(spark, t)) try {
-            val stats = footerStatsOf(spark, t)
+            // totals ride the partition-grain memo for paged tables —
+            // the driver never holds a per-file tuple list it doesn't need
+            val (totRows, totBytes) =
+              if (dataFilesOf(spark, t).length > partsPageThreshold(spark)) {
+                val ps = footerPartitionStatsOf(spark, t)
+                (ps.map(_._3).sum, ps.map(_._4).sum)
+              } else {
+                val stats = footerStatsOf(spark, t)
+                (stats.map(_._2).sum, stats.map(_._3).sum)
+              }
             rows.add(Row(t, engineTextOf(t),
               partitionedTable(t).map(pt =>
                 pt.chSpec.getOrElse(pt.partCols.head)).getOrElse(""),
               sortKeyOf(t).map(_.mkString(", ")).getOrElse(""),
-              stats.map(_._2).sum, stats.map(_._3).sum))
+              totRows, totBytes))
           } catch { case scala.util.control.NonFatal(_) => () } // non-parquet table: skip
         }
         ("__ch_system_tables", StructType(Seq(
@@ -731,11 +801,18 @@ object ClickHouseSql {
           StructField("type", ST), StructField("position", LT))))
       case "parts" =>
         visibleTables(spark).foreach { t =>
-          if (isBaseTable(spark, t)) try footerStatsOf(spark, t)
-            .foreach { case (f, r, b) =>
+          if (isBaseTable(spark, t)) try {
+            // paged tables report PARTITION grain (aggregated on the
+            // cluster — driver rows bounded by |partitions|, not |files|)
+            if (dataFilesOf(spark, t).length > partsPageThreshold(spark))
+              footerPartitionStatsOf(spark, t).foreach { case (p, n, r, b) =>
+                rows.add(Row(t, p, s"<$n files>", r, b))
+              }
+            else footerStatsOf(spark, t).foreach { case (f, r, b) =>
               rows.add(Row(t, partitionOfPath(f),
                 f.substring(f.lastIndexOf('/') + 1), r, b))
-            } catch { case scala.util.control.NonFatal(_) => () } // non-parquet table: skip
+            }
+          } catch { case scala.util.control.NonFatal(_) => () } // non-parquet table: skip
         }
         ("__ch_system_parts", StructType(Seq(
           StructField("table", ST), StructField("partition", ST),

@@ -675,24 +675,33 @@ object Multimodal {
     * order as a base-31 polynomial — so frame ORDER enters the key, not
     * just the frame multiset.
     */
+  /** One frame's 8-bit spatial signature: luma row-band sums compared to
+    * the wrapping next band (brightness-shift invariant — a uniform +c
+    * moves every sum equally). Shared by the temporal-polynomial clip
+    * key ([[videoFpOf]]) and the per-frame banding of mm_video_neardup.
+    */
+  def frameSigOf(fr: Array[Byte], width: Int, height: Int): Long = {
+    val rs = new Array[Long](8)
+    var p = 0
+    while (p < fr.length) {
+      // 8 row bands; for the h=8 clips in the registry band == row,
+      // which is exactly the oracle's p // w
+      rs((p / width) * 8 / height) += (fr(p) & 0xff).toLong
+      p += 1
+    }
+    var sig = 0L
+    var r = 0
+    while (r < 8) {
+      if (rs(r) > rs((r + 1) % 8)) sig |= 1L << r
+      r += 1
+    }
+    sig
+  }
+
   def videoFpOf(clip: Y4m): Long = {
     var fp = 0L
     clip.frames.foreach { fr =>
-      val rs = new Array[Long](8)
-      var p = 0
-      while (p < fr.length) {
-        // 8 row bands; for the h=8 clips in the registry band == row,
-        // which is exactly the oracle's p // w
-        rs((p / clip.width) * 8 / clip.height) += (fr(p) & 0xff).toLong
-        p += 1
-      }
-      var sig = 0L
-      var r = 0
-      while (r < 8) {
-        if (rs(r) > rs((r + 1) % 8)) sig |= 1L << r
-        r += 1
-      }
-      fp = fp * 31 + sig
+      fp = fp * 31 + frameSigOf(fr, clip.width, clip.height)
     }
     fp
   }
@@ -1306,7 +1315,95 @@ object Multimodal {
         .cast(LongType).as("id_checksum"))
   }
 
+  final case class FrameSig(media_id: Long, nf: Long, f: Long, sig: Long)
+
+  // mm_video_neardup — near-duplicate CLIPS, completing the banding
+  // family on the video lane (mm_video_dedup's temporal-polynomial key
+  // is order-sensitive and EXACT: a one-frame re-encode bit flip misses
+  // entirely). Bands are the per-frame spatial signatures AT THEIR FRAME
+  // INDEX: two clips become candidates when any frame index carries the
+  // same signature in both (an equi-join on (f, sig) — never all-pairs),
+  // and the verify is FRAME-MAJORITY: same frame count and more than
+  // half the frames' signatures agree. The candidate equi-join itself
+  // counts the agreements — each shared (f, sig) is exactly one joined
+  // row, so the verify is a COUNT over the join output, no second pass
+  // over the clips. Band-width caveat (the mm_audio_neardup honesty
+  // note applies): the per-frame signature is 8 bits, so buckets are
+  // coarse at extreme corpus sizes — production banding runs the same
+  // shape over 64-bit per-frame dHashes (mm_image_dedup's) with 16-bit
+  // sub-bands; the plan is identical, only the key widens. Oracle
+  // replays every luma byte, row sum and signature bit from the shared
+  // Y4M generator, then the same banded join.
+  val videoNearDup = Q(
+    "mm_video_neardup",
+    Some("""
+      WITH clips AS (
+        SELECT doc_id, 8 + (doc_id % 3) * 4 AS w, 8 AS h, doc_id % 4 + 2 AS nf
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, h, nf, f, p // w AS r,
+               (doc_id * 7 + (f * w * h + p) * 13) % 251 AS v
+        FROM clips, UNNEST(RANGE(0, nf)) AS t(f), UNNEST(RANGE(0, w * h)) AS t2(p)),
+      rows_ AS (
+        SELECT doc_id, nf, f, r, SUM(v) AS rs
+        FROM px GROUP BY doc_id, nf, f, r),
+      bits AS (
+        SELECT l.doc_id, l.nf, l.f,
+               CASE WHEN l.rs > rr.rs THEN (1::BIGINT << l.r) ELSE 0 END AS bv
+        FROM rows_ l JOIN rows_ rr
+          ON rr.doc_id = l.doc_id AND rr.f = l.f AND rr.r = (l.r + 1) % 8),
+      sigs AS (
+        SELECT doc_id, nf, f, SUM(bv) AS sig
+        FROM bits GROUP BY doc_id, nf, f),
+      cand AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, a.nf AS nfi, b.nf AS nfj,
+               COUNT(*) AS matches
+        FROM sigs a JOIN sigs b
+          ON b.f = a.f AND b.sig = a.sig AND b.doc_id > a.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.nf, b.nf)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(COUNT(CASE WHEN nfi = nfj AND matches * 2 > nfi THEN 1 END)
+               AS BIGINT) AS n_neardup,
+             CAST(COALESCE(SUM(CASE WHEN nfi = nfj AND matches * 2 > nfi
+               THEN matches END), 0) AS BIGINT) AS match_sum,
+             CAST(COALESCE(SUM(CASE WHEN nfi = nfj AND matches * 2 > nfi
+               THEN i + j END), 0) AS BIGINT) AS id_checksum
+      FROM cand
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val sigs = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val w = (8 + (id % 3) * 4).toInt
+        val h = 8
+        val nf = (id % 4 + 2).toInt
+        val clip = Y4mCodec.decode(Y4mCodec.encode(w, h, 30, 1,
+          (0 until nf).map(f => generateLuma(id, w, h, f))))
+        clip.frames.iterator.zipWithIndex.map { case (fr, f) =>
+          FrameSig(id, nf.toLong, f.toLong,
+            frameSigOf(fr, clip.width, clip.height))
+        }
+      })
+      .toDF()
+    val cand = sigs.as("a")
+      .join(sigs.as("b"),
+        col("b.f") === col("a.f") && col("b.sig") === col("a.sig") &&
+          col("b.media_id") > col("a.media_id"))
+      .groupBy(col("a.media_id").as("i"), col("b.media_id").as("j"),
+        col("a.nf").as("nfi"), col("b.nf").as("nfj"))
+      .agg(count(lit(1)).as("matches"))
+    val near = col("nfi") === col("nfj") && col("matches") * 2 > col("nfi")
+    cand.agg(
+      count(lit(1)).as("n_candidates"),
+      count(when(near, 1)).as("n_neardup"),
+      coalesce(sum(when(near, col("matches"))), lit(0L))
+        .cast(LongType).as("match_sum"),
+      coalesce(sum(when(near, col("i") + col("j"))), lit(0L))
+        .cast(LongType).as("id_checksum"))
+  }
+
   val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi,
     imageDedup, audioDedup, videoDedup, sceneCut, audioVad, letterbox,
-    audioResample, imageNearDup, audioNearDup)
+    audioResample, imageNearDup, audioNearDup, videoNearDup)
 }

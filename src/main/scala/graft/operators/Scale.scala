@@ -528,10 +528,21 @@ object Scale {
       t.dir.hashCode.toLong & 0xffffffffL)
     val ln = s"graft_bkt_lineitem_$tag"
     val on = s"graft_bkt_orders_$tag"
+    // bucket count of an already-written side, from catalog metadata —
+    // if one table survives from a prior session (data grew, or a crash
+    // landed between the two writes), deriving a FRESH count from the
+    // current fact size could mismatch it and the no-exchange join would
+    // silently degrade to a shuffle; the survivor's count wins
+    def existingBuckets(name: String): Option[Int] =
+      if (!spark.catalog.tableExists(name)) None
+      else spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .bucketSpec.map(_.numBuckets)
     if (!spark.catalog.tableExists(ln) || !spark.catalog.tableExists(on)) {
       // one count drives BOTH sides (the contract above); parquet
-      // row-group metadata makes this a footer-only pass
-      val nBuckets = bucketsFor(t.lineitem.count())
+      // row-group metadata makes the fresh-count pass footer-only
+      val nBuckets = existingBuckets(ln).orElse(existingBuckets(on))
+        .getOrElse(bucketsFor(t.lineitem.count()))
       if (!spark.catalog.tableExists(ln)) {
         clearStale(spark, ln)
         t.lineitem

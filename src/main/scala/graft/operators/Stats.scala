@@ -1838,13 +1838,14 @@ object Stats {
     // the supplier-grain relation feeds BOTH the nation totals and the
     // share pass — pin it so the fact-table aggregation (the one heavy
     // shuffle) runs once, not once per consumer (it is supplier-
-    // dimension-sized, so the checkpoint is bytes, not data)
-    val named = sup
+    // dimension-sized, so the pinned blocks are bytes, not data);
+    // Pin.pinned keeps lineage so an executor loss recomputes instead of
+    // killing the job (the localCheckpoint trade — see Pin's doc)
+    val named = graft.plans.Pin.pinned(sup
       .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
-        col("s_nationkey") === col("n_nationkey"))
-      .localCheckpoint(true)
+        col("s_nationkey") === col("n_nationkey")))
     val tots = named.groupBy(col("n_name")).agg(sum(col("c")).as("tot"))
     named.join(broadcast(tots), "n_name")
       // widen before ×10000: cents reach ~1e16 at 100 TB and the bp
@@ -2095,7 +2096,7 @@ object Stats {
   ) { t =>
     import graft.plans.GroupedPrefix
     val ref = t.orders.agg(max(to_date(col("o_orderdate"))).as("r0"))
-    val cust = t.orders.crossJoin(broadcast(ref))
+    val cust = graft.plans.Pin.pinned(t.orders.crossJoin(broadcast(ref))
       .groupBy(col("o_custkey"))
       .agg(
         // recency = days from the LAST order to the reference date
@@ -2103,11 +2104,11 @@ object Stats {
           .cast(LongType).as("r"),
         count(lit(1)).as("f"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))
-          .multiply(lit(100)).cast(LongType)).as("m"))
+          .multiply(lit(100)).cast(LongType)).as("m")))
       // four consumers (three rank passes + the scoring pass) — pin the
       // customer-grain relation so the fact aggregation runs ONCE (the
-      // plan otherwise re-scans orders per consumer; no ReusedExchange)
-      .localCheckpoint(true)
+      // plan otherwise re-scans orders per consumer; no ReusedExchange);
+      // lineage kept so executor loss recomputes (Pin's doc)
     def thresholds(metric: String): org.apache.spark.sql.DataFrame = {
       val ranked = GroupedPrefix.withRank(
         cust.select(col(metric).as("v")), Nil, col("v"), "rn")

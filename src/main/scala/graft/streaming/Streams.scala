@@ -263,6 +263,89 @@ object Streams {
     fs.delete(staging, true)
   }
 
+  /** Streaming BUCKETED ingest — the one batch layout lever that had no
+    * streaming analog: maintain a bucketBy+sortBy catalog table ONLINE,
+    * so stream-landed facts feed the same zero-exchange co-located merge
+    * join the batch layout gives q143 (Scale.bucketedPair). Each
+    * micro-batch writes its rows bucket-hashed on `key` into `nBuckets`
+    * files (Spark reads the bucket id back from the file NAME, so files
+    * appended by different batches co-exist in one bucket — the read
+    * side unions a bucket's files without any exchange; with more than
+    * one file per bucket the join re-sorts in place but still never
+    * shuffles). Exactly-once rides the partitionedIngest protocol:
+    * stage the batch as its own bucketed table, log the intended moves,
+    * rename into the target, commit marker last — a replayed batch
+    * whose marker exists is a no-op, a batch that died mid-move is
+    * undone from the intent log. At 100 TB: the stream pays the bucket
+    * hash once per row at ingest; every downstream join on the bucket
+    * key moves ZERO fact rows, forever — the whole point of the layout.
+    */
+  def bucketedIngest(facts: DataFrame, table: String, checkpoint: String,
+    nBuckets: Int, key: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    facts
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        landBucketedBatch(batch, table, nBuckets, key, batchId)
+      }
+      .start()
+
+  /** One [[bucketedIngest]] batch landing (exposed for the replay spec).
+    * Protocol per batch: ensure the target bucketed table exists (empty
+    * create on first contact — data NEVER lands outside the staged
+    * path), skip if the commit marker exists, undo a dead attempt's
+    * partial moves from the intent log, stage the batch as a bucketed
+    * table of its own, move its data files in, marker last.
+    */
+  private[graft] def landBucketedBatch(
+    batch: Dataset[org.apache.spark.sql.Row], table: String,
+    nBuckets: Int, key: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    def locationOf(name: String): Path = new Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)).location)
+    if (!spark.catalog.tableExists(table))
+      batch.limit(0).write.format("parquet")
+        .bucketBy(nBuckets, key).sortBy(key).saveAsTable(table)
+    val loc = locationOf(table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commit = new Path(loc, s"_graft_batch_$batchId")
+    val intent = new Path(loc, s"_graft_batch_$batchId.inflight")
+    if (fs.exists(commit)) return
+    if (fs.exists(intent)) {
+      val in = fs.open(intent)
+      val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toVector finally in.close()
+      listed.foreach(p => fs.delete(new Path(p), false))
+      fs.delete(intent, false)
+    }
+    // stage as a real bucketed table: the bucket-id file naming the
+    // target reader keys on comes from the SAME writer
+    val staging = table + s"__staging_$batchId"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    batch.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key).saveAsTable(staging)
+    val moves = fs.listStatus(locationOf(staging)).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(f => (f.getPath, new Path(loc, f.getPath.getName)))
+    val out = fs.create(intent, true)
+    try out.write(moves.map(_._2.toString).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    moves.foreach { case (src, dst) =>
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"bucketed ingest: move $src -> $dst failed")
+    }
+    fs.create(commit, true).close()
+    fs.delete(intent, false)
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.catalog.refreshTable(table)
+  }
+
   /** Streaming projection maintenance — the streaming twin of the CH
     * dialect's INSERT-side projection contract (ClickHouseSql: every
     * new part carries its own partial aggregates): each micro-batch
@@ -415,6 +498,17 @@ object Streams {
     * stream), so state never grows with event volume; kind is decided
     * once per (user, month) and never retracted — exactly-once rows
     * the downstream counter aggregates freely.
+    *
+    * Out-of-order caveat (the price of an append-only sink): firstYm is
+    * IMMUTABLE once set — the first batch that sees a user fixes it. A
+    * month arriving LATER but dated EARLIER than the fixed first month
+    * is labeled 'returning', where batch q158 over the complete data
+    * would call it 'new'. The alternative — lowering firstYm — would
+    * emit a SECOND 'new' row for the user while the already-emitted
+    * month's verdict can never be retracted, diverging worse (two 'new'
+    * months per user, an invariant violation rather than a boundary
+    * skew). Exact parity on heavily out-of-order sources comes from a
+    * periodic batch backfill of q158, the standard lambda repair.
     */
   final case class NvrState(firstYm: Int, seen: Seq[Int])
   final case class NvrOut(user_id: Long, ym: Int, kind: String)
@@ -431,10 +525,12 @@ object Streams {
       val months = it.map(e => ymOf(e.ts)).toSeq.distinct.sorted
       if (months.isEmpty) Iterator.empty
       else {
+        // firstYm immutable once set (see the caveat above): a late
+        // earlier month must NOT mint a second un-retractable 'new' row
         val st0 = state.getOption.getOrElse(
           NvrState(months.head, Seq.empty))
         val fresh = months.filterNot(st0.seen.contains)
-        val firstYm = math.min(st0.firstYm, months.head)
+        val firstYm = st0.firstYm
         state.update(NvrState(firstYm, (st0.seen ++ fresh).distinct))
         fresh.iterator.map(m => NvrOut(userId, m,
           if (m == firstYm) "new" else "returning"))

@@ -119,6 +119,45 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains("\"diag\":"))
   }
 
+  test("flag reference is the MINIMUM across all rounds and the local record") {
+    // the r11 ratchet blindspot: comparing against the NEWEST round lets a
+    // regression that persists become its own reference after one round
+    // and never fire the diagnostics again — the reference must be the
+    // best reading the query has EVER had, driver rounds and quiet-host
+    // local records alike
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    try {
+      def put(name: String, body: String): Unit =
+        java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+          body.getBytes("UTF-8"))
+      put("BENCH_r01.json", """{"queries":{"q_a":2.0,"q_b":5.0}}""")
+      // newest round: q_a regressed — the OLD lastRound rule would adopt
+      // 18.0 as the reference and self-exempt the regression
+      put("BENCH_r02.json", """{"queries":{"q_a":18.0,"q_b":4.0,"q_c":7.0}}""")
+      new java.io.File(dir, "docs").mkdir()
+      put("docs/bench_r02_local.json", """{"queries":{"q_c":1.5}}""")
+      val best = Bench.bestRoundSecs(dir.getAbsolutePath)
+      assert(best("q_a") === 2.0)  // min across rounds, not the newest
+      assert(best("q_b") === 4.0)
+      assert(best("q_c") === 1.5)  // local quiet-host record counts
+      // and a persistent regression now FIRES the diag every round
+      val diag = Bench.diagEntries(
+        Seq("q_a" -> Seq(18.0, 18.2, 17.9)), Map.empty, best)
+      assert(diag.contains("\"q_a\":{"))
+    } finally {
+      dir.listFiles().foreach { f =>
+        if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete()
+      }
+      dir.delete()
+    }
+  }
+
+  test("bestRoundSecs on a dir with no artifacts is empty, never throws") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec2").toFile
+    try assert(Bench.bestRoundSecs(dir.getAbsolutePath).isEmpty)
+    finally dir.delete()
+  }
+
   test("line stays within the log-tail budget even with many queries") {
     val many = (1 to 300).map(i =>
       Timing(s"very_long_query_name_number_$i", i * 0.01, err = false))

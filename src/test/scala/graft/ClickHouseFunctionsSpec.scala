@@ -213,4 +213,38 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     // the SQL-EXTRACT coexistence holds inside bigger statements too
     assert(one("mapExists((k, v) -> v > 0, map('a', 1)) AND extract(YEAR FROM DATE'2024-01-01') = 2024") === true)
   }
+
+  test("twelfth-batch kernel fixes: pinned values") {
+    graft.functions.ClickHouseDialect.register(spark)
+    def one(e: String): Any =
+      graft.functions.ClickHouseSql.sql(spark, s"SELECT $e AS v").head().get(0)
+    // tuple arithmetic on Int64 fields is EXACT above 2^53 (a Double
+    // round-trip would collapse 2^53+1 onto 2^53)
+    assert(one("tuplePlus((9007199254740993, 1), (2, 1))").toString ===
+      "[9007199254740995,2]")
+    assert(one("tupleMinus((9007199254740995, 5), (2, 1))").toString ===
+      "[9007199254740993,4]")
+    assert(one("tupleMultiplyByNumber((9007199254740993, 2), 1)").toString ===
+      "[9007199254740993,2]")
+    assert(one("tupleNegate((9007199254740993, -1))").toString ===
+      "[-9007199254740993,1]")
+    // fractional by-number scalar still rides the Double path (the
+    // integral result fields truncate — MIGRATION.md twelfth batch)
+    assert(one("tupleMultiplyByNumber((4, 2), 0.5)").toString === "[2,1]")
+    assert(one("tuplePlus((1.5, 2.5), (1.0, 1.0))").toString === "[2.5,3.5]")
+    // an embedded IPv4 quad is legal ONLY as the final group of the
+    // whole address — '1.2.3.4::' is malformed, not canonicalizable
+    assert(one("isIPv6String('1.2.3.4::')") === false)
+    assert(one("isIPv6String('::1.2.3.4')") === true)
+    assert(one("isIPv6String('64:ff9b::192.0.2.1')") === true)
+    intercept[Exception] { one("toIPv6('1.2.3.4::')") }
+    // divideDecimal truncates toward zero at the result scale, as CH
+    // does — never Spark's HALF_UP decimal cast
+    assert(one("divideDecimal(2, 3, 0)").toString === "0")
+    assert(one("divideDecimal(-2, 3, 0)").toString === "0")
+    assert(one("divideDecimal(2, 3, 2)").toString === "0.66")
+    assert(one("divideDecimal(CAST(10.5 AS DECIMAL(4,1)), 3, 2)").toString ===
+      "3.50")
+    assert(one("divideDecimal(1, 0, 2)") === null)
+  }
 }

@@ -528,6 +528,15 @@ class PlanShapeSpec extends SparkSpec {
       s"text_rake lost the TopKPerGroup cut:\n${rake.take(2000)}")
   }
 
+  test("r12 additions keep their scale shapes") {
+    // mm_video_neardup: candidates come from the (frame, signature)
+    // band EQUI-join — never an all-pairs product over the clips; the
+    // frame-majority verify is a count over the same join output
+    val vnd = planOf("mm_video_neardup")
+    assert(!vnd.contains("CartesianProduct") &&
+      !vnd.contains("BroadcastNestedLoopJoin"), vnd.take(2000))
+  }
+
   test("q143_bucketed_join: bucketed scans feed the merge join with no exchange") {
     val plan = planOf("q143_bucketed_join")
     assert(plan.contains("SortMergeJoin"), plan.take(2000))

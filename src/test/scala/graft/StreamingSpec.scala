@@ -818,7 +818,65 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
       assert(r2 === r1 ++ Set((10L, 2024 * 12 + 3, "returning"),
         (11L, feb, "returning")))
+      // a LATE month dated EARLIER than the fixed first month: firstYm is
+      // immutable, so the row is 'returning' — never a second
+      // un-retractable 'new' for the same user (the documented
+      // out-of-order caveat; exactly one 'new' per user, always)
+      mem.addData(Event(8, Timestamp.valueOf("2023-12-15 00:00:00"),
+        10, "click", 1.0))
+      q.processAllAvailable()
+      val r3 = spark.table("nvr").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(r3 === r2 + ((10L, 2023 * 12 + 12, "returning")))
+      assert(r3.count { case (u, _, k) => u == 10L && k == "new" } === 1)
     } finally q.stop()
+  }
+
+  test("stream_bucketed_ingest: stream-landed bucketed facts join with ZERO exchanges, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bkt_ck").toString
+    val tbl = "graft_stream_bkt_facts"
+    val dim = "graft_stream_bkt_orders"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS $dim")
+    val mem = MemoryStream[(Long, Double)]
+    val facts = mem.toDF().toDF("l_orderkey", "price")
+    val q = Streams.bucketedIngest(facts, tbl, ckpt, 4, "l_orderkey")
+    try {
+      mem.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      q.processAllAvailable()
+      mem.addData((1L, 40.0), (4L, 50.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table(tbl).count() === 5L)
+    // a batch-written bucketed dim on the SAME bucket count: the
+    // co-located layout q143 proves for batch, now fed by the stream
+    Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "D")).toDF("o_orderkey", "st")
+      .write.format("parquet").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable(dim)
+    val joined = spark.table(tbl).hint("merge")
+      .join(spark.table(dim),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+    val plan = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the whole point: NO exchange anywhere — both scans feed the merge
+    // join bucket-aligned (a re-sort of multi-file buckets is fine; a
+    // shuffle is the regression)
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(joined.count() === 5L)
+    // replay of a committed batch is a no-op (marker short-circuits)
+    Streams.landBucketedBatch(Seq((9L, 99.0)).toDF("l_orderkey", "price"),
+      tbl, 4, "l_orderkey", 0L)
+    assert(spark.table(tbl).count() === 5L)
+    // un-committed batch ids land normally (the recovery path appends)
+    Streams.landBucketedBatch(Seq((9L, 99.0)).toDF("l_orderkey", "price"),
+      tbl, 4, "l_orderkey", 7L)
+    assert(spark.table(tbl).count() === 6L)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS $dim")
   }
 
   test("stream_projection: append-only partial parts, exact combined reads, replay-safe") {

@@ -127,6 +127,36 @@ class SystemTablesSpec extends SparkSpec {
     assert(r2 === 4L, "new parts must be re-read, not served stale")
   }
 
+  test("system.parts pages to PARTITION grain past the file-count threshold") {
+    // sysd_part holds 2 partitions across >1 data files; a threshold of
+    // 1 forces the paged path — the driver must receive |partitions|
+    // rows (aggregated on the cluster), never |files|
+    val fileRows = ch("""SELECT count() AS n FROM system.parts
+                         WHERE table = 'sysd_part'""").head().getLong(0)
+    assert(fileRows >= 2L)
+    spark.conf.set("spark.graft.system.partsPageThreshold", "1")
+    try {
+      val paged = ch("""SELECT partition, name, rows FROM system.parts
+                        WHERE table = 'sysd_part' ORDER BY partition""")
+        .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+      // one row per PARTITION, rows aggregated exactly
+      assert(paged.map(_._1).toSeq === Seq("202401", "202402"))
+      assert(paged.map(_._3).sum === 3L)
+      assert(paged.forall(_._2.matches("<\\d+ files>")), paged.mkString(", "))
+      // system.tables totals ride the same partition-grain memo
+      val tot = ch("""SELECT total_rows FROM system.tables
+                      WHERE name = 'sysd_part'""").head().getLong(0)
+      assert(tot === 3L)
+      // and the paged path memoizes like the per-file one
+      val before = ClickHouseSql.footerReads.get()
+      ch("""SELECT partition FROM system.parts WHERE table = 'sysd_part'""")
+        .collect()
+      assert(ClickHouseSql.footerReads.get() === before,
+        "paged partition stats must answer from the memo on repeat")
+    } finally
+      spark.conf.set("spark.graft.system.partsPageThreshold", "100000")
+  }
+
   override def afterAll(): Unit = {
     ch("DROP TABLE IF EXISTS sysd_plain SYNC")
     ch("DROP TABLE IF EXISTS sysd_part SYNC")
