@@ -2571,9 +2571,72 @@ $pivots
       .orderBy(col("label"))
   }
 
+  // embed_margin — nearest-neighbor margin per label: how decisively
+  // each vector's top-1 neighbor beats its top-2 (d1 − d2 in exact
+  // quantized-dot units, averaged per label). A collapsed margin means
+  // ties everywhere — retrieval rankings become arbitrary and ANN
+  // recall measurements unstable; the readout retrieval teams check
+  // next to embed_knn_purity's label agreement. Reuses the MEMOIZED
+  // top-3 edge set (free when the kNN family already ran); the rank
+  // window sees 3 rows per vector, the pivot to (d1, d2) is one
+  // vector-grain aggregation, labels join on the id co-key. Integer
+  // end to end — no FP in the artifact.
+  val knnMargin = Q(
+    "embed_margin",
+    Some(s"""
+      WITH ${ivfCtesSql(16, 4)},
+      acq AS (SELECT ac.vec_id, ac.cell, q.qv
+              FROM ac JOIN qemb q ON q.vec_id = ac.vec_id),
+      pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.qv, b.qv),
+                 pr -> pr[1] * pr[2])) AS BIGINT) AS dot_q
+        FROM acq a JOIN acq b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT vec_id, dot_q,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY dot_q DESC, neighbor_id) AS rnk
+        FROM pairs),
+      m AS (
+        SELECT vec_id,
+               MAX(CASE WHEN rnk = 1 THEN dot_q END) AS d1,
+               MAX(CASE WHEN rnk = 2 THEN dot_q END) AS d2
+        FROM ranked WHERE rnk <= 2 GROUP BY vec_id),
+      lab AS (SELECT vec_id, label FROM embeddings)
+      SELECT l.label,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(m.d1 - m.d2) AS BIGINT) AS margin_sum,
+             CAST(SUM(m.d1 - m.d2) * 100 // COUNT(*) AS BIGINT) AS margin_x100
+      FROM m JOIN lab l ON l.vec_id = m.vec_id
+      WHERE m.d2 IS NOT NULL
+      GROUP BY l.label
+      ORDER BY l.label
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot_q").desc, col("neighbor_id"))
+    val m = knnEdgeSet(t)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rnk") === 1, col("dot_q"))).as("d1"),
+        max(when(col("rnk") === 2, col("dot_q"))).as("d2"))
+      .filter(col("d2").isNotNull)
+    m.join(t.embeddings.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("d1") - col("d2")).as("margin_sum"))
+      .select(col("label"), col("n_vectors"),
+        col("margin_sum").cast(LongType).as("margin_sum"),
+        expr("margin_sum * 100 div n_vectors").cast(LongType).as("margin_x100"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
     rpProject, diversify, graphSearch, matryoshka, binaryQuant, binaryRerank,
-    centroidDrift, probeSweep, rrf, isotropy, knnPurity)
+    centroidDrift, probeSweep, rrf, isotropy, knnPurity, knnMargin)
 }

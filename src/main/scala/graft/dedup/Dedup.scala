@@ -2289,10 +2289,54 @@ object Dedup {
         col("detect_agree"))
   }
 
+  // dedup_bag — bag-of-words (order-insensitive) exact dedup: two
+  // documents collide when their token MULTISETS match, whatever the
+  // word order — the templated-shuffle case (mail-merge bodies,
+  // reordered list pages) that content-hash dedup (dedup_exact) misses
+  // and similarity dedup pays a banded join to approximate. The
+  // canonical form is the sorted token array re-joined (a per-row
+  // map-local transform — no UDF, Spark's codegen'd sort_array), so the
+  // whole operator is ONE hash aggregation on the canonical key: the
+  // same linear scan + shuffle-on-key shape as dedup_exact, at any
+  // scale. Readout: corpus totals plus the top clusters (count desc,
+  // min doc id) — TakeOrdered heap, never a global sort.
+  val bagDedup = Q(
+    "dedup_bag",
+    Some("""
+      WITH canon AS (
+        SELECT doc_id,
+               ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+                 STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                 x -> x <> '')), ' ') AS bag
+        FROM documents),
+      cl AS (
+        SELECT bag, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+        FROM canon GROUP BY bag)
+      SELECT CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(min_doc_id AS BIGINT) AS min_doc_id,
+             CAST(LENGTH(bag) AS BIGINT) AS bag_chars
+      FROM cl
+      ORDER BY n_docs DESC, min_doc_id
+      LIMIT 20
+    """)
+  ) { t =>
+    val canon = t.documents.select(col("doc_id"),
+      array_join(sort_array(filter(words(lower(col("text"))), x => x =!= "")),
+        " ").as("bag"))
+    canon.groupBy(col("bag"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .select(col("n_docs").cast(LongType).as("n_docs"),
+        col("min_doc_id").cast(LongType).as("min_doc_id"),
+        length(col("bag")).cast(LongType).as("bag_chars"))
+      .orderBy(col("n_docs").desc, col("min_doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
     thresholdSweep, hubRank, canonical, editDistance, similarSearch,
-    triangles, detectorAgreement, winnow, componentSizes, cdc, bbit)
+    triangles, detectorAgreement, winnow, componentSizes, cdc, bbit,
+    bagDedup)
 }

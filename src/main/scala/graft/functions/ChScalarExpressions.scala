@@ -220,15 +220,18 @@ case class ChReadableExpr(child: Expression, mode: String)
   override protected def nullSafeEval(v: Any): Any = mode match {
     case "size" => ChScalarKernels.readableSize(v.asInstanceOf[Double])
     case "quantity" => ChScalarKernels.readableQuantity(v.asInstanceOf[Double])
+    case "decsize" =>
+      ChScalarKernels3.readableDecimalSize(v.asInstanceOf[Double])
     case _ => ChScalarKernels.readableTimeDelta(v.asInstanceOf[Double])
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = mode match {
-      case "size" => "readableSize"
-      case "quantity" => "readableQuantity"
-      case _ => "readableTimeDelta"
+    val call = mode match {
+      case "size" => "graft.functions.ChScalarKernels.readableSize"
+      case "quantity" => "graft.functions.ChScalarKernels.readableQuantity"
+      case "decsize" => "graft.functions.ChScalarKernels3.readableDecimalSize"
+      case _ => "graft.functions.ChScalarKernels.readableTimeDelta"
     }
-    defineCodeGen(ctx, ev, v => s"graft.functions.ChScalarKernels.$fn($v)")
+    defineCodeGen(ctx, ev, v => s"$call($v)")
   }
   override protected def withNewChildInternal(c: Expression): ChReadableExpr =
     copy(child = c)

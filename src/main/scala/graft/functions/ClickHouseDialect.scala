@@ -1779,7 +1779,136 @@ object ClickHouseDialect {
     // fold the collected maps through map_zip_with (least/greatest
     // skip the missing-key nulls), then sort keys like CH
     "minMap" -> (args => mapMinMax(one(args), isMin = true)),
-    "maxMap" -> (args => mapMinMax(one(args), isMin = false)))
+    "maxMap" -> (args => mapMinMax(one(args), isMin = false)),
+    // ---- thirteenth batch: codecs, curves, fuzzy string, consistent
+    // hashing, URL/net long tail ----
+    "base58Encode" -> (args => ChStringKernelExpr3(
+      Cast(one(args), org.apache.spark.sql.types.StringType), "base58Encode")),
+    "base58Decode" -> (args => ChStringKernelExpr3(
+      Cast(one(args), org.apache.spark.sql.types.StringType), "base58Decode")),
+    "idnaEncode" -> (args => ChStringKernelExpr3(one(args), "idnaEncode")),
+    "idnaDecode" -> (args => ChStringKernelExpr3(one(args), "idnaDecode")),
+    "punycodeEncode" -> (args =>
+      ChStringKernelExpr3(one(args), "punycodeEncode")),
+    "punycodeDecode" -> (args =>
+      ChStringKernelExpr3(one(args), "punycodeDecode")),
+    "unbin" -> (args => ChStringKernelExpr3(one(args), "unbin")),
+    // splitBy*: token extraction (CH returns the separated runs)
+    "splitByNonAlpha" -> (args => new RegExpExtractAll(one(args),
+      Literal("[A-Za-z0-9]+"), Literal(0))),
+    "splitByWhitespace" -> (args => new RegExpExtractAll(one(args),
+      Literal("[^\\s]+"), Literal(0))),
+    // Morton / Hilbert 2-D curves (32-bit coords → one UInt64 key);
+    // decode takes CH's (dimensions, code) form, 2-D only
+    "mortonEncode" -> (args => ChCurveExpr(
+      Cast(args.head, org.apache.spark.sql.types.LongType),
+      Cast(args(1), org.apache.spark.sql.types.LongType), "morton")),
+    "hilbertEncode" -> (args => ChCurveExpr(
+      Cast(args.head, org.apache.spark.sql.types.LongType),
+      Cast(args(1), org.apache.spark.sql.types.LongType), "hilbert")),
+    "mortonDecode" -> { args =>
+      require(args.length == 2 && args.head.foldable &&
+        String.valueOf(args.head.eval()) == "2",
+        "mortonDecode(dimensions, code): 2-D only")
+      ChCurveDecodeExpr(Cast(args(1),
+        org.apache.spark.sql.types.LongType), "morton")
+    },
+    "hilbertDecode" -> { args =>
+      require(args.length == 2 && args.head.foldable &&
+        String.valueOf(args.head.eval()) == "2",
+        "hilbertDecode(dimensions, code): 2-D only")
+      ChCurveDecodeExpr(Cast(args(1),
+        org.apache.spark.sql.types.LongType), "hilbert")
+    },
+    // fuzzy-string long tail
+    "damerauLevenshteinDistance" -> (args =>
+      ChStringPairExpr3(args.head, args(1), "damerauLevenshtein")),
+    "stringJaccardIndex" -> (args =>
+      ChStringPairExpr3(args.head, args(1), "stringJaccard")),
+    "byteHammingDistance" -> (args =>
+      ChStringPairExpr3(args.head, args(1), "byteHamming")),
+    "multiSearchFirstPosition" -> (args =>
+      ChMultiSearchExpr3(args.head, args(1), "firstposition")),
+    "multiSearchAllPositions" -> (args =>
+      ChMultiSearchExpr3(args.head, args(1), "allpositions")),
+    "hasToken" -> (args => ChMultiSearchExpr3(args.head, args(1), "hastoken")),
+    // consistent hashing: jump is the published Lamping–Veach algorithm
+    // (exact); kostik's constants are CH-internal → teaching thrower
+    "jumpConsistentHash" -> (args => ChJumpHashExpr(
+      Cast(args.head, org.apache.spark.sql.types.LongType),
+      Cast(args(1), org.apache.spark.sql.types.IntegerType))),
+    "kostikConsistentHash" -> (_ => throw new IllegalArgumentException(
+      "kostikConsistentHash's constants are ClickHouse-internal — " +
+        "rewrite with jumpConsistentHash (the published Lamping–Veach " +
+        "algorithm, implemented exactly)")),
+    // xxHash32/64 with seed 0 are the PUBLIC xxHash spec — exact for
+    // string inputs (CH hashes the value bytes); the internal-constant
+    // families (wyHash64/gccMurmurHash/intHash*) land on xxhash64 like
+    // sipHash/cityHash (stable, same contract, different values)
+    "xxHash64" -> (args => XxHash64(args, 0L)),
+    "xxHash32" -> (args => ChStringKernelExpr3(
+      Cast(one(args), org.apache.spark.sql.types.StringType), "xxHash32")),
+    "murmurHash3_128" -> (args => ChStringKernelExpr3(
+      Cast(one(args), org.apache.spark.sql.types.StringType), "murmur3_128")),
+    "wyHash64" -> (args => XxHash64(args, 42L)),
+    "gccMurmurHash" -> (args => XxHash64(args, 42L)),
+    "intHash32" -> (args => XxHash64(args, 42L)),
+    "intHash64" -> (args => XxHash64(args, 42L)),
+    "chSHA512" -> (args => Unhex(Sha2(Cast(one(args),
+      org.apache.spark.sql.types.BinaryType), Literal(512)))),
+    "BLAKE3" -> (_ => throw new IllegalArgumentException(
+      "BLAKE3 is not on the JVM classpath — rewrite with SHA256 for a " +
+        "cryptographic digest or xxHash64 for a fast content key")),
+    // array long tail
+    "arrayCumSumNonNegative" -> (args =>
+      ChArrayKernelExpr3(Seq(one(args)), "cumsumnn")),
+    "arrayEnumerateUniq" -> (args =>
+      ChArrayKernelExpr3(Seq(one(args)), "enumuniq")),
+    "hasSubstr" -> (args =>
+      ChArrayKernelExpr3(Seq(args.head, args(1)), "hassubstr")),
+    "LpNorm" -> (args =>
+      ChArrayKernelExpr3(Seq(args.head, args(1)), "lpnorm")),
+    "arrayDotProduct" -> (args =>
+      DotExpr(toDArr(args.head), toDArr(args(1)))),
+    // URL / net / format long tail
+    "port" -> (args => ChUrlPortExpr(args.head,
+      if (args.length > 1)
+        Cast(args(1), org.apache.spark.sql.types.IntegerType)
+      else Literal(0))),
+    "toDecimalString" -> (args => ChToDecimalStringExpr(
+      Cast(args.head, org.apache.spark.sql.types.DoubleType),
+      Cast(args(1), org.apache.spark.sql.types.IntegerType))),
+    "formatReadableDecimalSize" -> (args => ChReadableExpr(
+      Cast(one(args), org.apache.spark.sql.types.DoubleType), "decsize")),
+    "greatCircleAngle" -> (args => ChGreatCircleAngleExpr(args.map(a =>
+      Cast(a, org.apache.spark.sql.types.DoubleType)))),
+    // temporal / numeric long tail
+    "timeDiff" -> (args => Subtract(
+      Cast(args(1), org.apache.spark.sql.types.LongType),
+      Cast(args.head, org.apache.spark.sql.types.LongType))),
+    "fromDaysSinceYearZero" -> (args => DateAdd(
+      Cast(Literal("1970-01-01"), org.apache.spark.sql.types.DateType),
+      Cast(Subtract(Cast(one(args), org.apache.spark.sql.types.LongType),
+        Literal(719528L)), org.apache.spark.sql.types.IntegerType))),
+    "nan" -> (_ => Literal(Double.NaN)),
+    "inf" -> (_ => Literal(Double.PositiveInfinity)),
+    // accurateCast: CH's overflow-checking cast — ANSI semantics (throws
+    // on overflow/garbage); the OrNull form is a TRY cast. The type
+    // argument is a CH spelling, mapped through the DDL type mapper.
+    "accurateCast" -> { args =>
+      require(args.length == 2 && args(1).foldable,
+        "accurateCast(x, 'Type'): the type must be a literal string")
+      Cast(args.head, org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(ClickHouseSql.mapChType(String.valueOf(args(1).eval()))),
+        None, EvalMode.ANSI)
+    },
+    "accurateCastOrNull" -> { args =>
+      require(args.length == 2 && args(1).foldable,
+        "accurateCastOrNull(x, 'Type'): the type must be a literal string")
+      Cast(args.head, org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(ClickHouseSql.mapChType(String.valueOf(args(1).eval()))),
+        None, EvalMode.TRY)
+    })
 
   private def toDArr(e: Expression): Expression =
     Cast(e, org.apache.spark.sql.types.ArrayType(

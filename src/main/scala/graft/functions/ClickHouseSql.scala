@@ -4531,6 +4531,7 @@ object ClickHouseSql {
   private def rewriteHashNames(sqlText: String): String = {
     val names = Map("MD5" -> "chMD5", "SHA1" -> "chSHA1",
       "SHA224" -> "chSHA224", "SHA256" -> "chSHA256",
+      "SHA512" -> "chSHA512",
       "monthName" -> "chMonthName",
       // CH's multi-arg byte-assembling char() vs Spark's 1-arg builtin;
       // `CAST(x AS char(n))` type positions are excluded below

@@ -639,6 +639,113 @@ object Behavior {
       .orderBy(col("ym"), col("kind"))
   }
 
+  // q162 — month-over-month customer churn (the inverse readout of
+  // q48's retention): per month, customers who ordered this month but
+  // not the next, exact basis points. The (custkey, month) grain
+  // deduplicates FIRST (one fact aggregation), then the month-shift
+  // pass is a LEFT self-join on the natural (custkey, ym+1) co-key —
+  // an equi-join Spark co-partitions on custkey-family keys, never a
+  // window over the raw order stream. The last month has no "next" to
+  // churn into and is excluded on both engines.
+  val q162 = Q(
+    "q162_churn",
+    Some("""
+      WITH a AS (
+        SELECT DISTINCT o_custkey,
+               EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+                 + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS ym
+        FROM orders),
+      mx AS (SELECT MAX(ym) AS m FROM a),
+      r AS (
+        SELECT a.ym, COUNT(*) AS active, COUNT(n.o_custkey) AS retained
+        FROM a LEFT JOIN a n
+          ON n.o_custkey = a.o_custkey AND n.ym = a.ym + 1
+        GROUP BY a.ym)
+      SELECT CAST(ym AS BIGINT) AS ym,
+             CAST(active AS BIGINT) AS active,
+             CAST(active - retained AS BIGINT) AS churned,
+             CAST((active - retained) * 10000 // active AS BIGINT) AS churn_bp
+      FROM r WHERE ym < (SELECT m FROM mx)
+      ORDER BY ym
+    """)
+  ) { t =>
+    val a = t.orders.select(col("o_custkey"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).as("ym"))
+      .distinct()
+    val next = a.select(col("o_custkey"), (col("ym") - 1).as("ym"),
+      lit(1).as("has_next"))
+    val mx = a.agg(max(col("ym")).as("m"))
+    a.join(next, Seq("o_custkey", "ym"), "left")
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("active"), count(col("has_next")).as("retained"))
+      .crossJoin(broadcast(mx))
+      .filter(col("ym") < col("m"))
+      .select(col("ym").cast(LongType).as("ym"),
+        col("active").cast(LongType).as("active"),
+        (col("active") - col("retained")).cast(LongType).as("churned"),
+        expr("(active - retained) * 10000 div active")
+          .cast(LongType).as("churn_bp"))
+      .orderBy(col("ym"))
+  }
+
+  // q163 — power-user concentration: per event type, the share of all
+  // events generated by the TOP DECILE most-active users (the "10% of
+  // users are 90% of traffic" dashboard number), exact basis points.
+  // Per-user counts are one fact aggregation; the decile cut is a
+  // GroupedPrefix rank over the (count, user_id) struct — unique keys,
+  // so rank ≡ row_number and the ROW_NUMBER oracle reproduces the
+  // exact cut — and the per-type totals come from a tiny groupBy
+  // broadcast back, never a window over the user-grain relation keyed
+  // by the 3-value type enum.
+  val q163 = Q(
+    "q163_power_users",
+    Some("""
+      WITH cnt AS (
+        SELECT event_type, user_id, COUNT(*) AS c
+        FROM events GROUP BY event_type, user_id),
+      rk AS (
+        SELECT event_type, user_id, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY c, user_id) AS rn
+        FROM cnt),
+      tot AS (
+        SELECT event_type, COUNT(*) AS nu, SUM(c) AS ne
+        FROM cnt GROUP BY event_type)
+      SELECT r.event_type,
+             CAST(t.nu AS BIGINT) AS n_users,
+             CAST((t.nu + 9) // 10 AS BIGINT) AS top_users,
+             CAST(t.ne AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN r.rn > t.nu - (t.nu + 9) // 10
+                  THEN r.c ELSE 0 END) AS BIGINT) AS top_events,
+             CAST(SUM(CASE WHEN r.rn > t.nu - (t.nu + 9) // 10
+                  THEN r.c ELSE 0 END) * 10000 // t.ne AS BIGINT) AS share_bp
+      FROM rk r JOIN tot t ON t.event_type = r.event_type
+      GROUP BY r.event_type, t.nu, t.ne
+      ORDER BY r.event_type
+    """)
+  ) { t =>
+    import graft.plans.GroupedPrefix
+    val cnt = t.events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val rk = GroupedPrefix.withRank(cnt, Seq("event_type"),
+      struct(col("c"), col("user_id")), "rn")
+    val tot = cnt.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nu"), sum(col("c")).as("ne"))
+    // integer div, not Column./ (which widens to DOUBLE)
+    val isTop = col("rn") > col("nu") - expr("(nu + 9) div 10")
+    rk.join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"), col("nu"), col("ne"))
+      .agg(sum(when(isTop, col("c")).otherwise(0L)).as("top_events"))
+      .select(col("event_type"),
+        col("nu").cast(LongType).as("n_users"),
+        expr("(nu + 9) div 10").cast(LongType).as("top_users"),
+        col("ne").cast(LongType).as("n_events"),
+        col("top_events").cast(LongType).as("top_events"),
+        expr("top_events * 10000 div ne").cast(LongType).as("share_bp"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63, q64, q89, q102, q104,
-    q116, q157, q158)
+    q116, q157, q158, q162, q163)
 }

@@ -1269,6 +1269,71 @@ object Series {
       .orderBy(col("st"), col("t"))
   }
 
+  // q161 — maximum drawdown of the monthly revenue series per order
+  // status: running peak minus current level, the worst peak-to-trough
+  // drop in exact cents with its month and the depth in basis points of
+  // the peak (the risk readout every monitoring dashboard pairs with a
+  // level chart). The fact table contributes ONE aggregation to month
+  // grain; the running peak is a window over the bounded month relation
+  // (≤ ~80 rows per status — the q63 cohort convention), and the trough
+  // pick is deterministic (max dd, then earliest month). The ×10000
+  // numerator is DECIMAL(38,0)-widened — peak cents at 100 TB pass 1e15
+  // and the bp product would wrap BIGINT (the q142 convention).
+  val q161 = Q(
+    "q161_drawdown",
+    Some("""
+      WITH m AS (
+        SELECT o_orderstatus AS st,
+               EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+                 + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS ym,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+        FROM orders GROUP BY 1, 2),
+      r AS (
+        SELECT st, ym, rev,
+               MAX(rev) OVER (PARTITION BY st ORDER BY ym) AS peak
+        FROM m),
+      d AS (SELECT st, ym, peak, peak - rev AS dd FROM r),
+      mx AS (SELECT st, MAX(dd) AS max_dd FROM d GROUP BY st),
+      pick AS (
+        SELECT d.st, MIN(d.ym) AS trough_ym
+        FROM d JOIN mx ON mx.st = d.st AND d.dd = mx.max_dd
+        GROUP BY d.st)
+      SELECT mx.st AS o_orderstatus,
+             CAST(mx.max_dd AS BIGINT) AS max_dd_cents,
+             CAST(p.trough_ym AS BIGINT) AS trough_ym,
+             CAST(CAST(mx.max_dd AS HUGEINT) * 10000 // t.peak AS BIGINT) AS dd_bp
+      FROM mx
+      JOIN pick p ON p.st = mx.st
+      JOIN d t ON t.st = mx.st AND t.ym = p.trough_ym
+      ORDER BY o_orderstatus
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val m = t.orders
+      .groupBy(col("o_orderstatus").as("st"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).as("ym"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    // bounded relation: |statuses| × |months| rows — the window is fine
+    val w = Window.partitionBy(col("st"))
+      .orderBy(col("ym")).rowsBetween(Window.unboundedPreceding, 0)
+    val d = m.withColumn("peak", max(col("rev")).over(w))
+      .withColumn("dd", col("peak") - col("rev"))
+    val mx = d.groupBy(col("st")).agg(max(col("dd")).as("max_dd"))
+    val pick = d.join(mx, Seq("st"))
+      .filter(col("dd") === col("max_dd"))
+      .groupBy(col("st")).agg(min(col("ym")).as("trough_ym"))
+    mx.join(pick, Seq("st"))
+      .join(d.select(col("st"), col("ym").as("trough_ym"), col("peak")),
+        Seq("st", "trough_ym"))
+      .select(col("st").as("o_orderstatus"),
+        col("max_dd").cast(LongType).as("max_dd_cents"),
+        col("trough_ym").cast(LongType).as("trough_ym"),
+        expr("CAST(max_dd AS DECIMAL(38,0)) * 10000 div peak")
+          .cast(LongType).as("dd_bp"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106, q109, q110,
-    q128, q129, q132, q133, q135, q147, q149, q152, q154, q156)
+    q128, q129, q132, q133, q135, q147, q149, q152, q154, q156, q161)
 }

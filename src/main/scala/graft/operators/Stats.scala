@@ -2277,8 +2277,118 @@ object Stats {
       .orderBy(col("support").desc, col("pa"), col("pb"))
   }
 
+  // q159 — Jarque–Bera normality test per order priority over exact
+  // order cents: JB = n/6·(S² + K²/4) from the population skewness and
+  // excess kurtosis, all four raw moments accumulated EXACTLY as
+  // DECIMAL(38,0) sums of cents (one map-side-combinable pass — the q74
+  // shape on a 100 TB-safe widening: cents⁴ ≈ 1e31/row would wrap
+  // BIGINT at any scale; 38 digits hold ~1e7 more rows than the target).
+  // The double conversion happens once per GROUP (5 rows), identical
+  // expression trees on both engines; the 5% verdict compares the
+  // ROUNDED statistic so FP noise in the 13th digit cannot flip it.
+  val q159 = Q(
+    "q159_jarque_bera",
+    Some("""
+      WITH h AS (
+        SELECT o_orderpriority,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS HUGEINT) AS c
+        FROM orders),
+      p AS (
+        SELECT o_orderpriority, COUNT(*) AS n,
+               SUM(c) AS s1, SUM(c*c) AS s2,
+               SUM(c*c*c) AS s3, SUM(c*c*c*c) AS s4
+        FROM h GROUP BY o_orderpriority),
+      m AS (
+        SELECT o_orderpriority, n,
+               CAST(s1 AS DOUBLE)/n AS m1, CAST(s2 AS DOUBLE)/n AS m2,
+               CAST(s3 AS DOUBLE)/n AS m3, CAST(s4 AS DOUBLE)/n AS m4
+        FROM p),
+      sk AS (
+        SELECT o_orderpriority, n,
+               (m3 - 3.0*m1*m2 + 2.0*POWER(m1,3)) / POWER(m2 - m1*m1, 1.5) AS s,
+               (m4 - 4.0*m1*m3 + 6.0*POWER(m1,2)*m2 - 3.0*POWER(m1,4))
+                 / POWER(m2 - m1*m1, 2) - 3.0 AS k
+        FROM m)
+      SELECT o_orderpriority, n,
+             ROUND(n/6.0 * (s*s + k*k/4.0), 4) AS jb,
+             CAST(CASE WHEN ROUND(n/6.0 * (s*s + k*k/4.0), 4) > 5.9915
+                  THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+      FROM sk
+      ORDER BY o_orderpriority
+    """)
+  ) { t =>
+    val c = col("o_totalprice").cast(DecimalType(18, 2))
+      .multiply(lit(100)).cast(LongType).cast(DecimalType(19, 0))
+    val p = t.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(c.cast(DecimalType(38, 0))).as("s1"),
+        sum((c * c).cast(DecimalType(38, 0))).as("s2"),
+        sum((c * c * c).cast(DecimalType(38, 0))).as("s3"),
+        sum((c * c * c * c).cast(DecimalType(38, 0))).as("s4"))
+    val n = col("n")
+    val m1 = col("s1").cast(DoubleType) / n
+    val m2 = col("s2").cast(DoubleType) / n
+    val m3 = col("s3").cast(DoubleType) / n
+    val m4 = col("s4").cast(DoubleType) / n
+    val v = m2 - m1 * m1
+    val s = (m3 - lit(3.0) * m1 * m2 + lit(2.0) * pow(m1, 3)) / pow(v, 1.5)
+    val k = (m4 - lit(4.0) * m1 * m3 + lit(6.0) * pow(m1, 2) * m2 -
+      lit(3.0) * pow(m1, 4)) / pow(v, 2) - lit(3.0)
+    val jb = round(n / lit(6.0) * (s * s + k * k / lit(4.0)), 4)
+    p.select(col("o_orderpriority"), n, jb.as("jb"),
+        when(jb > 5.9915, 1L).otherwise(0L).as("reject_5pct"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // q160 — standardized effect size for q68's two-group comparison:
+  // Cohen's d on the pooled SD, the small-sample Hedges' g correction
+  // g = d·(1 − 3/(4N−9)), and Glass's Δ (control-group SD only — the
+  // robust choice when variances differ, which q68's welch_t already
+  // suggests here) — the readout a test report pairs with the t
+  // statistic (t says "significant", d says "how big"). One
+  // map-side-combinable aggregation (the q68 partials verbatim), scalar
+  // algebra on 6 numbers after; term order shared verbatim with the
+  // oracle.
+  val q160 = Q(
+    "q160_effect_size",
+    Some("""
+      WITH s AS (
+        SELECT AVG(o_totalprice)      FILTER (WHERE o_orderstatus = 'O') AS m0,
+               AVG(o_totalprice)      FILTER (WHERE o_orderstatus = 'F') AS m1,
+               VAR_SAMP(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS v0,
+               VAR_SAMP(o_totalprice) FILTER (WHERE o_orderstatus = 'F') AS v1,
+               COUNT(*)               FILTER (WHERE o_orderstatus = 'O') AS n0,
+               COUNT(*)               FILTER (WHERE o_orderstatus = 'F') AS n1
+        FROM orders)
+      SELECT n0, n1,
+             ROUND((m0 - m1) / SQRT(((n0-1)*v0 + (n1-1)*v1) / (n0+n1-2)), 4)
+               AS cohens_d,
+             ROUND((m0 - m1) / SQRT(((n0-1)*v0 + (n1-1)*v1) / (n0+n1-2))
+                   * (1.0 - 3.0/(4.0*(n0+n1) - 9.0)), 4) AS hedges_g,
+             ROUND((m0 - m1) / SQRT(v0), 4) AS glass_delta
+      FROM s
+    """)
+  ) { t =>
+    val o = when(col("o_orderstatus") === "O", col("o_totalprice"))
+    val f = when(col("o_orderstatus") === "F", col("o_totalprice"))
+    val s = t.orders.agg(
+      avg(o).as("m0"), avg(f).as("m1"),
+      var_samp(o).as("v0"), var_samp(f).as("v1"),
+      count(o).as("n0"), count(f).as("n1"))
+    val pooled = sqrt(((col("n0") - 1) * col("v0") + (col("n1") - 1) * col("v1")) /
+      (col("n0") + col("n1") - 2))
+    val d = (col("m0") - col("m1")) / pooled
+    s.select(col("n0"), col("n1"),
+      round(d, 4).as("cohens_d"),
+      round(d * (lit(1.0) - lit(3.0) / (lit(4.0) * (col("n0") + col("n1")) - lit(9.0))), 4)
+        .as("hedges_g"),
+      round((col("m0") - col("m1")) / sqrt(col("v0")), 4).as("glass_delta"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134, q136,
     q137, q138, q139, q140, q141, q142, q144, q145, q146, q148, q150, q151,
-    q153, q155)
+    q153, q155, q159, q160)
 }

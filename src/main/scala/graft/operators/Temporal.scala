@@ -440,5 +440,54 @@ object Temporal {
         col("max_duration_sec"))
   }
 
-  val all: Seq[Q] = Seq(q22, q23, q32, q34, q77, q78, q79, q91, q119, q120)
+  // q164 — DAU/MAU stickiness per month: mean daily active users over
+  // monthly active users, the engagement ratio every growth dashboard
+  // tracks, in exact basis points (Σ daily-distinct × 10000 div
+  // (observed_days × monthly-distinct)). Two distinct-aggregations at
+  // (month, day) and month grain — both partial-aggregable, both keyed
+  // by calendar units so cardinality is bounded by time, not traffic;
+  // ts goes through CAST(ts AS TIMESTAMP) (micro truncation) before the
+  // day is taken, the §5 nanosecond rule.
+  val q164 = Q(
+    "q164_stickiness",
+    Some("""
+      WITH e AS (
+        SELECT user_id,
+               EXTRACT(YEAR FROM CAST(ts AS TIMESTAMP)) * 12
+                 + EXTRACT(MONTH FROM CAST(ts AS TIMESTAMP)) AS ym,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events),
+      dau AS (SELECT ym, d, COUNT(DISTINCT user_id) AS du FROM e GROUP BY ym, d),
+      mau AS (SELECT ym, COUNT(DISTINCT user_id) AS mu FROM e GROUP BY ym),
+      ds AS (SELECT ym, SUM(du) AS dau_sum, COUNT(*) AS n_days FROM dau GROUP BY ym)
+      SELECT CAST(ds.ym AS BIGINT) AS ym,
+             CAST(n_days AS BIGINT) AS n_days,
+             CAST(dau_sum AS BIGINT) AS dau_sum,
+             CAST(mu AS BIGINT) AS mau,
+             CAST(dau_sum * 10000 // (n_days * mu) AS BIGINT) AS stickiness_bp
+      FROM ds JOIN mau ON mau.ym = ds.ym
+      ORDER BY ym
+    """)
+  ) { t =>
+    val e = t.events.select(col("user_id"),
+      (year(col("ts")) * 12 + month(col("ts"))).as("ym"),
+      to_date(col("ts")).as("d"))
+    val dau = e.groupBy(col("ym"), col("d"))
+      .agg(countDistinct(col("user_id")).as("du"))
+    val mau = e.groupBy(col("ym"))
+      .agg(countDistinct(col("user_id")).as("mu"))
+    dau.groupBy(col("ym"))
+      .agg(sum(col("du")).as("dau_sum"), count(lit(1)).as("n_days"))
+      .join(mau, "ym")
+      .select(col("ym").cast(LongType).as("ym"),
+        col("n_days").cast(LongType).as("n_days"),
+        col("dau_sum").cast(LongType).as("dau_sum"),
+        col("mu").cast(LongType).as("mau"),
+        expr("dau_sum * 10000 div (n_days * mu)")
+          .cast(LongType).as("stickiness_bp"))
+      .orderBy(col("ym"))
+  }
+
+  val all: Seq[Q] = Seq(q22, q23, q32, q34, q77, q78, q79, q91, q119, q120,
+    q164)
 }

@@ -2130,6 +2130,59 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // text_zipf — Zipf's-law fit over the corpus head: OLS slope of
+  // ln(frequency) on ln(rank) for the top-50 terms (natural text slopes
+  // ≈ −1; a much flatter or steeper head flags templated or synthetic
+  // corpora — the distributional-health readout next to text_hapax's
+  // tail view). The vocabulary count is one explode → map-side-
+  // combinable aggregation; the head cut is a TakeOrdered 50-row heap
+  // (freq desc, token asc — deterministic boundary on both engines);
+  // the regression runs on 50 rows with the q67 closed form, ln of
+  // exact integers, one ROUND (sum-order noise over 50 terms is ~1e-13,
+  // absorbed at 4 decimals).
+  val zipf = Q(
+    "text_zipf",
+    Some("""
+      WITH toks AS (
+        SELECT w
+        FROM (SELECT list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                x -> x <> '') AS ws
+              FROM documents), UNNEST(ws) AS t(w)),
+      wc AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY w),
+      top AS (
+        SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rn
+        FROM wc QUALIFY rn <= 50),
+      xy AS (SELECT LN(CAST(rn AS DOUBLE)) AS x, LN(CAST(f AS DOUBLE)) AS y
+             FROM top)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+             ROUND((COUNT(*)*SUM(x*y) - SUM(x)*SUM(y))
+                   / (COUNT(*)*SUM(x*x) - SUM(x)*SUM(x)), 4) AS zipf_slope,
+             ROUND((SUM(y) - (COUNT(*)*SUM(x*y) - SUM(x)*SUM(y))
+                   / (COUNT(*)*SUM(x*x) - SUM(x)*SUM(x)) * SUM(x))
+                   / COUNT(*), 4) AS zipf_intercept
+      FROM xy
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val wc = t.documents
+      .select(explode(filter(words(lower(col("text"))), x => x =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    // TakeOrdered heap cut, then ranks over the bounded 50-row head
+    val top = wc.orderBy(col("f").desc, col("w")).limit(50)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("f").desc, col("w"))))
+    val xy = top.select(log(col("rn").cast(DoubleType)).as("x"),
+      log(col("f").cast(DoubleType)).as("y"))
+    val agg = xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    agg.select(col("n").cast(LongType).as("n_terms"),
+      round(slope, 4).as("zipf_slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 4).as("zipf_intercept"))
+  }
+
   // pipe_stratified_sample — per-source deterministic stratified
   // sampling with exact quotas (the corpus-subsetting step whose
   // naive form — rand() < frac — neither hits quotas nor reproduces):
@@ -2194,5 +2247,5 @@ object TextOps {
     incremental, lenHist,
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
     countMin, charTrigrams, gopherBattery, langidEval, sttr, rake,
-    interleave, burstiness, hapax, yuleK, stratifiedSample)
+    interleave, burstiness, hapax, yuleK, stratifiedSample, zipf)
 }

@@ -247,4 +247,81 @@ class ClickHouseFunctionsSpec extends SparkSpec {
       "3.50")
     assert(one("divideDecimal(1, 0, 2)") === null)
   }
+
+  test("thirteenth-batch dialect names: pinned values") {
+    graft.functions.ClickHouseDialect.register(spark)
+    def one(e: String): Any =
+      graft.functions.ClickHouseSql.sql(spark, s"SELECT $e AS v").head().get(0)
+    // base58 (bitcoin alphabet): round trip + a known vector
+    assert(one("base58Encode('abc')").toString === "ZiCa")
+    assert(one("base58Decode(base58Encode('hello world'))").toString ===
+      "hello world")
+    // Morton: x rides even bits — (3, 5) = interleave(011, 101) = 100111
+    assert(one("mortonEncode(3, 5)") === 39L)
+    assert(one("mortonDecode(2, 39)").toString === "[3,5]")
+    assert(one("mortonDecode(2, mortonEncode(12345, 67890))").toString ===
+      "[12345,67890]")
+    // Hilbert: encode/decode are exact inverses; d(0,0)=0
+    assert(one("hilbertEncode(0, 0)") === 0L)
+    assert(one("hilbertDecode(2, hilbertEncode(3, 4))").toString === "[3,4]")
+    assert(one("hilbertDecode(2, hilbertEncode(123456, 654321))").toString ===
+      "[123456,654321]")
+    // IDNA / punycode via the JDK codec
+    assert(one("idnaEncode('münchen.de')").toString === "xn--mnchen-3ya.de")
+    assert(one("idnaDecode('xn--mnchen-3ya.de')").toString === "münchen.de")
+    assert(one("punycodeEncode('münchen')").toString === "mnchen-3ya")
+    assert(one("punycodeDecode('mnchen-3ya')").toString === "münchen")
+    assert(one("punycodeDecode('abc-')").toString === "abc")
+    // fuzzy-string long tail
+    assert(one("damerauLevenshteinDistance('ab', 'ba')") === 1)
+    assert(one("damerauLevenshteinDistance('kitten', 'sitting')") === 3)
+    assert(one("byteHammingDistance('abc', 'abd')") === 1)
+    assert(one("byteHammingDistance('abc', 'a')") === 2)
+    assert(one("stringJaccardIndex('abc', 'bcd')") === 0.5)
+    // jump consistent hash: the paper's invariants — stable, in-range,
+    // and growing the ring only MOVES keys forward
+    assert(one("jumpConsistentHash(42, 57)") ===
+      one("jumpConsistentHash(42, 57)"))
+    val b10 = one("jumpConsistentHash(123456789, 10)").asInstanceOf[Int]
+    assert(b10 >= 0 && b10 < 10)
+    // multiSearch family (1-based byte positions, 0 = absent)
+    assert(one("multiSearchFirstPosition('hello world', array('wor', 'zzz'))")
+      === 7L)
+    assert(one("multiSearchAllPositions('hello world', array('lo', 'zzz'))")
+      === Seq(4L, 0L))
+    assert(one("hasToken('a bc def', 'bc')") === true)
+    assert(one("hasToken('abc def', 'bc')") === false)
+    // array long tail
+    assert(one("arrayCumSumNonNegative(array(1, -3, 2, -1, 4))") ===
+      Seq(1L, 0L, 2L, 1L, 5L))
+    assert(one("arrayEnumerateUniq(array(10, 20, 10, 30, 10))") ===
+      Seq(1L, 1L, 2L, 1L, 3L))
+    assert(one("hasSubstr(array(1,2,3,4), array(2,3))") === true)
+    assert(one("hasSubstr(array(1,2,3,4), array(2,4))") === false)
+    assert(one("LpNorm(array(3.0, 4.0), 2)") === 5.0)
+    assert(one("arrayDotProduct(array(1.0, 2.0), array(3.0, 4.0))") === 11.0)
+    // splits, port, formats, curves of the long tail
+    assert(one("splitByNonAlpha('ab.cd ef')") === Seq("ab", "cd", "ef"))
+    assert(one("splitByWhitespace('ab  cd')") === Seq("ab", "cd"))
+    assert(one("port('http://example.com:8080/path')") === 8080)
+    assert(one("port('http://example.com/path')") === 0)
+    assert(one("toDecimalString(3.14, 4)").toString === "3.1400")
+    assert(one("formatReadableDecimalSize(1000000)").toString === "1.00 MB")
+    assert(one("unbin('110000')").toString === "0")
+    assert(one("round(greatCircleAngle(0.0, 0.0, 0.0, 1.0), 6)") === 1.0)
+    // temporal / cast long tail
+    assert(one("timeDiff(toDateTime('2024-01-01 00:00:00'), " +
+      "toDateTime('2024-01-01 00:01:30'))") === 90L)
+    assert(one("fromDaysSinceYearZero(toDaysSinceYearZero(toDate('2024-01-01')))")
+      .toString === "2024-01-01")
+    assert(one("accurateCastOrNull('xx', 'Int64')") === null)
+    assert(one("accurateCast(12, 'Int64')") === 12L)
+    intercept[Exception] { one("accurateCast(300, 'Int8')") }
+    // xxHash32: public-spec vectors (seed 0)
+    assert(one("xxHash32('')") === 0x02cc5d05L)
+    // nan/inf are niladic FUNCTIONS here (bare keywords would parse as
+    // column references) — MIGRATION.md thirteenth batch
+    assert(one("isNaN(nan())") === true)
+    assert(one("isFinite(inf())") === false)
+  }
 }

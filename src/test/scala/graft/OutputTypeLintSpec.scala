@@ -112,6 +112,18 @@ class OutputTypeLintSpec extends SparkSpec {
     // cubes are pure IEEE multiplication (t·t·t, never pow), term
     // order shared verbatim with the oracle, one ROUND each
     "q146_kruskal_wallis" -> Set("h", "h_corr"),
+    // reviewed r12: the q74 moment class — JB is closed-form over four
+    // exact DECIMAL(38,0) moment sums, double conversion once per group
+    // (5 rows), term order shared verbatim, one ROUND; the verdict
+    // compares the ROUNDED statistic
+    "q159_jarque_bera" -> Set("jb"),
+    // reviewed r12: the q68 class — scalar algebra over six exact
+    // aggregates (means/variances/counts), term order shared verbatim
+    // with the oracle, one ROUND each
+    "q160_effect_size" -> Set("cohens_d", "hedges_g", "glass_delta"),
+    // reviewed r12: the q67/q131 class — OLS closed form over ln of
+    // exact integers, 50 terms (sum-order noise ~1e-13 under ROUND 4)
+    "text_zipf" -> Set("zipf_slope", "zipf_intercept"),
     // reviewed r9: ln of a ratio of exact BIGINT products (< 2^53, both
     // exactly representable as doubles), term order shared verbatim
     "q131_info_value" -> Set("woe_r4", "ivc_r4"),
