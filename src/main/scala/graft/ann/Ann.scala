@@ -356,6 +356,101 @@ object Ann {
     }
   ) { t => ivfQuery(t, c = 16, nprobe = 4) }
 
+  /** Delete a STALE warehouse directory a DEAD session left for `name`
+    * (live catalog entries are never touched) — the Scale.bucketedPair /
+    * CH-dialect rerun-stability rule.
+    */
+  private def clearStale(spark: org.apache.spark.sql.SparkSession,
+    name: String): Unit =
+    if (!spark.catalog.tableExists(name))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name))
+
+  /** Session-memoized PERSISTED IVF index: the corpus cell table written
+    * as a catalog table PARTITIONED BY cell, the trained centroids
+    * beside it — the production serving layout, where the index is
+    * STORAGE, not session state. A probe then reads exactly its nprobe
+    * cell directories (partition pruning — at 100 TB a 4-of-4096-cell
+    * probe scans ~0.1% of the corpus bytes and the query cost is
+    * proportional to cells probed, not corpus), and a new session serves
+    * the index without retraining anything.
+    */
+  private def persistedIvf(t: Tables): (DataFrame, DataFrame) = synchronized {
+    val spark = t.spark
+    val tag = java.lang.Long.toHexString(t.dir.hashCode.toLong & 0xffffffffL)
+    val cellsT = s"graft_ivf_cells_$tag"
+    val centsT = s"graft_ivf_cents_$tag"
+    if (!spark.catalog.tableExists(cellsT) ||
+      !spark.catalog.tableExists(centsT)) {
+      val emb = ivfEmb(t)
+      val centroids = ivfCentroids(t, 16)
+      val corpus = emb.join(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          dist2(col("qv"), col("cv")).as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cell"),
+          first(col("embedding")).as("embedding"))
+      if (!spark.catalog.tableExists(centsT)) {
+        clearStale(spark, centsT)
+        centroids.write.format("parquet").saveAsTable(centsT)
+      }
+      if (!spark.catalog.tableExists(cellsT)) {
+        clearStale(spark, cellsT)
+        corpus.write.format("parquet").partitionBy("cell").saveAsTable(cellsT)
+      }
+    }
+    (spark.table(cellsT), spark.table(centsT))
+  }
+
+  // ann_ivf_persisted — the SAME IVF search served from a PERSISTED
+  // index: cells land as a cell-partitioned catalog table, centroids
+  // beside them, and the query path reads ONLY what it probes (the
+  // probe → cell equi-join prunes the partitioned scan to nprobe
+  // directories). This is the piece ann_ivf's in-session memo doesn't
+  // prove: the index round-trips through storage byte-exactly (floats
+  // and the exact-ratio centroid doubles are parquet-stable), so a
+  // fresh session — or a 1000-executor serving fleet that never saw
+  // the build — returns the identical top-k. Oracle: ann_ivf's
+  // training + search replayed in SQL; any storage-side drift
+  // (precision, partition mix-up, lost rows) hash-fails.
+  val ivfPersisted = Q(
+    "ann_ivf_persisted",
+    Some {
+      s"""
+      WITH ${ivfCtesSql(16, 4)},
+      scored AS (
+        SELECT p.query_id, a.vec_id, ${cosSql("p.qvec", "a.embedding")} AS cos
+        FROM ac a JOIN probes p ON a.cell = p.cell),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 10
+      ORDER BY query_id, rnk
+      """
+    }
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val (cells, cents) = persistedIvf(t)
+    // probes against the centroids READ BACK from storage — nothing of
+    // the build session is consulted
+    val queries = ivfEmb(t).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("qv").as("qqv"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cid"))
+    val probes = queries.join(broadcast(cents))
+      .select(col("query_id"), col("qvec"), col("cid"),
+        dist2(col("qqv"), col("cv")).as("cdist"))
+      .withColumn("prank", row_number().over(wq))
+      .filter(col("prank") <= 4)
+      .select(col("query_id"), col("qvec"), col("cid").as("cell"))
+    val scored = cells.join(broadcast(probes), "cell")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+    rankedTopK(scored, "cos", 10)
+  }
+
   // ann_quantized — int8 scalar quantization: per-vector max-abs scale,
   // elements quantized to [-127, 127] via the tie-free floor(x·127/s + ½)
   // (ROUND half-rule differs between engines; floor is portable). 4×
@@ -2634,9 +2729,70 @@ $pivots
       .orderBy(col("label"))
   }
 
+  // embed_intrinsic_dim — TwoNN intrinsic-dimension estimate (Facco et
+  // al. 2017, "Estimating the intrinsic dimension of datasets by a
+  // minimal neighborhood information"): ID ≈ 2n / Σ ln(d2²/d1²) over
+  // each vector's two nearest neighbors — embeddings living on a
+  // low-dimensional manifold inside the ambient d dims retrieve and
+  // cluster differently than full-rank ones, and this is the standard
+  // one-number readout. Distances are EXACT integer-valued quantized
+  // d² (the ivf grid), neighbor search is cell-bounded (Σ cell² pairs,
+  // the knn-graph shape) with the 2-NN cut on TopKPerGroup — ≤2 rows
+  // per vector cross the shuffle; exact-duplicate pairs (d1 = 0) and
+  // vectors with fewer than two cell neighbors are excluded on both
+  // engines. LN over exact integers, one ROUND (the q131 class).
+  val intrinsicDim = Q(
+    "embed_intrinsic_dim",
+    Some(s"""
+      WITH ${ivfCtesSql(16, 4)},
+      acq AS (SELECT ac.vec_id, ac.cell, q.qv
+              FROM ac JOIN qemb q ON q.vec_id = ac.vec_id),
+      pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               CAST(${dist2Sql("a.qv", "b.qv")} AS BIGINT) AS d2
+        FROM acq a JOIN acq b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT vec_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY d2, neighbor_id) AS rnk
+        FROM pairs),
+      nn AS (
+        SELECT vec_id, MIN(d2) AS dnear, MAX(d2) AS dfar, COUNT(*) AS k
+        FROM ranked WHERE rnk <= 2 GROUP BY vec_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+             ROUND(SUM(LN(CAST(dfar AS DOUBLE) / dnear)), 4) AS sum_lnr,
+             ROUND(2.0 * COUNT(*)
+                   / SUM(LN(CAST(dfar AS DOUBLE) / dnear)), 4) AS id_hat
+      FROM nn WHERE k = 2 AND dnear > 0
+    """)
+  ) { t =>
+    val assigned = knnAssigned(t)
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("neighbor_id"),
+        dist2(col("a.qv"), col("b.qv")).cast(LongType).as("d2"))
+      // TopKPerGroup orders DESC — negate for the 2 SMALLEST distances
+      .withColumn("negd", -col("d2"))
+    val nn = graft.plans.TopKPerGroup
+      .topK(pairs, Seq("vec_id"), "negd", "neighbor_id", 2)
+      .groupBy(col("vec_id"))
+      .agg(min(col("d2")).as("dnear"), max(col("d2")).as("dfar"),
+        count(lit(1)).as("k"))
+      .filter(col("k") === 2 && col("dnear") > 0)
+    val lnr = log(col("dfar").cast(DoubleType) / col("dnear"))
+    nn.agg(count(lit(1)).as("n"), sum(lnr).as("s"))
+      .select(col("n").cast(LongType).as("n_used"),
+        round(col("s"), 4).as("sum_lnr"),
+        round(lit(2.0) * col("n") / col("s"), 4).as("id_hat"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
     rpProject, diversify, graphSearch, matryoshka, binaryQuant, binaryRerank,
-    centroidDrift, probeSweep, rrf, isotropy, knnPurity, knnMargin)
+    centroidDrift, probeSweep, rrf, isotropy, knnPurity, knnMargin,
+    intrinsicDim, ivfPersisted)
 }

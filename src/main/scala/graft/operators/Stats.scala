@@ -2387,8 +2387,57 @@ object Stats {
       round((col("m0") - col("m1")) / sqrt(col("v0")), 4).as("glass_delta"))
   }
 
+  // q165 — odds ratio with its 95% Wald CI for the 2×2 contingency of
+  // urgent priority × open status: OR = n11·n00 / (n10·n01), CI from
+  // exp(ln OR ± 1.96·√(Σ 1/cell)) — the epidemiology/AB-test readout
+  // next to q72's symmetric association measures. One
+  // map-side-combinable conditional-count pass over the fact table;
+  // scalar algebra on four exact counts after (the q140 z-class: no
+  // aggregation-order dependence, term order shared verbatim, one
+  // ROUND each).
+  val q165 = Q(
+    "q165_odds_ratio",
+    Some("""
+      WITH f AS (
+        SELECT o_orderpriority = '1-URGENT' AS p, o_orderstatus = 'O' AS s
+        FROM orders),
+      cells AS (
+        SELECT COUNT(CASE WHEN p AND s THEN 1 END) AS n11,
+               COUNT(CASE WHEN p AND NOT s THEN 1 END) AS n10,
+               COUNT(CASE WHEN NOT p AND s THEN 1 END) AS n01,
+               COUNT(CASE WHEN NOT p AND NOT s THEN 1 END) AS n00
+        FROM f)
+      SELECT n11, n10, n01, n00,
+             ROUND(CAST(n11 AS DOUBLE) * n00 / (CAST(n10 AS DOUBLE) * n01), 4)
+               AS odds_ratio,
+             ROUND(EXP(LN(CAST(n11 AS DOUBLE) * n00 / (CAST(n10 AS DOUBLE) * n01))
+                   - 1.96 * SQRT(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00)), 4)
+               AS ci_lo,
+             ROUND(EXP(LN(CAST(n11 AS DOUBLE) * n00 / (CAST(n10 AS DOUBLE) * n01))
+                   + 1.96 * SQRT(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00)), 4)
+               AS ci_hi
+      FROM cells
+    """)
+  ) { t =>
+    val p = col("o_orderpriority") === "1-URGENT"
+    val s = col("o_orderstatus") === "O"
+    val cells = t.orders.agg(
+      count(when(p && s, 1)).as("n11"),
+      count(when(p && !s, 1)).as("n10"),
+      count(when(!p && s, 1)).as("n01"),
+      count(when(!p && !s, 1)).as("n00"))
+    val or = col("n11").cast(DoubleType) * col("n00") /
+      (col("n10").cast(DoubleType) * col("n01"))
+    val half = lit(1.96) * sqrt(lit(1.0) / col("n11") + lit(1.0) / col("n10") +
+      lit(1.0) / col("n01") + lit(1.0) / col("n00"))
+    cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      round(or, 4).as("odds_ratio"),
+      round(exp(log(or) - half), 4).as("ci_lo"),
+      round(exp(log(or) + half), 4).as("ci_hi"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134, q136,
     q137, q138, q139, q140, q141, q142, q144, q145, q146, q148, q150, q151,
-    q153, q155, q159, q160)
+    q153, q155, q159, q160, q165)
 }

@@ -1287,7 +1287,11 @@ object TextOps {
         lead(col("tok"), 1).over(wOrd).as("r"))
       .filter(col("r").isNotNull)
       .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pc"))
-    val best = pairs.orderBy(col("pc").desc, col("l"), col("r")).limit(1)
+    // pin the 1-row argmax: it feeds BOTH the merge application and the
+    // merge-table readout — unpinned, each consumer re-ran the pair
+    // count over the whole upstream chain
+    val best = graft.plans.Pin.pinned(
+      pairs.orderBy(col("pc").desc, col("l"), col("r")).limit(1))
     val hits = prev.crossJoin(broadcast(best))
       .withColumn("hit",
         when(col("tok") === col("l") &&
@@ -1344,12 +1348,20 @@ object TextOps {
         .select(lower(col("w0")).as("word"))
         .filter(col("word") =!= "")
         .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      val s0 = vocab
+      // pin each round's state: every round consumes its input TWICE
+      // (pair counts + merge application), so an unpinned chain
+      // recomputed the whole prefix per consumer — ~2^rounds evaluations
+      // of s0 and the dominant cost of `_build_bpe` (15.9 s local in
+      // r11; the states are vocabulary-sized, so the pins are small)
+      import graft.plans.Pin.pinned
+      val s0 = pinned(vocab
         .select(col("word"), col("cnt"),
           posexplode(regexp_extract_all(col("word"), lit("."), lit(0))).as(Seq("p", "tok")))
-        .select(col("word"), col("cnt"), (col("p") + 1).cast(LongType).as("pos"), col("tok"))
-      val (b1, s1) = bpeRound(s0)
-      val (b2, s2) = bpeRound(s1)
+        .select(col("word"), col("cnt"), (col("p") + 1).cast(LongType).as("pos"), col("tok")))
+      val (b1, s1a) = bpeRound(s0)
+      val s1 = pinned(s1a)
+      val (b2, s2a) = bpeRound(s1)
+      val s2 = pinned(s2a)
       val (b3, s3) = bpeRound(s2)
       val m = Seq(b1 -> 1, b2 -> 2, b3 -> 3).map { case (b, i) =>
         b.select(lit("m").as("kind"), col("l").as("word"),
@@ -1358,7 +1370,13 @@ object TextOps {
       }.reduce(_.unionAll(_))
       val s = s3.select(lit("s").as("kind"), col("word"),
         col("cnt").cast(LongType).as("cnt"), col("pos"), col("tok"))
-      m.unionAll(s).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val artifact = m.unionAll(s)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the artifact, then release the intermediate pins —
+      // the served tokenizer is the only frame later consumers read
+      artifact.count()
+      Seq(s0, s1, s2).foreach(_.unpersist(blocking = false))
+      artifact
     }
 
   /** Bench warm-up hook (same contract as Dedup/Ann.buildSteps). */
@@ -2183,6 +2201,54 @@ object TextOps {
       round((col("sy") - slope * col("sx")) / col("n"), 4).as("zipf_intercept"))
   }
 
+  // text_heaps — Heaps'-law fit across sources: vocabulary size grows
+  // as V = k·N^β with tokens N (β ≈ 0.4–0.6 for natural text; β near 1
+  // flags raw/unique-id-heavy corpora, near 0 templated ones — the
+  // growth-side companion of text_zipf's frequency view). One point
+  // per SOURCE (exact token/type counts from the vocabulary-sized
+  // relation), then the q67 closed form over ln N / ln V on the
+  // |sources|-row relation — the fact table contributes exactly one
+  // aggregation.
+  val heaps = Q(
+    "text_heaps",
+    Some("""
+      WITH toks AS (
+        SELECT source, w
+        FROM (SELECT source,
+                list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                  x -> x <> '') AS ws
+              FROM documents), UNNEST(ws) AS t(w)),
+      sv AS (
+        SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_types
+        FROM toks GROUP BY source),
+      xy AS (SELECT LN(CAST(n_tokens AS DOUBLE)) AS x,
+                    LN(CAST(n_types AS DOUBLE)) AS y FROM sv)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+             ROUND((COUNT(*)*SUM(x*y) - SUM(x)*SUM(y))
+                   / (COUNT(*)*SUM(x*x) - SUM(x)*SUM(x)), 4) AS heaps_beta,
+             ROUND((SUM(y) - (COUNT(*)*SUM(x*y) - SUM(x)*SUM(y))
+                   / (COUNT(*)*SUM(x*x) - SUM(x)*SUM(x)) * SUM(x))
+                   / COUNT(*), 4) AS heaps_lnk
+      FROM xy
+    """)
+  ) { t =>
+    val sv = t.documents
+      .select(col("source"),
+        explode(filter(words(lower(col("text"))), x => x =!= "")).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_types"))
+    val xy = sv.select(log(col("n_tokens").cast(DoubleType)).as("x"),
+      log(col("n_types").cast(DoubleType)).as("y"))
+    val agg = xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    agg.select(col("n").cast(LongType).as("n_sources"),
+      round(slope, 4).as("heaps_beta"),
+      round((col("sy") - slope * col("sx")) / col("n"), 4).as("heaps_lnk"))
+  }
+
   // pipe_stratified_sample — per-source deterministic stratified
   // sampling with exact quotas (the corpus-subsetting step whose
   // naive form — rand() < frac — neither hits quotas nor reproduces):
@@ -2247,5 +2313,5 @@ object TextOps {
     incremental, lenHist,
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
     countMin, charTrigrams, gopherBattery, langidEval, sttr, rake,
-    interleave, burstiness, hapax, yuleK, stratifiedSample, zipf)
+    interleave, burstiness, hapax, yuleK, stratifiedSample, zipf, heaps)
 }

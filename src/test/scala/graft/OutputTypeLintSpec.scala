@@ -60,6 +60,9 @@ class OutputTypeLintSpec extends SparkSpec {
     "ann_filtered" -> Set("cos"),
     "ann_hybrid" -> Set("cos"),
     "ann_ivf" -> Set("cos"),
+    // reviewed r12: ann_ivf's readout served from the persisted index —
+    // identical expression and oracle
+    "ann_ivf_persisted" -> Set("cos"),
     "ann_ivfpq_residual" -> Set("cos"),
     "ann_lsh" -> Set("cos"),
     "ann_mips" -> Set("score"),
@@ -124,6 +127,14 @@ class OutputTypeLintSpec extends SparkSpec {
     // reviewed r12: the q67/q131 class — OLS closed form over ln of
     // exact integers, 50 terms (sum-order noise ~1e-13 under ROUND 4)
     "text_zipf" -> Set("zipf_slope", "zipf_intercept"),
+    // reviewed r12: same class — OLS over ln of exact per-source counts
+    "text_heaps" -> Set("heaps_beta", "heaps_lnk"),
+    // reviewed r12: the q131 class — ln of ratios of exact integer d²,
+    // ~1000-term sum under ROUND 4
+    "embed_intrinsic_dim" -> Set("sum_lnr", "id_hat"),
+    // reviewed r12: the q140 z-class — scalar math over four exact
+    // counts, term order shared verbatim, one ROUND each
+    "q165_odds_ratio" -> Set("odds_ratio", "ci_lo", "ci_hi"),
     // reviewed r9: ln of a ratio of exact BIGINT products (< 2^53, both
     // exactly representable as doubles), term order shared verbatim
     "q131_info_value" -> Set("woe_r4", "ivc_r4"),

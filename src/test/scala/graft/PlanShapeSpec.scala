@@ -535,6 +535,19 @@ class PlanShapeSpec extends SparkSpec {
     val vnd = planOf("mm_video_neardup")
     assert(!vnd.contains("CartesianProduct") &&
       !vnd.contains("BroadcastNestedLoopJoin"), vnd.take(2000))
+    // ann_ivf_persisted: the search reads the PERSISTED cell table (a
+    // catalog scan, not the in-session build), joins the broadcast
+    // probes, and never goes cartesian — the same flags as ann_ivf
+    // (whose queries×centroids broadcast cross is the intended tiny-dim
+    // shape)
+    val ivfp = planOf("ann_ivf_persisted")
+    assert(ivfp.contains("graft_ivf_cells"), ivfp.take(2000))
+    assert(!ivfp.contains("CartesianProduct"), ivfp.take(2000))
+    // embed_intrinsic_dim: the 2-NN cut rides TopKPerGroup (≤2 rows per
+    // vector cross the shuffle), never a corpus-wide window
+    val idim = planOf("embed_intrinsic_dim")
+    assert(idim.contains("TopKPerGroup"), idim.take(2000))
+    assert(!idim.contains("CartesianProduct"), idim.take(2000))
   }
 
   test("q143_bucketed_join: bucketed scans feed the merge join with no exchange") {
