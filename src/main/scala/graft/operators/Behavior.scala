@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Behavioral analytics — the ClickHouse windowFunnel/retention family.
   *
@@ -746,6 +746,77 @@ object Behavior {
       .orderBy(col("event_type"))
   }
 
+  // q166 — growth accounting: the month-over-month revenue delta
+  // DECOMPOSED into new + expansion − contraction − churned (the
+  // SaaS-dashboard identity: net change = Σ components, checked
+  // exactly here because everything is integer cents). Customer-month
+  // revenue is ONE fact aggregation; the decomposition is a FULL OUTER
+  // self-join on the natural (custkey, ym+1) co-key — month-pair
+  // classification is row-local after the join, and the readout is a
+  // month-sized aggregation. The first month has no predecessor and is
+  // excluded (its entire revenue would read "new").
+  val q166 = Q(
+    "q166_growth_accounting",
+    Some("""
+      WITH cm AS (
+        SELECT o_custkey,
+               EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+                 + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS ym,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+        FROM orders GROUP BY 1, 2),
+      lim AS (SELECT MIN(ym) AS lo, MAX(ym) AS hi FROM cm),
+      pairs AS (
+        SELECT COALESCE(cur.ym, prv.ym + 1) AS ym,
+               COALESCE(cur.c, 0) AS cc, COALESCE(prv.c, 0) AS pc
+        FROM cm cur FULL OUTER JOIN cm prv
+          ON prv.o_custkey = cur.o_custkey AND prv.ym = cur.ym - 1)
+      SELECT CAST(ym AS BIGINT) AS ym,
+             CAST(SUM(CASE WHEN pc = 0 THEN cc ELSE 0 END) AS BIGINT) AS new_cents,
+             CAST(SUM(CASE WHEN pc > 0 AND cc > pc THEN cc - pc ELSE 0 END)
+               AS BIGINT) AS expansion_cents,
+             CAST(SUM(CASE WHEN pc > 0 AND cc > 0 AND cc < pc THEN pc - cc
+               ELSE 0 END) AS BIGINT) AS contraction_cents,
+             CAST(SUM(CASE WHEN cc = 0 THEN pc ELSE 0 END) AS BIGINT) AS churned_cents,
+             CAST(SUM(cc) - SUM(pc) AS BIGINT) AS net_cents
+      FROM pairs, lim
+      WHERE ym > lim.lo AND ym <= lim.hi
+      GROUP BY ym
+      ORDER BY ym
+    """)
+  ) { t =>
+    val cm = t.orders
+      .groupBy(col("o_custkey"),
+        (year(to_date(col("o_orderdate"))) * 12 +
+          month(to_date(col("o_orderdate")))).as("ym"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType)).as("c"))
+    val lim = cm.agg(min(col("ym")).as("lo"), max(col("ym")).as("hi"))
+    val cur = cm.select(col("o_custkey"), col("ym"), col("c").as("cc"))
+    val prv = cm.select(col("o_custkey"), (col("ym") + 1).as("ym"),
+      col("c").as("pc"))
+    cur.join(prv, Seq("o_custkey", "ym"), "full_outer")
+      .select(col("ym"), coalesce(col("cc"), lit(0L)).as("cc"),
+        coalesce(col("pc"), lit(0L)).as("pc"))
+      .crossJoin(broadcast(lim))
+      .filter(col("ym") > col("lo") && col("ym") <= col("hi"))
+      .groupBy(col("ym"))
+      .agg(
+        sum(when(col("pc") === 0, col("cc")).otherwise(0L)).as("new_cents"),
+        sum(when(col("pc") > 0 && col("cc") > col("pc"),
+          col("cc") - col("pc")).otherwise(0L)).as("expansion_cents"),
+        sum(when(col("pc") > 0 && col("cc") > 0 && col("cc") < col("pc"),
+          col("pc") - col("cc")).otherwise(0L)).as("contraction_cents"),
+        sum(when(col("cc") === 0, col("pc")).otherwise(0L)).as("churned_cents"),
+        (sum(col("cc")) - sum(col("pc"))).as("net_cents"))
+      .select(col("ym").cast(LongType).as("ym"),
+        col("new_cents").cast(LongType).as("new_cents"),
+        col("expansion_cents").cast(LongType).as("expansion_cents"),
+        col("contraction_cents").cast(LongType).as("contraction_cents"),
+        col("churned_cents").cast(LongType).as("churned_cents"),
+        col("net_cents").cast(LongType).as("net_cents"))
+      .orderBy(col("ym"))
+  }
+
   val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63, q64, q89, q102, q104,
-    q116, q157, q158, q162, q163)
+    q116, q157, q158, q162, q163, q166)
 }

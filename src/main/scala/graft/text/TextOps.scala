@@ -2249,6 +2249,59 @@ object TextOps {
       round((col("sy") - slope * col("sx")) / col("n"), 4).as("heaps_lnk"))
   }
 
+  // text_ngram_dup_rate — corpus duplication risk per source: the share
+  // of a source's 3-word-shingle OCCURRENCES whose shingle appears in
+  // MORE THAN ONE document corpus-wide, exact basis points (the
+  // memorization-risk audit next to the dedup_* removal operators —
+  // this one measures, they act; high dup_bp sources are where
+  // substring dedup pays). The shingle relation is high-cardinality-
+  // keyed (shingle text), the document-frequency aggregation is
+  // map-side-combinable, and the rate join is a shingle-keyed equi
+  // join — work ∝ shingle occurrences, never docs².
+  val ngramDupRate = Q(
+    "text_ngram_dup_rate",
+    Some("""
+      WITH w0 AS (
+        SELECT doc_id, source,
+               list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                 x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source,
+               array_to_string(list_slice(ws, i, i + 2), ' ') AS shingle
+        FROM w0, UNNEST(RANGE(1, GREATEST(LEN(ws) - 2, 1) + 1)) AS t(i)),
+      dfreq AS (SELECT shingle, COUNT(DISTINCT doc_id) AS nd
+                FROM sh GROUP BY shingle)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS dup_shingles,
+             CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) * 10000 // COUNT(*)
+               AS BIGINT) AS dup_bp
+      FROM sh JOIN dfreq USING (shingle)
+      GROUP BY source
+      ORDER BY source
+    """)
+  ) { t =>
+    val w0 = t.documents.select(col("doc_id"), col("source"),
+      filter(words(lower(col("text"))), x => x =!= "").as("ws"))
+    val sh = w0.select(col("doc_id"), col("source"),
+      explode(transform(
+        sequence(lit(1), greatest(size(col("ws")) - 2, lit(1))),
+        i => array_join(slice(col("ws"), i, lit(3)), " "))).as("shingle"))
+    val dfreq = sh.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    sh.join(dfreq, "shingle")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("nd") > 1, 1)).as("dup_shingles"))
+      .select(col("source"),
+        col("n_shingles").cast(LongType).as("n_shingles"),
+        col("dup_shingles").cast(LongType).as("dup_shingles"),
+        expr("dup_shingles * 10000 div n_shingles")
+          .cast(LongType).as("dup_bp"))
+      .orderBy(col("source"))
+  }
+
   // pipe_stratified_sample — per-source deterministic stratified
   // sampling with exact quotas (the corpus-subsetting step whose
   // naive form — rand() < frac — neither hits quotas nor reproduces):
@@ -2313,5 +2366,6 @@ object TextOps {
     incremental, lenHist,
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
     countMin, charTrigrams, gopherBattery, langidEval, sttr, rake,
-    interleave, burstiness, hapax, yuleK, stratifiedSample, zipf, heaps)
+    interleave, burstiness, hapax, yuleK, stratifiedSample, zipf, heaps,
+    ngramDupRate)
 }

@@ -69,4 +69,26 @@ class PersistCacheSpec extends SparkSpec {
       assert(builds.get() === before + 1)
     } finally Seq(s1, s2, s3).foreach(PersistCache.invalidate)
   }
+
+  test("Pin.pinned materializes ONCE, serves consumers from cache, keeps lineage") {
+    val acc = spark.sparkContext.longAccumulator("pin_builds")
+    val rdd = spark.sparkContext.parallelize(1 to 100, 4)
+      .map { i => acc.add(1); org.apache.spark.sql.Row(i) }
+    val df = spark.createDataFrame(rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.IntegerType))))
+    val pinned = graft.plans.Pin.pinned(df)
+    // the eager count inside pinned() ran the source exactly once…
+    assert(acc.value === 100L)
+    // …and BOTH later consumers read the cached blocks, not the source
+    assert(pinned.count() === 100L)
+    assert(pinned.agg(org.apache.spark.sql.functions.sum("v"))
+      .head().getLong(0) === 5050L)
+    assert(acc.value === 100L, "a consumer re-ran the pinned source")
+    // lineage survives (persist, not localCheckpoint): the analyzed plan
+    // still reaches the source relation, so a lost block is recomputable
+    assert(pinned.storageLevel.useMemory && pinned.storageLevel.useDisk)
+    pinned.unpersist(blocking = true)
+  }
 }
