@@ -2789,10 +2789,86 @@ $pivots
         round(lit(2.0) * col("n") / col("s"), 4).as("id_hat"))
   }
 
+  // ann_rbo — rank-biased overlap (Webber, Moffat & Zobel 2010)
+  // between the EXACT brute-force top-10 and the IVF top-10, per query:
+  // the ranking-quality readout ann_recall's set overlap can't see
+  // (recall@10 treats rank 1 and rank 10 alike; RBO's geometric
+  // weights, p = 0.9, score agreement where users look). The truncated
+  // form reduces to a per-SHARED-DOC closed sum — each doc in both
+  // lists contributes Σ_{d=max(ra,rb)}^{10} p^{d−1}/d, so the whole
+  // metric is one rank equi-join + a ≤10-row generator per shared doc
+  // (tie-breaks are identical on both engines, so the rank lists —
+  // and the metric — match exactly). Queries with zero overlap report
+  // rbo 0, never a dropped row.
+  val rbo = Q(
+    "ann_rbo",
+    Some(s"""
+      WITH ${ivfCtesSql(16, 4)},
+      scored_ivf AS (
+        SELECT p.query_id, a.vec_id, ${cosSql("p.qvec", "a.embedding")} AS cos
+        FROM ac a JOIN probes p ON a.cell = p.cell),
+      rb AS (
+        SELECT query_id, vec_id, rnk FROM (
+          SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id) AS rnk
+          FROM scored_ivf) WHERE rnk <= 10),
+      scored_bf AS (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               ${cosSql("q.embedding", "e.embedding")} AS cos
+        FROM qemb e, qemb q WHERE q.vec_id < 5),
+      ra AS (
+        SELECT query_id, vec_id, rnk FROM (
+          SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id) AS rnk
+          FROM scored_bf) WHERE rnk <= 10),
+      shared AS (
+        SELECT a.query_id, GREATEST(a.rnk, b.rnk) AS m
+        FROM ra a JOIN rb b USING (query_id, vec_id)),
+      w AS (
+        SELECT query_id, SUM(POWER(0.9, d - 1) / d) AS s
+        FROM shared, UNNEST(RANGE(m, 11)) AS t(d)
+        GROUP BY query_id),
+      cnt AS (SELECT query_id, COUNT(*) AS n FROM shared GROUP BY query_id),
+      qs AS (SELECT vec_id AS query_id FROM qemb WHERE vec_id < 5)
+      SELECT qs.query_id,
+             CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_overlap10,
+             ROUND(0.1 * COALESCE(w.s, 0), 4) AS rbo10
+      FROM qs LEFT JOIN w USING (query_id) LEFT JOIN cnt USING (query_id)
+      ORDER BY query_id
+    """)
+  ) { t =>
+    val queries = t.embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val bruteScored = t.embeddings.join(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+    val a = rankedTopK(bruteScored, "cos", 10)
+      .select(col("query_id"), col("vec_id"), col("rnk").as("ra"))
+    val b = ivfQuery(t, c = 16, nprobe = 4)
+      .select(col("query_id"), col("vec_id"), col("rnk").as("rb"))
+    val shared = a.join(b, Seq("query_id", "vec_id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
+    val totals = shared
+      .select(col("query_id"), explode(sequence(col("m"), lit(10L))).as("d"))
+      .groupBy(col("query_id"))
+      .agg(sum(pow(lit(0.9), col("d") - 1) / col("d")).as("s"))
+    val counts = shared.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"))
+    queries.select(col("query_id"))
+      .join(totals, Seq("query_id"), "left")
+      .join(counts, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n"), lit(0L)).cast(LongType).as("n_overlap10"),
+        round(lit(0.1) * coalesce(col("s"), lit(0.0)), 4).as("rbo10"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
     rpProject, diversify, graphSearch, matryoshka, binaryQuant, binaryRerank,
     centroidDrift, probeSweep, rrf, isotropy, knnPurity, knnMargin,
-    intrinsicDim, ivfPersisted)
+    intrinsicDim, ivfPersisted, rbo)
 }

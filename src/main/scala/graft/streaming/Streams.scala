@@ -542,6 +542,78 @@ object Streams {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming growth accounting — q166's online sibling: per user, a
+    * month's revenue verdict (new / expansion / contraction / flat /
+    * churned, with exact cents) is emitted when the user's month
+    * ADVANCES — the moment the previous month is complete for that user
+    * under event-time ordering. State per user is four longs (previous
+    * closed month + cents, current month + cents) — never the order
+    * history; verdicts are append-only, so the downstream (ym, kind)
+    * counter aggregates freely. A gap of more than one month emits the
+    * 'churned' verdict for the month after the last active one, exactly
+    * like batch q166's full-outer decomposition. Out-of-order caveat
+    * (the newVsReturning rule): a batch's events are processed in
+    * event-time order per user, but an EARLIER month arriving after its
+    * successor closed cannot reopen it — document-and-backfill, never
+    * retract.
+    */
+  final case class GaState(prevYm: Int, prevCents: Long,
+    curYm: Int, curCents: Long)
+  final case class GaOut(user_id: Long, ym: Int, kind: String, cents: Long)
+
+  def growthAccounting(events: Dataset[Event]): Dataset[GaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def ymOf(ts: Timestamp): Int = {
+      val ld = ts.toLocalDateTime
+      ld.getYear * 12 + ld.getMonthValue
+    }
+    def centsOf(v: Double): Long =
+      new java.math.BigDecimal(v).setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    def close(st: GaState): Seq[GaOut] = {
+      // verdict for the closing current month vs the previous closed one
+      val verdict =
+        if (st.prevYm == 0 || st.prevYm < st.curYm - 1)
+          GaOut(0L, st.curYm, "new", st.curCents)
+        else if (st.curCents > st.prevCents)
+          GaOut(0L, st.curYm, "expansion", st.curCents - st.prevCents)
+        else if (st.curCents < st.prevCents)
+          GaOut(0L, st.curYm, "contraction", st.prevCents - st.curCents)
+        else GaOut(0L, st.curYm, "flat", 0L)
+      // a gap after the previous closed month is a churn at prev + 1
+      val churn =
+        if (st.prevYm != 0 && st.prevYm < st.curYm - 1)
+          Seq(GaOut(0L, st.prevYm + 1, "churned", st.prevCents))
+        else Seq.empty
+      churn :+ verdict
+    }
+    def update(userId: Long, it: Iterator[Event],
+      state: GroupState[GaState]): Iterator[GaOut] = {
+      val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      if (batch.isEmpty) return Iterator.empty
+      var st = state.getOption.getOrElse(GaState(0, 0L, 0, 0L))
+      val out = Seq.newBuilder[GaOut]
+      batch.foreach { e =>
+        val ym = ymOf(e.ts)
+        if (st.curYm == 0) st = st.copy(curYm = ym)
+        if (ym > st.curYm) {
+          out ++= close(st).map(_.copy(user_id = userId))
+          st = GaState(st.curYm, st.curCents, ym, 0L)
+        }
+        // an earlier month after its successor closed: fold into the
+        // open month (the documented never-retract divergence)
+        st = st.copy(curCents = st.curCents + centsOf(e.value))
+      }
+      state.update(st)
+      out.result().iterator
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stream-stream interval join: purchases attributed to the same user's
     * clicks within `horizon`. Both sides watermarked so join state is
     * bounded and evicted as event time advances — the attribution-join

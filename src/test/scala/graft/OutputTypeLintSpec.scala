@@ -63,6 +63,9 @@ class OutputTypeLintSpec extends SparkSpec {
     // reviewed r12: ann_ivf's readout served from the persisted index —
     // identical expression and oracle
     "ann_ivf_persisted" -> Set("cos"),
+    // reviewed r12: RBO's geometric weights — ≤10 identical terms per
+    // shared doc on both engines, one ROUND
+    "ann_rbo" -> Set("rbo10"),
     "ann_ivfpq_residual" -> Set("cos"),
     "ann_lsh" -> Set("cos"),
     "ann_mips" -> Set("score"),

@@ -879,6 +879,88 @@ class StreamingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $dim")
   }
 
+  test("bucketed ingest recovers a crash between move and commit exactly once") {
+    import spark.implicits._
+    val tbl = "graft_stream_bkt_recovery"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val batch = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("l_orderkey", "price")
+    Streams.landBucketedBatch(batch, tbl, 4, "l_orderkey", 0L)
+    assert(spark.table(tbl).count() === 3L)
+    // simulate the crash window the WAL closes: bucket files moved in,
+    // commit marker never written — recovery must UNDO the listed
+    // destinations and re-land, never append a second copy
+    val loc = new java.io.File(java.net.URI.create(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location.toString))
+    val landed = loc.listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+    assert(landed.nonEmpty)
+    assert(new java.io.File(loc, "_graft_batch_0").delete())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(loc.getPath, "_graft_batch_0.inflight"),
+      landed.mkString("\n"))
+    Streams.landBucketedBatch(batch, tbl, 4, "l_orderkey", 0L)
+    spark.catalog.refreshTable(tbl)
+    assert(spark.table(tbl).count() === 3L, "recovery doubled the batch")
+    assert(new java.io.File(loc, "_graft_batch_0").exists())
+    assert(!new java.io.File(loc, "_graft_batch_0.inflight").exists())
+    // and the recovered layout still carries the bucket spec: a merge
+    // join against itself plans no exchange
+    val self = spark.table(tbl).hint("merge").join(
+      spark.table(tbl).toDF("k2", "p2"),
+      org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("k2"))
+    val plan = self.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("stream_growth_accounting: month-close verdicts match q166's decomposition, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mts(month: Int, day: Int): Timestamp =
+      Timestamp.valueOf(f"2024-$month%02d-$day%02d 00:00:00")
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.growthAccounting(mem.toDS()).writeStream
+      .format("memory").queryName("ga").outputMode(OutputMode.Append).start()
+    try {
+      def rows() = spark.table("ga").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val (jan, feb, mar, apr, may) =
+        (2024 * 12 + 1, 2024 * 12 + 2, 2024 * 12 + 3, 2024 * 12 + 4,
+          2024 * 12 + 5)
+      // Jan 15.00 → Feb 20.00: Jan closes as 'new' when Feb opens
+      mem.addData(
+        Event(1, mts(1, 5), 10, "click", 10.00),
+        Event(2, mts(1, 9), 10, "click", 5.00),
+        Event(3, mts(2, 1), 10, "click", 20.00))
+      q.processAllAvailable()
+      assert(rows() === Set((10L, jan, "new", 1500L)))
+      // Mar opens → Feb closes as expansion (+5.00 vs Jan)
+      mem.addData(Event(4, mts(3, 2), 10, "click", 20.00))
+      q.processAllAvailable()
+      assert(rows() === Set((10L, jan, "new", 1500L),
+        (10L, feb, "expansion", 500L)))
+      // May opens → Mar closes flat (same cents as Feb)
+      mem.addData(Event(5, mts(5, 2), 10, "click", 1.00))
+      q.processAllAvailable()
+      assert(rows() === Set((10L, jan, "new", 1500L),
+        (10L, feb, "expansion", 500L), (10L, mar, "flat", 0L)))
+      // Jun opens → May closes: the Mar→May gap emits Apr 'churned'
+      // (Mar's full cents) and May re-enters as 'new' — exactly batch
+      // q166's full-outer decomposition on the same completed months
+      mem.addData(Event(6, mts(6, 2), 10, "click", 1.00))
+      q.processAllAvailable()
+      assert(rows() === Set((10L, jan, "new", 1500L),
+        (10L, feb, "expansion", 500L), (10L, mar, "flat", 0L),
+        (10L, apr, "churned", 2000L), (10L, may, "new", 100L)))
+    } finally q.stop()
+  }
+
   test("stream_projection: append-only partial parts, exact combined reads, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
