@@ -1403,7 +1403,163 @@ object Multimodal {
         .cast(LongType).as("id_checksum"))
   }
 
+  final case class ImageQuality(media_id: Long, kind: String, n_pixels: Long,
+    n_grays: Long, modal_cnt: Long)
+
+  // mm_image_quality — flatness audit, the image QUALITY filter next to
+  // the dedup lanes (a training pipeline drops near-uniform images —
+  // banners, color fills, letterbox mattes — before captioning): per
+  // image, the gray-level diversity (distinct gray values) and the modal
+  // gray's share in exact basis points, rolled up per container kind
+  // with a flat-image count at modal share > 50%. One decode + one
+  // 256-bin histogram per image inside mapPartitions (constant state),
+  // then a kind-sized aggregation; the oracle replays every pixel's
+  // gray value from the generator — all integer arithmetic, no FP.
+  val imageQuality = Q(
+    "mm_image_quality",
+    Some("""
+      WITH media AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image_ppm'
+                    ELSE 'image_bmp' END AS kind,
+               doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        FROM documents WHERE doc_id % 3 <> 2),
+      px AS (
+        SELECT doc_id, kind, w, h,
+               ((doc_id*7 + (p*3 + 0)*13) % 251
+              + (doc_id*7 + (p*3 + 1)*13) % 251
+              + (doc_id*7 + (p*3 + 2)*13) % 251) // 3 AS gray
+        FROM media, UNNEST(RANGE(0, w * h)) AS t(p)),
+      hist AS (
+        SELECT doc_id, kind, gray, COUNT(*) AS c
+        FROM px GROUP BY doc_id, kind, gray),
+      per_img AS (
+        SELECT doc_id, kind, SUM(c) AS n_pixels, COUNT(*) AS n_grays,
+               MAX(c) AS modal_cnt
+        FROM hist GROUP BY doc_id, kind)
+      SELECT kind,
+             CAST(COUNT(*) AS BIGINT) AS n_images,
+             CAST(SUM(n_pixels) AS BIGINT) AS n_pixels,
+             CAST(SUM(n_grays) * 100 // COUNT(*) AS BIGINT) AS avg_grays_x100,
+             CAST(SUM(modal_cnt * 10000 // n_pixels) // COUNT(*) AS BIGINT)
+               AS avg_modal_bp,
+             CAST(COUNT(CASE WHEN modal_cnt * 2 > n_pixels THEN 1 END)
+               AS BIGINT) AS n_flat
+      FROM per_img
+      GROUP BY kind
+      ORDER BY kind
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val perImg = mediaOf(t)
+      .filter(_.kind != "video")
+      .mapPartitions(_.map { b =>
+        val raster = b.kind match {
+          case "image_ppm" => PpmCodec.decode(b.payload)
+          case _           => BmpCodec.decode(b.payload)
+        }
+        val hist = new Array[Long](256)
+        var i = 0
+        while (i < raster.rgb.length) {
+          val gray = ((raster.rgb(i) & 0xff) + (raster.rgb(i + 1) & 0xff) +
+            (raster.rgb(i + 2) & 0xff)) / 3
+          hist(gray) += 1
+          i += 3
+        }
+        var grays = 0L; var modal = 0L; var n = 0L
+        hist.foreach { c =>
+          if (c > 0) { grays += 1; n += c; if (c > modal) modal = c }
+        }
+        ImageQuality(b.media_id, b.kind, n, grays, modal)
+      })
+      .toDF()
+    perImg.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("n_pixels")).as("n_pixels"),
+        expr("sum(n_grays) * 100 div count(1)").as("avg_grays_x100"),
+        expr("sum(modal_cnt * 10000 div n_pixels) div count(1)")
+          .as("avg_modal_bp"),
+        count(when(col("modal_cnt") * 2 > col("n_pixels"), 1)).as("n_flat"))
+      .select(col("kind"),
+        col("n_images").cast(LongType).as("n_images"),
+        col("n_pixels").cast(LongType).as("n_pixels"),
+        col("avg_grays_x100").cast(LongType).as("avg_grays_x100"),
+        col("avg_modal_bp").cast(LongType).as("avg_modal_bp"),
+        col("n_flat").cast(LongType).as("n_flat"))
+      .orderBy(col("kind"))
+  }
+
+  final case class AudioQuality(media_id: Long, n_channels: Long,
+    n_samples: Long, n_clipped: Long, n_silent: Long)
+
+  // mm_audio_quality — clipping / silence audit, the audio QUALITY
+  // filter beside mm_audio_vad's speech detection (a pipeline drops
+  // clips that are mostly clipped — distorted beyond use — or mostly
+  // silence): per decoded clip, samples at |v| ≥ 1900 (near the
+  // generator's ±2000 rail) and |v| ≤ 100, rolled up per channel
+  // count in exact basis points. One decode + three counters per clip,
+  // then a tiny aggregation; the oracle replays every PCM sample — all
+  // integer arithmetic.
+  val audioQuality = Q(
+    "mm_audio_quality",
+    Some("""
+      WITH clips AS (
+        SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS nch,
+               (doc_id % 500 + 100) - (doc_id % 500 + 100) % (doc_id % 2 + 1) AS n
+        FROM documents),
+      s AS (
+        SELECT doc_id, nch, (doc_id*7 + j*13) % 4001 - 2000 AS v
+        FROM clips, UNNEST(RANGE(0, n)) AS t(j)),
+      per_clip AS (
+        SELECT doc_id, nch, COUNT(*) AS n_samples,
+               COUNT(CASE WHEN ABS(v) >= 1900 THEN 1 END) AS n_clipped,
+               COUNT(CASE WHEN ABS(v) <= 100 THEN 1 END) AS n_silent
+        FROM s GROUP BY doc_id, nch)
+      SELECT nch AS n_channels,
+             CAST(COUNT(*) AS BIGINT) AS n_clips,
+             CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+             CAST(SUM(n_clipped) * 10000 // SUM(n_samples) AS BIGINT)
+               AS clipped_bp,
+             CAST(SUM(n_silent) * 10000 // SUM(n_samples) AS BIGINT)
+               AS silent_bp
+      FROM per_clip
+      GROUP BY nch
+      ORDER BY n_channels
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val channels = (id % 2 + 1).toInt
+        val n = (id % 500 + 100).toInt
+        val clip = WavCodec.decode(WavCodec.encode(generatePcm(id, channels, n)))
+        var clipped = 0L; var silent = 0L
+        clip.samples.foreach { v =>
+          val a = math.abs(v.toInt)
+          if (a >= 1900) clipped += 1
+          if (a <= 100) silent += 1
+        }
+        AudioQuality(id, clip.channels.toLong, clip.samples.length.toLong,
+          clipped, silent)
+      })
+      .toDF()
+      .groupBy(col("n_channels"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("n_samples")).as("n_samples"),
+        sum(col("n_clipped")).as("nc"),
+        sum(col("n_silent")).as("ns"))
+      .select(col("n_channels"),
+        col("n_clips").cast(LongType).as("n_clips"),
+        col("n_samples").cast(LongType).as("n_samples"),
+        expr("nc * 10000 div n_samples").cast(LongType).as("clipped_bp"),
+        expr("ns * 10000 div n_samples").cast(LongType).as("silent_bp"))
+      .orderBy(col("n_channels"))
+  }
+
   val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi,
     imageDedup, audioDedup, videoDedup, sceneCut, audioVad, letterbox,
-    audioResample, imageNearDup, audioNearDup, videoNearDup)
+    audioResample, imageNearDup, audioNearDup, videoNearDup, imageQuality,
+    audioQuality)
 }
