@@ -2865,10 +2865,43 @@ $pivots
       .orderBy(col("query_id"))
   }
 
+  // ann_cell_stats — IVF index-health audit: cell-population balance of
+  // the trained coarse quantizer (the first number an index operator
+  // checks — a hot cell is where probe latency, memory and the
+  // cell-bounded quadratic all concentrate; imbalance = max/avg in
+  // exact basis points, so max_pop·cells·10⁴ div total). Reuses the
+  // MEMOIZED cell assignment; the readout is one |cells|-row
+  // aggregation — free when any IVF/kNN operator already ran.
+  val cellStats = Q(
+    "ann_cell_stats",
+    Some(s"""
+      WITH ${ivfCtesSql(16, 4)},
+      pop AS (SELECT cell, COUNT(*) AS n FROM ac GROUP BY cell)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(MIN(n) AS BIGINT) AS min_pop,
+             CAST(MAX(n) AS BIGINT) AS max_pop,
+             CAST(SUM(n) AS BIGINT) AS n_vectors,
+             CAST(MAX(n) * COUNT(*) * 10000 // SUM(n) AS BIGINT)
+               AS imbalance_bp
+      FROM pop
+    """)
+  ) { t =>
+    knnAssigned(t)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), min(col("n")).as("min_pop"),
+        max(col("n")).as("max_pop"), sum(col("n")).as("n_vectors"))
+      .select(col("n_cells").cast(LongType).as("n_cells"),
+        col("min_pop").cast(LongType).as("min_pop"),
+        col("max_pop").cast(LongType).as("max_pop"),
+        col("n_vectors").cast(LongType).as("n_vectors"),
+        expr("max_pop * n_cells * 10000 div n_vectors")
+          .cast(LongType).as("imbalance_bp"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
     rpProject, diversify, graphSearch, matryoshka, binaryQuant, binaryRerank,
     centroidDrift, probeSweep, rrf, isotropy, knnPurity, knnMargin,
-    intrinsicDim, ivfPersisted, rbo)
+    intrinsicDim, ivfPersisted, rbo, cellStats)
 }

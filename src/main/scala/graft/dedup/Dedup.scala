@@ -2332,11 +2332,52 @@ object Dedup {
       .limit(20)
   }
 
+  // dedup_prefix — prefix-key near-dup: documents sharing their first 8
+  // normalized words collide, whatever follows — the truncation/
+  // continuation case (same page crawled to different depths, feeds cut
+  // at different lengths) that whole-text hashing misses and similarity
+  // dedup pays a banded join to approximate. Like dedup_bag this is ONE
+  // hash aggregation on a row-local canonical key (codegen'd
+  // slice+join), linear at any scale; the two keys catch orthogonal
+  // template failures (reorder vs truncate). Top clusters via
+  // TakeOrdered.
+  val prefixDedup = Q(
+    "dedup_prefix",
+    Some("""
+      WITH k AS (
+        SELECT doc_id,
+               array_to_string(list_slice(list_filter(
+                 STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                 x -> x <> ''), 1, 8), ' ') AS pk
+        FROM documents),
+      cl AS (
+        SELECT pk, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+        FROM k GROUP BY pk)
+      SELECT CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(min_doc_id AS BIGINT) AS min_doc_id,
+             CAST(LENGTH(pk) AS BIGINT) AS key_chars
+      FROM cl
+      ORDER BY n_docs DESC, min_doc_id
+      LIMIT 20
+    """)
+  ) { t =>
+    val k = t.documents.select(col("doc_id"),
+      array_join(slice(filter(words(lower(col("text"))), x => x =!= ""),
+        1, 8), " ").as("pk"))
+    k.groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .select(col("n_docs").cast(LongType).as("n_docs"),
+        col("min_doc_id").cast(LongType).as("min_doc_id"),
+        length(col("pk")).cast(LongType).as("key_chars"))
+      .orderBy(col("n_docs").desc, col("min_doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
     thresholdSweep, hubRank, canonical, editDistance, similarSearch,
     triangles, detectorAgreement, winnow, componentSizes, cdc, bbit,
-    bagDedup)
+    bagDedup, prefixDedup)
 }
