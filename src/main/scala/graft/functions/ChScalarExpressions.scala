@@ -616,6 +616,7 @@ object ChScalarKernels2 {
     val n = nodeAt(json.toString, path.map(_.toString).toSeq)
     if (n == null || !n.isArray) null else n.size().toLong
   }
+
 }
 
 /** n-ary JSON introspection over jackson (on Spark's classpath):

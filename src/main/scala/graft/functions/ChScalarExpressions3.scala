@@ -373,6 +373,14 @@ object ChScalarKernels3 {
     math.toDegrees(2 * math.asin(math.min(1.0, math.sqrt(a))))
   }
 
+  // ---- exact integer math long tail -----------------------------------
+  def intExp10(n: Int): Long = {
+    require(n >= 0 && n <= 18, "intExp10: exponent in [0, 18]")
+    var r = 1L; var i = 0
+    while (i < n) { r *= 10L; i += 1 }
+    r
+  }
+
   // ---- unbin ----------------------------------------------------------
   def unbin(s: UTF8String): UTF8String = {
     val str = s.toString
@@ -677,6 +685,20 @@ case class ChToDecimalStringExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
     l: Expression, r: Expression): ChToDecimalStringExpr =
     copy(left = l, right = r)
+}
+
+/** intExp10(n) → exact 10^n as Long (a Double pow loses exactness past
+  * 1e15; n in [0, 18]).
+  */
+case class ChIntExp10Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ChScalarKernels3.intExp10(v.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.ChScalarKernels3.intExp10($v)")
+  override protected def withNewChildInternal(c: Expression): ChIntExp10Expr =
+    copy(child = c)
 }
 
 /** greatCircleAngle(lon1, lat1, lon2, lat2) → degrees. */

@@ -1406,9 +1406,10 @@ object ClickHouseDialect {
     "tupleHammingDistance" -> (args =>
       ChTupleHammingExpr(args.head, args(1))),
     "toTypeName" -> (args => ChTypeNameExpr(one(args))),
-    "intExp10" -> (args => Cast(Pow(Literal(10.0d),
-      Cast(one(args), org.apache.spark.sql.types.DoubleType)),
-      org.apache.spark.sql.types.LongType)),
+    // exact Long 10^n — the earlier Cast(Pow(10.0, n)) form loses
+    // exactness past 1e15 (double mantissa), a wrong VALUE at n ≥ 16
+    "intExp10" -> (args => ChIntExp10Expr(
+      Cast(one(args), org.apache.spark.sql.types.IntegerType))),
     "lgamma" -> (args => ChGammaExpr(
       Cast(one(args), org.apache.spark.sql.types.DoubleType), log = true)),
     "tgamma" -> (args => ChGammaExpr(
@@ -1908,7 +1909,15 @@ object ClickHouseDialect {
       Cast(args.head, org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseDataType(ClickHouseSql.mapChType(String.valueOf(args(1).eval()))),
         None, EvalMode.TRY)
-    })
+    },
+    // ---- fourteenth batch: the math/date long tail that was still
+    // unmapped (the JSON family, exp/sigmoid/gcd/lcm, byteSize,
+    // countEqual, the relative-num family and best-effort parsing all
+    // exist in earlier batches) ----
+    "positiveModulo" -> (args => Pmod(args.head, args(1))),
+    "YYYYMMDDToDate" -> (args => new ParseToDate(
+      Cast(one(args), org.apache.spark.sql.types.StringType),
+      Literal("yyyyMMdd"))))
 
   private def toDArr(e: Expression): Expression =
     Cast(e, org.apache.spark.sql.types.ArrayType(

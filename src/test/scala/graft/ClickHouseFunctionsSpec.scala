@@ -324,4 +324,44 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(one("isNaN(nan())") === true)
     assert(one("isFinite(inf())") === false)
   }
+
+  test("fourteenth-batch dialect names: pinned values") {
+    graft.functions.ClickHouseDialect.register(spark)
+    def one(e: String): Any =
+      graft.functions.ClickHouseSql.sql(spark, s"SELECT $e AS v").head().get(0)
+    // JSON long tail (regression pins over the pre-existing mappings)
+    assert(one("JSONExtractFloat('{\"a\":1.5}', 'a')") === 1.5)
+    assert(one("JSONExtractBool('{\"a\":true}', 'a')") === true)
+    assert(one("JSONHas('{\"a\":1}', 'a')") === true)
+    assert(one("JSONHas('{\"a\":1}', 'b')") === false)
+    assert(one("JSONExtractKeys('{\"b\":1,\"a\":2}')") === Seq("b", "a"))
+    assert(one("JSONLength('{\"a\":1,\"b\":2}')") === 2L)
+    assert(one("JSONLength('[1,2,3]')") === 3L)
+    // math long tail: intExp10 is EXACT past the 2^53 double cliff
+    assert(one("exp2(10)") === 1024.0)
+    assert(one("intExp2(10)") === 1024L)
+    assert(one("intExp10(18)") === 1000000000000000000L)
+    assert(one("sigmoid(0.0)") === 0.5)
+    assert(one("tgamma(5.0)") === 24.0)
+    assert(one("gcd(12, 18)") === 6L)
+    assert(one("lcm(4, 6)") === 12L)
+    // exact lcm where the naive a·b/g product would overflow BIGINT
+    assert(one("lcm(4611686018427387904, 2)") === 4611686018427387904L)
+    assert(one("positiveModulo(-7, 3)") === 2)
+    // regression pins over the pre-existing byteSize (CH-exact: String
+    // carries the 9-byte length prefix)
+    assert(one("byteSize(CAST(1 AS BIGINT))") === 8L)
+    assert(one("byteSize('abc')") === 12L)
+    // date arithmetic long tail (regression pins + the new
+    // YYYYMMDDToDate inverse)
+    assert(one("toYYYYMMDDhhmmss(toDateTime('2024-01-02 03:04:05'))")
+      .toString === "20240102030405")
+    assert(one("YYYYMMDDToDate(20240102)").toString === "2024-01-02")
+    assert(one("YYYYMMDDToDate(toYYYYMMDD(toDate('2024-03-05')))")
+      .toString === "2024-03-05")
+    // membership long tail (regression pins)
+    assert(one("countEqual(array(1, 2, 1, 3), 1)") === 2)
+    assert(one("arrayElementOrNull(array(1, 2), 9)") === null)
+    assert(one("mapContains(map('a', 1), 'a')") === true)
+  }
 }
