@@ -158,6 +158,41 @@ object Bench {
     sb.toString
   }
 
+  /** Per-query scaling slope between a low-SF and a high-SF timing map:
+    * slope = hi/lo wall seconds. With testdata SFs 10x apart in rows, a
+    * LINEAR operator reads ~<=10 plus constant-cost dilution (usually
+    * well under); a slope past `flagRatio` (default 15 — the 10x row
+    * growth plus generous JIT/GC headroom) on a query whose high-SF
+    * median is at least `hiFloorSec` (tiny-timing ratios are noise, not
+    * scaling laws: 0.05 s -> 0.9 s is jitter either side) flags the
+    * query as empirically super-linear — the one failure mode no plan
+    * reading catches reliably. Pure; spec'd by BenchSpec. Returns
+    * (name, loSec, hiSec, slope, flagged) sorted slope-desc so the
+    * artifact leads with the worst scaler.
+    */
+  def scalingSlopes(lo: Map[String, Double], hi: Map[String, Double],
+    flagRatio: Double = 15.0, hiFloorSec: Double = 2.0)
+    : Seq[(String, Double, Double, Double, Boolean)] =
+    hi.keys.toSeq.filter(lo.contains).map { k =>
+      val l = lo(k); val h = hi(k)
+      val slope = h / math.max(l, 1e-9)
+      (k, l, h, slope, slope > flagRatio && h >= hiFloorSec)
+    }.sortBy { case (n, _, _, s, _) => (-s, n) }
+
+  /** Parse a /tmp/graft_bench_full.json dump back into per-query rep
+    * seconds (errored reps are dropped; a query whose every rep errored
+    * is absent). The dump is written by this object, so the shape is
+    * closed: `"name":{"sec":[…],…}`. Pure; spec'd by BenchSpec.
+    */
+  def parseFullDump(txt: String): Map[String, Seq[Double]] =
+    "\"([A-Za-z0-9_]+)\":\\{\"sec\":\\[([^\\]]*)\\]".r
+      .findAllMatchIn(txt).map { m =>
+        val secs = m.group(2).split(",").toSeq.map(_.trim)
+          .filter(s => s.nonEmpty && !s.contains("err"))
+          .map(_.toDouble)
+        m.group(1) -> secs
+      }.filter(_._2.nonEmpty).toMap
+
   /** (steal, total) jiffies from /proc/stat's aggregate cpu line, or None
     * on non-Linux / restricted environments.
     */

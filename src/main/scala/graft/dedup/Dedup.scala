@@ -2296,10 +2296,15 @@ object Dedup {
   // and similarity dedup pays a banded join to approximate. The
   // canonical form is the sorted token array re-joined (a per-row
   // map-local transform — no UDF, Spark's codegen'd sort_array), so the
-  // whole operator is ONE hash aggregation on the canonical key: the
-  // same linear scan + shuffle-on-key shape as dedup_exact, at any
-  // scale. Readout: corpus totals plus the top clusters (count desc,
-  // min doc id) — TakeOrdered heap, never a global sort.
+  // whole operator is ONE hash aggregation: the same linear scan +
+  // shuffle-on-key shape as dedup_exact, at any scale. The GROUP KEY is
+  // md5(bag), not the bag itself (like dedup_exact's md5(lower(text)),
+  // Dedup.scala:56) — at 100 TB a document-sized shuffle key IS the
+  // corpus; 16 hash bytes cross the wire instead, and bag_chars is
+  // computed row-locally before the shuffle (per-group constant, so
+  // max() re-reads it exactly). Readout: corpus totals plus the top
+  // clusters (count desc, min doc id) — TakeOrdered heap, never a
+  // global sort.
   val bagDedup = Q(
     "dedup_bag",
     Some("""
@@ -2320,14 +2325,18 @@ object Dedup {
       LIMIT 20
     """)
   ) { t =>
-    val canon = t.documents.select(col("doc_id"),
-      array_join(sort_array(filter(words(lower(col("text"))), x => x =!= "")),
-        " ").as("bag"))
-    canon.groupBy(col("bag"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+    val canon = t.documents
+      .select(col("doc_id"),
+        array_join(sort_array(filter(words(lower(col("text"))), x => x =!= "")),
+          " ").as("bag"))
+      .select(col("doc_id"), md5(col("bag")).as("bag_key"),
+        length(col("bag")).cast(LongType).as("bag_chars"))
+    canon.groupBy(col("bag_key"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"),
+        max(col("bag_chars")).as("bag_chars"))
       .select(col("n_docs").cast(LongType).as("n_docs"),
         col("min_doc_id").cast(LongType).as("min_doc_id"),
-        length(col("bag")).cast(LongType).as("bag_chars"))
+        col("bag_chars"))
       .orderBy(col("n_docs").desc, col("min_doc_id"))
       .limit(20)
   }

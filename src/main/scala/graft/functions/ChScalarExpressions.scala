@@ -708,6 +708,15 @@ case class ChDecimalTruncDivExpr(left: Expression, right: Expression,
   * by-number forms) — arity is resolution-time, so eval walks the
   * struct fields; numeric fields computed in their own type (integral
   * fields in exact Long arithmetic — see combine).
+  *
+  * CodegenFallback BY DECISION, not leftover: the per-field type
+  * dispatch (Decimal/Long/Double arms × 4 ops × N fields) would need
+  * per-field generated branches for a struct-valued expression that
+  * only ever runs row-narrow (CH tuples are hand-built coordinate/pair
+  * values, never fact-table columns), and the fallback sits INSIDE the
+  * enclosing WholeStageCodegen span (Spark wraps it in-place — the
+  * span does not split). Interpreter cost is bounded by tuple width;
+  * the hot paths (fact scans, joins, aggregations) never see it.
   */
 case class ChTupleArithExpr(left: Expression, right: Option[Expression],
   op: String) extends Expression

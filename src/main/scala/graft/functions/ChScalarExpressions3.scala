@@ -118,7 +118,11 @@ object ChScalarKernels3 {
     var t = d0
     var s = 1L
     while (s < (1L << 32) && s > 0) {
-      val rx = 1L & (t / 2)
+      // UNSIGNED bit extraction: d wraps past 2^63 (negative Long) for
+      // coords >= 2^31, where signed `/ 2` and `/ 4` truncate toward
+      // zero and extract the wrong bits — >>> keeps decode the exact
+      // inverse of encode over the full 32-bit coordinate domain
+      val rx = 1L & (t >>> 1)
       val ry = 1L & (t ^ rx)
       // rotate back
       if (ry == 0L) {
@@ -127,7 +131,7 @@ object ChScalarKernels3 {
       }
       x += s * rx
       y += s * ry
-      t /= 4
+      t >>>= 2
       s <<= 1
     }
     (x, y)
@@ -619,7 +623,8 @@ case class ChArrayKernelExpr3(children: Seq[Expression], fn: String)
 
 /** multiSearchFirstPosition / multiSearchAllPositions / hasToken over
   * (haystack, needles) — byte-position semantics like CH (1-based, 0 =
-  * not found).
+  * not found): positions count UTF-8 BYTES, not chars, so a non-ASCII
+  * haystack prefix shifts them exactly as ClickHouse reports.
   */
 case class ChMultiSearchExpr3(left: Expression, right: Expression, fn: String)
   extends BinaryExpression
@@ -630,25 +635,41 @@ case class ChMultiSearchExpr3(left: Expression, right: Expression, fn: String)
     case _ => LongType
   }
   override def nullIntolerant: Boolean = true
-  private def pos(hay: String, needle: String): Long =
-    (hay.indexOf(needle) + 1).toLong
+  // 1-based UTF-8 byte position of needle in hay (0 = absent): a plain
+  // byte-array scan — valid UTF-8 never matches a needle mid-codepoint,
+  // so byte search and codepoint search agree on WHICH occurrence is
+  // first, while the byte offset matches CH's position() arithmetic
+  private def pos(hay: Array[Byte], needle: Array[Byte]): Long = {
+    if (needle.length == 0) return 1L
+    var i = 0
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return (i + 1).toLong
+      i += 1
+    }
+    0L
+  }
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val hay = a.asInstanceOf[UTF8String].toString
     fn match {
       case "hastoken" =>
+        val hay = a.asInstanceOf[UTF8String].toString
         val tok = b.asInstanceOf[UTF8String].toString
         val re = java.util.regex.Pattern.compile(
           "(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(tok) +
             "(?![A-Za-z0-9_])")
         re.matcher(hay).find()
       case "allpositions" =>
+        val hay = a.asInstanceOf[UTF8String].getBytes
         val needles = b.asInstanceOf[ArrayData]
         new GenericArrayData((0 until needles.numElements()).map(i =>
-          pos(hay, needles.getUTF8String(i).toString)).toArray)
+          pos(hay, needles.getUTF8String(i).getBytes)).toArray)
       case _ => // firstposition: smallest found position, 0 if none
+        val hay = a.asInstanceOf[UTF8String].getBytes
         val needles = b.asInstanceOf[ArrayData]
         val found = (0 until needles.numElements())
-          .map(i => pos(hay, needles.getUTF8String(i).toString))
+          .map(i => pos(hay, needles.getUTF8String(i).getBytes))
           .filter(_ > 0)
         if (found.isEmpty) 0L else found.min
     }

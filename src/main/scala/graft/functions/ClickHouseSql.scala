@@ -646,8 +646,16 @@ object ClickHouseSql {
     * this.
     */
   private[graft] def footerStatsOf(spark: SparkSession,
-    table: String): Seq[(String, Long, Long)] = {
-    val files = dataFilesOf(spark, table)
+    table: String): Seq[(String, Long, Long)] =
+    footerStatsOf(spark, table, dataFilesOf(spark, table))
+
+  /** As [[footerStatsOf]] with the file list pre-computed — the
+    * system-table builders list each table ONCE (to pick the paging
+    * grain) and pass the list through, so a system.* query costs one
+    * FS listing per table, not two.
+    */
+  private[graft] def footerStatsOf(spark: SparkSession,
+    table: String, files: Seq[String]): Seq[(String, Long, Long)] = {
     if (files.isEmpty) return Nil
     val md = java.security.MessageDigest.getInstance("MD5")
     files.foreach(f => md.update(f.getBytes("UTF-8")))
@@ -698,8 +706,14 @@ object ClickHouseSql {
     * — never a second footer pass.
     */
   private[graft] def footerPartitionStatsOf(spark: SparkSession,
-    table: String): Seq[(String, Long, Long, Long)] = {
-    val files = dataFilesOf(spark, table)
+    table: String): Seq[(String, Long, Long, Long)] =
+    footerPartitionStatsOf(spark, table, dataFilesOf(spark, table))
+
+  /** As [[footerPartitionStatsOf]] with the file list pre-computed —
+    * see the [[footerStatsOf]] overload for why.
+    */
+  private[graft] def footerPartitionStatsOf(spark: SparkSession,
+    table: String, files: Seq[String]): Seq[(String, Long, Long, Long)] = {
     if (files.isEmpty) return Nil
     val md = java.security.MessageDigest.getInstance("MD5")
     files.foreach(f => md.update(f.getBytes("UTF-8")))
@@ -765,13 +779,16 @@ object ClickHouseSql {
         visibleTables(spark).foreach { t =>
           if (isBaseTable(spark, t)) try {
             // totals ride the partition-grain memo for paged tables —
-            // the driver never holds a per-file tuple list it doesn't need
+            // the driver never holds a per-file tuple list it doesn't
+            // need, and the table is LISTED ONCE (grain pick + stats
+            // share the same file list)
+            val files = dataFilesOf(spark, t)
             val (totRows, totBytes) =
-              if (dataFilesOf(spark, t).length > partsPageThreshold(spark)) {
-                val ps = footerPartitionStatsOf(spark, t)
+              if (files.length > partsPageThreshold(spark)) {
+                val ps = footerPartitionStatsOf(spark, t, files)
                 (ps.map(_._3).sum, ps.map(_._4).sum)
               } else {
-                val stats = footerStatsOf(spark, t)
+                val stats = footerStatsOf(spark, t, files)
                 (stats.map(_._2).sum, stats.map(_._3).sum)
               }
             rows.add(Row(t, engineTextOf(t),
@@ -803,12 +820,14 @@ object ClickHouseSql {
         visibleTables(spark).foreach { t =>
           if (isBaseTable(spark, t)) try {
             // paged tables report PARTITION grain (aggregated on the
-            // cluster — driver rows bounded by |partitions|, not |files|)
-            if (dataFilesOf(spark, t).length > partsPageThreshold(spark))
-              footerPartitionStatsOf(spark, t).foreach { case (p, n, r, b) =>
-                rows.add(Row(t, p, s"<$n files>", r, b))
+            // cluster — driver rows bounded by |partitions|, not
+            // |files|); one listing feeds both the grain pick and stats
+            val files = dataFilesOf(spark, t)
+            if (files.length > partsPageThreshold(spark))
+              footerPartitionStatsOf(spark, t, files).foreach {
+                case (p, n, r, b) => rows.add(Row(t, p, s"<$n files>", r, b))
               }
-            else footerStatsOf(spark, t).foreach { case (f, r, b) =>
+            else footerStatsOf(spark, t, files).foreach { case (f, r, b) =>
               rows.add(Row(t, partitionOfPath(f),
                 f.substring(f.lastIndexOf('/') + 1), r, b))
             }

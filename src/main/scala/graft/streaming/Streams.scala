@@ -314,7 +314,14 @@ object Streams {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commit = new Path(loc, s"_graft_batch_$batchId")
     val intent = new Path(loc, s"_graft_batch_$batchId.inflight")
-    if (fs.exists(commit)) return
+    val staging = table + s"__staging_$batchId"
+    if (fs.exists(commit)) {
+      // a crash between marker creation and staging cleanup would leak
+      // the staging table into the catalog forever — the replay is the
+      // only actor that ever sees this state, so it sweeps it here
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      return
+    }
     if (fs.exists(intent)) {
       val in = fs.open(intent)
       val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -324,7 +331,6 @@ object Streams {
     }
     // stage as a real bucketed table: the bucket-id file naming the
     // target reader keys on comes from the SAME writer
-    val staging = table + s"__staging_$batchId"
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     batch.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, key).sortBy(key).saveAsTable(staging)

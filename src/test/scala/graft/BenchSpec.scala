@@ -158,6 +158,40 @@ class BenchSpec extends AnyFunSuite {
     finally dir.delete()
   }
 
+  test("scaling slopes: hi/lo ratio, flag only super-linear AND non-trivial") {
+    val lo = Map("linear" -> 0.5, "super" -> 0.3, "tiny" -> 0.05,
+      "const" -> 1.0, "lo_only" -> 2.0)
+    val hi = Map("linear" -> 4.8, "super" -> 9.0, "tiny" -> 0.9,
+      "const" -> 1.1, "hi_only" -> 3.0)
+    val s = Bench.scalingSlopes(lo, hi).map(t => t._1 -> t).toMap
+    // linear: 9.6x on 10x rows — not flagged
+    assert(!s("linear")._5 && math.abs(s("linear")._4 - 9.6) < 1e-9)
+    // super: 30x and hi >= 2 s — flagged
+    assert(s("super")._5)
+    // tiny: 18x ratio but hi under the floor — jitter, not a scaling law
+    assert(!s("tiny")._5)
+    // constant-cost query: slope ~1, never flagged
+    assert(!s("const")._5)
+    // a query present on only one side never produces a slope
+    assert(!s.contains("lo_only") && !s.contains("hi_only"))
+    // worst scaler leads the artifact
+    assert(Bench.scalingSlopes(lo, hi).head._1 === "super")
+  }
+
+  test("full-dump parse: rep arrays back out, errored reps dropped") {
+    val txt = """{"q_a":{"sec":[1.5,2.5,2.0],"gc_ms":[10,20,30],""" +
+      """"cache_mem_mb":[1,1,1],"cache_disk_mb":[0,0,0]},""" +
+      """"q_b":{"sec":["err",3.0],"gc_ms":[0,0],"cache_mem_mb":[0,0],""" +
+      """"cache_disk_mb":[0,0]},""" +
+      """"q_dead":{"sec":["err"],"gc_ms":[0],"cache_mem_mb":[0],""" +
+      """"cache_disk_mb":[0]}}"""
+    val m = Bench.parseFullDump(txt)
+    assert(m("q_a") === Seq(1.5, 2.5, 2.0))
+    assert(m("q_b") === Seq(3.0))
+    assert(!m.contains("q_dead"))
+    assert(Bench.median(m("q_a")) === 2.0)
+  }
+
   test("line stays within the log-tail budget even with many queries") {
     val many = (1 to 300).map(i =>
       Timing(s"very_long_query_name_number_$i", i * 0.01, err = false))

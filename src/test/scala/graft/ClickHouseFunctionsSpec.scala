@@ -266,6 +266,14 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(one("hilbertDecode(2, hilbertEncode(3, 4))").toString === "[3,4]")
     assert(one("hilbertDecode(2, hilbertEncode(123456, 654321))").toString ===
       "[123456,654321]")
+    // coords >= 2^31 push d past 2^63 (Long wrap) — decode must stay
+    // the exact inverse via UNSIGNED bit extraction (>>> not /)
+    assert(one("hilbertDecode(2, hilbertEncode(4198735385, 2147483648))")
+      .toString === "[4198735385,2147483648]")
+    assert(one("hilbertDecode(2, hilbertEncode(4294967295, 4294967295))")
+      .toString === "[4294967295,4294967295]")
+    assert(one("hilbertDecode(2, hilbertEncode(2147483648, 0))")
+      .toString === "[2147483648,0]")
     // IDNA / punycode via the JDK codec
     assert(one("idnaEncode('münchen.de')").toString === "xn--mnchen-3ya.de")
     assert(one("idnaDecode('xn--mnchen-3ya.de')").toString === "münchen.de")
@@ -289,6 +297,11 @@ class ClickHouseFunctionsSpec extends SparkSpec {
       === 7L)
     assert(one("multiSearchAllPositions('hello world', array('lo', 'zzz'))")
       === Seq(4L, 0L))
+    // BYTE positions (CH semantics): 'é' is 2 UTF-8 bytes, so 'llo'
+    // in 'héllo' sits at byte 4, not char 3
+    assert(one("multiSearchFirstPosition('héllo', array('llo'))") === 4L)
+    assert(one("multiSearchAllPositions('héllo wörld', array('llo', 'rld'))")
+      === Seq(4L, 11L))
     assert(one("hasToken('a bc def', 'bc')") === true)
     assert(one("hasToken('abc def', 'bc')") === false)
     // array long tail

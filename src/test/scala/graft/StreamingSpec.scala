@@ -918,6 +918,28 @@ class StreamingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("bucketed ingest replay sweeps a staging table orphaned after the commit marker") {
+    import spark.implicits._
+    val tbl = "graft_stream_bkt_sweep"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val batch = Seq((1L, 10.0), (2L, 20.0)).toDF("l_orderkey", "price")
+    Streams.landBucketedBatch(batch, tbl, 4, "l_orderkey", 0L)
+    // simulate a crash AFTER the commit marker but BEFORE the staging
+    // drop: the marker short-circuits every future replay, so unless
+    // the early-return path sweeps it, the staging table would leak
+    // into the catalog forever
+    val staging = tbl + "__staging_0"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("l_orderkey", "price")
+      .write.format("parquet").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable(staging)
+    assert(spark.catalog.tableExists(staging))
+    Streams.landBucketedBatch(batch, tbl, 4, "l_orderkey", 0L)
+    assert(!spark.catalog.tableExists(staging),
+      "replay left the orphaned staging table in the catalog")
+    assert(spark.table(tbl).count() === 2L)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("stream_growth_accounting: month-close verdicts match q166's decomposition, state bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
