@@ -1558,8 +1558,124 @@ object Multimodal {
       .orderBy(col("n_channels"))
   }
 
+  final case class VideoQuality(media_id: Long, w: Long, nf: Long,
+    luma_sum: Long, flicker: Long, n_frozen: Long)
+
+  // mm_video_quality — frozen-frame / flicker audit, completing the
+  // QUALITY triad (mm_image_quality: flatness; mm_audio_quality:
+  // clipping/silence) on the video lane: a training pipeline drops
+  // clips that are mostly STATIC (screen recordings idling, slate
+  // cards, stuck encoders) before captioning, and flags brightness
+  // instability. Per decoded frame: the luma sum (brightness) and the
+  // 8-bit row signature ([[frameSigOf]] — shared with mm_video_neardup
+  // and the dedup key); per clip: frozen transitions (consecutive
+  // frames whose signatures MATCH — the cheap static-content screen a
+  // production pipeline runs before any byte compare) and total
+  // flicker (absolute brightness step between consecutive frames).
+  // Rolled up per width in exact integer arithmetic: mean luma and
+  // mean flicker ×100, frozen transition and affected-clip counts.
+  // One decode + two longs of sequential state per clip inside
+  // mapPartitions (no shuffle until the width-sized groupBy) — the
+  // same scale shape as mm_scene_cut; the oracle replays every luma
+  // byte and signature bit from the shared Y4M generator.
+  val videoQuality = Q(
+    "mm_video_quality",
+    Some("""
+      WITH clips AS (
+        SELECT doc_id, 8 + (doc_id % 3) * 4 AS w, 8 AS h, doc_id % 6 + 3 AS nf
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, nf, f, p // w AS r,
+               (doc_id * 7 + (f * w * h + p) * 13) % 251 AS v
+        FROM clips, UNNEST(RANGE(0, nf)) AS t(f),
+                    UNNEST(RANGE(0, w * h)) AS t2(p)),
+      rows_ AS (
+        SELECT doc_id, w, nf, f, r, SUM(v) AS rs
+        FROM px GROUP BY doc_id, w, nf, f, r),
+      bits AS (
+        SELECT l.doc_id, l.w, l.nf, l.f,
+               CASE WHEN l.rs > rr.rs THEN (1::BIGINT << l.r) ELSE 0 END AS bv,
+               l.rs AS band_sum
+        FROM rows_ l JOIN rows_ rr
+          ON rr.doc_id = l.doc_id AND rr.f = l.f AND rr.r = (l.r + 1) % 8),
+      fr AS (
+        SELECT doc_id, w, nf, f, SUM(bv) AS sig, SUM(band_sum) AS s
+        FROM bits GROUP BY doc_id, w, nf, f),
+      steps AS (
+        SELECT doc_id, w, nf, f, s, sig,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY f) AS ps,
+               LAG(sig) OVER (PARTITION BY doc_id ORDER BY f) AS psig
+        FROM fr),
+      per_clip AS (
+        SELECT doc_id, w, MAX(nf) AS nf, SUM(s) AS luma_sum,
+               COALESCE(SUM(ABS(s - ps)), 0) AS flicker,
+               COUNT(CASE WHEN sig = psig THEN 1 END) AS n_frozen
+        FROM steps GROUP BY doc_id, w)
+      SELECT CAST(w AS BIGINT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_clips,
+             CAST(SUM(nf) AS BIGINT) AS n_frames,
+             CAST(SUM(luma_sum) * 100 // (SUM(nf) * w * 8) AS BIGINT)
+               AS mean_luma_x100,
+             CAST(SUM(flicker) * 100 // (SUM(nf) - COUNT(*)) AS BIGINT)
+               AS mean_flicker_x100,
+             CAST(SUM(n_frozen) AS BIGINT) AS n_frozen,
+             CAST(COUNT(CASE WHEN n_frozen > 0 THEN 1 END) AS BIGINT)
+               AS n_clips_frozen
+      FROM per_clip
+      GROUP BY w
+      ORDER BY w
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val perClip = t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + (id % 3) * 4).toInt
+        val h = 8
+        val nf = (id % 6 + 3).toInt
+        val clip = Y4mCodec.decode(Y4mCodec.encode(w, h, 30, 1,
+          (0 until nf).map(f => generateLuma(id, w, h, f))))
+        var lumaSum = 0L; var flicker = 0L; var frozen = 0L
+        var prevS = 0L; var prevSig = -1L
+        var f = 0
+        while (f < clip.frames.length) {
+          val fr = clip.frames(f)
+          var s = 0L
+          var p = 0
+          while (p < fr.length) { s += fr(p) & 0xff; p += 1 }
+          val sig = frameSigOf(fr, clip.width, clip.height)
+          if (f > 0) {
+            flicker += math.abs(s - prevS)
+            if (sig == prevSig) frozen += 1
+          }
+          lumaSum += s
+          prevS = s; prevSig = sig
+          f += 1
+        }
+        VideoQuality(id, w.toLong, nf.toLong, lumaSum, flicker, frozen)
+      })
+      .toDF()
+    perClip.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("nf")).as("n_frames"),
+        sum(col("luma_sum")).as("ls"),
+        sum(col("flicker")).as("fl"),
+        sum(col("n_frozen")).as("nfz"),
+        count(when(col("n_frozen") > 0, 1)).as("n_clips_frozen"))
+      .select(col("w").cast(LongType).as("w"),
+        col("n_clips").cast(LongType).as("n_clips"),
+        col("n_frames").cast(LongType).as("n_frames"),
+        expr("ls * 100 div (n_frames * w * 8)").cast(LongType)
+          .as("mean_luma_x100"),
+        expr("fl * 100 div (n_frames - n_clips)").cast(LongType)
+          .as("mean_flicker_x100"),
+        col("nfz").cast(LongType).as("n_frozen"),
+        col("n_clips_frozen").cast(LongType).as("n_clips_frozen"))
+      .orderBy(col("w"))
+  }
+
   val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi,
     imageDedup, audioDedup, videoDedup, sceneCut, audioVad, letterbox,
     audioResample, imageNearDup, audioNearDup, videoNearDup, imageQuality,
-    audioQuality)
+    audioQuality, videoQuality)
 }

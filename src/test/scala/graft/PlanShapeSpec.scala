@@ -550,6 +550,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!idim.contains("CartesianProduct"), idim.take(2000))
   }
 
+  test("r13 additions keep their scale shapes") {
+    // mm_video_quality: decode + sequential frozen/flicker state live
+    // per clip inside one mapPartitions — no join at all (the only
+    // shuffle is the width-sized final groupBy), and NO per-clip window
+    // over the frame stream
+    val vq = planOf("mm_video_quality")
+    assert(!vq.contains("CartesianProduct") &&
+      !vq.contains("BroadcastNestedLoopJoin") &&
+      !vq.contains("SortMergeJoin") && !vq.contains("Window"),
+      vq.take(2000))
+    // dedup_bag groups on the 16-byte md5 of the canonical bag — the
+    // full normalized document text must never be the shuffle key
+    val bag = planOf("dedup_bag")
+    assert(bag.contains("md5"), bag.take(2000))
+    assert(!bag.contains("CartesianProduct"), bag.take(2000))
+  }
+
   test("q143_bucketed_join: bucketed scans feed the merge join with no exchange") {
     val plan = planOf("q143_bucketed_join")
     assert(plan.contains("SortMergeJoin"), plan.take(2000))
