@@ -375,6 +375,32 @@ object Ann {
     * proportional to cells probed, not corpus), and a new session serves
     * the index without retraining anything.
     */
+  /** Coarse-quantizer cell assignment — THE one formula both the batch
+    * index build ([[persistedIvf]]) and the streaming ingest
+    * (Streams.annIngest) run, so online and offline assignment can
+    * never drift: integer-grid qv (floor ×1024 — FP-order-stable),
+    * broadcast centroids, argmin dist² with ties on centroid id.
+    * Input: (vec_id, embedding[Float]); centroids: (cid, cv[Double]);
+    * output: (vec_id, cell, embedding). The corpus side is never
+    * shuffled — the only wide op is the per-vector argmin aggregate.
+    */
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    // self-registering: callers outside a Tables session (the streaming
+    // ingest's micro-batch clone, a bare serving session) still resolve
+    // the codegen'd dist² kernel; idempotent on sessions that have it
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    vectors
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1024).cast(DoubleType)).as("qv"))
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        dist2(col("qv"), col("cv")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cell"),
+        first(col("embedding")).as("embedding"))
+  }
+
   private def persistedIvf(t: Tables): (DataFrame, DataFrame) = synchronized {
     val spark = t.spark
     val tag = java.lang.Long.toHexString(t.dir.hashCode.toLong & 0xffffffffL)
@@ -382,14 +408,9 @@ object Ann {
     val centsT = s"graft_ivf_cents_$tag"
     if (!spark.catalog.tableExists(cellsT) ||
       !spark.catalog.tableExists(centsT)) {
-      val emb = ivfEmb(t)
       val centroids = ivfCentroids(t, 16)
-      val corpus = emb.join(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          dist2(col("qv"), col("cv")).as("dist"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cell"),
-          first(col("embedding")).as("embedding"))
+      val corpus = assignCells(t.embeddings.select(col("vec_id"),
+        col("embedding")), centroids)
       if (!spark.catalog.tableExists(centsT)) {
         clearStale(spark, centsT)
         centroids.write.format("parquet").saveAsTable(centsT)

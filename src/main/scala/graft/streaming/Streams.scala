@@ -352,6 +352,82 @@ object Streams {
     spark.catalog.refreshTable(table)
   }
 
+  /** Streaming ANN ingest — the ANN family's streaming analog (dedup
+    * has stream_neardup; the IVF index had none): assign arriving
+    * vectors to the PERSISTED index's cells ONLINE and append them
+    * cell-partitioned, so the batch probe queries read stream-landed
+    * vectors with the same partition pruning as the build-time corpus.
+    * The assignment IS ann_ivf_persisted's — Ann.assignCells, the one
+    * shared formula (integer-grid qv, broadcast centroids, argmin
+    * dist² with centroid-id ties), called against the centroids READ
+    * BACK from the persisted `centsTable`, so online and offline
+    * assignment cannot drift. Exactly-once rides the partitionedIngest
+    * protocol (stage → intent → move → commit marker): a replayed
+    * batch whose marker exists is a no-op; a batch that died mid-move
+    * is undone from the intent log. At 100 TB: each micro-batch pays
+    * |batch|×C distance evaluations map-side (centroids broadcast,
+    * corpus never shuffled) and appends only its own files — a probe
+    * reads its nprobe cell DIRECTORIES, never the history.
+    */
+  def annIngest(vectors: DataFrame, centsTable: String, path: String,
+    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        landAnnBatch(batch, centsTable, path, batchId)
+      }
+      .start()
+
+  /** One [[annIngest]] batch (exposed for the equivalence/replay spec):
+    * online cell assignment via the shared formula, then the
+    * stage→intent→move→commit landing under `cell=<id>/` directories.
+    */
+  private[graft] def landAnnBatch(
+    batch: Dataset[org.apache.spark.sql.Row], centsTable: String,
+    path: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val commit = new Path(path + s"/_graft_batch_$batchId")
+    val intent = new Path(path + s"/_graft_batch_$batchId.inflight")
+    val staging = new Path(path + s"/._staging_$batchId")
+    if (fs.exists(commit)) return
+    if (fs.exists(intent)) {
+      val in = fs.open(intent)
+      val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toVector finally in.close()
+      listed.foreach(p => fs.delete(new Path(p), false))
+      fs.delete(intent, false)
+    }
+    fs.delete(staging, true)
+    graft.ann.Ann.assignCells(batch.toDF(), spark.table(centsTable))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    val moves = fs.listStatus(staging).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .flatMap { dir =>
+        fs.listStatus(dir.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(f => (f.getPath,
+            new Path(new Path(root, dir.getPath.getName), f.getPath.getName)))
+      }
+    val out = fs.create(intent, true)
+    try out.write(moves.map(_._2.toString).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    moves.foreach { case (src, dst) =>
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"ann ingest: move $src -> $dst failed")
+    }
+    fs.create(commit, true).close()
+    fs.delete(intent, false)
+    fs.delete(staging, true)
+  }
+
   /** Streaming projection maintenance — the streaming twin of the CH
     * dialect's INSERT-side projection contract (ClickHouseSql: every
     * new part carries its own partial aggregates): each micro-batch

@@ -940,6 +940,82 @@ class StreamingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("stream_ann_ingest: online cell assignment == batch assignment, replay-safe, probe prunes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val centsT = "graft_stream_ann_cents"
+    val dir = java.nio.file.Files.createTempDirectory("ann_ingest").toFile
+    val path = new java.io.File(dir, "cells").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    spark.sql(s"DROP TABLE IF EXISTS $centsT")
+    // sweep a stale warehouse dir a dead session may have left (the
+    // catalog entry is gone after the DROP; the directory may not be)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), centsT))
+    // a persisted 2-centroid quantizer: cell 0 near the origin, cell 1
+    // out along every axis — assignment is unambiguous by construction
+    Seq((0L, Array(0.0, 0.0, 0.0)), (1L, Array(10.0 * 1024, 10.0 * 1024,
+      10.0 * 1024))).toDF("cid", "cv").write.saveAsTable(centsT)
+    def vec(id: Long, base: Float): (Long, Array[Float]) =
+      (id, Array(base, base + 0.25f, base + 0.5f))
+    val b0 = Seq(vec(1, 0.1f), vec(2, 9.9f), vec(3, 0.2f))
+    val b1 = Seq(vec(4, 9.7f), vec(5, 0.3f))
+    // the streaming path end-to-end: MemoryStream → annIngest
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.annIngest(
+      mem.toDF().toDF("vec_id", "embedding"), centsT, path, ckpt)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // online assignment == the batch formula over the same vectors —
+    // Ann.assignCells against the same persisted centroids
+    val expected = graft.ann.Ann.assignCells(
+      (b0 ++ b1).toDF("vec_id", "embedding"), spark.table(centsT))
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def landed() = spark.read.parquet(path)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet
+    assert(landed() === expected)
+    assert(expected.map(_._2) === Set(0L, 1L), "both cells exercised")
+    // replay of a committed batch is a no-op (marker short-circuits)
+    Streams.landAnnBatch(b0.toDF("vec_id", "embedding"), centsT, path, 0L)
+    assert(spark.read.parquet(path).count() === 5L)
+    // crash between move and commit: land a THIRD batch, then strip its
+    // marker and reconstruct its intent log (the files added by it) —
+    // recovery must undo the listed moves and re-land exactly once
+    val root = new java.io.File(path)
+    def dataFiles(): Set[java.io.File] = Option(root.listFiles()).get
+      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+      .flatMap(d => d.listFiles().filter(f =>
+        f.isFile && f.getName.endsWith(".parquet"))).toSet
+    val before = dataFiles()
+    val b2 = Seq(vec(6, 9.8f), vec(7, 0.4f))
+    Streams.landAnnBatch(b2.toDF("vec_id", "embedding"), centsT, path, 2L)
+    val b2Files = dataFiles() -- before
+    assert(b2Files.nonEmpty)
+    assert(new java.io.File(root, "_graft_batch_2").delete())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root.getPath, "_graft_batch_2.inflight"),
+      b2Files.map(_.getAbsolutePath).mkString("\n"))
+    Streams.landAnnBatch(b2.toDF("vec_id", "embedding"), centsT, path, 2L)
+    val expected3 = graft.ann.Ann.assignCells(
+      (b0 ++ b1 ++ b2).toDF("vec_id", "embedding"), spark.table(centsT))
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(landed() === expected3, "recovery duplicated or lost vectors")
+    // the probe contract: a cell-filtered read prunes to the probed
+    // cell DIRECTORY — stream-landed vectors serve like built ones
+    val probe = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("cell") === 0)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(2000))
+    assert(probe.count() === 4L)
+    spark.sql(s"DROP TABLE IF EXISTS $centsT")
+  }
+
   test("stream_growth_accounting: month-close verdicts match q166's decomposition, state bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
