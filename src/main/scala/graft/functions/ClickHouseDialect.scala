@@ -1917,7 +1917,170 @@ object ClickHouseDialect {
     "positiveModulo" -> (args => Pmod(args.head, args(1))),
     "YYYYMMDDToDate" -> (args => new ParseToDate(
       Cast(one(args), org.apache.spark.sql.types.StringType),
-      Literal("yyyyMMdd"))))
+      Literal("yyyyMMdd"))),
+    // ---- fifteenth batch: relative-num completions, 64-bit unix
+    // timestamps, readable sizes, reinterpret casts, UTF-8 validation,
+    // seeded array shuffling, geometry, and the n-gram search form ----
+    // DateLUTImpl's published formulas: year; year*4 + (month-1)/3;
+    // year*12 + month; (dayNum + 8 - ISO weekday) / 7
+    "toRelativeYearNum" -> (args => Cast(Year(Cast(one(args),
+      org.apache.spark.sql.types.DateType)),
+      org.apache.spark.sql.types.LongType)),
+    "toRelativeQuarterNum" -> { args =>
+      val d = Cast(one(args), org.apache.spark.sql.types.DateType)
+      Add(Multiply(Cast(Year(d), org.apache.spark.sql.types.LongType),
+        Literal(4L)),
+        IntegralDivide(Subtract(Cast(Month(d),
+          org.apache.spark.sql.types.LongType), Literal(1L)), Literal(3L)))
+    },
+    "toRelativeMonthNum" -> { args =>
+      val d = Cast(one(args), org.apache.spark.sql.types.DateType)
+      Add(Multiply(Cast(Year(d), org.apache.spark.sql.types.LongType),
+        Literal(12L)), Cast(Month(d), org.apache.spark.sql.types.LongType))
+    },
+    "toRelativeWeekNum" -> { args =>
+      val d = Cast(one(args), org.apache.spark.sql.types.DateType)
+      val dayNum = Cast(DateDiff(d, Cast(Literal("1970-01-01"),
+        org.apache.spark.sql.types.DateType)),
+        org.apache.spark.sql.types.LongType)
+      // Spark WeekDay: Monday = 0 … Sunday = 6; ISO weekday = +1
+      val iso = Add(Cast(WeekDay(d), org.apache.spark.sql.types.LongType),
+        Literal(1L))
+      IntegralDivide(Subtract(Add(dayNum, Literal(8L)), iso), Literal(7L))
+    },
+    "fromUnixTimestamp64Milli" -> (args => MillisToTimestamp(
+      Cast(one(args), org.apache.spark.sql.types.LongType))),
+    "fromUnixTimestamp64Micro" -> (args => MicrosToTimestamp(
+      Cast(one(args), org.apache.spark.sql.types.LongType))),
+    "fromUnixTimestamp64Nano" -> (args => MicrosToTimestamp(IntegralDivide(
+      Cast(one(args), org.apache.spark.sql.types.LongType), Literal(1000L)))),
+    "toUnixTimestamp64Milli" -> (args => UnixMillis(Cast(one(args),
+      org.apache.spark.sql.types.TimestampType))),
+    "toUnixTimestamp64Micro" -> (args => UnixMicros(Cast(one(args),
+      org.apache.spark.sql.types.TimestampType))),
+    "toUnixTimestamp64Nano" -> (args => Multiply(UnixMicros(Cast(one(args),
+      org.apache.spark.sql.types.TimestampType)), Literal(1000L))),
+    // deprecated pre-24.x spellings of the snowflake pair
+    "snowflakeToDateTime" -> (args => MillisToTimestamp(Add(
+      ShiftRight(Cast(one(args), org.apache.spark.sql.types.LongType),
+        Literal(22)), Literal(1288834974657L)))),
+    "dateTimeToSnowflake" -> (args => ShiftLeft(
+      Subtract(UnixMillis(Cast(one(args),
+        org.apache.spark.sql.types.TimestampType)),
+        Literal(1288834974657L)), Literal(22))),
+    "cutQueryStringAndFragment" -> (args =>
+      RegExpReplace(one(args), Literal("[?#].*$"), Literal(""))),
+    "regexpExtract" -> (args => RegExpExtract(args.head, args(1),
+      if (args.length > 2) args(2) else Literal(1))),
+    "isZeroOrNull" -> (args => Coalesce(Seq(EqualTo(args.head,
+      Cast(Literal(0), args.head.dataType)), Literal(true)))),
+    // CH's toColumnTypeName reports the in-memory column type — for
+    // every CH-surface type here that equals toTypeName's answer
+    "toColumnTypeName" -> (args => ChTypeNameExpr(one(args))),
+    "defaultValueOfTypeName" -> { args =>
+      require(args.length == 1 && args.head.foldable,
+        "defaultValueOfTypeName('Type'): the type must be a literal string")
+      val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(ClickHouseSql.mapChType(String.valueOf(args.head.eval())))
+      dt match {
+        case org.apache.spark.sql.types.StringType => Literal("")
+        case n: org.apache.spark.sql.types.NumericType =>
+          Cast(Literal(0), n)
+        case org.apache.spark.sql.types.BooleanType => Literal(false)
+        case org.apache.spark.sql.types.DateType =>
+          Cast(Literal("1970-01-01"), org.apache.spark.sql.types.DateType)
+        case org.apache.spark.sql.types.TimestampType =>
+          Cast(Literal(0L), org.apache.spark.sql.types.TimestampType)
+        case a: org.apache.spark.sql.types.ArrayType => emptyArr(a.elementType)
+        case other => Literal.create(null, other)
+      }
+    },
+    // xxhash64 stand-in over the normalized text (CH hashes its own
+    // normalization with SipHash — MIGRATION.md hash-family note)
+    "normalizedQueryHash" -> (args => XxHash64(Seq(
+      RegExpReplace(
+        RegExpReplace(one(args), Literal("'[^']*'"), Literal("?")),
+        Literal("\\b\\d+(\\.\\d+)?\\b"), Literal("?"))), 0L)),
+    "arrayPartialReverseSort" -> (args =>
+      new SortArray(args(1), Literal(false))),
+    "parseReadableSize" -> (args =>
+      ChParseReadableSizeExpr(one(args), "throw")),
+    "parseReadableSizeOrNull" -> (args =>
+      ChParseReadableSizeExpr(one(args), "null")),
+    "parseReadableSizeOrZero" -> (args =>
+      ChParseReadableSizeExpr(one(args), "zero")),
+    // binary→string cast copies bytes verbatim, so unhex'd (possibly
+    // invalid) byte sequences validate correctly
+    "isValidUTF8" -> (args => ChIsValidUtf8Expr(Cast(one(args),
+      org.apache.spark.sql.types.StringType))),
+    "bitSlice" -> { args =>
+      require(args.length >= 2, "bitSlice(s, offset[, length])")
+      ChBitSliceExpr(args.head,
+        Cast(args(1), org.apache.spark.sql.types.IntegerType),
+        if (args.length > 2) Cast(args(2),
+          org.apache.spark.sql.types.IntegerType)
+        else Literal(Int.MaxValue))
+    },
+    "reinterpretAsUInt8" -> (args => ChReinterpretUIntExpr(one(args), 1)),
+    "reinterpretAsUInt16" -> (args => ChReinterpretUIntExpr(one(args), 2)),
+    "reinterpretAsUInt32" -> (args => ChReinterpretUIntExpr(one(args), 4)),
+    "reinterpretAsUInt64" -> (args => ChReinterpretUIntExpr(one(args), 8)),
+    "reinterpretAsString" -> (args => ChReinterpretStringExpr(
+      Cast(one(args), org.apache.spark.sql.types.LongType))),
+    "arrayLevenshteinDistance" -> (args => ChArrayLevenshteinExpr(
+      Cast(args.head, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+      Cast(args(1), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))),
+    "ngramSearch" -> (args => ChNgramSearchExpr(args.head, args(1))),
+    "ngramSearchCaseInsensitive" -> (args =>
+      ChNgramSearchExpr(Lower(args.head), Lower(args(1)))),
+    // seeded DETERMINISTIC forms (SplitMix64 Fisher–Yates): the
+    // unseeded CH forms are nondeterministic and violate the engine's
+    // oracle-exactness rule, so they teach the seeded rewrite
+    "arrayShuffle" -> { args =>
+      require(args.length == 2,
+        "arrayShuffle(arr, seed) — pass an explicit seed: the unseeded " +
+          "CH form is nondeterministic; the seeded rewrite is exact " +
+          "and reproducible (SplitMix64 permutation)")
+      ChArrayShuffleExpr(args.head,
+        Cast(args(1), org.apache.spark.sql.types.LongType), -1)
+    },
+    "arrayRandomSample" -> { args =>
+      require(args.length == 3 && args(1).foldable,
+        "arrayRandomSample(arr, k, seed) — pass an explicit seed: the " +
+          "2-arg CH form is nondeterministic; the seeded rewrite takes " +
+          "the first k of the SplitMix64 permutation")
+      ChArrayShuffleExpr(args.head,
+        Cast(args(2), org.apache.spark.sql.types.LongType),
+        String.valueOf(args(1).eval()).toDouble.toInt)
+    },
+    "pointInPolygon" -> { args =>
+      val pt = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("y",
+          org.apache.spark.sql.types.DoubleType)))
+      ChPointInPolygonExpr(Cast(args.head, pt),
+        Cast(args(1), org.apache.spark.sql.types.ArrayType(pt)))
+    },
+    // H3 indexing needs the published H3 cell math (not on this
+    // classpath) — teach the equivalent bucketed-geometry rewrites
+    "geoToH3" -> (_ => throw new IllegalArgumentException(
+      "geoToH3: H3 cell math is not on this classpath — rewrite with " +
+        "geohashEncode(lon, lat, p) for bucketed spatial joins (the " +
+        "q87_grid_join recipe); cell sizes differ but the plan shape " +
+        "is identical")),
+    "h3ToGeo" -> (_ => throw new IllegalArgumentException(
+      "h3ToGeo: H3 cell math is not on this classpath — rewrite with " +
+        "geohashDecode(h) over geohashEncode'd cells")),
+    "h3ToString" -> (_ => throw new IllegalArgumentException(
+      "h3ToString: H3 is not on this classpath — rewrite with hex(h) " +
+        "for the raw index; geohash cells are the supported bucket key")),
+    "stringToH3" -> (_ => throw new IllegalArgumentException(
+      "stringToH3: H3 is not on this classpath — rewrite with " +
+        "unhex/conv for the raw index; geohash cells are the " +
+        "supported bucket key")))
 
   private def toDArr(e: Expression): Expression =
     Cast(e, org.apache.spark.sql.types.ArrayType(

@@ -377,4 +377,86 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(one("arrayElementOrNull(array(1, 2), 9)") === null)
     assert(one("mapContains(map('a', 1), 'a')") === true)
   }
+
+  test("fifteenth-batch dialect names: pinned values") {
+    graft.functions.ClickHouseDialect.register(spark)
+    def one(e: String): Any =
+      graft.functions.ClickHouseSql.sql(spark, s"SELECT $e AS v").head().get(0)
+    // relative-num completions (DateLUTImpl's published formulas)
+    assert(one("toRelativeYearNum(toDate('2024-05-01'))") === 2024L)
+    assert(one("toRelativeQuarterNum(toDate('2024-05-01'))") === 8097L)
+    assert(one("toRelativeMonthNum(toDate('2024-05-01'))") === 24293L)
+    // 1970-01-01 was a Thursday: (0 + 8 - 4) / 7 = 0; the first Monday
+    // (1970-01-05: dayNum 4, weekday 1) opens week 1
+    assert(one("toRelativeWeekNum(toDate('1970-01-01'))") === 0L)
+    assert(one("toRelativeWeekNum(toDate('1970-01-05'))") === 1L)
+    // 64-bit unix timestamp round trips
+    assert(one("toUnixTimestamp64Milli(fromUnixTimestamp64Milli(1704067200123))")
+      === 1704067200123L)
+    assert(one("toUnixTimestamp64Micro(fromUnixTimestamp64Micro(1704067200123456))")
+      === 1704067200123456L)
+    assert(one("toUnixTimestamp64Nano(toDateTime('2024-01-01 00:00:00'))")
+      === 1704067200000000000L)
+    // deprecated snowflake spellings alias the ID forms
+    assert(one("dateTimeToSnowflake(toDateTime('2024-01-01 00:00:00'))") ===
+      one("dateTimeToSnowflakeID(toDateTime('2024-01-01 00:00:00'))"))
+    // readable sizes: decimal vs binary units, ceil, Or* fallbacks
+    assert(one("parseReadableSize('1 KiB')") === 1024L)
+    assert(one("parseReadableSize('1 KB')") === 1000L)
+    assert(one("parseReadableSize('1.5 MiB')") === 1572864L)
+    assert(one("parseReadableSizeOrNull('garbage')") === null)
+    assert(one("parseReadableSizeOrZero('garbage')") === 0L)
+    // reinterpret casts: little-endian, trailing zeros trimmed
+    assert(one("reinterpretAsUInt8('a')") === 97L)
+    assert(one("reinterpretAsUInt16('ab')") === 25185L) // 0x6261
+    assert(one("reinterpretAsUInt32('abcd')") === 1684234849L)
+    assert(one("reinterpretAsString(97)").toString === "a")
+    assert(one("reinterpretAsString(25185)").toString === "ab")
+    // UTF-8 validation catches raw invalid bytes through unhex
+    assert(one("isValidUTF8('héllo')") === true)
+    assert(one("isValidUTF8(unhex('ff'))") === false)
+    assert(one("isValidUTF8(unhex('EDA080'))") === false) // surrogate
+    // bitSlice: 1-based bit offset; bits 2-9 of 'h' (01101000) + 'e'
+    // (01100101) = 11010000 11...: first 8 bits from offset 2 = 0xD0
+    assert(one("hex(bitSlice('hello', 2, 8))").toString === "D0")
+    // array Levenshtein and the n-gram search pair
+    assert(one("arrayLevenshteinDistance(array(1,2,3), array(1,3))") === 1L)
+    assert(one("arrayLevenshteinDistance(array('a'), array('b', 'a'))") === 1L)
+    assert(one("ngramSearch('hello', 'hell')") === 1.0)
+    assert(one("ngramSearchCaseInsensitive('Hello', 'HELL')") === 1.0)
+    // seeded deterministic shuffle/sample: stable across runs, the
+    // sample IS the permutation's prefix, unseeded forms teach
+    assert(one("arrayShuffle(array(1,2,3), 42)") ===
+      one("arrayShuffle(array(1,2,3), 42)"))
+    assert(one("arrayShuffle(array(1,2,3,4,5), 7)")
+      .asInstanceOf[scala.collection.Seq[Int]].sorted.toSeq
+      === Seq(1, 2, 3, 4, 5))
+    assert(one("arrayRandomSample(array(1,2,3,4,5), 2, 7)")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq ===
+      one("arrayShuffle(array(1,2,3,4,5), 7)")
+        .asInstanceOf[scala.collection.Seq[Int]].take(2).toSeq)
+    intercept[Exception](one("arrayShuffle(array(1,2,3))"))
+    intercept[Exception](one("arrayRandomSample(array(1,2,3), 2)"))
+    // point-in-polygon: even-odd rule, boundary counts as inside
+    assert(one("pointInPolygon((1.0, 1.0), " +
+      "array((0.0,0.0),(4.0,0.0),(4.0,4.0),(0.0,4.0)))") === true)
+    assert(one("pointInPolygon((5.0, 1.0), " +
+      "array((0.0,0.0),(4.0,0.0),(4.0,4.0),(0.0,4.0)))") === false)
+    assert(one("pointInPolygon((4.0, 2.0), " +
+      "array((0.0,0.0),(4.0,0.0),(4.0,4.0),(0.0,4.0)))") === true)
+    // misc completions
+    assert(one("cutQueryStringAndFragment('http://x.com/p?a=1#f')")
+      .toString === "http://x.com/p")
+    assert(one("regexpExtract('a1b22', '([a-z])(\\\\d+)', 2)")
+      .toString === "1")
+    assert(one("isZeroOrNull(0)") === true)
+    assert(one("isZeroOrNull(3)") === false)
+    assert(one("isZeroOrNull(CAST(NULL AS INT))") === true)
+    assert(one("toColumnTypeName(1)").toString === "Int32")
+    assert(one("defaultValueOfTypeName('Int64')") === 0L)
+    assert(one("defaultValueOfTypeName('String')").toString === "")
+    assert(one("arrayPartialReverseSort(2, array(3,1,2))") === Seq(3, 2, 1))
+    assert(one("normalizedQueryHash('SELECT 1 + 2')") ===
+      one("normalizedQueryHash('SELECT 7 + 9')"))
+  }
 }
