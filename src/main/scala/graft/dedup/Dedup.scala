@@ -2382,11 +2382,57 @@ object Dedup {
       .limit(20)
   }
 
+  // dedup_suffix — suffix-key near-dup, the mirror of dedup_prefix:
+  // documents sharing their LAST 8 normalized words collide, whatever
+  // precedes — the prepended-boilerplate case (same article behind
+  // different cookie banners / headers / site chrome, feeds that stamp
+  // a variable preamble on a fixed body) that prefix keys miss by
+  // construction. Same scale shape: one row-local canonical key
+  // (codegen'd slice+join over the tail window), one hash aggregation,
+  // top clusters via TakeOrdered — the prefix/suffix PAIR brackets the
+  // truncation/prepend template space at two linear passes.
+  val suffixDedup = Q(
+    "dedup_suffix",
+    Some("""
+      WITH k AS (
+        SELECT doc_id,
+               array_to_string(list_slice(ws,
+                 GREATEST(len(ws) - 7, 1), len(ws)), ' ') AS sk
+        FROM (SELECT doc_id,
+                list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                  x -> x <> '') AS ws
+              FROM documents)),
+      cl AS (
+        SELECT sk, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+        FROM k GROUP BY sk)
+      SELECT CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(min_doc_id AS BIGINT) AS min_doc_id,
+             CAST(LENGTH(sk) AS BIGINT) AS key_chars
+      FROM cl
+      ORDER BY n_docs DESC, min_doc_id
+      LIMIT 20
+    """)
+  ) { t =>
+    val k = t.documents
+      .select(col("doc_id"),
+        filter(words(lower(col("text"))), x => x =!= "").as("ws"))
+      .select(col("doc_id"),
+        array_join(slice(col("ws"),
+          greatest(size(col("ws")) - 7, lit(1)), lit(8)), " ").as("sk"))
+    k.groupBy(col("sk"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .select(col("n_docs").cast(LongType).as("n_docs"),
+        col("min_doc_id").cast(LongType).as("min_doc_id"),
+        length(col("sk")).cast(LongType).as("key_chars"))
+      .orderBy(col("n_docs").desc, col("min_doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
     thresholdSweep, hubRank, canonical, editDistance, similarSearch,
     triangles, detectorAgreement, winnow, componentSizes, cdc, bbit,
-    bagDedup, prefixDedup)
+    bagDedup, prefixDedup, suffixDedup)
 }

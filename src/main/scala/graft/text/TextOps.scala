@@ -2360,6 +2360,55 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // text_simpson — Simpson diversity per source (the third lexical-
+  // richness dial beside text_sttr and text_hapax, and the one that is
+  // SIZE-INVARIANT: D = Σ nᵢ(nᵢ−1) / (N(N−1)) is the probability two
+  // random tokens are the same type — templated corpora read high,
+  // diverse prose reads low, and unlike a raw type/token ratio the
+  // value doesn't drift as the corpus grows). Exact integer arithmetic
+  // end to end: per-(source, token) counts are map-side-combinable,
+  // the Σnᵢ(nᵢ−1) and N(N−1) products ride DECIMAL(38)/HUGEINT (at
+  // 100 TB N² overflows a Long), and the readout is D in exact parts
+  // per million via integral division. Vocabulary-sized shuffle, a
+  // |sources|-row rollup, no windows, no sorts.
+  val simpson = Q(
+    "text_simpson",
+    Some("""
+      WITH toks AS (
+        SELECT source, w
+        FROM (SELECT source,
+                list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                  x -> x <> '') AS ws
+              FROM documents), UNNEST(ws) AS t(w)),
+      cnt AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w),
+      per_src AS (
+        SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+               SUM(CAST(c AS HUGEINT) * (c - 1)) AS num
+        FROM cnt GROUP BY source)
+      SELECT source,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_types AS BIGINT) AS n_types,
+             CAST(num * 1000000 // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+               AS BIGINT) AS simpson_ppm
+      FROM per_src
+      ORDER BY source
+    """)
+  ) { t =>
+    val cnt = t.documents
+      .select(col("source"), explode(filter(words(lower(col("text"))),
+        w => w =!= "")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).as("num"))
+      .select(col("source"),
+        col("n_tokens").cast(LongType).as("n_tokens"),
+        col("n_types").cast(LongType).as("n_types"),
+        expr("num * 1000000 div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))")
+          .cast(LongType).as("simpson_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tokens, quality, langid, fingerprint, cleanCorpus,
     topBigrams, piiScrub, tokenHist, stopwordProfile, repetition, vocab,
     lmScore, mixSample, decontaminate, attrition, packSequences, shardPlan,
@@ -2367,5 +2416,5 @@ object TextOps {
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
     countMin, charTrigrams, gopherBattery, langidEval, sttr, rake,
     interleave, burstiness, hapax, yuleK, stratifiedSample, zipf, heaps,
-    ngramDupRate)
+    ngramDupRate, simpson)
 }
