@@ -158,6 +158,58 @@ object Ann {
     rankedTopK(scored, "cos", 10)
   }
 
+  // ann_lsh_multiprobe — multiprobe LSH (Lv et al., VLDB'07): probe the
+  // query's bucket PLUS every bucket at Hamming distance 1 (each of the
+  // 8 plane bits flipped), recovering the near neighbors that fell just
+  // across one hyperplane — the recall lever that does NOT multiply
+  // index size (more hash tables) or corpus passes. Probes stay a tiny
+  // broadcast side (9 rows per query); the corpus is hashed once and
+  // never shuffled; candidates come from the same bucket EQUI-join as
+  // ann_lsh, just against 9× the probe keys, and each corpus row
+  // matches at most one probe (probe buckets are distinct). Exact
+  // cosine re-rank on the probed union; AnnSpec pins recall ≥ the
+  // single-probe ann_lsh on the same queries.
+  val lshMultiprobe = Q(
+    "ann_lsh_multiprobe",
+    Some(s"""
+      WITH bucketed AS (
+        SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+            FROM bucketed WHERE vec_id < 5),
+      probes AS (
+        SELECT query_id, qvec,
+               CASE WHEN i = ${graft.functions.VectorLsh.NPlanes} THEN qbucket
+                    ELSE xor(qbucket, CAST(1 AS BIGINT) << i) END AS bucket
+        FROM q, UNNEST(RANGE(0, ${graft.functions.VectorLsh.NPlanes + 1})) AS t(i)),
+      scored AS (
+        SELECT p.query_id, b.vec_id, ${cosSql("p.qvec", "b.embedding")} AS cos
+        FROM bucketed b JOIN probes p ON b.bucket = p.bucket),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored)
+      SELECT query_id, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
+      FROM ranked WHERE rnk <= 10
+      ORDER BY query_id, rnk
+    """)
+  ) { t =>
+    val nPlanes = graft.functions.VectorLsh.NPlanes
+    val corpus = t.embeddings.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding")).as("bucket"))
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("bucket").as("qbucket"))
+    val probeArr = array((col("qbucket") +:
+      (0 until nPlanes).map(i => col("qbucket").bitwiseXOR(lit(1L << i)))): _*)
+    val probes = queries
+      .select(col("query_id"), col("qvec"), explode(probeArr).as("bucket"))
+    val scored = corpus.join(broadcast(probes), "bucket")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qvec"), col("embedding")), 6).as("cos"))
+    rankedTopK(scored, "cos", 10)
+  }
+
   /** Squared L2 distance in double space. */
   /** Codegen'd squared-L2 kernel (Dist2Expr): bit-identical to the
     * zip_with/aggregate fold, evaluated |corpus|×|cells| times per
@@ -2919,7 +2971,7 @@ $pivots
           .cast(LongType).as("imbalance_bp"))
   }
 
-  val all: Seq[Q] = Seq(norms, bruteForce, lsh, ivf, quantized, rangeSearch, pq,
+  val all: Seq[Q] = Seq(norms, bruteForce, lsh, lshMultiprobe, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
     rpProject, diversify, graphSearch, matryoshka, binaryQuant, binaryRerank,

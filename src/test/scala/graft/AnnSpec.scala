@@ -33,6 +33,22 @@ class AnnSpec extends SparkSpec {
     selfHits.foreach(r => assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-4))
   }
 
+  test("multiprobe LSH: superset of single-probe candidates, recall never lower") {
+    val bf = Ann.bruteForce.build(sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val lsh = Ann.lsh.build(sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val mp = Ann.lshMultiprobe.build(sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val selfHits = mp.count { case (q, v) => q == v }
+    assert(selfHits === 5, "each query probes its own bucket")
+    // the candidate space is a strict superset (base bucket + 8 flips),
+    // so top-10 recall vs brute force can never drop below single-probe
+    val rLsh = lsh.intersect(bf).size.toDouble / bf.size
+    val rMp = mp.intersect(bf).size.toDouble / bf.size
+    assert(rMp >= rLsh, s"multiprobe recall $rMp < single-probe $rLsh")
+  }
+
   test("IVF: self-match found; recall@10 vs brute force is useful") {
     val bf = Ann.bruteForce.build(sf0001).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
