@@ -1674,8 +1674,92 @@ object Multimodal {
       .orderBy(col("w"))
   }
 
+  final case class DominantColor(media_id: Long, kind: String, cell: Long,
+    dom_bp: Long)
+
+  // mm_dominant_color — dominant-color census, the color-space filter
+  // beside mm_image_quality's flatness audit (a training pipeline
+  // buckets images by dominant color to drop monochrome mattes and
+  // balance color distribution before captioning): each pixel maps to
+  // one of 27 color cells (RGB quantized to 3 levels per channel — the
+  // coarse histogram production pipelines actually key on), each image
+  // reports its modal cell (ties to the lowest cell id) and that
+  // cell's share in exact basis points, and the rollup counts images
+  // per (kind, dominant cell). One decode + a 27-counter pass per
+  // image inside mapPartitions — NO per-image window anywhere (the
+  // oracle's 27-row ROW_NUMBER partitions are bounded by the cell
+  // count, the Spark side is row-local argmax) — then a ≤54-row
+  // aggregation; all integer, oracle replays every RGB byte.
+  val dominantColor = Q(
+    "mm_dominant_color",
+    Some("""
+      WITH media AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image_ppm'
+                    ELSE 'image_bmp' END AS kind,
+               doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        FROM documents WHERE doc_id % 3 <> 2),
+      px AS (
+        SELECT doc_id, kind, w, h,
+               ((doc_id*7 + (p*3 + 0)*13) % 251) // 84 * 9
+             + ((doc_id*7 + (p*3 + 1)*13) % 251) // 84 * 3
+             + ((doc_id*7 + (p*3 + 2)*13) % 251) // 84 AS cell
+        FROM media, UNNEST(RANGE(0, w * h)) AS t(p)),
+      cnt AS (
+        SELECT doc_id, kind, w, h, cell, COUNT(*) AS c
+        FROM px GROUP BY doc_id, kind, w, h, cell),
+      dom AS (
+        SELECT doc_id, kind, cell, c * 10000 // (w * h) AS dom_bp,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, cell) AS rn
+        FROM cnt)
+      SELECT kind, CAST(cell AS BIGINT) AS cell,
+             CAST(COUNT(*) AS BIGINT) AS n_images,
+             CAST(SUM(dom_bp) // COUNT(*) AS BIGINT) AS avg_dom_bp
+      FROM dom WHERE rn = 1
+      GROUP BY kind, cell
+      ORDER BY kind, cell
+    """)
+  ) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    val perImg = mediaOf(t)
+      .filter(_.kind != "video")
+      .mapPartitions(_.map { b =>
+        val raster = b.kind match {
+          case "image_ppm" => PpmCodec.decode(b.payload)
+          case _           => BmpCodec.decode(b.payload)
+        }
+        val counts = new Array[Long](27)
+        var i = 0
+        while (i < raster.rgb.length) {
+          val cell = ((raster.rgb(i) & 0xff) / 84) * 9 +
+            ((raster.rgb(i + 1) & 0xff) / 84) * 3 +
+            ((raster.rgb(i + 2) & 0xff) / 84)
+          counts(cell) += 1
+          i += 3
+        }
+        var best = 0
+        var c = 1
+        while (c < 27) {
+          if (counts(c) > counts(best)) best = c
+          c += 1
+        }
+        val npix = raster.rgb.length / 3
+        DominantColor(b.media_id, b.kind, best.toLong,
+          counts(best) * 10000 / npix)
+      })
+      .toDF()
+    perImg.groupBy(col("kind"), col("cell"))
+      .agg(count(lit(1)).as("n_images"), sum(col("dom_bp")).as("sb"))
+      .select(col("kind"), col("cell").cast(LongType).as("cell"),
+        col("n_images").cast(LongType).as("n_images"),
+        expr("sb div n_images").cast(LongType).as("avg_dom_bp"))
+      .orderBy(col("kind"), col("cell"))
+  }
+
   val all: Seq[Q] = Seq(pipeline, transformPipeline, audio, video, avi,
     imageDedup, audioDedup, videoDedup, sceneCut, audioVad, letterbox,
     audioResample, imageNearDup, audioNearDup, videoNearDup, imageQuality,
-    audioQuality, videoQuality)
+    audioQuality, videoQuality, dominantColor)
 }
