@@ -817,6 +817,68 @@ object Behavior {
       .orderBy(col("ym"))
   }
 
+  // q167 — decile lift table, the model-eval readout every targeting /
+  // quality-classifier pipeline ends on ("rank users by spend score:
+  // how concentrated are the purchasers in the top deciles?"): users
+  // ranked by total event value in exact cents (unique (cents,
+  // user_id) tiebreak so rank is deterministic in both engines),
+  // decile = (rn−1)·10/n + 1 — the RANK-based equal split, computed
+  // from GroupedPrefix's staged global rank, never an NTILE window
+  // over the user universe — then per decile the responder count,
+  // response rate in exact bp, and lift vs the overall rate in exact
+  // ppm (DECIMAL(38) products: n_resp × n_users × 10⁶ wraps a Long at
+  // the 100 TB user count). Totals broadcast from a one-row aggregate.
+  val q167 = Q(
+    "q167_decile_lift",
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS resp
+        FROM events GROUP BY user_id),
+      r AS (
+        SELECT user_id, cents, resp,
+               ROW_NUMBER() OVER (ORDER BY cents, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM u),
+      tot AS (SELECT COUNT(*) AS nu, SUM(resp) AS nr FROM u),
+      d AS (SELECT (rn - 1) * 10 // n + 1 AS decile, resp FROM r)
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(resp) AS BIGINT) AS n_resp,
+             CAST(SUM(resp) * 10000 // COUNT(*) AS BIGINT) AS resp_bp,
+             CAST(CAST(SUM(resp) AS HUGEINT) * nu * 1000000
+               // (CAST(COUNT(*) AS HUGEINT) * nr) AS BIGINT) AS lift_ppm
+      FROM d, tot
+      GROUP BY decile, nu, nr
+      ORDER BY decile
+    """)
+  ) { t =>
+    import graft.plans.GroupedPrefix
+    val u = t.events.groupBy(col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType)).cast(LongType).as("cents"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("resp"))
+    val ranked = GroupedPrefix.withRank(u, Nil,
+      struct(col("cents"), col("user_id")), "rn")
+    val tot = u.agg(count(lit(1)).as("nu"), sum(col("resp")).as("nr"))
+    ranked.crossJoin(broadcast(tot))
+      .select(expr("(rn - 1) * 10 div nu + 1").as("decile"),
+        col("resp"), col("nu"), col("nr"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("nud"), sum(col("resp")).as("nrd"),
+        min(col("nu")).as("nu"), min(col("nr")).as("nr"))
+      .select(col("decile").cast(LongType).as("decile"),
+        col("nud").cast(LongType).as("n_users"),
+        col("nrd").cast(LongType).as("n_resp"),
+        expr("nrd * 10000 div nud").cast(LongType).as("resp_bp"),
+        expr("CAST(nrd AS DECIMAL(38,0)) * nu * 1000000 " +
+          "div (CAST(nud AS DECIMAL(38,0)) * nr)")
+          .cast(LongType).as("lift_ppm"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63, q64, q89, q102, q104,
-    q116, q157, q158, q162, q163, q166)
+    q116, q157, q158, q162, q163, q166, q167)
 }
