@@ -68,6 +68,9 @@ class OutputTypeLintSpec extends SparkSpec {
     "ann_rbo" -> Set("rbo10"),
     "ann_ivfpq_residual" -> Set("cos"),
     "ann_lsh" -> Set("cos"),
+    // reviewed r13: ann_lsh's readout over the Hamming-1 probed union —
+    // identical cosine expression and oracle term order
+    "ann_lsh_multiprobe" -> Set("cos"),
     "ann_mips" -> Set("score"),
     "ann_pq" -> Set("cos"),
     "ann_quantized" -> Set("cos"),
