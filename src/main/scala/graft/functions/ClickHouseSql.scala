@@ -3129,7 +3129,8 @@ object ClickHouseSql {
     if (l.contains("with")) out = rewriteScalarWith(out)
     if (paramCallNames.exists(l.contains)) out = rewriteParamCall(out)
     if (l.contains("if")) out = rewriteIfCombinator(out)
-    if (l.contains("distinct") || l.contains("ornull") || l.contains("array"))
+    if (l.contains("distinct") || l.contains("ornull") ||
+      l.contains("ordefault") || l.contains("array"))
       out = rewriteAggCombinators(out)
     if (l.contains("count")) out = rewriteBareCount(out)
     if (out.contains("MD5") || out.contains("SHA") ||
@@ -3935,9 +3936,21 @@ object ClickHouseSql {
     while (i < toks.length - 1) {
       val t = toks(i)
       val lower = t.lower
-      if (lower.length > 2 && lower.endsWith("if") &&
-        ifCombinatorBases(lower.dropRight(2)) && !registered(lower) &&
+      // stacked `<agg>IfOrNull`: CH applies suffixes left-to-right, so
+      // this is (aggIf)OrNull — Spark's FILTER already yields NULL over
+      // zero matching rows for every base except the count-like ones,
+      // which return 0 and need an explicit nullif wrap
+      val isIfOrNull = lower.length > 8 && lower.endsWith("ifornull") &&
+        ifCombinatorBases(lower.dropRight(8))
+      val isPlainIf = lower.length > 2 && lower.endsWith("if") &&
+        ifCombinatorBases(lower.dropRight(2))
+      if ((isIfOrNull || isPlainIf) && !registered(lower) &&
         toks(i + 1).text == "(") {
+        val base = if (isIfOrNull) lower.dropRight(8) else lower.dropRight(2)
+        val baseText =
+          if (isIfOrNull) t.text.dropRight(6) else t.text // "<Base>If" form
+        val countLike = Set("count", "uniq", "uniqexact", "uniqhll12",
+          "uniqcombined")
         val d = toks(i + 1).depth
         var j = i + 2
         var lastComma = -1
@@ -3947,23 +3960,35 @@ object ClickHouseSql {
           if (toks(j).text == "," && toks(j).depth == d + 1) lastComma = j
           j += 1
         }
-        if (j < toks.length && lastComma >= 0) {
+        if (j < toks.length && lastComma < 0 && base == "count") {
+          // CH countIf takes the CONDITION alone — no args/cond comma
+          val nullifOpen = if (isIfOrNull) "nullif(" else ""
+          splices += ((t.start, toks(i + 1).end,
+            nullifOpen + "count(*) FILTER (WHERE "))
+          if (nullifOpen.nonEmpty)
+            splices += ((toks(j).end, toks(j).end, ", 0)"))
+        } else if (j < toks.length && lastComma >= 0) {
+          val nullifOpen =
+            if (isIfOrNull && countLike(base)) "nullif(" else ""
           // uniqExact registers as a pre-wrapped distinct-count
           // AggregateExpression, which the FILTER clause can't wrap —
           // spell it as ANSI count(DISTINCT …) instead
-          if (lower == "uniqexactif") {
-            splices += ((t.start, t.end, "count"))
+          if (base == "uniqexact") {
+            splices += ((t.start, t.end, nullifOpen + "count"))
             splices += ((toks(i + 1).end, toks(i + 1).end, "DISTINCT "))
-          } else if (lower == "anyif") {
+          } else if (base == "any") {
             // the bare base would resolve to Spark's builtin `any`
             // (boolean aggregate) — a silent-wrong-answer trap; CH anyIf
             // means any_value FILTER
-            splices += ((t.start, t.end, "any_value"))
+            splices += ((t.start, t.end, nullifOpen + "any_value"))
           } else {
-            splices += ((t.start, t.end, t.text.dropRight(2)))
+            splices += ((t.start, t.end,
+              nullifOpen + baseText.dropRight(2)))
           }
           splices += ((toks(lastComma).start, toks(lastComma).end,
             ") FILTER (WHERE "))
+          if (nullifOpen.nonEmpty)
+            splices += ((toks(j).end, toks(j).end, ", 0)"))
         }
       }
       i += 1
@@ -3973,7 +3998,7 @@ object ClickHouseSql {
 
   private val distinctCombBases = Set("sum", "avg", "count", "min", "max")
   private val arrayCombBases = Set("sum", "avg", "count", "min", "max",
-    "grouparray")
+    "grouparray", "uniq", "uniqexact")
 
   /** The remaining ClickHouse aggregate combinators with faithful ANSI
     * lowerings (beyond the generic `-If` above):
@@ -4054,8 +4079,28 @@ object ClickHouseSql {
             case "grouparray" =>
               splices += ((t.start, open.end, "flatten(collect_list("))
               splices += ((close.start, close.end, "))"))
+            case "uniq" | "uniqexact" =>
+              // distinct elements across every row's array — exact
+              // (uniqArray's HLL estimate reads the same small-set
+              // values); the collect buffer is bounded by TOTAL element
+              // count per group, the same contract as groupArrayArray
+              splices += ((t.start, open.end,
+                "size(array_distinct(flatten(collect_list("))
+              splices += ((close.start, close.end, "))))"))
             case _ =>
           }
+        }
+      } else if (isCall && lower.length > 9 && lower.endsWith("ordefault") &&
+        ifCombinatorBases(lower.dropRight(9))) {
+        // `<agg>OrDefault(x)` — CH returns the RESULT TYPE's default
+        // over an empty set; for the numeric bases here that default is
+        // 0 (string/array bases are not taken — they'd need a typed
+        // default and none of CH's common uses touch them)
+        val j = closeIdx
+        if (j < toks.length) {
+          splices += ((t.start, t.end,
+            "coalesce(" + t.text.dropRight(9)))
+          splices += ((toks(j).end, toks(j).end, ", 0)"))
         }
       }
       i += 1

@@ -458,5 +458,24 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(one("arrayPartialReverseSort(2, array(3,1,2))") === Seq(3, 2, 1))
     assert(one("normalizedQueryHash('SELECT 1 + 2')") ===
       one("normalizedQueryHash('SELECT 7 + 9')"))
+    // combinator algebra long tail: stacked -IfOrNull (suffixes apply
+    // left to right; count-like bases need the nullif wrap because
+    // FILTER'd count returns 0 where CH's OrNull gives NULL),
+    // -OrDefault (numeric 0 over empty), uniqArray/uniqExactArray
+    spark.sql("""SELECT id, g, CAST(x AS DOUBLE) AS x FROM VALUES
+      (1, 'a', 1.5), (2, 'a', 2.5), (3, 'b', 4.0)
+      AS t(id, g, x)""").createOrReplaceTempView("c15_probe")
+    def agg(e: String): Any = graft.functions.ClickHouseSql.sql(spark,
+      s"SELECT $e AS v FROM c15_probe").head().get(0)
+    assert(agg("sumIfOrNull(x, id > 9)") === null)
+    assert(agg("sumIfOrNull(x, id > 1)") === 6.5)
+    assert(agg("countIfOrNull(id > 9)") === null)
+    assert(agg("countIfOrNull(id > 1)") === 2L)
+    assert(agg("uniqExactIfOrNull(g, id > 9)") === null)
+    assert(agg("anyIfOrNull(g, id > 9)") === null)
+    assert(agg("sumOrDefault(CASE WHEN id > 9 THEN x END)") === 0.0)
+    assert(agg("maxOrDefault(CASE WHEN id > 9 THEN x END)") === 0.0)
+    assert(agg("uniqArray(array(id, id + 1))") === 4)
+    assert(agg("uniqExactArray(array(id, id + 1))") === 4)
   }
 }
