@@ -1334,6 +1334,84 @@ object Series {
       .orderBy(col("o_orderstatus"))
   }
 
+  // q168 — dominant-period detection per order status (the exact
+  // skeleton of CH seriesPeriodDetectFFT: find the cycle length the
+  // series repeats on — here via the autocorrelation argmax over lags
+  // 2..14, the honest exact form of the FFT peak for short candidate
+  // ranges; lag 1 is excluded as the trivial trend echo). The daily
+  // relation is dimension-sized (one map-side-combinable groupBy off
+  // the fact table), the 13 lag columns ride ONE window pass over it,
+  // all 13 ACFs fold in ONE aggregation, and the argmax ranks a
+  // |status|×13-row relation — ties break to the SMALLEST lag, nulls
+  // (series shorter than the lag) sort last. acf_r4 shares q133's
+  // reviewed ROUND(CORR, 4) term order.
+  val q168 = Q(
+    "q168_period_detect",
+    Some {
+      val lagCols = (2 to 14).map(k =>
+        s"LAG(x, $k) OVER (PARTITION BY g ORDER BY d) AS x$k").mkString(",\n               ")
+      val corrCols = (2 to 14).map(k =>
+        s"ROUND(CORR(x, x$k), 4) AS a$k, COUNT(x$k) AS n$k").mkString(",\n               ")
+      val structs = (2 to 14).map(k =>
+        s"{'lag': CAST($k AS BIGINT), 'acf_r4': a$k, 'n_pairs': CAST(n$k AS BIGINT)}").mkString(", ")
+      s"""
+      WITH daily AS (
+        SELECT o_orderstatus AS g, CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2),
+      lagged AS (
+        SELECT g, x,
+               $lagCols
+        FROM daily),
+      acfs AS (
+        SELECT g,
+               $corrCols
+        FROM lagged GROUP BY g),
+      long AS (
+        SELECT g, e.lag AS lag, e.acf_r4 AS acf_r4, e.n_pairs AS n_pairs
+        FROM acfs, UNNEST([$structs]) AS t(e)),
+      rk AS (
+        SELECT g, lag, acf_r4, n_pairs,
+               ROW_NUMBER() OVER (PARTITION BY g
+                                  ORDER BY acf_r4 DESC NULLS LAST, lag) AS rn
+        FROM long)
+      SELECT g AS o_orderstatus, CAST(lag AS BIGINT) AS period,
+             acf_r4, CAST(n_pairs AS BIGINT) AS n_pairs
+      FROM rk WHERE rn = 1
+      ORDER BY o_orderstatus
+      """
+    }
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val lags = 2 to 14
+    val daily = t.orders
+      .groupBy(col("o_orderstatus").as("g"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100)))
+        .cast(LongType).as("x"))
+    val byDay = Window.partitionBy(col("g")).orderBy(col("d"))
+    val lagged = lags.foldLeft(daily) { (df, k) =>
+      df.withColumn(s"x$k", lag(col("x"), k).over(byDay))
+    }
+    val acfs = lagged.groupBy(col("g"))
+      .agg(round(corr(col("x"), col(s"x${lags.head}")), 4).as(s"a${lags.head}"),
+        (count(col(s"x${lags.head}")).as(s"n${lags.head}") +:
+          lags.tail.flatMap(k => Seq(
+            round(corr(col("x"), col(s"x$k")), 4).as(s"a$k"),
+            count(col(s"x$k")).as(s"n$k")))): _*)
+    val long = acfs.select(col("g"), explode(array(lags.map(k =>
+      struct(lit(k.toLong).as("lag"), col(s"a$k").as("acf_r4"),
+        col(s"n$k").cast(LongType).as("n_pairs"))): _*)).as("e"))
+      .select(col("g"), col("e.lag").as("lag"), col("e.acf_r4").as("acf_r4"),
+        col("e.n_pairs").as("n_pairs"))
+    val rk = Window.partitionBy(col("g"))
+      .orderBy(col("acf_r4").desc_nulls_last, col("lag"))
+    long.withColumn("rn", row_number().over(rk))
+      .filter(col("rn") === 1)
+      .select(col("g").as("o_orderstatus"), col("lag").as("period"),
+        col("acf_r4"), col("n_pairs"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106, q109, q110,
-    q128, q129, q132, q133, q135, q147, q149, q152, q154, q156, q161)
+    q128, q129, q132, q133, q135, q147, q149, q152, q154, q156, q161, q168)
 }

@@ -2436,8 +2436,88 @@ object Stats {
       round(exp(log(or) + half), 4).as("ci_hi"))
   }
 
+  // q169 — Mann–Kendall trend test per order status, the SIGNIFICANCE
+  // readout beside q92's Theil–Sen slope (slope says how steep; MK says
+  // whether a monotone trend exists at all): S = Σ_{i<j} sign(x_j−x_i)
+  // over day pairs — the SAME days²-bounded quadratic as q92, never
+  // events² — with the exact tie-corrected variance
+  // 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), the continuity-
+  // corrected z = (S ∓ 1)/√(Var), and the 5%-level verdict. S, n and
+  // var18 are exact BIGINTs; z shares the identical double term order
+  // in both engines (reviewed q68/q140 class) and the verdict compares
+  // the ROUNDED z so the label can never flip on an ulp.
+  val q169 = Q(
+    "q169_mk_trend",
+    Some("""
+      WITH daily AS (
+        SELECT o_orderstatus AS g, CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.g,
+               SUM(CASE WHEN b.x > a.x THEN 1
+                        WHEN b.x < a.x THEN -1 ELSE 0 END) AS s
+        FROM daily a JOIN daily b ON b.g = a.g AND b.d > a.d
+        GROUP BY a.g),
+      nn AS (SELECT g, COUNT(*) AS n FROM daily GROUP BY g),
+      ties AS (
+        SELECT g, SUM(t * (t - 1) * (2 * t + 5)) AS tt
+        FROM (SELECT g, x, COUNT(*) AS t FROM daily
+              GROUP BY g, x HAVING COUNT(*) > 1)
+        GROUP BY g),
+      stat AS (
+        SELECT nn.g, nn.n, p.s,
+               nn.n * (nn.n - 1) * (2 * nn.n + 5) - COALESCE(t.tt, 0) AS var18
+        FROM nn JOIN pairs p ON p.g = nn.g LEFT JOIN ties t ON t.g = nn.g),
+      z AS (
+        SELECT g, n, s, var18,
+               ROUND((s - (CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1
+                                ELSE 0 END)) / SQRT(var18 / 18.0), 4) AS z_r4
+        FROM stat)
+      SELECT g AS o_orderstatus, CAST(n AS BIGINT) AS n_days,
+             CAST(s AS BIGINT) AS s_stat, CAST(var18 AS BIGINT) AS var18,
+             z_r4,
+             CASE WHEN z_r4 > 1.96 THEN 'increasing'
+                  WHEN z_r4 < -1.96 THEN 'decreasing'
+                  ELSE 'none' END AS trend
+      FROM z
+      ORDER BY o_orderstatus
+    """)
+  ) { t =>
+    val daily = t.orders
+      .groupBy(col("o_orderstatus").as("g"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100)))
+        .cast(LongType).as("x"))
+    val a = daily.select(col("g"), col("d").as("da"), col("x").as("xa"))
+    val b = daily.select(col("g"), col("d").as("db"), col("x").as("xb"))
+    val pairs = a.join(b, Seq("g")).filter(col("db") > col("da"))
+      .groupBy(col("g"))
+      .agg(sum(when(col("xb") > col("xa"), 1L)
+        .when(col("xb") < col("xa"), -1L).otherwise(0L)).as("s"))
+    val nn = daily.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col("g"), col("x")).agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .groupBy(col("g"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tt"))
+    nn.join(pairs, "g").join(ties, Seq("g"), "left")
+      .select(col("g"), col("n"), col("s"),
+        expr("n * (n - 1) * (2 * n + 5) - COALESCE(tt, 0)").as("var18"))
+      .select(col("g"), col("n"), col("s"), col("var18"),
+        expr("ROUND((s - (CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 " +
+          "ELSE 0 END)) / SQRT(var18 / 18.0), 4)").as("z_r4"))
+      .select(col("g").as("o_orderstatus"),
+        col("n").cast(LongType).as("n_days"),
+        col("s").cast(LongType).as("s_stat"),
+        col("var18").cast(LongType).as("var18"),
+        col("z_r4"),
+        when(col("z_r4") > 1.96, "increasing")
+          .when(col("z_r4") < -1.96, "decreasing")
+          .otherwise("none").as("trend"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134, q136,
     q137, q138, q139, q140, q141, q142, q144, q145, q146, q148, q150, q151,
-    q153, q155, q159, q160, q165)
+    q153, q155, q159, q160, q165, q169)
 }

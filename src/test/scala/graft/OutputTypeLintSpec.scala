@@ -105,6 +105,12 @@ class OutputTypeLintSpec extends SparkSpec {
     // engines hand corr() identical doubles (the q38/q113 class), one
     // ROUND at the readout
     "q133_autocorr" -> Set("acf_r4"),
+    // reviewed r13: q133's ROUND(CORR, 4) term order over 13 lags; the
+    // argmax compares the rounded values so the period can't flip
+    "q168_period_detect" -> Set("acf_r4"),
+    // reviewed r13: continuity-corrected z from exact BIGINT S/var18 —
+    // identical double term order both engines, verdict on rounded z
+    "q169_mk_trend" -> Set("z_r4"),
     // reviewed r10: z and the CI bounds are single scalar expressions
     // over four exact integers (cents sums + counts) — no
     // aggregation-order dependence; oracle shares the term order
