@@ -997,6 +997,26 @@ object ClickHouseDialect {
         "window over an explicit ORDER BY (slice of " +
         "collect_list over the ordered window, the groupArraySorted " +
         "shape)")),
+    "groupArraySample" -> (_ => throw new IllegalArgumentException(
+      "groupArraySample samples an UNORDERED collect (partition-order " +
+        "nondeterminism) — rewrite as collect over a deterministic " +
+        "sort key, then arrayRandomSample(arr, k, seed) (the seeded " +
+        "SplitMix64 form)")),
+    "meanZTest" -> (_ => throw new IllegalArgumentException(
+      "meanZTest aggregates both samples' moments — rewrite as the " +
+        "two-sample z fold over exact sums/counts (the q140_meanztest " +
+        "recipe)")),
+    "quantileInterpolatedWeighted" -> (_ =>
+      throw new IllegalArgumentException(
+        "quantileInterpolatedWeighted interpolates the weighted ECDF " +
+          "— quantileExactWeighted(p)(x, w) is the supported exact " +
+          "form (Spark Percentile takes frequencies natively); for " +
+          "the interpolated variant rewrite via the " +
+          "q86_weighted_quantile staged-sort recipe")),
+    "sequenceNextNode" -> (_ => throw new IllegalArgumentException(
+      "sequenceNextNode walks per-user event chains — rewrite as the " +
+        "ordered per-user window + next-event lead() (the " +
+        "q89_next_node recipe)")),
     "groupBitmapAnd" -> (_ => throw new IllegalArgumentException(
       "groupBitmapAnd intersects per-row bitmaps — over scalar rows " +
         "that is `count(DISTINCT x) = 1` logic; over bitmap columns " +
@@ -1262,6 +1282,40 @@ object ClickHouseDialect {
       "cramersV aggregates the joint distribution — build the " +
         "contingency cells with one groupBy and fold chi2 from them " +
         "(the q72_cramers_v recipe)")),
+    "cramersVBiasCorrected" -> (_ => throw new IllegalArgumentException(
+      "cramersVBiasCorrected aggregates the joint distribution — " +
+        "build the contingency cells with one groupBy and fold the " +
+        "Bergsma-corrected V from them (the q144_cramers_bc recipe)")),
+    "kolmogorovSmirnovTest" -> (_ => throw new IllegalArgumentException(
+      "kolmogorovSmirnovTest needs both samples' rank structure — " +
+        "rewrite as the pooled-rank ECDF gap fold (the q130_ks_test " +
+        "recipe)")),
+    "maxIntersectionsPosition" -> (_ => throw new IllegalArgumentException(
+      "maxIntersectionsPosition is the argmax twin of " +
+        "maxIntersections — rewrite as the +1/-1 boundary sweep " +
+        "keeping the position of the running max (the " +
+        "q65_max_intersections recipe)")),
+    "groupArrayInsertAt" -> (_ => throw new IllegalArgumentException(
+      "groupArrayInsertAt builds a position-indexed array — rewrite " +
+        "as collect_list of (pos, value) structs + array rebuild over " +
+        "sequence(0, max(pos)) (the q95_minmax_map recipe); positional " +
+        "collisions need YOUR tie rule, which CH leaves unspecified")),
+    "aggThrow" -> (_ => throw new IllegalArgumentException(
+      "aggThrow is ClickHouse's fault-injection test aggregate — " +
+        "rewrite tests against raise_error(), or drop it (it computes " +
+        "nothing)")),
+    "categoricalInformationValue" -> (_ =>
+      throw new IllegalArgumentException(
+        "categoricalInformationValue aggregates per-category " +
+          "good/bad splits — rewrite as the category groupBy + WoE " +
+          "fold (the q131_info_value recipe)")),
+    "nonNegativeDerivative" -> (_ => throw new IllegalArgumentException(
+      "nonNegativeDerivative is a window function over (value, ts) — " +
+        "rewrite as lag() deltas clamped at zero over a PARTITION BY " +
+        "key ORDER BY ts window (the q110_nonneg_derivative recipe)")),
+    // CH's internal Nothing aggregate: NULL over any input
+    "nothing" -> (_ => Literal.create(null,
+      org.apache.spark.sql.types.NullType)),
     "contingency" -> (_ => throw new IllegalArgumentException(
       "contingency aggregates the joint distribution — build the " +
         "contingency cells with one groupBy and fold the coefficient " +

@@ -3877,7 +3877,11 @@ object ClickHouseSql {
     "quantileexactweightedif", "largesttrianglethreebuckets",
     // tenth batch: groupArray(N)(x) head-slice, the GK sketch, and the
     // EMA thrower (flattened so it can teach the q114 recipe)
-    "grouparray", "quantilegk", "exponentialmovingaverage")
+    "grouparray", "quantilegk", "exponentialmovingaverage",
+    // fifteenth batch: flattened so the registered throwers can teach
+    // their recipes instead of dying in the parser
+    "meanztest", "quantileinterpolatedweighted", "grouparraysample",
+    "sequencenextnode")
 
   /** ClickHouse parameterized-aggregate call syntax `f(p, …)(args…)` →
     * the dialect's flattened params-first form `f(p, …, args…)` —
