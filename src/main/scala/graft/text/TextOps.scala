@@ -1472,6 +1472,63 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // pipe_tokenizer_fertility — tokens-per-word, THE tokenizer-health
+  // dial a training pipeline watches per source (fertility near 1 =
+  // the vocab fits the corpus; high fertility = the tokenizer
+  // fragments this source's words and its documents eat context
+  // budget; compare sources to catch a domain the merges never saw).
+  // Rides the SAME trained-BPE artifacts as pipe_tokenizer_apply
+  // (3 merge rounds, broadcast token-count lookup): per source the
+  // word and BPE-token totals, fertility in exact ppm, and mean
+  // compressed token length in exact ppm of a char — all integer,
+  // vocabulary-sized join, |sources|-row readout.
+  val tokenizerFertility = Q(
+    "pipe_tokenizer_fertility",
+    Some(s"""
+      WITH $bpeChainSql,
+      len3 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n3 FROM s3 GROUP BY word),
+      wc AS (
+        SELECT source, word, COUNT(*) AS c FROM (
+          SELECT source, LOWER(UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))) AS word
+          FROM documents)
+        WHERE word <> '' GROUP BY source, word),
+      agg AS (
+        SELECT source,
+               SUM(c) AS n_words,
+               SUM(c * n3) AS n_bpe_toks,
+               SUM(c * LEN(word)) AS n_chars
+        FROM wc JOIN len3 USING (word) GROUP BY source)
+      SELECT source,
+             CAST(n_words AS BIGINT) AS n_words,
+             CAST(n_bpe_toks AS BIGINT) AS n_bpe_toks,
+             CAST(n_bpe_toks * 1000000 // n_words AS BIGINT) AS fertility_ppm,
+             CAST(n_chars * 1000000 // n_bpe_toks AS BIGINT)
+               AS chars_per_tok_ppm
+      FROM agg ORDER BY source
+    """)
+  ) { t =>
+    val len3 = bpeArtifacts(t).filter(col("kind") === "s")
+      .groupBy(col("word")).agg(count(lit(1)).as("n3"))
+    val wc = t.documents
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("w0"))
+      .select(col("source"), lower(col("w0")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    wc.join(broadcast(len3), "word")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n3")).as("n_bpe_toks"),
+        sum(col("c") * length(col("word"))).as("n_chars"))
+      .select(col("source"),
+        col("n_words").cast(LongType).as("n_words"),
+        col("n_bpe_toks").cast(LongType).as("n_bpe_toks"),
+        expr("n_bpe_toks * 1000000 div n_words").cast(LongType)
+          .as("fertility_ppm"),
+        expr("n_chars * 1000000 div n_bpe_toks").cast(LongType)
+          .as("chars_per_tok_ppm"))
+      .orderBy(col("source"))
+  }
+
   // text_countmin — Count-Min sketch accuracy report over the 3-token
   // shingle stream (d=4 rows × w=1024 columns, universal-hash cells from
   // the PortableHash family): the frequency sketch a streaming pipeline
@@ -2416,5 +2473,5 @@ object TextOps {
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
     countMin, charTrigrams, gopherBattery, langidEval, sttr, rake,
     interleave, burstiness, hapax, yuleK, stratifiedSample, zipf, heaps,
-    ngramDupRate, simpson)
+    ngramDupRate, simpson, tokenizerFertility)
 }
