@@ -2428,11 +2428,119 @@ object Dedup {
       .limit(20)
   }
 
+  // dedup_key_agreement — the EXACT-KEY family's observability readout
+  // (dedup_detector_agreement covers the similarity detectors): per
+  // document the four canonical keys — content (md5 of lowered text),
+  // bag (order-insensitive), prefix (first 8 words), suffix (last 8
+  // words) — and per family the duplicate census PLUS what it catches
+  // OVER plain content hashing (the number a pipeline owner reads to
+  // decide whether a fuzzy key family earns its pass). Four hash
+  // aggregations on bounded keys + four equi-joins back to the doc
+  // grain (all linear), one global aggregate, a 5-row long-form
+  // readout in exact basis points.
+  val keyAgreement = Q(
+    "dedup_key_agreement",
+    Some("""
+      WITH ws AS (
+        SELECT doc_id, LOWER(text) AS lt,
+               list_filter(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+'),
+                 x -> x <> '') AS w
+        FROM documents),
+      keys AS (
+        SELECT doc_id, MD5(lt) AS ke,
+               MD5(array_to_string(list_sort(w), ' ')) AS kb,
+               array_to_string(list_slice(w, 1, 8), ' ') AS kp,
+               array_to_string(list_slice(w, GREATEST(len(w) - 7, 1),
+                 len(w)), ' ') AS ks
+        FROM ws),
+      fe AS (SELECT ke, COUNT(*) AS ce FROM keys GROUP BY ke),
+      fb AS (SELECT kb, COUNT(*) AS cb FROM keys GROUP BY kb),
+      fp AS (SELECT kp, COUNT(*) AS cp FROM keys GROUP BY kp),
+      fs AS (SELECT ks, COUNT(*) AS cs FROM keys GROUP BY ks),
+      flags AS (
+        SELECT k.doc_id, ce > 1 AS de, cb > 1 AS db,
+               cp > 1 AS dp, cs > 1 AS ds
+        FROM keys k JOIN fe USING (ke) JOIN fb USING (kb)
+             JOIN fp USING (kp) JOIN fs USING (ks)),
+      agg AS (
+        SELECT COUNT(*) AS n,
+               COUNT(CASE WHEN de THEN 1 END) AS ne,
+               COUNT(CASE WHEN db THEN 1 END) AS nb,
+               COUNT(CASE WHEN db AND NOT de THEN 1 END) AS xb,
+               COUNT(CASE WHEN dp THEN 1 END) AS np_,
+               COUNT(CASE WHEN dp AND NOT de THEN 1 END) AS xp,
+               COUNT(CASE WHEN ds THEN 1 END) AS ns_,
+               COUNT(CASE WHEN ds AND NOT de THEN 1 END) AS xs,
+               COUNT(CASE WHEN de OR db OR dp OR ds THEN 1 END) AS na,
+               COUNT(CASE WHEN (db OR dp OR ds) AND NOT de THEN 1 END) AS xa
+        FROM flags),
+      long AS (
+        SELECT e.family AS family, e.n_dup AS n_dup,
+               e.extra AS extra_over_exact, n
+        FROM agg, UNNEST([
+          {'family': 'any', 'n_dup': na, 'extra': xa},
+          {'family': 'bag', 'n_dup': nb, 'extra': xb},
+          {'family': 'exact', 'n_dup': ne, 'extra': CAST(0 AS BIGINT)},
+          {'family': 'prefix', 'n_dup': np_, 'extra': xp},
+          {'family': 'suffix', 'n_dup': ns_, 'extra': xs}]) AS t(e))
+      SELECT family, CAST(n_dup AS BIGINT) AS n_dup,
+             CAST(extra_over_exact AS BIGINT) AS extra_over_exact,
+             CAST(n_dup * 10000 // n AS BIGINT) AS share_bp
+      FROM long
+      ORDER BY family
+    """)
+  ) { t =>
+    val ws = t.documents.select(col("doc_id"), lower(col("text")).as("lt"),
+      filter(words(lower(col("text"))), x => x =!= "").as("w"))
+    val keys = ws.select(col("doc_id"),
+      md5(col("lt").cast("binary")).as("ke"),
+      md5(array_join(sort_array(col("w")), " ").cast("binary")).as("kb"),
+      array_join(slice(col("w"), 1, 8), " ").as("kp"),
+      array_join(slice(col("w"), greatest(size(col("w")) - 7, lit(1)),
+        lit(8)), " ").as("ks"))
+    def fam(k: String, flag: String): DataFrame =
+      keys.groupBy(col(k)).agg(count(lit(1)).as(s"c_$flag"))
+    val flags = keys
+      .join(fam("ke", "e"), "ke").join(fam("kb", "b"), "kb")
+      .join(fam("kp", "p"), "kp").join(fam("ks", "s"), "ks")
+      .select(col("doc_id"), (col("c_e") > 1).as("de"),
+        (col("c_b") > 1).as("db"), (col("c_p") > 1).as("dp"),
+        (col("c_s") > 1).as("ds"))
+    flags.agg(count(lit(1)).as("n"),
+      count(when(col("de"), 1)).as("ne"),
+      count(when(col("db"), 1)).as("nb"),
+      count(when(col("db") && !col("de"), 1)).as("xb"),
+      count(when(col("dp"), 1)).as("np"),
+      count(when(col("dp") && !col("de"), 1)).as("xp"),
+      count(when(col("ds"), 1)).as("ns"),
+      count(when(col("ds") && !col("de"), 1)).as("xs"),
+      count(when(col("de") || col("db") || col("dp") || col("ds"), 1))
+        .as("na"),
+      count(when((col("db") || col("dp") || col("ds")) && !col("de"), 1))
+        .as("xa"))
+      .select(explode(array(
+        struct(lit("any").as("family"), col("na").as("n_dup"),
+          col("xa").as("extra")),
+        struct(lit("bag").as("family"), col("nb").as("n_dup"),
+          col("xb").as("extra")),
+        struct(lit("exact").as("family"), col("ne").as("n_dup"),
+          lit(0L).as("extra")),
+        struct(lit("prefix").as("family"), col("np").as("n_dup"),
+          col("xp").as("extra")),
+        struct(lit("suffix").as("family"), col("ns").as("n_dup"),
+          col("xs").as("extra")))).as("e"), col("n"))
+      .select(col("e.family").as("family"),
+        col("e.n_dup").cast(LongType).as("n_dup"),
+        col("e.extra").cast(LongType).as("extra_over_exact"),
+        expr("e.n_dup * 10000 div n").cast(LongType).as("share_bp"))
+      .orderBy(col("family"))
+  }
+
   val all: Seq[Q] = Seq(exact, ngramJaccard, minhashLsh, minhashRecall,
     containment, simhashDedup, simhashIdf, components, embeddingDedup,
     chunkDedup, applyDedup, urlDedup, incremental, bloomDedup, trainCorpus,
     substringDedup, substringExtents, substringClip, indexStats,
     thresholdSweep, hubRank, canonical, editDistance, similarSearch,
     triangles, detectorAgreement, winnow, componentSizes, cdc, bbit,
-    bagDedup, prefixDedup, suffixDedup)
+    bagDedup, prefixDedup, suffixDedup, keyAgreement)
 }
