@@ -573,6 +573,55 @@ object Streams {
         min(col("min_vc")).as("min_vc"),
         max(col("max_vc")).as("max_vc"))
 
+  /** Streaming corpus-health projection — the training-data ingest's
+    * observability twin of [[projectionStream]] (that one watches the
+    * events fact table; this one watches the DOCUMENT stream the dedup
+    * and curation operators consume): each micro-batch appends one
+    * immutable per-source partial — docs, whitespace tokens, chars,
+    * and the short-doc count (under `shortTok` tokens, the first
+    * quality gate every pipeline applies) — under `__part_id=<batch>`
+    * behind the same per-batch commit marker, and
+    * [[readCorpusHealth]] re-combines with plain sums (every column
+    * is a partial-mergeable count). At 100 TB the hot path writes
+    * |batch sources| rows per batch and never touches history; the
+    * dashboard reads |sources| rows however long the stream has run.
+    */
+  def corpusHealthStream(docs: Dataset[SourcedDoc], path: String,
+    checkpoint: String, shortTok: Int = 20)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val part = batch
+          .select(col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+            length(col("text")).cast("long").as("n_chars"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            count(when(col("n_tok") < shortTok, 1)).as("n_short"))
+        landProjectionPart(part, path, batchId)
+      }
+      .start()
+
+  /** Combine [[corpusHealthStream]]'s parts to the per-source health
+    * readout (docs, tokens, chars, short-doc share in exact bp).
+    */
+  def readCorpusHealth(spark: org.apache.spark.sql.SparkSession,
+    path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_short")).as("n_short"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_short"),
+        expr("n_short * 10000 div n_docs").as("short_bp"))
+
   /** One first-seen row per (user, month) with the new/returning
     * verdict — q158's streaming sibling, the growth dashboard fed
     * online. State per user is ONE first-month long plus the bounded

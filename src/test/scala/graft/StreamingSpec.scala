@@ -1016,6 +1016,44 @@ class StreamingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $centsT")
   }
 
+  test("stream_corpus_health: per-source partials combine to the batch readout, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("corpus_health").toFile
+    val path = new java.io.File(dir, "health").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    def doc(id: Long, src: String, words: Int): Streams.SourcedDoc =
+      Streams.SourcedDoc(id, ts(0), src, Seq.fill(words)("w").mkString(" "))
+    val b0 = Seq(doc(1, "web", 30), doc(2, "web", 5), doc(3, "books", 50))
+    val b1 = Seq(doc(4, "web", 10), doc(5, "books", 25))
+    val mem = MemoryStream[Streams.SourcedDoc]
+    val q = Streams.corpusHealthStream(mem.toDS(), path, ckpt)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = Streams.readCorpusHealth(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // the batch twin over the union of both micro-batches
+    val all = b0 ++ b1
+    def expect(src: String) = {
+      val ds = all.filter(_.source == src)
+      val toks = ds.map(_.text.trim.split("\\s+").length.toLong)
+      (src, ds.size.toLong, toks.sum,
+        ds.map(_.text.length.toLong).sum,
+        toks.count(_ < 20).toLong,
+        toks.count(_ < 20).toLong * 10000 / ds.size)
+    }
+    assert(got === Set(expect("web"), expect("books")))
+    // a replayed batch id is a marker-gated no-op: same totals after
+    Streams.landProjectionPart(
+      Seq(("web", 99L, 99L, 99L, 99L))
+        .toDF("source", "n_docs", "n_tokens", "n_chars", "n_short"), path, 0L)
+    assert(Streams.readCorpusHealth(spark, path).collect()
+      .map(_.getLong(1)).sum === 5L)
+  }
+
   test("stream_growth_accounting: month-close verdicts match q166's decomposition, state bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
