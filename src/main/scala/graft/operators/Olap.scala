@@ -281,5 +281,71 @@ object Olap {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10)
+  // q170 — month-over-month rank movers ("who jumped the leaderboard"):
+  // per (month, customer) revenue in exact cents, customers RANKED
+  // within their month — via GroupedPrefix's staged sort, so the
+  // per-month ranking never funnels the customer universe into a
+  // |months|-partition window (the scale-killer ROW_NUMBER form) —
+  // then consecutive months joined per customer on the (custkey,
+  // month) equi-key and the top 10 rank improvements cut with a
+  // TakeOrdered heap. Ties are impossible by construction: the rank
+  // key is the unique (−cents, custkey) tuple.
+  val q170 = Q(
+    "q170_rank_delta",
+    Some("""
+      WITH mc AS (
+        SELECT o_custkey,
+               EXTRACT(YEAR FROM o_orderdate) * 100
+                 + EXTRACT(MONTH FROM o_orderdate) AS ym,
+               SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS cents
+        FROM orders GROUP BY 1, 2),
+      r AS (
+        SELECT o_custkey, ym, cents,
+               ROW_NUMBER() OVER (PARTITION BY ym
+                                  ORDER BY cents DESC, o_custkey) AS rnk
+        FROM mc),
+      mv AS (
+        SELECT b.ym, b.o_custkey, b.rnk, a.rnk AS prev_rnk,
+               a.rnk - b.rnk AS delta
+        FROM r a JOIN r b
+          ON b.o_custkey = a.o_custkey
+         AND b.ym = CASE WHEN a.ym % 100 = 12 THEN a.ym + 89
+                         ELSE a.ym + 1 END)
+      SELECT CAST(ym AS BIGINT) AS ym, CAST(o_custkey AS BIGINT) AS o_custkey,
+             CAST(rnk AS BIGINT) AS rnk, CAST(prev_rnk AS BIGINT) AS prev_rnk,
+             CAST(delta AS BIGINT) AS delta
+      FROM mv
+      ORDER BY delta DESC, ym, o_custkey
+      LIMIT 10
+    """)
+  ) { t =>
+    import graft.plans.GroupedPrefix
+    val mc = t.orders
+      .groupBy(col("o_custkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType)).cast(LongType).as("cents"))
+    val r = GroupedPrefix.withRank(mc, Seq("ym"),
+      struct((-col("cents")).as("nc"), col("o_custkey")), "rnk")
+    val a = r.select(col("o_custkey").as("ck_a"), col("ym").as("ym_a"),
+      col("rnk").as("prev_rnk"))
+    val b = r.select(col("o_custkey"), col("ym"), col("rnk"))
+    val mv = a.join(b,
+      col("ym") === when(col("ym_a") % 100 === 12, col("ym_a") + 89)
+        .otherwise(col("ym_a") + 1) &&
+        col("ck_a") === col("o_custkey"))
+      .select(col("ym"), col("o_custkey"), col("rnk"), col("prev_rnk"),
+        (col("prev_rnk") - col("rnk")).as("delta"))
+    mv.select(col("ym").cast(LongType).as("ym"),
+      col("o_custkey").cast(LongType).as("o_custkey"),
+      col("rnk").cast(LongType).as("rnk"),
+      col("prev_rnk").cast(LongType).as("prev_rnk"),
+      col("delta").cast(LongType).as("delta"))
+      .orderBy(col("delta").desc, col("ym"), col("o_custkey"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q170)
 }
