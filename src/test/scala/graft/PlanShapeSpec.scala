@@ -565,6 +565,28 @@ class PlanShapeSpec extends SparkSpec {
     val bag = planOf("dedup_bag")
     assert(bag.contains("md5"), bag.take(2000))
     assert(!bag.contains("CartesianProduct"), bag.take(2000))
+    // q167/q170: the global/per-month customer ranking rides the
+    // GroupedPrefix staged sort — an NTILE/ROW_NUMBER window over the
+    // user universe is the regression
+    Seq("q167_decile_lift", "q170_rank_delta").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("__gp_pid"),
+        s"$q lost the GroupedPrefix staged sort:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    }
+    // ann_lsh_multiprobe: candidates come from the bucket EQUI-join
+    // against the 9-probe broadcast — never an all-pairs product
+    val mp = planOf("ann_lsh_multiprobe")
+    assert(!mp.contains("CartesianProduct") &&
+      !mp.contains("BroadcastNestedLoopJoin"), mp.take(2000))
+    // text_simpson / dedup_suffix / mm_dominant_color: pure
+    // aggregation shapes — no join, no window anywhere
+    Seq("text_simpson", "dedup_suffix", "mm_dominant_color").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("BroadcastHashJoin") && !plan.contains("Window"),
+        s"$q grew a join/window:\n${plan.take(2000)}")
+    }
   }
 
   test("q143_bucketed_join: bucketed scans feed the merge join with no exchange") {
