@@ -1412,6 +1412,109 @@ object Series {
       .orderBy(col("o_orderstatus"))
   }
 
+  // q171 — seasonal STRENGTH per order status: how much of the
+  // detrended variance the weekday cycle explains — the number a
+  // seriesDecomposeSTL user reads before trusting q135's seasonal
+  // indices (indices from a weak cycle are noise). Computed as the
+  // ANOVA η² of weekday on q135's EXACT detrended series (det7 = 7x −
+  // centered-7-sum, integers): η² = (n·Σ_w T_w²/n_w − S²)/(n·Q − S²)
+  // where every input — per-weekday counts n_w and sums T_w, the
+  // global n, S and the DECIMAL(38) square-sum Q (det7² overflows a
+  // Long at the 100 TB daily-cents scale) — is exact, the weekdays
+  // pivot to SEVEN FIXED COLUMNS (the q72 contingency-cell pattern)
+  // so the double fold has a verbatim-shared term order, and one
+  // ROUND lands η². The verdict compares the ROUNDED value. Facts pay
+  // the one daily aggregation; everything after is |status|-rows.
+  val q171 = Q(
+    "q171_seasonal_strength",
+    Some {
+      val terms = (1 to 7).map(k =>
+        s"COALESCE(CAST(t$k AS DOUBLE) * t$k / nw$k, CAST(0 AS DOUBLE))")
+        .mkString(" + ")
+      val pivots = (1 to 7).map(k =>
+        s"MAX(CASE WHEN weekday = $k THEN nw END) AS nw$k,\n               " +
+          s"MAX(CASE WHEN weekday = $k THEN tw END) AS t$k").mkString(",\n               ")
+      s"""
+      WITH daily AS (
+        SELECT o_orderstatus AS g, CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2),
+      tr AS (
+        SELECT g, d, x,
+               SUM(x) OVER (PARTITION BY g ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+               COUNT(*) OVER (PARTITION BY g ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+        FROM daily),
+      det AS (
+        SELECT g, ISODOW(d) AS weekday, 7 * x - t7 AS det7
+        FROM tr WHERE c7 = 7),
+      per_w AS (
+        SELECT g, weekday, COUNT(*) AS nw, SUM(det7) AS tw
+        FROM det GROUP BY g, weekday),
+      gl AS (
+        SELECT g, COUNT(*) AS n, SUM(det7) AS s,
+               SUM(CAST(det7 AS HUGEINT) * det7) AS q
+        FROM det GROUP BY g),
+      piv AS (
+        SELECT g,
+               $pivots
+        FROM per_w GROUP BY g)
+      SELECT p.g AS o_orderstatus, CAST(n AS BIGINT) AS n_days,
+             ROUND((n * ($terms) - CAST(s AS DOUBLE) * s)
+               / (n * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s), 4)
+               AS eta2_r4,
+             CASE WHEN ROUND((n * ($terms) - CAST(s AS DOUBLE) * s)
+                    / (n * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s), 4)
+                    > 0.6 THEN 'strong'
+                  WHEN ROUND((n * ($terms) - CAST(s AS DOUBLE) * s)
+                    / (n * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s), 4)
+                    > 0.3 THEN 'moderate'
+                  ELSE 'weak' END AS verdict
+      FROM piv p JOIN gl ON gl.g = p.g
+      ORDER BY o_orderstatus
+      """
+    }
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.orders
+      .groupBy(col("o_orderstatus").as("g"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100)))
+        .cast(LongType).as("x"))
+    val w7 = Window.partitionBy(col("g")).orderBy(col("d")).rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("t7", sum(col("x")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .where(col("c7") === 7)
+      .select(col("g"), (expr("weekday(d)") + 1).as("weekday"),
+        (col("x") * 7 - col("t7")).as("det7"))
+    val perW = det.groupBy(col("g"), col("weekday"))
+      .agg(count(lit(1)).as("nw"), sum(col("det7")).as("tw"))
+    val glob = det.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("det7")).as("s"),
+        sum(expr("CAST(det7 AS DECIMAL(38,0)) * det7")).as("q"))
+    val piv = perW.groupBy(col("g"))
+      .agg(
+        max(when(col("weekday") === 1, col("nw"))).as("nw1"),
+        (Seq(max(when(col("weekday") === 1, col("tw"))).as("t1")) ++
+          (2 to 7).flatMap(k => Seq(
+            max(when(col("weekday") === k, col("nw"))).as(s"nw$k"),
+            max(when(col("weekday") === k, col("tw"))).as(s"t$k")))): _*)
+    val terms = (1 to 7).map(k =>
+      s"COALESCE(CAST(t$k AS DOUBLE) * t$k / nw$k, CAST(0 AS DOUBLE))")
+      .mkString(" + ")
+    val eta = s"ROUND((n * ($terms) - CAST(s AS DOUBLE) * s) " +
+      s"/ (n * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s), 4)"
+    piv.join(glob, "g")
+      .select(col("g").as("o_orderstatus"),
+        col("n").cast(LongType).as("n_days"),
+        expr(eta).as("eta2_r4"),
+        expr(s"CASE WHEN $eta > 0.6 THEN 'strong' " +
+          s"WHEN $eta > 0.3 THEN 'moderate' ELSE 'weak' END").as("verdict"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106, q109, q110,
-    q128, q129, q132, q133, q135, q147, q149, q152, q154, q156, q161, q168)
+    q128, q129, q132, q133, q135, q147, q149, q152, q154, q156, q161, q168,
+    q171)
 }

@@ -111,6 +111,10 @@ class OutputTypeLintSpec extends SparkSpec {
     // reviewed r13: continuity-corrected z from exact BIGINT S/var18 —
     // identical double term order both engines, verdict on rounded z
     "q169_mk_trend" -> Set("z_r4"),
+    // reviewed r13: ANOVA eta² over exact int/DECIMAL(38) sums, seven
+    // fixed pivot terms (q72 pattern) — term order shared verbatim,
+    // one ROUND, verdict on the rounded value
+    "q171_seasonal_strength" -> Set("eta2_r4"),
     // reviewed r10: z and the CI bounds are single scalar expressions
     // over four exact integers (cents sums + counts) — no
     // aggregation-order dependence; oracle shares the term order
