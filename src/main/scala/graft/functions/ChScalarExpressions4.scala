@@ -203,6 +203,92 @@ object ChScalarKernels4 {
     idx
   }
 
+  // ---- sixteenth batch ------------------------------------------------
+  /** MACNumToString: low 6 bytes rendered big-endian colon-hex. */
+  def macNumToString(v: Long): UTF8String = {
+    val sb = new StringBuilder(17)
+    var i = 5
+    while (i >= 0) {
+      sb.append(f"${(v >>> (i * 8)) & 0xff}%02X")
+      if (i > 0) sb.append(':')
+      i -= 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** MACStringToNum: colon-hex (6 groups) → UInt48 in a Long; 0 on a
+    * malformed address (the OrZero-style contract — CH throws; the
+    * OrNull variant maps through the null path at the builder).
+    */
+  def macStringToNum(s: UTF8String): Long = {
+    val parts = s.toString.split(":")
+    if (parts.length != 6) return 0L
+    var v = 0L
+    var i = 0
+    while (i < 6) {
+      val p = parts(i)
+      if (p.length != 2) return 0L
+      val n = try Integer.parseInt(p, 16) catch { case _: Exception => return 0L }
+      v = (v << 8) | n
+      i += 1
+    }
+    v
+  }
+
+  /** bfloat16 rounding: truncate the float mantissa to 8 bits (CH's
+    * toBFloat16 — truncation, not round-to-nearest).
+    */
+  def toBFloat16(v: Double): Double = {
+    val bits = java.lang.Float.floatToRawIntBits(v.toFloat)
+    java.lang.Float.intBitsToFloat(bits & 0xffff0000).toDouble
+  }
+
+  /** UUID text → its 16 big-endian bytes (CH UUIDStringToNum variant 1). */
+  def uuidStringToNum(s: UTF8String): Array[Byte] = {
+    val u = java.util.UUID.fromString(s.toString)
+    val b = java.nio.ByteBuffer.allocate(16)
+    b.putLong(u.getMostSignificantBits)
+    b.putLong(u.getLeastSignificantBits)
+    b.array()
+  }
+
+  /** 16 big-endian bytes → canonical UUID text. */
+  def uuidNumToString(bytes: Array[Byte]): UTF8String = {
+    require(bytes.length == 16,
+      s"UUIDNumToString expects 16 bytes, got ${bytes.length}")
+    val b = java.nio.ByteBuffer.wrap(bytes)
+    UTF8String.fromString(new java.util.UUID(b.getLong, b.getLong).toString)
+  }
+
+  private val Crockford = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+
+  /** ULID: 48-bit millisecond timestamp + 80 random bits, Crockford
+    * base32, 26 chars (the published ULID spec).
+    */
+  def ulid(): UTF8String = {
+    val ts = System.currentTimeMillis()
+    val r = java.util.concurrent.ThreadLocalRandom.current()
+    val hi = r.nextLong(); val lo = r.nextLong()
+    val out = new Array[Char](26)
+    var i = 0
+    // 10 chars of timestamp (48 bits, 5 bits each, left-padded)
+    while (i < 10) {
+      out(9 - i) = Crockford(((ts >>> (i * 5)) & 31).toInt)
+      i += 1
+    }
+    // 16 chars of randomness from the 80 low bits of (hi, lo)
+    var j = 0
+    while (j < 16) {
+      val bitPos = j * 5
+      val bits =
+        if (bitPos < 60) (lo >>> bitPos) & 31
+        else ((lo >>> 60) | (hi << 4)) >>> (bitPos - 60) & 31
+      out(25 - j) = Crockford(bits.toInt)
+      j += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
   /** Even-odd-rule point-in-polygon (ray casting, boundary counted in
     * via the on-segment check CH also applies).
     */
@@ -376,6 +462,57 @@ case class ChArrayShuffleExpr(left: Expression, right: Expression, k: Int)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
     : ChArrayShuffleExpr = copy(left = l, right = r)
+}
+
+/** Thin unary kernels of the sixteenth batch — name selects the
+  * static method; all primitive-friendly, codegen'd via one call.
+  */
+case class ChUnaryKernel4Expr(child: Expression, fn: String)
+  extends UnaryExpression {
+  override def dataType: DataType = fn match {
+    case "macnumtostring" | "uuidnumtostring" => StringType
+    case "macstringtonum" => LongType
+    case "tobfloat16" => DoubleType
+    case "uuidstringtonum" => BinaryType
+    case _ => throw new IllegalArgumentException(s"unknown kernel $fn")
+  }
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = fn match {
+    case "macnumtostring" =>
+      ChScalarKernels4.macNumToString(v.asInstanceOf[Long])
+    case "macstringtonum" =>
+      ChScalarKernels4.macStringToNum(v.asInstanceOf[UTF8String])
+    case "tobfloat16" => ChScalarKernels4.toBFloat16(v.asInstanceOf[Double])
+    case "uuidstringtonum" =>
+      ChScalarKernels4.uuidStringToNum(v.asInstanceOf[UTF8String])
+    case "uuidnumtostring" =>
+      ChScalarKernels4.uuidNumToString(v.asInstanceOf[Array[Byte]])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = fn match {
+      case "macnumtostring" => "macNumToString"
+      case "macstringtonum" => "macStringToNum"
+      case "tobfloat16" => "toBFloat16"
+      case "uuidstringtonum" => "uuidStringToNum"
+      case "uuidnumtostring" => "uuidNumToString"
+    }
+    defineCodeGen(ctx, ev, a => s"graft.functions.ChScalarKernels4.$m($a)")
+  }
+  override protected def withNewChildInternal(c: Expression)
+    : ChUnaryKernel4Expr = copy(child = c)
+}
+
+/** generateULID() — the published ULID spec (48-bit ms timestamp +
+  * 80 random bits, Crockford base32); nondeterministic like Uuid().
+  */
+case class ChUlidExpr() extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+  with org.apache.spark.sql.catalyst.expressions.Nondeterministic
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override protected def initializeInternal(partitionIndex: Int): Unit = ()
+  override protected def evalInternal(input: InternalRow): Any =
+    ChScalarKernels4.ulid()
 }
 
 /** pointInPolygon((x, y), [(x, y), …]) — even-odd ray casting; builder

@@ -2026,8 +2026,10 @@ object ClickHouseDialect {
       RegExpReplace(one(args), Literal("[?#].*$"), Literal(""))),
     "regexpExtract" -> (args => RegExpExtract(args.head, args(1),
       if (args.length > 2) args(2) else Literal(1))),
+    // analysis-time coercion handles the literal's type — reading
+    // args.head.dataType here would throw on an unresolved column ref
     "isZeroOrNull" -> (args => Coalesce(Seq(EqualTo(args.head,
-      Cast(Literal(0), args.head.dataType)), Literal(true)))),
+      Literal(0)), Literal(true)))),
     // CH's toColumnTypeName reports the in-memory column type — for
     // every CH-surface type here that equals toTypeName's answer
     "toColumnTypeName" -> (args => ChTypeNameExpr(one(args))),
@@ -2134,7 +2136,170 @@ object ClickHouseDialect {
     "stringToH3" -> (_ => throw new IllegalArgumentException(
       "stringToH3: H3 is not on this classpath — rewrite with " +
         "unhex/conv for the raw index; geohash cells are the " +
-        "supported bucket key")))
+        "supported bucket key")),
+    // ---- sixteenth batch: the date-change family, server/system
+    // introspection stand-ins, MAC/UUID codecs, and the utility tail --
+    // changeYear/…/changeSecond: recompose via make_timestamp with the
+    // one part substituted. Inputs normalize to TIMESTAMP (a Date in
+    // comes back as DateTime — MIGRATION note); an invalid recomposed
+    // date (Feb 30) yields NULL where CH saturates (noted).
+    "changeYear" -> (args => changeDatePart(args, "year")),
+    "changeMonth" -> (args => changeDatePart(args, "month")),
+    "changeDay" -> (args => changeDatePart(args, "day")),
+    "changeHour" -> (args => changeDatePart(args, "hour")),
+    "changeMinute" -> (args => changeDatePart(args, "minute")),
+    "changeSecond" -> (args => changeDatePart(args, "second")),
+    "overlayUTF8" -> { args =>
+      require(args.length >= 3, "overlayUTF8(s, replace, pos[, len])")
+      if (args.length > 3) new Overlay(args.head, args(1), args(2), args(3))
+      else new Overlay(args.head, args(1), args(2))
+    },
+    "stringCompare" -> { args =>
+      require(args.length == 2,
+        "stringCompare(s1, s2) — the 5-arg offset form is not taken")
+      If(LessThan(args.head, args(1)), Literal(-1),
+        If(EqualTo(args.head, args(1)), Literal(0), Literal(1)))
+    },
+    "mid" -> (args => Substring(args.head, args(1),
+      if (args.length > 2) args(2) else Literal(Int.MaxValue))),
+    "UTCTimestamp" -> (_ => Cast(CurrentTimestamp(),
+      org.apache.spark.sql.types.TimestampType)),
+    // stable per JVM (the engine's "server"): a name-UUID of the
+    // runtime's process identity
+    "serverUUID" -> (_ => Literal(java.util.UUID.nameUUIDFromBytes(
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+        .getBytes("UTF-8")).toString)),
+    "widthBucket" -> (args => WidthBucket(
+      Cast(args.head, org.apache.spark.sql.types.DoubleType),
+      Cast(args(1), org.apache.spark.sql.types.DoubleType),
+      Cast(args(2), org.apache.spark.sql.types.DoubleType),
+      Cast(args(3), org.apache.spark.sql.types.LongType))),
+    "bitmaskToArray" -> { args =>
+      val x = Cast(one(args), org.apache.spark.sql.types.LongType)
+      val b = UnresolvedNamedLambdaVariable(Seq("graft_bm_bit"))
+      val v = UnresolvedNamedLambdaVariable(Seq("graft_bm_v"))
+      ArrayTransform(
+        ArrayFilter(Sequence(Literal(0), Literal(62), None),
+          LambdaFunction(Not(EqualTo(
+            BitwiseAnd(x, ShiftLeft(Literal(1L), b)), Literal(0L))), Seq(b))),
+        LambdaFunction(ShiftLeft(Literal(1L), v), Seq(v)))
+    },
+    // Int64-width byte reversal (CH swaps the RESOLVED type's width;
+    // integers here are Int64 — 32-bit examples differ, MIGRATION note)
+    "byteSwap" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[java.lang.Long],
+        org.apache.spark.sql.types.LongType, "reverseBytes",
+        Seq(Cast(one(args), org.apache.spark.sql.types.LongType)),
+        Seq(org.apache.spark.sql.types.LongType))),
+    // whitespace normalization only (no pretty-printer here — noted)
+    "formatQuery" -> (args => RegExpReplace(
+      new StringTrim(one(args)), Literal("\\s+"), Literal(" "))),
+    "formatQuerySingleLine" -> (args => RegExpReplace(
+      new StringTrim(one(args)), Literal("\\s+"), Literal(" "))),
+    "toBool" -> (args => Cast(one(args),
+      org.apache.spark.sql.types.BooleanType)),
+    "toBFloat16" -> (args => ChUnaryKernel4Expr(Cast(one(args),
+      org.apache.spark.sql.types.DoubleType), "tobfloat16")),
+    "MACNumToString" -> (args => ChUnaryKernel4Expr(Cast(one(args),
+      org.apache.spark.sql.types.LongType), "macnumtostring")),
+    "MACStringToNum" -> (args =>
+      ChUnaryKernel4Expr(one(args), "macstringtonum")),
+    "IPv4ToIPv6" -> { args =>
+      val x = Cast(one(args), org.apache.spark.sql.types.LongType)
+      def oct(sh: Int): Expression = Cast(
+        BitwiseAnd(ShiftRightUnsigned(x, Literal(sh)), Literal(255L)),
+        org.apache.spark.sql.types.StringType)
+      Concat(Seq(Literal("::ffff:"),
+        new ConcatWs(Seq(Literal("."), oct(24), oct(16), oct(8), oct(0)))))
+    },
+    "caseWithExpression" -> { args =>
+      require(args.length >= 4 && args.length % 2 == 0,
+        "caseWithExpression(x, k1, v1, …, default)")
+      val x = args.head
+      val default = args.last
+      val pairs = args.tail.dropRight(1).grouped(2).toSeq
+      CaseWhen(pairs.map(p => (EqualTo(x, p(0)), p(1))), Some(default))
+    },
+    "materialize" -> (args => one(args)),
+    "identity" -> (args => one(args)),
+    "ignore" -> (_ => Literal(0)),
+    // no-op: a distributed engine does not sleep per block (noted)
+    "sleep" -> (_ => Literal(0)),
+    "sleepEachRow" -> (_ => Literal(0)),
+    "hostName" -> (_ => Literal(
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "localhost" })),
+    "uptime" -> (_ => Literal(
+      (System.currentTimeMillis() - java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getStartTime) / 1000L)),
+    // Spark's partition model stands in for CH blocks (MIGRATION note)
+    "blockNumber" -> (_ => SparkPartitionID()),
+    "rowNumberInBlock" -> (_ => BitwiseAnd(MonotonicallyIncreasingID(),
+      Literal((1L << 33) - 1))),
+    "rowNumberInAllBlocks" -> (_ => MonotonicallyIncreasingID()),
+    "blockSize" -> (_ => throw new IllegalArgumentException(
+      "blockSize has no scalar Spark analog — rewrite as " +
+        "count(*) grouped by spark_partition_id()")),
+    "visibleWidth" -> (args => Length(Cast(one(args),
+      org.apache.spark.sql.types.StringType))),
+    "hasColumnInTable" -> { args =>
+      require(args.length >= 2 && args.forall(_.foldable),
+        "hasColumnInTable([db,] table, column): literal strings")
+      val table = String.valueOf(args(args.length - 2).eval())
+      val column = String.valueOf(args.last.eval())
+      val exists = try org.apache.spark.sql.SparkSession.active
+        .table(table).schema.fieldNames.exists(_.equalsIgnoreCase(column))
+      catch { case scala.util.control.NonFatal(_) => false }
+      Literal(exists)
+    },
+    "getSetting" -> { args =>
+      require(args.length == 1 && args.head.foldable,
+        "getSetting('name'): literal string")
+      org.apache.spark.sql.SparkSession.active.conf
+        .getOption(String.valueOf(args.head.eval()))
+        .map(v => Literal(v): Expression)
+        .getOrElse(Literal.create(null,
+          org.apache.spark.sql.types.StringType))
+    },
+    "generateULID" -> (_ => ChUlidExpr()),
+    "UUIDStringToNum" -> (args =>
+      ChUnaryKernel4Expr(one(args), "uuidstringtonum")),
+    "UUIDNumToString" -> (args =>
+      ChUnaryKernel4Expr(Cast(one(args),
+        org.apache.spark.sql.types.BinaryType), "uuidnumtostring")),
+    "regionToName" -> (_ => throw new IllegalArgumentException(
+      "regionToName needs ClickHouse's embedded geobase — rewrite as a " +
+        "broadcast join against your own region dimension table")),
+    "minSampleSizeContinuous" -> (_ => throw new IllegalArgumentException(
+      "minSampleSizeContinuous is closed-form power analysis — rewrite " +
+        "with the q111_min_sample_size recipe (exact z constants, " +
+        "per-variant moments)")),
+    "minSampleSizeConversion" -> (_ => throw new IllegalArgumentException(
+      "minSampleSizeConversion is closed-form power analysis — rewrite " +
+        "with the q111_min_sample_size recipe (exact z constants, " +
+        "per-variant moments)")))
+
+  /** changeYear/… recomposition: make_timestamp with one part swapped.
+    */
+  private def changeDatePart(args: Seq[Expression], part: String): Expression = {
+    require(args.length == 2, s"change${part.capitalize}(date, value)")
+    val ts = Cast(args.head, org.apache.spark.sql.types.TimestampType)
+    val v = Cast(args(1), org.apache.spark.sql.types.IntegerType)
+    def p(name: String): Expression = name match {
+      case "year" => Year(ts)
+      case "month" => Month(ts)
+      case "day" => DayOfMonth(ts)
+      case "hour" => Hour(ts)
+      case "minute" => Minute(ts)
+      case "second" => Cast(Second(ts), org.apache.spark.sql.types.IntegerType)
+    }
+    val parts = Seq("year", "month", "day", "hour", "minute", "second")
+      .map(n => if (n == part) v else p(n))
+    MakeTimestamp(parts(0), parts(1), parts(2), parts(3), parts(4),
+      Cast(parts(5), org.apache.spark.sql.types.DecimalType(16, 6)),
+      None, None, failOnError = false)
+  }
 
   private def toDArr(e: Expression): Expression =
     Cast(e, org.apache.spark.sql.types.ArrayType(

@@ -478,4 +478,60 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(agg("uniqArray(array(id, id + 1))") === 4)
     assert(agg("uniqExactArray(array(id, id + 1))") === 4)
   }
+
+  test("sixteenth-batch dialect names: pinned values") {
+    graft.functions.ClickHouseDialect.register(spark)
+    def one(e: String): Any =
+      graft.functions.ClickHouseSql.sql(spark, s"SELECT $e AS v").head().get(0)
+    // date-change family: recomposition with one part swapped
+    assert(one("changeYear(toDate('2024-03-05'), 2020)").toString
+      === "2020-03-05 00:00:00.0")
+    assert(one("changeMonth(toDate('2024-03-05'), 12)").toString
+      === "2024-12-05 00:00:00.0")
+    assert(one("changeDay(toDateTime('2024-03-05 01:02:03'), 28)").toString
+      === "2024-03-28 01:02:03.0")
+    assert(one("changeHour(toDateTime('2024-03-05 01:02:03'), 23)").toString
+      === "2024-03-05 23:02:03.0")
+    assert(one("changeSecond(toDateTime('2024-03-05 01:02:03'), 59)").toString
+      === "2024-03-05 01:02:59.0")
+    // invalid recomposition -> NULL (CH saturates; MIGRATION note)
+    assert(one("changeDay(toDate('2024-02-05'), 30)") === null)
+    // string tail
+    assert(one("overlayUTF8('héllo', 'XY', 2)").toString === "hXYlo")
+    assert(one("stringCompare('abc', 'abd')") === -1)
+    assert(one("stringCompare('abc', 'abc')") === 0)
+    assert(one("mid('hello', 2, 3)").toString === "ell")
+    assert(one("visibleWidth('abc')") === 3)
+    // numeric / bit tail
+    assert(one("widthBucket(5.0, 0.0, 10.0, 5)") === 3L)
+    assert(one("bitmaskToArray(10)") === Seq(2L, 8L))
+    // Int64-width reversal (CH swaps the resolved type's width — the
+    // 32-bit doc example differs; MIGRATION note)
+    assert(one("byteSwap(byteSwap(123456789))") === 123456789L)
+    assert(one("toBFloat16(1.5)") === 1.5)
+    assert(one("toBool('true')") === true)
+    // MAC / UUID / IP codecs round-trip
+    assert(one("MACNumToString(1099511627775)").toString
+      === "00:FF:FF:FF:FF:FF")
+    assert(one("MACStringToNum(MACNumToString(112233445566))")
+      === 112233445566L)
+    assert(one("IPv4ToIPv6(16909060)").toString === "::ffff:1.2.3.4")
+    assert(one("UUIDNumToString(UUIDStringToNum(" +
+      "'12345678-1234-1234-1234-123456789012'))").toString
+      === "12345678-1234-1234-1234-123456789012")
+    assert(one("length(generateULID())") === 26)
+    // utility stand-ins
+    assert(one("caseWithExpression(2, 1, 'one', 2, 'two', 'other')")
+      .toString === "two")
+    assert(one("caseWithExpression(9, 1, 'one', 2, 'two', 'other')")
+      .toString === "other")
+    assert(one("materialize(5)") === 5)
+    assert(one("identity(7)") === 7)
+    assert(one("ignore(1, 2)") === 0)
+    assert(one("sleep(0)") === 0)
+    assert(one("formatQuerySingleLine('select   1  +2')").toString
+      === "select 1 +2")
+    assert(one("hasColumnInTable('no_such_table', 'c')") === false)
+    assert(one("uptime() >= 0") === true)
+  }
 }
