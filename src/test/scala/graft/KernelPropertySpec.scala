@@ -157,4 +157,70 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(SignatureKernels.dot(a, b, 1, 1) === dot)
     }
   }
+
+  test("r13 kernels: shuffledIndices is a permutation, stable per seed") {
+    forSamples(Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(Long.MinValue, Long.MaxValue))) {
+      case (n, seed) =>
+        val idx = graft.functions.ChScalarKernels4.shuffledIndices(n, seed)
+        assert(idx.sorted.toSeq === (0 until n))
+        assert(idx.toSeq ===
+          graft.functions.ChScalarKernels4.shuffledIndices(n, seed).toSeq)
+    }
+  }
+
+  test("r13 kernels: MAC and reinterpret round-trips over random values") {
+    forSamples(Gen.chooseNum(0L, (1L << 48) - 1)) { v =>
+      val s = graft.functions.ChScalarKernels4.macNumToString(v)
+      assert(graft.functions.ChScalarKernels4.macStringToNum(s) === v)
+    }
+    forSamples(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { v =>
+      val s = graft.functions.ChScalarKernels4.reinterpretAsString(v)
+      // trailing zero bytes trim, so only the surviving width reads back
+      val back = graft.functions.ChScalarKernels4.reinterpretAsUInt(s, 8)
+      assert(back === v)
+    }
+  }
+
+  test("r13 kernels: hilbert encode/decode round-trips random 32-bit coords") {
+    forSamples(Gen.zip(Gen.chooseNum(0L, 0xffffffffL),
+      Gen.chooseNum(0L, 0xffffffffL))) { case (x, y) =>
+      val d = graft.functions.ChScalarKernels3.hilbertEncode(x, y)
+      assert(graft.functions.ChScalarKernels3.hilbertDecode(d) === ((x, y)))
+    }
+  }
+
+  test("r13 kernels: isValidUtf8 accepts every real string, rejects bad shapes") {
+    forSamples(word) { w =>
+      assert(graft.functions.ChScalarKernels4.isValidUtf8(
+        UTF8String.fromString(w + "héllo‚Ǩ")))
+    }
+    // continuation byte alone, truncated sequence, surrogate range
+    for (bad <- Seq(Array(0x80), Array(0xC2), Array(0xED, 0xA0, 0x80),
+      Array(0xF5, 0x80, 0x80, 0x80))) {
+      assert(!graft.functions.ChScalarKernels4.isValidUtf8(
+        UTF8String.fromBytes(bad.map(_.toByte))))
+    }
+  }
+
+  test("r13 kernels: pointInPolygon agrees with a reference winding check on a square") {
+    forSamples(Gen.zip(Gen.chooseNum(-2.0, 6.0), Gen.chooseNum(-2.0, 6.0))) {
+      case (px, py) =>
+        val xs = Array(0.0, 4.0, 4.0, 0.0)
+        val ys = Array(0.0, 0.0, 4.0, 4.0)
+        val got = graft.functions.ChScalarKernels4.pointInPolygon(px, py, xs, ys)
+        val expected = (px >= 0 && px <= 4 && py >= 0 && py <= 4)
+        assert(got === expected, s"($px, $py)")
+    }
+  }
+
+  test("r13 kernels: arrayLevenshtein bounds and identity") {
+    forSamples(Gen.zip(words, words)) { case (a, b) =>
+      def arr(ws: List[String]) = new org.apache.spark.sql.catalyst.util
+        .GenericArrayData(ws.map(UTF8String.fromString).toArray[Any])
+      val d = graft.functions.ChScalarKernels4.arrayLevenshtein(arr(a), arr(b))
+      assert(d >= math.abs(a.length - b.length))
+      assert(d <= math.max(a.length, b.length))
+      assert(graft.functions.ChScalarKernels4.arrayLevenshtein(arr(a), arr(a)) === 0L)
+    }
+  }
 }
