@@ -216,20 +216,24 @@ object ChScalarKernels4 {
     UTF8String.fromString(sb.toString)
   }
 
-  /** MACStringToNum: colon-hex (6 groups) → UInt48 in a Long; 0 on a
-    * malformed address (the OrZero-style contract — CH throws; the
-    * OrNull variant maps through the null path at the builder).
+  /** MACStringToNum: colon-hex (6 two-digit groups) → UInt48 in a Long;
+    * THROWS on a malformed address like CH — the OrNull/OrZero behavior
+    * lives in [[ChMacStringToNumExpr]]'s mode, never here, so bad
+    * addresses can't silently alias to 00:00:00:00:00:00.
     */
   def macStringToNum(s: UTF8String): Long = {
-    val parts = s.toString.split(":")
-    if (parts.length != 6) return 0L
+    val txt = s.toString
+    val parts = txt.split(":", -1)
+    require(parts.length == 6, s"macStringToNum: malformed MAC '$txt'")
     var v = 0L
     var i = 0
     while (i < 6) {
       val p = parts(i)
-      if (p.length != 2) return 0L
-      val n = try Integer.parseInt(p, 16) catch { case _: Exception => return 0L }
-      v = (v << 8) | n
+      // two hex DIGITS exactly — parseInt would admit '+5'/'-1' groups
+      require(p.length == 2 && Character.digit(p.charAt(0), 16) >= 0 &&
+        Character.digit(p.charAt(1), 16) >= 0,
+        s"macStringToNum: malformed MAC '$txt'")
+      v = (v << 8) | Integer.parseInt(p, 16)
       i += 1
     }
     v
@@ -345,6 +349,39 @@ case class ChParseReadableSizeExpr(child: Expression, mode: String)
     })
   override protected def withNewChildInternal(c: Expression)
     : ChParseReadableSizeExpr = copy(child = c)
+}
+
+/** MACStringToNum / OrNull / OrZero — mode decides the malformed-input
+  * behavior (throw / null / 0), the parseReadableSize routing; the base
+  * name throws like CH instead of aliasing bad input to MAC zero.
+  */
+case class ChMacStringToNumExpr(child: Expression, mode: String)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable || mode == "null"
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    try ChScalarKernels4.macStringToNum(v.asInstanceOf[UTF8String])
+    catch {
+      case e: Exception => mode match {
+        case "null" => null
+        case "zero" => 0L
+        case _ => throw e
+      }
+    }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => mode match {
+      case "null" =>
+        s"""try { ${ev.value} = graft.functions.ChScalarKernels4.macStringToNum($a); }
+           catch (Exception e) { ${ev.isNull} = true; }"""
+      case "zero" =>
+        s"""try { ${ev.value} = graft.functions.ChScalarKernels4.macStringToNum($a); }
+           catch (Exception e) { ${ev.value} = 0L; }"""
+      case _ =>
+        s"${ev.value} = graft.functions.ChScalarKernels4.macStringToNum($a);"
+    })
+  override protected def withNewChildInternal(c: Expression)
+    : ChMacStringToNumExpr = copy(child = c)
 }
 
 /** isValidUTF8(s) — byte-level RFC 3629 validation. */
@@ -471,7 +508,6 @@ case class ChUnaryKernel4Expr(child: Expression, fn: String)
   extends UnaryExpression {
   override def dataType: DataType = fn match {
     case "macnumtostring" | "uuidnumtostring" => StringType
-    case "macstringtonum" => LongType
     case "tobfloat16" => DoubleType
     case "uuidstringtonum" => BinaryType
     case _ => throw new IllegalArgumentException(s"unknown kernel $fn")
@@ -480,8 +516,6 @@ case class ChUnaryKernel4Expr(child: Expression, fn: String)
   override protected def nullSafeEval(v: Any): Any = fn match {
     case "macnumtostring" =>
       ChScalarKernels4.macNumToString(v.asInstanceOf[Long])
-    case "macstringtonum" =>
-      ChScalarKernels4.macStringToNum(v.asInstanceOf[UTF8String])
     case "tobfloat16" => ChScalarKernels4.toBFloat16(v.asInstanceOf[Double])
     case "uuidstringtonum" =>
       ChScalarKernels4.uuidStringToNum(v.asInstanceOf[UTF8String])
@@ -491,7 +525,6 @@ case class ChUnaryKernel4Expr(child: Expression, fn: String)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = fn match {
       case "macnumtostring" => "macNumToString"
-      case "macstringtonum" => "macStringToNum"
       case "tobfloat16" => "toBFloat16"
       case "uuidstringtonum" => "uuidStringToNum"
       case "uuidnumtostring" => "uuidNumToString"

@@ -432,6 +432,21 @@ object ClickHouseDialect {
     // the documented approximate-quantile divergence
     "quantileTiming" -> (args => new ApproximatePercentile(args(1), args.head)),
     "quantileBFloat16" -> (args => new ApproximatePercentile(args(1), args.head)),
+    // median* sketch spellings = the p=0.5 fixed point of the same family;
+    // quantiles* plural sketch spellings ride the multi-percentile form
+    // (params-first after rewriteParamCall, like quantilesExact above)
+    "medianTDigest" -> (args =>
+      new ApproximatePercentile(one(args), Literal(0.5d))),
+    "medianTiming" -> (args =>
+      new ApproximatePercentile(one(args), Literal(0.5d))),
+    "medianBFloat16" -> (args =>
+      new ApproximatePercentile(one(args), Literal(0.5d))),
+    "quantilesTDigest" -> (args =>
+      new ApproximatePercentile(args.last, CreateArray(args.init))),
+    "quantilesTiming" -> (args =>
+      new ApproximatePercentile(args.last, CreateArray(args.init))),
+    "quantilesBFloat16" -> (args =>
+      new ApproximatePercentile(args.last, CreateArray(args.init))),
     "anyHeavy" -> (args => Mode(one(args))),
     // arrays/maps, third batch
     // range is END-EXCLUSIVE in CH; Spark's sequence stops at the last
@@ -1592,7 +1607,13 @@ object ClickHouseDialect {
         "recipe)")),
     // CH contract: first k sorted, rest unspecified — a full sort
     // satisfies it exactly
-    "arrayPartialSort" -> (args => new SortArray(args(1))),
+    "arrayPartialSort" -> { args =>
+      require(args.length == 2,
+        "arrayPartialSort(limit, arr): exactly 2 arguments — the " +
+          "lambda-comparator form is not supported; the full ascending " +
+          "sort refines CH's unspecified tail order (docs/MIGRATION.md)")
+      new SortArray(args(1))
+    },
     // mapExists / mapAll / mapApply live in ClickHouseSql as TEXT
     // rewrites (the arrayFirst precedent): the analyzer requires a
     // lambda argument's function to resolve to a higher-order
@@ -2057,8 +2078,13 @@ object ClickHouseDialect {
       RegExpReplace(
         RegExpReplace(one(args), Literal("'[^']*'"), Literal("?")),
         Literal("\\b\\d+(\\.\\d+)?\\b"), Literal("?"))), 0L)),
-    "arrayPartialReverseSort" -> (args =>
-      new SortArray(args(1), Literal(false))),
+    "arrayPartialReverseSort" -> { args =>
+      require(args.length == 2,
+        "arrayPartialReverseSort(limit, arr): exactly 2 arguments — the " +
+          "lambda-comparator form is not supported; the full descending " +
+          "sort refines CH's unspecified tail order (docs/MIGRATION.md)")
+      new SortArray(args(1), Literal(false))
+    },
     "parseReadableSize" -> (args =>
       ChParseReadableSizeExpr(one(args), "throw")),
     "parseReadableSizeOrNull" -> (args =>
@@ -2204,7 +2230,11 @@ object ClickHouseDialect {
     "MACNumToString" -> (args => ChUnaryKernel4Expr(Cast(one(args),
       org.apache.spark.sql.types.LongType), "macnumtostring")),
     "MACStringToNum" -> (args =>
-      ChUnaryKernel4Expr(one(args), "macstringtonum")),
+      ChMacStringToNumExpr(one(args), "throw")),
+    "MACStringToNumOrNull" -> (args =>
+      ChMacStringToNumExpr(one(args), "null")),
+    "MACStringToNumOrZero" -> (args =>
+      ChMacStringToNumExpr(one(args), "zero")),
     "IPv4ToIPv6" -> { args =>
       val x = Cast(one(args), org.apache.spark.sql.types.LongType)
       def oct(sh: Int): Expression = Cast(

@@ -3881,7 +3881,10 @@ object ClickHouseSql {
     // fifteenth batch: flattened so the registered throwers can teach
     // their recipes instead of dying in the parser
     "meanztest", "quantileinterpolatedweighted", "grouparraysample",
-    "sequencenextnode")
+    "sequencenextnode",
+    // r14: the plural/median sketch spellings mapped onto the GK family
+    "quantilestdigest", "quantilestiming", "quantilesbfloat16",
+    "quantilestdigestif", "quantilestimingif", "quantilesbfloat16if")
 
   /** ClickHouse parameterized-aggregate call syntax `f(p, …)(args…)` →
     * the dialect's flattened params-first form `f(p, …, args…)` —
@@ -3921,6 +3924,8 @@ object ClickHouseSql {
     "uniqcombined", "argmax", "argmin", "grouparray", "groupuniqarray",
     "quantile", "quantileexact", "quantiletdigest", "quantiles",
     "quantilesexact", "topk", "topkweighted", "median", "medianexact",
+    "mediantdigest", "mediantiming", "medianbfloat16",
+    "quantilestdigest", "quantilestiming", "quantilesbfloat16",
     "groupbitand", "groupbitor", "groupbitxor", "summap")
 
   /** `<agg>If(args…, cond)` → `agg(args…) FILTER (WHERE cond)` for any

@@ -799,11 +799,17 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CrossMomentsExpr].getName, "graft_crossmom"),
       (args: Seq[Expression]) => CrossMomentsExpr(args.head))
 
+  val unigramSegDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_unigram_seg"),
+      new ExpressionInfo(classOf[UnigramSegExpr].getName, "graft_unigram_seg"),
+      (args: Seq[Expression]) =>
+        UnigramSegExpr(args(0), args(1), args(2), args(3)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(simhashDesc, minhashDesc, shinglesDesc, bigramsDesc,
       fingerprintDesc, wordHashesDesc, bitLanesDesc, winHashDesc, cosDesc,
-      dist2Desc, dotDesc, crossMomDesc).foreach { case (id, info, builder) =>
+      dist2Desc, dotDesc, crossMomDesc, unigramSegDesc).foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
   }

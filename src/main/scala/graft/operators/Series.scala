@@ -1514,7 +1514,81 @@ object Series {
       .orderBy(col("o_orderstatus"))
   }
 
+  // q172 — the FULL classical decomposition per (status, day): the
+  // seriesDecomposeSTL output shape users migrate against — observed =
+  // trend + seasonal + RESIDUAL, every component an EXACT rational
+  // (BIGINT num/den pairs), no FP anywhere. trend = centered
+  // 7-observed-day sum over 7 (q135's skeleton), seasonal = the day's
+  // weekday index Σdet7/(7·n_w) (q135's output), and the residual
+  // closes the identity BY CONSTRUCTION on the common denominator
+  // 49·n_w: resid_num = 49·n_w·x − 7·n_w·t7 − 7·sn, so
+  // x ≡ trend + seasonal + resid holds exactly row by row (the spec
+  // asserts the cross-multiplied identity; the oracle hashes every
+  // numerator). Scale shape: facts pay the one map-side-combinable
+  // daily aggregation; the 7-row window and the 21-row weekday-index
+  // BROADCAST join run over the calendar-bounded daily relation
+  // (≤ |status|·|days| rows at ANY corpus size — the decomposition
+  // never sees the fact table).
+  val q172 = Q(
+    "q172_stl_decompose",
+    Some("""
+      WITH daily AS (
+        SELECT o_orderstatus AS g, CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2),
+      tr AS (
+        SELECT g, d, x,
+               SUM(x) OVER (PARTITION BY g ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+               COUNT(*) OVER (PARTITION BY g ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+        FROM daily),
+      det AS (
+        SELECT g, d, x, t7, ISODOW(d) AS weekday, 7 * x - t7 AS det7
+        FROM tr WHERE c7 = 7),
+      sw AS (
+        SELECT g, weekday, COUNT(*) AS nw, SUM(det7) AS sn
+        FROM det GROUP BY g, weekday)
+      SELECT det.g AS o_orderstatus, det.d AS d, det.x AS x_cents,
+             CAST(det.t7 AS BIGINT) AS trend_num,
+             CAST(7 AS BIGINT) AS trend_den,
+             CAST(sw.sn AS BIGINT) AS seasonal_num,
+             CAST(7 * sw.nw AS BIGINT) AS seasonal_den,
+             CAST(49 * sw.nw * det.x - 7 * sw.nw * det.t7 - 7 * sw.sn
+               AS BIGINT) AS resid_num,
+             CAST(49 * sw.nw AS BIGINT) AS resid_den
+      FROM det JOIN sw ON sw.g = det.g AND sw.weekday = det.weekday
+      ORDER BY o_orderstatus, d
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.orders
+      .groupBy(col("o_orderstatus").as("g"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)).multiply(lit(100)))
+        .cast(LongType).as("x"))
+    val w7 = Window.partitionBy(col("g")).orderBy(col("d")).rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("t7", sum(col("x")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .where(col("c7") === 7)
+      // Spark weekday(): 0 = Monday … 6 = Sunday; ISODOW is 1-based
+      .select(col("g"), col("d"), col("x"), col("t7"),
+        (expr("weekday(d)") + 1).as("weekday"),
+        (col("x") * 7 - col("t7")).as("det7"))
+    val sw = det.groupBy(col("g"), col("weekday"))
+      .agg(count(lit(1)).as("nw"), sum(col("det7")).as("sn"))
+    det.join(broadcast(sw), Seq("g", "weekday"))
+      .select(col("g").as("o_orderstatus"), col("d"), col("x").as("x_cents"),
+        col("t7").cast(LongType).as("trend_num"), lit(7L).as("trend_den"),
+        col("sn").cast(LongType).as("seasonal_num"),
+        (col("nw") * 7).cast(LongType).as("seasonal_den"),
+        (col("nw") * col("x") * 49 - col("nw") * col("t7") * 7
+          - col("sn") * 7).cast(LongType).as("resid_num"),
+        (col("nw") * 49).cast(LongType).as("resid_den"))
+      .orderBy(col("o_orderstatus"), col("d"))
+  }
+
   val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106, q109, q110,
     q128, q129, q132, q133, q135, q147, q149, q152, q154, q156, q161, q168,
-    q171)
+    q171, q172)
 }

@@ -2516,8 +2516,62 @@ object Stats {
       .orderBy(col("o_orderstatus"))
   }
 
+  // q173 — the approximate-quantile surface WITH its error contract
+  // measured in-plan: per return flag, the mergeable-sketch median
+  // (Spark approx_percentile / GK, accuracy 10000 — what replaces
+  // q141's exact rank selection when even one group's sort no longer
+  // pays) next to the exact nearest-rank median, plus the sketch
+  // answer's MEASURED rank error and the bound the GK contract
+  // promises: ⌈n/accuracy⌉ ranks around the sketch's own target p·n,
+  // plus 1 because OUR target is the nearest-rank position
+  // (⌊(n−1)/2⌋+1), up to one rank away from p·n. Rank, not
+  // value: GK bounds the returned element's position, never its
+  // magnitude, so that is the honest pin. No value oracle exists for
+  // a sketch (the q37 pattern) — the driver records rows-only; the
+  // spec pins within_bound=true everywhere and accuracy monotonicity.
+  // Scale shape: the sketch is one map-side-combinable aggregation;
+  // the exact median rides q141's GroupedPrefix rank pass (no
+  // per-group value buffers); the rank audit joins the ≤|flags|-row
+  // sketch result BROADCAST back onto the cents relation for one more
+  // map-side count — three skew-free passes over the facts.
+  val q173 = Q("q173_approx_quantile", None) { t =>
+    import graft.plans.GroupedPrefix
+    val base = t.lineitem.select(col("l_returnflag"),
+      col("l_extendedprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType).as("c"))
+    val ranked = GroupedPrefix.withRank(base, Seq("l_returnflag"), col("c"), "rn")
+    val counts = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    // nearest-rank p50 position: ((n−1)·4 + 4) div 8 + 1 (q141's ladder)
+    val exact = ranked.join(broadcast(counts), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("n")).as("n"),
+        max(when(expr("rn <= ((n-1)*4 + 4) div 8 + 1"), col("c")))
+          .cast(LongType).as("exact_p50"))
+    val approx = base.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("c"), lit(0.5), lit(10000))
+        .cast(LongType).as("approx_p50"))
+    // rank audit: the sketch value's occupied rank interval in the
+    // actual multiset is [rank_lo + 1, rank_hi]
+    val audit = base.join(broadcast(approx), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(when(col("c") < col("approx_p50"), 1)).as("rank_lo"),
+        count(when(col("c") <= col("approx_p50"), 1)).as("rank_hi"))
+    exact.join(broadcast(approx), "l_returnflag")
+      .join(broadcast(audit), "l_returnflag")
+      .withColumn("target_rank", expr("((n-1)*4 + 4) div 8 + 1"))
+      .select(col("l_returnflag"), col("n").cast(LongType).as("n"),
+        col("exact_p50"), col("approx_p50"),
+        col("target_rank").cast(LongType).as("target_rank"),
+        greatest(lit(0L), col("rank_lo") + 1 - col("target_rank"),
+          col("target_rank") - col("rank_hi"))
+          .cast(LongType).as("rank_err"),
+        expr("(n + 9999) div 10000 + 1").cast(LongType).as("rank_bound"))
+      .withColumn("within_bound", col("rank_err") <= col("rank_bound"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q92, q99, q111, q112, q113, q124, q126, q127, q130, q131, q134, q136,
     q137, q138, q139, q140, q141, q142, q144, q145, q146, q148, q150, q151,
-    q153, q155, q159, q160, q165, q169)
+    q153, q155, q159, q160, q165, q169, q173)
 }

@@ -222,7 +222,13 @@ object Streams {
     val commit = new Path(path + s"/_graft_batch_$batchId")
     val intent = new Path(path + s"/_graft_batch_$batchId.inflight")
     val staging = new Path(path + s"/._staging_$batchId")
-    if (fs.exists(commit)) return
+    if (fs.exists(commit)) {
+      // a crash between fs.create(commit) and the staging delete below
+      // leaks ._staging_<batchId> forever; replay is the only actor
+      // that revisits this batchId, so it sweeps the orphan here
+      fs.delete(staging, true)
+      return
+    }
     // undo: a prior attempt may have moved some files before dying
     if (fs.exists(intent)) {
       val in = fs.open(intent)
@@ -395,7 +401,13 @@ object Streams {
     val commit = new Path(path + s"/_graft_batch_$batchId")
     val intent = new Path(path + s"/_graft_batch_$batchId.inflight")
     val staging = new Path(path + s"/._staging_$batchId")
-    if (fs.exists(commit)) return
+    if (fs.exists(commit)) {
+      // same orphan sweep as landPartitionedBatch/landBucketedBatch: a
+      // crash between fs.create(commit) and the staging delete would
+      // leak ._staging_<batchId> on disk forever
+      fs.delete(staging, true)
+      return
+    }
     if (fs.exists(intent)) {
       val in = fs.open(intent)
       val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -596,7 +608,11 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val part = batch
           .select(col("source"),
-            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+            // filter the "" artifact split leaves on empty/whitespace-only
+            // text so such docs count 0 tokens — the words()/list_filter
+            // convention every batch text operator uses
+            size(filter(split(trim(col("text")), "\\s+"),
+              t => t =!= lit(""))).cast("long").as("n_tok"),
             length(col("text")).cast("long").as("n_chars"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),

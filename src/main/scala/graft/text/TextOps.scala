@@ -1381,7 +1381,213 @@ object TextOps {
 
   /** Bench warm-up hook (same contract as Dedup/Ann.buildSteps). */
   def buildSteps(t: Tables): Seq[(String, () => Unit)] = Seq(
-    "bpe" -> (() => { bpeArtifacts(t).count(); () }))
+    "bpe" -> (() => { bpeArtifacts(t).count(); () }),
+    "unigram" -> (() => { unigramArtifacts(t).count(); () }))
+
+  /** One recursive-CTE Viterbi pass over the distinct-word relation
+    * (the DuckDB mirror of functions.UnigramKernels.viterbiSeg): udp$i
+    * carries a 4-slot sliding window of DP states — score b, piece
+    * count k, '|'-joined segmentation g for best[pos..pos−3] — and
+    * advances one code point per iteration; the four candidates
+    * (pieces of length 1..4 ending at the new position, scores via
+    * LEFT JOINs against `$scoreCte`) collapse through ONE integer key
+    * (score desc, then k asc, then last-piece length desc — LEAST
+    * ignores NULLs) so the argmax needs no struct comparison and the
+    * tie-break is total. useg$i = the per-word final row.
+    */
+  private def unigramDpSql(idx: Int, scoreCte: String, l2cCte: String): String = {
+    def key(m: Int) =
+      s"CASE WHEN s$m.piece IS NOT NULL AND d.b$m IS NOT NULL THEN\n" +
+        s"             (100000000 - (d.b$m + s$m.sc - lc.v)) * 10000000" +
+        s" + (d.k$m + 1) * 100 + ${4 - m} END"
+    s"""udp$idx AS (
+        SELECT word, cnt, 0 AS i,
+               CAST(0 AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+               CAST(NULL AS BIGINT) AS b3, CAST(NULL AS BIGINT) AS b4,
+               CAST(0 AS BIGINT) AS k1, CAST(NULL AS BIGINT) AS k2,
+               CAST(NULL AS BIGINT) AS k3, CAST(NULL AS BIGINT) AS k4,
+               '' AS g1, CAST(NULL AS VARCHAR) AS g2,
+               CAST(NULL AS VARCHAR) AS g3, CAST(NULL AS VARCHAR) AS g4
+        FROM uwords
+        UNION ALL
+        SELECT word, cnt, i + 1,
+               CASE WHEN mk IS NOT NULL THEN 100000000 - mk // 10000000 END,
+               b1, b2, b3,
+               CASE WHEN mk IS NOT NULL THEN (mk % 10000000) // 100 END,
+               k1, k2, k3,
+               CASE WHEN mk IS NULL THEN NULL
+                    WHEN mk % 100 = 3 THEN g1 || '|' || p1
+                    WHEN mk % 100 = 2 THEN g2 || '|' || p2
+                    WHEN mk % 100 = 1 THEN g3 || '|' || p3
+                    ELSE g4 || '|' || p4 END,
+               g1, g2, g3
+        FROM (
+          SELECT d.word, d.cnt, d.i, d.b1, d.b2, d.b3, d.b4,
+                 d.k1, d.k2, d.k3, d.k4, d.g1, d.g2, d.g3, d.g4,
+                 SUBSTR(d.word, d.i + 1, 1) AS p1,
+                 SUBSTR(d.word, d.i, 2) AS p2,
+                 SUBSTR(d.word, d.i - 1, 3) AS p3,
+                 SUBSTR(d.word, d.i - 2, 4) AS p4,
+                 LEAST(${key(1)},
+                   ${key(2)},
+                   ${key(3)},
+                   ${key(4)}) AS mk
+          FROM udp$idx d
+          CROSS JOIN $l2cCte lc
+          LEFT JOIN $scoreCte s1 ON s1.piece = SUBSTR(d.word, d.i + 1, 1)
+          LEFT JOIN $scoreCte s2 ON d.i >= 1 AND s2.piece = SUBSTR(d.word, d.i, 2)
+          LEFT JOIN $scoreCte s3 ON d.i >= 2 AND s3.piece = SUBSTR(d.word, d.i - 1, 3)
+          LEFT JOIN $scoreCte s4 ON d.i >= 3 AND s4.piece = SUBSTR(d.word, d.i - 2, 4)
+          WHERE d.i < LEN(d.word))),
+      useg$idx AS (
+        SELECT word, cnt, k1 AS k, g1 AS g FROM udp$idx WHERE i = LEN(word))"""
+  }
+
+  /** Shared DuckDB CTE chain for the unigram-LM tokenizer (the
+    * SentencePiece family next to [[bpeChainSql]]'s BPE; every oracle
+    * using it must open `WITH RECURSIVE`): corpus → word histogram →
+    * seed substring lattice (all code-point 1-grams + top-64
+    * 2..4-grams by weighted frequency, scores = LENGTH(BIN(freq)) —
+    * the quantized integer log2 both engines agree on) → Viterbi
+    * E-step (udp1) → usage recount M-step (uuse/uvoc2) → serving
+    * re-segmentation under the trained scores (udp2/useg2). The score
+    * tables are AS MATERIALIZED: each DP pass references its score CTE
+    * five times (4 piece-length joins + the penalty scalar), and
+    * without the hint DuckDB re-ran the ENTIRE upstream chain — round-1
+    * DP included — per reference (10.7 s → 0.23 s at sf0.01).
+    */
+  private def unigramChainSql: String =
+    s"""uwords AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT LOWER(UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))) AS word
+          FROM documents)
+        WHERE word <> '' GROUP BY word),
+      upf AS (
+        SELECT piece, CAST(SUM(cnt) AS BIGINT) AS f FROM (
+          SELECT SUBSTR(word, t.i, 1) AS piece, cnt
+          FROM uwords, UNNEST(RANGE(1, LEN(word) + 1)) t(i)
+          UNION ALL
+          SELECT SUBSTR(word, t.i, 2), cnt
+          FROM uwords, UNNEST(RANGE(1, LEN(word))) t(i)
+          UNION ALL
+          SELECT SUBSTR(word, t.i, 3), cnt
+          FROM uwords, UNNEST(RANGE(1, LEN(word) - 1)) t(i)
+          UNION ALL
+          SELECT SUBSTR(word, t.i, 4), cnt
+          FROM uwords, UNNEST(RANGE(1, LEN(word) - 2)) t(i))
+        GROUP BY piece),
+      useed AS MATERIALIZED (
+        SELECT piece, f, LENGTH(BIN(f)) AS sc FROM upf WHERE LEN(piece) = 1
+        UNION ALL
+        SELECT piece, f, LENGTH(BIN(f)) FROM (
+          SELECT piece, f, ROW_NUMBER() OVER (ORDER BY f DESC, piece) AS rk
+          FROM upf WHERE LEN(piece) > 1) WHERE rk <= 64),
+      ul2c1 AS (SELECT LENGTH(BIN(CAST(SUM(f) AS BIGINT))) AS v FROM useed),
+      ${unigramDpSql(1, "useed", "ul2c1")},
+      uuse AS MATERIALIZED (
+        SELECT piece, CAST(SUM(cnt) AS BIGINT) AS u FROM (
+          SELECT UNNEST(STRING_SPLIT(g, '|')) AS piece, cnt FROM useg1)
+        WHERE piece <> '' GROUP BY piece),
+      uvoc2 AS MATERIALIZED (SELECT piece, u, LENGTH(BIN(u)) AS sc FROM uuse),
+      ul2c2 AS (SELECT LENGTH(BIN(CAST(SUM(u) AS BIGINT))) AS v FROM uuse),
+      ${unigramDpSql(2, "uvoc2", "ul2c2")}"""
+
+  /** Memoized unigram-LM tokenizer artifacts (PersistCache, warmed by
+    * `_build_unigram`): kind='p' rows = the trained vocabulary (piece,
+    * cnt = Viterbi-EM usage, k = quantized log-score); kind='w' rows =
+    * the serving segmentation (word, cnt, k = token count under the
+    * trained model). Train = seed substring lattice (all code-point
+    * 1-grams + top-64 2..4-grams by weighted frequency) → ONE hard-EM
+    * round: E-step segments the distinct-word vocabulary by Viterbi
+    * under the seed scores (functions.UnigramSegExpr — SentencePiece's
+    * lattice E-step taken in its Viterbi/hard mode, so the loop stays
+    * integer-exact and the DuckDB oracle replays it bit for bit),
+    * M-step recounts piece usage and requantizes scores; serving
+    * re-segments under the trained scores. The corpus is read ONCE
+    * (the word histogram); every later stage is VOCABULARY-parallel,
+    * and the model itself (≤ alphabet + 64 pieces) crosses as a
+    * foldable literal — the driver-side collect is MODEL-sized, never
+    * data-sized, the same contract as a broadcast dimension.
+    */
+  private[graft] def unigramArtifacts(t: Tables): DataFrame =
+    graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#unigram") {
+      graft.functions.GraftFunctions.register(t.spark)
+      import graft.plans.Pin.pinned
+      val words = pinned(t.documents
+        .select(explode(split(trim(col("text")), "\\s+")).as("w0"))
+        .select(lower(col("w0")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt")))
+      val cand = (1 to 4).map { m =>
+        words.filter(length(col("word")) >= m)
+          .select(col("cnt"),
+            explode(expr(s"sequence(1, length(word) - ${m - 1})")).as("i"),
+            col("word"))
+          .select(expr(s"substring(word, i, $m)").as("piece"), col("cnt"))
+      }.reduce(_.unionAll(_))
+      val pf = cand.groupBy(col("piece"))
+        .agg(sum(col("cnt")).cast(LongType).as("f"))
+      val singles = pf.filter(length(col("piece")) === 1)
+      val multis = pf.filter(length(col("piece")) > 1)
+        .orderBy(col("f").desc, col("piece")).limit(64)
+      val seed = pinned(singles.unionAll(multis))
+      def collectModel(df: DataFrame, cntCol: String)
+        : (Seq[String], Seq[Int], Int) = {
+        val rows = df
+          .select(col("piece"), expr(s"length(bin($cntCol))").cast("int").as("sc"))
+          .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+        val l2c = df.agg(expr(s"length(bin(sum($cntCol)))").cast("int"))
+          .head().getInt(0)
+        (rows.map(_._1), rows.map(_._2), l2c)
+      }
+      def segCol(m: (Seq[String], Seq[Int], Int)): Column =
+        call_function("graft_unigram_seg", col("word"),
+          typedLit(m._1), typedLit(m._2), lit(m._3))
+      val seg1 = words.select(col("cnt"),
+        segCol(collectModel(seed, "f")).as("g"))
+      val usage = pinned(seg1
+        .select(col("cnt"), explode(split(col("g"), "\\|")).as("piece"))
+        .filter(col("piece") =!= "")
+        .groupBy(col("piece")).agg(sum(col("cnt")).cast(LongType).as("u")))
+      val seg2 = words.select(col("word"), col("cnt"),
+        segCol(collectModel(usage, "u")).as("g"))
+      val p = usage.select(lit("p").as("kind"), col("piece").as("word"),
+        col("u").as("cnt"), expr("length(bin(u))").cast(LongType).as("k"))
+      val w = seg2.select(lit("w").as("kind"), col("word"),
+        col("cnt").cast(LongType).as("cnt"),
+        (size(split(col("g"), "\\|")) - 1).cast(LongType).as("k"))
+      val artifact = p.unionAll(w)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      artifact.count()
+      Seq(words, seed, usage).foreach(_.unpersist(blocking = false))
+      artifact
+    }
+
+  // text_unigram_vocab — the unigram-LM tokenizer's trained vocabulary
+  // (the SentencePiece train step next to text_bpe_merges): top-32
+  // pieces by hard-EM usage with their quantized log-scores. The whole
+  // train is integer-exact (scores = LENGTH(BIN(count)) — no FP log),
+  // so the oracle replays seed → Viterbi E-step → recount M-step and
+  // must agree bit for bit, Viterbi ties included (the deterministic
+  // score/k/piece-length key both sides implement).
+  val unigramVocab = Q(
+    "text_unigram_vocab",
+    Some(s"""
+      WITH RECURSIVE $unigramChainSql
+      SELECT piece, CAST(u AS BIGINT) AS usage_cnt,
+             CAST(LENGTH(BIN(u)) AS BIGINT) AS score
+      FROM (SELECT piece, u, ROW_NUMBER() OVER (ORDER BY u DESC, piece) AS rk
+            FROM uuse)
+      WHERE rk <= 32
+      ORDER BY usage_cnt DESC, piece
+    """)
+  ) { t =>
+    unigramArtifacts(t).filter(col("kind") === "p")
+      .orderBy(col("cnt").desc, col("word")).limit(32)
+      .select(col("word").as("piece"), col("cnt").as("usage_cnt"),
+        col("k").as("score"))
+      .orderBy(col("usage_cnt").desc, col("piece"))
+  }
 
   // text_bpe_merges — tokenizer merge learning (the byte-pair-encoding
   // training step, Sennrich et al. 2016): 3 rounds of (count adjacent
@@ -1421,18 +1627,22 @@ object TextOps {
     merges.unionAll(topToks).orderBy(col("stage"), col("cnt").desc, col("item"))
   }
 
-  // pipe_tokenizer_apply — the serving half of text_bpe_merges: encode
-  // the WHOLE corpus with the learned merge table and report per-source
-  // compression (char-level token count vs post-BPE token count, saved
-  // basis points). The corpus contributes one (source, word) histogram
-  // aggregation; the per-word encoded length is a VOCABULARY-sized
-  // broadcast joined into it, so the serving path never shuffles text
-  // and never re-learns — train once, encode anywhere, which is exactly
-  // how a production tokenizer deploys at 100 TB.
+  // pipe_tokenizer_apply — the serving half of BOTH trained tokenizer
+  // families: encode the WHOLE corpus with the learned BPE merge table
+  // AND the trained unigram-LM vocabulary, and report per-(source,
+  // tokenizer) compression (char-level token count vs encoded token
+  // count, saved basis points) — the side-by-side a pipeline reads
+  // before picking its tokenizer. The corpus contributes ONE (source,
+  // word) histogram aggregation shared by both lanes; each per-word
+  // encoded length is a VOCABULARY-sized broadcast joined into it, so
+  // the serving path never shuffles text and never re-learns — train
+  // once, encode anywhere, which is exactly how a production tokenizer
+  // deploys at 100 TB.
   val tokenizerApply = Q(
     "pipe_tokenizer_apply",
     Some(s"""
-      WITH $bpeChainSql,
+      WITH RECURSIVE $bpeChainSql,
+      $unigramChainSql,
       len3 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n3 FROM s3 GROUP BY word),
       wc AS (
         SELECT source, word, COUNT(*) AS c FROM (
@@ -1440,52 +1650,65 @@ object TextOps {
           FROM documents)
         WHERE word <> '' GROUP BY source, word),
       agg AS (
-        SELECT source,
+        SELECT source, 'bpe' AS tokenizer,
                SUM(c * LEN(word)) AS n_char_toks,
-               SUM(c * n3) AS n_bpe_toks
-        FROM wc JOIN len3 USING (word) GROUP BY source)
-      SELECT source,
+               SUM(c * n3) AS n_toks
+        FROM wc JOIN len3 USING (word) GROUP BY source
+        UNION ALL
+        SELECT source, 'unigram',
+               SUM(c * LEN(word)),
+               SUM(c * k)
+        FROM wc JOIN useg2 USING (word) GROUP BY source)
+      SELECT source, tokenizer,
              CAST(n_char_toks AS BIGINT) AS n_char_toks,
-             CAST(n_bpe_toks AS BIGINT) AS n_bpe_toks,
-             CAST((n_char_toks - n_bpe_toks) * 10000 // n_char_toks AS BIGINT)
+             CAST(n_toks AS BIGINT) AS n_toks,
+             CAST((n_char_toks - n_toks) * 10000 // n_char_toks AS BIGINT)
                AS saved_bp
-      FROM agg ORDER BY source
+      FROM agg ORDER BY source, tokenizer
     """)
   ) { t =>
     val len3 = bpeArtifacts(t).filter(col("kind") === "s")
       .groupBy(col("word")).agg(count(lit(1)).as("n3"))
+    val uniK = unigramArtifacts(t).filter(col("kind") === "w")
+      .select(col("word"), col("k"))
     val wc = t.documents
       .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("w0"))
       .select(col("source"), lower(col("w0")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
-    wc.join(broadcast(len3), "word")
-      .groupBy(col("source"))
-      .agg(
-        sum(col("c") * length(col("word"))).as("n_char_toks"),
-        sum(col("c") * col("n3")).as("n_bpe_toks"))
-      .select(col("source"),
-        col("n_char_toks").cast(LongType).as("n_char_toks"),
-        col("n_bpe_toks").cast(LongType).as("n_bpe_toks"),
-        expr("(n_char_toks - n_bpe_toks) * 10000 div n_char_toks")
-          .cast(LongType).as("saved_bp"))
-      .orderBy(col("source"))
+    def lane(perWord: DataFrame, tokCol: Column, name: String): DataFrame =
+      wc.join(broadcast(perWord), "word")
+        .groupBy(col("source"))
+        .agg(
+          sum(col("c") * length(col("word"))).as("n_char_toks"),
+          sum(col("c") * tokCol).as("n_toks"))
+        .select(col("source"), lit(name).as("tokenizer"),
+          col("n_char_toks").cast(LongType).as("n_char_toks"),
+          col("n_toks").cast(LongType).as("n_toks"),
+          expr("(n_char_toks - n_toks) * 10000 div n_char_toks")
+            .cast(LongType).as("saved_bp"))
+    lane(len3, col("n3"), "bpe")
+      .unionAll(lane(uniK, col("k"), "unigram"))
+      .orderBy(col("source"), col("tokenizer"))
   }
 
   // pipe_tokenizer_fertility — tokens-per-word, THE tokenizer-health
   // dial a training pipeline watches per source (fertility near 1 =
   // the vocab fits the corpus; high fertility = the tokenizer
   // fragments this source's words and its documents eat context
-  // budget; compare sources to catch a domain the merges never saw).
-  // Rides the SAME trained-BPE artifacts as pipe_tokenizer_apply
-  // (3 merge rounds, broadcast token-count lookup): per source the
-  // word and BPE-token totals, fertility in exact ppm, and mean
-  // compressed token length in exact ppm of a char — all integer,
-  // vocabulary-sized join, |sources|-row readout.
+  // budget), reported for BOTH trained families side by side — real
+  // pipelines compare fertility ACROSS tokenizers before committing a
+  // vocab, so the readout's grain is (source, tokenizer): 'bpe' rows
+  // ride the 3-round merge table, 'unigram' rows the hard-EM
+  // vocabulary, both as vocabulary-sized broadcast token-count
+  // lookups into the ONE shared (source, word) histogram. Fertility
+  // in exact ppm, mean compressed token length in exact ppm of a
+  // char — all integer, 2·|sources|-row readout.
   val tokenizerFertility = Q(
     "pipe_tokenizer_fertility",
     Some(s"""
-      WITH $bpeChainSql,
+      WITH RECURSIVE $bpeChainSql,
+      $unigramChainSql,
       len3 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n3 FROM s3 GROUP BY word),
       wc AS (
         SELECT source, word, COUNT(*) AS c FROM (
@@ -1493,40 +1716,51 @@ object TextOps {
           FROM documents)
         WHERE word <> '' GROUP BY source, word),
       agg AS (
-        SELECT source,
+        SELECT source, 'bpe' AS tokenizer,
                SUM(c) AS n_words,
-               SUM(c * n3) AS n_bpe_toks,
+               SUM(c * n3) AS n_toks,
                SUM(c * LEN(word)) AS n_chars
-        FROM wc JOIN len3 USING (word) GROUP BY source)
-      SELECT source,
+        FROM wc JOIN len3 USING (word) GROUP BY source
+        UNION ALL
+        SELECT source, 'unigram',
+               SUM(c),
+               SUM(c * k),
+               SUM(c * LEN(word))
+        FROM wc JOIN useg2 USING (word) GROUP BY source)
+      SELECT source, tokenizer,
              CAST(n_words AS BIGINT) AS n_words,
-             CAST(n_bpe_toks AS BIGINT) AS n_bpe_toks,
-             CAST(n_bpe_toks * 1000000 // n_words AS BIGINT) AS fertility_ppm,
-             CAST(n_chars * 1000000 // n_bpe_toks AS BIGINT)
+             CAST(n_toks AS BIGINT) AS n_toks,
+             CAST(n_toks * 1000000 // n_words AS BIGINT) AS fertility_ppm,
+             CAST(n_chars * 1000000 // n_toks AS BIGINT)
                AS chars_per_tok_ppm
-      FROM agg ORDER BY source
+      FROM agg ORDER BY source, tokenizer
     """)
   ) { t =>
     val len3 = bpeArtifacts(t).filter(col("kind") === "s")
       .groupBy(col("word")).agg(count(lit(1)).as("n3"))
+    val uniK = unigramArtifacts(t).filter(col("kind") === "w")
+      .select(col("word"), col("k"))
     val wc = t.documents
       .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("w0"))
       .select(col("source"), lower(col("w0")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
-    wc.join(broadcast(len3), "word")
-      .groupBy(col("source"))
-      .agg(sum(col("c")).as("n_words"),
-        sum(col("c") * col("n3")).as("n_bpe_toks"),
-        sum(col("c") * length(col("word"))).as("n_chars"))
-      .select(col("source"),
-        col("n_words").cast(LongType).as("n_words"),
-        col("n_bpe_toks").cast(LongType).as("n_bpe_toks"),
-        expr("n_bpe_toks * 1000000 div n_words").cast(LongType)
-          .as("fertility_ppm"),
-        expr("n_chars * 1000000 div n_bpe_toks").cast(LongType)
-          .as("chars_per_tok_ppm"))
-      .orderBy(col("source"))
+    def lane(perWord: DataFrame, tokCol: Column, name: String): DataFrame =
+      wc.join(broadcast(perWord), "word")
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_words"),
+          sum(col("c") * tokCol).as("n_toks"),
+          sum(col("c") * length(col("word"))).as("n_chars"))
+        .select(col("source"), lit(name).as("tokenizer"),
+          col("n_words").cast(LongType).as("n_words"),
+          col("n_toks").cast(LongType).as("n_toks"),
+          expr("n_toks * 1000000 div n_words").cast(LongType)
+            .as("fertility_ppm"),
+          expr("n_chars * 1000000 div n_toks").cast(LongType)
+            .as("chars_per_tok_ppm"))
+    lane(len3, col("n3"), "bpe")
+      .unionAll(lane(uniK, col("k"), "unigram"))
+      .orderBy(col("source"), col("tokenizer"))
   }
 
   // text_countmin — Count-Min sketch accuracy report over the 3-token
@@ -2473,5 +2707,5 @@ object TextOps {
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
     countMin, charTrigrams, gopherBattery, langidEval, sttr, rake,
     interleave, burstiness, hapax, yuleK, stratifiedSample, zipf, heaps,
-    ngramDupRate, simpson, tokenizerFertility)
+    ngramDupRate, simpson, tokenizerFertility, unigramVocab)
 }

@@ -110,6 +110,47 @@ class BenchSpec extends AnyFunSuite {
     assert(tight.contains("q_regressed") && !tight.contains("q_noisy"))
   }
 
+  test("calib fields ride the line together; absent keeps the contract") {
+    val t = Seq(Timing("q1", 1.0, err = false))
+    val withCalib = Bench.buildLine(t, "/sf", calib1t = 1.234, calib32t = 1.567)
+    assert(withCalib.contains("\"calib_1t\":1.234,\"calib_32t\":1.567"))
+    val without = Bench.buildLine(t, "/sf")
+    assert(!without.contains("calib"))
+    // half-measured calibration never emits (both or neither)
+    assert(!Bench.buildLine(t, "/sf", calib1t = 1.0).contains("calib"))
+  }
+
+  test("calibFactor host-normalizes the 2x-vs-best flag; spread rule unaffected") {
+    val runs = Seq(
+      "q_host_slow" -> Seq(4.5, 4.6, 4.4),   // prior 2.0: 2.25x best
+      "q_real_regr" -> Seq(9.0, 9.1, 8.9),   // prior 2.0: 4.5x best
+      "q_noisy" -> Seq(1.0, 9.0, 3.0))       // spread-flagged regardless
+    val prior = Map("q_host_slow" -> 2.0, "q_real_regr" -> 2.0)
+    // on the fastest host on record (factor 1) both slow queries flag
+    val at1 = Bench.diagEntries(runs, Map.empty, prior)
+    assert(at1.contains("q_host_slow") && at1.contains("q_real_regr"))
+    // a host measuring 1.4x slower on fixed CPU work raises the bar to
+    // 2.8x: the uniform-multiplier entry closes as host-attributed, the
+    // genuine regression and the spread signature still fire
+    val at14 = Bench.diagEntries(runs, Map.empty, prior, calibFactor = 1.4)
+    assert(!at14.contains("q_host_slow"))
+    assert(at14.contains("q_real_regr") && at14.contains("q_noisy"))
+    // a FASTER host (factor < 1) never loosens the rule below 2x
+    val fast = Bench.diagEntries(runs, Map.empty, prior, calibFactor = 0.5)
+    assert(fast.contains("q_host_slow"))
+  }
+
+  test("calibSpin does fixed work and scales roughly with it") {
+    val short = Bench.calibSpin(1, perThread = 2000000L)
+    val longer = Bench.calibSpin(1, perThread = 40000000L)
+    assert(short > 0.0 && longer > short,
+      s"short=$short longer=$longer")
+    // multi-thread wall time is per-thread-bound, not summed: 4 threads
+    // of the same per-thread work must not take ~4x the single thread
+    val mt = Bench.calibSpin(4, perThread = 40000000L)
+    assert(mt < 4 * longer, s"mt=$mt 1t=$longer")
+  }
+
   test("diag bytes come out of the queries budget, keeping the line bound") {
     val many = (1 to 300).map(i =>
       Timing(s"very_long_query_name_number_$i", i * 0.01, err = false))

@@ -534,4 +534,30 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(one("hasColumnInTable('no_such_table', 'c')") === false)
     assert(one("uptime() >= 0") === true)
   }
+
+  test("r14 dialect names: MAC strictness modes, sketch quantile spellings, partial-sort arity") {
+    graft.functions.ClickHouseDialect.register(spark)
+    def one(e: String): Any =
+      graft.functions.ClickHouseSql.sql(spark, s"SELECT $e AS v").head().get(0)
+    // base name throws like CH; lenient behavior only via explicit names
+    assertThrows[Exception](one("MACStringToNum('not-a-mac')"))
+    assert(one("MACStringToNumOrNull('not-a-mac')") === null)
+    assert(one("MACStringToNumOrZero('not-a-mac')") === 0L)
+    assert(one("MACStringToNumOrNull('00:FF:FF:FF:FF:FF')") === 1099511627775L)
+    // median*/quantiles* sketch spellings land on the GK family
+    def agg(e: String): Any =
+      graft.functions.ClickHouseSql.sql(spark,
+        s"SELECT $e AS v FROM (SELECT explode(sequence(1, 100)) AS x)")
+        .head().get(0)
+    assert(agg("medianTDigest(x)") === 50)
+    assert(agg("medianTiming(x)") === 50)
+    assert(agg("quantilesTDigest(0.1, 0.9)(x)") === Seq(10, 90))
+    assert(agg("quantilesTiming(0.5)(x)") === Seq(50))
+    // arrayPartialSort: first-k contract held by a full sort; wrong
+    // arity teaches instead of IndexOutOfBounds
+    assert(one("arrayPartialSort(2, array(3, 1, 2))") === Seq(1, 2, 3))
+    assert(one("arrayPartialReverseSort(2, array(3, 1, 2))") === Seq(3, 2, 1))
+    val err = intercept[Exception](one("arrayPartialSort(array(3, 1, 2))"))
+    assert(err.getMessage.contains("exactly 2 arguments"), err.getMessage)
+  }
 }

@@ -223,4 +223,63 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(graft.functions.ChScalarKernels4.arrayLevenshtein(arr(a), arr(a)) === 0L)
     }
   }
+
+  test("r14 kernels: macStringToNum throws on every malformed shape (no 0-aliasing)") {
+    for (bad <- Seq("", "11:22:33:44:55", "11:22:33:44:55:66:77", "GG:22:33:44:55:66",
+      "1:22:33:44:55:66", "+1:22:33:44:55:66", "-1:22:33:44:55:66", "11-22-33-44-55-66")) {
+      assertThrows[IllegalArgumentException](
+        graft.functions.ChScalarKernels4.macStringToNum(UTF8String.fromString(bad)))
+    }
+  }
+
+  test("r14 kernels: unigram Viterbi equals brute-force enumeration under the same tie rule") {
+    // brute force: enumerate ALL segmentations into vocab pieces (len ≤ 4)
+    // and pick by (max score, min pieces, then the DP's local longest-
+    // last-piece preference resolved left to right). Since the DP's g is
+    // determined by (score, k) plus the local m-rule at each position, it
+    // suffices to check (score, k) optimality + that the emitted pieces
+    // concatenate back to the word and all live in the vocabulary.
+    val pieceGen = Gen.chooseNum(1, 4)
+    val wordGen = Gen.listOfN(8, Gen.oneOf('a', 'b')).map(_.mkString)
+    forSamples(Gen.zip(wordGen, Gen.listOfN(6, Gen.zip(
+      Gen.chooseNum(1, 4).flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b')).map(_.mkString)),
+      Gen.chooseNum(1, 12)))), n = 60) { case (w, extra) =>
+      val vocab = new java.util.HashMap[String, java.lang.Integer]()
+      vocab.put("a", 3); vocab.put("b", 2) // singles guarantee totality
+      extra.foreach { case (p, s) => vocab.put(p, s) }
+      val l2c = 6
+      val g = graft.functions.UnigramKernels.viterbiSeg(w, vocab, l2c)
+      val pieces = g.split("\\|").filter(_.nonEmpty).toList
+      assert(pieces.mkString === w, s"'$g' does not cover '$w'")
+      assert(pieces.forall(vocab.containsKey), s"'$g' uses unknown pieces")
+      val dpScore = pieces.map(p => vocab.get(p).intValue() - l2c).sum
+      // brute-force all segmentations
+      def segs(s: String): List[List[String]] =
+        if (s.isEmpty) List(Nil)
+        else (1 to math.min(4, s.length)).toList.flatMap { m =>
+          val h = s.substring(0, m)
+          if (vocab.containsKey(h)) segs(s.substring(m)).map(h :: _) else Nil
+        }
+      val all = segs(w)
+      val bestScore = all.map(_.map(p => vocab.get(p).intValue() - l2c).sum).max
+      assert(dpScore === bestScore, s"'$w': DP $dpScore, brute $bestScore")
+      val bestK = all.filter(
+        _.map(p => vocab.get(p).intValue() - l2c).sum == bestScore).map(_.length).min
+      assert(pieces.length === bestK, s"'$w': DP k=${pieces.length}, brute k=$bestK")
+    }
+  }
+
+  test("r14 kernels: unigram Viterbi counts code points, not UTF-16 units") {
+    val vocab = new java.util.HashMap[String, java.lang.Integer]()
+    vocab.put("𝄞", 5) // 𝄞 — a supplementary code point
+    vocab.put("a", 3)
+    vocab.put("𝄞a", 9)
+    // the 2-code-point word must segment as one 2-length piece when its
+    // score wins, never split a surrogate pair
+    assert(graft.functions.UnigramKernels.viterbiSeg(
+      "𝄞a", vocab, 1) === "|𝄞a")
+    vocab.remove("𝄞a")
+    assert(graft.functions.UnigramKernels.viterbiSeg(
+      "𝄞a", vocab, 1) === "|𝄞|a")
+  }
 }

@@ -589,6 +589,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("r14 additions keep their scale shapes") {
+    // q172: the decomposition never sees the fact table post-collapse —
+    // the weekday-index join against the 21-row relation must broadcast
+    val stl = planOf("q172_stl_decompose")
+    assert(stl.contains("BroadcastHashJoin"), stl.take(2000))
+    assert(!stl.contains("SortMergeJoin") && !stl.contains("CartesianProduct"),
+      stl.take(2000))
+    // q173: the exact median rides the GroupedPrefix staged sort (no
+    // per-group value buffers), and every join against the ≤|flags|-row
+    // sketch/exact relations broadcasts
+    val aq = planOf("q173_approx_quantile")
+    assert(aq.contains("__gp_pid"), aq.take(2000))
+    // the sketch aggregates with a map-side partial — the mergeable
+    // contract the operator exists to demonstrate
+    assert(aq.contains("partial_percentile_approx"), aq.take(2000))
+    assert(!aq.contains("SortMergeJoin") && !aq.contains("CartesianProduct"),
+      aq.take(2000))
+    // unigram family: the corpus meets only the word-histogram
+    // aggregation; every vocabulary lookup broadcasts — a sort-merge
+    // join against the model table is the 100 TB regression. (A
+    // BroadcastNestedLoopJoin may appear when the plan still carries
+    // the BPE BUILD graph — its 1-row argmax crossJoin, the judge-
+    // audited pattern — so only the data-sized join shapes are pinned.)
+    Seq("text_unigram_vocab", "pipe_tokenizer_apply",
+      "pipe_tokenizer_fertility").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q grew a non-broadcast join:\n${plan.take(2000)}")
+    }
+  }
+
   test("q143_bucketed_join: bucketed scans feed the merge join with no exchange") {
     val plan = planOf("q143_bucketed_join")
     assert(plan.contains("SortMergeJoin"), plan.take(2000))

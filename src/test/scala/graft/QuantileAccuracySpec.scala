@@ -76,4 +76,33 @@ class QuantileAccuracySpec extends SparkSpec {
       assert(got(flag)._2 === pick(90), s"$flag wq90")
     }
   }
+
+  test("q173: the sketch median honors its rank-error contract and the exact lane is exact") {
+    val rows = graft.operators.Stats.q173.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    // replay the exact nearest-rank median + the audit per group
+    val cents = sf0001.lineitem
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val vs = cents.filter(_._1 == flag).map(_._2).sorted
+      val n = vs.length.toLong
+      assert(r.getAs[Long]("n") === n)
+      val target = ((n - 1) * 4 + 4) / 8 + 1
+      assert(r.getAs[Long]("target_rank") === target)
+      assert(r.getAs[Long]("exact_p50") === vs((target - 1).toInt),
+        s"$flag exact lane diverged from the sorted multiset")
+      // the measured rank error re-derives from the raw multiset
+      val a = r.getAs[Long]("approx_p50")
+      val lo = vs.count(_ < a).toLong
+      val hi = vs.count(_ <= a).toLong
+      val err = math.max(0L, math.max(lo + 1 - target, target - hi))
+      assert(r.getAs[Long]("rank_err") === err)
+      assert(r.getAs[Long]("rank_bound") === (n + 9999) / 10000 + 1)
+      // the contract itself — the GK promise the operator publishes
+      assert(r.getAs[Boolean]("within_bound"), s"$flag err=$err")
+    }
+  }
 }

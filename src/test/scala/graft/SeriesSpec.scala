@@ -341,4 +341,34 @@ class SeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("stl_decompose: observed = trend + seasonal + residual EXACTLY, and the seasonal columns ARE q135's indices") {
+    val rows = graft.operators.Series.q172.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val x = r.getAs[Long]("x_cents")
+      val t7 = r.getAs[Long]("trend_num")
+      val sn = r.getAs[Long]("seasonal_num")
+      val sd = r.getAs[Long]("seasonal_den")
+      val rn = r.getAs[Long]("resid_num")
+      val rd = r.getAs[Long]("resid_den")
+      assert(r.getAs[Long]("trend_den") === 7L)
+      assert(sd % 7 === 0L && rd === 7 * sd)
+      // the rational identity x = t7/7 + sn/sd + rn/rd, cross-multiplied
+      // onto the common denominator rd = 49·n_w — exact, no FP
+      val nw = sd / 7
+      assert(x * rd === t7 * 7 * nw + 7 * sn + rn,
+        s"identity broke at ${r.getAs[java.sql.Date]("d")}")
+    }
+    // the per-day seasonal columns must BE q135's per-weekday indices
+    val q135 = graft.operators.Series.q135.build(sf0001).collect()
+      .map(r => (r.getAs[String]("o_orderstatus"), r.getAs[Long]("weekday")) ->
+        (r.getAs[Long]("seasonal_num"), r.getAs[Long]("seasonal_den"))).toMap
+    rows.foreach { r =>
+      val wd = r.getAs[java.sql.Date]("d").toLocalDate.getDayOfWeek.getValue.toLong
+      val (n135, d135) = q135((r.getAs[String]("o_orderstatus"), wd))
+      assert(r.getAs[Long]("seasonal_num") === n135 &&
+        r.getAs[Long]("seasonal_den") === d135)
+    }
+  }
 }

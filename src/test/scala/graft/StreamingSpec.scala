@@ -979,9 +979,15 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet
     assert(landed() === expected)
     assert(expected.map(_._2) === Set(0L, 1L), "both cells exercised")
-    // replay of a committed batch is a no-op (marker short-circuits)
+    // replay of a committed batch is a no-op (marker short-circuits) —
+    // AND it sweeps a staging dir orphaned by a crash between the
+    // commit-marker create and the staging delete
+    val orphan = new java.io.File(path, "._staging_0/cell=0")
+    assert(orphan.mkdirs())
     Streams.landAnnBatch(b0.toDF("vec_id", "embedding"), centsT, path, 0L)
     assert(spark.read.parquet(path).count() === 5L)
+    assert(!new java.io.File(path, "._staging_0").exists(),
+      "committed-batch replay must sweep the orphaned staging dir")
     // crash between move and commit: land a THIRD batch, then strip its
     // marker and reconstruct its intent log (the files added by it) —
     // recovery must undo the listed moves and re-land exactly once
@@ -1024,8 +1030,12 @@ class StreamingSpec extends SparkSpec {
     val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
     def doc(id: Long, src: String, words: Int): Streams.SourcedDoc =
       Streams.SourcedDoc(id, ts(0), src, Seq.fill(words)("w").mkString(" "))
+    // doc 6 is empty and doc 7 whitespace-only: both must count 0 tokens
+    // (and therefore short), matching the batch words() convention —
+    // split's "" artifact must not inflate n_tokens to 1
     val b0 = Seq(doc(1, "web", 30), doc(2, "web", 5), doc(3, "books", 50))
-    val b1 = Seq(doc(4, "web", 10), doc(5, "books", 25))
+    val b1 = Seq(doc(4, "web", 10), doc(5, "books", 25), doc(6, "web", 0),
+      Streams.SourcedDoc(7, ts(0), "web", "   "))
     val mem = MemoryStream[Streams.SourcedDoc]
     val q = Streams.corpusHealthStream(mem.toDS(), path, ckpt)
     try {
@@ -1039,7 +1049,7 @@ class StreamingSpec extends SparkSpec {
     val all = b0 ++ b1
     def expect(src: String) = {
       val ds = all.filter(_.source == src)
-      val toks = ds.map(_.text.trim.split("\\s+").length.toLong)
+      val toks = ds.map(_.text.trim.split("\\s+").count(_.nonEmpty).toLong)
       (src, ds.size.toLong, toks.sum,
         ds.map(_.text.length.toLong).sum,
         toks.count(_ < 20).toLong,
@@ -1051,7 +1061,7 @@ class StreamingSpec extends SparkSpec {
       Seq(("web", 99L, 99L, 99L, 99L))
         .toDF("source", "n_docs", "n_tokens", "n_chars", "n_short"), path, 0L)
     assert(Streams.readCorpusHealth(spark, path).collect()
-      .map(_.getLong(1)).sum === 5L)
+      .map(_.getLong(1)).sum === 7L)
   }
 
   test("stream_growth_accounting: month-close verdicts match q166's decomposition, state bounded") {

@@ -224,19 +224,61 @@ class TextSpec extends SparkSpec {
     assert(toks.forall(_.getAs[Long]("cnt") > 0L))
   }
 
-  test("pipe_tokenizer_apply: BPE encoding strictly compresses every source") {
+  test("pipe_tokenizer_apply: both tokenizer families compress every source") {
     val rows = TextOps.tokenizerApply.build(sf0001).collect()
     assert(rows.nonEmpty)
     val srcs = sf0001.documents.select(col("source")).distinct().count()
-    assert(rows.length.toLong === srcs, "one row per source")
+    assert(rows.length.toLong === 2 * srcs, "a bpe AND a unigram row per source")
+    assert(rows.map(_.getAs[String]("tokenizer")).toSet === Set("bpe", "unigram"))
     rows.foreach { r =>
-      val (ch, bpe, bp) = (r.getAs[Long]("n_char_toks"),
-        r.getAs[Long]("n_bpe_toks"), r.getAs[Long]("saved_bp"))
-      assert(bpe <= ch, "merges can only shorten the encoding")
-      // 3 merges applied to a real corpus must save SOMETHING
-      assert(bpe < ch, s"${r.getString(0)}: no compression at all")
-      assert(bp === (ch - bpe) * 10000 / ch)
+      val (ch, nt, bp) = (r.getAs[Long]("n_char_toks"),
+        r.getAs[Long]("n_toks"), r.getAs[Long]("saved_bp"))
+      assert(nt <= ch, "encoding can only shorten the char-level count")
+      // a trained tokenizer applied to a real corpus must save SOMETHING
+      assert(nt < ch, s"${r.getString(0)}/${r.getString(1)}: no compression")
+      assert(bp === (ch - nt) * 10000 / ch)
       assert(bp >= 0L && bp < 10000L)
+    }
+    // per source, the two lanes scored the SAME corpus: identical
+    // char-level denominators
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s, rs) =>
+      assert(rs.map(_.getAs[Long]("n_char_toks")).distinct.length === 1, s)
+    }
+  }
+
+  test("unigram tokenizer: trained vocab is real, segmentation covers every word") {
+    val vocab = TextOps.unigramVocab.build(sf0001).collect()
+    assert(vocab.length === 32)
+    vocab.foreach { r =>
+      val (u, sc) = (r.getAs[Long]("usage_cnt"), r.getAs[Long]("score"))
+      assert(u > 0L)
+      assert(sc === java.lang.Long.toBinaryString(u).length.toLong,
+        "score must be the quantized log2 of usage")
+    }
+    // the hard-EM round must have promoted at least one multi-char
+    // piece into heavy usage — an all-singles top-32 means the merge
+    // lattice learned nothing
+    assert(vocab.exists(_.getAs[String]("piece").length > 1))
+    // serving segmentation: every distinct word got k ∈ [ceil(len/4), len]
+    val perWord = TextOps.unigramArtifacts(sf0001)
+      .filter(col("kind") === "w")
+      .select(col("word"), col("k")).collect()
+    assert(perWord.nonEmpty)
+    perWord.foreach { r =>
+      val len = r.getAs[String]("word").codePointCount(0, r.getAs[String]("word").length).toLong
+      val k = r.getAs[Long]("k")
+      assert(k >= (len + 3) / 4 && k <= len,
+        s"'${r.getAs[String]("word")}' k=$k len=$len")
+    }
+  }
+
+  test("pipe_tokenizer_fertility: unigram rows sit beside bpe with consistent ppm math") {
+    val rows = TextOps.tokenizerFertility.build(sf0001).collect()
+    assert(rows.map(_.getAs[String]("tokenizer")).toSet === Set("bpe", "unigram"))
+    rows.foreach { r =>
+      val (w, nt) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_toks"))
+      assert(nt >= w, "every word is at least one token")
+      assert(r.getAs[Long]("fertility_ppm") === nt * 1000000 / w)
     }
   }
 
