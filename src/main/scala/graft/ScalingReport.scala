@@ -41,6 +41,10 @@ object ScalingReport {
 
   def main(args: Array[String]): Unit = {
     val (loPath, hiPath, outPath) = (args(0), args(1), args(2))
+    // optional 4th/5th args: SF labels for the artifact header (the
+    // second decade runs on the builder-generated gsf0.1/gsf1 corpora)
+    val loLabel = if (args.length > 3) args(3) else "sf0.01"
+    val hiLabel = if (args.length > 4) args(4) else "sf0.1"
     def medians(path: String): Map[String, Double] =
       Bench.parseFullDump(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
@@ -61,7 +65,7 @@ object ScalingReport {
         s""""flagged":$f$diag}"""
     }
     val json =
-      s"""{"sf_lo":"sf0.01","sf_hi":"sf0.1","rows_ratio":10.0,""" +
+      s"""{"sf_lo":"$loLabel","sf_hi":"$hiLabel","rows_ratio":10.0,""" +
         s""""flag_ratio":15.0,"hi_floor_sec":2.0,""" +
         s""""n_queries":${slopes.size},""" +
         s""""n_flagged":${flagged.size},""" +

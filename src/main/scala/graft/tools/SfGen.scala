@@ -123,11 +123,11 @@ object SfGen {
     val flags = array(Seq("A", "N", "R").map(lit): _*)
     val lstat = array(Seq("O", "F").map(lit): _*)
     val li = spark.range(nOrders).select(
-      col("id").as("l_orderkey"),
+      col("id"),
       explode(expr("sequence(1, 1 + CAST(pmod(xxhash64(CAST(id AS BIGINT)" +
         " * 2654435761 + 17 + 4242), 8) AS INT))")).as("l_linenumber"))
       .select(
-        col("l_orderkey"),
+        col("id").as("l_orderkey"),
         pmod(mix(18) + col("l_linenumber"), lit(nPart)).as("l_partkey"),
         pmod(mix(19) + col("l_linenumber") * 7, lit(nSupp)).as("l_suppkey"),
         col("l_linenumber").cast("int"),
