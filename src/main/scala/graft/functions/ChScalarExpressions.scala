@@ -464,7 +464,7 @@ object ChScalarKernels2 {
   /** Parse a textual IPv6 (full / ::-compressed / v4-mapped) to its 8
     * 16-bit groups, or null when invalid.
     */
-  private def parse6(str: String): Array[Int] = {
+  private[functions] def parse6(str: String): Array[Int] = {
     if (!ChScalarKernels.isIPv6(UTF8String.fromString(str))) return null
     def side(part: String): Array[Int] = {
       if (part.isEmpty) return Array.empty
@@ -576,6 +576,10 @@ object ChScalarKernels2 {
   }
 
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[functions] def nodeAtPath(json: String,
+    path: Seq[String]): com.fasterxml.jackson.databind.JsonNode =
+    nodeAt(json, path)
 
   private def nodeAt(json: String,
     path: Seq[String]): com.fasterxml.jackson.databind.JsonNode = {

@@ -2308,7 +2308,128 @@ object ClickHouseDialect {
     "minSampleSizeConversion" -> (_ => throw new IllegalArgumentException(
       "minSampleSizeConversion is closed-form power analysis — rewrite " +
         "with the q111_min_sample_size recipe (exact z constants, " +
-        "per-variant moments)")))
+        "per-variant moments)")),
+    // ---- seventeenth batch: text/codec kernels, v6 CIDR math, NLP
+    // stand-ins, UUIDv7/ULID time codecs — divergences in MIGRATION.md
+    "soundex" -> (args => SoundEx(one(args))),
+    // CH words are alnum RUNS (Spark's initcap splits on space only);
+    // ClickHouseSql text-rewrites `initcap(` → `chInitcap(` (the
+    // chMonthName/chChar builtin-collision pattern)
+    "chInitcap" -> (args => ChUnaryKernel5Expr(one(args), "initcapch")),
+    "initcapUTF8" -> (args => ChUnaryKernel5Expr(one(args), "initcapch")),
+    "cbrt" -> (args => Cbrt(one(args))),
+    "degrees" -> (args => ToDegrees(one(args))),
+    "radians" -> (args => ToRadians(one(args))),
+    "space" -> (args => StringSpace(one(args))),
+    // block-model stand-in like blockNumber (documented): the batch
+    // engine evaluates now() once per QUERY, which is also what
+    // nowInBlock's per-block stability degrades to in one plan
+    "nowInBlock" -> (_ => Now()),
+    "base32Encode" -> (args => ChUnaryKernel5Expr(one(args), "base32encode")),
+    "base32Decode" -> (args => Cast(
+      ChUnaryKernel5Expr(one(args), "base32decode"),
+      org.apache.spark.sql.types.StringType)),
+    "tryBase32Decode" -> (args => ChTryOrNullExpr(Cast(
+      ChUnaryKernel5Expr(one(args), "base32decode"),
+      org.apache.spark.sql.types.StringType))),
+    "tryIdnaEncode" -> (args =>
+      ChTryOrNullExpr(ChStringKernelExpr3(one(args), "idnaEncode"))),
+    "stringBytesUniq" -> (args =>
+      ChUnaryKernel5Expr(one(args), "stringbytesuniq")),
+    "stringBytesEntropy" -> (args =>
+      ChUnaryKernel5Expr(one(args), "stringbytesentropy")),
+    "ULIDStringToDateTime" -> (args =>
+      ChUnaryKernel5Expr(one(args), "ulidtomicros")),
+    "generateUUIDv7" -> (_ => ChUuidV7Expr()),
+    // CH's internal murmur2-with-kafka-seed: lands on the Murmur3
+    // stand-in like the rest of the internal-constant hash families
+    // (same dispersion + sign-bit-cleared contract, different values)
+    "kafkaMurmurHash" -> (args => Cast(BitwiseAnd(
+      Cast(Murmur3Hash(args, 42), org.apache.spark.sql.types.LongType),
+      Literal(0x7fffffffL)), org.apache.spark.sql.types.IntegerType)),
+    "arrayNormalizedGini" -> { args =>
+      require(args.length == 2, "arrayNormalizedGini(predicted, label)")
+      ChNormalizedGiniExpr(toDArr(args.head), toDArr(args(1)))
+    },
+    "IPv6CIDRToRange" -> { args =>
+      require(args.length == 2, "IPv6CIDRToRange(ipv6, prefix)")
+      ChIpv6CidrRangeExpr(one(args),
+        Cast(args(1), org.apache.spark.sql.types.IntegerType))
+    },
+    "JSONExtractKeysAndValues" -> { args =>
+      require(args.length >= 2 && args.last.foldable &&
+        String.valueOf(args.last.eval()) == "String",
+        "JSONExtractKeysAndValues(json[, keys…], 'String'): only the " +
+          "String value form is provided — extract other types through " +
+          "JSONExtract* per key")
+      ChJsonKeysValuesExpr(args.init)
+    },
+    "pointInEllipses" -> { args =>
+      require(args.length >= 6 && (args.length - 2) % 4 == 0,
+        "pointInEllipses(x, y, x0, y0, a0, b0, …): 2 + 4·N arguments")
+      ChPointInEllipsesExpr(args.map(a =>
+        Cast(a, org.apache.spark.sql.types.DoubleType)))
+    },
+    // stem: the ORIGINAL Porter algorithm for 'en' (CH runs Snowball
+    // english/Porter2 — stems differ on a documented minority; other
+    // languages need CH's compiled Snowball set)
+    "stem" -> { args =>
+      require(args.length == 2 && args.head.foldable,
+        "stem('language', word): literal language")
+      val lang = String.valueOf(args.head.eval())
+      require(lang == "en" || lang == "english",
+        s"stem: only 'en' (original Porter) is provided, got '$lang' — " +
+          "other Snowball languages are not on this classpath")
+      ChUnaryKernel5Expr(args(1), "porterstem")
+    },
+    "arrayUnion" -> (args => args.reduceLeft(ArrayUnion(_, _))),
+    "arraySymmetricDifference" -> { args =>
+      require(args.length >= 2,
+        "arraySymmetricDifference(arr1, arr2, …): at least 2 arrays")
+      // present in at least one but NOT in all = union minus intersection
+      ArrayExcept(args.reduceLeft(ArrayUnion(_, _)),
+        args.reduceLeft(ArrayIntersect(_, _)))
+    },
+    "detectLanguage" -> (_ => throw new IllegalArgumentException(
+      "detectLanguage needs CH's compiled language model — use the " +
+        "text_langid operator's trigram heuristic (TextOps.langidOn) " +
+        "for a model-free recipe")),
+    "detectCharset" -> (_ => throw new IllegalArgumentException(
+      "detectCharset needs CH's compiled charset model — rewrite with " +
+        "isValidUTF8() for the UTF-8-or-not split this engine stores")),
+    "lemmatize" -> (_ => throw new IllegalArgumentException(
+      "lemmatize needs a server-side lemma dictionary in CH too — " +
+        "rewrite as a broadcast join against your own lemma table")),
+    "synonyms" -> (_ => throw new IllegalArgumentException(
+      "synonyms needs a server-side extension dictionary in CH too — " +
+        "rewrite as a broadcast join against your own synonym table")),
+    "sparseGrams" -> (_ => throw new IllegalArgumentException(
+      "sparseGrams is experimental in CH — rewrite with graft_shingles/" +
+        "graft_bigrams, the shingling surface this engine indexes with")),
+    "xxh3" -> (_ => throw new IllegalArgumentException(
+      "XXH3 is not on the JVM classpath — rewrite with xxHash64 (same " +
+        "family, different constants)")),
+    "ripeMD160" -> (_ => throw new IllegalArgumentException(
+      "RIPEMD-160 is not on the JVM classpath — rewrite with SHA1/SHA256")),
+    "keccak256" -> (_ => throw new IllegalArgumentException(
+      "Keccak-256 is not on the JVM classpath — rewrite with SHA256")),
+    "sqidEncode" -> (_ => throw new IllegalArgumentException(
+      "sqids are not on this classpath — rewrite with base58Encode/" +
+        "base32Encode for the short-id codec surface")),
+    "sqidDecode" -> (_ => throw new IllegalArgumentException(
+      "sqids are not on this classpath — rewrite with base58Decode/" +
+        "base32Decode for the short-id codec surface")),
+    "bech32Encode" -> (_ => throw new IllegalArgumentException(
+      "bech32 is not on this classpath — rewrite with base32Encode for " +
+        "the 5-bit codec surface (no BCH checksum)")),
+    "yandexConsistentHash" -> (_ => throw new IllegalArgumentException(
+      "yandexConsistentHash's table is CH-internal — rewrite with " +
+        "kostikConsistentHash/jumpConsistentHash, the provided " +
+        "consistent-hash surface")),
+    "studentTTestOneSample" -> (_ => throw new IllegalArgumentException(
+      "studentTTestOneSample is closed-form over avg/stddev/count vs " +
+        "the literal mean — rewrite as t = (avg(x) − μ)·sqrt(n)/" +
+        "stddev(x) (the q68 recipe)")))
 
   /** changeYear/… recomposition: make_timestamp with one part swapped.
     */

@@ -3134,7 +3134,8 @@ object ClickHouseSql {
       out = rewriteAggCombinators(out)
     if (l.contains("count")) out = rewriteBareCount(out)
     if (out.contains("MD5") || out.contains("SHA") ||
-      out.contains("monthName") || out.contains("char("))
+      out.contains("monthName") || out.contains("char(") ||
+      l.contains("initcap"))
       out = rewriteHashNames(out)
     if (l.contains("datediff")) out = rewriteDateDiff(out)
     if (l.contains("extract")) out = rewriteExtract(out)
@@ -4606,6 +4607,9 @@ object ClickHouseSql {
       "SHA224" -> "chSHA224", "SHA256" -> "chSHA256",
       "SHA512" -> "chSHA512",
       "monthName" -> "chMonthName",
+      // CH initcap upcases the first char of each ALNUM RUN; Spark's
+      // builtin splits on whitespace only ('foo-bar' diverges)
+      "initcap" -> "chInitcap",
       // CH's multi-arg byte-assembling char() vs Spark's 1-arg builtin;
       // `CAST(x AS char(n))` type positions are excluded below
       "char" -> "chChar")

@@ -560,4 +560,59 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     val err = intercept[Exception](one("arrayPartialSort(array(3, 1, 2))"))
     assert(err.getMessage.contains("exactly 2 arguments"), err.getMessage)
   }
+
+  test("seventeenth-batch dialect names: pinned values") {
+    graft.functions.ClickHouseDialect.register(spark)
+    def one(e: String): Any =
+      graft.functions.ClickHouseSql.sql(spark, s"SELECT $e AS v").head().get(0)
+    assert(one("soundex('Robert')").toString === "R163")
+    // CH initcap: words are ALNUM RUNS — 'foo-bar' gets two capitals
+    // (Spark's whitespace-splitting builtin is text-rewritten away)
+    assert(one("initcap('foo-bar baz QUX')").toString === "Foo-Bar Baz Qux")
+    assert(one("initcapUTF8('héllo wörld')").toString === "Héllo Wörld")
+    assert(one("cbrt(27.0)") === 3.0)
+    assert(one("degrees(pi())") === 180.0)
+    assert(one("radians(180.0)") === math.Pi)
+    assert(one("space(3)").toString === "   ")
+    // RFC 4648 test vectors
+    assert(one("base32Encode('foobar')").toString === "MZXW6YTBOI======")
+    assert(one("base32Encode('f')").toString === "MY======")
+    assert(one("base32Decode('MZXW6YTB')").toString === "fooba")
+    assert(one("tryBase32Decode('!!bad!!!')") === null)
+    assert(one("tryBase32Decode('MY======')").toString === "f")
+    assert(one("tryIdnaEncode('münchen.de')").toString === "xn--mnchen-3ya.de")
+    assert(one("stringBytesUniq('aab')") === 2L)
+    assert(one("stringBytesEntropy('aabb')") === 1.0)
+    assert(one("stringBytesEntropy('')") === 0.0)
+    // ULID time codec: ms=1 encodes as 9 zeros + '1' in Crockford
+    assert(one("ULIDStringToDateTime('00000000010000000000000000')")
+      .toString === "1970-01-01 00:00:00.001")
+    val u7 = one("generateUUIDv7()").toString
+    assert(u7.length === 36 && u7.charAt(14) === '7')
+    assert(one("kafkaMurmurHash('x')").asInstanceOf[Int] >= 0)
+    // predictions ranked exactly like labels → normalized Gini = 1
+    assert(one("tupleElement(arrayNormalizedGini(" +
+      "array(0.9, 0.5, 0.1), array(1.0, 1.0, 0.0)), 3)") === 1.0)
+    assert(one("tupleElement(IPv6CIDRToRange(toIPv6('2001:db8::1'), 32), 1)")
+      .toString === "2001:db8::")
+    assert(one("tupleElement(IPv6CIDRToRange(toIPv6('2001:db8::1'), 32), 2)")
+      .toString === "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff")
+    assert(one("size(JSONExtractKeysAndValues('{\"a\":\"1\",\"b\":\"2\"}', 'String'))") === 2)
+    assert(one("tupleElement(element_at(JSONExtractKeysAndValues(" +
+      "'{\"a\":\"1\"}', 'String'), 1), 2)").toString === "1")
+    assert(one("pointInEllipses(1.0, 1.0, 0.0, 0.0, 2.0, 2.0)") === true)
+    assert(one("pointInEllipses(3.0, 0.0, 0.0, 0.0, 2.0, 1.0)") === false)
+    // original-Porter pins (Porter 1980 paper examples; CH runs
+    // Snowball english — divergence documented in MIGRATION.md)
+    for ((w, s) <- Seq("caresses" -> "caress", "ponies" -> "poni",
+      "agreed" -> "agre", "motoring" -> "motor", "happy" -> "happi",
+      "relational" -> "relat", "conditional" -> "condit",
+      "hopefulness" -> "hope", "electricity" -> "electr",
+      "adjustable" -> "adjust", "adoption" -> "adopt", "rate" -> "rate",
+      "cease" -> "ceas", "controll" -> "control", "roll" -> "roll"))
+      assert(one(s"stem('en', '$w')").toString === s, w)
+    assert(one("arrayUnion(array(1, 2), array(2, 3))") === Seq(1, 2, 3))
+    assert(one("arraySymmetricDifference(array(1, 2), array(2, 3))")
+      === Seq(1, 3))
+  }
 }
