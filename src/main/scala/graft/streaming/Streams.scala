@@ -638,6 +638,62 @@ object Streams {
         col("n_short"),
         expr("n_short * 10000 div n_docs").as("short_bp"))
 
+  /** Streaming tokenizer-fertility projection — the FROZEN-tokenizer
+    * serving shape online (pipe_tokenizer_fertility's streaming twin):
+    * the trained unigram model rides in as literals (pieces, scores,
+    * per-piece penalty — TextOps.unigramModel's export), the stream
+    * NEVER re-trains, and each micro-batch appends one immutable
+    * per-source partial (words, encoded tokens) behind the per-batch
+    * commit marker. Unseen words SEGMENT under the frozen model
+    * exactly like the batch apply — which is the point of the
+    * dashboard: a new source whose words fragment (fertility spike) is
+    * the tokenizer-drift signal a training pipeline watches for.
+    * Per batch the model meets only the batch's DISTINCT (source,
+    * word) histogram (vocabulary-parallel, like every serving path of
+    * the tokenizer family); at 100 TB/day the hot path writes
+    * |batch sources| rows per batch and never touches history.
+    */
+  def tokenizerFertilityStream(docs: Dataset[SourcedDoc],
+    pieces: Seq[String], scores: Seq[Int], l2c: Int,
+    path: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // foreachBatch runs on a CLONED session — register the kernel
+        // function there, not on the builder's session
+        graft.functions.GraftFunctions.register(batch.sparkSession)
+        val part = batch
+          .select(col("source"),
+            explode(split(trim(col("text")), "\\s+")).as("w0"))
+          .select(col("source"), lower(col("w0")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+          .withColumn("g", call_function("graft_unigram_seg", col("word"),
+            typedLit(pieces), typedLit(scores), lit(l2c)))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).cast("long").as("n_words"),
+            sum(col("c") * (size(split(col("g"), "\\|")) - 1))
+              .cast("long").as("n_toks"))
+        landProjectionPart(part, path, batchId)
+      }
+      .start()
+
+  /** Combine [[tokenizerFertilityStream]]'s parts to the per-source
+    * fertility readout (words, tokens, fertility in exact ppm) — the
+    * same columns the batch pipe_tokenizer_fertility publishes, so
+    * online and offline dashboards read one shape.
+    */
+  def readTokenizerFertility(spark: org.apache.spark.sql.SparkSession,
+    path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).as("n_words"), sum(col("n_toks")).as("n_toks"))
+      .select(col("source"), col("n_words"), col("n_toks"),
+        expr("n_toks * 1000000 div n_words").as("fertility_ppm"))
+
   /** One first-seen row per (user, month) with the new/returning
     * verdict — q158's streaming sibling, the growth dashboard fed
     * online. State per user is ONE first-month long plus the bounded

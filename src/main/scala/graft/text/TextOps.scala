@@ -1563,6 +1563,18 @@ object TextOps {
       artifact
     }
 
+  /** The trained unigram model as broadcastable literals (pieces,
+    * scores, per-piece penalty) — the frozen artifact a serving stream
+    * or a remote encoder ships; MODEL-sized (≤ alphabet + 64 pieces).
+    */
+  private[graft] def unigramModel(t: Tables): (Seq[String], Seq[Int], Int) = {
+    val p = unigramArtifacts(t).filter(col("kind") === "p")
+    val rows = p.select(col("word"), col("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt)).toSeq
+    val l2c = p.agg(expr("length(bin(sum(cnt)))").cast("int")).head().getInt(0)
+    (rows.map(_._1), rows.map(_._2), l2c)
+  }
+
   // text_unigram_vocab — the unigram-LM tokenizer's trained vocabulary
   // (the SentencePiece train step next to text_bpe_merges): top-32
   // pieces by hard-EM usage with their quantized log-scores. The whole

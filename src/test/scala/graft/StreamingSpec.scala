@@ -1064,6 +1064,55 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(1)).sum === 7L)
   }
 
+  test("stream_tokenizer_fertility: frozen-model online encode matches the batch twin, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("tok_fert").toFile
+    val path = new java.io.File(dir, "fert").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    // a frozen toy model: singles guarantee totality, 'ab' must win
+    // over a+b (5 - l2c > 2*(2 - l2c) at l2c=0? use l2c=1: 4 > 2)
+    val pieces = Seq("a", "b", "c", "ab")
+    val scores = Seq(2, 2, 2, 5)
+    val l2c = 1
+    def doc(id: Long, src: String, text: String): Streams.SourcedDoc =
+      Streams.SourcedDoc(id, ts(0), src, text)
+    val b0 = Seq(doc(1, "web", "ab ab c"), doc(2, "books", "abc ba"))
+    val b1 = Seq(doc(3, "web", "aaab b"), doc(4, "web", ""))
+    val mem = MemoryStream[Streams.SourcedDoc]
+    val q = Streams.tokenizerFertilityStream(
+      mem.toDS(), pieces, scores, l2c, path, ckpt)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = Streams.readTokenizerFertility(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch twin: the SAME frozen model over the union of both batches,
+    // token counts from the kernel directly
+    val vocab = new java.util.HashMap[String, java.lang.Integer]()
+    pieces.zip(scores).foreach { case (p, s) => vocab.put(p, s) }
+    def toks(word: String): Long =
+      graft.functions.UnigramKernels.viterbiSeg(word, vocab, l2c)
+        .split("\\|").count(_.nonEmpty).toLong
+    val words = (b0 ++ b1).flatMap(d =>
+      d.text.trim.split("\\s+").filter(_.nonEmpty).map(w => (d.source, w)))
+    val expect = words.groupBy(_._1).map { case (src, ws) =>
+      val nw = ws.size.toLong
+      val nt = ws.map(w => toks(w._2)).sum
+      (src, nw, nt, nt * 1000000 / nw)
+    }.toSet
+    assert(got === expect)
+    // sanity of the toy model: 'ab' stayed one token, 'abc' two
+    assert(toks("ab") === 1L && toks("abc") === 2L)
+    // a replayed batch id is a marker-gated no-op
+    Streams.landProjectionPart(
+      Seq(("web", 99L, 99L)).toDF("source", "n_words", "n_toks"), path, 0L)
+    assert(Streams.readTokenizerFertility(spark, path).collect()
+      .map(_.getLong(1)).sum === words.size.toLong)
+  }
+
   test("stream_growth_accounting: month-close verdicts match q166's decomposition, state bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
