@@ -736,8 +736,12 @@ $pivots
     graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#pq-lut")(
       pqLutBuild(t).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  private def pqLutBuild(t: Tables): DataFrame = {
-    val cbv = pqCodes(t)
+  /** PQ codebook as exact integer SUM vectors + member counts (the
+    * centroid is sv/cnt, never divided) — shared by the ADC lut and
+    * the distortion readout.
+    */
+  private def pqCodebook(t: Tables): DataFrame =
+    pqCodes(t)
       .select(col("m"), col("code"), posexplode(col("gv")))
       .groupBy(col("m"), col("code"), col("pos"))
       .agg(sum(col("col")).as("s"), count(lit(1)).as("cnt"))
@@ -746,6 +750,9 @@ $pivots
         min(col("cnt")).as("cnt"))
       .select(col("m"), col("code"),
         transform(col("ps"), e => e.getField("s")).as("sv"), col("cnt"))
+
+  private def pqLutBuild(t: Tables): DataFrame = {
+    val cbv = pqCodebook(t)
     val qgrids = t.embeddings.filter(col("vec_id") < 5).select(col("vec_id"),
       explode(array((0 until PqM).map(m => struct(
         lit(m).as("m"), pqGrid(col("embedding"), m).as("gv"))): _*)).as("e"))
@@ -2971,10 +2978,56 @@ $pivots
           .cast(LongType).as("imbalance_bp"))
   }
 
+  // embed_pq_distortion — the quantization-error readout of the PQ
+  // codebook (what a PQ tuning pass inspects before committing
+  // subspace/bit choices): per (subspace m, code) cell, the EXACT
+  // within-cell squared reconstruction error of the integer-grid
+  // member vectors against their centroid, as the rational
+  // err_num/err_den with the division never taken — centroid = sv/cnt,
+  // so Σ‖gv − sv/cnt‖² = Σ(gv·cnt − sv)² / cnt². Rides the memoized
+  // pqCodes/pqCodebook artifacts (`_build_pq`/`_build_adc` warm them);
+  // one broadcast join + one map-side aggregation to the
+  // (subspaces × codes)-row readout. 100 TB: err_num sums |cell|·8
+  // products of grid ints — widen to DECIMAL(38) there (the q171
+  // rule); at the test SFs it is Long-safe by 4 orders of magnitude.
+  val pqDistortion = Q(
+    "embed_pq_distortion",
+    Some(s"""
+      WITH $pqCtesSql,
+      err AS (
+        SELECT p.m, p.code, c.cnt,
+               CAST(SUM((CAST(p.gv[t.i] AS BIGINT) * c.cnt - c.sv[t.i]) *
+                        (CAST(p.gv[t.i] AS BIGINT) * c.cnt - c.sv[t.i]))
+                 AS BIGINT) AS en
+        FROM pqcodes p
+        JOIN cbv c ON c.m = p.m AND c.code = p.code,
+        UNNEST(RANGE(1, ${PqSub + 1})) AS t(i)
+        GROUP BY p.m, p.code, c.cnt)
+      SELECT CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code,
+             CAST(cnt AS BIGINT) AS n_vecs, en AS err_num,
+             CAST(cnt * cnt AS BIGINT) AS err_den
+      FROM err ORDER BY m, code
+    """)
+  ) { t =>
+    pqCodes(t).join(broadcast(pqCodebook(t)), Seq("m", "code"))
+      .select(col("m"), col("code"), col("cnt"),
+        aggregate(zip_with(col("gv"), col("sv"),
+          (g, s) => (g * col("cnt") - s) * (g * col("cnt") - s)),
+          lit(0L), (acc, v) => acc + v).as("e"))
+      .groupBy(col("m"), col("code"))
+      .agg(min(col("cnt")).cast(LongType).as("n_vecs"),
+        sum(col("e")).cast(LongType).as("err_num"))
+      .select(col("m").cast(LongType).as("m"),
+        col("code").cast(LongType).as("code"), col("n_vecs"),
+        col("err_num"),
+        (col("n_vecs") * col("n_vecs")).cast(LongType).as("err_den"))
+      .orderBy(col("m"), col("code"))
+  }
+
   val all: Seq[Q] = Seq(norms, bruteForce, lsh, lshMultiprobe, ivf, quantized, rangeSearch, pq,
     hybrid, ivfpqResidual, recallEval, dimStats, kmeansStats, semanticDedup,
     filteredSearch, outliers, mips, covariance, knnGraph, calibration, pcaPower,
     rpProject, diversify, graphSearch, matryoshka, binaryQuant, binaryRerank,
     centroidDrift, probeSweep, rrf, isotropy, knnPurity, knnMargin,
-    intrinsicDim, ivfPersisted, rbo, cellStats)
+    intrinsicDim, ivfPersisted, rbo, cellStats, pqDistortion)
 }

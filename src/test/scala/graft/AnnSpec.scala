@@ -320,4 +320,21 @@ class AnnSpec extends SparkSpec {
     val n = sf0001.embeddings.count()
     assert(rr.getAs[Long]("exact_scan_bp") === 50L * 10000L / n)
   }
+
+  test("pq distortion: cells cover the corpus, denominators are cnt², and the mean minimizes") {
+    val rows = graft.ann.Ann.pqDistortion.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    val nVecs = sf0001.embeddings.count()
+    // every subspace's cells partition the corpus
+    rows.groupBy(_.getAs[Long]("m")).foreach { case (m, rs) =>
+      assert(rs.map(_.getAs[Long]("n_vecs")).sum === nVecs, s"subspace $m")
+    }
+    rows.foreach { r =>
+      val c = r.getAs[Long]("n_vecs")
+      assert(r.getAs[Long]("err_den") === c * c)
+      assert(r.getAs[Long]("err_num") >= 0L)
+      // a single-member cell reconstructs itself exactly
+      if (c == 1L) assert(r.getAs[Long]("err_num") === 0L)
+    }
+  }
 }

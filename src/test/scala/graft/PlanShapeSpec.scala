@@ -606,6 +606,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(aq.contains("partial_percentile_approx"), aq.take(2000))
     assert(!aq.contains("SortMergeJoin") && !aq.contains("CartesianProduct"),
       aq.take(2000))
+    // embed_pq_distortion: the 256-row codebook broadcasts against the
+    // memoized code table — a shuffled join on (m, code) would move
+    // the whole coded corpus
+    val pd = planOf("embed_pq_distortion")
+    assert(pd.contains("BroadcastHashJoin"), pd.take(2000))
+    assert(!pd.contains("SortMergeJoin") && !pd.contains("CartesianProduct"),
+      pd.take(2000))
     // unigram family: the corpus meets only the word-histogram
     // aggregation; every vocabulary lookup broadcasts — a sort-merge
     // join against the model table is the 100 TB regression. (A
