@@ -735,7 +735,7 @@ object Dedup {
   // almost always do) prune candidates, exact cosine ≥ 0.99 verifies.
   // Bucket self-join, never |corpus|² — and because a bucket self-join is
   // O(per-bucket²), the plane count is derived from the corpus size
-  // (VectorLsh.planesFor: 2^planes ≈ corpus/1000, clamped [8, 20]) on
+  // (VectorLsh.planesFor: 2^planes ≈ corpus/16, clamped [8, 20]) on
   // BOTH engines rather than fixed at 8, so the key space grows with the
   // data instead of going quadratic at 10⁹ vectors. The hyperplane signs
   // are literal model constants, so the oracle reproduces buckets exactly.

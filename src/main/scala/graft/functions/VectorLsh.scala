@@ -23,24 +23,32 @@ object VectorLsh {
   val signs: Array[Array[Double]] = PortableHash.planeSigns(MaxPlanes, Dim)
 
   /** Corpus-size-derived plane count: enough planes that the EXPECTED
-    * bucket holds ≤ ~1000 vectors (2^np ≥ corpus/1000), clamped to
-    * [NPlanes, MaxPlanes]. A bucket self-join is O(per-bucket²), so the
-    * key space must grow with the corpus — 8 fixed planes (256 buckets)
-    * is ~10¹³ candidate pairs per bucket at 10⁹ vectors, while 20 planes
-    * (1M buckets) keeps per-bucket work flat. Integer-exact bit-length
-    * arithmetic so the DuckDB mirror (planesForSql) can never drift on an
-    * FP log boundary: np = bitlength(ceil(n/1000) - 1).
+    * bucket holds ≤ ~16 vectors (2^np ≥ corpus/16), clamped to
+    * [NPlanes, MaxPlanes]. A bucket self-join is O(per-bucket²) and the
+    * TOTAL candidate count is n²/buckets, so the key space must grow
+    * with the corpus as soon as occupancy passes the target — the r13
+    * /1000 target left buckets FIXED at 256 through the whole
+    * 4k–256k range and the r14 second-decade measurement caught the
+    * quadratic ramp it implies (dedup_embedding 0.32 → 20.8 s on a 10×
+    * corpus, 65.9× — candidates n²/256). /16 starts growing the key
+    * space right above the driver SFs (n ≤ 4000 keeps np = 8, so every
+    * driver-SF hash is unchanged) and holds total candidates ≈ 8·n at
+    * any scale. Exact 1.0-cosine clones collide under ANY plane count;
+    * near-threshold recall trades down as planes grow — the documented
+    * LSH dial, with multiprobe as the recall lever. Integer-exact
+    * bit-length arithmetic so the DuckDB mirror (planesForSql) can
+    * never drift on an FP log boundary: np = bitlength(ceil(n/16) - 1).
     */
   def planesFor(corpusSize: Long): Int = {
-    val m = (corpusSize + 999) / 1000
+    val m = (corpusSize + 15) / 16
     val bits = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     math.min(MaxPlanes, math.max(NPlanes, bits))
   }
 
   /** SQL mirror of planesFor over a COUNT(*) expression. */
   def planesForSql(countExpr: String): String =
-    s"LEAST($MaxPlanes, GREATEST($NPlanes, CASE WHEN (($countExpr) + 999) // 1000 <= 1 " +
-      s"THEN 0 ELSE LENGTH(BIN((($countExpr) + 999) // 1000 - 1)) END))"
+    s"LEAST($MaxPlanes, GREATEST($NPlanes, CASE WHEN (($countExpr) + 15) // 16 <= 1 " +
+      s"THEN 0 ELSE LENGTH(BIN((($countExpr) + 15) // 16 - 1)) END))"
 
   def proj(p: Int, vec: Column): Column =
     aggregate(

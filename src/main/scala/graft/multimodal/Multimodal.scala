@@ -612,6 +612,34 @@ object Multimodal {
     fp
   }
 
+  /** 32-window energy fingerprint — mm_audio_neardup's banding key
+    * (r14: the 16-bit [[audioFpOf]] key space saturates above ~5k
+    * clips — banded candidates are n²/2^bandwidth and the
+    * second-decade measurement read 16.3×/decade; 32 windows band as
+    * 2×16 bits, 256× fewer collisions per band, same gain-shape
+    * invariance). [[audioFpOf]] stays 16-bit: it is mm_audio_dedup's
+    * EXACT-match key, where width only changes collision odds on
+    * identical-energy-shape clips, and its CodecSpec pins hold.
+    */
+  def audioFp32Of(clip: Pcm): Long = {
+    val nch = clip.channels
+    val ns = clip.samples.length / nch
+    val e = new Array[Long](32)
+    var s = 0
+    while (s < ns) {
+      val v = clip.samples(s * nch).toLong
+      e(s * 32 / ns) += v * v
+      s += 1
+    }
+    var fp = 0L
+    var w = 0
+    while (w < 32) {
+      if (e(w) > e((w + 1) % 32)) fp |= 1L << w
+      w += 1
+    }
+    fp
+  }
+
   final case class AudioFp(media_id: Long, fp: Long)
 
   // mm_audio_dedup — energy-profile audio fingerprinting over the REAL
@@ -678,7 +706,9 @@ object Multimodal {
   /** One frame's 8-bit spatial signature: luma row-band sums compared to
     * the wrapping next band (brightness-shift invariant — a uniform +c
     * moves every sum equally). Shared by the temporal-polynomial clip
-    * key ([[videoFpOf]]) and the per-frame banding of mm_video_neardup.
+    * key ([[videoFpOf]]), mm_video_quality's frozen-frame screen, and —
+    * widened with [[frameColSigOf]] to 16 bits — the per-frame banding
+    * of mm_video_neardup.
     */
   def frameSigOf(fr: Array[Byte], width: Int, height: Int): Long = {
     val rs = new Array[Long](8)
@@ -694,6 +724,32 @@ object Multimodal {
     while (r < 8) {
       if (rs(r) > rs((r + 1) % 8)) sig |= 1L << r
       r += 1
+    }
+    sig
+  }
+
+  /** One frame's 8-bit COLUMN signature — the row signature's
+    * transpose (luma column-band sums vs the wrapping next band).
+    * mm_video_neardup widens its per-frame band key to 16 bits with it
+    * (r14: the second-decade measurement caught the 8-bit key space
+    * saturating above ~5k clips — candidates are n²/keyspace, so the
+    * join went quadratic at 28.5×/decade; rows×cols yields 2^16 keys
+    * from the same decoded frame at zero extra decode cost).
+    * [[videoFpOf]]'s temporal-polynomial key keeps the original 8-bit
+    * row signature — its key space is already 31-ary-polynomial-wide.
+    */
+  def frameColSigOf(fr: Array[Byte], width: Int, height: Int): Long = {
+    val cs = new Array[Long](8)
+    var p = 0
+    while (p < fr.length) {
+      cs((p % width) * 8 / width) += (fr(p) & 0xff).toLong
+      p += 1
+    }
+    var sig = 0L
+    var c = 0
+    while (c < 8) {
+      if (cs(c) > cs((c + 1) % 8)) sig |= 1L << c
+      c += 1
     }
     sig
   }
@@ -1242,13 +1298,16 @@ object Multimodal {
         .cast(LongType).as("id_checksum"))
   }
 
-  // mm_audio_neardup — hamming-radius audio near-duplication over
-  // mm_audio_dedup's exact 16-bit energy-shape fingerprint (a re-gain
-  // or mild re-encode flips a window bit or two; exact buckets miss
-  // them): 2×8-bit bands bound the candidates, popcount verify at
-  // hamming ≤ 2 — the image lane's banding argument on the audio
-  // fingerprint. Oracle replays every PCM sample's energy window from
-  // the generator, then the same banded join.
+  // mm_audio_neardup — hamming-radius audio near-duplication over a
+  // 32-window energy-shape fingerprint (a re-gain or mild re-encode
+  // flips a window bit or two; mm_audio_dedup's exact buckets miss
+  // them): 2×16-bit bands bound the candidates (r14 — the 16-bit
+  // fingerprint's 2×8-bit bands saturated above ~5k clips and the
+  // candidate join went quadratic; 16-bit band values collide 256×
+  // less on the same decode), popcount verify at hamming ≤ 2 — the
+  // image lane's banding argument on the audio fingerprint. Oracle
+  // replays every PCM sample's energy window from the generator, then
+  // the same banded join.
   val audioNearDup = Q(
     "mm_audio_neardup",
     Some("""
@@ -1262,15 +1321,15 @@ object Multimodal {
         FROM clips, UNNEST(RANGE(0, n)) AS t(j)
         WHERE j % nch = 0),
       wins AS (
-        SELECT doc_id, (s * 16) // ns AS w, SUM(v * v) AS e
-        FROM ch0 GROUP BY doc_id, (s * 16) // ns),
+        SELECT doc_id, (s * 32) // ns AS w, SUM(v * v) AS e
+        FROM ch0 GROUP BY doc_id, (s * 32) // ns),
       bits AS (
         SELECT l.doc_id,
                CASE WHEN l.e > r.e THEN (1::BIGINT << l.w) ELSE 0 END AS bv
-        FROM wins l JOIN wins r ON r.doc_id = l.doc_id AND r.w = (l.w + 1) % 16),
+        FROM wins l JOIN wins r ON r.doc_id = l.doc_id AND r.w = (l.w + 1) % 32),
       hashes AS (SELECT doc_id, SUM(bv)::BIGINT AS fp FROM bits GROUP BY doc_id),
       bands AS (
-        SELECT doc_id, fp, b.i AS band, (fp >> (8 * b.i)) & 255 AS bval
+        SELECT doc_id, fp, b.i AS band, (fp >> (16 * b.i)) & 65535 AS bval
         FROM hashes, UNNEST(RANGE(0, 2)) AS b(i)),
       cand AS (
         SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
@@ -1291,14 +1350,14 @@ object Multimodal {
         val channels = (id % 2 + 1).toInt
         val n = (id % 500 + 100).toInt
         val clip = WavCodec.decode(WavCodec.encode(generatePcm(id, channels, n)))
-        AudioFp(id, audioFpOf(clip))
+        AudioFp(id, audioFp32Of(clip))
       })
       .toDF()
     val bands = hashes
       .select(col("media_id"), col("fp"),
         explode(sequence(lit(0), lit(1))).as("band"))
       .withColumn("bval",
-        expr("shiftrightunsigned(fp, 8 * band)").bitwiseAND(lit(255L)))
+        expr("shiftrightunsigned(fp, 16 * band)").bitwiseAND(lit(65535L)))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("b.band") === col("a.band") && col("b.bval") === col("a.bval") &&
@@ -1341,7 +1400,7 @@ object Multimodal {
         SELECT doc_id, 8 + (doc_id % 3) * 4 AS w, 8 AS h, doc_id % 4 + 2 AS nf
         FROM documents),
       px AS (
-        SELECT doc_id, w, h, nf, f, p // w AS r,
+        SELECT doc_id, w, h, nf, f, p // w AS r, ((p % w) * 8) // w AS cb,
                (doc_id * 7 + (f * w * h + p) * 13) % 251 AS v
         FROM clips, UNNEST(RANGE(0, nf)) AS t(f), UNNEST(RANGE(0, w * h)) AS t2(p)),
       rows_ AS (
@@ -1352,9 +1411,21 @@ object Multimodal {
                CASE WHEN l.rs > rr.rs THEN (1::BIGINT << l.r) ELSE 0 END AS bv
         FROM rows_ l JOIN rows_ rr
           ON rr.doc_id = l.doc_id AND rr.f = l.f AND rr.r = (l.r + 1) % 8),
+      cols_ AS (
+        SELECT doc_id, nf, f, cb, SUM(v) AS cs
+        FROM px GROUP BY doc_id, nf, f, cb),
+      cbits AS (
+        SELECT l.doc_id, l.f,
+               CASE WHEN l.cs > rr.cs THEN (1::BIGINT << l.cb) ELSE 0 END AS bv
+        FROM cols_ l JOIN cols_ rr
+          ON rr.doc_id = l.doc_id AND rr.f = l.f AND rr.cb = (l.cb + 1) % 8),
       sigs AS (
-        SELECT doc_id, nf, f, SUM(bv) AS sig
-        FROM bits GROUP BY doc_id, nf, f),
+        SELECT r.doc_id, r.nf, r.f, r.sig + 256 * c.sig AS sig
+        FROM (SELECT doc_id, nf, f, SUM(bv) AS sig
+              FROM bits GROUP BY doc_id, nf, f) r
+        JOIN (SELECT doc_id, f, SUM(bv) AS sig
+              FROM cbits GROUP BY doc_id, f) c
+          ON c.doc_id = r.doc_id AND c.f = r.f),
       cand AS (
         SELECT a.doc_id AS i, b.doc_id AS j, a.nf AS nfi, b.nf AS nfj,
                COUNT(*) AS matches
@@ -1381,8 +1452,10 @@ object Multimodal {
         val clip = Y4mCodec.decode(Y4mCodec.encode(w, h, 30, 1,
           (0 until nf).map(f => generateLuma(id, w, h, f))))
         clip.frames.iterator.zipWithIndex.map { case (fr, f) =>
+          // 16-bit band key: row signature | column signature << 8
           FrameSig(id, nf.toLong, f.toLong,
-            frameSigOf(fr, clip.width, clip.height))
+            frameSigOf(fr, clip.width, clip.height) |
+              (frameColSigOf(fr, clip.width, clip.height) << 8))
         }
       })
       .toDF()

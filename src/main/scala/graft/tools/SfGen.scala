@@ -195,17 +195,21 @@ object SfGen {
       .withColumn("n_chars", length(col("text")).cast("bigint"))
     write(docs, "documents")
 
-    // embeddings: 64-dim, 10 label clusters — a per-label center
-    // (deterministic ±0.25 pattern) plus ~N(0, 0.1) noise via a
-    // 2-uniform approximation, the profiled magnitude
+    // embeddings: 64-dim, 10 labels with a WEAK per-label center
+    // (±0.02 pattern) under dominant noise — the PROFILED similarity
+    // density: the driver corpus's intra-label mean cosine is ~0.001
+    // (labels are nearly independent of direction), and an earlier
+    // ±0.25 center gave 0.90 intra-label cosine, which made every
+    // near-dup/LSH operator's candidate density wildly unrepresentative
+    // (correlated bucket collisions that no plane count can split)
     val emb = spark.range(nEmb).select(
       col("id").as("vec_id"),
       uMod(38, 10).cast("int").as("label"))
       .withColumn("embedding", expr(
         """transform(sequence(0, 63), d ->
              CAST(CASE WHEN pmod(xxhash64(CAST(label AS BIGINT) * 7919 + CAST(d AS BIGINT)), 4) = 0
-                       THEN 0.25 WHEN pmod(xxhash64(CAST(label AS BIGINT) * 7919 + CAST(d AS BIGINT)), 4) = 1
-                       THEN -0.25 ELSE 0.0 END
+                       THEN 0.02 WHEN pmod(xxhash64(CAST(label AS BIGINT) * 7919 + CAST(d AS BIGINT)), 4) = 1
+                       THEN -0.02 ELSE 0.0 END
                + (CAST(shiftrightunsigned(xxhash64(CAST(vec_id AS BIGINT) * 2654435761 + CAST(d AS BIGINT) * 911 + 4242), 11) AS DOUBLE) / 9007199254740992.0 - 0.5) * 0.2
                AS FLOAT))"""))
       .select(col("vec_id"), col("embedding"), col("label"))

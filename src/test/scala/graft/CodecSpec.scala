@@ -303,6 +303,28 @@ class CodecSpec extends AnyFunSuite {
       Codecs.Pcm(2, 8000, out)
     }
     assert(audioFpOf(stereo) === fp0, "channel-1 content leaked into the key")
+    // the 32-window near-dup fingerprint carries the same invariances
+    import graft.multimodal.Multimodal.audioFp32Of
+    val fp32 = audioFp32Of(mono)
+    assert(audioFp32Of(louder) === fp32, "32-window: gain leaked")
+    assert(audioFp32Of(stereo) === fp32, "32-window: channel-1 leaked")
+    assert((fp32 >>> 32) === 0L, "32-window fp must fit 32 bits")
+  }
+
+  test("column signature: brightness-shift invariant, transpose-sensitive") {
+    import graft.multimodal.Multimodal.{frameColSigOf, frameSigOf}
+    val w = 16; val h = 8
+    val fr = Array.tabulate(w * h)(p => ((p * 37 + 11) % 251).toByte)
+    val cs0 = frameColSigOf(fr, w, h)
+    // a uniform brightness shift moves every column-band sum equally
+    val brighter = fr.map(b => ((b & 0xff) + 3).toByte)
+    assert(frameColSigOf(brighter, w, h) === cs0, "brightness leaked")
+    assert((cs0 >>> 8) === 0L, "column signature must fit 8 bits")
+    // rows and columns see DIFFERENT structure: a frame constant along
+    // rows but varying across columns flips exactly one of the two
+    val colRamp = Array.tabulate(w * h)(p => (((p % w) * 8) % 251).toByte)
+    assert(frameSigOf(colRamp, w, h) === 0L, "row sums are equal here")
+    assert(frameColSigOf(colRamp, w, h) !== 0L, "column ramp missed")
   }
 
   test("video fingerprint: brightness-shift invariant, frame-order sensitive") {

@@ -11,14 +11,21 @@ import graft.dedup.Dedup
   */
 class ScalingParamsSpec extends AnyFunSuite {
 
-  test("planesFor targets ~1000 vectors per bucket, clamped [8, 20]") {
+  test("planesFor targets ~16 vectors per bucket, clamped [8, 20]") {
+    // r14 retarget (/1000 → /16): the second-decade measurement caught
+    // the /1000 target leaving buckets frozen at 256 through the whole
+    // 4k–256k range (dedup_embedding 65.9× on a 10× corpus); /16 grows
+    // the key space right above the driver SFs while keeping every
+    // driver-SF hash unchanged (n ≤ 4096 still yields 8 planes)
     assert(VectorLsh.planesFor(0) == 8)
     assert(VectorLsh.planesFor(1000) == 8)
     assert(VectorLsh.planesFor(2000) == 8) // gate scale: matches legacy 8-plane key
-    assert(VectorLsh.planesFor(256000) == 8) // 2^8 buckets × 1000 exactly
-    assert(VectorLsh.planesFor(256001) == 9)
-    assert(VectorLsh.planesFor(1000000) == 10)
-    assert(VectorLsh.planesFor(100000000L) == 17)
+    assert(VectorLsh.planesFor(4000) == 8) // doubled gate corpus: unchanged
+    assert(VectorLsh.planesFor(4096) == 8) // 2^8 buckets × 16 exactly
+    assert(VectorLsh.planesFor(4097) == 9)
+    assert(VectorLsh.planesFor(40000) == 12) // the gsf1 decade point
+    assert(VectorLsh.planesFor(1000000) == 16)
+    assert(VectorLsh.planesFor(100000000L) == 20)
     assert(VectorLsh.planesFor(1000000000L) == 20)
     assert(VectorLsh.planesFor(Long.MaxValue / 4) == 20) // cap
   }
