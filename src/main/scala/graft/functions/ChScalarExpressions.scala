@@ -726,7 +726,12 @@ case class ChTupleArithExpr(left: Expression, right: Option[Expression],
   op: String) extends Expression
   with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def children: Seq[Expression] = left +: right.toSeq
-  override def dataType: DataType = left.dataType
+  // result fields are nullable: div/intdiv/mod null a field on a zero
+  // divisor even when the input tuple's fields are non-nullable literals
+  override def dataType: DataType = left.dataType match {
+    case StructType(fs) => StructType(fs.map(_.copy(nullable = true)))
+    case other => other
+  }
   override def nullable: Boolean = children.exists(_.nullable)
   private lazy val fields: Seq[DataType] = left.dataType match {
     case StructType(fs) => fs.map(_.dataType).toSeq
@@ -781,7 +786,19 @@ case class ChTupleArithExpr(left: Expression, right: Option[Expression],
       val y = op match {
         case "plus" => x.add(n)
         case "minus" => x.subtract(n)
-        case "mulnum" => x.multiply(n)
+        case "mulnum" | "mul" => x.multiply(n)
+        // decimal div truncates toward zero at the field's own scale
+        // (the ChDecimalTruncDivExpr rule); intdiv keeps the integral
+        // quotient; zero divisor → null field
+        case "div" =>
+          if (n.signum == 0) return null
+          x.divide(n, dtd.scale, java.math.RoundingMode.DOWN)
+        case "intdiv" =>
+          if (n.signum == 0) return null
+          x.divideToIntegralValue(n)
+        case "mod" =>
+          if (n.signum == 0) return null
+          x.remainder(n)
         case _ => x.negate()
       }
       org.apache.spark.sql.types.Decimal(y, dtd.precision, dtd.scale)
@@ -792,7 +809,13 @@ case class ChTupleArithExpr(left: Expression, right: Option[Expression],
       val y = op match {
         case "plus" => x + n
         case "minus" => x - n
-        case "mulnum" => x * n
+        case "mulnum" | "mul" => x * n
+        // field types stay the tuple's own (the mulnum rule): integral
+        // fields divide EXACTLY — tupleDivide ≡ tupleIntDiv there, where
+        // CH widens to Float64 (MIGRATION note); zero divisor → null
+        // (the engine's non-ANSI Divide convention)
+        case "div" | "intdiv" => if (n == 0L) return null else x / n
+        case "mod" => if (n == 0L) return null else x % n
         case _ => -x
       }
       dt match {
@@ -809,7 +832,10 @@ case class ChTupleArithExpr(left: Expression, right: Option[Expression],
       val y = op match {
         case "plus" => x + n
         case "minus" => x - n
-        case "mulnum" => x * n
+        case "mulnum" | "mul" => x * n
+        case "div" => if (n == 0.0) return null else x / n
+        case "intdiv" => if (n == 0.0) return null else math.floor(x / n)
+        case "mod" => if (n == 0.0) return null else x % n
         case _ => -x
       }
       dt match {

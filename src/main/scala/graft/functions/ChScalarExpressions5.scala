@@ -254,6 +254,80 @@ object ChScalarKernels5 {
     new GenericArrayData(out.toArray)
   }
 
+  // ---- eighteenth batch ----------------------------------------------
+
+  /** CH parseTimeDelta: readable duration → seconds (Float64). Tokens
+    * are number+unit with space/'+'/','/';' separators; units follow
+    * CH's table (weeks/days/hours/minutes/seconds/milliseconds, full
+    * or short spellings). Throws on malformed input.
+    */
+  def parseTimeDelta(s: UTF8String): Double = {
+    val txt = s.toString.trim.toLowerCase(java.util.Locale.ROOT)
+    require(txt.nonEmpty, "parseTimeDelta: empty input")
+    val m = java.util.regex.Pattern
+      .compile("([0-9]*\\.?[0-9]+)\\s*([a-z]+)").matcher(txt)
+    var total = 0.0
+    var matchedTo = 0
+    var any = false
+    while (m.find()) {
+      // only separators may sit between tokens
+      val gap = txt.substring(matchedTo, m.start())
+      require(gap.forall(c => " \t+,;".indexOf(c) >= 0),
+        s"parseTimeDelta: unparsable segment '$gap' in '$txt'")
+      val num = m.group(1).toDouble
+      val mult = m.group(2) match {
+        case "w" | "week" | "weeks" => 604800.0
+        case "d" | "day" | "days" => 86400.0
+        case "h" | "hr" | "hour" | "hours" => 3600.0
+        case "m" | "min" | "minute" | "minutes" => 60.0
+        case "s" | "sec" | "second" | "seconds" => 1.0
+        case "ms" | "millisecond" | "milliseconds" => 0.001
+        case u => throw new IllegalArgumentException(
+          s"parseTimeDelta: unknown unit '$u' in '$txt'")
+      }
+      total += num * mult
+      any = true
+      matchedTo = m.end()
+    }
+    require(any && txt.substring(matchedTo)
+      .forall(c => " \t+,;".indexOf(c) >= 0),
+      s"parseTimeDelta: unparsable input '$txt'")
+    total
+  }
+
+  /** UUIDv7 text → its embedded millisecond timestamp as epoch MICROS;
+    * throws unless the value parses and carries version 7.
+    */
+  def uuidV7ToMicros(s: UTF8String): Long = {
+    val u = java.util.UUID.fromString(s.toString)
+    require(u.version() == 7,
+      s"UUIDv7ToDateTime: not a v7 UUID (version ${u.version()}): $s")
+    (u.getMostSignificantBits >>> 16) * 1000L
+  }
+
+  /** CH extractKeyValuePairs, default dials: ':' key-value delimiter,
+    * space/','/';' pair delimiters, first occurrence of a key wins.
+    */
+  def extractKeyValuePairs(s: UTF8String)
+    : org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    s.toString.split("[ ,;]+").foreach { tok =>
+      val cut = tok.indexOf(':')
+      if (cut > 0 && cut < tok.length - 1) {
+        val k = tok.substring(0, cut)
+        if (seen.add(k)) {
+          keys += UTF8String.fromString(k)
+          vals += UTF8String.fromString(tok.substring(cut + 1))
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys.toArray),
+      new GenericArrayData(vals.toArray))
+  }
+
   // ---- original Porter stemmer (Porter 1980; public algorithm) ------
   // CH's stem('en', w) runs Snowball english (Porter2); this is the
   // ORIGINAL Porter — stems differ on a documented minority of words
@@ -392,8 +466,9 @@ case class ChUnaryKernel5Expr(child: Expression, fn: String)
     case "initcapch" | "base32encode" | "porterstem" => StringType
     case "base32decode" => BinaryType
     case "stringbytesuniq" => LongType
-    case "stringbytesentropy" => DoubleType
-    case "ulidtomicros" => TimestampType
+    case "stringbytesentropy" | "parsetimedelta" => DoubleType
+    case "ulidtomicros" | "uuidv7tomicros" => TimestampType
+    case "extractkvp" => MapType(StringType, StringType)
     case _ => throw new IllegalArgumentException(s"unknown kernel $fn")
   }
   override def nullIntolerant: Boolean = true
@@ -410,6 +485,12 @@ case class ChUnaryKernel5Expr(child: Expression, fn: String)
       ChScalarKernels5.stringBytesEntropy(v.asInstanceOf[UTF8String])
     case "ulidtomicros" =>
       ChScalarKernels5.ulidToMicros(v.asInstanceOf[UTF8String])
+    case "parsetimedelta" =>
+      ChScalarKernels5.parseTimeDelta(v.asInstanceOf[UTF8String])
+    case "uuidv7tomicros" =>
+      ChScalarKernels5.uuidV7ToMicros(v.asInstanceOf[UTF8String])
+    case "extractkvp" =>
+      ChScalarKernels5.extractKeyValuePairs(v.asInstanceOf[UTF8String])
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = fn match {
@@ -420,6 +501,9 @@ case class ChUnaryKernel5Expr(child: Expression, fn: String)
       case "stringbytesuniq" => "stringBytesUniq"
       case "stringbytesentropy" => "stringBytesEntropy"
       case "ulidtomicros" => "ulidToMicros"
+      case "parsetimedelta" => "parseTimeDelta"
+      case "uuidv7tomicros" => "uuidV7ToMicros"
+      case "extractkvp" => "extractKeyValuePairs"
     }
     defineCodeGen(ctx, ev, a => s"graft.functions.ChScalarKernels5.$m($a)")
   }

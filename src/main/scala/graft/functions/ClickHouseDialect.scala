@@ -2429,7 +2429,115 @@ object ClickHouseDialect {
     "studentTTestOneSample" -> (_ => throw new IllegalArgumentException(
       "studentTTestOneSample is closed-form over avg/stddev/count vs " +
         "the literal mean — rewrite as t = (avg(x) − μ)·sqrt(n)/" +
-        "stddev(x) (the q68 recipe)")))
+        "stddev(x) (the q68 recipe)")),
+    // ---- eighteenth batch: tuple element-wise algebra, duration/uuid
+    // codecs, map-key pattern ops, rand distributions, tz introspection
+    "tupleMultiply" -> (args =>
+      ChTupleArithExpr(args.head, Some(args(1)), "mul")),
+    "tupleDivide" -> (args =>
+      ChTupleArithExpr(args.head, Some(args(1)), "div")),
+    "tupleIntDiv" -> (args =>
+      ChTupleArithExpr(args.head, Some(args(1)), "intdiv")),
+    "tupleModulo" -> (args =>
+      ChTupleArithExpr(args.head, Some(args(1)), "mod")),
+    "parseTimeDelta" -> (args =>
+      ChUnaryKernel5Expr(one(args), "parsetimedelta")),
+    "UUIDv7ToDateTime" -> (args =>
+      ChUnaryKernel5Expr(one(args), "uuidv7tomicros")),
+    "extractKeyValuePairs" -> { args =>
+      require(args.length == 1,
+        "extractKeyValuePairs(s): only the default dials (':' key-value" +
+          " delimiter, space/','/';' pair delimiters) are provided — " +
+          "custom delimiters rewrite with str_to_map")
+      ChUnaryKernel5Expr(one(args), "extractkvp")
+    },
+    // CH mode-0 toLastDayOfWeek rounds UP to Saturday (the Sunday-start
+    // convention toStartOfWeek already follows): date + (7 − dayofweek)
+    "toLastDayOfWeek" -> (args => DateAdd(
+      Cast(one(args), org.apache.spark.sql.types.DateType),
+      Subtract(Literal(7), DayOfWeek(one(args))))),
+    "addDate" -> (args => Add(args.head, args(1))),
+    "subDate" -> (args => Subtract(args.head, args(1))),
+    "makeDate32" -> (args => MakeDate(args.head, args(1), args(2))),
+    "dateTime64ToSnowflake" -> (args => ShiftLeft(
+      Subtract(UnixMillis(Cast(one(args),
+        org.apache.spark.sql.types.TimestampType)),
+        Literal(1288834974657L)), Literal(22))),
+    // toTimezone changes the DISPLAY zone of the same instant; Spark
+    // timestamps carry no zone, so the rendering change is the
+    // convert_timezone rebase from the session zone (MIGRATION note)
+    "toTimezone" -> (args => ConvertTimezone(CurrentTimeZone(), args(1),
+      Cast(args.head, org.apache.spark.sql.types.TimestampType))),
+    // value-zone introspection answers for the SESSION (the hostName/
+    // serverUUID driver-JVM rule: Spark values carry no zone metadata)
+    "timezoneOf" -> (_ => CurrentTimeZone()),
+    "serverTimezone" -> (_ => CurrentTimeZone()),
+    "mapConcat" -> (args => MapConcat(args)),
+    "mapPartialSort" -> { args =>
+      require(args.length == 2,
+        "mapPartialSort(limit, map): exactly 2 arguments — the " +
+          "lambda-comparator form is not supported; the full key sort " +
+          "refines CH's unspecified tail order (the arrayPartialSort rule)")
+      new MapFromEntries(new SortArray(MapEntries(args(1)), Literal(true)))
+    },
+    "mapContainsKeyLike" -> { args =>
+      val k = UnresolvedNamedLambdaVariable(Seq("graft_mckl_k"))
+      val v = UnresolvedNamedLambdaVariable(Seq("graft_mckl_v"))
+      GreaterThan(Size(MapKeys(MapFilter(args.head,
+        LambdaFunction(new Like(k, args(1)), Seq(k, v))))), Literal(0))
+    },
+    "mapExtractKeyLike" -> { args =>
+      val k = UnresolvedNamedLambdaVariable(Seq("graft_mekl_k"))
+      val v = UnresolvedNamedLambdaVariable(Seq("graft_mekl_v"))
+      MapFilter(args.head, LambdaFunction(new Like(k, args(1)), Seq(k, v)))
+    },
+    // rand distribution family — nondeterministic like generateULID
+    "randCanonical" -> (_ => new Rand(Literal(null))),
+    "randUniform" -> (args => Add(args.head,
+      Multiply(new Rand(Literal(null)),
+        Subtract(args(1), args.head)))),
+    "randNormal" -> (args => Add(args.head,
+      Multiply(new Randn(Literal(null)), args(1)))),
+    "randBernoulli" -> (args => Cast(
+      LessThan(new Rand(Literal(null)), args.head),
+      org.apache.spark.sql.types.IntegerType)),
+    "randExponential" -> (args => Divide(
+      UnaryMinus(Log(Subtract(Literal(1.0), new Rand(Literal(null))))),
+      args.head)),
+    "greatCircleAngle" -> (args => Multiply(haversineMeters(args),
+      Literal(180.0 / (math.Pi * 6371000.0)))),
+    // byteSlice works on the raw bytes (Substring over BINARY is
+    // byte-indexed; the string form is code-point-indexed)
+    "byteSlice" -> (args => Cast(Substring(
+      Cast(args.head, org.apache.spark.sql.types.BinaryType),
+      Cast(args(1), org.apache.spark.sql.types.IntegerType),
+      Cast(args(2), org.apache.spark.sql.types.IntegerType)),
+      org.apache.spark.sql.types.StringType)),
+    "randPoisson" -> (_ => throw new IllegalArgumentException(
+      "randPoisson has no closed inverse CDF — rewrite with the Knuth " +
+        "product loop over randCanonical() in a generator job, or use " +
+        "randExponential inter-arrival sums")),
+    "untuple" -> (_ => throw new IllegalArgumentException(
+      "untuple is a SELECT-clause splat — rewrite as t.* or name the " +
+        "fields with tupleElement(t, i)")),
+    "tupleConcat" -> (_ => throw new IllegalArgumentException(
+      "tupleConcat needs resolved field lists — rewrite as " +
+        "struct(a.*, b.*) or name the fields explicitly")),
+    "fuzzBits" -> (_ => throw new IllegalArgumentException(
+      "fuzzBits is a fuzz-testing helper — rewrite bit flips " +
+        "explicitly with xor + shiftLeft over randCanonical()")),
+    "transactionID" -> (_ => throw new IllegalArgumentException(
+      "transactionID needs CH's experimental transactions — no Spark " +
+        "analog; rewrite observability on the batch/epoch id")),
+    "dumpColumnStructure" -> (_ => throw new IllegalArgumentException(
+      "dumpColumnStructure inspects CH block columns — rewrite with " +
+        "toTypeName / the DataFrame schema")),
+    "structureToCapnProtoSchema" -> (_ => throw new IllegalArgumentException(
+      "CapnProto schema generation is out of scope — rewrite with the " +
+        "DataFrame schema's DDL string")),
+    "geohashesInBox" -> (_ => throw new IllegalArgumentException(
+      "geohashesInBox enumerates a cover set — rewrite as geohashEncode" +
+        " over an explode of the box's lat/lon grid steps")))
 
   /** changeYear/… recomposition: make_timestamp with one part swapped.
     */

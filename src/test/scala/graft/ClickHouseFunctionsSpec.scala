@@ -615,4 +615,68 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(one("arraySymmetricDifference(array(1, 2), array(2, 3))")
       === Seq(1, 3))
   }
+
+  test("eighteenth-batch dialect names: pinned values") {
+    graft.functions.ClickHouseDialect.register(spark)
+    def one(e: String): Any =
+      graft.functions.ClickHouseSql.sql(spark, s"SELECT $e AS v").head().get(0)
+    def row(e: String): org.apache.spark.sql.Row =
+      one(e).asInstanceOf[org.apache.spark.sql.Row]
+    // tuple element-wise algebra: exact Long fields (the mulnum rule —
+    // field types stay the tuple's own; zero divisor nulls the field)
+    assert(row("tupleMultiply((2, 3), (4, 5))").toSeq === Seq(8, 15))
+    assert(row("tupleDivide((8, 9), (2, 3))").toSeq === Seq(4, 3))
+    assert(row("tupleIntDiv((9, 7), (2, 3))").toSeq === Seq(4, 2))
+    assert(row("tupleModulo((9, 7), (2, 3))").toSeq === Seq(1, 1))
+    // fractional literals are DECIMAL(2,1) in Spark SQL — div truncates
+    // toward zero AT THE FIELD'S SCALE (the ChDecimalTruncDivExpr rule)
+    assert(row("tupleDivide((1.0, 3.0), (2.0, 2.0))").toSeq
+      .map(_.toString) === Seq("0.5", "1.5"))
+    assert(row("tupleDivide((CAST(1 AS DOUBLE), CAST(3 AS DOUBLE)), " +
+      "(CAST(2 AS DOUBLE), CAST(2 AS DOUBLE)))").toSeq === Seq(0.5, 1.5))
+    assert(row("tupleIntDiv((9, 7), (2, 0))").toSeq === Seq(4, null))
+    // duration / uuid codecs
+    assert(one("parseTimeDelta('1h 30m')") === 5400.0)
+    assert(one("parseTimeDelta('2 weeks, 1 day')") === 1296000.0)
+    assert(one("parseTimeDelta('250ms')") === 0.25)
+    assertThrows[Exception](one("parseTimeDelta('nonsense')"))
+    // the v7 example from RFC 9562 carries ts 0x017F22E279B0 ms
+    assert(one("CAST(UUIDv7ToDateTime(" +
+      "'017f22e2-79b0-7cc3-98c4-dc0c0c07398f') AS BIGINT)")
+      === 0x017f22e279b0L / 1000)
+    assertThrows[Exception](
+      one("UUIDv7ToDateTime('12345678-1234-1234-1234-123456789012')"))
+    // kv pairs: default dials, first key wins
+    assert(one("extractKeyValuePairs('a:1, b:2 a:9')")
+      .asInstanceOf[Map[String, String]] === Map("a" -> "1", "b" -> "2"))
+    // dates: Sunday-start convention → last day = Saturday
+    assert(one("toLastDayOfWeek(toDate('2024-03-05'))").toString
+      === "2024-03-09") // Tue Mar 5 → Sat Mar 9
+    assert(one("addDate(toDate('2024-03-05'), INTERVAL 2 DAY)").toString
+      === "2024-03-07")
+    assert(one("makeDate32(2024, 2, 29)").toString === "2024-02-29")
+    // snowflake round trip through the 64-bit form
+    assert(one("snowflakeIDToDateTime(dateTime64ToSnowflake(" +
+      "toDateTime('2024-01-01 00:00:00')))").toString
+      === "2024-01-01 00:00:00.0")
+    // map ops
+    assert(one("mapConcat(map('a', 1), map('b', 2))")
+      .asInstanceOf[Map[String, Int]] === Map("a" -> 1, "b" -> 2))
+    assert(one("map_keys(mapPartialSort(1, map('b', 2, 'a', 1)))")
+      === Seq("a", "b"))
+    assert(one("mapContainsKeyLike(map('abc', 1), 'a%')") === true)
+    assert(one("mapContainsKeyLike(map('abc', 1), 'z%')") === false)
+    assert(one("mapExtractKeyLike(map('abc', 1, 'xyz', 2), 'a%')")
+      .asInstanceOf[Map[String, Int]] === Map("abc" -> 1))
+    // rand distributions: range contracts (values are nondeterministic)
+    val u = one("randUniform(5.0, 6.0)").asInstanceOf[Double]
+    assert(u >= 5.0 && u < 6.0)
+    val b = one("randBernoulli(0.5)").asInstanceOf[Int]
+    assert(b == 0 || b == 1)
+    assert(one("randExponential(2.0)").asInstanceOf[Double] >= 0.0)
+    // quarter of the meridian = 90 degrees
+    assert(math.abs(one("greatCircleAngle(0.0, 0.0, 90.0, 0.0)")
+      .asInstanceOf[Double] - 90.0) < 0.5)
+    assert(one("byteSlice('hello', 2, 3)").toString === "ell")
+  }
 }
