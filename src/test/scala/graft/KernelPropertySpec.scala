@@ -224,6 +224,34 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("r14 kernels: parseTimeDelta is separator- and order-insensitive, strict on junk") {
+    val k = graft.functions.ChScalarKernels5
+    def p(s: String): Double = k.parseTimeDelta(UTF8String.fromString(s))
+    // the same components in any order, with any separator, sum equal
+    forSamples(Gen.zip(Gen.chooseNum(0, 99), Gen.chooseNum(0, 59),
+      Gen.chooseNum(0, 59))) { case (h, m, s) =>
+      val expect = h * 3600.0 + m * 60.0 + s
+      assert(p(s"${h}h ${m}m ${s}s") === expect)
+      assert(p(s"${s}s+${h}hours,${m}min") === expect)
+      assert(p(s"${m} minutes; ${h} hr ${s} seconds") === expect)
+    }
+    assert(p("1.5h") === 5400.0)
+    for (bad <- Seq("", "h1", "5 parsecs", "1h xx", "1h 2"))
+      assertThrows[IllegalArgumentException](p(bad))
+  }
+
+  test("r14 kernels: extractKeyValuePairs keeps the first occurrence, skips non-pairs") {
+    val m = graft.functions.ChScalarKernels5
+      .extractKeyValuePairs(UTF8String.fromString(
+        "a:1, b:2 junk a:9;c:3 :bad bad: d::"))
+    val keys = (0 until m.numElements()).map(i =>
+      m.keyArray.getUTF8String(i).toString)
+    val vals = (0 until m.numElements()).map(i =>
+      m.valueArray.getUTF8String(i).toString)
+    assert(keys === Seq("a", "b", "c", "d"))
+    assert(vals === Seq("1", "2", "3", ":"))
+  }
+
   test("r14 kernels: macStringToNum throws on every malformed shape (no 0-aliasing)") {
     for (bad <- Seq("", "11:22:33:44:55", "11:22:33:44:55:66:77", "GG:22:33:44:55:66",
       "1:22:33:44:55:66", "+1:22:33:44:55:66", "-1:22:33:44:55:66", "11-22-33-44-55-66")) {
