@@ -738,6 +738,19 @@ case class ChTupleArithExpr(left: Expression, right: Option[Expression],
     case other => throw new IllegalArgumentException(
       s"tuple arithmetic expects a tuple, got ${other.sql}")
   }
+  // the RIGHT tuple's fields must be read with ITS OWN field types —
+  // an UnsafeRow read with the left's types reinterprets raw bytes
+  // (tupleDivide(int64_tuple, float64_tuple) produced silent garbage;
+  // r14 ADVICE). Non-struct right (the by-number scalar) never lands
+  // on this path. Field-count mismatch throws a teaching message
+  // instead of an index error.
+  private lazy val rightFields: Seq[DataType] = right.map(_.dataType) match {
+    case Some(StructType(fs)) =>
+      require(fs.length == fields.length,
+        s"tuple arithmetic: arity mismatch ${fields.length} vs ${fs.length}")
+      fs.map(_.dataType).toSeq
+    case _ => fields
+  }
   private def toDoubleNum(v: Any): Double = v match {
     case d: Double => d
     case f: Float => f.toDouble
@@ -745,6 +758,7 @@ case class ChTupleArithExpr(left: Expression, right: Option[Expression],
     case x: Int => x.toDouble
     case s: Short => s.toDouble
     case b: Byte => b.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
     case x: java.lang.Number => x.doubleValue()
     case other => throw new IllegalArgumentException(
       s"tuple arithmetic: non-numeric operand $other")
@@ -834,7 +848,15 @@ case class ChTupleArithExpr(left: Expression, right: Option[Expression],
         case "minus" => x - n
         case "mulnum" | "mul" => x * n
         case "div" => if (n == 0.0) return null else x / n
-        case "intdiv" => if (n == 0.0) return null else math.floor(x / n)
+        // trunc toward zero, matching the exact Long path above and the
+        // engine's scalar intDiv (IntegralDivide): tupleIntDiv((-7.0),
+        // (2.0)) = -3.0, same sign convention as ((-7),(2)) = -3. A
+        // floor here would silently diverge on negative quotients
+        // (r14 ADVICE). Branchy trunc, not .toLong, so magnitudes past
+        // 2^63 don't clamp.
+        case "intdiv" =>
+          if (n == 0.0) return null
+          else { val q = x / n; if (q < 0) math.ceil(q) else math.floor(q) }
         case "mod" => if (n == 0.0) return null else x % n
         case _ => -x
       }
@@ -874,7 +896,7 @@ case class ChTupleArithExpr(left: Expression, right: Option[Expression],
             s"tuple-by-number: non-numeric scalar $other")
         }
         case (_, Some(row: InternalRow)) =>
-          row.get(i, fields(i)) match {
+          row.get(i, rightFields(i)) match {
             case v @ (_: Double | _: Float | _: Long | _: Int | _: Short |
                 _: Byte | _: org.apache.spark.sql.types.Decimal) => v
             case _ => null

@@ -258,8 +258,10 @@ object ChScalarKernels5 {
 
   /** CH parseTimeDelta: readable duration → seconds (Float64). Tokens
     * are number+unit with space/'+'/','/';' separators; units follow
-    * CH's table (weeks/days/hours/minutes/seconds/milliseconds, full
-    * or short spellings). Throws on malformed input.
+    * CH's table (years/months/weeks/days/hours/minutes/seconds/
+    * milliseconds/microseconds/nanoseconds, full or short spellings;
+    * year = 365 d and month = 30.5 d per CH's calendar conventions).
+    * Throws on malformed input.
     */
   def parseTimeDelta(s: UTF8String): Double = {
     val txt = s.toString.trim.toLowerCase(java.util.Locale.ROOT)
@@ -276,12 +278,18 @@ object ChScalarKernels5 {
         s"parseTimeDelta: unparsable segment '$gap' in '$txt'")
       val num = m.group(1).toDouble
       val mult = m.group(2) match {
+        // CH's calendar conventions: year = 365 d, month = 30.5 d
+        // (r14 ADVICE parity gap — these threw before)
+        case "y" | "yr" | "yrs" | "year" | "years" => 31536000.0
+        case "mo" | "month" | "months" => 2635200.0
         case "w" | "week" | "weeks" => 604800.0
         case "d" | "day" | "days" => 86400.0
-        case "h" | "hr" | "hour" | "hours" => 3600.0
-        case "m" | "min" | "minute" | "minutes" => 60.0
-        case "s" | "sec" | "second" | "seconds" => 1.0
+        case "h" | "hr" | "hrs" | "hour" | "hours" => 3600.0
+        case "m" | "min" | "mins" | "minute" | "minutes" => 60.0
+        case "s" | "sec" | "secs" | "second" | "seconds" => 1.0
         case "ms" | "millisecond" | "milliseconds" => 0.001
+        case "us" | "microsecond" | "microseconds" => 1e-6
+        case "ns" | "nanosecond" | "nanoseconds" => 1e-9
         case u => throw new IllegalArgumentException(
           s"parseTimeDelta: unknown unit '$u' in '$txt'")
       }

@@ -3134,7 +3134,7 @@ object ClickHouseSql {
       out = rewriteAggCombinators(out)
     if (l.contains("count")) out = rewriteBareCount(out)
     if (out.contains("MD5") || out.contains("SHA") ||
-      out.contains("monthName") || out.contains("char(") ||
+      out.contains("monthName") || l.contains("char(") ||
       l.contains("initcap"))
       out = rewriteHashNames(out)
     if (l.contains("datediff")) out = rewriteDateDiff(out)
@@ -4606,21 +4606,34 @@ object ClickHouseSql {
     val names = Map("MD5" -> "chMD5", "SHA1" -> "chSHA1",
       "SHA224" -> "chSHA224", "SHA256" -> "chSHA256",
       "SHA512" -> "chSHA512",
-      "monthName" -> "chMonthName",
+      "monthName" -> "chMonthName")
+    // initcap and char are case-INSENSITIVE in CH (unlike the hash
+    // names above), so INITCAP/InitCap must hit the CH-semantics
+    // rewrite too — falling through to Spark's builtin silently
+    // switches to whitespace-word capitalization ('FOO-BAR' diverges;
+    // r14 ADVICE). Keyed by lowercased token.
+    val ciNames = Map(
       // CH initcap upcases the first char of each ALNUM RUN; Spark's
       // builtin splits on whitespace only ('foo-bar' diverges)
       "initcap" -> "chInitcap",
       // CH's multi-arg byte-assembling char() vs Spark's 1-arg builtin;
       // `CAST(x AS char(n))` type positions are excluded below
       "char" -> "chChar")
+    // in a CREATE statement `CHAR(5)` is a column TYPE, not the CH
+    // byte-assembling function — never splice there (ENGINE-ful DDL
+    // returns before this rewrite, but CTAS-style statements don't)
+    val inCreate = sqlText.trim.toLowerCase(java.util.Locale.ROOT)
+      .startsWith("create")
     val ts = lex(sqlText)
     val sb = new StringBuilder(sqlText)
     // right-to-left so earlier token offsets stay valid as we splice
     for (i <- ts.indices.reverse) {
       val t = ts(i)
-      if (names.contains(t.text) && ts.lift(i + 1).exists(_.text == "(") &&
+      val target = names.get(t.text).orElse(ciNames.get(t.lower))
+        .filterNot(_ => inCreate && t.lower == "char")
+      if (target.isDefined && ts.lift(i + 1).exists(_.text == "(") &&
         !ts.lift(i - 1).exists(_.lower == "as"))
-        sb.replace(t.start, t.end, names(t.text))
+        sb.replace(t.start, t.end, target.get)
     }
     sb.toString
   }

@@ -2537,7 +2537,8 @@ object Stats {
   // answer's MEASURED rank error and the bound the GK contract
   // promises: ⌈n/accuracy⌉ ranks around the sketch's own target p·n,
   // plus 1 because OUR target is the nearest-rank position
-  // (⌊(n−1)/2⌋+1), up to one rank away from p·n. Rank, not
+  // (((n−1)·4+4) div 8 + 1 = ⌊n/2⌋+1 — the upper median for even n),
+  // up to one rank away from p·n. Rank, not
   // value: GK bounds the returned element's position, never its
   // magnitude, so that is the honest pin. No value oracle exists for
   // a sketch (the q37 pattern) — the driver records rows-only; the

@@ -569,6 +569,12 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     // CH initcap: words are ALNUM RUNS — 'foo-bar' gets two capitals
     // (Spark's whitespace-splitting builtin is text-rewritten away)
     assert(one("initcap('foo-bar baz QUX')").toString === "Foo-Bar Baz Qux")
+    // CH accepts initcap case-INSENSITIVELY — INITCAP/InitCap must hit
+    // the same rewrite, not fall through to Spark's whitespace-word
+    // builtin (r14 ADVICE)
+    assert(one("INITCAP('FOO-BAR')").toString === "Foo-Bar")
+    assert(one("InitCap('foo-bar')").toString === "Foo-Bar")
+    assert(one("CHAR(72, 105)").toString === "Hi")
     assert(one("initcapUTF8('héllo wörld')").toString === "Héllo Wörld")
     assert(one("cbrt(27.0)") === 3.0)
     assert(one("degrees(pi())") === 180.0)
@@ -635,10 +641,32 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(row("tupleDivide((CAST(1 AS DOUBLE), CAST(3 AS DOUBLE)), " +
       "(CAST(2 AS DOUBLE), CAST(2 AS DOUBLE)))").toSeq === Seq(0.5, 1.5))
     assert(row("tupleIntDiv((9, 7), (2, 0))").toSeq === Seq(4, null))
+    // negative quotients truncate TOWARD ZERO on both the integral and
+    // the FP path (r14 ADVICE: the FP branch floored, so (-7.0)/(2.0)
+    // read -4.0 while (-7)/(2) read -3)
+    assert(row("tupleIntDiv((-7, -7), (2, -2))").toSeq === Seq(-3, 3))
+    assert(row("tupleIntDiv((CAST(-7 AS DOUBLE), CAST(-7 AS DOUBLE)), " +
+      "(CAST(2 AS DOUBLE), CAST(-2 AS DOUBLE)))").toSeq === Seq(-3.0, 3.0))
+    // mixed-type tuple-tuple: the right tuple's fields are read with
+    // their OWN types (r14 ADVICE: an UnsafeRow right read with the
+    // left's types reinterpreted bytes)
+    assert(row("tupleDivide((8L, 9L), " +
+      "(CAST(2 AS DOUBLE), CAST(3 AS DOUBLE)))").toSeq === Seq(4, 3))
+    assert(row("tupleMultiply((CAST(1.5 AS DOUBLE), CAST(2.5 AS DOUBLE)), " +
+      "(2L, 4L))").toSeq === Seq(3.0, 10.0))
     // duration / uuid codecs
     assert(one("parseTimeDelta('1h 30m')") === 5400.0)
     assert(one("parseTimeDelta('2 weeks, 1 day')") === 1296000.0)
     assert(one("parseTimeDelta('250ms')") === 0.25)
+    // r15: CH's full unit table — year=365d, month=30.5d, us/ns,
+    // 'mins'/'hrs' spellings (these threw before; r14 ADVICE)
+    assert(one("parseTimeDelta('1 year')") === 31536000.0)
+    assert(one("parseTimeDelta('2mo')") === 5270400.0)
+    assert(one("parseTimeDelta('5 mins 2 hrs')") === 7500.0)
+    assert(math.abs(one("parseTimeDelta('10us')")
+      .asInstanceOf[Double] - 1e-5) < 1e-18)
+    assert(math.abs(one("parseTimeDelta('1500 nanoseconds')")
+      .asInstanceOf[Double] - 1.5e-6) < 1e-18)
     assertThrows[Exception](one("parseTimeDelta('nonsense')"))
     // the v7 example from RFC 9562 carries ts 0x017F22E279B0 ms
     assert(one("CAST(UUIDv7ToDateTime(" +
