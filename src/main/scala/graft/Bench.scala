@@ -29,6 +29,15 @@ object Bench {
   /** One timed entry: name, wall seconds, whether it threw. */
   final case class Timing(name: String, sec: Double, err: Boolean)
 
+  /** Per-query diagnostic counters (worst rep): GC millis, cached-block
+    * footprint after the run, and the I/O deltas — in_mb (logical
+    * read() bytes via /proc/self/io rchar), rd_mb (bytes that hit the
+    * storage layer via read_bytes — past the page cache), sh_mb
+    * (task-metric shuffle read+write).
+    */
+  final case class QDiag(gcMs: Long = 0L, memMb: Long = 0L,
+    diskMb: Long = 0L, inMb: Long = 0L, rdMb: Long = 0L, shMb: Long = 0L)
+
   private def r3(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
@@ -56,34 +65,20 @@ object Bench {
   def buildLine(results: Seq[Timing], sfDir: String, budget: Int = 1600,
                 reps: Int = 1, maxSpread: Double = 0.0,
                 stealPct: Double = -1.0, diagJson: String = "",
-                calib1t: Double = -1.0, calib32t: Double = -1.0): String = {
+                calib1t: Double = -1.0, calib32t: Double = -1.0,
+                calibIoMbps: Double = -1.0,
+                calibIoWarmMbps: Double = -1.0): String = {
     val total = results.map(_.sec).sum
     val errors = results.count(_.err)
     val sorted = results.sortBy(t => (!t.err, -t.sec))
     def render(t: Timing): String =
       "\"" + t.name + "\":" + (if (t.err) "\"err\"" else r3(t.sec))
-    // Flagged-query diagnostics (gc/spread/cache for anything slower than
-    // 2x its all-rounds best) ride INSIDE the budget: the artifact must
-    // carry its own noise-vs-plan attribution, but never at the cost of
-    // pushing the line out of the consumer's log-tail window.
+    // Flagged-query diagnostics (gc/spread/cache/input for anything
+    // slower than 2x its all-rounds best) ride INSIDE the budget: the
+    // artifact must carry its own noise-vs-plan attribution, but never
+    // at the cost of pushing the line out of the consumer's log-tail
+    // window.
     val diagField = if (diagJson.isEmpty) "" else s""""diag":{$diagJson},"""
-    val sb = new StringBuilder
-    var kept = 0
-    var fits = true
-    while (fits && kept < sorted.length) {
-      val entry = (if (sb.isEmpty) "" else ",") + render(sorted(kept))
-      if (sb.length + entry.length <= budget - 60 - diagField.length) {
-        sb.append(entry); kept += 1
-      }
-      else fits = false
-    }
-    val dropped = sorted.drop(kept)
-    val (droppedErr, droppedOk) = dropped.partition(_.err)
-    def sep: String = if (sb.isEmpty) "" else ","
-    if (droppedErr.nonEmpty)
-      sb.append(sep + "\"_other_err_" + droppedErr.size + "\":\"err\"")
-    if (droppedOk.nonEmpty)
-      sb.append(sep + "\"_other_" + droppedOk.size + "q\":" + r3(droppedOk.map(_.sec).sum))
     // reps/max_spread appear only for multi-run benches so the single-run
     // contract (and its log-tail size bound) is unchanged.
     val repsField =
@@ -103,8 +98,45 @@ object Bench {
       if (calib1t >= 0 && calib32t >= 0)
         s""""calib_1t":${r3(calib1t)},"calib_32t":${r3(calib32t)},"""
       else ""
+    // Fixed-work I/O calibration (r14 verdict's ask): BENCH_r14 flagged
+    // four scan-heavy queries at 2.9-6.2x their all-rounds best while
+    // calib_32t read ~the record — the CPU spin CLEARED the host, so the
+    // residual hypothesis was a non-CPU resource (storage / page cache).
+    // These two numbers test exactly that: MB/s for a sequential pass
+    // over the SF dir's parquet bytes (first touch), then for >=128 MiB
+    // of warm re-reads (pure page-cache/memory-bandwidth work). A host
+    // with storage or memory pressure shows it HERE while the CPU calib
+    // stays flat — the attribution r14 could not make.
+    val calibIoField =
+      if (calibIoMbps >= 0 && calibIoWarmMbps >= 0)
+        s""""calib_io_mbps":${r3(calibIoMbps)},""" +
+          s""""calib_io_warm_mbps":${r3(calibIoWarmMbps)},"""
+      else ""
+    // ALL envelope fields come out of the queries budget (not just diag):
+    // the line self-bounds at ~budget+60 no matter which diagnostics a
+    // round carries, so new fields can never push the artifact out of
+    // the consumer's ~2000-byte log-tail window.
+    val envelope = repsField + stealField + calibField + calibIoField +
+      diagField
+    val sb = new StringBuilder
+    var kept = 0
+    var fits = true
+    while (fits && kept < sorted.length) {
+      val entry = (if (sb.isEmpty) "" else ",") + render(sorted(kept))
+      if (sb.length + entry.length <= budget - 60 - envelope.length) {
+        sb.append(entry); kept += 1
+      }
+      else fits = false
+    }
+    val dropped = sorted.drop(kept)
+    val (droppedErr, droppedOk) = dropped.partition(_.err)
+    def sep: String = if (sb.isEmpty) "" else ","
+    if (droppedErr.nonEmpty)
+      sb.append(sep + "\"_other_err_" + droppedErr.size + "\":\"err\"")
+    if (droppedOk.nonEmpty)
+      sb.append(sep + "\"_other_" + droppedOk.size + "q\":" + r3(droppedOk.map(_.sec).sum))
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errors,""" +
-      repsField + stealField + calibField + diagField +
+      envelope +
       s""""queries":{$sb},"sf":"$sfDir"}"""
   }
 
@@ -151,12 +183,26 @@ object Bench {
     * (r13's dedup_ngram_jaccard false-flag), while a genuine plan
     * regression still fires because calibration doesn't move with it.
     * The spread rule is per-run and needs no host normalization.
+    *
+    * Each entry also carries the query's I/O deltas — r14's four flags
+    * had calibFactor ~1.0 and zero gc/cache signal, leaving "how much
+    * did this query actually pull from storage?" unanswerable from the
+    * artifact. in_mb/rd_mb come from /proc/self/io (rchar = logical
+    * read() bytes, read_bytes = bytes that HIT THE STORAGE LAYER —
+    * past the page cache), which in local mode covers the whole query:
+    * Spark 4's vectorized parquet path bypasses Hadoop FS statistics,
+    * so task inputMetrics see ~0 of an 11 MB scan (measured). sh_mb is
+    * task-metric shuffle read+write (that plumbing works). The
+    * signature that closes r14's open question: a flagged query with
+    * in_mb at its quiet-host level but rd_mb > 0 on every rep is
+    * re-reading evicted page cache — host storage pressure, not the
+    * plan; calib_io_warm_mbps low confirms it.
     */
   def diagEntries(
     runs: Seq[(String, Seq[Double])],
-    perQueryDiag: Map[String, (Long, Long, Long)],
+    perQueryDiag: Map[String, QDiag],
     prior: Map[String, Double],
-    cap: Int = 300,
+    cap: Int = 520,
     calibFactor: Double = 1.0): String = {
     val cf = math.max(calibFactor, 1.0)
     val flagged = runs.flatMap { case (name, secs) =>
@@ -166,10 +212,10 @@ object Bench {
         val slowVsPrior =
           prior.get(name).exists(p => med > 2 * p * cf && med > 1.0)
         if (slowVsPrior || (spr > 2.0 && med > 2.0)) {
-          val (gc, mem, disk) =
-            perQueryDiag.getOrElse(name, (0L, 0L, 0L))
-          Some((med, s""""$name":{"gc_ms":$gc,"spread":${r3(spr)},""" +
-            s""""mem_mb":$mem,"disk_mb":$disk}"""))
+          val d = perQueryDiag.getOrElse(name, QDiag())
+          Some((med, s""""$name":{"gc_ms":${d.gcMs},"spread":${r3(spr)},""" +
+            s""""mem_mb":${d.memMb},"disk_mb":${d.diskMb},""" +
+            s""""in_mb":${d.inMb},"rd_mb":${d.rdMb},"sh_mb":${d.shMb}}"""))
         } else None
       }
     }.sortBy(-_._1).map(_._2)
@@ -250,6 +296,49 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed-work I/O calibration: sequentially read the SF dir's
+    * *.parquet files through a 1 MiB buffer. Pass 1 times one full
+    * sweep of every table (first touch — cold if the host hasn't
+    * cached the dir, which is as cold as a read-only probe can get);
+    * the warm phase then re-sweeps until `warmBytes` have been read
+    * (>=128 MiB — several passes over a ~17 MB sf0.1 dir), which is
+    * pure page-cache/memory-bandwidth work on a healthy host. Returns
+    * (firstPassMBps, warmMBps); (-1,-1) if the dir has no parquet. A
+    * byte of every buffer folds into a volatile sink so the read is
+    * never elided. Complements calibSpin: CPU-flat + IO-slow is the
+    * storage-pressure signature r14's four flags hypothesized but
+    * could not evidence.
+    */
+  @volatile private var ioSink: Long = 0L
+  def ioSpin(sfDir: String, warmBytes: Long = 128L << 20): (Double, Double) = {
+    val files = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    if (files.isEmpty) return (-1.0, -1.0)
+    val buf = new Array[Byte](1 << 20)
+    def sweep(): Long = {
+      var read = 0L
+      for (f <- files) {
+        val in = new java.io.FileInputStream(f)
+        try {
+          var n = in.read(buf)
+          while (n > 0) { read += n; ioSink ^= buf(0); n = in.read(buf) }
+        } finally in.close()
+      }
+      read
+    }
+    val t0 = System.nanoTime()
+    val firstBytes = sweep()
+    val t1 = System.nanoTime()
+    var warmRead = 0L
+    while (warmRead < warmBytes) warmRead += sweep()
+    val t2 = System.nanoTime()
+    def mbps(bytes: Long, nanos: Long): Double =
+      (bytes / 1048576.0) / math.max(nanos / 1e9, 1e-9)
+    (mbps(firstBytes, t1 - t0), mbps(warmRead, t2 - t1))
+  }
+
   /** (steal, total) jiffies from /proc/stat's aggregate cpu line, or None
     * on non-Linux / restricted environments.
     */
@@ -279,9 +368,47 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     val jiffies0 = cpuJiffies()
     // Host calibration BEFORE any Spark work contends for cores: the
-    // same fixed integer-hash work single-thread and at full width.
+    // same fixed integer-hash work single-thread and at full width,
+    // then the fixed I/O sweep (first-touch + warm) over the SF dir —
+    // ordered CPU-first so the spin never measures a page-cache fill.
     val calib1t = calibSpin(1)
     val calib32t = calibSpin(cpus.toInt)
+    val (calibIoMbps, calibIoWarm) = ioSpin(sfDir)
+    // Per-query I/O counters (r14 verdict's #1 ask): the process-wide
+    // /proc/self/io deltas — rchar (logical read() bytes: parquet,
+    // shuffle files, spill; page-cache hits included) and read_bytes
+    // (bytes that HIT THE STORAGE LAYER — the page-cache-miss traffic
+    // that is the r14 storage-pressure hypothesis). Local mode = one
+    // JVM, so the process delta IS the query's I/O. Task inputMetrics
+    // are NOT used for input: Spark 4's vectorized parquet reader
+    // bypasses Hadoop FS statistics (a full 11 MB lineitem scan
+    // registered ~18 KB — measured), so that channel under-counts
+    // ~600x. Shuffle task metrics DO work and give the per-query
+    // shuffle volume via an async listener, drained before each delta
+    // (see ListenerBusAccess).
+    val shBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            shBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead +
+              m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def drainBus(): Unit =
+      org.apache.spark.graft.ListenerBusAccess
+        .waitUntilEmpty(spark.sparkContext)
+    // (rchar, read_bytes) from /proc/self/io; (0,0) on non-Linux —
+    // deltas then read 0, never fail the bench.
+    def procIo(): (Long, Long) = try {
+      val src = scala.io.Source.fromFile("/proc/self/io")
+      val m = try src.getLines().map(_.split(":\\s*"))
+        .collect { case Array(k, v) => k -> v.trim.toLong }.toMap
+      finally src.close()
+      (m.getOrElse("rchar", 0L), m.getOrElse("read_bytes", 0L))
+    } catch { case _: Throwable => (0L, 0L) }
     // Warm the table scans (file-index + codegen + nanos conversion) so
     // per-query timings reflect operator cost, not first-touch overhead.
     val t = Tables(spark, sfDir)
@@ -303,16 +430,22 @@ object Bench {
       val infos = spark.sparkContext.getRDDStorageInfo
       (infos.map(_.memSize).sum >> 20, infos.map(_.diskSize).sum >> 20)
     }
-    val diag = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]]
+    val diag = scala.collection.mutable.LinkedHashMap.empty[String,
+      scala.collection.mutable.ArrayBuffer[QDiag]]
     def timed(name: String)(run: => Unit): Timing = {
+      drainBus() // prior query's straggler task-end events stay out
+      val (rc0, rb0) = procIo(); val sh0 = shBytes.get()
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val err = try { run; false } catch { case _: Throwable => true }
       val sec = (System.nanoTime() - t0) / 1e9
+      drainBus() // this query's events are all counted before the delta
       val (mem, disk) = storageMB()
+      val (rc1, rb1) = procIo()
       diag.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer.empty)
-        .append(((gcMillis() - gc0), mem, disk))
+        .append(QDiag(gcMillis() - gc0, mem, disk,
+          (rc1 - rc0) >> 20, (rb1 - rb0) >> 20,
+          (shBytes.get() - sh0) >> 20))
       Timing(name, sec, err)
     }
     // Optional name filter (SPARK_GRAFT_BENCH_ONLY, comma-separated
@@ -373,11 +506,15 @@ object Bench {
         .map { case (n, rs) =>
           val runs = rs.map(r => if (r.err) "\"err\"" else r.sec.toString)
           val d = diag.getOrElse(n, Seq.empty)
-          val gc = d.map(_._1).mkString(",")
-          val mem = d.map(_._2).mkString(",")
-          val disk = d.map(_._3).mkString(",")
+          val gc = d.map(_.gcMs).mkString(",")
+          val mem = d.map(_.memMb).mkString(",")
+          val disk = d.map(_.diskMb).mkString(",")
+          val inMb = d.map(_.inMb).mkString(",")
+          val rdMb = d.map(_.rdMb).mkString(",")
+          val shMb = d.map(_.shMb).mkString(",")
           s""""$n":{"sec":[${runs.mkString(",")}],"gc_ms":[$gc],""" +
-            s""""cache_mem_mb":[$mem],"cache_disk_mb":[$disk]}"""
+            s""""cache_mem_mb":[$mem],"cache_disk_mb":[$disk],""" +
+            s""""in_mb":[$inMb],"rd_mb":[$rdMb],"sh_mb":[$shMb]}"""
         }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
@@ -407,12 +544,15 @@ object Bench {
       queryRuns.collect { case (n, rs) if !rs.exists(_.err) =>
         n -> rs.map(_.sec) },
       diag.map { case (n, d) =>
-        n -> ((d.map(_._1).max, d.map(_._2).max, d.map(_._3).max))
+        n -> QDiag(d.map(_.gcMs).max, d.map(_.memMb).max,
+          d.map(_.diskMb).max, d.map(_.inMb).max,
+          d.map(_.rdMb).max, d.map(_.shMb).max)
       }.toMap,
       prior, calibFactor = calibFactor)
     val line = buildLine(results, sfDir, reps = reps, maxSpread = maxSpread,
       stealPct = stealPct, diagJson = diagJson,
-      calib1t = calib1t, calib32t = calib32t)
+      calib1t = calib1t, calib32t = calib32t,
+      calibIoMbps = calibIoMbps, calibIoWarmMbps = calibIoWarm)
     spark.stop()
     println(line)
   }

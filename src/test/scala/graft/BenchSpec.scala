@@ -90,11 +90,18 @@ class BenchSpec extends AnyFunSuite {
       "q_steady" -> Seq(3.0, 3.1, 2.9),         // prior 3.0 → not flagged
       "q_noisy" -> Seq(1.0, 9.0, 3.0),          // spread 2.7 on 3 s → flagged
       "q_fast_jitter" -> Seq(0.01, 0.05, 0.02)) // tiny: never flagged
-    val d = Map("q_regressed" -> ((1234L, 512L, 0L)))
+    val d = Map("q_regressed" -> Bench.QDiag(gcMs = 1234, memMb = 512,
+      inMb = 310, rdMb = 7, shMb = 12))
     val prior = Map("q_regressed" -> 2.0, "q_steady" -> 3.0)
     val diag = Bench.diagEntries(runs, d, prior)
     assert(diag.contains("\"q_regressed\":{\"gc_ms\":1234,"))
     assert(diag.contains("\"mem_mb\":512"))
+    // I/O deltas ride each entry (r14 verdict's ask: the four
+    // calibFactor~1 flags had no input-read attribution): in_mb =
+    // logical read bytes, rd_mb = storage-layer bytes (page-cache
+    // misses), sh_mb = shuffle read+write
+    assert(diag.contains("\"in_mb\":310") && diag.contains("\"rd_mb\":7") &&
+      diag.contains("\"sh_mb\":12"))
     assert(diag.contains("\"q_noisy\""))
     assert(!diag.contains("q_steady") && !diag.contains("q_fast_jitter"))
     // slowest first
@@ -106,7 +113,7 @@ class BenchSpec extends AnyFunSuite {
     assert(line.startsWith("{\"metric\":\"total\""))
     // the cap cuts at the first non-fit: the diag is always the
     // slowest-N prefix, never a shorter-named fast entry sneaking in
-    val tight = Bench.diagEntries(runs, d, prior, cap = 70)
+    val tight = Bench.diagEntries(runs, d, prior, cap = 130)
     assert(tight.contains("q_regressed") && !tight.contains("q_noisy"))
   }
 
@@ -118,6 +125,40 @@ class BenchSpec extends AnyFunSuite {
     assert(!without.contains("calib"))
     // half-measured calibration never emits (both or neither)
     assert(!Bench.buildLine(t, "/sf", calib1t = 1.0).contains("calib"))
+  }
+
+  test("calib_io fields ride together; a no-parquet dir yields absent") {
+    val t = Seq(Timing("q1", 1.0, err = false))
+    val withIo = Bench.buildLine(t, "/sf",
+      calibIoMbps = 812.5, calibIoWarmMbps = 9123.4)
+    assert(withIo.contains(
+      "\"calib_io_mbps\":812.500,\"calib_io_warm_mbps\":9123.400"))
+    assert(!Bench.buildLine(t, "/sf").contains("calib_io"))
+    // ioSpin on a parquet-less dir reports (-1,-1), which buildLine
+    // must drop rather than publish a negative throughput
+    val empty = java.nio.file.Files.createTempDirectory("iospin_empty")
+    val (c, w) = try Bench.ioSpin(empty.toString)
+      finally java.nio.file.Files.delete(empty)
+    assert(c == -1.0 && w == -1.0)
+    assert(!Bench.buildLine(t, "/sf", calibIoMbps = c, calibIoWarmMbps = w)
+      .contains("calib_io"))
+  }
+
+  test("ioSpin reads fixed warm work and reports sane throughput") {
+    val dir = java.nio.file.Files.createTempDirectory("iospin").toFile
+    try {
+      // a 4 MiB fake parquet file: warmBytes=16 MiB → exactly 4 sweeps
+      val f = new java.io.File(dir, "t.parquet")
+      val out = new java.io.FileOutputStream(f)
+      try out.write(new Array[Byte](4 << 20)) finally out.close()
+      val (cold, warm) = Bench.ioSpin(dir.getPath, warmBytes = 16L << 20)
+      assert(cold > 0.0 && warm > 0.0, s"cold=$cold warm=$warm")
+      // warm passes re-read page-cached bytes: at least not 100x slower
+      // than the first pass (a loose sanity floor, not a perf pin)
+      assert(warm > cold / 100.0)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
   }
 
   test("calibFactor host-normalizes the 2x-vs-best flag; spread rule unaffected") {
