@@ -639,6 +639,13 @@ object Dedup {
     // per-round cost is the blocking action + eager checkpoint, not the
     // join itself, so halving the number of materializations ~halves wall
     // time (dup-pair graphs converge in a handful of flooding steps).
+    // Two is also the MEASURED optimum (r15, sf0.1 pair graph): blocks
+    // of three step+jump pairs made each materialization's plan deep
+    // enough that per-block wall TRIPLED (9.1/3.6/3.0 s vs
+    // 2.8/1.5/0.9/0.9 s) — total 15.7 s vs 6.1 s — so the ~7 s
+    // _build_cc_labels floor is this shape's fixed scheduling/JIT cost,
+    // not a tunable; it amortizes at scale (rounds grow with log
+    // diameter: the measured sf0.1→sf1 slope is 2.6x on 10x rows).
     // All loop joins are hinted SHUFFLE_HASH: the sides are tiny, so the
     // default broadcast strategy would rebuild + ship a broadcast per
     // join per round — each a blocking driver job that dominates the
@@ -706,6 +713,65 @@ object Dedup {
       .select(col("canonical_doc"), col("group_size"),
         concat_ws(",", transform(col("members"), m => m.cast("string"))).as("member_ids"))
       .orderBy(col("canonical_doc"))
+  }
+
+  // dedup_canonical_quality — survivorship policy for the dedup cut:
+  // dedup_components keeps the MIN-ID member per duplicate group (a
+  // stable but arbitrary choice); a training pipeline wants the BEST
+  // member — here argmax (distinct token types, then chars, then min
+  // id) per component, all exact integers, so the truncated twin loses
+  // to its richer original by construction (DedupSpec pins that). Rides
+  // the memoized simhash labels — no new pass over the corpus; the
+  // per-component argmax is ONE lexicographic struct-max aggregation
+  // (no second join back into the group).
+  val canonicalQuality = Q(
+    "dedup_canonical_quality",
+    Some(s"""
+      WITH $corpusSql,
+      $simhashPairsSql,
+      pairs AS MATERIALIZED (SELECT id1, id2 FROM spairs WHERE hamming <= 8),
+      ${ccLabelsSql()},
+      feats AS (
+        SELECT doc_id,
+               LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))) AS n_types,
+               LENGTH(text) AS n_chars
+        FROM corpus),
+      j AS (
+        SELECT l.label, l.id, f.n_types, f.n_chars
+        FROM labels l JOIN feats f ON f.doc_id = l.id),
+      gs AS (
+        SELECT label, COUNT(*) AS group_size
+        FROM j GROUP BY label HAVING COUNT(*) >= 2),
+      best AS (
+        SELECT label, id, n_types, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY n_types DESC, n_chars DESC, id) AS rn
+        FROM j)
+      SELECT CAST(g.label AS BIGINT) AS component,
+             CAST(g.group_size AS BIGINT) AS group_size,
+             CAST(b.id AS BIGINT) AS canonical_doc,
+             CAST(b.n_types AS BIGINT) AS canon_types,
+             CAST(b.n_chars AS BIGINT) AS canon_chars
+      FROM gs g JOIN best b ON b.label = g.label AND b.rn = 1
+      ORDER BY component
+    """)
+  ) { t =>
+    val labels = simhashLabels(t).withColumnRenamed("id", "doc_id")
+    val feats = withTwins(t).select(col("doc_id"),
+      size(array_distinct(words(col("text")))).cast(LongType).as("n_types"),
+      length(col("text")).cast(LongType).as("n_chars"))
+    labels.join(feats, "doc_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("group_size"),
+        max(struct(col("n_types"), col("n_chars"),
+          (-col("doc_id")).as("neg_id"))).as("best"))
+      .filter(col("group_size") >= 2)
+      .select(col("label").cast(LongType).as("component"),
+        col("group_size").cast(LongType).as("group_size"),
+        (-col("best.neg_id")).cast(LongType).as("canonical_doc"),
+        col("best.n_types").cast(LongType).as("canon_types"),
+        col("best.n_chars").cast(LongType).as("canon_chars"))
+      .orderBy(col("component"))
   }
 
   // Hyperplane LSH machinery shared with ann_lsh — one sign table, one
@@ -2542,5 +2608,5 @@ object Dedup {
     substringDedup, substringExtents, substringClip, indexStats,
     thresholdSweep, hubRank, canonical, editDistance, similarSearch,
     triangles, detectorAgreement, winnow, componentSizes, cdc, bbit,
-    bagDedup, prefixDedup, suffixDedup, keyAgreement)
+    bagDedup, prefixDedup, suffixDedup, keyAgreement, canonicalQuality)
 }

@@ -346,6 +346,107 @@ object Olap {
       .limit(10)
   }
 
+  // q174 — leaderboard stability between consecutive months ("did the
+  // top-10 drift?"): per month the top-10 parts by exact-cents revenue
+  // (TopKPerGroup's bounded heaps — never a |months|-partition window
+  // over the part universe), consecutive-month top lists joined on the
+  // (partkey, month) equi-key, and the drift read out as average
+  // overlap at depth 10 — the prefix-overlap family RBO extrapolates
+  // (Webber et al. 2010; ann_rbo applies the p-weighted form to ANN
+  // rankings — THIS op is the time-drift readout over revenue
+  // leaderboards, month-pair skeleton included), kept EXACT: a shared
+  // part first visible at
+  // depth m = max(rank_a, rank_b) contributes Σ_{i=m..10} (1000 div i)
+  // milli-points (floored per-depth weights, so both engines sum the
+  // same integers; ao_milli = that sum div 10, 1000 = identical lists).
+  // Zero-overlap month pairs still emit a row (skeleton left join).
+  // Scale: one map-side-combinable fact aggregation, k-bounded heaps,
+  // then month-dimension-sized joins — no stage touches the fact table
+  // twice.
+  val q174 = Q(
+    "q174_rank_overlap",
+    Some("""
+      WITH mp AS (
+        SELECT EXTRACT(YEAR FROM l_shipdate) * 100
+                 + EXTRACT(MONTH FROM l_shipdate) AS ym,
+               l_partkey,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS cents
+        FROM lineitem GROUP BY 1, 2),
+      r AS (
+        SELECT ym, l_partkey,
+               ROW_NUMBER() OVER (PARTITION BY ym
+                                  ORDER BY cents DESC, l_partkey) AS rnk
+        FROM mp),
+      t10 AS (SELECT * FROM r WHERE rnk <= 10),
+      mon AS (SELECT DISTINCT ym FROM t10),
+      pairsk AS (
+        SELECT a.ym AS ym_prev, b.ym AS ym
+        FROM mon a JOIN mon b
+          ON b.ym = CASE WHEN a.ym % 100 = 12 THEN a.ym + 89
+                         ELSE a.ym + 1 END),
+      mt AS (
+        SELECT a.ym AS ym_prev, b.ym AS ym,
+               GREATEST(a.rnk, b.rnk) AS m
+        FROM t10 a JOIN t10 b
+          ON a.l_partkey = b.l_partkey
+         AND b.ym = CASE WHEN a.ym % 100 = 12 THEN a.ym + 89
+                         ELSE a.ym + 1 END),
+      ag AS (
+        SELECT ym_prev, ym, COUNT(*) AS ov10,
+               SUM(CASE m WHEN 1 THEN 2927 WHEN 2 THEN 1927
+                          WHEN 3 THEN 1427 WHEN 4 THEN 1094
+                          WHEN 5 THEN 844 WHEN 6 THEN 644
+                          WHEN 7 THEN 478 WHEN 8 THEN 336
+                          WHEN 9 THEN 211 ELSE 100 END) AS ao_sum
+        FROM mt GROUP BY 1, 2)
+      SELECT CAST(p.ym_prev AS BIGINT) AS ym_prev,
+             CAST(p.ym AS BIGINT) AS ym,
+             CAST(COALESCE(ag.ov10, 0) AS BIGINT) AS ov10,
+             CAST(COALESCE(ag.ao_sum, 0) // 10 AS BIGINT) AS ao_milli
+      FROM pairsk p LEFT JOIN ag
+        ON ag.ym_prev = p.ym_prev AND ag.ym = p.ym
+      ORDER BY ym
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    def nextYm(ym: Column): Column =
+      when(ym % 100 === 12, ym + 89).otherwise(ym + 1)
+    val mp = t.lineitem
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"),
+        col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
+        .multiply(lit(100)).cast(LongType)).cast(LongType).as("cents"))
+    // rank AFTER the bounded-heap cut: the window sees <= 10 rows/month
+    val w = Window.partitionBy(col("ym"))
+      .orderBy(col("cents").desc, col("l_partkey"))
+    val t10 = graft.plans.TopKPerGroup
+      .topK(mp, Seq("ym"), "cents", "l_partkey", 10)
+      .withColumn("rnk", row_number().over(w))
+    // suffix sums of the floored per-depth weights 1000 div i, i=1..10
+    val coef = Seq(2927, 1927, 1427, 1094, 844, 644, 478, 336, 211, 100)
+    val mon = t10.select(col("ym")).distinct()
+    val skel = mon.select(col("ym").as("ym_prev"))
+      .join(mon, col("ym") === nextYm(col("ym_prev")))
+    val a = t10.select(col("ym").as("ym_a"), col("l_partkey"),
+      col("rnk").as("rnk_a"))
+    val b = t10.select(col("ym").as("ym_b"), col("l_partkey").as("pk_b"),
+      col("rnk").as("rnk_b"))
+    val ag = a.join(b,
+        col("pk_b") === col("l_partkey") && col("ym_b") === nextYm(col("ym_a")))
+      .select(col("ym_a").as("ym_prev"), col("ym_b").as("ym"),
+        element_at(array(coef.map(lit): _*),
+          greatest(col("rnk_a"), col("rnk_b")).cast("int")).as("c"))
+      .groupBy(col("ym_prev"), col("ym"))
+      .agg(count(lit(1)).as("ov10"), sum(col("c")).as("ao_sum"))
+    skel.join(ag, Seq("ym_prev", "ym"), "left")
+      .select(col("ym_prev").cast(LongType).as("ym_prev"),
+        col("ym").cast(LongType).as("ym"),
+        coalesce(col("ov10"), lit(0L)).cast(LongType).as("ov10"),
+        expr("coalesce(ao_sum, 0L) div 10").cast(LongType).as("ao_milli"))
+      .orderBy(col("ym"))
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q170)
+    q170, q174)
 }

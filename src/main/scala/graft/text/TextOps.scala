@@ -1009,6 +1009,98 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // text_bm25_topk — graded ranked retrieval on top of text_search's
+  // probe plan: BM25 (k1=1.2, b=0.75, the Robertson/Okapi defaults)
+  // over the same disjunctive term panel, top-10 docs. text_search
+  // answers "which docs contain ALL terms"; this scores "which docs
+  // are ABOUT these terms" — saturating tf, rarity-weighted idf
+  // (ln(1 + (N−df+0.5)/(df+0.5))), doc-length normalization by
+  // dl/avgdl. Scale shape is text_search's: the term filter lands
+  // scan-side so only O(query-term postings) shuffle; N/avgdl is one
+  // tiny global aggregate and df a 3-row one, both broadcast; the
+  // global top-10 is a TakeOrdered heap. FP discipline: the per-term
+  // score is ONE fixed expression shape and the per-doc total is the
+  // pivoted dup+vector+key sum in that literal order — both engines
+  // add the same three doubles in the same order (the q129 rule), one
+  // ROUND at emission.
+  val bm25 = Q(
+    "text_bm25_topk",
+    Some("""
+      WITH stats AS (
+        SELECT COUNT(*) AS n,
+               SUM(LEN(STRING_SPLIT_REGEX(TRIM(lower(text)), '\s+'))) AS sumdl
+        FROM documents),
+      tok AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT_REGEX(TRIM(lower(text)), '\s+')) AS dl,
+               UNNEST(STRING_SPLIT_REGEX(TRIM(lower(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM tok WHERE term IN ('dup', 'vector', 'key')
+        GROUP BY 1, 2, 3),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      sc AS (
+        SELECT f.doc_id, f.dl, f.term, f.tf,
+               LN(1.0 + (CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                 * (CAST(f.tf AS DOUBLE) * 2.2)
+                 / (CAST(f.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(f.dl AS DOUBLE)
+                                    / (CAST(s.sumdl AS DOUBLE) / s.n))) AS s
+        FROM tf f JOIN df d ON d.term = f.term, stats s),
+      ag AS (
+        SELECT doc_id, COUNT(*) AS n_terms, SUM(tf) AS tf_total,
+               COALESCE(MAX(CASE WHEN term = 'dup' THEN s END), CAST(0 AS DOUBLE))
+               + COALESCE(MAX(CASE WHEN term = 'vector' THEN s END), CAST(0 AS DOUBLE))
+               + COALESCE(MAX(CASE WHEN term = 'key' THEN s END), CAST(0 AS DOUBLE)) AS score
+        FROM sc GROUP BY doc_id)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id,
+             CAST(n_terms AS BIGINT) AS n_terms,
+             CAST(tf_total AS BIGINT) AS tf_total,
+             ROUND(score, 6) AS score
+      FROM ag
+      ORDER BY score DESC, doc_id
+      LIMIT 10
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("dup", "vector", "key")
+    val lowWords = split(trim(lower(col("text"))), "\\s+")
+    val stats = t.documents
+      .agg(count(lit(1)).as("n"),
+        sum(size(lowWords)).cast(LongType).as("sumdl"))
+    val tf = t.documents
+      .select(col("doc_id"), size(lowWords).cast(LongType).as("dl"),
+        explode(lowWords).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sc = tf.join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (log(lit(1.0) + ((col("n") - col("df")).cast(DoubleType) + lit(0.5))
+            / (col("df").cast(DoubleType) + lit(0.5)))
+          * (col("tf").cast(DoubleType) * lit(2.2))
+          / (col("tf").cast(DoubleType)
+             + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType)
+                                     / (col("sumdl").cast(DoubleType) / col("n"))))).as("s"))
+    def termScore(term: String): Column =
+      coalesce(max(when(col("term") === term, col("s"))), lit(0.0))
+    val ag = sc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_total"),
+        (termScore("dup") + termScore("vector") + termScore("key")).as("score"))
+    // TakeOrdered cut first; the rank window then sees <= 10 rows
+    val top = ag.orderBy(col("score").desc, col("doc_id")).limit(10)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+      .select(col("rnk"), col("doc_id"),
+        col("n_terms").cast(LongType).as("n_terms"),
+        col("tf_total").cast(LongType).as("tf_total"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   // text_boilerplate — shared header/footer detection, the signal behind
   // boilerplate stripping in web-scrape cleaning: the most-repeated
   // 3-token document prefix and suffix per source (≥2 docs). Each doc
@@ -2719,5 +2811,5 @@ object TextOps {
     search, boilerplate, hashEmbed, pmiPairs, bpeMerges, tokenizerApply,
     countMin, charTrigrams, gopherBattery, langidEval, sttr, rake,
     interleave, burstiness, hapax, yuleK, stratifiedSample, zipf, heaps,
-    ngramDupRate, simpson, tokenizerFertility, unigramVocab)
+    ngramDupRate, simpson, tokenizerFertility, unigramVocab, bm25)
 }

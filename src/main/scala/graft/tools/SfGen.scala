@@ -163,16 +163,30 @@ object SfGen {
       format_string("{\"k\": %d}", uMod(31, 100)).as("props")),
       "events")
 
-    // documents: 8..60 words from the profiled 31-word vocabulary, 5
-    // langs (en-heavy), 20 sources, ~0.2% exact-duplicate rate (the
-    // dedup family needs real dups) — a dup row re-generates its
-    // victim's text from the victim's id, pure function either way
-    val vocab = Seq("spark", "table", "query", "column", "row", "scan",
-      "sort", "hash", "join", "group", "agg", "filter", "window",
-      "stream", "batch", "merge", "data", "key", "value", "part",
-      "order", "line", "fast", "slow", "big", "small", "a", "the",
-      "vector", "index", "cache")
-    val vocabArr = array(vocab.map(lit): _*)
+    // documents: 8..60 words, 5 langs (en-heavy), 20 sources, ~0.2%
+    // exact-duplicate rate (the dedup family needs real dups) — a dup
+    // row re-generates its victim's text from the victim's id, pure
+    // function either way.
+    //
+    // Vocabulary SCALES with the corpus (Heaps' law, V ∝ n^0.55):
+    // mult=1 keeps the profiled 31 words (decade continuity with the
+    // driver corpus), mult=10 grows to ~110. The r14 decade-2
+    // adjudication showed why the dial exists: with a FIXED 31-word
+    // vocabulary, 10x the documents means ~100x the similar PAIRS and
+    // ~900x the triangles — dedup_triangles' wall grew 16x while being
+    // sub-linear in its own edge input. A real 10x corpus grows its
+    // vocabulary and keeps near-dup density roughly stable; the
+    // synthetic one must do the same or the high end measures the
+    // generator, not the plan.
+    val baseVocab = Seq("spark", "table", "query", "column", "row",
+      "scan", "sort", "hash", "join", "group", "agg", "filter",
+      "window", "stream", "batch", "merge", "data", "key", "value",
+      "part", "order", "line", "fast", "slow", "big", "small", "a",
+      "the", "vector", "index", "cache")
+    val vocabSize = math.max(baseVocab.size,
+      math.round(baseVocab.size * math.pow(mult, 0.55)).toInt)
+    val vocab = baseVocab ++
+      (baseVocab.size until vocabSize).map(k => s"w${k}x")
     val langs = array(Seq("en", "en", "en", "en", "zh", "es", "de",
       "fr").map(lit): _*)
     // words via an unrolled transform over a per-doc length sequence;

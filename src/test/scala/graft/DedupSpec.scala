@@ -56,6 +56,31 @@ class DedupSpec extends SparkSpec {
     assert(twinned >= groups.length * 8 / 10, s"$twinned of ${groups.length} groups pair a twin")
   }
 
+  test("canonical-quality survivorship never picks a truncated twin over its original") {
+    // the twin is the original minus its last 3 words: strictly fewer or
+    // equal distinct types AND strictly fewer chars, so in any component
+    // containing both, argmax (types, chars, min id) must not choose the
+    // twin (id >= 1M) while its original (id - 1M) is present
+    val comps = Dedup.components.build(sf0001).collect()
+      .map(g => g.getAs[Long]("canonical_doc") ->
+        g.getAs[String]("member_ids").split(",").map(_.toLong).toSet).toMap
+    val rows = Dedup.canonicalQuality.build(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val comp = r.getAs[Long]("component")
+      val canon = r.getAs[Long]("canonical_doc")
+      val members = comps(comp)
+      assert(members.contains(canon), s"canonical $canon outside component $comp")
+      assert(r.getAs[Long]("group_size").toInt === members.size)
+      if (canon >= 1000000L)
+        assert(!members.contains(canon - 1000000L),
+          s"component $comp picked twin $canon over its present original")
+    }
+    // and the policy differs from min-id somewhere (it is not a rename)
+    assert(rows.exists(r =>
+      r.getAs[Long]("canonical_doc") !== r.getAs[Long]("component")))
+  }
+
   test("embedding dedup recovers planted identical vectors") {
     val pairs = Dedup.embeddingDedup.build(sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

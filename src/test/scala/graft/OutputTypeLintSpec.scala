@@ -200,7 +200,11 @@ class OutputTypeLintSpec extends SparkSpec {
     "q99_anova" -> Set("f_stat", "eta_sq"),
     "text_quality" -> Set("punct_ratio", "stop_ratio", "mean_word_len"),
     "text_readability" -> Set("flesch"),
-    "text_stopword_profile" -> Set("per_1000"))
+    "text_stopword_profile" -> Set("per_1000"),
+    // reviewed r15: BM25's ln-idf score — one fixed expression shape,
+    // pivoted per-term sum in literal dup+vector+key order on both
+    // engines (the q129 rule), one ROUND at emission
+    "text_bm25_topk" -> Set("score"))
 
   private def offenders(dt: DataType): Seq[String] = dt match {
     case FloatType => Seq("FLOAT")

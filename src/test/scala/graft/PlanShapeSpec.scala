@@ -649,4 +649,26 @@ class PlanShapeSpec extends SparkSpec {
       || plan.contains("SortAggregate"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q174_rank_overlap cuts per-month tops with TopKPerGroup, joins month-dim sized") {
+    val plan = planOf("q174_rank_overlap")
+    // the per-month top-10 must be the bounded-heap operator, never a
+    // |months|-partition window sort over the part universe
+    assert(plan.contains("TopKPerGroup"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("text_bm25_topk filters terms scan-side and broadcasts the stats") {
+    val plan = planOf("text_bm25_topk")
+    // the term IN-filter must land before the postings shuffle, and the
+    // global top-10 is a TakeOrdered heap, not a full sort
+    assert(plan.contains("dup") && plan.contains("vector"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"))
+    // the 1-row stats crossJoin legitimately plans as a broadcast
+    // nested loop; a CartesianProduct (both sides unbroadcast) never is
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
