@@ -2491,6 +2491,37 @@ object ClickHouseDialect {
       val v = UnresolvedNamedLambdaVariable(Seq("graft_mekl_v"))
       MapFilter(args.head, LambdaFunction(new Like(k, args(1)), Seq(k, v)))
     },
+    // ---- nineteenth batch: subsequence probes, code-point edit
+    // distance, char-n-gram signatures, vector normalization, UTC
+    // timestamp rebase (CH's Spark-compat aliases)
+    "hasSubsequence" -> (args =>
+      ChStringPair6Expr(args.head, args(1), "hassubsequence")),
+    "hasSubsequenceUTF8" -> (args =>
+      ChStringPair6Expr(args.head, args(1), "hassubsequenceutf8")),
+    "hasSubsequenceCaseInsensitive" -> (args =>
+      ChStringPair6Expr(args.head, args(1), "hassubsequenceci")),
+    "hasSubsequenceCaseInsensitiveUTF8" -> (args =>
+      ChStringPair6Expr(args.head, args(1), "hassubsequenceciutf8")),
+    "editDistanceUTF8" -> (args =>
+      ChStringPair6Expr(args.head, args(1), "editdistanceutf8")),
+    "levenshteinDistanceUTF8" -> (args =>
+      ChStringPair6Expr(args.head, args(1), "editdistanceutf8")),
+    // the graft portable n-gram signatures (the wordShingleSimHash
+    // rule: CH's hash constants are internal — same contract,
+    // different bit values)
+    "ngramSimHash" -> (args => ChUnaryKernel6Expr(one(args), "ngramsimhash")),
+    "ngramSimHashCaseInsensitive" -> (args =>
+      ChUnaryKernel6Expr(one(args), "ngramsimhashci")),
+    "ngramMinHash" -> (args => ChUnaryKernel6Expr(one(args), "ngramminhash")),
+    "ngramMinHashCaseInsensitive" -> (args =>
+      ChUnaryKernel6Expr(one(args), "ngramminhashci")),
+    "L1Normalize" -> (args => ChNormalizeExpr(toDArr(one(args)), 1)),
+    "L2Normalize" -> (args => ChNormalizeExpr(toDArr(one(args)), 2)),
+    "LinfNormalize" -> (args => ChNormalizeExpr(toDArr(one(args)), 3)),
+    "toUTCTimestamp" -> (args => ToUTCTimestamp(
+      Cast(args.head, org.apache.spark.sql.types.TimestampType), args(1))),
+    "fromUTCTimestamp" -> (args => FromUTCTimestamp(
+      Cast(args.head, org.apache.spark.sql.types.TimestampType), args(1))),
     // rand distribution family — nondeterministic like generateULID
     "randCanonical" -> (_ => new Rand(Literal(null))),
     "randUniform" -> (args => Add(args.head,

@@ -90,7 +90,7 @@ object SignatureKernels {
       until - from, seed)
 
   /** Portable polynomial fold (PortableHash contract): h = (31h + byte) mod P. */
-  private def polyRange(bytes: Array[Byte], from: Int, until: Int, init: Long): Long = {
+  private[functions] def polyRange(bytes: Array[Byte], from: Int, until: Int, init: Long): Long = {
     var h = init
     var i = from
     while (i < until) { h = (h * 31 + (bytes(i) & 0xff)) % PortableHash.P; i += 1 }

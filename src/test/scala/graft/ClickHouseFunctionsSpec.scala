@@ -707,4 +707,54 @@ class ClickHouseFunctionsSpec extends SparkSpec {
       .asInstanceOf[Double] - 90.0) < 0.5)
     assert(one("byteSlice('hello', 2, 3)").toString === "ell")
   }
+
+  test("nineteenth-batch dialect names: pinned values") {
+    graft.functions.ClickHouseDialect.register(spark)
+    def one(e: String): Any =
+      graft.functions.ClickHouseSql.sql(spark, s"SELECT $e AS v").head().get(0)
+    // subsequence = in-order, not contiguous; case/code-point variants
+    assert(one("hasSubsequence('garbage', 'arg')") === 1)
+    assert(one("hasSubsequence('abc', 'acb')") === 0)
+    assert(one("hasSubsequence('abc', '')") === 1)
+    assert(one("hasSubsequenceCaseInsensitive('GARBAGE', 'arg')") === 1)
+    assert(one("hasSubsequenceUTF8('héllo wörld', 'hw')") === 1)
+    assert(one("hasSubsequenceCaseInsensitiveUTF8('HÉLLO', 'héo')") === 1)
+    // code-point edit distance: é is ONE edit (CH's byte form would
+    // say two; this engine's editDistance maps to Spark's levenshtein,
+    // which is already code-point-aware — a documented divergence on
+    // the BYTE form, while editDistanceUTF8 matches CH exactly)
+    assert(one("editDistanceUTF8('héllo', 'hallo')") === 1L)
+    assert(one("editDistance('héllo', 'hallo')") === 1)
+    assert(one("editDistanceUTF8('', 'abc')") === 3L)
+    assert(one("levenshteinDistanceUTF8('héllo', 'héllos')") === 1L)
+    // n-gram signatures: deterministic, CI == lowercase, a one-char
+    // edit stays hamming-closer than unrelated text
+    assert(one("ngramSimHash('the quick brown fox')") ===
+      one("ngramSimHash('the quick brown fox')"))
+    assert(one("ngramSimHashCaseInsensitive('The Quick Brown Fox')") ===
+      one("ngramSimHash('the quick brown fox')"))
+    val near = one("bitCount(bitXor(ngramSimHash('the quick brown fox')," +
+      " ngramSimHash('the quick brown fux')))").asInstanceOf[Number].longValue
+    val far = one("bitCount(bitXor(ngramSimHash('the quick brown fox')," +
+      " ngramSimHash('completely different words here')))")
+      .asInstanceOf[Number].longValue
+    assert(near < far, s"near=$near far=$far")
+    val mm = one("ngramMinHash('the quick brown fox')")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(mm.getLong(0) <= mm.getLong(1))
+    // normalization: exact simple cases; zero vector passes unchanged
+    def arr(e: String): Seq[Double] =
+      one(e).asInstanceOf[scala.collection.Seq[Double]].toSeq
+    assert(arr("L2Normalize(array(3.0, 4.0))") === Seq(0.6, 0.8))
+    assert(arr("L1Normalize(array(1.0, 3.0))") === Seq(0.25, 0.75))
+    assert(arr("LinfNormalize(array(2.0, -4.0))") === Seq(0.5, -1.0))
+    assert(arr("L2Normalize(array(0.0, 0.0))") === Seq(0.0, 0.0))
+    // UTC rebase pair (CH's Spark-compat aliases): Jan = UTC-5 in NY
+    assert(one("CAST(fromUTCTimestamp(toDateTime('2024-01-01 00:00:00')," +
+      " 'America/New_York') AS STRING)").toString ===
+      "2023-12-31 19:00:00")
+    assert(one("CAST(toUTCTimestamp(toDateTime('2023-12-31 19:00:00')," +
+      " 'America/New_York') AS STRING)").toString ===
+      "2024-01-01 00:00:00")
+  }
 }
