@@ -694,6 +694,82 @@ object Streams {
       .select(col("source"), col("n_words"), col("n_toks"),
         expr("n_toks * 1000000 div n_words").as("fertility_ppm"))
 
+  /** Streaming BM25 serving — text_bm25_topk's online twin under the
+    * frozen-model rule: the corpus statistics the score needs (N,
+    * Σdl, per-term df — the "model" a retrieval deployment trains
+    * offline) ride in as literals and the stream NEVER updates them;
+    * each micro-batch scores only ITS OWN docs against the frozen
+    * panel and appends its per-batch top-10 candidate rows behind the
+    * per-batch commit marker. The global top-10 is a subset of the
+    * union of per-batch top-10s (each doc lives in exactly one
+    * batch), so [[readBm25TopK]] re-cuts exactly — no retraction, no
+    * cross-batch state. The score expression is SHAPE-IDENTICAL to
+    * the batch op (same fixed-order pivoted dup+vector+key sum), so
+    * online == batch bit-for-bit; at 100 TB/day the hot path writes
+    * ≤ 10 rows per batch.
+    */
+  def bm25TopKStream(docs: Dataset[SourcedDoc],
+    nDocs: Long, sumDl: Long, dfs: Map[String, Long],
+    path: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val terms = Seq("dup", "vector", "key")
+    docs.toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val lowWords = split(trim(lower(col("text"))), "\\s+")
+        def idf(term: String): Double = {
+          val df = dfs.getOrElse(term, 0L)
+          math.log(1.0 + ((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5))
+        }
+        val tf = batch
+          .select(col("doc_id"),
+            size(lowWords).cast("long").as("dl"),
+            explode(lowWords).as("term"))
+          .where(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val avgdl = sumDl.toDouble / nDocs
+        val sc = tf.select(col("doc_id"), col("term"), col("tf"),
+          (element_at(
+            typedLit(terms.map(t => t -> idf(t)).toMap), col("term"))
+            * (col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double")
+               + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double")
+                                       / lit(avgdl)))).as("s"))
+        def termScore(term: String) =
+          coalesce(max(when(col("term") === term, col("s"))), lit(0.0))
+        val part = sc.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_total"),
+            (termScore("dup") + termScore("vector") + termScore("key"))
+              .as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+        landProjectionPart(part, path, batchId)
+      }
+      .start()
+  }
+
+  /** Combine [[bm25TopKStream]]'s per-batch candidates to the global
+    * top-10 — the same columns text_bm25_topk publishes, so online and
+    * offline retrieval dashboards read one shape.
+    */
+  def readBm25TopK(spark: org.apache.spark.sql.SparkSession,
+    path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(path)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rnk"), col("doc_id"),
+        col("n_terms").cast("long").as("n_terms"),
+        col("tf_total").cast("long").as("tf_total"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** One first-seen row per (user, month) with the new/returning
     * verdict — q158's streaming sibling, the growth dashboard fed
     * online. State per user is ONE first-month long plus the bounded

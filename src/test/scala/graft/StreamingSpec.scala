@@ -1113,6 +1113,68 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(1)).sum === words.size.toLong)
   }
 
+  test("stream_bm25_topk: frozen-stats online scoring matches the batch formula, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bm25s").toFile
+    val path = new java.io.File(dir, "bm25").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    def doc(id: Long, text: String): Streams.SourcedDoc =
+      Streams.SourcedDoc(id, ts(0), "web", text)
+    val b0 = Seq(doc(1, "dup dup vector words here"), doc(2, "key alone"),
+      doc(3, "nothing relevant at all"))
+    val b1 = Seq(doc(4, "dup vector key"), doc(5, "vector vector vector"))
+    val all = b0 ++ b1
+    // the frozen model: corpus stats over the FULL corpus (offline train)
+    def words(d: Streams.SourcedDoc): Seq[String] =
+      d.text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val n = all.size.toLong
+    val sumdl = all.map(words(_).size.toLong).sum
+    val terms = Seq("dup", "vector", "key")
+    val dfs = terms.map(t => t -> all.count(d => words(d).contains(t)).toLong).toMap
+    val mem = MemoryStream[Streams.SourcedDoc]
+    val q = Streams.bm25TopKStream(mem.toDS(), n, sumdl, dfs, path, ckpt)
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = Streams.readBm25TopK(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // the batch formula replicated in scala over the same frozen stats
+    val avgdl = sumdl.toDouble / n
+    def idf(t: String): Double =
+      math.log(1.0 + ((n - dfs(t)).toDouble + 0.5) / (dfs(t).toDouble + 0.5))
+    def score(d: Streams.SourcedDoc): (Long, Long, Double) = {
+      val ws = words(d)
+      val dl = ws.size
+      val tfs = terms.map(t => t -> ws.count(_ == t).toLong).toMap
+      def s(t: String): Double =
+        if (tfs(t) == 0L) 0.0
+        else idf(t) * (tfs(t).toDouble * 2.2) /
+          (tfs(t).toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl))
+      (tfs.values.count(_ > 0L).toLong, tfs.values.sum,
+        s("dup") + s("vector") + s("key"))
+    }
+    val expect = all.map(d => (d.doc_id, score(d)))
+      .filter(_._2._2 > 0L)
+      .sortBy { case (id, (_, _, sc)) => (-sc, id) }
+      .zipWithIndex
+      .map { case ((id, (nt, tft, sc)), i) =>
+        (i + 1L, id, nt, tft,
+          BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble) }
+    assert(got.toSeq === expect)
+    // docs with no panel term never emit; ranks are 1..k
+    assert(got.map(_._1).toSeq === (1L to got.length).toSeq)
+    // a replayed batch id is a marker-gated no-op
+    Streams.landProjectionPart(
+      Seq((99L, 1L, 1L, 99.0)).toDF("doc_id", "n_terms", "tf_total", "score"),
+      path, 0L)
+    assert(!Streams.readBm25TopK(spark, path).collect()
+      .exists(_.getLong(1) == 99L))
+  }
+
   test("stream_growth_accounting: month-close verdicts match q166's decomposition, state bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
