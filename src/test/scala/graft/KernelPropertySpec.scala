@@ -310,4 +310,82 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(graft.functions.UnigramKernels.viterbiSeg(
       "𝄞a", vocab, 1) === "|𝄞|a")
   }
+
+  test("r15 kernels: hasSubsequence order/containment laws, byte vs code-point walks") {
+    val k = graft.functions.ChScalarKernels6
+    def sub(h: String, n: String): Int =
+      k.hasSubsequence(UTF8String.fromString(h), UTF8String.fromString(n))
+    def subU(h: String, n: String): Int =
+      k.hasSubsequenceUTF8(UTF8String.fromString(h), UTF8String.fromString(n))
+    forSamples(Gen.zip(word, word)) { case (a, b) =>
+      // reflexive; empty needle always; needle = any subsequence holds
+      assert(sub(a, a) === 1)
+      assert(sub(a, "") === 1)
+      assert(sub(a + b, a) === 1 && sub(a + b, b) === 1)
+      // deleting one char keeps it a subsequence
+      if (a.length > 1) assert(sub(a, a.substring(1)) === 1)
+      // a longer needle than haystack never matches
+      if (b.length > a.length + 1) assert(sub(a, a + b) === 0)
+      // byte and code-point walks agree on ASCII
+      assert(sub(a, b) === subU(a, b))
+    }
+    // multi-byte: the byte walk can match PARTS of a code point that
+    // the UTF8 walk must not ('é' = 0xC3 0xA9; needle 'é' inside 'éx')
+    assert(subU("\u00e9x", "\u00e9") === 1)
+    assert(k.hasSubsequenceCI(UTF8String.fromString("AbC"),
+      UTF8String.fromString("abc")) === 1)
+  }
+
+  test("r15 kernels: editDistanceUTF8 metric laws on sampled word triples") {
+    val k = graft.functions.ChScalarKernels6
+    def d(a: String, b: String): Long =
+      k.editDistanceUTF8(UTF8String.fromString(a), UTF8String.fromString(b))
+    forSamples(Gen.zip(word, word, word)) { case (a, b, c) =>
+      assert(d(a, a) === 0L)
+      assert(d(a, b) === d(b, a))
+      assert(d(a, b) >= math.abs(a.length - b.length))
+      assert(d(a, b) <= math.max(a.length, b.length))
+      assert(d(a, c) <= d(a, b) + d(b, c)) // triangle inequality
+    }
+    // one supplementary code point (surrogate PAIR in UTF-16) is ONE edit
+    val g = new String(Character.toChars(0x1F600))
+    assert(d(g, "") === 1L)
+    assert(d("a" + g, "a") === 1L)
+  }
+
+  test("r15 kernels: ngram signatures are deterministic, CI = lowercase, locality holds") {
+    val k = graft.functions.ChScalarKernels6
+    def sh(s: String): Long = k.ngramSimHash(UTF8String.fromString(s))
+    forSamples(word) { w =>
+      assert(sh(w) === sh(w))
+      assert(k.ngramSimHashCI(UTF8String.fromString(w.toUpperCase)) ===
+        sh(w.toLowerCase))
+      val mm = k.ngramMinHash(UTF8String.fromString(w))
+      assert(mm.getLong(0) <= mm.getLong(1))
+    }
+    // a one-char edit of a long string moves FEW bits; unrelated text many
+    val base = "the quick brown fox jumps over the lazy dog"
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(base), sh(base.replace('o', '0'))) <
+      ham(sh(base), sh("completely unrelated words in this sentence")))
+  }
+
+  test("r15 kernels: normalizeArr yields unit norm, zero vector unchanged") {
+    val k = graft.functions.ChScalarKernels6
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    forSamples(Gen.listOfN(8, Gen.chooseNum(-50, 50))) { xs =>
+      val v = xs.map(_.toDouble).toArray
+      def normed(mode: Int): Array[Double] = {
+        val r = k.normalizeArr(new GenericArrayData(v), mode)
+        (0 until r.numElements()).map(r.getDouble).toArray
+      }
+      if (v.exists(_ != 0.0)) {
+        assert(math.abs(normed(1).map(math.abs).sum - 1.0) < 1e-9)
+        assert(math.abs(math.sqrt(normed(2).map(x => x * x).sum) - 1.0) < 1e-9)
+        assert(math.abs(normed(3).map(math.abs).max - 1.0) < 1e-9)
+      } else {
+        assert(normed(2).toSeq === v.toSeq)
+      }
+    }
+  }
 }
