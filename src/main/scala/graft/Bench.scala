@@ -297,47 +297,64 @@ object Bench {
   }
 
   /** Fixed-work I/O calibration: sequentially read the SF dir's
-    * *.parquet files through a 1 MiB buffer. Pass 1 times one full
-    * sweep of every table (first touch — cold if the host hasn't
-    * cached the dir, which is as cold as a read-only probe can get);
-    * the warm phase then re-sweeps until `warmBytes` have been read
-    * (>=128 MiB — several passes over a ~17 MB sf0.1 dir), which is
-    * pure page-cache/memory-bandwidth work on a healthy host. Returns
-    * (firstPassMBps, warmMBps); (-1,-1) if the dir has no parquet. A
-    * byte of every buffer folds into a volatile sink so the read is
-    * never elided. Complements calibSpin: CPU-flat + IO-slow is the
-    * storage-pressure signature r14's four flags hypothesized but
-    * could not evidence.
+    * parquet bytes through a 1 MiB buffer — both single-file tables
+    * (the driver's layout) and Spark-written `*.parquet` DIRECTORIES
+    * of part files (SfGen's layout; the r15 review caught the first
+    * cut matching files only, so the scaling-decade runs silently
+    * dropped the field). Pass 1 times up to `capBytes` of first-touch
+    * reads (cold if the host hasn't cached the dir — and capped, so
+    * the probe stays fixed-work at sf10+ instead of sweeping the
+    * whole dataset); the warm phase then re-reads the SAME capped
+    * span until `warmBytes` have been read (>=128 MiB — several
+    * passes over a ~17 MB sf0.1 dir), which is pure page-cache/
+    * memory-bandwidth work on a healthy host. Returns (firstMBps,
+    * warmMBps); (-1,-1) if the dir has no parquet bytes or the probe
+    * fails (a diagnostic must never kill the bench — files can vanish
+    * between listing and open). A byte of every buffer folds into a
+    * volatile sink so the read is never elided. Complements
+    * calibSpin: CPU-flat + IO-slow is the storage-pressure signature
+    * r14's four flags hypothesized but could not evidence.
     */
   @volatile private var ioSink: Long = 0L
-  def ioSpin(sfDir: String, warmBytes: Long = 128L << 20): (Double, Double) = {
-    val files = Option(new java.io.File(sfDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
+  def ioSpin(sfDir: String, warmBytes: Long = 128L << 20,
+    capBytes: Long = 256L << 20): (Double, Double) = try {
+    def parquetFiles(d: java.io.File): Array[java.io.File] = {
+      val entries = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      val files = entries.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val dirParts = entries
+        .filter(f => f.isDirectory && f.getName.endsWith(".parquet"))
+        .flatMap(dd => Option(dd.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(p => p.isFile && p.getName.endsWith(".parquet")))
+      (files ++ dirParts).sortBy(_.getPath)
+    }
+    val files = parquetFiles(new java.io.File(sfDir))
     if (files.isEmpty) return (-1.0, -1.0)
     val buf = new Array[Byte](1 << 20)
-    def sweep(): Long = {
+    def sweep(cap: Long): Long = {
       var read = 0L
-      for (f <- files) {
-        val in = new java.io.FileInputStream(f)
+      val it = files.iterator
+      while (it.hasNext && read < cap) {
+        val in = new java.io.FileInputStream(it.next())
         try {
           var n = in.read(buf)
-          while (n > 0) { read += n; ioSink ^= buf(0); n = in.read(buf) }
+          while (n > 0 && read < cap) { read += n; ioSink ^= buf(0); n = in.read(buf) }
         } finally in.close()
       }
       read
     }
     val t0 = System.nanoTime()
-    val firstBytes = sweep()
+    val firstBytes = sweep(capBytes)
     val t1 = System.nanoTime()
+    // zero-byte parquet (crashed generator): a sweep that reads nothing
+    // would spin forever — report unmeasurable instead
+    if (firstBytes == 0L) return (-1.0, -1.0)
     var warmRead = 0L
-    while (warmRead < warmBytes) warmRead += sweep()
+    while (warmRead < warmBytes) warmRead += sweep(capBytes)
     val t2 = System.nanoTime()
     def mbps(bytes: Long, nanos: Long): Double =
       (bytes / 1048576.0) / math.max(nanos / 1e9, 1e-9)
     (mbps(firstBytes, t1 - t0), mbps(warmRead, t2 - t1))
-  }
+  } catch { case _: Throwable => (-1.0, -1.0) }
 
   /** (steal, total) jiffies from /proc/stat's aggregate cpu line, or None
     * on non-Linux / restricted environments.

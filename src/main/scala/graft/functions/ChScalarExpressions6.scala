@@ -8,8 +8,9 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Nineteenth dialect batch — pure kernels: subsequence probes,
-  * code-point edit distance, char-n-gram signature hashes, vector
-  * normalization. Same contract as batches 1–5: exact,
+  * char-n-gram signature hashes, vector normalization (the UTF8 edit
+  * distances reuse Spark's code-point-aware Levenshtein builtin —
+  * no second DP lives here). Same contract as batches 1–5: exact,
   * allocation-light, divergences documented in MIGRATION.md. The
   * n-gram signature family follows the wordShingleSimHash convention —
   * CH's hash constants are internal, so the CONTRACT matches (same
@@ -59,34 +60,6 @@ object ChScalarKernels6 {
 
   def hasSubsequenceCIUTF8(hay: UTF8String, needle: UTF8String): Int =
     hasSubsequenceUTF8(hay.toLowerCase, needle.toLowerCase)
-
-  /** Levenshtein over CODE POINTS (CH editDistanceUTF8) — the byte
-    * editDistance (Spark's Levenshtein) counts a multi-byte char as
-    * several edits; this counts it as one. Two-row DP, O(min) memory.
-    */
-  def editDistanceUTF8(a: UTF8String, b: UTF8String): Long = {
-    var x = codePoints(a); var y = codePoints(b)
-    if (x.length < y.length) { val t = x; x = y; y = t }
-    if (y.length == 0) return x.length.toLong
-    val prev = new Array[Int](y.length + 1)
-    val cur = new Array[Int](y.length + 1)
-    var j = 0
-    while (j <= y.length) { prev(j) = j; j += 1 }
-    var i = 1
-    while (i <= x.length) {
-      cur(0) = i
-      j = 1
-      while (j <= y.length) {
-        val cost = if (x(i - 1) == y(j - 1)) 0 else 1
-        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
-          prev(j - 1) + cost)
-        j += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, y.length + 1)
-      i += 1
-    }
-    prev(y.length).toLong
-  }
 
   /** Per-3-gram portable hashes over the string's bytes (one hash per
     * byte-trigram position; strings shorter than 3 bytes hash their
@@ -153,7 +126,10 @@ object ChScalarKernels6 {
   /** L1/L2/Linf vector normalization: value / norm in one pass; a zero
     * vector (norm 0) returns itself unchanged — CH propagates
     * nan/inf there, a silent poison downstream dot products; the
-    * divergence is documented in MIGRATION.md.
+    * divergence is documented in MIGRATION.md. A NULL element nulls
+    * the whole result (getDouble on a null slot would read 0.0 and
+    * return a confident unit vector over fabricated data — the r15
+    * review's catch; CH errors there).
     */
   def normalizeArr(arr: ArrayData, mode: Int): ArrayData = {
     val n = arr.numElements()
@@ -161,6 +137,7 @@ object ChScalarKernels6 {
     var i = 0
     var norm = 0.0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       v(i) = arr.getDouble(i)
       mode match {
         case 1 => norm += math.abs(v(i))
@@ -181,10 +158,7 @@ object ChScalarKernels6 {
 /** Two-string kernels of the nineteenth batch. */
 case class ChStringPair6Expr(left: Expression, right: Expression, fn: String)
   extends BinaryExpression {
-  override def dataType: DataType = fn match {
-    case "editdistanceutf8" => LongType
-    case _ => IntegerType
-  }
+  override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
@@ -193,7 +167,6 @@ case class ChStringPair6Expr(left: Expression, right: Expression, fn: String)
       case "hassubsequenceutf8" => ChScalarKernels6.hasSubsequenceUTF8(x, y)
       case "hassubsequenceci" => ChScalarKernels6.hasSubsequenceCI(x, y)
       case "hassubsequenceciutf8" => ChScalarKernels6.hasSubsequenceCIUTF8(x, y)
-      case "editdistanceutf8" => ChScalarKernels6.editDistanceUTF8(x, y)
     }
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -202,7 +175,6 @@ case class ChStringPair6Expr(left: Expression, right: Expression, fn: String)
       case "hassubsequenceutf8" => "hasSubsequenceUTF8"
       case "hassubsequenceci" => "hasSubsequenceCI"
       case "hassubsequenceciutf8" => "hasSubsequenceCIUTF8"
-      case "editdistanceutf8" => "editDistanceUTF8"
     }
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.functions.ChScalarKernels6.$m($a, $b)")
@@ -248,6 +220,9 @@ case class ChUnaryKernel6Expr(child: Expression, fn: String)
 case class ChNormalizeExpr(child: Expression, mode: Int)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // a null ELEMENT nulls the result even when the array itself is
+  // non-nullable, so nullability can't mirror the child's
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
     ChScalarKernels6.normalizeArr(v.asInstanceOf[ArrayData], mode)

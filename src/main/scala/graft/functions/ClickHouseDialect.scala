@@ -2502,10 +2502,15 @@ object ClickHouseDialect {
       ChStringPair6Expr(args.head, args(1), "hassubsequenceci")),
     "hasSubsequenceCaseInsensitiveUTF8" -> (args =>
       ChStringPair6Expr(args.head, args(1), "hassubsequenceciutf8")),
+    // Spark's Levenshtein is already code-point-aware (4-byte UTF-8
+    // chars are one edit), so the UTF8 spellings reuse it — no second
+    // DP to maintain (r15 review simplification); Long like CH's UInt
     "editDistanceUTF8" -> (args =>
-      ChStringPair6Expr(args.head, args(1), "editdistanceutf8")),
+      Cast(Levenshtein(args.head, args(1)),
+        org.apache.spark.sql.types.LongType)),
     "levenshteinDistanceUTF8" -> (args =>
-      ChStringPair6Expr(args.head, args(1), "editdistanceutf8")),
+      Cast(Levenshtein(args.head, args(1)),
+        org.apache.spark.sql.types.LongType)),
     // the graft portable n-gram signatures (the wordShingleSimHash
     // rule: CH's hash constants are internal — same contract,
     // different bit values)

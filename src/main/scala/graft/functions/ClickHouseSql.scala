@@ -4619,18 +4619,28 @@ object ClickHouseSql {
       // CH's multi-arg byte-assembling char() vs Spark's 1-arg builtin;
       // `CAST(x AS char(n))` type positions are excluded below
       "char" -> "chChar")
-    // in a CREATE statement `CHAR(5)` is a column TYPE, not the CH
-    // byte-assembling function — never splice there (ENGINE-ful DDL
-    // returns before this rewrite, but CTAS-style statements don't)
-    val inCreate = sqlText.trim.toLowerCase(java.util.Locale.ROOT)
-      .startsWith("create")
+    // `CHAR(5)` directly after a bare identifier is a column TYPE in a
+    // definition list (`c CHAR(5)`), never a call — in expression
+    // context a call is always preceded by punctuation, an operator,
+    // or a keyword (SELECT/WHEN/THEN/…). Keying off the statement
+    // prefix instead (the first r15 cut) regressed CTAS: `CREATE
+    // TABLE t AS SELECT char(72, 105)` must still splice.
     val ts = lex(sqlText)
+    val exprKeywords = Set("select", "when", "then", "else", "case",
+      "end", "and", "or", "not", "where", "by", "on", "using", "in",
+      "like", "ilike", "between", "all", "distinct", "union", "from",
+      "join", "over", "having", "limit", "offset", "escape", "return",
+      "returning", "if", "elseif", "is", "xor", "div", "mod")
+    def typePosition(i: Int): Boolean = ts.lift(i - 1).exists { p =>
+      p.text.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+        !exprKeywords.contains(p.lower)
+    }
     val sb = new StringBuilder(sqlText)
     // right-to-left so earlier token offsets stay valid as we splice
     for (i <- ts.indices.reverse) {
       val t = ts(i)
       val target = names.get(t.text).orElse(ciNames.get(t.lower))
-        .filterNot(_ => inCreate && t.lower == "char")
+        .filterNot(_ => t.lower == "char" && typePosition(i))
       if (target.isDefined && ts.lift(i + 1).exists(_.text == "(") &&
         !ts.lift(i - 1).exists(_.lower == "as"))
         sb.replace(t.start, t.end, target.get)

@@ -358,7 +358,9 @@ object Olap {
   // part first visible at
   // depth m = max(rank_a, rank_b) contributes Σ_{i=m..10} (1000 div i)
   // milli-points (floored per-depth weights, so both engines sum the
-  // same integers; ao_milli = that sum div 10, 1000 = identical lists).
+  // same integers; ao_milli = that sum div 10 — identical lists read
+  // 998, the flooring loss of Σ_i i·(1000 div i) = 9988, NOT 1000:
+  // treat 998 as the no-drift ceiling).
   // Zero-overlap month pairs still emit a row (skeleton left join).
   // Scale: one map-side-combinable fact aggregation, k-bounded heaps,
   // then month-dimension-sized joins — no stage touches the fact table

@@ -156,8 +156,38 @@ class BenchSpec extends AnyFunSuite {
       // warm passes re-read page-cached bytes: at least not 100x slower
       // than the first pass (a loose sanity floor, not a perf pin)
       assert(warm > cold / 100.0)
+      // the first pass is CAPPED — fixed work at any SF, per docstring
+      val (cap, _) = Bench.ioSpin(dir.getPath, warmBytes = 1L << 20,
+        capBytes = 1L << 20)
+      assert(cap > 0.0)
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("ioSpin reads Spark-written *.parquet DIRECTORIES and survives empty files") {
+    // SfGen writes each table as t.parquet/part-*.parquet — the probe
+    // must see those bytes (the r15 review caught the files-only
+    // filter silently dropping calib_io on the scaling-decade runs)
+    val dir = java.nio.file.Files.createTempDirectory("iospin_dirs").toFile
+    try {
+      val tbl = new java.io.File(dir, "t.parquet"); tbl.mkdir()
+      val part = new java.io.File(tbl, "part-0000.snappy.parquet")
+      val out = new java.io.FileOutputStream(part)
+      try out.write(new Array[Byte](2 << 20)) finally out.close()
+      val (cold, warm) = Bench.ioSpin(dir.getPath, warmBytes = 4L << 20)
+      assert(cold > 0.0 && warm > 0.0, s"cold=$cold warm=$warm")
+      // a zero-byte parquet must report unmeasurable, never spin forever
+      val empty = java.nio.file.Files.createTempDirectory("iospin_zero").toFile
+      val zf = new java.io.File(empty, "z.parquet")
+      new java.io.FileOutputStream(zf).close()
+      try assert(Bench.ioSpin(empty.getPath) === ((-1.0, -1.0)))
+      finally { zf.delete(); empty.delete() }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(dir)
     }
   }
 

@@ -727,6 +727,9 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(one("editDistance('héllo', 'hallo')") === 1)
     assert(one("editDistanceUTF8('', 'abc')") === 3L)
     assert(one("levenshteinDistanceUTF8('héllo', 'héllos')") === 1L)
+    // a supplementary code point (4-byte UTF-8, surrogate pair) is ONE
+    // edit — the builtin these spellings reuse counts UTF-8 chars
+    assert(one("editDistanceUTF8('a😀', 'a')") === 1L)
     // n-gram signatures: deterministic, CI == lowercase, a one-char
     // edit stays hamming-closer than unrelated text
     assert(one("ngramSimHash('the quick brown fox')") ===
@@ -749,6 +752,19 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(arr("L1Normalize(array(1.0, 3.0))") === Seq(0.25, 0.75))
     assert(arr("LinfNormalize(array(2.0, -4.0))") === Seq(0.5, -1.0))
     assert(arr("L2Normalize(array(0.0, 0.0))") === Seq(0.0, 0.0))
+    // a NULL element nulls the WHOLE result — getDouble on a null slot
+    // would fabricate 0.0 and normalize garbage (r15 review)
+    assert(one("L2Normalize(array(CAST(3.0 AS DOUBLE), " +
+      "CAST(NULL AS DOUBLE)))") === null)
+    // the char()-as-TYPE guard is positional, not statement-prefix:
+    // CTAS still splices the byte-assembling call, a column-def list
+    // does not (spliced there it would corrupt the type)
+    assert(graft.functions.ClickHouseSql
+      .rewrite("CREATE TABLE t2 AS SELECT char(72, 105) AS v", _ => Nil)
+      .contains("chChar"))
+    assert(!graft.functions.ClickHouseSql
+      .rewrite("CREATE TABLE t3 (c CHAR(5)) USING parquet", _ => Nil)
+      .contains("chChar"))
     // UTC rebase pair (CH's Spark-compat aliases): Jan = UTC-5 in NY
     assert(one("CAST(fromUTCTimestamp(toDateTime('2024-01-01 00:00:00')," +
       " 'America/New_York') AS STRING)").toString ===

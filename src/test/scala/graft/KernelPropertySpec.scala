@@ -336,23 +336,6 @@ class KernelPropertySpec extends AnyFunSuite {
       UTF8String.fromString("abc")) === 1)
   }
 
-  test("r15 kernels: editDistanceUTF8 metric laws on sampled word triples") {
-    val k = graft.functions.ChScalarKernels6
-    def d(a: String, b: String): Long =
-      k.editDistanceUTF8(UTF8String.fromString(a), UTF8String.fromString(b))
-    forSamples(Gen.zip(word, word, word)) { case (a, b, c) =>
-      assert(d(a, a) === 0L)
-      assert(d(a, b) === d(b, a))
-      assert(d(a, b) >= math.abs(a.length - b.length))
-      assert(d(a, b) <= math.max(a.length, b.length))
-      assert(d(a, c) <= d(a, b) + d(b, c)) // triangle inequality
-    }
-    // one supplementary code point (surrogate PAIR in UTF-16) is ONE edit
-    val g = new String(Character.toChars(0x1F600))
-    assert(d(g, "") === 1L)
-    assert(d("a" + g, "a") === 1L)
-  }
-
   test("r15 kernels: ngram signatures are deterministic, CI = lowercase, locality holds") {
     val k = graft.functions.ChScalarKernels6
     def sh(s: String): Long = k.ngramSimHash(UTF8String.fromString(s))
