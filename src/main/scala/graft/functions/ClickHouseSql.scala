@@ -1134,6 +1134,10 @@ object ClickHouseSql {
       .orElse(checkTable(spark, sqlText))
       .orElse(existsTable(spark, sqlText))
       .orElse(showTables(spark, sqlText))
+      .orElse(showDatabases(spark, sqlText))
+      .orElse(showProcesslist(spark, sqlText))
+      .orElse(showFunctions(spark, sqlText))
+      .orElse(detachAttachTable(spark, sqlText))
       .orElse(killVerb(sqlText))
       .orElse(backupRestore(spark, sqlText))
       .orElse(systemVerb(spark, sqlText))
@@ -1818,6 +1822,113 @@ object ClickHouseSql {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("name",
           org.apache.spark.sql.types.StringType)))))
+  }
+
+  /** `SHOW DATABASES` — one `name` column from the session catalog
+    * (CH shape; this engine hosts one catalog, so typically just
+    * `default`).
+    */
+  private def showDatabases(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText).filterNot(_.text == ";")
+    if (toks.length != 2 || toks.head.lower != "show" ||
+      toks(1).lower != "databases") return None
+    Some(oneStringColumn(spark, "name",
+      spark.catalog.listDatabases().collect().map(_.name).sorted.toSeq))
+  }
+
+  /** `SHOW PROCESSLIST` — CH's running-query view. Dialect statements
+    * here execute synchronously inside the caller's session, so the
+    * list is always empty (the honest answer, not a stub error): the
+    * columns exist, the rows never do.
+    */
+  private def showProcesslist(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText).filterNot(_.text == ";")
+    if (toks.length != 2 || toks.head.lower != "show" ||
+      toks(1).lower != "processlist") return None
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    Some(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("query_id", StringType),
+        StructField("user", StringType),
+        StructField("elapsed", DoubleType),
+        StructField("query", StringType)))))
+  }
+
+  /** `SHOW FUNCTIONS [LIKE '<pattern>']` — the dialect's registered CH
+    * function-name surface, one `name` column (CH wildcards, like
+    * SHOW TABLES).
+    */
+  private def showFunctions(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText).filterNot(_.text == ";")
+    if (toks.length < 2 || toks.head.lower != "show" ||
+      toks(1).lower != "functions") return None
+    val pat: Option[String] =
+      if (toks.lift(2).exists(_.lower == "like"))
+        "'([^']*)'".r.findFirstMatchIn(sqlText.substring(toks(2).end))
+          .map(_.group(1))
+      else if (toks.length == 2) None
+      else return None
+    val rx = pat.map(p => ("^" + java.util.regex.Pattern.quote(p)
+      .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r)
+    Some(oneStringColumn(spark, "name",
+      ClickHouseDialect.names.distinct.sorted
+        .filter(n => rx.forall(_.findFirstIn(n).isDefined))))
+  }
+
+  private def oneStringColumn(spark: SparkSession, col: String,
+    values: Seq[String]): DataFrame = {
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList[org.apache.spark.sql.Row]
+    values.foreach(v => rows.add(org.apache.spark.sql.Row(v)))
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(col,
+          org.apache.spark.sql.types.StringType))))
+  }
+
+  /** CH `DETACH TABLE t [PERMANENTLY]` / `ATTACH TABLE t`: DETACH
+    * renames the table (files, engine/partition/projection
+    * registrations and all — the UNDROP recycle-slot machinery
+    * reused) into an internal detached slot, invisible to queries and
+    * SHOW TABLES the way CH detached tables are; ATTACH renames it
+    * back. PERMANENTLY is accepted and identical — the distinction is
+    * about server restarts, which this engine does not have. The
+    * schema-ful `ATTACH TABLE t (cols…)` form is not supported:
+    * rewrite as CREATE TABLE (this engine keeps no orphan metadata to
+    * re-adopt).
+    */
+  private def detachedTableSlot(table: String): String =
+    norm(table) + "__detached_tbl"
+  private def detachAttachTable(spark: SparkSession,
+    sqlText: String): Option[DataFrame] = {
+    val toks = lex(sqlText).filterNot(_.text == ";")
+    if (toks.length < 3) return None
+    val verb = toks.head.lower
+    if ((verb != "detach" && verb != "attach") ||
+      toks(1).lower != "table" || !isIdent(toks(2))) return None
+    val table = toks(2).text
+    val extra = toks.drop(3).map(_.lower)
+    val slot = detachedTableSlot(table)
+    def live(t: String): Boolean =
+      spark.catalog.tableExists(t) || partitionedTable(t).isDefined
+    if (verb == "detach") {
+      require(extra.isEmpty || extra == Seq("permanently"),
+        "DETACH TABLE: only the bare or PERMANENTLY form is supported")
+      require(live(table), s"DETACH TABLE: no table $table")
+      require(!live(slot), s"DETACH TABLE: $table is already detached")
+      renameTable(spark, table, slot)
+    } else {
+      require(extra.isEmpty,
+        "ATTACH TABLE: bare re-attach only — the schema-ful form " +
+          "rewrites as CREATE TABLE")
+      require(live(slot), s"ATTACH TABLE: nothing detached under $table")
+      require(!live(table), s"ATTACH TABLE: $table already exists")
+      renameTable(spark, slot, table)
+    }
+    Some(spark.emptyDataFrame)
   }
 
   /** `BACKUP TABLE t TO File('<path>')` / `RESTORE TABLE t [AS t2]

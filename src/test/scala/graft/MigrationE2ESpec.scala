@@ -456,7 +456,43 @@ class MigrationE2ESpec extends SparkSpec {
       ch("KILL MUTATION WHERE mutation_id = '1'"))
     assert(e.getMessage.contains("synchronous"))
 
+    // SHOW DATABASES / PROCESSLIST / FUNCTIONS (r15 verbs)
+    assert(ch("SHOW DATABASES").collect().map(_.getString(0))
+      .contains("default"))
+    val pl = ch("SHOW PROCESSLIST")
+    assert(pl.columns.toSeq ===
+      Seq("query_id", "user", "elapsed", "query") && pl.count() === 0L)
+    val fns = ch("SHOW FUNCTIONS LIKE 'arrayShift%'")
+      .collect().map(_.getString(0))
+    assert(fns.toSeq === Seq("arrayShiftLeft", "arrayShiftRight"))
+    assert(ch("SHOW FUNCTIONS").count() > 600L)
+
     for (t <- Seq("sh_alpha", "sh_beta")) ch(s"DROP TABLE $t SYNC")
+  }
+
+  test("DETACH / ATTACH TABLE hide and restore a table with its registrations") {
+    ch("DROP TABLE IF EXISTS det_t SYNC")
+    ch("CREATE TABLE det_t (k UInt64, v UInt64, d Date) " +
+      "ENGINE = ReplacingMergeTree(v) PARTITION BY d ORDER BY (k)")
+    ch("INSERT INTO det_t VALUES (1, 1, '2024-01-01'), (1, 2, '2024-01-01')")
+    ch("DETACH TABLE det_t")
+    // invisible to SHOW TABLES and EXISTS, files intact
+    assert(!ch("SHOW TABLES").collect().map(_.getString(0)).contains("det_t"))
+    assert(ch("EXISTS det_t").head().getLong(0) === 0L)
+    // double detach / premature attach-over-existing error loudly
+    assertThrows[IllegalArgumentException](ch("DETACH TABLE det_t"))
+    ch("ATTACH TABLE det_t")
+    assert(ch("EXISTS det_t").head().getLong(0) === 1L)
+    // data, engine registration (FINAL collapses versions), and the
+    // partition layout all survived the round trip
+    assert(ch("SELECT count() FROM det_t FINAL").head().getLong(0) === 1L)
+    assert(ch("SELECT max(v) FROM det_t FINAL").head().getLong(0) === 2L)
+    assertThrows[IllegalArgumentException](ch("ATTACH TABLE det_t"))
+    // PERMANENTLY accepted; nothing-detached attach errors loudly
+    ch("DETACH TABLE det_t PERMANENTLY")
+    ch("ATTACH TABLE det_t")
+    assertThrows[IllegalArgumentException](ch("ATTACH TABLE det_never"))
+    ch("DROP TABLE det_t SYNC")
   }
 
   test("BACKUP TABLE / RESTORE TABLE round-trip data, DDL, and registrations") {
