@@ -126,12 +126,17 @@ object Shapes {
   // order dominates on (cheaper price, more recent date) within their
   // priority class — the classic multi-objective shortlist. The naive
   // formulation is a quadratic dominance self-join; the scalable
-  // identity is one sorted window pass: scanning by (price asc, date
-  // desc), a row is on the front iff its date strictly exceeds every
-  // earlier row's (the running max over cheaper rows) — cheaper-and-
-  // later dominates. Ties on price resolved by keeping the latest date
-  // first so equal-price-earlier-date rows are dominated, never
-  // front-mates. Keyed by priority; per-partition one sort.
+  // identity is the sorted running-max scan: by (price asc, date desc),
+  // a row is on the front iff its date strictly exceeds every earlier
+  // row's — cheaper-and-later dominates, equal-price-earlier-date rows
+  // are dominated, never front-mates. The oracle states that identity
+  // as one window; the engine runs it TWO-PHASE on the
+  // SkylinePerGroup physical plan (r15 third decade: the window form
+  // partitions the fact table by o_orderpriority — an enum with ~5
+  // values — capping parallelism at 5 and measuring 30× on 10× rows):
+  // each input partition maintains the per-group staircase online, only
+  // the ≤front-sized local fronts cross the shuffle, the final pass
+  // merges — exact, since skyline(A∪B) = skyline(skyline(A)∪skyline(B)).
   val q121 = Q(
     "q121_skyline",
     Some("""
@@ -152,13 +157,13 @@ object Shapes {
       ORDER BY o_orderpriority
     """)
   ) { t =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderdate").desc, col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    t.orders
-      .withColumn("best_prev", max(col("o_orderdate")).over(w))
-      .filter(col("best_prev").isNull || col("o_orderdate") > col("best_prev"))
+    val front = graft.plans.SkylinePerGroup.skyline(
+      t.orders.select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate")),
+      Seq("o_orderpriority"),
+      Seq(("o_totalprice", "asc"), ("o_orderdate", "desc"), ("o_orderkey", "asc")),
+      "o_orderdate")
+    front
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("front_size"),
         min(col("o_orderkey")).cast(LongType).as("first_key"),

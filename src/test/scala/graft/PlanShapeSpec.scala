@@ -671,4 +671,17 @@ class PlanShapeSpec extends SparkSpec {
     // nested loop; a CartesianProduct (both sides unbroadcast) never is
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("q121_skyline fronts two-phase on SkylinePerGroup — no enum-keyed window over orders") {
+    val plan = planOf("q121_skyline")
+    // the r15 third decade measured the window form at 30× on 10× rows:
+    // PARTITION BY o_orderpriority (an enum, ~5 values) caps parallelism
+    // at 5 and sorts n/5 rows per task. The fix is the partial+final
+    // staircase pair — only local fronts cross the shuffle — with NO
+    // window node anywhere in the plan.
+    val skl = "SkylinePerGroup".r.findAllMatchIn(plan).size
+    assert(skl >= 2, s"expected partial+final SkylinePerGroup, got $skl:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
