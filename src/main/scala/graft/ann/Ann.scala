@@ -1504,14 +1504,41 @@ $pivots
   // per-cell work, never corpus-quadratic, so the same plan holds at
   // 100 TB with cellsFor-scaled cell counts. Quantizer training is the
   // shared memoized Lloyd step — free when any IVF op already ran.
+  /** Corpus-size-derived cell count for the memoized kNN assignment and
+    * every cell-bounded pairwise stage that reads it (kNN graph/purity/
+    * margin, TwoNN intrinsic dimension, cell stats, graph-search
+    * routing). r15's third decade measured why this cannot stay fixed:
+    * with 16 cells, occupancy grows linearly with the corpus and the
+    * Σ cell² candidate stage goes quadratic — embed_intrinsic_dim read
+    * 63× on 10× rows at gsf10. cellsFor holds expected occupancy ≤ ~400
+    * (the dedup_semantic dial); at the driver SFs (≤ 6 400 vectors) it
+    * resolves to the same 16 cells as before. Memoized per dataset —
+    * the count is one parquet-metadata job.
+    */
+  private val knnCellsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] def knnCells(t: Tables): Int =
+    knnCellsCache.computeIfAbsent(t.dir, _ => cellsFor(t.embeddings.count()))
+
+  /** SQL mirror of the [[knnCells]]-dialed IVF chain (kc scalar + the
+    * shared training/assignment/probe CTEs) — spliced by every oracle
+    * whose engine side reads [[knnAssigned]], so dial and oracle can
+    * never drift.
+    */
+  private def knnCtesSql(nprobe: Int): String =
+    ivfCtesSqlDyn("(SELECT cells FROM kc)", nprobe,
+      s"""kc AS (SELECT ${cellsForSql("COUNT(*)")} AS cells FROM embeddings),
+      """)
+
   /** Memoized (vec_id, cell, qv) corpus cell assignment on the integer
     * grid — the relation both the k-NN graph and graph-search routing
-    * read; built once per (session, dataset).
+    * read; built once per (session, dataset). Cell count is the
+    * [[knnCells]] corpus-derived dial, never a fixed grid.
     */
   private[graft] def knnAssigned(t: Tables): DataFrame =
     graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#knn-assigned") {
       val emb = ivfEmb(t)
-      val centroids = ivfCentroids(t, 16)
+      val centroids = ivfCentroids(t, knnCells(t))
       emb.join(broadcast(centroids))
         .select(col("vec_id"), col("qv"), col("cid"),
           dist2(col("qv"), col("cv")).as("dist"))
@@ -1542,7 +1569,7 @@ $pivots
   val knnGraph = Q(
     "ann_knn_graph",
     Some(s"""
-      WITH ${ivfCtesSql(16, 4)},
+      WITH ${knnCtesSql(4)},
       acq AS (SELECT ac.vec_id, ac.cell, q.qv
               FROM ac JOIN qemb q ON q.vec_id = ac.vec_id),
       pairs AS (
@@ -1614,7 +1641,7 @@ $pivots
         .map(i => s"SELECT query_id, $i AS step, node, dot_q FROM s$i")
         .mkString("\n        UNION ALL ")
       s"""
-      WITH ${ivfCtesSql(16, 1)},
+      WITH ${knnCtesSql(1)},
       acq AS (SELECT ac.vec_id, ac.cell, q.qv
               FROM ac JOIN qemb q ON q.vec_id = ac.vec_id),
       pairs AS (
@@ -1648,7 +1675,7 @@ $pivots
   ) { t =>
     val assigned = knnAssigned(t)
     val edges = knnEdgeSet(t).select(col("vec_id").as("src"), col("neighbor_id"))
-    val centroids = ivfCentroids(t, 16)
+    val centroids = ivfCentroids(t, knnCells(t))
     val queries = ivfEmb(t).filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("qv").as("gq"))
     val qcell = queries.join(broadcast(centroids))
@@ -2706,7 +2733,7 @@ $pivots
   val knnPurity = Q(
     "embed_knn_purity",
     Some(s"""
-      WITH ${ivfCtesSql(16, 4)},
+      WITH ${knnCtesSql(4)},
       acq AS (SELECT ac.vec_id, ac.cell, q.qv
               FROM ac JOIN qemb q ON q.vec_id = ac.vec_id),
       pairs AS (
@@ -2759,7 +2786,7 @@ $pivots
   val knnMargin = Q(
     "embed_margin",
     Some(s"""
-      WITH ${ivfCtesSql(16, 4)},
+      WITH ${knnCtesSql(4)},
       acq AS (SELECT ac.vec_id, ac.cell, q.qv
               FROM ac JOIN qemb q ON q.vec_id = ac.vec_id),
       pairs AS (
@@ -2824,7 +2851,7 @@ $pivots
   val intrinsicDim = Q(
     "embed_intrinsic_dim",
     Some(s"""
-      WITH ${ivfCtesSql(16, 4)},
+      WITH ${knnCtesSql(4)},
       acq AS (SELECT ac.vec_id, ac.cell, q.qv
               FROM ac JOIN qemb q ON q.vec_id = ac.vec_id),
       pairs AS (
@@ -2955,7 +2982,7 @@ $pivots
   val cellStats = Q(
     "ann_cell_stats",
     Some(s"""
-      WITH ${ivfCtesSql(16, 4)},
+      WITH ${knnCtesSql(4)},
       pop AS (SELECT cell, COUNT(*) AS n FROM ac GROUP BY cell)
       SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
              CAST(MIN(n) AS BIGINT) AS min_pop,
