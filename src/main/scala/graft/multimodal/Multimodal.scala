@@ -612,32 +612,95 @@ object Multimodal {
     fp
   }
 
-  /** 32-window energy fingerprint — mm_audio_neardup's banding key
-    * (r14: the 16-bit [[audioFpOf]] key space saturates above ~5k
-    * clips — banded candidates are n²/2^bandwidth and the
-    * second-decade measurement read 16.3×/decade; 32 windows band as
-    * 2×16 bits, 256× fewer collisions per band, same gain-shape
-    * invariance). [[audioFpOf]] stays 16-bit: it is mm_audio_dedup's
-    * EXACT-match key, where width only changes collision odds on
-    * identical-energy-shape clips, and its CodecSpec pins hold.
+  /** Corpus-size-derived banding step for the media near-dup lanes: a
+    * 64-bit perceptual fingerprint splits into `mediaBands` disjoint
+    * sub-bands (4×16-bit below 2²³ clips, 2×32-bit at/above), and clips
+    * sharing any sub-band value are candidates. Same law as
+    * Dedup.simhashBands / VectorLsh.planesFor: banded candidates are
+    * ~n²/2^width per band, so the key space must grow with the corpus —
+    * 16-bit bands hold expected candidate volume ≤ ~64·n up to n = 2²³,
+    * where the step widens to 32 bits. Recall guarantee by pigeonhole:
+    * 4 bands always catch hamming ≤ 3 (covering both verify radii —
+    * audio ≤ 2, closing the r15 2-band recall hole; video frame-match
+    * ≤ 3); above the step, 2 bands guarantee ≤ 1 — the documented
+    * simhash trade, with extra bands as the recall lever. SQL mirror
+    * below so oracle and engine can never drift.
     */
-  def audioFp32Of(clip: Pcm): Long = {
+  def mediaBands(corpusSize: Long): Int = if (corpusSize < 8388608L) 4 else 2
+
+  /** SQL mirror of [[mediaBands]] as a 1-row CTE over `documents`. */
+  private val mediaBandsSqlCte =
+    "mb AS (SELECT CASE WHEN COUNT(*) < 8388608 THEN 4 ELSE 2 END AS nb FROM documents)"
+
+  /** 64-window count-normalized energy fingerprint — mm_audio_neardup's
+    * banding key. Bit w compares adjacent window energies
+    * cross-multiplied by the OPPOSITE window's sample count
+    * (e_w·c_{w+1} > e_{w+1}·c_w, exact integers): window sample counts
+    * differ by ±1 at the integer boundaries, and on a near-stationary
+    * signal that count bias — not content — dominated the raw
+    * comparison (the r15 finding: biased, correlated bits collapsed the
+    * effective key space, so the banded join went quadratic regardless
+    * of nominal band width — 347×/decade at gsf10). Count-normalizing
+    * leaves content-driven near-fair bits; uniform gain scales every
+    * e_w equally, so the key keeps [[audioFpOf]]'s gain invariance.
+    * 64 bits, channel 0 only. [[audioFpOf]] stays 16-bit: it is
+    * mm_audio_dedup's EXACT-match key and its CodecSpec pins hold.
+    */
+  def audioNdFpOf(clip: Pcm): Long = {
     val nch = clip.channels
     val ns = clip.samples.length / nch
-    val e = new Array[Long](32)
+    val e = new Array[Long](64)
+    val c = new Array[Long](64)
     var s = 0
     while (s < ns) {
       val v = clip.samples(s * nch).toLong
-      e(s * 32 / ns) += v * v
+      val w = (s.toLong * 64 / ns).toInt
+      e(w) += v * v
+      c(w) += 1
       s += 1
     }
     var fp = 0L
     var w = 0
-    while (w < 32) {
-      if (e(w) > e((w + 1) % 32)) fp |= 1L << w
+    while (w < 64) {
+      val w2 = (w + 1) % 64
+      if (e(w) * c(w2) > e(w2) * c(w)) fp |= 1L << w
       w += 1
     }
     fp
+  }
+
+  /** mm_audio_neardup's clip synthesis: cluster-keyed content with
+    * PLANTED near-duplicates. Clips in a cluster of four (doc_id // 4)
+    * share channel layout, length and base samples; values come from a
+    * portable quadratic congruential mix — square the linear
+    * (cl, j)-seed modulo the Mersenne prime 2³¹−1 — so sample streams
+    * genuinely diffuse per cluster, unlike the old doc_id·7 + j·13
+    * progression (a pure phase shift of one mod-4001 cycle, whose
+    * window energies any fingerprint collapses to a few classes).
+    * Exact integer arithmetic, Long-safe (h < 2³¹ ⇒ h² < 2⁶²), and the
+    * oracle replays it verbatim. Variant
+    * r ≥ 1 re-gains ONE window (×3), flipping at most the two adjacent
+    * comparison bits: planted pairs sit at hamming ≤ 2, exactly the
+    * verify radius. ns ≥ 128 keeps every one of the 64 windows ≥ 2
+    * samples.
+    */
+  def generatePcmNd(id: Long): Pcm = {
+    val cl = id / 4
+    val r = (id % 4).toInt
+    val nch = (cl % 2 + 1).toInt
+    val ns = (128 + (cl * 131071) % 512).toInt
+    val n = ns * nch
+    val boosted = (r * 19) % 64
+    val s = new Array[Short](n)
+    var j = 0
+    while (j < n) {
+      val h = (cl * 48271 + j.toLong * 16807 + 11) % 2147483647L
+      val vb = (h * h) % 2147483647L % 4001 - 2000
+      val w = ((j / nch).toLong * 64 / ns).toInt
+      s(j) = (if (r >= 1 && w == boosted) vb * 3 else vb).toShort
+      j += 1
+    }
+    Pcm(nch, 8000, s)
   }
 
   final case class AudioFp(media_id: Long, fp: Long)
@@ -706,9 +769,9 @@ object Multimodal {
   /** One frame's 8-bit spatial signature: luma row-band sums compared to
     * the wrapping next band (brightness-shift invariant — a uniform +c
     * moves every sum equally). Shared by the temporal-polynomial clip
-    * key ([[videoFpOf]]), mm_video_quality's frozen-frame screen, and —
-    * widened with [[frameColSigOf]] to 16 bits — the per-frame banding
-    * of mm_video_neardup.
+    * key ([[videoFpOf]]) and mm_video_quality's frozen-frame screen;
+    * mm_video_neardup's per-frame banding key is the 64-bit
+    * [[lumaDhashOf]].
     */
   def frameSigOf(fr: Array[Byte], width: Int, height: Int): Long = {
     val rs = new Array[Long](8)
@@ -728,30 +791,71 @@ object Multimodal {
     sig
   }
 
-  /** One frame's 8-bit COLUMN signature — the row signature's
-    * transpose (luma column-band sums vs the wrapping next band).
-    * mm_video_neardup widens its per-frame band key to 16 bits with it
-    * (r14: the second-decade measurement caught the 8-bit key space
-    * saturating above ~5k clips — candidates are n²/keyspace, so the
-    * join went quadratic at 28.5×/decade; rows×cols yields 2^16 keys
-    * from the same decoded frame at zero extra decode cost).
-    * [[videoFpOf]]'s temporal-polynomial key keeps the original 8-bit
-    * row signature — its key space is already 31-ary-polynomial-wide.
+  /** Single-channel (luma) circular dHash — [[dhashOf]] on a Y plane:
+    * 8×8 box-downscale with integer division, bit gy·8+gx set when cell
+    * (gy,gx)'s average strictly exceeds its wrapping right neighbor's.
+    * Brightness-shift invariant like the RGB dHash. mm_video_neardup's
+    * per-frame banding key (r14/r15: the 8- then 16-bit row/column
+    * signature keys saturated — any signature of the old
+    * arithmetic-progression frames had ≤ ~750 distinct values, so
+    * banded candidates were n²/phases, 71×/decade at gsf10; the 64-bit
+    * dHash over [[generateLumaNd]]'s cluster-mixed frames gives the
+    * banded join a real key space). [[videoFpOf]]'s
+    * temporal-polynomial key keeps the 8-bit row signature — its key
+    * space is already 31-ary-polynomial-wide.
     */
-  def frameColSigOf(fr: Array[Byte], width: Int, height: Int): Long = {
-    val cs = new Array[Long](8)
+  def lumaDhashOf(fr: Array[Byte], width: Int, height: Int): Long = {
+    val sums = Array.ofDim[Long](8, 8)
+    val cnts = Array.ofDim[Long](8, 8)
     var p = 0
     while (p < fr.length) {
-      cs((p % width) * 8 / width) += (fr(p) & 0xff).toLong
+      val gy = (p / width) * 8 / height
+      val gx = (p % width) * 8 / width
+      sums(gy)(gx) += (fr(p) & 0xff).toLong
+      cnts(gy)(gx) += 1
       p += 1
     }
-    var sig = 0L
-    var c = 0
-    while (c < 8) {
-      if (cs(c) > cs((c + 1) % 8)) sig |= 1L << c
-      c += 1
+    var hv = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val a = sums(gy)(gx) / cnts(gy)(gx)
+        val b = sums(gy)((gx + 1) % 8) / cnts(gy)((gx + 1) % 8)
+        if (a > b) hv |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
     }
-    sig
+    hv
+  }
+
+  /** mm_video_neardup's frame synthesis — [[generatePcmNd]]'s design on
+    * the luma lane: clusters of four (doc_id // 4) share geometry,
+    * frame count and base pixels, valued by the same squared
+    * (cl, q)-seed mix modulo 2³¹−1 — real diffusion, where the old
+    * arithmetic-progression frames collapsed every derivable signature
+    * to ≤ ~750 classes (r15) and a LINEAR cluster mix still made
+    * adjacent-pixel gradients near-constant (one effective bit per
+    * dHash, caught in the r16 rewrite); variant r ≥ 1
+    * perturbs the first two columns of ONE frame ((r−1) mod nf),
+    * leaving every other frame hash-identical.
+    */
+  def generateLumaNd(cl: Long, r: Int, width: Int, height: Int, f: Int,
+    nf: Int): Array[Byte] = {
+    val n = width * height
+    val y = new Array[Byte](n)
+    val perturbed = r >= 1 && f == (r - 1) % nf
+    var p = 0
+    while (p < n) {
+      val q = f.toLong * n + p
+      val h = (cl * 48271 + q * 16807 + 11) % 2147483647L
+      val base = (h * h) % 2147483647L % 251
+      val v = if (perturbed && p % width < 2) (base + 101) % 251 else base
+      y(p) = v.toByte
+      p += 1
+    }
+    y
   }
 
   def videoFpOf(clip: Y4m): Long = {
@@ -1298,39 +1402,56 @@ object Multimodal {
         .cast(LongType).as("id_checksum"))
   }
 
-  // mm_audio_neardup — hamming-radius audio near-duplication over a
-  // 32-window energy-shape fingerprint (a re-gain or mild re-encode
-  // flips a window bit or two; mm_audio_dedup's exact buckets miss
-  // them): 2×16-bit bands bound the candidates (r14 — the 16-bit
-  // fingerprint's 2×8-bit bands saturated above ~5k clips and the
-  // candidate join went quadratic; 16-bit band values collide 256×
-  // less on the same decode), popcount verify at hamming ≤ 2 — the
-  // image lane's banding argument on the audio fingerprint. Oracle
-  // replays every PCM sample's energy window from the generator, then
-  // the same banded join.
+  // mm_audio_neardup — hamming-radius audio near-duplication over the
+  // 64-window count-normalized energy fingerprint ([[audioNdFpOf]]: a
+  // re-gain or mild re-encode flips a window bit or two;
+  // mm_audio_dedup's exact buckets miss them), banded with the
+  // corpus-size-derived [[mediaBands]] step: 4×16-bit sub-bands below
+  // 2²³ clips — pigeonhole catches hamming ≤ 3, covering the ≤ 2
+  // verify radius and closing r15's 2-band recall hole — 2×32 above
+  // (guarantee ≤ 1, the documented simhash trade). r14/r15 history:
+  // the raw energy-ORDER keys saturated however wide (347×/decade at
+  // gsf10) because count-biased bits collapsed the effective key
+  // space; the fix is key entropy + derived width, not width alone.
+  // Clips carry PLANTED near-dup clusters ([[generatePcmNd]]); the
+  // popcount verify rides the real WAV codec round trip. Oracle
+  // replays every sample, window, band and the same banded join.
   val audioNearDup = Q(
     "mm_audio_neardup",
-    Some("""
+    Some(s"""
       WITH clips AS (
-        SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS nch,
-               (doc_id % 500 + 100) - (doc_id % 500 + 100) % (doc_id % 2 + 1) AS n
+        SELECT doc_id, doc_id // 4 AS cl, doc_id % 4 AS r,
+               CAST((doc_id // 4) % 2 + 1 AS BIGINT) AS nch,
+               128 + ((doc_id // 4) * 131071) % 512 AS ns
         FROM documents),
       ch0 AS (
-        SELECT doc_id, j // nch AS s, n // nch AS ns,
-               (doc_id*7 + j*13) % 4001 - 2000 AS v
-        FROM clips, UNNEST(RANGE(0, n)) AS t(j)
-        WHERE j % nch = 0),
+        SELECT doc_id, ns, j // nch AS s,
+               CASE WHEN r >= 1 AND ((j // nch) * 64) // ns = (r * 19) % 64
+                    THEN (hh % 4001 - 2000) * 3
+                    ELSE hh % 4001 - 2000
+               END AS v
+        FROM (
+          SELECT doc_id, ns, nch, r, j,
+                 ((cl*48271 + j*16807 + 11) % 2147483647)
+               * ((cl*48271 + j*16807 + 11) % 2147483647) % 2147483647 AS hh
+          FROM clips, UNNEST(RANGE(0, ns * nch)) AS t(j)
+          WHERE j % nch = 0)),
       wins AS (
-        SELECT doc_id, (s * 32) // ns AS w, SUM(v * v) AS e
-        FROM ch0 GROUP BY doc_id, (s * 32) // ns),
+        SELECT doc_id, (s * 64) // ns AS w, SUM(v * v) AS e, COUNT(*) AS c
+        FROM ch0 GROUP BY doc_id, (s * 64) // ns),
       bits AS (
         SELECT l.doc_id,
-               CASE WHEN l.e > r.e THEN (1::BIGINT << l.w) ELSE 0 END AS bv
-        FROM wins l JOIN wins r ON r.doc_id = l.doc_id AND r.w = (l.w + 1) % 32),
+               CASE WHEN l.e * rr.c > rr.e * l.c THEN
+                 CASE WHEN l.w = 63 THEN -9223372036854775807 - 1
+                      ELSE (1::BIGINT << l.w) END
+               ELSE 0 END AS bv
+        FROM wins l JOIN wins rr ON rr.doc_id = l.doc_id AND rr.w = (l.w + 1) % 64),
       hashes AS (SELECT doc_id, SUM(bv)::BIGINT AS fp FROM bits GROUP BY doc_id),
+      $mediaBandsSqlCte,
       bands AS (
-        SELECT doc_id, fp, b.i AS band, (fp >> (16 * b.i)) & 65535 AS bval
-        FROM hashes, UNNEST(RANGE(0, 2)) AS b(i)),
+        SELECT doc_id, fp, b.i AS band,
+               (fp >> ((64 // nb) * b.i)) & ((1::BIGINT << (64 // nb)) - 1) AS bval
+        FROM hashes, mb, UNNEST(RANGE(0, nb)) AS b(i)),
       cand AS (
         SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
                BIT_COUNT(XOR(a.fp, b.fp)) AS ham
@@ -1345,19 +1466,20 @@ object Multimodal {
   ) { t =>
     val spark = t.spark
     import spark.implicits._
+    val nb = mediaBands(t.documents.count())
+    val wb = 64 / nb
     val hashes = t.documents.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
-        val channels = (id % 2 + 1).toInt
-        val n = (id % 500 + 100).toInt
-        val clip = WavCodec.decode(WavCodec.encode(generatePcm(id, channels, n)))
-        AudioFp(id, audioFp32Of(clip))
+        val clip = WavCodec.decode(WavCodec.encode(generatePcmNd(id)))
+        AudioFp(id, audioNdFpOf(clip))
       })
       .toDF()
     val bands = hashes
       .select(col("media_id"), col("fp"),
-        explode(sequence(lit(0), lit(1))).as("band"))
+        explode(sequence(lit(0), lit(nb - 1))).as("band"))
       .withColumn("bval",
-        expr("shiftrightunsigned(fp, 16 * band)").bitwiseAND(lit(65535L)))
+        expr(s"shiftrightunsigned(fp, $wb * band)")
+          .bitwiseAND(lit((1L << wb) - 1)))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("b.band") === col("a.band") && col("b.bval") === col("a.bval") &&
@@ -1374,64 +1496,76 @@ object Multimodal {
         .cast(LongType).as("id_checksum"))
   }
 
-  final case class FrameSig(media_id: Long, nf: Long, f: Long, sig: Long)
+  final case class FrameHash(media_id: Long, nf: Long, f: Long, dhash: Long)
 
   // mm_video_neardup — near-duplicate CLIPS, completing the banding
   // family on the video lane (mm_video_dedup's temporal-polynomial key
   // is order-sensitive and EXACT: a one-frame re-encode bit flip misses
-  // entirely). Bands are the per-frame spatial signatures AT THEIR FRAME
-  // INDEX: two clips become candidates when any frame index carries the
-  // same signature in both (an equi-join on (f, sig) — never all-pairs),
-  // and the verify is FRAME-MAJORITY: same frame count and more than
-  // half the frames' signatures agree. The candidate equi-join itself
-  // counts the agreements — each shared (f, sig) is exactly one joined
-  // row, so the verify is a COUNT over the join output, no second pass
-  // over the clips. Band-width caveat (the mm_audio_neardup honesty
-  // note applies): the per-frame signature is 8 bits, so buckets are
-  // coarse at extreme corpus sizes — production banding runs the same
-  // shape over 64-bit per-frame dHashes (mm_image_dedup's) with 16-bit
-  // sub-bands; the plan is identical, only the key widens. Oracle
-  // replays every luma byte, row sum and signature bit from the shared
-  // Y4M generator, then the same banded join.
+  // entirely). Each decoded frame carries a 64-bit luma dHash
+  // ([[lumaDhashOf]]); candidates equi-join on (frame count, frame
+  // index, sub-band, sub-band value) with the corpus-size-derived
+  // [[mediaBands]] widths — never all-pairs, and the frame count rides
+  // the key because the verify requires it anyway (a different-length
+  // clip can never pass the majority rule, so those pairs are pruned
+  // at the candidate stage, not after the shuffle). The verify is
+  // FRAME-MAJORITY: same frame
+  // count and more than half the frame pairs within hamming ≤ 3, the
+  // radius 4×16 sub-bands guarantee by pigeonhole (above the 2²³ step,
+  // 2×32 bands guarantee ≤ 1 — the documented trade). r14/r15 history:
+  // the 8- then 16-bit row/column signature keys collapsed to the
+  // generator's ~750 phase classes and read 71×/decade at gsf10 —
+  // entropy + derived width, like the audio lane. Clips carry PLANTED
+  // near-dup clusters ([[generateLumaNd]]); hashing rides the real Y4M
+  // codec round trip. Oracle replays every luma byte, cell, gradient
+  // bit and the same banded join.
   val videoNearDup = Q(
     "mm_video_neardup",
-    Some("""
+    Some(s"""
       WITH clips AS (
-        SELECT doc_id, 8 + (doc_id % 3) * 4 AS w, 8 AS h, doc_id % 4 + 2 AS nf
+        SELECT doc_id, doc_id // 4 AS cl, doc_id % 4 AS r,
+               8 + ((doc_id // 4) % 3) * 4 AS w, 8 AS h,
+               (doc_id // 4) % 4 + 2 AS nf
         FROM documents),
       px AS (
-        SELECT doc_id, w, h, nf, f, p // w AS r, ((p % w) * 8) // w AS cb,
-               (doc_id * 7 + (f * w * h + p) * 13) % 251 AS v
-        FROM clips, UNNEST(RANGE(0, nf)) AS t(f), UNNEST(RANGE(0, w * h)) AS t2(p)),
-      rows_ AS (
-        SELECT doc_id, nf, f, r, SUM(v) AS rs
-        FROM px GROUP BY doc_id, nf, f, r),
+        SELECT doc_id, w, h, nf, f, p // w AS y, p % w AS x,
+               CASE WHEN r >= 1 AND f = (r - 1) % nf AND p % w < 2
+                    THEN (hh % 251 + 101) % 251
+                    ELSE hh % 251
+               END AS v
+        FROM (
+          SELECT doc_id, w, h, nf, r, f, p,
+                 ((cl*48271 + (f*w*h + p)*16807 + 11) % 2147483647)
+               * ((cl*48271 + (f*w*h + p)*16807 + 11) % 2147483647) % 2147483647 AS hh
+          FROM clips, UNNEST(RANGE(0, nf)) AS t(f), UNNEST(RANGE(0, w * h)) AS t2(p))),
+      cells AS (
+        SELECT doc_id, nf, f, y*8//h AS gy, x*8//w AS gx, SUM(v)//COUNT(*) AS a
+        FROM px GROUP BY doc_id, nf, f, y*8//h, x*8//w),
       bits AS (
         SELECT l.doc_id, l.nf, l.f,
-               CASE WHEN l.rs > rr.rs THEN (1::BIGINT << l.r) ELSE 0 END AS bv
-        FROM rows_ l JOIN rows_ rr
-          ON rr.doc_id = l.doc_id AND rr.f = l.f AND rr.r = (l.r + 1) % 8),
-      cols_ AS (
-        SELECT doc_id, nf, f, cb, SUM(v) AS cs
-        FROM px GROUP BY doc_id, nf, f, cb),
-      cbits AS (
-        SELECT l.doc_id, l.f,
-               CASE WHEN l.cs > rr.cs THEN (1::BIGINT << l.cb) ELSE 0 END AS bv
-        FROM cols_ l JOIN cols_ rr
-          ON rr.doc_id = l.doc_id AND rr.f = l.f AND rr.cb = (l.cb + 1) % 8),
-      sigs AS (
-        SELECT r.doc_id, r.nf, r.f, r.sig + 256 * c.sig AS sig
-        FROM (SELECT doc_id, nf, f, SUM(bv) AS sig
-              FROM bits GROUP BY doc_id, nf, f) r
-        JOIN (SELECT doc_id, f, SUM(bv) AS sig
-              FROM cbits GROUP BY doc_id, f) c
-          ON c.doc_id = r.doc_id AND c.f = r.f),
+               CASE WHEN l.a > rr.a THEN
+                 CASE WHEN l.gy*8 + l.gx = 63 THEN -9223372036854775807 - 1
+                      ELSE (1::BIGINT << (l.gy*8 + l.gx)) END
+               ELSE 0 END AS bv
+        FROM cells l JOIN cells rr ON rr.doc_id = l.doc_id AND rr.f = l.f
+                                  AND rr.gy = l.gy AND rr.gx = (l.gx + 1) % 8),
+      hashes AS (
+        SELECT doc_id, nf, f, SUM(bv)::BIGINT AS dhash
+        FROM bits GROUP BY doc_id, nf, f),
+      $mediaBandsSqlCte,
+      bands AS (
+        SELECT doc_id, nf, f, dhash, b.i AS band,
+               (dhash >> ((64 // nb) * b.i)) & ((1::BIGINT << (64 // nb)) - 1) AS bval
+        FROM hashes, mb, UNNEST(RANGE(0, nb)) AS b(i)),
+      fcand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.nf AS nfi, b.nf AS nfj,
+               a.f AS f, BIT_COUNT(XOR(a.dhash, b.dhash)) AS ham
+        FROM bands a JOIN bands b
+          ON b.nf = a.nf AND b.f = a.f AND b.band = a.band
+         AND b.bval = a.bval AND b.doc_id > a.doc_id),
       cand AS (
-        SELECT a.doc_id AS i, b.doc_id AS j, a.nf AS nfi, b.nf AS nfj,
-               COUNT(*) AS matches
-        FROM sigs a JOIN sigs b
-          ON b.f = a.f AND b.sig = a.sig AND b.doc_id > a.doc_id
-        GROUP BY a.doc_id, b.doc_id, a.nf, b.nf)
+        SELECT i, j, nfi, nfj,
+               COUNT(CASE WHEN ham <= 3 THEN 1 END) AS matches
+        FROM fcand GROUP BY i, j, nfi, nfj)
       SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
              CAST(COUNT(CASE WHEN nfi = nfj AND matches * 2 > nfi THEN 1 END)
                AS BIGINT) AS n_neardup,
@@ -1444,28 +1578,40 @@ object Multimodal {
   ) { t =>
     val spark = t.spark
     import spark.implicits._
+    val nb = mediaBands(t.documents.count())
+    val wb = 64 / nb
     val sigs = t.documents.select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
-        val w = (8 + (id % 3) * 4).toInt
+        val cl = id / 4
+        val r = (id % 4).toInt
+        val w = (8 + (cl % 3) * 4).toInt
         val h = 8
-        val nf = (id % 4 + 2).toInt
+        val nf = (cl % 4 + 2).toInt
         val clip = Y4mCodec.decode(Y4mCodec.encode(w, h, 30, 1,
-          (0 until nf).map(f => generateLuma(id, w, h, f))))
+          (0 until nf).map(f => generateLumaNd(cl, r, w, h, f, nf))))
         clip.frames.iterator.zipWithIndex.map { case (fr, f) =>
-          // 16-bit band key: row signature | column signature << 8
-          FrameSig(id, nf.toLong, f.toLong,
-            frameSigOf(fr, clip.width, clip.height) |
-              (frameColSigOf(fr, clip.width, clip.height) << 8))
+          FrameHash(id, nf.toLong, f.toLong,
+            lumaDhashOf(fr, clip.width, clip.height))
         }
       })
       .toDF()
-    val cand = sigs.as("a")
-      .join(sigs.as("b"),
-        col("b.f") === col("a.f") && col("b.sig") === col("a.sig") &&
+    val bands = sigs
+      .select(col("media_id"), col("nf"), col("f"), col("dhash"),
+        explode(sequence(lit(0), lit(nb - 1))).as("band"))
+      .withColumn("bval",
+        expr(s"shiftrightunsigned(dhash, $wb * band)")
+          .bitwiseAND(lit((1L << wb) - 1)))
+    val fcand = bands.as("a")
+      .join(bands.as("b"),
+        col("b.nf") === col("a.nf") && col("b.f") === col("a.f") &&
+          col("b.band") === col("a.band") && col("b.bval") === col("a.bval") &&
           col("b.media_id") > col("a.media_id"))
-      .groupBy(col("a.media_id").as("i"), col("b.media_id").as("j"),
-        col("a.nf").as("nfi"), col("b.nf").as("nfj"))
-      .agg(count(lit(1)).as("matches"))
+      .select(col("a.media_id").as("i"), col("b.media_id").as("j"),
+        col("a.nf").as("nfi"), col("b.nf").as("nfj"), col("a.f").as("f"),
+        expr("bit_count(a.dhash ^ b.dhash)").cast(LongType).as("ham"))
+      .distinct()
+    val cand = fcand.groupBy(col("i"), col("j"), col("nfi"), col("nfj"))
+      .agg(count(when(col("ham") <= 3, 1)).as("matches"))
     val near = col("nfi") === col("nfj") && col("matches") * 2 > col("nfi")
     cand.agg(
       count(lit(1)).as("n_candidates"),
@@ -1640,8 +1786,8 @@ object Multimodal {
   // clips that are mostly STATIC (screen recordings idling, slate
   // cards, stuck encoders) before captioning, and flags brightness
   // instability. Per decoded frame: the luma sum (brightness) and the
-  // 8-bit row signature ([[frameSigOf]] — shared with mm_video_neardup
-  // and the dedup key); per clip: frozen transitions (consecutive
+  // 8-bit row signature ([[frameSigOf]] — shared with mm_video_dedup's
+  // temporal key); per clip: frozen transitions (consecutive
   // frames whose signatures MATCH — the cheap static-content screen a
   // production pipeline runs before any byte compare) and total
   // flicker (absolute brightness step between consecutive frames).

@@ -303,28 +303,67 @@ class CodecSpec extends AnyFunSuite {
       Codecs.Pcm(2, 8000, out)
     }
     assert(audioFpOf(stereo) === fp0, "channel-1 content leaked into the key")
-    // the 32-window near-dup fingerprint carries the same invariances
-    import graft.multimodal.Multimodal.audioFp32Of
-    val fp32 = audioFp32Of(mono)
-    assert(audioFp32Of(louder) === fp32, "32-window: gain leaked")
-    assert(audioFp32Of(stereo) === fp32, "32-window: channel-1 leaked")
-    assert((fp32 >>> 32) === 0L, "32-window fp must fit 32 bits")
+    // the 64-window count-normalized near-dup fingerprint carries the
+    // same invariances (cross-multiplied comparisons: gain scales every
+    // window energy equally, and channel-1 samples never enter)
+    import graft.multimodal.Multimodal.audioNdFpOf
+    val big = Codecs.generatePcm(5L, 1, 320)
+    val fp64 = audioNdFpOf(big)
+    val bigLoud = Codecs.Pcm(1, 8000, big.samples.map(s => (s * 3).toShort))
+    assert(audioNdFpOf(bigLoud) === fp64, "64-window: gain leaked")
+    val bigStereo = {
+      val out = new Array[Short](big.samples.length * 2)
+      for (i <- big.samples.indices) {
+        out(2 * i) = big.samples(i)
+        out(2 * i + 1) = 987.toShort
+      }
+      Codecs.Pcm(2, 8000, out)
+    }
+    assert(audioNdFpOf(bigStereo) === fp64, "64-window: channel-1 leaked")
+    // count normalization: two windows of DIFFERENT sample counts but
+    // identical per-sample energy must compare equal on both sides
+    // (raw sums would make the longer window always win) — 96 samples
+    // over 64 windows gives a 1/2-count pattern; a constant signal
+    // must fingerprint to 0
+    val const = Codecs.Pcm(1, 8000, Array.fill[Short](96)(500))
+    assert(audioNdFpOf(const) === 0L, "count bias leaked into the key")
   }
 
-  test("column signature: brightness-shift invariant, transpose-sensitive") {
-    import graft.multimodal.Multimodal.{frameColSigOf, frameSigOf}
+  test("near-dup clip synthesis: planted variants sit at hamming <= 2") {
+    import graft.multimodal.Multimodal.{audioNdFpOf, generatePcmNd}
+    // ids 40..43 form one cluster: id 40 is the base, 41..43 re-gain one
+    // window each — every planted pair must sit within the verify radius
+    val fps = (40L to 43L).map(id => audioNdFpOf(generatePcmNd(id)))
+    for (a <- 0 until 4; b <- a + 1 until 4) {
+      val ham = java.lang.Long.bitCount(fps(a) ^ fps(b))
+      if (a == 0)
+        assert(ham <= 2, s"base-variant pair $a/$b at hamming $ham")
+    }
+    // different clusters must not share the fingerprint (content mixes
+    // the cluster through two residue channels)
+    val other = audioNdFpOf(generatePcmNd(80L))
+    assert(other !== fps(0), "cross-cluster fingerprint collision")
+  }
+
+  test("luma dHash: brightness-shift invariant, structure-sensitive") {
+    import graft.multimodal.Multimodal.{frameSigOf, lumaDhashOf}
     val w = 16; val h = 8
-    val fr = Array.tabulate(w * h)(p => ((p * 37 + 11) % 251).toByte)
-    val cs0 = frameColSigOf(fr, w, h)
-    // a uniform brightness shift moves every column-band sum equally
+    val fr = Array.tabulate(w * h)(p => ((p * 37 + 11) % 200).toByte)
+    val d0 = lumaDhashOf(fr, w, h)
+    // a uniform brightness shift moves every cell average equally
     val brighter = fr.map(b => ((b & 0xff) + 3).toByte)
-    assert(frameColSigOf(brighter, w, h) === cs0, "brightness leaked")
-    assert((cs0 >>> 8) === 0L, "column signature must fit 8 bits")
-    // rows and columns see DIFFERENT structure: a frame constant along
-    // rows but varying across columns flips exactly one of the two
+    assert(lumaDhashOf(brighter, w, h) === d0, "brightness leaked")
+    // the 64-bit key sees structure the 8-bit row signature cannot: a
+    // frame constant along rows but ramping across columns has equal
+    // row sums (sig 0) yet non-trivial column gradients
     val colRamp = Array.tabulate(w * h)(p => (((p % w) * 8) % 251).toByte)
     assert(frameSigOf(colRamp, w, h) === 0L, "row sums are equal here")
-    assert(frameColSigOf(colRamp, w, h) !== 0L, "column ramp missed")
+    assert(lumaDhashOf(colRamp, w, h) !== 0L, "column ramp missed")
+    // a one-pixel edit flips at most a few gradient bits, never the key
+    // space (the near-dup contract)
+    val edited = fr.clone(); edited(5) = ((fr(5) & 0xff) + 40).toByte
+    val ham = java.lang.Long.bitCount(lumaDhashOf(edited, w, h) ^ d0)
+    assert(ham <= 4, s"local edit moved $ham bits")
   }
 
   test("video fingerprint: brightness-shift invariant, frame-order sensitive") {
