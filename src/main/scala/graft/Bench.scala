@@ -349,7 +349,15 @@ object Bench {
     // would spin forever — report unmeasurable instead
     if (firstBytes == 0L) return (-1.0, -1.0)
     var warmRead = 0L
-    while (warmRead < warmBytes) warmRead += sweep(capBytes)
+    var warmStuck = false
+    while (warmRead < warmBytes && !warmStuck) {
+      val got = sweep(capBytes)
+      // files truncated to zero between passes (the first-sweep guard
+      // only covers the cold pass): bail out with the partial
+      // measurement instead of spinning forever (r15 ADVICE)
+      if (got == 0L) warmStuck = true else warmRead += got
+    }
+    if (warmRead == 0L) return (-1.0, -1.0)
     val t2 = System.nanoTime()
     def mbps(bytes: Long, nanos: Long): Double =
       (bytes / 1048576.0) / math.max(nanos / 1e9, 1e-9)

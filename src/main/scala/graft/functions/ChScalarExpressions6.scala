@@ -226,9 +226,14 @@ case class ChNormalizeExpr(child: Expression, mode: Int)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
     ChScalarKernels6.normalizeArr(v.asInstanceOf[ArrayData], mode)
+  // nullSafeCodeGen, not defineCodeGen: normalizeArr returns null for a
+  // null ELEMENT, and defineCodeGen would leave ev.isNull=false with a
+  // null ArrayData — an NPE in the UnsafeRow writer under whole-stage
+  // codegen (the interpreted path was correct, masking it; r15 ADVICE)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      a => s"graft.functions.ChScalarKernels6.normalizeArr($a, $mode)")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.ChScalarKernels6.normalizeArr($a, $mode);
+         if (${ev.value} == null) { ${ev.isNull} = true; }""")
   override protected def withNewChildInternal(c: Expression)
     : ChNormalizeExpr = copy(child = c)
 }

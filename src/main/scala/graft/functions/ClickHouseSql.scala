@@ -4741,10 +4741,19 @@ object ClickHouseSql {
       "end", "and", "or", "not", "where", "by", "on", "using", "in",
       "like", "ilike", "between", "all", "distinct", "union", "from",
       "join", "over", "having", "limit", "offset", "escape", "return",
-      "returning", "if", "elseif", "is", "xor", "div", "mod")
+      "returning", "if", "elseif", "is", "xor", "div", "mod",
+      // expression-introducing keywords inside definition lists: a
+      // `DEFAULT char(72, 105)` column default is a CALL even though
+      // the previous token is a bare identifier (r15 ADVICE); VALUES
+      // rows are expression context for the same reason
+      "default", "values")
     def typePosition(i: Int): Boolean = ts.lift(i - 1).exists { p =>
-      p.text.matches("[A-Za-z_][A-Za-z0-9_]*") &&
-        !exprKeywords.contains(p.lower)
+      // a preceding ':' is the tail of a '::' cast — `x::CHAR(3)` is a
+      // TYPE slot even though no bare identifier precedes (r15 ADVICE:
+      // classifying it as a call spliced chChar into the cast)
+      p.text == ":" ||
+        (p.text.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+          !exprKeywords.contains(p.lower))
     }
     val sb = new StringBuilder(sqlText)
     // right-to-left so earlier token offsets stay valid as we splice

@@ -756,6 +756,17 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     // would fabricate 0.0 and normalize garbage (r15 review)
     assert(one("L2Normalize(array(CAST(3.0 AS DOUBLE), " +
       "CAST(NULL AS DOUBLE)))") === null)
+    // same contract through WHOLE-STAGE CODEGEN (non-foldable input —
+    // the constant-folded form above runs the interpreted eval, which
+    // masked the r15 ADVICE bug: defineCodeGen left isNull=false on a
+    // null ArrayData and NPE'd in the UnsafeRow writer)
+    val cg = graft.functions.ClickHouseSql.sql(spark,
+      "SELECT id, L2Normalize(CASE WHEN id = 1 THEN " +
+        "array(CAST(3.0 AS DOUBLE), CAST(NULL AS DOUBLE)) ELSE " +
+        "array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE)) END) AS n " +
+        "FROM range(2) ORDER BY id").collect()
+    assert(cg(0).getSeq[Double](1) === Seq(0.6, 0.8))
+    assert(cg(1).isNullAt(1), "codegen path must surface the null-element NULL")
     // the char()-as-TYPE guard is positional, not statement-prefix:
     // CTAS still splices the byte-assembling call, a column-def list
     // does not (spliced there it would corrupt the type)
@@ -765,6 +776,14 @@ class ClickHouseFunctionsSpec extends SparkSpec {
     assert(!graft.functions.ClickHouseSql
       .rewrite("CREATE TABLE t3 (c CHAR(5)) USING parquet", _ => Nil)
       .contains("chChar"))
+    // a '::' cast's type slot is not a call even though no bare
+    // identifier precedes it, and DEFAULT re-opens expression context
+    // inside a definition list (r15 ADVICE, both directions)
+    assert(!graft.functions.ClickHouseSql
+      .rewrite("SELECT x::CHAR(3) FROM t4", _ => Nil).contains("chChar"))
+    assert(graft.functions.ClickHouseSql
+      .rewrite("CREATE TABLE t5 (c STRING DEFAULT char(72, 105)) USING parquet",
+        _ => Nil).contains("chChar"))
     // UTC rebase pair (CH's Spark-compat aliases): Jan = UTC-5 in NY
     assert(one("CAST(fromUTCTimestamp(toDateTime('2024-01-01 00:00:00')," +
       " 'America/New_York') AS STRING)").toString ===
