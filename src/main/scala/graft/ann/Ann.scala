@@ -278,32 +278,76 @@ object Ann {
       transform(col("embedding"),
         x => floor(x.cast(DoubleType) * 1024).cast(DoubleType)).as("qv"))
 
+  /** Argmin-cell assignment of (vec_id, qv) rows against a COLLECTED
+    * centroid matrix — the assignment kernel for corpus-derived cell
+    * counts. The join-then-aggregate shape materializes n·C wide rows
+    * (two d-element arrays each) through the exchange — ~100 GB at
+    * gsf10's 200k × 512 — where the actual work is n·C·d flops; this
+    * runs them at memory speed inside one mapPartitions over a
+    * model-sized broadcast (C·d doubles, the documented
+    * broadcast-dimension contract). Bit-identical to the join form:
+    * same left-to-right (a−b)² accumulation as the Dist2Expr kernel
+    * (exact: the grid values and the rational centroid components are
+    * double-representable), ties broken to the lowest cid by iterating
+    * the cid-sorted matrix with a strict `<`.
+    */
+  private def assignCells(emb: DataFrame,
+    centroids: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sorted = centroids.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(sorted)
+    emb.select(col("vec_id"), col("qv")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, qv) =>
+          var best = 0L
+          var bd = Double.MaxValue
+          var i = 0
+          while (i < cs.length) {
+            val cv = cs(i)._2
+            var d = 0.0
+            var k = 0
+            while (k < qv.length) {
+              val x = qv(k) - cv(k)
+              d += x * x
+              k += 1
+            }
+            if (d < bd) { bd = d; best = cs(i)._1 }
+            i += 1
+          }
+          (id, best, qv)
+        }
+      }
+      .toDF("vec_id", "cell", "qv")
+  }
+
   /** Trained coarse-quantizer centroids (cid, cv) — memoized; also read
     * directly by the residual-coding index (ann_ivfpq_residual).
     * Persisted + registered: cells and probes are separate output frames
     * that both embed this training sub-plan — without the persist the
-    * quantizer would train once per frame materialization.
+    * quantizer would train once per frame materialization. The Lloyd
+    * assignment pass runs on the [[assignCells]] kernel (the init
+    * matrix is the first C grid vectors, collected — model-sized), so
+    * training moves n·C·d flops, never n·C joined rows.
     */
   private def ivfCentroids(t: Tables, c: Int): DataFrame = {
     val emb = ivfEmb(t)
-    // init: first C vectors; one Lloyd step with exact-integer averages
-    val init = emb.filter(col("vec_id") < c)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    val assigned0 = emb.join(broadcast(init))
-      .select(col("vec_id"), col("qv"), col("cid"),
-        dist2(col("qv"), col("cv")).as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"),
-        first(col("qv")).as("qv"))
-    graft.PersistCache.getOrElseUpdate(t.spark, s"${t.dir}#ivf-cents-$c")(
-      assigned0
-        .select(col("cid"), posexplode(col("qv")))
+    graft.PersistCache.getOrElseUpdate(t.spark, s"${t.dir}#ivf-cents-$c") {
+      // init: first C grid vectors, collected (C·d doubles, model-sized);
+      // one Lloyd step with exact-integer averages
+      val init = emb.filter(col("vec_id") < c)
+        .select(col("vec_id"), col("qv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      assignCells(emb, init)
+        .select(col("cell").as("cid"), posexplode(col("qv")))
         .groupBy(col("cid"), col("pos"))
         .agg((sum(col("col").cast(LongType)).cast(DoubleType) / count(lit(1))).as("cv_i"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv_i")))),
           e => e.getField("cv_i")).as("cv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
   }
 
   private def ivfIndexBuild(t: Tables, c: Int, nprobe: Int): (DataFrame, DataFrame) = {
@@ -1537,14 +1581,13 @@ $pivots
     */
   private[graft] def knnAssigned(t: Tables): DataFrame =
     graft.PersistCache.getOrElseUpdate(t.spark, t.dir + "#knn-assigned") {
-      val emb = ivfEmb(t)
-      val centroids = ivfCentroids(t, knnCells(t))
-      emb.join(broadcast(centroids))
-        .select(col("vec_id"), col("qv"), col("cid"),
-          dist2(col("qv"), col("cv")).as("dist"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cell"),
-          first(col("qv")).as("qv"))
+      // trained centroids collected (knnCells·d doubles, model-sized)
+      // and assigned through the kernel — the broadcast-join form moved
+      // n·cells wide rows through the exchange, which with the
+      // corpus-derived cell count is itself an n² data volume
+      val cents = ivfCentroids(t, knnCells(t)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      assignCells(ivfEmb(t), cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
