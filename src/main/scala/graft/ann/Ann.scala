@@ -1385,19 +1385,21 @@ $pivots
     // is quadratic in cell population, so cells scale with the clustered
     // (twinned) corpus — at the gate SFs this resolves to 16, sharing the
     // memoized IVF quantizer
-    val centroids = ivfCentroids(t, cellsFor(2L * t.embeddings.count()))
+    val cents = ivfCentroids(t, cellsFor(2L * t.embeddings.count()))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     // three consumers (both sides of the in-cell pair join + the verdict
     // join) — pin the vector-grain assignment so the quantize pass runs
     // ONCE; Pin.pinned (persist MEMORY_AND_DISK + eager count) rather
     // than relying on plan reuse, so a cache-evicted memoized quantizer
     // cannot silently triple the cost (the r10/r11 driver-bench
-    // hypothesis), and lineage survives executor loss at cluster scale
-    val assigned = graft.plans.Pin.pinned(twins.join(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        dist2(col("qv"), col("cv")).as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cell"),
-        first(col("embedding")).as("embedding")))
+    // hypothesis), and lineage survives executor loss at cluster scale.
+    // Assignment rides the assignCells kernel (r16): the broadcast-join
+    // form moved 2n·cells wide rows through the exchange, an n² data
+    // volume under the corpus-derived cell dial; embeddings join back
+    // id-keyed (linear) for the in-cell cosine verify.
+    val assigned = graft.plans.Pin.pinned(
+      assignCells(twins, cents).select(col("vec_id"), col("cell"))
+        .join(twins.select(col("vec_id"), col("embedding")), "vec_id"))
     val dup = assigned.as("a")
       .join(assigned.as("b"), col("a.cell") === col("b.cell") &&
         col("b.vec_id") < col("a.vec_id"))
