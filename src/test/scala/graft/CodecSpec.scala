@@ -339,10 +339,47 @@ class CodecSpec extends AnyFunSuite {
       if (a == 0)
         assert(ham <= 2, s"base-variant pair $a/$b at hamming $ham")
     }
-    // different clusters must not share the fingerprint (content mixes
-    // the cluster through two residue channels)
+    // different clusters must not share the fingerprint (the squared
+    // seed mix diffuses per cluster)
     val other = audioNdFpOf(generatePcmNd(80L))
     assert(other !== fps(0), "cross-cluster fingerprint collision")
+    // video lane: a variant perturbs exactly ONE frame, so every other
+    // frame's dHash is identical to the base clip's
+    import graft.multimodal.Multimodal.{generateLumaNd, lumaDhashOf}
+    val cl = 10L; val w = 12; val h = 8; val nf = (cl % 4 + 2).toInt
+    val base = (0 until nf).map(f => lumaDhashOf(generateLumaNd(cl, 0, w, h, f, nf), w, h))
+    val vari = (0 until nf).map(f => lumaDhashOf(generateLumaNd(cl, 2, w, h, f, nf), w, h))
+    val touched = (2 - 1) % nf
+    (0 until nf).foreach { f =>
+      if (f != touched) assert(vari(f) === base(f), s"untouched frame $f drifted")
+    }
+    assert(base.toSet.size > 1 || nf == 1, "frames should differ across indexes")
+  }
+
+  test("media banding: corpus-size step and the pigeonhole recall guarantee") {
+    import graft.multimodal.Multimodal.mediaBands
+    assert(mediaBands(0L) === 4)
+    assert(mediaBands(8388607L) === 4)
+    assert(mediaBands(8388608L) === 2)
+    // pigeonhole: ANY two 64-bit keys within hamming ≤ 3 share at least
+    // one intact 16-bit sub-band under the 4-band split — the stated
+    // recall guarantee covering the audio ≤2 and video ≤3 verify radii
+    // (deterministic LCG pairs, 0–3 flipped bits each)
+    var seed = 42L
+    def next(): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L; seed
+    }
+    for (_ <- 0 until 2000) {
+      val a = next()
+      var b = a
+      val flips = (math.floorMod(next(), 4L)).toInt
+      for (_ <- 0 until flips) b ^= 1L << math.floorMod(next(), 64L).toInt
+      val shares = (0 until 4).exists { band =>
+        ((a >>> (16 * band)) & 0xffffL) == ((b >>> (16 * band)) & 0xffffL)
+      }
+      assert(shares,
+        s"hamming-${java.lang.Long.bitCount(a ^ b)} pair missed by 4×16 banding")
+    }
   }
 
   test("luma dHash: brightness-shift invariant, structure-sensitive") {
