@@ -1569,4 +1569,75 @@ object Streams {
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** One arriving order for the streaming Pareto front. */
+  final case class OrderRow(o_orderpriority: String, o_orderkey: Long,
+    o_totalprice: Double, o_orderdate: Timestamp)
+
+  /** Per-priority front stats — q121_skyline's output row, refreshed
+    * per batch that touches the priority.
+    */
+  final case class SkylineFront(o_orderpriority: String, front_size: Long,
+    first_key: Long, front_price_cents: Long)
+
+  /** Streaming Pareto front — q121_skyline's online twin: per priority
+    * class, state is the CURRENT front under the same staircase
+    * invariant the batch SkylinePerGroupExec maintains (rows ordered by
+    * (price asc, date desc, key asc), dominance dates strictly
+    * increasing along it). An arriving order is dominated iff the
+    * greatest kept row before it in that order carries a date ≥ its
+    * own; admitting it prunes the contiguous now-dominated run after
+    * it. State is FRONT-sized (E ≈ ln n for exchangeable arrivals),
+    * never stream-sized, and needs no watermark: a skyline is a
+    * monotone set function, so the front only refines. The staircase is
+    * the skyline of the inserted SET — arrival and batch-boundary
+    * independent — so the last emitted row per priority equals the
+    * batch q121 result over the same orders (spec-pinned). Cents ride
+    * BigDecimal HALF_UP × 100 — the batch DECIMAL(18,2) convention.
+    */
+  def skylineStream(orders: Dataset[OrderRow]): Dataset[SkylineFront] = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+
+    // state rows: (price, dateMicros, key), kept in staircase order
+    val ord: Ordering[(Double, Long, Long)] =
+      Ordering.by(t => (t._1, -t._2, t._3))
+
+    def update(key: String, it: Iterator[OrderRow],
+      state: GroupState[Seq[(Double, Long, Long)]]): Iterator[SkylineFront] = {
+      val stair = new java.util.TreeMap[(Double, Long, Long), Long](
+        (a: (Double, Long, Long), b: (Double, Long, Long)) => ord.compare(a, b))
+      state.getOption.getOrElse(Seq.empty).foreach(r => stair.put(r, r._2))
+      it.foreach { o =>
+        val micros = o.o_orderdate.getTime * 1000 +
+          (o.o_orderdate.getNanos / 1000) % 1000
+        val row = (o.o_totalprice, micros, o.o_orderkey)
+        val fl = stair.floorEntry(row)
+        if (fl == null || fl.getValue < micros) {
+          val tail = stair.tailMap(row, false).entrySet().iterator()
+          var stop = false
+          while (!stop && tail.hasNext) {
+            if (tail.next().getValue <= micros) tail.remove() else stop = true
+          }
+          stair.put(row, micros)
+        }
+      }
+      val front = {
+        import scala.jdk.CollectionConverters._
+        stair.keySet().iterator().asScala.toSeq
+      }
+      state.update(front)
+      val cents = front.iterator.map { r =>
+        new java.math.BigDecimal(r._1)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+      }.sum
+      Iterator.single(SkylineFront(key, front.size.toLong,
+        front.iterator.map(_._3).min, cents))
+    }
+
+    orders
+      .groupByKey(_.o_orderpriority)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 }

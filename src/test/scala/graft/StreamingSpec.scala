@@ -1251,4 +1251,56 @@ class StreamingSpec extends SparkSpec {
         .map(_.getLong(2)).sum === 5L)
     } finally q.stop()
   }
+
+  test("stream_skyline: online front equals batch q121, batch-boundary independent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the real sf0.001 orders, deterministically shuffled so arrival
+    // order shares nothing with the (price, date) staircase order
+    val rows = sf0001.orders
+      // NTZ parquet timestamps surface as LocalDateTime; the session is
+      // pinned UTC so the LTZ cast is numerically the identity
+      .selectExpr("o_orderpriority", "o_orderkey", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate")
+      .collect()
+      .map(r => Streams.OrderRow(r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getTimestamp(3)))
+      .sortBy(o => (o.o_orderkey * 2654435761L) % 100003)
+    def lastPerPriority(table: String): Map[String, (Long, Long, Long)] =
+      spark.table(table).collect().zipWithIndex
+        .groupBy(_._1.getAs[String]("o_orderpriority"))
+        .map { case (p, rs) =>
+          val r = rs.maxBy(_._2)._1
+          p -> ((r.getAs[Long]("front_size"), r.getAs[Long]("first_key"),
+            r.getAs[Long]("front_price_cents")))
+        }
+    val mem = MemoryStream[Streams.OrderRow]
+    val q = Streams.skylineStream(mem.toDS())
+      .writeStream.format("memory").queryName("sky_stream")
+      .outputMode(OutputMode.Append).start()
+    val online =
+      try {
+        rows.grouped(400).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+        }
+        lastPerPriority("sky_stream")
+      } finally q.stop()
+    // batch reference: the SkylinePerGroup-backed q121 over the same table
+    val batch = graft.operators.Shapes.q121.build(sf0001).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        ((r.getAs[Long]("front_size"), r.getAs[Long]("first_key"),
+          r.getAs[Long]("front_price_cents"))))
+      .toMap
+    assert(online === batch, "online front diverged from the batch skyline")
+    // batch-boundary independence: the whole stream in ONE batch
+    val mem2 = MemoryStream[Streams.OrderRow]
+    val q2 = Streams.skylineStream(mem2.toDS())
+      .writeStream.format("memory").queryName("sky_stream2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem2.addData(rows.toIndexedSeq: _*)
+      q2.processAllAvailable()
+      assert(lastPerPriority("sky_stream2") === batch)
+    } finally q2.stop()
+  }
 }
