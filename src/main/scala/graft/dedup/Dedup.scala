@@ -1846,6 +1846,94 @@ object Dedup {
           .cast(LongType).as("clustering_bp"))
   }
 
+  // dedup_kcore — k-core peeling of the near-dup pair graph: the DENSITY
+  // sieve that complements dedup_triangles' census. The 3-core (every
+  // member keeps ≥ 3 neighbors after all sparser nodes are removed) is
+  // where template farms live — borderline chains and isolated pairs
+  // peel away no matter how large their component is, so core membership
+  // is a sharper "boilerplate family" signal than component size.
+  // Runs R = 8 SYNCHRONIZED peeling rounds (each round drops every node
+  // whose current degree < 3, simultaneously) and reports the trajectory
+  // (nodes, edges after each round) — fixed rounds keep the operator a
+  // pure function of the pair graph that the oracle replays verbatim;
+  // equal trailing rows certify the fixpoint was reached inside the
+  // budget. Each round is one degree aggregation plus one two-sided
+  // semi-join — the same shuffle shape as a connectedComponents
+  // iteration, state is node-sized, candidate volume edge-sized; at
+  // 100 TB the serving variant runs the identical loop with an early
+  // exit on a 1-row convergence count, and peeling only ever SHRINKS
+  // the edge set, so round cost is monotone decreasing.
+  val kcore = Q(
+    "dedup_kcore",
+    Some {
+      // every k/e CTE is referenced 2–3 times by the next round; without
+      // MATERIALIZED DuckDB inlines the chain and replay goes 3^8
+      val rounds = (1 to 8).map { r =>
+        s"""
+      k$r AS MATERIALIZED (
+        SELECT src AS id FROM e${r - 1} GROUP BY src HAVING COUNT(*) >= 3),
+      e$r AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e${r - 1} e
+        JOIN k$r a ON a.id = e.src JOIN k$r b ON b.id = e.dst),
+      r$r AS (SELECT $r AS peel_round,
+                     (SELECT COUNT(*) FROM k$r) AS n_nodes,
+                     (SELECT COUNT(*) // 2 FROM e$r) AS n_edges)"""
+      }.mkString(",")
+      s"""
+      WITH $corpusSql,
+      $simhashPairsSql,
+      p AS MATERIALIZED (SELECT id1, id2 FROM spairs WHERE hamming <= 8),
+      e0 AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM p
+             UNION ALL SELECT id2, id1 FROM p),
+      $rounds
+      SELECT CAST(peel_round AS BIGINT) AS peel_round,
+             CAST(n_nodes AS BIGINT) AS n_nodes,
+             CAST(n_edges AS BIGINT) AS n_edges
+      FROM (${(1 to 8).map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")})
+      ORDER BY peel_round
+      """
+    }
+  ) { t =>
+    // The same iterative-loop discipline connectedComponents earned the
+    // hard way: localCheckpoint(true) each round (persists AND truncates
+    // lineage — without it round r's logical plan embeds round r−1
+    // THREE times and planning alone goes exponential), AQE off and
+    // shuffle partitions pinned to the graph size for the loop only,
+    // loop joins hinted SHUFFLE_HASH so no per-round broadcast job.
+    val spark = t.spark
+    import spark.implicits._
+    val pairs = simhashPairs(t).select(col("id1"), col("id2"))
+    val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (2L * pairs.count() / 500000L).toInt + 1))
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", nParts.toString)
+    try {
+      var e = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .repartition(nParts, col("src"))
+        .localCheckpoint(true)
+      val trajectory = (1 to 8).map { r =>
+        val kept = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3).select(col("id"))
+          .localCheckpoint(true)
+        e = e
+          .join(kept.withColumnRenamed("id", "src").hint("shuffle_hash"),
+            Seq("src"), "left_semi")
+          .join(kept.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+            Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+        (r.toLong, kept.count(), e.count() / 2L)
+      }
+      trajectory.toDF("peel_round", "n_nodes", "n_edges")
+        .orderBy(col("peel_round"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
+  }
+
   // dedup_winnow — winnowing fingerprints (Schleimer, Wilkerson & Aiken,
   // SIGMOD'03 — the MOSS algorithm): in every sliding window of w=4
   // consecutive shingle hashes, keep the rightmost minimum. The guarantee
@@ -2608,5 +2696,6 @@ object Dedup {
     substringDedup, substringExtents, substringClip, indexStats,
     thresholdSweep, hubRank, canonical, editDistance, similarSearch,
     triangles, detectorAgreement, winnow, componentSizes, cdc, bbit,
-    bagDedup, prefixDedup, suffixDedup, keyAgreement, canonicalQuality)
+    bagDedup, prefixDedup, suffixDedup, keyAgreement, canonicalQuality,
+    kcore)
 }

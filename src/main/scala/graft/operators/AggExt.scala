@@ -360,6 +360,85 @@ object AggExt {
       .orderBy(col("g"))
   }
 
+  // q175_join_estimate — join-size estimation by coordinated universe
+  // sampling, the planner's pre-join cardinality probe (the literature's
+  // "universe sampling" / join-synopsis estimator — sample the KEY
+  // universe, not rows, so matching tuples survive on BOTH sides):
+  // every side keeps exactly the keys whose universal hash lands below
+  // P/16, the sampled per-key frequencies join, and |A ⋈ B| ≈ 16 ·
+  // Σ f_A(k)·f_B(k) over the sampled keys. Row-level Bernoulli sampling
+  // CANNOT do this (independent row samples intersect with probability
+  // rate², collapsing the match signal); hashing the key coordinates
+  // the two samples for free, with no exchange between sides. All
+  // arithmetic is the 31-bit PortableHash family, so DuckDB reproduces
+  // the estimate bit-for-bit and the oracle checks estimator AND truth.
+  // Probed on three joins with different key anatomies: PK–FK dense
+  // (orders⋈customer), PK–FK fan-out (lineitem⋈orders), and the
+  // skew-prone part key (lineitem⋈part). Scale: the serving path is two
+  // map-side-filtered scans (15/16 of rows never reach the aggregation)
+  // into a sampled-key-sized shuffle — the estimate costs O(n/16) scan
+  // and O(|sampled keys|) state where running the join costs the full
+  // shuffle; the exact column is verification, not the serving path.
+  val q175 = Q(
+    "q175_join_estimate",
+    Some {
+      val p = graft.functions.PortableHash.P
+      val (a, b) = (graft.functions.PortableHash.coefA(11),
+        graft.functions.PortableHash.coefB(11))
+      val theta = p / 16L
+      def side(tbl: String, key: String, c: String, sampled: Boolean) =
+        s"SELECT $key AS k, COUNT(*) AS $c FROM $tbl " +
+          (if (sampled) s"WHERE ($a * ($key % $p) + $b) % $p < $theta " else "") +
+          s"GROUP BY $key"
+      def one(nm: String, ta: String, ka: String, tb: String, kb: String) =
+        s"""
+        SELECT '$nm' AS join_name,
+               (SELECT COALESCE(SUM(ca * cb), 0)
+                FROM (${side(ta, ka, "ca", false)}) x
+                JOIN (${side(tb, kb, "cb", false)}) y USING (k)) AS exact_rows,
+               16 * (SELECT COALESCE(SUM(ca * cb), 0)
+                     FROM (${side(ta, ka, "ca", true)}) x
+                     JOIN (${side(tb, kb, "cb", true)}) y USING (k)) AS est_rows"""
+      s"""
+      WITH raw AS (${one("customer_orders", "orders", "o_custkey", "customer", "c_custkey")}
+      UNION ALL ${one("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+      UNION ALL ${one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey")})
+      SELECT join_name, CAST(exact_rows AS BIGINT) AS exact_rows,
+             CAST(est_rows AS BIGINT) AS est_rows,
+             CAST(ABS(est_rows - exact_rows) * 10000 // exact_rows AS BIGINT) AS err_bp
+      FROM raw ORDER BY join_name
+    """
+    }
+  ) { t =>
+    val p = graft.functions.PortableHash.P
+    val (a, b) = (graft.functions.PortableHash.coefA(11),
+      graft.functions.PortableHash.coefB(11))
+    val theta = p / 16L
+    def cnts(df: DataFrame, key: String, c: String, sampled: Boolean): DataFrame = {
+      val k = col(key).cast(LongType)
+      val base = if (sampled) df.filter((lit(a) * (k % p) + lit(b)) % p < theta) else df
+      base.select(k.as("k")).groupBy(col("k")).agg(count(lit(1)).as(c))
+    }
+    def one(nm: String, ta: DataFrame, ka: String, tb: DataFrame, kb: String): DataFrame = {
+      val ex = cnts(ta, ka, "ca", sampled = false)
+        .join(cnts(tb, kb, "cb", sampled = false), "k")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_rows"))
+      val sm = cnts(ta, ka, "ca", sampled = true)
+        .join(cnts(tb, kb, "cb", sampled = true), "k")
+        .agg((coalesce(sum(col("ca") * col("cb")), lit(0L)) * 16L).as("est_rows"))
+      ex.crossJoin(sm).select(
+        lit(nm).as("join_name"),
+        col("exact_rows").cast(LongType).as("exact_rows"),
+        col("est_rows").cast(LongType).as("est_rows"),
+        expr("abs(est_rows - exact_rows) * 10000 div exact_rows")
+          .cast(LongType).as("err_bp"))
+    }
+    one("customer_orders", t.orders, "o_custkey", t.customer, "c_custkey")
+      .unionAll(one("lineitem_orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"))
+      .unionAll(one("lineitem_part", t.lineitem, "l_partkey", t.part, "p_partkey"))
+      .orderBy(col("join_name"))
+  }
+
   // q98_uniq_upto — ClickHouse uniqUpTo(N): exact distinct count while a
   // group stays ≤ N distinct values, saturating at N+1 ("more than N").
   // The value of the combinator is its STATE BOUND — the typed
@@ -638,5 +717,5 @@ object AggExt {
   }
 
   val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56, q86, q88, q98, q100,
-    q114, q115, q117, q118)
+    q114, q115, q117, q118, q175)
 }

@@ -336,4 +336,26 @@ class DedupSpec extends SparkSpec {
     assert(shares.sum <= 10000L)
     assert(shares.forall(s => s >= 0L && s <= 10000L))
   }
+
+  test("kcore trajectory matches an in-memory synchronized peel and certifies its fixpoint") {
+    val got = Dedup.kcore.build(sf0001).collect()
+      .map(r => (r.getAs[Long]("peel_round"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_edges")))
+      .sortBy(_._1)
+    // reference: brute-force synchronized peeling of the same pair graph
+    var edges = Dedup.simhashPairs(sf0001).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val expect = (1 to 8).map { r =>
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val kept = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => kept(e._1) && kept(e._2))
+      (r.toLong, kept.size.toLong, edges.size.toLong)
+    }
+    assert(got.toSeq === expect, s"${got.toSeq} vs $expect")
+    // the 8-round budget must certify convergence on the real graph
+    assert(got(7) === ((8L, got(6)._2, got(6)._3)))
+    // peeling only shrinks
+    assert(got.sliding(2).forall(w => w(1)._2 <= w(0)._2 && w(1)._3 <= w(0)._3))
+  }
 }

@@ -684,4 +684,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q175_join_estimate scans keys only and filters the sampled sides map-side") {
+    val plan = planOf("q175_join_estimate")
+    // every scan reads exactly its join key — the probe never drags
+    // payload columns through the estimate
+    for (k <- Seq("o_custkey:bigint", "c_custkey:bigint", "l_orderkey:bigint",
+      "l_partkey:bigint", "p_partkey:bigint", "o_orderkey:bigint"))
+      assert(plan.contains(s"ReadSchema: struct<$k>"), s"missing key-only scan $k")
+    // the universe-sample filter sits scan-side (before any aggregation):
+    // 15/16 of rows die in the mapper, never in the shuffle
+    assert(plan.contains("% 2147483647) < 134217727"), plan.take(3000))
+    // 1-row × 1-row result joins are the only nested-loop shapes allowed;
+    // no fact-sized cartesian anywhere
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
