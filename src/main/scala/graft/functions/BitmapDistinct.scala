@@ -127,6 +127,23 @@ object LongBitmap {
     java.util.Arrays.fill(a, -1L)
     a
   }
+
+  /** The compact (word, bits) form as a standalone byte array — the
+    * -State wire format shipped BETWEEN aggregation levels (Kryo's
+    * Output/Input used as plain codecs; `write`/`read` never touch
+    * their Kryo parameter).
+    */
+  def toBytes(bm: LongBitmap): Array[Byte] = {
+    val out = new Output(64, -1)
+    bm.write(null, out)
+    out.toBytes
+  }
+
+  def fromBytes(bytes: Array[Byte]): LongBitmap = {
+    val bm = new LongBitmap
+    bm.read(null, new Input(bytes))
+    bm
+  }
 }
 
 /** Typed bitmap-distinct aggregator (ClickHouse groupBitmap): exact
@@ -154,6 +171,63 @@ case class BitmapDistinct() extends Aggregator[Long, LongBitmap, Long] {
 
   override def reduce(buf: LongBitmap, id: Long): LongBitmap = {
     buf.add(id)
+    buf
+  }
+
+  override def merge(a: LongBitmap, b: LongBitmap): LongBitmap = {
+    val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+    big.orAll(small)
+    big
+  }
+
+  override def finish(buf: LongBitmap): Long = buf.cardinality
+
+  override def bufferEncoder: Encoder[LongBitmap] = Encoders.kryo[LongBitmap]
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** groupBitmapState — the -State half of ClickHouse's combinator pair
+  * (reference feeds a ClickHouse table, whose AggregateFunction columns
+  * are exactly this shape): aggregates ids to the BITMAP ITSELF in its
+  * compact byte form, not to its cardinality, so a SECOND aggregation
+  * level can union states without ever re-reading the fact rows. This
+  * is the decomposable exact-distinct that makes hierarchy rollups
+  * affordable at 100 TB: the fact table is scanned once at the finest
+  * grain, every coarser grain merges the ~10 B/word states.
+  */
+case class BitmapState() extends Aggregator[Long, LongBitmap, Array[Byte]] {
+
+  override def zero: LongBitmap = new LongBitmap
+
+  override def reduce(buf: LongBitmap, id: Long): LongBitmap = {
+    buf.add(id)
+    buf
+  }
+
+  override def merge(a: LongBitmap, b: LongBitmap): LongBitmap = {
+    val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+    big.orAll(small)
+    big
+  }
+
+  override def finish(buf: LongBitmap): Array[Byte] = LongBitmap.toBytes(buf)
+
+  override def bufferEncoder: Encoder[LongBitmap] = Encoders.kryo[LongBitmap]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** groupBitmapMerge — the -Merge half: ORs serialized [[BitmapState]]
+  * outputs and finishes with the exact distinct count. Union of exact
+  * sets is exact, so a count derived at ANY rollup level equals the
+  * count a fresh scan would have produced — the property the oracle
+  * checks level by level.
+  */
+case class BitmapMergeCount() extends Aggregator[Array[Byte], LongBitmap, Long] {
+
+  override def zero: LongBitmap = new LongBitmap
+
+  override def reduce(buf: LongBitmap, state: Array[Byte]): LongBitmap = {
+    buf.orAll(LongBitmap.fromBytes(state))
     buf
   }
 

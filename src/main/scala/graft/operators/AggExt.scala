@@ -716,6 +716,74 @@ object AggExt {
       .orderBy(col("event_type"))
   }
 
+  // q178 — reaggregatable distinct across a hierarchy (ClickHouse
+  // groupBitmapState/groupBitmapMerge over a rollup; the
+  // AggregatingMergeTree discipline of q61 applied to the one aggregate
+  // that is NOT algebraic): distinct ordering customers per
+  // (region, order month), rolled up to per-region and grand totals by
+  // MERGING the month-level bitmap states — the fact table is scanned
+  // exactly once, at the finest grain; the two coarser grains move only
+  // |regions|×|months| compact bitmaps (~10 B per 64-id word). This is
+  // the 100-TB shape for COUNT(DISTINCT) under ROLLUP: Spark's native
+  // rollup re-expands every fact row once per grouping set and
+  // re-deduplicates each level from raw rows, where the state form pays
+  // the fact scan once and unions sets upward (exactness is closed
+  // under union — the oracle recounts every level from scratch).
+  // Subtotal rows label as (r_name='ALL', ym=0), which collide with no
+  // real region/month.
+  val q178 = Q(
+    "q178_bitmap_rollup",
+    Some("""
+      WITH base AS (
+        SELECT r.r_name,
+               CAST(YEAR(o.o_orderdate) * 100 + MONTH(o.o_orderdate) AS BIGINT) AS ym,
+               o.o_custkey
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey)
+      SELECT r_name, ym, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      FROM base GROUP BY r_name, ym
+      UNION ALL
+      SELECT r_name, CAST(0 AS BIGINT) AS ym,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      FROM base GROUP BY r_name
+      UNION ALL
+      SELECT 'ALL' AS r_name, CAST(0 AS BIGINT) AS ym,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      FROM base
+      ORDER BY r_name, ym
+    """)
+  ) { t =>
+    val state = udaf(graft.functions.BitmapState())
+    val merge = udaf(graft.functions.BitmapMergeCount())
+    val base = t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast(LongType).as("ym"),
+        col("o_custkey"))
+    // the ONE fact-grain aggregation. Every level below consumes this
+    // IDENTICAL subtree — same grouping, same columns — so the planner's
+    // exchange-reuse (AQE shuffle-stage reuse) runs the fact scan and
+    // its partial aggregation once; the per-level finals re-read the
+    // reused shuffle output (|regions|×|months| bitmaps), not the facts.
+    val states = base.groupBy(col("r_name"), col("ym"))
+      .agg(state(col("o_custkey")).as("bm"))
+    val fine = states.groupBy(col("r_name"), col("ym"))
+      .agg(merge(col("bm")).as("n_cust"))
+    val byRegion = states.groupBy(col("r_name"))
+      .agg(merge(col("bm")).as("n_cust"))
+      .select(col("r_name"), lit(0L).as("ym"), col("n_cust"))
+    val grand = states.agg(merge(col("bm")).as("n_cust"))
+      .select(lit("ALL").as("r_name"), lit(0L).as("ym"), col("n_cust"))
+    fine.unionByName(byRegion)
+      .unionByName(grand)
+      .orderBy(col("r_name"), col("ym"))
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q36, q37, q38, q55, q56, q86, q88, q98, q100,
-    q114, q115, q117, q118, q175)
+    q114, q115, q117, q118, q175, q178)
 }

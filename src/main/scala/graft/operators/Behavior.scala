@@ -879,6 +879,287 @@ object Behavior {
       .orderBy(col("decile"))
   }
 
+  // q176 — last-touch attribution (the marketing readout ClickHouse
+  // serves with ASOF JOIN + windowFunnel-adjacent credit rules; reference
+  // feeds this exact table shape, entrypoint.sh:220-229): every purchase
+  // is credited to the same user's most recent marketing touch
+  // (click/view/signup) at or before it, but only when the touch is
+  // within the 24 h lookback — otherwise the purchase is 'direct'. The
+  // asof resolution rides Asof.joinAsof's union+window form (one shuffle
+  // on user_id — a high-cardinality key, so parallelism scales with
+  // users, never with the channel enum), the credit report is a
+  // channel-sized aggregate, and revenue stays in exact cents with the
+  // bp share computed by integer division against a broadcast 1-row
+  // total. At 100 TB nothing here materializes per-pair state: the
+  // window carries exactly one (type, ts) pair per row.
+  val q176 = Q(
+    "q176_attribution",
+    Some("""
+      WITH purchases AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS p_ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      touches AS (
+        SELECT user_id, event_type AS t_type, CAST(ts AS TIMESTAMP) AS t_ts
+        FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      attributed AS (
+        SELECT p.event_id, p.cents,
+               CASE WHEN t.t_ts IS NOT NULL
+                      AND CAST(FLOOR(EPOCH(p.p_ts)) AS BIGINT)
+                          - CAST(FLOOR(EPOCH(t.t_ts)) AS BIGINT) <= 86400
+                    THEN t.t_type ELSE 'direct' END AS channel
+        FROM purchases p
+        ASOF LEFT JOIN touches t
+          ON p.user_id = t.user_id AND p.p_ts >= t.t_ts),
+      tot AS (SELECT COUNT(*) AS np FROM attributed)
+      SELECT channel,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+             CAST(COUNT(*) * 10000 // np AS BIGINT) AS share_bp
+      FROM attributed, tot
+      GROUP BY channel, np
+      ORDER BY channel
+    """)
+  ) { t =>
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").cast(DecimalType(18, 2)).multiply(lit(100))
+          .cast(LongType).as("cents"))
+    val touches = t.events
+      .filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("event_type").as("t_type"),
+        col("ts").as("t_ts"))
+    val attributed = Asof.joinAsof(purchases, touches, key = "user_id",
+      leftTs = "ts", rightTs = "t_ts", rightVals = Seq("t_type", "t_ts"))
+      .select(col("event_id"), col("cents"),
+        when(col("t_ts").isNotNull &&
+          unix_timestamp(col("ts")) - unix_timestamp(col("t_ts")) <= 86400,
+          col("t_type")).otherwise(lit("direct")).as("channel"))
+    val tot = attributed.agg(count(lit(1)).as("np"))
+    attributed
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).cast(LongType).as("revenue_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("channel"),
+        col("n_purchases").cast(LongType).as("n_purchases"),
+        col("revenue_cents"),
+        expr("n_purchases * 10000 div np").cast(LongType).as("share_bp"))
+      .orderBy(col("channel"))
+  }
+
+  // q177 — session path analysis (the ClickHouse "what do users DO"
+  // readout next to sequenceMatch/next_node: top entry paths): events
+  // sessionize per user under the q34 30-minute-gap discipline, each
+  // session contributes its first-3 event types as an ordered 'a>b>c'
+  // path, and the report is the top-15 paths by session count. Both
+  // windows partition on user_id (sessionize) and (user_id, session_id)
+  // (the prefix rank) — high-cardinality keys whose partitions shrink
+  // as data grows, never an enum; the per-session state is the BOUNDED
+  // 3-element prefix (sort_array over ≤3 structs), and the final cut is
+  // TakeOrdered's heap, not a global sort of the path universe.
+  val q177 = Q(
+    "q177_event_paths",
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events),
+      flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR DATE_DIFF('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged),
+      ranked AS (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM sessions),
+      paths AS (
+        SELECT user_id, session_id,
+               array_to_string(LIST(event_type ORDER BY rn), '>') AS path
+        FROM ranked WHERE rn <= 3
+        GROUP BY user_id, session_id)
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM paths
+      GROUP BY path
+      ORDER BY n_sessions DESC, path
+      LIMIT 15
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(w)
+    val sessions = t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("is_start",
+        when(prev.isNull || unix_timestamp(col("ts")) - unix_timestamp(prev) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_start")).over(wRun))
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sessions
+      .withColumn("rn", row_number().over(wSess))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("event_type")))).as("p3"))
+      .select(concat_ws(">",
+        transform(col("p3"), e => e.getField("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).cast(LongType).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(15)
+  }
+
+  // q179 — multi-touch (linear) attribution, q176's split-credit
+  // sibling: every touch in a purchase's 24 h lookback shares the
+  // purchase's 1000 milli-credits equally, with integer exactness kept
+  // by giving each touch 1000 div k and the remainder 1000 mod k to the
+  // LATEST touch (deterministic — (user, ts) is unique); untouched
+  // purchases credit 'direct' whole. The pair resolution is the
+  // bucketed interval join (Asof.intervalJoin: equi-join on
+  // (user, day-bucket) probing 2 buckets — work scales with real
+  // overlaps, never |purchases|×|touches| per user), the per-purchase
+  // k/latest come from one window over event_id (high-cardinality —
+  // partitions SHRINK as data grows), and the invariant
+  // Σ credit_milli = 1000 × purchases is spec-pinned. The oracle
+  // replays the NAIVE range join — bucketing must be invisible.
+  val q179 = Q(
+    "q179_attribution_linear",
+    Some("""
+      WITH purchases AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+      touches AS (
+        SELECT user_id, event_type AS t_type, CAST(ts AS TIMESTAMP) AS t_ts
+        FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      pairs AS (
+        SELECT p.event_id, t.t_type, t.t_ts
+        FROM purchases p
+        JOIN touches t ON p.user_id = t.user_id
+          AND t.t_ts < p.p_ts
+          AND CAST(FLOOR(EPOCH(p.p_ts)) AS BIGINT)
+              <= CAST(FLOOR(EPOCH(t.t_ts)) AS BIGINT) + 86400),
+      k AS (
+        SELECT event_id, COUNT(*) AS k, MAX(t_ts) AS last_ts
+        FROM pairs GROUP BY event_id),
+      credit AS (
+        SELECT pr.t_type AS channel,
+               1000 // k.k + CASE WHEN pr.t_ts = k.last_ts
+                                  THEN 1000 % k.k ELSE 0 END AS m
+        FROM pairs pr JOIN k ON pr.event_id = k.event_id),
+      direct AS (
+        SELECT 'direct' AS channel, 1000 AS m
+        FROM purchases p
+        WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.event_id = p.event_id))
+      SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(m) AS BIGINT) AS credit_milli
+      FROM (SELECT * FROM credit UNION ALL SELECT * FROM direct)
+      GROUP BY channel
+      ORDER BY channel
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id"),
+        col("ts").as("p_ts"))
+    val touches = t.events
+      .filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("event_type").as("t_type"),
+        col("ts").as("t_ts"))
+    val pairs = Asof.intervalJoin(touches, purchases,
+      leftKey = "user_id", rightKey = "p_user",
+      leftTs = "t_ts", rightTs = "p_ts",
+      windowSec = 86400, bucketSec = 86400)
+      .select(col("event_id"), col("t_type"), col("t_ts"))
+    val wK = Window.partitionBy(col("event_id"))
+    val credit = pairs
+      .withColumn("k", count(lit(1)).over(wK))
+      .withColumn("last_ts", max(col("t_ts")).over(wK))
+      .select(col("t_type").as("channel"),
+        (expr("1000 div k") +
+          when(col("t_ts") === col("last_ts"), expr("1000 % k"))
+            .otherwise(lit(0L))).as("m"))
+    val direct = purchases
+      .join(pairs.select(col("event_id")).distinct(), Seq("event_id"),
+        "left_anti")
+      .select(lit("direct").as("channel"), lit(1000L).as("m"))
+    credit.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        sum(col("m")).cast(LongType).as("credit_milli"))
+      .orderBy(col("channel"))
+  }
+
+  // q180 — behavioral flow transitions (the Sankey-diagram feed next to
+  // q89's single next-node and q177's path strings): per session (q34's
+  // 30-min-gap discipline) the first 4 steps contribute their adjacent
+  // (step, from, to) transitions, counted across sessions. One
+  // user-keyed window chain builds session ids, ranks, and the lead
+  // type — all partitioned on user_id/(user_id, session_id), never an
+  // enum — and the report is |steps|×|types|² bounded (dimension-sized),
+  // so the aggregation output is tiny whatever the fact volume.
+  val q180 = Q(
+    "q180_flow_transitions",
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events),
+      flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR DATE_DIFF('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, event_type, ts, event_id,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged),
+      stepped AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER ws AS dst,
+               ROW_NUMBER() OVER ws AS step
+        FROM sessions
+        WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id))
+      SELECT CAST(step AS BIGINT) AS step, src, dst,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM stepped
+      WHERE step <= 3 AND dst IS NOT NULL
+      GROUP BY step, src, dst
+      ORDER BY step, src, dst
+    """)
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(w)
+    val sessions = t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("is_start",
+        when(prev.isNull || unix_timestamp(col("ts")) - unix_timestamp(prev) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_start")).over(wRun))
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sessions
+      .withColumn("step", row_number().over(wSess))
+      .withColumn("dst", lead(col("event_type"), 1).over(wSess))
+      .filter(col("step") <= 3 && col("dst").isNotNull)
+      .groupBy(col("step").cast(LongType).as("step"),
+        col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .orderBy(col("step"), col("src"), col("dst"))
+  }
+
   val all: Seq[Q] = Seq(q46, q47, q48, q52, q58, q63, q64, q89, q102, q104,
-    q116, q157, q158, q162, q163, q166, q167)
+    q116, q157, q158, q162, q163, q166, q167, q176, q177, q179, q180)
 }

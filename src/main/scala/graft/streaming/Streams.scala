@@ -638,6 +638,49 @@ object Streams {
         col("n_short"),
         expr("n_short * 10000 div n_docs").as("short_bp"))
 
+  /** Streaming exact distinct — q55/q178's online shape (the
+    * groupBitmap -State discipline over an unbounded stream): each
+    * micro-batch appends one immutable per-group partial holding the
+    * batch's BITMAP STATE (BitmapState's compact ~10 B/word bytes),
+    * never a count — counts don't merge across batches (a user active
+    * in two batches would double-count under summation), set-union
+    * states do, and union is idempotent so the combine is also safe
+    * against any upstream at-least-once duplication of whole ids.
+    * [[readBitmapDistinct]] ORs the parts back to the EXACT distinct
+    * per group however long the stream has run — the first
+    * sketch-state partial in this lane (every earlier projection
+    * landed algebraic sums), proving the -State/-Merge pair composes
+    * with the stage→commit landing unchanged. Hot path per batch:
+    * |batch groups| rows, bytes bounded by the batch's distinct ids;
+    * replay is marker-gated as everywhere else.
+    */
+  def bitmapDistinctStream(events: DataFrame, path: String,
+    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val st = udaf(graft.functions.BitmapState())
+        val part = batch
+          .groupBy(col("event_type"))
+          .agg(st(col("user_id")).as("bm"))
+        landProjectionPart(part, path, batchId)
+      }
+      .start()
+
+  /** Combine [[bitmapDistinctStream]]'s parts to the exact per-group
+    * distinct — the same numbers q55's batch aggregation would produce
+    * over the union of every micro-batch.
+    */
+  def readBitmapDistinct(spark: org.apache.spark.sql.SparkSession,
+    path: String): DataFrame = {
+    val mg = udaf(graft.functions.BitmapMergeCount())
+    spark.read.parquet(path)
+      .groupBy(col("event_type"))
+      .agg(mg(col("bm")).as("n_distinct"))
+  }
+
   /** Streaming tokenizer-fertility projection — the FROZEN-tokenizer
     * serving shape online (pipe_tokenizer_fertility's streaming twin):
     * the trained unigram model rides in as literals (pieces, scores,

@@ -699,4 +699,43 @@ class PlanShapeSpec extends SparkSpec {
     // no fact-sized cartesian anywhere
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q176_attribution resolves the asof on one user-keyed window, filters scan-side") {
+    val plan = planOf("q176_attribution")
+    // both event subsets filter at the scan (purchase side + touch IN-set)
+    assert(plan.contains("EqualTo(event_type,purchase)"), plan.take(2000))
+    assert(plan.contains("In(event_type"), plan.take(2000))
+    // the asof resolution is the union+window form — a Window over
+    // user_id — never a per-pair range join
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    // the only nested-loop shape is the broadcast 1-row total (counting
+    // detail entries — formatted plans list each node twice)
+    val bnl = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size
+    assert(bnl <= 1, s"unexpected nested loops ($bnl):\n${plan.take(2000)}")
+  }
+
+  test("q179_attribution_linear pairs via the bucketed equi-join, never a cross") {
+    val plan = planOf("q179_attribution_linear")
+    // the (user, day-bucket) equi-key must reach a hash join — a plain
+    // range predicate would fall into a per-user nested loop
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // both event subsets filter at the scan
+    assert(plan.contains("EqualTo(event_type,purchase)"), plan.take(2000))
+    assert(plan.contains("In(event_type"), plan.take(2000))
+  }
+
+  test("q177_event_paths bounds the per-session prefix and heaps the final cut") {
+    val plan = planOf("q177_event_paths")
+    // rn <= 3 must push into the window as a group-limit (the prefix is
+    // cut DURING the window sort, not by filtering its full output)
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // top-15 via bounded heap, not a global sort of the path universe
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -97,6 +97,54 @@ class ScaleSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) === exact(r.getString(0))))
   }
 
+  test("bitmap -State/-Merge pair: states round-trip and merge to the exact union") {
+    val st = graft.functions.BitmapState()
+    val mg = graft.functions.BitmapMergeCount()
+    val rnd = new scala.util.Random(11)
+    val groups = Seq.fill(6)(Array.fill(500)(math.abs(rnd.nextLong()) % 100000L))
+    // -State per group, -Merge across: exact distinct of the union
+    val states = groups.map(_.foldLeft(st.zero)(st.reduce)).map(st.finish)
+    val merged = states.foldLeft(mg.zero)(mg.reduce)
+    assert(mg.finish(merged) === groups.flatten.distinct.length)
+    // a single-group state re-counts to the group's own distinct
+    groups.zip(states).foreach { case (g, s) =>
+      assert(mg.finish(mg.reduce(mg.zero, s)) === g.distinct.length)
+    }
+    // the byte form is the compact wire encoding, not Java serialization
+    val one = st.finish(groups.head.foldLeft(st.zero)(st.reduce))
+    val words = graft.functions.LongBitmap.fromBytes(one).size
+    assert(one.length <= words * 16 + 16, s"${one.length} B for $words words")
+  }
+
+  test("q178_bitmap_rollup runs the fact-grain aggregation once (reused exchange)") {
+    val df = SparkEntry.queries("q178_bitmap_rollup")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    // the coarser levels must consume the SAME shuffle stage the finest
+    // grain produced — two ReusedExchange nodes (per-region + grand),
+    // zero extra fact scans at runtime
+    val plan = df.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(plan).size
+    assert(reused >= 2, s"expected level-2/3 to reuse the state exchange:\n${plan.take(3000)}")
+    // internal consistency: the grand total equals the merged regions'
+    // union cardinality bound (≤ sum, ≥ max) and the labeled rows exist
+    val grand = rows.filter(r => r.getString(0) == "ALL").map(_.getLong(2))
+    val regions = rows.filter(r => r.getString(0) != "ALL" && r.getLong(1) == 0L)
+      .map(_.getLong(2))
+    assert(grand.length === 1 && regions.nonEmpty)
+    assert(grand.head <= regions.sum && grand.head >= regions.max)
+  }
+
+  test("q179_attribution_linear conserves credit exactly: 1000 milli per purchase") {
+    val rows = graft.operators.Behavior.q179.build(sf0001).collect()
+    val totalMilli = rows.map(_.getLong(2)).sum
+    val purchases = sf0001.events
+      .filter(col("event_type") === "purchase").count()
+    // equal split + deterministic remainder must re-sum to the whole:
+    // any rounding leak (credit created or destroyed) breaks equality
+    assert(totalMilli === purchases * 1000L)
+    assert(rows.map(_.getString(0)).contains("direct"))
+  }
+
   test("q56 sumMap serializes aligned per-key maps") {
     val rows = graft.operators.AggExt.q56.build(sf0001).collect()
     assert(rows.nonEmpty)
