@@ -1934,6 +1934,74 @@ object Dedup {
     }
   }
 
+  // dedup_degree_profile — per-source near-dup degree distribution, the
+  // curation readout that answers "WHICH sources bring the duplicated
+  // content" (dedup_cross_source counts cross-source PAIRS; this bands
+  // every corpus member by its pair-graph degree and shares within its
+  // source): degree 0 / 1 / 2-3 / 4+ bands, per (source, band) the doc
+  // count and the exact-bp share of the source. Twins attribute to
+  // their original's source (id − 1M). Reuses the memoized LSH-bounded
+  // pair graph; everything downstream is one degree aggregation plus a
+  // source-dim-sized join — at 100 TB the only fact-scale work is the
+  // pair graph every dedup operator already shares.
+  val degreeProfile = Q(
+    "dedup_degree_profile",
+    Some {
+      s"""
+      WITH $corpusSql,
+      $simhashPairsSql,
+      p AS (SELECT id1, id2 FROM spairs WHERE hamming <= 8),
+      e AS (SELECT id1 AS id FROM p UNION ALL SELECT id2 FROM p),
+      deg AS (SELECT id, COUNT(*) AS deg FROM e GROUP BY id),
+      mem AS (
+        SELECT c.doc_id,
+               CASE WHEN c.doc_id >= 1000000 THEN c.doc_id - 1000000
+                    ELSE c.doc_id END AS orig
+        FROM corpus c),
+      d AS (
+        SELECT doc.source, COALESCE(deg.deg, 0) AS deg
+        FROM mem m
+        JOIN documents doc ON doc.doc_id = m.orig
+        LEFT JOIN deg ON deg.id = m.doc_id),
+      b AS (
+        SELECT source,
+               CASE WHEN deg = 0 THEN '0' WHEN deg = 1 THEN '1'
+                    WHEN deg <= 3 THEN '2_3' ELSE '4_plus' END AS deg_band
+        FROM d),
+      c2 AS (
+        SELECT source, deg_band, COUNT(*) AS n_docs
+        FROM b GROUP BY source, deg_band),
+      t2 AS (SELECT source, SUM(n_docs) AS tot FROM c2 GROUP BY source)
+      SELECT c2.source, c2.deg_band, CAST(c2.n_docs AS BIGINT) AS n_docs,
+             CAST(c2.n_docs * 10000 // t2.tot AS BIGINT) AS share_bp
+      FROM c2 JOIN t2 ON c2.source = t2.source
+      ORDER BY c2.source, c2.deg_band
+      """
+    }
+  ) { t =>
+    val p = simhashPairs(t).select(col("id1"), col("id2"))
+    val e = p.select(col("id1").as("id")).unionAll(p.select(col("id2").as("id")))
+    val deg = e.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val mem = withTwins(t).select(col("doc_id"),
+      when(col("doc_id") >= 1000000L, col("doc_id") - 1000000L)
+        .otherwise(col("doc_id")).as("orig"))
+    val src = t.documents.select(col("doc_id").as("orig"), col("source"))
+    val banded = mem.join(src, "orig")
+      .join(deg, mem("doc_id") === deg("id"), "left")
+      .withColumn("deg0", coalesce(col("deg"), lit(0L)))
+      .select(col("source"),
+        when(col("deg0") === 0, "0").when(col("deg0") === 1, "1")
+          .when(col("deg0") <= 3, "2_3").otherwise("4_plus").as("deg_band"))
+    val counts = banded.groupBy(col("source"), col("deg_band"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.groupBy(col("source")).agg(sum(col("n_docs")).as("tot"))
+    counts.join(broadcast(tot), "source")
+      .select(col("source"), col("deg_band"),
+        col("n_docs").cast(LongType).as("n_docs"),
+        expr("n_docs * 10000 div tot").cast(LongType).as("share_bp"))
+      .orderBy(col("source"), col("deg_band"))
+  }
+
   // dedup_winnow — winnowing fingerprints (Schleimer, Wilkerson & Aiken,
   // SIGMOD'03 — the MOSS algorithm): in every sliding window of w=4
   // consecutive shingle hashes, keep the rightmost minimum. The guarantee
@@ -2697,5 +2765,5 @@ object Dedup {
     thresholdSweep, hubRank, canonical, editDistance, similarSearch,
     triangles, detectorAgreement, winnow, componentSizes, cdc, bbit,
     bagDedup, prefixDedup, suffixDedup, keyAgreement, canonicalQuality,
-    kcore)
+    kcore, degreeProfile)
 }

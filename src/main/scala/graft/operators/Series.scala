@@ -1588,7 +1588,81 @@ object Series {
       .orderBy(col("o_orderstatus"), col("d"))
   }
 
+  // q181 — cross-correlation of two event series (q133's autocorr asks
+  // "does a series predict ITSELF"; this asks "does clicking LEAD
+  // purchasing, and by how many days" — the lead/lag readout behind
+  // every CH series dashboard pairing two metrics): daily click and
+  // purchase counts on the DENSE zero-filled day frame (a day with
+  // neither is a real 0, not a missing row — same gap-fill discipline
+  // as q77), then for each lag in −3..+3 the exact integer
+  // co-movement sums over the overlap window: n, Σx, Σy, Σx·y and the
+  // covariance NUMERATOR n·Σxy − Σx·Σy as BIGINT — no FP anywhere, so
+  // the oracle compares bit-for-bit (the r-value is cov_num over the
+  // per-lag stddev product; publishing the rational's numerator keeps
+  // the op exact, the established seasonal_num/den convention).
+  // Scale shape: ONE map-side-combinable fact aggregation collapses
+  // events to the |days| relation; the frame, the 7 lag joins and the
+  // final readout all run on that dimension-sized table.
+  val q181 = Q(
+    "q181_cross_corr",
+    Some("""
+      WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS x,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS y
+        FROM events GROUP BY 1),
+      bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+      frame AS (
+        SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds),
+      xy AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', f.d) AS di,
+               COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
+        FROM frame f LEFT JOIN daily ON daily.d = f.d),
+      l AS (SELECT UNNEST(RANGE(-3, 4)) AS lag),
+      p AS (
+        SELECT l.lag, a.x AS x, b.y AS y
+        FROM l CROSS JOIN xy a
+        JOIN xy b ON b.di = a.di + l.lag)
+      SELECT CAST(lag AS BIGINT) AS lag,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num
+      FROM p GROUP BY lag ORDER BY lag
+    """)
+  ) { t =>
+    val daily = t.events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(when(col("event_type") === "click", 1)).as("x"),
+        count(when(col("event_type") === "purchase", 1)).as("y"))
+    val bounds = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val frame = bounds
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("d"))
+    val xy = frame.join(daily, Seq("d"), "left")
+      .select(datediff(col("d"), lit("2024-01-01")).cast(LongType).as("di"),
+        coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val a = xy.select(col("di"), col("x"))
+      .withColumn("lag", explode(array((-3 to 3).map(l => lit(l.toLong)): _*)))
+    val b = xy.select(col("di").as("dib"), col("y"))
+    a.join(b, col("dib") === col("di") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag").cast(LongType).as("lag"),
+        col("n_days").cast(LongType).as("n_days"),
+        col("sx").cast(LongType).as("sx"),
+        col("sy").cast(LongType).as("sy"),
+        col("sxy").cast(LongType).as("sxy"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .cast(LongType).as("cov_num"))
+      .orderBy(col("lag"))
+  }
+
   val all: Seq[Q] = Seq(q93, q94, q95, q96, q97, q103, q105, q106, q109, q110,
     q128, q129, q132, q133, q135, q147, q149, q152, q154, q156, q161, q168,
-    q171, q172)
+    q171, q172, q181)
 }

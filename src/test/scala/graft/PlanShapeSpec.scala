@@ -728,6 +728,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("In(event_type"), plan.take(2000))
   }
 
+  test("q181_cross_corr folds the facts once and lag-joins hash-keyed") {
+    val plan = planOf("q181_cross_corr")
+    // the ±3 lag join keys on di+lag — an expression equi-key, so it
+    // must plan as a hash/merge join, never a nested loop over the frame
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q177_event_paths bounds the per-session prefix and heaps the final cut") {
     val plan = planOf("q177_event_paths")
     // rn <= 3 must push into the window as a group-limit (the prefix is
