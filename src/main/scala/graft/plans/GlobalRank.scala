@@ -39,7 +39,11 @@ object GlobalRank {
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
-      .localCheckpoint()
+      // lazy for the same reason as GroupedPrefix.stage (r16): the pin
+      // only needs ONE materialization both branches read — filling the
+      // blocks during the counts branch's action saves the dedicated
+      // eager job and one full pass over the sorted relation
+      .localCheckpoint(eager = false)
     // per-partition sizes (order-independent, so this branch needs no
     // cross-branch row-order agreement) → cumulative offsets over
     // ≤ numPartitions rows → broadcast back onto the sorted slices

@@ -53,9 +53,15 @@ object GroupedPrefix {
     df.repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
       // spark_partition_id is nondeterministic-tagged, so the project is
-      // never pushed below the sort; the checkpoint freezes the values
+      // never pushed below the sort; the checkpoint freezes the values.
+      // LAZY checkpoint (r16, guide §1.2 "remove unnecessary passes"):
+      // the layout-pinning is identical — one materialization whose
+      // cached blocks both consumers read — but the blocks fill during
+      // the FIRST consuming action instead of a dedicated eager job, so
+      // every caller saves one blocking job plus one full read of the
+      // staged relation (measured on the quantile/rank family below).
       .withColumn(PID, spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
   }
 
   /** Exclusive-prefix window over the slices relation: strictly-earlier
