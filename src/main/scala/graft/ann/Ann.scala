@@ -1736,14 +1736,15 @@ $pivots
     // cur_i feeds BOTH the trace union and cur_{i+1} twice (as candidate
     // and as join seed) — without truncation the hop chain re-derives
     // every earlier hop exponentially (measured ~10 s of micro-job
-    // scheduling at sf0.1). localCheckpoint(eager) pins each 1-row-per-
-    // query frame so every hop runs exactly once.
+    // scheduling at sf0.1). localCheckpoint (lazy since r16: truncation
+    // is at creation, blocks fill on first consume) pins each 1-row-
+    // per-query frame so every hop runs exactly once.
     var cur = score(
       qcell.join(assigned.select(col("vec_id"), col("cell")), "cell")
         .groupBy(col("query_id"))
         .agg(min(col("vec_id")).as("cand"), first(col("gq")).as("gq")))
       .select(col("query_id"), col("gq"), col("cand").as("node"), col("dot_q"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val steps = scala.collection.mutable.ArrayBuffer(
       cur.select(col("query_id"), lit(0L).as("step"), col("node"), col("dot_q")))
     for (i <- 1 to 3) {
@@ -1758,7 +1759,7 @@ $pivots
           first(col("gq")).as("gq"))
         .select(col("query_id"), col("gq"), col("p.cand").as("node"),
           col("p.dot_q").as("dot_q"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       steps += cur.select(col("query_id"), lit(i.toLong).as("step"),
         col("node"), col("dot_q"))
     }

@@ -628,7 +628,11 @@ object Dedup {
     // localCheckpoint each round: persists AND truncates the logical plan —
     // without it the iterative lineage doubles per round (labels appears
     // twice in each step) and planning itself OOMs after ~10 rounds.
-    var labels = nodes.withColumn("label", col("id")).localCheckpoint(true)
+    // LAZY (r16): truncation happens at creation either way (the plan
+    // becomes a LogicalRDD immediately); the blocks fill during the
+    // round's convergence-sum action instead of a dedicated eager job —
+    // one blocking job round-trip saved per round.
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint(false)
     // Convergence metric: Σ label is strictly decreasing until fixed point
     // (labels only ever drop to a smaller reachable id) — one cheap agg
     // per round instead of a change-count join.
@@ -672,7 +676,7 @@ object Dedup {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (sum < prevSum && i < maxIters) {
       val t0 = if (debug) System.nanoTime() else 0L
-      val next = jump(step(jump(step(labels)))).localCheckpoint(true)
+      val next = jump(step(jump(step(labels)))).localCheckpoint(false)
       prevSum = sum
       sum = next.agg(org.apache.spark.sql.functions.sum(col("label"))).head().getLong(0)
       if (debug) System.err.println(
@@ -1570,14 +1574,14 @@ object Dedup {
         nStop.cast(DoubleType) / size(ws) >= 0.05)
       .select(col("doc_id"), col("source"),
         md5(lower(col("text")).cast("binary")).as("k"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val exactKept = gated
       .groupBy(col("k"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val exactSurv = gated.join(exactKept, "doc_id")
       .select(col("doc_id"), col("source"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val labels = simhashLabels(t).withColumnRenamed("id", "doc_id")
       .withColumnRenamed("label", "cc_label")
     // keeper per duplicate cluster = min doc id AMONG SURVIVORS of the
@@ -1590,7 +1594,7 @@ object Dedup {
       .withColumn("keeper", min(col("doc_id")).over(wg))
       .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("source"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("source"))
     val wo = w.orderBy(((col("doc_id") * 2654435761L) % 2147483648L), col("doc_id"))
     val sampled = nearSurv
@@ -1895,7 +1899,7 @@ object Dedup {
     }
   ) { t =>
     // The same iterative-loop discipline connectedComponents earned the
-    // hard way: localCheckpoint(true) each round (persists AND truncates
+    // hard way: localCheckpoint each round (lazy since r16 — persists AND truncates
     // lineage — without it round r's logical plan embeds round r−1
     // THREE times and planning alone goes exponential), AQE off and
     // shuffle partitions pinned to the graph size for the loop only,
@@ -1913,17 +1917,20 @@ object Dedup {
       var e = pairs.select(col("id1").as("src"), col("id2").as("dst"))
         .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
         .repartition(nParts, col("src"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val trajectory = (1 to 8).map { r =>
+        // lazy (r16): the blocks fill during the round's own count
+        // actions — the truncation is identical, two eager jobs per
+        // peeling round are gone
         val kept = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= 3).select(col("id"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         e = e
           .join(kept.withColumnRenamed("id", "src").hint("shuffle_hash"),
             Seq("src"), "left_semi")
           .join(kept.withColumnRenamed("id", "dst").hint("shuffle_hash"),
             Seq("dst"), "left_semi")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         (r.toLong, kept.count(), e.count() / 2L)
       }
       trajectory.toDF("peel_round", "n_nodes", "n_edges")

@@ -347,10 +347,11 @@ object Series {
     // subtree — without truncation the final plan re-derives sel_1 once
     // per later step (quadratic micro-job blowup; measured ~6 s of pure
     // scheduling at sf0.1). localCheckpoint(eager) pins each 1-row-per-
-    // type frame so every step is computed exactly once.
+    // type frame so every step is computed exactly once (lazy since
+    // r16: truncation at creation, blocks fill on first consume).
     var sel = bucketed.filter(col("b") === 0).select(col("event_type"),
       col("d").as("ad"), col("v").as("av"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val picks = scala.collection.mutable.ArrayBuffer(
       sel.select(col("event_type"), lit(0L).as("pick"),
         col("ad").as("day_num"), col("av").as("y_cents")))
@@ -368,7 +369,7 @@ object Series {
         .agg(max_by(struct(col("d"), col("v")),
           struct(col("score"), -col("d"))).as("p"))
         .select(col("event_type"), col("p.d").as("ad"), col("p.v").as("av"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       picks += sel.select(col("event_type"), lit(i.toLong).as("pick"),
         col("ad").as("day_num"), col("av").as("y_cents"))
     }

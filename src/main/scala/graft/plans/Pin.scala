@@ -25,9 +25,16 @@ import org.apache.spark.storage.StorageLevel
   * vectors) — bytes to low MB, never fact-table scale.
   */
 object Pin {
+  /** r16: the pin is LAZY — persist() alone registers the
+    * InMemoryRelation every consumer plans against; the blocks fill
+    * when the first consumer computes, so the dedicated count() job
+    * (one per pin site, 14 sites) and its extra pass are gone. The
+    * build-once effect is unchanged: later consumers read the cache,
+    * and the CacheManager's per-partition locking keeps a concurrent
+    * first-compute single.
+    */
   def pinned(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
     df
   }
 }

@@ -141,14 +141,14 @@ object CorpusPipeline {
       .filter(col("n_tok") >= cfg.minTokens &&
         col("n_stop") * 10000L >= col("n_tok") * cfg.minStopwordBp)
       .drop("n_stop")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     stages += yieldOf("quality_gate", gated)
 
     val exactKept = gated
       .groupBy(md5(lower(col("text")).cast("binary")).as("k"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val exact = gated.join(exactKept, "doc_id").localCheckpoint(true)
+    val exact = gated.join(exactKept, "doc_id").localCheckpoint(false)
     stages += yieldOf("exact_dedup", exact)
 
     // keeper per near-dup component = min doc id among SURVIVORS (the
@@ -160,7 +160,7 @@ object CorpusPipeline {
       .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("grp"))))
       .filter(col("doc_id") === col("keeper"))
       .select(exact.columns.map(col): _*)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     stages += yieldOf("neardup_cut", near)
 
     val clean = cfg.holdout match {
@@ -179,7 +179,7 @@ object CorpusPipeline {
               i => concat_ws(" ", slice(col("w"), i, lit(5))))).as("sh"))
           .join(broadcast(benchSh), "sh")
           .select(col("doc_id")).distinct()
-        near.join(hit, Seq("doc_id"), "left_anti").localCheckpoint(true)
+        near.join(hit, Seq("doc_id"), "left_anti").localCheckpoint(false)
     }
     stages += yieldOf("decontaminate", clean)
 
@@ -194,12 +194,12 @@ object CorpusPipeline {
           .dsirDocWeights(clean.select(col("doc_id"), col("text")))
           .filter(col("w_bp") >= minBp)
           .select(col("doc_id"))
-        clean.join(keep, "doc_id").localCheckpoint(true)
+        clean.join(keep, "doc_id").localCheckpoint(false)
     }
     stages += yieldOf("dsir_select", selected)
 
     val mixed = if (cfg.sourceShareBp.isEmpty) selected
-                else mixSample(selected, cfg.sourceShareBp).localCheckpoint(true)
+                else mixSample(selected, cfg.sourceShareBp).localCheckpoint(false)
     stages += yieldOf("mix_sample", mixed)
 
     val sharded = shardLayout(mixed, cfg.shardTokenBudget)

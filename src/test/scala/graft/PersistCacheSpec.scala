@@ -79,10 +79,12 @@ class PersistCacheSpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("v",
           org.apache.spark.sql.types.IntegerType))))
     val pinned = graft.plans.Pin.pinned(df)
-    // the eager count inside pinned() ran the source exactly once…
-    assert(acc.value === 100L)
-    // …and BOTH later consumers read the cached blocks, not the source
+    // r16: the pin is LAZY — registering the cache runs nothing…
+    assert(acc.value === 0L, "pinned() must not run a dedicated job")
+    // …the FIRST consumer materializes the source exactly once…
     assert(pinned.count() === 100L)
+    assert(acc.value === 100L)
+    // …and every later consumer reads the cached blocks, not the source
     assert(pinned.agg(org.apache.spark.sql.functions.sum("v"))
       .head().getLong(0) === 5050L)
     assert(acc.value === 100L, "a consumer re-ran the pinned source")
