@@ -1742,7 +1742,13 @@ object Dedup {
     val pairs = simhashPairs(t).select(col("id1"), col("id2"))
     val e = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // node-sized degree relation, referenced by r0 AND every iteration's
+    // rank rebuild (4 subtrees): pinned so the executed plan reads one
+    // cached frame instead of re-aggregating the edge list per
+    // reference (r16 — the executed AQE plan showed the deg exchange
+    // replicated per iteration, ~3 stages each)
+    val deg = graft.plans.Pin.pinned(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
     val nDf = deg.agg(count(lit(1)).as("n"))
     var r = deg.crossJoin(broadcast(nDf))
       .select(col("id"), col("deg"), expr(s"${S}L div n").as("r"))
@@ -1819,7 +1825,10 @@ object Dedup {
     val p = simhashPairs(t).select(col("id1"), col("id2"))
     val e = p.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(p.select(col("id2").as("src"), col("id1").as("dst")))
-    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // node-sized, referenced by the orientation join (twice) and the
+    // wedge census — pinned for the same reason as dedup_hub_rank's deg
+    val deg = graft.plans.Pin.pinned(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
     val pd = p
       .join(deg.select(col("id").as("id1"), col("deg").as("d1")), "id1")
       .join(deg.select(col("id").as("id2"), col("deg").as("d2")), "id2")
