@@ -39,11 +39,11 @@ object GlobalRank {
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
-      // lazy for the same reason as GroupedPrefix.stage (r16): the pin
-      // only needs ONE materialization both branches read — filling the
-      // blocks during the counts branch's action saves the dedicated
-      // eager job and one full pass over the sorted relation
-      .localCheckpoint(eager = false)
+      // eager again as of r17, for the same reason as GroupedPrefix
+      // .stage: the r16 lazy fill anti-scaled on the driver host at 32
+      // cores (PERF_r16.json) while the local eager-vs-lazy A/B is a
+      // wash — the dedicated materialization job is the proven shape.
+      .localCheckpoint(eager = true)
     // per-partition sizes (order-independent, so this branch needs no
     // cross-branch row-order agreement) → cumulative offsets over
     // ≤ numPartitions rows → broadcast back onto the sorted slices

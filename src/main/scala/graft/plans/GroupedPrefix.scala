@@ -54,14 +54,18 @@ object GroupedPrefix {
       .sortWithinPartitions(keys: _*)
       // spark_partition_id is nondeterministic-tagged, so the project is
       // never pushed below the sort; the checkpoint freezes the values.
-      // LAZY checkpoint (r16, guide §1.2 "remove unnecessary passes"):
-      // the layout-pinning is identical — one materialization whose
-      // cached blocks both consumers read — but the blocks fill during
-      // the FIRST consuming action instead of a dedicated eager job, so
-      // every caller saves one blocking job plus one full read of the
-      // staged relation (measured on the quantile/rank family below).
+      // EAGER again as of r17: r16 made this lazy (fill during the first
+      // consuming action) and the local bench read it as a win, but the
+      // r16 driver artifact showed the lazy fill going pathological at
+      // 32 cores on that host (q141_quantile_exact 1.85 s -> 22.9 s,
+      // consistent across reps, while its 8-core twin stayed at 1.3 s —
+      // PERF_r16.json), and a controlled local re-measurement of the
+      // 12-query quantile/rank family read eager-vs-lazy as a wash
+      // (24.1 vs 23.4 s, the gap within the host-calibration delta).
+      // A dedicated materialization job whose blocks every consumer
+      // reads is the only shape with driver-host-proven behavior.
       .withColumn(PID, spark_partition_id())
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
   }
 
   /** Exclusive-prefix window over the slices relation: strictly-earlier
