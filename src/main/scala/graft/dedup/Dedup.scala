@@ -966,7 +966,15 @@ object Dedup {
           explode(filter(split(trim(lower(col("text"))), "\\s+"), w => w =!= "")).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
-      val dft = tokc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // cnt > 0 is a tautology (count(1) of a non-empty group): its only
+      // job is to keep `cnt` REFERENCED on this branch, so the optimizer
+      // cannot prune the count off the df side — pruned, the two tokc
+      // subtrees stop canonicalizing equal and exchange reuse cannot
+      // fire, and the r17 executed-plan dump showed the whole
+      // tokenize+explode pipeline (4 parquet scans of the twins union)
+      // running twice per build.
+      val dft = tokc.where(col("cnt") > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val wt = tokc.join(dft, "tok")
         .select(col("doc_id"),
           (when(col("df") * 10 < n, 4L).otherwise(1L) * col("cnt")).as("wgt"),

@@ -38,17 +38,41 @@ object ExecutedPlan {
       })
     val sb = new StringBuilder
     names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, sfDir)
       plans.clear()
-      df.write.format("noop").mode("overwrite").save()
-      // listener events are delivered asynchronously; wait for the bus
-      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(spark.sparkContext)
-      Thread.sleep(300)
-      var last = ""
-      while (!plans.isEmpty) last = plans.poll()
-      sb.append(s"======== $n (executed) ========\n")
-      sb.append(last)
-      sb.append("\n")
+      if (n.startsWith("_build_")) {
+        // bench build entries: run the thunk and dump EVERY captured
+        // plan — a memoized build fires several actions and each one's
+        // executed stage graph is part of the build's cost story
+        val t = graft.Tables(spark, sfDir)
+        val steps = (graft.dedup.Dedup.buildSteps(t) ++
+          graft.ann.Ann.buildSteps(t) ++ graft.text.TextOps.buildSteps(t))
+          .toMap
+        steps(n.stripPrefix("_build_"))()
+        org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(spark.sparkContext)
+        Thread.sleep(300)
+        sb.append(s"======== $n (executed, all actions) ========\n")
+        if (plans.isEmpty) sb.append("(no plan captured)\n")
+        var i = 0
+        while (!plans.isEmpty) {
+          i += 1
+          sb.append(s"-------- action $i --------\n")
+          sb.append(plans.poll()); sb.append("\n")
+        }
+      } else {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        // listener events are delivered asynchronously; wait for the bus
+        org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(spark.sparkContext)
+        Thread.sleep(300)
+        // the noop write is always the final action, so the LAST captured
+        // plan is the query's; an empty queue is reported explicitly (a
+        // silent empty dump reads like a trivial plan — r16 ADVICE)
+        var last = "(no plan captured)"
+        while (!plans.isEmpty) last = plans.poll()
+        sb.append(s"======== $n (executed) ========\n")
+        sb.append(last)
+        sb.append("\n")
+      }
     }
     out match {
       case Some(p) => java.nio.file.Files.write(java.nio.file.Paths.get(p),
