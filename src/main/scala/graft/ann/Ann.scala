@@ -1389,10 +1389,11 @@ $pivots
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     // three consumers (both sides of the in-cell pair join + the verdict
     // join) — pin the vector-grain assignment so the quantize pass runs
-    // ONCE; Pin.pinned (persist MEMORY_AND_DISK + eager count) rather
-    // than relying on plan reuse, so a cache-evicted memoized quantizer
-    // cannot silently triple the cost (the r10/r11 driver-bench
-    // hypothesis), and lineage survives executor loss at cluster scale.
+    // ONCE; Pin.pinned (persist MEMORY_AND_DISK, lazy as of r16: blocks
+    // fill during the first consuming action) rather than relying on
+    // plan reuse, so a cache-evicted memoized quantizer cannot silently
+    // triple the cost (the r10/r11 driver-bench hypothesis), and
+    // lineage survives executor loss at cluster scale.
     // Assignment rides the assignCells kernel (r16): the broadcast-join
     // form moved 2n·cells wide rows through the exchange, an n² data
     // volume under the corpus-derived cell dial; embeddings join back

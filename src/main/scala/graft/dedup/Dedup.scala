@@ -2078,18 +2078,22 @@ object Dedup {
     }
   ) { t =>
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(t.spark)
     val m = 4294967296L
-    val toks = t.documents.select(col("doc_id"),
-      expr("filter(split(trim(lower(text)), '\\\\s+'), w -> w != '')").as("ws"))
-    val sh = toks.select(col("doc_id"),
-      posexplode(expr("transform(sequence(1, greatest(size(ws) - 2, 1)), " +
-        "i -> array_join(slice(ws, i, 3), ' '))")).as(Seq("p0", "sh")))
-      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("sh"))
-    val keyed = sh
-      .withColumn("h", expr(
-        s"aggregate(split(sh, ''), 7L, (acc, c) -> (acc * 31 + ascii(c)) % ${P}L)"))
+    // one codegen'd kernel pass (graft_shingle_charfold) replaces the
+    // shingle-string build (transform/slice/array_join) AND the
+    // per-char split('')/ascii lambda fold — bit-identical, pinned by
+    // DedupSpec (r17). The per-doc position count `mm` is the hash
+    // array's size, so the count-over-doc window pass is gone too
+    // (posexplode emits every position, unfiltered).
+    val keyed = t.documents
+      .select(col("doc_id"),
+        call_function("graft_shingle_charfold", col("text")).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast(LongType).as("mm"),
+        posexplode(col("hs")).as(Seq("p0", "h")))
+      .select(col("doc_id"), col("mm"),
+        (col("p0") + 1).cast(LongType).as("pos"), col("h"))
       .withColumn("k", col("h") * m + (lit(m) - col("pos")))
-      .withColumn("mm", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val wins = keyed.filter(col("pos") <= greatest(col("mm") - 3, lit(1)))
       .withColumn("wk", min(col("k")).over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)))

@@ -323,6 +323,66 @@ object SignatureKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-position char-code folds of every `w`-token shingle of the
+    * lowercased, whitespace-split text — the kernel mirror of
+    *   aggregate(split(array_join(slice(ws, i, w), ' '), ''), 7L,
+    *             (acc, c) -> (acc * 31 + ascii(c)) % P)
+    * over ws = filter(split(trim(lower(text)), '\s+'), _ != ''), with
+    * max(nTokens − w + 1, 1) positions — the winnowing k-gram stream
+    * (dedup_winnow). Bit-identical to the expression chain it replaces
+    * (DedupSpec pins equality), including two split() edge semantics:
+    * split(sh, '') yields exactly the characters (no trailing empty),
+    * but split('', '') is [''] — a single empty-string element whose
+    * ascii('') is 0 — so an empty/whitespace-only doc's one shingle
+    * folds to (7·31) mod P = 217, not 7. The win is one
+    * pass over the document bytes with no shingle-string, char-array,
+    * or lambda-fold materialization per position. Multi-byte input
+    * folds the Unicode code point, exactly as ascii() does on the
+    * single-character strings split('') produces.
+    */
+  def shingleCharFolds(s: UTF8String, w: Int): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val toks = tokenOffsets(bytes)
+    val nToks = toks.length / 2
+    val n = math.max(nToks - w + 1, 1)
+    val out = new Array[Long](n)
+    val p = PortableHash.P
+    var i = 0
+    while (i < n) {
+      // no tokens: the shingle string is '' and split('', '') is [''] —
+      // one ascii('') = 0 fold step
+      var h = if (nToks == 0) (7L * 31) % p else 7L
+      val last = math.min(i + w - 1, nToks - 1)
+      var t = i
+      while (t <= last) {
+        if (t > i) h = (h * 31 + 32) % p
+        var b = toks(2 * t)
+        val until = toks(2 * t + 1)
+        while (b < until) {
+          val x = bytes(b) & 0xff
+          var cp = x
+          var len = 1
+          if (x >= 0x80) {
+            if ((x & 0xe0) == 0xc0) { cp = x & 0x1f; len = 2 }
+            else if ((x & 0xf0) == 0xe0) { cp = x & 0x0f; len = 3 }
+            else { cp = x & 0x07; len = 4 }
+            var k = 1
+            while (k < len && b + k < until) {
+              cp = (cp << 6) | (bytes(b + k) & 0x3f)
+              k += 1
+            }
+          }
+          h = (h * 31 + cp) % p
+          b += len
+        }
+        t += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Word bigram strings in one pass: each bigram is the raw byte span
     * from token i through token i+1 (preserves the original inter-token
     * whitespace; identical to `w1 || ' ' || w2` for single-space text).
@@ -457,6 +517,20 @@ case class WindowHashesExpr(child: Expression, w: Int = 10) extends UnaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SignatureKernels.windowHashes($c, $w)")
   override protected def withNewChildInternal(newChild: Expression): WindowHashesExpr =
+    copy(child = newChild)
+}
+
+/** graft_shingle_charfold(text) → ARRAY<BIGINT> (winnowing k-gram
+  * char-fold stream; see SignatureKernels.shingleCharFolds).
+  */
+case class ShingleCharFoldsExpr(child: Expression, w: Int = 3) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureKernels.shingleCharFolds(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureKernels.shingleCharFolds($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleCharFoldsExpr =
     copy(child = newChild)
 }
 
@@ -779,6 +853,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WindowHashesExpr].getName, "graft_winhash"),
       (args: Seq[Expression]) => WindowHashesExpr(args.head))
 
+  val shingleCharFoldDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_shingle_charfold"),
+      new ExpressionInfo(classOf[ShingleCharFoldsExpr].getName, "graft_shingle_charfold"),
+      (args: Seq[Expression]) => ShingleCharFoldsExpr(args.head))
+
   val cosDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_cos"),
       new ExpressionInfo(classOf[CosineExpr].getName, "graft_cos"),
@@ -808,7 +887,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(simhashDesc, minhashDesc, shinglesDesc, bigramsDesc,
-      fingerprintDesc, wordHashesDesc, bitLanesDesc, winHashDesc, cosDesc,
+      fingerprintDesc, wordHashesDesc, bitLanesDesc, winHashDesc,
+      shingleCharFoldDesc, cosDesc,
       dist2Desc, dotDesc, crossMomDesc, unigramSegDesc).foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }

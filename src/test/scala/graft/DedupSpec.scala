@@ -358,4 +358,35 @@ class DedupSpec extends SparkSpec {
     // peeling only shrinks
     assert(got.sliding(2).forall(w => w(1)._2 <= w(0)._2 && w(1)._3 <= w(0)._3))
   }
+
+  test("graft_shingle_charfold == the split/ascii lambda-fold expression chain") {
+    // the kernel replaces dedup_winnow's per-shingle
+    // aggregate(split(sh,''),...) fold (r17) — equality must hold
+    // bit-for-bit on every edge the expression chain has: empty and
+    // whitespace-only docs (split('','') = ['']), 1- and 2-token docs
+    // (short slices), mixed case, padded whitespace, multi-byte
+    // characters (ascii() = code point), and the limit=-1 trailing
+    // empty split('') element
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      "", " ", "  \t\n ", "one", "one two", "one two three",
+      "one two three four five six", "UPPER Case MiXeD tokens HERE",
+      "  padded   spaces\tand\nnewlines  ",
+      "caf\u00e9 na\u00efve r\u00e9sum\u00e9 tokens",
+      "\u4e2d\u6587 \u6587\u672c mixed ascii",
+      "a b c d e f g h i j k l m n o p"
+    ).toDF("text")
+    val p = graft.functions.PortableHash.P
+    val ws = "filter(split(trim(lower(text)), '\\\\s+'), w -> w != '')"
+    val ref = s"transform(sequence(1, greatest(size($ws) - 2, 1)), " +
+      s"i -> aggregate(split(array_join(slice($ws, i, 3), ' '), ''), 7L, " +
+      s"(acc, c) -> (acc * 31 + ascii(c)) % ${p}L))"
+    val rows = docs.select(
+      expr("graft_shingle_charfold(text)").as("got"),
+      expr(ref).as("want")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
 }

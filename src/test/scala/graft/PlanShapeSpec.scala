@@ -748,4 +748,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("driver surface strips ROOT global sorts only; sort-under-LIMIT keeps ordering") {
+    // r16 ADVICE: stripFinalSort's safety invariant had no spec pin — a
+    // builder-shape change (a node above the Sort, a limit applied after
+    // the registry wrapper) must not silently change which rows the
+    // top-k family returns
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    // (a) an orderBy-rooted plan loses its ROOT Sort on the driver
+    // surface, while the builder itself keeps it for specs/readers
+    val surfaced = SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    assert(!surfaced.queryExecution.logical.isInstanceOf[Sort],
+      "driver surface should strip the root Sort")
+    val built = SparkEntry.registry.find(_.name == "q01_pricing_summary").get.build(sf0001)
+    assert(built.queryExecution.logical.isInstanceOf[Sort],
+      "builder should keep its presentation orderBy")
+    // (b) a sort FEEDING a LIMIT (TakeOrdered top-k) is not a plan root
+    // and must survive on the driver surface — it decides WHICH rows
+    val topk = SparkEntry.queries("q02_topn")(spark, "/root/testdata/sf0.001")
+    val sorts = topk.queryExecution.logical.collect { case s: Sort if s.global => s }
+    assert(sorts.nonEmpty, "sort under LIMIT must keep its ordering role")
+    assert(!topk.queryExecution.logical.isInstanceOf[Sort])
+  }
 }
