@@ -1834,9 +1834,18 @@ object Dedup {
     val e = p.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(p.select(col("id2").as("src"), col("id1").as("dst")))
     // node-sized, referenced by the orientation join (twice) and the
-    // wedge census — pinned for the same reason as dedup_hub_rank's deg
+    // wedge census — pinned for the same reason as dedup_hub_rank's deg.
+    // The fill is EAGER here (r17): this query fans deg into several
+    // INDEPENDENT AQE stages of one action (two broadcast exchanges +
+    // the wedge-census aggregate), the concurrent-lazy-first-fill shape
+    // the r16 driver artifact measured going pathological on q141 — and
+    // dedup_triangles itself regressed 3.50→5.25 s on that driver at 32
+    // cores while its 8-core twin read 2.26 s. One count() over a
+    // node-sized aggregate buys the race away. (dedup_hub_rank's deg
+    // pin stays lazy: the driver measured it IMPROVING 2.11× there.)
     val deg = graft.plans.Pin.pinned(
       e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+    deg.count()
     val pd = p
       .join(deg.select(col("id").as("id1"), col("deg").as("d1")), "id1")
       .join(deg.select(col("id").as("id2"), col("deg").as("d2")), "id2")
